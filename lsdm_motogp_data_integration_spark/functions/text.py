@@ -1,0 +1,85 @@
+"""String / date / lookup scalar helpers.
+
+Built-in-function compositions replacing the reference's Kettle scalar
+steps (SURVEY.md §2.8): StringOperations trim/upper/lower
+(``motogp.ktr:8265-8720``), ReplaceString trademark stripping
+(``:4809-4886``), ConcatFields / FieldSplitter name plumbing
+(``:1677-2003``, ``:8085-8205``), multi-format date parsing from the
+ingestion scripts (``race_coord.py:50-79``, ``quali.py:21-37``), and the
+weather-code → label dict map (``race_coord.py:29-48``).
+
+Everything here is a Column expression (JVM-side, codegen'd) — no UDFs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Mapping
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def normalize_name(col: Column | str) -> Column:
+    """Canonical name key: trim, collapse inner whitespace, uppercase.
+
+    Encapsulates the reference's brittle name-join pre-processing (upper
+    + trim repeated before every name join, e.g. ``motogp.ktr:8265``,
+    ``:8549``) so every join key is normalized the same way.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.upper(F.regexp_replace(F.trim(c), r"\s+", " "))
+
+
+def name_from_comma(col: Column | str, sep: str = ",") -> Column:
+    """``"Name, Surname" -> "Name Surname"`` (Split fields on ',' +
+    Concat fields, ``motogp.ktr:8085-8144``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    parts = F.split(c, sep)
+    return F.concat_ws(
+        " ", F.trim(parts.getItem(0)), F.trim(F.element_at(parts, -1))
+    )
+
+
+def name_from_surname_first(col: Column | str) -> Column:
+    """``"SURNAME Name" -> "Name SURNAME"`` (Split fields 3 + Concat
+    fields 2 3, ``motogp.ktr:8205``, ``:1935``): move the first token to
+    the end."""
+    c = F.col(col) if isinstance(col, str) else col
+    t = F.split(F.trim(c), r"\s+")
+    head = t.getItem(0)
+    rest = F.array_join(F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))), " ")
+    return F.when(F.size(t) <= 1, F.trim(c)).otherwise(
+        F.concat_ws(" ", rest, head)
+    )
+
+
+def strip_trademark(col: Column | str) -> Column:
+    """Remove the literal ``™`` and its UTF-8-as-latin1 mojibake
+    ``â„¢`` (ReplaceString steps, ``motogp.ktr:4809-4886``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(c, "(™|â„¢)", "")
+
+
+def to_date_multi(col: Column | str, formats: Iterable[str]) -> Column:
+    """First-successful multi-format date parse
+    (``coalesce(to_date(c, f1), to_date(c, f2), ...)``), mirroring the
+    ingestion scripts' strptime-attempt loops (``race_coord.py:67-77``).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    attempts = [F.try_to_timestamp(c, F.lit(f)).cast("date") for f in formats]
+    return F.coalesce(*attempts)
+
+
+def code_map_expr(mapping: Mapping, col: Column | str, default=None) -> Column:
+    """Literal code → label lookup (the weather-code dict,
+    ``race_coord.py:29-48``) as a ``create_map`` expression. For large
+    maps, prefer a broadcast-joined dimension table instead."""
+    c = F.col(col) if isinstance(col, str) else col
+    kv = []
+    for k, v in mapping.items():
+        kv.append(F.lit(k))
+        kv.append(F.lit(v))
+    expr = F.create_map(*kv)[c]
+    if default is not None:
+        expr = F.coalesce(expr, F.lit(default))
+    return expr

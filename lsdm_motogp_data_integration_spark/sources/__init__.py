@@ -1,0 +1,61 @@
+"""Readers and writers.
+
+The reference reads 9 CSVs (header, ``"`` enclosure, UTF-8, declared
+typed field lists, e.g. ``motogp.ktr:1405-1478``) and 2 JSON files
+(JSONPath ``$[*].field`` over a flat array of flat objects,
+``motogp.ktr:4281-4441``), and "writes" to named Dummy sinks /
+PostgreSQL. Here: schema-declared ``spark.read`` with no inference, and
+parquet-first writes (partitioned for scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    *,
+    delimiter: str = ",",
+    quote: str = '"',
+) -> DataFrame:
+    """Delimited scan mirroring Kettle CsvInput semantics
+    (header=Y, enclosure ``"``, UTF-8, declared types — never inference).
+    """
+    return (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("sep", delimiter)
+        .option("quote", quote)
+        .option("encoding", "UTF-8")
+        # malformed rows -> nulls, matching Kettle's lenient conversion
+        .option("mode", "PERMISSIVE")
+        .csv(path)
+    )
+
+
+def read_json_array(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """JSON array-of-flat-objects scan (Kettle JsonInput, JSONPath
+    ``$[*].field`` with ``defaultPathLeafToNull=Y`` — missing leaves are
+    null, which is also Spark's default for absent fields).
+    """
+    return spark.read.schema(schema).option("multiLine", True).json(path)
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver testdata table (TESTDATA.md)."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def write_table(df: DataFrame, path: str, *, partition_by: list[str] | None = None) -> None:
+    """Parquet sink (replaces the reference's named Dummy endpoints /
+    Postgres table loads). ``partition_by`` enables partition pruning for
+    downstream scans — the 100 TB hygiene the reference lacks.
+    """
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
