@@ -20,9 +20,28 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lsdm_motogp_data_integration_spark.functions.text import to_date_multi
+from lsdm_motogp_data_integration_spark.operators.ann import cosine_topk, lsh_topk
+from lsdm_motogp_data_integration_spark.operators.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_pairs,
+)
 from lsdm_motogp_data_integration_spark.operators.fuzzy import similarity_join
 from lsdm_motogp_data_integration_spark.operators.keys import (
     add_surrogate_key_distributed,
+)
+from lsdm_motogp_data_integration_spark.operators.sessions import (
+    sessionize,
+    tumbling_window_agg,
+)
+from lsdm_motogp_data_integration_spark.operators.textops import (
+    bpe_ish_token_count,
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
 )
 from lsdm_motogp_data_integration_spark.sources import read_table
 
@@ -326,6 +345,223 @@ def q17_fuzzy_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Training-data pipeline operators: dedup / similarity / text / events
+# (beyond reference parity — SURVEY.md §7 step 9)
+# ---------------------------------------------------------------------------
+
+
+def _doc_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ deterministic near-dup variants (every 5th doc with
+    its first 20 chars dropped, id offset +100000) — reproducible in
+    SQL so dedup queries have known duplicates to find."""
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    variants = (
+        d.filter(F.col("doc_id") % 5 == 0)
+        .select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.expr("substr(text, 21)").alias("text"),
+        )
+    )
+    return d.unionByName(variants)
+
+
+_DOC_CORPUS_SQL = """
+            corpus AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 100000 AS doc_id, substr(text, 21) AS text
+                FROM documents WHERE doc_id % 5 = 0
+            )
+"""
+
+_JACCARD_PAIRS_SQL = f"""
+            WITH {_DOC_CORPUS_SQL},
+            w AS (
+                SELECT doc_id,
+                       regexp_split_to_array(
+                           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '
+                       ) AS ws
+                FROM corpus
+            ), g AS (
+                SELECT DISTINCT doc_id, array_to_string(ws[i:i+4], ' ') AS gram
+                FROM w, LATERAL (
+                    SELECT unnest(generate_series(1, greatest(len(ws) - 4, 1))) AS i
+                ) t
+            ), sizes AS (
+                SELECT doc_id, COUNT(*) AS n FROM g GROUP BY 1
+            ), shared AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS sh
+                FROM g a JOIN g b USING (gram)
+                WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   ROUND(sh * 1.0 / (sa.n + sb.n - sh), 6) AS jaccard
+            FROM shared
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE sh * 1.0 / (sa.n + sb.n - sh) >= 0.8
+"""
+
+
+def q18_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content digest (hash-groupBy): documents ∪ exact
+    copies of every 5th doc; survivors keep min doc_id with group size."""
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return exact_dedup(d.unionByName(copies), "text", "doc_id")
+
+
+def q19_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64) + LSH(32 bands × 2 rows) near-dup candidate pairs,
+    verified with exact word-5-gram Jaccard ≥ 0.8. The oracle computes
+    exact Jaccard directly — LSH recall at this banding makes the two
+    coincide (miss probability ≈ 6e-15 at j=0.8)."""
+    return minhash_lsh_pairs(
+        _doc_corpus(spark, sf_dir), "text", "doc_id", threshold=0.8
+    )
+
+
+def q20_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram-Jaccard similarity join (the verification path of
+    q19, run standalone): all pairs with word-5-gram Jaccard ≥ 0.8."""
+    return jaccard_pairs(_doc_corpus(spark, sf_dir), "text", "doc_id", threshold=0.8)
+
+
+def q21_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(64-bit) near-dup pairs within Hamming ≤ 3, candidates
+    via 16-bit chunk pigeonholing. Hash-construction-specific → no SQL
+    oracle (driver records rows-only). Note: on the small-vocab
+    synthetic corpus SimHash separates weakly (it sketches token
+    distributions, which word-soup shares) — MinHash (q19) is the
+    discriminative method there; this query checks the operator
+    machinery, recall characteristics are asserted in tests."""
+    return simhash_pairs(
+        _doc_corpus(spark, sf_dir), "text", "doc_id", max_hamming=3
+    )
+
+
+def q22_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish regex subword count
+    per document."""
+    d = read_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        bpe_ish_token_count("text").alias("n_subtokens"),
+    )
+
+
+def q23_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring from char-class/stopword/word-length
+    ratios (deterministic heuristic, SQL-expressible)."""
+    d = read_table(spark, sf_dir, "documents")
+    return d.select("doc_id", quality_score("text").alias("quality"))
+
+
+def q24_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-stopword language ID with deterministic argmax
+    tie-break."""
+    d = read_table(spark, sf_dir, "documents")
+    return d.select("doc_id", lang_id("text").alias("pred_lang"))
+
+
+def q25_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-content fingerprinting: case/punctuation-insensitive
+    md5 groups documents with their UPPERCASED variants."""
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    shouted = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.upper(F.col("text")).alias("text"),
+    )
+    corpus = d.unionByName(shouted)
+    return (
+        corpus.withColumn("fp", fingerprint("text"))
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).alias("n_same_content"),
+        )
+    )
+
+
+def q26_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for the first 5 vectors —
+    the exact ANN baseline (float64 math, rank on 6-decimal-rounded
+    similarity with id tie-break for cross-engine stability)."""
+    e = read_table(spark, sf_dir, "embeddings")
+    queries_df = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return cosine_topk(
+        e, queries_df, "embedding", "vec_id", "query_id", "query_vec", k=5
+    ).select("query_id", "neighbor_id", "cosine", "rank")
+
+
+def q27_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: label-blocked pair scan for cosine ≥
+    0.99 over embeddings ∪ exact duplicates of every 50th vector."""
+    e = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    dups = e.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    corpus = e.unionByName(dups)
+    return embedding_neardup_pairs(
+        corpus, "embedding", "vec_id", block_col="label", threshold=0.99
+    )
+
+
+def q28_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling-window aggregate (batch form of the
+    Structured Streaming windowed count/sum — SURVEY §2.11 stretch)."""
+    ev = read_table(spark, sf_dir, "events")
+    return tumbling_window_agg(ev, window_size="1 hour")
+
+
+def q29_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (gaps-and-islands, 30-min inactivity gap):
+    per-user session sequence numbers via lag + running sum."""
+    ev = read_table(spark, sf_dir, "events")
+    return sessionize(ev, gap_minutes=30).select(
+        "event_id", "user_id", "session_seq"
+    )
+
+
+def q30_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group (generalizes the FuzzyMatch closervalue=Y
+    best-match-per-row idiom, ``motogp.ktr:3038``): 3 largest orders
+    per customer."""
+    o = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+def q31_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN (multi-probe, Hamming ≤ 1 buckets) —
+    the approximate scale path of q26. Bucket-construction-specific →
+    rows-only check; recall vs the exact baseline is asserted in
+    tests."""
+    e = read_table(spark, sf_dir, "embeddings")
+    queries_df = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return lsh_topk(
+        e, queries_df, "embedding", "vec_id", "query_id", "query_vec", k=5
+    ).select("query_id", "neighbor_id", "cosine", "rank")
+
+
+# ---------------------------------------------------------------------------
 # Contract
 # ---------------------------------------------------------------------------
 
@@ -354,6 +590,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q15_date_multiformat": q15_date_multiformat,
         "q16_union_all": q16_union_all,
         "q17_fuzzy_best_match": q17_fuzzy_best_match,
+        "q18_dedup_exact": q18_dedup_exact,
+        "q19_minhash_lsh_neardup": q19_minhash_lsh_neardup,
+        "q20_jaccard_exact": q20_jaccard_exact,
+        "q21_simhash_neardup": q21_simhash_neardup,
+        "q22_token_stats": q22_token_stats,
+        "q23_quality_score": q23_quality_score,
+        "q24_lang_id": q24_lang_id,
+        "q25_fingerprint_dedup": q25_fingerprint_dedup,
+        "q26_ann_cosine_topk": q26_ann_cosine_topk,
+        "q27_embedding_neardup": q27_embedding_neardup,
+        "q28_tumbling_window": q28_tumbling_window,
+        "q29_sessionize": q29_sessionize,
+        "q30_topk_per_group": q30_topk_per_group,
+        "q31_ann_lsh_topk": q31_ann_lsh_topk,
     }
 
 
@@ -519,5 +769,176 @@ def oracle_sql() -> dict[str, str]:
             SELECT probe_id, probe_name, n_name AS matched_name,
                    ROUND(sim, 6) AS similarity
             FROM best WHERE rn = 1
+        """,
+        "q18_dedup_exact": """
+            WITH corpus AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 100000 AS doc_id, text
+                FROM documents WHERE doc_id % 5 = 0
+            )
+            SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+            FROM corpus GROUP BY md5(text)
+        """,
+        "q19_minhash_lsh_neardup": _JACCARD_PAIRS_SQL,
+        "q20_jaccard_exact": _JACCARD_PAIRS_SQL,
+        "q22_token_stats": """
+            SELECT doc_id,
+                   CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                   END AS BIGINT) AS n_tokens,
+                   CAST(len(regexp_extract_all(
+                       text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'
+                   )) AS BIGINT) AS n_subtokens
+            FROM documents
+        """,
+        "q23_quality_score": """
+            WITH feats AS (
+                SELECT doc_id,
+                       CAST(greatest(length(text), 1) AS DOUBLE) AS n,
+                       CAST(greatest(
+                           CASE WHEN length(trim(text)) = 0 THEN 0
+                                ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                           END, 1) AS DOUBLE) AS nt,
+                       len(regexp_extract_all(text, '[A-Za-z]')) AS c_alpha,
+                       len(regexp_extract_all(text, '[0-9]')) AS c_digit,
+                       len(regexp_extract_all(text, '[^\\w\\s]')) AS c_punct,
+                       len(regexp_extract_all(
+                           text, '(?i)\\b(the|a|an|and|or|of|to|in|is|it)\\b'
+                       )) AS c_stop,
+                       len(regexp_extract_all(text, '[^\\s]')) AS c_nonspace
+                FROM documents
+            ), score AS (
+                SELECT doc_id,
+                       0.4 * (c_alpha / n)
+                       + 0.3 * least((c_stop / nt) * 4, 1.0)
+                       + 0.3 * greatest(
+                             0.0, 1.0 - abs((c_nonspace / nt) - 5.0) / 5.0)
+                       - 0.2 * (c_digit / n)
+                       - 0.2 * (c_punct / n) AS s
+                FROM feats
+            )
+            SELECT doc_id,
+                   ROUND(greatest(least(s, 1.0), 0.0), 6) AS quality
+            FROM score
+        """,
+        "q24_lang_id": """
+            WITH h AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text, '(?i)\\b(der|die|das|und|ist|mit|ein)\\b')) AS h_de,
+                       len(regexp_extract_all(text, '(?i)\\b(the|and|of|to|is|that|with)\\b')) AS h_en,
+                       len(regexp_extract_all(text, '(?i)\\b(el|la|los|las|que|de|con|una)\\b')) AS h_es,
+                       len(regexp_extract_all(text, '(?i)\\b(le|la|les|et|est|avec|une|des)\\b')) AS h_fr,
+                       len(regexp_extract_all(text, '(?i)\\b(il|la|gli|che|di|con|una|per)\\b')) AS h_it
+                FROM documents
+            ), m AS (
+                SELECT *, greatest(h_de, h_en, h_es, h_fr, h_it) AS hmax FROM h
+            )
+            SELECT doc_id,
+                   CASE WHEN hmax <= 0 THEN 'und'
+                        WHEN h_de = hmax THEN 'de'
+                        WHEN h_en = hmax THEN 'en'
+                        WHEN h_es = hmax THEN 'es'
+                        WHEN h_fr = hmax THEN 'fr'
+                        ELSE 'it'
+                   END AS pred_lang
+            FROM m
+        """,
+        "q25_fingerprint_dedup": """
+            WITH corpus AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 200000 AS doc_id, upper(text) AS text
+                FROM documents WHERE doc_id % 7 = 0
+            ), fps AS (
+                SELECT doc_id,
+                       md5(regexp_replace(
+                           trim(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g')),
+                           '\\s+', ' ', 'g')) AS fp
+                FROM corpus
+            )
+            SELECT fp, MIN(doc_id) AS doc_id, COUNT(*) AS n_same_content
+            FROM fps GROUP BY fp
+        """,
+        "q26_ann_cosine_topk": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS qv
+                FROM embeddings WHERE vec_id < 5
+            ), scored AS (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       ROUND(list_cosine_similarity(
+                           CAST(q.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])
+                       ), 6) AS cosine
+                FROM q CROSS JOIN embeddings e
+                WHERE e.vec_id != q.query_id
+            ), ranked AS (
+                SELECT query_id, neighbor_id, cosine,
+                       CAST(ROW_NUMBER() OVER (
+                           PARTITION BY query_id
+                           ORDER BY cosine DESC, neighbor_id ASC
+                       ) AS BIGINT) AS "rank"
+                FROM scored
+            )
+            SELECT query_id, neighbor_id, cosine, "rank"
+            FROM ranked WHERE "rank" <= 5
+        """,
+        "q27_embedding_neardup": """
+            WITH corpus AS (
+                SELECT vec_id, embedding, label FROM embeddings
+                UNION ALL
+                SELECT vec_id + 100000 AS vec_id, embedding, label
+                FROM embeddings WHERE vec_id % 50 = 0
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND(list_cosine_similarity(
+                       CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])
+                   ), 6) AS cosine
+            FROM corpus a JOIN corpus b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(
+                      CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])
+                  ) >= 0.99
+        """,
+        "q28_tumbling_window": """
+            SELECT date_trunc('hour', ts) AS window_start,
+                   date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+                   event_type,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY 1, 2, 3
+        """,
+        "q29_sessionize": """
+            WITH w AS (
+                SELECT event_id, user_id, ts,
+                       LAG(ts) OVER (
+                           PARTITION BY user_id ORDER BY ts ASC
+                       ) AS prev_ts
+                FROM events
+            ), flags AS (
+                SELECT event_id, user_id, ts,
+                       CASE WHEN prev_ts IS NULL
+                                 OR CAST(floor(epoch(ts)) AS BIGINT)
+                                    - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800
+                            THEN 1 ELSE 0 END AS nf
+                FROM w
+            )
+            SELECT event_id, user_id,
+                   CAST(SUM(nf) OVER (
+                       PARTITION BY user_id ORDER BY ts ASC
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS BIGINT) AS session_seq
+            FROM flags
+        """,
+        "q30_topk_per_group": """
+            WITH ranked AS (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       CAST(ROW_NUMBER() OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey ASC
+                       ) AS BIGINT) AS rk
+                FROM orders
+            )
+            SELECT o_custkey, o_orderkey, o_totalprice, rk
+            FROM ranked WHERE rk <= 3
         """,
     }

@@ -1,0 +1,72 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with the noop sink (full compute, no
+driver collect cost). One warm-up of the session (tiny action) excludes
+JVM startup from per-query numbers; total includes query time only.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry_mod
+from lsdm_motogp_data_integration_spark.session import get_spark
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q05_join_inner",
+    "q09_position_counts_multiway",
+    "q10_position_counts_conditional",
+    "q11_standings",
+    "q13_surrogate_key",
+    "q17_fuzzy_best_match",
+    "q19_minhash_lsh_neardup",
+    "q21_simhash_neardup",
+    "q26_ann_cosine_topk",
+    "q27_embedding_neardup",
+    "q28_tumbling_window",
+    "q29_sessionize",
+    "q30_topk_per_group",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+    spark = get_spark("bench")
+    # warm up JVM / session (excluded from timings)
+    spark.range(1000).count()
+
+    queries = entry_mod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

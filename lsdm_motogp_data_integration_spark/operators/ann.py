@@ -1,0 +1,157 @@
+"""Similarity search over embedding columns.
+
+Two tiers, as a 100 TB pipeline needs:
+
+- :func:`cosine_topk` — exact brute-force top-k: broadcast the (small)
+  query set against the corpus, score JVM-side, rank per query. The
+  correctness baseline; linear in |corpus| × |queries|.
+- :func:`lsh_topk` — random-hyperplane LSH bucketing: corpus and
+  queries are signed into ``n_planes``-bit buckets with a deterministic
+  hash-derived hyperplane matrix; only same-bucket (multi-probe:
+  Hamming ≤ 1) candidates are scored. Sub-linear candidate sets at the
+  cost of recall; the scale path.
+
+The hyperplane matrix is derived from ``hash(plane, dim)`` (no RNG
+state, reproducible across runs/executors) and shipped once via a
+broadcast-friendly literal to a vectorized Pandas UDF (one numpy matmul
+per Arrow batch — not per row).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from lsdm_motogp_data_integration_spark.operators.dedup import cosine_expr
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_id_col: str,
+    query_vec_col: str,
+    *,
+    k: int = 10,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact top-k nearest corpus rows per query vector by cosine.
+
+    Output: (query_id, neighbor_id, cosine, rank). Ranking uses the
+    similarity rounded to 6 decimals with an id tie-break, so results
+    are stable across engines and summation orders."""
+    pairs = corpus.crossJoin(F.broadcast(queries))
+    if exclude_self:
+        pairs = pairs.filter(F.col(id_col) != F.col(query_id_col))
+    scored = pairs.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(id_col).alias("neighbor_id"),
+        F.round(
+            cosine_expr(F.col(query_vec_col), F.col(vec_col)), 6
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _hyperplanes(n_planes: int, dim: int) -> np.ndarray:
+    """Deterministic pseudo-random ±1 hyperplane matrix (n_planes × dim)
+    from a splitmix64-style integer mix — no RNG object, same on every
+    executor and run."""
+    idx = (
+        np.arange(n_planes, dtype=np.uint64)[:, None] * np.uint64(0x9E3779B97F4A7C15)
+        + np.arange(dim, dtype=np.uint64)[None, :] * np.uint64(0xBF58476D1CE4E5B9)
+    )
+    z = idx + np.uint64(0x94D049BB133111EB)
+    z ^= z >> np.uint64(30)
+    z *= np.uint64(0xBF58476D1CE4E5B9)
+    z ^= z >> np.uint64(27)
+    return np.where((z >> np.uint64(63)) & np.uint64(1), 1.0, -1.0)
+
+
+def signature_udf(n_planes: int, dim: int, n_tables: int = 1):
+    """Pandas UDF computing ``n_tables`` random-hyperplane sign buckets
+    (``array<bigint>``, one per hash table) for an ``array<float>``
+    column — a single (n_tables·n_planes × dim) matmul per Arrow
+    batch."""
+    planes = _hyperplanes(n_tables * n_planes, dim)
+    weights = (1 << np.arange(n_planes, dtype=np.uint64)).astype(np.float64)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def signature(vecs: pd.Series) -> pd.Series:
+        mat = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+        bits = (mat @ planes.T) > 0  # rows × (n_tables·n_planes)
+        per_table = bits.reshape(len(mat), n_tables, n_planes)
+        codes = (per_table @ weights).astype(np.int64)  # rows × n_tables
+        return pd.Series(list(codes))
+
+    return signature
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_id_col: str,
+    query_vec_col: str,
+    *,
+    k: int = 10,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    dim: int = 64,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Approximate top-k: score only corpus rows that share a hyperplane
+    bucket with the query in at least one of ``n_tables`` hash tables
+    (multi-probe: or differ in one bit). Same output shape as
+    :func:`cosine_topk`; recall < 1 by design — more tables / fewer
+    planes raise recall at the cost of candidate fan-out."""
+    sig = signature_udf(n_planes, dim, n_tables)
+    c = corpus.withColumn("__sigs", sig(F.col(vec_col)))
+    c = c.select(
+        "*", F.posexplode("__sigs").alias("__table", "__bucket")
+    ).drop("__sigs")
+    q = queries.withColumn("__sigs", sig(F.col(query_vec_col)))
+    q = q.select(
+        "*", F.posexplode("__sigs").alias("__table", "__qbucket")
+    ).drop("__sigs")
+    if multiprobe:
+        probes = F.explode(
+            F.array(
+                F.col("__qbucket"),
+                *[
+                    F.col("__qbucket").bitwiseXOR(F.lit(1 << i))
+                    for i in range(n_planes)
+                ],
+            )
+        )
+    else:
+        probes = F.col("__qbucket")
+    q_probed = q.withColumn("__bucket", probes).drop("__qbucket")
+    pairs = c.join(F.broadcast(q_probed), on=["__table", "__bucket"]).filter(
+        F.col(id_col) != F.col(query_id_col)
+    )
+    scored = pairs.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(id_col).alias("neighbor_id"),
+        F.round(
+            cosine_expr(F.col(query_vec_col), F.col(vec_col)), 6
+        ).alias("cosine"),
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )

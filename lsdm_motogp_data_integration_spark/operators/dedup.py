@@ -1,0 +1,343 @@
+"""Deduplication operator family for large-scale corpus processing.
+
+Beyond reference parity (the reference's only dedup is distinct-style
+``Group by 3`` / ``Unique rows``, ``motogp.ktr:3481``, ``:8721``), these
+are the operators a 100 TB training-data pipeline needs. All the
+candidate-generation math stays JVM-side (built-in higher-order array
+functions + ``xxhash64``) — no Python in the hot path; only SimHash uses
+a vectorized Pandas UDF.
+
+Scale design notes
+------------------
+- Exact dedup: one hash-shuffle on a 64/128-bit digest, never on the
+  raw text.
+- MinHash-LSH: signatures are per-row map work (no shuffle); the only
+  shuffle is the band-bucket self-join, whose fan-out is controlled by
+  (bands, rows-per-band). Candidate verification re-joins the two shingle
+  sets by id — at scale, verify against a deduplicated
+  ``(id, shingles)`` side, not the full corpus.
+- n-gram Jaccard (exact) is the oracle/verify path: quadratic within
+  shared-shingle blocks; use LSH first at scale and verify candidates.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# shingling
+# ---------------------------------------------------------------------------
+
+
+def normalized_words(text: Column | str) -> Column:
+    """Whitespace-normalized token array (lowercased)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.lower(F.regexp_replace(F.trim(c), r"\s+", " ")), " ")
+
+
+def word_shingles(text: Column | str, k: int = 5) -> Column:
+    """Distinct word k-gram shingle set as ``array<string>``.
+
+    Word-level shingles (not char-level): with a small vocabulary,
+    char n-grams of unrelated documents overlap heavily while word
+    k-gram sequences stay discriminative.
+    """
+    words = normalized_words(text)
+    n = F.size(words)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(words, i, k), " "))
+    return F.array_distinct(grams)
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup by content digest: one survivor (min id) per distinct
+    text. Output: (``id_col`` of survivor, group size). The shuffle key
+    is ``md5(text)`` — constant width regardless of document size."""
+    return (
+        df.withColumn("__digest", F.md5(F.col(text_col)))
+        .groupBy("__digest")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .drop("__digest")
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard similarity join (verification / oracle path)
+# ---------------------------------------------------------------------------
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    k: int = 5,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """All pairs (a < b) with word-k-gram Jaccard >= threshold.
+
+    Exact: explode shingle sets, equi-join on shingle, count shared
+    grams per pair, compute |A∩B| / (|A|+|B|-|A∩B|). The shingle
+    equi-join prunes the quadratic pair space to pairs sharing ≥1
+    shingle. Output: (id_a, id_b, jaccard)."""
+    sets_df = df.select(
+        F.col(id_col).alias("__id"), word_shingles(text_col, k).alias("__set")
+    )
+    sizes = sets_df.select("__id", F.size("__set").alias("__n"))
+    exploded = sets_df.select("__id", F.explode("__set").alias("__gram"))
+    a, b = exploded.alias("a"), exploded.alias("b")
+    shared = (
+        a.join(b, on="__gram")
+        .filter(F.col("a.__id") < F.col("b.__id"))
+        .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("__shared"))
+    )
+    na = sizes.select(F.col("__id").alias("id_a"), F.col("__n").alias("__na"))
+    nb = sizes.select(F.col("__id").alias("id_b"), F.col("__n").alias("__nb"))
+    return (
+        shared.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("__shared")
+            / (F.col("__na") + F.col("__nb") - F.col("__shared")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(shingle_set: Column, num_perm: int = 64) -> Column:
+    """num_perm-wide MinHash signature as ``array<bigint>``.
+
+    Permutation *i* is simulated by ``xxhash64(concat('i|', shingle))``
+    (deterministic, JVM-side); the signature element is the min hash
+    over the set. Empty sets get a sentinel so they never collide."""
+    sigs = [
+        F.array_min(
+            F.transform(
+                shingle_set,
+                lambda s, i=i: F.xxhash64(F.concat(F.lit(f"{i}|"), s)),
+            )
+        )
+        for i in range(num_perm)
+    ]
+    return F.coalesce(F.array(*sigs), F.array(*[F.lit(-1)] * num_perm))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    k: int = 5,
+    num_perm: int = 64,
+    bands: int = 32,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding + exact verification.
+
+    signatures (map) → band buckets (explode) → bucket self-join
+    (the only shuffle that matters) → candidate pairs → verify exact
+    Jaccard on the shingle sets → (id_a, id_b, jaccard).
+
+    With (bands=32, rows=2), collision probability at j=0.8 is
+    ≈ 1 - 6e-15 — recall-heavy banding whose extra candidates the
+    exact-Jaccard verification filters (false positives impossible).
+    At larger scale / lower precision needs, fewer-wider bands
+    (e.g. 16×4) cut candidate fan-out at some recall cost."""
+    if num_perm % bands:
+        raise ValueError("num_perm must divide evenly into bands")
+    rows_per_band = num_perm // bands
+
+    sets_df = df.select(
+        F.col(id_col).alias("__id"), word_shingles(text_col, k).alias("__set")
+    ).withColumn("__sig", minhash_signature(F.col("__set"), num_perm))
+
+    band_cols = [
+        F.hash(
+            F.lit(b), *[F.col("__sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+        ).alias(f"__band{b}")
+        for b in range(bands)
+    ]
+    buckets = sets_df.select(
+        "__id", F.explode(F.array(*band_cols)).alias("__bucket")
+    ).dropDuplicates(["__id", "__bucket"])
+
+    a, b = buckets.alias("a"), buckets.alias("b")
+    candidates = (
+        a.join(b, on="__bucket")
+        .filter(F.col("a.__id") < F.col("b.__id"))
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .dropDuplicates()
+    )
+
+    sa = sets_df.select(F.col("__id").alias("id_a"), F.col("__set").alias("__sa"))
+    sb = sets_df.select(F.col("__id").alias("id_b"), F.col("__set").alias("__sb"))
+    return (
+        candidates.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("__sa", "__sb"))
+            / F.size(F.array_union("__sa", "__sb")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+
+
+def _fnv1a64(token: str) -> np.uint64:
+    h = _FNV_OFFSET
+    for byte in token.encode("utf-8"):
+        h = np.uint64((int(h) ^ byte) * int(_FNV_PRIME) & 0xFFFFFFFFFFFFFFFF)
+    return h
+
+
+@F.pandas_udf(T.LongType())
+def simhash64_udf(tokens: pd.Series) -> pd.Series:
+    """64-bit SimHash over a token array column (Charikar sketch):
+    per-bit vote of deterministic FNV-1a token hashes, sign → bit."""
+    out = []
+    for toks in tokens:
+        if toks is None or len(toks) == 0:
+            out.append(0)
+            continue
+        votes = np.zeros(64, dtype=np.int64)
+        shifts = np.arange(64, dtype=np.uint64)
+        for tok in toks:
+            h = _fnv1a64(tok)
+            bits = ((h >> shifts) & np.uint64(1)).astype(np.int64)
+            votes += np.where(bits == 1, 1, -1)
+        sim = 0
+        for i in range(64):
+            if votes[i] > 0:
+                sim |= 1 << i
+        # wrap to signed 64-bit for LongType
+        out.append(sim - (1 << 64) if sim >= (1 << 63) else sim)
+    return pd.Series(out, dtype="int64")
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash: candidates share at least one of
+    four 16-bit chunks (pigeonhole: any pair within Hamming distance 3
+    of 64 bits agrees on ≥1 chunk), verified with
+    ``bit_count(a XOR b) <= max_hamming`` JVM-side.
+
+    Output: (id_a, id_b, hamming)."""
+    hashed = df.select(
+        F.col(id_col).alias("__id"),
+        simhash64_udf(normalized_words(text_col)).alias("__sh"),
+    )
+    chunks = hashed.select(
+        "__id",
+        "__sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("c"),
+                        F.shiftrightunsigned(F.col("__sh"), 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("v"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("__chunk"),
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    return (
+        a.join(b, on=F.col("a.__chunk") == F.col("b.__chunk"))
+        .filter(F.col("a.__id") < F.col("b.__id"))
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.bit_count(
+                F.col("a.__sh").bitwiseXOR(F.col("b.__sh"))
+            ).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    """Cosine similarity of two ``array<float|double>`` columns, computed
+    in float64 with built-in higher-order functions (JVM-side)."""
+    af = F.transform(a, lambda x: x.cast("double"))
+    bf = F.transform(b, lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(af, bf, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    na = F.sqrt(F.aggregate(af, F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(bf, F.lit(0.0), lambda acc, x: acc + x * x))
+    return dot / (na * nb)
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    *,
+    block_col: str | None = None,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Pairs (a < b) with cosine >= threshold, optionally blocked on a
+    coarse key (cluster/label/LSH bucket) so the self-join is quadratic
+    only within blocks. Output: (id_a, id_b, cosine)."""
+    cols = [F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")]
+    if block_col:
+        cols.append(F.col(block_col).alias("__blk"))
+    slim = df.select(*cols)
+    a, b = slim.alias("a"), slim.alias("b")
+    cond = F.col("a.__id") < F.col("b.__id")
+    if block_col:
+        pairs = a.join(b, on=F.col("a.__blk") == F.col("b.__blk")).filter(cond)
+    else:
+        pairs = a.crossJoin(b).filter(cond)
+    return (
+        pairs.select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            cosine_expr(F.col("a.__v"), F.col("b.__v")).alias("__cos"),
+        )
+        .filter(F.col("__cos") >= threshold)
+        .select("id_a", "id_b", F.round("__cos", 6).alias("cosine"))
+    )

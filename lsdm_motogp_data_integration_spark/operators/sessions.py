@@ -1,0 +1,76 @@
+"""Sessionization and event-time windowing (batch forms).
+
+The reference has no streaming (SURVEY.md §2.11); these are the batch
+equivalents of the Structured Streaming operators in ``streaming/``,
+kept semantically aligned so the same pipeline runs both ways.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Gaps-and-islands session assignment: a new session starts when
+    the gap to the previous event of the same user exceeds
+    ``gap_minutes``. Adds ``session_seq`` (per-user 1..N) — one shuffle
+    on the user key; the windows reuse the same partitioning."""
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc())
+    gap_s = gap_minutes * 60
+    with_prev = events.withColumn(
+        "__prev_ts", F.lag(ts_col).over(w)
+    ).withColumn(
+        "__new_session",
+        (
+            F.col("__prev_ts").isNull()
+            | (
+                F.unix_timestamp(ts_col) - F.unix_timestamp("__prev_ts")
+                > gap_s
+            )
+        ).cast("int"),
+    )
+    return (
+        with_prev.withColumn(
+            "session_seq",
+            F.sum("__new_session")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("bigint"),
+        )
+        .drop("__prev_ts", "__new_session")
+    )
+
+
+def tumbling_window_agg(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window_size: str = "1 hour",
+) -> DataFrame:
+    """Tumbling event-time window aggregate (batch form of the
+    streaming windowed count/sum). Emits flat window_start/window_end
+    columns for oracle comparison."""
+    win = F.window(F.col(ts_col), window_size)
+    return (
+        events.groupBy(win.alias("__w"), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("__w.start").alias("window_start"),
+            F.col("__w.end").alias("window_end"),
+            key_col,
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -1,0 +1,150 @@
+"""Text analysis operators for corpus curation.
+
+All pure Column expressions (JVM-side, whole-stage-codegen'd) — token
+counting, quality scoring, language ID, and fingerprinting are the kind
+of per-document map work that must NOT drop into Python at 100 TB.
+A rolling-hash fingerprint variant exists as a Pandas UDF for
+content-defined chunking experiments.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count (0 for empty/blank text)."""
+    c = F.trim(_c(col))
+    return F.when(F.length(c) == 0, F.lit(0)).otherwise(
+        F.size(F.split(c, r"\s+"))
+    ).cast("bigint")
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Subword-ish token count: words + digit runs + punctuation marks
+    counted separately (a regex approximation of BPE pre-tokenization)."""
+    return F.regexp_count(
+        _c(col), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+    ).cast("bigint")
+
+
+def quality_features(col: Column | str) -> dict[str, Column]:
+    """Per-document quality signals (each in [0,1] or a small count):
+    alpha/digit/punct/space character ratios, stopword ratio, mean word
+    length. Combine with :func:`quality_score` or use as features."""
+    c = _c(col)
+    n = F.greatest(F.length(c), F.lit(1)).cast("double")
+    n_tokens = F.greatest(token_count(c), F.lit(1)).cast("double")
+    stop = r"(?i)\b(the|a|an|and|or|of|to|in|is|it)\b"
+    return {
+        "alpha_ratio": F.regexp_count(c, F.lit(r"[A-Za-z]")) / n,
+        "digit_ratio": F.regexp_count(c, F.lit(r"[0-9]")) / n,
+        "punct_ratio": F.regexp_count(c, F.lit(r"[^\w\s]")) / n,
+        "space_ratio": F.regexp_count(c, F.lit(r"\s")) / n,
+        "stopword_ratio": F.regexp_count(c, F.lit(stop)) / n_tokens,
+        "mean_word_len": F.regexp_count(c, F.lit(r"[^\s]")) / n_tokens,
+    }
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite [0,1] quality score: rewards alphabetic text with a
+    natural stopword rate and plausible word lengths, penalizes digit/
+    punctuation noise. A heuristic, not a model — deterministic and
+    SQL-expressible for oracle checking."""
+    f = quality_features(col)
+    score = (
+        F.lit(0.4) * f["alpha_ratio"]
+        + F.lit(0.3) * F.least(f["stopword_ratio"] * 4, F.lit(1.0))
+        + F.lit(0.3)
+        * F.greatest(
+            F.lit(0.0),
+            F.lit(1.0) - F.abs(f["mean_word_len"] - F.lit(5.0)) / F.lit(5.0),
+        )
+        - F.lit(0.2) * f["digit_ratio"]
+        - F.lit(0.2) * f["punct_ratio"]
+    )
+    return F.round(F.greatest(F.least(score, F.lit(1.0)), F.lit(0.0)), 6)
+
+
+# marker stopwords per language for the n-gram/stopword-count heuristic
+LANG_MARKERS: dict[str, str] = {
+    "en": r"(?i)\b(the|and|of|to|is|that|with)\b",
+    "es": r"(?i)\b(el|la|los|las|que|de|con|una)\b",
+    "de": r"(?i)\b(der|die|das|und|ist|mit|ein)\b",
+    "fr": r"(?i)\b(le|la|les|et|est|avec|une|des)\b",
+    "it": r"(?i)\b(il|la|gli|che|di|con|una|per)\b",
+}
+
+
+def lang_id(col: Column | str, markers: dict[str, str] | None = None) -> Column:
+    """Heuristic language ID: count per-language marker stopwords and
+    take the argmax (deterministic tie-break: language code ascending;
+    'und' when no marker hits)."""
+    c = _c(col)
+    markers = markers or LANG_MARKERS
+    pairs = [
+        F.struct(
+            F.regexp_count(c, F.lit(pattern)).alias("hits"),
+            F.lit(code).alias("code"),
+        )
+        for code, pattern in sorted(markers.items())
+    ]
+    # array_max on (hits, code) structs orders by hits then code — we
+    # want max hits with SMALLEST code on ties, so compare on
+    # (hits, reversed-code) via array_sort with custom comparator
+    arr = F.array(*pairs)
+    best = F.array_sort(
+        arr,
+        lambda a, b: F.when(a["hits"] > b["hits"], -1)
+        .when(a["hits"] < b["hits"], 1)
+        .when(a["code"] < b["code"], -1)
+        .when(a["code"] > b["code"], 1)
+        .otherwise(0),
+    ).getItem(0)
+    return F.when(best["hits"] <= 0, F.lit("und")).otherwise(best["code"])
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Canonical-content fingerprint: md5 of the lowercased,
+    punctuation-stripped, whitespace-collapsed text. Two documents that
+    differ only in case/punct/spacing share a fingerprint."""
+    c = _c(col)
+    canon = F.regexp_replace(
+        F.trim(F.regexp_replace(F.lower(c), r"[^a-z0-9\s]", "")), r"\s+", " "
+    )
+    return F.md5(canon)
+
+
+@F.pandas_udf(T.ArrayType(T.LongType()))
+def rolling_hash_chunks_udf(texts: pd.Series) -> pd.Series:
+    """Content-defined chunk boundary positions via a Karp-Rabin rolling
+    hash (window 16, boundary when hash % 64 == 0) — the primitive for
+    shift-resistant dedup of long documents. Vectorized per Arrow batch;
+    numpy inner loop per document."""
+    base, mod, win, mask = 257, (1 << 61) - 1, 16, 63
+    out = []
+    for text in texts:
+        if text is None or len(text) < win:
+            out.append([])
+            continue
+        data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.int64)
+        n = len(data)
+        h = 0
+        power = pow(base, win - 1, mod)
+        bounds = []
+        for i in range(n):
+            h = (h * base + int(data[i])) % mod
+            if i >= win:
+                h = (h - int(data[i - win]) * power * base) % mod
+            if i >= win - 1 and (h & mask) == 0:
+                bounds.append(i + 1)
+        out.append(bounds)
+    return pd.Series(out)

@@ -1,0 +1,120 @@
+"""Structured Streaming variants of the event pipelines.
+
+The reference is batch-only (SURVEY.md §2.11); per the scale goal the
+same event transformations are exposed as streaming plans: file-source
+stream → watermark → windowed aggregate / stateful sessionization →
+sink. Tests drive these with ``availableNow`` + memory sink so a bounded
+parquet directory exercises the full streaming machinery.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# events.parquet carries TIMESTAMP(NANOS); the streaming reader uses the
+# same nanos-as-long path as sources.read_table and converts to µs.
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source event stream with event-time timestamp column.
+
+    ``path`` may be a directory or a single parquet file (the streaming
+    file source only accepts directories, so a file path becomes its
+    parent directory plus a glob filter)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA).format("parquet")
+    if path.endswith(".parquet"):
+        import os
+
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
+    raw = reader.load(path)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_counts(
+    events: DataFrame,
+    *,
+    window_size: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window count/sum per event_type — the
+    streaming form of ``operators.sessions.tumbling_window_agg`` (late
+    data beyond the watermark is dropped; in batch mode nothing is
+    late, so results coincide on bounded input)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_size).alias("__w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("__w.start").alias("window_start"),
+            F.col("__w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_windows(
+    events: DataFrame,
+    *,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stateful sessionization via ``session_window`` — per (user,
+    session) event counts and bounds. The streaming analogue of the
+    batch gaps-and-islands ``operators.sessions.sessionize``."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("__s"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("event_id").alias("first_event_id"),
+        )
+        .select(
+            F.col("__s.start").alias("session_start"),
+            F.col("__s.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "first_event_id",
+        )
+    )
+
+
+def run_stream_to_memory(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    query_name: str,
+    *,
+    output_mode: str = "append",
+) -> DataFrame:
+    """Drive a (bounded) streaming plan to completion with an
+    availableNow trigger and a memory sink; returns the materialized
+    result as a batch DataFrame."""
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {query_name}")

@@ -1,0 +1,93 @@
+"""Dedup family: exact, MinHash-LSH vs exact Jaccard, SimHash,
+embedding cosine."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lsdm_motogp_data_integration_spark.operators.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_pairs,
+    word_shingles,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog again and again"),
+    (2, "the quick brown fox jumps over the lazy dog again and again"),  # exact dup of 1
+    (3, "the quick brown fox jumps over the lazy cat again and again"),  # near dup
+    (4, "completely different text about spark engines and shuffles"),
+    (5, "another unrelated document mentioning parquet and arrow"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_exact_dedup(docs):
+    rows = {r["doc_id"]: r["n_copies"] for r in exact_dedup(docs, "text", "doc_id").collect()}
+    assert rows[1] == 2  # doc 2 collapsed into 1
+    assert 2 not in rows
+    assert rows[3] == 1 and rows[4] == 1 and rows[5] == 1
+
+
+def test_minhash_matches_exact_jaccard(docs):
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_pairs(docs, "text", "doc_id", k=3, threshold=0.5).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(
+            docs, "text", "doc_id", k=3, threshold=0.5
+        ).collect()
+    }
+    assert exact == lsh
+    assert (1, 2) in exact  # identical docs: jaccard 1.0
+    assert exact[(1, 2)] == 1.0
+    assert (1, 3) in exact  # near dups share most 3-gram shingles
+
+
+def test_word_shingles_short_text(spark):
+    df = spark.createDataFrame([("a b",)], ["t"])
+    out = df.select(word_shingles("t", 5).alias("s")).collect()[0]["s"]
+    assert out == ["a b"]  # shorter than k -> single clamped shingle
+
+
+def test_simhash_finds_identical_and_near(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_pairs(docs, "text", "doc_id", max_hamming=10).collect()
+    }
+    assert pairs[(1, 2)] == 0  # identical text, hamming 0
+    assert (1, 3) in pairs  # one-token change stays close
+    assert (1, 4) not in pairs  # unrelated text far away
+
+
+def test_embedding_neardup(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0], "a"),
+        (2, [0.999, 0.01, 0.0], "a"),  # near dup of 1
+        (3, [0.0, 1.0, 0.0], "a"),
+        (4, [1.0, 0.0, 0.0], "b"),  # same direction as 1 but other block
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_pairs(
+            df, "embedding", "vec_id", block_col="label", threshold=0.99
+        ).collect()
+    }
+    assert got == {(1, 2)}  # blocked: (1,4) never compared; (1,3) orthogonal
+    unblocked = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_pairs(
+            df, "embedding", "vec_id", threshold=0.99
+        ).collect()
+    }
+    assert (1, 4) in unblocked

@@ -1,0 +1,76 @@
+"""Surrogate keys and the similarity join."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lsdm_motogp_data_integration_spark.operators.fuzzy import similarity_join
+from lsdm_motogp_data_integration_spark.operators.keys import (
+    add_surrogate_key,
+    add_surrogate_key_distributed,
+)
+from lsdm_motogp_data_integration_spark.sources import read_table
+
+
+def test_distributed_key_equals_global_window(spark, sf_dir):
+    c = read_table(spark, sf_dir, "customer").select("c_custkey")
+    a = add_surrogate_key(c, "sk", ["c_custkey"])
+    b = add_surrogate_key_distributed(c, "sk", ["c_custkey"], num_partitions=7)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+
+def test_keys_dense_from_one(spark):
+    df = spark.createDataFrame([(x,) for x in (30, 10, 20)], ["v"])
+    rows = add_surrogate_key(df, "id", ["v"]).orderBy("id").collect()
+    assert [(r["v"], r["id"]) for r in rows] == [(10, 1), (20, 2), (30, 3)]
+
+
+def test_fuzzy_duplicate_probes_each_match(spark):
+    probe = spark.createDataFrame(
+        [(1, "mugelo"), (2, "mugelo"), (3, "cataluna")], ["pid", "name"]
+    )
+    lookup = spark.createDataFrame(
+        [("Mugello",), ("Catalunya",), ("Assen",)], ["circuit"]
+    )
+    out = similarity_join(probe, lookup, "name", "circuit", how="inner")
+    rows = {r["pid"]: r["circuit"] for r in out.collect()}
+    assert rows == {1: "Mugello", 2: "Mugello", 3: "Catalunya"}
+
+
+def test_fuzzy_threshold_left_keeps_unmatched(spark):
+    probe = spark.createDataFrame([(1, "zzzzzz")], ["pid", "name"])
+    lookup = spark.createDataFrame([("Mugello",)], ["circuit"])
+    out = similarity_join(
+        probe, lookup, "name", "circuit", threshold=0.9, how="left"
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["circuit"] is None
+    inner = similarity_join(
+        probe, lookup, "name", "circuit", threshold=0.9, how="inner"
+    ).count()
+    assert inner == 0
+
+
+def test_fuzzy_tiebreak_deterministic(spark):
+    # two candidates with identical similarity to the probe: tie breaks
+    # on the smaller lookup key
+    probe = spark.createDataFrame([(1, "ab")], ["pid", "name"])
+    lookup = spark.createDataFrame([("abx",), ("aby",)], ["cand"])
+    for _ in range(3):
+        out = similarity_join(probe, lookup, "name", "cand", how="inner").collect()
+        assert out[0]["cand"] == "abx"
+
+
+def test_fuzzy_blockers_prune_but_keep_best(spark):
+    probe = spark.createDataFrame([(1, "mugelo")], ["pid", "name"])
+    lookup = spark.createDataFrame(
+        [("Mugello",), ("Misano",), ("Qatar",)], ["circuit"]
+    )
+    full = similarity_join(probe, lookup, "name", "circuit", how="inner")
+    blocked = similarity_join(
+        probe, lookup, "name", "circuit", how="inner", blocker="first_char"
+    )
+    assert (
+        full.select("circuit").collect() == blocked.select("circuit").collect()
+    )

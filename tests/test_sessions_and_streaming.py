@@ -1,0 +1,66 @@
+"""Sessionization (batch) and Structured Streaming variants."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from lsdm_motogp_data_integration_spark.operators.sessions import (
+    sessionize,
+    tumbling_window_agg,
+)
+from lsdm_motogp_data_integration_spark.sources import read_table
+from lsdm_motogp_data_integration_spark.streaming import (
+    read_event_stream,
+    run_stream_to_memory,
+    session_windows,
+    windowed_counts,
+)
+
+
+def _ts(minute: int) -> datetime.datetime:
+    return datetime.datetime(2024, 1, 1, 10, minute)
+
+
+def test_sessionize_gap_semantics(spark):
+    rows = [
+        (1, 100, _ts(0)),
+        (2, 100, _ts(10)),   # same session (gap 10m)
+        (3, 100, _ts(50)),   # new session (gap 40m > 30m)
+        (4, 200, _ts(0)),    # other user: own numbering
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts"])
+    got = {
+        r["event_id"]: r["session_seq"]
+        for r in sessionize(df, gap_minutes=30).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 2, 4: 1}
+
+
+def test_streaming_window_matches_batch(spark, sf_dir):
+    batch = tumbling_window_agg(
+        read_table(spark, sf_dir, "events"), window_size="1 hour"
+    )
+    stream = windowed_counts(
+        read_event_stream(spark, f"{sf_dir}/events.parquet"),
+        window_size="1 hour",
+        watermark="2 hours",
+    )
+    got = run_stream_to_memory(spark, stream, "win_counts", output_mode="complete")
+    b = {tuple(r) for r in batch.collect()}
+    s = {tuple(r) for r in got.collect()}
+    assert b == s  # bounded input: nothing late, results coincide
+
+
+def test_streaming_session_window(spark, sf_dir):
+    stream = session_windows(
+        read_event_stream(spark, f"{sf_dir}/events.parquet"), gap="30 minutes"
+    )
+    got = run_stream_to_memory(
+        spark, stream, "sess_win", output_mode="complete"
+    ).collect()
+    assert len(got) > 0
+    for r in got:
+        assert r["session_end"] > r["session_start"]
+        assert r["n_events"] >= 1

@@ -1,0 +1,98 @@
+"""Text analysis operators and scalar function library."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from lsdm_motogp_data_integration_spark.functions.text import (
+    code_map_expr,
+    name_from_comma,
+    name_from_surname_first,
+    normalize_name,
+    strip_trademark,
+    to_date_multi,
+)
+from lsdm_motogp_data_integration_spark.operators.textops import (
+    bpe_ish_token_count,
+    fingerprint,
+    lang_id,
+    quality_score,
+    rolling_hash_chunks_udf,
+    token_count,
+)
+
+
+def one(spark, text, col):
+    return (
+        spark.createDataFrame([(text,)], ["t"]).select(col.alias("v")).collect()[0]["v"]
+    )
+
+
+def test_token_counts(spark):
+    assert one(spark, "hello world  foo", token_count("t")) == 3
+    assert one(spark, "   ", token_count("t")) == 0
+    assert one(spark, "", token_count("t")) == 0
+    # words + digit run + punctuation counted separately
+    assert one(spark, "ab12, cd!", bpe_ish_token_count("t")) == 5
+
+
+def test_quality_score_ranges(spark):
+    hi = one(spark, "the cat sat on a mat and it is fine", quality_score("t"))
+    lo = one(spark, "0123456789!!!###$$$%%%", quality_score("t"))
+    assert 0.0 <= lo < hi <= 1.0
+
+
+def test_lang_id_markers(spark):
+    cases = {
+        "the cat and the dog of the house": "en",
+        "el perro y la casa de los gatos con una mesa": "es",
+        "der hund und die katze ist mit ein haus": "de",
+        "le chat et la maison est avec une porte des arbres": "fr",
+        "xyzzy qwerty asdf": "und",
+    }
+    for text, expected in cases.items():
+        assert one(spark, text, lang_id("t")) == expected, text
+
+
+def test_fingerprint_canonicalizes(spark):
+    a = one(spark, "Hello,   World!", fingerprint("t"))
+    b = one(spark, "hello world", fingerprint("t"))
+    c = one(spark, "different words", fingerprint("t"))
+    assert a == b != c
+
+
+def test_rolling_hash_deterministic(spark):
+    df = spark.createDataFrame(
+        [("spark " * 50,), ("spark " * 50,), ("x",)], ["t"]
+    )
+    rows = df.select(rolling_hash_chunks_udf("t").alias("c")).collect()
+    assert rows[0]["c"] == rows[1]["c"]  # same content, same boundaries
+    assert rows[2]["c"] == []  # shorter than window
+
+
+def test_name_functions(spark):
+    assert one(spark, "Rossi, Valentino", name_from_comma("t")) == "Rossi Valentino"
+    assert one(spark, "ROSSI Valentino", name_from_surname_first("t")) == "Valentino ROSSI"
+    assert one(spark, "Rossi", name_from_surname_first("t")) == "Rossi"
+    assert one(spark, "  Marc   Marquez ", normalize_name("t")) == "MARC MARQUEZ"
+    assert one(spark, "MotoGP™ class â„¢x", strip_trademark("t")) == "MotoGP class x"
+
+
+def test_to_date_multi(spark):
+    col = to_date_multi("t", ["yyyy/MM/dd", "dd-MM-yyyy"])
+    assert one(spark, "2024/03/01", col) == datetime.date(2024, 3, 1)
+    assert one(spark, "01-03-2024", col) == datetime.date(2024, 3, 1)
+    assert one(spark, "garbage", col) is None
+
+
+def test_code_map(spark):
+    col = code_map_expr({0: "clear", 61: "rain"}, F.col("t"), default="unknown")
+    df = spark.createDataFrame([(0,), (61,), (99,)], ["t"])
+    assert [r["v"] for r in df.select(col.alias("v")).collect()] == [
+        "clear",
+        "rain",
+        "unknown",
+    ]
