@@ -1,0 +1,152 @@
+"""Race-results fact: synthetic stand-in + assembly joins.
+
+The reference's main fact input ``race_results_view.csv`` is a missing
+large blob (``.MISSING_LARGE_BLOBS:2``); its schema is declared at
+``motogp.ktr:4442-4648`` and reconstructed in FIXTURES.md §1.
+:func:`synthesize_race_results` generates a deterministic stand-in from
+the *real* reference dims (quali grid rows + hash-assigned teams/bikes,
+including deliberate orphans to exercise inner-join drops) — pure
+DataFrame ops, reproducible on any executor count.
+
+:func:`build_results_enriched` then replays the reference join spine
+(SURVEY.md §3.1 "Results fact"): results ⨝INNER bikes (after the
+``bike_id <> 234`` filter, ``motogp.ktr:2759``) ⨝INNER teams on name
+(``Merge join``/``Merge join 2``, ``:3619``, ``:3759``), then the
+``year >= 2005`` fan-out filter (``:2891``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+POINTS_BY_POSITION = {
+    1: 25.0, 2: 20.0, 3: 16.0, 4: 13.0, 5: 11.0, 6: 10.0, 7: 9.0, 8: 8.0,
+    9: 7.0, 10: 6.0, 11: 5.0, 12: 4.0, 13: 3.0, 14: 2.0, 15: 1.0,
+}
+
+
+def _points_expr(pos_col: str) -> F.Column:
+    expr = F.lit(0.0)
+    for pos, pts in POINTS_BY_POSITION.items():
+        expr = F.when(F.col(pos_col) == pos, F.lit(pts)).otherwise(expr)
+    return expr
+
+
+def synthesize_race_results(
+    quali: DataFrame,
+    riders_master: DataFrame,
+    teams_raw: DataFrame,
+    bikes_raw: DataFrame,
+    *,
+    orphan_every: int = 100,
+) -> DataFrame:
+    """Deterministic fact rows matching the declared schema
+    (``motogp.ktr:4442-4648``): one row per quali-grid entry, enriched
+    with hash-assigned team/bike names from the real dims. Every
+    ``orphan_every``-th row gets a phantom team (FIXTURES.md: deliberate
+    orphans — INNER joins must drop them silently)."""
+    n_teams = teams_raw.count()
+    n_bikes = bikes_raw.count()
+
+    base = quali.select(
+        F.col("Year").alias("year"),
+        F.col("Class").alias("category"),
+        F.dense_rank()
+        .over(Window.partitionBy("Year").orderBy("OfficialName"))
+        .alias("sequence"),
+        F.col("OfficialName").alias("shortname"),
+        F.col("OfficialName").alias("circuit_name"),
+        F.col("RiderName").alias("rider_name_plain"),
+        F.col("Position").alias("position"),
+    )
+    h = F.xxhash64("rider_name_plain", "year", "shortname")
+    # "Name Surname" -> "Name, Surname" (the fact file's comma format,
+    # split back apart by the pipeline at motogp.ktr:8085); anchored
+    # pattern replaces only the first name/surname boundary
+    comma_name = F.regexp_replace(
+        F.col("rider_name_plain"), r"^(\S+)\s+", "$1, "
+    )
+
+    master_names = riders_master.select(
+        F.col("id").alias("rider"),
+        F.upper(
+            F.concat_ws(" ", F.col("first_name"), F.col("last_name"))
+        ).alias("join_name"),
+    ).dropDuplicates(["join_name"])
+
+    team_idx = teams_raw.select(
+        F.col("name").alias("team_name"), (F.col("id") % n_teams).alias("__tidx")
+    ).dropDuplicates(["__tidx"])
+    bike_idx = bikes_raw.select(
+        F.col("name").alias("bike_name"), (F.col("id") % n_bikes).alias("__bidx")
+    ).dropDuplicates(["__bidx"])
+
+    with_ids = (
+        base.withColumn("rider_name", comma_name)
+        .withColumn("__join_name", F.upper(F.col("rider_name_plain")))
+        .join(master_names, F.col("__join_name") == master_names.join_name, "left")
+        .withColumn("rider", F.coalesce(F.col("rider"), F.lit(-1)))
+        .withColumn("__tidx", F.pmod(h, F.lit(n_teams)))
+        # independent hash for the bike pick (h * k would overflow long
+        # under ANSI arithmetic)
+        .withColumn(
+            "__bidx",
+            F.pmod(
+                F.xxhash64(F.lit("bike"), "rider_name_plain", "year", "shortname"),
+                F.lit(n_bikes),
+            ),
+        )
+        .join(F.broadcast(team_idx), "__tidx", "left")
+        .join(F.broadcast(bike_idx), "__bidx", "left")
+        .withColumn(
+            "team_name",
+            F.when(h % orphan_every == 0, F.lit("__phantom team__")).otherwise(
+                F.col("team_name")
+            ),
+        )
+    )
+    return with_ids.select(
+        "year",
+        "category",
+        "sequence",
+        "shortname",
+        "circuit_name",
+        "rider",
+        "rider_name",
+        "team_name",
+        "bike_name",
+        F.col("position").cast("long").alias("position"),
+        _points_expr("position").alias("points"),
+        (F.pmod(h, F.lit(99)) + 1).cast("decimal(5,1)").alias("number"),
+        F.lit(None).cast("string").alias("country"),
+        (F.pmod(h, F.lit(800)) / 10 + 120).cast("decimal(6,1)").alias("speed"),
+        F.concat(F.lit("+"), (F.pmod(h, F.lit(90))).cast("string"), F.lit(".")
+                 , F.pmod(h, F.lit(999)).cast("string")).alias("time"),
+    )
+
+
+def build_results_enriched(
+    race_results: DataFrame,
+    bikes_raw: DataFrame,
+    teams_raw: DataFrame,
+    teams_dim: DataFrame,
+) -> DataFrame:
+    """The reference's fact join spine: bikes filter+join, teams join,
+    year filter. Both dims are small → broadcast; the reference instead
+    sort-merge-joined with 6 hand-inserted SortRows steps."""
+    bikes = (
+        bikes_raw.filter(F.col("id") != 234)  # Filter rows 3 2, :2759
+        .select(
+            F.col("id").alias("bike_id"), F.col("name").alias("bike_name")
+        )
+        .dropDuplicates(["bike_name"])
+    )
+    teams = teams_dim.select("team_id", "team_name").dropDuplicates(
+        ["team_name"]
+    )
+    return (
+        race_results.join(F.broadcast(bikes), "bike_name", "inner")
+        .join(F.broadcast(teams), "team_name", "inner")
+        .filter(F.col("year") >= 2005)  # Filter rows 4 / 4 2, :2891/:2956
+    )

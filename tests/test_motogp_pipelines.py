@@ -1,0 +1,143 @@
+"""End-to-end MotoGP pipeline over the real reference datasets
+(/root/reference, read-only). Structural invariants per SURVEY.md §1.4
+and the documented operator equivalences."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lsdm_motogp_data_integration_spark.pipelines.motogp import inputs, runner
+from lsdm_motogp_data_integration_spark.pipelines.motogp.participation import (
+    build_rider_position_counts,
+    build_rider_position_counts_literal,
+)
+
+BASE = "/root/reference"
+
+
+@pytest.fixture(scope="module")
+def tables(spark):
+    return runner.build_all(spark, base_dir=BASE)
+
+
+@pytest.fixture(scope="module")
+def src(spark):
+    return inputs.load_all(spark, BASE)
+
+
+def test_input_row_counts(src):
+    # BASELINE.md input volumes
+    assert src["circuits"].count() == 68
+    assert src["bikes"].count() == 304
+    assert src["teams"].count() == 970
+    assert src["riders"].count() == 2704
+    assert src["quali"].count() == 7112
+    assert src["races_json"].count() == 313
+    assert src["weather_json"].count() == 313
+    assert src["constructors_wc"].count() == 284
+
+
+def test_circuits_dim(tables):
+    c = tables["circuits"].collect()
+    assert len(c) == 68
+    ids = sorted(r["circuit_id"] for r in c)
+    assert ids == list(range(1, 69))  # dense 1..N surrogate keys
+    assert all(r["name_circuit"] == r["name_circuit"].lower() for r in c)
+
+
+def test_teams_dim(tables):
+    t = tables["teams"].collect()
+    assert len(t) == 970
+    assert sorted(r["team_id"] for r in t) == list(range(1, 971))
+
+
+def test_races_and_weather(tables):
+    races = tables["races"].collect()
+    assert len(races) == 313  # every race date has exactly one weather row
+    assert sorted(r["id_race"] for r in races) == list(range(1, 314))
+    # fuzzy circuit match: exact-name circuits must match with sim 1.0 →
+    # non-null circuit_id for the vast majority
+    matched = [r for r in races if r["circuit_id"] is not None]
+    assert len(matched) >= 300
+    info = tables["race_info"].collect()
+    assert len(info) == 313
+    assert all(r["temp_max"] is not None for r in info)
+
+
+def test_riders_enriched(tables):
+    r = tables["riders_enriched"]
+    assert r.count() == 2704  # right-outer keeps every master rider
+    assert r.filter(F.col("id_rider_seq").isNull()).count() == 0
+    # career stats resolved for famous riders present in both files
+    rossi = r.filter(F.col("rider_name") == "VALENTINO ROSSI").collect()
+    assert len(rossi) == 1
+    assert rossi[0]["career_victories"] == 115
+
+
+def test_position_counts_equivalence(spark, tables, src):
+    """The conditional aggregation equals the reference's literal
+    filter-cascade + 4 group-bys + 5-way inner join, for riders having
+    all four groups non-empty (the inner join drops the rest — the
+    documented semantic difference, SURVEY §2.4)."""
+    from lsdm_motogp_data_integration_spark.pipelines.motogp.results import (
+        build_results_enriched,
+        synthesize_race_results,
+    )
+
+    results = build_results_enriched(
+        synthesize_race_results(
+            src["quali"], src["riders"], src["teams"], src["bikes"]
+        ),
+        src["bikes"],
+        src["teams"],
+        tables["teams"],
+    )
+    collapsed = build_rider_position_counts(results)
+    literal = build_rider_position_counts_literal(results)
+    lit_rows = {r["rider"]: r for r in literal.collect()}
+    col_rows = {r["rider"]: r for r in collapsed.collect()}
+    assert set(lit_rows) <= set(col_rows)
+    for rider, row in lit_rows.items():
+        got = col_rows[rider]
+        for col in ("pos_1st", "pos_2nd", "pos_3rd", "other_pos"):
+            assert row[col] == got[col], (rider, col)
+
+
+def test_participation(tables):
+    p = tables["participation"]
+    rows = p.collect()
+    assert len(rows) > 5000  # MotoGP quali-derived rows minus orphan drops
+    # quali left join found grid positions for most rows (same source)
+    with_grid = [r for r in rows if r["grid_position"] is not None]
+    assert len(with_grid) / len(rows) > 0.9
+    # id_race recovered by fuzzy match for most rows
+    with_race = [r for r in rows if r["id_race"] is not None]
+    assert len(with_race) / len(rows) > 0.9
+    # orphan teams were dropped by the inner join
+    assert all(r["team_id"] is not None for r in rows)
+
+
+def test_team_standings(tables):
+    s = tables["team_standings"].collect()
+    assert len(s) > 0
+    # per (year, category): positions dense 1..N, points non-increasing
+    groups: dict = {}
+    for r in s:
+        groups.setdefault((r["year"], r["category"]), []).append(r)
+    for key, rows in groups.items():
+        rows.sort(key=lambda r: r["final_position"])
+        assert [r["final_position"] for r in rows] == list(
+            range(1, len(rows) + 1)
+        ), key
+        pts = [r["total_points"] for r in rows]
+        assert pts == sorted(pts, reverse=True), key
+
+
+def test_rider_table(tables):
+    rt = tables["rider_table"].collect()
+    assert len(rt) > 0
+    assert all(
+        r["pos_1st"] + r["pos_2nd"] + r["pos_3rd"] + r["other_pos"] > 0
+        for r in rt
+    )
