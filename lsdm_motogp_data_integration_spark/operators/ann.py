@@ -25,7 +25,10 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from lsdm_motogp_data_integration_spark.operators.dedup import cosine_expr
+from lsdm_motogp_data_integration_spark.operators.dedup import (
+    dot_expr,
+    norm_expr,
+)
 
 
 def cosine_topk(
@@ -44,14 +47,18 @@ def cosine_topk(
     Output: (query_id, neighbor_id, cosine, rank). Ranking uses the
     similarity rounded to 6 decimals with an id tie-break, so results
     are stable across engines and summation orders."""
-    pairs = corpus.crossJoin(F.broadcast(queries))
+    c = corpus.withColumn("__cn", norm_expr(F.col(vec_col)))
+    q = queries.withColumn("__qn", norm_expr(F.col(query_vec_col)))
+    pairs = c.crossJoin(F.broadcast(q))
     if exclude_self:
         pairs = pairs.filter(F.col(id_col) != F.col(query_id_col))
     scored = pairs.select(
         F.col(query_id_col).alias("query_id"),
         F.col(id_col).alias("neighbor_id"),
         F.round(
-            cosine_expr(F.col(query_vec_col), F.col(vec_col)), 6
+            dot_expr(F.col(query_vec_col), F.col(vec_col))
+            / (F.col("__qn") * F.col("__cn")),
+            6,
         ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -117,11 +124,15 @@ def lsh_topk(
     :func:`cosine_topk`; recall < 1 by design — more tables / fewer
     planes raise recall at the cost of candidate fan-out."""
     sig = signature_udf(n_planes, dim, n_tables)
-    c = corpus.withColumn("__sigs", sig(F.col(vec_col)))
+    c = corpus.withColumn("__cn", norm_expr(F.col(vec_col))).withColumn(
+        "__sigs", sig(F.col(vec_col))
+    )
     c = c.select(
         "*", F.posexplode("__sigs").alias("__table", "__bucket")
     ).drop("__sigs")
-    q = queries.withColumn("__sigs", sig(F.col(query_vec_col)))
+    q = queries.withColumn(
+        "__qn", norm_expr(F.col(query_vec_col))
+    ).withColumn("__sigs", sig(F.col(query_vec_col)))
     q = q.select(
         "*", F.posexplode("__sigs").alias("__table", "__qbucket")
     ).drop("__sigs")
@@ -145,7 +156,9 @@ def lsh_topk(
         F.col(query_id_col).alias("query_id"),
         F.col(id_col).alias("neighbor_id"),
         F.round(
-            cosine_expr(F.col(query_vec_col), F.col(vec_col)), 6
+            dot_expr(F.col(query_vec_col), F.col(vec_col))
+            / (F.col("__qn") * F.col("__cn")),
+            6,
         ).alias("cosine"),
     ).dropDuplicates(["query_id", "neighbor_id"])
     w = Window.partitionBy("query_id").orderBy(

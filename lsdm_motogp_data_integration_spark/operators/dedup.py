@@ -53,6 +53,20 @@ def word_shingles(text: Column | str, k: int = 5) -> Column:
     return F.array_distinct(grams)
 
 
+def word_shingle_hashes(text: Column | str, k: int = 5) -> Column:
+    """Distinct word k-gram shingles as ``array<bigint>`` of xxhash64
+    values — the fast-path representation: no gram strings are ever
+    materialized (``xxhash64`` hashes the sliced word array directly),
+    and downstream set ops (min-hash, intersect/union) run on fixed
+    8-byte longs. Set cardinalities equal the string form's modulo
+    2^-64 collisions, so Jaccard values are interchangeable."""
+    words = normalized_words(text)
+    n = F.size(words)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    grams = F.transform(idx, lambda i: F.xxhash64(F.slice(words, i, k)))
+    return F.array_distinct(grams)
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -124,19 +138,26 @@ def jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
-def minhash_signature(shingle_set: Column, num_perm: int = 64) -> Column:
-    """num_perm-wide MinHash signature as ``array<bigint>``.
+def minhash_signature(shingle_hashes: Column, num_perm: int = 64) -> Column:
+    """num_perm-wide MinHash signature as ``array<bigint>`` over a
+    pre-hashed shingle set (``array<bigint>``).
 
-    Permutation *i* is simulated by ``xxhash64(concat('i|', shingle))``
-    (deterministic, JVM-side); the signature element is the min hash
-    over the set. Empty sets get a sentinel so they never collide."""
+    Permutation *i* is simulated by re-hashing the 8-byte shingle hash
+    with a per-permutation salt (``xxhash64(lit(i), h)``) — each
+    permutation costs one fixed-width long hash instead of re-hashing
+    variable-length gram strings. The signature element is the min over
+    the set.
+
+    NB: the per-permutation lambda must close over ``i`` via a factory
+    function — a two-parameter lambda (even ``i=i`` defaulted) makes
+    PySpark bind the second parameter to the ARRAY INDEX column,
+    silently collapsing all permutations to one (regression-tested)."""
+
+    def salted(perm: int):
+        return lambda h: F.xxhash64(F.lit(perm), h)
+
     sigs = [
-        F.array_min(
-            F.transform(
-                shingle_set,
-                lambda s, i=i: F.xxhash64(F.concat(F.lit(f"{i}|"), s)),
-            )
-        )
+        F.array_min(F.transform(shingle_hashes, salted(i)))
         for i in range(num_perm)
     ]
     return F.coalesce(F.array(*sigs), F.array(*[F.lit(-1)] * num_perm))
@@ -148,9 +169,10 @@ def minhash_lsh_pairs(
     id_col: str,
     *,
     k: int = 5,
-    num_perm: int = 64,
-    bands: int = 32,
+    num_perm: int = 32,
+    bands: int = 16,
     threshold: float = 0.8,
+    persist_sets: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding + exact verification.
 
@@ -158,18 +180,27 @@ def minhash_lsh_pairs(
     (the only shuffle that matters) → candidate pairs → verify exact
     Jaccard on the shingle sets → (id_a, id_b, jaccard).
 
-    With (bands=32, rows=2), collision probability at j=0.8 is
-    ≈ 1 - 6e-15 — recall-heavy banding whose extra candidates the
+    With (bands=16, rows=2), collision probability at j=0.8 is
+    ≈ 1 - 8e-8 — recall-heavy banding whose extra candidates the
     exact-Jaccard verification filters (false positives impossible).
-    At larger scale / lower precision needs, fewer-wider bands
-    (e.g. 16×4) cut candidate fan-out at some recall cost."""
+    Wider bands (rows 4+) cut candidate fan-out at some recall cost.
+
+    The (id, shingles, signature) relation feeds the bucket self-join
+    and both sides of the verification join; exchange reuse already
+    de-duplicates the self-join scan, and column pruning drops the
+    signature from the verification sides, so caching is usually a net
+    loss at small scale (measured) — ``persist_sets=True`` is for
+    corpora where recomputing the shingle map dominates."""
     if num_perm % bands:
         raise ValueError("num_perm must divide evenly into bands")
     rows_per_band = num_perm // bands
 
     sets_df = df.select(
-        F.col(id_col).alias("__id"), word_shingles(text_col, k).alias("__set")
+        F.col(id_col).alias("__id"),
+        word_shingle_hashes(text_col, k).alias("__set"),
     ).withColumn("__sig", minhash_signature(F.col("__set"), num_perm))
+    if persist_sets:
+        sets_df = sets_df.persist()
 
     band_cols = [
         F.hash(
@@ -208,37 +239,24 @@ def minhash_lsh_pairs(
 # SimHash
 # ---------------------------------------------------------------------------
 
-_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
-_FNV_PRIME = np.uint64(0x100000001B3)
-
-
-def _fnv1a64(token: str) -> np.uint64:
-    h = _FNV_OFFSET
-    for byte in token.encode("utf-8"):
-        h = np.uint64((int(h) ^ byte) * int(_FNV_PRIME) & 0xFFFFFFFFFFFFFFFF)
-    return h
-
 
 @F.pandas_udf(T.LongType())
-def simhash64_udf(tokens: pd.Series) -> pd.Series:
-    """64-bit SimHash over a token array column (Charikar sketch):
-    per-bit vote of deterministic FNV-1a token hashes, sign → bit."""
+def simhash64_udf(token_hashes: pd.Series) -> pd.Series:
+    """64-bit SimHash (Charikar sketch) over a column of pre-hashed
+    tokens (``array<bigint>``, e.g. ``transform(tokens, xxhash64)`` —
+    computed JVM-side so Python never touches strings): per-bit ±1 vote
+    of token hash bits, sign → bit. Fully vectorized numpy per doc."""
+    shifts = np.arange(64, dtype=np.uint64)
+    weights = 1 << np.arange(64, dtype=np.uint64)
     out = []
-    for toks in tokens:
-        if toks is None or len(toks) == 0:
+    for hashes in token_hashes:
+        if hashes is None or len(hashes) == 0:
             out.append(0)
             continue
-        votes = np.zeros(64, dtype=np.int64)
-        shifts = np.arange(64, dtype=np.uint64)
-        for tok in toks:
-            h = _fnv1a64(tok)
-            bits = ((h >> shifts) & np.uint64(1)).astype(np.int64)
-            votes += np.where(bits == 1, 1, -1)
-        sim = 0
-        for i in range(64):
-            if votes[i] > 0:
-                sim |= 1 << i
-        # wrap to signed 64-bit for LongType
+        h = np.asarray(hashes, dtype=np.int64).astype(np.uint64)
+        bits = ((h[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+        votes = (2 * bits - 1).sum(axis=0)
+        sim = int((weights * (votes > 0)).sum())
         out.append(sim - (1 << 64) if sim >= (1 << 63) else sim)
     return pd.Series(out, dtype="int64")
 
@@ -256,9 +274,12 @@ def simhash_pairs(
     ``bit_count(a XOR b) <= max_hamming`` JVM-side.
 
     Output: (id_a, id_b, hamming)."""
+    token_hashes = F.transform(
+        normalized_words(text_col), lambda t: F.xxhash64(t)
+    )
     hashed = df.select(
         F.col(id_col).alias("__id"),
-        simhash64_udf(normalized_words(text_col)).alias("__sh"),
+        simhash64_udf(token_hashes).alias("__sh"),
     )
     chunks = hashed.select(
         "__id",
@@ -298,17 +319,28 @@ def simhash_pairs(
 # ---------------------------------------------------------------------------
 
 
-def cosine_expr(a: Column, b: Column) -> Column:
-    """Cosine similarity of two ``array<float|double>`` columns, computed
-    in float64 with built-in higher-order functions (JVM-side)."""
+def dot_expr(a: Column, b: Column) -> Column:
+    """Float64 dot product of two ``array<float|double>`` columns
+    (built-in higher-order functions, JVM-side)."""
     af = F.transform(a, lambda x: x.cast("double"))
     bf = F.transform(b, lambda x: x.cast("double"))
-    dot = F.aggregate(
+    return F.aggregate(
         F.zip_with(af, bf, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
-    na = F.sqrt(F.aggregate(af, F.lit(0.0), lambda acc, x: acc + x * x))
-    nb = F.sqrt(F.aggregate(bf, F.lit(0.0), lambda acc, x: acc + x * x))
-    return dot / (na * nb)
+
+
+def norm_expr(a: Column) -> Column:
+    """Float64 L2 norm of an ``array<float|double>`` column."""
+    af = F.transform(a, lambda x: x.cast("double"))
+    return F.sqrt(F.aggregate(af, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    """Cosine similarity, float64. For pairwise scans prefer
+    precomputing :func:`norm_expr` per row before the join (the
+    ``dot / (norm_a * norm_b)`` result is bit-identical) — this full
+    expression recomputes both norms per pair."""
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
 
 
 def embedding_neardup_pairs(
@@ -322,7 +354,12 @@ def embedding_neardup_pairs(
     """Pairs (a < b) with cosine >= threshold, optionally blocked on a
     coarse key (cluster/label/LSH bucket) so the self-join is quadratic
     only within blocks. Output: (id_a, id_b, cosine)."""
-    cols = [F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")]
+    cols = [
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        # norms once per row, not once per pair
+        norm_expr(F.col(vec_col)).alias("__n"),
+    ]
     if block_col:
         cols.append(F.col(block_col).alias("__blk"))
     slim = df.select(*cols)
@@ -336,7 +373,10 @@ def embedding_neardup_pairs(
         pairs.select(
             F.col("a.__id").alias("id_a"),
             F.col("b.__id").alias("id_b"),
-            cosine_expr(F.col("a.__v"), F.col("b.__v")).alias("__cos"),
+            (
+                dot_expr(F.col("a.__v"), F.col("b.__v"))
+                / (F.col("a.__n") * F.col("b.__n"))
+            ).alias("__cos"),
         )
         .filter(F.col("__cos") >= threshold)
         .select("id_a", "id_b", F.round("__cos", 6).alias("cosine"))

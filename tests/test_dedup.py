@@ -53,6 +53,26 @@ def test_minhash_matches_exact_jaccard(docs):
     assert (1, 3) in exact  # near dups share most 3-gram shingles
 
 
+def test_minhash_permutations_are_independent(spark):
+    """Regression: a two-param lambda in transform() binds the second
+    param to the array index, collapsing all 64 permutations into one
+    (identical signature elements) — signatures must vary per perm."""
+    from lsdm_motogp_data_integration_spark.operators.dedup import (
+        minhash_signature,
+        word_shingle_hashes,
+    )
+
+    df = spark.createDataFrame(
+        [("the quick brown fox jumps over the lazy dog extra words here",)],
+        ["text"],
+    )
+    sig = df.select(
+        minhash_signature(word_shingle_hashes("text", 3), 16).alias("sig")
+    ).collect()[0]["sig"]
+    assert len(sig) == 16
+    assert len(set(sig)) > 8, "permutations collapsed to few distinct values"
+
+
 def test_word_shingles_short_text(spark):
     df = spark.createDataFrame([("a b",)], ["t"])
     out = df.select(word_shingles("t", 5).alias("s")).collect()[0]["s"]

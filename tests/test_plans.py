@@ -1,0 +1,56 @@
+"""Physical-plan assertions: the plans we designed for, locked in.
+
+A failure here means Catalyst stopped producing the scale-appropriate
+plan (lost pushdown, broadcast fell back to shuffle, …) even though
+results are still correct.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry
+from lsdm_motogp_data_integration_spark.plans import (
+    assert_broadcast_join,
+    assert_no_sort_merge_join,
+    assert_pushed_filters,
+    assert_read_schema_pruned,
+    count_exchanges,
+)
+from lsdm_motogp_data_integration_spark.sources import read_table
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = entry.q03_filter_route_true(spark, sf_dir)
+    assert_pushed_filters(df, "o_orderstatus", "o_totalprice")
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    # q01 touches 7 of 11 lineitem columns; the scan must not read more
+    df = entry.q01_pricing_summary(spark, sf_dir)
+    assert_read_schema_pruned(df, "lineitem", 7)
+    # a 2-column projection reads 2 columns
+    slim = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    assert_read_schema_pruned(slim, "lineitem", 2)
+
+
+def test_dim_joins_broadcast(spark, sf_dir):
+    assert_broadcast_join(entry.q05_join_inner(spark, sf_dir))
+    assert_no_sort_merge_join(entry.q05_join_inner(spark, sf_dir))
+    assert_broadcast_join(entry.q11_standings(spark, sf_dir))
+
+
+def test_conditional_agg_fewer_exchanges_than_multiway(spark, sf_dir):
+    """The collapsed q10 must shuffle strictly less than the literal
+    5-way-join q09 — the documented reason it exists (SURVEY §2.4)."""
+    literal = count_exchanges(entry.q09_position_counts_multiway(spark, sf_dir))
+    collapsed = count_exchanges(
+        entry.q10_position_counts_conditional(spark, sf_dir)
+    )
+    assert collapsed < literal, (collapsed, literal)
+
+
+def test_fuzzy_join_broadcasts_lookup(spark, sf_dir):
+    df = entry.q17_fuzzy_best_match(spark, sf_dir)
+    assert_broadcast_join(df)
