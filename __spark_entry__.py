@@ -562,6 +562,168 @@ def q31_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Spark-for-free capabilities beyond the reference (SURVEY §2.12) — the
+# reference has none of these; the engine exposes them as first-class.
+# ---------------------------------------------------------------------------
+
+
+def q32_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi/anti joins (EXISTS / NOT EXISTS): tag each customer by
+    whether they have orders — one pass each, no row duplication."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    with_orders = c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", F.lit("active").alias("status")
+    )
+    without = c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", F.lit("inactive").alias("status")
+    )
+    return with_orders.unionByName(without)
+
+
+def q33_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation: order totals by (year, status), (year), and
+    grand total in one pass."""
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        o.withColumn("order_year", F.year("o_orderdate").cast("bigint"))
+        .rollup("order_year", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _dec_sum("o_totalprice", "total_price"),
+        )
+    )
+
+
+def q34_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead/lag window frame: days since each customer's previous
+    order (null for the first)."""
+    o = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        ).cast("bigint").alias("days_since_prev"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+    )
+
+
+def q35_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-distinct aggregation (the reference has no distinct
+    aggregates): per order-status, distinct customers and priorities."""
+    o = read_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+def q36_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (no Spark built-in — composed per the standard
+    pattern): for each event, the latest order of the same key with
+    o_orderdate <= event time. Equi-join on key + window top-1 on the
+    time condition; DuckDB's native ASOF JOIN is the oracle."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts"
+    )
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    joined = ev.join(o, ev.user_id == o.o_custkey, "inner").filter(
+        F.col("o_orderdate") <= F.col("ts")
+    )
+    w = Window.partitionBy("event_id").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("event_id", "user_id", "o_orderkey", "o_orderdate")
+    )
+
+
+def q37_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide conditional aggregation): order counts per year ×
+    status as columns."""
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        o.withColumn("order_year", F.year("o_orderdate").cast("bigint"))
+        .groupBy("order_year")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "order_year",
+            F.coalesce("O", F.lit(0)).alias("n_open"),
+            F.coalesce("F", F.lit(0)).alias("n_finished"),
+            F.coalesce("P", F.lit(0)).alias("n_pending"),
+        )
+    )
+
+
+def q38_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map UDAF surface (applyInPandas): per-user z-score of
+    event values — the custom-aggregation escape hatch the reference's
+    scripted-JS step approximates (``motogp.ktr:4029``). Population
+    std; zero-variance groups emit null."""
+    import pandas as pd
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        mean = pdf["value"].mean()
+        std = pdf["value"].std(ddof=0)
+        z = (pdf["value"] - mean) / std if std > 0 else pd.Series(
+            [None] * len(pdf), dtype="float64"
+        )
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "user_id": pdf["user_id"],
+                "zscore": z.round(6),
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        zscore, schema="event_id long, user_id long, zscore double"
+    )
+
+
+def q39_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CsvInput surface (``motogp.ktr:1405``): write nation out as CSV,
+    read it back with a declared schema (header, quote, UTF-8 — no
+    inference), aggregate. Exercises the engine's file-source path on
+    driver testdata."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from lsdm_motogp_data_integration_spark.sources import read_csv
+
+    n = read_table(spark, sf_dir, "nation")
+    tmp = tempfile.mkdtemp(prefix="csv_roundtrip_")
+    n.coalesce(1).write.mode("overwrite").option("header", True).csv(tmp)
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    )
+    back = read_csv(spark, tmp, schema)
+    return back.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("n_nations"),
+        F.min("n_name").alias("first_name"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Contract
 # ---------------------------------------------------------------------------
 
@@ -604,6 +766,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q29_sessionize": q29_sessionize,
         "q30_topk_per_group": q30_topk_per_group,
         "q31_ann_lsh_topk": q31_ann_lsh_topk,
+        "q32_semi_anti_join": q32_semi_anti_join,
+        "q33_rollup": q33_rollup,
+        "q34_lead_lag": q34_lead_lag,
+        "q35_count_distinct": q35_count_distinct,
+        "q36_asof_join": q36_asof_join,
+        "q37_pivot": q37_pivot,
+        "q38_grouped_zscore": q38_grouped_zscore,
+        "q39_csv_roundtrip": q39_csv_roundtrip,
     }
 
 
@@ -940,5 +1110,78 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT o_custkey, o_orderkey, o_totalprice, rk
             FROM ranked WHERE rk <= 3
+        """,
+        "q32_semi_anti_join": """
+            SELECT c_custkey, 'active' AS status FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            UNION ALL
+            SELECT c_custkey, 'inactive' AS status FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "q33_rollup": """
+            SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
+                   o_orderstatus,
+                   COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+            FROM orders
+            GROUP BY ROLLUP (order_year, o_orderstatus)
+        """,
+        "q34_lead_lag": """
+            SELECT o_orderkey, o_custkey,
+                   CAST(date_diff('day',
+                       LAG(o_orderdate) OVER w, o_orderdate) AS BIGINT
+                   ) AS days_since_prev,
+                   LEAD(o_orderkey) OVER w AS next_orderkey
+            FROM orders
+            WINDOW w AS (
+                PARTITION BY o_custkey
+                ORDER BY o_orderdate ASC, o_orderkey ASC
+            )
+        """,
+        "q35_count_distinct": """
+            SELECT o_orderstatus,
+                   COUNT(DISTINCT o_custkey) AS n_customers,
+                   COUNT(DISTINCT o_orderpriority) AS n_priorities,
+                   COUNT(*) AS n_orders
+            FROM orders GROUP BY o_orderstatus
+        """,
+        "q36_asof_join": """
+            WITH ranked AS (
+                SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.event_id
+                           ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+                       ) AS rn
+                FROM events e JOIN orders o
+                  ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+            )
+            SELECT event_id, user_id, o_orderkey, o_orderdate
+            FROM ranked WHERE rn = 1
+        """,
+        "q37_pivot": """
+            SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
+                   COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+                   COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+                   COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_pending
+            FROM orders GROUP BY 1
+        """,
+        "q38_grouped_zscore": """
+            WITH stats AS (
+                SELECT event_id, user_id, value,
+                       AVG(value) OVER (PARTITION BY user_id) AS mu,
+                       stddev_pop(value) OVER (PARTITION BY user_id) AS sigma
+                FROM events
+            )
+            SELECT event_id, user_id,
+                   CASE WHEN sigma > 0
+                        THEN ROUND((value - mu) / sigma, 6)
+                        ELSE NULL END AS zscore
+            FROM stats
+        """,
+        "q39_csv_roundtrip": """
+            SELECT n_regionkey,
+                   COUNT(*) AS n_nations,
+                   MIN(n_name) AS first_name
+            FROM nation GROUP BY n_regionkey
         """,
     }
