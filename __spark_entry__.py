@@ -723,6 +723,75 @@ def q39_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q40_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming end-to-end (SURVEY §2.11 stretch): file
+    stream → watermark → tumbling window agg → availableNow drain to a
+    memory sink. Complete-mode output on bounded input equals the batch
+    q28 plan, so it shares q28's oracle."""
+    import uuid
+
+    from lsdm_motogp_data_integration_spark.streaming import (
+        read_event_stream,
+        run_stream_to_memory,
+        windowed_counts,
+    )
+
+    stream = windowed_counts(
+        read_event_stream(spark, f"{sf_dir}/events.parquet"),
+        window_size="1 hour",
+        watermark="2 hours",
+    )
+    name = f"q40_out_{uuid.uuid4().hex[:8]}"
+    return run_stream_to_memory(spark, stream, name, output_mode="complete")
+
+
+def q41_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary-column plumbing: documents' text bytes as
+    opaque media blobs → Arrow-batched mapInPandas feature extraction.
+    The content digest and byte size are engine-independent (sha256),
+    so they oracle-check; the stub feature vector is excluded."""
+    from lsdm_motogp_data_integration_spark.operators.multimodal import (
+        extract_features,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("text").alias("kind"),
+        F.encode("text", "UTF-8").alias("content"),
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("bigint").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    return extract_features(media, dim=8).select(
+        "media_id", "kind", "n_bytes", "digest"
+    )
+
+
+def q42_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction (beyond the reference's flat JSONPath
+    scans): pull props.k out of the events' JSON string column."""
+    ev = read_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_value"),
+    )
+
+
+def q43_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation) per event type — the
+    reference has no quantile capability at all."""
+    ev = read_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract
 # ---------------------------------------------------------------------------
@@ -774,6 +843,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q37_pivot": q37_pivot,
         "q38_grouped_zscore": q38_grouped_zscore,
         "q39_csv_roundtrip": q39_csv_roundtrip,
+        "q40_stream_windowed": q40_stream_windowed,
+        "q41_multimodal_features": q41_multimodal_features,
+        "q42_json_extract": q42_json_extract,
+        "q43_percentiles": q43_percentiles,
     }
 
 
@@ -1183,5 +1256,32 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_nations,
                    MIN(n_name) AS first_name
             FROM nation GROUP BY n_regionkey
+        """,
+        "q40_stream_windowed": """
+            SELECT date_trunc('hour', ts) AS window_start,
+                   date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+                   event_type,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY 1, 2, 3
+        """,
+        "q41_multimodal_features": """
+            SELECT doc_id AS media_id,
+                   'text' AS kind,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   sha256(text) AS digest
+            FROM documents
+        """,
+        "q42_json_extract": """
+            SELECT event_id,
+                   CAST(props->>'$.k' AS BIGINT) AS k_value
+            FROM events
+        """,
+        "q43_percentiles": """
+            SELECT event_type,
+                   ROUND(quantile_cont(value, 0.5), 6) AS p50,
+                   ROUND(quantile_cont(value, 0.9), 6) AS p90,
+                   COUNT(*) AS n
+            FROM events GROUP BY event_type
         """,
     }

@@ -15,6 +15,7 @@ from lsdm_motogp_data_integration_spark.streaming import (
     read_event_stream,
     run_stream_to_memory,
     session_windows,
+    stateful_user_totals,
     windowed_counts,
 )
 
@@ -51,6 +52,31 @@ def test_streaming_window_matches_batch(spark, sf_dir):
     b = {tuple(r) for r in batch.collect()}
     s = {tuple(r) for r in got.collect()}
     assert b == s  # bounded input: nothing late, results coincide
+
+
+def test_stateful_user_totals(spark, sf_dir):
+    """applyInPandasWithState running totals must equal the batch
+    groupBy aggregation once the bounded stream is drained."""
+    stream = stateful_user_totals(
+        read_event_stream(spark, f"{sf_dir}/events.parquet")
+    )
+    got = run_stream_to_memory(
+        spark, stream, "user_totals", output_mode="update"
+    )
+    # update mode may emit several rows per user (one per micro-batch);
+    # the final state per user is the max-n row
+    final = {
+        r["user_id"]: (r["n_events"], round(r["sum_value"], 6))
+        for r in got.orderBy("n_events").collect()
+    }
+    batch = {
+        r["user_id"]: (r["n"], round(r["s"], 6))
+        for r in read_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert final == batch
 
 
 def test_streaming_session_window(spark, sf_dir):

@@ -1,0 +1,64 @@
+"""Salted join: identical results to the plain join, hot key spread."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lsdm_motogp_data_integration_spark.operators.skew import salted_join
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # 1000 rows of one hot key + a tail
+    hot = spark.range(1000).select(
+        F.lit("HOT").alias("k"), F.col("id").alias("payload")
+    )
+    tail = spark.range(50).select(
+        F.concat(F.lit("k"), F.col("id")).alias("k"),
+        (F.col("id") + 10_000).alias("payload"),
+    )
+    return hot.unionByName(tail)
+
+
+@pytest.fixture(scope="module")
+def dim(spark):
+    rows = [("HOT", "hot value")] + [(f"k{i}", f"v{i}") for i in range(40)]
+    return spark.createDataFrame(rows, ["k", "v"])
+
+
+def test_salted_inner_equals_plain(skewed, dim):
+    plain = skewed.join(dim, "k", "inner")
+    salted = salted_join(skewed, dim, ["k"], factor=8, how="inner")
+    assert plain.exceptAll(salted).count() == 0
+    assert salted.exceptAll(plain).count() == 0
+
+
+def test_salted_left_equals_plain(skewed, dim):
+    plain = skewed.join(dim, "k", "left")
+    salted = salted_join(skewed, dim, ["k"], factor=4, how="left")
+    assert plain.exceptAll(salted).count() == 0
+    assert salted.exceptAll(plain).count() == 0
+
+
+def test_salt_spreads_hot_key(spark, skewed):
+    from pyspark.sql import functions as F
+
+    salt_src = [F.col("k")] + [
+        F.coalesce(F.col(c).cast("string"), F.lit(""))
+        for c in skewed.columns
+        if c != "k"
+    ]
+    n = (
+        skewed.filter(F.col("k") == "HOT")
+        .withColumn("__salt", F.pmod(F.xxhash64(*salt_src), F.lit(8)))
+        .select("__salt")
+        .distinct()
+        .count()
+    )
+    assert n == 8  # hot key occupies all salt buckets
+
+
+def test_invalid_how(skewed, dim):
+    with pytest.raises(ValueError):
+        salted_join(skewed, dim, ["k"], how="full")
