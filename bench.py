@@ -35,6 +35,8 @@ HEADLINE = [
     "q28_tumbling_window",
     "q29_sessionize",
     "q30_topk_per_group",
+    "q36_asof_join",
+    "q38_grouped_zscore",
 ]
 
 

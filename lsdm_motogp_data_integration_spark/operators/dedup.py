@@ -47,24 +47,76 @@ def word_shingles(text: Column | str, k: int = 5) -> Column:
     k-gram sequences stay discriminative.
     """
     words = normalized_words(text)
-    n = F.size(words)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
-    grams = F.transform(idx, lambda i: F.array_join(F.slice(words, i, k), " "))
-    return F.array_distinct(grams)
+    init = F.struct(
+        F.expr("CAST(array() AS ARRAY<STRING>)").alias("buf"),
+        F.expr("CAST(array() AS ARRAY<STRING>)").alias("out"),
+    )
+
+    # one aggregate pass with a rolling k-window — see
+    # word_shingle_hashes for why the transform(sequence…slice) form is
+    # quadratic per document
+    def merge(acc: Column, w: Column) -> Column:
+        buf, out = acc["buf"], acc["out"]
+        full = F.size(buf) == k - 1
+        gram = F.concat_ws(
+            " ", *[F.element_at(buf, i + 1) for i in range(k - 1)], w
+        )
+        new_out = F.when(full, F.concat(out, F.array(gram))).otherwise(out)
+        new_buf = F.when(
+            full, F.concat(F.slice(buf, 2, k - 2), F.array(w))
+        ).otherwise(F.concat(buf, F.array(w)))
+        return F.struct(new_buf.alias("buf"), new_out.alias("out"))
+
+    def finish(acc: Column) -> Column:
+        return F.when(
+            F.size(acc["out"]) > 0, F.array_distinct(acc["out"])
+        ).otherwise(F.array(F.array_join(acc["buf"], " ")))
+
+    return F.aggregate(words, init, merge, finish)
 
 
 def word_shingle_hashes(text: Column | str, k: int = 5) -> Column:
-    """Distinct word k-gram shingles as ``array<bigint>`` of xxhash64
-    values — the fast-path representation: no gram strings are ever
-    materialized (``xxhash64`` hashes the sliced word array directly),
-    and downstream set ops (min-hash, intersect/union) run on fixed
-    8-byte longs. Set cardinalities equal the string form's modulo
-    2^-64 collisions, so Jaccard values are interchangeable."""
-    words = normalized_words(text)
-    n = F.size(words)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
-    grams = F.transform(idx, lambda i: F.xxhash64(F.slice(words, i, k)))
-    return F.array_distinct(grams)
+    """Distinct word k-gram shingles as ``array<bigint>`` — the
+    fast-path representation: no gram strings are materialized, and
+    downstream set ops (min-hash, intersect/union) run on fixed 8-byte
+    longs. Set cardinalities equal :func:`word_shingles`' string form
+    modulo 2^-64 collisions, so Jaccard values are interchangeable
+    (equality-structure-preserving: equal word windows ↔ equal hashes).
+
+    Implemented as ONE ``aggregate`` pass over the word-hash array with
+    a rolling k-window accumulator. The naive form —
+    ``transform(sequence(...), i -> xxhash64(slice(words, i, k)))`` —
+    re-evaluates the outer ``words`` expression on every lambda
+    invocation (Catalyst expressions are trees, not DAGs: a column
+    referenced inside a lambda body is recomputed per element), making
+    shingling O(n²) per document; the aggregate form evaluates the
+    input array once (measured 5×)."""
+    wh = F.transform(normalized_words(text), lambda w: F.xxhash64(w))
+    init = F.struct(
+        F.expr("CAST(array() AS ARRAY<BIGINT>)").alias("buf"),
+        F.expr("CAST(array() AS ARRAY<BIGINT>)").alias("out"),
+    )
+
+    def merge(acc: Column, h: Column) -> Column:
+        buf, out = acc["buf"], acc["out"]
+        full = F.size(buf) == k - 1
+        gram = F.xxhash64(
+            *[F.element_at(buf, i + 1) for i in range(k - 1)], h
+        )
+        new_out = F.when(full, F.concat(out, F.array(gram))).otherwise(out)
+        new_buf = F.when(
+            full, F.concat(F.slice(buf, 2, k - 2), F.array(h))
+        ).otherwise(F.concat(buf, F.array(h)))
+        return F.struct(new_buf.alias("buf"), new_out.alias("out"))
+
+    def finish(acc: Column) -> Column:
+        # shorter than k words: one clamped shingle of all words
+        # (matches word_shingles' greatest(n-k+1, 1) semantics)
+        return F.when(
+            F.size(acc["out"]) > 0, F.array_distinct(acc["out"])
+        ).otherwise(F.array(F.xxhash64(acc["buf"])))
+
+    return F.aggregate(wh, init, merge, finish)
 
 
 # ---------------------------------------------------------------------------
@@ -198,13 +250,25 @@ def minhash_lsh_pairs(
     sets_df = df.select(
         F.col(id_col).alias("__id"),
         word_shingle_hashes(text_col, k).alias("__set"),
-    ).withColumn("__sig", minhash_signature(F.col("__set"), num_perm))
+    )
     if persist_sets:
         sets_df = sets_df.persist()
 
+    # Band hashes are built DIRECTLY from their own rows_per_band salted
+    # array-mins, never through an intermediate signature column:
+    # Catalyst's projection collapsing would otherwise inline the whole
+    # num_perm-element signature expression into every band column,
+    # evaluating it bands× per row (measured ~10× slowdown).
+    def min_perm(perm: int):
+        def salted(h):
+            return F.xxhash64(F.lit(perm), h)
+
+        return F.array_min(F.transform(F.col("__set"), salted))
+
     band_cols = [
         F.hash(
-            F.lit(b), *[F.col("__sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+            F.lit(b),
+            *[min_perm(b * rows_per_band + r) for r in range(rows_per_band)],
         ).alias(f"__band{b}")
         for b in range(bands)
     ]

@@ -123,6 +123,26 @@ def fingerprint(col: Column | str) -> Column:
     return F.md5(canon)
 
 
+@F.udtf(returnType="fragment: string, n_words: int, fragment_idx: int")
+class SplitFragmentsUDTF:
+    """Python UDTF (table function): explode a document into sentence-ish
+    fragments with word counts — the one UDF shape (UDTF) the reference
+    lacks entirely (SURVEY §2.10). Register and use laterally::
+
+        spark.udtf.register("split_fragments", SplitFragmentsUDTF)
+        spark.sql("SELECT d.doc_id, f.* FROM docs d,
+                   LATERAL split_fragments(d.text) f")
+    """
+
+    def eval(self, text: str):  # noqa: D102
+        if text is None:
+            return
+        for idx, raw in enumerate(text.replace("!", ".").split(".")):
+            fragment = raw.strip()
+            if fragment:
+                yield fragment, len(fragment.split()), idx
+
+
 @F.pandas_udf(T.ArrayType(T.LongType()))
 def rolling_hash_chunks_udf(texts: pd.Series) -> pd.Series:
     """Content-defined chunk boundary positions via a Karp-Rabin rolling

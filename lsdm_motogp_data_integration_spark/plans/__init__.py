@@ -80,6 +80,20 @@ def assert_no_sort_merge_join(df: DataFrame) -> None:
     assert "SortMergeJoin" not in plan, f"SortMergeJoin present:\n{plan}"
 
 
+def assert_partition_filters(df: DataFrame, *fragments: str) -> None:
+    """Assert the scan applies partition filters mentioning every
+    fragment — i.e. partition pruning reached the reader and only
+    matching directories are listed."""
+    plan = formatted_plan(df)
+    lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert lines, f"no PartitionFilters in plan:\n{plan}"
+    joined = "\n".join(lines)
+    for fragment in fragments:
+        assert fragment in joined, (
+            f"partition filter on {fragment!r} missing; got: {joined}"
+        )
+
+
 def count_exchanges(df: DataFrame) -> int:
     """Number of shuffle exchanges in the physical plan."""
     plan = formatted_plan(df)

@@ -54,3 +54,20 @@ def test_conditional_agg_fewer_exchanges_than_multiway(spark, sf_dir):
 def test_fuzzy_join_broadcasts_lookup(spark, sf_dir):
     df = entry.q17_fuzzy_best_match(spark, sf_dir)
     assert_broadcast_join(df)
+
+
+def test_partition_pruning(spark, sf_dir, tmp_path_factory):
+    """Partitioned writes enable partition pruning: a filter on the
+    partition column must reach the reader as a PartitionFilter (only
+    matching directories are scanned) — the 100 TB table layout."""
+    from lsdm_motogp_data_integration_spark.plans import (
+        assert_partition_filters,
+    )
+    from lsdm_motogp_data_integration_spark.sources import write_table
+
+    out = str(tmp_path_factory.mktemp("parts"))
+    ev = read_table(spark, sf_dir, "events")
+    write_table(ev, out, partition_by=["event_type"])
+    back = spark.read.parquet(out).filter(F.col("event_type") == "click")
+    assert_partition_filters(back, "event_type")
+    assert back.count() == ev.filter(F.col("event_type") == "click").count()

@@ -73,6 +73,28 @@ def test_rolling_hash_deterministic(spark):
     assert rows[2]["c"] == []  # shorter than window
 
 
+def test_split_fragments_udtf(spark):
+    from lsdm_motogp_data_integration_spark.operators.textops import (
+        SplitFragmentsUDTF,
+    )
+
+    spark.udtf.register("split_fragments", SplitFragmentsUDTF)
+    df = spark.createDataFrame(
+        [(1, "Hello world. Second bit! Third"), (2, None)], ["doc_id", "text"]
+    )
+    df.createOrReplaceTempView("udtf_docs")
+    rows = spark.sql(
+        "SELECT d.doc_id, f.fragment, f.n_words, f.fragment_idx "
+        "FROM udtf_docs d, LATERAL split_fragments(d.text) f"
+    ).collect()
+    got = [(r["doc_id"], r["fragment"], r["n_words"]) for r in rows]
+    assert got == [
+        (1, "Hello world", 2),
+        (1, "Second bit", 2),
+        (1, "Third", 1),
+    ]
+
+
 def test_name_functions(spark):
     assert one(spark, "Rossi, Valentino", name_from_comma("t")) == "Rossi Valentino"
     assert one(spark, "ROSSI Valentino", name_from_surname_first("t")) == "Valentino ROSSI"
