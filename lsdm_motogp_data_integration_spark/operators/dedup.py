@@ -75,23 +75,12 @@ def word_shingles(text: Column | str, k: int = 5) -> Column:
     return F.aggregate(words, init, merge, finish)
 
 
-def word_shingle_hashes(text: Column | str, k: int = 5) -> Column:
-    """Distinct word k-gram shingles as ``array<bigint>`` — the
-    fast-path representation: no gram strings are materialized, and
-    downstream set ops (min-hash, intersect/union) run on fixed 8-byte
-    longs. Set cardinalities equal :func:`word_shingles`' string form
-    modulo 2^-64 collisions, so Jaccard values are interchangeable
-    (equality-structure-preserving: equal word windows ↔ equal hashes).
-
-    Implemented as ONE ``aggregate`` pass over the word-hash array with
-    a rolling k-window accumulator. The naive form —
-    ``transform(sequence(...), i -> xxhash64(slice(words, i, k)))`` —
-    re-evaluates the outer ``words`` expression on every lambda
-    invocation (Catalyst expressions are trees, not DAGs: a column
-    referenced inside a lambda body is recomputed per element), making
-    shingling O(n²) per document; the aggregate form evaluates the
-    input array once (measured 5×)."""
-    wh = F.transform(normalized_words(text), lambda w: F.xxhash64(w))
+def rolling_gram_hashes(element_hashes: Column, k: int) -> Column:
+    """Distinct k-gram hashes over an ``array<bigint>`` of element
+    hashes, computed in ONE ``aggregate`` pass with a rolling k-window
+    accumulator (see :func:`word_shingle_hashes` for why the
+    transform-over-indices form is quadratic). Inputs shorter than k
+    produce a single clamped gram."""
     init = F.struct(
         F.expr("CAST(array() AS ARRAY<BIGINT>)").alias("buf"),
         F.expr("CAST(array() AS ARRAY<BIGINT>)").alias("out"),
@@ -110,13 +99,43 @@ def word_shingle_hashes(text: Column | str, k: int = 5) -> Column:
         return F.struct(new_buf.alias("buf"), new_out.alias("out"))
 
     def finish(acc: Column) -> Column:
-        # shorter than k words: one clamped shingle of all words
-        # (matches word_shingles' greatest(n-k+1, 1) semantics)
         return F.when(
             F.size(acc["out"]) > 0, F.array_distinct(acc["out"])
         ).otherwise(F.array(F.xxhash64(acc["buf"])))
 
-    return F.aggregate(wh, init, merge, finish)
+    return F.aggregate(element_hashes, init, merge, finish)
+
+
+def char_shingle_hashes(col: Column | str, k: int = 3) -> Column:
+    """Distinct character k-gram hashes of a (lowercased, trimmed)
+    string — the blocking representation for fuzzy string matching."""
+    c = F.col(col) if isinstance(col, str) else col
+    chars = F.split(F.lower(F.trim(c)), "")
+    char_hashes = F.filter(
+        F.transform(chars, lambda ch: F.when(ch != "", F.xxhash64(ch))),
+        lambda h: h.isNotNull(),
+    )
+    return rolling_gram_hashes(char_hashes, k)
+
+
+def word_shingle_hashes(text: Column | str, k: int = 5) -> Column:
+    """Distinct word k-gram shingles as ``array<bigint>`` — the
+    fast-path representation: no gram strings are materialized, and
+    downstream set ops (min-hash, intersect/union) run on fixed 8-byte
+    longs. Set cardinalities equal :func:`word_shingles`' string form
+    modulo 2^-64 collisions, so Jaccard values are interchangeable
+    (equality-structure-preserving: equal word windows ↔ equal hashes).
+
+    Implemented as ONE ``aggregate`` pass over the word-hash array with
+    a rolling k-window accumulator. The naive form —
+    ``transform(sequence(...), i -> xxhash64(slice(words, i, k)))`` —
+    re-evaluates the outer ``words`` expression on every lambda
+    invocation (Catalyst expressions are trees, not DAGs: a column
+    referenced inside a lambda body is recomputed per element), making
+    shingling O(n²) per document; the aggregate form evaluates the
+    input array once (measured 5×)."""
+    wh = F.transform(normalized_words(text), lambda w: F.xxhash64(w))
+    return rolling_gram_hashes(wh, k)
 
 
 # ---------------------------------------------------------------------------

@@ -33,6 +33,67 @@ from lsdm_motogp_data_integration_spark.functions.similarity import jaro_winkler
 BLOCKERS = ("none", "first_char", "length_band")
 
 
+def _lsh_candidates(
+    probe_tagged: DataFrame,
+    lookup: DataFrame,
+    probe_on: str,
+    lookup_on: str,
+    *,
+    num_perm: int = 16,
+    bands: int = 8,
+) -> DataFrame:
+    """Candidate pairs for the big-lookup fuzzy path: both key sets are
+    char-3-gram MinHashed into band buckets; a probe row meets a lookup
+    row iff they share a bucket. Returns probe ⨯ lookup candidate rows
+    (all columns of both, ``__probe_id`` retained)."""
+    from lsdm_motogp_data_integration_spark.operators.dedup import (
+        char_shingle_hashes,
+    )
+
+    rows_per_band = num_perm // bands
+
+    def buckets(df: DataFrame, key: str, id_cols: list[str]) -> DataFrame:
+        # __set as a named, multiply-referenced column: CollapseProject
+        # won't inline a non-cheap expression with multiple consumers,
+        # so the shingle aggregate runs once per row
+        with_set = df.select(
+            *id_cols, char_shingle_hashes(F.col(key), 3).alias("__set")
+        )
+
+        def min_perm(perm: int) -> Column:
+            def salted(h):
+                return F.xxhash64(F.lit(perm), h)
+
+            return F.array_min(F.transform(F.col("__set"), salted))
+
+        band_cols = [
+            F.hash(
+                F.lit(b),
+                *[
+                    min_perm(b * rows_per_band + r)
+                    for r in range(rows_per_band)
+                ],
+            ).alias(f"__b{b}")
+            for b in range(bands)
+        ]
+        return with_set.select(
+            *id_cols, F.explode(F.array(*band_cols)).alias("__bucket")
+        ).dropDuplicates([*id_cols, "__bucket"])
+
+    p_buckets = buckets(probe_tagged, probe_on, ["__probe_id"])
+    l_keys = lookup.select(lookup_on).dropDuplicates()
+    l_buckets = buckets(l_keys, lookup_on, [lookup_on])
+    pairs = (
+        p_buckets.join(l_buckets, on="__bucket")
+        .select("__probe_id", lookup_on)
+        .dropDuplicates()
+    )
+    return (
+        probe_tagged.join(pairs, on="__probe_id")
+        .join(lookup, on=lookup_on, how="inner")
+    )
+
+
 def similarity_join(
     probe: DataFrame,
     lookup: DataFrame,
@@ -44,6 +105,7 @@ def similarity_join(
     how: str = "left",
     blocker: str = "none",
     length_band: int = 3,
+    strategy: str = "broadcast",
 ) -> DataFrame:
     """Attach the single best Jaro-Winkler match from ``lookup`` to each
     ``probe`` row (case-insensitive, like the reference's FuzzyMatch).
@@ -53,11 +115,23 @@ def similarity_join(
     candidate ≥ ``threshold`` are kept with nulls when ``how='left'``,
     dropped when ``how='inner'``. Ties on score break on the smallest
     ``lookup_on`` value — deterministic across runs and engines.
+
+    ``strategy``:
+
+    - ``"broadcast"`` (exact) — the lookup is a dimension: broadcast it
+      and score every (blocked) pair. The parity path.
+    - ``"lsh"`` (approximate) — for lookup sides too big to broadcast:
+      both key sets are char-3-gram MinHash-banded, only bucket-sharing
+      pairs are scored. Misses a best match only when it shares no
+      band with the probe (dissimilar strings) — recall asserted in
+      tests; ``blocker`` is ignored.
     """
     if how not in ("left", "inner"):
         raise ValueError(f"how must be left|inner, got {how!r}")
     if blocker not in BLOCKERS:
         raise ValueError(f"blocker must be one of {BLOCKERS}")
+    if strategy not in ("broadcast", "lsh"):
+        raise ValueError(f"strategy must be broadcast|lsh, got {strategy!r}")
 
     overlap = set(probe.columns) & set(lookup.columns)
     if overlap:
@@ -73,12 +147,15 @@ def similarity_join(
     # inside this plan as a window key, dropped before returning
     tagged = probe.withColumn("__probe_id", F.monotonically_increasing_id())
 
-    cond: Column = F.lit(True)
-    if blocker == "first_char":
-        cond = pkey.substr(1, 1) == lkey.substr(1, 1)
-    elif blocker == "length_band":
-        cond = F.abs(F.length(pkey) - F.length(lkey)) <= length_band
-    pairs = tagged.join(F.broadcast(lookup), on=cond, how="inner")
+    if strategy == "lsh":
+        pairs = _lsh_candidates(tagged, lookup, probe_on, lookup_on)
+    else:
+        cond: Column = F.lit(True)
+        if blocker == "first_char":
+            cond = pkey.substr(1, 1) == lkey.substr(1, 1)
+        elif blocker == "length_band":
+            cond = F.abs(F.length(pkey) - F.length(lkey)) <= length_band
+        pairs = tagged.join(F.broadcast(lookup), on=cond, how="inner")
 
     scored = pairs.withColumn(
         score_col,

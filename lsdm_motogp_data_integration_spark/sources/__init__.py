@@ -53,6 +53,9 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     and convert to a microsecond timestamp (set at runtime so any
     caller-provided session works).
     """
+    # oracle comparisons assume UTC semantics (DuckDB timestamps are
+    # UTC-naive); harmless when the caller's session already set it
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -62,6 +62,43 @@ def test_fuzzy_tiebreak_deterministic(spark):
         assert out[0]["cand"] == "abx"
 
 
+def test_fuzzy_lsh_strategy_matches_broadcast(spark):
+    """The LSH big-lookup path must find the same best matches as the
+    exact broadcast path when probes are near their targets (typo'd
+    circuit names share most char 3-grams)."""
+    names = [
+        "Mugello", "Catalunya", "Assen", "Silverstone", "Phillip Island",
+        "Sachsenring", "Le Mans", "Jerez", "Misano", "Aragon",
+    ]
+    lookup = spark.createDataFrame([(n,) for n in names], ["circuit"])
+    probe = spark.createDataFrame(
+        [(i, n.lower()[:-1]) for i, n in enumerate(names)], ["pid", "name"]
+    )
+    exact = {
+        r["pid"]: r["circuit"]
+        for r in similarity_join(
+            probe, lookup, "name", "circuit", how="inner"
+        ).collect()
+    }
+    approx = {
+        r["pid"]: r["circuit"]
+        for r in similarity_join(
+            probe, lookup, "name", "circuit", how="inner", strategy="lsh"
+        ).collect()
+    }
+    assert approx == exact
+
+
+def test_fuzzy_lsh_left_keeps_unmatched(spark):
+    probe = spark.createDataFrame([(1, "zzzzqqqq")], ["pid", "name"])
+    lookup = spark.createDataFrame([("Mugello",)], ["circuit"])
+    out = similarity_join(
+        probe, lookup, "name", "circuit", threshold=0.9, how="left",
+        strategy="lsh",
+    ).collect()
+    assert len(out) == 1 and out[0]["circuit"] is None
+
+
 def test_fuzzy_blockers_prune_but_keep_best(spark):
     probe = spark.createDataFrame([(1, "mugelo")], ["pid", "name"])
     lookup = spark.createDataFrame(
