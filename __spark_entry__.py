@@ -792,6 +792,31 @@ def q43_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q44_motogp_standings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full MotoGP team-standings pipeline over the REAL reference
+    datasets (ignores sf_dir): constructors-WC join → trademark strip →
+    decimal-exact points sum → row_number rank → teams join
+    (pipelines/motogp). No DuckDB oracle (reference CSVs are not
+    registered as oracle views) — invariants are pinned in
+    tests/test_motogp_pipelines.py; driver records rows-only."""
+    from lsdm_motogp_data_integration_spark.pipelines.motogp import runner
+
+    return runner.build_all(spark, base_dir="/root/reference")[
+        "team_standings"
+    ]
+
+
+def q45_motogp_participation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MotoGP participation fact over the real reference data:
+    category filter, name normalization, quali left-join, rider-key
+    join, fuzzy id_race recovery (rows-only; see q44)."""
+    from lsdm_motogp_data_integration_spark.pipelines.motogp import runner
+
+    return runner.build_all(spark, base_dir="/root/reference")[
+        "participation"
+    ]
+
+
 # ---------------------------------------------------------------------------
 # Contract
 # ---------------------------------------------------------------------------
@@ -847,6 +872,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q41_multimodal_features": q41_multimodal_features,
         "q42_json_extract": q42_json_extract,
         "q43_percentiles": q43_percentiles,
+        "q44_motogp_standings": q44_motogp_standings,
+        "q45_motogp_participation": q45_motogp_participation,
     }
 
 

@@ -234,6 +234,62 @@ def minhash_signature(shingle_hashes: Column, num_perm: int = 64) -> Column:
     return F.coalesce(F.array(*sigs), F.array(*[F.lit(-1)] * num_perm))
 
 
+def fused_minhash_mins(
+    text: Column | str, k: int, num_perm: int
+) -> Column:
+    """num_perm running MinHash minima computed in the SAME rolling
+    pass that forms word k-grams — no gram array, no distinct (the min
+    over a multiset equals the min over its set, so MinHash never needs
+    deduplicated shingles). Values are identical to
+    ``minhash_signature(word_shingle_hashes(text, k), num_perm)``."""
+    wh = F.transform(normalized_words(text), lambda w: F.xxhash64(w))
+    max_long = (1 << 63) - 1
+    init = F.struct(
+        F.expr("CAST(array() AS ARRAY<BIGINT>)").alias("buf"),
+        F.array_repeat(F.lit(max_long), num_perm).alias("mins"),
+    )
+
+    def salted_mins(gram: Column) -> Column:
+        # wrap gram in a 1-element array so the inner lambda sees it as
+        # a BOUND lambda variable (evaluated once), not an outer
+        # expression re-evaluated per permutation
+        return F.element_at(
+            F.transform(
+                F.array(gram),
+                lambda g: F.transform(
+                    F.sequence(F.lit(0), F.lit(num_perm - 1)),
+                    lambda i: F.xxhash64(i, g),
+                ),
+            ),
+            1,
+        )
+
+    def merge(acc: Column, h: Column) -> Column:
+        buf = acc["buf"]
+        full = F.size(buf) == k - 1
+        gram = F.xxhash64(
+            *[F.element_at(buf, i + 1) for i in range(k - 1)], h
+        )
+        new_mins = F.when(
+            full,
+            F.zip_with(
+                acc["mins"], salted_mins(gram), lambda a, b: F.least(a, b)
+            ),
+        ).otherwise(acc["mins"])
+        new_buf = F.when(
+            full, F.concat(F.slice(buf, 2, k - 2), F.array(h))
+        ).otherwise(F.concat(buf, F.array(h)))
+        return F.struct(new_buf.alias("buf"), new_mins.alias("mins"))
+
+    def finish(acc: Column) -> Column:
+        # short doc (< k words): one clamped gram of all words
+        return F.when(
+            F.element_at(acc["mins"], 1) != max_long, acc["mins"]
+        ).otherwise(salted_mins(F.xxhash64(acc["buf"])))
+
+    return F.aggregate(wh, init, merge, finish)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -273,25 +329,27 @@ def minhash_lsh_pairs(
     if persist_sets:
         sets_df = sets_df.persist()
 
-    # Band hashes are built DIRECTLY from their own rows_per_band salted
-    # array-mins, never through an intermediate signature column:
-    # Catalyst's projection collapsing would otherwise inline the whole
-    # num_perm-element signature expression into every band column,
-    # evaluating it bands× per row (measured ~10× slowdown).
-    def min_perm(perm: int):
-        def salted(h):
-            return F.xxhash64(F.lit(perm), h)
-
-        return F.array_min(F.transform(F.col("__set"), salted))
-
+    # Signature minima come from the FUSED single-pass aggregate (no
+    # gram array, no distinct — MinHash is duplicate-insensitive);
+    # __mins stays a named multi-referenced column so CollapseProject
+    # won't inline the aggregate into each band column.
+    mins_df = df.select(
+        F.col(id_col).alias("__id"),
+        fused_minhash_mins(text_col, k, num_perm).alias("__mins"),
+    )
     band_cols = [
         F.hash(
             F.lit(b),
-            *[min_perm(b * rows_per_band + r) for r in range(rows_per_band)],
+            *[
+                F.element_at(
+                    F.col("__mins"), b * rows_per_band + r + 1
+                )
+                for r in range(rows_per_band)
+            ],
         ).alias(f"__band{b}")
         for b in range(bands)
     ]
-    buckets = sets_df.select(
+    buckets = mins_df.select(
         "__id", F.explode(F.array(*band_cols)).alias("__bucket")
     ).dropDuplicates(["__id", "__bucket"])
 

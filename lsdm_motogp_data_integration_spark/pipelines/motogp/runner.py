@@ -93,6 +93,17 @@ def build_all(
     }
 
 
+# partition layout for the fact-sized sinks: year-partitioned scans
+# prune to the requested seasons (at 100 TB the facts are the tables
+# that matter; dims stay single-directory)
+PARTITIONING: dict[str, list[str]] = {
+    "participation": ["year"],
+    "team_standings": ["year"],
+}
+
+
 def write_all(tables: dict[str, DataFrame], out_dir: str) -> None:
     for name, df in tables.items():
-        write_table(df, f"{out_dir}/{name}")
+        write_table(
+            df, f"{out_dir}/{name}", partition_by=PARTITIONING.get(name)
+        )

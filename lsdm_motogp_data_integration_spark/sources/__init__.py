@@ -78,3 +78,25 @@ def write_table(df: DataFrame, path: str, *, partition_by: list[str] | None = No
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    *,
+    mode: str = "append",
+    properties: dict[str, str] | None = None,
+) -> None:
+    """JDBC sink (the reference defines a PostgreSQL connection,
+    ``motogp.ktr:481-535``; its checked-in transformation never table-
+    loads, so parquet is this engine's primary sink). Raises a clear
+    error when no JDBC driver jar is on the classpath — none ships in
+    this environment."""
+    try:
+        df.write.jdbc(url, table, mode=mode, properties=properties or {})
+    except Exception as exc:  # pragma: no cover - driver-dependent
+        raise NotImplementedError(
+            "JDBC write requires the target database's driver jar on the "
+            "Spark classpath (spark.jars); not available in this image"
+        ) from exc

@@ -1,0 +1,131 @@
+"""Scale-headroom probe: run the heaviest operators at 1× and ~20× the
+sf0.1 corpus and report scaling factors.
+
+Replicas are mutated (per-replica vowel rotation) so they are
+DISSIMILAR to their originals — the near-dup pair count stays
+proportional, isolating throughput from output growth.
+
+Usage: python tools/scale_probe.py [replicas]  (default 20)
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from lsdm_motogp_data_integration_spark.operators.ann import cosine_topk, lsh_topk
+from lsdm_motogp_data_integration_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    simhash_pairs,
+)
+from lsdm_motogp_data_integration_spark.session import get_spark
+from lsdm_motogp_data_integration_spark.sources import read_table
+
+SF_DIR = "/root/testdata/sf0.1"
+
+
+def scaled_docs(spark, replicas: int):
+    d = read_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    alphabet = "abcdefghijklmnopqrstuvwxyz"
+    parts = [d]
+    for r in range(1, replicas):
+        # per-replica alphabet rotation: every WORD is renamed 1:1, so
+        # replicas share no shingles and no token distribution with
+        # each other or the originals (a shared inserted token would
+        # dominate SimHash's distribution sketch and collapse a whole
+        # replica into one bucket); per-doc structure is preserved, so
+        # output pair counts stay ~proportional
+        rot = alphabet[r:] + alphabet[:r]
+        parts.append(
+            d.select(
+                (F.col("doc_id") + r * 1_000_000).alias("doc_id"),
+                F.translate(F.col("text"), alphabet, rot).alias("text"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def scaled_embeddings(spark, replicas: int):
+    e = read_table(spark, SF_DIR, "embeddings")
+    parts = [e]
+    for r in range(1, replicas):
+        salt = float(r)
+        parts.append(
+            e.select(
+                (F.col("vec_id") + r * 1_000_000).alias("vec_id"),
+                F.transform(
+                    "embedding",
+                    lambda x, s=salt: (x + F.lit(s * 0.01)).cast("float"),
+                ).alias("embedding"),
+                "label",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def timed(label: str, df) -> tuple[float, int]:
+    t0 = time.time()
+    n = df.count()
+    dt = time.time() - t0
+    print(f"  {label}: {dt:.1f}s rows={n}", flush=True)
+    return dt, n
+
+
+def main() -> None:
+    replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    spark = get_spark("scale_probe")
+    spark.range(100).count()
+
+    results = {}
+    for scale, n_rep in (("1x", 1), (f"{replicas}x", replicas)):
+        docs = scaled_docs(spark, n_rep)
+        emb = scaled_embeddings(spark, n_rep)
+        queries = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        n_docs = docs.count()
+        n_vecs = emb.count()
+        print(f"{scale}: {n_docs} docs, {n_vecs} vectors", flush=True)
+        r = {"n_docs": n_docs, "n_vecs": n_vecs}
+        r["minhash_lsh_s"], r["minhash_pairs"] = timed(
+            "minhash_lsh", minhash_lsh_pairs(docs, "text", "doc_id")
+        )
+        r["simhash_s"], r["simhash_pairs"] = timed(
+            "simhash", simhash_pairs(docs, "text", "doc_id", max_hamming=3)
+        )
+        r["ann_brute_s"], _ = timed(
+            "ann_brute",
+            cosine_topk(
+                emb, queries, "embedding", "vec_id", "query_id", "query_vec", k=5
+            ),
+        )
+        r["ann_lsh_s"], _ = timed(
+            "ann_lsh",
+            lsh_topk(
+                emb, queries, "embedding", "vec_id", "query_id", "query_vec", k=5
+            ),
+        )
+        results[scale] = r
+
+    base, big = results["1x"], results[f"{replicas}x"]
+    print(json.dumps(results))
+    print("\nscaling factors (time ratio / data ratio — 1.0 = linear):")
+    for key in ("minhash_lsh_s", "simhash_s", "ann_brute_s", "ann_lsh_s"):
+        ratio = (big[key] / base[key]) / replicas
+        print(f"  {key}: {ratio:.2f}")
+
+
+if __name__ == "__main__":
+    main()
