@@ -792,6 +792,24 @@ def q43_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q46_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbors: deterministic centroid cells,
+    nprobe=3 — the codebook-based scale path complementing q31's LSH
+    (cell-assignment-specific → rows-only; recall floor + determinism
+    asserted in tests)."""
+    from lsdm_motogp_data_integration_spark.operators.ann import ivf_topk
+
+    e = read_table(spark, sf_dir, "embeddings")
+    queries_df = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return ivf_topk(
+        e, queries_df, "embedding", "vec_id", "query_id", "query_vec",
+        k=5, n_cells=8, nprobe=3,
+    ).select("query_id", "neighbor_id", "cosine", "rank")
+
+
 def q44_motogp_standings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full MotoGP team-standings pipeline over the REAL reference
     datasets (ignores sf_dir): constructors-WC join → trademark strip →
@@ -874,6 +892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q43_percentiles": q43_percentiles,
         "q44_motogp_standings": q44_motogp_standings,
         "q45_motogp_participation": q45_motogp_participation,
+        "q46_ann_ivf_topk": q46_ann_ivf_topk,
     }
 
 

@@ -104,6 +104,79 @@ def signature_udf(n_planes: int, dim: int, n_tables: int = 1):
     return signature
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_id_col: str,
+    query_vec_col: str,
+    *,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 3,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: corpus vectors are
+    assigned to their nearest of ``n_cells`` centroid cells; each query
+    scores only the ``nprobe`` cells nearest to it.
+
+    Centroids are a deterministic pseudo-random corpus sample (the
+    ``n_cells`` smallest ``xxhash64(id)`` rows — k-means init without
+    RNG state; a trained k-means would sharpen cells but adds an
+    iterative job). The centroid matrix is O(n_cells × dim) driver-side
+    metadata, shipped once into the assignment UDF — the same pattern
+    as a broadcast codebook at cluster scale. Same output shape as
+    :func:`cosine_topk`; recall < 1 by design."""
+    sample = (
+        corpus.select(id_col, vec_col)
+        .withColumn("__h", F.xxhash64(F.col(id_col)))
+        .orderBy("__h")
+        .limit(n_cells)
+        .collect()
+    )
+    mat = np.vstack([np.asarray(r[vec_col], dtype=np.float64) for r in sample])
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+
+    def cells_udf(n_top: int):
+        @F.pandas_udf(T.ArrayType(T.IntegerType()))
+        def assign(vecs: pd.Series) -> pd.Series:
+            v = np.vstack([np.asarray(x, dtype=np.float64) for x in vecs])
+            v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+            sims = v @ mat.T
+            top = np.argsort(-sims, axis=1)[:, :n_top].astype(np.int32)
+            return pd.Series(list(top))
+
+        return assign
+
+    c = corpus.withColumn("__cn", norm_expr(F.col(vec_col))).withColumn(
+        "__cell", cells_udf(1)(F.col(vec_col)).getItem(0)
+    )
+    q = queries.withColumn(
+        "__qn", norm_expr(F.col(query_vec_col))
+    ).withColumn(
+        "__cell", F.explode(cells_udf(nprobe)(F.col(query_vec_col)))
+    )
+    pairs = c.join(F.broadcast(q), on="__cell").filter(
+        F.col(id_col) != F.col(query_id_col)
+    )
+    scored = pairs.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(id_col).alias("neighbor_id"),
+        F.round(
+            dot_expr(F.col(query_vec_col), F.col(vec_col))
+            / (F.col("__qn") * F.col("__cn")),
+            6,
+        ).alias("cosine"),
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -52,6 +52,8 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.ui.explainMode", "formatted")
         .config("spark.ui.enabled", "false")
+        # managed (e.g. bucketed) tables land outside the repo tree
+        .config("spark.sql.warehouse.dir", "/tmp/spark-warehouse")
     )
     if extra_conf:
         for k, v in extra_conf.items():

@@ -80,6 +80,39 @@ def write_table(df: DataFrame, path: str, *, partition_by: list[str] | None = No
     writer.parquet(path)
 
 
+def read_orc(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
+    """ORC scan (columnar, pushdown-capable like parquet)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, *, partition_by: list[str] | None = None) -> None:
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int = 16,
+    *,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Bucketed managed table: later equi-joins/aggregations on
+    ``bucket_cols`` between tables bucketed the same way run WITHOUT a
+    shuffle — the pre-partitioning strategy for repeatedly-joined
+    100 TB facts (asserted in tests/test_plans.py)."""
+    writer = df.write.mode("overwrite").bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
 def write_jdbc(
     df: DataFrame,
     url: str,

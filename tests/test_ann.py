@@ -4,7 +4,11 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from lsdm_motogp_data_integration_spark.operators.ann import cosine_topk, lsh_topk
+from lsdm_motogp_data_integration_spark.operators.ann import (
+    cosine_topk,
+    ivf_topk,
+    lsh_topk,
+)
 from lsdm_motogp_data_integration_spark.sources import read_table
 
 
@@ -45,6 +49,36 @@ def test_exact_topk_self_included_when_allowed(spark, sf_dir):
     ).collect()
     # the nearest neighbor of a vector including itself is itself
     assert all(r["neighbor_id"] == r["query_id"] for r in out)
+
+
+def test_ivf_recall_floor(spark, sf_dir):
+    e = read_table(spark, sf_dir, "embeddings")
+    q = _query_set(e)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(
+            e, q, "embedding", "vec_id", "query_id", "query_vec", k=5
+        ).collect()
+    }
+    approx_rows = ivf_topk(
+        e, q, "embedding", "vec_id", "query_id", "query_vec",
+        k=5, n_cells=8, nprobe=3,
+    ).collect()
+    approx = {(r["query_id"], r["neighbor_id"]) for r in approx_rows}
+    recall = len(exact & approx) / len(exact)
+    # random 64-dim data has weak cluster structure; assert the
+    # machinery retrieves genuinely-near candidates from probed cells
+    assert recall >= 0.2, f"recall {recall}"
+    assert len(approx) <= len(exact)
+    # determinism: same centroids, same result
+    again = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(
+            e, q, "embedding", "vec_id", "query_id", "query_vec",
+            k=5, n_cells=8, nprobe=3,
+        ).collect()
+    }
+    assert approx == again
 
 
 def test_lsh_recall_floor(spark, sf_dir):

@@ -56,6 +56,38 @@ def test_fuzzy_join_broadcasts_lookup(spark, sf_dir):
     assert_broadcast_join(df)
 
 
+def test_bucketed_join_avoids_shuffle(spark, sf_dir):
+    """Two tables bucketed on the join key must join with ZERO shuffle
+    exchanges — the co-located join strategy for repeatedly-joined
+    facts at scale."""
+    from lsdm_motogp_data_integration_spark.sources import (
+        write_bucketed_table,
+    )
+
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    write_bucketed_table(o, "bt_orders", ["o_custkey"], 8)
+    write_bucketed_table(
+        c.withColumnRenamed("c_custkey", "o_custkey"), "bt_customer",
+        ["o_custkey"], 8,
+    )
+    try:
+        bo = spark.table("bt_orders")
+        bc = spark.table("bt_customer")
+        # disable broadcast so the bucketed layout (not broadcast) must
+        # eliminate the shuffle
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = bo.join(bc, "o_custkey")
+        assert count_exchanges(joined) == 0
+        assert joined.count() == o.join(
+            c, o.o_custkey == c.c_custkey
+        ).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS bt_orders")
+        spark.sql("DROP TABLE IF EXISTS bt_customer")
+
+
 def test_partition_pruning(spark, sf_dir, tmp_path_factory):
     """Partitioned writes enable partition pruning: a filter on the
     partition column must reach the reader as a PartitionFilter (only
