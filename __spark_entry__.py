@@ -810,6 +810,52 @@ def q46_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "neighbor_id", "cosine", "rank")
 
 
+def q47_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash sampling (training-data splits must
+    be reproducible across engines and runs — no RNG): keep documents
+    whose md5(doc_id) starts with 0-2 (~3/16 ≈ 19%), stratification
+    implicit in the uniform hash."""
+    d = read_table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    return d.filter(bucket.isin("0", "1", "2")).select(
+        "doc_id", "lang", "source"
+    )
+
+
+def q48_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking for training pipelines: fixed 50-token windows
+    with stride 40 (10-token overlap), exploded to one row per chunk
+    with its text and token count."""
+    d = read_table(spark, sf_dir, "documents")
+    window_size, stride = 50, 40
+    words = F.split(
+        F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")), " "
+    )
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.size(words) - (window_size - stride), F.lit(1)),
+        F.lit(stride),
+    )
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            s.alias("start"),
+            F.array_join(F.slice(words, s, window_size), " ").alias("chunk"),
+        ),
+    )
+    return (
+        d.select("doc_id", F.explode(chunks).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.start").cast("bigint").alias("chunk_start"),
+            F.col("c.chunk").alias("chunk_text"),
+            F.size(F.split(F.col("c.chunk"), " ")).cast("bigint").alias(
+                "chunk_tokens"
+            ),
+        )
+    )
+
+
 def q44_motogp_standings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full MotoGP team-standings pipeline over the REAL reference
     datasets (ignores sf_dir): constructors-WC join → trademark strip →
@@ -893,6 +939,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q44_motogp_standings": q44_motogp_standings,
         "q45_motogp_participation": q45_motogp_participation,
         "q46_ann_ivf_topk": q46_ann_ivf_topk,
+        "q47_deterministic_sample": q47_deterministic_sample,
+        "q48_chunking": q48_chunking,
     }
 
 
@@ -1329,5 +1377,32 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(quantile_cont(value, 0.9), 6) AS p90,
                    COUNT(*) AS n
             FROM events GROUP BY event_type
+        """,
+        "q47_deterministic_sample": """
+            SELECT doc_id, lang, source
+            FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1', '2')
+        """,
+        "q48_chunking": """
+            WITH w AS (
+                SELECT doc_id,
+                       regexp_split_to_array(
+                           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '
+                       ) AS ws
+                FROM documents
+            ), chunks AS (
+                SELECT doc_id,
+                       CAST(s AS BIGINT) AS chunk_start,
+                       array_to_string(ws[s:s+49], ' ') AS chunk_text
+                FROM w, LATERAL (
+                    SELECT unnest(generate_series(
+                        1, greatest(len(ws) - 10, 1), 40
+                    )) AS s
+                ) t
+            )
+            SELECT doc_id, chunk_start, chunk_text,
+                   CAST(len(regexp_split_to_array(chunk_text, ' ')) AS BIGINT)
+                       AS chunk_tokens
+            FROM chunks
         """,
     }
