@@ -867,6 +867,59 @@ def q48_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q49_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF term scoring over the corpus: per-document top-3 terms by
+    tf·idf (idf = ln(N / df), natural log in both engines), ties broken
+    alphabetically — the classic corpus-statistics pipeline: explode →
+    document frequencies → join back → rank."""
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n_docs = d.count()
+    words = F.split(
+        F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")), " "
+    )
+    terms = d.select("doc_id", F.explode(words).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_counts = tf.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    scored = tf.join(F.broadcast(df_counts), "term").withColumn(
+        "tfidf",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rk")
+    )
+
+
+def q50_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index construction: term → document frequency + sorted
+    posting list (comma-joined for engine-agnostic comparison), for
+    terms appearing in at least 10 documents."""
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.split(
+        F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")), " "
+    )
+    postings = (
+        d.select("doc_id", F.explode(F.array_distinct(words)).alias("term"))
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.array_join(
+                F.sort_array(F.collect_list("doc_id")), ","
+            ).alias("postings"),
+        )
+        .filter(F.col("df") >= 10)
+    )
+    return postings
+
+
 def q44_motogp_standings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full MotoGP team-standings pipeline over the REAL reference
     datasets (ignores sf_dir): constructors-WC join → trademark strip →
@@ -952,6 +1005,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q46_ann_ivf_topk": q46_ann_ivf_topk,
         "q47_deterministic_sample": q47_deterministic_sample,
         "q48_chunking": q48_chunking,
+        "q49_tfidf_top_terms": q49_tfidf_top_terms,
+        "q50_inverted_index": q50_inverted_index,
     }
 
 
@@ -1393,6 +1448,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, source
             FROM documents
             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1', '2')
+        """,
+        "q49_tfidf_top_terms": """
+            WITH terms AS (
+                SELECT doc_id, unnest(regexp_split_to_array(
+                    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '
+                )) AS term
+                FROM documents
+            ), tf AS (
+                SELECT doc_id, term, COUNT(*) AS tf
+                FROM terms GROUP BY 1, 2
+            ), dfc AS (
+                SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1
+            ), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+            scored AS (
+                SELECT tf.doc_id, tf.term, tf.tf, dfc.df,
+                       ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfc.df), 6)
+                           AS tfidf
+                FROM tf JOIN dfc USING (term) CROSS JOIN n
+            ), ranked AS (
+                SELECT *, CAST(ROW_NUMBER() OVER (
+                    PARTITION BY doc_id ORDER BY tfidf DESC, term ASC
+                ) AS BIGINT) AS rk
+                FROM scored
+            )
+            SELECT doc_id, term, tf, df, tfidf, rk FROM ranked WHERE rk <= 3
+        """,
+        "q50_inverted_index": """
+            WITH terms AS (
+                SELECT DISTINCT doc_id, unnest(regexp_split_to_array(
+                    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '
+                )) AS term
+                FROM documents
+            )
+            SELECT term, COUNT(*) AS df,
+                   string_agg(CAST(doc_id AS VARCHAR), ','
+                              ORDER BY doc_id) AS postings
+            FROM terms GROUP BY term HAVING COUNT(*) >= 10
         """,
         "q48_chunking": """
             WITH w AS (
