@@ -920,6 +920,32 @@ def q50_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return postings
 
 
+def q51_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JsonInput surface (``motogp.ktr:4281``): write supplier as a
+    JSON-lines file, read it back with a declared schema (no inference
+    — mirroring the reference's JSONPath field lists), aggregate."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    s = read_table(spark, sf_dir, "supplier")
+    tmp = tempfile.mkdtemp(prefix="json_roundtrip_")
+    s.coalesce(1).write.mode("overwrite").json(tmp)
+    schema = T.StructType(
+        [
+            T.StructField("s_suppkey", T.LongType()),
+            T.StructField("s_name", T.StringType()),
+            T.StructField("s_nationkey", T.IntegerType()),
+            T.StructField("s_acctbal", T.DoubleType()),
+        ]
+    )
+    back = spark.read.schema(schema).json(tmp)
+    return back.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        _dec_sum("s_acctbal", "total_acctbal"),
+    )
+
+
 def q44_motogp_standings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full MotoGP team-standings pipeline over the REAL reference
     datasets (ignores sf_dir): constructors-WC join → trademark strip →
@@ -1007,6 +1033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q48_chunking": q48_chunking,
         "q49_tfidf_top_terms": q49_tfidf_top_terms,
         "q50_inverted_index": q50_inverted_index,
+        "q51_json_roundtrip": q51_json_roundtrip,
     }
 
 
@@ -1448,6 +1475,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, source
             FROM documents
             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1', '2')
+        """,
+        "q51_json_roundtrip": """
+            SELECT s_nationkey,
+                   COUNT(*) AS n_suppliers,
+                   CAST(SUM(CAST(s_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+                       AS total_acctbal
+            FROM supplier GROUP BY s_nationkey
         """,
         "q49_tfidf_top_terms": """
             WITH terms AS (
