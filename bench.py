@@ -29,6 +29,7 @@ HEADLINE = [
     "q13_surrogate_key",
     "q17_fuzzy_best_match",
     "q19_minhash_lsh_neardup",
+    "q20_jaccard_exact",
     "q21_simhash_neardup",
     "q26_ann_cosine_topk",
     "q27_embedding_neardup",

@@ -171,33 +171,43 @@ def jaccard_pairs(
     k: int = 5,
     threshold: float = 0.8,
 ) -> DataFrame:
-    """All pairs (a < b) with word-k-gram Jaccard >= threshold.
+    """All pairs (a < b) with word-k-gram Jaccard >= threshold — EXACT
+    (no LSH recall loss), with positional prefix filtering.
 
-    Exact: explode shingle sets, equi-join on shingle, count shared
-    grams per pair, compute |A∩B| / (|A|+|B|-|A∩B|). The shingle
-    equi-join prunes the quadratic pair space to pairs sharing ≥1
-    shingle. Output: (id_a, id_b, jaccard)."""
+    Prefix-filter theorem (PPJoin family): order every set by one
+    canonical total order (numeric shingle-hash order here); if two
+    sets have Jaccard ≥ t, their prefixes of length
+    ``|S| - ceil(t·|S|) + 1`` must share at least one element. So only
+    prefixes are exploded into the candidate equi-join (≈(1-t) of the
+    index size at t=0.8), and candidates are verified on the full sets.
+    Output: (id_a, id_b, jaccard) — identical to the naive full-explode
+    join, cheaper by ~1/(1-t) on the join fan-in."""
     sets_df = df.select(
-        F.col(id_col).alias("__id"), word_shingles(text_col, k).alias("__set")
+        F.col(id_col).alias("__id"),
+        F.sort_array(word_shingle_hashes(text_col, k)).alias("__set"),
     )
-    sizes = sets_df.select("__id", F.size("__set").alias("__n"))
-    exploded = sets_df.select("__id", F.explode("__set").alias("__gram"))
-    a, b = exploded.alias("a"), exploded.alias("b")
-    shared = (
+    prefix_len = (
+        F.size("__set") - F.ceil(F.lit(threshold) * F.size("__set")) + 1
+    ).cast("int")
+    prefixes = sets_df.select(
+        "__id", F.explode(F.slice("__set", 1, prefix_len)).alias("__gram")
+    )
+    a, b = prefixes.alias("a"), prefixes.alias("b")
+    candidates = (
         a.join(b, on="__gram")
         .filter(F.col("a.__id") < F.col("b.__id"))
-        .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("__shared"))
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .dropDuplicates()
     )
-    na = sizes.select(F.col("__id").alias("id_a"), F.col("__n").alias("__na"))
-    nb = sizes.select(F.col("__id").alias("id_b"), F.col("__n").alias("__nb"))
+    sa = sets_df.select(F.col("__id").alias("id_a"), F.col("__set").alias("__sa"))
+    sb = sets_df.select(F.col("__id").alias("id_b"), F.col("__set").alias("__sb"))
     return (
-        shared.join(na, "id_a")
-        .join(nb, "id_b")
+        candidates.join(sa, "id_a")
+        .join(sb, "id_b")
         .withColumn(
             "jaccard",
-            F.col("__shared")
-            / (F.col("__na") + F.col("__nb") - F.col("__shared")),
+            F.size(F.array_intersect("__sa", "__sb"))
+            / F.size(F.array_union("__sa", "__sb")),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
