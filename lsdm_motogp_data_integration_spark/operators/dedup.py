@@ -507,8 +507,10 @@ def embedding_neardup_pairs(
     only within blocks. Output: (id_a, id_b, cosine)."""
     cols = [
         F.col(id_col).alias("__id"),
-        F.col(vec_col).alias("__v"),
+        # cast to float64 ONCE per row (a per-pair dot over the raw
+        # float column would re-run the cast transform per pair), and
         # norms once per row, not once per pair
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__vd"),
         norm_expr(F.col(vec_col)).alias("__n"),
     ]
     if block_col:
@@ -520,14 +522,16 @@ def embedding_neardup_pairs(
         pairs = a.join(b, on=F.col("a.__blk") == F.col("b.__blk")).filter(cond)
     else:
         pairs = a.crossJoin(b).filter(cond)
+    raw_dot = F.aggregate(
+        F.zip_with(F.col("a.__vd"), F.col("b.__vd"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
     return (
         pairs.select(
             F.col("a.__id").alias("id_a"),
             F.col("b.__id").alias("id_b"),
-            (
-                dot_expr(F.col("a.__v"), F.col("b.__v"))
-                / (F.col("a.__n") * F.col("b.__n"))
-            ).alias("__cos"),
+            (raw_dot / (F.col("a.__n") * F.col("b.__n"))).alias("__cos"),
         )
         .filter(F.col("__cos") >= threshold)
         .select("id_a", "id_b", F.round("__cos", 6).alias("cosine"))
