@@ -30,21 +30,26 @@ SF_DIR = "/root/testdata/sf0.1"
 
 
 def scaled_docs(spark, replicas: int):
+    import random
+
     d = read_table(spark, SF_DIR, "documents").select("doc_id", "text")
     alphabet = "abcdefghijklmnopqrstuvwxyz"
     parts = [d]
     for r in range(1, replicas):
-        # per-replica alphabet rotation: every WORD is renamed 1:1, so
-        # replicas share no shingles and no token distribution with
-        # each other or the originals (a shared inserted token would
-        # dominate SimHash's distribution sketch and collapse a whole
-        # replica into one bucket); per-doc structure is preserved, so
-        # output pair counts stay ~proportional
-        rot = alphabet[r:] + alphabet[:r]
+        # per-replica seeded alphabet permutation: every WORD is renamed
+        # 1:1, so replicas share no shingles and no token distribution
+        # with each other or the originals (a shared inserted token
+        # would dominate SimHash's sketch; plain rotations repeat after
+        # 25 replicas); per-doc structure is preserved, so output pair
+        # counts stay ~proportional
+        letters = list(alphabet)
+        random.Random(r).shuffle(letters)
         parts.append(
             d.select(
                 (F.col("doc_id") + r * 1_000_000).alias("doc_id"),
-                F.translate(F.col("text"), alphabet, rot).alias("text"),
+                F.translate(
+                    F.col("text"), alphabet, "".join(letters)
+                ).alias("text"),
             )
         )
     out = parts[0]
