@@ -1,0 +1,50 @@
+"""Golden-output regression pins for the MotoGP pipeline (SURVEY §5
+step 2): md5 fingerprints of every output table, computed over the
+column-name-sorted, row-sorted CSV rendition (floats at 6 decimals).
+
+The engine is deterministic end-to-end (order-defined surrogate keys,
+tie-broken ranks and fuzzy matches, seeded hashes), so these are exact.
+An intentional semantic change must update the constants — that review
+moment is the point of the test.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from lsdm_motogp_data_integration_spark.pipelines.motogp import runner
+
+GOLDEN = {
+    "circuits": "d98cea84918dfc708de9fc4741ed03a9",
+    "participation": "dcfda71129ab6cab42cfdd11aa777ba5",
+    "race_info": "2d540ad4a59d0f6e3e45f1ae7bc6e98c",
+    "races": "7b06dff094036911454e6140ef1ae250",
+    "rider_table": "689fa3528bf7809949004e2206b630b4",
+    "riders_enriched": "39c124d6dd02f381518d2698993abbbd",
+    "team_standings": "d65b2eb5f7256a383fb67e5b13d4f16c",
+    "teams": "cf470eb2a0b8bb27a582b7cc060951f3",
+}
+
+
+def fingerprint(df) -> str:
+    pdf = df.toPandas()
+    pdf = pdf[sorted(pdf.columns)]
+    pdf = pdf.sort_values(by=list(pdf.columns), na_position="last").reset_index(
+        drop=True
+    )
+    payload = pdf.to_csv(index=False, float_format="%.6f").encode()
+    return hashlib.md5(payload).hexdigest()
+
+
+@pytest.fixture(scope="module")
+def tables(spark):
+    return runner.build_all(spark, base_dir="/root/reference")
+
+
+@pytest.mark.parametrize("name", sorted(GOLDEN))
+def test_golden_fingerprint(tables, name):
+    assert fingerprint(tables[name]) == GOLDEN[name], (
+        f"{name} output changed — if intentional, update GOLDEN"
+    )
