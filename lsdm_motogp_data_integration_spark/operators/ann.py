@@ -222,8 +222,13 @@ def lsh_topk(
     else:
         probes = F.col("__qbucket")
     q_probed = q.withColumn("__bucket", probes).drop("__qbucket")
-    pairs = c.join(F.broadcast(q_probed), on=["__table", "__bucket"]).filter(
-        F.col(id_col) != F.col(query_id_col)
+    pairs = (
+        c.join(F.broadcast(q_probed), on=["__table", "__bucket"])
+        .filter(F.col(id_col) != F.col(query_id_col))
+        # a candidate surfaces once per (table, probe) it collides in —
+        # dedupe BEFORE scoring so each pair pays the 64-dim dot once,
+        # not ~n_tables×probes times
+        .dropDuplicates([query_id_col, id_col])
     )
     scored = pairs.select(
         F.col(query_id_col).alias("query_id"),
@@ -233,7 +238,7 @@ def lsh_topk(
             / (F.col("__qn") * F.col("__cn")),
             6,
         ).alias("cosine"),
-    ).dropDuplicates(["query_id", "neighbor_id"])
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
