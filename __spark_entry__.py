@@ -946,6 +946,51 @@ def q51_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q52_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signals: distinct-token ratio and the
+    share of the single most frequent token — the cheap screens for
+    degenerate/repetitive documents in a curation pipeline."""
+    d = read_table(spark, sf_dir, "documents")
+    words = F.split(
+        F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")), " "
+    )
+    terms = d.select("doc_id", F.explode(words).alias("term"))
+    per_term = terms.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    per_doc = per_term.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("cnt").alias("top_cnt"),
+    )
+    return per_doc.select(
+        "doc_id",
+        F.round(F.col("n_distinct") / F.col("n_tokens"), 6).alias(
+            "distinct_ratio"
+        ),
+        F.round(F.col("top_cnt") / F.col("n_tokens"), 6).alias(
+            "top_token_share"
+        ),
+    )
+
+
+def q53_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus statistics: document counts, mean length
+    (decimal-exact mean), and language breadth — the dataset-card
+    rollup every curation pipeline ends with."""
+    d = read_table(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum(F.col("n_chars").cast("decimal(18,6)"))
+            / F.count(F.lit(1))
+        ).cast("double").alias("mean_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
 def q44_motogp_standings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full MotoGP team-standings pipeline over the REAL reference
     datasets (ignores sf_dir): constructors-WC join → trademark strip →
@@ -1034,6 +1079,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q49_tfidf_top_terms": q49_tfidf_top_terms,
         "q50_inverted_index": q50_inverted_index,
         "q51_json_roundtrip": q51_json_roundtrip,
+        "q52_repetition_signals": q52_repetition_signals,
+        "q53_source_stats": q53_source_stats,
     }
 
 
@@ -1475,6 +1522,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, source
             FROM documents
             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1', '2')
+        """,
+        "q52_repetition_signals": """
+            WITH terms AS (
+                SELECT doc_id, unnest(regexp_split_to_array(
+                    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '
+                )) AS term
+                FROM documents
+            ), per_term AS (
+                SELECT doc_id, term, COUNT(*) AS cnt
+                FROM terms GROUP BY 1, 2
+            ), per_doc AS (
+                SELECT doc_id, SUM(cnt) AS n_tokens,
+                       COUNT(*) AS n_distinct, MAX(cnt) AS top_cnt
+                FROM per_term GROUP BY 1
+            )
+            SELECT doc_id,
+                   ROUND(n_distinct * 1.0 / n_tokens, 6) AS distinct_ratio,
+                   ROUND(top_cnt * 1.0 / n_tokens, 6) AS top_token_share
+            FROM per_doc
+        """,
+        "q53_source_stats": """
+            SELECT source,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(CAST(n_chars AS DECIMAL(18,6))) / COUNT(*)
+                        AS DOUBLE) AS mean_chars,
+                   COUNT(DISTINCT lang) AS n_langs,
+                   MIN(n_chars) AS min_chars,
+                   MAX(n_chars) AS max_chars
+            FROM documents GROUP BY source
         """,
         "q51_json_roundtrip": """
             SELECT s_nationkey,
