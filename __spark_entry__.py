@@ -991,6 +991,41 @@ def q53_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q54_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window FRAMES (rowsBetween — absent from the reference, SURVEY
+    §2.5): per-user running event-value total in deterministic
+    (ts, event_id) order. Cumulative float addition is order-dependent;
+    the fully-specified ordering makes both engines add in the same
+    sequence."""
+    ev = read_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 6).alias("running_value"),
+    )
+
+
+def q55_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT (§2.7 — the reference has neither): customer
+    keys that do / do not appear as event users, tagged."""
+    c = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key")
+    )
+    u = read_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("key")
+    )
+    both = c.intersect(u).select("key", F.lit("both").alias("which"))
+    only_c = c.exceptAll(u.distinct()).distinct().select(
+        "key", F.lit("customer_only").alias("which")
+    )
+    return both.unionByName(only_c)
+
+
 def q44_motogp_standings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full MotoGP team-standings pipeline over the REAL reference
     datasets (ignores sf_dir): constructors-WC join → trademark strip →
@@ -1081,6 +1116,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q51_json_roundtrip": q51_json_roundtrip,
         "q52_repetition_signals": q52_repetition_signals,
         "q53_source_stats": q53_source_stats,
+        "q54_running_total": q54_running_total,
+        "q55_set_ops": q55_set_ops,
     }
 
 
@@ -1522,6 +1559,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, source
             FROM documents
             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1', '2')
+        """,
+        "q54_running_total": """
+            SELECT event_id, user_id,
+                   ROUND(SUM(value) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts ASC, event_id ASC
+                       ROWS UNBOUNDED PRECEDING
+                   ), 6) AS running_value
+            FROM events
+        """,
+        "q55_set_ops": """
+            SELECT key, 'both' AS which FROM (
+                SELECT c_custkey AS key FROM customer
+                INTERSECT
+                SELECT user_id AS key FROM events
+            )
+            UNION ALL
+            SELECT key, 'customer_only' AS which FROM (
+                SELECT c_custkey AS key FROM customer
+                EXCEPT
+                SELECT user_id AS key FROM events
+            )
         """,
         "q52_repetition_signals": """
             WITH terms AS (
