@@ -1026,6 +1026,34 @@ def q55_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return both.unionByName(only_c)
 
 
+def q56_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (absent from both the reference and Spark's builtins):
+    every event falling inside a 2-hour window after an error event of
+    the same user — bucketized to an equi-join + residual filter
+    (operators/ranges.py) instead of a quadratic inequality join."""
+    from lsdm_motogp_data_integration_spark.operators.ranges import range_join
+
+    ev = read_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("user_id"),
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("win_start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("win_end"),
+    )
+    matched = range_join(
+        ev.select("event_id", "user_id", "ts"),
+        errors,
+        "ts",
+        "win_start",
+        "win_end",
+        on=["user_id"],
+        bucket_seconds=3600,
+    )
+    return matched.filter(F.col("event_id") != F.col("error_id")).select(
+        "user_id", "error_id", "event_id"
+    )
+
+
 def q44_motogp_standings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full MotoGP team-standings pipeline over the REAL reference
     datasets (ignores sf_dir): constructors-WC join → trademark strip →
@@ -1118,6 +1146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q53_source_stats": q53_source_stats,
         "q54_running_total": q54_running_total,
         "q55_set_ops": q55_set_ops,
+        "q56_range_join": q56_range_join,
     }
 
 
@@ -1559,6 +1588,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, source
             FROM documents
             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1', '2')
+        """,
+        "q56_range_join": """
+            WITH errors AS (
+                SELECT user_id, event_id AS error_id, ts AS win_start,
+                       ts + INTERVAL 2 HOUR AS win_end
+                FROM events WHERE event_type = 'error'
+            )
+            SELECT e.user_id, err.error_id, e.event_id
+            FROM events e JOIN errors err
+              ON e.user_id = err.user_id
+             AND e.ts >= err.win_start
+             AND e.ts < err.win_end
+             AND e.event_id != err.error_id
         """,
         "q54_running_total": """
             SELECT event_id, user_id,

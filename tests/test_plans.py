@@ -88,6 +88,20 @@ def test_bucketed_join_avoids_shuffle(spark, sf_dir):
         spark.sql("DROP TABLE IF EXISTS bt_customer")
 
 
+def test_range_join_is_equi_not_nested_loop(spark, sf_dir):
+    """The bucketized range join must plan as a hash/broadcast EQUI
+    join with a residual filter — never a BroadcastNestedLoopJoin (the
+    quadratic fallback a naive inequality join produces)."""
+    from lsdm_motogp_data_integration_spark.plans import formatted_plan
+
+    df = entry.q56_range_join(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan
+    # equality on the (ordered) oracle-checked result set, small probe:
+    assert df.count() > 0
+
+
 def test_partition_pruning(spark, sf_dir, tmp_path_factory):
     """Partitioned writes enable partition pruning: a filter on the
     partition column must reach the reader as a PartitionFilter (only
