@@ -142,6 +142,36 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def write_stream_foreach_batch(
+    stream_df: DataFrame,
+    out_dir: str,
+    *,
+    checkpoint_dir: str,
+    mode: str = "append",
+) -> None:
+    """Exactly-once-style file sink via ``foreachBatch``: each
+    micro-batch lands in ``out_dir/batch_id=N`` (idempotent per batch
+    id — a replayed batch overwrites its own directory, never
+    duplicates), with progress tracked in the checkpoint. Drains the
+    available input and returns."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.write.mode("overwrite").parquet(
+                f"{out_dir}/batch_id={batch_id}"
+            )
+        )
+
+    q = (
+        stream_df.writeStream.outputMode(mode)
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_stream_to_memory(
     spark: SparkSession,
     stream_df: DataFrame,

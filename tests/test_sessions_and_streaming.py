@@ -17,6 +17,7 @@ from lsdm_motogp_data_integration_spark.streaming import (
     session_windows,
     stateful_user_totals,
     windowed_counts,
+    write_stream_foreach_batch,
 )
 
 
@@ -77,6 +78,24 @@ def test_stateful_user_totals(spark, sf_dir):
         .collect()
     }
     assert final == batch
+
+
+def test_foreach_batch_sink(spark, sf_dir, tmp_path_factory):
+    """foreachBatch parquet sink: all input rows land exactly once; a
+    re-run against the same checkpoint writes nothing new (the batch
+    was already committed)."""
+    out = str(tmp_path_factory.mktemp("fb_out"))
+    ckpt = str(tmp_path_factory.mktemp("fb_ckpt"))
+    stream = read_event_stream(spark, f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "value"
+    )
+    write_stream_foreach_batch(stream, out, checkpoint_dir=ckpt)
+    got = spark.read.parquet(out)
+    expected = read_table(spark, sf_dir, "events").count()
+    assert got.count() == expected
+    # idempotent replay: same checkpoint -> no new input -> unchanged
+    write_stream_foreach_batch(stream, out, checkpoint_dir=ckpt)
+    assert spark.read.parquet(out).count() == expected
 
 
 def test_streaming_session_window(spark, sf_dir):
