@@ -1054,6 +1054,34 @@ def q56_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q57_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination: flag "training" documents sharing
+    any word-8-gram with a held-out set, with the count of distinct
+    overlapping grams — the n-gram overlap screen run before training
+    on scraped corpora. The held-out set is the derived suffix-variant
+    corpus (ids ≥ 100000 in ``_doc_corpus``), so every 5th original is
+    a known contamination hit."""
+    from lsdm_motogp_data_integration_spark.operators.dedup import (
+        word_shingles,
+    )
+
+    corpus = _doc_corpus(spark, sf_dir)
+    train = corpus.filter(F.col("doc_id") < 100000)
+    eval_set = corpus.filter(F.col("doc_id") >= 100000)
+    train_grams = train.select(
+        "doc_id", F.explode(word_shingles("text", 8)).alias("gram")
+    )
+    eval_grams = (
+        eval_set.select(F.explode(word_shingles("text", 8)).alias("gram"))
+        .dropDuplicates()
+    )
+    return (
+        train_grams.join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gram").alias("n_shared_grams"))
+    )
+
+
 def q44_motogp_standings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full MotoGP team-standings pipeline over the REAL reference
     datasets (ignores sf_dir): constructors-WC join → trademark strip →
@@ -1147,6 +1175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q54_running_total": q54_running_total,
         "q55_set_ops": q55_set_ops,
         "q56_range_join": q56_range_join,
+        "q57_decontamination": q57_decontamination,
     }
 
 
@@ -1588,6 +1617,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, source
             FROM documents
             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1', '2')
+        """,
+        "q57_decontamination": f"""
+            WITH {_DOC_CORPUS_SQL},
+            w AS (
+                SELECT doc_id,
+                       regexp_split_to_array(
+                           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '
+                       ) AS ws
+                FROM corpus
+            ), grams AS (
+                SELECT DISTINCT doc_id, array_to_string(ws[i:i+7], ' ') AS gram
+                FROM w, LATERAL (
+                    SELECT unnest(generate_series(1, greatest(len(ws) - 7, 1))) AS i
+                ) t
+            ), eval_grams AS (
+                SELECT DISTINCT gram FROM grams WHERE doc_id >= 100000
+            )
+            SELECT g.doc_id, COUNT(DISTINCT g.gram) AS n_shared_grams
+            FROM grams g JOIN eval_grams e USING (gram)
+            WHERE g.doc_id < 100000
+            GROUP BY g.doc_id
         """,
         "q56_range_join": """
             WITH errors AS (
