@@ -1082,6 +1082,23 @@ def q57_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q58_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters: near-dup PAIRS (q19's MinHash output) closed
+    into components via iterative min-label propagation
+    (dedup.connected_components) — every doc labeled with its cluster
+    representative (smallest reachable id), singletons included. The
+    oracle computes the same closure with a recursive CTE."""
+    from lsdm_motogp_data_integration_spark.operators.dedup import (
+        connected_components,
+    )
+
+    corpus = _doc_corpus(spark, sf_dir)
+    pairs = minhash_lsh_pairs(corpus, "text", "doc_id", threshold=0.8)
+    return connected_components(
+        corpus.select("doc_id"), pairs, node_col="doc_id"
+    )
+
+
 def q44_motogp_standings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full MotoGP team-standings pipeline over the REAL reference
     datasets (ignores sf_dir): constructors-WC join → trademark strip →
@@ -1176,6 +1193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q55_set_ops": q55_set_ops,
         "q56_range_join": q56_range_join,
         "q57_decontamination": q57_decontamination,
+        "q58_dedup_clusters": q58_dedup_clusters,
     }
 
 
@@ -1617,6 +1635,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, source
             FROM documents
             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1', '2')
+        """,
+        "q58_dedup_clusters": f"""
+            WITH RECURSIVE {_DOC_CORPUS_SQL},
+            w AS (
+                SELECT doc_id,
+                       regexp_split_to_array(
+                           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '
+                       ) AS ws
+                FROM corpus
+            ), g AS (
+                SELECT DISTINCT doc_id, array_to_string(ws[i:i+4], ' ') AS gram
+                FROM w, LATERAL (
+                    SELECT unnest(generate_series(1, greatest(len(ws) - 4, 1))) AS i
+                ) t
+            ), sizes AS (
+                SELECT doc_id, COUNT(*) AS n FROM g GROUP BY 1
+            ), shared AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS sh
+                FROM g a JOIN g b USING (gram)
+                WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+            ), pairs AS (
+                SELECT id_a, id_b
+                FROM shared
+                JOIN sizes sa ON sa.doc_id = id_a
+                JOIN sizes sb ON sb.doc_id = id_b
+                WHERE sh * 1.0 / (sa.n + sb.n - sh) >= 0.8
+            ), edges AS (
+                SELECT id_a AS a, id_b AS b FROM pairs
+                UNION
+                SELECT id_b AS a, id_a AS b FROM pairs
+            ), reach AS (
+                SELECT a AS node, b AS other FROM edges
+                UNION
+                SELECT r.node, e.b FROM reach r JOIN edges e ON r.other = e.a
+            )
+            SELECT c.doc_id,
+                   LEAST(c.doc_id, COALESCE(MIN(r.other), c.doc_id))
+                       AS component
+            FROM corpus c LEFT JOIN reach r ON r.node = c.doc_id
+            GROUP BY c.doc_id
         """,
         "q57_decontamination": f"""
             WITH {_DOC_CORPUS_SQL},

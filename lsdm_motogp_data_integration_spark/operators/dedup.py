@@ -387,6 +387,75 @@ def minhash_lsh_pairs(
 
 
 # ---------------------------------------------------------------------------
+# duplicate clusters (connected components over near-dup pairs)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    *,
+    node_col: str = "id",
+    pair_a: str = "id_a",
+    pair_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Assign every node the smallest node id reachable through the
+    pair graph — near-dup PAIRS become duplicate CLUSTERS (keep one
+    representative per component, drop the rest).
+
+    Iterative min-label propagation: each round every node takes the
+    minimum label among itself and its neighbors; converges in
+    O(component diameter) rounds (near-dup components are shallow).
+    Each round is one distributed join+aggregate; labels are
+    ``localCheckpoint``-ed per round — without lineage truncation an
+    iterative DataFrame loop re-analyzes an exponentially growing plan
+    and stalls after ~10 rounds. The driver only sees the converged
+    counter; no data leaves the executors.
+
+    Output: (``node_col``, ``component``) for every node, singletons
+    included (component = own id)."""
+    edges = (
+        pairs.select(F.col(pair_a).alias("src"), F.col(pair_b).alias("dst"))
+        .unionByName(
+            pairs.select(
+                F.col(pair_b).alias("src"), F.col(pair_a).alias("dst")
+            )
+        )
+        .dropDuplicates()
+        .localCheckpoint()
+    )
+    labels = nodes.select(
+        F.col(node_col).alias("node"), F.col(node_col).alias("component")
+    ).localCheckpoint()
+    for _ in range(max_iterations):
+        neighbor_min = (
+            labels.join(edges, labels.node == edges.src)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("component").alias("__nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"),
+                    F.coalesce("__nbr_min", F.col("component")),
+                ).alias("__new"),
+                "component",
+            )
+            .localCheckpoint()
+        )
+        changed = updated.filter(F.col("__new") != F.col("component")).count()
+        labels = updated.select("node", F.col("__new").alias("component"))
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias(node_col), F.col("component")
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

@@ -89,6 +89,40 @@ def test_simhash_finds_identical_and_near(docs):
     assert (1, 4) not in pairs  # unrelated text far away
 
 
+def test_connected_components(spark):
+    from lsdm_motogp_data_integration_spark.operators.dedup import (
+        connected_components,
+    )
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], ["id"])
+    # chain 1-2-3, pair 5-6, singletons 4 and 7
+    pairs = spark.createDataFrame(
+        [(2, 3), (1, 2), (5, 6)], ["id_a", "id_b"]
+    )
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(nodes, pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 7}
+
+
+def test_connected_components_long_chain(spark):
+    from lsdm_motogp_data_integration_spark.operators.dedup import (
+        connected_components,
+    )
+
+    n = 12
+    nodes = spark.createDataFrame([(i,) for i in range(n)], ["id"])
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["id_a", "id_b"]
+    )
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(nodes, chain).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
+
+
 def test_embedding_neardup(spark):
     rows = [
         (1, [1.0, 0.0, 0.0], "a"),
