@@ -1099,6 +1099,19 @@ def q58_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q59_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates (HyperLogLog distinct, t-digest-style
+    quantiles) — sketch-based estimates whose exact values are
+    implementation-specific, so no cross-engine oracle (rows-only);
+    accuracy vs the exact q35/q43 values is the in-Spark contract."""
+    o = read_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey").alias("approx_customers"),
+        F.percentile_approx("o_totalprice", 0.5).alias("approx_median_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
 def q44_motogp_standings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full MotoGP team-standings pipeline over the REAL reference
     datasets (ignores sf_dir): constructors-WC join → trademark strip →
@@ -1194,6 +1207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q56_range_join": q56_range_join,
         "q57_decontamination": q57_decontamination,
         "q58_dedup_clusters": q58_dedup_clusters,
+        "q59_approx_aggs": q59_approx_aggs,
     }
 
 
