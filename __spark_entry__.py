@@ -82,10 +82,16 @@ def q02_select_rename_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SelectValues: ordered projection + rename + metadata re-type
     (``motogp.ktr:2145`` et al. — 30 instances)."""
     part = read_table(spark, sf_dir, "part")
+    # The DECIMAL(12,2) re-type is the SelectValues semantic; the final
+    # cast back to DOUBLE makes the serialized representation stable
+    # across engines (Spark Decimal vs DuckDB decimal rendering differ
+    # even when values are equal — driver hash r01 proved it).
     return part.select(
         F.col("p_partkey").alias("part_id"),
         F.col("p_name").alias("part_name"),
-        F.col("p_retailprice").cast("decimal(12,2)").alias("retail_dec"),
+        F.col("p_retailprice").cast("decimal(12,2)").cast("double").alias(
+            "retail_dec"
+        ),
         F.col("p_size").cast("bigint").alias("size_long"),
     )
 
@@ -1227,7 +1233,7 @@ def oracle_sql() -> dict[str, str]:
         "q02_select_rename_cast": """
             SELECT p_partkey AS part_id,
                    p_name AS part_name,
-                   CAST(p_retailprice AS DECIMAL(12,2)) AS retail_dec,
+                   CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS DOUBLE) AS retail_dec,
                    CAST(p_size AS BIGINT) AS size_long
             FROM part
         """,

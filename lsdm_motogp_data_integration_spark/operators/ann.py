@@ -104,6 +104,85 @@ def signature_udf(n_planes: int, dim: int, n_tables: int = 1):
     return signature
 
 
+def _normalize_rows(mat: np.ndarray) -> np.ndarray:
+    # zero-norm floor: an all-zero centroid row must not become NaN and
+    # poison every cell comparison (same guard as the assignment UDF)
+    return mat / np.maximum(
+        np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
+    )
+
+
+def _train_centroids(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_cells: int,
+    n_iters: int,
+) -> np.ndarray:
+    """Deterministic k-means codebook: hash-sample init + ``n_iters``
+    Lloyd rounds as distributed DataFrame jobs. Each round: one
+    assignment pass (vectorized UDF, broadcast centroid matrix) and one
+    element-wise mean (posexplode → decimal(28,12)-exact sum ÷ count —
+    immune to float summation-order differences). Only O(n_cells × dim)
+    mean rows ever reach the driver; cells that lose all members keep
+    their previous centroid."""
+    sample = (
+        corpus.select(id_col, vec_col)
+        .withColumn("__h", F.xxhash64(F.col(id_col)))
+        .orderBy("__h")
+        .limit(n_cells)
+        .collect()
+    )
+    mat = np.vstack(
+        [np.asarray(r[vec_col], dtype=np.float64) for r in sample]
+    )
+    mat = _normalize_rows(mat)
+    dim = mat.shape[1]
+
+    for _ in range(n_iters):
+        current = mat
+
+        @F.pandas_udf(T.IntegerType())
+        def nearest(vecs: pd.Series) -> pd.Series:
+            v = np.vstack([np.asarray(x, dtype=np.float64) for x in vecs])
+            v = v / np.maximum(
+                np.linalg.norm(v, axis=1, keepdims=True), 1e-12
+            )
+            return pd.Series(
+                np.argmax(v @ current.T, axis=1).astype(np.int32)
+            )
+
+        means = (
+            corpus.select(nearest(F.col(vec_col)).alias("__cell"), vec_col)
+            .select(
+                "__cell",
+                F.posexplode(F.col(vec_col).cast("array<double>")).alias(
+                    "__pos", "__val"
+                ),
+            )
+            .groupBy("__cell", "__pos")
+            .agg(
+                (
+                    F.sum(F.col("__val").cast("decimal(28,12)"))
+                    / F.count(F.lit(1))
+                )
+                .cast("double")
+                .alias("__mean")
+            )
+            .collect()
+        )
+        new_mat = mat.copy()
+        touched = np.zeros(n_cells, dtype=bool)
+        for row in means:
+            new_mat[row["__cell"], row["__pos"]] = row["__mean"]
+            touched[row["__cell"]] = True
+        # a cell that captured no vectors keeps its previous centroid
+        new_mat[~touched] = mat[~touched]
+        assert new_mat.shape == (n_cells, dim)
+        mat = _normalize_rows(new_mat)
+    return mat
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -115,27 +194,26 @@ def ivf_topk(
     k: int = 10,
     n_cells: int = 16,
     nprobe: int = 3,
+    train_iterations: int = 2,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: corpus vectors are
     assigned to their nearest of ``n_cells`` centroid cells; each query
     scores only the ``nprobe`` cells nearest to it.
 
-    Centroids are a deterministic pseudo-random corpus sample (the
-    ``n_cells`` smallest ``xxhash64(id)`` rows — k-means init without
-    RNG state; a trained k-means would sharpen cells but adds an
-    iterative job). The centroid matrix is O(n_cells × dim) driver-side
-    metadata, shipped once into the assignment UDF — the same pattern
-    as a broadcast codebook at cluster scale. Same output shape as
-    :func:`cosine_topk`; recall < 1 by design."""
-    sample = (
-        corpus.select(id_col, vec_col)
-        .withColumn("__h", F.xxhash64(F.col(id_col)))
-        .orderBy("__h")
-        .limit(n_cells)
-        .collect()
+    Centroids are initialized from a deterministic pseudo-random corpus
+    sample (the ``n_cells`` smallest ``xxhash64(id)`` rows — k-means
+    init without RNG state) and then refined with ``train_iterations``
+    Lloyd rounds run as DataFrame jobs: assign each corpus vector to its
+    nearest centroid, element-wise-average each cell (posexplode →
+    decimal-exact sum ÷ count, so centroids are bit-stable across
+    partition orders), re-normalize. The centroid matrix is
+    O(n_cells × dim) driver-side metadata, shipped once into the
+    assignment UDF — the same pattern as a broadcast codebook at
+    cluster scale. Same output shape as :func:`cosine_topk`;
+    recall < 1 by design."""
+    mat = _train_centroids(
+        corpus, vec_col, id_col, n_cells, train_iterations
     )
-    mat = np.vstack([np.asarray(r[vec_col], dtype=np.float64) for r in sample])
-    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
 
     def cells_udf(n_top: int):
         @F.pandas_udf(T.ArrayType(T.IntegerType()))

@@ -404,14 +404,21 @@ def connected_components(
     pair graph — near-dup PAIRS become duplicate CLUSTERS (keep one
     representative per component, drop the rest).
 
-    Iterative min-label propagation: each round every node takes the
-    minimum label among itself and its neighbors; converges in
-    O(component diameter) rounds (near-dup components are shallow).
+    Iterative min-label propagation with pointer jumping: each round
+    every node takes the minimum label among itself and its neighbors,
+    then short-circuits through its label's label (label <- label[label])
+    — the remaining diameter halves each round, so convergence is
+    O(log d) rounds, and chain-shaped components of diameter up to
+    ~2^max_iterations resolve within the default budget.
     Each round is one distributed join+aggregate; labels are
     ``localCheckpoint``-ed per round — without lineage truncation an
     iterative DataFrame loop re-analyzes an exponentially growing plan
     and stalls after ~10 rounds. The driver only sees the converged
     counter; no data leaves the executors.
+
+    Raises ``RuntimeError`` if labels are still changing after
+    ``max_iterations`` — partially-propagated labels are silently wrong
+    answers, never returned.
 
     Output: (``node_col``, ``component``) for every node, singletons
     included (component = own id)."""
@@ -428,28 +435,46 @@ def connected_components(
     labels = nodes.select(
         F.col(node_col).alias("node"), F.col(node_col).alias("component")
     ).localCheckpoint()
+    changed = 0
     for _ in range(max_iterations):
         neighbor_min = (
             labels.join(edges, labels.node == edges.src)
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min("component").alias("__nbr_min"))
         )
-        updated = (
-            labels.join(neighbor_min, "node", "left")
+        updated = labels.join(neighbor_min, "node", "left").select(
+            "node",
+            F.least(
+                F.col("component"),
+                F.coalesce("__nbr_min", F.col("component")),
+            ).alias("__new"),
+            "component",
+        )
+        # pointer jump: labels are always node ids, so look up the label
+        # OF my new label and take it (label[label] <= label, since every
+        # node's label is <= its own id and only ever decreases)
+        lbl_of = updated.select(
+            F.col("node").alias("__c"), F.col("__new").alias("__cc")
+        )
+        jumped = (
+            updated.join(lbl_of, updated["__new"] == lbl_of["__c"], "left")
             .select(
                 "node",
-                F.least(
-                    F.col("component"),
-                    F.coalesce("__nbr_min", F.col("component")),
-                ).alias("__new"),
+                F.coalesce("__cc", "__new").alias("__new"),
                 "component",
             )
             .localCheckpoint()
         )
-        changed = updated.filter(F.col("__new") != F.col("component")).count()
-        labels = updated.select("node", F.col("__new").alias("component"))
+        changed = jumped.filter(F.col("__new") != F.col("component")).count()
+        labels = jumped.select("node", F.col("__new").alias("component"))
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            f"iterations ({changed} labels still changing); raise "
+            "max_iterations (diameter handled grows as 2^iterations)"
+        )
     return labels.select(
         F.col("node").alias(node_col), F.col("component")
     )

@@ -144,8 +144,15 @@ def similarity_join(
 
     # synthetic per-row probe id: duplicate probe rows must each emit
     # their own best match (FuzzyMatch is a per-row lookup); only used
-    # inside this plan as a window key, dropped before returning
-    tagged = probe.withColumn("__probe_id", F.monotonically_increasing_id())
+    # inside this plan as a window key, dropped before returning.
+    # monotonically_increasing_id is partition-layout dependent, and
+    # `tagged` is referenced from more than one branch of the final plan
+    # (candidate side + left-join-back side) — pin the ids once so a
+    # shuffle upstream or a task retry cannot re-assign them between the
+    # two evaluations.
+    tagged = probe.withColumn(
+        "__probe_id", F.monotonically_increasing_id()
+    ).localCheckpoint(eager=True)
 
     if strategy == "lsh":
         pairs = _lsh_candidates(tagged, lookup, probe_on, lookup_on)

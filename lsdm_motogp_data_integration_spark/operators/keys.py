@@ -80,10 +80,14 @@ def add_surrogate_key_distributed(
         kv.append(F.lit(off))
     offset_of = F.create_map(*kv)
     local = Window.partitionBy("__pid").orderBy(*cols)
-    return (
-        ranged.withColumn(
-            name,
-            (F.row_number().over(local).cast("bigint") + offset_of[F.col("__pid")]),
-        )
-        .drop("__pid")
-    )
+    result = ranged.withColumn(
+        name,
+        (F.row_number().over(local).cast("bigint") + offset_of[F.col("__pid")]),
+    ).drop("__pid")
+    # Materialize the keyed output, then release the persisted range
+    # partitioning — otherwise repeated calls in a long-lived session
+    # leak executor storage. localCheckpoint blocks are reclaimed by the
+    # ContextCleaner once the returned DataFrame is garbage-collected.
+    result = result.localCheckpoint(eager=True)
+    ranged.unpersist()
+    return result

@@ -115,12 +115,18 @@ def build_participation(
         "rider_name_norm", normalize_name(name_from_comma("rider_name"))
     )
 
-    grid = quali.select(
-        F.col("Year").alias("year"),
-        F.col("OfficialName").alias("circuit_name"),
-        normalize_name("RiderName").alias("rider_name_norm"),
-        F.col("Position").alias("grid_position"),
-    ).dropDuplicates(["year", "circuit_name", "rider_name_norm"])
+    # explicit survivor rule (best grid slot) — dropDuplicates on a key
+    # subset keeps a partition-order-dependent row
+    grid = (
+        quali.select(
+            F.col("Year").alias("year"),
+            F.col("OfficialName").alias("circuit_name"),
+            normalize_name("RiderName").alias("rider_name_norm"),
+            F.col("Position").alias("grid_position"),
+        )
+        .groupBy("year", "circuit_name", "rider_name_norm")
+        .agg(F.min("grid_position").alias("grid_position"))
+    )
     with_grid = named.join(
         F.broadcast(grid), on=["year", "circuit_name", "rider_name_norm"], how="left"
     )
@@ -130,9 +136,13 @@ def build_participation(
     )
     with_rider = with_grid.join(rider_keys, on="rider", how="inner")
 
-    race_lookup = races.select(
-        "id_race", F.col("circuit_name3").alias("race_circuit_name")
-    ).dropDuplicates(["race_circuit_name"])
+    race_lookup = (
+        races.select(
+            "id_race", F.col("circuit_name3").alias("race_circuit_name")
+        )
+        .groupBy("race_circuit_name")
+        .agg(F.min("id_race").alias("id_race"))
+    )
     matched = similarity_join(
         with_rider,
         race_lookup,

@@ -68,19 +68,39 @@ def synthesize_race_results(
         F.col("rider_name_plain"), r"^(\S+)\s+", "$1, "
     )
 
-    master_names = riders_master.select(
-        F.col("id").alias("rider"),
-        F.upper(
-            F.concat_ws(" ", F.col("first_name"), F.col("last_name"))
-        ).alias("join_name"),
-    ).dropDuplicates(["join_name"])
+    # survivor rules are explicit (min id / min_by id), not
+    # dropDuplicates-on-a-subset — dropDuplicates keeps a
+    # partition-order-dependent arbitrary row when the key repeats,
+    # which would make the golden fingerprints layout-fragile
+    master_names = (
+        riders_master.select(
+            F.col("id").alias("rider"),
+            F.upper(
+                F.concat_ws(" ", F.col("first_name"), F.col("last_name"))
+            ).alias("join_name"),
+        )
+        .groupBy("join_name")
+        .agg(F.min("rider").alias("rider"))
+    )
 
-    team_idx = teams_raw.select(
-        F.col("name").alias("team_name"), (F.col("id") % n_teams).alias("__tidx")
-    ).dropDuplicates(["__tidx"])
-    bike_idx = bikes_raw.select(
-        F.col("name").alias("bike_name"), (F.col("id") % n_bikes).alias("__bidx")
-    ).dropDuplicates(["__bidx"])
+    team_idx = (
+        teams_raw.select(
+            F.col("name").alias("team_name"),
+            F.col("id"),
+            (F.col("id") % n_teams).alias("__tidx"),
+        )
+        .groupBy("__tidx")
+        .agg(F.min_by("team_name", "id").alias("team_name"))
+    )
+    bike_idx = (
+        bikes_raw.select(
+            F.col("name").alias("bike_name"),
+            F.col("id"),
+            (F.col("id") % n_bikes).alias("__bidx"),
+        )
+        .groupBy("__bidx")
+        .agg(F.min_by("bike_name", "id").alias("bike_name"))
+    )
 
     with_ids = (
         base.withColumn("rider_name", comma_name)
@@ -140,10 +160,13 @@ def build_results_enriched(
         .select(
             F.col("id").alias("bike_id"), F.col("name").alias("bike_name")
         )
-        .dropDuplicates(["bike_name"])
+        .groupBy("bike_name")
+        .agg(F.min("bike_id").alias("bike_id"))
     )
-    teams = teams_dim.select("team_id", "team_name").dropDuplicates(
-        ["team_name"]
+    teams = (
+        teams_dim.select("team_id", "team_name")
+        .groupBy("team_name")
+        .agg(F.min("team_id").alias("team_id"))
     )
     return (
         race_results.join(F.broadcast(bikes), "bike_name", "inner")

@@ -65,8 +65,15 @@ def build_riders_enriched(
             F.coalesce("fp_3rd", "info_3rd").alias("career_3rd"),
         )
         # the same normalized name can appear twice in the career files;
-        # keep one stats row per name so the master join stays 1:1
-        .dropDuplicates(["rider_name"])
+        # collapse to one stats row per name so the master join stays
+        # 1:1 — element-wise max (best recorded career stats) is an
+        # explicit, partition-order-independent survivor rule
+        .groupBy("rider_name")
+        .agg(
+            F.max("career_victories").alias("career_victories"),
+            F.max("career_2nd").alias("career_2nd"),
+            F.max("career_3rd").alias("career_3rd"),
+        )
     )
 
     master = riders_master.select(

@@ -30,11 +30,12 @@ def build_team_standings(
     results_enriched: DataFrame,
     teams_dim: DataFrame,
 ) -> DataFrame:
+    # only used as a season semi-join filter — keep just the key, so the
+    # dedup is full-row and deterministic
     wc = constructors_wc.select(
         F.col("Season").alias("year"),
         strip_trademark(F.col("Class")).alias("category"),
-        F.col("Constructor").alias("constructor"),
-    ).dropDuplicates(["year", "category"])
+    ).dropDuplicates()
 
     season_rows = results_enriched.select(
         "year", "category", "team_name", "points"
@@ -54,8 +55,10 @@ def build_team_standings(
     ranked = totals.withColumn(
         "final_position", F.row_number().over(w).cast("bigint")
     )
-    teams = teams_dim.select("team_id", "team_name").dropDuplicates(
-        ["team_name"]
+    teams = (
+        teams_dim.select("team_id", "team_name")
+        .groupBy("team_name")
+        .agg(F.min("team_id").alias("team_id"))
     )
     return ranked.join(F.broadcast(teams), on="team_name", how="inner").select(
         "year", "category", "team_name", "total_points", "final_position", "team_id"

@@ -66,9 +66,10 @@ def test_ivf_recall_floor(spark, sf_dir):
     ).collect()
     approx = {(r["query_id"], r["neighbor_id"]) for r in approx_rows}
     recall = len(exact & approx) / len(exact)
-    # random 64-dim data has weak cluster structure; assert the
-    # machinery retrieves genuinely-near candidates from probed cells
-    assert recall >= 0.2, f"recall {recall}"
+    # random 64-dim data has weak cluster structure (Lloyd training
+    # sharpens cells only marginally here); the trained, deterministic
+    # codebook holds >=0.5 on this corpus — pin a 0.4 floor
+    assert recall >= 0.4, f"recall {recall}"
     assert len(approx) <= len(exact)
     # determinism: same centroids, same result
     again = {

@@ -18,7 +18,10 @@ from lsdm_motogp_data_integration_spark.pipelines.motogp import runner
 
 GOLDEN = {
     "circuits": "d98cea84918dfc708de9fc4741ed03a9",
-    "participation": "dcfda71129ab6cab42cfdd11aa777ba5",
+    # re-pinned 2026-08-13: explicit survivor rules (min/min_by/max
+    # aggregates instead of subset-dropDuplicates) + pinned fuzzy probe
+    # ids replaced the previous partition-order-dependent row picks
+    "participation": "899128cd2a229d6c51bfb5c0ed1e29c8",
     "race_info": "2d540ad4a59d0f6e3e45f1ae7bc6e98c",
     "races": "7b06dff094036911454e6140ef1ae250",
     "rider_table": "689fa3528bf7809949004e2206b630b4",
