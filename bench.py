@@ -24,7 +24,6 @@ HEADLINE = [
     "q01_pricing_summary",
     "q05_join_inner",
     "q09_position_counts_multiway",
-    "q10_position_counts_conditional",
     "q11_standings",
     "q13_surrogate_key",
     "q17_fuzzy_best_match",

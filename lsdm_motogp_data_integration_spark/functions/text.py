@@ -83,3 +83,46 @@ def code_map_expr(mapping: Mapping, col: Column | str, default=None) -> Column:
     if default is not None:
         expr = F.coalesce(expr, F.lit(default))
     return expr
+
+
+DMS_PATTERN = (
+    "(\\d+)°(\\d+)[′'](\\d+)[″\"]([NS])\\s+"
+    "(\\d+)°(\\d+)[′'](\\d+)[″\"]([EW])"
+)
+
+
+def dms_to_decimal(col: Column | str) -> Column:
+    """DMS coordinate text → ``struct(lat, lon)`` decimal degrees.
+
+    The ingestion-layer conversion from the reference's circuit scraper
+    (``race_date_script.py:63-74``): extract 8 regex groups
+    (deg/min/sec/hemisphere × lat/lon), compute
+    ``deg + min/60 + sec/3600``, negate for S/W. Pure Column
+    expression; unparseable text → null struct fields (the reference
+    falls back to its previous value — callers coalesce)."""
+    c = F.col(col) if isinstance(col, str) else col
+
+    def grp(i: int) -> Column:
+        return F.regexp_extract(c, DMS_PATTERN, i)
+
+    def angle(deg: Column, mins: Column, secs: Column) -> Column:
+        return (
+            deg.cast("double")
+            + mins.cast("double") / 60
+            + secs.cast("double") / 3600
+        )
+
+    ok = c.rlike(DMS_PATTERN)
+    lat = F.when(
+        ok,
+        F.when(grp(4) == "S", -angle(grp(1), grp(2), grp(3))).otherwise(
+            angle(grp(1), grp(2), grp(3))
+        ),
+    )
+    lon = F.when(
+        ok,
+        F.when(grp(8) == "W", -angle(grp(5), grp(6), grp(7))).otherwise(
+            angle(grp(5), grp(6), grp(7))
+        ),
+    )
+    return F.struct(lat.alias("lat"), lon.alias("lon"))

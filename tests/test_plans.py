@@ -22,7 +22,7 @@ from lsdm_motogp_data_integration_spark.sources import read_table
 
 
 def test_filter_pushdown_reaches_scan(spark, sf_dir):
-    df = entry.q03_filter_route_true(spark, sf_dir)
+    df = entry.q03_filter_routes(spark, sf_dir)
     assert_pushed_filters(df, "o_orderstatus", "o_totalprice")
 
 

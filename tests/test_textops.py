@@ -118,3 +118,21 @@ def test_code_map(spark):
         "rain",
         "unknown",
     ]
+
+
+def test_dms_to_decimal(spark):
+    from lsdm_motogp_data_integration_spark.functions.text import (
+        dms_to_decimal,
+    )
+
+    col = dms_to_decimal("t")
+    # reference example shape (race_date_script.py:63-74): N/E positive
+    v = one(spark, "45°37′2″N 9°17′5″E", F.round(col["lat"], 6))
+    assert v == round(45 + 37 / 60 + 2 / 3600, 6)
+    v = one(spark, "45°37′2″S 9°17′5″W", F.round(col["lon"], 6))
+    assert v == -round(9 + 17 / 60 + 5 / 3600, 6)
+    # ASCII quote variants from the same regex
+    assert one(spark, "1°2'3\"N 4°5'6\"E", F.round(col["lat"], 6)) == round(
+        1 + 2 / 60 + 3 / 3600, 6
+    )
+    assert one(spark, "no coordinates here", col["lat"]) is None
