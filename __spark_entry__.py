@@ -441,15 +441,21 @@ def q20_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q21_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash(64-bit) near-dup pairs within Hamming ≤ 3, candidates
-    via 16-bit chunk pigeonholing. Hash-construction-specific → no SQL
-    oracle (driver records rows-only). Note: on the small-vocab
-    synthetic corpus SimHash separates weakly (it sketches token
-    distributions, which word-soup shares) — MinHash (q19) is the
-    discriminative method there; this query checks the operator
-    machinery, recall characteristics are asserted in tests."""
+    """SimHash near-dup pairs within Hamming ≤ 3, candidates via 16-bit
+    chunk pigeonholing, run with the portable md5-based token hash so
+    the ENTIRE sketch (token hashes → per-bit votes → signature →
+    hamming) is replayed exactly by the DuckDB oracle in bit
+    arithmetic. Production default stays xxhash64 (same algorithm,
+    faster hash). Note: on the small-vocab synthetic corpus SimHash
+    separates weakly (it sketches token distributions, which word-soup
+    shares) — MinHash (q19) is the discriminative method there; recall
+    characteristics are asserted in tests."""
     return simhash_pairs(
-        _doc_corpus(spark, sf_dir), "text", "doc_id", max_hamming=3
+        _doc_corpus(spark, sf_dir),
+        "text",
+        "doc_id",
+        max_hamming=3,
+        token_hash="md5_60",
     )
 
 
@@ -1436,6 +1442,41 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q19_minhash_lsh_neardup": _JACCARD_PAIRS_SQL,
         "q20_jaccard_exact": _JACCARD_PAIRS_SQL,
+        # bit-arithmetic replay of the Spark SimHash sketch: identical
+        # md5-derived 60-bit token hashes, per-bit ±1 votes, sign →
+        # signature, all-pairs hamming (the Spark side prunes candidates
+        # by 16-bit-chunk pigeonholing, which is lossless at hamming≤3)
+        "q21_simhash_neardup": f"""
+            WITH {_DOC_CORPUS_SQL},
+            toks AS (
+                SELECT doc_id, unnest(regexp_split_to_array(
+                    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '
+                )) AS term
+                FROM corpus
+            ), th AS (
+                SELECT doc_id,
+                       CAST(('0x' || substr(md5(term), 1, 15)) AS BIGINT) AS h
+                FROM toks
+            ), votes AS (
+                SELECT doc_id, b.bit,
+                       SUM(CASE WHEN ((h >> b.bit) & 1) = 1
+                                THEN 1 ELSE -1 END) AS v
+                FROM th CROSS JOIN (
+                    SELECT unnest(generate_series(0, 59)) AS bit
+                ) b
+                GROUP BY 1, 2
+            ), sig AS (
+                SELECT doc_id,
+                       SUM(CASE WHEN v > 0
+                                THEN (CAST(1 AS BIGINT) << bit)
+                                ELSE 0 END) AS sh
+                FROM votes GROUP BY 1
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+            FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sh, b.sh)) <= 3
+        """,
         "q22_text_signals": """
             WITH tok AS (
                 SELECT doc_id,

@@ -506,21 +506,44 @@ def simhash64_udf(token_hashes: pd.Series) -> pd.Series:
     return pd.Series(out, dtype="int64")
 
 
+def md5_60bit(col: Column) -> Column:
+    """60-bit integer hash from the first 15 hex chars of md5 — the
+    portable token hash: md5 is bit-identical in Spark and DuckDB
+    (``CAST('0x'||substr(md5(t),1,15) AS BIGINT)`` on the oracle side),
+    so sketches built on it are cross-engine verifiable. 60 bits keeps
+    the value inside a signed BIGINT without overflow in either
+    engine."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
 def simhash_pairs(
     df: DataFrame,
     text_col: str,
     id_col: str,
     *,
     max_hamming: int = 3,
+    token_hash: str = "xxhash64",
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash: candidates share at least one of
     four 16-bit chunks (pigeonhole: any pair within Hamming distance 3
     of 64 bits agrees on ≥1 chunk), verified with
     ``bit_count(a XOR b) <= max_hamming`` JVM-side.
 
+    ``token_hash``: ``"xxhash64"`` (default — fastest, JVM-native) or
+    ``"md5_60"`` (portable: DuckDB computes the identical hash, so the
+    whole sketch is oracle-verifiable; bits 60-63 are then always 0,
+    which only makes the top chunk slightly more collision-prone among
+    CANDIDATES — verification still exact).
+
     Output: (id_a, id_b, hamming)."""
+    if token_hash == "xxhash64":
+        hash_fn = F.xxhash64
+    elif token_hash == "md5_60":
+        hash_fn = md5_60bit
+    else:
+        raise ValueError(f"token_hash must be xxhash64|md5_60, got {token_hash!r}")
     token_hashes = F.transform(
-        normalized_words(text_col), lambda t: F.xxhash64(t)
+        normalized_words(text_col), lambda t: hash_fn(t)
     )
     hashed = df.select(
         F.col(id_col).alias("__id"),
@@ -550,9 +573,9 @@ def simhash_pairs(
         .select(
             F.col("a.__id").alias("id_a"),
             F.col("b.__id").alias("id_b"),
-            F.bit_count(
-                F.col("a.__sh").bitwiseXOR(F.col("b.__sh"))
-            ).alias("hamming"),
+            F.bit_count(F.col("a.__sh").bitwiseXOR(F.col("b.__sh")))
+            .cast("bigint")
+            .alias("hamming"),
         )
         .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("hamming") <= max_hamming)
