@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from lsdm_motogp_data_integration_spark.operators.dedup import md5_60bit
+
 POINTS_BY_POSITION = {
     1: 25.0, 2: 20.0, 3: 16.0, 4: 13.0, 5: 11.0, 6: 10.0, 7: 9.0, 8: 8.0,
     9: 7.0, 10: 6.0, 11: 5.0, 12: 4.0, 13: 3.0, 14: 2.0, 15: 1.0,
@@ -60,7 +62,17 @@ def synthesize_race_results(
         F.col("RiderName").alias("rider_name_plain"),
         F.col("Position").alias("position"),
     )
-    h = F.xxhash64("rider_name_plain", "year", "shortname")
+    # portable md5-based hash (not xxhash64): DuckDB computes the
+    # identical value, so the whole synthetic fact — and every table
+    # derived from it — can be replayed by the SQL oracle
+    h = md5_60bit(
+        F.concat_ws(
+            "|",
+            F.col("rider_name_plain"),
+            F.col("year").cast("string"),
+            F.col("shortname"),
+        )
+    )
     # "Name Surname" -> "Name, Surname" (the fact file's comma format,
     # split back apart by the pipeline at motogp.ktr:8085); anchored
     # pattern replaces only the first name/surname boundary
@@ -113,7 +125,15 @@ def synthesize_race_results(
         .withColumn(
             "__bidx",
             F.pmod(
-                F.xxhash64(F.lit("bike"), "rider_name_plain", "year", "shortname"),
+                md5_60bit(
+                    F.concat_ws(
+                        "|",
+                        F.lit("bike"),
+                        F.col("rider_name_plain"),
+                        F.col("year").cast("string"),
+                        F.col("shortname"),
+                    )
+                ),
                 F.lit(n_bikes),
             ),
         )

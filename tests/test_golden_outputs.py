@@ -18,15 +18,16 @@ from lsdm_motogp_data_integration_spark.pipelines.motogp import runner
 
 GOLDEN = {
     "circuits": "d98cea84918dfc708de9fc4741ed03a9",
-    # re-pinned 2026-08-13: explicit survivor rules (min/min_by/max
-    # aggregates instead of subset-dropDuplicates) + pinned fuzzy probe
-    # ids replaced the previous partition-order-dependent row picks
-    "participation": "899128cd2a229d6c51bfb5c0ed1e29c8",
+    # re-pinned 2026-08-13 (twice): (1) explicit survivor rules +
+    # pinned fuzzy probe ids replaced partition-order-dependent picks;
+    # (2) the synthetic fact's hash moved from xxhash64 to the portable
+    # md5-based hash so the DuckDB oracle (q44/q45) can replay it
+    "participation": "e6cd064f8d700984a8fd10e0052406b1",
     "race_info": "2d540ad4a59d0f6e3e45f1ae7bc6e98c",
     "races": "7b06dff094036911454e6140ef1ae250",
-    "rider_table": "689fa3528bf7809949004e2206b630b4",
+    "rider_table": "913a5b197360bc283365861ed35efa8f",
     "riders_enriched": "39c124d6dd02f381518d2698993abbbd",
-    "team_standings": "d65b2eb5f7256a383fb67e5b13d4f16c",
+    "team_standings": "eef918f74eb126cd483192c573fb1c40",
     "teams": "cf470eb2a0b8bb27a582b7cc060951f3",
 }
 
