@@ -618,10 +618,26 @@ def embedding_neardup_pairs(
     *,
     block_col: str | None = None,
     threshold: float = 0.9,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    dim: int | None = None,
 ) -> DataFrame:
-    """Pairs (a < b) with cosine >= threshold, optionally blocked on a
-    coarse key (cluster/label/LSH bucket) so the self-join is quadratic
-    only within blocks. Output: (id_a, id_b, cosine)."""
+    """Pairs (a < b) with cosine >= threshold. Candidate generation is
+    ALWAYS blocked — there is deliberately no all-pairs fallback (a
+    silent ``crossJoin`` would be O(n²) at corpus scale):
+
+    - ``block_col`` given: exact within user blocks (cluster/label/
+      shard key); quadratic only inside a block.
+    - ``block_col=None``: deterministic random-hyperplane LSH buckets
+      (``n_tables`` tables × ``n_planes``-bit signatures, same
+      construction as ``operators.ann``). A pair is scored iff it
+      shares a bucket in ≥1 table; exact duplicates always collide
+      (identical signatures), and at threshold 0.99 a pair agrees on a
+      given bit w.p. ≈0.955, so 4×8-bit tables recover ≈0.99 of true
+      pairs (recall floor asserted in tests). ``dim`` defaults to the
+      first row's vector length.
+
+    Output: (id_a, id_b, cosine)."""
     cols = [
         F.col(id_col).alias("__id"),
         # cast to float64 ONCE per row (a per-pair dot over the raw
@@ -633,23 +649,48 @@ def embedding_neardup_pairs(
     if block_col:
         cols.append(F.col(block_col).alias("__blk"))
     slim = df.select(*cols)
-    a, b = slim.alias("a"), slim.alias("b")
     cond = F.col("a.__id") < F.col("b.__id")
     if block_col:
+        a, b = slim.alias("a"), slim.alias("b")
         pairs = a.join(b, on=F.col("a.__blk") == F.col("b.__blk")).filter(cond)
     else:
-        pairs = a.crossJoin(b).filter(cond)
+        from lsdm_motogp_data_integration_spark.operators.ann import (
+            signature_udf,
+        )
+
+        if dim is None:
+            first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+            if first is None:
+                dim = 1  # empty input; any plane matrix works
+            else:
+                dim = first["d"]
+        sigs = slim.select(
+            "*",
+            F.posexplode(
+                signature_udf(n_planes, dim, n_tables)(F.col("__vd"))
+            ).alias("__tbl", "__sig"),
+        )
+        a, b = sigs.alias("a"), sigs.alias("b")
+        pairs = a.join(
+            b,
+            on=(F.col("a.__tbl") == F.col("b.__tbl"))
+            & (F.col("a.__sig") == F.col("b.__sig")),
+        ).filter(cond)
     raw_dot = F.aggregate(
         F.zip_with(F.col("a.__vd"), F.col("b.__vd"), lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    scored = pairs.select(
+        F.col("a.__id").alias("id_a"),
+        F.col("b.__id").alias("id_b"),
+        (raw_dot / (F.col("a.__n") * F.col("b.__n"))).alias("__cos"),
+    )
+    if not block_col:
+        # a pair sharing buckets in several tables scores identically
+        # each time — keep one copy
+        scored = scored.dropDuplicates(["id_a", "id_b"])
     return (
-        pairs.select(
-            F.col("a.__id").alias("id_a"),
-            F.col("b.__id").alias("id_b"),
-            (raw_dot / (F.col("a.__n") * F.col("b.__n"))).alias("__cos"),
-        )
-        .filter(F.col("__cos") >= threshold)
+        scored.filter(F.col("__cos") >= threshold)
         .select("id_a", "id_b", F.round("__cos", 6).alias("cosine"))
     )

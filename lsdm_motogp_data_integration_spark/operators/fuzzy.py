@@ -30,7 +30,11 @@ from pyspark.sql import functions as F
 
 from lsdm_motogp_data_integration_spark.functions.similarity import jaro_winkler_udf
 
-BLOCKERS = ("none", "first_char", "length_band")
+BLOCKERS = ("auto", "none", "first_char", "length_band")
+
+# "auto" scores every pair only while the lookup stays dimension-sized;
+# past this, candidates are pruned JVM-side before the Python scorer
+AUTO_EXHAUSTIVE_MAX = 1000
 
 
 def _lsh_candidates(
@@ -103,7 +107,7 @@ def similarity_join(
     score_col: str = "similarity",
     threshold: float = 0.0,
     how: str = "left",
-    blocker: str = "none",
+    blocker: str = "auto",
     length_band: int = 3,
     strategy: str = "broadcast",
 ) -> DataFrame:
@@ -125,6 +129,14 @@ def similarity_join(
       pairs are scored. Misses a best match only when it shares no
       band with the probe (dissimilar strings) — recall asserted in
       tests; ``blocker`` is ignored.
+
+    ``blocker="auto"`` (the default) keeps the reference's exhaustive
+    per-row scan while the lookup is dimension-sized
+    (≤ ``AUTO_EXHAUSTIVE_MAX`` rows — bounded Arrow batches per probe
+    row), and switches to ``first_char`` pruning beyond that, so no
+    default path ever feeds an unbounded |probe|×|lookup| product
+    through the Python scorer. Pass ``blocker="none"`` explicitly to
+    force the exhaustive scan on a large lookup.
     """
     if how not in ("left", "inner"):
         raise ValueError(f"how must be left|inner, got {how!r}")
@@ -157,6 +169,14 @@ def similarity_join(
     if strategy == "lsh":
         pairs = _lsh_candidates(tagged, lookup, probe_on, lookup_on)
     else:
+        if blocker == "auto":
+            # one count over the (broadcast-bound) lookup decides the
+            # strategy; dims stay parity-exact, big lookups get pruned
+            blocker = (
+                "none"
+                if lookup.count() <= AUTO_EXHAUSTIVE_MAX
+                else "first_char"
+            )
         cond: Column = F.lit(True)
         if blocker == "first_char":
             cond = pkey.substr(1, 1) == lkey.substr(1, 1)

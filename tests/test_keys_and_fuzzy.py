@@ -111,3 +111,30 @@ def test_fuzzy_blockers_prune_but_keep_best(spark):
     assert (
         full.select("circuit").collect() == blocked.select("circuit").collect()
     )
+
+
+def test_fuzzy_auto_blocker_switches_on_lookup_size(spark):
+    """blocker='auto' (the default) must stay exhaustive for a
+    dimension-sized lookup and switch to first_char pruning past
+    AUTO_EXHAUSTIVE_MAX — same best match either way when the first
+    char survives (the common corruption mode)."""
+    from pyspark.sql import functions as F
+
+    from lsdm_motogp_data_integration_spark.operators.fuzzy import (
+        AUTO_EXHAUSTIVE_MAX,
+    )
+
+    big_lookup = spark.range(AUTO_EXHAUSTIVE_MAX + 200).select(
+        F.concat(F.lit("name_"), F.col("id").cast("string")).alias("cand")
+    )
+    probe = spark.createDataFrame(
+        [(1, "name_77x"), (2, "name_123")], ["pid", "name"]
+    )
+    auto = similarity_join(probe, big_lookup, "name", "cand", how="inner")
+    explicit = similarity_join(
+        probe, big_lookup, "name", "cand", how="inner",
+        blocker="first_char",
+    )
+    assert sorted((r["pid"], r["cand"]) for r in auto.collect()) == sorted(
+        (r["pid"], r["cand"]) for r in explicit.collect()
+    )

@@ -117,3 +117,49 @@ def test_partition_pruning(spark, sf_dir, tmp_path_factory):
     back = spark.read.parquet(out).filter(F.col("event_type") == "click")
     assert_partition_filters(back, "event_type")
     assert back.count() == ev.filter(F.col("event_type") == "click").count()
+
+
+def test_embedding_neardup_default_is_blocked(spark, sf_dir):
+    """The default (no block_col) path must generate candidates via LSH
+    bucket equi-join — never a cartesian/nested-loop all-pairs scan
+    (deleted round 2; an O(n^2) fallback would be misused at scale)."""
+    from lsdm_motogp_data_integration_spark.operators.dedup import (
+        embedding_neardup_pairs,
+    )
+    from lsdm_motogp_data_integration_spark.plans import formatted_plan
+
+    e = read_table(spark, sf_dir, "embeddings")
+    df = embedding_neardup_pairs(e, "embedding", "vec_id", threshold=0.99)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_embedding_neardup_lsh_blocking_finds_exact_dups(spark, sf_dir):
+    """Identical vectors share every LSH signature, so exact duplicates
+    are always candidates; scores must match the label-blocked exact
+    path on those pairs."""
+    from pyspark.sql import functions as F
+
+    from lsdm_motogp_data_integration_spark.operators.dedup import (
+        embedding_neardup_pairs,
+    )
+
+    e = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    dups = e.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    corpus = e.unionByName(dups)
+    expected = {
+        (r["vec_id"], r["vec_id"] + 100000)
+        for r in dups.select((F.col("vec_id") - 100000).alias("vec_id")).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_pairs(
+            corpus, "embedding", "vec_id", threshold=0.999999
+        ).collect()
+    }
+    assert expected <= got, expected - got
