@@ -322,12 +322,18 @@ def minhash_lsh_pairs(
     exact-Jaccard verification filters (false positives impossible).
     Wider bands (rows 4+) cut candidate fan-out at some recall cost.
 
-    The (id, shingles, signature) relation feeds the bucket self-join
-    and both sides of the verification join; exchange reuse already
-    de-duplicates the self-join scan, and column pruning drops the
-    signature from the verification sides, so caching is usually a net
-    loss at small scale (measured) — ``persist_sets=True`` is for
-    corpora where recomputing the shingle map dominates."""
+    The operator references its input three times (signatures + both
+    verification sides). With a parquet-backed input that is three
+    pruned scans — fine. With EXPENSIVE derived lineage upstream it is
+    three re-evaluations: the round-1 50× probe's 175 s "knee" was
+    exactly this (a 50-way union of translate() replicas recomputed 3×;
+    with the input materialized the same run is ~51 s — see SCALE.md).
+    ``persist_sets=True`` is the in-operator remedy: the shingle-set
+    relation is persisted and BOTH the signatures and the verification
+    read from it (MinHash minima over the distinct shingle set equal
+    the minima over raw grams — MinHash is duplicate-insensitive), so
+    the input plan is evaluated exactly once. The caller owns the
+    persisted lifetime (unpersist after consuming the result)."""
     if num_perm % bands:
         raise ValueError("num_perm must divide evenly into bands")
     rows_per_band = num_perm // bands
@@ -338,15 +344,27 @@ def minhash_lsh_pairs(
     )
     if persist_sets:
         sets_df = sets_df.persist()
+        # one input evaluation total: signatures from the persisted set
 
-    # Signature minima come from the FUSED single-pass aggregate (no
-    # gram array, no distinct — MinHash is duplicate-insensitive);
-    # __mins stays a named multi-referenced column so CollapseProject
-    # won't inline the aggregate into each band column.
-    mins_df = df.select(
-        F.col(id_col).alias("__id"),
-        fused_minhash_mins(text_col, k, num_perm).alias("__mins"),
-    )
+        def min_perm(perm: int):
+            def salted(h):
+                return F.xxhash64(F.lit(perm), h)
+
+            return F.array_min(F.transform(F.col("__set"), salted))
+
+        mins_df = sets_df.select(
+            "__id",
+            F.array(*[min_perm(p) for p in range(num_perm)]).alias("__mins"),
+        )
+    else:
+        # Signature minima come from the FUSED single-pass aggregate (no
+        # gram array, no distinct — MinHash is duplicate-insensitive);
+        # __mins stays a named multi-referenced column so CollapseProject
+        # won't inline the aggregate into each band column.
+        mins_df = df.select(
+            F.col(id_col).alias("__id"),
+            fused_minhash_mins(text_col, k, num_perm).alias("__mins"),
+        )
     band_cols = [
         F.hash(
             F.lit(b),

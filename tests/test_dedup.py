@@ -145,3 +145,28 @@ def test_embedding_neardup(spark):
         ).collect()
     }
     assert (1, 4) in unblocked
+
+
+def test_minhash_persist_sets_same_pairs(spark, sf_dir):
+    """persist_sets=True routes signatures through the persisted
+    shingle-set relation (one input evaluation); pairs and jaccard
+    values must be identical to the fused default path."""
+    from lsdm_motogp_data_integration_spark.sources import read_table
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    variants = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.expr("substr(text, 21)").alias("text"),
+    )
+    corpus = d.unionByName(variants)
+    fused = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in minhash_lsh_pairs(corpus, "text", "doc_id").collect()
+    }
+    from_sets = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in minhash_lsh_pairs(
+            corpus, "text", "doc_id", persist_sets=True
+        ).collect()
+    }
+    assert fused == from_sets

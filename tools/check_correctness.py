@@ -70,7 +70,30 @@ def values_equal(a, b) -> tuple[bool, bool]:
     return bool(eq), bool(eq)
 
 
+def decimal_columns(df: pd.DataFrame) -> list[str]:
+    """Columns carrying decimal.Decimal values. The driver hashes the
+    SERIALIZED representation, and Spark/DuckDB render equal decimal
+    values differently (the round-1 q02 lesson) — so a decimal-typed
+    output column is a hash mismatch waiting to happen even when every
+    value compares equal here. Flagged as a failure (strict mode)."""
+    out = []
+    for c in df.columns:
+        if df[c].dtype == object:
+            col = df[c].dropna()
+            if len(col) and hasattr(col.iloc[0], "as_tuple"):
+                out.append(c)
+    return out
+
+
 def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> str:
+    strict_dec = sorted(
+        set(decimal_columns(spark_pdf)) | set(decimal_columns(duck_pdf))
+    )
+    if strict_dec:
+        return (
+            f"DECIMAL-TYPED OUTPUT {strict_dec} — cast to double on both "
+            "sides (driver hashes representations, not values)"
+        )
     if set(spark_pdf.columns) != set(duck_pdf.columns):
         return (
             f"SCHEMA MISMATCH spark={sorted(spark_pdf.columns)} "
