@@ -168,3 +168,77 @@ def rolling_hash_chunks_udf(texts: pd.Series) -> pd.Series:
                 bounds.append(i + 1)
         out.append(bounds)
     return pd.Series(out)
+
+
+# ---------------------------------------------------------------------------
+# PII redaction screen
+# ---------------------------------------------------------------------------
+
+# deliberately simple, SQL-portable patterns: the curation screen's
+# point is the Spark-side plumbing (pure Column regexes, countable
+# before/after); production pattern sets drop in unchanged
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?\d{1,3}[-. ]\d{3}[-. ]\d{3,4}([-. ]\d{3,4})?",
+    "ssn_like": r"\b\d{3}-\d{2}-\d{4}\b",
+}
+
+
+def pii_counts(col: Column | str) -> dict[str, Column]:
+    """Per-kind PII match counts (JVM-side ``regexp_count``)."""
+    c = _c(col)
+    return {
+        kind: F.regexp_count(c, F.lit(pat)).cast("bigint")
+        for kind, pat in PII_PATTERNS.items()
+    }
+
+
+def redact_pii(col: Column | str, *, token: str = "[PII]") -> Column:
+    """Replace every PII match with ``token`` — the pre-training scrub
+    applied after dedup, before packing. Patterns apply in dict order
+    (email before phone: an address's digits must not be half-eaten by
+    the phone pattern)."""
+    c = _c(col)
+    for pat in PII_PATTERNS.values():
+        c = F.regexp_replace(c, pat, token)
+    return c
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+# ---------------------------------------------------------------------------
+
+
+def pack_sequences(
+    df,
+    token_count_col: str,
+    order_by: list[str],
+    *,
+    budget: int = 512,
+    partition_by: list[str] | None = None,
+):
+    """Assign each row (a chunk/document) to a training-sequence bin by
+    contiguous start-offset packing: rows are taken in ``order_by``
+    order and a row starting at running-token offset ``o`` goes to bin
+    ``o // budget`` — deterministic, one window pass, no driver loop.
+    A row may straddle its bin boundary (training pipelines either
+    truncate or let sequences overflow by < one row; the assignment is
+    the deterministic part that matters).
+
+    ``partition_by`` packs within groups (e.g. per source/shard) and is
+    REQUIRED for unbounded inputs at scale — a global packing is a
+    single-partition window, the same trade as
+    ``keys.add_surrogate_key``. Adds ``seq_id`` (bigint) and
+    ``seq_offset`` (bigint, token offset within the bin's stream).
+    """
+    from pyspark.sql import Window
+
+    if partition_by:
+        w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    else:
+        w = Window.orderBy(*order_by)
+    w = w.rowsBetween(Window.unboundedPreceding, -1)
+    prev = F.coalesce(F.sum(F.col(token_count_col)).over(w), F.lit(0))
+    return df.withColumn("seq_id", (prev / budget).cast("bigint")).withColumn(
+        "seq_offset", F.pmod(prev, F.lit(budget)).cast("bigint")
+    )

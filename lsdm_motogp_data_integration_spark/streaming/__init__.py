@@ -142,6 +142,25 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def streaming_dedup(
+    events: DataFrame,
+    key_cols: list[str],
+    *,
+    watermark: str = "2 hours",
+    time_col: str = "ts",
+) -> DataFrame:
+    """Streaming exact deduplication: drop repeats of ``key_cols``
+    arriving within the watermark horizon
+    (``dropDuplicatesWithinWatermark`` — state is bounded by the
+    watermark, unlike a plain dropDuplicates on a stream whose state
+    grows forever). The streaming half of ``dedup.exact_dedup`` for a
+    continuously-ingested corpus: key on the content digest upstream
+    and duplicates within the late-data horizon are emitted once."""
+    return events.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+
+
 def write_stream_foreach_batch(
     stream_df: DataFrame,
     out_dir: str,

@@ -109,3 +109,33 @@ def test_streaming_session_window(spark, sf_dir):
     for r in got:
         assert r["session_end"] > r["session_start"]
         assert r["n_events"] >= 1
+
+
+def test_streaming_dedup_within_watermark(spark, sf_dir, tmp_path_factory):
+    """Duplicated stream input → one row per key after
+    dropDuplicatesWithinWatermark (bounded state)."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from lsdm_motogp_data_integration_spark.streaming import (
+        read_event_stream,
+        run_stream_to_memory,
+        streaming_dedup,
+    )
+
+    src = str(tmp_path_factory.mktemp("dupstream"))
+    # the stream source reads the RAW layout (ts = nano-epoch long)
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .limit(200)
+        .withColumn("ts", (F.unix_micros("ts") * 1000).cast("long"))
+    )
+    doubled = ev.unionByName(ev)  # every event twice
+    doubled.write.mode("overwrite").parquet(src)
+    stream = streaming_dedup(
+        read_event_stream(spark, src), ["event_id"], watermark="1 day"
+    ).select("event_id")
+    name = f"dedup_out_{uuid.uuid4().hex[:8]}"
+    out = run_stream_to_memory(spark, stream, name, output_mode="append")
+    assert out.count() == ev.select("event_id").distinct().count()

@@ -136,3 +136,41 @@ def test_dms_to_decimal(spark):
         1 + 2 / 60 + 3 / 3600, 6
     )
     assert one(spark, "no coordinates here", col["lat"]) is None
+
+
+def test_redact_pii_and_counts(spark):
+    from lsdm_motogp_data_integration_spark.operators.textops import (
+        pii_counts,
+        redact_pii,
+    )
+
+    df = spark.createDataFrame(
+        [("mail a.b@x.co, call +1-555-123-4567, ssn 123-45-6789",)], ["t"]
+    )
+    counts = pii_counts("t")
+    row = df.select(
+        counts["email"].alias("e"),
+        counts["phone"].alias("p"),
+        counts["ssn_like"].alias("s"),
+        redact_pii("t").alias("r"),
+    ).collect()[0]
+    assert (row["e"], row["p"], row["s"]) == (1, 1, 1)
+    assert "a.b@x.co" not in row["r"]
+    assert "4567" not in row["r"]
+    assert "6789" not in row["r"]
+    assert row["r"].count("[PII]") >= 3
+
+
+def test_pack_sequences_contiguous(spark):
+    from lsdm_motogp_data_integration_spark.operators.textops import (
+        pack_sequences,
+    )
+
+    rows = [(i, "s", 300) for i in range(10)]  # 300 tokens each
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_tokens"])
+    out = pack_sequences(
+        df, "n_tokens", ["doc_id"], budget=1000, partition_by=["source"]
+    ).orderBy("doc_id").collect()
+    # offsets 0,300,600,900,1200.. -> bins 0,0,0,0,1,1,1,2,...
+    assert [r["seq_id"] for r in out] == [0, 0, 0, 0, 1, 1, 1, 2, 2, 2]
+    assert out[4]["seq_offset"] == 200  # 1200 % 1000
