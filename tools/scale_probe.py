@@ -84,6 +84,9 @@ def timed(label: str, df) -> tuple[float, int]:
     n = df.count()
     dt = time.time() - t0
     print(f"  {label}: {dt:.1f}s rows={n}", flush=True)
+    # drop anything an operator persisted (e.g. minhash persist_sets)
+    # so later probes aren't measured under its memory pressure
+    df.sparkSession.catalog.clearCache()
     return dt, n
 
 
@@ -104,8 +107,11 @@ def main() -> None:
         n_vecs = emb.count()
         print(f"{scale}: {n_docs} docs, {n_vecs} vectors", flush=True)
         r = {"n_docs": n_docs, "n_vecs": n_vecs}
+        # persist_sets: the replica corpus is expensive derived lineage
+        # (50-way translate union) — evaluate it once, not three times
         r["minhash_lsh_s"], r["minhash_pairs"] = timed(
-            "minhash_lsh", minhash_lsh_pairs(docs, "text", "doc_id")
+            "minhash_lsh",
+            minhash_lsh_pairs(docs, "text", "doc_id", persist_sets=True),
         )
         r["simhash_s"], r["simhash_pairs"] = timed(
             "simhash", simhash_pairs(docs, "text", "doc_id", max_hamming=3)
