@@ -715,7 +715,11 @@ def q38_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape note: Python emits ONE row per group (the custom statistics);
     the per-event arithmetic stays JVM-side via a broadcast join back —
     Arrow traffic is O(groups) out instead of O(rows), the pattern for
-    custom aggregations at scale."""
+    custom aggregations at scale. When the statistic IS expressible in
+    SQL (as z-score is), ``sessions.grouped_zscore_window`` computes
+    the identical result all-JVM with no Python round trip (equivalence
+    pinned in tests) — this query keeps the grouped-map form because
+    the SURFACE is what it demonstrates."""
     import pandas as pd
 
     ev = read_table(spark, sf_dir, "events").select(

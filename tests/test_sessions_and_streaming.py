@@ -139,3 +139,27 @@ def test_streaming_dedup_within_watermark(spark, sf_dir, tmp_path_factory):
     name = f"dedup_out_{uuid.uuid4().hex[:8]}"
     out = run_stream_to_memory(spark, stream, name, output_mode="append")
     assert out.count() == ev.select("event_id").distinct().count()
+
+
+def test_grouped_zscore_window_equals_pandas_surface(spark, sf_dir):
+    """The JVM-window z-score fast path must agree with q38's
+    applyInPandas grouped-map surface cell-for-cell."""
+    import __spark_entry__ as entry
+    from lsdm_motogp_data_integration_spark.operators.sessions import (
+        grouped_zscore_window,
+    )
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    fast = {
+        (r["event_id"], r["zscore"])
+        for r in grouped_zscore_window(
+            ev, "user_id", "value", "event_id"
+        ).collect()
+    }
+    surface = {
+        (r["event_id"], r["zscore"])
+        for r in entry.q38_grouped_zscore(spark, sf_dir).collect()
+    }
+    assert fast == surface
