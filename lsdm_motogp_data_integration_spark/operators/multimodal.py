@@ -153,3 +153,66 @@ def frame_sample(
     return media.filter(F.col("kind") == "video").mapInPandas(
         run, schema=out_schema
     )
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField("digest", T.StringType(), True),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame,
+    width: int,
+    height: int,
+    *,
+    fake: bool = True,
+) -> DataFrame:
+    """Image resize plumbing: images in, fixed-(width, height) images
+    out, Arrow-batched. With the fake decoder the output bytes are a
+    deterministic content+size-derived stand-in (digest pins the
+    contract: same input and target size → same bytes on any executor);
+    ``fake=False`` is the import gate for a real PIL resize. Only
+    ``kind == 'image'`` rows are processed — the filter is pushed into
+    the scan, so audio/video blobs are never shipped to Python."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real image resize requires PIL, not present in this "
+                    "environment"
+                )
+            ids, contents, digests = [], [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                ids.append(mid)
+                if content is None:
+                    contents.append(None)
+                    digests.append(None)
+                    continue
+                seed = hashlib.sha256(
+                    bytes(content) + f"|{width}x{height}".encode()
+                ).digest()
+                # deterministic fake pixel buffer of the target size
+                reps = (width * height * 3) // len(seed) + 1
+                buf = (seed * reps)[: width * height * 3]
+                contents.append(buf)
+                digests.append(hashlib.sha256(buf).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "width": [width] * len(ids),
+                    "height": [height] * len(ids),
+                    "content": contents,
+                    "digest": digests,
+                }
+            )
+
+    return media.filter(F.col("kind") == "image").mapInPandas(
+        run, schema=RESIZED_SCHEMA
+    )

@@ -51,3 +51,32 @@ def test_real_decode_is_gated(media):
     assert "NotImplementedError" in str(exc_info.value) or isinstance(
         exc_info.value, NotImplementedError
     )
+
+
+def test_resize_images_contract(media, spark):
+    from lsdm_motogp_data_integration_spark.operators.multimodal import (
+        resize_images,
+    )
+
+    out = resize_images(media, 4, 3).collect()
+    imgs = {r["media_id"] for r in media.filter("kind = 'image'").collect()}
+    assert {r["media_id"] for r in out} == imgs
+    for r in out:
+        assert (r["width"], r["height"]) == (4, 3)
+        assert r["content"] is None or len(r["content"]) == 4 * 3 * 3
+    # deterministic: same inputs, same bytes
+    again = resize_images(media, 4, 3).collect()
+    assert {(r["media_id"], r["digest"]) for r in out} == {
+        (r["media_id"], r["digest"]) for r in again
+    }
+
+
+def test_resize_real_path_is_gated(media):
+    from lsdm_motogp_data_integration_spark.operators.multimodal import (
+        resize_images,
+    )
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        resize_images(media, 4, 3, fake=False).collect()
