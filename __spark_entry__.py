@@ -443,7 +443,13 @@ def q19_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q20_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram-Jaccard similarity join (the verification path of
     q19, run standalone): all pairs with word-5-gram Jaccard ≥ 0.8."""
-    return jaccard_pairs(_doc_corpus(spark, sf_dir), "text", "doc_id", threshold=0.8)
+    return jaccard_pairs(
+        _doc_corpus(spark, sf_dir),
+        "text",
+        "doc_id",
+        threshold=0.8,
+        persist_sets=True,
+    )
 
 
 def q21_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -170,9 +170,16 @@ def jaccard_pairs(
     *,
     k: int = 5,
     threshold: float = 0.8,
+    persist_sets: bool = False,
 ) -> DataFrame:
     """All pairs (a < b) with word-k-gram Jaccard >= threshold — EXACT
     (no LSH recall loss), with positional prefix filtering.
+
+    The sorted-set relation feeds the prefix index and both
+    verification sides (three references); ``persist_sets=True``
+    evaluates the input once — use it when the input is expensive
+    derived lineage (caller owns the persisted lifetime), same trade as
+    :func:`minhash_lsh_pairs`.
 
     Prefix-filter theorem (PPJoin family): order every set by one
     canonical total order (numeric shingle-hash order here); if two
@@ -186,6 +193,8 @@ def jaccard_pairs(
         F.col(id_col).alias("__id"),
         F.sort_array(word_shingle_hashes(text_col, k)).alias("__set"),
     )
+    if persist_sets:
+        sets_df = sets_df.persist()
     prefix_len = (
         F.size("__set") - F.ceil(F.lit(threshold) * F.size("__set")) + 1
     ).cast("int")
