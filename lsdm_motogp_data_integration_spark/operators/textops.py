@@ -242,3 +242,39 @@ def pack_sequences(
     return df.withColumn("seq_id", (prev / budget).cast("bigint")).withColumn(
         "seq_offset", F.pmod(prev, F.lit(budget)).cast("bigint")
     )
+
+
+# ---------------------------------------------------------------------------
+# deterministic stratified sampling
+# ---------------------------------------------------------------------------
+
+
+def stratified_sample(
+    df,
+    strata_col: str,
+    fractions: dict,
+    id_col: str,
+    *,
+    default_fraction: float = 0.0,
+):
+    """Deterministic per-stratum sampling with NO RNG: a row survives
+    iff ``md5(strata|id)``'s first 8 hex chars, read as a fraction of
+    2^32, fall under its stratum's rate. Reproducible across runs,
+    engines, executor counts, and input order — the property training
+    splits need (``rand()``-based sampleBy is partition-order
+    dependent under retries). Salting the hash with the stratum makes
+    per-stratum draws independent. One filter expression, no shuffle.
+    """
+    c = F.concat(
+        F.col(strata_col).cast("string"),
+        F.lit("|"),
+        F.col(id_col).cast("string"),
+    )
+    bucket = F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("bigint")
+    u = bucket / F.lit(float(1 << 32))  # uniform [0, 1)
+    rate = F.lit(float(default_fraction))
+    for stratum, frac in fractions.items():
+        rate = F.when(
+            F.col(strata_col) == stratum, F.lit(float(frac))
+        ).otherwise(rate)
+    return df.filter(u < rate)

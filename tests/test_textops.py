@@ -174,3 +174,35 @@ def test_pack_sequences_contiguous(spark):
     # offsets 0,300,600,900,1200.. -> bins 0,0,0,0,1,1,1,2,...
     assert [r["seq_id"] for r in out] == [0, 0, 0, 0, 1, 1, 1, 2, 2, 2]
     assert out[4]["seq_offset"] == 200  # 1200 % 1000
+
+
+def test_stratified_sample_deterministic_and_proportional(spark):
+    from lsdm_motogp_data_integration_spark.operators.textops import (
+        stratified_sample,
+    )
+
+    from lsdm_motogp_data_integration_spark.sources import read_table
+
+    d = read_table(spark, "/root/testdata/sf0.01", "documents")
+    fr = {"en": 0.5, "de": 0.1}
+    s1 = stratified_sample(d, "lang", fr, "doc_id")
+    s2 = stratified_sample(
+        d.repartition(13), "lang", fr, "doc_id"
+    )  # layout must not matter
+    ids1 = {r["doc_id"] for r in s1.select("doc_id").collect()}
+    ids2 = {r["doc_id"] for r in s2.select("doc_id").collect()}
+    assert ids1 == ids2
+    by_lang = {
+        r["lang"]: r["n"]
+        for r in s1.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    totals = {
+        r["lang"]: r["n"]
+        for r in d.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # unlisted strata drop entirely; listed strata land near their rate
+    assert set(by_lang) <= set(fr)
+    for lang, frac in fr.items():
+        if totals.get(lang, 0) >= 30:
+            got = by_lang.get(lang, 0) / totals[lang]
+            assert abs(got - frac) < 0.25, (lang, got, frac)
