@@ -170,3 +170,44 @@ def test_minhash_persist_sets_same_pairs(spark, sf_dir):
         ).collect()
     }
     assert fused == from_sets
+
+
+def test_weighted_simhash_separates_filler_dominated_docs(spark):
+    """On a corpus where every doc shares the same filler tokens and
+    differs only in rare tokens, unweighted SimHash collapses (filler
+    dominates the votes) while IDF weighting separates: the weighted
+    hamming between unrelated docs must exceed the unweighted one, and
+    exact duplicates must still collide at hamming 0."""
+    # filler repeated 20x: unweighted votes are ±20 per filler token vs
+    # ±1 per rare token, so the shared distribution dominates every bit
+    filler = " ".join(
+        f"common{i}" for _ in range(20) for i in range(40)
+    )
+    rows = [(i, f"{filler} rare{i}a rare{i}b rare{i}c") for i in range(8)]
+    rows.append((100, rows[0][1]))  # exact duplicate of doc 0
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def hammings(weighting):
+        out = simhash_pairs(
+            df, "text", "doc_id", max_hamming=3, weighting=weighting
+        ).collect()
+        return {(r["id_a"], r["id_b"]): r["hamming"] for r in out}
+
+    unweighted = hammings("none")
+    weighted = hammings("idf")
+    assert weighted[(0, 100)] == 0  # exact dup still collides
+    # unweighted: filler dominates the votes, unrelated docs collapse
+    # into hamming<=3 false positives; idf: only the true duplicate
+    false_w = {p for p in weighted if p != (0, 100)}
+    false_u = {p for p in unweighted if p != (0, 100)}
+    assert len(false_w) < len(false_u), (false_w, false_u)
+    assert not false_w, false_w
+    # determinism under different layouts
+    again = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_pairs(
+            df.repartition(7), "text", "doc_id",
+            max_hamming=3, weighting="idf",
+        ).collect()
+    }
+    assert weighted == again
