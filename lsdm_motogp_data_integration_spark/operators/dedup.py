@@ -794,3 +794,42 @@ def embedding_neardup_pairs(
         scored.filter(F.col("__cos") >= threshold)
         .select("id_a", "id_b", F.round("__cos", 6).alias("cosine"))
     )
+
+
+# ---------------------------------------------------------------------------
+# end-to-end corpus deduplication
+# ---------------------------------------------------------------------------
+
+
+def dedup_corpus(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    threshold: float = 0.8,
+    persist_sets: bool = True,
+) -> DataFrame:
+    """The whole near-dup removal pipeline as one call: MinHash-LSH
+    candidate pairs (exact-Jaccard verified at ``threshold``) → closed
+    into clusters via pointer-jumping connected components → keep ONE
+    representative per cluster (the smallest id — deterministic).
+    Returns the surviving rows of ``df`` with their original columns —
+    what a training-data pipeline actually feeds downstream.
+
+    Every stage is the scale path: banded candidate generation (no
+    all-pairs), O(log d) label rounds, and a final broadcast-size
+    semi-join of representatives when clusters are few, else a plain
+    shuffled semi-join."""
+    pairs = minhash_lsh_pairs(
+        df, text_col, id_col,
+        threshold=threshold, persist_sets=persist_sets,
+    )
+    components = connected_components(
+        df.select(F.col(id_col)), pairs, node_col=id_col
+    )
+    reps = (
+        components.groupBy("component")
+        .agg(F.min(F.col(id_col)).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(reps, on=id_col, how="left_semi")

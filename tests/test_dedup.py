@@ -211,3 +211,39 @@ def test_weighted_simhash_separates_filler_dominated_docs(spark):
         ).collect()
     }
     assert weighted == again
+
+
+def test_dedup_corpus_keeps_one_per_cluster(spark, sf_dir):
+    """End-to-end removal: originals + 100k-offset variants collapse to
+    one representative (the original, smallest id) per near-dup
+    cluster; non-duplicated docs all survive."""
+    from lsdm_motogp_data_integration_spark.operators.dedup import (
+        dedup_corpus,
+    )
+    from lsdm_motogp_data_integration_spark.sources import read_table
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    variants = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    corpus = d.unionByName(variants)
+    deduped = dedup_corpus(corpus, "text", "doc_id")
+    surviving = {r["doc_id"] for r in deduped.collect()}
+    all_ids = {r["doc_id"] for r in corpus.select("doc_id").collect()}
+    dropped = all_ids - surviving
+    # the planted suffix variants must collapse
+    assert dropped, "nothing was deduplicated"
+    # every dropped doc was in a near-dup pair with a smaller-id doc
+    pair_rows = minhash_lsh_pairs(
+        corpus, "text", "doc_id", threshold=0.8
+    ).collect()
+    in_pairs = {r["id_a"] for r in pair_rows} | {
+        r["id_b"] for r in pair_rows
+    }
+    assert dropped <= in_pairs
+    # the surviving corpus is pairwise near-dup free (one rep per
+    # component; all pairs live inside components)
+    assert (
+        minhash_lsh_pairs(deduped, "text", "doc_id", threshold=0.8).count()
+        == 0
+    )
