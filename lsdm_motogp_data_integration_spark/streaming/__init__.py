@@ -161,6 +161,33 @@ def streaming_dedup(
     )
 
 
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    *,
+    left_ts: str = "ts",
+    right_ts: str = "ts_r",
+    watermark: str = "2 hours",
+    within: str = "1 hour",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: each left event joins
+    right events of the same key whose time falls in
+    [left_ts, left_ts + within] — the click-to-impression attribution
+    shape. Both sides carry watermarks and the join condition bounds
+    event-time distance, so Spark can expire buffered state (an
+    unbounded stream-stream join would hold both streams forever).
+    Column names must be pre-disambiguated (left_ts vs right_ts)."""
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (lw[on] == rw[on])
+        & (rw[right_ts] >= lw[left_ts])
+        & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {within}"))
+    )
+    return lw.join(rw, cond, "inner").drop(rw[on])
+
+
 def write_stream_foreach_batch(
     stream_df: DataFrame,
     out_dir: str,

@@ -163,3 +163,58 @@ def test_grouped_zscore_window_equals_pandas_surface(spark, sf_dir):
         for r in entry.q38_grouped_zscore(spark, sf_dir).collect()
     }
     assert fast == surface
+
+
+def test_interval_join_streams_matches_batch(spark, sf_dir, tmp_path_factory):
+    """Stream-stream interval join on bounded input equals the batch
+    interval join: error events joined to same-user events within the
+    following 30 minutes."""
+    import uuid
+
+    from lsdm_motogp_data_integration_spark.streaming import (
+        interval_join_streams,
+        read_event_stream,
+        run_stream_to_memory,
+    )
+
+    path = f"{sf_dir}/events.parquet"
+    left_s = read_event_stream(spark, path).filter(
+        F.col("event_type") == "error"
+    ).select(F.col("user_id").alias("user_id"),
+             F.col("event_id").alias("error_id"), "ts")
+    right_s = read_event_stream(spark, path).select(
+        F.col("user_id").alias("user_id"),
+        F.col("event_id").alias("other_id"),
+        F.col("ts").alias("ts_r"),
+    )
+    joined = interval_join_streams(
+        left_s, right_s, "user_id",
+        watermark="1 day", within="30 minutes",
+    ).select("error_id", "other_id")
+    name = f"ij_{uuid.uuid4().hex[:8]}"
+    got = {
+        (r["error_id"], r["other_id"])
+        for r in run_stream_to_memory(
+            spark, joined, name, output_mode="append"
+        ).collect()
+    }
+
+    ev = read_table(spark, sf_dir, "events")
+    left_b = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("u"), F.col("event_id").alias("error_id"),
+        F.col("ts").alias("lts"),
+    )
+    right_b = ev.select(
+        F.col("user_id").alias("u2"),
+        F.col("event_id").alias("other_id"), F.col("ts").alias("rts"),
+    )
+    batch = {
+        (r["error_id"], r["other_id"])
+        for r in left_b.join(
+            right_b,
+            (F.col("u") == F.col("u2"))
+            & (F.col("rts") >= F.col("lts"))
+            & (F.col("rts") <= F.col("lts") + F.expr("INTERVAL 30 MINUTES")),
+        ).collect()
+    }
+    assert got == batch
