@@ -671,26 +671,24 @@ def q35_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q36_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """As-of join (no Spark built-in — composed per the standard
-    pattern): for each event, the latest order of the same key with
-    o_orderdate <= event time. Equi-join on key + window top-1 on the
-    time condition; DuckDB's native ASOF JOIN is the oracle."""
+    """As-of join (no Spark built-in): for each event, the latest order
+    of the same key with o_orderdate <= event time. Round 2 switched
+    from join + per-event window top-1 (fans out |events × orders per
+    user| before ranking) to the union-sort formulation
+    (operators/asof.asof_join): one shuffle on the key, zero fan-out —
+    the plan that survives fact-to-fact lookups at scale. DuckDB's
+    native ASOF JOIN is the oracle; equivalence with the join+window
+    form is pinned in tests."""
+    from lsdm_motogp_data_integration_spark.operators.asof import asof_join
+
     ev = read_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "ts"
     )
     o = read_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_orderdate"
+        F.col("o_custkey").alias("user_id"), "o_orderkey", "o_orderdate"
     )
-    joined = ev.join(o, ev.user_id == o.o_custkey, "inner").filter(
-        F.col("o_orderdate") <= F.col("ts")
-    )
-    w = Window.partitionBy("event_id").orderBy(
-        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
-    )
-    return (
-        joined.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("event_id", "user_id", "o_orderkey", "o_orderdate")
+    return asof_join(ev, o, "user_id", "ts", "o_orderdate").select(
+        "event_id", "user_id", "o_orderkey", "o_orderdate"
     )
 
 
