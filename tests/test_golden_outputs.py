@@ -52,3 +52,38 @@ def test_golden_fingerprint(tables, name):
     assert fingerprint(tables[name]) == GOLDEN[name], (
         f"{name} output changed — if intentional, update GOLDEN"
     )
+
+
+def test_goldens_stable_under_different_partitioning():
+    """The determinism claim, stress-tested: a SEPARATE session with a
+    different core count and shuffle-partition count (local[5], 7
+    partitions — nothing divides evenly) must reproduce every golden
+    fingerprint bit-for-bit. Runs in a subprocess because the session
+    fixture pins this process's SparkSession conf."""
+    import subprocess
+    import sys
+
+    code = """
+import sys
+sys.path.insert(0, "/root/repo")
+from tests.test_golden_outputs import fingerprint, GOLDEN
+from lsdm_motogp_data_integration_spark.pipelines.motogp import runner
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[5]")
+         .config("spark.sql.shuffle.partitions", "7")
+         .config("spark.ui.showConsoleProgress", "false")
+         .config("spark.sql.session.timeZone", "UTC")
+         .config("spark.driver.memory", "8g")
+         .getOrCreate())
+tables = runner.build_all(spark, base_dir="/root/reference")
+bad = [n for n in sorted(GOLDEN) if fingerprint(tables[n]) != GOLDEN[n]]
+print("DIFFERS:" + ",".join(bad) if bad else "ALL-STABLE")
+"""
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        timeout=560,
+        cwd="/root/repo",
+    )
+    assert "ALL-STABLE" in out.stdout, out.stdout[-2000:] + out.stderr[-2000:]
