@@ -1,0 +1,137 @@
+"""End-to-end training-data curation pipeline.
+
+Composes the operator families into the canonical pre-training data
+flow — the pipeline a user of this engine actually runs over a raw
+document corpus:
+
+    language filter → quality floor → repetition screen → PII redaction
+    → exact dedup → near-dup dedup (MinHash-LSH + components)
+    → decontamination vs a held-out set → chunking → sequence packing
+    → deterministic train/val split
+
+Every stage is one of the tested operators; the composition stays a
+single lazy plan per output (Catalyst sees the whole thing — filters
+push into the scan, one shuffle per keyed stage). Nothing here
+collects to the driver.
+
+Scale notes: stages are ordered cheapest-first so each shuffle sees
+less data (column-expression screens before the dedup shuffles; the
+near-dup pass before the gram-explosion of decontamination); at
+100 TB the same order holds because selectivity, not constant cost,
+dominates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lsdm_motogp_data_integration_spark.operators.dedup import (
+    dedup_corpus,
+    exact_dedup,
+    word_shingles,
+)
+from lsdm_motogp_data_integration_spark.operators.textops import (
+    lang_id,
+    pack_sequences,
+    quality_score,
+    redact_pii,
+    stratified_sample,
+    token_count,
+)
+
+
+def curate(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_langs: tuple[str, ...] = ("en",),
+    min_quality: float = 0.3,
+    min_distinct_ratio: float = 0.2,
+    neardup_threshold: float = 0.8,
+    holdout: DataFrame | None = None,
+    decontam_gram: int = 8,
+    pack_budget: int = 2048,
+    val_fraction: float = 0.05,
+) -> dict[str, DataFrame]:
+    """Run the full curation flow; returns the intermediate and final
+    tables (all lazy):
+
+    - ``screened``  — language/quality/repetition-filtered, PII-redacted
+    - ``deduped``   — one representative per exact + near-dup cluster
+    - ``clean``     — after decontamination against ``holdout`` (if
+      given; a training doc sharing ANY word ``decontam_gram``-gram
+      with the holdout is dropped — the conservative screen)
+    - ``packed``    — per-source sequence assignments (seq_id/offset)
+    - ``train`` / ``val`` — deterministic hash split of ``packed``
+    """
+    text, did = F.col(text_col), F.col(id_col)
+
+    words = F.split(
+        F.lower(F.regexp_replace(F.trim(text), r"\s+", " ")), " "
+    )
+    # repetition screen: degenerate docs repeat a tiny vocabulary
+    distinct_ratio_ok = (
+        F.size(F.array_distinct(words)) / F.size(words)
+    ) >= min_distinct_ratio
+
+    screened = (
+        docs.filter(lang_id(text_col).isin(*keep_langs))
+        .filter(quality_score(text_col) >= min_quality)
+        .filter(distinct_ratio_ok)
+        .withColumn(text_col, redact_pii(text_col))
+    )
+
+    exact_survivors = exact_dedup(screened, text_col, id_col).select(id_col)
+    after_exact = screened.join(exact_survivors, id_col, "left_semi")
+    deduped = dedup_corpus(
+        after_exact, text_col, id_col, threshold=neardup_threshold
+    )
+
+    if holdout is not None:
+        eval_grams = holdout.select(
+            F.explode(word_shingles(text_col, decontam_gram)).alias("gram")
+        ).dropDuplicates()
+        contaminated = (
+            deduped.select(
+                did.alias("__cid"),
+                F.explode(
+                    word_shingles(text_col, decontam_gram)
+                ).alias("gram"),
+            )
+            .join(F.broadcast(eval_grams), "gram")
+            .select(F.col("__cid").alias(id_col))
+            .dropDuplicates()
+        )
+        clean = deduped.join(contaminated, id_col, "left_anti")
+    else:
+        clean = deduped
+
+    with_tokens = clean.withColumn("n_tokens", token_count(text_col))
+    packed = pack_sequences(
+        with_tokens,
+        "n_tokens",
+        [id_col],
+        budget=pack_budget,
+        partition_by=["source"] if "source" in clean.columns else None,
+    )
+
+    val = stratified_sample(
+        packed,
+        "source" if "source" in packed.columns else id_col,
+        {},
+        id_col,
+        default_fraction=val_fraction,
+    )
+    train = packed.join(
+        val.select(id_col), id_col, "left_anti"
+    )
+    return {
+        "screened": screened,
+        "deduped": deduped,
+        "clean": clean,
+        "packed": packed,
+        "train": train,
+        "val": val,
+    }

@@ -1,0 +1,93 @@
+"""End-to-end curation pipeline: the composed training-data flow."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lsdm_motogp_data_integration_spark.pipelines.curation import curate
+from lsdm_motogp_data_integration_spark.sources import read_table
+
+SF = "/root/testdata/sf0.01"
+
+
+def _corpus(spark):
+    d = read_table(spark, SF, "documents").select(
+        "doc_id", "text", "source"
+    )
+    # plant: an exact copy, a near-dup suffix variant, a PII doc
+    extra = d.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 500000).alias("doc_id"), "text", "source"
+    )
+    near = d.filter(F.col("doc_id") % 40 == 0).select(
+        (F.col("doc_id") + 600000).alias("doc_id"),
+        F.expr("substr(text, 25)").alias("text"),
+        "source",
+    )
+    return d.unionByName(extra).unionByName(near)
+
+
+def test_curate_end_to_end(spark):
+    corpus = _corpus(spark)
+    holdout = (
+        read_table(spark, SF, "documents")
+        .filter(F.col("doc_id") % 97 == 0)
+        .select("doc_id", "text", "source")
+    )
+    out = curate(
+        corpus,
+        keep_langs=("en", "de", "es", "fr", "it", "und"),
+        min_quality=0.0,
+        min_distinct_ratio=0.0,
+        holdout=holdout,
+        val_fraction=0.1,
+    )
+    n_corpus = corpus.count()
+    n_screened = out["screened"].count()
+    n_deduped = out["deduped"].count()
+    n_clean = out["clean"].count()
+    # screens were no-ops by config; dedup and decontamination bite
+    assert n_screened == n_corpus
+    assert n_deduped < n_screened  # planted copies/variants collapsed
+    assert n_clean < n_deduped  # holdout overlap removed
+    # holdout members' originals are decontaminated away
+    clean_ids = {r["doc_id"] for r in out["clean"].select("doc_id").collect()}
+    holdout_ids = {r["doc_id"] for r in holdout.collect()}
+    surviving_holdout = clean_ids & holdout_ids
+    assert not surviving_holdout
+    # train/val: disjoint, exhaustive over packed
+    n_train = out["train"].count()
+    n_val = out["val"].count()
+    assert n_train + n_val == out["packed"].count()
+    train_ids = {r["doc_id"] for r in out["train"].select("doc_id").collect()}
+    val_ids = {r["doc_id"] for r in out["val"].select("doc_id").collect()}
+    assert not (train_ids & val_ids)
+    # deterministic: the split reproduces exactly
+    out2 = curate(
+        _corpus(spark),
+        keep_langs=("en", "de", "es", "fr", "it", "und"),
+        min_quality=0.0,
+        min_distinct_ratio=0.0,
+        holdout=holdout,
+        val_fraction=0.1,
+    )
+    assert {
+        r["doc_id"] for r in out2["val"].select("doc_id").collect()
+    } == val_ids
+
+
+def test_curate_screens_filter(spark):
+    corpus = _corpus(spark)
+    out = curate(corpus, keep_langs=("en",), min_quality=0.2)
+    langs = {
+        r["l"]
+        for r in out["screened"]
+        .select(F.col("text"))
+        .select(
+            __import__(
+                "lsdm_motogp_data_integration_spark.operators.textops",
+                fromlist=["lang_id"],
+            ).lang_id("text").alias("l")
+        )
+        .collect()
+    }
+    assert langs <= {"en"}
