@@ -121,49 +121,51 @@ def q03_filter_routes(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def q05_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Merge join INNER (``motogp.ktr:3619-3652``): fact ⨝ dim equi-join.
-    Catalyst broadcasts the dim — no user pre-sort, unlike the
-    reference's 20 SortRows join prerequisites."""
+def q05_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-join suite in one tagged union — INNER (``motogp.ktr:
+    3619-3652``), LEFT OUTER (``:3653-3690``), RIGHT OUTER
+    (``:3825-3858``), and multi-key (``Merge join 7`` on (year,
+    category), ``:3925-3960``). Catalyst broadcasts the dim side — no
+    user pre-sort, unlike the reference's 20 SortRows join
+    prerequisites. (Merged from round-1/2 q05/q06/q07/q08 so all four
+    join shapes share one driver correctness row, freeing window slots
+    for new operators.) Aligned schema: the ``detail`` column carries
+    the joined dim attribute (mktsegment / name / status) proving the
+    non-key payload survived the join."""
     o = read_table(spark, sf_dir, "orders")
     c = read_table(spark, sf_dir, "customer")
-    return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner")
-        .select("o_orderkey", "c_custkey", "c_mktsegment", "o_totalprice")
+    inner = o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner").select(
+        F.lit("inner").alias("join_kind"),
+        "c_custkey",
+        "o_orderkey",
+        F.col("c_mktsegment").alias("detail"),
+        F.col("o_totalprice").alias("metric"),
     )
-
-
-def q06_join_left_right(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Merge join LEFT OUTER (``motogp.ktr:3653-3690``) and RIGHT OUTER
-    (``:3825-3858``) in one tagged union: the same customer⟕orders
-    lookup run through both code paths (c LEFT o and o RIGHT c), each
-    keeping unmatched customer rows with nulls. (Merged from round-1
-    q06/q07 so both outer-join directions share one driver row.)"""
-    c = read_table(spark, sf_dir, "customer")
-    o = read_table(spark, sf_dir, "orders")
-    left = (
-        c.join(o, c.c_custkey == o.o_custkey, "left")
-        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
-        .withColumn("side", F.lit("left"))
+    left = c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        F.lit("left").alias("join_kind"),
+        "c_custkey",
+        "o_orderkey",
+        F.col("c_name").alias("detail"),
+        F.col("o_totalprice").alias("metric"),
     )
-    right = (
-        o.join(c, o.o_custkey == c.c_custkey, "right")
-        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
-        .withColumn("side", F.lit("right"))
+    right = o.join(c, o.o_custkey == c.c_custkey, "right").select(
+        F.lit("right").alias("join_kind"),
+        "c_custkey",
+        "o_orderkey",
+        F.col("c_name").alias("detail"),
+        F.col("o_totalprice").alias("metric"),
     )
-    return left.unionByName(right)
-
-
-def q08_join_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-key equi-join (``Merge join 7`` on (year, category),
-    ``motogp.ktr:3925-3960``): orders ⨝ per-(custkey,status) counts."""
-    o = read_table(spark, sf_dir, "orders")
     agg = o.groupBy("o_custkey", "o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_same_status")
     )
-    return o.join(agg, ["o_custkey", "o_orderstatus"], "inner").select(
-        "o_orderkey", "o_custkey", "o_orderstatus", "n_same_status"
+    multikey = o.join(agg, ["o_custkey", "o_orderstatus"], "inner").select(
+        F.lit("multikey").alias("join_kind"),
+        F.col("o_custkey").alias("c_custkey"),
+        "o_orderkey",
+        F.col("o_orderstatus").alias("detail"),
+        F.col("n_same_status").cast("double").alias("metric"),
     )
+    return inner.unionByName(left).unionByName(right).unionByName(multikey)
 
 
 def q09_position_counts_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1231,6 +1233,76 @@ def q62_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q63_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate-line removal (CCNet-style,
+    operators/boilerplate.remove_boilerplate_lines — no reference
+    equivalent; training-data-curation extension). The synthetic corpus
+    is flat word soup, so the query (a) regroups each document into
+    8-word content lines with an identical formula in both engines and
+    (b) plants deterministic template boilerplate the way q62 plants
+    PII: every doc gets a license footer, every third doc a newsletter
+    header. With min_docs=3 the planted template lines (and the one
+    naturally-repeated short tail line) are dropped from every
+    document; unique content lines survive in order."""
+    from lsdm_motogp_data_integration_spark.operators.boilerplate import (
+        remove_boilerplate_lines,
+    )
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.split(
+        F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")), " "
+    )
+    n_lines = F.ceil(F.size(words) / F.lit(8.0)).cast("int")
+    content = F.concat_ws(
+        "\n",
+        F.transform(
+            F.sequence(F.lit(0), n_lines - F.lit(1)),
+            lambda i: F.concat_ws(" ", F.slice(words, i * 8 + 1, 8)),
+        ),
+    )
+    header = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.lit("subscribe to our newsletter for updates\n"),
+    ).otherwise(F.lit(""))
+    footer = F.lit("\nall rights reserved example corpus inc")
+    lined = d.select(
+        "doc_id", F.concat(header, content, footer).alias("text")
+    )
+    out = remove_boilerplate_lines(
+        lined, id_col="doc_id", text_col="text", sep="\n", min_docs=3
+    )
+    return out.select(
+        "doc_id",
+        F.col("text").alias("cleaned_text"),
+        "n_lines_kept",
+        "n_lines_removed",
+    )
+
+
+def q64_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranking (operators/ranking.bm25_scores, Lucene idf variant)
+    over the documents corpus for a fixed three-term query — the
+    retrieval-style companion to TF-IDF q49 / inverted index q50.
+    avgdl is exact in both engines (integer doc lengths sum exactly in
+    double); per-term contributions follow the decimal-sum float
+    convention, so the final rank is deterministic."""
+    from lsdm_motogp_data_integration_spark.operators.ranking import (
+        bm25_scores,
+    )
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    scored = bm25_scores(d, ["spark", "shuffle", "window"])
+    w = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    return (
+        scored.select(
+            "doc_id",
+            F.col("score").alias("bm25"),
+            "n_terms_hit",
+        )
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+    )
+
+
 def q44_motogp_standings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full MotoGP team-standings pipeline over the REAL reference
     datasets (ignores sf_dir): constructors-WC join → trademark strip →
@@ -1285,9 +1357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q01_pricing_summary": q01_pricing_summary,
         "q02_select_rename_cast": q02_select_rename_cast,
         "q03_filter_routes": q03_filter_routes,
-        "q05_join_inner": q05_join_inner,
-        "q06_join_left_right": q06_join_left_right,
-        "q08_join_multikey": q08_join_multikey,
+        "q05_join_suite": q05_join_suite,
         "q09_position_counts_multiway": q09_position_counts_multiway,
         "q11_standings": q11_standings,
         "q12_dedup_distinct": q12_dedup_distinct,
@@ -1332,6 +1402,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q60_dms_coordinates": q60_dms_coordinates,
         "q61_sequence_packing": q61_sequence_packing,
         "q62_pii_redaction": q62_pii_redaction,
+        "q63_boilerplate_lines": q63_boilerplate_lines,
+        "q64_bm25": q64_bm25,
         # --- rows-only by design (no cross-engine oracle possible) ---
         "q31_ann_lsh_topk": q31_ann_lsh_topk,
         "q46_ann_ivf_topk": q46_ann_ivf_topk,
@@ -1495,18 +1567,25 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             WHERE NOT (o_orderstatus = 'O' AND o_totalprice > 100000.0)
         """,
-        "q05_join_inner": """
-            SELECT o_orderkey, c_custkey, c_mktsegment, o_totalprice
+        "q05_join_suite": """
+            SELECT 'inner' AS join_kind, c_custkey, o_orderkey,
+                   c_mktsegment AS detail, o_totalprice AS metric
             FROM orders JOIN customer ON o_custkey = c_custkey
-        """,
-        "q06_join_left_right": """
-            SELECT c_custkey, c_name, o_orderkey, o_totalprice,
-                   'left' AS side
+            UNION ALL
+            SELECT 'left', c_custkey, o_orderkey, c_name, o_totalprice
             FROM customer LEFT JOIN orders ON c_custkey = o_custkey
             UNION ALL
-            SELECT c_custkey, c_name, o_orderkey, o_totalprice,
-                   'right' AS side
+            SELECT 'right', c_custkey, o_orderkey, c_name, o_totalprice
             FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+            UNION ALL
+            SELECT 'multikey', o.o_custkey, o.o_orderkey, o.o_orderstatus,
+                   CAST(agg.n_same_status AS DOUBLE)
+            FROM orders o JOIN (
+                SELECT o_custkey, o_orderstatus, COUNT(*) AS n_same_status
+                FROM orders GROUP BY o_custkey, o_orderstatus
+            ) agg
+              ON o.o_custkey = agg.o_custkey
+             AND o.o_orderstatus = agg.o_orderstatus
         """,
         "q09_position_counts_multiway": """
             WITH pos1 AS (
@@ -1528,15 +1607,6 @@ def oracle_sql() -> dict[str, str]:
             JOIN pos2 USING (s_suppkey)
             JOIN pos3 USING (s_suppkey)
             JOIN other_p USING (s_suppkey)
-        """,
-        "q08_join_multikey": """
-            WITH agg AS (
-                SELECT o_custkey, o_orderstatus, COUNT(*) AS n_same_status
-                FROM orders GROUP BY o_custkey, o_orderstatus
-            )
-            SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus, agg.n_same_status
-            FROM orders o JOIN agg
-              ON o.o_custkey = agg.o_custkey AND o.o_orderstatus = agg.o_orderstatus
         """,
         "q11_standings": """
             WITH standings AS (
@@ -2125,6 +2195,105 @@ def oracle_sql() -> dict[str, str]:
                            '\\b\\d{3}-\\d{2}-\\d{4}\\b', '[PII]', 'g')
                    ) AS BIGINT) AS redacted_len
             FROM salted
+        """,
+        "q63_boilerplate_lines": """
+            WITH docs AS (
+                SELECT doc_id,
+                       string_split(lower(regexp_replace(trim(text),
+                           '\\s+', ' ', 'g')), ' ') AS words
+                FROM documents
+            ), lined_text AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 3 = 0
+                            THEN 'subscribe to our newsletter for updates'
+                                 || chr(10) ELSE '' END
+                       || (SELECT string_agg(
+                               array_to_string(
+                                   words[(i*8+1):(i*8+8)], ' '),
+                               chr(10) ORDER BY i)
+                           FROM UNNEST(generate_series(0,
+                               CAST(ceil(len(words)/8.0) AS BIGINT)-1))
+                               AS t(i))
+                       || chr(10)
+                       || 'all rights reserved example corpus inc'
+                           AS text
+                FROM docs
+            ), lines AS (
+                SELECT doc_id, t.i - 1 AS pos, arr[t.i] AS line
+                FROM (SELECT doc_id,
+                             string_split(text, chr(10)) AS arr
+                      FROM lined_text),
+                     UNNEST(generate_series(1, len(arr))) AS t(i)
+            ), freq AS (
+                SELECT line FROM (
+                    SELECT line, COUNT(DISTINCT doc_id) AS n
+                    FROM lines GROUP BY line
+                ) WHERE n >= 3
+            ), kept AS (
+                SELECT l.doc_id, l.pos, l.line
+                FROM lines l ANTI JOIN freq f USING (line)
+            ), rebuilt AS (
+                SELECT doc_id,
+                       string_agg(line, chr(10) ORDER BY pos) AS cleaned,
+                       COUNT(*) AS n_kept
+                FROM kept GROUP BY doc_id
+            ), totals AS (
+                SELECT doc_id, len(string_split(text, chr(10))) AS n_total
+                FROM lined_text
+            )
+            SELECT t.doc_id,
+                   COALESCE(r.cleaned, '') AS cleaned_text,
+                   CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_lines_kept,
+                   CAST(t.n_total - COALESCE(r.n_kept, 0) AS BIGINT)
+                       AS n_lines_removed
+            FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+        """,
+        "q64_bm25": """
+            WITH docs AS (
+                SELECT doc_id,
+                       string_split(lower(regexp_replace(trim(text),
+                           '\\s+', ' ', 'g')), ' ') AS toks
+                FROM documents
+            ), d2 AS (
+                SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, toks
+                FROM docs
+            ), stats AS (
+                SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                       AVG(dl) AS avgdl
+                FROM d2
+            ), terms AS (
+                SELECT doc_id, dl, unnest(toks) AS term FROM d2
+            ), hits AS (
+                SELECT doc_id, dl, term,
+                       CAST(COUNT(*) AS DOUBLE) AS tf
+                FROM terms
+                WHERE term IN ('spark', 'shuffle', 'window')
+                GROUP BY doc_id, dl, term
+            ), dfreq AS (
+                SELECT term,
+                       CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+                FROM hits GROUP BY term
+            ), scored AS (
+                SELECT h.doc_id,
+                       CAST(ln(1.0 + (s.n_docs - f.df + 0.5)
+                                     / (f.df + 0.5))
+                            * h.tf * 2.2
+                            / (h.tf + 1.2 * (0.25 + 0.75 * h.dl
+                                                    / s.avgdl))
+                            AS DECIMAL(18,6)) AS contrib
+                FROM hits h
+                JOIN dfreq f USING (term)
+                CROSS JOIN stats s
+            ), agg AS (
+                SELECT doc_id,
+                       CAST(SUM(contrib) AS DOUBLE) AS bm25,
+                       COUNT(*) AS n_terms_hit
+                FROM scored GROUP BY doc_id
+            )
+            SELECT doc_id, bm25, n_terms_hit,
+                   ROW_NUMBER() OVER (
+                       ORDER BY bm25 DESC, doc_id ASC) AS rk
+            FROM agg
         """,
         "q58_dedup_clusters": f"""
             WITH RECURSIVE {_DOC_CORPUS_SQL},

@@ -22,7 +22,7 @@ from lsdm_motogp_data_integration_spark.session import get_spark
 
 HEADLINE = [
     "q01_pricing_summary",
-    "q05_join_inner",
+    "q05_join_suite",
     "q09_position_counts_multiway",
     "q11_standings",
     "q13_surrogate_key",

@@ -1,0 +1,86 @@
+"""Corpus-level boilerplate line removal (CCNet / RefinedWeb style).
+
+The reference pipeline (``motogp.ktr``) has no corpus-level text-hygiene
+step; this operator belongs to the engine's training-data-curation
+extension. It follows the public CCNet idea (Wenzek et al., 2020):
+a line occurring in ``>= min_docs`` *distinct* documents is template
+boilerplate (headers, nav bars, license banners) and is dropped from
+every document it appears in, preserving the order of surviving lines.
+
+Scale shape (100 TB):
+
+- one wide aggregation keyed on the line text to find the frequent set
+  (the only shuffle that moves line text);
+- the frequent set is, by definition, small — only lines repeated
+  across ``min_docs``+ documents — so the anti-join broadcasts it
+  (``broadcast_frequent=False`` opts into a shuffle anti-join for
+  adversarial corpora where the boilerplate set is huge);
+- one ``groupBy(id)`` to reassemble documents.
+
+No all-pairs work, no driver-side iteration, no Python UDFs.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    min_docs: int = 3,
+    broadcast_frequent: bool = True,
+) -> DataFrame:
+    """Drop every line appearing in ``>= min_docs`` distinct documents.
+
+    ``sep`` is a literal separator (regex-escaped internally). Returns
+    one row per input document with the cleaned ``text_col`` (empty
+    string when every line was boilerplate), ``n_lines_kept`` and
+    ``n_lines_removed``.
+    """
+    split_expr = F.split(F.col(text_col), re.escape(sep))
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(split_expr).alias("pos", "line"),
+    )
+    frequent = (
+        lines.select(id_col, "line")
+        .distinct()
+        .groupBy("line")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= int(min_docs))
+        .select("line")
+    )
+    if broadcast_frequent:
+        frequent = F.broadcast(frequent)
+    kept = lines.join(frequent, "line", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("__cleaned"),
+        F.count(F.lit(1)).alias("__n_kept"),
+    )
+    return (
+        df.join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("__cleaned"), F.lit("")).alias(text_col),
+            F.coalesce(F.col("__n_kept"), F.lit(0))
+            .cast("bigint")
+            .alias("n_lines_kept"),
+            (
+                F.size(split_expr)
+                - F.coalesce(F.col("__n_kept"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("n_lines_removed"),
+        )
+    )

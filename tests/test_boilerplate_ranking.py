@@ -1,0 +1,87 @@
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Row
+
+from lsdm_motogp_data_integration_spark.operators.boilerplate import (
+    remove_boilerplate_lines,
+)
+from lsdm_motogp_data_integration_spark.operators.ranking import bm25_scores
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            Row(doc_id=1, text="HEADER\nalpha beta\nFOOTER"),
+            Row(doc_id=2, text="HEADER\ngamma delta\nFOOTER"),
+            Row(doc_id=3, text="HEADER\nalpha beta\nepsilon\nFOOTER"),
+            Row(doc_id=4, text="HEADER\nFOOTER"),
+            Row(doc_id=5, text="unique one\nunique two"),
+        ]
+    )
+
+
+def test_boilerplate_removes_frequent_keeps_order(spark):
+    out = {
+        r["doc_id"]: r
+        for r in remove_boilerplate_lines(
+            _docs(spark), min_docs=3
+        ).collect()
+    }
+    # HEADER/FOOTER appear in 4 docs -> dropped everywhere.
+    assert out[1]["text"] == "alpha beta"
+    assert out[2]["text"] == "gamma delta"
+    # Surviving lines keep their original order.
+    assert out[3]["text"] == "alpha beta\nepsilon"
+    assert out[3]["n_lines_kept"] == 2
+    assert out[3]["n_lines_removed"] == 2
+    # A doc that was pure boilerplate survives as an empty row.
+    assert out[4]["text"] == ""
+    assert out[4]["n_lines_kept"] == 0
+    assert out[4]["n_lines_removed"] == 2
+    # "alpha beta" appears in only 2 docs (< min_docs) -> kept.
+    assert out[5]["text"] == "unique one\nunique two"
+    assert out[5]["n_lines_removed"] == 0
+
+
+def test_boilerplate_shuffle_anti_join_matches_broadcast(spark):
+    a = remove_boilerplate_lines(_docs(spark), min_docs=2)
+    b = remove_boilerplate_lines(
+        _docs(spark), min_docs=2, broadcast_frequent=False
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(
+        map(tuple, b.collect())
+    )
+
+
+def _bm25_manual(tf, df, n_docs, dl, avgdl, k1=1.2, b=0.75):
+    idf = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+    return idf * tf * (k1 + 1.0) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+
+def test_bm25_matches_manual_formula(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="spark spark shuffle pad pad pad"),
+            Row(doc_id=2, text="spark pad pad pad pad pad"),
+            Row(doc_id=3, text="pad pad pad pad pad pad"),
+        ]
+    )
+    out = {
+        r["doc_id"]: r
+        for r in bm25_scores(df, ["spark", "shuffle"]).collect()
+    }
+    assert 3 not in out  # no query term -> no row
+    n, avgdl = 3.0, 6.0
+    exp1 = round(
+        round(_bm25_manual(2, 2, n, 6.0, avgdl), 6)
+        + round(_bm25_manual(1, 1, n, 6.0, avgdl), 6),
+        6,
+    )
+    assert abs(out[1]["score"] - exp1) < 1e-9
+    assert out[1]["n_terms_hit"] == 2
+    exp2 = round(_bm25_manual(1, 2, n, 6.0, avgdl), 6)
+    assert abs(out[2]["score"] - exp2) < 1e-9
+    # More matching mass -> higher score.
+    assert out[1]["score"] > out[2]["score"]

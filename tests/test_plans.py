@@ -36,8 +36,8 @@ def test_column_pruning_reaches_scan(spark, sf_dir):
 
 
 def test_dim_joins_broadcast(spark, sf_dir):
-    assert_broadcast_join(entry.q05_join_inner(spark, sf_dir))
-    assert_no_sort_merge_join(entry.q05_join_inner(spark, sf_dir))
+    assert_broadcast_join(entry.q05_join_suite(spark, sf_dir))
+    assert_no_sort_merge_join(entry.q05_join_suite(spark, sf_dir))
     assert_broadcast_join(entry.q11_standings(spark, sf_dir))
 
 
