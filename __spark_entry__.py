@@ -470,6 +470,7 @@ def q21_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         max_hamming=3,
         token_hash="md5_60",
+        persist_sketch=True,
     )
 
 
