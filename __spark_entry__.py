@@ -270,30 +270,40 @@ def q13_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def q14_string_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """StringOperations / ReplaceString / ConcatFields / FieldSplitter
-    (``motogp.ktr:8265-8720``, ``:4809-4886``, ``:1677``, ``:8085``):
-    trim+case ops, literal replace, split+concat."""
+def q14_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function suite, one row per (input, function):
+    StringOperations / ReplaceString / ConcatFields / FieldSplitter
+    (``motogp.ktr:8265-8720``, ``:4809-4886``, ``:1677``, ``:8085``)
+    unpivoted over customers, plus the multi-format date parser
+    (``race_coord.py:50-79`` strptime attempts →
+    ``coalesce(try_to_timestamp...)``) as tagged per-month counts.
+    (Merged from round-1 q14/q15 so the §2.8 scalar layer shares one
+    driver row.)"""
     c = read_table(spark, sf_dir, "customer")
     name_parts = F.split(F.col("c_name"), "#")
-    return c.select(
-        "c_custkey",
+    ops = c.select(
+        F.col("c_custkey").alias("key"),
         F.upper(F.trim(F.col("c_mktsegment"))).alias("segment_upper"),
         F.lower(F.col("c_name")).alias("name_lower"),
         F.regexp_replace(F.col("c_name"), "Customer", "Rider").alias(
             "name_replaced"
         ),
-        name_parts.getItem(1).cast("bigint").alias("name_number"),
+        name_parts.getItem(1).alias("name_number"),
         F.concat_ws(
             "-", F.col("c_mktsegment"), name_parts.getItem(1)
         ).alias("segment_code"),
+    ).unpivot(
+        ["key"],
+        [
+            "segment_upper",
+            "name_lower",
+            "name_replaced",
+            "name_number",
+            "segment_code",
+        ],
+        "op",
+        "value",
     )
-
-
-def q15_date_multiformat(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-format date parsing (``race_coord.py:50-79`` strptime
-    attempts → ``coalesce(try_to_timestamp...)``): render o_orderdate in
-    two alternating text formats, parse back, aggregate per month."""
     o = read_table(spark, sf_dir, "orders")
     as_text = o.withColumn(
         "date_text",
@@ -305,9 +315,14 @@ def q15_date_multiformat(spark: SparkSession, sf_dir: str) -> DataFrame:
     parsed = as_text.withColumn(
         "parsed_date", to_date_multi("date_text", ["yyyy/MM/dd", "dd-MM-yyyy"])
     )
-    return parsed.groupBy(
+    months = parsed.groupBy(
         F.date_format("parsed_date", "yyyy-MM").alias("order_month")
-    ).agg(F.count(F.lit(1)).alias("n_orders"))
+    ).agg(F.count(F.lit(1)).alias("n_orders")).select(
+        F.lit(-1).cast("bigint").alias("key"),
+        F.concat(F.lit("month:"), F.col("order_month")).alias("op"),
+        F.col("n_orders").cast("string").alias("value"),
+    )
+    return ops.unionByName(months)
 
 
 def q16_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -917,22 +932,34 @@ def q46_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "neighbor_id", "cosine", "rank")
 
 
-def q47_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic content-hash sampling (training-data splits must
-    be reproducible across engines and runs — no RNG): keep documents
-    whose md5(doc_id) starts with 0-2 (~3/16 ≈ 19%), stratification
-    implicit in the uniform hash."""
-    d = read_table(spark, sf_dir, "documents")
-    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
-    return d.filter(bucket.isin("0", "1", "2")).select(
-        "doc_id", "lang", "source"
+def q47_chunk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-then-sample, the composed curation step (merged from
+    round-1 q47 deterministic sampling + q48 chunking): fixed-window
+    chunking (q48 semantics) followed by deterministic content-hash
+    sampling of the CHUNKS — keep chunks whose md5(doc_id:chunk_start)
+    starts with 0-2 (~3/16 ≈ 19%). Training-data splits must be
+    reproducible across engines and runs — no RNG anywhere."""
+    chunks = q48_chunking(spark, sf_dir)
+    bucket = F.substring(
+        F.md5(
+            F.concat_ws(
+                ":",
+                F.col("doc_id").cast("string"),
+                F.col("chunk_start").cast("string"),
+            )
+        ),
+        1,
+        1,
     )
+    return chunks.filter(bucket.isin("0", "1", "2"))
 
 
 def q48_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document chunking for training pipelines: fixed 50-token windows
     with stride 40 (10-token overlap), exploded to one row per chunk
-    with its text and token count."""
+    with its text and token count. (Not separately registered — the
+    driver row is q47_chunk_sample, which composes this with the
+    deterministic sampler.)"""
     d = read_table(spark, sf_dir, "documents")
     window_size, stride = 50, 40
     words = F.split(
@@ -1304,6 +1331,43 @@ def q64_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q65_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-model quality screen run as pure Column inference
+    (operators/scoring.classify_quality): sigmoid(w·x + b) over the
+    engine's quality_features with literal weights — the fastText/
+    logistic screen of public curation pipelines (CCNet, FineWeb)
+    without a Python model server in the scan path. Whole-stage
+    codegen end to end; probability rounded to 6 dp per the float
+    convention, keep = prob >= 0.5."""
+    from lsdm_motogp_data_integration_spark.operators.scoring import (
+        classify_quality,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    return classify_quality(d)
+
+
+def q66_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture sampling (operators/textops.mixture_sample): draw
+    ~200 documents whose language composition targets 50% en / 20% zh /
+    10% each es·de·fr. Per-group rates are data-dependent
+    (min(1, budget·p/n) from one count agg, broadcast back); the keep
+    decision is the engine's deterministic md5-threshold — no RNG, so
+    DuckDB replays the exact sample."""
+    from lsdm_motogp_data_integration_spark.operators.textops import (
+        mixture_sample,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    return mixture_sample(
+        d,
+        "lang",
+        {"en": 0.5, "zh": 0.2, "es": 0.1, "de": 0.1, "fr": 0.1},
+        budget=200,
+        id_col="doc_id",
+    ).select("doc_id", "lang", "source")
+
+
 def q44_motogp_standings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full MotoGP team-standings pipeline over the REAL reference
     datasets (ignores sf_dir): constructors-WC join → trademark strip →
@@ -1363,8 +1427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q11_standings": q11_standings,
         "q12_dedup_distinct": q12_dedup_distinct,
         "q13_surrogate_key": q13_surrogate_key,
-        "q14_string_ops": q14_string_ops,
-        "q15_date_multiformat": q15_date_multiformat,
+        "q14_scalar_suite": q14_scalar_suite,
         "q16_union_all": q16_union_all,
         "q17_fuzzy_best_match": q17_fuzzy_best_match,
         "q18_dedup_exact": q18_dedup_exact,
@@ -1391,8 +1454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q43_percentiles": q43_percentiles,
         "q44_motogp_standings": q44_motogp_standings,
         "q45_motogp_participation": q45_motogp_participation,
-        "q47_deterministic_sample": q47_deterministic_sample,
-        "q48_chunking": q48_chunking,
+        "q47_chunk_sample": q47_chunk_sample,
         "q49_tfidf_top_terms": q49_tfidf_top_terms,
         "q50_inverted_index": q50_inverted_index,
         "q53_source_stats": q53_source_stats,
@@ -1405,6 +1467,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q62_pii_redaction": q62_pii_redaction,
         "q63_boilerplate_lines": q63_boilerplate_lines,
         "q64_bm25": q64_bm25,
+        "q65_quality_classifier": q65_quality_classifier,
+        "q66_mixture_sample": q66_mixture_sample,
         # --- rows-only by design (no cross-engine oracle possible) ---
         "q31_ann_lsh_topk": q31_ann_lsh_topk,
         "q46_ann_ivf_topk": q46_ann_ivf_topk,
@@ -1632,33 +1696,44 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROW_NUMBER() OVER (ORDER BY c_custkey) AS BIGINT) AS cust_seq
             FROM customer
         """,
-        "q14_string_ops": """
-            SELECT c_custkey,
-                   UPPER(TRIM(c_mktsegment)) AS segment_upper,
-                   LOWER(c_name) AS name_lower,
-                   REGEXP_REPLACE(c_name, 'Customer', 'Rider') AS name_replaced,
-                   CAST(string_split(c_name, '#')[2] AS BIGINT) AS name_number,
-                   c_mktsegment || '-' || string_split(c_name, '#')[2] AS segment_code
+        "q14_scalar_suite": """
+            SELECT c_custkey AS key, 'segment_upper' AS op,
+                   UPPER(TRIM(c_mktsegment)) AS value FROM customer
+            UNION ALL
+            SELECT c_custkey, 'name_lower', LOWER(c_name) FROM customer
+            UNION ALL
+            SELECT c_custkey, 'name_replaced',
+                   REGEXP_REPLACE(c_name, 'Customer', 'Rider')
             FROM customer
-        """,
-        "q15_date_multiformat": """
-            WITH as_text AS (
-                SELECT o_orderkey,
-                       CASE WHEN o_orderkey % 2 = 0
-                            THEN strftime(o_orderdate, '%Y/%m/%d')
-                            ELSE strftime(o_orderdate, '%d-%m-%Y')
-                       END AS date_text
-                FROM orders
-            ), parsed AS (
-                SELECT COALESCE(
-                           CAST(try_strptime(date_text, '%Y/%m/%d') AS DATE),
-                           CAST(try_strptime(date_text, '%d-%m-%Y') AS DATE)
-                       ) AS parsed_date
-                FROM as_text
+            UNION ALL
+            SELECT c_custkey, 'name_number',
+                   string_split(c_name, '#')[2] FROM customer
+            UNION ALL
+            SELECT c_custkey, 'segment_code',
+                   c_mktsegment || '-' || string_split(c_name, '#')[2]
+            FROM customer
+            UNION ALL
+            SELECT CAST(-1 AS BIGINT), 'month:' || order_month,
+                   CAST(n_orders AS VARCHAR)
+            FROM (
+                WITH as_text AS (
+                    SELECT o_orderkey,
+                           CASE WHEN o_orderkey % 2 = 0
+                                THEN strftime(o_orderdate, '%Y/%m/%d')
+                                ELSE strftime(o_orderdate, '%d-%m-%Y')
+                           END AS date_text
+                    FROM orders
+                ), parsed AS (
+                    SELECT COALESCE(
+                               CAST(try_strptime(date_text, '%Y/%m/%d') AS DATE),
+                               CAST(try_strptime(date_text, '%d-%m-%Y') AS DATE)
+                           ) AS parsed_date
+                    FROM as_text
+                )
+                SELECT strftime(parsed_date, '%Y-%m') AS order_month,
+                       COUNT(*) AS n_orders
+                FROM parsed GROUP BY 1
             )
-            SELECT strftime(parsed_date, '%Y-%m') AS order_month,
-                   COUNT(*) AS n_orders
-            FROM parsed GROUP BY 1
         """,
         "q16_union_all": """
             SELECT o_orderkey, 'open' AS branch FROM orders WHERE o_orderstatus = 'O'
@@ -2141,10 +2216,30 @@ def oracle_sql() -> dict[str, str]:
             FROM with_rider w
             LEFT JOIN best b ON w.circuit_name = b.circuit_name
         """,
-        "q47_deterministic_sample": """
-            SELECT doc_id, lang, source
-            FROM documents
-            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1', '2')
+        "q47_chunk_sample": """
+            WITH w AS (
+                SELECT doc_id,
+                       regexp_split_to_array(
+                           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '
+                       ) AS ws
+                FROM documents
+            ), chunks AS (
+                SELECT doc_id,
+                       CAST(s AS BIGINT) AS chunk_start,
+                       array_to_string(ws[s:s+49], ' ') AS chunk_text
+                FROM w, LATERAL (
+                    SELECT unnest(generate_series(
+                        1, greatest(len(ws) - 10, 1), 40
+                    )) AS s
+                ) t
+            )
+            SELECT doc_id, chunk_start, chunk_text,
+                   CAST(len(regexp_split_to_array(chunk_text, ' ')) AS BIGINT)
+                       AS chunk_tokens
+            FROM chunks
+            WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                             || CAST(chunk_start AS VARCHAR)), 1, 1)
+                  IN ('0', '1', '2')
         """,
         "q61_sequence_packing": """
             WITH toks AS (
@@ -2295,6 +2390,64 @@ def oracle_sql() -> dict[str, str]:
                    ROW_NUMBER() OVER (
                        ORDER BY bm25 DESC, doc_id ASC) AS rk
             FROM agg
+        """,
+        "q65_quality_classifier": """
+            WITH feats AS (
+                SELECT doc_id,
+                       CAST(greatest(length(text), 1) AS DOUBLE) AS n,
+                       CAST(greatest(
+                           CASE WHEN length(trim(text)) = 0 THEN 0
+                                ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                           END, 1) AS DOUBLE) AS nt,
+                       len(regexp_extract_all(text, '[A-Za-z]')) AS c_alpha,
+                       len(regexp_extract_all(text, '[0-9]')) AS c_digit,
+                       len(regexp_extract_all(text, '[^\\w\\s]')) AS c_punct,
+                       len(regexp_extract_all(text, '\\s')) AS c_space,
+                       len(regexp_extract_all(
+                           text, '(?i)\\b(the|a|an|and|or|of|to|in|is|it)\\b'
+                       )) AS c_stop,
+                       len(regexp_extract_all(text, '[^\\s]')) AS c_nonspace
+                FROM documents
+            ), z AS (
+                -- weights added in sorted-feature-name order, exactly
+                -- like the engine builds the expression
+                SELECT doc_id,
+                       -1.0
+                       + 2.0 * (c_alpha / n)
+                       + -3.0 * (c_digit / n)
+                       + -0.1 * (c_nonspace / nt)
+                       + -2.0 * (c_punct / n)
+                       + 0.5 * (c_space / n)
+                       + 1.5 * (c_stop / nt) AS z
+                FROM feats
+            ), p AS (
+                SELECT doc_id,
+                       ROUND(1.0 / (1.0 + exp(-z)), 6) AS quality_prob
+                FROM z
+            )
+            SELECT doc_id, quality_prob, quality_prob >= 0.5 AS keep
+            FROM p
+        """,
+        "q66_mixture_sample": """
+            WITH counts AS (
+                SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+            ), rates AS (
+                SELECT lang,
+                       least(1.0,
+                             (CASE lang WHEN 'en' THEN 0.5
+                                        WHEN 'zh' THEN 0.2
+                                        WHEN 'es' THEN 0.1
+                                        WHEN 'de' THEN 0.1
+                                        WHEN 'fr' THEN 0.1
+                                        ELSE 0.0 END)
+                             * 200.0 / CAST(n AS DOUBLE)) AS rate
+                FROM counts
+            )
+            SELECT d.doc_id, d.lang, d.source
+            FROM documents d JOIN rates r USING (lang)
+            WHERE CAST(('0x' || substr(md5(
+                      d.lang || '|' || CAST(d.doc_id AS VARCHAR)
+                  ), 1, 8)) AS BIGINT) / 4294967296.0 < r.rate
         """,
         "q58_dedup_clusters": f"""
             WITH RECURSIVE {_DOC_CORPUS_SQL},
@@ -2470,27 +2623,5 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(CAST(doc_id AS VARCHAR), ','
                               ORDER BY doc_id) AS postings
             FROM terms GROUP BY term HAVING COUNT(*) >= 10
-        """,
-        "q48_chunking": """
-            WITH w AS (
-                SELECT doc_id,
-                       regexp_split_to_array(
-                           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '
-                       ) AS ws
-                FROM documents
-            ), chunks AS (
-                SELECT doc_id,
-                       CAST(s AS BIGINT) AS chunk_start,
-                       array_to_string(ws[s:s+49], ' ') AS chunk_text
-                FROM w, LATERAL (
-                    SELECT unnest(generate_series(
-                        1, greatest(len(ws) - 10, 1), 40
-                    )) AS s
-                ) t
-            )
-            SELECT doc_id, chunk_start, chunk_text,
-                   CAST(len(regexp_split_to_array(chunk_text, ' ')) AS BIGINT)
-                       AS chunk_tokens
-            FROM chunks
         """,
     }

@@ -278,3 +278,55 @@ def stratified_sample(
             F.col(strata_col) == stratum, F.lit(float(frac))
         ).otherwise(rate)
     return df.filter(u < rate)
+
+
+def mixture_sample(
+    df,
+    group_col: str,
+    target_props: dict,
+    budget: int,
+    id_col: str,
+    *,
+    default_prop: float = 0.0,
+):
+    """Domain-mixture sampling: draw ~``budget`` rows whose GROUP
+    COMPOSITION matches ``target_props`` (the "domain mixing weights"
+    step of an LLM data pipeline — upsample-by-cap is out of scope, a
+    group can contribute at most all of its rows).
+
+    Unlike :func:`stratified_sample` (fixed per-stratum fractions),
+    the per-group rate here is DATA-DEPENDENT:
+    ``rate_g = min(1, budget * p_g / n_g)`` — one count aggregation,
+    broadcast back (O(#groups) rows), then the same deterministic
+    md5-threshold keep decision (no RNG; reproducible across engines,
+    executor counts, and input order). Exactly one narrow shuffle
+    (the count agg); the keep filter is a pure Column expression.
+    """
+    prop = F.lit(float(default_prop))
+    for group, p in target_props.items():
+        prop = F.when(F.col(group_col) == group, F.lit(float(p))).otherwise(
+            prop
+        )
+    rates = (
+        df.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .select(
+            group_col,
+            F.least(
+                F.lit(1.0),
+                prop * F.lit(float(budget)) / F.col("__n").cast("double"),
+            ).alias("__rate"),
+        )
+    )
+    c = F.concat(
+        F.col(group_col).cast("string"),
+        F.lit("|"),
+        F.col(id_col).cast("string"),
+    )
+    bucket = F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("bigint")
+    u = bucket / F.lit(float(1 << 32))
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .filter(u < F.col("__rate"))
+        .drop("__rate")
+    )
