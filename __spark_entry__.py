@@ -431,14 +431,36 @@ _JACCARD_PAIRS_SQL = f"""
 """
 
 
-def q18_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup by content digest (hash-groupBy): documents ∪ exact
-    copies of every 5th doc; survivors keep min doc_id with group size."""
+def q18_digest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Digest-dedup family in one tagged union (merged from round-1/2
+    q18 exact dedup + q25 fingerprint dedup): 'raw' = exact dedup by
+    content digest over documents ∪ exact copies of every 5th doc;
+    'canonical' = case/punctuation-insensitive fingerprint grouping
+    over documents ∪ UPPERCASED variants of every 7th doc. Survivors
+    keep min doc_id with group size; the md5 shuffle key is constant
+    width regardless of document size."""
     d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     copies = d.filter(F.col("doc_id") % 5 == 0).select(
         (F.col("doc_id") + 100000).alias("doc_id"), "text"
     )
-    return exact_dedup(d.unionByName(copies), "text", "doc_id")
+    raw = exact_dedup(d.unionByName(copies), "text", "doc_id").select(
+        F.lit("raw").alias("kind"), "doc_id", "n_copies"
+    )
+    shouted = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.upper(F.col("text")).alias("text"),
+    )
+    canonical = (
+        d.unionByName(shouted)
+        .withColumn("fp", fingerprint("text"))
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select(F.lit("canonical").alias("kind"), "doc_id", "n_copies")
+    )
+    return raw.unionByName(canonical)
 
 
 def q19_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -530,25 +552,6 @@ def q22_text_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return base.join(rep, "doc_id", "inner")
-
-
-def q25_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Canonical-content fingerprinting: case/punctuation-insensitive
-    md5 groups documents with their UPPERCASED variants."""
-    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
-    shouted = d.filter(F.col("doc_id") % 7 == 0).select(
-        (F.col("doc_id") + 200000).alias("doc_id"),
-        F.upper(F.col("text")).alias("text"),
-    )
-    corpus = d.unionByName(shouted)
-    return (
-        corpus.withColumn("fp", fingerprint("text"))
-        .groupBy("fp")
-        .agg(
-            F.min("doc_id").alias("doc_id"),
-            F.count(F.lit(1)).alias("n_same_content"),
-        )
-    )
 
 
 def q26_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -930,6 +933,23 @@ def q46_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, queries_df, "embedding", "vec_id", "query_id", "query_vec",
         k=5, n_cells=8, nprobe=3,
     ).select("query_id", "neighbor_id", "cosine", "rank")
+
+
+def q68_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-means document clustering over the embeddings
+    table (operators/ann.kmeans_clusters, 8 clusters, 3 Lloyd rounds) —
+    topic balancing / diversity sampling support for curation.
+    Iterative float centroid means are not SQL-replayable → rows-only
+    by design; determinism and assignment quality are pinned in
+    pytest."""
+    from lsdm_motogp_data_integration_spark.operators.ann import (
+        kmeans_clusters,
+    )
+
+    e = read_table(spark, sf_dir, "embeddings")
+    return kmeans_clusters(
+        e, "embedding", "vec_id", n_clusters=8, n_iters=3
+    )
 
 
 def q47_chunk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1368,6 +1388,32 @@ def q66_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "source")
 
 
+def q67_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repeated-span removal
+    (operators/textops.mask_repeated_ngrams, k=5 — the within-doc case
+    of Lee et al. training-data dedup). The synthetic corpus rarely
+    repeats 5-grams inside one doc, so the query simulates the classic
+    scraped-page duplication by appending each document's first 10
+    words to its end (same formula both engines); the operator must
+    then drop exactly the appended repeat spans while leaving unique
+    text intact."""
+    from lsdm_motogp_data_integration_spark.operators.textops import (
+        mask_repeated_ngrams,
+    )
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    salted = d.select(
+        "doc_id",
+        F.concat(
+            norm,
+            F.lit(" "),
+            F.concat_ws(" ", F.slice(F.split(norm, " "), 1, 10)),
+        ).alias("text"),
+    )
+    return mask_repeated_ngrams(salted, id_col="doc_id", text_col="text", k=5)
+
+
 def q44_motogp_standings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full MotoGP team-standings pipeline over the REAL reference
     datasets (ignores sf_dir): constructors-WC join → trademark strip →
@@ -1430,12 +1476,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_scalar_suite": q14_scalar_suite,
         "q16_union_all": q16_union_all,
         "q17_fuzzy_best_match": q17_fuzzy_best_match,
-        "q18_dedup_exact": q18_dedup_exact,
+        "q18_digest_dedup": q18_digest_dedup,
         "q19_minhash_lsh_neardup": q19_minhash_lsh_neardup,
         "q20_jaccard_exact": q20_jaccard_exact,
         "q21_simhash_neardup": q21_simhash_neardup,
         "q22_text_signals": q22_text_signals,
-        "q25_fingerprint_dedup": q25_fingerprint_dedup,
         "q26_ann_cosine_topk": q26_ann_cosine_topk,
         "q27_embedding_neardup": q27_embedding_neardup,
         "q28_tumbling_window": q28_tumbling_window,
@@ -1469,10 +1514,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q64_bm25": q64_bm25,
         "q65_quality_classifier": q65_quality_classifier,
         "q66_mixture_sample": q66_mixture_sample,
+        "q67_span_dedup": q67_span_dedup,
         # --- rows-only by design (no cross-engine oracle possible) ---
         "q31_ann_lsh_topk": q31_ann_lsh_topk,
         "q46_ann_ivf_topk": q46_ann_ivf_topk,
         "q59_approx_aggs": q59_approx_aggs,
+        "q68_embedding_clusters": q68_embedding_clusters,
     }
 
 
@@ -1763,15 +1810,30 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(sim, 6) AS similarity
             FROM best WHERE rn = 1
         """,
-        "q18_dedup_exact": """
+        "q18_digest_dedup": """
             WITH corpus AS (
                 SELECT doc_id, text FROM documents
                 UNION ALL
                 SELECT doc_id + 100000 AS doc_id, text
                 FROM documents WHERE doc_id % 5 = 0
+            ), shouted AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 200000 AS doc_id, upper(text) AS text
+                FROM documents WHERE doc_id % 7 = 0
+            ), fps AS (
+                SELECT doc_id,
+                       md5(regexp_replace(
+                           trim(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g')),
+                           '\\s+', ' ', 'g')) AS fp
+                FROM shouted
             )
-            SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+            SELECT 'raw' AS kind, MIN(doc_id) AS doc_id,
+                   COUNT(*) AS n_copies
             FROM corpus GROUP BY md5(text)
+            UNION ALL
+            SELECT 'canonical', MIN(doc_id), COUNT(*)
+            FROM fps GROUP BY fp
         """,
         "q19_minhash_lsh_neardup": _JACCARD_PAIRS_SQL,
         "q20_jaccard_exact": _JACCARD_PAIRS_SQL,
@@ -1889,22 +1951,6 @@ def oracle_sql() -> dict[str, str]:
             JOIN qual USING (doc_id)
             JOIN lang USING (doc_id)
             JOIN rep USING (doc_id)
-        """,
-        "q25_fingerprint_dedup": """
-            WITH corpus AS (
-                SELECT doc_id, text FROM documents
-                UNION ALL
-                SELECT doc_id + 200000 AS doc_id, upper(text) AS text
-                FROM documents WHERE doc_id % 7 = 0
-            ), fps AS (
-                SELECT doc_id,
-                       md5(regexp_replace(
-                           trim(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g')),
-                           '\\s+', ' ', 'g')) AS fp
-                FROM corpus
-            )
-            SELECT fp, MIN(doc_id) AS doc_id, COUNT(*) AS n_same_content
-            FROM fps GROUP BY fp
         """,
         "q26_ann_cosine_topk": """
             WITH q AS (
@@ -2427,6 +2473,55 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, quality_prob, quality_prob >= 0.5 AS keep
             FROM p
+        """,
+        "q67_span_dedup": """
+            WITH docs AS (
+                SELECT doc_id,
+                       lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))
+                           AS t
+                FROM documents
+            ), salted AS (
+                SELECT doc_id,
+                       t || ' ' || array_to_string(
+                           (string_split(t, ' '))[1:10], ' ') AS text
+                FROM docs
+            ), w AS (
+                SELECT doc_id, string_split(text, ' ') AS ws FROM salted
+            ), grams AS (
+                SELECT doc_id, t.s,
+                       array_to_string(ws[(t.s+1):(t.s+5)], ' ') AS g
+                FROM w, UNNEST(generate_series(
+                    0, greatest(len(ws) - 5, 0))) AS t(s)
+            ), rep AS (
+                SELECT doc_id, s FROM (
+                    SELECT doc_id, s, ROW_NUMBER() OVER (
+                        PARTITION BY doc_id, g ORDER BY s) AS r
+                    FROM grams
+                ) WHERE r > 1
+            ), cov AS (
+                SELECT DISTINCT doc_id, u.p
+                FROM rep, UNNEST(generate_series(s, s + 4)) AS u(p)
+            ), pos AS (
+                SELECT doc_id, t.i - 1 AS p, ws[t.i] AS word
+                FROM w, UNNEST(generate_series(1, len(ws))) AS t(i)
+            ), kept AS (
+                SELECT pos.doc_id, pos.p, pos.word
+                FROM pos ANTI JOIN cov
+                  ON pos.doc_id = cov.doc_id AND pos.p = cov.p
+            ), re AS (
+                SELECT doc_id,
+                       string_agg(word, ' ' ORDER BY p) AS cleaned,
+                       COUNT(*) AS n_kept
+                FROM kept GROUP BY doc_id
+            ), tot AS (
+                SELECT doc_id, len(ws) AS n FROM w
+            )
+            SELECT t.doc_id,
+                   COALESCE(r.cleaned, '') AS text,
+                   CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_words_kept,
+                   CAST(t.n - COALESCE(r.n_kept, 0) AS BIGINT)
+                       AS n_words_removed
+            FROM tot t LEFT JOIN re r USING (doc_id)
         """,
         "q66_mixture_sample": """
             WITH counts AS (

@@ -183,6 +183,55 @@ def _train_centroids(
     return mat
 
 
+def kmeans_clusters(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    *,
+    n_clusters: int = 8,
+    n_iters: int = 3,
+) -> DataFrame:
+    """Document clustering over an embedding column: deterministic
+    k-means sharing the IVF codebook trainer (:func:`_train_centroids`
+    — hash-sample init, Lloyd rounds as DataFrame jobs with
+    decimal-exact cell means, zero-norm guards). Used in curation for
+    topic balancing, per-cluster quotas, and diversity-aware sampling.
+
+    The centroid matrix is O(n_clusters × dim) broadcast metadata; the
+    assignment pass is one Arrow-vectorized projection — no shuffle at
+    all. Deterministic across runs and partition layouts, but the
+    iterative float means are not SQL-replayable, so queries built on
+    it are rows-only by design (same class as the ANN variants).
+
+    Returns (id_col, cluster BIGINT, centroid_sim DOUBLE rounded 6dp).
+    """
+    mat = _train_centroids(df, vec_col, id_col, n_clusters, n_iters)
+
+    @F.pandas_udf("cluster bigint, centroid_sim double")
+    def assign(vecs: pd.Series) -> pd.DataFrame:
+        v = np.vstack([np.asarray(x, dtype=np.float64) for x in vecs])
+        v = v / np.maximum(
+            np.linalg.norm(v, axis=1, keepdims=True), 1e-12
+        )
+        sims = v @ mat.T
+        best = np.argmax(sims, axis=1)
+        return pd.DataFrame(
+            {
+                "cluster": best.astype(np.int64),
+                "centroid_sim": np.round(
+                    sims[np.arange(len(best)), best], 6
+                ),
+            }
+        )
+
+    out = df.select(id_col, assign(F.col(vec_col)).alias("__a"))
+    return out.select(
+        id_col,
+        F.col("__a.cluster").alias("cluster"),
+        F.col("__a.centroid_sim").alias("centroid_sim"),
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

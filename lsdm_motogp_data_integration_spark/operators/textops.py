@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column
+from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -278,6 +278,87 @@ def stratified_sample(
             F.col(strata_col) == stratum, F.lit(float(frac))
         ).otherwise(rate)
     return df.filter(u < rate)
+
+
+def mask_repeated_ngrams(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+):
+    """Intra-document repeated-span removal (the within-document case
+    of Lee et al., "Deduplicating Training Data Makes Language Models
+    Better"): drop every word position covered by a REPEAT occurrence
+    of a word-``k``-gram (occurrence 2+ of the same gram inside one
+    document), keeping first occurrences and unique text in order.
+
+    Tokenization is a plain single-space split — normalize upstream.
+    All stages are keyed by the document id (gram ranking windows, the
+    covered-position anti-join, reassembly), so the operator scales
+    horizontally with no cross-document data movement at all.
+
+    Returns (id_col, text_col cleaned, n_words_kept, n_words_removed).
+    """
+    words = F.split(F.col(text_col), " ")
+    base = df.select(F.col(id_col), words.alias("__w"))
+    n = F.size("__w")
+    pos = base.select(
+        id_col, F.posexplode("__w").alias("__p", "__word")
+    )
+    gram_starts = F.sequence(
+        F.lit(0), F.greatest(n - F.lit(int(k)), F.lit(0))
+    )
+    grams = base.select(
+        id_col,
+        F.explode(
+            F.transform(
+                gram_starts,
+                lambda s: F.struct(
+                    s.alias("s"),
+                    F.concat_ws(
+                        " ", F.slice("__w", s + 1, int(k))
+                    ).alias("g"),
+                ),
+            )
+        ).alias("__sg"),
+    ).select(id_col, F.col("__sg.s").alias("s"), F.col("__sg.g").alias("g"))
+    w = Window.partitionBy(id_col, "g").orderBy("s")
+    repeats = (
+        grams.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") > 1)
+        .select(id_col, "s")
+    )
+    covered = repeats.select(
+        id_col,
+        F.explode(
+            F.sequence(F.col("s"), F.col("s") + F.lit(int(k) - 1))
+        ).alias("__p"),
+    ).distinct()
+    kept = pos.join(covered, [id_col, "__p"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__p", "__word"))),
+                lambda x: x["__word"],
+            ),
+        ).alias("__cleaned"),
+        F.count(F.lit(1)).alias("__n_kept"),
+    )
+    return (
+        base.select(id_col, n.alias("__n_total"))
+        .join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("__cleaned"), F.lit("")).alias(text_col),
+            F.coalesce(F.col("__n_kept"), F.lit(0))
+            .cast("bigint")
+            .alias("n_words_kept"),
+            (F.col("__n_total") - F.coalesce(F.col("__n_kept"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_words_removed"),
+        )
+    )
 
 
 def mixture_sample(

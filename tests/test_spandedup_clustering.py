@@ -1,0 +1,85 @@
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from lsdm_motogp_data_integration_spark.operators.ann import kmeans_clusters
+from lsdm_motogp_data_integration_spark.operators.textops import (
+    mask_repeated_ngrams,
+)
+
+
+def test_mask_repeated_ngrams_drops_repeat_spans_only(spark):
+    df = spark.createDataFrame(
+        [
+            # words 6..11 repeat the 3-grams of 0..5 -> all dropped
+            Row(doc_id=1, text="a b c d e f a b c d e f"),
+            Row(doc_id=2, text="all words here are unique tokens"),
+            Row(doc_id=3, text="x y"),  # shorter than k -> untouched
+        ]
+    )
+    out = {
+        r["doc_id"]: r
+        for r in mask_repeated_ngrams(df, k=3).collect()
+    }
+    assert out[1]["text"] == "a b c d e f"
+    assert out[1]["n_words_kept"] == 6
+    assert out[1]["n_words_removed"] == 6
+    assert out[2]["text"] == "all words here are unique tokens"
+    assert out[2]["n_words_removed"] == 0
+    assert out[3]["text"] == "x y"
+    assert out[3]["n_words_removed"] == 0
+
+
+def test_mask_repeated_ngrams_layout_independent(spark):
+    rows = [
+        Row(doc_id=i, text=f"alpha beta gamma delta w{i} alpha beta gamma delta")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows)
+    a = sorted(map(tuple, mask_repeated_ngrams(df, k=4).collect()))
+    b = sorted(
+        map(tuple, mask_repeated_ngrams(df.repartition(7), k=4).collect())
+    )
+    assert a == b
+    # the trailing 4-gram repeat is dropped in every doc
+    assert all(t[1] == f"alpha beta gamma delta w{t[0]}" for t in a)
+
+
+def _vec_rows():
+    rows = []
+    for i in range(60):
+        base = [0.0] * 8
+        base[i % 4] = 1.0
+        base[(i % 4 + 1) % 8] = 0.1 * (i % 3)
+        rows.append(Row(vec_id=i, embedding=[float(x) for x in base]))
+    return rows
+
+
+def test_kmeans_clusters_deterministic_and_valid(spark):
+    df = spark.createDataFrame(_vec_rows())
+    a = sorted(
+        map(
+            tuple,
+            kmeans_clusters(
+                df, "embedding", "vec_id", n_clusters=4, n_iters=2
+            ).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            kmeans_clusters(
+                df.repartition(5),
+                "embedding",
+                "vec_id",
+                n_clusters=4,
+                n_iters=2,
+            ).collect(),
+        )
+    )
+    assert a == b
+    assert all(0 <= t[1] < 4 for t in a)
+    assert all(-1.0 <= t[2] <= 1.0 for t in a)
+    # identical vectors must co-cluster: ids 0 and 12 share i%4 and i%3
+    by_id = {t[0]: t[1] for t in a}
+    assert by_id[0] == by_id[12]
