@@ -1317,7 +1317,12 @@ def q63_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.concat(header, content, footer).alias("text")
     )
     out = remove_boilerplate_lines(
-        lined, id_col="doc_id", text_col="text", sep="\n", min_docs=3
+        lined,
+        id_col="doc_id",
+        text_col="text",
+        sep="\n",
+        min_docs=3,
+        persist_lines=True,
     )
     return out.select(
         "doc_id",
@@ -1411,7 +1416,9 @@ def q67_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(" ", F.slice(F.split(norm, " "), 1, 10)),
         ).alias("text"),
     )
-    return mask_repeated_ngrams(salted, id_col="doc_id", text_col="text", k=5)
+    return mask_repeated_ngrams(
+        salted, id_col="doc_id", text_col="text", k=5, persist_words=True
+    )
 
 
 def q44_motogp_standings(spark: SparkSession, sf_dir: str) -> DataFrame:

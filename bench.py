@@ -37,6 +37,9 @@ HEADLINE = [
     "q30_topk_per_group",
     "q36_asof_join",
     "q38_grouped_zscore",
+    "q63_boilerplate_lines",
+    "q64_bm25",
+    "q67_span_dedup",
 ]
 
 

@@ -34,6 +34,7 @@ def remove_boilerplate_lines(
     sep: str = "\n",
     min_docs: int = 3,
     broadcast_frequent: bool = True,
+    persist_lines: bool = False,
 ) -> DataFrame:
     """Drop every line appearing in ``>= min_docs`` distinct documents.
 
@@ -41,11 +42,24 @@ def remove_boilerplate_lines(
     one row per input document with the cleaned ``text_col`` (empty
     string when every line was boilerplate), ``n_lines_kept`` and
     ``n_lines_removed``.
+
+    The exploded line relation feeds three consumers (frequency agg,
+    anti-join probe, per-doc totals); ``persist_lines=True`` evaluates
+    the input — and any expensive upstream — exactly once (the
+    persist_sets/persist_sketch convention of the dedup operators).
     """
     split_expr = F.split(F.col(text_col), re.escape(sep))
     lines = df.select(
         F.col(id_col),
         F.posexplode(split_expr).alias("pos", "line"),
+    )
+    if persist_lines:
+        lines = lines.persist()
+    # split() always yields >= 1 element, so every input doc appears in
+    # `lines` and per-doc totals can come from it — no second pass over
+    # the (possibly expensive) input plan
+    totals = lines.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__n_total")
     )
     frequent = (
         lines.select(id_col, "line")
@@ -69,7 +83,7 @@ def remove_boilerplate_lines(
         F.count(F.lit(1)).alias("__n_kept"),
     )
     return (
-        df.join(rebuilt, id_col, "left")
+        totals.join(rebuilt, id_col, "left")
         .select(
             F.col(id_col),
             F.coalesce(F.col("__cleaned"), F.lit("")).alias(text_col),
@@ -77,7 +91,7 @@ def remove_boilerplate_lines(
             .cast("bigint")
             .alias("n_lines_kept"),
             (
-                F.size(split_expr)
+                F.col("__n_total")
                 - F.coalesce(F.col("__n_kept"), F.lit(0))
             )
             .cast("bigint")

@@ -285,6 +285,7 @@ def mask_repeated_ngrams(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 5,
+    persist_words: bool = False,
 ):
     """Intra-document repeated-span removal (the within-document case
     of Lee et al., "Deduplicating Training Data Makes Language Models
@@ -297,10 +298,16 @@ def mask_repeated_ngrams(
     covered-position anti-join, reassembly), so the operator scales
     horizontally with no cross-document data movement at all.
 
+    The tokenized relation feeds three consumers (positions, grams,
+    totals); ``persist_words=True`` evaluates the input plan exactly
+    once (persist_sets convention).
+
     Returns (id_col, text_col cleaned, n_words_kept, n_words_removed).
     """
     words = F.split(F.col(text_col), " ")
     base = df.select(F.col(id_col), words.alias("__w"))
+    if persist_words:
+        base = base.persist()
     n = F.size("__w")
     pos = base.select(
         id_col, F.posexplode("__w").alias("__p", "__word")
