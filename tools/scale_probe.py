@@ -19,9 +19,16 @@ sys.path.insert(0, "/root/repo")
 from pyspark.sql import functions as F
 
 from lsdm_motogp_data_integration_spark.operators.ann import cosine_topk, lsh_topk
+from lsdm_motogp_data_integration_spark.operators.boilerplate import (
+    remove_boilerplate_lines,
+)
 from lsdm_motogp_data_integration_spark.operators.dedup import (
     minhash_lsh_pairs,
     simhash_pairs,
+)
+from lsdm_motogp_data_integration_spark.operators.ranking import bm25_scores
+from lsdm_motogp_data_integration_spark.operators.textops import (
+    mask_repeated_ngrams,
 )
 from lsdm_motogp_data_integration_spark.session import get_spark
 from lsdm_motogp_data_integration_spark.sources import read_table
@@ -114,7 +121,43 @@ def main() -> None:
             minhash_lsh_pairs(docs, "text", "doc_id", persist_sets=True),
         )
         r["simhash_s"], r["simhash_pairs"] = timed(
-            "simhash", simhash_pairs(docs, "text", "doc_id", max_hamming=3)
+            "simhash",
+            simhash_pairs(
+                docs, "text", "doc_id", max_hamming=3, persist_sketch=True
+            ),
+        )
+        # --- round-2 curation operators ---
+        words = F.split(
+            F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")),
+            " ",
+        )
+        n_lines = F.ceil(F.size(words) / F.lit(8.0)).cast("int")
+        lined = docs.select(
+            "doc_id",
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.sequence(F.lit(0), n_lines - F.lit(1)),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(words, i * 8 + 1, 8)
+                    ),
+                ),
+            ).alias("text"),
+        )
+        r["boilerplate_s"], _ = timed(
+            "boilerplate",
+            remove_boilerplate_lines(
+                lined, min_docs=3, persist_lines=True
+            ),
+        )
+        r["span_dedup_s"], _ = timed(
+            "span_dedup",
+            mask_repeated_ngrams(docs, k=5, persist_words=True),
+        )
+        r["bm25_s"], _ = timed(
+            "bm25", bm25_scores(
+                docs, ["spark", "shuffle", "window"], persist_tokens=True
+            )
         )
         r["ann_brute_s"], _ = timed(
             "ann_brute",
@@ -133,7 +176,15 @@ def main() -> None:
     base, big = results["1x"], results[f"{replicas}x"]
     print(json.dumps(results))
     print("\nscaling factors (time ratio / data ratio — 1.0 = linear):")
-    for key in ("minhash_lsh_s", "simhash_s", "ann_brute_s", "ann_lsh_s"):
+    for key in (
+        "minhash_lsh_s",
+        "simhash_s",
+        "boilerplate_s",
+        "span_dedup_s",
+        "bm25_s",
+        "ann_brute_s",
+        "ann_lsh_s",
+    ):
         ratio = (big[key] / base[key]) / replicas
         print(f"  {key}: {ratio:.2f}")
 
