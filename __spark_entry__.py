@@ -650,22 +650,36 @@ def q32_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q33_rollup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP aggregation + exact multi-distinct aggregates in one pass
-    (neither exists in the reference): order totals and distinct
-    customer/priority counts by (year, status), (year), and grand
-    total. Merged from round-1 q33_rollup + q35_count_distinct to keep
-    every oracle-backed query inside the driver's 50-entry window."""
-    o = read_table(spark, sf_dir, "orders")
-    return (
-        o.withColumn("order_year", F.year("o_orderdate").cast("bigint"))
-        .rollup("order_year", "o_orderstatus")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            _dec_sum("o_totalprice", "total_price"),
-            F.countDistinct("o_custkey").alias("n_customers"),
-            F.countDistinct("o_orderpriority").alias("n_priorities"),
-        )
+    """Multi-dimensional aggregation suite + exact multi-distinct
+    aggregates (none exist in the reference): ROLLUP, CUBE, and
+    explicit GROUPING SETS over (year, status) in one tagged union,
+    each row carrying its ``grouping_id`` so subtotal levels are
+    machine-distinguishable. Merged from round-1 q33_rollup +
+    q35_count_distinct; round-2 adds the cube / grouping-sets /
+    grouping_id surface. All three compile to a single Expand +
+    hash-agg — one shuffle each, map-side partials intact."""
+    o = read_table(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate").cast("bigint")
     )
+    aggs = [
+        F.grouping_id().cast("bigint").alias("gid"),
+        F.count(F.lit(1)).alias("n_orders"),
+        _dec_sum("o_totalprice", "total_price"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+    ]
+    rollup = o.rollup("order_year", "o_orderstatus").agg(*aggs).select(
+        F.lit("rollup").alias("agg_kind"), "*"
+    )
+    cube = o.cube("order_year", "o_orderstatus").agg(*aggs).select(
+        F.lit("cube").alias("agg_kind"), "*"
+    )
+    # explicit GROUPING SETS: the two "interesting" slices only —
+    # per-status totals and the grand total (neither is a rollup level)
+    sets_ = o.groupingSets(
+        [["o_orderstatus"], []], "order_year", "o_orderstatus"
+    ).agg(*aggs).select(F.lit("sets").alias("agg_kind"), "*")
+    return rollup.unionByName(cube).unionByName(sets_)
 
 
 def q34_window_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -681,6 +695,18 @@ def q34_window_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
     )
     wf = w.rowsBetween(Window.unboundedPreceding, 0)
+    wfull = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    # RANGE frame over the date ordering alone: same-day orders are
+    # peers, so the running sum jumps by the whole peer group —
+    # demonstrates ROWS-vs-RANGE semantics. Decimal-exact inside the
+    # frame sum (set-sum, order-independent).
+    wr = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc())
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     return o.select(
         "o_orderkey",
         "o_custkey",
@@ -689,6 +715,15 @@ def q34_window_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint").alias("days_since_prev"),
         F.lead("o_orderkey").over(w).alias("next_orderkey"),
         F.round(F.sum("o_totalprice").over(wf), 6).alias("running_total"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+        .over(wr)
+        .cast("double")
+        .alias("running_total_range"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.first("o_orderkey").over(w).alias("first_orderkey"),
+        F.last("o_orderkey").over(wfull).alias("last_orderkey"),
     )
 
 
@@ -907,13 +942,42 @@ def q42_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q43_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact percentiles (linear interpolation) per event type — the
-    reference has no quantile capability at all."""
+    """Summary-statistics suite per event type (the reference has no
+    quantile/statistics capability at all): exact percentiles (linear
+    interpolation), min/max, and mean/stddev derived from
+    decimal-exact moments — per-row doubles are cast to DECIMAL(18,6)
+    before summation so the moment sums are order-independent, then
+    mean/variance are computed as identical double scalar expressions
+    in both engines (the repo's float-determinism convention; a
+    native streaming ``stddev_samp`` would drift in the last ulps
+    with partition order)."""
     ev = read_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
+    g = ev.groupBy("event_type").agg(
         F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
         F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
         F.count(F.lit(1)).alias("n"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("__s1"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("__s2"),
+    )
+    nd = F.col("n").cast("double")
+    return g.select(
+        "event_type",
+        "p50",
+        "p90",
+        "n",
+        "vmin",
+        "vmax",
+        (F.col("__s1") / nd).alias("mean"),
+        F.sqrt(
+            (F.col("__s2") - F.col("__s1") * F.col("__s1") / nd)
+            / (nd - F.lit(1.0))
+        ).alias("stddev"),
     )
 
 
@@ -2050,14 +2114,40 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         """,
         "q33_rollup_distinct": """
-            SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
-                   o_orderstatus,
+            WITH base AS (
+                SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT)
+                           AS order_year,
+                       o_orderstatus, o_totalprice, o_custkey,
+                       o_orderpriority
+                FROM orders
+            )
+            SELECT 'rollup' AS agg_kind, order_year, o_orderstatus,
+                   CAST(GROUPING_ID(order_year, o_orderstatus) AS BIGINT)
+                       AS gid,
                    COUNT(*) AS n_orders,
-                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                       AS total_price,
                    COUNT(DISTINCT o_custkey) AS n_customers,
                    COUNT(DISTINCT o_orderpriority) AS n_priorities
-            FROM orders
-            GROUP BY ROLLUP (order_year, o_orderstatus)
+            FROM base GROUP BY ROLLUP (order_year, o_orderstatus)
+            UNION ALL
+            SELECT 'cube', order_year, o_orderstatus,
+                   CAST(GROUPING_ID(order_year, o_orderstatus) AS BIGINT),
+                   COUNT(*),
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE),
+                   COUNT(DISTINCT o_custkey),
+                   COUNT(DISTINCT o_orderpriority)
+            FROM base GROUP BY CUBE (order_year, o_orderstatus)
+            UNION ALL
+            SELECT 'sets', CAST(NULL AS BIGINT), o_orderstatus,
+                   -- order_year is aggregated in every set -> its MSB
+                   -- is always 1: gid = 2 + GROUPING(o_orderstatus)
+                   CAST(2 + GROUPING(o_orderstatus) AS BIGINT),
+                   COUNT(*),
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE),
+                   COUNT(DISTINCT o_custkey),
+                   COUNT(DISTINCT o_orderpriority)
+            FROM base GROUP BY GROUPING SETS ((o_orderstatus), ())
         """,
         "q34_window_functions": """
             SELECT o_orderkey, o_custkey,
@@ -2066,10 +2156,20 @@ def oracle_sql() -> dict[str, str]:
                    ) AS days_since_prev,
                    LEAD(o_orderkey) OVER w AS next_orderkey,
                    ROUND(SUM(o_totalprice) OVER (
-                       PARTITION BY o_custkey
-                       ORDER BY o_orderdate ASC, o_orderkey ASC
-                       ROWS UNBOUNDED PRECEDING
-                   ), 6) AS running_total
+                       w ROWS UNBOUNDED PRECEDING
+                   ), 6) AS running_total,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+                       PARTITION BY o_custkey ORDER BY o_orderdate ASC
+                       RANGE UNBOUNDED PRECEDING
+                   ) AS DOUBLE) AS running_total_range,
+                   CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+                   PERCENT_RANK() OVER w AS pct_rank,
+                   CUME_DIST() OVER w AS cume,
+                   FIRST_VALUE(o_orderkey) OVER w AS first_orderkey,
+                   LAST_VALUE(o_orderkey) OVER (
+                       w ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND UNBOUNDED FOLLOWING
+                   ) AS last_orderkey
             FROM orders
             WINDOW w AS (
                 PARTITION BY o_custkey
@@ -2146,11 +2246,24 @@ def oracle_sql() -> dict[str, str]:
             FROM events
         """,
         "q43_percentiles": """
-            SELECT event_type,
-                   ROUND(quantile_cont(value, 0.5), 6) AS p50,
-                   ROUND(quantile_cont(value, 0.9), 6) AS p90,
-                   COUNT(*) AS n
-            FROM events GROUP BY event_type
+            WITH g AS (
+                SELECT event_type,
+                       ROUND(quantile_cont(value, 0.5), 6) AS p50,
+                       ROUND(quantile_cont(value, 0.9), 6) AS p90,
+                       COUNT(*) AS n,
+                       MIN(value) AS vmin,
+                       MAX(value) AS vmax,
+                       CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                            AS DOUBLE) AS s1,
+                       CAST(SUM(CAST(value * value AS DECIMAL(18,6)))
+                            AS DOUBLE) AS s2
+                FROM events GROUP BY event_type
+            )
+            SELECT event_type, p50, p90, n, vmin, vmax,
+                   s1 / CAST(n AS DOUBLE) AS mean,
+                   SQRT((s2 - s1 * s1 / CAST(n AS DOUBLE))
+                        / (CAST(n AS DOUBLE) - 1.0)) AS stddev
+            FROM g
         """,
         "q44_motogp_standings": f"""
             WITH {_MOTOGP_CORE_SQL},
