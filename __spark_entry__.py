@@ -1078,7 +1078,15 @@ def q49_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF term scoring over the corpus: per-document top-3 terms by
     tf·idf (idf = ln(N / df), natural log in both engines), ties broken
     alphabetically — the classic corpus-statistics pipeline: explode →
-    document frequencies → join back → rank."""
+    document frequencies → join back → rank. Round 2 appends the
+    corpus-level top-20 bigram table (``operators.textops.ngram_stats``
+    — one explode, one n-gram-keyed shuffle with map-side partials,
+    distributed TakeOrdered for the top-k) as tagged ``doc_id = -1``
+    rows, reusing the same (term, tf, df, tfidf, rk) shape."""
+    from lsdm_motogp_data_integration_spark.operators.textops import (
+        ngram_stats,
+    )
+
     d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     n_docs = d.count()
     words = F.split(
@@ -1098,11 +1106,24 @@ def q49_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("doc_id").orderBy(
         F.col("tfidf").desc(), F.col("term").asc()
     )
-    return (
+    per_doc = (
         scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rk") <= 3)
         .select("doc_id", "term", "tf", "df", "tfidf", "rk")
     )
+    corpus_bigrams = ngram_stats(d, "doc_id", "text", n=2, top_k=20).select(
+        F.lit(-1).cast("bigint").alias("doc_id"),
+        F.col("ngram").alias("term"),
+        F.col("n_occurrences").alias("tf"),
+        F.col("n_docs").alias("df"),
+        F.round(
+            F.col("n_occurrences")
+            * F.log(F.lit(float(n_docs)) / F.col("n_docs")),
+            6,
+        ).alias("tfidf"),
+        F.col("rank").alias("rk"),
+    )
+    return per_doc.unionByName(corpus_bigrams)
 
 
 def q50_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2828,6 +2849,28 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored
             )
             SELECT doc_id, term, tf, df, tfidf, rk FROM ranked WHERE rk <= 3
+            UNION ALL
+            SELECT CAST(-1 AS BIGINT) AS doc_id, ngram AS term,
+                   n_occ AS tf, n_docs AS df,
+                   ROUND(n_occ * ln(CAST(
+                       (SELECT COUNT(*) FROM documents) AS DOUBLE
+                   ) / n_docs), 6) AS tfidf,
+                   CAST(ROW_NUMBER() OVER (
+                       ORDER BY n_occ DESC, ngram ASC
+                   ) AS BIGINT) AS rk
+            FROM (
+                SELECT ngram, COUNT(*) AS n_occ,
+                       COUNT(DISTINCT doc_id) AS n_docs
+                FROM (
+                    SELECT doc_id, string_split(trim(regexp_replace(
+                        lower(text), '\\s+', ' ', 'g')), ' ') AS ts
+                    FROM documents
+                ) toks,
+                UNNEST([ts[i] || ' ' || ts[i+1]
+                        FOR i IN generate_series(1, len(ts)-1)]) AS g(ngram)
+                GROUP BY 1
+                ORDER BY n_occ DESC, ngram ASC LIMIT 20
+            )
         """,
         "q50_inverted_index": """
             WITH terms AS (

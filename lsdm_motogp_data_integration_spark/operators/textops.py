@@ -418,3 +418,59 @@ def mixture_sample(
         .filter(u < F.col("__rate"))
         .drop("__rate")
     )
+
+
+def ngram_stats(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    top_k: int | None = None,
+):
+    """Corpus-level word n-gram statistics: total occurrence count and
+    document frequency per n-gram — the "count the corpus" primitive
+    behind LM-training diagnostics (memorization hot-spots, boilerplate
+    discovery, contamination screens). The reference has no corpus
+    statistics at all.
+
+    Tokenization matches the engine's text convention (lower, collapse
+    whitespace, single-space split). Grams are built per-row with pure
+    Column expressions (slice windows over the token array — JVM-side,
+    no Python), then ONE explode feeds ONE hash aggregation: the only
+    shuffle is on the n-gram key with map-side partial counts, so the
+    operator scales horizontally; no collect, no driver loop.
+
+    With ``top_k``, the global ranking uses orderBy+limit (Spark's
+    distributed TakeOrdered — per-partition top-k then a k-sized
+    merge), NOT a single-reducer global window; row_number only runs
+    on the k surviving rows.
+
+    Returns (ngram, n_occurrences, n_docs) [+ rank when top_k].
+    """
+    words = F.split(
+        F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")), " "
+    )
+    nw = F.size(words)
+    starts = F.sequence(F.lit(0), nw - F.lit(int(n)))
+    grams = F.when(
+        nw >= int(n),
+        F.transform(
+            starts,
+            lambda s: F.concat_ws(" ", F.slice(words, s + 1, int(n))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    stats = (
+        df.select(F.col(id_col), F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct(id_col).alias("n_docs"),
+        )
+    )
+    if top_k is None:
+        return stats
+    top = stats.orderBy(
+        F.col("n_occurrences").desc(), F.col("ngram").asc()
+    ).limit(int(top_k))
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("ngram").asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("bigint"))

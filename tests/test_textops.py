@@ -206,3 +206,37 @@ def test_stratified_sample_deterministic_and_proportional(spark):
         if totals.get(lang, 0) >= 30:
             got = by_lang.get(lang, 0) / totals[lang]
             assert abs(got - frac) < 0.25, (lang, got, frac)
+
+
+def test_ngram_stats(spark):
+    from lsdm_motogp_data_integration_spark.operators.textops import (
+        ngram_stats,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c b c"),
+            (2, "x"),          # shorter than n -> contributes nothing
+            (3, "b C  d"),     # normalization: lower + collapse spaces
+            (4, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["ngram"]: (r["n_occurrences"], r["n_docs"])
+        for r in ngram_stats(df, n=2).collect()
+    }
+    assert rows == {
+        "b c": (3, 2),
+        "a b": (1, 1),
+        "c b": (1, 1),
+        "c d": (1, 1),
+    }
+    top = ngram_stats(df, n=2, top_k=2).collect()
+    assert [(r["ngram"], r["rank"]) for r in top] == [("b c", 1), ("a b", 2)]
+    # trigrams
+    tri = {
+        r["ngram"]: r["n_occurrences"]
+        for r in ngram_stats(df, n=3).collect()
+    }
+    assert tri == {"a b c": 1, "b c b": 1, "c b c": 1, "b c d": 1}
