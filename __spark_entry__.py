@@ -519,7 +519,14 @@ def q22_text_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-token share). All pure Column expressions except the repetition
     aggregate (explode → per-term counts → per-doc rollup), joined back
     on doc_id. (Merged from round-1 q22/q23/q24/q52 so the four text
-    operators share one driver row.)"""
+    operators share one driver row.) Round 2 adds the unigram-LM
+    score (``operators.scoring.unigram_nll`` — the CCNet-style
+    perplexity filter, self-trained, decimal-exact per-doc
+    reduction)."""
+    from lsdm_motogp_data_integration_spark.operators.scoring import (
+        unigram_nll,
+    )
+
     d = read_table(spark, sf_dir, "documents")
     base = d.select(
         "doc_id",
@@ -551,7 +558,8 @@ def q22_text_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    return base.join(rep, "doc_id", "inner")
+    lm = unigram_nll(d).select("doc_id", "nll", "ppl")
+    return base.join(rep, "doc_id", "inner").join(lm, "doc_id", "inner")
 
 
 def q26_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2037,14 +2045,35 @@ def oracle_sql() -> dict[str, str]:
                        ROUND(COUNT(*) * 1.0 / SUM(cnt), 6) AS distinct_ratio,
                        ROUND(MAX(cnt) * 1.0 / SUM(cnt), 6) AS top_token_share
                 FROM per_term GROUP BY doc_id
+            ), vocab AS (
+                SELECT term, CAST(SUM(cnt) AS BIGINT) AS ccnt
+                FROM per_term GROUP BY 1
+            ), tot AS (
+                SELECT CAST(SUM(ccnt) AS BIGINT) AS total FROM vocab
+            ), lm_sum AS (
+                SELECT doc_id,
+                       CAST(SUM(cnt) AS BIGINT) AS n_toks,
+                       CAST(SUM(CAST(cnt * (-ln(
+                           CAST(ccnt AS DOUBLE) / CAST(total AS DOUBLE)
+                       )) AS DECIMAL(18,6))) AS DOUBLE) AS nll_sum
+                FROM per_term JOIN vocab USING (term) CROSS JOIN tot
+                GROUP BY doc_id
+            ), lm AS (
+                SELECT doc_id,
+                       ROUND(nll_sum / CAST(n_toks AS DOUBLE), 6) AS nll,
+                       ROUND(EXP(nll_sum / CAST(n_toks AS DOUBLE)), 6)
+                           AS ppl
+                FROM lm_sum
             )
             SELECT tok.doc_id, tok.n_tokens, tok.n_subtokens,
                    qual.quality, lang.pred_lang,
-                   rep.distinct_ratio, rep.top_token_share
+                   rep.distinct_ratio, rep.top_token_share,
+                   lm.nll, lm.ppl
             FROM tok
             JOIN qual USING (doc_id)
             JOIN lang USING (doc_id)
             JOIN rep USING (doc_id)
+            JOIN lm USING (doc_id)
         """,
         "q26_ann_cosine_topk": """
             WITH q AS (

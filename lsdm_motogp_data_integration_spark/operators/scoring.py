@@ -71,3 +71,55 @@ def classify_quality(
         prob.alias("quality_prob"),
         (prob >= F.lit(float(threshold))).alias("keep"),
     )
+
+
+def unigram_nll(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Unigram language-model scoring: per-document average negative
+    log-likelihood under the corpus's own unigram distribution — the
+    shape of CCNet/CC-100's "perplexity filter" (there a Wikipedia
+    KenLM; here the self-trained unigram LM, which needs no external
+    model artifact). Low = stereotyped/boilerplate-heavy text, high =
+    rare-token soup; both tails are the usual drop candidates.
+
+    Plan: one token explode -> per-(doc,term) counts (shuffle 1, the
+    same relation a TF-IDF pass builds) -> vocabulary counts
+    (shuffle 2, vocab-sized) -> join back on term (vocab-keyed shuffle
+    join; NOT broadcast — a 100 TB corpus's vocabulary doesn't fit) ->
+    per-doc rollup. The per-row double ``-ln(count/total) * tf`` is
+    cast to DECIMAL(18,6) before the per-doc sum so the reduction is
+    order-independent (the repo's float-determinism convention).
+
+    Returns (id_col, n_tokens BIGINT, nll DOUBLE, ppl DOUBLE); docs
+    with no tokens are absent (no LM score is defined for them).
+    """
+    words = F.split(
+        F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")), " "
+    )
+    per_term = (
+        df.select(F.col(id_col), F.explode(words).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    vocab = per_term.groupBy("term").agg(F.sum("tf").alias("ccnt"))
+    total = vocab.agg(F.sum("ccnt").alias("__total"))
+    scored = per_term.join(vocab, "term").crossJoin(F.broadcast(total))
+    neglogp = -F.log(
+        F.col("ccnt").cast("double") / F.col("__total").cast("double")
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.sum("tf").alias("n_tokens"),
+        F.sum((F.col("tf") * neglogp).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("__nll_sum"),
+    )
+    nll = F.col("__nll_sum") / F.col("n_tokens").cast("double")
+    return per_doc.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.round(nll, 6).alias("nll"),
+        F.round(F.exp(nll), 6).alias("ppl"),
+    )

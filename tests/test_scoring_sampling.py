@@ -81,3 +81,26 @@ def test_mixture_sample_default_prop_drops_unlisted_groups(spark):
         df, "grp", {"a": 1.0}, budget=50, id_col="doc_id"
     ).collect()
     assert all(r["grp"] == "a" for r in out)
+
+
+def test_unigram_nll_hand_computed(spark):
+    import math
+
+    from lsdm_motogp_data_integration_spark.operators.scoring import (
+        unigram_nll,
+    )
+
+    # corpus counts: a=2 b=2 c=1, total=5
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in unigram_nll(df).collect()}
+    # d1: 3 tokens all with p=2/5 -> nll = -ln(0.4), ppl = 2.5
+    assert out[1]["n_tokens"] == 3
+    assert abs(out[1]["nll"] - (-math.log(0.4))) < 1e-4
+    assert abs(out[1]["ppl"] - 2.5) < 1e-4
+    # d2: -[ln(2/5) + ln(1/5)] / 2, ppl = sqrt(12.5)
+    assert out[2]["n_tokens"] == 2
+    expected = -(math.log(0.4) + math.log(0.2)) / 2
+    assert abs(out[2]["nll"] - expected) < 1e-4
+    assert abs(out[2]["ppl"] - math.sqrt(12.5)) < 1e-4
