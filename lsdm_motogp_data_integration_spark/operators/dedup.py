@@ -822,13 +822,21 @@ def dedup_corpus(
     *,
     threshold: float = 0.8,
     persist_sets: bool = True,
+    keep_by: Column | None = None,
 ) -> DataFrame:
     """The whole near-dup removal pipeline as one call: MinHash-LSH
     candidate pairs (exact-Jaccard verified at ``threshold``) → closed
     into clusters via pointer-jumping connected components → keep ONE
-    representative per cluster (the smallest id — deterministic).
-    Returns the surviving rows of ``df`` with their original columns —
-    what a training-data pipeline actually feeds downstream.
+    representative per cluster. Returns the surviving rows of ``df``
+    with their original columns — what a training-data pipeline
+    actually feeds downstream.
+
+    Survivor policy: by default the smallest id (deterministic). Pass
+    ``keep_by`` (a Column evaluated against ``df``'s rows, e.g. a
+    quality score) to keep the HIGHEST-scoring member instead — the
+    "keep best, not first" policy real curation pipelines want when a
+    cluster mixes a clean original with mangled mirrors; ties fall
+    back to smallest id so the choice stays deterministic.
 
     Every stage is the scale path: banded candidate generation (no
     all-pairs), O(log d) label rounds, and a final broadcast-size
@@ -841,9 +849,27 @@ def dedup_corpus(
     components = connected_components(
         df.select(F.col(id_col)), pairs, node_col=id_col
     )
-    reps = (
-        components.groupBy("component")
-        .agg(F.min(F.col(id_col)).alias(id_col))
-        .select(id_col)
-    )
+    if keep_by is None:
+        reps = (
+            components.groupBy("component")
+            .agg(F.min(F.col(id_col)).alias(id_col))
+            .select(id_col)
+        )
+    else:
+        scored = df.select(F.col(id_col), keep_by.alias("__keep_score"))
+        reps = (
+            components.join(scored, on=id_col)
+            .groupBy("component")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("__keep_score"),
+                        # max(struct) orders lexicographically; negate
+                        # the id so score ties keep the SMALLEST id
+                        (-F.col(id_col)).alias("__neg_id"),
+                    )
+                ).alias("__best")
+            )
+            .select((-F.col("__best.__neg_id")).alias(id_col))
+        )
     return df.join(reps, on=id_col, how="left_semi")

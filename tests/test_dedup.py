@@ -247,3 +247,45 @@ def test_dedup_corpus_keeps_one_per_cluster(spark, sf_dir):
         minhash_lsh_pairs(deduped, "text", "doc_id", threshold=0.8).count()
         == 0
     )
+
+
+def test_dedup_corpus_keep_by_quality(spark, sf_dir):
+    """keep_by keeps the HIGHEST-scoring cluster member (not the
+    smallest id), with score ties falling back to smallest id."""
+    from lsdm_motogp_data_integration_spark.operators.dedup import (
+        dedup_corpus,
+    )
+    from lsdm_motogp_data_integration_spark.sources import read_table
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    variants = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    corpus = d.unionByName(variants).withColumn(
+        # variants outscore originals -> keep_by must flip the default
+        # survivor choice for every exact-duplicate cluster
+        "score",
+        F.when(F.col("doc_id") >= 100000, F.lit(2.0)).otherwise(F.lit(1.0)),
+    )
+    kept = dedup_corpus(
+        corpus, "text", "doc_id", keep_by=F.col("score")
+    )
+    kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    # every original with a planted exact duplicate shares a cluster
+    # with a score-2.0 variant, so it can never be the survivor (one
+    # survivor per cluster; clusters may merge several planted pairs,
+    # so not every individual variant survives — but some must)
+    originals_with_variant = {
+        r["doc_id"]
+        for r in d.filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id")
+        .collect()
+    }
+    for oid in originals_with_variant:
+        assert oid not in kept_ids, oid
+    assert any(k >= 100000 for k in kept_ids)
+    # determinism under a different partition layout
+    again = dedup_corpus(
+        corpus.repartition(7), "text", "doc_id", keep_by=F.col("score")
+    )
+    assert kept_ids == {r["doc_id"] for r in again.select("doc_id").collect()}
