@@ -9,7 +9,9 @@ misura``).
 Spark has no built-in similarity join, so this is a composition:
 
     probe ⋈(blocked cross) broadcast(lookup)
-          → score via the vectorized Jaro-Winkler Pandas UDF
+          → score via the Arrow-batched Jaro-Winkler Pandas UDF
+            (``scorer="jvm"`` switches to a pure Column expression —
+            no Python in the plan — for dimension-sized pair counts)
           → keep best match per probe row (window rank, deterministic
             tie-break on the candidate key)
 
@@ -28,7 +30,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from lsdm_motogp_data_integration_spark.functions.similarity import jaro_winkler_udf
+from lsdm_motogp_data_integration_spark.functions.similarity import (
+    jaro_winkler_col,
+    jaro_winkler_udf,
+)
 
 BLOCKERS = ("auto", "none", "first_char", "length_band")
 
@@ -110,6 +115,7 @@ def similarity_join(
     blocker: str = "auto",
     length_band: int = 3,
     strategy: str = "broadcast",
+    scorer: str = "pandas",
 ) -> DataFrame:
     """Attach the single best Jaro-Winkler match from ``lookup`` to each
     ``probe`` row (case-insensitive, like the reference's FuzzyMatch).
@@ -130,6 +136,15 @@ def similarity_join(
       band with the probe (dissimilar strings) — recall asserted in
       tests; ``blocker`` is ignored.
 
+    ``scorer`` picks the Jaro-Winkler implementation (identical values,
+    property-tested): ``"pandas"`` (default) is the Arrow-batched bulk
+    path — the per-pair cost is ~µs, so it scales to millions of
+    candidate pairs; ``"jvm"`` is a pure Column expression with NO
+    Python worker in the plan — but higher-order functions are
+    CodegenFallback (interpreted), costing ~ms per pair, so use it
+    only for dimension×dimension matches (≲10⁴ candidate pairs) or
+    when the runtime must stay Python-free.
+
     ``blocker="auto"`` (the default) keeps the reference's exhaustive
     per-row scan while the lookup is dimension-sized
     (≤ ``AUTO_EXHAUSTIVE_MAX`` rows — bounded Arrow batches per probe
@@ -144,6 +159,8 @@ def similarity_join(
         raise ValueError(f"blocker must be one of {BLOCKERS}")
     if strategy not in ("broadcast", "lsh"):
         raise ValueError(f"strategy must be broadcast|lsh, got {strategy!r}")
+    if scorer not in ("jvm", "pandas"):
+        raise ValueError(f"scorer must be jvm|pandas, got {scorer!r}")
 
     overlap = set(probe.columns) & set(lookup.columns)
     if overlap:
@@ -157,14 +174,17 @@ def similarity_join(
     # synthetic per-row probe id: duplicate probe rows must each emit
     # their own best match (FuzzyMatch is a per-row lookup); only used
     # inside this plan as a window key, dropped before returning.
-    # monotonically_increasing_id is partition-layout dependent, and
+    # monotonically_increasing_id is partition-layout dependent. When
     # `tagged` is referenced from more than one branch of the final plan
-    # (candidate side + left-join-back side) — pin the ids once so a
-    # shuffle upstream or a task retry cannot re-assign them between the
-    # two evaluations.
-    tagged = probe.withColumn(
-        "__probe_id", F.monotonically_increasing_id()
-    ).localCheckpoint(eager=True)
+    # (left-join-back side, or the LSH candidate generator's two uses),
+    # pin the ids once so a shuffle upstream or a task retry cannot
+    # re-assign them between the two evaluations. The inner+broadcast
+    # path references `tagged` exactly once, so the ids live and die
+    # within a single evaluation — skip the checkpoint there (it costs
+    # an extra eager job, which on a large heap can land on a GC pause).
+    tagged = probe.withColumn("__probe_id", F.monotonically_increasing_id())
+    if how == "left" or strategy == "lsh":
+        tagged = tagged.localCheckpoint(eager=True)
 
     if strategy == "lsh":
         pairs = _lsh_candidates(tagged, lookup, probe_on, lookup_on)
@@ -184,9 +204,10 @@ def similarity_join(
             cond = F.abs(F.length(pkey) - F.length(lkey)) <= length_band
         pairs = tagged.join(F.broadcast(lookup), on=cond, how="inner")
 
+    score_fn = jaro_winkler_col if scorer == "jvm" else jaro_winkler_udf
     scored = pairs.withColumn(
         score_col,
-        jaro_winkler_udf(F.lower(F.trim(F.col(probe_on))), F.lower(F.trim(F.col(lookup_on)))),
+        score_fn(F.lower(F.trim(F.col(probe_on))), F.lower(F.trim(F.col(lookup_on)))),
     ).filter(F.col(score_col) >= F.lit(threshold))
 
     w = Window.partitionBy("__probe_id").orderBy(

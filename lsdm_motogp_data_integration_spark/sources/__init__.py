@@ -48,10 +48,12 @@ def read_json_array(spark: SparkSession, path: str, schema: T.StructType) -> Dat
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver testdata table (TESTDATA.md).
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects; read it via the legacy nanos-as-long path
-    and convert to a microsecond timestamp (set at runtime so any
-    caller-provided session works).
+    ``events.ts`` has varied across testdata generations: parquet
+    TIMESTAMP(NANOS) (rejected by Spark's vectorized reader — read via
+    the legacy nanos-as-long path and convert) or TIMESTAMP(MICROS)
+    without timezone (read as TIMESTAMP_NTZ). Both are normalized to a
+    plain TIMESTAMP under the UTC session tz so downstream event-time
+    code (watermarks, ``unix_micros``) sees one canonical type.
     """
     # oracle comparisons assume UTC semantics (DuckDB timestamps are
     # UTC-naive); harmless when the caller's session already set it
@@ -59,12 +61,15 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
-            from pyspark.sql import functions as F
+        ts_type = dict(df.dtypes).get("ts")
+        from pyspark.sql import functions as F
 
+        if ts_type == "bigint":
             # integer division: float division of ns-epoch magnitudes
             # loses precision beyond double's 53-bit mantissa
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

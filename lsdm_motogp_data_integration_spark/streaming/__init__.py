@@ -13,35 +13,36 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# events.parquet carries TIMESTAMP(NANOS); the streaming reader uses the
-# same nanos-as-long path as sources.read_table and converts to µs.
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
-
 def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
     """File-source event stream with event-time timestamp column.
 
     ``path`` may be a directory or a single parquet file (the streaming
     file source only accepts directories, so a file path becomes its
-    parent directory plus a glob filter)."""
+    parent directory plus a glob filter).
+
+    The streaming file source requires a declared schema, and the
+    physical type of ``ts`` has varied across testdata generations
+    (TIMESTAMP(NANOS) vs TIMESTAMP(MICROS)); a one-file batch probe
+    resolves whichever is on disk, mirroring ``sources.read_table`` —
+    nanos surface as ``bigint`` under the legacy nanos-as-long flag and
+    are converted to a microsecond timestamp after the scan."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA).format("parquet")
+    probe = spark.read.parquet(path)
+    reader = spark.readStream.schema(probe.schema).format("parquet")
     if path.endswith(".parquet"):
         import os
 
         reader = reader.option("pathGlobFilter", os.path.basename(path))
         path = os.path.dirname(path)
     raw = reader.load(path)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = dict(probe.dtypes).get("ts")
+    if ts_type == "bigint":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # watermarks require TIMESTAMP (with local tz); the session tz is
+        # pinned to UTC (session.get_spark), so the cast is value-stable.
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def windowed_counts(
