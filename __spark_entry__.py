@@ -1489,20 +1489,30 @@ def q66_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q67_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Intra-document repeated-span removal
-    (operators/textops.mask_repeated_ngrams, k=5 — the within-doc case
-    of Lee et al. training-data dedup). The synthetic corpus rarely
-    repeats 5-grams inside one doc, so the query simulates the classic
-    scraped-page duplication by appending each document's first 10
-    words to its end (same formula both engines); the operator must
-    then drop exactly the appended repeat spans while leaving unique
-    text intact."""
+    """Repeated-span removal suite — BOTH cases of Lee et al.
+    training-data dedup share one driver correctness row, tagged by
+    ``scope``:
+
+    - ``intra``: within-document repeats
+      (operators/textops.mask_repeated_ngrams, k=5). The synthetic
+      corpus rarely repeats 5-grams inside one doc, so the query
+      simulates the classic scraped-page duplication by appending each
+      document's first 10 words to its end (same formula both
+      engines); the operator must drop exactly the appended repeat
+      spans while leaving unique text intact.
+    - ``cross``: across-document exact-substring dedup
+      (operators/textops.cross_doc_span_dedup, k=5) over the
+      normalized corpus — the documents table carries near-duplicate
+      groups, so shared 5-grams survive only at their globally first
+      (doc_id, start) occurrence."""
     from lsdm_motogp_data_integration_spark.operators.textops import (
+        cross_doc_span_dedup,
         mask_repeated_ngrams,
     )
 
     d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    normalized = d.select("doc_id", norm.alias("text"))
     salted = d.select(
         "doc_id",
         F.concat(
@@ -1511,9 +1521,13 @@ def q67_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(" ", F.slice(F.split(norm, " "), 1, 10)),
         ).alias("text"),
     )
-    return mask_repeated_ngrams(
+    intra = mask_repeated_ngrams(
         salted, id_col="doc_id", text_col="text", k=5, persist_words=True
-    )
+    ).withColumn("scope", F.lit("intra"))
+    cross = cross_doc_span_dedup(
+        normalized, id_col="doc_id", text_col="text", k=5, persist_words=True
+    ).withColumn("scope", F.lit("cross"))
+    return intra.unionByName(cross)
 
 
 def q44_motogp_standings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2687,13 +2701,56 @@ def oracle_sql() -> dict[str, str]:
                 FROM kept GROUP BY doc_id
             ), tot AS (
                 SELECT doc_id, len(ws) AS n FROM w
+            ), w2 AS (
+                SELECT doc_id, string_split(t, ' ') AS ws FROM docs
+            ), g2 AS (
+                SELECT doc_id, t2.s,
+                       array_to_string(ws[(t2.s+1):(t2.s+5)], ' ') AS g
+                FROM w2, UNNEST(generate_series(
+                    0, greatest(len(ws) - 5, 0))) AS t2(s)
+            ), nd2 AS (
+                SELECT g, COUNT(DISTINCT doc_id) AS nd FROM g2 GROUP BY g
+            ), rk2 AS (
+                SELECT doc_id, s, g, ROW_NUMBER() OVER (
+                    PARTITION BY g ORDER BY doc_id, s) AS rn
+                FROM g2
+            ), m2 AS (
+                SELECT rk2.doc_id, rk2.s
+                FROM rk2 JOIN nd2 USING (g)
+                WHERE nd2.nd >= 2 AND rk2.rn > 1
+            ), cov2 AS (
+                SELECT DISTINCT doc_id, u.p
+                FROM m2, UNNEST(generate_series(s, s + 4)) AS u(p)
+            ), pos2 AS (
+                SELECT doc_id, t.i - 1 AS p, ws[t.i] AS word
+                FROM w2, UNNEST(generate_series(1, len(ws))) AS t(i)
+            ), kept2 AS (
+                SELECT pos2.doc_id, pos2.p, pos2.word
+                FROM pos2 ANTI JOIN cov2
+                  ON pos2.doc_id = cov2.doc_id AND pos2.p = cov2.p
+            ), re2 AS (
+                SELECT doc_id,
+                       string_agg(word, ' ' ORDER BY p) AS cleaned,
+                       COUNT(*) AS n_kept
+                FROM kept2 GROUP BY doc_id
+            ), tot2 AS (
+                SELECT doc_id, len(ws) AS n FROM w2
             )
             SELECT t.doc_id,
                    COALESCE(r.cleaned, '') AS text,
                    CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_words_kept,
                    CAST(t.n - COALESCE(r.n_kept, 0) AS BIGINT)
-                       AS n_words_removed
+                       AS n_words_removed,
+                   'intra' AS scope
             FROM tot t LEFT JOIN re r USING (doc_id)
+            UNION ALL
+            SELECT t.doc_id,
+                   COALESCE(r.cleaned, '') AS text,
+                   CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_words_kept,
+                   CAST(t.n - COALESCE(r.n_kept, 0) AS BIGINT)
+                       AS n_words_removed,
+                   'cross' AS scope
+            FROM tot2 t LEFT JOIN re2 r USING (doc_id)
         """,
         "q66_mixture_sample": """
             WITH counts AS (

@@ -368,6 +368,117 @@ def mask_repeated_ngrams(
     )
 
 
+def cross_doc_span_dedup(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    persist_words: bool = False,
+):
+    """Cross-document exact-substring dedup (the across-documents case
+    of Lee et al., "Deduplicating Training Data Makes Language Models
+    Better"): a word-``k``-gram that occurs in ≥2 distinct documents is
+    kept only at its globally first occurrence — smallest
+    ``(id_col, start)`` — and every other occurrence's word positions
+    are dropped. Complements ``mask_repeated_ngrams`` (within-doc
+    repeats) and ``boilerplate.remove_boilerplate_lines`` (cross-doc at
+    line granularity).
+
+    Tokenization is a plain single-space split — normalize upstream.
+
+    Scale: one explode to |words| gram rows, one hash-aggregate keyed
+    by the gram (map-side partial combine; the min-struct keeper and
+    the distinct-doc count ride the same shuffle), one shuffle join
+    back on the gram, then per-document reassembly. Everything is
+    linear in corpus size; a pathological gram shared by a large
+    fraction of documents skews its reduce/join key the same way any
+    heavy-hitter does — pre-salt via ``operators.skew.salted_join`` or
+    drop top-frequency grams upstream if profiling shows it.
+
+    ``persist_words=True`` evaluates the input plan exactly once
+    (persist_sets convention) — the tokenized relation feeds positions,
+    grams, and totals.
+
+    Returns (id_col, text_col cleaned, n_words_kept, n_words_removed).
+    """
+    words = F.split(F.col(text_col), " ")
+    base = df.select(F.col(id_col), words.alias("__w"))
+    if persist_words:
+        base = base.persist()
+    n = F.size("__w")
+    pos = base.select(id_col, F.posexplode("__w").alias("__p", "__word"))
+    gram_starts = F.sequence(
+        F.lit(0), F.greatest(n - F.lit(int(k)), F.lit(0))
+    )
+    grams = base.select(
+        id_col,
+        F.explode(
+            F.transform(
+                gram_starts,
+                lambda s: F.struct(
+                    s.alias("s"),
+                    F.concat_ws(" ", F.slice("__w", s + 1, int(k))).alias(
+                        "g"
+                    ),
+                ),
+            )
+        ).alias("__sg"),
+    ).select(id_col, F.col("__sg.s").alias("s"), F.col("__sg.g").alias("g"))
+    # one aggregate per distinct gram: the global keeper occurrence and
+    # how many distinct documents contain it
+    dup = (
+        grams.groupBy("g")
+        .agg(
+            F.min(F.struct(F.col(id_col), F.col("s"))).alias("__keep"),
+            F.count_distinct(F.col(id_col)).alias("__nd"),
+        )
+        .filter(F.col("__nd") >= 2)
+        .select(
+            "g",
+            F.col(f"__keep.{id_col}").alias("__kdoc"),
+            F.col("__keep.s").alias("__ks"),
+        )
+    )
+    masked = (
+        grams.join(dup, "g")
+        .filter(
+            ~((F.col(id_col) == F.col("__kdoc")) & (F.col("s") == F.col("__ks")))
+        )
+        .select(id_col, "s")
+    )
+    covered = masked.select(
+        id_col,
+        F.explode(F.sequence(F.col("s"), F.col("s") + F.lit(int(k) - 1))).alias(
+            "__p"
+        ),
+    ).distinct()
+    kept = pos.join(covered, [id_col, "__p"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__p", "__word"))),
+                lambda x: x["__word"],
+            ),
+        ).alias("__cleaned"),
+        F.count(F.lit(1)).alias("__n_kept"),
+    )
+    return (
+        base.select(id_col, n.alias("__n_total"))
+        .join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("__cleaned"), F.lit("")).alias(text_col),
+            F.coalesce(F.col("__n_kept"), F.lit(0))
+            .cast("bigint")
+            .alias("n_words_kept"),
+            (F.col("__n_total") - F.coalesce(F.col("__n_kept"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_words_removed"),
+        )
+    )
+
+
 def mixture_sample(
     df,
     group_col: str,

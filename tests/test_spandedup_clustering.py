@@ -83,3 +83,53 @@ def test_kmeans_clusters_deterministic_and_valid(spark):
     # identical vectors must co-cluster: ids 0 and 12 share i%4 and i%3
     by_id = {t[0]: t[1] for t in a}
     assert by_id[0] == by_id[12]
+
+
+def test_cross_doc_span_dedup_masks_later_docs(spark):
+    """A k-gram shared by two docs survives only at its globally first
+    (doc_id, start); the later doc loses exactly the shared span."""
+    from lsdm_motogp_data_integration_spark.operators.textops import (
+        cross_doc_span_dedup,
+    )
+
+    shared = "one two three four five"
+    rows = [
+        (1, f"{shared} alpha beta"),
+        (2, f"gamma {shared} delta"),
+        (3, "zeta eta theta iota kappa"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r
+        for r in cross_doc_span_dedup(df, k=5).collect()
+    }
+    # doc 1 holds the keeper occurrence: fully intact
+    assert got[1]["text"] == f"{shared} alpha beta"
+    assert got[1]["n_words_removed"] == 0
+    # doc 2: the five shared words masked, surrounding words kept
+    assert got[2]["text"] == "gamma delta"
+    assert got[2]["n_words_removed"] == 5
+    # doc 3: untouched
+    assert got[3]["text"] == rows[2][1]
+    # conservation: kept + removed == total
+    for r in got.values():
+        assert r["n_words_kept"] + r["n_words_removed"] == len(
+            (dict(rows)[r["doc_id"]]).split(" ")
+        )
+
+
+def test_cross_doc_span_dedup_within_keeper_doc_repeat(spark):
+    """A cross-doc-duplicated gram repeated inside the keeper doc keeps
+    only the first occurrence there too (global keeper rule)."""
+    from lsdm_motogp_data_integration_spark.operators.textops import (
+        cross_doc_span_dedup,
+    )
+
+    span = "a b c"
+    df = spark.createDataFrame(
+        [(1, f"{span} x {span}"), (2, f"{span} y")], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r for r in cross_doc_span_dedup(df, k=3).collect()}
+    assert got[1]["text"].startswith(span)
+    assert got[1]["n_words_removed"] >= 3  # the second occurrence in doc 1
+    assert got[2]["n_words_removed"] >= 3  # doc 2's occurrence
