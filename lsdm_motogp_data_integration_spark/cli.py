@@ -4,6 +4,8 @@
         [--base-dir /root/reference] [--out-dir /tmp/motogp_out]
     python -m lsdm_motogp_data_integration_spark.cli run-table circuits ...
     python -m lsdm_motogp_data_integration_spark.cli list-tables
+    python -m lsdm_motogp_data_integration_spark.cli sql \
+        "SELECT year, team_name FROM team_standings WHERE final_position = 1"
 """
 
 from __future__ import annotations
@@ -26,6 +28,12 @@ def main(argv: list[str] | None = None) -> int:
     p_one.add_argument("table")
     add_common(p_one)
     sub.add_parser("list-tables", help="list output table names")
+    p_sql = sub.add_parser(
+        "sql", help="run a SQL query against the integrated model views"
+    )
+    p_sql.add_argument("query")
+    p_sql.add_argument("--base-dir", default="/root/reference")
+    p_sql.add_argument("--limit", type=int, default=50)
 
     args = parser.parse_args(argv)
 
@@ -41,6 +49,10 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark("motogp_cli")
     t0 = time.time()
+    if args.cmd == "sql":
+        runner.register_views(spark, base_dir=args.base_dir)
+        spark.sql(args.query).show(args.limit, truncate=False)
+        return 0
     tables = runner.build_all(spark, base_dir=args.base_dir)
     if args.cmd == "run-all":
         runner.write_all(tables, args.out_dir)

@@ -107,3 +107,21 @@ def write_all(tables: dict[str, DataFrame], out_dir: str) -> None:
         write_table(
             df, f"{out_dir}/{name}", partition_by=PARTITIONING.get(name)
         )
+
+
+def register_views(
+    spark: SparkSession,
+    tables: dict[str, DataFrame] | None = None,
+    base_dir: str = "/root/reference",
+) -> dict[str, DataFrame]:
+    """Expose the integrated data model as temp views so users can
+    query it with plain ``spark.sql`` — the ad-hoc surface the
+    reference only had by loading Dummy-sink previews into its
+    PostgreSQL ``MotoGP`` database (``motogp.ktr:481-535``). Builds the
+    tables lazily when not supplied; each view carries the sink name
+    from SINKS (§1.4 of SURVEY.md)."""
+    if tables is None:
+        tables = build_all(spark, base_dir=base_dir)
+    for name, df in tables.items():
+        df.createOrReplaceTempView(name)
+    return tables

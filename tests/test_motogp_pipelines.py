@@ -141,3 +141,37 @@ def test_rider_table(tables):
         r["pos_1st"] + r["pos_2nd"] + r["pos_3rd"] + r["other_pos"] > 0
         for r in rt
     )
+
+
+def test_sql_surface_over_integrated_model(spark, tables):
+    """register_views exposes the integrated model to plain spark.sql;
+    a SQL rendition of the standings question must agree with the
+    DataFrame pipeline output."""
+    from lsdm_motogp_data_integration_spark.pipelines.motogp import runner
+
+    runner.register_views(spark, tables)
+    via_sql = {
+        (r["year"], r["category"], r["team_name"])
+        for r in spark.sql(
+            """
+            SELECT year, category, team_name
+            FROM team_standings
+            WHERE final_position = 1
+            """
+        ).collect()
+    }
+    ts = tables["team_standings"]
+    via_df = {
+        (r["year"], r["category"], r["team_name"])
+        for r in ts.filter(ts.final_position == 1).collect()
+    }
+    assert via_sql == via_df and len(via_sql) > 0
+    # a cross-table SQL join over the star schema resolves
+    n = spark.sql(
+        """
+        SELECT COUNT(*) AS n
+        FROM participation p
+        JOIN races r ON p.id_race = r.id_race
+        """
+    ).collect()[0]["n"]
+    assert n > 0
