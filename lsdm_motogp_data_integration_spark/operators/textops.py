@@ -374,6 +374,7 @@ def cross_doc_span_dedup(
     text_col: str = "text",
     k: int = 5,
     persist_words: bool = False,
+    max_docs_per_gram: int | None = None,
 ):
     """Cross-document exact-substring dedup (the across-documents case
     of Lee et al., "Deduplicating Training Data Makes Language Models
@@ -394,6 +395,14 @@ def cross_doc_span_dedup(
     fraction of documents skews its reduce/join key the same way any
     heavy-hitter does — pre-salt via ``operators.skew.salted_join`` or
     drop top-frequency grams upstream if profiling shows it.
+
+    ``max_docs_per_gram`` (optional) ignores grams present in MORE than
+    that many distinct documents: such grams are formulaic/boilerplate
+    rather than copied content (a gram shared by half the corpus would
+    hollow out every document), and they are exactly the heavy-hitter
+    keys that skew the gram-keyed shuffle — one knob bounds both.
+    Line-granularity boilerplate belongs to
+    ``boilerplate.remove_boilerplate_lines``.
 
     ``persist_words=True`` evaluates the input plan exactly once
     (persist_sets convention) — the tokenized relation feeds positions,
@@ -426,13 +435,16 @@ def cross_doc_span_dedup(
     ).select(id_col, F.col("__sg.s").alias("s"), F.col("__sg.g").alias("g"))
     # one aggregate per distinct gram: the global keeper occurrence and
     # how many distinct documents contain it
+    nd_cond = F.col("__nd") >= 2
+    if max_docs_per_gram is not None:
+        nd_cond = nd_cond & (F.col("__nd") <= int(max_docs_per_gram))
     dup = (
         grams.groupBy("g")
         .agg(
             F.min(F.struct(F.col(id_col), F.col("s"))).alias("__keep"),
             F.count_distinct(F.col(id_col)).alias("__nd"),
         )
-        .filter(F.col("__nd") >= 2)
+        .filter(nd_cond)
         .select(
             "g",
             F.col(f"__keep.{id_col}").alias("__kdoc"),

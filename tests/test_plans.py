@@ -163,3 +163,18 @@ def test_embedding_neardup_lsh_blocking_finds_exact_dups(spark, sf_dir):
         ).collect()
     }
     assert expected <= got, expected - got
+
+
+def test_cross_doc_span_dedup_no_cartesian(spark, sf_dir):
+    """Cross-doc exact-substring dedup must stay an aggregate + equi
+    join-back on the gram key — never an all-pairs document scan."""
+    from lsdm_motogp_data_integration_spark.operators.textops import (
+        cross_doc_span_dedup,
+    )
+    from lsdm_motogp_data_integration_spark.plans import formatted_plan
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    plan = formatted_plan(cross_doc_span_dedup(d, k=5))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "HashAggregate" in plan or "ObjectHashAggregate" in plan, plan

@@ -133,3 +133,26 @@ def test_cross_doc_span_dedup_within_keeper_doc_repeat(spark):
     assert got[1]["text"].startswith(span)
     assert got[1]["n_words_removed"] >= 3  # the second occurrence in doc 1
     assert got[2]["n_words_removed"] >= 3  # doc 2's occurrence
+
+
+def test_cross_doc_span_dedup_max_docs_per_gram(spark):
+    """Grams above the document-frequency cap are treated as formulaic
+    and left alone (they would hollow out the corpus and skew the
+    gram-keyed shuffle)."""
+    from lsdm_motogp_data_integration_spark.operators.textops import (
+        cross_doc_span_dedup,
+    )
+
+    common = "p q r"
+    df = spark.createDataFrame(
+        [(i, f"{common} w{i}") for i in range(1, 5)], ["doc_id", "text"]
+    )
+    # cap 3 < the 4 docs carrying the gram: nothing is masked
+    capped = cross_doc_span_dedup(df, k=3, max_docs_per_gram=3).collect()
+    assert all(r["n_words_removed"] == 0 for r in capped)
+    # no cap: docs 2-4 lose the shared gram
+    uncapped = {
+        r["doc_id"]: r["n_words_removed"]
+        for r in cross_doc_span_dedup(df, k=3).collect()
+    }
+    assert uncapped == {1: 0, 2: 3, 3: 3, 4: 3}
