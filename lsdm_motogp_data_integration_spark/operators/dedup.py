@@ -309,6 +309,25 @@ def fused_minhash_mins(
     return F.aggregate(wh, init, merge, finish)
 
 
+def _band_bucket_cols(
+    mins_col: Column, bands: int, rows_per_band: int
+) -> list[Column]:
+    """The LSH band hash — one bucket id per band over consecutive
+    signature rows. Factored out so the batch self-join path and the
+    incremental index path hash IDENTICALLY (an index built last month
+    must collide with signatures computed today)."""
+    return [
+        F.hash(
+            F.lit(b),
+            *[
+                F.element_at(mins_col, b * rows_per_band + r + 1)
+                for r in range(rows_per_band)
+            ],
+        ).alias(f"__band{b}")
+        for b in range(bands)
+    ]
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -374,18 +393,7 @@ def minhash_lsh_pairs(
             F.col(id_col).alias("__id"),
             fused_minhash_mins(text_col, k, num_perm).alias("__mins"),
         )
-    band_cols = [
-        F.hash(
-            F.lit(b),
-            *[
-                F.element_at(
-                    F.col("__mins"), b * rows_per_band + r + 1
-                )
-                for r in range(rows_per_band)
-            ],
-        ).alias(f"__band{b}")
-        for b in range(bands)
-    ]
+    band_cols = _band_bucket_cols(F.col("__mins"), bands, rows_per_band)
     buckets = mins_df.select(
         "__id", F.explode(F.array(*band_cols)).alias("__bucket")
     ).dropDuplicates(["__id", "__bucket"])
@@ -873,3 +881,122 @@ def dedup_corpus(
             .select((-F.col("__best.__neg_id")).alias(id_col))
         )
     return df.join(reps, on=id_col, how="left_semi")
+
+
+# ---------------------------------------------------------------------------
+# incremental corpus maintenance (dedup new batches against a saved index)
+# ---------------------------------------------------------------------------
+
+
+def build_minhash_index(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    k: int = 5,
+    num_perm: int = 32,
+    bands: int = 16,
+) -> DataFrame:
+    """MinHash index of a corpus: one row per (doc, band bucket),
+    carrying the full signature — ``(id_col, __bucket, __mins)``.
+
+    Persist it with ``write_table``/parquet and a growing corpus never
+    needs full re-deduplication: each NEW ingestion batch is checked
+    against the index with ``incremental_neardup`` (one bucket-keyed
+    join), then its own index rows are appended. Everything is
+    deterministic (xxhash64 permutation salts, ``_band_bucket_cols``),
+    so signatures computed in different jobs, sessions, or months
+    collide iff the texts do.
+
+    Scale: the index is ``bands`` rows per document (bucket + a
+    num_perm-long array); at 10^10 docs × 16 bands that is a flat
+    parquet relation partitionable/bucketable by ``__bucket`` so the
+    incremental join co-locates without a full shuffle of the index.
+    """
+    if num_perm % bands:
+        raise ValueError("num_perm must divide evenly into bands")
+    rows_per_band = num_perm // bands
+    mins_df = df.select(
+        F.col(id_col),
+        fused_minhash_mins(text_col, k, num_perm).alias("__mins"),
+    )
+    band_cols = _band_bucket_cols(F.col("__mins"), bands, rows_per_band)
+    return mins_df.select(
+        id_col,
+        F.explode(F.array(*band_cols)).alias("__bucket"),
+        "__mins",
+    ).dropDuplicates([id_col, "__bucket"])
+
+
+def incremental_neardup(
+    new_df: DataFrame,
+    index_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    k: int = 5,
+    num_perm: int = 32,
+    bands: int = 16,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-dup hits of a NEW batch against an existing
+    ``build_minhash_index`` relation (the incremental path of a
+    continuously-growing training corpus — no re-scan of historical
+    text; the index signature alone both generates candidates and
+    verifies them).
+
+    Returns (``new_id``, ``ref_id``, ``est_jaccard``): candidate pairs
+    sharing ≥1 band bucket, kept when the signature-agreement Jaccard
+    estimate — fraction of equal positions, the standard unbiased
+    MinHash estimator, σ ≈ sqrt(j(1-j)/num_perm) — clears
+    ``threshold``. Exact verification needs the reference shingle
+    sets, i.e. historical text: callers wanting exactness join hits
+    back to stored text and apply ``jaccard_pairs``; the estimate is
+    the index-only contract. ``k``/``num_perm``/``bands`` MUST match
+    the index's build parameters (signatures are positional).
+
+    Scale: new-batch signatures are map-side; the only shuffle is the
+    bucket equi-join against the index (co-located when the index is
+    bucketed by ``__bucket``); agreement scoring is a JVM zip_with.
+    """
+    if num_perm % bands:
+        raise ValueError("num_perm must divide evenly into bands")
+    rows_per_band = num_perm // bands
+    mins_new = new_df.select(
+        F.col(id_col).alias("__new_id"),
+        fused_minhash_mins(text_col, k, num_perm).alias("__new_mins"),
+    )
+    band_cols = _band_bucket_cols(F.col("__new_mins"), bands, rows_per_band)
+    new_buckets = mins_new.select(
+        "__new_id",
+        F.explode(F.array(*band_cols)).alias("__bucket"),
+        "__new_mins",
+    ).dropDuplicates(["__new_id", "__bucket"])
+    ref = index_df.select(
+        F.col(id_col).alias("__ref_id"),
+        "__bucket",
+        F.col("__mins").alias("__ref_mins"),
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with(
+                F.col("__new_mins"), F.col("__ref_mins"), lambda a, b: a == b
+            ),
+            lambda x: x,
+        )
+    )
+    return (
+        new_buckets.join(ref, on="__bucket")
+        .select("__new_id", "__ref_id", "__new_mins", "__ref_mins")
+        .dropDuplicates(["__new_id", "__ref_id"])
+        .withColumn(
+            "est_jaccard",
+            F.round(agree / F.lit(int(num_perm)), 6),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+        .select(
+            F.col("__new_id").alias("new_id"),
+            F.col("__ref_id").alias("ref_id"),
+            "est_jaccard",
+        )
+    )

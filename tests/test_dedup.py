@@ -289,3 +289,81 @@ def test_dedup_corpus_keep_by_quality(spark, sf_dir):
         corpus.repartition(7), "text", "doc_id", keep_by=F.col("score")
     )
     assert kept_ids == {r["doc_id"] for r in again.select("doc_id").collect()}
+
+
+def test_incremental_neardup_against_saved_index(spark, tmp_path_factory):
+    """A new batch checked against a parquet-persisted MinHash index:
+    near-dups of indexed docs are found via the estimated-Jaccard
+    contract, novel docs are not, and the index round-trips through
+    parquet with signatures intact (determinism across jobs)."""
+    from lsdm_motogp_data_integration_spark.operators.dedup import (
+        build_minhash_index,
+        incremental_neardup,
+    )
+
+    base_words = [f"w{i}" for i in range(60)]
+    ref_text = " ".join(base_words)
+    # ~3% token change: high-jaccard near-dup of the reference doc
+    near = " ".join(base_words[:-2] + ["xx", "yy"])
+    novel = " ".join(f"z{i}" for i in range(60))
+
+    corpus = spark.createDataFrame(
+        [(1, ref_text), (2, "completely different words " * 10)],
+        ["doc_id", "text"],
+    )
+    idx_path = str(tmp_path_factory.mktemp("mhidx")) + "/index"
+    build_minhash_index(corpus, "text", "doc_id").write.parquet(idx_path)
+    index = spark.read.parquet(idx_path)
+
+    new_batch = spark.createDataFrame(
+        [(100, near), (101, novel)], ["doc_id", "text"]
+    )
+    hits = incremental_neardup(
+        new_batch, index, "text", "doc_id", threshold=0.5
+    ).collect()
+    assert {(r["new_id"], r["ref_id"]) for r in hits} == {(100, 1)}
+    assert all(0.5 <= r["est_jaccard"] <= 1.0 for r in hits)
+
+    # an identical doc must estimate jaccard 1.0
+    exact_hit = incremental_neardup(
+        spark.createDataFrame([(200, ref_text)], ["doc_id", "text"]),
+        index,
+        "text",
+        "doc_id",
+        threshold=0.99,
+    ).collect()
+    assert [(r["new_id"], r["ref_id"], r["est_jaccard"]) for r in exact_hit] == [
+        (200, 1, 1.0)
+    ]
+
+
+def test_minhash_index_matches_batch_banding(spark, sf_dir):
+    """Index-vs-batch consistency: for the same corpus, every pair the
+    batch self-join finds must also surface when one side is queried
+    incrementally against the other side's index (same band hash via
+    _band_bucket_cols, recall cannot silently diverge)."""
+    from lsdm_motogp_data_integration_spark.operators.dedup import (
+        build_minhash_index,
+        incremental_neardup,
+        minhash_lsh_pairs,
+    )
+    from lsdm_motogp_data_integration_spark.sources import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    batch_pairs = {
+        tuple(sorted((r["id_a"], r["id_b"])))
+        for r in minhash_lsh_pairs(
+            docs, "text", "doc_id", threshold=0.8
+        ).collect()
+    }
+    index = build_minhash_index(docs, "text", "doc_id")
+    # estimate threshold relaxed: signature agreement is a noisy
+    # estimator of exact jaccard (sigma ~ 0.07 at num_perm=32)
+    inc_pairs = {
+        tuple(sorted((r["new_id"], r["ref_id"])))
+        for r in incremental_neardup(
+            docs, index, "text", "doc_id", threshold=0.5
+        ).collect()
+        if r["new_id"] != r["ref_id"]
+    }
+    assert batch_pairs <= inc_pairs
