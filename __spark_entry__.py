@@ -463,31 +463,30 @@ def q18_digest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.unionByName(canonical)
 
 
-def q19_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(64) + LSH(32 bands × 2 rows) near-dup candidate pairs,
-    verified with exact word-5-gram Jaccard ≥ 0.8. The oracle computes
-    exact Jaccard directly — LSH recall at this banding makes the two
-    coincide (miss probability ≈ 6e-15 at j=0.8). persist_sets: one
-    evaluation of the derived corpus instead of three (measured 1.7×
-    at sf0.1; signatures identical — equivalence pinned in tests)."""
-    return minhash_lsh_pairs(
-        _doc_corpus(spark, sf_dir),
-        "text",
-        "doc_id",
-        threshold=0.8,
-        persist_sets=True,
-    )
+def q19_neardup_pairs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair detection — both Jaccard paths share one
+    oracle-checked driver row (identical (id_a, id_b, jaccard) schema),
+    tagged by ``method``:
 
+    - ``minhash_lsh``: MinHash(64) + LSH(32 bands × 2 rows) candidate
+      pairs, verified with exact word-5-gram Jaccard ≥ 0.8 — the scale
+      path (band-bucket join is the only shuffle). The oracle computes
+      exact Jaccard directly; LSH recall at this banding makes the two
+      coincide (miss probability ≈ 6e-15 at j=0.8).
+    - ``exact``: PPJoin-prefix-filtered exact n-gram-Jaccard join — the
+      verification path, run standalone.
 
-def q20_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram-Jaccard similarity join (the verification path of
-    q19, run standalone): all pairs with word-5-gram Jaccard ≥ 0.8."""
-    return jaccard_pairs(
-        _doc_corpus(spark, sf_dir),
-        "text",
-        "doc_id",
-        threshold=0.8,
-        persist_sets=True,
+    persist_sets: one evaluation of the derived corpus instead of
+    three (measured 1.7× at sf0.1; equivalence pinned in tests)."""
+    corpus = _doc_corpus(spark, sf_dir)
+    lsh = minhash_lsh_pairs(
+        corpus, "text", "doc_id", threshold=0.8, persist_sets=True
+    ).withColumn("method", F.lit("minhash_lsh"))
+    exact = jaccard_pairs(
+        corpus, "text", "doc_id", threshold=0.8, persist_sets=True
+    ).withColumn("method", F.lit("exact"))
+    return lsh.unionByName(exact).select(
+        "method", "id_a", "id_b", "jaccard"
     )
 
 
@@ -562,18 +561,48 @@ def q22_text_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.join(rep, "doc_id", "inner").join(lm, "doc_id", "inner")
 
 
-def q26_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-5 neighbors for the first 5 vectors —
-    the exact ANN baseline (float64 math, rank on 6-decimal-rounded
-    similarity with id tie-break for cross-engine stability)."""
+def q26_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity-search suite — all three ANN tiers share one
+    oracle-checked driver row (identical output schema), tagged by
+    ``method``:
+
+    - ``exact``: brute-force cosine top-5 (broadcast query side) — the
+      correctness baseline, linear in |corpus|.
+    - ``lsh``: random-hyperplane multi-probe LSH (operators/ann
+      .lsh_topk). The signature path is PORTABLE — md5-derived ±1
+      planes + floor(v·1e6) integer quantization make every bucket
+      decision exact integer arithmetic — so the DuckDB oracle replays
+      the entire bucket construction (planes → signatures → multiprobe
+      → candidate join) in SQL rather than settling for a rows-only
+      check.
+    - ``ivf``: Lloyd-trained inverted-file cells, nprobe=3
+      (operators/ann.ivf_topk). md5 sample init, integer-grid argmax
+      assignment, decimal-exact cell means: the oracle unrolls both
+      training rounds as CTEs and reproduces the codebook bit-for-bit.
+
+    Ranking everywhere is on 6-decimal-rounded cosine with an id
+    tie-break (cross-engine float convention, q26 r1)."""
+    from lsdm_motogp_data_integration_spark.operators.ann import ivf_topk
+
     e = read_table(spark, sf_dir, "embeddings")
     queries_df = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("query_vec"),
     )
-    return cosine_topk(
+    cols = ["method", "query_id", "neighbor_id", "cosine", "rank"]
+    exact = cosine_topk(
         e, queries_df, "embedding", "vec_id", "query_id", "query_vec", k=5
-    ).select("query_id", "neighbor_id", "cosine", "rank")
+    ).withColumn("method", F.lit("exact"))
+    lsh = lsh_topk(
+        e, queries_df, "embedding", "vec_id", "query_id", "query_vec", k=5
+    ).withColumn("method", F.lit("lsh"))
+    ivf = ivf_topk(
+        e, queries_df, "embedding", "vec_id", "query_id", "query_vec",
+        k=5, n_cells=8, nprobe=3,
+    ).withColumn("method", F.lit("ivf"))
+    return (
+        exact.unionByName(lsh).unionByName(ivf).select(*cols)
+    )
 
 
 def q27_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -620,21 +649,6 @@ def q30_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
     )
-
-
-def q31_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH ANN (multi-probe, Hamming ≤ 1 buckets) —
-    the approximate scale path of q26. Bucket-construction-specific →
-    rows-only check; recall vs the exact baseline is asserted in
-    tests."""
-    e = read_table(spark, sf_dir, "embeddings")
-    queries_df = e.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("query_vec"),
-    )
-    return lsh_topk(
-        e, queries_df, "embedding", "vec_id", "query_id", "query_vec", k=5
-    ).select("query_id", "neighbor_id", "cosine", "rank")
 
 
 # ---------------------------------------------------------------------------
@@ -989,31 +1003,14 @@ def q43_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q46_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate nearest neighbors: deterministic centroid cells,
-    nprobe=3 — the codebook-based scale path complementing q31's LSH
-    (cell-assignment-specific → rows-only; recall floor + determinism
-    asserted in tests)."""
-    from lsdm_motogp_data_integration_spark.operators.ann import ivf_topk
-
-    e = read_table(spark, sf_dir, "embeddings")
-    queries_df = e.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("query_vec"),
-    )
-    return ivf_topk(
-        e, queries_df, "embedding", "vec_id", "query_id", "query_vec",
-        k=5, n_cells=8, nprobe=3,
-    ).select("query_id", "neighbor_id", "cosine", "rank")
-
-
 def q68_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic k-means document clustering over the embeddings
     table (operators/ann.kmeans_clusters, 8 clusters, 3 Lloyd rounds) —
-    topic balancing / diversity sampling support for curation.
-    Iterative float centroid means are not SQL-replayable → rows-only
-    by design; determinism and assignment quality are pinned in
-    pytest."""
+    topic balancing / diversity sampling support for curation. The
+    Lloyd loop is portable (md5 sample init, integer-grid assignment,
+    decimal-exact means), so the DuckDB oracle replays training
+    end-to-end — three unrolled iterations — and hash-checks every
+    cluster assignment and 6dp-rounded centroid similarity."""
     from lsdm_motogp_data_integration_spark.operators.ann import (
         kmeans_clusters,
     )
@@ -1431,7 +1428,13 @@ def q64_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     retrieval-style companion to TF-IDF q49 / inverted index q50.
     avgdl is exact in both engines (integer doc lengths sum exactly in
     double); per-term contributions follow the decimal-sum float
-    convention, so the final rank is deterministic."""
+    convention, so the final rank is deterministic.
+
+    The global ranking is orderBy+limit (Spark's distributed
+    TakeOrdered: per-partition top-k, then a k-sized merge on the
+    driver) — NOT a single-reducer global window; row_number runs only
+    over the 100 surviving rows, the same scale shape as
+    textops.corpus_ngram_stats' top_k path."""
     from lsdm_motogp_data_integration_spark.operators.ranking import (
         bm25_scores,
     )
@@ -1439,16 +1442,12 @@ def q64_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     scored = bm25_scores(
         d, ["spark", "shuffle", "window"], persist_tokens=True
-    )
+    ).select("doc_id", F.col("score").alias("bm25"), "n_terms_hit")
+    top = scored.orderBy(
+        F.col("bm25").desc(), F.col("doc_id").asc()
+    ).limit(100)
     w = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
-    return (
-        scored.select(
-            "doc_id",
-            F.col("score").alias("bm25"),
-            "n_terms_hit",
-        )
-        .withColumn("rk", F.row_number().over(w).cast("bigint"))
-    )
+    return top.withColumn("rk", F.row_number().over(w).cast("bigint"))
 
 
 def q65_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1593,11 +1592,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_union_all": q16_union_all,
         "q17_fuzzy_best_match": q17_fuzzy_best_match,
         "q18_digest_dedup": q18_digest_dedup,
-        "q19_minhash_lsh_neardup": q19_minhash_lsh_neardup,
-        "q20_jaccard_exact": q20_jaccard_exact,
+        "q19_neardup_pairs_suite": q19_neardup_pairs_suite,
         "q21_simhash_neardup": q21_simhash_neardup,
         "q22_text_signals": q22_text_signals,
-        "q26_ann_cosine_topk": q26_ann_cosine_topk,
+        "q26_ann_suite": q26_ann_suite,
         "q27_embedding_neardup": q27_embedding_neardup,
         "q28_tumbling_window": q28_tumbling_window,
         "q29_sessionize": q29_sessionize,
@@ -1631,11 +1629,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q65_quality_classifier": q65_quality_classifier,
         "q66_mixture_sample": q66_mixture_sample,
         "q67_span_dedup": q67_span_dedup,
-        # --- rows-only by design (no cross-engine oracle possible) ---
-        "q31_ann_lsh_topk": q31_ann_lsh_topk,
-        "q46_ann_ivf_topk": q46_ann_ivf_topk,
-        "q59_approx_aggs": q59_approx_aggs,
         "q68_embedding_clusters": q68_embedding_clusters,
+        # --- rows-only by design (approximate sketches have no exact
+        # cross-engine oracle; HLL/quantile error bounds are pinned in
+        # pytest instead) ---
+        "q59_approx_aggs": q59_approx_aggs,
     }
 
 
@@ -1763,6 +1761,205 @@ _MOTOGP_CORE_SQL = f"""
                 JOIN teams_min tm USING (team_name)
                 WHERE r.year >= 2005
             )
+"""
+
+
+# --- DuckDB replay of operators/ann ---------------------------------------
+# The engine's ANN/k-means family is deliberately portable: md5-derived
+# hyperplane signs and sample init, floor(v*1e6) integer-grid decisions
+# (exact in float64 — no summation-order sensitivity), decimal-exact
+# Lloyd means. These helpers regenerate the SAME codebooks/buckets in
+# pure SQL so the driver's oracle verifies the approximate structures
+# end-to-end instead of recording rows-only checks.
+
+# quantized (±1e-6 grid) copies of an embedding and of a centroid list
+_QV = "list_transform(CAST(embedding AS DOUBLE[]), x -> floor(x * 1000000.0))"
+_QC = "list_transform(k.c, x -> floor(x * 1000000.0))"
+_NORMALIZE = (
+    "list_transform(c, x -> x / greatest(sqrt(list_dot_product(c, c)), 1e-12))"
+)
+
+
+def _lloyd_ctes(n_iters: int, n_cells: int) -> str:
+    """CTE chain replaying operators/ann._train_centroids bit-for-bit:
+    md5('ivf|'||id)-ordered sample init + ``n_iters`` unrolled Lloyd
+    rounds. Each round: integer-grid argmax assignment (ORDER BY sim
+    DESC, cell ASC == np.argmax first-index tie-break), per-(cell,pos)
+    decimal(28,12)-exact mean → double, empty cells keep their previous
+    centroid, renormalize. Exposes ``qemb`` (vec_id, v DOUBLE[], qv
+    quantized) and ``c{n_iters}`` (cell, c normalized DOUBLE[])."""
+    parts = [
+        f"""init AS (
+                SELECT CAST(ROW_NUMBER() OVER (
+                           ORDER BY md5('ivf|' || CAST(vec_id AS VARCHAR))
+                       ) AS INTEGER) - 1 AS cell,
+                       CAST(embedding AS DOUBLE[]) AS c
+                FROM embeddings
+                ORDER BY md5('ivf|' || CAST(vec_id AS VARCHAR))
+                LIMIT {n_cells}
+            ), c0 AS (
+                SELECT cell, {_NORMALIZE} AS c FROM init
+            ), qemb AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                       {_QV} AS qv
+                FROM embeddings
+            ), comps AS (
+                SELECT vec_id, generate_subscripts(embedding, 1) AS j,
+                       CAST(unnest(embedding) AS DOUBLE) AS val
+                FROM embeddings
+            )"""
+    ]
+    for i in range(1, n_iters + 1):
+        parts.append(
+            f"""a{i} AS (
+                SELECT vec_id, cell FROM (
+                    SELECT e.vec_id, k.cell,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY e.vec_id
+                               ORDER BY list_dot_product(e.qv, {_QC}) DESC,
+                                        k.cell ASC
+                           ) AS rn
+                    FROM qemb e CROSS JOIN c{i - 1} k
+                ) WHERE rn = 1
+            ), m{i} AS (
+                SELECT a.cell, u.j,
+                       CAST(SUM(CAST(u.val AS DECIMAL(28,12))) AS DOUBLE)
+                           / CAST(COUNT(*) AS DOUBLE) AS mean
+                FROM a{i} a JOIN comps u USING (vec_id)
+                GROUP BY a.cell, u.j
+            ), raw{i} AS (
+                SELECT k.cell,
+                       list(COALESCE(m.mean, k.c[g.j]) ORDER BY g.j) AS c
+                FROM c{i - 1} k
+                CROSS JOIN generate_series(1, 64) g(j)
+                LEFT JOIN m{i} m ON m.cell = k.cell AND m.j = g.j
+                GROUP BY k.cell
+            ), c{i} AS (
+                SELECT cell, {_NORMALIZE} AS c FROM raw{i}
+            )"""
+        )
+    return ", ".join(parts)
+
+
+def _cell_assign(centroids: str, rn_filter: str, query_filter: str = "") -> str:
+    """Integer-grid nearest-cell subquery over ``qemb`` × ``{centroids}``."""
+    return f"""(
+        SELECT vec_id, cell FROM (
+            SELECT e.vec_id, k.cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_dot_product(e.qv, {_QC}) DESC,
+                                k.cell ASC
+                   ) AS rn
+            FROM qemb e CROSS JOIN {centroids} k
+            {query_filter}
+        ) WHERE {rn_filter}
+    )"""
+
+
+_ANN_SUITE_SQL = f"""
+    WITH {_lloyd_ctes(2, 8)},
+    -- exact tier -----------------------------------------------------
+    exact_scored AS (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               ROUND(list_cosine_similarity(q.v, e.v), 6) AS cosine
+        FROM qemb q JOIN qemb e ON e.vec_id != q.vec_id
+        WHERE q.vec_id < 5
+    ),
+    exact_ranked AS (
+        SELECT 'exact' AS method, query_id, neighbor_id, cosine,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id ASC
+               ) AS BIGINT) AS "rank"
+        FROM exact_scored
+    ),
+    -- lsh tier: md5 plane signs -> integer projections -> 8x8-bit
+    -- signatures -> multiprobe (Hamming <= 1) bucket join ------------
+    planes AS (
+        SELECT p.i AS plane, d.j AS dim_idx,
+               CASE WHEN substr(md5('hp|' || p.i || '|' || d.j), 1, 1) >= '8'
+                    THEN 1 ELSE -1 END AS s
+        FROM generate_series(0, 63) p(i), generate_series(0, 63) d(j)
+    ),
+    bits AS (
+        SELECT u.vec_id, pl.plane,
+               CASE WHEN SUM(pl.s * floor(u.val * 1000000.0)) > 0
+                    THEN 1 ELSE 0 END AS bit
+        FROM comps u JOIN planes pl ON pl.dim_idx = u.j - 1
+        GROUP BY u.vec_id, pl.plane
+    ),
+    sigs AS (
+        SELECT vec_id, plane // 8 AS tbl,
+               CAST(SUM(bit * (1 << (plane % 8))) AS BIGINT) AS bucket
+        FROM bits GROUP BY vec_id, plane // 8
+    ),
+    qprobes AS (
+        SELECT vec_id AS query_id, tbl, bucket AS pbucket
+        FROM sigs WHERE vec_id < 5
+        UNION ALL
+        SELECT s.vec_id, s.tbl, xor(s.bucket, CAST(1 << f.i AS BIGINT))
+        FROM sigs s, generate_series(0, 7) f(i)
+        WHERE s.vec_id < 5
+    ),
+    lsh_cands AS (
+        SELECT DISTINCT q.query_id, s.vec_id AS neighbor_id
+        FROM qprobes q
+        JOIN sigs s ON s.tbl = q.tbl AND s.bucket = q.pbucket
+        WHERE s.vec_id != q.query_id
+    ),
+    lsh_ranked AS (
+        SELECT 'lsh' AS method, c.query_id, c.neighbor_id,
+               ROUND(list_cosine_similarity(qe.v, ne.v), 6) AS cosine,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY c.query_id
+                   ORDER BY ROUND(list_cosine_similarity(qe.v, ne.v), 6) DESC,
+                            c.neighbor_id ASC
+               ) AS BIGINT) AS "rank"
+        FROM lsh_cands c
+        JOIN qemb qe ON qe.vec_id = c.query_id
+        JOIN qemb ne ON ne.vec_id = c.neighbor_id
+    ),
+    -- ivf tier: replayed 2-round Lloyd codebook (c2), nprobe=3 -------
+    corpus_cell AS {_cell_assign("c2", "rn = 1")},
+    query_cells AS {_cell_assign("c2", "rn <= 3", "WHERE e.vec_id < 5")},
+    ivf_cands AS (
+        SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        FROM query_cells q JOIN corpus_cell c USING (cell)
+        WHERE c.vec_id != q.vec_id
+    ),
+    ivf_ranked AS (
+        SELECT 'ivf' AS method, p.query_id, p.neighbor_id,
+               ROUND(list_cosine_similarity(qe.v, ne.v), 6) AS cosine,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY p.query_id
+                   ORDER BY ROUND(list_cosine_similarity(qe.v, ne.v), 6) DESC,
+                            p.neighbor_id ASC
+               ) AS BIGINT) AS "rank"
+        FROM ivf_cands p
+        JOIN qemb qe ON qe.vec_id = p.query_id
+        JOIN qemb ne ON ne.vec_id = p.neighbor_id
+    )
+    SELECT method, query_id, neighbor_id, cosine, "rank" FROM exact_ranked
+    WHERE "rank" <= 5
+    UNION ALL
+    SELECT method, query_id, neighbor_id, cosine, "rank" FROM lsh_ranked
+    WHERE "rank" <= 5
+    UNION ALL
+    SELECT method, query_id, neighbor_id, cosine, "rank" FROM ivf_ranked
+    WHERE "rank" <= 5
+"""
+
+_KMEANS_SQL = f"""
+    WITH {_lloyd_ctes(3, 8)},
+    assigned AS {_cell_assign("c3", "rn = 1")}
+    SELECT e.vec_id, CAST(a.cell AS BIGINT) AS cluster,
+           ROUND(list_dot_product(e.v, k.c)
+                 / greatest(sqrt(list_dot_product(e.v, e.v)), 1e-12),
+                 6) AS centroid_sim
+    FROM qemb e
+    JOIN assigned a USING (vec_id)
+    JOIN c3 k ON k.cell = a.cell
 """
 
 
@@ -1951,8 +2148,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'canonical', MIN(doc_id), COUNT(*)
             FROM fps GROUP BY fp
         """,
-        "q19_minhash_lsh_neardup": _JACCARD_PAIRS_SQL,
-        "q20_jaccard_exact": _JACCARD_PAIRS_SQL,
+        "q19_neardup_pairs_suite": f"""
+            WITH pairs AS ({_JACCARD_PAIRS_SQL})
+            SELECT 'minhash_lsh' AS method, id_a, id_b, jaccard FROM pairs
+            UNION ALL
+            SELECT 'exact' AS method, id_a, id_b, jaccard FROM pairs
+        """,
         # bit-arithmetic replay of the Spark SimHash sketch: identical
         # md5-derived 60-bit token hashes, per-bit ±1 votes, sign →
         # signature, all-pairs hamming (the Spark side prunes candidates
@@ -2089,28 +2290,8 @@ def oracle_sql() -> dict[str, str]:
             JOIN rep USING (doc_id)
             JOIN lm USING (doc_id)
         """,
-        "q26_ann_cosine_topk": """
-            WITH q AS (
-                SELECT vec_id AS query_id, embedding AS qv
-                FROM embeddings WHERE vec_id < 5
-            ), scored AS (
-                SELECT q.query_id, e.vec_id AS neighbor_id,
-                       ROUND(list_cosine_similarity(
-                           CAST(q.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])
-                       ), 6) AS cosine
-                FROM q CROSS JOIN embeddings e
-                WHERE e.vec_id != q.query_id
-            ), ranked AS (
-                SELECT query_id, neighbor_id, cosine,
-                       CAST(ROW_NUMBER() OVER (
-                           PARTITION BY query_id
-                           ORDER BY cosine DESC, neighbor_id ASC
-                       ) AS BIGINT) AS "rank"
-                FROM scored
-            )
-            SELECT query_id, neighbor_id, cosine, "rank"
-            FROM ranked WHERE "rank" <= 5
-        """,
+        "q26_ann_suite": _ANN_SUITE_SQL,
+        "q68_embedding_clusters": _KMEANS_SQL,
         "q27_embedding_neardup": """
             WITH corpus AS (
                 SELECT vec_id, embedding, label FROM embeddings
@@ -2622,6 +2803,7 @@ def oracle_sql() -> dict[str, str]:
                    ROW_NUMBER() OVER (
                        ORDER BY bm25 DESC, doc_id ASC) AS rk
             FROM agg
+            ORDER BY bm25 DESC, doc_id ASC LIMIT 100
         """,
         "q65_quality_classifier": """
             WITH feats AS (

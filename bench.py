@@ -27,10 +27,9 @@ HEADLINE = [
     "q11_standings",
     "q13_surrogate_key",
     "q17_fuzzy_best_match",
-    "q19_minhash_lsh_neardup",
-    "q20_jaccard_exact",
+    "q19_neardup_pairs_suite",
     "q21_simhash_neardup",
-    "q26_ann_cosine_topk",
+    "q26_ann_suite",
     "q27_embedding_neardup",
     "q28_tumbling_window",
     "q29_sessionize",

@@ -70,33 +70,50 @@ def cosine_topk(
     )
 
 
+#: quantization scale for the portable signature: plane sign decisions
+#: are made on ``floor(v * 1e6)`` BIGINT components, so the projection
+#: sums are *integer-exact* (|sum| < 2^53 for unit-scale embeddings) —
+#: bit-identical across numpy matmul order, Spark, and a SQL replay.
+SIG_QUANT = 1_000_000.0
+
+
 def _hyperplanes(n_planes: int, dim: int) -> np.ndarray:
     """Deterministic pseudo-random ±1 hyperplane matrix (n_planes × dim)
-    from a splitmix64-style integer mix — no RNG object, same on every
-    executor and run."""
-    idx = (
-        np.arange(n_planes, dtype=np.uint64)[:, None] * np.uint64(0x9E3779B97F4A7C15)
-        + np.arange(dim, dtype=np.uint64)[None, :] * np.uint64(0xBF58476D1CE4E5B9)
-    )
-    z = idx + np.uint64(0x94D049BB133111EB)
-    z ^= z >> np.uint64(30)
-    z *= np.uint64(0xBF58476D1CE4E5B9)
-    z ^= z >> np.uint64(27)
-    return np.where((z >> np.uint64(63)) & np.uint64(1), 1.0, -1.0)
+    derived from md5 — no RNG object, same on every executor/run, and
+    *portable*: any engine with md5 can regenerate it
+    (sign(plane p, dim j) = +1 iff the first hex digit of
+    ``md5("hp|p|j")`` has its top bit set, i.e. is in ``89abcdef``)."""
+    import hashlib
+
+    out = np.empty((n_planes, dim), dtype=np.float64)
+    for p in range(n_planes):
+        for j in range(dim):
+            h = hashlib.md5(f"hp|{p}|{j}".encode()).hexdigest()
+            out[p, j] = 1.0 if int(h[0], 16) >= 8 else -1.0
+    return out
 
 
 def signature_udf(n_planes: int, dim: int, n_tables: int = 1):
     """Pandas UDF computing ``n_tables`` random-hyperplane sign buckets
     (``array<bigint>``, one per hash table) for an ``array<float>``
     column — a single (n_tables·n_planes × dim) matmul per Arrow
-    batch."""
+    batch.
+
+    The input is quantized to ``floor(v * SIG_QUANT)`` integers first,
+    so every projection sum is exact in float64 (integer-valued matmul;
+    no summation-order sensitivity) and the whole signature is
+    replayable in portable SQL: plane signs come from md5 (see
+    :func:`_hyperplanes`), quantization uses IEEE double multiply +
+    floor — the same bits in numpy, Spark, and DuckDB. Quantization at
+    1e-6 resolution is recall-neutral for unit-scale embeddings."""
     planes = _hyperplanes(n_tables * n_planes, dim)
     weights = (1 << np.arange(n_planes, dtype=np.uint64)).astype(np.float64)
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def signature(vecs: pd.Series) -> pd.Series:
         mat = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
-        bits = (mat @ planes.T) > 0  # rows × (n_tables·n_planes)
+        qmat = np.floor(mat * SIG_QUANT)
+        bits = (qmat @ planes.T) > 0  # rows × (n_tables·n_planes)
         per_table = bits.reshape(len(mat), n_tables, n_planes)
         codes = (per_table @ weights).astype(np.int64)  # rows × n_tables
         return pd.Series(list(codes))
@@ -112,6 +129,24 @@ def _normalize_rows(mat: np.ndarray) -> np.ndarray:
     )
 
 
+def _quantize(mat: np.ndarray) -> np.ndarray:
+    """floor(x · 1e6) as integer-valued float64 — the portable
+    fixed-point grid shared with :func:`signature_udf`. Dots of two
+    quantized unit-scale vectors stay < 2^53, so matmuls over them are
+    EXACT (order-independent) and bit-identical to a SQL replay."""
+    return np.floor(mat * SIG_QUANT)
+
+
+def _nearest_cells(vecs: pd.Series, centroids: np.ndarray) -> np.ndarray:
+    """(rows × n_cells) exact integer similarity matrix: quantized raw
+    vectors · quantized normalized centroids. argmax over cells of
+    cos(v, c) equals argmax of v·ĉ (|v| is constant across cells), so
+    the raw-vector side needs no normalization — removing every float
+    division from the decision path."""
+    v = np.vstack([np.asarray(x, dtype=np.float64) for x in vecs])
+    return _quantize(v) @ _quantize(centroids).T
+
+
 def _train_centroids(
     corpus: DataFrame,
     vec_col: str,
@@ -125,10 +160,21 @@ def _train_centroids(
     element-wise mean (posexplode → decimal(28,12)-exact sum ÷ count —
     immune to float summation-order differences). Only O(n_cells × dim)
     mean rows ever reach the driver; cells that lose all members keep
-    their previous centroid."""
+    their previous centroid.
+
+    Every step is *portable* (SQL-replayable, engine-independent):
+    init orders by ``md5('ivf|' || id)`` hex strings; cell assignment
+    is an argmax over exact integer dot products of 1e-6-quantized
+    vectors (first-max-index tie-break == ORDER BY sim DESC, cell ASC);
+    means are decimal-exact. The only float ops left are the centroid
+    normalizations, whose last-ulp engine differences sit ~6 orders of
+    magnitude below the quantization grid."""
     sample = (
         corpus.select(id_col, vec_col)
-        .withColumn("__h", F.xxhash64(F.col(id_col)))
+        .withColumn(
+            "__h",
+            F.md5(F.concat(F.lit("ivf|"), F.col(id_col).cast("string"))),
+        )
         .orderBy("__h")
         .limit(n_cells)
         .collect()
@@ -144,13 +190,8 @@ def _train_centroids(
 
         @F.pandas_udf(T.IntegerType())
         def nearest(vecs: pd.Series) -> pd.Series:
-            v = np.vstack([np.asarray(x, dtype=np.float64) for x in vecs])
-            v = v / np.maximum(
-                np.linalg.norm(v, axis=1, keepdims=True), 1e-12
-            )
-            return pd.Series(
-                np.argmax(v @ current.T, axis=1).astype(np.int32)
-            )
+            sims = _nearest_cells(vecs, current)
+            return pd.Series(np.argmax(sims, axis=1).astype(np.int32))
 
         means = (
             corpus.select(nearest(F.col(vec_col)).alias("__cell"), vec_col)
@@ -162,12 +203,15 @@ def _train_centroids(
             )
             .groupBy("__cell", "__pos")
             .agg(
+                # decimal sum (exact, order-free) → double FIRST, then
+                # one IEEE double division — the exact op sequence a
+                # SQL replay performs, so the mean is bit-identical
+                # across engines (decimal-division scale rules differ)
                 (
                     F.sum(F.col("__val").cast("decimal(28,12)"))
-                    / F.count(F.lit(1))
-                )
-                .cast("double")
-                .alias("__mean")
+                    .cast("double")
+                    / F.count(F.lit(1)).cast("double")
+                ).alias("__mean")
             )
             .collect()
         )
@@ -199,9 +243,9 @@ def kmeans_clusters(
 
     The centroid matrix is O(n_clusters × dim) broadcast metadata; the
     assignment pass is one Arrow-vectorized projection — no shuffle at
-    all. Deterministic across runs and partition layouts, but the
-    iterative float means are not SQL-replayable, so queries built on
-    it are rows-only by design (same class as the ANN variants).
+    all. Deterministic across runs and partition layouts, AND portable:
+    md5 init + integer-grid assignment + decimal-exact means make the
+    whole Lloyd loop SQL-replayable (the q68 DuckDB oracle unrolls it).
 
     Returns (id_col, cluster BIGINT, centroid_sim DOUBLE rounded 6dp).
     """
@@ -209,18 +253,18 @@ def kmeans_clusters(
 
     @F.pandas_udf("cluster bigint, centroid_sim double")
     def assign(vecs: pd.Series) -> pd.DataFrame:
+        # cluster choice on the exact integer grid (portable); the
+        # reported similarity as plain float cosine rounded to 6dp —
+        # the repo's cross-engine float convention (q26)
+        qsims = _nearest_cells(vecs, mat)
+        best = np.argmax(qsims, axis=1)
         v = np.vstack([np.asarray(x, dtype=np.float64) for x in vecs])
-        v = v / np.maximum(
-            np.linalg.norm(v, axis=1, keepdims=True), 1e-12
-        )
-        sims = v @ mat.T
-        best = np.argmax(sims, axis=1)
+        norms = np.maximum(np.linalg.norm(v, axis=1), 1e-12)
+        sims = (v @ mat.T)[np.arange(len(best)), best] / norms
         return pd.DataFrame(
             {
                 "cluster": best.astype(np.int64),
-                "centroid_sim": np.round(
-                    sims[np.arange(len(best)), best], 6
-                ),
+                "centroid_sim": np.round(sims, 6),
             }
         )
 
@@ -250,8 +294,9 @@ def ivf_topk(
     scores only the ``nprobe`` cells nearest to it.
 
     Centroids are initialized from a deterministic pseudo-random corpus
-    sample (the ``n_cells`` smallest ``xxhash64(id)`` rows — k-means
-    init without RNG state) and then refined with ``train_iterations``
+    sample (the ``n_cells`` smallest ``md5('ivf|' || id)`` rows —
+    k-means init without RNG state, portable across engines) and then
+    refined with ``train_iterations``
     Lloyd rounds run as DataFrame jobs: assign each corpus vector to its
     nearest centroid, element-wise-average each cell (posexplode →
     decimal-exact sum ÷ count, so centroids are bit-stable across
@@ -267,11 +312,11 @@ def ivf_topk(
     def cells_udf(n_top: int):
         @F.pandas_udf(T.ArrayType(T.IntegerType()))
         def assign(vecs: pd.Series) -> pd.Series:
-            v = np.vstack([np.asarray(x, dtype=np.float64) for x in vecs])
-            v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
-            sims = v @ mat.T
-            top = np.argsort(-sims, axis=1)[:, :n_top].astype(np.int32)
-            return pd.Series(list(top))
+            sims = _nearest_cells(vecs, mat)
+            # stable sort: equal integer sims break by cell index asc —
+            # the same order as SQL (sim DESC, cell ASC)
+            top = np.argsort(-sims, axis=1, kind="stable")[:, :n_top]
+            return pd.Series(list(top.astype(np.int32)))
 
         return assign
 
