@@ -620,20 +620,41 @@ def q27_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q28_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Event-time tumbling-window aggregate (batch form of the
-    Structured Streaming windowed count/sum — SURVEY §2.11 stretch)."""
-    ev = read_table(spark, sf_dir, "events")
-    return tumbling_window_agg(ev, window_size="1 hour")
+def q28_event_time_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time processing suite — both batch event-time shapes share
+    one oracle-checked driver row (tagged union), ``scope``:
 
-
-def q29_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sessionization (gaps-and-islands, 30-min inactivity gap):
-    per-user session sequence numbers via lag + running sum."""
+    - ``tumbling``: 1-hour tumbling-window count/sum per event type
+      (operators/sessions.tumbling_window_agg; one groupBy(window, key)
+      hash agg — the batch twin of the q40 streaming plan).
+    - ``session``: sessionization (gaps-and-islands, 30-min inactivity
+      gap) — per-user session sequence numbers via lag + running sum,
+      one shuffle on the user key."""
     ev = read_table(spark, sf_dir, "events")
-    return sessionize(ev, gap_minutes=30).select(
-        "event_id", "user_id", "session_seq"
+    nl = F.lit(None)
+    tumb = tumbling_window_agg(ev, window_size="1 hour").select(
+        F.lit("tumbling").alias("scope"),
+        "window_start",
+        "window_end",
+        "event_type",
+        "n_events",
+        "sum_value",
+        nl.cast("bigint").alias("event_id"),
+        nl.cast("bigint").alias("user_id"),
+        nl.cast("bigint").alias("session_seq"),
     )
+    sess = sessionize(ev, gap_minutes=30).select(
+        F.lit("session").alias("scope"),
+        nl.cast("timestamp").alias("window_start"),
+        nl.cast("timestamp").alias("window_end"),
+        nl.cast("string").alias("event_type"),
+        nl.cast("bigint").alias("n_events"),
+        nl.cast("double").alias("sum_value"),
+        "event_id",
+        "user_id",
+        "session_seq",
+    )
+    return tumb.unionByName(sess)
 
 
 def q30_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -905,26 +926,93 @@ def q39_file_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
     return csv_side.unionByName(json_side)
 
 
-def q40_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Structured Streaming end-to-end (SURVEY §2.11 stretch): file
-    stream → watermark → tumbling window agg → availableNow drain to a
-    memory sink. Complete-mode output on bounded input equals the batch
-    q28 plan, so it shares q28's oracle."""
+def q40_streaming_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming end-to-end suite (SURVEY §2.11 stretch) —
+    two real streaming plans drained with availableNow triggers to
+    memory sinks, sharing one oracle-checked driver row (tagged
+    union), ``scope``:
+
+    - ``windowed``: file stream → watermark → tumbling window agg.
+      Complete-mode output on bounded input equals the batch q28 plan.
+    - ``interval_join``: watermarked stream-stream interval join
+      (streaming.interval_join_streams) — every click joined to the
+      same user's views within the following hour (click-to-impression
+      attribution). Both sides carry watermarks and the join condition
+      bounds event-time distance, so state expires; on bounded input
+      the inner join emits exactly the batch interval-join result,
+      which is what the DuckDB oracle computes."""
     import uuid
 
     from lsdm_motogp_data_integration_spark.streaming import (
+        interval_join_streams,
         read_event_stream,
         run_stream_to_memory,
         windowed_counts,
     )
 
+    nl = F.lit(None)
     stream = windowed_counts(
         read_event_stream(spark, f"{sf_dir}/events.parquet"),
         window_size="1 hour",
         watermark="2 hours",
     )
     name = f"q40_out_{uuid.uuid4().hex[:8]}"
-    return run_stream_to_memory(spark, stream, name, output_mode="complete")
+    windowed = run_stream_to_memory(
+        spark, stream, name, output_mode="complete"
+    ).select(
+        F.lit("windowed").alias("scope"),
+        "window_start",
+        "window_end",
+        "event_type",
+        "n_events",
+        "sum_value",
+        nl.cast("bigint").alias("click_id"),
+        nl.cast("bigint").alias("view_id"),
+        nl.cast("bigint").alias("user_id"),
+        nl.cast("bigint").alias("lag_s"),
+    )
+
+    clicks = (
+        read_event_stream(spark, f"{sf_dir}/events.parquet")
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"), "user_id", "ts"
+        )
+    )
+    views = (
+        read_event_stream(spark, f"{sf_dir}/events.parquet")
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("user_id"),
+            F.col("ts").alias("ts_r"),
+        )
+    )
+    joined = interval_join_streams(
+        clicks, views, "user_id", left_ts="ts", right_ts="ts_r",
+        watermark="2 hours", within="1 hour",
+    ).select(
+        "click_id",
+        "view_id",
+        "user_id",
+        (F.unix_micros("ts_r") - F.unix_micros("ts")).alias("lag_us"),
+    )
+    name2 = f"q40_ij_{uuid.uuid4().hex[:8]}"
+    attribution = run_stream_to_memory(
+        spark, joined, name2, output_mode="append"
+    ).select(
+        F.lit("interval_join").alias("scope"),
+        nl.cast("timestamp").alias("window_start"),
+        nl.cast("timestamp").alias("window_end"),
+        nl.cast("string").alias("event_type"),
+        nl.cast("bigint").alias("n_events"),
+        nl.cast("double").alias("sum_value"),
+        "click_id",
+        "view_id",
+        "user_id",
+        (F.col("lag_us") / F.lit(1000000)).cast("bigint").alias("lag_s"),
+    )
+    return windowed.unionByName(attribution)
 
 
 def q41_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1021,6 +1109,37 @@ def q68_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q69_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding quantization (operators/ann.quantize_embeddings):
+    symmetric per-vector scale, HALF_UP codes, worst-case
+    reconstruction error — the storage/bandwidth step of an embedding
+    pipeline (4× smaller than float32). Pure JVM higher-order-function
+    Columns, no shuffle; codes are exactly portable, so the oracle
+    hash-checks every code, scale, and error bound."""
+    from lsdm_motogp_data_integration_spark.operators.ann import (
+        quantize_embeddings,
+    )
+
+    e = read_table(spark, sf_dir, "embeddings")
+    return quantize_embeddings(e, "embedding", "vec_id")
+
+
+def q70_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + shard assignment
+    (operators/keys.training_shards, 8 shards): the training-export
+    step — every document gets a reproducible (shard, pos) from
+    md5(salt|id), no RNG. One hash shuffle + per-shard sort, the same
+    work a shard writer does anyway."""
+    from lsdm_motogp_data_integration_spark.operators.keys import (
+        training_shards,
+    )
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return training_shards(d, "doc_id", n_shards=8).select(
+        "doc_id", "source", "shard", "pos"
+    )
+
+
 def q47_chunk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk-then-sample, the composed curation step (merged from
     round-1 q47 deterministic sampling + q48 chunking): fixed-window
@@ -1079,15 +1198,20 @@ def q48_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q49_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TF-IDF term scoring over the corpus: per-document top-3 terms by
-    tf·idf (idf = ln(N / df), natural log in both engines), ties broken
-    alphabetically — the classic corpus-statistics pipeline: explode →
-    document frequencies → join back → rank. Round 2 appends the
-    corpus-level top-20 bigram table (``operators.textops.ngram_stats``
-    — one explode, one n-gram-keyed shuffle with map-side partials,
-    distributed TakeOrdered for the top-k) as tagged ``doc_id = -1``
-    rows, reusing the same (term, tf, df, tfidf, rk) shape."""
+def q49_corpus_index_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-index suite — the corpus-statistics family shares one
+    oracle-checked driver row (tagged union), ``scope``:
+
+    - ``tfidf``: per-document top-3 terms by tf·idf (idf = ln(N/df),
+      natural log in both engines), ties alphabetical — explode →
+      document frequencies → broadcast join back → rank; plus the
+      corpus-level top-20 bigram table (``textops.ngram_stats`` — one
+      explode, one n-gram-keyed shuffle with map-side partials,
+      distributed TakeOrdered for the top-k) as tagged ``doc_id = -1``
+      rows.
+    - ``index``: inverted index — term → document frequency + sorted
+      posting list (comma-joined for engine-agnostic comparison) for
+      terms in ≥ 10 documents."""
     from lsdm_motogp_data_integration_spark.operators.textops import (
         ngram_stats,
     )
@@ -1128,18 +1252,21 @@ def q49_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("tfidf"),
         F.col("rank").alias("rk"),
     )
-    return per_doc.unionByName(corpus_bigrams)
-
-
-def q50_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Inverted index construction: term → document frequency + sorted
-    posting list (comma-joined for engine-agnostic comparison), for
-    terms appearing in at least 10 documents."""
-    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
-    words = F.split(
-        F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")), " "
+    nl = F.lit(None)
+    tfidf_rows = (
+        per_doc.unionByName(corpus_bigrams)
+        .select(
+            F.lit("tfidf").alias("scope"),
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            "tfidf",
+            "rk",
+            nl.cast("string").alias("postings"),
+        )
     )
-    postings = (
+    index_rows = (
         d.select("doc_id", F.explode(F.array_distinct(words)).alias("term"))
         .groupBy("term")
         .agg(
@@ -1149,8 +1276,18 @@ def q50_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("postings"),
         )
         .filter(F.col("df") >= 10)
+        .select(
+            F.lit("index").alias("scope"),
+            nl.cast("bigint").alias("doc_id"),
+            "term",
+            nl.cast("bigint").alias("tf"),
+            "df",
+            nl.cast("double").alias("tfidf"),
+            nl.cast("bigint").alias("rk"),
+            "postings",
+        )
     )
-    return postings
+    return tfidf_rows.unionByName(index_rows)
 
 
 def q53_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1597,8 +1734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_text_signals": q22_text_signals,
         "q26_ann_suite": q26_ann_suite,
         "q27_embedding_neardup": q27_embedding_neardup,
-        "q28_tumbling_window": q28_tumbling_window,
-        "q29_sessionize": q29_sessionize,
+        "q28_event_time_suite": q28_event_time_suite,
         "q30_topk_per_group": q30_topk_per_group,
         "q32_semi_anti_join": q32_semi_anti_join,
         "q33_rollup_distinct": q33_rollup_distinct,
@@ -1607,15 +1743,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q37_pivot": q37_pivot,
         "q38_grouped_zscore": q38_grouped_zscore,
         "q39_file_roundtrips": q39_file_roundtrips,
-        "q40_stream_windowed": q40_stream_windowed,
+        "q40_streaming_suite": q40_streaming_suite,
         "q41_multimodal_features": q41_multimodal_features,
         "q42_json_extract": q42_json_extract,
         "q43_percentiles": q43_percentiles,
         "q44_motogp_standings": q44_motogp_standings,
         "q45_motogp_participation": q45_motogp_participation,
         "q47_chunk_sample": q47_chunk_sample,
-        "q49_tfidf_top_terms": q49_tfidf_top_terms,
-        "q50_inverted_index": q50_inverted_index,
+        "q49_corpus_index_suite": q49_corpus_index_suite,
         "q53_source_stats": q53_source_stats,
         "q55_set_ops": q55_set_ops,
         "q56_range_join": q56_range_join,
@@ -1630,6 +1765,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q66_mixture_sample": q66_mixture_sample,
         "q67_span_dedup": q67_span_dedup,
         "q68_embedding_clusters": q68_embedding_clusters,
+        "q69_embedding_quantize": q69_embedding_quantize,
+        "q70_training_shards": q70_training_shards,
         # --- rows-only by design (approximate sketches have no exact
         # cross-engine oracle; HLL/quantile error bounds are pinned in
         # pytest instead) ---
@@ -2292,6 +2429,47 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q26_ann_suite": _ANN_SUITE_SQL,
         "q68_embedding_clusters": _KMEANS_SQL,
+        "q69_embedding_quantize": """
+            -- replay of operators/ann.quantize_embeddings: the scale
+            -- used for the codes is UNROUNDED; only the reported
+            -- columns are rounded to 9dp
+            WITH base AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                       greatest(list_max(list_transform(
+                           CAST(embedding AS DOUBLE[]), x -> abs(x)
+                       )), 1e-30) / 127.0 AS scale
+                FROM embeddings
+            ), coded AS (
+                SELECT vec_id, v, scale,
+                       list_transform(v, x -> greatest(-127, least(127,
+                           CAST(round(x / scale) AS INTEGER)))) AS q
+                FROM base
+            )
+            SELECT vec_id,
+                   ROUND(scale, 9) AS scale,
+                   array_to_string(q, ',') AS qvec,
+                   ROUND(list_max(list_transform(
+                       list_zip(v, q),
+                       p -> abs(p[1] - CAST(p[2] AS DOUBLE) * scale)
+                   )), 9) AS max_err
+            FROM coded
+        """,
+        "q70_training_shards": """
+            WITH h AS (
+                SELECT doc_id, source,
+                       md5('shuf|' || CAST(doc_id AS VARCHAR)) AS hx
+                FROM documents
+            )
+            SELECT doc_id, source,
+                   CAST(CAST(('0x' || substr(hx, 1, 8)) AS BIGINT) % 8
+                        AS BIGINT) AS shard,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY CAST(('0x' || substr(hx, 1, 8))
+                                         AS BIGINT) % 8
+                       ORDER BY hx ASC, doc_id ASC
+                   ) - 1 AS BIGINT) AS pos
+            FROM h
+        """,
         "q27_embedding_neardup": """
             WITH corpus AS (
                 SELECT vec_id, embedding, label FROM embeddings
@@ -2309,15 +2487,26 @@ def oracle_sql() -> dict[str, str]:
                       CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])
                   ) >= 0.99
         """,
-        "q28_tumbling_window": """
-            SELECT date_trunc('hour', ts) AS window_start,
+        "q28_event_time_suite": """
+            SELECT 'tumbling' AS scope,
+                   date_trunc('hour', ts) AS window_start,
                    date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
                    event_type,
                    COUNT(*) AS n_events,
-                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
-            FROM events GROUP BY 1, 2, 3
-        """,
-        "q29_sessionize": """
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+                   NULL::BIGINT AS event_id,
+                   NULL::BIGINT AS user_id,
+                   NULL::BIGINT AS session_seq
+            FROM events GROUP BY 2, 3, 4
+            UNION ALL
+            SELECT 'session' AS scope,
+                   NULL::TIMESTAMP AS window_start,
+                   NULL::TIMESTAMP AS window_end,
+                   NULL::VARCHAR AS event_type,
+                   NULL::BIGINT AS n_events,
+                   NULL::DOUBLE AS sum_value,
+                   event_id, user_id, session_seq
+            FROM (
             WITH w AS (
                 SELECT event_id, user_id, ts,
                        LAG(ts) OVER (
@@ -2338,6 +2527,7 @@ def oracle_sql() -> dict[str, str]:
                        ROWS UNBOUNDED PRECEDING
                    ) AS BIGINT) AS session_seq
             FROM flags
+            )
         """,
         "q30_topk_per_group": """
             WITH ranked AS (
@@ -2470,13 +2660,32 @@ def oracle_sql() -> dict[str, str]:
                        AS val_num
             FROM supplier GROUP BY s_nationkey
         """,
-        "q40_stream_windowed": """
-            SELECT date_trunc('hour', ts) AS window_start,
+        "q40_streaming_suite": """
+            SELECT 'windowed' AS scope,
+                   date_trunc('hour', ts) AS window_start,
                    date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
                    event_type,
                    COUNT(*) AS n_events,
-                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
-            FROM events GROUP BY 1, 2, 3
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+                   NULL::BIGINT AS click_id,
+                   NULL::BIGINT AS view_id,
+                   NULL::BIGINT AS user_id,
+                   NULL::BIGINT AS lag_s
+            FROM events GROUP BY 2, 3, 4
+            UNION ALL
+            SELECT 'interval_join' AS scope,
+                   NULL::TIMESTAMP, NULL::TIMESTAMP, NULL::VARCHAR,
+                   NULL::BIGINT, NULL::DOUBLE,
+                   c.event_id AS click_id,
+                   v.event_id AS view_id,
+                   c.user_id,
+                   CAST((epoch_us(v.ts) - epoch_us(c.ts)) // 1000000
+                        AS BIGINT) AS lag_s
+            FROM (SELECT * FROM events WHERE event_type = 'click') c
+            JOIN (SELECT * FROM events WHERE event_type = 'view') v
+              ON c.user_id = v.user_id
+             AND v.ts >= c.ts
+             AND v.ts <= c.ts + INTERVAL 1 HOUR
         """,
         "q41_multimodal_features": """
             SELECT doc_id AS media_id,
@@ -3093,7 +3302,9 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CASE WHEN lon_dir = 'W' THEN -lon_abs ELSE lon_abs END, 6) AS lon
             FROM parsed
         """,
-        "q49_tfidf_top_terms": """
+        "q49_corpus_index_suite": """
+            SELECT 'tfidf' AS scope, t.*, NULL::VARCHAR AS postings
+            FROM (
             WITH terms AS (
                 SELECT doc_id, unnest(regexp_split_to_array(
                     trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '
@@ -3139,17 +3350,22 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY 1
                 ORDER BY n_occ DESC, ngram ASC LIMIT 20
             )
-        """,
-        "q50_inverted_index": """
-            WITH terms AS (
-                SELECT DISTINCT doc_id, unnest(regexp_split_to_array(
-                    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '
-                )) AS term
-                FROM documents
+            ) t
+            UNION ALL
+            SELECT 'index' AS scope, NULL::BIGINT AS doc_id, term,
+                   NULL::BIGINT AS tf, df, NULL::DOUBLE AS tfidf,
+                   NULL::BIGINT AS rk, postings
+            FROM (
+                WITH dterms AS (
+                    SELECT DISTINCT doc_id, unnest(regexp_split_to_array(
+                        trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '
+                    )) AS term
+                    FROM documents
+                )
+                SELECT term, COUNT(*) AS df,
+                       string_agg(CAST(doc_id AS VARCHAR), ','
+                                  ORDER BY doc_id) AS postings
+                FROM dterms GROUP BY term HAVING COUNT(*) >= 10
             )
-            SELECT term, COUNT(*) AS df,
-                   string_agg(CAST(doc_id AS VARCHAR), ','
-                              ORDER BY doc_id) AS postings
-            FROM terms GROUP BY term HAVING COUNT(*) >= 10
         """,
     }

@@ -31,8 +31,7 @@ HEADLINE = [
     "q21_simhash_neardup",
     "q26_ann_suite",
     "q27_embedding_neardup",
-    "q28_tumbling_window",
-    "q29_sessionize",
+    "q28_event_time_suite",
     "q30_topk_per_group",
     "q36_asof_join",
     "q38_grouped_zscore",

@@ -349,6 +349,52 @@ def ivf_topk(
     )
 
 
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization of an embedding column —
+    the storage/bandwidth step of a 100 TB embedding pipeline (4×
+    smaller than float32, 8× smaller than float64; ANN candidate
+    generation tolerates the 1/254 relative grid error).
+
+    Per vector: ``scale = max|v_i| / 127``; ``q_i = round(v_i /
+    scale)`` clamped to [-127, 127]; the reported ``max_err`` is the
+    worst absolute reconstruction error ``max|v_i − q_i·scale|``.
+
+    Pure JVM higher-order-function Columns — no UDF, no shuffle, and
+    every op (IEEE divide/multiply, HALF_UP round, abs/max) is
+    portable, so a SQL engine reproduces the quantized codes exactly.
+    Zero vectors quantize to all-zero codes via the 1e-30 scale floor.
+
+    Returns (id_col, scale DOUBLE, qvec STRING — comma-joined codes for
+    engine-agnostic comparison, max_err DOUBLE rounded 9dp)."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    absmax = F.array_max(F.transform(v, F.abs))
+    scale = F.greatest(absmax, F.lit(1e-30)) / F.lit(127.0)
+    q = F.transform(
+        v,
+        lambda x: F.greatest(
+            F.lit(-127),
+            F.least(F.lit(127), F.round(x / scale).cast("int")),
+        ),
+    )
+    err = F.array_max(
+        F.zip_with(
+            v, q, lambda x, qi: F.abs(x - qi.cast("double") * scale)
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        F.round(scale, 9).alias("scale"),
+        F.array_join(F.transform(q, lambda x: x.cast("string")), ",").alias(
+            "qvec"
+        ),
+        F.round(err, 9).alias("max_err"),
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

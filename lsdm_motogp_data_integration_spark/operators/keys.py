@@ -91,3 +91,50 @@ def add_surrogate_key_distributed(
     result = result.localCheckpoint(eager=True)
     ranged.unpersist()
     return result
+
+
+def training_shards(
+    df: DataFrame,
+    id_col: str,
+    *,
+    n_shards: int = 8,
+    salt: str = "shuf",
+) -> DataFrame:
+    """Deterministic global shuffle + shard assignment for training-data
+    export: the step that turns a curated corpus into N pseudo-randomly
+    ordered shard files. No RNG — a row's shard and its position inside
+    the shard derive from ``md5(salt|id)``, so the training order is
+    reproducible across runs, engines, executor counts, and input
+    order (the property ``orderBy(rand())`` famously lacks under
+    retries).
+
+    - ``shard`` = first 8 md5 hex chars as int, mod ``n_shards`` — a
+      uniform, portable bucket (same '0x'-cast idiom as the MotoGP
+      synthetic fact keys).
+    - ``pos``   = row_number within the shard ordered by the full hex
+      digest (id tie-break), 0-based — the write order of the shard.
+
+    Scale shape: one hash-partition shuffle on ``shard`` plus a
+    per-shard sort — exactly the shuffle a shard writer needs anyway
+    (repartition(shard) + sortWithinPartitions before write), expressed
+    as a window so the position is a queryable column. Parallelism is
+    bounded by ``n_shards``: pick n_shards ≥ cluster cores at scale
+    (1024 shards ≈ 100 GB/shard at 100 TB — a per-reducer external
+    sort, not a global one)."""
+    h = F.md5(
+        F.concat(F.lit(f"{salt}|"), F.col(id_col).cast("string"))
+    )
+    shard = (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")
+        % F.lit(int(n_shards))
+    ).cast("bigint")
+    tagged = df.withColumn("__h", h).withColumn("shard", shard)
+    w = Window.partitionBy("shard").orderBy(
+        F.col("__h").asc(), F.col(id_col).asc()
+    )
+    return (
+        tagged.withColumn(
+            "pos", (F.row_number().over(w) - F.lit(1)).cast("bigint")
+        )
+        .drop("__h")
+    )

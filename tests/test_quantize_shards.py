@@ -1,0 +1,59 @@
+"""int8 embedding quantization + deterministic training shards."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lsdm_motogp_data_integration_spark.operators.ann import (
+    quantize_embeddings,
+)
+from lsdm_motogp_data_integration_spark.operators.keys import (
+    training_shards,
+)
+from lsdm_motogp_data_integration_spark.sources import read_table
+
+
+def test_quantize_codes_and_error_bound(spark, sf_dir):
+    e = read_table(spark, sf_dir, "embeddings")
+    out = quantize_embeddings(e, "embedding", "vec_id")
+    rows = out.collect()
+    assert len(rows) == e.count()
+    for r in rows:
+        codes = [int(c) for c in r["qvec"].split(",")]
+        assert len(codes) == 64
+        assert all(-127 <= c <= 127 for c in codes)
+        # at least one component sits at full scale (the abs-max one)
+        assert max(abs(c) for c in codes) == 127
+        # the rounding grid bounds reconstruction error by scale/2
+        assert r["max_err"] <= r["scale"] / 2 + 1e-9
+
+
+def test_quantize_zero_vector_is_all_zero(spark):
+    df = spark.createDataFrame(
+        [(1, [0.0] * 4)], "id long, v array<double>"
+    )
+    r = quantize_embeddings(df, "v", "id").collect()[0]
+    assert r["qvec"] == "0,0,0,0"
+    assert r["max_err"] == 0.0
+
+
+def test_training_shards_dense_and_deterministic(spark, sf_dir):
+    d = read_table(spark, sf_dir, "documents").select("doc_id")
+    out = training_shards(d, "doc_id", n_shards=4)
+    rows = out.collect()
+    assert len(rows) == d.count()
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        assert 0 <= r["shard"] < 4
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    # positions are dense 0..n-1 within every shard
+    for shard, ps in by_shard.items():
+        assert sorted(ps) == list(range(len(ps)))
+    # deterministic under a different partition layout
+    again = {
+        (r["doc_id"], r["shard"], r["pos"])
+        for r in training_shards(
+            d.repartition(13), "doc_id", n_shards=4
+        ).collect()
+    }
+    assert again == {(r["doc_id"], r["shard"], r["pos"]) for r in rows}
