@@ -18,7 +18,13 @@ sys.path.insert(0, "/root/repo")
 
 from pyspark.sql import functions as F
 
-from lsdm_motogp_data_integration_spark.operators.ann import cosine_topk, lsh_topk
+from lsdm_motogp_data_integration_spark.operators.ann import (
+    cosine_topk,
+    ivf_topk,
+    lsh_topk,
+    quantize_embeddings,
+)
+from lsdm_motogp_data_integration_spark.operators.keys import training_shards
 from lsdm_motogp_data_integration_spark.operators.boilerplate import (
     remove_boilerplate_lines,
 )
@@ -171,6 +177,19 @@ def main() -> None:
                 emb, queries, "embedding", "vec_id", "query_id", "query_vec", k=5
             ),
         )
+        r["ann_ivf_s"], _ = timed(
+            "ann_ivf",
+            ivf_topk(
+                emb, queries, "embedding", "vec_id", "query_id",
+                "query_vec", k=5, n_cells=16, nprobe=3,
+            ),
+        )
+        r["quantize_s"], _ = timed(
+            "quantize", quantize_embeddings(emb, "embedding", "vec_id")
+        )
+        r["shards_s"], _ = timed(
+            "shards", training_shards(docs, "doc_id", n_shards=32)
+        )
         results[scale] = r
 
     base, big = results["1x"], results[f"{replicas}x"]
@@ -184,6 +203,9 @@ def main() -> None:
         "bm25_s",
         "ann_brute_s",
         "ann_lsh_s",
+        "ann_ivf_s",
+        "quantize_s",
+        "shards_s",
     ):
         ratio = (big[key] / base[key]) / replicas
         print(f"  {key}: {ratio:.2f}")
