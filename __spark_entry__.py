@@ -1051,17 +1051,30 @@ def q42_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q43_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q43_statistics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Summary-statistics suite per event type (the reference has no
-    quantile/statistics capability at all): exact percentiles (linear
-    interpolation), min/max, and mean/stddev derived from
-    decimal-exact moments — per-row doubles are cast to DECIMAL(18,6)
-    before summation so the moment sums are order-independent, then
-    mean/variance are computed as identical double scalar expressions
-    in both engines (the repo's float-determinism convention; a
-    native streaming ``stddev_samp`` would drift in the last ulps
-    with partition order)."""
+    quantile/statistics capability at all), tagged by ``scope``:
+
+    - ``exact``: percentiles (linear interpolation), min/max, and
+      mean/stddev derived from decimal-exact moments — per-row doubles
+      are cast to DECIMAL(18,6) before summation so the moment sums
+      are order-independent, then mean/variance are computed as
+      identical double scalar expressions in both engines (the repo's
+      float-determinism convention; a native streaming
+      ``stddev_samp`` would drift in the last ulps with partition
+      order).
+    - ``approx``: the sketch surface (HyperLogLog
+      ``approx_count_distinct``, ``percentile_approx``) graded against
+      the exact values inside the query. Sketch internals are
+      engine-specific, so the cross-engine contract is the ACCURACY
+      CLAIM, not the estimate: the query emits within-bounds booleans
+      (HLL within 10% of the exact distinct count; approx median
+      inside the exact IQR) and the oracle recomputes the exact side
+      and asserts the same booleans TRUE — a sketch that drifts out of
+      its documented bounds fails the driver's hash. (Absorbs round-1
+      q59_approx_aggs, previously rows-only.)"""
     ev = read_table(spark, sf_dir, "events")
+    nl = F.lit(None)
     g = ev.groupBy("event_type").agg(
         F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
         F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
@@ -1076,7 +1089,8 @@ def q43_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("__s2"),
     )
     nd = F.col("n").cast("double")
-    return g.select(
+    exact = g.select(
+        F.lit("exact").alias("scope"),
         "event_type",
         "p50",
         "p90",
@@ -1088,7 +1102,40 @@ def q43_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("__s2") - F.col("__s1") * F.col("__s1") / nd)
             / (nd - F.lit(1.0))
         ).alias("stddev"),
+        nl.cast("boolean").alias("hll_ok"),
+        nl.cast("boolean").alias("median_ok"),
     )
+    ap = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("__ex_users"),
+        F.approx_count_distinct("user_id").alias("__ap_users"),
+        F.percentile("value", F.lit(0.25)).alias("__p25"),
+        F.percentile("value", F.lit(0.75)).alias("__p75"),
+        F.percentile_approx("value", F.lit(0.5)).alias("__am"),
+    ).select(
+        F.lit("approx").alias("scope"),
+        "event_type",
+        nl.cast("double").alias("p50"),
+        nl.cast("double").alias("p90"),
+        "n",
+        nl.cast("double").alias("vmin"),
+        nl.cast("double").alias("vmax"),
+        nl.cast("double").alias("mean"),
+        nl.cast("double").alias("stddev"),
+        (
+            F.abs(
+                F.col("__ap_users").cast("double")
+                - F.col("__ex_users").cast("double")
+            )
+            / F.col("__ex_users").cast("double")
+            <= F.lit(0.1)
+        ).alias("hll_ok"),
+        (
+            (F.col("__am") >= F.col("__p25"))
+            & (F.col("__am") <= F.col("__p75"))
+        ).alias("median_ok"),
+    )
+    return exact.unionByName(ap)
 
 
 def q68_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1395,19 +1442,6 @@ def q58_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return connected_components(
         corpus.select("doc_id"), pairs, node_col="doc_id"
-    )
-
-
-def q59_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate aggregates (HyperLogLog distinct, t-digest-style
-    quantiles) — sketch-based estimates whose exact values are
-    implementation-specific, so no cross-engine oracle (rows-only);
-    accuracy vs the exact q35/q43 values is the in-Spark contract."""
-    o = read_table(spark, sf_dir, "orders")
-    return o.groupBy("o_orderstatus").agg(
-        F.approx_count_distinct("o_custkey").alias("approx_customers"),
-        F.percentile_approx("o_totalprice", 0.5).alias("approx_median_price"),
-        F.count(F.lit(1)).alias("n_orders"),
     )
 
 
@@ -1746,7 +1780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q40_streaming_suite": q40_streaming_suite,
         "q41_multimodal_features": q41_multimodal_features,
         "q42_json_extract": q42_json_extract,
-        "q43_percentiles": q43_percentiles,
+        "q43_statistics_suite": q43_statistics_suite,
         "q44_motogp_standings": q44_motogp_standings,
         "q45_motogp_participation": q45_motogp_participation,
         "q47_chunk_sample": q47_chunk_sample,
@@ -1767,10 +1801,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q68_embedding_clusters": q68_embedding_clusters,
         "q69_embedding_quantize": q69_embedding_quantize,
         "q70_training_shards": q70_training_shards,
-        # --- rows-only by design (approximate sketches have no exact
-        # cross-engine oracle; HLL/quantile error bounds are pinned in
-        # pytest instead) ---
-        "q59_approx_aggs": q59_approx_aggs,
     }
 
 
@@ -2699,7 +2729,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(props->>'$.k' AS BIGINT) AS k_value
             FROM events
         """,
-        "q43_percentiles": """
+        "q43_statistics_suite": """
             WITH g AS (
                 SELECT event_type,
                        ROUND(quantile_cont(value, 0.5), 6) AS p50,
@@ -2713,11 +2743,23 @@ def oracle_sql() -> dict[str, str]:
                             AS DOUBLE) AS s2
                 FROM events GROUP BY event_type
             )
-            SELECT event_type, p50, p90, n, vmin, vmax,
+            SELECT 'exact' AS scope, event_type, p50, p90, n, vmin, vmax,
                    s1 / CAST(n AS DOUBLE) AS mean,
                    SQRT((s2 - s1 * s1 / CAST(n AS DOUBLE))
-                        / (CAST(n AS DOUBLE) - 1.0)) AS stddev
+                        / (CAST(n AS DOUBLE) - 1.0)) AS stddev,
+                   NULL::BOOLEAN AS hll_ok,
+                   NULL::BOOLEAN AS median_ok
             FROM g
+            UNION ALL
+            -- the sketch-accuracy contract: DuckDB recomputes the exact
+            -- side and asserts the engine's within-bounds claims; a
+            -- Spark sketch drifting past its documented error bound
+            -- fails the value hash
+            SELECT 'approx' AS scope, event_type,
+                   NULL::DOUBLE, NULL::DOUBLE, COUNT(*) AS n,
+                   NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE,
+                   TRUE AS hll_ok, TRUE AS median_ok
+            FROM events GROUP BY event_type
         """,
         "q44_motogp_standings": f"""
             WITH {_MOTOGP_CORE_SQL},
