@@ -53,6 +53,27 @@ def _dec_sum(expr: str, alias: str) -> F.Column:
     )
 
 
+def _suite_union(columns: list[tuple[str, str]], *branches) -> DataFrame:
+    """Tagged-union scaffolding for the suite queries: ``columns``
+    declares the suite schema ONCE as (name, spark_type) pairs;
+    each branch is (scope_tag, df). Columns a branch lacks are
+    null-padded with the declared type, so per-branch select lists and
+    their null casts can't drift out of lockstep."""
+    out = None
+    for tag, df in branches:
+        have = set(df.columns)
+        sel = [F.lit(tag).alias("scope")]
+        for name, typ in columns:
+            sel.append(
+                F.col(name)
+                if name in have
+                else F.lit(None).cast(typ).alias(name)
+            )
+        b = df.select(*sel)
+        out = b if out is None else out.unionByName(b)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Scan / project / filter (SURVEY §2.1, §2.2)
 # ---------------------------------------------------------------------------
@@ -631,30 +652,25 @@ def q28_event_time_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       gap) — per-user session sequence numbers via lag + running sum,
       one shuffle on the user key."""
     ev = read_table(spark, sf_dir, "events")
-    nl = F.lit(None)
-    tumb = tumbling_window_agg(ev, window_size="1 hour").select(
-        F.lit("tumbling").alias("scope"),
-        "window_start",
-        "window_end",
-        "event_type",
-        "n_events",
-        "sum_value",
-        nl.cast("bigint").alias("event_id"),
-        nl.cast("bigint").alias("user_id"),
-        nl.cast("bigint").alias("session_seq"),
+    return _suite_union(
+        [
+            ("window_start", "timestamp"),
+            ("window_end", "timestamp"),
+            ("event_type", "string"),
+            ("n_events", "bigint"),
+            ("sum_value", "double"),
+            ("event_id", "bigint"),
+            ("user_id", "bigint"),
+            ("session_seq", "bigint"),
+        ],
+        ("tumbling", tumbling_window_agg(ev, window_size="1 hour")),
+        (
+            "session",
+            sessionize(ev, gap_minutes=30).select(
+                "event_id", "user_id", "session_seq"
+            ),
+        ),
     )
-    sess = sessionize(ev, gap_minutes=30).select(
-        F.lit("session").alias("scope"),
-        nl.cast("timestamp").alias("window_start"),
-        nl.cast("timestamp").alias("window_end"),
-        nl.cast("string").alias("event_type"),
-        nl.cast("bigint").alias("n_events"),
-        nl.cast("double").alias("sum_value"),
-        "event_id",
-        "user_id",
-        "session_seq",
-    )
-    return tumb.unionByName(sess)
 
 
 def q30_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -950,7 +966,6 @@ def q40_streaming_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         windowed_counts,
     )
 
-    nl = F.lit(None)
     stream = windowed_counts(
         read_event_stream(spark, f"{sf_dir}/events.parquet"),
         window_size="1 hour",
@@ -959,17 +974,6 @@ def q40_streaming_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"q40_out_{uuid.uuid4().hex[:8]}"
     windowed = run_stream_to_memory(
         spark, stream, name, output_mode="complete"
-    ).select(
-        F.lit("windowed").alias("scope"),
-        "window_start",
-        "window_end",
-        "event_type",
-        "n_events",
-        "sum_value",
-        nl.cast("bigint").alias("click_id"),
-        nl.cast("bigint").alias("view_id"),
-        nl.cast("bigint").alias("user_id"),
-        nl.cast("bigint").alias("lag_s"),
     )
 
     clicks = (
@@ -1001,18 +1005,26 @@ def q40_streaming_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     attribution = run_stream_to_memory(
         spark, joined, name2, output_mode="append"
     ).select(
-        F.lit("interval_join").alias("scope"),
-        nl.cast("timestamp").alias("window_start"),
-        nl.cast("timestamp").alias("window_end"),
-        nl.cast("string").alias("event_type"),
-        nl.cast("bigint").alias("n_events"),
-        nl.cast("double").alias("sum_value"),
         "click_id",
         "view_id",
         "user_id",
         (F.col("lag_us") / F.lit(1000000)).cast("bigint").alias("lag_s"),
     )
-    return windowed.unionByName(attribution)
+    return _suite_union(
+        [
+            ("window_start", "timestamp"),
+            ("window_end", "timestamp"),
+            ("event_type", "string"),
+            ("n_events", "bigint"),
+            ("sum_value", "double"),
+            ("click_id", "bigint"),
+            ("view_id", "bigint"),
+            ("user_id", "bigint"),
+            ("lag_s", "bigint"),
+        ],
+        ("windowed", windowed),
+        ("interval_join", attribution),
+    )
 
 
 def q41_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1074,7 +1086,6 @@ def q43_statistics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       its documented bounds fails the driver's hash. (Absorbs round-1
       q59_approx_aggs, previously rows-only.)"""
     ev = read_table(spark, sf_dir, "events")
-    nl = F.lit(None)
     g = ev.groupBy("event_type").agg(
         F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
         F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
@@ -1090,7 +1101,6 @@ def q43_statistics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nd = F.col("n").cast("double")
     exact = g.select(
-        F.lit("exact").alias("scope"),
         "event_type",
         "p50",
         "p90",
@@ -1102,8 +1112,6 @@ def q43_statistics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("__s2") - F.col("__s1") * F.col("__s1") / nd)
             / (nd - F.lit(1.0))
         ).alias("stddev"),
-        nl.cast("boolean").alias("hll_ok"),
-        nl.cast("boolean").alias("median_ok"),
     )
     ap = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
@@ -1113,29 +1121,43 @@ def q43_statistics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("value", F.lit(0.75)).alias("__p75"),
         F.percentile_approx("value", F.lit(0.5)).alias("__am"),
     ).select(
-        F.lit("approx").alias("scope"),
         "event_type",
-        nl.cast("double").alias("p50"),
-        nl.cast("double").alias("p90"),
         "n",
-        nl.cast("double").alias("vmin"),
-        nl.cast("double").alias("vmax"),
-        nl.cast("double").alias("mean"),
-        nl.cast("double").alias("stddev"),
+        # greatest(·,1): a group whose user_id values are all NULL has
+        # an exact distinct of 0 — both estimators agree on 0, and the
+        # guard keeps the relative-error expression NULL-free
         (
             F.abs(
                 F.col("__ap_users").cast("double")
                 - F.col("__ex_users").cast("double")
             )
-            / F.col("__ex_users").cast("double")
+            / F.greatest(F.col("__ex_users").cast("double"), F.lit(1.0))
             <= F.lit(0.1)
         ).alias("hll_ok"),
-        (
+        # vacuously within bounds when there are no non-null values to
+        # measure (percentiles NULL -> comparison NULL)
+        F.coalesce(
             (F.col("__am") >= F.col("__p25"))
-            & (F.col("__am") <= F.col("__p75"))
+            & (F.col("__am") <= F.col("__p75")),
+            F.lit(True),
         ).alias("median_ok"),
     )
-    return exact.unionByName(ap)
+    return _suite_union(
+        [
+            ("event_type", "string"),
+            ("p50", "double"),
+            ("p90", "double"),
+            ("n", "bigint"),
+            ("vmin", "double"),
+            ("vmax", "double"),
+            ("mean", "double"),
+            ("stddev", "double"),
+            ("hll_ok", "boolean"),
+            ("median_ok", "boolean"),
+        ],
+        ("exact", exact),
+        ("approx", ap),
+    )
 
 
 def q68_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1299,20 +1321,6 @@ def q49_corpus_index_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("tfidf"),
         F.col("rank").alias("rk"),
     )
-    nl = F.lit(None)
-    tfidf_rows = (
-        per_doc.unionByName(corpus_bigrams)
-        .select(
-            F.lit("tfidf").alias("scope"),
-            "doc_id",
-            "term",
-            "tf",
-            "df",
-            "tfidf",
-            "rk",
-            nl.cast("string").alias("postings"),
-        )
-    )
     index_rows = (
         d.select("doc_id", F.explode(F.array_distinct(words)).alias("term"))
         .groupBy("term")
@@ -1323,18 +1331,20 @@ def q49_corpus_index_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("postings"),
         )
         .filter(F.col("df") >= 10)
-        .select(
-            F.lit("index").alias("scope"),
-            nl.cast("bigint").alias("doc_id"),
-            "term",
-            nl.cast("bigint").alias("tf"),
-            "df",
-            nl.cast("double").alias("tfidf"),
-            nl.cast("bigint").alias("rk"),
-            "postings",
-        )
     )
-    return tfidf_rows.unionByName(index_rows)
+    return _suite_union(
+        [
+            ("doc_id", "bigint"),
+            ("term", "string"),
+            ("tf", "bigint"),
+            ("df", "bigint"),
+            ("tfidf", "double"),
+            ("rk", "bigint"),
+            ("postings", "string"),
+        ],
+        ("tfidf", per_doc.unionByName(corpus_bigrams)),
+        ("index", index_rows),
+    )
 
 
 def q53_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

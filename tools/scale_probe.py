@@ -92,8 +92,12 @@ def scaled_embeddings(spark, replicas: int):
     return out
 
 
-def timed(label: str, df) -> tuple[float, int]:
+def timed(label: str, df_or_thunk) -> tuple[float, int]:
+    """Time evaluation. Pass a THUNK (zero-arg callable) for operators
+    that run eager Spark jobs at DataFrame-construction time (IVF's
+    Lloyd training collects) so that work is inside the timer too."""
     t0 = time.time()
+    df = df_or_thunk() if callable(df_or_thunk) else df_or_thunk
     n = df.count()
     dt = time.time() - t0
     print(f"  {label}: {dt:.1f}s rows={n}", flush=True)
@@ -179,7 +183,9 @@ def main() -> None:
         )
         r["ann_ivf_s"], _ = timed(
             "ann_ivf",
-            ivf_topk(
+            # thunk: ivf_topk trains its codebook EAGERLY at
+            # construction (3 collect jobs) — build inside the timer
+            lambda: ivf_topk(
                 emb, queries, "embedding", "vec_id", "query_id",
                 "query_vec", k=5, n_cells=16, nprobe=3,
             ),
