@@ -944,9 +944,9 @@ def q39_file_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q40_streaming_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming end-to-end suite (SURVEY §2.11 stretch) —
-    two real streaming plans drained with availableNow triggers to
-    memory sinks, sharing one oracle-checked driver row (tagged
-    union), ``scope``:
+    the ENTIRE streaming module runs as real streaming plans drained
+    with availableNow triggers, sharing one oracle-checked driver row
+    (tagged union), ``scope``:
 
     - ``windowed``: file stream → watermark → tumbling window agg.
       Complete-mode output on bounded input equals the batch q28 plan.
@@ -956,14 +956,35 @@ def q40_streaming_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       attribution). Both sides carry watermarks and the join condition
       bounds event-time distance, so state expires; on bounded input
       the inner join emits exactly the batch interval-join result,
-      which is what the DuckDB oracle computes."""
+      which is what the DuckDB oracle computes.
+    - ``session``: stateful sessionization via ``session_window``
+      (streaming.session_windows, 30-min gap; session bounds reuse the
+      window_start/window_end columns). The oracle replays the merge
+      rule in SQL — a new session starts when the event-time gap is
+      ≥ the gap (session_window's end-exclusive semantics; note the
+      batch q28 ``sessionize`` uses > — both rules are driver-pinned).
+    - ``stateful``: custom state via ``applyInPandasWithState``
+      (streaming.stateful_user_totals) — per-user running totals.
+      Update mode emits one row per user per micro-batch; the final
+      totals are selected batch-count-independently as the row with
+      the highest n_events (monotone per user), so the result is the
+      plain per-user aggregate the oracle computes.
+    - ``foreach_sink``: exactly-once-style file sink
+      (streaming.write_stream_foreach_batch, idempotent per batch id)
+      — events stream → parquet batch dirs → read back → aggregate;
+      the oracle aggregates the source directly, so a lost/duplicated
+      batch fails the hash."""
+    import tempfile
     import uuid
 
     from lsdm_motogp_data_integration_spark.streaming import (
         interval_join_streams,
         read_event_stream,
         run_stream_to_memory,
+        session_windows,
+        stateful_user_totals,
         windowed_counts,
+        write_stream_foreach_batch,
     )
 
     stream = windowed_counts(
@@ -1010,6 +1031,63 @@ def q40_streaming_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         (F.col("lag_us") / F.lit(1000000)).cast("bigint").alias("lag_s"),
     )
+
+    sessions = run_stream_to_memory(
+        spark,
+        session_windows(
+            read_event_stream(spark, f"{sf_dir}/events.parquet"),
+            gap="30 minutes",
+        ),
+        f"q40_sw_{uuid.uuid4().hex[:8]}",
+        output_mode="complete",
+    ).select(
+        F.col("session_start").alias("window_start"),
+        F.col("session_end").alias("window_end"),
+        "user_id",
+        "n_events",
+        "first_event_id",
+    )
+
+    stateful = (
+        run_stream_to_memory(
+            spark,
+            stateful_user_totals(
+                read_event_stream(spark, f"{sf_dir}/events.parquet").select(
+                    "user_id", "value"
+                )
+            ),
+            f"q40_st_{uuid.uuid4().hex[:8]}",
+            output_mode="update",
+        )
+        # one row per user per micro-batch; n_events is strictly
+        # increasing per user, so max(struct) picks the final totals
+        # regardless of how availableNow split the input
+        .groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "sum_value")).alias("__m"))
+        .select(
+            "user_id",
+            F.col("__m.n_events").alias("n_events"),
+            F.round(F.col("__m.sum_value"), 6).alias("sum_value"),
+        )
+    )
+
+    sink_dir = tempfile.mkdtemp(prefix="q40_fb_out_")
+    write_stream_foreach_batch(
+        read_event_stream(spark, f"{sf_dir}/events.parquet").select(
+            "event_id", "event_type", "value"
+        ),
+        sink_dir,
+        checkpoint_dir=tempfile.mkdtemp(prefix="q40_fb_ckpt_"),
+    )
+    roundtrip = (
+        spark.read.parquet(sink_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _dec_sum("value", "sum_value"),
+        )
+    )
+
     return _suite_union(
         [
             ("window_start", "timestamp"),
@@ -1021,9 +1099,13 @@ def q40_streaming_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("view_id", "bigint"),
             ("user_id", "bigint"),
             ("lag_s", "bigint"),
+            ("first_event_id", "bigint"),
         ],
         ("windowed", windowed),
         ("interval_join", attribution),
+        ("session", sessions),
+        ("stateful", stateful),
+        ("foreach_sink", roundtrip),
     )
 
 
@@ -2710,7 +2792,8 @@ def oracle_sql() -> dict[str, str]:
                    NULL::BIGINT AS click_id,
                    NULL::BIGINT AS view_id,
                    NULL::BIGINT AS user_id,
-                   NULL::BIGINT AS lag_s
+                   NULL::BIGINT AS lag_s,
+                   NULL::BIGINT AS first_event_id
             FROM events GROUP BY 2, 3, 4
             UNION ALL
             SELECT 'interval_join' AS scope,
@@ -2720,12 +2803,59 @@ def oracle_sql() -> dict[str, str]:
                    v.event_id AS view_id,
                    c.user_id,
                    CAST((epoch_us(v.ts) - epoch_us(c.ts)) // 1000000
-                        AS BIGINT) AS lag_s
+                        AS BIGINT) AS lag_s,
+                   NULL::BIGINT
             FROM (SELECT * FROM events WHERE event_type = 'click') c
             JOIN (SELECT * FROM events WHERE event_type = 'view') v
               ON c.user_id = v.user_id
              AND v.ts >= c.ts
              AND v.ts <= c.ts + INTERVAL 1 HOUR
+            UNION ALL
+            -- session_window replay: a new session starts when the
+            -- event-time gap is >= 30 min (end-exclusive merge rule);
+            -- session_end = last event + gap
+            SELECT 'session' AS scope,
+                   MIN(ts) AS window_start,
+                   MAX(ts) + INTERVAL 30 MINUTE AS window_end,
+                   NULL::VARCHAR, COUNT(*) AS n_events, NULL::DOUBLE,
+                   NULL::BIGINT, NULL::BIGINT,
+                   user_id, NULL::BIGINT,
+                   MIN(event_id) AS first_event_id
+            FROM (
+                SELECT *, SUM(nf) OVER (
+                           PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                           ROWS UNBOUNDED PRECEDING) AS sid
+                FROM (
+                    SELECT event_id, user_id, ts,
+                           CASE WHEN LAG(ts) OVER (
+                                    PARTITION BY user_id
+                                    ORDER BY ts ASC, event_id ASC
+                                ) IS NULL
+                                OR epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                                    PARTITION BY user_id
+                                    ORDER BY ts ASC, event_id ASC
+                                )) >= 1800000000
+                           THEN 1 ELSE 0 END AS nf
+                    FROM events
+                )
+            ) GROUP BY user_id, sid
+            UNION ALL
+            SELECT 'stateful' AS scope,
+                   NULL::TIMESTAMP, NULL::TIMESTAMP, NULL::VARCHAR,
+                   COUNT(*) AS n_events,
+                   ROUND(SUM(value), 6) AS sum_value,
+                   NULL::BIGINT, NULL::BIGINT, user_id,
+                   NULL::BIGINT, NULL::BIGINT
+            FROM events GROUP BY user_id
+            UNION ALL
+            SELECT 'foreach_sink' AS scope,
+                   NULL::TIMESTAMP, NULL::TIMESTAMP, event_type,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                       AS sum_value,
+                   NULL::BIGINT, NULL::BIGINT, NULL::BIGINT,
+                   NULL::BIGINT, NULL::BIGINT
+            FROM events GROUP BY event_type
         """,
         "q41_multimodal_features": """
             SELECT doc_id AS media_id,
