@@ -496,9 +496,25 @@ def q19_neardup_pairs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       coincide (miss probability ≈ 6e-15 at j=0.8).
     - ``exact``: PPJoin-prefix-filtered exact n-gram-Jaccard join — the
       verification path, run standalone.
+    - ``incremental``: the growing-corpus path
+      (dedup.build_minhash_index → incremental_neardup →
+      exact_jaccard_for_pairs): the base documents are indexed once,
+      the near-dup variants arrive as a NEW batch and are checked with
+      one bucket-keyed join against the index (est-Jaccard ≥ 0.4
+      candidate screen, wide enough that the exact ≥ 0.8 verdict
+      decides), then candidate-restricted exact verification. The
+      oracle is the same exact-Jaccard relation restricted to
+      old×new pairs — a banding recall miss, estimator screen error,
+      or verification bug all fail the hash.
 
     persist_sets: one evaluation of the derived corpus instead of
     three (measured 1.7× at sf0.1; equivalence pinned in tests)."""
+    from lsdm_motogp_data_integration_spark.operators.dedup import (
+        build_minhash_index,
+        exact_jaccard_for_pairs,
+        incremental_neardup,
+    )
+
     corpus = _doc_corpus(spark, sf_dir)
     lsh = minhash_lsh_pairs(
         corpus, "text", "doc_id", threshold=0.8, persist_sets=True
@@ -506,8 +522,23 @@ def q19_neardup_pairs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = jaccard_pairs(
         corpus, "text", "doc_id", threshold=0.8, persist_sets=True
     ).withColumn("method", F.lit("exact"))
-    return lsh.unionByName(exact).select(
-        "method", "id_a", "id_b", "jaccard"
+    historical = corpus.filter(F.col("doc_id") < 100000)
+    new_batch = corpus.filter(F.col("doc_id") >= 100000)
+    index = build_minhash_index(
+        historical, "text", "doc_id", k=5, num_perm=32, bands=16
+    )
+    hits = incremental_neardup(
+        new_batch, index, "text", "doc_id",
+        k=5, num_perm=32, bands=16, threshold=0.4,
+    )
+    incremental = exact_jaccard_for_pairs(
+        hits, corpus, "text", "doc_id", "ref_id", "new_id",
+        k=5, threshold=0.8,
+    ).withColumn("method", F.lit("incremental"))
+    return (
+        lsh.unionByName(exact)
+        .unionByName(incremental)
+        .select("method", "id_a", "id_b", "jaccard")
     )
 
 
@@ -2412,6 +2443,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'minhash_lsh' AS method, id_a, id_b, jaccard FROM pairs
             UNION ALL
             SELECT 'exact' AS method, id_a, id_b, jaccard FROM pairs
+            UNION ALL
+            -- incremental scope: only pairs straddling the index/new
+            -- split (base ids < 100000, variant batch ids >= 100000)
+            SELECT 'incremental' AS method, id_a, id_b, jaccard FROM pairs
+            WHERE id_a < 100000 AND id_b >= 100000
         """,
         # bit-arithmetic replay of the Spark SimHash sketch: identical
         # md5-derived 60-bit token hashes, per-bit ±1 votes, sign →

@@ -223,6 +223,55 @@ def jaccard_pairs(
     )
 
 
+def exact_jaccard_for_pairs(
+    pairs: DataFrame,
+    corpus: DataFrame,
+    text_col: str,
+    id_col: str,
+    left_col: str,
+    right_col: str,
+    *,
+    k: int = 5,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact word-k-gram Jaccard for GIVEN candidate pairs only — the
+    verification step of the incremental-dedup contract
+    (:func:`incremental_neardup` hits joined back to stored text), and
+    generally the cheap exactness upgrade for any candidate generator.
+
+    Scale: two id-equi-joins of the pair relation against the shingle
+    sets — O(|pairs|) verification work, never a corpus self-join.
+    Output (id_a = ``left_col`` side, id_b, jaccard) with
+    :func:`jaccard_pairs`' 6-decimal rounding, so results splice into
+    the same oracle relation."""
+    sets_df = corpus.select(
+        F.col(id_col).alias("__id"),
+        word_shingle_hashes(text_col, k).alias("__set"),
+    )
+    sa = sets_df.select(
+        F.col("__id").alias(left_col), F.col("__set").alias("__sa")
+    )
+    sb = sets_df.select(
+        F.col("__id").alias(right_col), F.col("__set").alias("__sb")
+    )
+    return (
+        pairs.select(left_col, right_col)
+        .join(sa, left_col)
+        .join(sb, right_col)
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("__sa", "__sb"))
+            / F.size(F.array_union("__sa", "__sb")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            F.col(left_col).alias("id_a"),
+            F.col(right_col).alias("id_b"),
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
