@@ -2673,9 +2673,11 @@ def oracle_sql() -> dict[str, str]:
                 FROM events
             ), flags AS (
                 SELECT event_id, user_id, ts,
+                       -- microsecond-exact gap, matching the engine's
+                       -- unix_micros comparison (> gap, strictly)
                        CASE WHEN prev_ts IS NULL
-                                 OR CAST(floor(epoch(ts)) AS BIGINT)
-                                    - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800
+                                 OR epoch_us(ts) - epoch_us(prev_ts)
+                                    > 1800000000
                             THEN 1 ELSE 0 END AS nf
                 FROM w
             )
@@ -3126,9 +3128,9 @@ def oracle_sql() -> dict[str, str]:
                                regexp_replace(text,
                                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
                                    '[PII]', 'g'),
-                               '\\+?\\d{1,3}[-. ]\\d{3}[-. ]\\d{3,4}([-. ]\\d{3,4})?',
-                               '[PII]', 'g'),
-                           '\\b\\d{3}-\\d{2}-\\d{4}\\b', '[PII]', 'g')
+                               '\\b\\d{3}-\\d{2}-\\d{4}\\b', '[PII]', 'g'),
+                           '\\+?\\d{1,3}[-. ]\\d{3}[-. ]\\d{3,4}([-. ]\\d{3,4})?',
+                           '[PII]', 'g')
                    ) AS BIGINT) AS redacted_len
             FROM salted
         """,

@@ -179,6 +179,14 @@ def _train_centroids(
         .limit(n_cells)
         .collect()
     )
+    if not sample:
+        raise ValueError(
+            "k-means/IVF training needs a non-empty corpus with a "
+            f"non-null {vec_col!r} column"
+        )
+    # fewer rows than requested cells: shrink the codebook instead of
+    # crashing on the touched-mask shape mismatch below
+    n_cells = min(n_cells, len(sample))
     mat = np.vstack(
         [np.asarray(r[vec_col], dtype=np.float64) for r in sample]
     )

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -299,7 +299,14 @@ def minhash_signature(shingle_hashes: Column, num_perm: int = 64) -> Column:
         F.array_min(F.transform(shingle_hashes, salted(i)))
         for i in range(num_perm)
     ]
-    return F.coalesce(F.array(*sigs), F.array(*[F.lit(-1)] * num_perm))
+    # empty/null shingle sets get the -1 sentinel signature. NB this
+    # must gate on size() — array(min, min, ...) of an empty set is a
+    # NON-null array of nulls, so a bare coalesce never fires, and
+    # null signature elements silently vanish from band hashes
+    # (F.hash skips nulls), colliding all empty docs in every band.
+    return F.when(
+        F.size(shingle_hashes) > 0, F.array(*sigs)
+    ).otherwise(F.array(*[F.lit(-1)] * num_perm))
 
 
 def fused_minhash_mins(
@@ -387,6 +394,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.8,
     persist_sets: bool = False,
+    _persist_handles: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding + exact verification.
 
@@ -410,7 +418,10 @@ def minhash_lsh_pairs(
     read from it (MinHash minima over the distinct shingle set equal
     the minima over raw grams — MinHash is duplicate-insensitive), so
     the input plan is evaluated exactly once. The caller owns the
-    persisted lifetime (unpersist after consuming the result)."""
+    persisted lifetime (unpersist after consuming the result); a
+    composing caller can pass ``_persist_handles`` to receive the
+    persisted relation and release it once the result is materialized
+    (see :func:`dedup_corpus`)."""
     if num_perm % bands:
         raise ValueError("num_perm must divide evenly into bands")
     rows_per_band = num_perm // bands
@@ -421,6 +432,8 @@ def minhash_lsh_pairs(
     )
     if persist_sets:
         sets_df = sets_df.persist()
+        if _persist_handles is not None:
+            _persist_handles.append(sets_df)
         # one input evaluation total: signatures from the persisted set
 
         def min_perm(perm: int):
@@ -898,11 +911,22 @@ def dedup_corpus(
     Every stage is the scale path: banded candidate generation (no
     all-pairs), O(log d) label rounds, and a final broadcast-size
     semi-join of representatives when clusters are few, else a plain
-    shuffled semi-join."""
+    shuffled semi-join.
+
+    Persist lifetime: with ``persist_sets=True`` the pair relation is
+    eagerly localCheckpoint-ed (it is O(near-dup pairs) — small — and
+    the iterative component phase re-reads it anyway), after which the
+    shingle-set cache is released — no storage outlives the call."""
+    handles: list[DataFrame] = []
     pairs = minhash_lsh_pairs(
         df, text_col, id_col,
         threshold=threshold, persist_sets=persist_sets,
+        _persist_handles=handles,
     )
+    if handles:
+        pairs = pairs.localCheckpoint(eager=True)
+        for h in handles:
+            h.unpersist()
     components = connected_components(
         df.select(F.col(id_col)), pairs, node_col=id_col
     )
@@ -913,21 +937,19 @@ def dedup_corpus(
             .select(id_col)
         )
     else:
+        # rank within the component: highest score, ties -> smallest
+        # id. A window (one shuffle on the component key) instead of a
+        # max(struct(score, -id)) trick, which silently null-casts
+        # non-numeric id types.
         scored = df.select(F.col(id_col), keep_by.alias("__keep_score"))
+        w = Window.partitionBy("component").orderBy(
+            F.col("__keep_score").desc(), F.col(id_col).asc()
+        )
         reps = (
             components.join(scored, on=id_col)
-            .groupBy("component")
-            .agg(
-                F.max(
-                    F.struct(
-                        F.col("__keep_score"),
-                        # max(struct) orders lexicographically; negate
-                        # the id so score ties keep the SMALLEST id
-                        (-F.col(id_col)).alias("__neg_id"),
-                    )
-                ).alias("__best")
-            )
-            .select((-F.col("__best.__neg_id")).alias(id_col))
+            .withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") == 1)
+            .select(id_col)
         )
     return df.join(reps, on=id_col, how="left_semi")
 

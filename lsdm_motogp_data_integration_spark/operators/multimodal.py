@@ -136,7 +136,13 @@ def frame_sample(
                     raise NotImplementedError(
                         "real frame sampling requires ffmpeg, not present"
                     )
-                duration = row["meta"]["duration_ms"] or 0
+                # meta is a NULLABLE struct — a video row without
+                # metadata samples zero frames instead of failing the
+                # whole task on None subscripting
+                meta = row["meta"]
+                duration = (
+                    meta["duration_ms"] if meta is not None else 0
+                ) or 0
                 content = row["content"] or b""
                 for ms in range(0, int(duration), every_ms):
                     ids.append(row["media_id"])

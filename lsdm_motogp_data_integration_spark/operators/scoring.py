@@ -101,6 +101,10 @@ def unigram_nll(
     )
     per_term = (
         df.select(F.col(id_col), F.explode(words).alias("term"))
+        # split('') yields [''] — drop the empty pseudo-token so blank
+        # docs are genuinely absent (the documented contract) instead
+        # of entering the vocabulary and skewing every probability
+        .filter(F.col("term") != "")
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )

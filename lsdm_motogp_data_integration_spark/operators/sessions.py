@@ -23,7 +23,11 @@ def sessionize(
     ``gap_minutes``. Adds ``session_seq`` (per-user 1..N) — one shuffle
     on the user key; the windows reuse the same partitioning."""
     w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc())
-    gap_s = gap_minutes * 60
+    # microsecond-exact gap: unix_timestamp() truncates to whole
+    # seconds, so events 1800.9 s apart could merge at a 1800 s gap
+    # depending on sub-second alignment — and batch would diverge from
+    # the micros-precise streaming session_window
+    gap_us = gap_minutes * 60 * 1_000_000
     with_prev = events.withColumn(
         "__prev_ts", F.lag(ts_col).over(w)
     ).withColumn(
@@ -31,8 +35,8 @@ def sessionize(
         (
             F.col("__prev_ts").isNull()
             | (
-                F.unix_timestamp(ts_col) - F.unix_timestamp("__prev_ts")
-                > gap_s
+                F.unix_micros(ts_col) - F.unix_micros("__prev_ts")
+                > gap_us
             )
         ).cast("int"),
     )
@@ -52,6 +56,7 @@ def tumbling_window_agg(
     *,
     ts_col: str = "ts",
     key_col: str = "event_type",
+    value_col: str = "value",
     window_size: str = "1 hour",
 ) -> DataFrame:
     """Tumbling event-time window aggregate (batch form of the
@@ -62,7 +67,7 @@ def tumbling_window_agg(
         events.groupBy(win.alias("__w"), F.col(key_col))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,6)"))
+            F.sum(F.col(value_col).cast("decimal(18,6)"))
             .cast("double")
             .alias("sum_value"),
         )

@@ -92,7 +92,13 @@ def lang_id(col: Column | str, markers: dict[str, str] | None = None) -> Column:
     markers = markers or LANG_MARKERS
     pairs = [
         F.struct(
-            F.regexp_count(c, F.lit(pattern)).alias("hits"),
+            # NULL text must not decide a language: regexp_count(NULL)
+            # is NULL, which makes every comparator test false and the
+            # sort degenerate to code order — 'de' for null docs.
+            # Coalesce to 0 hits so null/empty text lands on 'und'.
+            F.coalesce(F.regexp_count(c, F.lit(pattern)), F.lit(0)).alias(
+                "hits"
+            ),
             F.lit(code).alias("code"),
         )
         for code, pattern in sorted(markers.items())
@@ -177,10 +183,15 @@ def rolling_hash_chunks_udf(texts: pd.Series) -> pd.Series:
 # deliberately simple, SQL-portable patterns: the curation screen's
 # point is the Spark-side plumbing (pure Column regexes, countable
 # before/after); production pattern sets drop in unchanged
+#: Redaction applies these in DICT ORDER, and order is load-bearing:
+#: email first (an address's digits must not be half-eaten by the
+#: phone pattern) and ssn_like BEFORE phone (the phone regex matches
+#: the interior '45-678' of '123-45-6789', leaving the SSN area number
+#: and last digit un-redacted and un-matchable).
 PII_PATTERNS = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
-    "phone": r"\+?\d{1,3}[-. ]\d{3}[-. ]\d{3,4}([-. ]\d{3,4})?",
     "ssn_like": r"\b\d{3}-\d{2}-\d{4}\b",
+    "phone": r"\+?\d{1,3}[-. ]\d{3}[-. ]\d{3,4}([-. ]\d{3,4})?",
 }
 
 
@@ -195,9 +206,9 @@ def pii_counts(col: Column | str) -> dict[str, Column]:
 
 def redact_pii(col: Column | str, *, token: str = "[PII]") -> Column:
     """Replace every PII match with ``token`` — the pre-training scrub
-    applied after dedup, before packing. Patterns apply in dict order
-    (email before phone: an address's digits must not be half-eaten by
-    the phone pattern)."""
+    applied after dedup, before packing. Patterns apply in
+    ``PII_PATTERNS`` dict order, which is load-bearing (see the
+    constant's comment: email, then ssn_like, then phone)."""
     c = _c(col)
     for pat in PII_PATTERNS.values():
         c = F.regexp_replace(c, pat, token)

@@ -1,0 +1,188 @@
+"""Regressions for the round-2 self-review findings: edge cases in
+operator inputs (null text/meta, blank docs, string ids, tiny corpora,
+sub-second gaps, overlapping PII patterns)."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_dedup_corpus_keep_by_string_ids(spark):
+    from lsdm_motogp_data_integration_spark.operators.dedup import (
+        dedup_corpus,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog again and again "
+        "and keeps on jumping through the long afternoon hours"
+    )
+    df = spark.createDataFrame(
+        [
+            ("doc-a", base, 0.2),
+            ("doc-b", base + " extra", 0.9),  # near-dup, higher score
+            ("doc-z", "completely different words entirely here with "
+                      "nothing shared between the two document texts "
+                      "at all in any of the overlapping windows", 0.5),
+        ],
+        "id string, text string, score double",
+    )
+    kept = dedup_corpus(
+        df, "text", "id", threshold=0.5, keep_by=F.col("score")
+    )
+    ids = {r["id"] for r in kept.collect()}
+    # the higher-scoring near-dup member survives; string ids must not
+    # be silently null-cast by the survivor selection
+    assert ids == {"doc-b", "doc-z"}
+
+
+def test_lang_id_null_and_empty_text_is_und(spark):
+    from lsdm_motogp_data_integration_spark.operators.textops import (
+        lang_id,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "zzz qqq xxx")],
+        "id long, t string",
+    )
+    got = {
+        r["id"]: r["l"]
+        for r in df.select("id", lang_id("t").alias("l")).collect()
+    }
+    assert got == {1: "und", 2: "und", 3: "und"}
+
+
+def test_minhash_signature_empty_set_sentinel(spark):
+    from lsdm_motogp_data_integration_spark.operators.dedup import (
+        minhash_signature,
+    )
+
+    df = spark.createDataFrame([(1,)], "id long")
+    row = df.select(
+        minhash_signature(
+            F.array().cast("array<bigint>"), num_perm=8
+        ).alias("sig")
+    ).collect()[0]
+    # the documented sentinel, not an array of nulls
+    assert list(row["sig"]) == [-1] * 8
+
+
+def test_redact_pii_ssn_fully_redacted(spark):
+    from lsdm_motogp_data_integration_spark.operators.textops import (
+        redact_pii,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "ssn 123-45-6789 and phone +1-555-0123 here")],
+        "id long, t string",
+    )
+    out = df.select(redact_pii("t").alias("r")).collect()[0]["r"]
+    # no SSN digits may survive (the phone pattern used to eat the
+    # interior '45-678', leaving '123-[PII]9')
+    assert "123" not in out and "6789" not in out
+    assert out.count("[PII]") == 2
+
+
+def test_sessionize_subsecond_gap_precision(spark):
+    from lsdm_motogp_data_integration_spark.operators.sessions import (
+        sessionize,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0, 100000)
+    over = t0 + datetime.timedelta(seconds=1800, microseconds=500000)
+    under = over + datetime.timedelta(seconds=1799, microseconds=999999)
+    df = spark.createDataFrame(
+        [(1, 7, t0), (2, 7, over), (3, 7, under)],
+        "event_id long, user_id long, ts timestamp",
+    )
+    got = {
+        r["event_id"]: r["session_seq"]
+        for r in sessionize(df, gap_minutes=30).collect()
+    }
+    # 1800.4s gap > 30 min -> new session (seconds truncation used to
+    # read it as exactly 1800 and merge); 1799.999999s -> same session
+    assert got == {1: 1, 2: 2, 3: 2}
+
+
+def test_kmeans_tiny_corpus_shrinks_codebook(spark):
+    from lsdm_motogp_data_integration_spark.operators.ann import (
+        kmeans_clusters,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.0]) for i in range(3)],
+        "vec_id long, v array<float>",
+    )
+    out = kmeans_clusters(df, "v", "vec_id", n_clusters=8, n_iters=2)
+    rows = out.collect()
+    assert len(rows) == 3
+    assert all(0 <= r["cluster"] < 3 for r in rows)
+
+
+def test_kmeans_empty_corpus_raises(spark):
+    from lsdm_motogp_data_integration_spark.operators.ann import (
+        kmeans_clusters,
+    )
+
+    df = spark.createDataFrame([], "vec_id long, v array<float>")
+    with pytest.raises(ValueError, match="non-empty corpus"):
+        kmeans_clusters(df, "v", "vec_id")
+
+
+def test_unigram_nll_blank_docs_absent(spark):
+    from lsdm_motogp_data_integration_spark.operators.scoring import (
+        unigram_nll,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, ""), (3, "   ")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in unigram_nll(df).collect()}
+    assert set(out) == {1}
+    assert out[1]["n_tokens"] == 3
+
+
+def test_frame_sample_null_meta_no_crash(spark):
+    from lsdm_motogp_data_integration_spark.operators.multimodal import (
+        frame_sample,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (
+                1,
+                "video",
+                bytearray(b"xyz"),
+                ("video/mp4", None, None, 2500),
+            ),
+            (2, "video", bytearray(b"abc"), None),
+        ],
+        "media_id long, kind string, content binary, "
+        "meta struct<mime:string,width:int,height:int,duration_ms:bigint>",
+    )
+    rows = frame_sample(df, every_ms=1000).collect()
+    by_id: dict[int, int] = {}
+    for r in rows:
+        by_id[r["media_id"]] = by_id.get(r["media_id"], 0) + 1
+    # null-meta video samples zero frames instead of failing the task
+    assert by_id == {1: 3}
+
+
+def test_tumbling_window_custom_value_col(spark):
+    from lsdm_motogp_data_integration_spark.operators.sessions import (
+        tumbling_window_agg,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 10)
+    df = spark.createDataFrame(
+        [("a", t0, 2.5), ("a", t0, 1.5)],
+        "kind string, event_ts timestamp, amount double",
+    )
+    rows = tumbling_window_agg(
+        df, ts_col="event_ts", key_col="kind", value_col="amount"
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0]["n_events"] == 2 and rows[0]["sum_value"] == 4.0
