@@ -32,12 +32,19 @@ def normalize_name(col: Column | str) -> Column:
 
 def name_from_comma(col: Column | str, sep: str = ",") -> Column:
     """``"Name, Surname" -> "Name Surname"`` (Split fields on ',' +
-    Concat fields, ``motogp.ktr:8085-8144``)."""
+    Concat fields, ``motogp.ktr:8085-8144``). A separator-less input
+    passes through unchanged — first and last element of a 1-element
+    split are the same token, so the naive concat would double it
+    ('Rossi' -> 'Rossi Rossi'); Kettle's splitter leaves field2 null
+    and the concat yields the bare name."""
     c = F.col(col) if isinstance(col, str) else col
     parts = F.split(c, sep)
-    return F.concat_ws(
-        " ", F.trim(parts.getItem(0)), F.trim(F.element_at(parts, -1))
-    )
+    return F.when(
+        F.size(parts) >= 2,
+        F.concat_ws(
+            " ", F.trim(parts.getItem(0)), F.trim(F.element_at(parts, -1))
+        ),
+    ).otherwise(F.trim(c))
 
 
 def name_from_surname_first(col: Column | str) -> Column:

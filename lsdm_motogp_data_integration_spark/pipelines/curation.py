@@ -23,12 +23,11 @@ dominates.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from lsdm_motogp_data_integration_spark.operators.dedup import (
     dedup_corpus,
-    exact_dedup,
     word_shingles,
 )
 from lsdm_motogp_data_integration_spark.operators.textops import (
@@ -83,8 +82,19 @@ def curate(
         .withColumn(text_col, redact_pii(text_col))
     )
 
-    exact_survivors = exact_dedup(screened, text_col, id_col).select(id_col)
-    after_exact = screened.join(exact_survivors, id_col, "left_semi")
+    # exact dedup as a single window pass (survivor = min id per
+    # content digest) rather than exact_dedup + semi-join back: the
+    # semi-join's probe side and the digest aggregation would each
+    # evaluate the `screened` subtree — language/quality screens plus
+    # the regex-heavy PII redaction — over the full corpus
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(
+        F.col(id_col).asc()
+    )
+    after_exact = (
+        screened.withColumn("__dup_rk", F.row_number().over(w))
+        .filter(F.col("__dup_rk") == 1)
+        .drop("__dup_rk")
+    )
     deduped = dedup_corpus(
         after_exact, text_col, id_col, threshold=neardup_threshold
     )

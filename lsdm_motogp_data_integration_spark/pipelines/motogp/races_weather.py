@@ -80,7 +80,12 @@ def build_races_and_info(
         "off_name",
         "info",
         "night_race",
-        "lat",
-        "long",
+        # the reference's Info Race carries the RACE JSON's own
+        # coordinates (Latitudine/Longitudine renamed lat/long,
+        # motogp.ktr:6444-6448 -> :6533), NOT the fuzzy-matched circuit
+        # dimension's — a race whose circuit match fails still has its
+        # scraped coordinates
+        F.col("lat_raw").alias("lat"),
+        F.col("long_raw").alias("long"),
     )
     return races_out, race_info_out

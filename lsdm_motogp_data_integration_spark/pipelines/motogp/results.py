@@ -20,6 +20,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from lsdm_motogp_data_integration_spark.pipelines.motogp.teams import (
+    team_id_by_name,
+)
+
 from lsdm_motogp_data_integration_spark.operators.dedup import md5_60bit
 
 POINTS_BY_POSITION = {
@@ -169,7 +173,6 @@ def synthesize_race_results(
 def build_results_enriched(
     race_results: DataFrame,
     bikes_raw: DataFrame,
-    teams_raw: DataFrame,
     teams_dim: DataFrame,
 ) -> DataFrame:
     """The reference's fact join spine: bikes filter+join, teams join,
@@ -183,11 +186,7 @@ def build_results_enriched(
         .groupBy("bike_name")
         .agg(F.min("bike_id").alias("bike_id"))
     )
-    teams = (
-        teams_dim.select("team_id", "team_name")
-        .groupBy("team_name")
-        .agg(F.min("team_id").alias("team_id"))
-    )
+    teams = team_id_by_name(teams_dim)
     return (
         race_results.join(F.broadcast(bikes), "bike_name", "inner")
         .join(F.broadcast(teams), "team_name", "inner")

@@ -71,7 +71,7 @@ def build_all(
             src["quali"], src["riders"], src["teams"], src["bikes"]
         )
     results_enriched = build_results_enriched(
-        race_results, src["bikes"], src["teams"], teams
+        race_results, src["bikes"], teams
     )
     position_counts = build_rider_position_counts(results_enriched)
     rider_table = build_rider_table(riders_enriched, position_counts)

@@ -22,6 +22,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from lsdm_motogp_data_integration_spark.pipelines.motogp.teams import (
+    team_id_by_name,
+)
+
 from lsdm_motogp_data_integration_spark.functions.text import strip_trademark
 
 
@@ -55,11 +59,7 @@ def build_team_standings(
     ranked = totals.withColumn(
         "final_position", F.row_number().over(w).cast("bigint")
     )
-    teams = (
-        teams_dim.select("team_id", "team_name")
-        .groupBy("team_name")
-        .agg(F.min("team_id").alias("team_id"))
-    )
+    teams = team_id_by_name(teams_dim)
     return ranked.join(F.broadcast(teams), on="team_name", how="inner").select(
         "year", "category", "team_name", "total_points", "final_position", "team_id"
     )

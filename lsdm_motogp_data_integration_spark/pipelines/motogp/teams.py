@@ -26,3 +26,14 @@ def build_teams(teams_raw: DataFrame) -> DataFrame:
     return add_surrogate_key(renamed, "team_id", ["source_id"]).drop(
         "source_id"
     )
+
+def team_id_by_name(teams_dim: DataFrame) -> DataFrame:
+    """Shared survivor rule for duplicate team names: the smallest
+    team_id wins (deterministic). Used by BOTH the results join spine
+    and the standings join so duplicate names always resolve to the
+    same id."""
+    return (
+        teams_dim.select("team_id", "team_name")
+        .groupBy("team_name")
+        .agg(F.min("team_id").alias("team_id"))
+    )

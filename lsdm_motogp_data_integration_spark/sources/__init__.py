@@ -45,6 +45,22 @@ def read_json_array(spark: SparkSession, path: str, schema: T.StructType) -> Dat
     return spark.read.schema(schema).option("multiLine", True).json(path)
 
 
+def _ts_is_nanos(path: str) -> bool:
+    """True when the parquet file's ``ts`` column is TIMESTAMP(NANOS)
+    (which Spark's vectorized reader rejects without the legacy
+    nanos-as-long conf). Probed via the arrow footer so the session
+    conf is only touched when genuinely needed; on any probe failure
+    fall back to True — the legacy path handles every ts variant,
+    while missing the flag on a real nanos file fails the read."""
+    try:
+        import pyarrow.dataset as ds
+
+        t = ds.dataset(path, format="parquet").schema.field("ts").type
+        return getattr(t, "unit", None) == "ns"
+    except Exception:
+        return True
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver testdata table (TESTDATA.md).
 
@@ -56,10 +72,25 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     code (watermarks, ``unix_micros``) sees one canonical type.
     """
     # oracle comparisons assume UTC semantics (DuckDB timestamps are
-    # UTC-naive); harmless when the caller's session already set it
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # UTC-naive). The engine REQUIRES a UTC session; rather than
+    # silently overriding a caller's different timezone, surface it.
+    if spark.conf.get("spark.sql.session.timeZone", None) != "UTC":
+        import warnings
+
+        warnings.warn(
+            "read_table requires spark.sql.session.timeZone=UTC for "
+            "cross-engine timestamp determinism; setting it for this "
+            "session (use session.get_spark to start with UTC)",
+            stacklevel=2,
+        )
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        if _ts_is_nanos(f"{sf_dir}/{name}.parquet"):
+            # one-way legacy switch, set ONLY when the file actually
+            # carries TIMESTAMP(NANOS) — unconditional setting leaked
+            # bigint-instead-of-timestamp reads into every later
+            # nanos-parquet scan of the session
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         ts_type = dict(df.dtypes).get("ts")
         from pyspark.sql import functions as F

@@ -24,9 +24,15 @@ def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
     physical type of ``ts`` has varied across testdata generations
     (TIMESTAMP(NANOS) vs TIMESTAMP(MICROS)); a one-file batch probe
     resolves whichever is on disk, mirroring ``sources.read_table`` —
-    nanos surface as ``bigint`` under the legacy nanos-as-long flag and
-    are converted to a microsecond timestamp after the scan."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    nanos surface as ``bigint`` under the legacy nanos-as-long flag
+    (set only when the footer actually carries NANOS, mirroring
+    ``sources._ts_is_nanos`` — an unconditional set would leak
+    bigint-typed reads into unrelated nanos-parquet scans) and are
+    converted to a microsecond timestamp after the scan."""
+    from lsdm_motogp_data_integration_spark.sources import _ts_is_nanos
+
+    if _ts_is_nanos(path):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     probe = spark.read.parquet(path)
     reader = spark.readStream.schema(probe.schema).format("parquet")
     if path.endswith(".parquet"):

@@ -23,7 +23,10 @@ GOLDEN = {
     # (2) the synthetic fact's hash moved from xxhash64 to the portable
     # md5-based hash so the DuckDB oracle (q44/q45) can replay it
     "participation": "e6cd064f8d700984a8fd10e0052406b1",
-    "race_info": "2d540ad4a59d0f6e3e45f1ae7bc6e98c",
+    # regenerated after the lat/long parity fix: Info Race carries the
+    # race JSON's own coordinates (motogp.ktr:6444), not the
+    # fuzzy-matched circuit dim's — 313/313 rows now have coordinates
+    "race_info": "fc12c9bd137ccaca5555350753ede785",
     "races": "7b06dff094036911454e6140ef1ae250",
     "rider_table": "913a5b197360bc283365861ed35efa8f",
     "riders_enriched": "39c124d6dd02f381518d2698993abbbd",

@@ -90,7 +90,6 @@ def test_position_counts_equivalence(spark, tables, src):
             src["quali"], src["riders"], src["teams"], src["bikes"]
         ),
         src["bikes"],
-        src["teams"],
         tables["teams"],
     )
     collapsed = build_rider_position_counts(results)
