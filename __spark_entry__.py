@@ -1004,7 +1004,14 @@ def q40_streaming_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       (streaming.write_stream_foreach_batch, idempotent per batch id)
       — events stream → parquet batch dirs → read back → aggregate;
       the oracle aggregates the source directly, so a lost/duplicated
-      batch fails the hash."""
+      batch fails the hash.
+    - ``stream_dedup``: streaming exact dedup
+      (streaming.streaming_dedup, dropDuplicatesWithinWatermark on
+      (user_id, event_type)). The emitted row's non-key columns are
+      arrival-order dependent, so the scope projects ONLY the key —
+      making the bounded-drain output exactly the distinct key set the
+      oracle computes, batch-split-independent for keys within the
+      watermark horizon."""
     import tempfile
     import uuid
 
@@ -1014,6 +1021,7 @@ def q40_streaming_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_stream_to_memory,
         session_windows,
         stateful_user_totals,
+        streaming_dedup,
         windowed_counts,
         write_stream_foreach_batch,
     )
@@ -1119,6 +1127,16 @@ def q40_streaming_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+    deduped_keys = run_stream_to_memory(
+        spark,
+        streaming_dedup(
+            read_event_stream(spark, f"{sf_dir}/events.parquet"),
+            ["user_id", "event_type"],
+        ).select("user_id", "event_type"),
+        f"q40_dd_{uuid.uuid4().hex[:8]}",
+        output_mode="append",
+    )
+
     return _suite_union(
         [
             ("window_start", "timestamp"),
@@ -1137,6 +1155,7 @@ def q40_streaming_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("session", sessions),
         ("stateful", stateful),
         ("foreach_sink", roundtrip),
+        ("stream_dedup", deduped_keys),
     )
 
 
@@ -2894,6 +2913,13 @@ def oracle_sql() -> dict[str, str]:
                    NULL::BIGINT, NULL::BIGINT, NULL::BIGINT,
                    NULL::BIGINT, NULL::BIGINT
             FROM events GROUP BY event_type
+            UNION ALL
+            SELECT DISTINCT 'stream_dedup' AS scope,
+                   NULL::TIMESTAMP, NULL::TIMESTAMP, event_type,
+                   NULL::BIGINT, NULL::DOUBLE,
+                   NULL::BIGINT, NULL::BIGINT, user_id,
+                   NULL::BIGINT, NULL::BIGINT
+            FROM events
         """,
         "q41_multimodal_features": """
             SELECT doc_id AS media_id,
