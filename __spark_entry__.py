@@ -2089,7 +2089,7 @@ _NORMALIZE = (
 )
 
 
-def _lloyd_ctes(n_iters: int, n_cells: int) -> str:
+def _lloyd_ctes(n_iters: int, n_cells: int, dim: int = 64) -> str:
     """CTE chain replaying operators/ann._train_centroids bit-for-bit:
     md5('ivf|'||id)-ordered sample init + ``n_iters`` unrolled Lloyd
     rounds. Each round: integer-grid argmax assignment (ORDER BY sim
@@ -2140,7 +2140,7 @@ def _lloyd_ctes(n_iters: int, n_cells: int) -> str:
                 SELECT k.cell,
                        list(COALESCE(m.mean, k.c[g.j]) ORDER BY g.j) AS c
                 FROM c{i - 1} k
-                CROSS JOIN generate_series(1, 64) g(j)
+                CROSS JOIN generate_series(1, {dim}) g(j)
                 LEFT JOIN m{i} m ON m.cell = k.cell AND m.j = g.j
                 GROUP BY k.cell
             ), c{i} AS (

@@ -149,3 +149,53 @@ def test_quantize_matches_duckdb_replay(spark):
     """).fetchall()
     want = {r[0]: (r[1], r[2], r[3]) for r in rows}
     assert got == want
+
+
+def test_kmeans_lloyd_replay_on_generated_vectors(spark):
+    """The unrolled-Lloyd DuckDB replay (the q68 oracle machinery) must
+    reproduce kmeans_clusters on FRESH random vectors, not just the
+    fixture embeddings — guarding the portability claim against
+    fixture luck. Reuses the entry module's _lloyd_ctes/_cell_assign
+    SQL generators at a different dim/cells/iters configuration."""
+    import __spark_entry__ as entry
+    from lsdm_motogp_data_integration_spark.operators.ann import (
+        kmeans_clusters,
+    )
+
+    rng = np.random.default_rng(21)
+    dim, n, cells, iters = 6, 40, 4, 2
+    vecs = rng.normal(0, 0.4, (n, dim)).astype(np.float32)
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(n, dtype=np.int64), "embedding": list(vecs)}
+    )
+    sdf = spark.createDataFrame(
+        pdf.assign(embedding=pdf["embedding"].map(list)),
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r["vec_id"]: (r["cluster"], r["centroid_sim"])
+        for r in kmeans_clusters(
+            sdf, "embedding", "vec_id", n_clusters=cells, n_iters=iters
+        ).collect()
+    }
+
+    con = duckdb.connect()
+    arrow_ready = pdf.assign(embedding=pdf["embedding"].map(list))
+    con.register("emb_pd", arrow_ready)
+    con.execute(
+        "CREATE TABLE embeddings AS SELECT vec_id, "
+        "CAST(embedding AS FLOAT[]) AS embedding FROM emb_pd"
+    )
+    sql = f"""
+        WITH {entry._lloyd_ctes(iters, cells, dim=dim)},
+        assigned AS {entry._cell_assign(f"c{iters}", "rn = 1")}
+        SELECT e.vec_id, CAST(a.cell AS BIGINT) AS cluster,
+               ROUND(list_dot_product(e.v, k.c)
+                     / greatest(sqrt(list_dot_product(e.v, e.v)), 1e-12),
+                     6) AS centroid_sim
+        FROM qemb e
+        JOIN assigned a USING (vec_id)
+        JOIN c{iters} k ON k.cell = a.cell
+    """
+    want = {r[0]: (r[1], r[2]) for r in con.execute(sql).fetchall()}
+    assert got == want
