@@ -81,6 +81,12 @@ def main() -> None:
             runs.append(round(time.time() - t0, 3))
         cold[name] = runs[0]
         timings[name] = min(runs)
+        # release anything this query persisted (persist_sets/
+        # persist_tokens/...) so later queries aren't measured under
+        # the accumulated cache pressure of earlier ones — same hygiene
+        # as tools/scale_probe.py. Within the 3 runs the cache is live,
+        # so the hot number still reflects the persisted steady state.
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

@@ -95,11 +95,16 @@ def assert_partition_filters(df: DataFrame, *fragments: str) -> None:
 
 
 def count_exchanges(df: DataFrame) -> int:
-    """Number of shuffle exchanges in the physical plan."""
+    """Number of shuffle exchanges in the physical plan.
+
+    Counts only the detail headers (``(n) Exchange``) — a formatted
+    plan lists every node twice (tree line + detail section), so a
+    substring count is 2× the true number."""
+    import re
+
     plan = formatted_plan(df)
     return sum(
         1
         for line in plan.splitlines()
-        if "Exchange" in line and "ReusedExchange" not in line
-        and "BroadcastExchange" not in line
+        if re.match(r"^\(\d+\) Exchange\b", line.strip())
     )

@@ -32,7 +32,13 @@ def get_spark(
     if master is None:
         master = f"local[{cpus}]" if cpus else "local[*]"
     if shuffle_partitions is None:
-        shuffle_partitions = int(cpus) if cpus else (os.cpu_count() or 8)
+        # SPARK_GRAFT_CPUS='*' is a valid master URL but not a
+        # partition count — fall back to the machine's cores
+        shuffle_partitions = (
+            int(cpus)
+            if cpus and cpus.isdigit()
+            else (os.cpu_count() or 8)
+        )
 
     driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "64g")
     builder = (

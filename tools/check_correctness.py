@@ -29,11 +29,10 @@ def load_entry():
 
 
 def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    from lsdm_motogp_data_integration_spark.schemas import TESTDATA_TABLES
+
     con = duckdb.connect()
-    for t in (
-        "region nation customer supplier part orders lineitem events "
-        "documents embeddings"
-    ).split():
+    for t in TESTDATA_TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
@@ -57,7 +56,11 @@ def values_equal(a, b) -> tuple[bool, bool]:
     if a is None and b is None:
         return True, True
     if (isinstance(a, float) and math.isnan(a)) or pd.isna(a):
-        return (pd.isna(b) is True or b is None), True
+        # null/NaN on the Spark side matches ONLY null/NaN on the
+        # oracle side — approx must not be True against a real value,
+        # else a null-regression ships as FLOAT-INEXACT / exit 0
+        same = pd.isna(b) is True or b is None
+        return same, same
     if isinstance(a, float) or isinstance(b, float):
         try:
             fa, fb = float(a), float(b)
@@ -137,6 +140,12 @@ def main() -> int:
     con = duck_con(sf_dir)
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    unknown = only - set(queries)
+    if unknown:
+        # a typo'd filter must not produce a zero-comparison 'ALL OK'
+        print(f"UNKNOWN QUERY NAME(S): {sorted(unknown)}")
+        print(f"known: {sorted(queries)}")
+        return 2
     failures = 0
     for name, fn in queries.items():
         if only and name not in only:
