@@ -214,3 +214,44 @@ def test_training_shards_single_shuffle(spark, sf_dir):
     # count in the simple (non-formatted) plan string: the formatted
     # dump lists every node twice (tree + detail section)
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_no_accidental_cartesian_across_registry(spark, sf_dir):
+    """Registry-wide scale-killer sweep: NO query plan may contain a
+    CartesianProduct, and BroadcastNestedLoopJoin is allowed only where
+    a cross-product against a broadcast-sized side IS the algorithm:
+
+    - q17: the fuzzy join's candidate scan over a dimension-sized
+      lookup (auto-blocked past 1000 rows);
+    - q22: unigram-LM corpus totals — a 1-row scalar broadcast;
+    - q26: the exact brute-force ANN baseline tier;
+    - q64: BM25's (N, avgdl) corpus scalars — a 1-row broadcast.
+
+    Anything new that trips this must either justify itself onto the
+    allowlist or fix its join condition. (q40/q44/q45/q39 are skipped:
+    their construction runs streams / reads reference files / writes
+    temp dirs rather than just building a plan.)"""
+    from lsdm_motogp_data_integration_spark.plans import formatted_plan
+
+    bnlj_allowed = {
+        "q17_fuzzy_best_match",
+        "q22_text_signals",
+        "q26_ann_suite",
+        "q64_bm25",
+    }
+    skip = {
+        "q40_streaming_suite",
+        "q44_motogp_standings",
+        "q45_motogp_participation",
+        "q39_file_roundtrips",
+    }
+    offenders = {}
+    for name, fn in entry.queries().items():
+        if name in skip:
+            continue
+        plan = formatted_plan(fn(spark, sf_dir))
+        if "CartesianProduct" in plan:
+            offenders[name] = "CartesianProduct"
+        elif "BroadcastNestedLoopJoin" in plan and name not in bnlj_allowed:
+            offenders[name] = "BroadcastNestedLoopJoin (not allowlisted)"
+    assert not offenders, offenders
