@@ -116,6 +116,37 @@ def write_table(df: DataFrame, path: str, *, partition_by: list[str] | None = No
     writer.parquet(path)
 
 
+def write_table_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_by: list[str],
+    *,
+    n_files: int | None = None,
+) -> None:
+    """Range-clustered parquet layout: ``repartitionByRange`` on the
+    cluster keys + ``sortWithinPartitions`` before the write, so each
+    output file covers a narrow, disjoint key range and parquet
+    min/max statistics let range predicates skip whole files.
+
+    The complement of ``write_table(partition_by=...)`` for
+    HIGH-CARDINALITY keys (timestamps, ids) where directory
+    partitioning would explode into millions of tiny directories:
+    directory partitioning prunes on low-cardinality dimensions,
+    range clustering prunes on ordered ones — at 100 TB a fact table
+    typically wants both (partition by date, cluster by timestamp/key
+    within the partition). ``n_files`` bounds output file count (≈
+    target-file-size tuning); default lets AQE pick."""
+    from pyspark.sql import functions as F
+
+    cols = [F.col(c) for c in cluster_by]
+    ranged = (
+        df.repartitionByRange(n_files, *cols)
+        if n_files
+        else df.repartitionByRange(*cols)
+    )
+    ranged.sortWithinPartitions(*cols).write.mode("overwrite").parquet(path)
+
+
 def read_orc(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
     """ORC scan (columnar, pushdown-capable like parquet)."""
     reader = spark.read

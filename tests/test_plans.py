@@ -255,3 +255,30 @@ def test_no_accidental_cartesian_across_registry(spark, sf_dir):
         elif "BroadcastNestedLoopJoin" in plan and name not in bnlj_allowed:
             offenders[name] = "BroadcastNestedLoopJoin (not allowlisted)"
     assert not offenders, offenders
+
+
+def test_clustered_write_produces_disjoint_ranges(spark, sf_dir, tmp_path_factory):
+    """write_table_clustered must lay files out in DISJOINT key ranges
+    (repartitionByRange boundaries + in-file sort), so parquet min/max
+    stats can skip whole files on a range predicate — the layout for
+    high-cardinality keys where directory partitioning explodes."""
+    from lsdm_motogp_data_integration_spark.sources import (
+        write_table_clustered,
+    )
+
+    out = str(tmp_path_factory.mktemp("clustered"))
+    ev = read_table(spark, sf_dir, "events")
+    write_table_clustered(ev, out, ["ts"], n_files=6)
+
+    back = spark.read.parquet(out)
+    spans = (
+        back.groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"))
+        .orderBy("lo")
+        .collect()
+    )
+    assert len(spans) > 1
+    for prev, cur in zip(spans, spans[1:]):
+        assert prev["hi"] <= cur["lo"], (prev, cur)
+    # nothing lost in the re-layout
+    assert back.count() == ev.count()
