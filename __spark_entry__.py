@@ -1568,30 +1568,41 @@ def q56_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q57_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train/eval decontamination: flag "training" documents sharing
-    any word-8-gram with a held-out set, with the count of distinct
-    overlapping grams — the n-gram overlap screen run before training
-    on scraped corpora. The held-out set is the derived suffix-variant
-    corpus (ids ≥ 100000 in ``_doc_corpus``), so every 5th original is
-    a known contamination hit."""
-    from lsdm_motogp_data_integration_spark.operators.dedup import (
-        word_shingles,
+    """Train/eval decontamination suite: flag "training" documents
+    sharing any word-8-gram with a held-out set, with the count of
+    distinct overlapping grams — the n-gram overlap screen run before
+    training on scraped corpora. The held-out set is the derived
+    suffix-variant corpus (ids ≥ 100000 in ``_doc_corpus``), so every
+    5th original is a known contamination hit. Both formulations of
+    ``operators.membership.ngram_decontaminate`` share this driver
+    row, tagged by ``scope``:
+
+    - ``exact``: broadcast equi-join on the gram strings — the
+      verification formulation.
+    - ``bloom``: Bloom-filter screen (deterministic double-hashed
+      xxhash64 bit array, built distributed, shipped as O(m/64)
+      literal metadata) prunes the corpus gram stream inside
+      whole-stage codegen with no join and no shuffle, then the exact
+      join removes the ~fpp false positives. Identical result, and
+      the 100 TB plan: a few MB of bits broadcast instead of the full
+      eval gram set.
+
+    The oracle computes the exact overlap once per scope tag — a Bloom
+    false NEGATIVE (which the screen guarantees cannot happen) or an
+    unremoved false positive would break the hash."""
+    from lsdm_motogp_data_integration_spark.operators.membership import (
+        ngram_decontaminate,
     )
 
     corpus = _doc_corpus(spark, sf_dir)
     train = corpus.filter(F.col("doc_id") < 100000)
     eval_set = corpus.filter(F.col("doc_id") >= 100000)
-    train_grams = train.select(
-        "doc_id", F.explode(word_shingles("text", 8)).alias("gram")
-    )
-    eval_grams = (
-        eval_set.select(F.explode(word_shingles("text", 8)).alias("gram"))
-        .dropDuplicates()
-    )
-    return (
-        train_grams.join(F.broadcast(eval_grams), "gram")
-        .groupBy("doc_id")
-        .agg(F.countDistinct("gram").alias("n_shared_grams"))
+    exact = ngram_decontaminate(train, eval_set, n=8, method="exact")
+    bloom = ngram_decontaminate(train, eval_set, n=8, method="bloom")
+    return _suite_union(
+        [("doc_id", "bigint"), ("n_shared_grams", "bigint")],
+        ("exact", exact),
+        ("bloom", bloom),
     )
 
 
@@ -3498,11 +3509,17 @@ def oracle_sql() -> dict[str, str]:
                 ) t
             ), eval_grams AS (
                 SELECT DISTINCT gram FROM grams WHERE doc_id >= 100000
+            ), overlap AS (
+                SELECT g.doc_id, COUNT(DISTINCT g.gram) AS n_shared_grams
+                FROM grams g JOIN eval_grams e USING (gram)
+                WHERE g.doc_id < 100000
+                GROUP BY g.doc_id
             )
-            SELECT g.doc_id, COUNT(DISTINCT g.gram) AS n_shared_grams
-            FROM grams g JOIN eval_grams e USING (gram)
-            WHERE g.doc_id < 100000
-            GROUP BY g.doc_id
+            -- bloom screen + exact verify returns the identical exact
+            -- relation (FPs removed, FNs impossible); one copy per tag
+            SELECT s.scope, o.doc_id, o.n_shared_grams
+            FROM overlap o
+            CROSS JOIN (SELECT unnest(['exact', 'bloom']) AS scope) s
         """,
         "q56_range_join": """
             WITH errors AS (
