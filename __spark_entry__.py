@@ -1819,24 +1819,56 @@ def q65_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q66_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Domain-mixture sampling (operators/textops.mixture_sample): draw
-    ~200 documents whose language composition targets 50% en / 20% zh /
-    10% each es·de·fr. Per-group rates are data-dependent
-    (min(1, budget·p/n) from one count agg, broadcast back); the keep
-    decision is the engine's deterministic md5-threshold — no RNG, so
-    DuckDB replays the exact sample."""
+    """Data-selection suite — two selection policies share one driver
+    row, tagged by ``scope``:
+
+    - ``mixture`` (operators/textops.mixture_sample): draw ~200
+      documents whose language composition targets 50% en / 20% zh /
+      10% each es·de·fr. Per-group rates are data-dependent
+      (min(1, budget·p/n) from one count agg, broadcast back); the
+      keep decision is the engine's deterministic md5-threshold — no
+      RNG, so DuckDB replays the exact sample.
+    - ``dsir`` (operators/scoring.dsir_select): DSIR importance
+      resampling (Xie et al. 2023) — each document scored by the
+      smoothed log-likelihood ratio of its hashed unigram+bigram bag
+      under the TARGET distribution (here: the English slice) vs the
+      raw corpus, top-100 kept deterministically (rounded weight desc,
+      doc_id tie-break — no Gumbel noise). Run with the portable
+      md5-60 feature hash so the oracle replays buckets → counts →
+      add-one-smoothed log ratio → decimal-quantized per-doc sum
+      bit-for-bit."""
+    from lsdm_motogp_data_integration_spark.operators.scoring import (
+        dsir_select,
+    )
     from lsdm_motogp_data_integration_spark.operators.textops import (
         mixture_sample,
     )
 
     d = read_table(spark, sf_dir, "documents")
-    return mixture_sample(
+    mixture = mixture_sample(
         d,
         "lang",
         {"en": 0.5, "zh": 0.2, "es": 0.1, "de": 0.1, "fr": 0.1},
         budget=200,
         id_col="doc_id",
     ).select("doc_id", "lang", "source")
+    dsir = dsir_select(
+        d.select("doc_id", "text", "lang", "source"),
+        d.filter(F.col("lang") == "en"),
+        budget=100,
+        n_buckets=4096,
+        portable=True,
+    ).select("doc_id", "lang", "source", "log_weight")
+    return _suite_union(
+        [
+            ("doc_id", "bigint"),
+            ("lang", "string"),
+            ("source", "string"),
+            ("log_weight", "double"),
+        ],
+        ("mixture", mixture),
+        ("dsir", dsir),
+    )
 
 
 def q67_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3447,12 +3479,76 @@ def oracle_sql() -> dict[str, str]:
                                         ELSE 0.0 END)
                              * 200.0 / CAST(n AS DOUBLE)) AS rate
                 FROM counts
+            ), mixture AS (
+                SELECT d.doc_id, d.lang, d.source
+                FROM documents d JOIN rates r USING (lang)
+                WHERE CAST(('0x' || substr(md5(
+                          d.lang || '|' || CAST(d.doc_id AS VARCHAR)
+                      ), 1, 8)) AS BIGINT) / 4294967296.0 < r.rate
+            ),
+            -- DSIR replay: md5-60 hashed unigram+bigram buckets (mod
+            -- 4096), add-one-smoothed target/raw log ratio, decimal-
+            -- quantized per-doc sum, deterministic top-100
+            ws AS (
+                SELECT doc_id,
+                       regexp_split_to_array(
+                           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '
+                       ) AS w
+                FROM documents
+            ), feats AS (
+                SELECT doc_id,
+                       CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT)
+                           % 4096 AS bucket
+                FROM (
+                    SELECT doc_id, unnest(w) AS g FROM ws
+                    UNION ALL
+                    SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+                    FROM ws, LATERAL (
+                        SELECT unnest(generate_series(1, len(w) - 1)) AS i
+                    ) t
+                    WHERE len(w) >= 2
+                ) WHERE g != ''
+            ), per_doc AS (
+                SELECT doc_id, bucket, COUNT(*) AS c
+                FROM feats GROUP BY 1, 2
+            ), raw_dist AS (
+                SELECT bucket, SUM(c) AS rc FROM per_doc GROUP BY 1
+            ), tgt_dist AS (
+                SELECT f.bucket, COUNT(*) AS tc
+                FROM feats f JOIN documents d USING (doc_id)
+                WHERE d.lang = 'en'
+                GROUP BY 1
+            ), tots AS (
+                SELECT (SELECT SUM(rc) FROM raw_dist) AS rtot,
+                       (SELECT SUM(tc) FROM tgt_dist) AS ttot
+            ), scored AS (
+                SELECT p.doc_id,
+                       CAST(SUM(CAST(p.c * (
+                           ln((COALESCE(t.tc, 0) + 1.0)
+                              / (CAST(tots.ttot AS DOUBLE) + 4096.0))
+                         - ln((r.rc + 1.0)
+                              / (CAST(tots.rtot AS DOUBLE) + 4096.0))
+                       ) AS DECIMAL(18,6))) AS DOUBLE) AS lw
+                FROM per_doc p
+                JOIN raw_dist r USING (bucket)
+                LEFT JOIN tgt_dist t USING (bucket)
+                CROSS JOIN tots
+                GROUP BY p.doc_id
+            ), ranked AS (
+                SELECT doc_id, ROUND(lw, 6) AS log_weight,
+                       ROW_NUMBER() OVER (
+                           ORDER BY ROUND(lw, 6) DESC, doc_id ASC
+                       ) AS rn
+                FROM scored
             )
-            SELECT d.doc_id, d.lang, d.source
-            FROM documents d JOIN rates r USING (lang)
-            WHERE CAST(('0x' || substr(md5(
-                      d.lang || '|' || CAST(d.doc_id AS VARCHAR)
-                  ), 1, 8)) AS BIGINT) / 4294967296.0 < r.rate
+            SELECT 'mixture' AS scope, doc_id, lang, source,
+                   CAST(NULL AS DOUBLE) AS log_weight
+            FROM mixture
+            UNION ALL
+            SELECT 'dsir' AS scope, d.doc_id, d.lang, d.source,
+                   r.log_weight
+            FROM ranked r JOIN documents d USING (doc_id)
+            WHERE r.rn <= 100
         """,
         "q58_dedup_clusters": f"""
             WITH RECURSIVE {_DOC_CORPUS_SQL},

@@ -127,3 +127,160 @@ def unigram_nll(
         F.round(nll, 6).alias("nll"),
         F.round(F.exp(nll), 6).alias("ppl"),
     )
+
+
+def _hashed_ngram_buckets(
+    text_col: str, n_buckets: int, max_n: int, portable: bool
+):
+    """Per-document hashed n-gram feature buckets as ``array<bigint>``
+    (one element per token n-gram occurrence, n = 1..max_n), the DSIR
+    feature map: gram → bucket via hash mod n_buckets.
+
+    ``portable=True`` uses the repo's md5-60 convention
+    (``dedup.md5_60bit``) so a DuckDB oracle computes identical
+    buckets; the default production hash is ``xxhash64``.
+    """
+    from lsdm_motogp_data_integration_spark.operators.dedup import (
+        md5_60bit,
+        normalized_words,
+    )
+
+    words = normalized_words(F.col(text_col))
+
+    def hash_fn(c: Column) -> Column:
+        return md5_60bit(c) if portable else F.xxhash64(c)
+
+    grams = []
+    for n in range(1, max_n + 1):
+        if n == 1:
+            g = words
+        else:
+            # gram i = words[i..i+n-1] (slice is 1-based). The
+            # too-short case must be gated explicitly: sequence(1, 0)
+            # DESCENDS ([1, 0] — Spark defaults step to -1 when
+            # start > stop), it is not empty
+            # NB the gram length must be closed over via a FACTORY —
+            # a two-parameter lambda (even ``nn=n`` defaulted) makes
+            # PySpark bind the second parameter to the array-index
+            # column (the minhash_signature trap, regression-tested
+            # there), silently turning the slice length into the
+            # element position
+            def gram_at(nn: int):
+                return lambda i: F.concat_ws(" ", F.slice(words, i, nn))
+
+            g = F.when(
+                F.size(words) >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(words) - F.lit(n - 1)),
+                    gram_at(n),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        grams.append(g)
+    allg = F.concat(*grams) if len(grams) > 1 else grams[0]
+    return F.transform(
+        F.filter(allg, lambda x: x != ""),
+        lambda g: F.pmod(hash_fn(g), F.lit(n_buckets)),
+    )
+
+
+def dsir_log_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    max_n: int = 2,
+    portable: bool = False,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score each raw
+    document by how much more likely its hashed-n-gram bag is under the
+    TARGET corpus's feature distribution than under the raw corpus's
+    own — ``log w(d) = Σ_f c_f(d) · (ln p̂_target[f] − ln p̂_raw[f])``
+    with add-one smoothing over ``n_buckets`` hashed unigram+bigram
+    buckets.  High weight = looks like the target domain.
+
+    Scale shape: feature explode → per-(doc,bucket) counts (the only
+    corpus-wide shuffle, same shape as a TF pass); both distributions
+    aggregate to ``n_buckets`` rows and broadcast; the per-doc rollup
+    follows the decimal-quantized-sum float convention, so weights are
+    order-independent and (with ``portable=True``) bit-replayable by a
+    DuckDB oracle.
+
+    Returns ``(id_col, n_feats BIGINT, log_weight DOUBLE)`` — every raw
+    document with ≥ 1 feature, weight rounded to 6 dp.
+    """
+    buckets = _hashed_ngram_buckets(text_col, n_buckets, max_n, portable)
+    raw_feats = raw.select(
+        F.col(id_col), F.explode(buckets).alias("bucket")
+    )
+    per_doc = raw_feats.groupBy(id_col, "bucket").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    raw_dist = per_doc.groupBy("bucket").agg(F.sum("c").alias("rc"))
+    tgt_dist = (
+        target.select(F.explode(buckets).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("tc"))
+    )
+    totals = raw_dist.agg(F.sum("rc").alias("rtot")).crossJoin(
+        tgt_dist.agg(F.sum("tc").alias("ttot"))
+    )
+    # smoothed log-ratio per bucket; buckets absent from a corpus get
+    # the +1 numerator only (standard add-one smoothing)
+    joined = (
+        per_doc.join(F.broadcast(raw_dist), "bucket")
+        .join(F.broadcast(tgt_dist), "bucket", "left")
+        .crossJoin(F.broadcast(totals))
+    )
+    m = F.lit(float(n_buckets))
+    log_ratio = F.log(
+        (F.coalesce(F.col("tc"), F.lit(0)).cast("double") + F.lit(1.0))
+        / (F.col("ttot").cast("double") + m)
+    ) - F.log(
+        (F.col("rc").cast("double") + F.lit(1.0))
+        / (F.col("rtot").cast("double") + m)
+    )
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.sum("c").cast("bigint").alias("n_feats"),
+            F.sum(
+                (F.col("c") * log_ratio).cast("decimal(18,6)")
+            )
+            .cast("double")
+            .alias("__lw"),
+        )
+        .select(
+            F.col(id_col),
+            "n_feats",
+            F.round(F.col("__lw"), 6).alias("log_weight"),
+        )
+    )
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    max_n: int = 2,
+    portable: bool = False,
+) -> DataFrame:
+    """Deterministic DSIR selection: the ``budget`` raw documents with
+    the highest importance weight (ties broken by ``id_col`` — no
+    Gumbel noise, so the selection replays exactly in any engine and at
+    any parallelism).  ``orderBy().limit()`` is Spark's distributed
+    TakeOrdered (per-partition top-k + k-merge), not a global sort.
+
+    Returns the selected rows of ``raw`` with ``log_weight`` attached.
+    """
+    w = dsir_log_weights(
+        raw, target, id_col, text_col, n_buckets, max_n, portable
+    )
+    keep = w.orderBy(
+        F.col("log_weight").desc(), F.col(id_col).asc()
+    ).limit(int(budget))
+    return raw.join(keep.select(id_col, "log_weight"), id_col)

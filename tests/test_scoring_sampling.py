@@ -104,3 +104,132 @@ def test_unigram_nll_hand_computed(spark):
     expected = -(math.log(0.4) + math.log(0.2)) / 2
     assert abs(out[2]["nll"] - expected) < 1e-4
     assert abs(out[2]["ppl"] - math.sqrt(12.5)) < 1e-4
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weighting (scoring.dsir_log_weights / dsir_select)
+# ---------------------------------------------------------------------------
+
+
+def _dsir_corpus(spark):
+    # two separable "domains": letter soup vs digit soup
+    rows = [(i, "alpha beta gamma delta " * 5) for i in range(10)]
+    rows += [(i + 100, "one two three four five " * 5) for i in range(10)]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_dsir_prefers_target_domain(spark):
+    from pyspark.sql import functions as F
+
+    from lsdm_motogp_data_integration_spark.operators.scoring import (
+        dsir_log_weights,
+    )
+
+    raw = _dsir_corpus(spark)
+    target = raw.filter(F.col("doc_id") < 100)  # letter domain
+    w = {r["doc_id"]: r["log_weight"] for r in dsir_log_weights(raw, target).collect()}
+    letter = [w[i] for i in range(10)]
+    digit = [w[i + 100] for i in range(10)]
+    assert min(letter) > max(digit)
+
+
+def test_dsir_select_budget_and_determinism(spark):
+    from pyspark.sql import functions as F
+
+    from lsdm_motogp_data_integration_spark.operators.scoring import (
+        dsir_select,
+    )
+
+    raw = _dsir_corpus(spark)
+    target = raw.filter(F.col("doc_id") < 100)
+    a = dsir_select(raw, target, budget=10).select("doc_id").collect()
+    b = dsir_select(
+        raw.repartition(7), target, budget=10
+    ).select("doc_id").collect()
+    ids_a = sorted(r["doc_id"] for r in a)
+    ids_b = sorted(r["doc_id"] for r in b)
+    assert ids_a == ids_b == list(range(10))  # exactly the target-domain docs
+
+
+def test_dsir_portable_hash_matches_duckdb(spark):
+    """portable=True must produce weights DuckDB replays bit-for-bit
+    (the q66 oracle contract) — checked here on a tiny corpus."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from lsdm_motogp_data_integration_spark.operators.scoring import (
+        dsir_log_weights,
+    )
+
+    rows = [
+        (1, "spark shuffle window join"),
+        (2, "spark window"),
+        (3, "pandas numpy arrow batch"),
+        (4, "arrow batch numpy"),
+        (5, "x"),
+    ]
+    raw = spark.createDataFrame(rows, ["doc_id", "text"])
+    target = raw.filter(F.col("doc_id") <= 2)
+    got = sorted(
+        map(tuple, dsir_log_weights(raw, target, n_buckets=64, portable=True).collect())
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?, ?)", rows)
+    want = con.execute("""
+        WITH ws AS (
+            SELECT doc_id, regexp_split_to_array(
+                trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+            FROM docs
+        ), feats AS (
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5(g),1,15)) AS BIGINT) % 64 AS bucket
+            FROM (
+                SELECT doc_id, unnest(w) AS g FROM ws
+                UNION ALL
+                SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+                FROM ws, LATERAL (
+                    SELECT unnest(generate_series(1, len(w)-1)) AS i) t
+                WHERE len(w) >= 2
+            ) WHERE g != ''
+        ), per_doc AS (
+            SELECT doc_id, bucket, COUNT(*) AS c FROM feats GROUP BY 1,2
+        ), raw_dist AS (
+            SELECT bucket, SUM(c) AS rc FROM per_doc GROUP BY 1
+        ), tgt AS (
+            SELECT f.bucket, COUNT(*) AS tc
+            FROM feats f WHERE f.doc_id <= 2 GROUP BY 1
+        ), tots AS (
+            SELECT (SELECT SUM(rc) FROM raw_dist) AS rtot,
+                   (SELECT SUM(tc) FROM tgt) AS ttot
+        )
+        SELECT p.doc_id, CAST(SUM(p.c) AS BIGINT) AS n_feats,
+               ROUND(CAST(SUM(CAST(p.c * (
+                   ln((COALESCE(t.tc,0) + 1.0) / (CAST(tots.ttot AS DOUBLE) + 64.0))
+                 - ln((r.rc + 1.0) / (CAST(tots.rtot AS DOUBLE) + 64.0))
+               ) AS DECIMAL(18,6))) AS DOUBLE), 6) AS log_weight
+        FROM per_doc p
+        JOIN raw_dist r USING (bucket)
+        LEFT JOIN tgt t USING (bucket)
+        CROSS JOIN tots
+        GROUP BY p.doc_id ORDER BY p.doc_id
+    """).fetchall()
+    assert got == sorted(map(tuple, want))
+
+
+def test_dsir_short_and_empty_docs(spark):
+    """1-word docs contribute no bigrams (sequence(1,0) would DESCEND —
+    regression for the gated branch); empty docs are absent."""
+    from pyspark.sql import functions as F
+
+    from lsdm_motogp_data_integration_spark.operators.scoring import (
+        dsir_log_weights,
+    )
+
+    raw = spark.createDataFrame(
+        [(1, "hello"), (2, ""), (3, "hello world")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in dsir_log_weights(raw, raw).collect()}
+    assert set(out) == {1, 3}
+    assert out[1]["n_feats"] == 1          # unigram only
+    assert out[3]["n_feats"] == 3          # 2 unigrams + 1 bigram
