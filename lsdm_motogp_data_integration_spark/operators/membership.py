@@ -152,6 +152,7 @@ def ngram_decontaminate(
     n: int = 8,
     method: str = "bloom",
     fpp: float = 0.01,
+    persist_grams: bool = True,
 ) -> DataFrame:
     """Train/eval decontamination: per training document, the count of
     distinct word n-grams shared with the eval set →
@@ -183,6 +184,11 @@ def ngram_decontaminate(
         .dropDuplicates()
     )
     if method == "bloom":
+        # the eval gram relation feeds three consumers on this path
+        # (sizing count, filter build, FP-removing verify join);
+        # persist evaluates the explode once (persist_sets convention)
+        if persist_grams:
+            eval_grams = eval_grams.persist()
         bloom = build_bloom(eval_grams, "gram", fpp=fpp)
         train_grams = train_grams.filter(might_contain(bloom, "gram"))
     elif method != "exact":

@@ -244,3 +244,98 @@ def run_stream_to_memory(
     )
     q.awaitTermination()
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def streaming_neardup_ingest(
+    doc_stream: DataFrame,
+    *,
+    index_dir: str,
+    accepted_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    num_perm: int = 32,
+    bands: int = 16,
+    threshold: float = 0.8,
+    est_threshold: float = 0.4,
+) -> None:
+    """Continuously-ingested corpus near-dup removal — the streaming
+    composition of the incremental-dedup pieces (``dedup_corpus`` +
+    ``build_minhash_index`` + ``incremental_neardup``): each
+    micro-batch is (1) self-deduplicated, (2) screened against the
+    persisted MinHash index of everything accepted so far (bucket-keyed
+    join; est-Jaccard ≥ ``est_threshold`` candidates exact-verified at
+    ``threshold`` against stored accepted text), and (3) survivors land
+    in ``accepted_dir/batch_id=N`` with their index rows in
+    ``index_dir/batch_id=N``.
+
+    Exactly-once without a transactional store: both writes are
+    per-batch-directory overwrites of DETERMINISTIC content, and every
+    read of history prunes to ``batch_id < N`` — a replayed batch
+    cannot see its own partial output (which would self-match every
+    document and drop the whole batch), and re-processing rewrites
+    byte-identical results. State scale: the index is ``bands`` rows
+    per accepted doc, partition-pruned by the batch_id layout and
+    bucket-joinable without rescanning historical text.
+
+    Drains the available input (availableNow trigger) and returns.
+    """
+    from lsdm_motogp_data_integration_spark.operators.dedup import (
+        build_minhash_index,
+        dedup_corpus,
+        exact_jaccard_for_pairs,
+        incremental_neardup,
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        survivors = dedup_corpus(
+            batch_df, text_col, id_col, threshold=threshold
+        )
+        try:
+            index = spark.read.parquet(index_dir).filter(
+                F.col("batch_id") < batch_id
+            )
+            hist = spark.read.parquet(accepted_dir).filter(
+                F.col("batch_id") < batch_id
+            )
+            have_history = True
+        except Exception:
+            have_history = False  # first batch: nothing accepted yet
+        if have_history:
+            hits = incremental_neardup(
+                survivors, index, text_col, id_col,
+                k=k, num_perm=num_perm, bands=bands,
+                threshold=est_threshold,
+            )
+            verify_corpus = hist.select(id_col, text_col).unionByName(
+                survivors.select(id_col, text_col)
+            )
+            confirmed = exact_jaccard_for_pairs(
+                hits, verify_corpus, text_col, id_col,
+                "ref_id", "new_id", k=k, threshold=threshold,
+            )
+            dup_ids = confirmed.select(
+                F.col("id_b").alias(id_col)
+            ).dropDuplicates()
+            survivors = survivors.join(dup_ids, id_col, "left_anti")
+        survivors = survivors.localCheckpoint(eager=True)
+        survivors.write.mode("overwrite").parquet(
+            f"{accepted_dir}/batch_id={batch_id}"
+        )
+        build_minhash_index(
+            survivors, text_col, id_col,
+            k=k, num_perm=num_perm, bands=bands,
+        ).write.mode("overwrite").parquet(
+            f"{index_dir}/batch_id={batch_id}"
+        )
+
+    q = (
+        doc_stream.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

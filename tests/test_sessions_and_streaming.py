@@ -218,3 +218,103 @@ def test_interval_join_streams_matches_batch(spark, sf_dir, tmp_path_factory):
         ).collect()
     }
     assert got == batch
+
+
+def test_streaming_neardup_ingest_matches_batch_and_is_idempotent(
+    spark, tmp_path_factory
+):
+    """Two micro-batches of documents with known within-batch AND
+    cross-batch near-dups: the streaming foreachBatch ingest must
+    accept exactly what the batch-mode incremental pipeline accepts,
+    and draining the stream again with the same checkpoint must not
+    change the accepted set (exactly-once)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from lsdm_motogp_data_integration_spark.streaming import (
+        streaming_neardup_ingest,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the spark "
+        "engine shuffles partitions across the cluster nodes "
+    )
+    alt = (
+        "completely different content about databases indexes vacuum "
+        "analyze planner costs and write ahead logging internals here "
+    )
+    # batch 1 (files sort lexicographically; one file per trigger):
+    #   1,2 near-identical; 3 unique
+    # batch 2: 11 duplicates doc 1 (cross-batch); 12,13 near-identical
+    #   (within-batch); 14 unique
+    b1 = [(1, base * 4), (2, base * 4 + "tail"), (3, alt * 4)]
+    b2 = [
+        (11, base * 4 + "x"),
+        (12, alt * 2 + base * 2),
+        (13, alt * 2 + base * 2 + "y"),
+        (14, "singular text with many unusual rare tokens appearing"),
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    src = str(tmp_path_factory.mktemp("docstream"))
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{src}/f1")
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{src}/f2")
+
+    index_dir = str(tmp_path_factory.mktemp("nd_index"))
+    accepted_dir = str(tmp_path_factory.mktemp("nd_accepted"))
+    ckpt = str(tmp_path_factory.mktemp("nd_ckpt"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    streaming_neardup_ingest(
+        stream,
+        index_dir=index_dir,
+        accepted_dir=accepted_dir,
+        checkpoint_dir=ckpt,
+        threshold=0.8,
+    )
+    accepted = {
+        r["doc_id"]
+        for r in spark.read.parquet(accepted_dir).select("doc_id").collect()
+    }
+    # within b1: 1 survives (2 is its near-dup), 3 survives.
+    # within b2: 12 survives (13 near-dup), 14 survives; 11 is a
+    # cross-batch near-dup of accepted 1 -> dropped.
+    assert accepted == {1, 3, 12, 14}
+    # index rows exist only for accepted docs
+    idx_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(index_dir).select("doc_id").collect()
+    }
+    assert idx_ids == accepted
+
+    # drain again with the same checkpoint: no new batches, same state
+    stream2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    streaming_neardup_ingest(
+        stream2,
+        index_dir=index_dir,
+        accepted_dir=accepted_dir,
+        checkpoint_dir=ckpt,
+        threshold=0.8,
+    )
+    accepted2 = {
+        r["doc_id"]
+        for r in spark.read.parquet(accepted_dir).select("doc_id").collect()
+    }
+    assert accepted2 == accepted

@@ -32,7 +32,13 @@ from lsdm_motogp_data_integration_spark.operators.dedup import (
     minhash_lsh_pairs,
     simhash_pairs,
 )
+from lsdm_motogp_data_integration_spark.operators.membership import (
+    ngram_decontaminate,
+)
 from lsdm_motogp_data_integration_spark.operators.ranking import bm25_scores
+from lsdm_motogp_data_integration_spark.operators.scoring import (
+    dsir_log_weights,
+)
 from lsdm_motogp_data_integration_spark.operators.textops import (
     mask_repeated_ngrams,
 )
@@ -196,6 +202,26 @@ def main() -> None:
         r["shards_s"], _ = timed(
             "shards", training_shards(docs, "doc_id", n_shards=32)
         )
+        # eval side stays FIXED while the corpus scales — the bloom
+        # screen's cost must track the corpus scan, not the filter build
+        eval_docs = read_table(spark, SF_DIR, "documents").select(
+            "doc_id", "text"
+        ).filter(F.col("doc_id") % 5 == 0)
+        r["decontam_bloom_s"], _ = timed(
+            "decontam_bloom",
+            lambda: ngram_decontaminate(
+                docs, eval_docs, n=8, method="bloom"
+            ),
+        )
+        r["dsir_s"], _ = timed(
+            "dsir",
+            dsir_log_weights(
+                docs,
+                read_table(spark, SF_DIR, "documents").select(
+                    "doc_id", "text"
+                ),
+            ),
+        )
         results[scale] = r
 
     base, big = results["1x"], results[f"{replicas}x"]
@@ -212,6 +238,8 @@ def main() -> None:
         "ann_ivf_s",
         "quantize_s",
         "shards_s",
+        "decontam_bloom_s",
+        "dsir_s",
     ):
         ratio = (big[key] / base[key]) / replicas
         print(f"  {key}: {ratio:.2f}")
