@@ -1507,11 +1507,24 @@ def q49_corpus_index_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q53_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source corpus statistics: document counts, mean length
-    (decimal-exact mean), and language breadth — the dataset-card
-    rollup every curation pipeline ends with."""
+    """Dataset-card statistics suite — two rollup shapes share one
+    driver row, tagged by ``scope``:
+
+    - ``source``: per-source corpus statistics (document counts,
+      decimal-exact mean length, language breadth) — the grouped
+      rollup every curation pipeline ends with.
+    - ``profile`` (operators/profile.profile_columns): the generic
+      per-COLUMN profile of the documents table (row/null/exact-
+      distinct counts, decimal-quantized numeric ranges and means,
+      string extremes) computed in ONE aggregation pass — every metric
+      for every column in a single agg, pivoted to rows by an
+      O(#columns) struct explode."""
+    from lsdm_motogp_data_integration_spark.operators.profile import (
+        profile_columns,
+    )
+
     d = read_table(spark, sf_dir, "documents")
-    return d.groupBy("source").agg(
+    per_source = d.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         (
             F.sum(F.col("n_chars").cast("decimal(18,6)"))
@@ -1520,6 +1533,29 @@ def q53_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("lang").alias("n_langs"),
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
+    )
+    prof = profile_columns(d)
+    return _suite_union(
+        [
+            ("source", "string"),
+            ("n_docs", "bigint"),
+            ("mean_chars", "double"),
+            ("n_langs", "bigint"),
+            ("min_chars", "bigint"),
+            ("max_chars", "bigint"),
+            ("column", "string"),
+            ("dtype", "string"),
+            ("n_rows", "bigint"),
+            ("n_nulls", "bigint"),
+            ("n_distinct", "bigint"),
+            ("min_num", "double"),
+            ("max_num", "double"),
+            ("mean_num", "double"),
+            ("min_str", "string"),
+            ("max_str", "string"),
+        ],
+        ("source", per_source),
+        ("profile", prof),
     )
 
 
@@ -3644,14 +3680,81 @@ def oracle_sql() -> dict[str, str]:
             )
         """,
         "q53_source_stats": """
-            SELECT source,
-                   COUNT(*) AS n_docs,
-                   CAST(SUM(CAST(n_chars AS DECIMAL(18,6))) / COUNT(*)
-                        AS DOUBLE) AS mean_chars,
-                   COUNT(DISTINCT lang) AS n_langs,
-                   MIN(n_chars) AS min_chars,
-                   MAX(n_chars) AS max_chars
-            FROM documents GROUP BY source
+            WITH per_source AS (
+                SELECT source,
+                       COUNT(*) AS n_docs,
+                       CAST(SUM(CAST(n_chars AS DECIMAL(18,6))) / COUNT(*)
+                            AS DOUBLE) AS mean_chars,
+                       COUNT(DISTINCT lang) AS n_langs,
+                       MIN(n_chars) AS min_chars,
+                       MAX(n_chars) AS max_chars
+                FROM documents GROUP BY source
+            ), prof AS (
+                SELECT 'doc_id' AS "column", 'bigint' AS dtype,
+                       COUNT(*) AS n_rows,
+                       CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_nulls,
+                       COUNT(DISTINCT doc_id) AS n_distinct,
+                       CAST(MIN(CAST(doc_id AS DECIMAL(18,6))) AS DOUBLE)
+                           AS min_num,
+                       CAST(MAX(CAST(doc_id AS DECIMAL(18,6))) AS DOUBLE)
+                           AS max_num,
+                       CAST(SUM(CAST(doc_id AS DECIMAL(18,6)))
+                            / COUNT(doc_id) AS DOUBLE) AS mean_num,
+                       CAST(NULL AS VARCHAR) AS min_str,
+                       CAST(NULL AS VARCHAR) AS max_str
+                FROM documents
+                UNION ALL
+                SELECT 'n_chars', 'bigint', COUNT(*),
+                       CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END)
+                            AS BIGINT),
+                       COUNT(DISTINCT n_chars),
+                       CAST(MIN(CAST(n_chars AS DECIMAL(18,6))) AS DOUBLE),
+                       CAST(MAX(CAST(n_chars AS DECIMAL(18,6))) AS DOUBLE),
+                       CAST(SUM(CAST(n_chars AS DECIMAL(18,6)))
+                            / COUNT(n_chars) AS DOUBLE),
+                       NULL, NULL
+                FROM documents
+                UNION ALL
+                SELECT 'text', 'string', COUNT(*),
+                       CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END)
+                            AS BIGINT),
+                       COUNT(DISTINCT text), NULL, NULL, NULL,
+                       MIN(text), MAX(text)
+                FROM documents
+                UNION ALL
+                SELECT 'lang', 'string', COUNT(*),
+                       CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)
+                            AS BIGINT),
+                       COUNT(DISTINCT lang), NULL, NULL, NULL,
+                       MIN(lang), MAX(lang)
+                FROM documents
+                UNION ALL
+                SELECT 'source', 'string', COUNT(*),
+                       CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END)
+                            AS BIGINT),
+                       COUNT(DISTINCT source), NULL, NULL, NULL,
+                       MIN(source), MAX(source)
+                FROM documents
+            )
+            SELECT 'source' AS scope, source, n_docs, mean_chars, n_langs,
+                   min_chars, max_chars,
+                   CAST(NULL AS VARCHAR) AS "column",
+                   CAST(NULL AS VARCHAR) AS dtype,
+                   CAST(NULL AS BIGINT) AS n_rows,
+                   CAST(NULL AS BIGINT) AS n_nulls,
+                   CAST(NULL AS BIGINT) AS n_distinct,
+                   CAST(NULL AS DOUBLE) AS min_num,
+                   CAST(NULL AS DOUBLE) AS max_num,
+                   CAST(NULL AS DOUBLE) AS mean_num,
+                   CAST(NULL AS VARCHAR) AS min_str,
+                   CAST(NULL AS VARCHAR) AS max_str
+            FROM per_source
+            UNION ALL
+            SELECT 'profile', NULL, NULL, NULL, NULL, NULL, NULL,
+                   "column", dtype, n_rows, n_nulls, n_distinct,
+                   min_num, max_num, mean_num, min_str, max_str
+            FROM prof
         """,
         "q60_dms_coordinates": """
             WITH dms AS (

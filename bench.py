@@ -35,8 +35,10 @@ HEADLINE = [
     "q30_topk_per_group",
     "q36_asof_join",
     "q38_grouped_zscore",
+    "q57_decontamination",
     "q63_boilerplate_lines",
     "q64_bm25",
+    "q66_mixture_sample",
     "q67_span_dedup",
 ]
 

@@ -1,0 +1,139 @@
+"""Single-pass column profiling (dataset-card statistics).
+
+Every curation pipeline ends with a data card: per-column row/null/
+distinct counts and value ranges over the final corpus.  This operator
+computes the whole profile in ONE aggregation pass over the input —
+every metric for every column is an aggregate expression in a single
+``agg`` (one scan, partial aggregation map-side) — then pivots the
+1-row result into one row per column with a driver-free explode of an
+O(#columns) struct array.
+
+Scale notes:
+
+- exact distinct counts for k columns expand the aggregate input k+1
+  ways (Spark's multi-count-distinct Expand); that is the inherent
+  price of exactness.  ``exact_distinct=False`` switches to
+  ``approx_count_distinct`` (HLL, single pass, no expand) — the right
+  default at 100 TB, while exact mode serves the oracle contract.
+- numeric ranges/means follow the repo's decimal-quantized float
+  convention so the profile is bit-comparable across engines.
+
+No counterpart in the reference (ktr pipelines end at table sinks);
+part of the training-data-pipeline surface (SURVEY.md §7 step 9).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_NUMERIC = (
+    T.ByteType,
+    T.ShortType,
+    T.IntegerType,
+    T.LongType,
+    T.FloatType,
+    T.DoubleType,
+    T.DecimalType,
+)
+
+
+def profile_columns(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    *,
+    exact_distinct: bool = True,
+) -> DataFrame:
+    """Profile ``cols`` (default: every column) in one aggregation.
+
+    Returns one row per column:
+    ``(column, dtype, n_rows, n_nulls, n_distinct,
+    min_num, max_num, mean_num, min_str, max_str)`` —
+    numeric metrics are null for non-numeric columns and vice versa;
+    ``n_distinct`` counts non-null values (exact by default, HLL
+    approximation with ``exact_distinct=False``); numeric extremes and
+    the mean go through ``DECIMAL(18,6)`` → ``DOUBLE`` so their
+    serialized representation is engine-stable.
+    """
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    if cols is None:
+        cols = [f.name for f in df.schema.fields]
+    unknown = [c for c in cols if c not in fields]
+    if unknown:
+        raise ValueError(f"unknown columns: {unknown}")
+
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, c in enumerate(cols):
+        col = F.col(c)
+        aggs.append(
+            F.sum(col.isNull().cast("long")).alias(f"__nulls_{i}")
+        )
+        aggs.append(
+            (
+                F.count_distinct(col)
+                if exact_distinct
+                else F.approx_count_distinct(c)
+            ).alias(f"__dist_{i}")
+        )
+        if isinstance(fields[c], _NUMERIC):
+            dec = col.cast("decimal(18,6)")
+            aggs.append(
+                F.min(dec).cast("double").alias(f"__min_{i}")
+            )
+            aggs.append(
+                F.max(dec).cast("double").alias(f"__max_{i}")
+            )
+            # decimal-exact mean over NON-NULL values (0 non-null -> null)
+            aggs.append(
+                (F.sum(dec) / F.count(col))
+                .cast("double")
+                .alias(f"__mean_{i}")
+            )
+        else:
+            scol = col.cast("string")
+            aggs.append(F.min(scol).alias(f"__min_{i}"))
+            aggs.append(F.max(scol).alias(f"__max_{i}"))
+
+    one = df.agg(*aggs)
+
+    structs = []
+    for i, c in enumerate(cols):
+        numeric = isinstance(fields[c], _NUMERIC)
+        structs.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.lit(fields[c].simpleString()).alias("dtype"),
+                F.col("__n").cast("bigint").alias("n_rows"),
+                F.col(f"__nulls_{i}").cast("bigint").alias("n_nulls"),
+                F.col(f"__dist_{i}").cast("bigint").alias("n_distinct"),
+                (
+                    F.col(f"__min_{i}")
+                    if numeric
+                    else F.lit(None).cast("double")
+                ).alias("min_num"),
+                (
+                    F.col(f"__max_{i}")
+                    if numeric
+                    else F.lit(None).cast("double")
+                ).alias("max_num"),
+                (
+                    F.col(f"__mean_{i}")
+                    if numeric
+                    else F.lit(None).cast("double")
+                ).alias("mean_num"),
+                (
+                    F.lit(None).cast("string")
+                    if numeric
+                    else F.col(f"__min_{i}")
+                ).alias("min_str"),
+                (
+                    F.lit(None).cast("string")
+                    if numeric
+                    else F.col(f"__max_{i}")
+                ).alias("max_str"),
+            )
+        )
+    return one.select(
+        F.explode(F.array(*structs)).alias("p")
+    ).select("p.*")

@@ -45,6 +45,49 @@ def read_json_array(spark: SparkSession, path: str, schema: T.StructType) -> Dat
     return spark.read.schema(schema).option("multiLine", True).json(path)
 
 
+def read_jsonl(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> DataFrame:
+    """JSON-lines scan (one object per line — the standard LLM
+    training-data interchange format) with a DECLARED schema: no
+    sampling-based inference pass over 100 TB, absent fields are null,
+    malformed lines null their row (PERMISSIVE, Spark's default)
+    instead of failing the scan. Compressed inputs (``.gz``, ``.zst``
+    where the codec is available) decode transparently; note gzip is
+    NOT splittable — one task per file, so shard large corpora into
+    many files upstream."""
+    return spark.read.schema(schema).json(path)
+
+
+def write_jsonl(
+    df: DataFrame, path: str, *, compression: str | None = None
+) -> None:
+    """JSON-lines sink, one object per row; ``compression`` e.g.
+    ``gzip``. File-per-partition parallel write like every Spark
+    sink."""
+    w = df.write.mode("overwrite")
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)
+
+
+def read_text_lines(spark: SparkSession, path: str) -> DataFrame:
+    """Plain-text scan, one row per line (column ``value: string``) —
+    raw-corpus ingestion where each line is a record. Splittable for
+    uncompressed files."""
+    return spark.read.text(path)
+
+
+def read_whole_files(spark: SparkSession, path: str) -> DataFrame:
+    """One row per FILE: (``path``, ``modificationTime``, ``length``,
+    ``content: binary``) via Spark's binaryFile source — the ingestion
+    shape for document-per-file corpora and opaque media blobs
+    (pair with ``operators/multimodal``). Each file must fit in one
+    task's memory; for many small files coalesce upstream or raise
+    ``spark.sql.files.maxPartitionBytes``."""
+    return spark.read.format("binaryFile").load(path)
+
+
 def _ts_is_nanos(path: str) -> bool:
     """True when the parquet file's ``ts`` column is TIMESTAMP(NANOS)
     (which Spark's vectorized reader rejects without the legacy

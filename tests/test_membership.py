@@ -96,3 +96,75 @@ def test_decontaminate_rejects_unknown_method(spark, sf_dir):
     )
     with pytest.raises(ValueError):
         ngram_decontaminate(d, d, method="nope")
+
+
+# ---------------------------------------------------------------------------
+# ingestion source helpers (sources.read_jsonl / text / whole-files)
+# ---------------------------------------------------------------------------
+
+
+def test_jsonl_roundtrip_and_gzip(spark, tmp_path_factory):
+    from pyspark.sql import types as T
+
+    from lsdm_motogp_data_integration_spark.sources import (
+        read_jsonl,
+        write_jsonl,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(1, "hello"), (2, 'quote " and\tunicode é')], schema
+    )
+    plain = str(tmp_path_factory.mktemp("jsonl"))
+    gz = str(tmp_path_factory.mktemp("jsonl_gz"))
+    write_jsonl(df, plain)
+    write_jsonl(df, gz, compression="gzip")
+    back = sorted(map(tuple, read_jsonl(spark, plain, schema).collect()))
+    back_gz = sorted(map(tuple, read_jsonl(spark, gz, schema).collect()))
+    want = sorted(map(tuple, df.collect()))
+    assert back == want and back_gz == want
+
+
+def test_jsonl_malformed_line_nulls_not_fails(spark, tmp_path_factory):
+    from pyspark.sql import types as T
+
+    from lsdm_motogp_data_integration_spark.sources import read_jsonl
+
+    d = tmp_path_factory.mktemp("jsonl_bad")
+    (d / "part-0.json").write_text(
+        '{"doc_id": 1, "text": "ok"}\nNOT JSON AT ALL\n'
+        '{"doc_id": 3, "extra": true}\n'
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    rows = read_jsonl(spark, str(d), schema).collect()
+    assert len(rows) == 3  # PERMISSIVE keeps the corrupt row as nulls
+    by_id = {r["doc_id"]: r["text"] for r in rows}
+    assert by_id[1] == "ok"
+    assert by_id[3] is None  # absent field -> null
+
+
+def test_text_and_whole_file_sources(spark, tmp_path_factory):
+    from lsdm_motogp_data_integration_spark.sources import (
+        read_text_lines,
+        read_whole_files,
+    )
+
+    d = tmp_path_factory.mktemp("rawtext")
+    (d / "a.txt").write_text("line one\nline two\n")
+    (d / "b.txt").write_bytes(b"\x00\x01binary blob")
+    lines = read_text_lines(spark, str(d / "a.txt")).collect()
+    assert sorted(r["value"] for r in lines) == ["line one", "line two"]
+    files = read_whole_files(spark, str(d)).select("path", "content").collect()
+    assert len(files) == 2
+    blobs = {f["path"].rsplit("/", 1)[-1]: bytes(f["content"]) for f in files}
+    assert blobs["b.txt"] == b"\x00\x01binary blob"

@@ -238,6 +238,9 @@ def test_no_accidental_cartesian_across_registry(spark, sf_dir):
         "q22_text_signals",
         "q26_ann_suite",
         "q64_bm25",
+        # DSIR's (rtot, ttot) corpus totals — a 1-row scalar broadcast,
+        # same shape as q22/q64's
+        "q66_mixture_sample",
     }
     skip = {
         "q40_streaming_suite",
