@@ -190,6 +190,79 @@ def write_table_clustered(
     ranged.sortWithinPartitions(*cols).write.mode("overwrite").parquet(path)
 
 
+def zorder_value(
+    df: DataFrame, cols: list[str], *, bits: int = 16
+) -> "F.Column":
+    """Z-order (Morton) curve value over 2+ numeric columns as a pure
+    Column expression: each column is min/max-scaled to a ``bits``-bit
+    integer grid (bounds from ONE aggregation, broadcast as a 1-row
+    scalar literal via collect — O(#cols) metadata), then the grids'
+    bits are interleaved into a single BIGINT. Sorting by this value
+    clusters rows that are close in EVERY dimension, so parquet
+    min/max file statistics stay narrow on all participating columns
+    at once — the multi-dimensional complement of
+    ``write_table_clustered``'s single-key ranges.
+
+    ``bits * len(cols)`` must fit in 63; deterministic (scaling bounds
+    come from the data, no RNG)."""
+    from pyspark.sql import functions as F
+
+    if bits * len(cols) > 63:
+        raise ValueError("bits * len(cols) must be <= 63")
+    if len(cols) < 2:
+        raise ValueError("z-ordering needs >= 2 columns")
+    bounds = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"mn_{i}") for i, c in enumerate(cols)],
+        *[F.max(F.col(c).cast("double")).alias(f"mx_{i}") for i, c in enumerate(cols)],
+    ).collect()[0]
+    grid_max = (1 << bits) - 1
+    z = F.lit(0).cast("long")
+    for i, c in enumerate(cols):
+        mn, mx = bounds[f"mn_{i}"], bounds[f"mx_{i}"]
+        span = (mx - mn) if (mn is not None and mx is not None and mx > mn) else 1.0
+        q = F.floor(
+            (F.coalesce(F.col(c).cast("double"), F.lit(mn or 0.0)) - F.lit(mn or 0.0))
+            / F.lit(span)
+            * F.lit(float(grid_max))
+        ).cast("long")
+        q = F.least(F.greatest(q, F.lit(0)), F.lit(grid_max))
+        # place bit b of column i at interleaved position b*len(cols)+i
+        for b in range(bits):
+            bit = F.shiftright(q, b).bitwiseAND(F.lit(1))
+            z = z + F.shiftleft(bit, b * len(cols) + i)
+    return z
+
+
+def write_table_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_by: list[str],
+    *,
+    bits: int = 16,
+    n_files: int | None = None,
+) -> None:
+    """Z-order-clustered parquet layout: range-partition + sort on the
+    Morton value of ``zorder_by``, so predicates on ANY of the z-order
+    columns skip files via min/max statistics (a plain sort only serves
+    its leading column). The standard lakehouse OPTIMIZE ZORDER shape,
+    expressed with vanilla Spark operators."""
+    from pyspark.sql import functions as F  # noqa: F811 (module alias)
+
+    z = zorder_value(df, zorder_by, bits=bits).alias("__z")
+    with_z = df.select("*", z)
+    ranged = (
+        with_z.repartitionByRange(n_files, "__z")
+        if n_files
+        else with_z.repartitionByRange("__z")
+    )
+    (
+        ranged.sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def read_orc(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
     """ORC scan (columnar, pushdown-capable like parquet)."""
     reader = spark.read

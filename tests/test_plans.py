@@ -285,3 +285,58 @@ def test_clustered_write_produces_disjoint_ranges(spark, sf_dir, tmp_path_factor
         assert prev["hi"] <= cur["lo"], (prev, cur)
     # nothing lost in the re-layout
     assert back.count() == ev.count()
+
+
+def test_zordered_write_narrows_both_dimensions(spark, sf_dir, tmp_path_factory):
+    """write_table_zordered must shrink per-file min/max spans on BOTH
+    z-order columns vs the incoming layout — a single-key sort can only
+    serve its leading column; the Morton interleave serves both, which
+    is what lets parquet stats skip files for predicates on either."""
+    from lsdm_motogp_data_integration_spark.sources import (
+        write_table_zordered,
+    )
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+
+    def mean_span_fraction(path, col):
+        back = spark.read.parquet(path)
+        g = back.agg(
+            (F.max(col) - F.min(col)).cast("double").alias("span")
+        ).collect()[0]["span"]
+        spans = (
+            back.groupBy(F.input_file_name())
+            .agg(
+                (F.max(col) - F.min(col)).cast("double").alias("s"),
+            )
+            .collect()
+        )
+        return sum(r["s"] for r in spans) / (len(spans) * g)
+
+    base = str(tmp_path_factory.mktemp("zorder_base"))
+    zpath = str(tmp_path_factory.mktemp("zorder_out"))
+    # baseline: same file count, arbitrary (hash) layout
+    ev.repartition(8).write.mode("overwrite").parquet(base)
+    write_table_zordered(ev, zpath, ["user_id", "value"], n_files=8)
+
+    back = spark.read.parquet(zpath)
+    assert back.count() == ev.count()
+    for col in ("user_id", "value"):
+        z_frac = mean_span_fraction(zpath, col)
+        b_frac = mean_span_fraction(base, col)
+        # hash layout: every file spans ~the full range (frac ~1.0);
+        # z-order: each file covers a small tile on BOTH columns
+        assert z_frac < 0.6 * b_frac, (col, z_frac, b_frac)
+
+
+def test_zorder_value_validation(spark, sf_dir):
+    import pytest
+
+    from lsdm_motogp_data_integration_spark.sources import zorder_value
+
+    ev = read_table(spark, sf_dir, "events")
+    with pytest.raises(ValueError):
+        zorder_value(ev, ["value"])  # needs >= 2 dims
+    with pytest.raises(ValueError):
+        zorder_value(ev, ["user_id", "value"], bits=32)  # 64 bits > 63
