@@ -35,12 +35,16 @@ HEADLINE = [
     "q30_topk_per_group",
     "q36_asof_join",
     "q38_grouped_zscore",
-    "q57_decontamination",
     "q63_boilerplate_lines",
     "q64_bm25",
-    "q66_mixture_sample",
     "q67_span_dedup",
 ]
+# q57/q66 (bloom decontamination, DSIR) are driver-checked for
+# correctness and scale-probed in SCALE.md (0.14 / 0.31 time-over-data at
+# 20x) but stay out of the headline set: each runs TWO suite scopes and
+# q66's oracle-portable md5-60 feature hash is deliberately not the
+# production hash, so benching them would measure the verification
+# configuration, not the engine.
 
 
 def main() -> None:
