@@ -1628,13 +1628,22 @@ def q57_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     unremoved false positive would break the hash."""
     from lsdm_motogp_data_integration_spark.operators.membership import (
         ngram_decontaminate,
+        word_gram_relation,
     )
 
     corpus = _doc_corpus(spark, sf_dir)
     train = corpus.filter(F.col("doc_id") < 100000)
     eval_set = corpus.filter(F.col("doc_id") >= 100000)
-    exact = ngram_decontaminate(train, eval_set, n=8, method="exact")
-    bloom = ngram_decontaminate(train, eval_set, n=8, method="bloom")
+    # both scopes consume the same gram relations — one persisted
+    # shingle pass per side instead of one per scope
+    tg = word_gram_relation(train, "text", "doc_id", 8).persist()
+    eg = word_gram_relation(eval_set, "text", None, 8).dropDuplicates().persist()
+    exact = ngram_decontaminate(
+        train, eval_set, n=8, method="exact", train_grams=tg, eval_grams=eg
+    )
+    bloom = ngram_decontaminate(
+        train, eval_set, n=8, method="bloom", train_grams=tg, eval_grams=eg
+    )
     return _suite_union(
         [("doc_id", "bigint"), ("n_shared_grams", "bigint")],
         ("exact", exact),

@@ -144,6 +144,25 @@ def might_contain(spec: BloomSpec, col: Column | str) -> Column:
     return out
 
 
+def word_gram_relation(
+    df: DataFrame, text_col: str, id_col: str | None, n: int
+) -> DataFrame:
+    """The exploded word-n-gram relation ``(id_col?, gram)`` of a
+    corpus — the shared input of both decontamination methods. Compute
+    once, ``persist()``, and pass to repeated ``ngram_decontaminate``
+    calls (e.g. running exact and bloom side by side, or screening one
+    corpus against several eval sets) so the expensive per-document
+    rolling-window shingle pass runs a single time."""
+    from lsdm_motogp_data_integration_spark.operators.dedup import (
+        word_shingles,
+    )
+
+    cols = [F.col(id_col)] if id_col else []
+    return df.select(
+        *cols, F.explode(word_shingles(text_col, n)).alias("gram")
+    )
+
+
 def ngram_decontaminate(
     train: DataFrame,
     eval_set: DataFrame,
@@ -153,6 +172,8 @@ def ngram_decontaminate(
     method: str = "bloom",
     fpp: float = 0.01,
     persist_grams: bool = True,
+    train_grams: DataFrame | None = None,
+    eval_grams: DataFrame | None = None,
 ) -> DataFrame:
     """Train/eval decontamination: per training document, the count of
     distinct word n-grams shared with the eval set →
@@ -171,23 +192,27 @@ def ngram_decontaminate(
     by the shared driver oracle); only the plan changes.  At 100 TB
     this is the difference between broadcasting a multi-GB gram set
     and broadcasting a few MB of bits.
-    """
-    from lsdm_motogp_data_integration_spark.operators.dedup import (
-        word_shingles,
-    )
 
-    train_grams = train.select(
-        F.col(id_col), F.explode(word_shingles(text_col, n)).alias("gram")
-    )
-    eval_grams = (
-        eval_set.select(F.explode(word_shingles(text_col, n)).alias("gram"))
-        .dropDuplicates()
-    )
+    ``train_grams``/``eval_grams`` accept precomputed
+    :func:`word_gram_relation` outputs (``eval_grams`` must already be
+    distinct) so the per-document shingle pass is shared when running
+    both methods or screening against several eval sets; when
+    provided, ``train``/``eval_set`` are ignored for that side and the
+    caller manages persistence.
+    """
+    own_eval = eval_grams is None
+    if train_grams is None:
+        train_grams = word_gram_relation(train, text_col, id_col, n)
+    if own_eval:
+        eval_grams = word_gram_relation(
+            eval_set, text_col, None, n
+        ).dropDuplicates()
     if method == "bloom":
         # the eval gram relation feeds three consumers on this path
         # (sizing count, filter build, FP-removing verify join);
-        # persist evaluates the explode once (persist_sets convention)
-        if persist_grams:
+        # persist evaluates the explode once (persist_sets convention —
+        # caller-provided relations manage their own persistence)
+        if persist_grams and own_eval:
             eval_grams = eval_grams.persist()
         bloom = build_bloom(eval_grams, "gram", fpp=fpp)
         train_grams = train_grams.filter(might_contain(bloom, "gram"))

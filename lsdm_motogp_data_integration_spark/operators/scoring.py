@@ -191,6 +191,7 @@ def dsir_log_weights(
     n_buckets: int = 4096,
     max_n: int = 2,
     portable: bool = False,
+    persist_counts: bool = True,
 ) -> DataFrame:
     """DSIR importance weights (Xie et al. 2023, "Data Selection for
     Language Models via Importance Resampling"): score each raw
@@ -217,6 +218,11 @@ def dsir_log_weights(
     per_doc = raw_feats.groupBy(id_col, "bucket").agg(
         F.count(F.lit(1)).alias("c")
     )
+    # per_doc feeds TWO consumers (the raw-distribution rollup and the
+    # scoring join); persist evaluates the feature explode + count
+    # shuffle once (persist_sets convention)
+    if persist_counts:
+        per_doc = per_doc.persist()
     raw_dist = per_doc.groupBy("bucket").agg(F.sum("c").alias("rc"))
     tgt_dist = (
         target.select(F.explode(buckets).alias("bucket"))
