@@ -3704,11 +3704,11 @@ def oracle_sql() -> dict[str, str]:
                        CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)
                             AS BIGINT) AS n_nulls,
                        COUNT(DISTINCT doc_id) AS n_distinct,
-                       CAST(MIN(CAST(doc_id AS DECIMAL(18,6))) AS DOUBLE)
+                       CAST(MIN(CAST(doc_id AS DECIMAL(38,6))) AS DOUBLE)
                            AS min_num,
-                       CAST(MAX(CAST(doc_id AS DECIMAL(18,6))) AS DOUBLE)
+                       CAST(MAX(CAST(doc_id AS DECIMAL(38,6))) AS DOUBLE)
                            AS max_num,
-                       CAST(SUM(CAST(doc_id AS DECIMAL(18,6)))
+                       CAST(SUM(CAST(doc_id AS DECIMAL(38,6)))
                             / COUNT(doc_id) AS DOUBLE) AS mean_num,
                        CAST(NULL AS VARCHAR) AS min_str,
                        CAST(NULL AS VARCHAR) AS max_str
@@ -3718,9 +3718,9 @@ def oracle_sql() -> dict[str, str]:
                        CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END)
                             AS BIGINT),
                        COUNT(DISTINCT n_chars),
-                       CAST(MIN(CAST(n_chars AS DECIMAL(18,6))) AS DOUBLE),
-                       CAST(MAX(CAST(n_chars AS DECIMAL(18,6))) AS DOUBLE),
-                       CAST(SUM(CAST(n_chars AS DECIMAL(18,6)))
+                       CAST(MIN(CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE),
+                       CAST(MAX(CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE),
+                       CAST(SUM(CAST(n_chars AS DECIMAL(38,6)))
                             / COUNT(n_chars) AS DOUBLE),
                        NULL, NULL
                 FROM documents

@@ -83,6 +83,8 @@ def _positions(col: Column, m: int, k: int) -> list[Column]:
 def _sizing(expected_items: int, fpp: float) -> tuple[int, int]:
     """Standard Bloom sizing: m = -n ln p / (ln 2)^2 bits (rounded up
     to a multiple of 64), k = (m/n) ln 2 probes."""
+    if not (0.0 < fpp < 1.0):
+        raise ValueError(f"fpp must be in (0, 1), got {fpp}")
     n = max(int(expected_items), 1)
     m = int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2)))
     m = max(((m + 63) // 64) * 64, 64)

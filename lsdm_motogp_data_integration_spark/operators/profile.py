@@ -53,7 +53,7 @@ def profile_columns(
     numeric metrics are null for non-numeric columns and vice versa;
     ``n_distinct`` counts non-null values (exact by default, HLL
     approximation with ``exact_distinct=False``); numeric extremes and
-    the mean go through ``DECIMAL(18,6)`` → ``DOUBLE`` so their
+    the mean go through ``DECIMAL(38,6)`` → ``DOUBLE`` so their
     serialized representation is engine-stable.
     """
     fields = {f.name: f.dataType for f in df.schema.fields}
@@ -77,7 +77,10 @@ def profile_columns(
             ).alias(f"__dist_{i}")
         )
         if isinstance(fields[c], _NUMERIC):
-            dec = col.cast("decimal(18,6)")
+            # (38,6), not the repo's usual (18,6): a BIGINT near its max
+            # (9.2e18) overflows 12 integer digits, and ANSI mode makes
+            # that an ERROR on the scan, not a null
+            dec = col.cast("decimal(38,6)")
             aggs.append(
                 F.min(dec).cast("double").alias(f"__min_{i}")
             )

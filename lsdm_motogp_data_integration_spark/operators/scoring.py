@@ -289,4 +289,6 @@ def dsir_select(
     keep = w.orderBy(
         F.col("log_weight").desc(), F.col(id_col).asc()
     ).limit(int(budget))
-    return raw.join(keep.select(id_col, "log_weight"), id_col)
+    # the keep set is budget-sized — broadcast so the raw side never
+    # shuffles
+    return raw.join(F.broadcast(keep.select(id_col, "log_weight")), id_col)

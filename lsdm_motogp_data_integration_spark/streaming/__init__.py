@@ -281,6 +281,8 @@ def streaming_neardup_ingest(
 
     Drains the available input (availableNow trigger) and returns.
     """
+    from pyspark.errors import AnalysisException
+
     from lsdm_motogp_data_integration_spark.operators.dedup import (
         build_minhash_index,
         dedup_corpus,
@@ -301,8 +303,8 @@ def streaming_neardup_ingest(
                 F.col("batch_id") < batch_id
             )
             have_history = True
-        except Exception:
-            have_history = False  # first batch: nothing accepted yet
+        except AnalysisException:
+            have_history = False  # first batch: PATH_NOT_FOUND
         if have_history:
             hits = incremental_neardup(
                 survivors, index, text_col, id_col,

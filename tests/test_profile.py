@@ -67,6 +67,18 @@ def test_profile_approx_mode_and_subset(spark, small):
         profile_columns(small, cols=["nope"])
 
 
+def test_profile_bigint_extremes_no_overflow(spark):
+    """ANSI mode turns a decimal overflow into a scan ERROR; the
+    profiler must survive bigints near the 64-bit limit."""
+    df = spark.createDataFrame(
+        [(9_223_372_036_854_775_000,), (-9_223_372_036_854_775_000,)],
+        "v bigint",
+    )
+    p = profile_columns(df).collect()[0]
+    assert p["max_num"] == pytest.approx(9.223372036854775e18)
+    assert p["min_num"] == pytest.approx(-9.223372036854775e18)
+
+
 def test_profile_all_null_numeric(spark):
     df = spark.createDataFrame(
         [(None,), (None,)], "v double"
@@ -95,8 +107,8 @@ def test_profile_matches_duckdb_on_documents(spark, sf_dir):
     n, nn, nd, mn, mx = con.execute(
         "SELECT COUNT(*), SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END),"
         " COUNT(DISTINCT doc_id),"
-        " CAST(MIN(CAST(doc_id AS DECIMAL(18,6))) AS DOUBLE),"
-        " CAST(MAX(CAST(doc_id AS DECIMAL(18,6))) AS DOUBLE)"
+        " CAST(MIN(CAST(doc_id AS DECIMAL(38,6))) AS DOUBLE),"
+        " CAST(MAX(CAST(doc_id AS DECIMAL(38,6))) AS DOUBLE)"
         " FROM documents"
     ).fetchone()
     assert got["doc_id"]["n_rows"] == n
