@@ -28,7 +28,9 @@ from pyspark.sql import functions as F
 
 from lsdm_motogp_data_integration_spark.operators.dedup import (
     dedup_corpus,
-    word_shingles,
+)
+from lsdm_motogp_data_integration_spark.operators.membership import (
+    ngram_decontaminate,
 )
 from lsdm_motogp_data_integration_spark.operators.textops import (
     lang_id,
@@ -51,6 +53,7 @@ def curate(
     neardup_threshold: float = 0.8,
     holdout: DataFrame | None = None,
     decontam_gram: int = 8,
+    decontam_method: str = "exact",
     pack_budget: int = 2048,
     val_fraction: float = 0.05,
 ) -> dict[str, DataFrame]:
@@ -65,7 +68,7 @@ def curate(
     - ``packed``    — per-source sequence assignments (seq_id/offset)
     - ``train`` / ``val`` — deterministic hash split of ``packed``
     """
-    text, did = F.col(text_col), F.col(id_col)
+    text = F.col(text_col)
 
     words = F.split(
         F.lower(F.regexp_replace(F.trim(text), r"\s+", " ")), " "
@@ -100,20 +103,18 @@ def curate(
     )
 
     if holdout is not None:
-        eval_grams = holdout.select(
-            F.explode(word_shingles(text_col, decontam_gram)).alias("gram")
-        ).dropDuplicates()
-        contaminated = (
-            deduped.select(
-                did.alias("__cid"),
-                F.explode(
-                    word_shingles(text_col, decontam_gram)
-                ).alias("gram"),
-            )
-            .join(F.broadcast(eval_grams), "gram")
-            .select(F.col("__cid").alias(id_col))
-            .dropDuplicates()
-        )
+        # membership.ngram_decontaminate: "exact" keeps this function
+        # fully lazy (the documented contract); "bloom" is the 100 TB
+        # screen (few-MB bit filter instead of the full gram set) at
+        # the cost of two eager filter-metadata jobs at plan build
+        contaminated = ngram_decontaminate(
+            deduped,
+            holdout,
+            text_col,
+            id_col,
+            n=decontam_gram,
+            method=decontam_method,
+        ).select(id_col)
         clean = deduped.join(contaminated, id_col, "left_anti")
     else:
         clean = deduped

@@ -91,3 +91,32 @@ def test_curate_screens_filter(spark):
         .collect()
     }
     assert langs <= {"en"}
+
+
+def test_curate_bloom_decontamination_equals_exact(spark):
+    """decontam_method='bloom' must produce the identical clean set —
+    the screen changes the plan (bit-filter + verify), never the
+    result."""
+    corpus = _corpus(spark)
+    holdout = (
+        read_table(spark, SF, "documents")
+        .filter(F.col("doc_id") % 97 == 0)
+        .select("doc_id", "text", "source")
+    )
+    kw = dict(
+        keep_langs=("en", "de", "es", "fr", "it", "und"),
+        min_quality=0.0,
+        min_distinct_ratio=0.0,
+        holdout=holdout,
+    )
+    exact_ids = {
+        r["doc_id"]
+        for r in curate(corpus, **kw)["clean"].select("doc_id").collect()
+    }
+    bloom_ids = {
+        r["doc_id"]
+        for r in curate(corpus, decontam_method="bloom", **kw)["clean"]
+        .select("doc_id")
+        .collect()
+    }
+    assert bloom_ids == exact_ids
