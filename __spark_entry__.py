@@ -1715,25 +1715,64 @@ def q60_dms_coordinates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q61_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Training-sequence packing: documents are assigned to
-    fixed-token-budget sequences by contiguous start-offset packing
-    within each source shard (one window pass, no driver loop —
-    operators/textops.pack_sequences). Deterministic: (source, doc_id)
-    ordering, 2048-token budget."""
+    """Training-sequence suite — both halves of sequence construction
+    share one driver row, tagged by ``scope``:
+
+    - ``assign`` (operators/textops.pack_sequences): documents are
+      assigned to fixed-token-budget sequences by contiguous
+      start-offset packing within each source shard (one window pass,
+      no driver loop). Deterministic: (source, doc_id) ordering,
+      2048-token budget.
+    - ``sequences`` (operators/textops.materialize_sequences): the
+      assignments turned into the ACTUAL concatenated sequence text a
+      tokenizer consumes — one shuffle on (source, seq_id), per-group
+      state bounded by the pack budget, in-group order via array_sort
+      (no window)."""
     from lsdm_motogp_data_integration_spark.operators.textops import (
+        materialize_sequences,
         pack_sequences,
     )
 
     d = read_table(spark, sf_dir, "documents").select(
-        "doc_id", "source", token_count("text").alias("n_tokens")
+        "doc_id", "source", "text", token_count("text").alias("n_tokens")
     )
-    return pack_sequences(
+    packed = pack_sequences(
         d,
         "n_tokens",
         ["doc_id"],
         budget=2048,
         partition_by=["source"],
-    ).select("doc_id", "source", "n_tokens", "seq_id", "seq_offset")
+    )
+    assign = packed.select(
+        "doc_id", "source", "n_tokens", "seq_id", "seq_offset"
+    )
+    seqs = materialize_sequences(
+        packed,
+        "text",
+        ["doc_id"],
+        partition_by=["source"],
+        token_count_col="n_tokens",
+    ).select(
+        "source",
+        "seq_id",
+        F.col("text").alias("seq_text"),
+        "n_docs",
+        "seq_tokens",
+    )
+    return _suite_union(
+        [
+            ("doc_id", "bigint"),
+            ("source", "string"),
+            ("n_tokens", "bigint"),
+            ("seq_id", "bigint"),
+            ("seq_offset", "bigint"),
+            ("seq_text", "string"),
+            ("n_docs", "bigint"),
+            ("seq_tokens", "bigint"),
+        ],
+        ("assign", assign),
+        ("sequences", seqs),
+    )
 
 
 def q62_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3232,24 +3271,37 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q61_sequence_packing": """
             WITH toks AS (
-                SELECT doc_id, source,
+                SELECT doc_id, source, text,
                        CAST(CASE WHEN length(trim(text)) = 0 THEN 0
                             ELSE len(regexp_split_to_array(trim(text), '\\s+'))
                        END AS BIGINT) AS n_tokens
                 FROM documents
             ), packed AS (
-                SELECT doc_id, source, n_tokens,
+                SELECT doc_id, source, text, n_tokens,
                        COALESCE(SUM(n_tokens) OVER (
                            PARTITION BY source ORDER BY doc_id
                            ROWS BETWEEN UNBOUNDED PRECEDING
                                     AND 1 PRECEDING
                        ), 0) AS prev
                 FROM toks
+            ), assigned AS (
+                SELECT doc_id, source, text, n_tokens,
+                       CAST(prev // 2048 AS BIGINT) AS seq_id,
+                       CAST(prev % 2048 AS BIGINT) AS seq_offset
+                FROM packed
             )
-            SELECT doc_id, source, n_tokens,
-                   CAST(prev // 2048 AS BIGINT) AS seq_id,
-                   CAST(prev % 2048 AS BIGINT) AS seq_offset
-            FROM packed
+            SELECT 'assign' AS scope, doc_id, source, n_tokens,
+                   seq_id, seq_offset,
+                   CAST(NULL AS VARCHAR) AS seq_text,
+                   CAST(NULL AS BIGINT) AS n_docs,
+                   CAST(NULL AS BIGINT) AS seq_tokens
+            FROM assigned
+            UNION ALL
+            SELECT 'sequences', NULL, source, NULL, seq_id, NULL,
+                   string_agg(text, ' ' ORDER BY doc_id),
+                   COUNT(*), SUM(n_tokens)
+            FROM assigned
+            GROUP BY source, seq_id
         """,
         "q62_pii_redaction": """
             WITH salted AS (

@@ -255,6 +255,52 @@ def pack_sequences(
     )
 
 
+def materialize_sequences(
+    df,
+    text_col: str,
+    order_by: list[str],
+    *,
+    seq_col: str = "seq_id",
+    partition_by: list[str] | None = None,
+    token_count_col: str | None = None,
+    sep: str = " ",
+):
+    """Turn :func:`pack_sequences` assignments into the ACTUAL training
+    sequences: concatenate each bin's documents in ``order_by`` order
+    with ``sep`` — the artifact a tokenizer consumes. Returns one row
+    per (``partition_by``…, ``seq_col``) with the concatenated
+    ``text_col``, ``n_docs``, and (when ``token_count_col`` is given)
+    ``seq_tokens``.
+
+    Scale: ONE shuffle on the sequence key; the per-group
+    ``collect_list`` is bounded by the pack budget by construction
+    (a sequence holds ≈ budget tokens of text, not the corpus), so
+    group state is O(budget) regardless of corpus size. The in-group
+    ordering rides on ``array_sort`` over (order keys, text) structs —
+    no window, no per-group sort pass.
+    """
+    keys = [*(partition_by or []), seq_col]
+    ordered = F.array_sort(
+        F.collect_list(
+            F.struct(
+                *[F.col(c) for c in order_by],
+                F.col(text_col).alias("__t"),
+            )
+        )
+    )
+    aggs = [
+        F.concat_ws(
+            sep, F.transform(ordered, lambda s: s["__t"])
+        ).alias(text_col),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+    ]
+    if token_count_col is not None:
+        aggs.append(
+            F.sum(F.col(token_count_col)).cast("bigint").alias("seq_tokens")
+        )
+    return df.groupBy(*keys).agg(*aggs)
+
+
 # ---------------------------------------------------------------------------
 # deterministic stratified sampling
 # ---------------------------------------------------------------------------

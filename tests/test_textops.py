@@ -240,3 +240,50 @@ def test_ngram_stats(spark):
         for r in ngram_stats(df, n=3).collect()
     }
     assert tri == {"a b c": 1, "b c b": 1, "c b c": 1, "b c d": 1}
+
+
+def test_materialize_sequences_order_and_totals(spark):
+    from pyspark.sql import functions as F
+
+    from lsdm_motogp_data_integration_spark.operators.textops import (
+        materialize_sequences,
+        pack_sequences,
+    )
+
+    rows = [
+        (1, "s1", "aa bb", 2),
+        (2, "s1", "cc", 1),
+        (3, "s1", "dd ee ff", 3),
+        (4, "s2", "gg", 1),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text", "n"])
+    packed = pack_sequences(
+        df, "n", ["doc_id"], budget=3, partition_by=["source"]
+    )
+    out = {
+        (r["source"], r["seq_id"]): r
+        for r in materialize_sequences(
+            packed,
+            "text",
+            ["doc_id"],
+            partition_by=["source"],
+            token_count_col="n",
+        ).collect()
+    }
+    # s1: docs 1(2 tok)+2(1 tok) fill seq 0; doc 3 starts seq 1
+    assert out[("s1", 0)]["text"] == "aa bb cc"
+    assert out[("s1", 0)]["n_docs"] == 2
+    assert out[("s1", 0)]["seq_tokens"] == 3
+    assert out[("s1", 1)]["text"] == "dd ee ff"
+    assert out[("s2", 0)]["text"] == "gg"
+    # layout-independent: same sequences from a different partitioning
+    packed7 = pack_sequences(
+        df.repartition(7), "n", ["doc_id"], budget=3, partition_by=["source"]
+    )
+    out7 = {
+        (r["source"], r["seq_id"]): r["text"]
+        for r in materialize_sequences(
+            packed7, "text", ["doc_id"], partition_by=["source"]
+        ).collect()
+    }
+    assert out7 == {k: v["text"] for k, v in out.items()}
