@@ -1644,11 +1644,19 @@ def q57_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     bloom = ngram_decontaminate(
         train, eval_set, n=8, method="bloom", train_grams=tg, eval_grams=eg
     )
-    return _suite_union(
+    out = _suite_union(
         [("doc_id", "bigint"), ("n_shared_grams", "bigint")],
         ("exact", exact),
         ("bloom", bloom),
     )
+    # the suite result is O(contaminated docs) — checkpoint it eagerly
+    # and RELEASE the gram caches (the largest of the registry: the
+    # exploded 8-gram relation is several times corpus text size), so
+    # the 50-query driver session doesn't carry them forward
+    out = out.localCheckpoint(eager=True)
+    tg.unpersist()
+    eg.unpersist()
+    return out
 
 
 def q58_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

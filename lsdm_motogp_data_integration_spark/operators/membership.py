@@ -128,15 +128,9 @@ def build_bloom(
     return BloomSpec(words=tuple(words), m=m, k=k)
 
 
-def might_contain(spec: BloomSpec, col: Column | str) -> Column:
-    """Pure-Column membership probe against a built filter: k
-    ``element_at & mask`` tests over the literal word array — no join,
-    no shuffle, whole-stage codegen.  False positives possible at the
-    filter's fpp; false negatives impossible."""
-    c = F.col(col) if isinstance(col, str) else col
-    # F.lit on a python list builds an array literal; it is shipped
-    # with the task binary exactly like a broadcast variable would be
-    words = F.lit(list(spec.words))
+def _probe_expr(words: Column, spec: BloomSpec, c: Column) -> Column:
+    """AND over the k bit probes of ``c`` against a words-array Column
+    (literal or broadcast-joined — the caller chooses the shipping)."""
     out = None
     for p in _positions(c, spec.m, spec.k):
         widx = (p / 64).cast("int") + 1  # element_at is 1-based
@@ -144,6 +138,49 @@ def might_contain(spec: BloomSpec, col: Column | str) -> Column:
         probe = F.element_at(words, widx).bitwiseAND(mask) != 0
         out = probe if out is None else (out & probe)
     return out
+
+
+def might_contain(spec: BloomSpec, col: Column | str) -> Column:
+    """Pure-Column membership probe against a built filter: k
+    ``element_at & mask`` tests over the LITERAL word array — no join,
+    no shuffle, whole-stage codegen.  False positives possible at the
+    filter's fpp; false negatives impossible.
+
+    The literal form is right for filters up to ~1 MB: the array ships
+    inside every serialized task, so a very large filter pays py4j
+    literal construction once and task bloat per task — use
+    :func:`screen_bloom` (which switches to a 1-row torrent-broadcast
+    join past a size threshold) when the filter may be big."""
+    c = F.col(col) if isinstance(col, str) else col
+    words = F.lit(list(spec.words))
+    return _probe_expr(words, spec, c)
+
+
+def screen_bloom(
+    df: DataFrame,
+    spec: BloomSpec,
+    col: str,
+    *,
+    literal_max_bytes: int = 1 << 20,
+) -> DataFrame:
+    """Filter ``df`` to rows whose ``col`` might be in the filter,
+    choosing the shipping strategy by filter size: small filters embed
+    as a plan literal (zero join, zero exchange); filters past
+    ``literal_max_bytes`` ride a 1-row DataFrame through a broadcast
+    join instead — shipped ONCE per executor via torrent broadcast
+    (not per task), with element_at probing the array column.  Results
+    are identical either way."""
+    if spec.size_bytes <= literal_max_bytes:
+        return df.filter(might_contain(spec, col))
+    spark = df.sparkSession
+    words_df = spark.createDataFrame(
+        [(list(spec.words),)], "__bloom_words array<bigint>"
+    )
+    return (
+        df.crossJoin(F.broadcast(words_df))
+        .filter(_probe_expr(F.col("__bloom_words"), spec, F.col(col)))
+        .drop("__bloom_words")
+    )
 
 
 def word_gram_relation(
@@ -217,7 +254,7 @@ def ngram_decontaminate(
         if persist_grams and own_eval:
             eval_grams = eval_grams.persist()
         bloom = build_bloom(eval_grams, "gram", fpp=fpp)
-        train_grams = train_grams.filter(might_contain(bloom, "gram"))
+        train_grams = screen_bloom(train_grams, bloom, "gram")
     elif method != "exact":
         raise ValueError(f"method must be bloom|exact, got {method!r}")
     return (

@@ -211,6 +211,12 @@ def dsir_log_weights(
     Returns ``(id_col, n_feats BIGINT, log_weight DOUBLE)`` — every raw
     document with ≥ 1 feature, weight rounded to 6 dp.
     """
+    if not (1 <= max_n <= 4):
+        # the slice-per-gram construction copies max_n elements per
+        # gram — fine for the DSIR-standard unigram+bigram (and 3/4),
+        # quadratic-trap territory beyond (see word_shingles' rolling
+        # aggregate for the long-gram form)
+        raise ValueError(f"max_n must be in 1..4, got {max_n}")
     buckets = _hashed_ngram_buckets(text_col, n_buckets, max_n, portable)
     raw_feats = raw.select(
         F.col(id_col), F.explode(buckets).alias("bucket")

@@ -290,6 +290,12 @@ def streaming_neardup_ingest(
         incremental_neardup,
     )
 
+    def _dir_exists(spark, path: str) -> bool:
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        return bool(fs.exists(p)) and len(fs.listStatus(p)) > 0
+
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         survivors = dedup_corpus(
@@ -304,7 +310,14 @@ def streaming_neardup_ingest(
             )
             have_history = True
         except AnalysisException:
-            have_history = False  # first batch: PATH_NOT_FOUND
+            # only a GENUINELY empty state may skip the screen: a
+            # transient read failure on a non-empty store must fail the
+            # batch loudly, not silently admit historical near-dups
+            if _dir_exists(spark, index_dir) or _dir_exists(
+                spark, accepted_dir
+            ):
+                raise
+            have_history = False  # first batch: nothing accepted yet
         if have_history:
             hits = incremental_neardup(
                 survivors, index, text_col, id_col,

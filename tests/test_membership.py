@@ -168,3 +168,27 @@ def test_text_and_whole_file_sources(spark, tmp_path_factory):
     assert len(files) == 2
     blobs = {f["path"].rsplit("/", 1)[-1]: bytes(f["content"]) for f in files}
     assert blobs["b.txt"] == b"\x00\x01binary blob"
+
+
+def test_screen_bloom_join_path_equals_literal_path(spark):
+    """Past the size threshold screen_bloom ships the filter via a
+    1-row broadcast join instead of a plan literal; the surviving set
+    must be identical."""
+    from lsdm_motogp_data_integration_spark.operators.membership import (
+        screen_bloom,
+    )
+
+    ref = _items(spark, 0, 2000)
+    probes = _items(spark, 0, 8000)
+    bloom = build_bloom(ref, "v", fpp=0.01)
+    lit_rows = sorted(
+        r["v"] for r in screen_bloom(probes, bloom, "v").collect()
+    )
+    join_rows = sorted(
+        r["v"]
+        for r in screen_bloom(
+            probes, bloom, "v", literal_max_bytes=0
+        ).collect()
+    )
+    assert lit_rows == join_rows
+    assert len(lit_rows) >= 2000  # all true members survive
