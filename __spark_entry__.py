@@ -1438,8 +1438,16 @@ def q49_corpus_index_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       rows.
     - ``index``: inverted index — term → document frequency + sorted
       posting list (comma-joined for engine-agnostic comparison) for
-      terms in ≥ 10 documents."""
+      terms in ≥ 10 documents.
+    - ``vocab``: tokenizer-prep vocabulary (textops.build_vocab,
+      min_count=2) — every surviving token with total count, document
+      frequency, and a DENSE deterministic id by (count desc, token
+      asc) assigned via the two-phase distributed ranking
+      (keys.add_surrogate_key_distributed — no single-partition
+      window; a 100 TB vocabulary is tens of millions of rows).
+      ``rk`` carries the vocab id."""
     from lsdm_motogp_data_integration_spark.operators.textops import (
+        build_vocab,
         ngram_stats,
     )
 
@@ -1491,6 +1499,12 @@ def q49_corpus_index_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("df") >= 10)
     )
+    vocab_rows = build_vocab(d, "text", "doc_id", min_count=2).select(
+        F.col("token").alias("term"),
+        "tf",
+        "df",
+        F.col("vocab_id").alias("rk"),
+    )
     return _suite_union(
         [
             ("doc_id", "bigint"),
@@ -1503,6 +1517,7 @@ def q49_corpus_index_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         ("tfidf", per_doc.unionByName(corpus_bigrams)),
         ("index", index_rows),
+        ("vocab", vocab_rows),
     )
 
 
@@ -3930,6 +3945,28 @@ def oracle_sql() -> dict[str, str]:
                        string_agg(CAST(doc_id AS VARCHAR), ','
                                   ORDER BY doc_id) AS postings
                 FROM dterms GROUP BY term HAVING COUNT(*) >= 10
+            )
+            UNION ALL
+            SELECT 'vocab' AS scope, NULL::BIGINT AS doc_id,
+                   token AS term, tf, df, NULL::DOUBLE AS tfidf,
+                   vocab_id AS rk, NULL::VARCHAR AS postings
+            FROM (
+                WITH vterms AS (
+                    SELECT doc_id, unnest(regexp_split_to_array(
+                        trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '
+                    )) AS token
+                    FROM documents
+                ), vcounts AS (
+                    SELECT token, COUNT(*) AS tf,
+                           COUNT(DISTINCT doc_id) AS df
+                    FROM vterms WHERE token != '' GROUP BY 1
+                    HAVING COUNT(*) >= 2
+                )
+                SELECT token, tf, df,
+                       CAST(ROW_NUMBER() OVER (
+                           ORDER BY tf DESC, token ASC
+                       ) AS BIGINT) AS vocab_id
+                FROM vcounts
             )
         """,
     }

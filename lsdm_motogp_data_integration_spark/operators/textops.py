@@ -654,3 +654,55 @@ def ngram_stats(
     ).limit(int(top_k))
     w = Window.orderBy(F.col("n_occurrences").desc(), F.col("ngram").asc())
     return top.withColumn("rank", F.row_number().over(w).cast("bigint"))
+
+
+def build_vocab(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    min_count: int = 1,
+    num_partitions: int | None = None,
+):
+    """Tokenizer-prep vocabulary: every corpus token with its total
+    count, document frequency, and a DENSE deterministic id assigned by
+    (count desc, token asc) — the table a tokenizer trainer or
+    embedding layer consumes (id 1 = most frequent token).
+
+    Returns (``token``, ``tf`` total occurrences BIGINT, ``df``
+    document frequency BIGINT, ``vocab_id`` BIGINT 1..V).
+
+    Scale shape: one token-keyed count shuffle (the TF relation every
+    corpus pass builds), then ids via
+    :func:`keys.add_surrogate_key_distributed` — the two-phase
+    range-partitioned ranking, NOT a single-partition global window,
+    because a 100 TB corpus's vocabulary is tens of millions of rows.
+    ``min_count`` drops the long tail before ranking (the standard
+    vocab truncation), which also shrinks the ranked relation.
+    """
+    from pyspark.sql import functions as F
+
+    from lsdm_motogp_data_integration_spark.operators.dedup import (
+        normalized_words,
+    )
+    from lsdm_motogp_data_integration_spark.operators.keys import (
+        add_surrogate_key_distributed,
+    )
+
+    terms = df.select(
+        F.col(id_col), F.explode(normalized_words(text_col)).alias("token")
+    ).filter(F.col("token") != "")
+    counts = (
+        terms.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("tf"),
+            F.countDistinct(id_col).cast("bigint").alias("df"),
+        )
+        .filter(F.col("tf") >= int(min_count))
+    )
+    return add_surrogate_key_distributed(
+        counts,
+        "vocab_id",
+        [F.col("tf").desc(), F.col("token").asc()],
+        num_partitions=num_partitions,
+    )

@@ -287,3 +287,36 @@ def test_materialize_sequences_order_and_totals(spark):
         ).collect()
     }
     assert out7 == {k: v["text"] for k, v in out.items()}
+
+
+def test_build_vocab_ids_and_counts(spark):
+    from lsdm_motogp_data_integration_spark.operators.textops import (
+        build_vocab,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "banana apple cherry"),
+            (3, "apple  "),
+        ],
+        ["doc_id", "text"],
+    )
+    v = {r["token"]: r for r in build_vocab(df, min_count=1).collect()}
+    assert v["apple"]["tf"] == 4 and v["apple"]["df"] == 3
+    assert v["banana"]["tf"] == 2 and v["banana"]["df"] == 2
+    assert v["cherry"]["tf"] == 1
+    # dense ids by (tf desc, token asc), 1-based
+    assert v["apple"]["vocab_id"] == 1
+    assert v["banana"]["vocab_id"] == 2
+    assert v["cherry"]["vocab_id"] == 3
+    # min_count truncation drops the tail BEFORE ranking
+    v2 = {r["token"]: r for r in build_vocab(df, min_count=2).collect()}
+    assert set(v2) == {"apple", "banana"}
+    assert v2["banana"]["vocab_id"] == 2
+    # layout-independent ids
+    v3 = {
+        r["token"]: r["vocab_id"]
+        for r in build_vocab(df.repartition(5), min_count=1).collect()
+    }
+    assert v3 == {k: r["vocab_id"] for k, r in v.items()}
