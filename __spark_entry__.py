@@ -2788,8 +2788,8 @@ def oracle_sql() -> dict[str, str]:
         "q68_embedding_clusters": _KMEANS_SQL,
         "q69_embedding_quantize": """
             -- replay of operators/ann.quantize_embeddings: the scale
-            -- used for the codes is UNROUNDED; only the reported
-            -- columns are rounded to 9dp
+            -- is emitted EXACT (place-rounding would zero it for tiny
+            -- vectors); only max_err is rounded to 9dp
             WITH base AS (
                 SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
                        greatest(list_max(list_transform(
@@ -2803,7 +2803,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM base
             )
             SELECT vec_id,
-                   ROUND(scale, 9) AS scale,
+                   scale,
                    array_to_string(q, ',') AS qvec,
                    ROUND(list_max(list_transform(
                        list_zip(v, q),

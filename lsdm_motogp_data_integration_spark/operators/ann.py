@@ -31,6 +31,49 @@ from lsdm_motogp_data_integration_spark.operators.dedup import (
 )
 
 
+def _drop_null_vecs(df: DataFrame, col: str) -> DataFrame:
+    # a NULL embedding would otherwise crash np.vstack deep inside an
+    # executor (or poison a norm) — every entry point drops them up
+    # front, matching the operators' stated non-null contract
+    return df.filter(F.col(col).isNotNull())
+
+
+def _score_and_rank(
+    pairs: DataFrame,
+    id_col: str,
+    query_id_col: str,
+    vec_col: str,
+    query_vec_col: str,
+    k: int,
+) -> DataFrame:
+    """The shared scoring tail of every top-k variant: 6dp-rounded
+    cosine, id tie-break, per-query row_number — single-sourced so the
+    cross-engine rounding/tie-break convention cannot drift between
+    the exact/LSH/IVF paths. A zero-norm vector on either side makes
+    the divisor 0 — under ANSI mode (Spark 4 default) a plain Divide
+    would ERROR the whole job, so the score uses try_divide and the
+    resulting NULL cosines are excluded rather than surfacing as
+    rank-k garbage."""
+    scored = pairs.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(id_col).alias("neighbor_id"),
+        F.round(
+            F.try_divide(
+                dot_expr(F.col(query_vec_col), F.col(vec_col)),
+                F.col("__qn") * F.col("__cn"),
+            ),
+            6,
+        ).alias("cosine"),
+    ).filter(F.col("cosine").isNotNull())
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -47,26 +90,17 @@ def cosine_topk(
     Output: (query_id, neighbor_id, cosine, rank). Ranking uses the
     similarity rounded to 6 decimals with an id tie-break, so results
     are stable across engines and summation orders."""
-    c = corpus.withColumn("__cn", norm_expr(F.col(vec_col)))
-    q = queries.withColumn("__qn", norm_expr(F.col(query_vec_col)))
+    c = _drop_null_vecs(corpus, vec_col).withColumn(
+        "__cn", norm_expr(F.col(vec_col))
+    )
+    q = _drop_null_vecs(queries, query_vec_col).withColumn(
+        "__qn", norm_expr(F.col(query_vec_col))
+    )
     pairs = c.crossJoin(F.broadcast(q))
     if exclude_self:
         pairs = pairs.filter(F.col(id_col) != F.col(query_id_col))
-    scored = pairs.select(
-        F.col(query_id_col).alias("query_id"),
-        F.col(id_col).alias("neighbor_id"),
-        F.round(
-            dot_expr(F.col(query_vec_col), F.col(vec_col))
-            / (F.col("__qn") * F.col("__cn")),
-            6,
-        ).alias("cosine"),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= k)
+    return _score_and_rank(
+        pairs, id_col, query_id_col, vec_col, query_vec_col, k
     )
 
 
@@ -106,8 +140,14 @@ def signature_udf(n_planes: int, dim: int, n_tables: int = 1):
     :func:`_hyperplanes`), quantization uses IEEE double multiply +
     floor — the same bits in numpy, Spark, and DuckDB. Quantization at
     1e-6 resolution is recall-neutral for unit-scale embeddings."""
+    if not (1 <= n_planes <= 62):
+        # above 53 a float64 code accumulator would silently merge
+        # distinct signatures (sums spanning >53 bit positions are not
+        # representable); int64 packing below is exact through 62 and
+        # the multiprobe XOR literal overflows a bigint at 63
+        raise ValueError(f"n_planes must be in 1..62, got {n_planes}")
     planes = _hyperplanes(n_tables * n_planes, dim)
-    weights = (1 << np.arange(n_planes, dtype=np.uint64)).astype(np.float64)
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def signature(vecs: pd.Series) -> pd.Series:
@@ -115,7 +155,8 @@ def signature_udf(n_planes: int, dim: int, n_tables: int = 1):
         qmat = np.floor(mat * SIG_QUANT)
         bits = (qmat @ planes.T) > 0  # rows × (n_tables·n_planes)
         per_table = bits.reshape(len(mat), n_tables, n_planes)
-        codes = (per_table @ weights).astype(np.int64)  # rows × n_tables
+        # integer matmul: exact bit packing for any n_planes <= 62
+        codes = per_table.astype(np.int64) @ weights  # rows × n_tables
         return pd.Series(list(codes))
 
     return signature
@@ -137,14 +178,16 @@ def _quantize(mat: np.ndarray) -> np.ndarray:
     return np.floor(mat * SIG_QUANT)
 
 
-def _nearest_cells(vecs: pd.Series, centroids: np.ndarray) -> np.ndarray:
+def _nearest_cells(vecs: pd.Series, qcentroids: np.ndarray) -> np.ndarray:
     """(rows × n_cells) exact integer similarity matrix: quantized raw
-    vectors · quantized normalized centroids. argmax over cells of
-    cos(v, c) equals argmax of v·ĉ (|v| is constant across cells), so
-    the raw-vector side needs no normalization — removing every float
-    division from the decision path."""
+    vectors · PRE-quantized normalized centroids (callers run
+    ``_quantize`` once when the UDF closure is built, not per Arrow
+    batch). argmax over cells of cos(v, c) equals argmax of v·ĉ (|v|
+    is constant across cells), so the raw-vector side needs no
+    normalization — removing every float division from the decision
+    path."""
     v = np.vstack([np.asarray(x, dtype=np.float64) for x in vecs])
-    return _quantize(v) @ _quantize(centroids).T
+    return _quantize(v) @ qcentroids.T
 
 
 def _train_centroids(
@@ -169,13 +212,17 @@ def _train_centroids(
     means are decimal-exact. The only float ops left are the centroid
     normalizations, whose last-ulp engine differences sit ~6 orders of
     magnitude below the quantization grid."""
+    corpus = _drop_null_vecs(corpus, vec_col)
     sample = (
         corpus.select(id_col, vec_col)
         .withColumn(
             "__h",
             F.md5(F.concat(F.lit("ivf|"), F.col(id_col).cast("string"))),
         )
-        .orderBy("__h")
+        # id tie-break: md5 collisions are not the concern — DUPLICATE
+        # ids hash identically, and without the second key their order
+        # (hence the sampled codebook) would depend on partition layout
+        .orderBy("__h", F.col(id_col).asc())
         .limit(n_cells)
         .collect()
     )
@@ -194,11 +241,11 @@ def _train_centroids(
     dim = mat.shape[1]
 
     for _ in range(n_iters):
-        current = mat
+        qcurrent = _quantize(mat)
 
         @F.pandas_udf(T.IntegerType())
         def nearest(vecs: pd.Series) -> pd.Series:
-            sims = _nearest_cells(vecs, current)
+            sims = _nearest_cells(vecs, qcurrent)
             return pd.Series(np.argmax(sims, axis=1).astype(np.int32))
 
         means = (
@@ -257,18 +304,22 @@ def kmeans_clusters(
 
     Returns (id_col, cluster BIGINT, centroid_sim DOUBLE rounded 6dp).
     """
+    df = _drop_null_vecs(df, vec_col)
     mat = _train_centroids(df, vec_col, id_col, n_clusters, n_iters)
+    qmat = _quantize(mat)
 
     @F.pandas_udf("cluster bigint, centroid_sim double")
     def assign(vecs: pd.Series) -> pd.DataFrame:
         # cluster choice on the exact integer grid (portable); the
         # reported similarity as plain float cosine rounded to 6dp —
-        # the repo's cross-engine float convention (q26)
-        qsims = _nearest_cells(vecs, mat)
+        # the repo's cross-engine float convention (q26). Only the
+        # CHOSEN centroid's dot is computed (row-wise einsum), not the
+        # full rows × n_clusters float matmul a second time
+        qsims = _nearest_cells(vecs, qmat)
         best = np.argmax(qsims, axis=1)
         v = np.vstack([np.asarray(x, dtype=np.float64) for x in vecs])
         norms = np.maximum(np.linalg.norm(v, axis=1), 1e-12)
-        sims = (v @ mat.T)[np.arange(len(best)), best] / norms
+        sims = np.einsum("ij,ij->i", v, mat[best]) / norms
         return pd.DataFrame(
             {
                 "cluster": best.astype(np.int64),
@@ -313,14 +364,17 @@ def ivf_topk(
     assignment UDF — the same pattern as a broadcast codebook at
     cluster scale. Same output shape as :func:`cosine_topk`;
     recall < 1 by design."""
+    corpus = _drop_null_vecs(corpus, vec_col)
+    queries = _drop_null_vecs(queries, query_vec_col)
     mat = _train_centroids(
         corpus, vec_col, id_col, n_cells, train_iterations
     )
+    qmat = _quantize(mat)
 
     def cells_udf(n_top: int):
         @F.pandas_udf(T.ArrayType(T.IntegerType()))
         def assign(vecs: pd.Series) -> pd.Series:
-            sims = _nearest_cells(vecs, mat)
+            sims = _nearest_cells(vecs, qmat)
             # stable sort: equal integer sims break by cell index asc —
             # the same order as SQL (sim DESC, cell ASC)
             top = np.argsort(-sims, axis=1, kind="stable")[:, :n_top]
@@ -336,24 +390,15 @@ def ivf_topk(
     ).withColumn(
         "__cell", F.explode(cells_udf(nprobe)(F.col(query_vec_col)))
     )
+    # no pair dedupe needed (unlike LSH): a corpus row has exactly ONE
+    # cell and a query's nprobe cells are distinct, so each (query,
+    # neighbor) joins at most once — a dropDuplicates here would be a
+    # pure extra shuffle
     pairs = c.join(F.broadcast(q), on="__cell").filter(
         F.col(id_col) != F.col(query_id_col)
     )
-    scored = pairs.select(
-        F.col(query_id_col).alias("query_id"),
-        F.col(id_col).alias("neighbor_id"),
-        F.round(
-            dot_expr(F.col(query_vec_col), F.col(vec_col))
-            / (F.col("__qn") * F.col("__cn")),
-            6,
-        ).alias("cosine"),
-    ).dropDuplicates(["query_id", "neighbor_id"])
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= k)
+    return _score_and_rank(
+        pairs, id_col, query_id_col, vec_col, query_vec_col, k
     )
 
 
@@ -376,8 +421,13 @@ def quantize_embeddings(
     portable, so a SQL engine reproduces the quantized codes exactly.
     Zero vectors quantize to all-zero codes via the 1e-30 scale floor.
 
-    Returns (id_col, scale DOUBLE, qvec STRING — comma-joined codes for
-    engine-agnostic comparison, max_err DOUBLE rounded 9dp)."""
+    Returns (id_col, scale DOUBLE — EXACT, not decimal-rounded: the
+    scale's magnitude tracks the data, so place-rounding would zero it
+    for tiny vectors and silently break q·scale reconstruction while
+    the reported error still looked fine; one abs-max + one IEEE
+    divide is already bit-identical across engines —, qvec STRING
+    comma-joined codes for engine-agnostic comparison, max_err DOUBLE
+    rounded 9dp)."""
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     absmax = F.array_max(F.transform(v, F.abs))
     scale = F.greatest(absmax, F.lit(1e-30)) / F.lit(127.0)
@@ -395,7 +445,7 @@ def quantize_embeddings(
     )
     return df.select(
         F.col(id_col),
-        F.round(scale, 9).alias("scale"),
+        scale.alias("scale"),
         F.array_join(F.transform(q, lambda x: x.cast("string")), ",").alias(
             "qvec"
         ),
@@ -414,14 +464,26 @@ def lsh_topk(
     k: int = 10,
     n_planes: int = 8,
     n_tables: int = 8,
-    dim: int = 64,
+    dim: int | None = None,
     multiprobe: bool = True,
 ) -> DataFrame:
     """Approximate top-k: score only corpus rows that share a hyperplane
     bucket with the query in at least one of ``n_tables`` hash tables
     (multi-probe: or differ in one bit). Same output shape as
     :func:`cosine_topk`; recall < 1 by design — more tables / fewer
-    planes raise recall at the cost of candidate fan-out."""
+    planes raise recall at the cost of candidate fan-out.
+
+    ``dim`` defaults to the corpus's actual vector length (one O(1)
+    metadata probe of a single row) — a wrong explicit value would
+    otherwise surface as an opaque matmul shape error inside an
+    executor."""
+    corpus = _drop_null_vecs(corpus, vec_col)
+    queries = _drop_null_vecs(queries, query_vec_col)
+    if dim is None:
+        first = corpus.select(vec_col).limit(1).collect()
+        if not first:
+            raise ValueError("lsh_topk needs a non-empty corpus")
+        dim = len(first[0][0])
     sig = signature_udf(n_planes, dim, n_tables)
     c = corpus.withColumn("__cn", norm_expr(F.col(vec_col))).withColumn(
         "__sigs", sig(F.col(vec_col))
@@ -456,19 +518,6 @@ def lsh_topk(
         # not ~n_tables×probes times
         .dropDuplicates([query_id_col, id_col])
     )
-    scored = pairs.select(
-        F.col(query_id_col).alias("query_id"),
-        F.col(id_col).alias("neighbor_id"),
-        F.round(
-            dot_expr(F.col(query_vec_col), F.col(vec_col))
-            / (F.col("__qn") * F.col("__cn")),
-            6,
-        ).alias("cosine"),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= k)
+    return _score_and_rank(
+        pairs, id_col, query_id_col, vec_col, query_vec_col, k
     )

@@ -103,3 +103,89 @@ def test_lsh_recall_floor(spark, sf_dir):
     # not LSH theory
     assert recall >= 0.2, f"recall {recall}"
     assert len(approx) <= len(exact)
+
+
+def test_null_and_zero_vectors_handled(spark):
+    """NULL embeddings must be dropped up front (not crash an executor
+    mid-matmul) and zero-norm vectors must not surface NULL-cosine
+    rows in the top-k output."""
+    from pyspark.sql import types as T
+
+    from lsdm_motogp_data_integration_spark.operators.ann import (
+        kmeans_clusters,
+        quantize_embeddings,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),
+        (2, None),                       # null embedding
+        (3, [0.0, 0.0, 0.0, 0.0]),       # zero norm
+        (4, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    q = df.filter("vec_id = 0").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    out = cosine_topk(
+        df, q, "embedding", "vec_id", "query_id", "query_vec", k=10
+    ).collect()
+    ids = {r["neighbor_id"] for r in out}
+    assert 2 not in ids                      # null row dropped
+    assert 3 not in ids                      # zero-norm row: NULL cosine excluded
+    assert all(r["cosine"] is not None for r in out)
+    # lsh/ivf/kmeans paths must simply not crash on the same input
+    lsh = lsh_topk(
+        df, q, "embedding", "vec_id", "query_id", "query_vec", k=5,
+        n_tables=2,
+    ).collect()
+    assert all(r["cosine"] is not None for r in lsh)
+    ivf = ivf_topk(
+        df, q, "embedding", "vec_id", "query_id", "query_vec", k=5,
+        n_cells=2, nprobe=1,
+    ).collect()
+    assert all(r["cosine"] is not None for r in ivf)
+    km = kmeans_clusters(df, "embedding", "vec_id", n_clusters=2).collect()
+    assert {r["vec_id"] for r in km} == {0, 1, 3, 4}
+    # tiny vectors: the EXACT scale reconstructs, place-rounding would zero it
+    tiny = spark.createDataFrame([(9, [1e-8, -1e-8, 0.0, 0.0])], schema)
+    qz = quantize_embeddings(tiny, "embedding", "vec_id").collect()[0]
+    assert qz["scale"] > 0.0
+
+
+def test_lsh_dim_inferred(spark):
+    """dim now defaults to the corpus's actual vector length."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(i, [float(i == j) for j in range(10)]) for i in range(5)], schema
+    )
+    q = df.filter("vec_id = 0").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    out = lsh_topk(
+        df, q, "embedding", "vec_id", "query_id", "query_vec",
+        k=3, n_tables=2,
+    )
+    assert out.count() >= 0  # 10-dim vectors, no dim kwarg: no shape crash
+    import pytest
+
+    with pytest.raises(ValueError):
+        lsh_topk(
+            df, q, "embedding", "vec_id", "query_id", "query_vec",
+            n_planes=63,
+        )

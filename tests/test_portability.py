@@ -140,7 +140,7 @@ def test_quantize_matches_duckdb_replay(spark):
                        CAST(round(x / scale) AS INTEGER)))) AS q
             FROM base
         )
-        SELECT vec_id, ROUND(scale, 9), array_to_string(q, ','),
+        SELECT vec_id, scale, array_to_string(q, ','),
                ROUND(list_max(list_transform(
                    list_zip(v, q),
                    p -> abs(p[1] - CAST(p[2] AS DOUBLE) * scale)
