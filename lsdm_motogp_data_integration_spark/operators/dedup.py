@@ -47,6 +47,10 @@ def word_shingles(text: Column | str, k: int = 5) -> Column:
     k-gram sequences stay discriminative.
     """
     words = normalized_words(text)
+    if k == 1:
+        # the rolling window below assumes k >= 2 (its buffer slice has
+        # length k-2); unigram shingles are just the distinct words
+        return F.array_distinct(words)
     init = F.struct(
         F.expr("CAST(array() AS ARRAY<STRING>)").alias("buf"),
         F.expr("CAST(array() AS ARRAY<STRING>)").alias("out"),
@@ -81,6 +85,16 @@ def rolling_gram_hashes(element_hashes: Column, k: int) -> Column:
     accumulator (see :func:`word_shingle_hashes` for why the
     transform-over-indices form is quadratic). Inputs shorter than k
     produce a single clamped gram."""
+    if k == 1:
+        # unigram grams: re-hash each element (the k-generic gram of a
+        # 1-window is xxhash64(h)); empty input gets the same clamped
+        # sentinel as the rolling path
+        return F.when(
+            F.size(element_hashes) > 0,
+            F.array_distinct(
+                F.transform(element_hashes, lambda h: F.xxhash64(h))
+            ),
+        ).otherwise(F.array(F.xxhash64(element_hashes)))
     init = F.struct(
         F.expr("CAST(array() AS ARRAY<BIGINT>)").alias("buf"),
         F.expr("CAST(array() AS ARRAY<BIGINT>)").alias("out"),
@@ -171,6 +185,7 @@ def jaccard_pairs(
     k: int = 5,
     threshold: float = 0.8,
     persist_sets: bool = False,
+    _persist_handles: list[DataFrame] | None = None,
 ) -> DataFrame:
     """All pairs (a < b) with word-k-gram Jaccard >= threshold — EXACT
     (no LSH recall loss), with positional prefix filtering.
@@ -195,8 +210,18 @@ def jaccard_pairs(
     )
     if persist_sets:
         sets_df = sets_df.persist()
+        if _persist_handles is not None:
+            _persist_handles.append(sets_df)
+    # ceil over FLOAT t*size overcounts when the product lands an ulp
+    # above an integer (0.8*5 = 4.0000000000000002 -> ceil 5, true 4),
+    # silently shrinking the prefix and DROPPING true pairs from this
+    # "EXACT" path; the 1e-9 back-off (>> the ~1e-13 product error,
+    # << 1 for any real size) can only lengthen the prefix, which adds
+    # candidates but never loses one
     prefix_len = (
-        F.size("__set") - F.ceil(F.lit(threshold) * F.size("__set")) + 1
+        F.size("__set")
+        - F.ceil(F.lit(threshold) * F.size("__set") - F.lit(1e-9))
+        + 1
     ).cast("int")
     prefixes = sets_df.select(
         "__id", F.explode(F.slice("__set", 1, prefix_len)).alias("__gram")
@@ -316,8 +341,12 @@ def fused_minhash_mins(
     pass that forms word k-grams — no gram array, no distinct (the min
     over a multiset equals the min over its set, so MinHash never needs
     deduplicated shingles). Values are identical to
-    ``minhash_signature(word_shingle_hashes(text, k), num_perm)``."""
-    wh = F.transform(normalized_words(text), lambda w: F.xxhash64(w))
+    ``minhash_signature(word_shingle_hashes(text, k), num_perm)`` —
+    including NULL text, which yields the same ``[-1, ...]`` sentinel
+    (an index built via one path must collide with signatures from the
+    other iff the texts match)."""
+    c = F.col(text) if isinstance(text, str) else text
+    wh = F.transform(normalized_words(c), lambda w: F.xxhash64(w))
     max_long = (1 << 63) - 1
     init = F.struct(
         F.expr("CAST(array() AS ARRAY<BIGINT>)").alias("buf"),
@@ -339,22 +368,36 @@ def fused_minhash_mins(
             1,
         )
 
-    def merge(acc: Column, h: Column) -> Column:
-        buf = acc["buf"]
-        full = F.size(buf) == k - 1
-        gram = F.xxhash64(
-            *[F.element_at(buf, i + 1) for i in range(k - 1)], h
-        )
-        new_mins = F.when(
-            full,
-            F.zip_with(
-                acc["mins"], salted_mins(gram), lambda a, b: F.least(a, b)
-            ),
-        ).otherwise(acc["mins"])
-        new_buf = F.when(
-            full, F.concat(F.slice(buf, 2, k - 2), F.array(h))
-        ).otherwise(F.concat(buf, F.array(h)))
-        return F.struct(new_buf.alias("buf"), new_mins.alias("mins"))
+    if k == 1:
+        # unigram window: every element is a gram (xxhash64(h), the
+        # k-generic 1-window gram); the rolling buffer stays empty —
+        # the generic merge below would slice it with length k-2 = -1
+        def merge(acc: Column, h: Column) -> Column:
+            new_mins = F.zip_with(
+                acc["mins"],
+                salted_mins(F.xxhash64(h)),
+                lambda a, b: F.least(a, b),
+            )
+            return F.struct(acc["buf"].alias("buf"), new_mins.alias("mins"))
+
+    else:
+
+        def merge(acc: Column, h: Column) -> Column:
+            buf = acc["buf"]
+            full = F.size(buf) == k - 1
+            gram = F.xxhash64(
+                *[F.element_at(buf, i + 1) for i in range(k - 1)], h
+            )
+            new_mins = F.when(
+                full,
+                F.zip_with(
+                    acc["mins"], salted_mins(gram), lambda a, b: F.least(a, b)
+                ),
+            ).otherwise(acc["mins"])
+            new_buf = F.when(
+                full, F.concat(F.slice(buf, 2, k - 2), F.array(h))
+            ).otherwise(F.concat(buf, F.array(h)))
+            return F.struct(new_buf.alias("buf"), new_mins.alias("mins"))
 
     def finish(acc: Column) -> Column:
         # short doc (< k words): one clamped gram of all words
@@ -362,7 +405,12 @@ def fused_minhash_mins(
             F.element_at(acc["mins"], 1) != max_long, acc["mins"]
         ).otherwise(salted_mins(F.xxhash64(acc["buf"])))
 
-    return F.aggregate(wh, init, merge, finish)
+    # NULL text must produce minhash_signature's [-1]*num_perm sentinel,
+    # not a NULL array (aggregate over NULL is NULL; nulls would then
+    # vanish from band hashes and collide every null doc in every band)
+    return F.when(
+        c.isNull(), F.array(*[F.lit(-1)] * num_perm)
+    ).otherwise(F.aggregate(wh, init, merge, finish))
 
 
 def _band_bucket_cols(
@@ -435,16 +483,13 @@ def minhash_lsh_pairs(
         if _persist_handles is not None:
             _persist_handles.append(sets_df)
         # one input evaluation total: signatures from the persisted set
-
-        def min_perm(perm: int):
-            def salted(h):
-                return F.xxhash64(F.lit(perm), h)
-
-            return F.array_min(F.transform(F.col("__set"), salted))
-
+        # via the SAME helper as everywhere else — an inline
+        # re-implementation here once dropped the empty/null sentinel
+        # and recreated the null-collapse hazard minhash_signature's
+        # own comment warns about
         mins_df = sets_df.select(
             "__id",
-            F.array(*[min_perm(p) for p in range(num_perm)]).alias("__mins"),
+            minhash_signature(F.col("__set"), num_perm).alias("__mins"),
         )
     else:
         # Signature minima come from the FUSED single-pass aggregate (no
@@ -519,6 +564,10 @@ def connected_components(
 
     Output: (``node_col``, ``component``) for every node, singletons
     included (component = own id)."""
+    if max_iterations < 1:
+        # with zero rounds `changed` would stay at its initial 0 and
+        # identity labels would return as a silently-unpropagated answer
+        raise ValueError(f"max_iterations must be >= 1, got {max_iterations}")
     edges = (
         pairs.select(F.col(pair_a).alias("src"), F.col(pair_b).alias("dst"))
         .unionByName(
@@ -649,11 +698,16 @@ def simhash_pairs(
     token_hash: str = "xxhash64",
     weighting: str = "none",
     persist_sketch: bool = False,
+    _persist_handles: list[DataFrame] | None = None,
 ) -> DataFrame:
-    """Near-duplicate pairs by SimHash: candidates share at least one of
-    four 16-bit chunks (pigeonhole: any pair within Hamming distance 3
-    of 64 bits agrees on ≥1 chunk), verified with
-    ``bit_count(a XOR b) <= max_hamming`` JVM-side.
+    """Near-duplicate pairs by SimHash: candidates share at least one
+    of ``max_hamming + 1`` signature chunks (pigeonhole: a pair within
+    Hamming distance h of 64 bits must agree on ≥1 of h+1 disjoint
+    chunks), verified with ``bit_count(a XOR b) <= max_hamming``
+    JVM-side. The default h=3 gives the classic 4×16-bit blocking;
+    larger radii derive more/narrower chunks — complete coverage, but
+    narrower chunks collide more, so candidate fan-out grows fast
+    (h=3 is the practical sweet spot).
 
     ``token_hash``: ``"xxhash64"`` (default — fastest, JVM-native) or
     ``"md5_60"`` (portable: DuckDB computes the identical hash, so the
@@ -685,6 +739,12 @@ def simhash_pairs(
         raise ValueError(f"token_hash must be xxhash64|md5_60, got {token_hash!r}")
     if weighting not in ("none", "idf"):
         raise ValueError(f"weighting must be none|idf, got {weighting!r}")
+    if not (0 <= int(max_hamming) <= 63):
+        raise ValueError(f"max_hamming must be 0..63, got {max_hamming}")
+    # null-text docs produce NO pairs in either weighting mode (the idf
+    # path's explode drops them implicitly; the unweighted path would
+    # otherwise sketch them all to 0 and emit every null-null pair)
+    df = df.filter(F.col(text_col).isNotNull())
     token_hashes = F.transform(
         normalized_words(text_col), lambda t: hash_fn(t)
     )
@@ -729,6 +789,14 @@ def simhash_pairs(
         )
     if persist_sketch:
         hashed = hashed.persist()
+        if _persist_handles is not None:
+            _persist_handles.append(hashed)
+    # chunk count derives from the radius so the pigeonhole guarantee
+    # HOLDS for any max_hamming (a fixed 4-chunk split would silently
+    # miss pairs differing in all four chunks at h >= 4)
+    n_chunks = int(max_hamming) + 1
+    chunk_bits = -(-64 // n_chunks)  # ceil
+    mask = (1 << chunk_bits) - 1
     chunks = hashed.select(
         "__id",
         "__sh",
@@ -737,11 +805,13 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("c"),
-                        F.shiftrightunsigned(F.col("__sh"), 16 * i)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned(
+                            F.col("__sh"), chunk_bits * i
+                        )
+                        .bitwiseAND(F.lit(mask))
                         .alias("v"),
                     )
-                    for i in range(4)
+                    for i in range(n_chunks)
                 ]
             )
         ).alias("__chunk"),
@@ -822,6 +892,9 @@ def embedding_neardup_pairs(
       first row's vector length.
 
     Output: (id_a, id_b, cosine)."""
+    # NULL vectors would crash the signature UDF (np.vstack) and make
+    # the first-row dim inference return None
+    df = df.filter(F.col(vec_col).isNotNull())
     cols = [
         F.col(id_col).alias("__id"),
         # cast to float64 ONCE per row (a per-pair dot over the raw
@@ -916,10 +989,29 @@ def dedup_corpus(
     Persist lifetime: with ``persist_sets=True`` the pair relation is
     eagerly localCheckpoint-ed (it is O(near-dup pairs) — small — and
     the iterative component phase re-reads it anyway), after which the
-    shingle-set cache is released — no storage outlives the call."""
+    shingle-set cache is released — no storage outlives the call.
+
+    Exact duplicates are collapsed FIRST (md5-digest window, the same
+    survivor policy): a group of m byte-identical documents — routine
+    at corpus scale (empty strings, boilerplate mirrors) — would
+    otherwise collide in every band and materialize O(m²) verified
+    pairs before clustering ever sees them. Only the per-digest
+    survivor enters the near-dup stage; the final semi-join returns
+    one representative per combined exact+near-dup cluster."""
+    order = (
+        [keep_by.desc(), F.col(id_col).asc()]
+        if keep_by is not None
+        else [F.col(id_col).asc()]
+    )
+    dw = Window.partitionBy(F.md5(F.col(text_col))).orderBy(*order)
+    pruned = (
+        df.withColumn("__xrk", F.row_number().over(dw))
+        .filter(F.col("__xrk") == 1)
+        .drop("__xrk")
+    )
     handles: list[DataFrame] = []
     pairs = minhash_lsh_pairs(
-        df, text_col, id_col,
+        pruned, text_col, id_col,
         threshold=threshold, persist_sets=persist_sets,
         _persist_handles=handles,
     )
@@ -928,7 +1020,7 @@ def dedup_corpus(
         for h in handles:
             h.unpersist()
     components = connected_components(
-        df.select(F.col(id_col)), pairs, node_col=id_col
+        pruned.select(F.col(id_col)), pairs, node_col=id_col
     )
     if keep_by is None:
         reps = (
@@ -941,7 +1033,7 @@ def dedup_corpus(
         # id. A window (one shuffle on the component key) instead of a
         # max(struct(score, -id)) trick, which silently null-casts
         # non-numeric id types.
-        scored = df.select(F.col(id_col), keep_by.alias("__keep_score"))
+        scored = pruned.select(F.col(id_col), keep_by.alias("__keep_score"))
         w = Window.partitionBy("component").orderBy(
             F.col("__keep_score").desc(), F.col(id_col).asc()
         )

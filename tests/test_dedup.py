@@ -367,3 +367,203 @@ def test_minhash_index_matches_batch_banding(spark, sf_dir):
         if r["new_id"] != r["ref_id"]
     }
     assert batch_pairs <= inc_pairs
+
+
+# ---------------------------------------------------------------------------
+# round-2 review-fix regressions
+# ---------------------------------------------------------------------------
+
+
+def test_prefix_filter_exact_at_float_ceil_boundary(spark):
+    """ceil(0.8*5) evaluates to 5 in float64 (product one ulp above 4);
+    the old prefix formula dropped true pairs at exactly this regime.
+    Construct a doc pair with J = 0.8 on 4-vs-5 shingle sets whose only
+    shared prefix element sits at the boundary position."""
+    from lsdm_motogp_data_integration_spark.operators.dedup import (
+        jaccard_pairs,
+        word_shingle_hashes,
+    )
+
+    # doc a: 9 words -> 5 distinct 5-gram shingles; doc b: a's last 8
+    # words -> 4 shingles, all shared => J = 4/5 = 0.8 exactly
+    words = "w1 w2 w3 w4 w5 w6 w7 w8 w9"
+    a_text = words
+    b_text = " ".join(words.split()[1:])
+    df = spark.createDataFrame(
+        [(1, a_text), (2, b_text)], ["doc_id", "text"]
+    )
+    sizes = {
+        r["doc_id"]: r["n"]
+        for r in df.select(
+            "doc_id",
+            F.size(word_shingle_hashes("text", 5)).alias("n"),
+        ).collect()
+    }
+    assert sizes == {1: 5, 2: 4}
+    out = jaccard_pairs(df, "text", "doc_id", k=5, threshold=0.8).collect()
+    assert len(out) == 1 and out[0]["jaccard"] == 0.8
+
+
+def test_unigram_shingles_k1(spark):
+    from lsdm_motogp_data_integration_spark.operators.dedup import (
+        fused_minhash_mins,
+        minhash_signature,
+        word_shingle_hashes,
+        word_shingles,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "b a c a"), (2, "")], ["doc_id", "text"]
+    )
+    r = {
+        x["doc_id"]: x
+        for x in df.select(
+            "doc_id",
+            word_shingles("text", 1).alias("ws"),
+            F.sort_array(word_shingle_hashes("text", 1)).alias("wh"),
+            minhash_signature(
+                word_shingle_hashes("text", 1), 8
+            ).alias("sig"),
+            fused_minhash_mins("text", 1, 8).alias("fused"),
+        ).collect()
+    }
+    assert sorted(r[1]["ws"]) == ["a", "b", "c"]
+    assert len(r[1]["wh"]) == 3
+    # fused k=1 signature == signature over the k=1 shingle hashes
+    assert r[1]["fused"] == r[1]["sig"]
+    assert r[2]["fused"] == r[2]["sig"]
+
+
+def test_fused_null_text_matches_signature_sentinel(spark):
+    from pyspark.sql import types as T
+
+    from lsdm_motogp_data_integration_spark.operators.dedup import (
+        fused_minhash_mins,
+        minhash_signature,
+        word_shingle_hashes,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    df = spark.createDataFrame([(1, None), (2, "hello world")], schema)
+    rows = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            minhash_signature(word_shingle_hashes("text", 5), 8).alias("a"),
+            fused_minhash_mins("text", 5, 8).alias("b"),
+        ).collect()
+    }
+    assert rows[1]["a"] == [-1] * 8  # sentinel, not NULL
+    assert rows[1]["b"] == [-1] * 8  # fused agrees
+    assert rows[2]["a"] == rows[2]["b"]
+
+
+def test_simhash_radius_beyond_three_has_complete_coverage(spark):
+    """h>3 derives more/narrower chunks; the operator's output must
+    equal the brute-force all-pairs bit_count relation at that radius
+    (the old fixed 4-chunk split could silently miss pairs differing
+    in all four chunks)."""
+    from lsdm_motogp_data_integration_spark.operators.dedup import (
+        normalized_words,
+        simhash64_udf,
+        simhash_pairs,
+    )
+
+    vocab = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join((vocab + " ").split()[j % 10] for j in range(i, i + 7)) * 3)
+            for i in range(12)
+        ],
+        ["doc_id", "text"],
+    )
+    radius = 10
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_pairs(
+            docs, "text", "doc_id", max_hamming=radius
+        ).collect()
+    }
+    sk = docs.select(
+        "doc_id",
+        simhash64_udf(
+            F.transform(normalized_words("text"), lambda t: F.xxhash64(t))
+        ).alias("sh"),
+    )
+    a, b = sk.alias("a"), sk.alias("b")
+    want = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
+            .cast("bigint")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= radius)
+        .collect()
+    }
+    assert got == want
+    assert any(h > 3 for (_, _, h) in want)  # the regime actually exercised
+
+
+def test_simhash_null_text_produces_no_pairs_both_modes(spark):
+    from pyspark.sql import types as T
+
+    from lsdm_motogp_data_integration_spark.operators.dedup import (
+        simhash_pairs,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "real text here")], schema
+    )
+    for weighting in ("none", "idf"):
+        out = simhash_pairs(
+            df, "text", "doc_id", weighting=weighting
+        ).collect()
+        ids = {i for r in out for i in (r["id_a"], r["id_b"])}
+        assert 1 not in ids and 2 not in ids, weighting
+
+
+def test_dedup_corpus_exact_cluster_collapses_before_banding(spark):
+    """100 byte-identical docs + 1 near-dup + 1 unique: the exact
+    prestage must leave one survivor for the identical group and the
+    result must still close the near-dup into the same cluster."""
+    from lsdm_motogp_data_integration_spark.operators.dedup import (
+        dedup_corpus,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    rows = [(i, base) for i in range(100)]
+    rows.append((200, base + "tail words"))
+    rows.append((300, "completely different content about databases"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = sorted(
+        r["doc_id"] for r in dedup_corpus(df, "text", "doc_id").collect()
+    )
+    assert out == [0, 300]  # min-id survivor of the merged cluster + unique
+
+
+def test_connected_components_rejects_zero_iterations(spark):
+    import pytest
+
+    from lsdm_motogp_data_integration_spark.operators.dedup import (
+        connected_components,
+    )
+
+    nodes = spark.createDataFrame([(1,), (2,)], ["id"])
+    pairs = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+    with pytest.raises(ValueError):
+        connected_components(nodes, pairs, max_iterations=0)
