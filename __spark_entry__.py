@@ -3510,7 +3510,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, t.s,
                        array_to_string(ws[(t.s+1):(t.s+5)], ' ') AS g
                 FROM w, UNNEST(generate_series(
-                    0, greatest(len(ws) - 5, 0))) AS t(s)
+                    0, len(ws) - 5)) AS t(s)
             ), rep AS (
                 SELECT doc_id, s FROM (
                     SELECT doc_id, s, ROW_NUMBER() OVER (
@@ -3540,7 +3540,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, t2.s,
                        array_to_string(ws[(t2.s+1):(t2.s+5)], ' ') AS g
                 FROM w2, UNNEST(generate_series(
-                    0, greatest(len(ws) - 5, 0))) AS t2(s)
+                    0, len(ws) - 5)) AS t2(s)
             ), nd2 AS (
                 SELECT g, COUNT(DISTINCT doc_id) AS nd FROM g2 GROUP BY g
             ), rk2 AS (

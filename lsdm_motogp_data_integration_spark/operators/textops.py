@@ -154,14 +154,21 @@ def rolling_hash_chunks_udf(texts: pd.Series) -> pd.Series:
     """Content-defined chunk boundary positions via a Karp-Rabin rolling
     hash (window 16, boundary when hash % 64 == 0) — the primitive for
     shift-resistant dedup of long documents. Vectorized per Arrow batch;
-    numpy inner loop per document."""
+    numpy inner loop per document.
+
+    Boundaries are CHARACTER offsets (the hash rolls over codepoints,
+    not UTF-8 bytes), so they index directly into the Python/Spark
+    string — byte offsets would exceed len(text) on non-ASCII input
+    and could split inside a multi-byte codepoint."""
     base, mod, win, mask = 257, (1 << 61) - 1, 16, 63
     out = []
     for text in texts:
         if text is None or len(text) < win:
             out.append([])
             continue
-        data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.int64)
+        data = np.fromiter(
+            (ord(ch) for ch in text), dtype=np.int64, count=len(text)
+        )
         n = len(data)
         h = 0
         power = pow(base, win - 1, mod)
@@ -183,11 +190,13 @@ def rolling_hash_chunks_udf(texts: pd.Series) -> pd.Series:
 # deliberately simple, SQL-portable patterns: the curation screen's
 # point is the Spark-side plumbing (pure Column regexes, countable
 # before/after); production pattern sets drop in unchanged
-#: Redaction applies these in DICT ORDER, and order is load-bearing:
-#: email first (an address's digits must not be half-eaten by the
-#: phone pattern) and ssn_like BEFORE phone (the phone regex matches
-#: the interior '45-678' of '123-45-6789', leaving the SSN area number
-#: and last digit un-redacted and un-matchable).
+#: Redaction applies these in DICT ORDER. Load-bearing part: email
+#: FIRST — an address's digits must not be half-eaten by the phone
+#: pattern. ssn_like-before-phone is defensive layering only: as
+#: written the phone regex cannot match inside a 3-2-4 SSN (its second
+#: group needs 3+ digits where the SSN has 2), so the order is not
+#: what protects SSNs today — but it becomes load-bearing the moment
+#: anyone loosens the phone digit groups, so keep it.
 PII_PATTERNS = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
     "ssn_like": r"\b\d{3}-\d{2}-\d{4}\b",
@@ -242,16 +251,28 @@ def pack_sequences(
     ``keys.add_surrogate_key``. Adds ``seq_id`` (bigint) and
     ``seq_offset`` (bigint, token offset within the bin's stream).
     """
-    from pyspark.sql import Window
-
     if partition_by:
         w = Window.partitionBy(*partition_by).orderBy(*order_by)
     else:
         w = Window.orderBy(*order_by)
     w = w.rowsBetween(Window.unboundedPreceding, -1)
     prev = F.coalesce(F.sum(F.col(token_count_col)).over(w), F.lit(0))
-    return df.withColumn("seq_id", (prev / budget).cast("bigint")).withColumn(
-        "seq_offset", F.pmod(prev, F.lit(budget)).cast("bigint")
+    # integer DIV, not float division: prev/budget in double can round
+    # across a bin boundary at extreme offsets (non-power-of-2 budgets
+    # near 2^53), yielding a (seq_id, seq_offset) pair from two
+    # different bins; DIV and pmod agree at any magnitude
+    return (
+        df.withColumn("__prev", prev)
+        .withColumn(
+            "seq_id",
+            F.call_function(
+                "div", F.col("__prev"), F.lit(int(budget))
+            ).cast("bigint"),
+        )
+        .withColumn(
+            "seq_offset", F.pmod(F.col("__prev"), F.lit(budget)).cast("bigint")
+        )
+        .drop("__prev")
     )
 
 
@@ -322,8 +343,11 @@ def stratified_sample(
     dependent under retries). Salting the hash with the stratum makes
     per-stratum draws independent. One filter expression, no shuffle.
     """
+    # coalesce the stratum into the salt: concat with a NULL stratum
+    # would NULL the whole hash and silently drop every null-stratum
+    # row from the sample regardless of its rate
     c = F.concat(
-        F.col(strata_col).cast("string"),
+        F.coalesce(F.col(strata_col).cast("string"), F.lit("__null__")),
         F.lit("|"),
         F.col(id_col).cast("string"),
     )
@@ -369,9 +393,13 @@ def mask_repeated_ngrams(
     pos = base.select(
         id_col, F.posexplode("__w").alias("__p", "__word")
     )
-    gram_starts = F.sequence(
-        F.lit(0), F.greatest(n - F.lit(int(k)), F.lit(0))
-    )
+    # docs with fewer than k words emit NO grams: greatest(n-k, 0)
+    # would yield a truncated partial gram at s=0, making short docs
+    # dedup-eligible below the k-gram threshold (and the gate must be
+    # explicit — Spark's sequence(0, -1) DESCENDS, it is not empty)
+    gram_starts = F.when(
+        n >= k, F.sequence(F.lit(0), n - F.lit(int(k)))
+    ).otherwise(F.array().cast("array<int>"))
     grams = base.select(
         id_col,
         F.explode(
@@ -410,7 +438,7 @@ def mask_repeated_ngrams(
         F.count(F.lit(1)).alias("__n_kept"),
     )
     return (
-        base.select(id_col, n.alias("__n_total"))
+        base.select(id_col, F.coalesce(n, F.lit(0)).alias("__n_total"))
         .join(rebuilt, id_col, "left")
         .select(
             F.col(id_col),
@@ -473,9 +501,13 @@ def cross_doc_span_dedup(
         base = base.persist()
     n = F.size("__w")
     pos = base.select(id_col, F.posexplode("__w").alias("__p", "__word"))
-    gram_starts = F.sequence(
-        F.lit(0), F.greatest(n - F.lit(int(k)), F.lit(0))
-    )
+    # docs with fewer than k words emit NO grams: greatest(n-k, 0)
+    # would yield a truncated partial gram at s=0, making short docs
+    # dedup-eligible below the k-gram threshold (and the gate must be
+    # explicit — Spark's sequence(0, -1) DESCENDS, it is not empty)
+    gram_starts = F.when(
+        n >= k, F.sequence(F.lit(0), n - F.lit(int(k)))
+    ).otherwise(F.array().cast("array<int>"))
     grams = base.select(
         id_col,
         F.explode(
@@ -533,7 +565,7 @@ def cross_doc_span_dedup(
         F.count(F.lit(1)).alias("__n_kept"),
     )
     return (
-        base.select(id_col, n.alias("__n_total"))
+        base.select(id_col, F.coalesce(n, F.lit(0)).alias("__n_total"))
         .join(rebuilt, id_col, "left")
         .select(
             F.col(id_col),
@@ -586,17 +618,24 @@ def mixture_sample(
             ).alias("__rate"),
         )
     )
+    # NULL-group salt must not NULL the hash (see stratified_sample)
     c = F.concat(
-        F.col(group_col).cast("string"),
+        F.coalesce(F.col(group_col).cast("string"), F.lit("__null__")),
         F.lit("|"),
         F.col(id_col).cast("string"),
     )
     bucket = F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("bigint")
     u = bucket / F.lit(float(1 << 32))
+    # eqNullSafe: a NULL group key must route through default_prop like
+    # any other group — a plain equi-join would silently DROP those
+    # rows (NULL never equals NULL in a join key)
     return (
-        df.join(F.broadcast(rates), group_col)
+        df.join(
+            F.broadcast(rates.withColumnRenamed(group_col, "__grp")),
+            F.col(group_col).eqNullSafe(F.col("__grp")),
+        )
         .filter(u < F.col("__rate"))
-        .drop("__rate")
+        .drop("__rate", "__grp")
     )
 
 
@@ -627,9 +666,13 @@ def ngram_stats(
 
     Returns (ngram, n_occurrences, n_docs) [+ rank when top_k].
     """
-    words = F.split(
-        F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")), " "
+    from lsdm_motogp_data_integration_spark.operators.dedup import (
+        normalized_words,
     )
+
+    # the ENGINE-WIDE tokenizer (dedup.normalized_words) — the same
+    # expression inlined here once drifted risk: one definition only
+    words = normalized_words(F.col(text_col))
     nw = F.size(words)
     starts = F.sequence(F.lit(0), nw - F.lit(int(n)))
     grams = F.when(
@@ -680,8 +723,6 @@ def build_vocab(
     ``min_count`` drops the long tail before ranking (the standard
     vocab truncation), which also shrinks the ranked relation.
     """
-    from pyspark.sql import functions as F
-
     from lsdm_motogp_data_integration_spark.operators.dedup import (
         normalized_words,
     )

@@ -233,3 +233,29 @@ def test_dsir_short_and_empty_docs(spark):
     assert set(out) == {1, 3}
     assert out[1]["n_feats"] == 1          # unigram only
     assert out[3]["n_feats"] == 3          # 2 unigrams + 1 bigram
+
+
+def test_mixture_sample_null_group_uses_default(spark):
+    """NULL group keys must route through default_prop like any group —
+    a plain equi-join silently dropped them."""
+    from pyspark.sql import types as T
+
+    from lsdm_motogp_data_integration_spark.operators.textops import (
+        mixture_sample,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("grp", T.StringType()),
+        ]
+    )
+    rows = [(i, "a") for i in range(100)]
+    rows += [(i + 1000, None) for i in range(100)]
+    df = spark.createDataFrame(rows, schema)
+    out = mixture_sample(
+        df, "grp", {"a": 0.5}, budget=100, id_col="doc_id",
+        default_prop=0.5,
+    ).collect()
+    null_taken = sum(1 for r in out if r["grp"] is None)
+    assert null_taken > 0  # default_prop applies, rows are not dropped

@@ -156,3 +156,45 @@ def test_cross_doc_span_dedup_max_docs_per_gram(spark):
         for r in cross_doc_span_dedup(df, k=3).collect()
     }
     assert uncapped == {1: 0, 2: 3, 3: 3, 4: 3}
+
+
+def test_short_docs_emit_no_grams_cross_doc(spark):
+    """Docs with fewer than k words must be untouched by cross-doc span
+    dedup (the old greatest(n-k,0) start emitted a truncated partial
+    gram, making short duplicate docs dedup-eligible below k)."""
+    from lsdm_motogp_data_integration_spark.operators.textops import (
+        cross_doc_span_dedup,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "thank you"), (2, "thank you"), (3, "")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in cross_doc_span_dedup(df, k=5).collect()}
+    assert out[1]["text"] == "thank you"
+    assert out[2]["text"] == "thank you"   # NOT hollowed out
+    assert out[1]["n_words_removed"] == 0
+    assert out[2]["n_words_removed"] == 0
+    assert out[3]["n_words_removed"] == 0  # no phantom '' gram
+
+
+def test_null_text_counts_are_zero_not_null(spark):
+    from pyspark.sql import types as T
+
+    from lsdm_motogp_data_integration_spark.operators.textops import (
+        cross_doc_span_dedup,
+        mask_repeated_ngrams,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    df = spark.createDataFrame([(1, None), (2, "a b c d e f g")], schema)
+    for fn in (mask_repeated_ngrams, cross_doc_span_dedup):
+        out = {r["doc_id"]: r for r in fn(df, k=5).collect()}
+        assert out[1]["n_words_kept"] == 0
+        assert out[1]["n_words_removed"] == 0  # bigint 0, not NULL/-1
+        assert out[1]["text"] == ""

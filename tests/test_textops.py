@@ -320,3 +320,16 @@ def test_build_vocab_ids_and_counts(spark):
         for r in build_vocab(df.repartition(5), min_count=1).collect()
     }
     assert v3 == {k: r["vocab_id"] for k, r in v.items()}
+
+
+def test_rolling_hash_bounds_are_char_offsets(spark):
+    """Boundaries must index the STRING (codepoints), not its UTF-8
+    bytes — byte offsets exceed len(text) on non-ASCII input."""
+    from lsdm_motogp_data_integration_spark.operators.textops import (
+        rolling_hash_chunks_udf,
+    )
+
+    text = "é" * 200 + "mixed ascii tail " * 10
+    df = spark.createDataFrame([(text,)], ["t"])
+    bounds = df.select(rolling_hash_chunks_udf("t").alias("c")).collect()[0]["c"]
+    assert all(0 < b <= len(text) for b in bounds)
