@@ -104,6 +104,25 @@ def _ts_is_nanos(path: str) -> bool:
         return True
 
 
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize the ``ts`` column to one canonical TIMESTAMP whatever
+    the parquet physical type surfaced as (bigint nanos under the
+    legacy flag, TIMESTAMP_NTZ, or already TIMESTAMP) — shared by the
+    batch reader and the streaming probe so the two cannot drift."""
+    from pyspark.sql import functions as F
+
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
+        # integer division: float division of ns-epoch magnitudes
+        # loses precision beyond double's 53-bit mantissa
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # watermarks require TIMESTAMP (with local tz); the session tz
+        # is pinned to UTC, so the cast is value-stable
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver testdata table (TESTDATA.md).
 
@@ -134,17 +153,9 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # bigint-instead-of-timestamp reads into every later
             # nanos-parquet scan of the session
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        ts_type = dict(df.dtypes).get("ts")
-        from pyspark.sql import functions as F
-
-        if ts_type == "bigint":
-            # integer division: float division of ns-epoch magnitudes
-            # loses precision beyond double's 53-bit mantissa
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        elif ts_type == "timestamp_ntz":
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-        return df
+        return normalize_event_ts(
+            spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        )
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -29,26 +29,31 @@ def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
     ``sources._ts_is_nanos`` — an unconditional set would leak
     bigint-typed reads into unrelated nanos-parquet scans) and are
     converted to a microsecond timestamp after the scan."""
-    from lsdm_motogp_data_integration_spark.sources import _ts_is_nanos
+    import os
+
+    from lsdm_motogp_data_integration_spark.sources import (
+        _ts_is_nanos,
+        normalize_event_ts,
+    )
 
     if _ts_is_nanos(path):
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     probe = spark.read.parquet(path)
     reader = spark.readStream.schema(probe.schema).format("parquet")
-    if path.endswith(".parquet"):
-        import os
-
-        reader = reader.option("pathGlobFilter", os.path.basename(path))
-        path = os.path.dirname(path)
+    # the single-FILE branch must check the filesystem, not the name
+    # suffix (a Spark-written DATASET directory is often *.parquet),
+    # and the glob filter must escape glob metacharacters or a name
+    # like events[v2].parquet silently matches nothing
+    if os.path.isfile(path):
+        base = os.path.basename(path)
+        escaped = "".join(
+            "\\" + ch if ch in r"\[]{}*?" else ch for ch in base
+        )
+        reader = reader.option("pathGlobFilter", escaped)
+        path = os.path.dirname(path) or "."
     raw = reader.load(path)
-    ts_type = dict(probe.dtypes).get("ts")
-    if ts_type == "bigint":
-        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    elif ts_type == "timestamp_ntz":
-        # watermarks require TIMESTAMP (with local tz); the session tz is
-        # pinned to UTC (session.get_spark), so the cast is value-stable.
-        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
-    return raw
+    # shared with sources.read_table so batch and stream cannot drift
+    return normalize_event_ts(raw)
 
 
 def windowed_counts(
@@ -230,11 +235,16 @@ def run_stream_to_memory(
     stream_df: DataFrame,
     query_name: str,
     *,
-    output_mode: str = "append",
+    output_mode: str,
 ) -> DataFrame:
     """Drive a (bounded) streaming plan to completion with an
     availableNow trigger and a memory sink; returns the materialized
-    result as a batch DataFrame."""
+    result as a batch DataFrame.
+
+    ``output_mode`` is deliberately REQUIRED: defaulting to append
+    silently drops every window still inside the watermark horizon at
+    end-of-input (windowed/session aggregates need ``complete``), and
+    that omission looks exactly like correct output."""
     q = (
         stream_df.writeStream.outputMode(output_mode)
         .format("memory")
@@ -243,7 +253,7 @@ def run_stream_to_memory(
         .start()
     )
     q.awaitTermination()
-    return spark.sql(f"SELECT * FROM {query_name}")
+    return spark.table(query_name)
 
 
 def streaming_neardup_ingest(
@@ -290,11 +300,26 @@ def streaming_neardup_ingest(
         incremental_neardup,
     )
 
-    def _dir_exists(spark, path: str) -> bool:
+    def _has_prior_batches(spark, path: str, batch_id: int) -> bool:
+        # only batch_id < current counts as history: a batch that
+        # crashed between its accepted and index writes leaves ITS OWN
+        # partial batch_id=N directory behind, and treating that as
+        # "history exists" would make every replay re-raise forever —
+        # a bricked pipeline recoverable only by manual deletion
         jvm = spark._jvm
         p = jvm.org.apache.hadoop.fs.Path(path)
         fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-        return bool(fs.exists(p)) and len(fs.listStatus(p)) > 0
+        if not fs.exists(p):
+            return False
+        for st in fs.listStatus(p):
+            name = st.getPath().getName()
+            if name.startswith("batch_id="):
+                try:
+                    if int(name.split("=", 1)[1]) < batch_id:
+                        return True
+                except ValueError:
+                    continue
+        return False
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -311,11 +336,11 @@ def streaming_neardup_ingest(
             have_history = True
         except AnalysisException:
             # only a GENUINELY empty state may skip the screen: a
-            # transient read failure on a non-empty store must fail the
-            # batch loudly, not silently admit historical near-dups
-            if _dir_exists(spark, index_dir) or _dir_exists(
-                spark, accepted_dir
-            ):
+            # transient read failure when PRIOR batches exist must fail
+            # the batch loudly, not silently admit historical near-dups
+            if _has_prior_batches(
+                spark, index_dir, batch_id
+            ) or _has_prior_batches(spark, accepted_dir, batch_id):
                 raise
             have_history = False  # first batch: nothing accepted yet
         if have_history:
@@ -323,8 +348,20 @@ def streaming_neardup_ingest(
                 survivors, index, text_col, id_col,
                 k=k, num_perm=num_perm, bands=bands,
                 threshold=est_threshold,
+            ).localCheckpoint(eager=True)
+            # verification needs text only for the ref docs that
+            # actually HIT (a broadcast semi-join against the small hit
+            # set) — never the whole accepted history; the per-batch
+            # history scan still lists all batch dirs but prunes to
+            # (id, text) columns and the in-file sort below lets
+            # min/max stats skip non-matching row groups
+            ref_ids = hits.select(
+                F.col("ref_id").alias(id_col)
+            ).dropDuplicates()
+            hist_needed = hist.select(id_col, text_col).join(
+                F.broadcast(ref_ids), id_col, "left_semi"
             )
-            verify_corpus = hist.select(id_col, text_col).unionByName(
+            verify_corpus = hist_needed.unionByName(
                 survivors.select(id_col, text_col)
             )
             confirmed = exact_jaccard_for_pairs(
@@ -336,9 +373,11 @@ def streaming_neardup_ingest(
             ).dropDuplicates()
             survivors = survivors.join(dup_ids, id_col, "left_anti")
         survivors = survivors.localCheckpoint(eager=True)
-        survivors.write.mode("overwrite").parquet(
-            f"{accepted_dir}/batch_id={batch_id}"
-        )
+        # in-file sort by id: future batches' verification semi-joins
+        # prune row groups via parquet min/max stats on the id
+        survivors.sortWithinPartitions(id_col).write.mode(
+            "overwrite"
+        ).parquet(f"{accepted_dir}/batch_id={batch_id}")
         build_minhash_index(
             survivors, text_col, id_col,
             k=k, num_perm=num_perm, bands=bands,
