@@ -136,8 +136,11 @@ def similarity_join(
       band with the probe (dissimilar strings) — recall asserted in
       tests; ``blocker`` is ignored.
 
-    ``scorer`` picks the Jaro-Winkler implementation (identical values,
-    property-tested): ``"pandas"`` (default) is the Arrow-batched bulk
+    ``scorer`` picks the Jaro-Winkler implementation (identical values
+    on the normalized keys this function feeds them — NB the pandas UDF
+    itself is case-sensitive like DuckDB's jaro_winkler_similarity,
+    while jaro_winkler_col lowers internally; parity is property-tested
+    on normalized inputs): ``"pandas"`` (default) is the Arrow-batched bulk
     path — the per-pair cost is ~µs, so it scales to millions of
     candidate pairs; ``"jvm"`` is a pure Column expression with NO
     Python worker in the plan — but higher-order functions are
@@ -150,8 +153,13 @@ def similarity_join(
     (≤ ``AUTO_EXHAUSTIVE_MAX`` rows — bounded Arrow batches per probe
     row), and switches to ``first_char`` pruning beyond that, so no
     default path ever feeds an unbounded |probe|×|lookup| product
-    through the Python scorer. Pass ``blocker="none"`` explicitly to
-    force the exhaustive scan on a large lookup.
+    through the Python scorer. NB the switch changes RESULTS, not just
+    cost: first_char pruning discards any best match whose first
+    character differs (e.g. a leading typo 'iamaha' -> 'yamaha'), so a
+    lookup crossing the threshold can flip a probe's match. Pass
+    ``blocker="none"`` explicitly to force the exhaustive scan on a
+    large lookup, or ``strategy="lsh"`` for high-recall blocking that
+    does not key on any single character.
     """
     if how not in ("left", "inner"):
         raise ValueError(f"how must be left|inner, got {how!r}")
@@ -166,6 +174,18 @@ def similarity_join(
     if overlap:
         raise ValueError(
             f"probe/lookup column overlap {sorted(overlap)}; rename first"
+        )
+    # the score column and the plan-internal names must be fresh:
+    # withColumn would silently OVERWRITE an existing score_col inside
+    # the pair relation (while the join-back side keeps the original,
+    # yielding an ambiguous duplicate name), and a user __probe_id/__rn
+    # would be clobbered by the window machinery
+    reserved = {score_col, "__probe_id", "__rn"}
+    clash = reserved & (set(probe.columns) | set(lookup.columns))
+    if clash:
+        raise ValueError(
+            f"column(s) {sorted(clash)} collide with the score column or "
+            "plan-internal names; rename or pass a different score_col"
         )
 
     pkey = F.lower(F.trim(F.col(probe_on)))
@@ -184,7 +204,15 @@ def similarity_join(
     # an extra eager job, which on a large heap can land on a GC pause).
     tagged = probe.withColumn("__probe_id", F.monotonically_increasing_id())
     if how == "left" or strategy == "lsh":
-        tagged = tagged.localCheckpoint(eager=True)
+        # prefer a RELIABLE checkpoint when the session has a
+        # checkpoint dir: localCheckpoint pins every probe partition in
+        # executor block storage and an executor loss after the
+        # checkpoint is unrecoverable (no lineage); local remains the
+        # default because it needs no configuration
+        if probe.sparkSession.sparkContext.getCheckpointDir():
+            tagged = tagged.checkpoint(eager=True)
+        else:
+            tagged = tagged.localCheckpoint(eager=True)
 
     if strategy == "lsh":
         pairs = _lsh_candidates(tagged, lookup, probe_on, lookup_on)
@@ -206,12 +234,16 @@ def similarity_join(
 
     score_fn = jaro_winkler_col if scorer == "jvm" else jaro_winkler_udf
     scored = pairs.withColumn(
-        score_col,
-        score_fn(F.lower(F.trim(F.col(probe_on))), F.lower(F.trim(F.col(lookup_on)))),
+        score_col, score_fn(pkey, lkey)
     ).filter(F.col(score_col) >= F.lit(threshold))
 
+    # tie-break: smallest key, then a hash over the FULL lookup row —
+    # duplicate lookup keys with different payloads would otherwise
+    # leave the carried columns partition-order dependent
     w = Window.partitionBy("__probe_id").orderBy(
-        F.col(score_col).desc(), F.col(lookup_on).asc()
+        F.col(score_col).desc(),
+        F.col(lookup_on).asc(),
+        F.xxhash64(*[F.col(c) for c in lookup.columns]).asc(),
     )
     best = (
         scored.withColumn("__rn", F.row_number().over(w))

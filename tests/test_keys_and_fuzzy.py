@@ -138,3 +138,37 @@ def test_fuzzy_auto_blocker_switches_on_lookup_size(spark):
     assert sorted((r["pid"], r["cand"]) for r in auto.collect()) == sorted(
         (r["pid"], r["cand"]) for r in explicit.collect()
     )
+
+
+def test_fuzzy_duplicate_lookup_keys_deterministic(spark):
+    """Duplicate lookup KEY values with different payloads: the carried
+    payload must not depend on partition layout (full-row hash
+    tie-break)."""
+    probe = spark.createDataFrame([(1, "asen")], ["pid", "probe_name"])
+    lookup = spark.createDataFrame(
+        [("assen", 10), ("assen", 20), ("assen", 30)],
+        ["n_name", "payload"],
+    )
+    a = similarity_join(
+        probe, lookup, "probe_name", "n_name"
+    ).select("payload").collect()
+    b = similarity_join(
+        probe.repartition(7), lookup.repartition(5), "probe_name", "n_name"
+    ).select("payload").collect()
+    assert a == b and len(a) == 1
+
+
+def test_fuzzy_rejects_score_col_collision(spark):
+    import pytest
+
+    probe = spark.createDataFrame(
+        [(1, "asen", 0.5)], ["pid", "probe_name", "similarity"]
+    )
+    lookup = spark.createDataFrame([("assen",)], ["n_name"])
+    with pytest.raises(ValueError):
+        similarity_join(probe, lookup, "probe_name", "n_name")
+    # a custom score_col clears the clash
+    out = similarity_join(
+        probe, lookup, "probe_name", "n_name", score_col="jw_score"
+    ).collect()
+    assert len(out) == 1 and out[0]["jw_score"] > 0.8
