@@ -1103,7 +1103,7 @@ def q40_streaming_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                     # arrival-order dependent (the repo's decimal-sum
                     # convention, applied across the state boundary)
                     (
-                        F.col("value").cast("decimal(18,6)")
+                        F.col("value").cast("decimal(38,6)")
                         * F.lit(1_000_000)
                     )
                     .cast("long")
@@ -1243,10 +1243,10 @@ def q43_statistics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.min("value").alias("vmin"),
         F.max("value").alias("vmax"),
-        F.sum(F.col("value").cast("decimal(18,6)"))
+        F.sum(F.col("value").cast("decimal(38,6)"))
         .cast("double")
         .alias("__s1"),
-        F.sum((F.col("value") * F.col("value")).cast("decimal(18,6)"))
+        F.sum((F.col("value") * F.col("value")).cast("decimal(38,6)"))
         .cast("double")
         .alias("__s2"),
     )
@@ -2850,7 +2850,7 @@ def oracle_sql() -> dict[str, str]:
                    date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
                    event_type,
                    COUNT(*) AS n_events,
-                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+                   CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value,
                    NULL::BIGINT AS event_id,
                    NULL::BIGINT AS user_id,
                    NULL::BIGINT AS session_seq
@@ -3025,7 +3025,7 @@ def oracle_sql() -> dict[str, str]:
                    date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
                    event_type,
                    COUNT(*) AS n_events,
-                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+                   CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value,
                    NULL::BIGINT AS click_id,
                    NULL::BIGINT AS view_id,
                    NULL::BIGINT AS user_id,
@@ -3080,7 +3080,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'stateful' AS scope,
                    NULL::TIMESTAMP, NULL::TIMESTAMP, NULL::VARCHAR,
                    COUNT(*) AS n_events,
-                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                   CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
                        AS sum_value,
                    NULL::BIGINT, NULL::BIGINT, user_id,
                    NULL::BIGINT, NULL::BIGINT
@@ -3089,7 +3089,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'foreach_sink' AS scope,
                    NULL::TIMESTAMP, NULL::TIMESTAMP, event_type,
                    COUNT(*) AS n_events,
-                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                   CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
                        AS sum_value,
                    NULL::BIGINT, NULL::BIGINT, NULL::BIGINT,
                    NULL::BIGINT, NULL::BIGINT
@@ -3122,9 +3122,9 @@ def oracle_sql() -> dict[str, str]:
                        COUNT(*) AS n,
                        MIN(value) AS vmin,
                        MAX(value) AS vmax,
-                       CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                       CAST(SUM(CAST(value AS DECIMAL(38,6)))
                             AS DOUBLE) AS s1,
-                       CAST(SUM(CAST(value * value AS DECIMAL(18,6)))
+                       CAST(SUM(CAST(value * value AS DECIMAL(38,6)))
                             AS DOUBLE) AS s2
                 FROM events GROUP BY event_type
             )

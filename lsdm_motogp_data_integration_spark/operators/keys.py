@@ -86,9 +86,16 @@ def add_surrogate_key_distributed(
     ).drop("__pid")
     # Materialize the keyed output, then release the persisted range
     # partitioning — otherwise repeated calls in a long-lived session
-    # leak executor storage. localCheckpoint blocks are reclaimed by the
-    # ContextCleaner once the returned DataFrame is garbage-collected.
-    result = result.localCheckpoint(eager=True)
+    # leak executor storage. Prefer a RELIABLE checkpoint when the
+    # session has a checkpoint dir (localCheckpoint blocks die with
+    # their executor — a post-checkpoint executor loss would make the
+    # returned fact-scale DataFrame unrecoverable); local remains the
+    # zero-config default, reclaimed by the ContextCleaner once the
+    # returned DataFrame is garbage-collected.
+    if df.sparkSession.sparkContext.getCheckpointDir():
+        result = result.checkpoint(eager=True)
+    else:
+        result = result.localCheckpoint(eager=True)
     ranged.unpersist()
     return result
 
@@ -121,8 +128,17 @@ def training_shards(
     bounded by ``n_shards``: pick n_shards ≥ cluster cores at scale
     (1024 shards ≈ 100 GB/shard at 100 TB — a per-reducer external
     sort, not a global one)."""
+    # coalesce null ids into a sentinel: md5 of a NULL concat is NULL,
+    # which would assign shard=NULL — outside the 0..n_shards-1
+    # contract and a surprise __HIVE_DEFAULT_PARTITION__ at write time.
+    # (As with duplicate ids, the in-shard order among equal-key rows
+    # is then tie-broken arbitrarily — unique ids give the full
+    # determinism guarantee.)
     h = F.md5(
-        F.concat(F.lit(f"{salt}|"), F.col(id_col).cast("string"))
+        F.concat(
+            F.lit(f"{salt}|"),
+            F.coalesce(F.col(id_col).cast("string"), F.lit("__null__")),
+        )
     )
     shard = (
         F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")

@@ -67,7 +67,10 @@ def tumbling_window_agg(
         events.groupBy(win.alias("__w"), F.col(key_col))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col(value_col).cast("decimal(18,6)"))
+            # (38,6): ANSI errors the whole aggregate when one |value|
+            # >= 1e12 overflows 12 integer digits (non-ANSI silently
+            # nulls it out of the sum) — same fix as profile_columns
+            F.sum(F.col(value_col).cast("decimal(38,6)"))
             .cast("double")
             .alias("sum_value"),
         )
@@ -95,8 +98,6 @@ def grouped_zscore_window(
     surface only when the per-group logic genuinely needs Python.
     Output: (id_col, group_col, zscore) — zero-variance groups emit
     null, matching the grouped-map semantics."""
-    from pyspark.sql import Window
-
     w = Window.partitionBy(group_col)
     mu = F.avg(value_col).over(w)
     sigma = F.stddev_pop(value_col).over(w)

@@ -34,13 +34,23 @@ def salted_join(
     ``factor``× (keep it broadcast-sized × factor)."""
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports inner|left")
-    salt_src = [F.col(c) for c in on] + [
-        F.coalesce(F.col(c).cast("string"), F.lit(""))
-        for c in skewed.columns
-        if c not in on
-    ]
+    if int(factor) < 1:
+        # pmod(x, 0) is REMAINDER_BY_ZERO under ANSI (or a silent NULL
+        # salt = empty join without it) — fail at call time instead
+        raise ValueError(f"factor must be >= 1, got {factor}")
+    if "__salt" in skewed.columns or "__salt" in small.columns:
+        raise ValueError(
+            "__salt collides with an existing column; rename it first"
+        )
+    # salt from the ROW POSITION, not row content: a hot key whose rows
+    # are byte-identical (or share one low-cardinality payload) would
+    # hash every row to the SAME content salt and stay on one task —
+    # the exact pathology this function exists to fix. The join result
+    # is salt-value independent (each row meets every key under its own
+    # salt replica), so the id's nondeterminism under retries is fine.
     left = skewed.withColumn(
-        "__salt", F.pmod(F.xxhash64(*salt_src), F.lit(factor)).cast("int")
+        "__salt",
+        F.pmod(F.monotonically_increasing_id(), F.lit(factor)).cast("int"),
     )
     right = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(factor - 1)))

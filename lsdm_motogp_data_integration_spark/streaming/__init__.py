@@ -71,7 +71,7 @@ def windowed_counts(
         .groupBy(F.window("ts", window_size).alias("__w"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,6)"))
+            F.sum(F.col("value").cast("decimal(38,6)"))
             .cast("double")
             .alias("sum_value"),
         )

@@ -57,3 +57,24 @@ def test_training_shards_dense_and_deterministic(spark, sf_dir):
         ).collect()
     }
     assert again == {(r["doc_id"], r["shard"], r["pos"]) for r in rows}
+
+
+def test_training_shards_null_id_stays_in_contract(spark):
+    from pyspark.sql import types as T
+
+    from lsdm_motogp_data_integration_spark.operators.keys import (
+        training_shards,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(1, "a"), (None, "b"), (None, "c"), (2, "d")], schema
+    )
+    out = training_shards(df, "doc_id", n_shards=4).collect()
+    assert all(r["shard"] is not None for r in out)
+    assert all(0 <= r["shard"] < 4 for r in out)

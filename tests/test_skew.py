@@ -62,3 +62,44 @@ def test_salt_spreads_hot_key(spark, skewed):
 def test_invalid_how(skewed, dim):
     with pytest.raises(ValueError):
         salted_join(skewed, dim, ["k"], how="full")
+
+
+def test_salted_join_spreads_identical_hot_rows(spark):
+    """A hot key whose rows are byte-identical must still spread over
+    ~factor salts (content-derived salts collapsed them onto one)."""
+    from pyspark.sql import functions as F
+
+    from lsdm_motogp_data_integration_spark.operators.skew import (
+        salted_join,
+    )
+
+    skewed = spark.createDataFrame([("HOT",)] * 1000, ["k"])
+    small = spark.createDataFrame([("HOT", 1)], ["k", "v"])
+    out = salted_join(skewed, small, ["k"], factor=8)
+    assert out.count() == 1000  # join correctness unchanged
+    # measure the spread the same way the operator salts
+    n_salts = (
+        skewed.withColumn(
+            "__salt",
+            F.pmod(F.monotonically_increasing_id(), F.lit(8)).cast("int"),
+        )
+        .select("__salt")
+        .distinct()
+        .count()
+    )
+    assert n_salts >= 4  # genuinely spread, not a single hot task
+
+
+def test_salted_join_validates_inputs(spark):
+    import pytest
+
+    from lsdm_motogp_data_integration_spark.operators.skew import (
+        salted_join,
+    )
+
+    a = spark.createDataFrame([("k1", 1)], ["k", "v"])
+    b = spark.createDataFrame([("k1", 2)], ["k", "w"])
+    with pytest.raises(ValueError):
+        salted_join(a, b, ["k"], factor=0)
+    with pytest.raises(ValueError):
+        salted_join(a.withColumnRenamed("v", "__salt"), b, ["k"])
