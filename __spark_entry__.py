@@ -3191,17 +3191,19 @@ def oracle_sql() -> dict[str, str]:
                     columns={{'Anno':'VARCHAR','Data':'VARCHAR',
                              'Circuito':'VARCHAR'}})
             ), weather_j AS (
-                SELECT TRY_CAST("Data" AS DATE) AS date
+                SELECT TRY_CAST("Data" AS DATE) AS date,
+                       "Circuito" AS weather_place
                 FROM read_json(
                     '{_REF}/scraping/race_weather_data_final.json',
-                    format='array', columns={{'Data':'VARCHAR'}})
+                    format='array',
+                    columns={{'Data':'VARCHAR','Circuito':'VARCHAR'}})
             ), race_rows AS (
-                SELECT r.date, r.circuit_name3
+                SELECT r.date, r.circuit_name3, w.weather_place
                 FROM races_j r JOIN weather_j w ON r.date = w.date
             ), race_ranked AS (
                 SELECT circuit_name3,
                        CAST(ROW_NUMBER() OVER (
-                           ORDER BY date, circuit_name3
+                           ORDER BY date, circuit_name3, weather_place
                        ) AS BIGINT) AS id_race
                 FROM race_rows
             ), race_lookup AS (

@@ -1,4 +1,6 @@
-"""Readers for the 11 MotoGP pipeline sources.
+"""Readers for the 10 READABLE MotoGP pipeline sources (the 11th,
+race_results_view.csv, is the reference repo's missing large blob —
+its deterministic stand-in is synthesized in results.py).
 
 Paths mirror the reference repo layout; schemas are the declared field
 lists from SURVEY.md §1.3 (the ktr hand-declares every CSV/JSON field,

@@ -136,6 +136,12 @@ def build_participation(
     )
     with_rider = with_grid.join(rider_keys, on="rider", how="inner")
 
+    # reference-parity quirk, kept deliberately: the ktr's FuzzyMatch
+    # recovers id_race by circuit NAME alone (motogp.ktr:3111-3152), so
+    # every season's rows at a circuit point at that circuit's earliest
+    # race id — YEAR-BLIND by design. min(id_race) per name is the
+    # deterministic rendering of that semantics; a year-aware linkage
+    # would diverge from the reference output.
     race_lookup = (
         races.select(
             "id_race", F.col("circuit_name3").alias("race_circuit_name")

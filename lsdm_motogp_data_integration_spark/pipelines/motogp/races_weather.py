@@ -29,7 +29,12 @@ def build_races_and_info(
 ) -> tuple[DataFrame, DataFrame]:
     races = races_json.select(
         F.col("Anno").alias("year"),
-        F.to_date("Data", "yyyy-MM-dd").alias("date"),
+        # try_*: a malformed date string must null, not raise — ANSI
+        # mode makes plain to_date an exception, at odds with the
+        # PERMISSIVE readers (and the DuckDB oracle's TRY_CAST)
+        F.try_to_timestamp("Data", F.lit("yyyy-MM-dd"))
+        .cast("date")
+        .alias("date"),
         F.lower(F.trim(F.col("Circuito"))).alias("circuit_name3"),
         F.col("Nome_Ufficiale").alias("off_name"),
         F.col("Percorso").alias("info"),
@@ -38,13 +43,20 @@ def build_races_and_info(
         F.col("Longitudine").alias("long_raw"),
     )
     weather = weather_json.select(
-        F.to_date("Data", "yyyy-MM-dd").alias("date"),
+        F.try_to_timestamp("Data", F.lit("yyyy-MM-dd"))
+        .cast("date")
+        .alias("date"),
         F.col("Circuito").alias("weather_place"),
         F.col("Temp_Max").alias("temp_max"),
         F.col("Temp_Min").alias("temp_min"),
         F.col("Precipitazione").alias("rain"),
         F.col("Condizione_Meteo").alias("condition"),
     )
+    # date-only join — the reference's Merge join 8 key
+    # (motogp.ktr:3961). Two events sharing a calendar date would fan
+    # out here exactly as in Kettle; weather_place participates in the
+    # id ordering below so even then the surrogate assignment stays
+    # deterministic.
     joined = races.join(weather, on="date", how="inner")
 
     # fuzzy-recover the circuit dimension row for each race; the lookup
@@ -57,7 +69,9 @@ def build_races_and_info(
         score_col="corrispondenza",
         how="left",
     )
-    keyed = add_surrogate_key(matched, "id_race", ["date", "circuit_name3"])
+    keyed = add_surrogate_key(
+        matched, "id_race", ["date", "circuit_name3", "weather_place"]
+    )
 
     races_out = keyed.select(
         "id_race",

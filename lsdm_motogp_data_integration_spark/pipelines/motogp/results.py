@@ -99,6 +99,12 @@ def synthesize_race_results(
         .agg(F.min("rider").alias("rider"))
     )
 
+    # NB id % n assumes the dim's ids are dense enough that every
+    # bucket 0..n-1 is populated — true for the reference CSVs (and the
+    # q44/q45 oracle replays the identical formula, so the two sides
+    # cannot drift). A sparse-id dim would leave empty buckets whose
+    # fact rows drop at the enrichment join; this synthesizer is
+    # parity-frozen stand-in data, not a general operator.
     team_idx = (
         teams_raw.select(
             F.col("name").alias("team_name"),

@@ -1,5 +1,12 @@
-"""Build all seven integrated MotoGP tables (the whole ``motogp.ktr``
-DAG as one lazy Spark program; one write action per sink).
+"""Build the eight integrated MotoGP tables (the whole ``motogp.ktr``
+DAG as one Spark program; one write action per sink).
+
+Laziness caveat: the DAG is *mostly* lazy — the fuzzy-match steps pin
+their probe ids with an eager checkpoint (operators/fuzzy.py: the
+left-join-back references the probe twice), and the synthetic-fact and
+fuzzy auto-blocker paths run small count jobs — so ``build_all``
+executes a handful of bounded jobs before any sink is written; the
+heavy fact-table work still runs once per sink write.
 
 Usage::
 
@@ -37,17 +44,6 @@ from lsdm_motogp_data_integration_spark.pipelines.motogp.standings import (
 from lsdm_motogp_data_integration_spark.pipelines.motogp.teams import build_teams
 from lsdm_motogp_data_integration_spark.sources import write_table
 
-SINKS = (
-    "circuits",
-    "teams",
-    "races",
-    "race_info",
-    "riders_enriched",
-    "rider_table",
-    "participation",
-    "team_standings",
-)
-
 
 def build_all(
     spark: SparkSession,
@@ -79,7 +75,7 @@ def build_all(
         results_enriched, src["quali"], riders_enriched, races
     )
     team_standings = build_team_standings(
-        src["constructors_wc"], results_enriched, teams
+        src["constructors_wc"], results_enriched
     )
     return {
         "circuits": circuits,

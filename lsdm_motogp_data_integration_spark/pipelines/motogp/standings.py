@@ -22,17 +22,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from lsdm_motogp_data_integration_spark.pipelines.motogp.teams import (
-    team_id_by_name,
-)
-
 from lsdm_motogp_data_integration_spark.functions.text import strip_trademark
 
 
 def build_team_standings(
     constructors_wc: DataFrame,
     results_enriched: DataFrame,
-    teams_dim: DataFrame,
 ) -> DataFrame:
     # only used as a season semi-join filter — keep just the key, so the
     # dedup is full-row and deterministic
@@ -41,14 +36,18 @@ def build_team_standings(
         strip_trademark(F.col("Class")).alias("category"),
     ).dropDuplicates()
 
+    # team_id already rides on the fact spine (build_results_enriched's
+    # team join) — carry it instead of re-joining teams_dim at the end
     season_rows = results_enriched.select(
-        "year", "category", "team_name", "points"
+        "year", "category", "team_name", "team_id", "points"
     )
     # INNER on (year, category): only seasons present in the world
     # championship list survive — reference semantics (Merge join 7)
     in_wc = season_rows.join(F.broadcast(wc), on=["year", "category"], how="inner")
 
-    totals = in_wc.groupBy("year", "category", "team_name").agg(
+    # team_id is functionally dependent on team_name (min-id survivor
+    # rule) — adding it to the key changes nothing but keeps it around
+    totals = in_wc.groupBy("year", "category", "team_name", "team_id").agg(
         F.sum(F.col("points").cast("decimal(18,6)"))
         .cast("double")
         .alias("total_points")
@@ -59,7 +58,6 @@ def build_team_standings(
     ranked = totals.withColumn(
         "final_position", F.row_number().over(w).cast("bigint")
     )
-    teams = team_id_by_name(teams_dim)
-    return ranked.join(F.broadcast(teams), on="team_name", how="inner").select(
+    return ranked.select(
         "year", "category", "team_name", "total_points", "final_position", "team_id"
     )
