@@ -27,7 +27,13 @@ def normalize_name(col: Column | str) -> Column:
     ``:8549``) so every join key is normalized the same way.
     """
     c = F.col(col) if isinstance(col, str) else col
-    return F.upper(F.regexp_replace(F.trim(c), r"\s+", " "))
+    # include the common Unicode spaces (NBSP, figure/narrow NBSP) that
+    # Java's ASCII-only \s misses — scraped names routinely carry
+    # U+00A0 from HTML, and an unnormalized key silently fails the join
+    # this helper exists to protect
+    return F.upper(
+        F.trim(F.regexp_replace(c, "[\\s\u00A0\u2007\u202F]+", " "))
+    )
 
 
 def name_from_comma(col: Column | str, sep: str = ",") -> Column:
@@ -37,8 +43,13 @@ def name_from_comma(col: Column | str, sep: str = ",") -> Column:
     split are the same token, so the naive concat would double it
     ('Rossi' -> 'Rossi Rossi'); Kettle's splitter leaves field2 null
     and the concat yields the bare name."""
+    import re as _re
+
     c = F.col(col) if isinstance(col, str) else col
-    parts = F.split(c, sep)
+    # F.split takes a REGEX: escape the separator so '.' or '|' split
+    # literally, and treat a trailing separator ('Rossi,') as
+    # separator-less instead of emitting a trailing space
+    parts = F.filter(F.split(c, _re.escape(sep)), lambda x: F.trim(x) != "")
     return F.when(
         F.size(parts) >= 2,
         F.concat_ws(
@@ -55,8 +66,13 @@ def name_from_surname_first(col: Column | str) -> Column:
     t = F.split(F.trim(c), r"\s+")
     head = t.getItem(0)
     rest = F.array_join(F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))), " ")
-    return F.when(F.size(t) <= 1, F.trim(c)).otherwise(
-        F.concat_ws(" ", rest, head)
+    # NULL stays NULL (size(NULL) is NULL, so the when-chain would fall
+    # through to concat_ws's ''-on-null otherwise) — a null name must
+    # not become the '' join key and spuriously match other empties
+    return F.when(c.isNull(), F.lit(None).cast("string")).otherwise(
+        F.when(F.size(t) <= 1, F.trim(c)).otherwise(
+            F.concat_ws(" ", rest, head)
+        )
     )
 
 
@@ -74,6 +90,10 @@ def to_date_multi(col: Column | str, formats: Iterable[str]) -> Column:
     """
     c = F.col(col) if isinstance(col, str) else col
     attempts = [F.try_to_timestamp(c, F.lit(f)).cast("date") for f in formats]
+    if not attempts:
+        # coalesce() with zero args is an opaque WRONG_NUM_ARGS at plan
+        # time with no mention of date formats
+        raise ValueError("to_date_multi needs at least one format")
     return F.coalesce(*attempts)
 
 

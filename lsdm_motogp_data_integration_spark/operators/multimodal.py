@@ -7,8 +7,9 @@ NOT in this environment, so the decode step is stubbed: with
 ``fake=True`` (default) a deterministic content-derived feature vector
 stands in for real decode output — the Spark-side contract (schemas,
 batch iteration, partitioning) is real and tested; with ``fake=False``
-the import-gated real decoder raises ``NotImplementedError`` until the
-codec libraries are installed.
+always raises ``NotImplementedError`` at call time — the real decoders
+have not been written, and the gate must not depend on whether a codec
+library happens to be importable or on the input being non-empty.
 
 Scale notes: media rows are large — repartition by size budget before
 heavy decode (``spark.sql.files.maxPartitionBytes`` governs scan-side
@@ -58,6 +59,22 @@ FEATURES_SCHEMA = T.StructType(
 )
 
 
+def _require_fake(fake: bool, what: str) -> None:
+    """The real decode path is NOT implemented anywhere in this module
+    (this environment has no codec libraries, and no real decoder has
+    been written): ``fake=False`` must fail fast and consistently at
+    CALL time — not per batch (skipped on empty partitions), not per
+    row (skipped on empty input), and never by silently falling back
+    to fake output when a codec library happens to be importable."""
+    if not fake:
+        raise NotImplementedError(
+            f"real {what} is not implemented; this module ships the "
+            "Spark-side plumbing with a deterministic fake decoder "
+            "(fake=True). Wire PIL/ffmpeg into the mapInPandas body "
+            "when codecs are available."
+        )
+
+
 def _fake_features(content: bytes, dim: int) -> np.ndarray:
     """Deterministic stand-in for a decoded feature vector: bytes of
     repeated sha256 → scaled to [0, 1). Same contract shape as a real
@@ -82,30 +99,30 @@ def extract_features(
     n_bytes, digest, features). Arrow-batched; one pandas frame per
     partition chunk."""
 
+    _require_fake(fake, "media decode")
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                # real decoders are not available in this environment
-                try:
-                    import PIL  # noqa: F401
-                except ImportError as exc:  # pragma: no cover
-                    raise NotImplementedError(
-                        "real media decode requires codec libraries "
-                        "(PIL/ffmpeg/librosa) not present in this image"
-                    ) from exc
             contents = pdf["content"]
+            # NULL content stays NULL (missing media), distinct from a
+            # genuinely zero-byte blob — FEATURES_SCHEMA marks these
+            # nullable for exactly this case
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
                     "n_bytes": contents.map(
-                        lambda b: len(b) if b is not None else 0
-                    ).astype("int64"),
+                        lambda b: len(b) if b is not None else None
+                    ).astype("Int64"),
                     "digest": contents.map(
-                        lambda b: hashlib.sha256(b or b"").hexdigest()
+                        lambda b: hashlib.sha256(b).hexdigest()
+                        if b is not None
+                        else None
                     ),
                     "features": contents.map(
-                        lambda b: _fake_features(b or b"", dim)
+                        lambda b: _fake_features(b, dim)
+                        if b is not None
+                        else None
                     ),
                 }
             )
@@ -128,14 +145,11 @@ def frame_sample(
         ]
     )
 
+    _require_fake(fake, "frame sampling")
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, offs, digs = [], [], []
             for _, row in pdf.iterrows():
-                if not fake:
-                    raise NotImplementedError(
-                        "real frame sampling requires ffmpeg, not present"
-                    )
                 # meta is a NULLABLE struct — a video row without
                 # metadata samples zero frames instead of failing the
                 # whole task on None subscripting
@@ -143,18 +157,26 @@ def frame_sample(
                 duration = (
                     meta["duration_ms"] if meta is not None else 0
                 ) or 0
+                if not duration:
+                    continue
                 content = row["content"] or b""
+                # hash the blob ONCE; per-frame digests extend the
+                # saved hash state (hashlib.copy), so the value equals
+                # sha256(content + ms_bytes) at O(1) per frame instead
+                # of re-hashing a possibly-huge blob per frame
+                base = hashlib.sha256(content)
+                ids, offs, digs = [], [], []
                 for ms in range(0, int(duration), every_ms):
+                    h = base.copy()
+                    h.update(ms.to_bytes(8, "little"))
                     ids.append(row["media_id"])
                     offs.append(ms)
-                    digs.append(
-                        hashlib.sha256(
-                            content + ms.to_bytes(8, "little")
-                        ).hexdigest()
-                    )
-            yield pd.DataFrame(
-                {"media_id": ids, "frame_ms": offs, "frame_digest": digs}
-            )
+                    digs.append(h.hexdigest())
+                # yield per input row: frame lists stay bounded by one
+                # video's frame count, not the whole Arrow batch
+                yield pd.DataFrame(
+                    {"media_id": ids, "frame_ms": offs, "frame_digest": digs}
+                )
 
     return media.filter(F.col("kind") == "video").mapInPandas(
         run, schema=out_schema
@@ -183,17 +205,14 @@ def resize_images(
     out, Arrow-batched. With the fake decoder the output bytes are a
     deterministic content+size-derived stand-in (digest pins the
     contract: same input and target size → same bytes on any executor);
-    ``fake=False`` is the import gate for a real PIL resize. Only
+    ``fake=False`` raises at call time (no real resize exists). Only
     ``kind == 'image'`` rows are processed — the filter is pushed into
     the scan, so audio/video blobs are never shipped to Python."""
 
+    _require_fake(fake, "image resize")
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real image resize requires PIL, not present in this "
-                    "environment"
-                )
             ids, contents, digests = [], [], []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
                 ids.append(mid)
