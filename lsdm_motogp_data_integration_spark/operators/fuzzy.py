@@ -116,6 +116,7 @@ def similarity_join(
     length_band: int = 3,
     strategy: str = "broadcast",
     scorer: str = "pandas",
+    lookup_size: int | None = None,
 ) -> DataFrame:
     """Attach the single best Jaro-Winkler match from ``lookup`` to each
     ``probe`` row (case-insensitive, like the reference's FuzzyMatch).
@@ -160,6 +161,15 @@ def similarity_join(
     ``blocker="none"`` explicitly to force the exhaustive scan on a
     large lookup, or ``strategy="lsh"`` for high-recall blocking that
     does not key on any single character.
+
+    ``lookup_size``: optional caller hint (row count of ``lookup``)
+    that short-circuits the auto-blocker's eager ``lookup.count()``
+    job — pass it when the dimension's size is already known (e.g.
+    calling in a loop against a cached dim). Only consulted when
+    ``blocker="auto"`` and ``strategy="broadcast"``; the hint decides
+    the SAME ≤ ``AUTO_EXHAUSTIVE_MAX`` switch, so a wrong hint changes
+    strategy (and possibly results — see above), not correctness of
+    the scoring itself.
     """
     if how not in ("left", "inner"):
         raise ValueError(f"how must be left|inner, got {how!r}")
@@ -219,11 +229,13 @@ def similarity_join(
     else:
         if blocker == "auto":
             # one count over the (broadcast-bound) lookup decides the
-            # strategy; dims stay parity-exact, big lookups get pruned
+            # strategy; dims stay parity-exact, big lookups get pruned.
+            # The caller's lookup_size hint skips the counting job.
+            n_lookup = (
+                int(lookup_size) if lookup_size is not None else lookup.count()
+            )
             blocker = (
-                "none"
-                if lookup.count() <= AUTO_EXHAUSTIVE_MAX
-                else "first_char"
+                "none" if n_lookup <= AUTO_EXHAUSTIVE_MAX else "first_char"
             )
         cond: Column = F.lit(True)
         if blocker == "first_char":

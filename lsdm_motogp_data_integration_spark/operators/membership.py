@@ -213,6 +213,7 @@ def ngram_decontaminate(
     persist_grams: bool = True,
     train_grams: DataFrame | None = None,
     eval_grams: DataFrame | None = None,
+    _persist_handles: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Train/eval decontamination: per training document, the count of
     distinct word n-grams shared with the eval set →
@@ -238,6 +239,13 @@ def ngram_decontaminate(
     both methods or screening against several eval sets; when
     provided, ``train``/``eval_set`` are ignored for that side and the
     caller manages persistence.
+
+    ``_persist_handles``: when a list is passed, any cache this call
+    creates (the distinct eval-gram relation on the bloom path) is
+    appended to it and the CALLER owns the unpersist; when ``None``
+    (the default) the cache is released before returning — the Bloom
+    build and sizing count have already materialized it eagerly, so
+    the remaining verify join loses nothing but the leak.
     """
     own_eval = eval_grams is None
     if train_grams is None:
@@ -246,6 +254,7 @@ def ngram_decontaminate(
         eval_grams = word_gram_relation(
             eval_set, text_col, None, n
         ).dropDuplicates()
+    owned_cache: DataFrame | None = None
     if method == "bloom":
         # the eval gram relation feeds three consumers on this path
         # (sizing count, filter build, FP-removing verify join);
@@ -253,12 +262,24 @@ def ngram_decontaminate(
         # caller-provided relations manage their own persistence)
         if persist_grams and own_eval:
             eval_grams = eval_grams.persist()
+            owned_cache = eval_grams
         bloom = build_bloom(eval_grams, "gram", fpp=fpp)
         train_grams = screen_bloom(train_grams, bloom, "gram")
     elif method != "exact":
         raise ValueError(f"method must be bloom|exact, got {method!r}")
-    return (
+    out = (
         train_grams.join(F.broadcast(eval_grams), "gram")
         .groupBy(id_col)
         .agg(F.countDistinct("gram").alias("n_shared_grams"))
     )
+    if owned_cache is not None:
+        if _persist_handles is not None:
+            _persist_handles.append(owned_cache)
+        else:
+            # build_bloom's two collect jobs already evaluated the
+            # cache; the lazily-consumed verify join re-reads cached
+            # blocks until GC, and unpersist(blocking=False) merely
+            # drops them lazily — correctness is unaffected, the
+            # worst case is one re-evaluation of the eval explode
+            owned_cache.unpersist(blocking=False)
+    return out

@@ -55,6 +55,12 @@ def profile_columns(
     approximation with ``exact_distinct=False``); numeric extremes and
     the mean go through ``DECIMAL(38,6)`` → ``DOUBLE`` so their
     serialized representation is engine-stable.
+
+    Overflow bound: the mean's decimal accumulator holds 32 integer
+    digits, so it is exact while ``n_rows · max|v| < 1e32`` (e.g. 1e13
+    rows of full-range BIGINTs overflow it); past that the mean for
+    the offending column degrades to NULL (``try_sum``) rather than
+    failing the whole profile under ANSI mode.
     """
     fields = {f.name: f.dataType for f in df.schema.fields}
     if cols is None:
@@ -87,9 +93,14 @@ def profile_columns(
             aggs.append(
                 F.max(dec).cast("double").alias(f"__max_{i}")
             )
-            # decimal-exact mean over NON-NULL values (0 non-null -> null)
+            # decimal-exact mean over NON-NULL values (0 non-null ->
+            # null). try_sum, not sum: the running SUM keeps the input's
+            # decimal(38,6) type, so n·|v| ≥ 1e32 overflows the
+            # accumulator — try_sum degrades that corner to a NULL mean
+            # for the one column instead of (under ANSI) failing the
+            # whole one-pass profile
             aggs.append(
-                (F.sum(dec) / F.count(col))
+                (F.try_sum(dec) / F.count(col))
                 .cast("double")
                 .alias(f"__mean_{i}")
             )

@@ -43,8 +43,21 @@ def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
     # the single-FILE branch must check the filesystem, not the name
     # suffix (a Spark-written DATASET directory is often *.parquet),
     # and the glob filter must escape glob metacharacters or a name
-    # like events[v2].parquet silently matches nothing
-    if os.path.isfile(path):
+    # like events[v2].parquet silently matches nothing.
+    # os.path.isfile only answers for LOCAL paths — for a URI-scheme
+    # path (hdfs://, s3a://) ask the JVM Hadoop FileSystem instead, so
+    # a remote single-file path still gets the glob-filter workaround
+    def _is_file(p: str) -> bool:
+        scheme = p.split("://", 1)[0] if "://" in p else ""
+        if scheme in ("", "file"):
+            return os.path.isfile(p.split("://", 1)[-1] if scheme else p)
+        jvm = spark._jvm
+        jsc = spark._jsc
+        hpath = jvm.org.apache.hadoop.fs.Path(p)
+        fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+        return fs.exists(hpath) and fs.getFileStatus(hpath).isFile()
+
+    if _is_file(path):
         base = os.path.basename(path)
         escaped = "".join(
             "\\" + ch if ch in r"\[]{}*?" else ch for ch in base

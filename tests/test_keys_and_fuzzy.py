@@ -140,6 +140,55 @@ def test_fuzzy_auto_blocker_switches_on_lookup_size(spark):
     )
 
 
+def test_fuzzy_lookup_size_hint_skips_count_and_matches(spark):
+    """The lookup_size hint must (a) produce the same result as the
+    auto-counted path and (b) actually skip the sizing count — asserted
+    by handing the hint a lookup whose .count() would raise (an RDD
+    barrier is overkill; a hint on an unresolvable-size view suffices:
+    we monkeypatch count to raise)."""
+    from lsdm_motogp_data_integration_spark.operators.fuzzy import (
+        AUTO_EXHAUSTIVE_MAX,
+    )
+
+    probe = spark.createDataFrame([(1, "yamaha"), (2, "ducatti")], ["pid", "name"])
+    lookup = spark.createDataFrame(
+        [("yamaha",), ("ducati",), ("honda",)], ["cand"]
+    )
+    base = similarity_join(probe, lookup, "name", "cand", how="inner")
+    hinted = similarity_join(
+        probe, lookup, "name", "cand", how="inner", lookup_size=3
+    )
+    assert sorted(map(tuple, base.collect())) == sorted(
+        map(tuple, hinted.collect())
+    )
+
+    # the hint must short-circuit the eager count job entirely
+    def boom():
+        raise AssertionError("lookup.count() ran despite lookup_size hint")
+
+    lookup.count = boom  # type: ignore[method-assign]
+    hinted2 = similarity_join(
+        probe, lookup, "name", "cand", how="inner", lookup_size=3
+    )
+    assert sorted(map(tuple, hinted2.collect())) == sorted(
+        map(tuple, base.collect())
+    )
+
+    del lookup.count  # restore the real count() for the no-hint call
+
+    # a hint past the boundary must flip the blocker (first_char prunes
+    # the first-char-corrupted probe out of the inner result)
+    probe_bad = spark.createDataFrame([(1, "iamaha")], ["pid", "name"])
+    exhaustive = similarity_join(
+        probe_bad, lookup, "name", "cand", how="inner", threshold=0.7
+    )
+    pruned = similarity_join(
+        probe_bad, lookup, "name", "cand", how="inner", threshold=0.7,
+        lookup_size=AUTO_EXHAUSTIVE_MAX + 1,
+    )
+    assert exhaustive.count() == 1 and pruned.count() == 0
+
+
 def test_fuzzy_duplicate_lookup_keys_deterministic(spark):
     """Duplicate lookup KEY values with different payloads: the carried
     payload must not depend on partition layout (full-row hash
