@@ -1178,17 +1178,96 @@ def q40_streaming_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _build_multimodal_media(docs: DataFrame) -> DataFrame:
+    """Four REAL codec-free media blobs per document — a 24-bit BMP
+    (7×6, exercises row padding + bottom-up/BGR), a P5 PGM (5×4), a
+    16-bit PCM WAV (64 mono samples @ 8 kHz), and a 2-frame Cmono Y4M
+    (4×3 @ 10 fps) — whose pixel/sample bytes are md5 chains of the
+    text (``md5(text + ':tag:' + i)`` blocks, truncated), so a SQL
+    oracle can regenerate the EXPECTED decoded values without parsing
+    any container.  ``media_id = doc_id*4 + k`` (k: 0=bmp, 1=pgm,
+    2=wav, 3=y4m) keys the scope."""
+    import hashlib as _hl
+
+    import numpy as _np
+    import pandas as _pd
+
+    from lsdm_motogp_data_integration_spark.operators import mediacodec as mc
+    from lsdm_motogp_data_integration_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+    )
+
+    def chain(text: str, tag: str, nblocks: int) -> bytes:
+        return b"".join(
+            _hl.md5(f"{text}:{tag}:{i}".encode()).digest()
+            for i in range(nblocks)
+        )
+
+    def run(batches):
+        for pdf in batches:
+            ids, kinds, contents, metas = [], [], [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                t = "" if text is None else str(text)
+                img = _np.frombuffer(
+                    chain(t, "px", 8)[:126], _np.uint8
+                ).reshape(6, 7, 3)
+                gr = _np.frombuffer(
+                    chain(t, "gr", 2)[:20], _np.uint8
+                ).reshape(4, 5)
+                au = _np.frombuffer(chain(t, "au", 8)[:128], "<i2")
+                vf = chain(t, "vf", 2)[:24]
+                frames = [
+                    _np.frombuffer(vf[:12], _np.uint8).reshape(3, 4),
+                    _np.frombuffer(vf[12:], _np.uint8).reshape(3, 4),
+                ]
+                for k, kind, blob in (
+                    (0, "image", mc.encode_bmp(img)),
+                    (1, "image", mc.encode_pgm(gr)),
+                    (2, "audio", mc.encode_wav(au, 8000)),
+                    (3, "video", mc.encode_y4m(frames, 10, 1)),
+                ):
+                    ids.append(int(did) * 4 + k)
+                    kinds.append(kind)
+                    contents.append(blob)
+                    metas.append(None)
+            yield _pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "kind": kinds,
+                    "content": contents,
+                    "meta": metas,
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
 def q41_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal binary-column plumbing: documents' text bytes as
-    opaque media blobs → Arrow-batched mapInPandas feature extraction.
-    The content digest and byte size are engine-independent (sha256),
-    so they oracle-check; the stub feature vector is excluded."""
+    """Multimodal suite, tagged by ``scope``:
+
+    - ``fake``: documents' text bytes as opaque blobs → Arrow-batched
+      feature extraction with the deterministic stub decoder; raw-byte
+      sha256 digest + size oracle-check (the historical plumbing
+      contract).
+    - ``real_bmp`` / ``real_pgm`` / ``real_wav`` / ``real_y4m``: REAL
+      pure-numpy decoding (operators/mediacodec) of real containers
+      built from md5-chain pixels/samples, verified through
+      ``media_stats``'s exact-integer contract — the oracle regenerates
+      the expected decoded values straight from the md5 chains, never
+      parsing a container, so a wrong BGR order, leaked BMP row
+      padding, missed bottom-up flip, un-walked RIFF chunk, or
+      misplaced Y4M frame boundary flips ``sum_values`` /
+      ``weighted_sum`` and fails the hash.  (Raw decoded digests are
+      additionally pinned against hand-written golden bytes in
+      tests/test_multimodal.py; DuckDB 1.0 cannot hash blobs, so the
+      driver compare uses the integer contract.)"""
     from lsdm_motogp_data_integration_spark.operators.multimodal import (
         extract_features,
+        media_stats,
     )
 
     d = read_table(spark, sf_dir, "documents")
-    media = d.select(
+    text_media = d.select(
         F.col("doc_id").alias("media_id"),
         F.lit("text").alias("kind"),
         F.encode("text", "UTF-8").alias("content"),
@@ -1199,9 +1278,42 @@ def q41_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("bigint").alias("duration_ms"),
         ).alias("meta"),
     )
-    return extract_features(media, dim=8).select(
-        "media_id", "kind", "n_bytes", "digest"
+    fake = extract_features(text_media, dim=8).select(
+        F.lit("fake").alias("scope"),
+        "media_id",
+        "kind",
+        F.lit(None).cast("string").alias("fmt"),
+        "n_bytes",
+        "digest",
+        *[F.lit(None).cast("int").alias(c) for c in ("width", "height")],
+        *[
+            F.lit(None).cast("bigint").alias(c)
+            for c in ("n_values", "sum_values", "weighted_sum")
+        ],
     )
+    stats = media_stats(_build_multimodal_media(d))
+    real = stats.select(
+        F.element_at(
+            F.array(
+                F.lit("real_bmp"),
+                F.lit("real_pgm"),
+                F.lit("real_wav"),
+                F.lit("real_y4m"),
+            ),
+            (F.col("media_id") % 4 + 1).cast("int"),
+        ).alias("scope"),
+        F.expr("media_id DIV 4").alias("media_id"),
+        "kind",
+        "fmt",
+        "n_bytes",
+        F.lit(None).cast("string").alias("digest"),
+        "width",
+        "height",
+        "n_values",
+        "sum_values",
+        "weighted_sum",
+    )
+    return fake.unionByName(real)
 
 
 def q42_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3103,11 +3215,101 @@ def oracle_sql() -> dict[str, str]:
             FROM events
         """,
         "q41_multimodal_features": """
-            SELECT doc_id AS media_id,
-                   'text' AS kind,
+            -- real_* scopes: regenerate the EXPECTED decoded values
+            -- straight from the md5 chains (no container parsing) and
+            -- aggregate the same exact-integer contract media_stats
+            -- computes from the ACTUAL decode of the real containers.
+            WITH px_chain AS (   -- 8 md5 blocks = 128 bytes; bmp uses 126
+                SELECT doc_id,
+                       string_agg(md5(text || ':px:' || i), '' ORDER BY i) AS hx
+                FROM documents, generate_series(0, 7) AS t(i)
+                GROUP BY doc_id
+            ),
+            gr_chain AS (   -- 2 blocks = 32 bytes; pgm uses 20
+                SELECT doc_id,
+                       string_agg(md5(text || ':gr:' || i), '' ORDER BY i) AS hx
+                FROM documents, generate_series(0, 1) AS t(i)
+                GROUP BY doc_id
+            ),
+            au_chain AS (   -- 8 blocks = 128 bytes = 64 int16 samples
+                SELECT doc_id,
+                       string_agg(md5(text || ':au:' || i), '' ORDER BY i) AS hx
+                FROM documents, generate_series(0, 7) AS t(i)
+                GROUP BY doc_id
+            ),
+            vf_chain AS (   -- 2 blocks; y4m uses 24 bytes (2 frames x 12)
+                SELECT doc_id,
+                       string_agg(md5(text || ':vf:' || i), '' ORDER BY i) AS hx
+                FROM documents, generate_series(0, 1) AS t(i)
+                GROUP BY doc_id
+            ),
+            bmp_bytes AS (
+                SELECT doc_id, j,
+                       (strpos('0123456789abcdef', substr(hx, 2*j+1, 1))-1)*16
+                     + (strpos('0123456789abcdef', substr(hx, 2*j+2, 1))-1) AS v
+                FROM px_chain, generate_series(0, 125) AS t(j)
+            ),
+            gr_bytes AS (
+                SELECT doc_id, j,
+                       (strpos('0123456789abcdef', substr(hx, 2*j+1, 1))-1)*16
+                     + (strpos('0123456789abcdef', substr(hx, 2*j+2, 1))-1) AS v
+                FROM gr_chain, generate_series(0, 19) AS t(j)
+            ),
+            au_samples AS (  -- little-endian signed int16 from byte pairs
+                SELECT doc_id, k,
+                       CASE WHEN hi >= 128 THEN lo + 256*hi - 65536
+                            ELSE lo + 256*hi END AS v
+                FROM (
+                    SELECT doc_id, k,
+                           (strpos('0123456789abcdef', substr(hx, 4*k+1, 1))-1)*16
+                         + (strpos('0123456789abcdef', substr(hx, 4*k+2, 1))-1) AS lo,
+                           (strpos('0123456789abcdef', substr(hx, 4*k+3, 1))-1)*16
+                         + (strpos('0123456789abcdef', substr(hx, 4*k+4, 1))-1) AS hi
+                    FROM au_chain, generate_series(0, 63) AS t(k)
+                )
+            ),
+            vf_bytes AS (
+                SELECT doc_id, j,
+                       (strpos('0123456789abcdef', substr(hx, 2*j+1, 1))-1)*16
+                     + (strpos('0123456789abcdef', substr(hx, 2*j+2, 1))-1) AS v
+                FROM vf_chain, generate_series(0, 23) AS t(j)
+            )
+            SELECT 'fake' AS scope, doc_id AS media_id, 'text' AS kind,
+                   NULL::VARCHAR AS fmt,
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-                   sha256(text) AS digest
+                   sha256(text) AS digest,
+                   NULL::INT AS width, NULL::INT AS height,
+                   NULL::BIGINT AS n_values, NULL::BIGINT AS sum_values,
+                   NULL::BIGINT AS weighted_sum
             FROM documents
+            UNION ALL
+            SELECT 'real_bmp', doc_id, 'image', 'bmp',
+                   CAST(198 AS BIGINT),  -- 54 hdr + 6 rows x 24 stride
+                   NULL::VARCHAR, 7, 6,
+                   CAST(COUNT(*) AS BIGINT), CAST(SUM(v) AS BIGINT),
+                   CAST(SUM(v * (j + 1)) AS BIGINT)
+            FROM bmp_bytes GROUP BY doc_id
+            UNION ALL
+            SELECT 'real_pgm', doc_id, 'image', 'pgm',
+                   CAST(31 AS BIGINT),   -- 'P5\\n5 4\\n255\\n' + 20 px
+                   NULL::VARCHAR, 5, 4,
+                   CAST(COUNT(*) AS BIGINT), CAST(SUM(v) AS BIGINT),
+                   CAST(SUM(v * (j + 1)) AS BIGINT)
+            FROM gr_bytes GROUP BY doc_id
+            UNION ALL
+            SELECT 'real_wav', doc_id, 'audio', 'wav',
+                   CAST(172 AS BIGINT),  -- 44 hdr + 128 sample bytes
+                   NULL::VARCHAR, NULL::INT, NULL::INT,
+                   CAST(COUNT(*) AS BIGINT), CAST(SUM(v) AS BIGINT),
+                   CAST(SUM(v * (k + 1)) AS BIGINT)
+            FROM au_samples GROUP BY doc_id
+            UNION ALL
+            SELECT 'real_y4m', doc_id, 'video', 'y4m',
+                   CAST(72 AS BIGINT),   -- 36 hdr + 2 x (6 + 12) frames
+                   NULL::VARCHAR, 4, 3,
+                   CAST(COUNT(*) AS BIGINT), CAST(SUM(v) AS BIGINT),
+                   CAST(SUM(v * (j + 1)) AS BIGINT)
+            FROM vf_bytes GROUP BY doc_id
         """,
         "q42_json_extract": """
             SELECT event_id,

@@ -1,14 +1,20 @@
-"""Multimodal binary-column plumbing (stubbed decode, real Spark
-machinery)."""
+"""Multimodal binary-column plumbing: fake (stub) decode contract AND
+the real pure-numpy codec paths (BMP/PGM/PPM/WAV/Y4M)."""
 
 from __future__ import annotations
 
+import hashlib
+import struct
+
+import numpy as np
 import pytest
 
+from lsdm_motogp_data_integration_spark.operators import mediacodec as mc
 from lsdm_motogp_data_integration_spark.operators.multimodal import (
     MEDIA_SCHEMA,
     extract_features,
     frame_sample,
+    media_stats,
 )
 
 
@@ -71,7 +77,9 @@ def test_resize_images_contract(media, spark):
     }
 
 
-def test_resize_real_path_is_gated(media):
+def test_resize_real_path_rejects_undecodable(media):
+    """fake=False on compressed/unknown containers must raise (never
+    silently fall back to fake output)."""
     from lsdm_motogp_data_integration_spark.operators.multimodal import (
         resize_images,
     )
@@ -80,3 +88,168 @@ def test_resize_real_path_is_gated(media):
 
     with _pytest.raises(Exception):
         resize_images(media, 4, 3, fake=False).collect()
+
+
+# ---------------------------------------------------------------------------
+# REAL decode paths — hand-computed golden fixtures
+# ---------------------------------------------------------------------------
+
+# 2x2 RGB image, pixels (r,g,b): TL=(1,2,3) TR=(4,5,6) BL=(7,8,9) BR=(10,11,12)
+GOLD_PIX = np.array(
+    [[[1, 2, 3], [4, 5, 6]], [[7, 8, 9], [10, 11, 12]]], dtype=np.uint8
+)
+# the same image as HAND-WRITTEN BMP bytes (bottom-up, BGR, 2-byte row
+# pad) — NOT produced by encode_bmp, so an encoder/decoder bug pair
+# cannot cancel out
+GOLD_BMP = (
+    struct.pack("<2sIHHI", b"BM", 54 + 16, 0, 0, 54)
+    + struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, 16, 0, 0, 0, 0)
+    + bytes([9, 8, 7, 12, 11, 10, 0, 0])  # bottom row BGR + pad
+    + bytes([3, 2, 1, 6, 5, 4, 0, 0])  # top row BGR + pad
+)
+GOLD_PPM = b"P6\n2 2\n255\n" + GOLD_PIX.tobytes()
+# 4 mono samples, hand-written 16-bit PCM WAV with a LIST chunk before
+# data (decoder must chunk-walk, not assume data at offset 44)
+GOLD_SAMPLES = np.array([0, 1000, -1000, 32767], dtype=np.int16)
+_fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+_list = b"LIST" + struct.pack("<I", 4) + b"INFO"
+_data = GOLD_SAMPLES.astype("<i2").tobytes()
+GOLD_WAV = (
+    b"RIFF"
+    + struct.pack("<I", 4 + 8 + len(_fmt) + 8 + 4 + 8 + len(_data))
+    + b"WAVE"
+    + b"fmt "
+    + struct.pack("<I", len(_fmt))
+    + _fmt
+    + _list
+    + b"data"
+    + struct.pack("<I", len(_data))
+    + _data
+)
+
+
+@pytest.fixture(scope="module")
+def real_media(spark):
+    rows = [
+        (10, "image", GOLD_BMP, ("image/bmp", 2, 2, None)),
+        (11, "image", GOLD_PPM, ("image/x-portable-pixmap", 2, 2, None)),
+        (12, "audio", GOLD_WAV, ("audio/wav", None, None, None)),
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_real_bmp_features_hand_computed(real_media):
+    """extract_features(fake=False) on the hand-written BMP: dims and
+    intensity stats must equal values computed by hand from GOLD_PIX."""
+    out = {
+        r["media_id"]: r
+        for r in extract_features(
+            real_media.filter("kind = 'image'"), dim=16, fake=False
+        ).collect()
+    }
+    bmp = out[10]
+    f = list(bmp["features"])
+    assert f[0] == 2.0 and f[1] == 2.0 and f[2] == 3.0  # w, h, channels
+    # mean of 1..12 = 6.5 -> /255
+    assert f[3] == pytest.approx(6.5 / 255.0, abs=1e-6)
+    assert f[5] == pytest.approx(1 / 255.0, abs=1e-7)  # min
+    assert f[6] == pytest.approx(12 / 255.0, abs=1e-7)  # max
+    # all 12 values fall in histogram bin 0 ([0, 1/8))
+    assert f[7] == pytest.approx(1.0)
+    # content digest = sha256 of row-major RGB bytes (1..12)
+    assert bmp["digest"] == hashlib.sha256(
+        bytes(range(1, 13))
+    ).hexdigest()
+    # container-independence: BMP and PPM of the same pixels share the
+    # decoded digest (raw-byte digests could never do this)
+    assert bmp["digest"] == out[11]["digest"]
+    assert list(out[11]["features"]) == f
+
+
+def test_real_wav_features_hand_computed(real_media):
+    out = extract_features(
+        real_media.filter("kind = 'audio'"), dim=16, fake=False
+    ).collect()[0]
+    f = list(out["features"])
+    assert f[0] == 4.0 and f[1] == 8000.0 and f[2] == 1.0
+    mean = (0 + 1000 - 1000 + 32767) / 4 / 32768.0
+    assert f[3] == pytest.approx(mean, rel=1e-6)
+    assert f[5] == pytest.approx(-1000 / 32768.0, rel=1e-6)
+    assert f[6] == pytest.approx(32767 / 32768.0, rel=1e-6)
+    # canonical digest = little-endian int16 bytes
+    assert out["digest"] == hashlib.sha256(
+        GOLD_SAMPLES.astype("<i2").tobytes()
+    ).hexdigest()
+
+
+def test_media_stats_exact_integers(real_media):
+    out = {r["media_id"]: r for r in media_stats(real_media).collect()}
+    bmp, ppm, wav = out[10], out[11], out[12]
+    assert (bmp["fmt"], bmp["width"], bmp["height"]) == ("bmp", 2, 2)
+    assert bmp["n_values"] == 12 and bmp["sum_values"] == sum(range(1, 13))
+    # canonical value i (1-based) is i -> weighted sum = sum i^2
+    assert bmp["weighted_sum"] == sum(i * i for i in range(1, 13))
+    assert bmp["n_bytes"] == len(GOLD_BMP)
+    assert ppm["fmt"] == "ppm" and ppm["sum_values"] == bmp["sum_values"]
+    assert ppm["weighted_sum"] == bmp["weighted_sum"]
+    assert ppm["decoded_digest"] == bmp["decoded_digest"]
+    assert wav["fmt"] == "wav" and wav["n_values"] == 4
+    assert wav["sum_values"] == 0 + 1000 - 1000 + 32767
+    assert wav["weighted_sum"] == 0 * 1 + 1000 * 2 - 1000 * 3 + 32767 * 4
+
+
+def test_real_resize_nearest_neighbor_pinned(real_media, spark):
+    """2x2 -> 4x4 nearest neighbor with pixel-center mapping: source
+    index floor((i+0.5)*2/4) = [0,0,1,1] on both axes."""
+    from lsdm_motogp_data_integration_spark.operators.multimodal import (
+        resize_images,
+    )
+
+    out = {
+        r["media_id"]: r
+        for r in resize_images(real_media, 4, 4, fake=False).collect()
+    }
+    a = mc.decode_image(bytes(out[10]["content"]))
+    expect = GOLD_PIX[[0, 0, 1, 1]][:, [0, 0, 1, 1]]
+    assert a.shape == (4, 4, 3) and np.array_equal(a, expect)
+    # the emitted container is a REAL BMP and both source containers
+    # resize to identical bytes (content-level determinism)
+    assert bytes(out[10]["content"])[:2] == b"BM"
+    assert out[10]["digest"] == out[11]["digest"]
+    assert out[10]["digest"] == hashlib.sha256(
+        bytes(out[10]["content"])
+    ).hexdigest()
+
+
+def test_real_frame_sample_y4m(spark):
+    """Y4M real sampling: fps=10 -> frame k at ms intervals of 100; at
+    every_ms=250 offsets 0,250,500,750 hit frames 0,2,5,7."""
+    frames = [
+        np.full((2, 3), i * 10, dtype=np.uint8) for i in range(10)
+    ]
+    clip = mc.encode_y4m(frames, 10, 1)  # 10 fps, 1000 ms total
+    media = spark.createDataFrame(
+        [(20, "video", clip, ("video/x-y4m", 3, 2, 1000))], MEDIA_SCHEMA
+    )
+    out = frame_sample(media, every_ms=250, fake=False).collect()
+    got = {r["frame_ms"]: r["frame_digest"] for r in out}
+    assert sorted(got) == [0, 250, 500, 750]
+    for ms, idx in [(0, 0), (250, 2), (500, 5), (750, 7)]:
+        assert got[ms] == hashlib.sha256(frames[idx].tobytes()).hexdigest()
+
+
+def test_real_video_stats_and_features(spark):
+    frames = [np.full((2, 2), 7, dtype=np.uint8), np.full((2, 2), 9, dtype=np.uint8)]
+    clip = mc.encode_y4m(frames, 5, 1)
+    media = spark.createDataFrame(
+        [(21, "video", clip, ("video/x-y4m", 2, 2, 400))], MEDIA_SCHEMA
+    )
+    st = media_stats(media).collect()[0]
+    assert st["fmt"] == "y4m" and st["n_values"] == 8
+    assert st["sum_values"] == 4 * 7 + 4 * 9
+    feats = list(
+        extract_features(media, dim=8, fake=False).collect()[0]["features"]
+    )
+    # [w, h, n_frames, fps, duration_ms, first-frame mean/255]
+    assert feats[:5] == [2.0, 2.0, 2.0, 5.0, 400.0]
+    assert feats[5] == pytest.approx(7 / 255.0, rel=1e-6)
