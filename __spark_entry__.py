@@ -2381,22 +2381,40 @@ _NORMALIZE = (
 )
 
 
-def _lloyd_ctes(n_iters: int, n_cells: int, dim: int = 64) -> str:
+def _lloyd_ctes(
+    n_iters: int, n_cells: int, dim: int = 64, train_sample: int = 0
+) -> str:
     """CTE chain replaying operators/ann._train_centroids bit-for-bit:
     md5('ivf|'||id)-ordered sample init + ``n_iters`` unrolled Lloyd
-    rounds. Each round: integer-grid argmax assignment (ORDER BY sim
-    DESC, cell ASC == np.argmax first-index tie-break), per-(cell,pos)
-    decimal(28,12)-exact mean → double, empty cells keep their previous
-    centroid, renormalize. Exposes ``qemb`` (vec_id, v DOUBLE[], qv
-    quantized) and ``c{n_iters}`` (cell, c normalized DOUBLE[])."""
+    rounds over the ``train_sample`` smallest-md5 rows (0 = full
+    corpus; mirrors ann.TRAIN_SAMPLE_FACTOR * n_cells — training must
+    not scan the full corpus per round at scale, so the oracle bounds
+    it identically). Each round: integer-grid argmax assignment (ORDER
+    BY sim DESC, cell ASC == np.argmax first-index tie-break),
+    per-(cell,pos) decimal(28,12)-exact mean → double, empty cells keep
+    their previous centroid, renormalize. Exposes ``qemb`` (vec_id, v
+    DOUBLE[], qv quantized) and ``c{n_iters}`` (cell, c normalized
+    DOUBLE[])."""
+    tfilter = (
+        f"JOIN tsample t ON t.vec_id = e.vec_id" if train_sample else ""
+    )
     parts = [
-        f"""init AS (
+        f"""tsample AS (
+                SELECT vec_id FROM (
+                    SELECT vec_id, ROW_NUMBER() OVER (
+                        ORDER BY md5('ivf|' || CAST(vec_id AS VARCHAR)),
+                                 vec_id
+                    ) AS trk
+                    FROM embeddings
+                ) WHERE trk <= {train_sample if train_sample else 2**31 - 1}
+            ), init AS (
                 SELECT CAST(ROW_NUMBER() OVER (
-                           ORDER BY md5('ivf|' || CAST(vec_id AS VARCHAR))
+                           ORDER BY md5('ivf|' || CAST(vec_id AS VARCHAR)),
+                                    vec_id
                        ) AS INTEGER) - 1 AS cell,
                        CAST(embedding AS DOUBLE[]) AS c
                 FROM embeddings
-                ORDER BY md5('ivf|' || CAST(vec_id AS VARCHAR))
+                ORDER BY md5('ivf|' || CAST(vec_id AS VARCHAR)), vec_id
                 LIMIT {n_cells}
             ), c0 AS (
                 SELECT cell, {_NORMALIZE} AS c FROM init
@@ -2420,7 +2438,7 @@ def _lloyd_ctes(n_iters: int, n_cells: int, dim: int = 64) -> str:
                                ORDER BY list_dot_product(e.qv, {_QC}) DESC,
                                         k.cell ASC
                            ) AS rn
-                    FROM qemb e CROSS JOIN c{i - 1} k
+                    FROM qemb e {tfilter} CROSS JOIN c{i - 1} k
                 ) WHERE rn = 1
             ), m{i} AS (
                 SELECT a.cell, u.j,
@@ -2459,7 +2477,7 @@ def _cell_assign(centroids: str, rn_filter: str, query_filter: str = "") -> str:
 
 
 _ANN_SUITE_SQL = f"""
-    WITH {_lloyd_ctes(2, 8)},
+    WITH {_lloyd_ctes(2, 8, train_sample=256)},
     -- exact tier -----------------------------------------------------
     exact_scored AS (
         SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
@@ -2552,7 +2570,7 @@ _ANN_SUITE_SQL = f"""
 """
 
 _KMEANS_SQL = f"""
-    WITH {_lloyd_ctes(3, 8)},
+    WITH {_lloyd_ctes(3, 8, train_sample=256)},
     assigned AS {_cell_assign("c3", "rn = 1")}
     SELECT e.vec_id, CAST(a.cell AS BIGINT) AS cluster,
            ROUND(list_dot_product(e.v, k.c)

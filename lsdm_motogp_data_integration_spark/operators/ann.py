@@ -190,41 +190,71 @@ def _nearest_cells(vecs: pd.Series, qcentroids: np.ndarray) -> np.ndarray:
     return _quantize(v) @ qcentroids.T
 
 
+# Lloyd training sample bound, per centroid: the codebook is fit on
+# the `TRAIN_SAMPLE_FACTOR * n_cells` smallest md5('ivf|'||id) rows
+# instead of the full corpus — k-means needs a few dozen points per
+# centroid to converge (FAISS warns below ~39/centroid), and the
+# codebook is O(n_cells × dim) regardless of corpus size, so at 100 TB
+# training cost must not scale with the data. The FULL corpus is still
+# assigned (once) after training.
+TRAIN_SAMPLE_FACTOR = 32
+
+
 def _train_centroids(
     corpus: DataFrame,
     vec_col: str,
     id_col: str,
     n_cells: int,
     n_iters: int,
+    train_sample: int | None = None,
 ) -> np.ndarray:
     """Deterministic k-means codebook: hash-sample init + ``n_iters``
-    Lloyd rounds as distributed DataFrame jobs. Each round: one
-    assignment pass (vectorized UDF, broadcast centroid matrix) and one
-    element-wise mean (posexplode → decimal(28,12)-exact sum ÷ count —
-    immune to float summation-order differences). Only O(n_cells × dim)
-    mean rows ever reach the driver; cells that lose all members keep
+    Lloyd rounds as distributed DataFrame jobs — over a BOUNDED,
+    deterministic training sample (the ``train_sample`` smallest
+    ``md5('ivf|' || id)`` rows; default ``TRAIN_SAMPLE_FACTOR *
+    n_cells``, ``0`` = full corpus).  The sample is taken with one
+    distributed TakeOrdered and pinned with an eager localCheckpoint,
+    so each Lloyd round is a job over O(train_sample) rows no matter
+    how large the corpus is — codebook fitting stops scanning the
+    full corpus per round.  Each round: one assignment pass
+    (vectorized UDF, broadcast centroid matrix) and one element-wise
+    mean (posexplode → decimal(28,12)-exact sum ÷ count — immune to
+    float summation-order differences). Only O(n_cells × dim) mean
+    rows ever reach the driver; cells that lose all members keep
     their previous centroid.
 
     Every step is *portable* (SQL-replayable, engine-independent):
-    init orders by ``md5('ivf|' || id)`` hex strings; cell assignment
+    init AND the training sample order by ``md5('ivf|' || id)`` hex
+    strings (id tie-break), so the init rows are exactly the first
+    ``n_cells`` rows of the training sample; cell assignment
     is an argmax over exact integer dot products of 1e-6-quantized
     vectors (first-max-index tie-break == ORDER BY sim DESC, cell ASC);
     means are decimal-exact. The only float ops left are the centroid
     normalizations, whose last-ulp engine differences sit ~6 orders of
     magnitude below the quantization grid."""
     corpus = _drop_null_vecs(corpus, vec_col)
-    sample = (
-        corpus.select(id_col, vec_col)
-        .withColumn(
-            "__h",
-            F.md5(F.concat(F.lit("ivf|"), F.col(id_col).cast("string"))),
+    if train_sample is None:
+        train_sample = TRAIN_SAMPLE_FACTOR * n_cells
+    ranked = corpus.select(id_col, vec_col).withColumn(
+        "__h",
+        F.md5(F.concat(F.lit("ivf|"), F.col(id_col).cast("string"))),
+    )
+    if train_sample:
+        # TakeOrdered (per-partition top-N + N-merge), NOT a global
+        # sort; the checkpoint pins O(train_sample × dim) rows so the
+        # n_iters rounds below never re-run the corpus-wide selection
+        train_df = (
+            ranked.orderBy("__h", F.col(id_col).asc())
+            .limit(int(train_sample))
+            .localCheckpoint(eager=True)
         )
-        # id tie-break: md5 collisions are not the concern — DUPLICATE
-        # ids hash identically, and without the second key their order
-        # (hence the sampled codebook) would depend on partition layout
-        .orderBy("__h", F.col(id_col).asc())
-        .limit(n_cells)
-        .collect()
+    else:
+        train_df = ranked
+    # id tie-break: md5 collisions are not the concern — DUPLICATE
+    # ids hash identically, and without the second key their order
+    # (hence the sampled codebook) would depend on partition layout
+    sample = (
+        train_df.orderBy("__h", F.col(id_col).asc()).limit(n_cells).collect()
     )
     if not sample:
         raise ValueError(
@@ -249,7 +279,7 @@ def _train_centroids(
             return pd.Series(np.argmax(sims, axis=1).astype(np.int32))
 
         means = (
-            corpus.select(nearest(F.col(vec_col)).alias("__cell"), vec_col)
+            train_df.select(nearest(F.col(vec_col)).alias("__cell"), vec_col)
             .select(
                 "__cell",
                 F.posexplode(F.col(vec_col).cast("array<double>")).alias(
@@ -289,12 +319,15 @@ def kmeans_clusters(
     *,
     n_clusters: int = 8,
     n_iters: int = 3,
+    train_sample: int | None = None,
 ) -> DataFrame:
     """Document clustering over an embedding column: deterministic
     k-means sharing the IVF codebook trainer (:func:`_train_centroids`
-    — hash-sample init, Lloyd rounds as DataFrame jobs with
-    decimal-exact cell means, zero-norm guards). Used in curation for
-    topic balancing, per-cluster quotas, and diversity-aware sampling.
+    — hash-sample init, Lloyd rounds as DataFrame jobs over a bounded
+    ``train_sample`` (default ``TRAIN_SAMPLE_FACTOR * n_clusters``,
+    ``0`` = full corpus) with decimal-exact cell means, zero-norm
+    guards). Used in curation for topic balancing, per-cluster quotas,
+    and diversity-aware sampling.
 
     The centroid matrix is O(n_clusters × dim) broadcast metadata; the
     assignment pass is one Arrow-vectorized projection — no shuffle at
@@ -305,7 +338,9 @@ def kmeans_clusters(
     Returns (id_col, cluster BIGINT, centroid_sim DOUBLE rounded 6dp).
     """
     df = _drop_null_vecs(df, vec_col)
-    mat = _train_centroids(df, vec_col, id_col, n_clusters, n_iters)
+    mat = _train_centroids(
+        df, vec_col, id_col, n_clusters, n_iters, train_sample
+    )
     qmat = _quantize(mat)
 
     @F.pandas_udf("cluster bigint, centroid_sim double")
@@ -347,6 +382,7 @@ def ivf_topk(
     n_cells: int = 16,
     nprobe: int = 3,
     train_iterations: int = 2,
+    train_sample: int | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: corpus vectors are
     assigned to their nearest of ``n_cells`` centroid cells; each query
@@ -356,18 +392,22 @@ def ivf_topk(
     sample (the ``n_cells`` smallest ``md5('ivf|' || id)`` rows —
     k-means init without RNG state, portable across engines) and then
     refined with ``train_iterations``
-    Lloyd rounds run as DataFrame jobs: assign each corpus vector to its
-    nearest centroid, element-wise-average each cell (posexplode →
-    decimal-exact sum ÷ count, so centroids are bit-stable across
-    partition orders), re-normalize. The centroid matrix is
-    O(n_cells × dim) driver-side metadata, shipped once into the
-    assignment UDF — the same pattern as a broadcast codebook at
+    Lloyd rounds run as DataFrame jobs over a BOUNDED deterministic
+    training sample (``train_sample``, default ``TRAIN_SAMPLE_FACTOR *
+    n_cells`` rows by the same md5 order; ``0`` = full corpus): assign
+    each sampled vector to its nearest centroid, element-wise-average
+    each cell (posexplode → decimal-exact sum ÷ count, so centroids are
+    bit-stable across partition orders), re-normalize — training cost
+    is O(train_sample) per round regardless of corpus size, while the
+    full corpus is still assigned exactly once below. The centroid
+    matrix is O(n_cells × dim) driver-side metadata, shipped once into
+    the assignment UDF — the same pattern as a broadcast codebook at
     cluster scale. Same output shape as :func:`cosine_topk`;
     recall < 1 by design."""
     corpus = _drop_null_vecs(corpus, vec_col)
     queries = _drop_null_vecs(queries, query_vec_col)
     mat = _train_centroids(
-        corpus, vec_col, id_col, n_cells, train_iterations
+        corpus, vec_col, id_col, n_cells, train_iterations, train_sample
     )
     qmat = _quantize(mat)
 

@@ -189,3 +189,44 @@ def test_lsh_dim_inferred(spark):
             df, q, "embedding", "vec_id", "query_id", "query_vec",
             n_planes=63,
         )
+
+
+def test_train_sample_bounds_codebook_to_md5_top_n(spark, sf_dir):
+    """Sample-bounded Lloyd training must fit the codebook on exactly
+    the train_sample smallest md5('ivf|'||id) rows: clustering the FULL
+    corpus with train_sample=N and clustering ONLY that md5-top-N
+    subset with unbounded training (train_sample=0) must produce the
+    same centroids — asserted via identical (cluster, centroid_sim)
+    for every subset row."""
+    import hashlib
+
+    from lsdm_motogp_data_integration_spark.operators.ann import (
+        kmeans_clusters,
+    )
+
+    e = read_table(spark, sf_dir, "embeddings")
+    n = 64
+    full = kmeans_clusters(
+        e, "embedding", "vec_id", n_clusters=4, n_iters=2, train_sample=n
+    )
+    ids = [r["vec_id"] for r in e.select("vec_id").collect()]
+    top = set(
+        sorted(
+            ids,
+            key=lambda i: (hashlib.md5(f"ivf|{i}".encode()).hexdigest(), i),
+        )[:n]
+    )
+    sub = e.filter(F.col("vec_id").isin(list(top)))
+    sub_only = kmeans_clusters(
+        sub, "embedding", "vec_id", n_clusters=4, n_iters=2, train_sample=0
+    )
+    got_full = {
+        r["vec_id"]: (r["cluster"], r["centroid_sim"])
+        for r in full.collect()
+        if r["vec_id"] in top
+    }
+    got_sub = {
+        r["vec_id"]: (r["cluster"], r["centroid_sim"])
+        for r in sub_only.collect()
+    }
+    assert got_full == got_sub and len(got_sub) == n
