@@ -872,7 +872,18 @@ def q38_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL (as z-score is), ``sessions.grouped_zscore_window`` computes
     the identical result all-JVM with no Python round trip (equivalence
     pinned in tests) — this query keeps the grouped-map form because
-    the SURFACE is what it demonstrates."""
+    the SURFACE is what it demonstrates.
+
+    Parallelism note (the r2→r1 bench regression's root cause): the
+    grouped-map shuffle writes only a few MB here, so AQE's partition
+    coalescing — which sees BYTES, not the per-group Python dispatch
+    cost that actually dominates a grouped-map stage — collapsed it to
+    ONE partition, serializing every group through a single Python
+    worker. The explicit fixed-width repartition below is exempt from
+    AQE coalescing and satisfies FlatMapGroupsInPandas' required
+    distribution (no extra shuffle), so the Python stage keeps full
+    parallelism. Same rule at cluster scale: size grouped-map input
+    partitions by GROUP COUNT, not bytes."""
     import pandas as pd
 
     ev = read_table(spark, sf_dir, "events").select(
@@ -888,8 +899,11 @@ def q38_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    per_user = ev.groupBy("user_id").applyInPandas(
-        stats, schema="user_id long, mu double, sigma double"
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    per_user = (
+        ev.repartition(n_shuffle, "user_id")
+        .groupBy("user_id")
+        .applyInPandas(stats, schema="user_id long, mu double, sigma double")
     )
     return (
         ev.join(F.broadcast(per_user), "user_id")
