@@ -2185,6 +2185,82 @@ def q45_motogp_participation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Contract
 # ---------------------------------------------------------------------------
 
+# Suite diagnosability (VERDICT r2 #4): a failing hash in a multi-scope
+# suite gives the driver one bit. Every suite therefore appends one
+# extra row per scope — tag column = '__count|<scope>|<rows>', all
+# other columns NULL — computed from the suite's own OUTPUT in both
+# engines (Spark wrapper below; DuckDB via _with_tag_counts's
+# UNION ALL BY NAME, which auto-null-fills the remaining columns).
+# A future red row then names the scope whose row count moved, or —
+# if all counts match — pins the damage to in-scope values.
+_SUITE_TAG_COLS: dict[str, str] = {
+    "q05_join_suite": "join_kind",
+    "q14_scalar_suite": "op",
+    "q18_digest_dedup": "kind",
+    "q19_neardup_pairs_suite": "method",
+    "q26_ann_suite": "method",
+    "q28_event_time_suite": "scope",
+    "q39_file_roundtrips": "fmt",
+    "q40_streaming_suite": "scope",
+    "q41_multimodal_features": "scope",
+    "q43_statistics_suite": "scope",
+    "q49_corpus_index_suite": "scope",
+    "q53_source_stats": "scope",
+    "q57_decontamination": "scope",
+    "q61_sequence_packing": "scope",
+    "q66_mixture_sample": "scope",
+    "q67_span_dedup": "scope",
+}
+
+
+def _append_tag_counts(out: DataFrame, tag_col: str) -> DataFrame:
+    """Append per-scope count rows to a suite result: one row per
+    distinct ``tag_col`` value with ``'__count|<tag>|<n>'`` in the tag
+    column and NULL everywhere else.  Derived from the suite's own
+    output relation (catalyst reuses the suite subplan's exchanges
+    where possible), so both engines compute it from the same rows
+    they are about to hash."""
+    counts = out.groupBy(tag_col).agg(F.count(F.lit(1)).alias("__n"))
+    crows = counts.select(
+        F.concat(
+            F.lit("__count|"),
+            F.col(tag_col),
+            F.lit("|"),
+            F.col("__n").cast("string"),
+        ).alias(tag_col),
+        *[
+            F.lit(None).cast(out.schema[c].dataType).alias(c)
+            for c in out.columns
+            if c != tag_col
+        ],
+    )
+    return out.unionByName(crows.select(*out.columns))
+
+
+def _counted(
+    fn: Callable[[SparkSession, str], DataFrame], tag_col: str
+) -> Callable[[SparkSession, str], DataFrame]:
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return _append_tag_counts(fn(spark, sf_dir), tag_col)
+
+    wrapped.__name__ = fn.__name__
+    wrapped.__doc__ = fn.__doc__
+    return wrapped
+
+
+def _with_tag_counts(sql: str, tag_col: str) -> str:
+    """DuckDB twin of :func:`_append_tag_counts`: wrap a suite oracle
+    so it emits the same '__count|<tag>|<n>' rows. UNION ALL BY NAME
+    fills every unnamed column with NULL, so the wrapper is agnostic
+    to the suite's schema."""
+    return f"""
+        WITH __suite AS ({sql})
+        SELECT * FROM __suite
+        UNION ALL BY NAME
+        SELECT '__count|' || {tag_col} || '|' || COUNT(*) AS {tag_col}
+        FROM __suite GROUP BY {tag_col}
+    """
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (standings rank) on /root/testdata/sf0.001."""
@@ -2249,6 +2325,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q68_embedding_clusters": q68_embedding_clusters,
         "q69_embedding_quantize": q69_embedding_quantize,
         "q70_training_shards": q70_training_shards,
+    } | {
+        # suite queries re-registered with per-scope count rows (the
+        # oracle dict applies _with_tag_counts to the same names)
+        name: _counted(globals()[name], tag)
+        for name, tag in _SUITE_TAG_COLS.items()
     }
 
 
@@ -2597,7 +2678,7 @@ _KMEANS_SQL = f"""
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    sqls = {
         "q01_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    SUM(l_quantity) AS sum_qty,
@@ -4206,3 +4287,8 @@ def oracle_sql() -> dict[str, str]:
             )
         """,
     }
+    # mirror the Spark-side _counted registration: every suite oracle
+    # gains the same '__count|<scope>|<n>' diagnosability rows
+    for _name, _tag in _SUITE_TAG_COLS.items():
+        sqls[_name] = _with_tag_counts(sqls[_name], _tag)
+    return sqls
