@@ -1278,6 +1278,7 @@ def q41_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lsdm_motogp_data_integration_spark.operators.multimodal import (
         extract_features,
         media_stats,
+        resize_images,
     )
 
     d = read_table(spark, sf_dir, "documents")
@@ -1327,7 +1328,29 @@ def q41_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_values",
         "weighted_sum",
     )
-    return fake.unionByName(real)
+    # real_resize: decode the BMP → nearest-neighbor 7×6 → 4×4 →
+    # re-encode as BMP → decode AGAIN via media_stats. The oracle
+    # replays only the index arithmetic (src = floor((i+0.5)·src/dst)
+    # pixel-center mapping) over the md5 pixel chain, so the whole
+    # decode→resize→encode→decode chain must agree value-for-value.
+    bmp_media = _build_multimodal_media(d).filter(F.col("media_id") % 4 == 0)
+    resized = resize_images(bmp_media, 4, 4, fake=False).select(
+        "media_id", F.lit("image").alias("kind"), "content"
+    )
+    rz = media_stats(resized).select(
+        F.lit("real_resize").alias("scope"),
+        F.expr("media_id DIV 4").alias("media_id"),
+        "kind",
+        "fmt",
+        "n_bytes",
+        F.lit(None).cast("string").alias("digest"),
+        "width",
+        "height",
+        "n_values",
+        "sum_values",
+        "weighted_sum",
+    )
+    return fake.unionByName(real).unionByName(rz)
 
 
 def q42_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3386,6 +3409,23 @@ def oracle_sql() -> dict[str, str]:
                        (strpos('0123456789abcdef', substr(hx, 2*j+1, 1))-1)*16
                      + (strpos('0123456789abcdef', substr(hx, 2*j+2, 1))-1) AS v
                 FROM vf_chain, generate_series(0, 23) AS t(j)
+            ),
+            -- nearest-neighbor 7x6 -> 4x4 pixel-center mapping:
+            -- ys = floor((y+0.5)*6/4) = [0,2,3,5],
+            -- xs = floor((x+0.5)*7/4) = [0,2,4,6]; output byte j maps
+            -- to source byte (ys[y]*7 + xs[x])*3 + channel
+            rz_map AS (
+                SELECT j,
+                       (list_value(0,2,3,5)[(j // 12) + 1] * 7
+                        + list_value(0,2,4,6)[((j % 12) // 3) + 1]) * 3
+                       + (j % 3) AS src
+                FROM generate_series(0, 47) AS t(j)
+            ),
+            rz_bytes AS (
+                SELECT p.doc_id, r.j,
+                       (strpos('0123456789abcdef', substr(p.hx, 2*r.src+1, 1))-1)*16
+                     + (strpos('0123456789abcdef', substr(p.hx, 2*r.src+2, 1))-1) AS v
+                FROM px_chain p, rz_map r
             )
             SELECT 'fake' AS scope, doc_id AS media_id, 'text' AS kind,
                    NULL::VARCHAR AS fmt,
@@ -3423,6 +3463,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT), CAST(SUM(v) AS BIGINT),
                    CAST(SUM(v * (j + 1)) AS BIGINT)
             FROM vf_bytes GROUP BY doc_id
+            UNION ALL
+            SELECT 'real_resize', doc_id, 'image', 'bmp',
+                   CAST(102 AS BIGINT),  -- 54 hdr + 4 rows x 12 stride
+                   NULL::VARCHAR, 4, 4,
+                   CAST(COUNT(*) AS BIGINT), CAST(SUM(v) AS BIGINT),
+                   CAST(SUM(v * (j + 1)) AS BIGINT)
+            FROM rz_bytes GROUP BY doc_id
         """,
         "q42_json_extract": """
             SELECT event_id,

@@ -40,6 +40,7 @@ from lsdm_motogp_data_integration_spark.operators.scoring import (
     dsir_log_weights,
 )
 from lsdm_motogp_data_integration_spark.operators.textops import (
+    cross_doc_span_dedup,
     mask_repeated_ngrams,
 )
 from lsdm_motogp_data_integration_spark.session import get_spark
@@ -170,6 +171,13 @@ def main() -> None:
             "span_dedup",
             mask_repeated_ngrams(docs, k=5, persist_words=True),
         )
+        # cross-doc variant: replicas are vocabulary-disjoint, so the
+        # shared-gram population stays ~per-replica — the gram-keyed
+        # aggregate + join-back is the part whose linearity matters
+        r["span_xdoc_s"], _ = timed(
+            "span_xdoc",
+            cross_doc_span_dedup(docs, k=5, persist_words=True),
+        )
         r["bm25_s"], _ = timed(
             "bm25", bm25_scores(
                 docs, ["spark", "shuffle", "window"], persist_tokens=True
@@ -215,7 +223,9 @@ def main() -> None:
         )
         r["dsir_s"], _ = timed(
             "dsir",
-            dsir_log_weights(
+            # thunk: dsir_log_weights eagerly localCheckpoints its
+            # result (cache-release contract) — build inside the timer
+            lambda: dsir_log_weights(
                 docs,
                 read_table(spark, SF_DIR, "documents").select(
                     "doc_id", "text"
@@ -232,6 +242,7 @@ def main() -> None:
         "simhash_s",
         "boilerplate_s",
         "span_dedup_s",
+        "span_xdoc_s",
         "bm25_s",
         "ann_brute_s",
         "ann_lsh_s",
