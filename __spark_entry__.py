@@ -574,18 +574,32 @@ def q22_text_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators share one driver row.) Round 2 adds the unigram-LM
     score (``operators.scoring.unigram_nll`` — the CCNet-style
     perplexity filter, self-trained, decimal-exact per-doc
-    reduction)."""
+    reduction). Round 3 adds the Gopher rule set
+    (``textops.gopher_flags``, Rae et al. 2021): mean word length,
+    symbol-per-word ratio, alphabetic-word fraction, top-BIGRAM share
+    (the 2-gram repetition rule, sharing the explode shuffle shape of
+    the term aggregate), and the combined ``gopher_keep`` verdict
+    (50 ≤ words ≤ 100k, 3 ≤ mean_word_len ≤ 10, symbol ratio ≤ 0.1,
+    alpha fraction ≥ 0.8, top-token share ≤ 0.2, top-bigram share
+    ≤ 0.18 — the paper's thresholds where applicable)."""
     from lsdm_motogp_data_integration_spark.operators.scoring import (
         unigram_nll,
     )
+    from lsdm_motogp_data_integration_spark.operators.textops import (
+        gopher_flags,
+    )
 
     d = read_table(spark, sf_dir, "documents")
+    gf = gopher_flags("text")
     base = d.select(
         "doc_id",
         token_count("text").alias("n_tokens"),
         bpe_ish_token_count("text").alias("n_subtokens"),
         quality_score("text").alias("quality"),
         lang_id("text").alias("pred_lang"),
+        F.round(gf["mean_word_len"], 6).alias("mean_word_len"),
+        F.round(gf["symbol_word_ratio"], 6).alias("symbol_word_ratio"),
+        F.round(gf["frac_alpha_words"], 6).alias("frac_alpha_words"),
     )
     # the engine-wide tokenization (operators/dedup.normalized_words) —
     # oracle parity depends on query-side and operator-side tokenizers
@@ -611,8 +625,60 @@ def q22_text_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    # top-bigram share (Gopher's 2-gram repetition rule): positional
+    # bigrams (NOT the distinct shingle set), same explode→count→rollup
+    # shuffle shape as per_term; docs with < 2 words have no bigrams
+    # and share 0.0
+    words_arr = F.col("__w")
+    bigrams = d.select("doc_id", words.alias("__w")).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                # guard: Spark's sequence(1, 0) DESCENDS ([1, 0]), so a
+                # 1-word doc must take the empty-array branch
+                F.when(
+                    F.size(words_arr) >= 2,
+                    F.sequence(F.lit(1), F.size(words_arr) - 1),
+                ).otherwise(F.expr("CAST(array() AS ARRAY<INT>)")),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(words_arr, i),
+                    F.element_at(words_arr, i + 1),
+                ),
+            )
+        ).alias("bg"),
+    )
+    bg_share = (
+        bigrams.groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.max("cnt") / F.sum("cnt"), 6).alias(
+                "top_bigram_share"
+            )
+        )
+    )
     lm = unigram_nll(d).select("doc_id", "nll", "ppl")
-    return base.join(rep, "doc_id", "inner").join(lm, "doc_id", "inner")
+    out = (
+        base.join(rep, "doc_id", "inner")
+        .join(bg_share, "doc_id", "left")
+        .join(lm, "doc_id", "inner")
+        .withColumn(
+            "top_bigram_share",
+            F.coalesce(F.col("top_bigram_share"), F.lit(0.0)),
+        )
+    )
+    return out.withColumn(
+        "gopher_keep",
+        (F.col("n_tokens") >= 50)
+        & (F.col("n_tokens") <= 100000)
+        & (F.col("mean_word_len") >= 3.0)
+        & (F.col("mean_word_len") <= 10.0)
+        & (F.col("symbol_word_ratio") <= 0.1)
+        & (F.col("frac_alpha_words") >= 0.8)
+        & (F.col("top_token_share") <= 0.2)
+        & (F.col("top_bigram_share") <= 0.18),
+    )
 
 
 def q26_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2954,7 +3020,11 @@ def oracle_sql() -> dict[str, str]:
                        len(regexp_extract_all(
                            text, '(?i)\\b(the|a|an|and|or|of|to|in|is|it)\\b'
                        )) AS c_stop,
-                       len(regexp_extract_all(text, '[^\\s]')) AS c_nonspace
+                       len(regexp_extract_all(text, '[^\\s]')) AS c_nonspace,
+                       len(regexp_extract_all(text, '#|\\.\\.\\.|…'))
+                           AS c_sym,
+                       len(regexp_extract_all(text, '\\S*[A-Za-z]\\S*'))
+                           AS c_alphaw
                 FROM documents
             ), score AS (
                 SELECT doc_id,
@@ -3021,15 +3091,56 @@ def oracle_sql() -> dict[str, str]:
                        ROUND(EXP(nll_sum / CAST(n_toks AS DOUBLE)), 6)
                            AS ppl
                 FROM lm_sum
+            ), gopher AS (
+                -- textops.gopher_flags (Rae et al. 2021 rule subset)
+                SELECT doc_id,
+                       ROUND(c_nonspace / nt, 6) AS mean_word_len,
+                       ROUND(c_sym / nt, 6) AS symbol_word_ratio,
+                       ROUND(c_alphaw / nt, 6) AS frac_alpha_words
+                FROM feats
+            ), bg AS (
+                SELECT doc_id, array_to_string(ws[i:i+1], ' ') AS bgram
+                FROM (
+                    SELECT doc_id, regexp_split_to_array(
+                        trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                        ' '
+                    ) AS ws
+                    FROM documents
+                ), LATERAL (
+                    SELECT unnest(generate_series(1, len(ws) - 1)) AS i
+                ) t
+                WHERE len(ws) >= 2
+            ), bg_counts AS (
+                SELECT doc_id, bgram, COUNT(*) AS cnt
+                FROM bg GROUP BY 1, 2
+            ), bg_share AS (
+                SELECT doc_id,
+                       ROUND(MAX(cnt) * 1.0 / SUM(cnt), 6)
+                           AS top_bigram_share
+                FROM bg_counts GROUP BY doc_id
             )
             SELECT tok.doc_id, tok.n_tokens, tok.n_subtokens,
                    qual.quality, lang.pred_lang,
+                   gopher.mean_word_len, gopher.symbol_word_ratio,
+                   gopher.frac_alpha_words,
                    rep.distinct_ratio, rep.top_token_share,
-                   lm.nll, lm.ppl
+                   COALESCE(bg_share.top_bigram_share, 0.0)
+                       AS top_bigram_share,
+                   lm.nll, lm.ppl,
+                   (tok.n_tokens >= 50 AND tok.n_tokens <= 100000
+                    AND gopher.mean_word_len >= 3.0
+                    AND gopher.mean_word_len <= 10.0
+                    AND gopher.symbol_word_ratio <= 0.1
+                    AND gopher.frac_alpha_words >= 0.8
+                    AND rep.top_token_share <= 0.2
+                    AND COALESCE(bg_share.top_bigram_share, 0.0) <= 0.18)
+                       AS gopher_keep
             FROM tok
             JOIN qual USING (doc_id)
             JOIN lang USING (doc_id)
+            JOIN gopher USING (doc_id)
             JOIN rep USING (doc_id)
+            LEFT JOIN bg_share USING (doc_id)
             JOIN lm USING (doc_id)
         """,
         "q26_ann_suite": _ANN_SUITE_SQL,

@@ -54,6 +54,34 @@ def quality_features(col: Column | str) -> dict[str, Column]:
     }
 
 
+def gopher_flags(col: Column | str) -> dict[str, Column]:
+    """Gopher-style document quality rules (Rae et al. 2021, "Scaling
+    Language Models: Methods, Analysis & Insights from Training
+    Gopher", Table A1 subset) as pure Column expressions — the
+    standard pre-training text filter, SQL-replayable for the oracle:
+
+    - ``mean_word_len``: non-space chars / words (rule: in [3, 10])
+    - ``symbol_word_ratio``: '#'/ellipsis occurrences per word
+      (rule: ≤ 0.1)
+    - ``frac_alpha_words``: fraction of words containing at least one
+      alphabetic character (rule: ≥ 0.80)
+
+    The word-count rule (50 ≤ n ≤ 100k) and the repetition rules
+    (top-token / top-bigram share) use counts callers already compute
+    (:func:`token_count`, the q22 per-term aggregate) — see
+    ``__spark_entry__.q22_text_signals`` for the combined
+    ``gopher_keep`` verdict.  Ratios are NOT pre-rounded; round at the
+    output edge per the float convention."""
+    c = _c(col)
+    nt = F.greatest(token_count(c), F.lit(1)).cast("double")
+    return {
+        "mean_word_len": F.regexp_count(c, F.lit(r"[^\s]")) / nt,
+        "symbol_word_ratio": F.regexp_count(c, F.lit(r"#|\.\.\.|…")) / nt,
+        "frac_alpha_words": F.regexp_count(c, F.lit(r"\S*[A-Za-z]\S*"))
+        / nt,
+    }
+
+
 def quality_score(col: Column | str) -> Column:
     """Composite [0,1] quality score: rewards alphabetic text with a
     natural stopword rate and plausible word lengths, penalizes digit/

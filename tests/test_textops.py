@@ -333,3 +333,36 @@ def test_rolling_hash_bounds_are_char_offsets(spark):
     df = spark.createDataFrame([(text,)], ["t"])
     bounds = df.select(rolling_hash_chunks_udf("t").alias("c")).collect()[0]["c"]
     assert all(0 < b <= len(text) for b in bounds)
+
+
+def test_gopher_flags_hand_computed(spark):
+    """Gopher rule signals (Rae et al. 2021 subset) against hand-
+    computed values: a symbol-heavy doc, a numeric doc, and a clean
+    doc."""
+    from lsdm_motogp_data_integration_spark.operators.textops import (
+        gopher_flags,
+    )
+
+    rows = [
+        (1, "alpha beta gamma"),          # clean: 3 words, 14 chars
+        (2, "# ... 123 456"),             # symbols + numerics
+        (3, ""),                          # empty
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    gf = gopher_flags("text")
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            F.round(gf["mean_word_len"], 6).alias("mwl"),
+            F.round(gf["symbol_word_ratio"], 6).alias("swr"),
+            F.round(gf["frac_alpha_words"], 6).alias("faw"),
+        ).collect()
+    }
+    # doc 1: 14 non-space chars / 3 words; no symbols; all words alpha
+    assert out[1]["mwl"] == round(14 / 3, 6)
+    assert out[1]["swr"] == 0.0 and out[1]["faw"] == 1.0
+    # doc 2: 4 words; symbols '#' and '...' -> 2/4; 0 alphabetic words
+    assert out[2]["swr"] == 0.5 and out[2]["faw"] == 0.0
+    # empty text: all ratios 0 (denominator clamped to 1)
+    assert (out[3]["mwl"], out[3]["swr"], out[3]["faw"]) == (0.0, 0.0, 0.0)
