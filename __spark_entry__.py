@@ -516,7 +516,12 @@ def q19_neardup_pairs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         incremental_neardup,
     )
 
-    corpus = _doc_corpus(spark, sf_dir)
+    # widen the derived corpus to compute width once: the union sits in
+    # a couple of scan partitions (small BYTES), but every scope runs
+    # heavy per-row shingle/signature HOFs over it — narrow input would
+    # serialize them onto two cores (dedup._compute_width rationale)
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    corpus = _doc_corpus(spark, sf_dir).repartition(n_shuffle, "doc_id")
     lsh = minhash_lsh_pairs(
         corpus, "text", "doc_id", threshold=0.8, persist_sets=True
     ).withColumn("method", F.lit("minhash_lsh"))

@@ -177,6 +177,24 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _compute_width(df: DataFrame) -> DataFrame:
+    """Spread a small relation to the session's shuffle width before
+    persist+heavy-per-row work.  A derived corpus often sits in a
+    handful of partitions (its BYTES are small), but the per-row cost
+    of shingle/signature HOFs is what dominates — cached that narrow,
+    every downstream pass serializes onto a couple of cores (the same
+    bytes-vs-compute blindness as the q38 AQE-coalesce incident,
+    SCALE.md r3).  Only widens — a relation already at or above the
+    shuffle width is returned untouched, so large scans never
+    downscale."""
+    n_shuffle = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    if df.rdd.getNumPartitions() >= n_shuffle:
+        return df
+    return df.repartition(n_shuffle)
+
+
 def jaccard_pairs(
     df: DataFrame,
     text_col: str,
@@ -204,8 +222,13 @@ def jaccard_pairs(
     index size at t=0.8), and candidates are verified on the full sets.
     Output: (id_a, id_b, jaccard) — identical to the naive full-explode
     join, cheaper by ~1/(1-t) on the join fan-in."""
-    sets_df = df.select(
-        F.col(id_col).alias("__id"),
+    src = df.select(F.col(id_col).alias("__id"), F.col(text_col))
+    if persist_sets:
+        # widen BEFORE the shingle HOFs so the expensive per-row pass
+        # runs at full compute width, then cache the result
+        src = _compute_width(src)
+    sets_df = src.select(
+        "__id",
         F.sort_array(word_shingle_hashes(text_col, k)).alias("__set"),
     )
     if persist_sets:
@@ -474,8 +497,12 @@ def minhash_lsh_pairs(
         raise ValueError("num_perm must divide evenly into bands")
     rows_per_band = num_perm // bands
 
-    sets_df = df.select(
-        F.col(id_col).alias("__id"),
+    src = df.select(F.col(id_col).alias("__id"), F.col(text_col))
+    if persist_sets:
+        # widen BEFORE the shingle/signature HOFs (see _compute_width)
+        src = _compute_width(src)
+    sets_df = src.select(
+        "__id",
         word_shingle_hashes(text_col, k).alias("__set"),
     )
     if persist_sets:
