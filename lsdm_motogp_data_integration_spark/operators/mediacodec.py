@@ -256,6 +256,14 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         cid = data[pos : pos + 4]
         size = struct.unpack_from("<I", data, pos + 4)[0]
         body = data[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            # a declared chunk length past EOF is corruption, not a
+            # shorter file — failing loudly beats silently decoding a
+            # prefix of the samples
+            raise MediaFormatError(
+                f"WAV chunk {cid!r} truncated: declared {size}, "
+                f"have {len(body)}"
+            )
         if cid == b"fmt ":
             fmt = body
         elif cid == b"data":
