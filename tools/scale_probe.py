@@ -221,6 +221,22 @@ def main() -> None:
                 docs, eval_docs, n=8, method="bloom"
             ),
         )
+        # real multimodal decode: one BMP per doc (md5-chain pixels,
+        # same builder as q41) through media_stats — Arrow-batched
+        # mapInPandas build + decode, expected linear
+        from __spark_entry__ import _build_multimodal_media
+        from lsdm_motogp_data_integration_spark.operators.multimodal import (
+            media_stats,
+        )
+
+        r["media_decode_s"], _ = timed(
+            "media_decode",
+            media_stats(
+                _build_multimodal_media(docs).filter(
+                    F.col("media_id") % 4 == 0
+                )
+            ),
+        )
         r["dsir_s"], _ = timed(
             "dsir",
             # thunk: dsir_log_weights eagerly localCheckpoints its
@@ -250,6 +266,7 @@ def main() -> None:
         "quantize_s",
         "shards_s",
         "decontam_bloom_s",
+        "media_decode_s",
         "dsir_s",
     ):
         ratio = (big[key] / base[key]) / replicas
