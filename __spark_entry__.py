@@ -1665,9 +1665,19 @@ def q49_corpus_index_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       asc) assigned via the two-phase distributed ranking
       (keys.add_surrogate_key_distributed — no single-partition
       window; a 100 TB vocabulary is tens of millions of rows).
-      ``rk`` carries the vocab id."""
+      ``rk`` carries the vocab id.
+    - ``bpe`` (r3): tokenizer TRAINING — the first 8 BPE merges
+      learned from the corpus (textops.learn_bpe_merges: one
+      distributed word-freq pass bounded to the top-10k words, then
+      the deterministic driver-side merge loop — the codebook
+      pattern). ``term`` = merged symbol, ``postings`` = the merged
+      pair, ``tf`` = pair frequency, ``rk`` = merge rank. The oracle
+      UNROLLS THE WHOLE LEARNING LOOP in SQL (word-freq → char-spaced
+      segmentations → per-generation pair counts → canonical
+      double-space merge rewrite) and must land on the same table."""
     from lsdm_motogp_data_integration_spark.operators.textops import (
         build_vocab,
+        learn_bpe_merges,
         ngram_stats,
     )
 
@@ -1725,6 +1735,14 @@ def q49_corpus_index_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "df",
         F.col("vocab_id").alias("rk"),
     )
+    merges = learn_bpe_merges(d, "text", n_merges=8, max_words=10000)
+    bpe_rows = spark.createDataFrame(
+        [
+            (-1, a + b, int(c), i + 1, f"{a} {b}")
+            for i, (a, b, c) in enumerate(merges)
+        ],
+        "doc_id bigint, term string, tf bigint, rk bigint, postings string",
+    )
     return _suite_union(
         [
             ("doc_id", "bigint"),
@@ -1738,6 +1756,7 @@ def q49_corpus_index_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("tfidf", per_doc.unionByName(corpus_bigrams)),
         ("index", index_rows),
         ("vocab", vocab_rows),
+        ("bpe", bpe_rows),
     )
 
 
@@ -2647,6 +2666,82 @@ def _lloyd_ctes(
             )"""
         )
     return ", ".join(parts)
+
+
+def _bpe_ctes(n_merges: int, max_words: int) -> str:
+    """CTE chain replaying textops.learn_bpe_merges bit-for-bit:
+    word-freq bounded to the ``max_words`` most frequent words (ties
+    word-asc), char-spaced segmentations, then ``n_merges`` unrolled
+    generations — per-generation weighted adjacent-pair counts, top
+    pair by (count DESC, left ASC, right ASC), and the canonical
+    double-space merge rewrite (plain ``replace``; gap doubling makes
+    adjacent occurrences non-overlapping = greedy left-to-right BPE).
+    Exposes ``bm1..bm{n}`` (a, b, c) single-row merge CTEs."""
+    parts = [
+        f"""bwf AS (
+                SELECT w, freq FROM (
+                    SELECT w, COUNT(*) AS freq,
+                           ROW_NUMBER() OVER (
+                               ORDER BY COUNT(*) DESC, w ASC
+                           ) AS rn
+                    FROM (
+                        SELECT unnest(regexp_split_to_array(
+                            trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                            ' '
+                        )) AS w
+                        FROM documents
+                    ) GROUP BY w
+                ) WHERE rn <= {max_words}
+            ), bseg0 AS (
+                SELECT w, freq,
+                       trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS seg
+                FROM bwf
+            )"""
+    ]
+    for i in range(1, n_merges + 1):
+        parts.append(
+            f"""bp{i} AS (
+                SELECT ws[j] AS a, ws[j + 1] AS b,
+                       CAST(SUM(freq) AS BIGINT) AS c
+                FROM (
+                    SELECT freq, regexp_split_to_array(seg, ' ') AS ws
+                    FROM bseg{i - 1}
+                ), LATERAL (
+                    SELECT unnest(generate_series(1, len(ws) - 1)) AS j
+                ) t
+                WHERE len(ws) >= 2
+                GROUP BY 1, 2
+            ), bm{i} AS (
+                SELECT a, b, c FROM bp{i}
+                ORDER BY c DESC, a ASC, b ASC LIMIT 1
+            ), bseg{i} AS (
+                SELECT s.w, s.freq,
+                       trim(regexp_replace(
+                           replace(' ' || replace(s.seg, ' ', '  ') || ' ',
+                                   ' ' || m.a || '  ' || m.b || ' ',
+                                   ' ' || m.a || m.b || ' '),
+                           ' +', ' ', 'g')) AS seg
+                FROM bseg{i - 1} s CROSS JOIN bm{i} m
+            )"""
+        )
+    return ", ".join(parts)
+
+
+def _bpe_branch_sql(n_merges: int = 8, max_words: int = 10000) -> str:
+    """The q49 ``bpe`` scope branch: the merge table as suite rows."""
+    gens = "\n                UNION ALL ".join(
+        f"SELECT {i} AS rk, a, b, c FROM bm{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return f"""
+            SELECT 'bpe' AS scope, CAST(-1 AS BIGINT) AS doc_id,
+                   a || b AS term, c AS tf, NULL::BIGINT AS df,
+                   NULL::DOUBLE AS tfidf, CAST(rk AS BIGINT) AS rk,
+                   a || ' ' || b AS postings
+            FROM (
+                WITH {_bpe_ctes(n_merges, max_words)}
+                {gens}
+            )"""
 
 
 def _cell_assign(centroids: str, rn_filter: str, query_filter: str = "") -> str:
@@ -4361,7 +4456,7 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CASE WHEN lon_dir = 'W' THEN -lon_abs ELSE lon_abs END, 6) AS lon
             FROM parsed
         """,
-        "q49_corpus_index_suite": """
+        "q49_corpus_index_suite": f"""
             SELECT 'tfidf' AS scope, t.*, NULL::VARCHAR AS postings
             FROM (
             WITH terms AS (
@@ -4448,6 +4543,8 @@ def oracle_sql() -> dict[str, str]:
                        ) AS BIGINT) AS vocab_id
                 FROM vcounts
             )
+            UNION ALL
+            {_bpe_branch_sql(8, 10000)}
         """,
     }
     # mirror the Spark-side _counted registration: every suite oracle

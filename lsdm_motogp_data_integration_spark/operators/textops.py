@@ -146,6 +146,106 @@ def lang_id(col: Column | str, markers: dict[str, str] | None = None) -> Column:
     return F.when(best["hits"] <= 0, F.lit("und")).otherwise(best["code"])
 
 
+def learn_bpe_merges(
+    df,
+    text_col: str = "text",
+    *,
+    n_merges: int = 8,
+    max_words: int = 10000,
+) -> list[tuple[str, str, int]]:
+    """Learn a BPE merge table from a corpus (Sennrich et al. 2016,
+    "Neural Machine Translation of Rare Words with Subword Units") —
+    tokenizer TRAINING as an engine operator.
+
+    Scale shape (the same codebook pattern as IVF training): ONE
+    distributed pass builds the word-frequency table (explode →
+    hash-aggregate with map-side partials), deterministically bounded
+    to the ``max_words`` most frequent words (ties word-ascending,
+    distributed TakeOrdered) — real BPE trainers operate on exactly
+    this bounded word-freq dict, never the raw corpus — and the merge
+    loop then runs driver-side over O(max_words) metadata.
+
+    Determinism (engine-replayable, no RNG): each round merges the
+    adjacent symbol pair with the highest frequency, ties broken by
+    (left, right) ascending; the merge itself is the canonical
+    double-space textual rewrite (gap-doubling makes adjacent
+    occurrences non-overlapping, exactly greedy left-to-right BPE)
+    which plain ``replace`` reproduces in any engine — the q49 oracle
+    unrolls the whole learning loop in SQL and must land on the SAME
+    merge table.
+
+    Returns ``[(left, right, pair_freq), ...]`` in merge order
+    (may be shorter than ``n_merges`` if the corpus runs out of
+    mergeable pairs).
+    """
+    from lsdm_motogp_data_integration_spark.operators.dedup import (
+        normalized_words,
+    )
+
+    wf = (
+        df.select(F.explode(normalized_words(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("w").asc())
+        .limit(int(max_words))
+        .collect()
+    )
+    segs: dict[str, str] = {r["w"]: " ".join(list(r["w"])) for r in wf}
+    freqs: dict[str, int] = {r["w"]: r["freq"] for r in wf}
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(int(n_merges)):
+        counts: dict[tuple[str, str], int] = {}
+        for word, seg in segs.items():
+            toks = seg.split(" ")
+            f = freqs[word]
+            for a, b in zip(toks, toks[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        (a, b), c = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((a, b, c))
+        pat, rep = f" {a}  {b} ", f" {a}{b} "
+        for word, seg in segs.items():
+            s = " " + seg.replace(" ", "  ") + " "
+            segs[word] = " ".join(s.replace(pat, rep).split())
+    return merges
+
+
+def bpe_segment(
+    col: Column | str, merges: list[tuple[str, str, int]]
+) -> Column:
+    """Apply a learned BPE merge table to every word of a text column →
+    ``array<string>`` of space-joined per-word segmentations. Pure
+    Column expressions (chars → spaced, then one literal-``replace``
+    chain per merge using the same canonical double-space rewrite as
+    :func:`learn_bpe_merges`) — whole plan stays JVM-side, no UDF, and
+    the identical chain is expressible in SQL for oracle checking."""
+    from lsdm_motogp_data_integration_spark.operators.dedup import (
+        normalized_words,
+    )
+
+    def seg_word(w: Column) -> Column:
+        s = F.trim(F.regexp_replace(w, "(.)", "$1 "))
+        for a, b, _ in merges:
+            doubled = F.concat(
+                F.lit(" "), F.replace(s, F.lit(" "), F.lit("  ")), F.lit(" ")
+            )
+            s = F.trim(
+                F.regexp_replace(
+                    F.replace(
+                        doubled, F.lit(f" {a}  {b} "), F.lit(f" {a}{b} ")
+                    ),
+                    " +",
+                    " ",
+                )
+            )
+        return s
+
+    return F.transform(normalized_words(_c(col)), seg_word)
+
+
 def fingerprint(col: Column | str) -> Column:
     """Canonical-content fingerprint: md5 of the lowercased,
     punctuation-stripped, whitespace-collapsed text. Two documents that

@@ -366,3 +366,88 @@ def test_gopher_flags_hand_computed(spark):
     assert out[2]["swr"] == 0.5 and out[2]["faw"] == 0.0
     # empty text: all ratios 0 (denominator clamped to 1)
     assert (out[3]["mwl"], out[3]["swr"], out[3]["faw"]) == (0.0, 0.0, 0.0)
+
+
+def test_bpe_learning_classic_example(spark):
+    """Sennrich et al.'s canonical example: {low×5, lower×2, newest×6,
+    widest×3} must learn (e,s), (es,t), (l,o), (lo,w), ... in that
+    order, and segmentation must apply the merges greedily."""
+    from lsdm_motogp_data_integration_spark.operators.textops import (
+        bpe_segment,
+        learn_bpe_merges,
+    )
+
+    text = " ".join(
+        ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    )
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    merges = learn_bpe_merges(df, "text", n_merges=4)
+    assert [(a, b) for a, b, _ in merges] == [
+        ("e", "s"),
+        ("es", "t"),
+        ("l", "o"),
+        ("lo", "w"),
+    ]
+    # frequencies: es from newest(6)+widest(3)=9; lo from low(5)+lower(2)=7
+    assert merges[0][2] == 9 and merges[2][2] == 7
+    seg = {
+        w: s
+        for w, s in zip(
+            text.split(),
+            spark.createDataFrame([(text,)], ["text"])
+            .select(bpe_segment("text", merges).alias("s"))
+            .collect()[0]["s"],
+        )
+    }
+    assert seg["low"] == "low"
+    assert seg["newest"] == "n e w est"
+    assert seg["lower"] == "low e r"
+
+
+def test_bpe_merge_overlap_is_greedy_left_to_right(spark):
+    """'aaaa' under merge (a,a) must segment as 'aa aa' (greedy
+    non-overlapping), never 'a aa a' or a silent overlap."""
+    from lsdm_motogp_data_integration_spark.operators.textops import (
+        bpe_segment,
+        learn_bpe_merges,
+    )
+
+    df = spark.createDataFrame([(1, "aaaa aaa")], ["doc_id", "text"])
+    merges = learn_bpe_merges(df, "text", n_merges=1)
+    assert [(a, b) for a, b, _ in merges] == [("a", "a")]
+    out = (
+        df.select(bpe_segment("text", merges).alias("s"))
+        .collect()[0]["s"]
+    )
+    assert out == ["aa aa", "aa a"]
+
+
+def test_bpe_segment_matches_driver_side_application(spark):
+    """The Column-chain segmentation must equal the driver-side
+    canonical rewrite learn_bpe_merges used internally — same merges
+    applied two ways, same result for every corpus word."""
+    from lsdm_motogp_data_integration_spark.operators.textops import (
+        bpe_segment,
+        learn_bpe_merges,
+    )
+    from lsdm_motogp_data_integration_spark.sources import read_table
+
+    d = read_table(spark, "/root/testdata/sf0.001", "documents").limit(50)
+    merges = learn_bpe_merges(d, "text", n_merges=6)
+
+    def drive(word: str) -> str:
+        s = " ".join(list(word))
+        for a, b, _ in merges:
+            t = " " + s.replace(" ", "  ") + " "
+            s = " ".join(t.replace(f" {a}  {b} ", f" {a}{b} ").split())
+        return s
+
+    rows = d.select(
+        F.split(
+            F.lower(F.regexp_replace(F.trim("text"), r"\s+", " ")), " "
+        ).alias("w"),
+        bpe_segment("text", merges).alias("s"),
+    ).collect()
+    for r in rows:
+        for w, s in zip(r["w"], r["s"]):
+            assert s == drive(w), (w, s, drive(w))
