@@ -42,3 +42,25 @@ def test_registry_callables_are_distinct():
     assert len({id(f) for f in fns}) == len(fns), (
         "two registry names point at the same callable"
     )
+
+
+def test_suite_count_rows_match_scope_counts(spark):
+    """Every suite emits one '__count|<scope>|<n>' diagnosability row
+    per scope, and n equals the actual number of in-scope rows (checked
+    on q43, the cheapest multi-scope suite)."""
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["q43_statistics_suite"](
+        spark, "/root/testdata/sf0.001"
+    )
+    rows = df.collect()
+    real = {}
+    counts = {}
+    for r in rows:
+        s = r["scope"]
+        if s.startswith("__count|"):
+            _, tag, n = s.split("|")
+            counts[tag] = int(n)
+        else:
+            real[s] = real.get(s, 0) + 1
+    assert counts == real and len(counts) >= 2
