@@ -33,6 +33,7 @@ from lsdm_motogp_data_integration_spark.operators.membership import (
     ngram_decontaminate,
 )
 from lsdm_motogp_data_integration_spark.operators.textops import (
+    gopher_flags,
     lang_id,
     pack_sequences,
     quality_score,
@@ -50,6 +51,7 @@ def curate(
     keep_langs: tuple[str, ...] = ("en",),
     min_quality: float = 0.3,
     min_distinct_ratio: float = 0.2,
+    gopher_rules: bool = False,
     neardup_threshold: float = 0.8,
     holdout: DataFrame | None = None,
     decontam_gram: int = 8,
@@ -82,8 +84,25 @@ def curate(
         docs.filter(lang_id(text_col).isin(*keep_langs))
         .filter(quality_score(text_col) >= min_quality)
         .filter(distinct_ratio_ok)
-        .withColumn(text_col, redact_pii(text_col))
     )
+    if gopher_rules:
+        # the Column-expression subset of the Gopher rule set (Rae et
+        # al. 2021; textops.gopher_flags) — word-count bounds, mean
+        # word length, symbol ratio, alpha-word fraction. The
+        # aggregate-shaped repetition rules (top-token / top-bigram
+        # share) are served by the distinct_ratio screen above; the
+        # full verdict incl. those lives in q22's gopher_keep.
+        gf = gopher_flags(text_col)
+        nt = token_count(text_col)
+        screened = screened.filter(
+            (nt >= 50)
+            & (nt <= 100000)
+            & (gf["mean_word_len"] >= 3.0)
+            & (gf["mean_word_len"] <= 10.0)
+            & (gf["symbol_word_ratio"] <= 0.1)
+            & (gf["frac_alpha_words"] >= 0.8)
+        )
+    screened = screened.withColumn(text_col, redact_pii(text_col))
 
     # exact dedup as a single window pass (survivor = min id per
     # content digest) rather than exact_dedup + semi-join back: the

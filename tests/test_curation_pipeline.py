@@ -120,3 +120,31 @@ def test_curate_bloom_decontamination_equals_exact(spark):
         .collect()
     }
     assert bloom_ids == exact_ids
+
+
+def test_curate_gopher_rules_screen(spark, sf_dir):
+    """gopher_rules=True tightens the screen: the kept set is a subset
+    of the default screen's, and every survivor clears the word-count
+    and word-shape thresholds."""
+    from pyspark.sql import functions as F
+
+    from lsdm_motogp_data_integration_spark.operators.textops import (
+        gopher_flags,
+        token_count,
+    )
+    from lsdm_motogp_data_integration_spark.pipelines.curation import curate
+    from lsdm_motogp_data_integration_spark.sources import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    base = curate(docs)["screened"].select("doc_id")
+    strict = curate(docs, gopher_rules=True)["screened"].select("doc_id")
+    base_ids = {r["doc_id"] for r in base.collect()}
+    strict_ids = {r["doc_id"] for r in strict.collect()}
+    assert strict_ids <= base_ids and strict_ids
+    gf = gopher_flags("text")
+    checked = docs.filter(F.col("doc_id").isin(list(strict_ids))).select(
+        token_count("text").alias("nt"),
+        gf["mean_word_len"].alias("mwl"),
+    )
+    for r in checked.collect():
+        assert 50 <= r["nt"] <= 100000 and 3.0 <= r["mwl"] <= 10.0
