@@ -731,8 +731,22 @@ def q26_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q27_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup: label-blocked pair scan for cosine ≥
-    0.99 over embeddings ∪ exact duplicates of every 50th vector."""
+    """Embedding-space dedup suite over embeddings ∪ exact duplicates
+    of every 50th vector, tagged by ``scope``:
+
+    - ``blocked``: label-blocked pair scan for cosine ≥ 0.99
+      (dedup.embedding_neardup_pairs — quadratic only within a user
+      block; the hyperplane-LSH path is q26's territory).
+    - ``semdedup`` (r3): SemDeDup (Abbas et al. 2023) — k-means the
+      embedding space (shared sample-bounded Lloyd trainer), then mark
+      members with cosine ≥ 0.99 to a smaller-id member of the SAME
+      cluster as duplicates. One row per corpus vector with its
+      cluster, its ``dup_of`` survivor (id_b, null if kept), and the
+      keep verdict. The oracle replays the Lloyd codebook over the
+      corpus (same 256-row md5 training sample) and recomputes the
+      within-cluster pair screen in SQL."""
+    from lsdm_motogp_data_integration_spark.operators.dedup import semdedup
+
     e = read_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding", "label"
     )
@@ -740,8 +754,32 @@ def q27_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
     )
     corpus = e.unionByName(dups)
-    return embedding_neardup_pairs(
+    blocked = embedding_neardup_pairs(
         corpus, "embedding", "vec_id", block_col="label", threshold=0.99
+    )
+    sem = semdedup(
+        corpus,
+        "embedding",
+        "vec_id",
+        n_clusters=8,
+        n_iters=2,
+        threshold=0.99,
+    ).select(
+        F.col("vec_id").alias("id_a"),
+        F.col("dup_of").alias("id_b"),
+        F.col("cluster").cast("bigint").alias("cluster"),
+        "keep",
+    )
+    return _suite_union(
+        [
+            ("id_a", "bigint"),
+            ("id_b", "bigint"),
+            ("cosine", "double"),
+            ("cluster", "bigint"),
+            ("keep", "boolean"),
+        ],
+        ("blocked", blocked),
+        ("semdedup", sem),
     )
 
 
@@ -2312,6 +2350,7 @@ _SUITE_TAG_COLS: dict[str, str] = {
     "q18_digest_dedup": "kind",
     "q19_neardup_pairs_suite": "method",
     "q26_ann_suite": "method",
+    "q27_embedding_neardup": "scope",
     "q28_event_time_suite": "scope",
     "q39_file_roundtrips": "fmt",
     "q40_streaming_suite": "scope",
@@ -2590,7 +2629,11 @@ _NORMALIZE = (
 
 
 def _lloyd_ctes(
-    n_iters: int, n_cells: int, dim: int = 64, train_sample: int = 0
+    n_iters: int,
+    n_cells: int,
+    dim: int = 64,
+    train_sample: int = 0,
+    source: str = "embeddings",
 ) -> str:
     """CTE chain replaying operators/ann._train_centroids bit-for-bit:
     md5('ivf|'||id)-ordered sample init + ``n_iters`` unrolled Lloyd
@@ -2613,7 +2656,7 @@ def _lloyd_ctes(
                         ORDER BY md5('ivf|' || CAST(vec_id AS VARCHAR)),
                                  vec_id
                     ) AS trk
-                    FROM embeddings
+                    FROM {source}
                 ) WHERE trk <= {train_sample if train_sample else 2**31 - 1}
             ), init AS (
                 SELECT CAST(ROW_NUMBER() OVER (
@@ -2621,7 +2664,7 @@ def _lloyd_ctes(
                                     vec_id
                        ) AS INTEGER) - 1 AS cell,
                        CAST(embedding AS DOUBLE[]) AS c
-                FROM embeddings
+                FROM {source}
                 ORDER BY md5('ivf|' || CAST(vec_id AS VARCHAR)), vec_id
                 LIMIT {n_cells}
             ), c0 AS (
@@ -2629,11 +2672,11 @@ def _lloyd_ctes(
             ), qemb AS (
                 SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
                        {_QV} AS qv
-                FROM embeddings
+                FROM {source}
             ), comps AS (
                 SELECT vec_id, generate_subscripts(embedding, 1) AS j,
                        CAST(unnest(embedding) AS DOUBLE) AS val
-                FROM embeddings
+                FROM {source}
             )"""
     ]
     for i in range(1, n_iters + 1):
@@ -3286,22 +3329,42 @@ def oracle_sql() -> dict[str, str]:
                    ) - 1 AS BIGINT) AS pos
             FROM h
         """,
-        "q27_embedding_neardup": """
+        "q27_embedding_neardup": f"""
             WITH corpus AS (
                 SELECT vec_id, embedding, label FROM embeddings
                 UNION ALL
                 SELECT vec_id + 100000 AS vec_id, embedding, label
                 FROM embeddings WHERE vec_id % 50 = 0
+            ),
+            {_lloyd_ctes(2, 8, train_sample=256, source="corpus")},
+            assigned AS {_cell_assign("c2", "rn = 1")},
+            spairs AS (
+                SELECT ca.vec_id AS id_a, cb.vec_id AS id_b
+                FROM assigned ca
+                JOIN assigned cb
+                  ON ca.cell = cb.cell AND ca.vec_id < cb.vec_id
+                JOIN qemb qa ON qa.vec_id = ca.vec_id
+                JOIN qemb qb ON qb.vec_id = cb.vec_id
+                WHERE list_cosine_similarity(qa.v, qb.v) >= 0.99
+            ),
+            sdups AS (
+                SELECT id_b, MIN(id_a) AS dup_of FROM spairs GROUP BY id_b
             )
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+            SELECT 'blocked' AS scope, a.vec_id AS id_a, b.vec_id AS id_b,
                    ROUND(list_cosine_similarity(
                        CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])
-                   ), 6) AS cosine
+                   ), 6) AS cosine,
+                   NULL::BIGINT AS cluster, NULL::BOOLEAN AS keep
             FROM corpus a JOIN corpus b
               ON a.label = b.label AND a.vec_id < b.vec_id
             WHERE list_cosine_similarity(
                       CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])
                   ) >= 0.99
+            UNION ALL
+            SELECT 'semdedup', asg.vec_id, sd.dup_of, NULL::DOUBLE,
+                   CAST(asg.cell AS BIGINT), sd.dup_of IS NULL
+            FROM assigned asg
+            LEFT JOIN sdups sd ON sd.id_b = asg.vec_id
         """,
         "q28_event_time_suite": """
             SELECT 'tumbling' AS scope,

@@ -980,6 +980,62 @@ def embedding_neardup_pairs(
     )
 
 
+def semdedup(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    *,
+    n_clusters: int = 8,
+    n_iters: int = 2,
+    threshold: float = 0.99,
+    train_sample: int | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): cluster the
+    embedding space, then mark as semantic duplicates the members with
+    cosine ≥ ``threshold`` to a smaller-id member of the SAME cluster
+    (deterministic survivor = smallest id — the paper keeps one point
+    per high-similarity set; id order replaces its arbitrary choice).
+
+    Scale shape — the paper's own argument: clustering bounds the pair
+    space, so the cosine scan is quadratic only WITHIN a cluster, never
+    across the corpus. Composition of two verified parts: the shared
+    deterministic k-means trainer (``ann.kmeans_clusters`` — sample-
+    bounded Lloyd, broadcast codebook, shuffle-free assignment) and the
+    blocked pair scorer (:func:`embedding_neardup_pairs` with
+    ``block_col='cluster'``). Fully engine-replayable: the q27 oracle
+    unrolls the same Lloyd codebook and recomputes the within-cluster
+    pair screen in SQL.
+
+    Returns one row per input vector (null-vector rows are dropped, as
+    everywhere in this family): ``(id_col, cluster, dup_of, keep)``
+    where ``dup_of`` is the smallest same-cluster near-duplicate id
+    (null for survivors) and ``keep = dup_of IS NULL``."""
+    from lsdm_motogp_data_integration_spark.operators.ann import (
+        kmeans_clusters,
+    )
+
+    df = df.filter(F.col(vec_col).isNotNull())
+    clusters = kmeans_clusters(
+        df,
+        vec_col,
+        id_col,
+        n_clusters=n_clusters,
+        n_iters=n_iters,
+        train_sample=train_sample,
+    ).select(id_col, "cluster")
+    with_c = df.join(clusters, id_col)
+    pairs = embedding_neardup_pairs(
+        with_c, vec_col, id_col, block_col="cluster", threshold=threshold
+    )
+    dups = pairs.groupBy("id_b").agg(F.min("id_a").alias("dup_of"))
+    return (
+        with_c.select(F.col(id_col), F.col("cluster"))
+        .join(dups.withColumnRenamed("id_b", id_col), id_col, "left")
+        .withColumn("keep", F.col("dup_of").isNull())
+    )
+
+
 # ---------------------------------------------------------------------------
 # end-to-end corpus deduplication
 # ---------------------------------------------------------------------------

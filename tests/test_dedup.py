@@ -567,3 +567,38 @@ def test_connected_components_rejects_zero_iterations(spark):
     pairs = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
     with pytest.raises(ValueError):
         connected_components(nodes, pairs, max_iterations=0)
+
+
+def test_semdedup_marks_exact_duplicates(spark, sf_dir):
+    """SemDeDup: an exact duplicate vector always lands in its
+    original's cluster (identical embedding -> identical argmax) and
+    must be marked dup_of that original; originals survive."""
+    from pyspark.sql import functions as F
+
+    from lsdm_motogp_data_integration_spark.operators.dedup import semdedup
+    from lsdm_motogp_data_integration_spark.sources import read_table
+
+    e = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    dups = e.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    corpus = e.unionByName(dups)
+    out = {
+        r["vec_id"]: r
+        for r in semdedup(
+            corpus, "embedding", "vec_id", n_clusters=4, n_iters=2
+        ).collect()
+    }
+    n_dups = dups.count()
+    assert n_dups > 0 and len(out) == e.count() + n_dups
+    for r in dups.collect():
+        copy = out[r["vec_id"]]
+        orig = out[r["vec_id"] - 100000]
+        assert copy["cluster"] == orig["cluster"]
+        assert copy["keep"] is False
+        # dup_of points at SOME smaller near-identical member — at
+        # minimum the original itself qualifies
+        assert copy["dup_of"] is not None and copy["dup_of"] <= r["vec_id"] - 100000
+        assert orig["keep"] is True or orig["dup_of"] < orig["vec_id"]
