@@ -2187,19 +2187,55 @@ def q64_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q65_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Trained-model quality screen run as pure Column inference
-    (operators/scoring.classify_quality): sigmoid(w·x + b) over the
-    engine's quality_features with literal weights — the fastText/
-    logistic screen of public curation pipelines (CCNet, FineWeb)
-    without a Python model server in the scan path. Whole-stage
-    codegen end to end; probability rounded to 6 dp per the float
-    convention, keep = prob >= 0.5."""
+    """Quality-classifier suite, tagged by ``scope``:
+
+    - ``fixed``: sigmoid(w·x + b) inference over quality_features with
+      literal (offline) weights — the fastText/logistic screen of
+      public curation pipelines (CCNet, FineWeb) without a Python
+      model server in the scan path; whole-stage codegen end to end.
+    - ``trained`` / ``weights`` (r3): IN-ENGINE training
+      (scoring.train_quality_classifier): batch-GD logistic regression
+      on a deterministic md5-top-256 sample (binding at the sf0.01
+      gate), labels self-distilled from the quality_score heuristic
+      (y = score ≥ 0.5 — deterministic in both engines), 5 iterations
+      with decimal-quantized gradients and round-6 weight updates.
+      ``weights`` rows carry the learned (feature, weight) table +
+      bias; ``trained`` rows apply those weights to the FULL corpus.
+      The oracle unrolls all 5 gradient iterations in SQL and must
+      land on the same weights, probabilities, and keep verdicts."""
     from lsdm_motogp_data_integration_spark.operators.scoring import (
         classify_quality,
+        train_quality_classifier,
+    )
+    from lsdm_motogp_data_integration_spark.operators.textops import (
+        quality_score,
     )
 
     d = read_table(spark, sf_dir, "documents")
-    return classify_quality(d)
+    fixed = classify_quality(d)
+    labeled = d.withColumn(
+        "__label", (quality_score("text") >= F.lit(0.5)).cast("int")
+    )
+    w, b = train_quality_classifier(
+        labeled, "__label", n_iters=5, lr=1.0, train_sample=256
+    )
+    trained = classify_quality(labeled, weights=w, bias=b)
+    weight_rows = spark.createDataFrame(
+        [(n, float(w[n])) for n in sorted(w)] + [("__bias", float(b))],
+        "feature string, weight double",
+    )
+    return _suite_union(
+        [
+            ("doc_id", "bigint"),
+            ("quality_prob", "double"),
+            ("keep", "boolean"),
+            ("feature", "string"),
+            ("weight", "double"),
+        ],
+        ("fixed", fixed),
+        ("trained", trained),
+        ("weights", weight_rows),
+    )
 
 
 def q66_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2360,6 +2396,7 @@ _SUITE_TAG_COLS: dict[str, str] = {
     "q53_source_stats": "scope",
     "q57_decontamination": "scope",
     "q61_sequence_packing": "scope",
+    "q65_quality_classifier": "scope",
     "q66_mixture_sample": "scope",
     "q67_span_dedup": "scope",
 }
@@ -2785,6 +2822,101 @@ def _bpe_branch_sql(n_merges: int = 8, max_words: int = 10000) -> str:
                 WITH {_bpe_ctes(n_merges, max_words)}
                 {gens}
             )"""
+
+
+def _logit_train_ctes(n_iters: int, train_sample: int, lr: float) -> str:
+    """CTE chain replaying scoring.train_quality_classifier
+    bit-for-bit: quality_features in sorted-name order (f0=alpha,
+    f1=digit, f2=mean_word_len, f3=punct, f4=space, f5=stopword),
+    self-distilled labels (quality_score ≥ 0.5), the md5('lrq|'||id)
+    top-``train_sample`` training set, and ``n_iters`` unrolled
+    batch-GD iterations — decimal(18,6)-quantized gradient sums,
+    ROUND-6 mean gradients and weight updates, z accumulated in the
+    same sorted-feature order. Exposes ``lfeats`` (per-doc features)
+    and ``lw{n_iters}`` (b, w0..w5)."""
+    z = (
+        "w.b + w.w0*t.f0 + w.w1*t.f1 + w.w2*t.f2 "
+        "+ w.w3*t.f3 + w.w4*t.f4 + w.w5*t.f5"
+    )
+    parts = [
+        f"""lraw AS (
+                SELECT doc_id,
+                       CAST(greatest(length(text), 1) AS DOUBLE) AS n,
+                       CAST(greatest(
+                           CASE WHEN length(trim(text)) = 0 THEN 0
+                                ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                           END, 1) AS DOUBLE) AS nt,
+                       len(regexp_extract_all(text, '[A-Za-z]')) AS c_alpha,
+                       len(regexp_extract_all(text, '[0-9]')) AS c_digit,
+                       len(regexp_extract_all(text, '[^\\w\\s]')) AS c_punct,
+                       len(regexp_extract_all(text, '\\s')) AS c_space,
+                       len(regexp_extract_all(
+                           text, '(?i)\\b(the|a|an|and|or|of|to|in|is|it)\\b'
+                       )) AS c_stop,
+                       len(regexp_extract_all(text, '[^\\s]')) AS c_nonspace
+                FROM documents
+            ), lfeats AS (
+                SELECT doc_id,
+                       c_alpha / n AS f0, c_digit / n AS f1,
+                       c_nonspace / nt AS f2, c_punct / n AS f3,
+                       c_space / n AS f4, c_stop / nt AS f5
+                FROM lraw
+            ), llab AS (
+                SELECT doc_id,
+                       CASE WHEN ROUND(greatest(least(
+                            0.4 * (c_alpha / n)
+                            + 0.3 * least((c_stop / nt) * 4, 1.0)
+                            + 0.3 * greatest(
+                                  0.0, 1.0 - abs((c_nonspace / nt) - 5.0) / 5.0)
+                            - 0.2 * (c_digit / n)
+                            - 0.2 * (c_punct / n), 1.0), 0.0), 6) >= 0.5
+                            THEN 1.0 ELSE 0.0 END AS y
+                FROM lraw
+            ), ltrain AS (
+                SELECT f.f0, f.f1, f.f2, f.f3, f.f4, f.f5, l.y
+                FROM lfeats f
+                JOIN llab l USING (doc_id)
+                JOIN (
+                    SELECT doc_id, ROW_NUMBER() OVER (
+                        ORDER BY md5('lrq|' || CAST(doc_id AS VARCHAR)),
+                                 doc_id
+                    ) AS trk
+                    FROM documents
+                ) r USING (doc_id)
+                WHERE r.trk <= {train_sample}
+            ), lw0 AS (
+                SELECT 0.0 AS b, 0.0 AS w0, 0.0 AS w1, 0.0 AS w2,
+                       0.0 AS w3, 0.0 AS w4, 0.0 AS w5
+            )"""
+    ]
+    gsum = (
+        "COALESCE(CAST(SUM(CAST(e{mul} AS DECIMAL(18,6))) AS DOUBLE), 0.0)"
+    )
+    for i in range(1, n_iters + 1):
+        gcols = ", ".join(
+            gsum.format(mul=f" * f{j}") + f" AS g{j}" for j in range(6)
+        )
+        wcols = ", ".join(
+            f"ROUND(w.w{j} - {lr} * ROUND(t.g{j} / t.nn, 6), 6) AS w{j}"
+            for j in range(6)
+        )
+        parts.append(
+            f"""lt{i} AS (
+                SELECT greatest(CAST(COUNT(*) AS DOUBLE), 1.0) AS nn,
+                       {gsum.format(mul="")} AS gb,
+                       {gcols}
+                FROM (
+                    SELECT t.f0, t.f1, t.f2, t.f3, t.f4, t.f5,
+                           1.0 / (1.0 + exp(-({z}))) - t.y AS e
+                    FROM ltrain t CROSS JOIN lw{i - 1} w
+                )
+            ), lw{i} AS (
+                SELECT ROUND(w.b - {lr} * ROUND(t.gb / t.nn, 6), 6) AS b,
+                       {wcols}
+                FROM lw{i - 1} w CROSS JOIN lt{i} t
+            )"""
+        )
+    return ", ".join(parts)
 
 
 def _cell_assign(centroids: str, rn_filter: str, query_filter: str = "") -> str:
@@ -4094,42 +4226,48 @@ def oracle_sql() -> dict[str, str]:
             FROM agg
             ORDER BY bm25 DESC, doc_id ASC LIMIT 100
         """,
-        "q65_quality_classifier": """
-            WITH feats AS (
-                SELECT doc_id,
-                       CAST(greatest(length(text), 1) AS DOUBLE) AS n,
-                       CAST(greatest(
-                           CASE WHEN length(trim(text)) = 0 THEN 0
-                                ELSE len(regexp_split_to_array(trim(text), '\\s+'))
-                           END, 1) AS DOUBLE) AS nt,
-                       len(regexp_extract_all(text, '[A-Za-z]')) AS c_alpha,
-                       len(regexp_extract_all(text, '[0-9]')) AS c_digit,
-                       len(regexp_extract_all(text, '[^\\w\\s]')) AS c_punct,
-                       len(regexp_extract_all(text, '\\s')) AS c_space,
-                       len(regexp_extract_all(
-                           text, '(?i)\\b(the|a|an|and|or|of|to|in|is|it)\\b'
-                       )) AS c_stop,
-                       len(regexp_extract_all(text, '[^\\s]')) AS c_nonspace
-                FROM documents
-            ), z AS (
+        "q65_quality_classifier": f"""
+            WITH {_logit_train_ctes(5, 256, 1.0)},
+            fixed_z AS (
                 -- weights added in sorted-feature-name order, exactly
                 -- like the engine builds the expression
                 SELECT doc_id,
                        -1.0
-                       + 2.0 * (c_alpha / n)
-                       + -3.0 * (c_digit / n)
-                       + -0.1 * (c_nonspace / nt)
-                       + -2.0 * (c_punct / n)
-                       + 0.5 * (c_space / n)
-                       + 1.5 * (c_stop / nt) AS z
-                FROM feats
-            ), p AS (
-                SELECT doc_id,
-                       ROUND(1.0 / (1.0 + exp(-z)), 6) AS quality_prob
-                FROM z
+                       + 2.0 * f0
+                       + -3.0 * f1
+                       + -0.1 * f2
+                       + -2.0 * f3
+                       + 0.5 * f4
+                       + 1.5 * f5 AS z
+                FROM lfeats
+            ),
+            trained_p AS (
+                SELECT f.doc_id,
+                       ROUND(1.0 / (1.0 + exp(-(
+                           w.b + w.w0*f.f0 + w.w1*f.f1 + w.w2*f.f2
+                           + w.w3*f.f3 + w.w4*f.f4 + w.w5*f.f5
+                       ))), 6) AS quality_prob
+                FROM lfeats f CROSS JOIN lw5 w
             )
-            SELECT doc_id, quality_prob, quality_prob >= 0.5 AS keep
-            FROM p
+            SELECT 'fixed' AS scope, doc_id,
+                   ROUND(1.0 / (1.0 + exp(-z)), 6) AS quality_prob,
+                   ROUND(1.0 / (1.0 + exp(-z)), 6) >= 0.5 AS keep,
+                   NULL::VARCHAR AS feature, NULL::DOUBLE AS weight
+            FROM fixed_z
+            UNION ALL
+            SELECT 'trained', doc_id, quality_prob,
+                   quality_prob >= 0.5, NULL::VARCHAR, NULL::DOUBLE
+            FROM trained_p
+            UNION ALL
+            SELECT 'weights', NULL::BIGINT, NULL::DOUBLE, NULL::BOOLEAN,
+                   f.name, f.val
+            FROM lw5 w, LATERAL (
+                SELECT unnest(['__bias', 'alpha_ratio', 'digit_ratio',
+                               'mean_word_len', 'punct_ratio',
+                               'space_ratio', 'stopword_ratio']) AS name,
+                       unnest([w.b, w.w0, w.w1, w.w2, w.w3, w.w4, w.w5])
+                           AS val
+            ) f
         """,
         "q67_span_dedup": """
             WITH docs AS (

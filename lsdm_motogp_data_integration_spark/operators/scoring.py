@@ -10,8 +10,10 @@ weights are plain literals, and no Python UDF or model runtime is
 involved — the shape to aim for when scoring 100 TB, where shipping
 rows to a Python model server is the bottleneck.
 
-Weight provenance is out of scope (train offline, paste weights);
-the engine-side contract is only the feature formulas + linear form.
+Weight provenance can stay offline (train elsewhere, paste weights)
+or run IN-ENGINE via :func:`train_quality_classifier` — a bounded-
+sample batch-GD logistic trainer with the repo's decimal-exact /
+round-6 determinism recipe, oracle-unrollable like the Lloyd trainer.
 """
 
 from __future__ import annotations
@@ -71,6 +73,117 @@ def classify_quality(
         prob.alias("quality_prob"),
         (prob >= F.lit(float(threshold))).alias("keep"),
     )
+
+
+def train_quality_classifier(
+    df: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    *,
+    n_iters: int = 5,
+    lr: float = 1.0,
+    train_sample: int = 0,
+    id_col: str = "doc_id",
+) -> tuple[dict[str, float], float]:
+    """In-engine weight provenance for :func:`classify_quality` —
+    batch-gradient-descent logistic regression over
+    ``quality_features`` (closes this module's documented "train
+    offline, paste weights" gap).
+
+    Each iteration is ONE distributed aggregation job with the CURRENT
+    weights inlined as plan literals (7 doubles — no broadcast, no
+    Python): per-row ``error = sigmoid(w·x + b) − y``, per-feature
+    gradient contributions cast to ``DECIMAL(18,6)`` before the sum
+    (order-independent), mean gradient rounded to 6 dp, and the
+    updated weights re-rounded to 6 dp — so sub-1e-6 engine float
+    differences (e.g. last-ulp ``exp``) cannot accumulate across
+    iterations. The exact recipe of the Lloyd trainer; the q65 oracle
+    unrolls the identical iterations in SQL and must land on the same
+    weights.
+
+    ``train_sample`` > 0 bounds training to the ``train_sample``
+    smallest ``md5('lrq|' || id)`` rows (one TakeOrdered + eager
+    localCheckpoint) — training cost is then O(sample · n_iters)
+    regardless of corpus size, the same scale stance as the IVF/BPE
+    trainers; inference over the full corpus stays a single pass.
+
+    Returns ``(weights, bias)`` ready for :func:`classify_quality`.
+    """
+    feats = quality_features(text_col)
+    names = sorted(feats)
+    train_df = df
+    if train_sample:
+        train_df = (
+            df.withColumn(
+                "__h",
+                F.md5(
+                    F.concat(F.lit("lrq|"), F.col(id_col).cast("string"))
+                ),
+            )
+            .orderBy("__h", F.col(id_col).asc())
+            .limit(int(train_sample))
+        )
+    # one slim projection of label + features, pinned so the n_iters
+    # gradient jobs never re-run the regex feature extraction
+    base = train_df.select(
+        F.col(label_col).cast("double").alias("__y"),
+        *[feats[n].alias(f"__f_{i}") for i, n in enumerate(names)],
+    ).localCheckpoint(eager=True)
+
+    w = {n: 0.0 for n in names}
+    b = 0.0
+    for _ in range(int(n_iters)):
+        z: Column = F.lit(float(b))
+        for i, n in enumerate(names):
+            z = z + F.lit(float(w[n])) * F.col(f"__f_{i}")
+        err = F.lit(1.0) / (F.lit(1.0) + F.exp(-z)) - F.col("__y")
+        aggs = [
+            # clamp: an empty training relation must yield zero
+            # gradients (null sums coalesce below), not a null divide
+            F.greatest(F.count(F.lit(1)).cast("double"), F.lit(1.0)).alias(
+                "__n"
+            ),
+            F.coalesce(
+                F.sum(err.cast("decimal(18,6)")).cast("double"), F.lit(0.0)
+            ).alias("__g_b"),
+        ]
+        for i, n in enumerate(names):
+            aggs.append(
+                F.coalesce(
+                    F.sum(
+                        (err * F.col(f"__f_{i}")).cast("decimal(18,6)")
+                    ).cast("double"),
+                    F.lit(0.0),
+                ).alias(f"__g_{i}")
+            )
+
+        # the weight UPDATE runs inside the same Spark job (F.round),
+        # never in Python: Python's round() is half-even while the
+        # F.round <-> SQL ROUND pairing is the repo's proven
+        # cross-engine convention — mixing in a third rounding rule
+        # would let boundary cases diverge from the oracle
+        def upd(prev: float, g: str) -> Column:
+            return F.round(
+                F.lit(float(prev))
+                - F.lit(float(lr)) * F.round(F.col(g) / F.col("__n"), 6),
+                6,
+            )
+
+        row = (
+            base.agg(*aggs)
+            .select(
+                upd(b, "__g_b").alias("__b"),
+                *[
+                    upd(w[n], f"__g_{i}").alias(f"__w_{i}")
+                    for i, n in enumerate(names)
+                ],
+            )
+            .collect()[0]
+        )
+        b = float(row["__b"])
+        for i, n in enumerate(names):
+            w[n] = float(row[f"__w_{i}"])
+    return w, b
 
 
 def unigram_nll(

@@ -259,3 +259,57 @@ def test_mixture_sample_null_group_uses_default(spark):
     ).collect()
     null_taken = sum(1 for r in out if r["grp"] is None)
     assert null_taken > 0  # default_prop applies, rows are not dropped
+
+
+def test_train_quality_classifier_learns_and_is_deterministic(spark, sf_dir):
+    """Batch-GD logistic training: deterministic across calls, bounded
+    to the md5-top-N sample (full-corpus training on exactly that
+    subset must give identical weights), and the learned model must
+    beat chance on its own self-distilled labels."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from lsdm_motogp_data_integration_spark.operators.scoring import (
+        classify_quality,
+        train_quality_classifier,
+    )
+    from lsdm_motogp_data_integration_spark.operators.textops import (
+        quality_score,
+    )
+    from lsdm_motogp_data_integration_spark.sources import read_table
+
+    d = read_table(spark, sf_dir, "documents")
+    labeled = d.withColumn(
+        "__label", (quality_score("text") >= F.lit(0.5)).cast("int")
+    )
+    w1, b1 = train_quality_classifier(
+        labeled, "__label", n_iters=4, train_sample=128
+    )
+    w2, b2 = train_quality_classifier(
+        labeled, "__label", n_iters=4, train_sample=128
+    )
+    assert (w1, b1) == (w2, b2)
+    assert any(v != 0.0 for v in w1.values())
+
+    # sample-bound: training on exactly the md5-top-128 subset with
+    # the bound off must give the same weights
+    ids = [r["doc_id"] for r in d.select("doc_id").collect()]
+    top = sorted(
+        ids, key=lambda i: (hashlib.md5(f"lrq|{i}".encode()).hexdigest(), i)
+    )[:128]
+    sub = labeled.filter(F.col("doc_id").isin(top))
+    w3, b3 = train_quality_classifier(
+        sub, "__label", n_iters=4, train_sample=0
+    )
+    assert (w3, b3) == (w1, b1)
+
+    # better than chance on the self-distilled labels
+    preds = classify_quality(labeled, weights=w1, bias=b1).join(
+        labeled.select("doc_id", "__label"), "doc_id"
+    )
+    agree = preds.filter(
+        F.col("keep").cast("int") == F.col("__label")
+    ).count()
+    total = preds.count()
+    assert agree / total > 0.6, (agree, total)
