@@ -75,13 +75,14 @@ def main() -> None:
     for name in HEADLINE:
         fn = queries[name]
         runs = []
-        # three runs per query: run 1 pays plan analysis + codegen
+        # four runs per query: run 1 pays plan analysis + codegen
         # compile, later runs are the steady state a repeated workload
         # sees; report the best, keep cold numbers for transparency.
-        # min-of-3 also rides out this image's intermittent multi-second
-        # host hiccup (SCALE.md), which lands on a random query roughly
-        # once per session and would otherwise poison a min-of-2
-        for _ in range(3):
+        # min-of-4 rides out this host's noisy co-tenants (SCALE.md:
+        # load spikes to 30+ land multi-second stalls on random
+        # queries; with 3 runs a stall pair still poisoned the min
+        # roughly once per session)
+        for _ in range(4):
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(round(time.time() - t0, 3))
