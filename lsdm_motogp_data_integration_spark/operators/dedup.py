@@ -999,7 +999,14 @@ def semdedup(
 
     Scale shape — the paper's own argument: clustering bounds the pair
     space, so the cosine scan is quadratic only WITHIN a cluster, never
-    across the corpus. Composition of two verified parts: the shared
+    across the corpus. THE KNOB MUST SCALE: with ``n_clusters`` fixed,
+    per-cluster membership grows linearly with the corpus and the
+    within-cluster scan grows quadratically — size ``n_clusters ∝
+    corpus_rows / target_cluster_size`` (the paper uses ~100k clusters
+    at web scale; a few hundred members per cluster keeps the scan
+    flat — the 20× probe in SCALE.md pins this). Training cost stays
+    bounded regardless (sample-bounded Lloyd).
+    Composition of two verified parts: the shared
     deterministic k-means trainer (``ann.kmeans_clusters`` — sample-
     bounded Lloyd, broadcast codebook, shuffle-free assignment) and the
     blocked pair scorer (:func:`embedding_neardup_pairs` with

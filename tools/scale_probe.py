@@ -183,6 +183,21 @@ def main() -> None:
                 docs, ["spark", "shuffle", "window"], persist_tokens=True
             )
         )
+        # SemDeDup with the knob scaled (n_clusters ∝ corpus, constant
+        # per-cluster membership) — the within-cluster scan must stay
+        # linear; a FIXED n_clusters would grow it quadratically (see
+        # dedup.semdedup docstring)
+        from lsdm_motogp_data_integration_spark.operators.dedup import (
+            semdedup,
+        )
+
+        r["semdedup_s"], _ = timed(
+            "semdedup",
+            lambda: semdedup(
+                emb, "embedding", "vec_id",
+                n_clusters=8 * n_rep, n_iters=2,
+            ),
+        )
         r["ann_brute_s"], _ = timed(
             "ann_brute",
             cosine_topk(
@@ -260,6 +275,7 @@ def main() -> None:
         "span_dedup_s",
         "span_xdoc_s",
         "bm25_s",
+        "semdedup_s",
         "ann_brute_s",
         "ann_lsh_s",
         "ann_ivf_s",
