@@ -2405,25 +2405,53 @@ _SUITE_TAG_COLS: dict[str, str] = {
 def _append_tag_counts(out: DataFrame, tag_col: str) -> DataFrame:
     """Append per-scope count rows to a suite result: one row per
     distinct ``tag_col`` value with ``'__count|<tag>|<n>'`` in the tag
-    column and NULL everywhere else.  Derived from the suite's own
-    output relation (catalyst reuses the suite subplan's exchanges
-    where possible), so both engines compute it from the same rows
-    they are about to hash."""
-    counts = out.groupBy(tag_col).agg(F.count(F.lit(1)).alias("__n"))
-    crows = counts.select(
-        F.concat(
-            F.lit("__count|"),
-            F.col(tag_col),
-            F.lit("|"),
-            F.col("__n").cast("string"),
-        ).alias(tag_col),
+    column and NULL everywhere else.
+
+    SINGLE-evaluation shape: a union with a ``groupBy(tag).count()``
+    branch would evaluate the (often expensive) suite subtree twice,
+    so instead the suite rows are windowed per scope (one shuffle of
+    the OUTPUT rows — suites are bounded) and exactly one row per
+    scope explodes into [itself, its scope's count row].  Which row
+    carries the duplicate is partition-order dependent; the EMITTED
+    relation is identical either way, so results stay deterministic."""
+    others = [c for c in out.columns if c != tag_col]
+
+    def as_row(tag: Column) -> Column:
+        return F.struct(
+            tag.alias(tag_col), *[F.col(c).alias(c) for c in others]
+        )
+
+    count_tag = F.concat(
+        F.lit("__count|"),
+        F.col(tag_col),
+        F.lit("|"),
+        F.col("__cnt").cast("string"),
+    )
+    count_row = F.struct(
+        count_tag.alias(tag_col),
         *[
             F.lit(None).cast(out.schema[c].dataType).alias(c)
-            for c in out.columns
-            if c != tag_col
+            for c in others
         ],
     )
-    return out.unionByName(crows.select(*out.columns))
+    w = Window.partitionBy(tag_col)
+    marked = out.withColumn(
+        "__cnt", F.count(F.lit(1)).over(w)
+    ).withColumn(
+        "__rn",
+        F.row_number().over(w.orderBy(F.monotonically_increasing_id())),
+    )
+    return (
+        marked.select(
+            F.explode(
+                F.when(
+                    F.col("__rn") == 1,
+                    F.array(as_row(F.col(tag_col)), count_row),
+                ).otherwise(F.array(as_row(F.col(tag_col))))
+            ).alias("__r")
+        )
+        .select("__r.*")
+    )
 
 
 def _counted(
