@@ -519,9 +519,12 @@ def q19_neardup_pairs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # widen the derived corpus to compute width once: the union sits in
     # a couple of scan partitions (small BYTES), but every scope runs
     # heavy per-row shingle/signature HOFs over it — narrow input would
-    # serialize them onto two cores (dedup._compute_width rationale)
-    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    corpus = _doc_corpus(spark, sf_dir).repartition(n_shuffle, "doc_id")
+    # serialize them onto two cores
+    from lsdm_motogp_data_integration_spark.operators.dedup import (
+        _compute_width,
+    )
+
+    corpus = _compute_width(_doc_corpus(spark, sf_dir))
     lsh = minhash_lsh_pairs(
         corpus, "text", "doc_id", threshold=0.8, persist_sets=True
     ).withColumn("method", F.lit("minhash_lsh"))
@@ -1008,6 +1011,10 @@ def q38_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
+    # NB not dedup._compute_width: the grouped-map operator REQUIRES a
+    # hash distribution on the group key, so the widening must be the
+    # keyed repartition itself (an unkeyed round-robin widen would
+    # just add a second shuffle in front of the required one)
     n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     per_user = (
         ev.repartition(n_shuffle, "user_id")
@@ -1301,7 +1308,9 @@ def q40_streaming_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _build_multimodal_media(docs: DataFrame) -> DataFrame:
+def _build_multimodal_media(
+    docs: DataFrame, kinds: tuple[int, ...] = (0, 1, 2, 3)
+) -> DataFrame:
     """Four REAL codec-free media blobs per document — a 24-bit BMP
     (7×6, exercises row padding + bottom-up/BGR), a P5 PGM (5×4), a
     16-bit PCM WAV (64 mono samples @ 8 kHz), and a 2-frame Cmono Y4M
@@ -1309,7 +1318,10 @@ def _build_multimodal_media(docs: DataFrame) -> DataFrame:
     text (``md5(text + ':tag:' + i)`` blocks, truncated), so a SQL
     oracle can regenerate the EXPECTED decoded values without parsing
     any container.  ``media_id = doc_id*4 + k`` (k: 0=bmp, 1=pgm,
-    2=wav, 3=y4m) keys the scope."""
+    2=wav, 3=y4m) keys the scope; ``kinds`` restricts which blobs are
+    BUILT, so a consumer of one kind (the resize branch) never pays
+    for encoding the other three only to filter them out above the
+    UDF (a plain filter cannot push through mapInPandas)."""
     import hashlib as _hl
 
     import numpy as _np
@@ -1326,37 +1338,44 @@ def _build_multimodal_media(docs: DataFrame) -> DataFrame:
             for i in range(nblocks)
         )
 
+    want = frozenset(kinds)
+
+    def build_one(k: int, t: str) -> tuple[str, bytes]:
+        if k == 0:
+            img = _np.frombuffer(
+                chain(t, "px", 8)[:126], _np.uint8
+            ).reshape(6, 7, 3)
+            return "image", mc.encode_bmp(img)
+        if k == 1:
+            gr = _np.frombuffer(
+                chain(t, "gr", 2)[:20], _np.uint8
+            ).reshape(4, 5)
+            return "image", mc.encode_pgm(gr)
+        if k == 2:
+            au = _np.frombuffer(chain(t, "au", 8)[:128], "<i2")
+            return "audio", mc.encode_wav(au, 8000)
+        vf = chain(t, "vf", 2)[:24]
+        frames = [
+            _np.frombuffer(vf[:12], _np.uint8).reshape(3, 4),
+            _np.frombuffer(vf[12:], _np.uint8).reshape(3, 4),
+        ]
+        return "video", mc.encode_y4m(frames, 10, 1)
+
     def run(batches):
         for pdf in batches:
-            ids, kinds, contents, metas = [], [], [], []
+            ids, kind_col, contents, metas = [], [], [], []
             for did, text in zip(pdf["doc_id"], pdf["text"]):
                 t = "" if text is None else str(text)
-                img = _np.frombuffer(
-                    chain(t, "px", 8)[:126], _np.uint8
-                ).reshape(6, 7, 3)
-                gr = _np.frombuffer(
-                    chain(t, "gr", 2)[:20], _np.uint8
-                ).reshape(4, 5)
-                au = _np.frombuffer(chain(t, "au", 8)[:128], "<i2")
-                vf = chain(t, "vf", 2)[:24]
-                frames = [
-                    _np.frombuffer(vf[:12], _np.uint8).reshape(3, 4),
-                    _np.frombuffer(vf[12:], _np.uint8).reshape(3, 4),
-                ]
-                for k, kind, blob in (
-                    (0, "image", mc.encode_bmp(img)),
-                    (1, "image", mc.encode_pgm(gr)),
-                    (2, "audio", mc.encode_wav(au, 8000)),
-                    (3, "video", mc.encode_y4m(frames, 10, 1)),
-                ):
+                for k in sorted(want):
+                    kind, blob = build_one(k, t)
                     ids.append(int(did) * 4 + k)
-                    kinds.append(kind)
+                    kind_col.append(kind)
                     contents.append(blob)
                     metas.append(None)
             yield _pd.DataFrame(
                 {
                     "media_id": ids,
-                    "kind": kinds,
+                    "kind": kind_col,
                     "content": contents,
                     "meta": metas,
                 }
@@ -1442,7 +1461,7 @@ def q41_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # replays only the index arithmetic (src = floor((i+0.5)·src/dst)
     # pixel-center mapping) over the md5 pixel chain, so the whole
     # decode→resize→encode→decode chain must agree value-for-value.
-    bmp_media = _build_multimodal_media(d).filter(F.col("media_id") % 4 == 0)
+    bmp_media = _build_multimodal_media(d, kinds=(0,))
     resized = resize_images(bmp_media, 4, 4, fake=False).select(
         "media_id", F.lit("image").alias("kind"), "content"
     )
@@ -3326,8 +3345,10 @@ def oracle_sql() -> dict[str, str]:
                        len(regexp_extract_all(text, '[^\\s]')) AS c_nonspace,
                        len(regexp_extract_all(text, '#|\\.\\.\\.|…'))
                            AS c_sym,
-                       len(regexp_extract_all(text, '\\S*[A-Za-z]\\S*'))
-                           AS c_alphaw
+                       len(list_filter(
+                           regexp_split_to_array(trim(text), '\\s+'),
+                           w -> regexp_matches(w, '[A-Za-z]')
+                       )) AS c_alphaw
                 FROM documents
             ), score AS (
                 SELECT doc_id,

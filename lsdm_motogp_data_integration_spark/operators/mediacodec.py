@@ -210,6 +210,11 @@ def _decode_pnm(data: bytes) -> np.ndarray:
     magic = data[:2]
     nch = 3 if magic == b"P6" else 1
     (w, h, maxval), off = _pnm_header_tokens(data, 3)
+    if w <= 0 or h <= 0:
+        # same contract as the BMP guard: corrupt dimensions are
+        # MediaFormatError, never a zero-size array leaking numpy
+        # reduction errors into the feature/resize paths
+        raise MediaFormatError(f"bad PNM dimensions {w}x{h}")
     if maxval <= 0 or maxval > 255:
         raise NotImplementedError(f"PNM maxval {maxval} (8-bit only)")
     need = w * h * nch
@@ -359,7 +364,17 @@ def y4m_info(data: bytes) -> dict:
             num, den = int(a), int(b)
         elif tag == b"C":
             v = val.decode("ascii")
-            sub = "mono" if v.startswith("mono") else v[:3]
+            # match the FULL tag against the known 8-bit layouts — a
+            # prefix match would misread C420p10/Cmono16 (10/16-bit
+            # variants) as their 8-bit cousins and compute frame_bytes
+            # at half the real size, then misreport the well-formed
+            # file as corrupt at the first FRAME marker
+            if v in ("420", "420jpeg", "420mpeg2", "420paldv"):
+                sub = "420"
+            elif v in ("422", "444", "mono"):
+                sub = v
+            else:
+                raise NotImplementedError(f"Y4M colorspace C{v}")
     if not w or not h:
         raise MediaFormatError("Y4M header missing W/H")
     if sub not in _Y4M_FRAME_FACTOR:

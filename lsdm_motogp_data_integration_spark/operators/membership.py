@@ -243,9 +243,10 @@ def ngram_decontaminate(
     ``_persist_handles``: when a list is passed, any cache this call
     creates (the distinct eval-gram relation on the bloom path) is
     appended to it and the CALLER owns the unpersist; when ``None``
-    (the default) the cache is released before returning — the Bloom
-    build and sizing count have already materialized it eagerly, so
-    the remaining verify join loses nothing but the leak.
+    (the default) the RESULT is eagerly localCheckpoint-ed (one narrow
+    row per contaminated document) while the cache is warm and the
+    cache is then released — nothing leaks into the session, and later
+    actions on the result never re-run the gram explode.
     """
     own_eval = eval_grams is None
     if train_grams is None:
@@ -276,10 +277,13 @@ def ngram_decontaminate(
         if _persist_handles is not None:
             _persist_handles.append(owned_cache)
         else:
-            # build_bloom's two collect jobs already evaluated the
-            # cache; the lazily-consumed verify join re-reads cached
-            # blocks until GC, and unpersist(blocking=False) merely
-            # drops them lazily — correctness is unaffected, the
-            # worst case is one re-evaluation of the eval explode
+            # materialize the (per-contaminated-doc narrow) result
+            # while the gram cache is warm, then drop the cache: every
+            # later action on the returned relation reads the
+            # checkpoint instead of re-running the eval explode — the
+            # same closure dsir_log_weights uses (a bare unpersist
+            # here would silently void the persist_grams contract for
+            # multi-action callers)
+            out = out.localCheckpoint(eager=True)
             owned_cache.unpersist(blocking=False)
     return out

@@ -277,6 +277,21 @@ MEDIA_STATS_SCHEMA = T.StructType(
 )
 
 
+def _weighted_sum_exact(flat: np.ndarray, chunk: int = 1 << 20) -> int:
+    """Exact ``Σ vᵢ·i`` (1-based) as an arbitrary-precision Python int.
+    A straight int64 ``np.dot`` silently wraps once n·max|v|·n exceeds
+    2^63 (≈ a 25-minute 16 kHz clip or a ~9500² RGBA image). Per chunk,
+    the weight decomposes as ``start + offset``: the offset dot and the
+    chunk value-sum each stay far below 2^63 (chunk ≤ 2^20, |v| ≤ 2^15),
+    and the ``start · Σv`` term is accumulated in Python bigints."""
+    total = 0
+    for start in range(0, flat.size, chunk):
+        c = flat[start : start + chunk].astype(np.int64)
+        off = np.arange(1, c.size + 1, dtype=np.int64)
+        total += start * int(c.sum()) + int(np.dot(c, off))
+    return total
+
+
 def media_stats(media: DataFrame) -> DataFrame:
     """REAL-decode integer statistics — the oracle-replayable face of
     the decoder: for each blob, the sniffed format, container size,
@@ -345,9 +360,7 @@ def media_stats(media: DataFrame) -> DataFrame:
                 flat = vals.ravel()
                 out["n_values"].append(int(flat.size))
                 out["sum_values"].append(int(flat.sum()))
-                out["weighted_sum"].append(
-                    int((flat * np.arange(1, flat.size + 1)).sum())
-                )
+                out["weighted_sum"].append(_weighted_sum_exact(flat))
                 out["decoded_digest"].append(
                     hashlib.sha256(canon).hexdigest()
                 )

@@ -74,11 +74,20 @@ def gopher_flags(col: Column | str) -> dict[str, Column]:
     output edge per the float convention."""
     c = _c(col)
     nt = F.greatest(token_count(c), F.lit(1)).cast("double")
+    # words-with-a-letter counted by split + per-word rlike, NOT by a
+    # \S*[A-Za-z]\S* regexp_count: Java's backtracking engine is
+    # O(n²) on a long letter-free non-space run (exactly the garbage
+    # this filter exists to reject), while the split form is linear
+    # in both engines (DuckDB's RE2 twin uses list_filter)
+    alpha_words = F.size(
+        F.filter(
+            F.split(F.trim(c), r"\s+"), lambda w: w.rlike("[A-Za-z]")
+        )
+    )
     return {
         "mean_word_len": F.regexp_count(c, F.lit(r"[^\s]")) / nt,
         "symbol_word_ratio": F.regexp_count(c, F.lit(r"#|\.\.\.|…")) / nt,
-        "frac_alpha_words": F.regexp_count(c, F.lit(r"\S*[A-Za-z]\S*"))
-        / nt,
+        "frac_alpha_words": alpha_words / nt,
     }
 
 

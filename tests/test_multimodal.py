@@ -253,3 +253,49 @@ def test_real_video_stats_and_features(spark):
     # [w, h, n_frames, fps, duration_ms, first-frame mean/255]
     assert feats[:5] == [2.0, 2.0, 2.0, 5.0, 400.0]
     assert feats[5] == pytest.approx(7 / 255.0, rel=1e-6)
+
+
+def test_codec_error_contracts_for_corrupt_and_unsupported():
+    """Review-pass regressions: zero-dimension PNM is CORRUPT
+    (MediaFormatError, never a zero-size array leaking numpy errors);
+    a well-formed 10-bit Y4M is UNSUPPORTED (NotImplementedError,
+    never misread as a truncated 8-bit stream)."""
+    import numpy as np
+
+    with pytest.raises(mc.MediaFormatError):
+        mc.decode_image(b"P5\n# pad\n0 0\n255\n")
+    with pytest.raises(mc.MediaFormatError):
+        mc.decode_image(b"P6\n# pad\n3 0\n255\n")
+    ten_bit = (
+        b"YUV4MPEG2 W4 H2 F25:1 C420p10\n"
+        + b"FRAME\n"
+        + bytes(24)  # 4*2*1.5 * 2 bytes/sample
+    )
+    with pytest.raises(NotImplementedError):
+        mc.y4m_info(ten_bit)
+    with pytest.raises(NotImplementedError):
+        mc.y4m_info(b"YUV4MPEG2 W2 H2 F25:1 Cmono16\n" + b"FRAME\n" + bytes(8))
+    # the named 8-bit 420 variants still decode
+    ok = b"YUV4MPEG2 W2 H2 F25:1 C420jpeg\n" + b"FRAME\n" + bytes(6)
+    assert mc.y4m_info(ok)["n_frames"] == 1
+
+
+def test_weighted_sum_exact_no_int64_wrap():
+    """_weighted_sum_exact must agree with the naive formula on small
+    inputs and stay exact where a plain int64 dot would wrap."""
+    import numpy as np
+
+    from lsdm_motogp_data_integration_spark.operators.multimodal import (
+        _weighted_sum_exact,
+    )
+
+    small = np.array([3, -1, 7], dtype=np.int64)
+    assert _weighted_sum_exact(small) == 3 * 1 + -1 * 2 + 7 * 3
+    # constant-value array has a closed form: v * n(n+1)/2; pick n and
+    # v so the true value exceeds 2^63 (int64 dot would go negative)
+    n = 1 << 22
+    v = 32767
+    big = np.full(n, v, dtype=np.int64)
+    true = v * n * (n + 1) // 2
+    got = _weighted_sum_exact(big, chunk=1 << 18)
+    assert got == true and got > 0

@@ -246,11 +246,7 @@ def main() -> None:
 
         r["media_decode_s"], _ = timed(
             "media_decode",
-            media_stats(
-                _build_multimodal_media(docs).filter(
-                    F.col("media_id") % 4 == 0
-                )
-            ),
+            media_stats(_build_multimodal_media(docs, kinds=(0,))),
         )
         r["dsir_s"], _ = timed(
             "dsir",
