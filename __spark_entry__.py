@@ -589,9 +589,13 @@ def q22_text_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     the term aggregate), and the combined ``gopher_keep`` verdict
     (50 ≤ words ≤ 100k, 3 ≤ mean_word_len ≤ 10, symbol ratio ≤ 0.1,
     alpha fraction ≥ 0.8, top-token share ≤ 0.2, top-bigram share
-    ≤ 0.18 — the paper's thresholds where applicable)."""
+    ≤ 0.18 — the paper's thresholds where applicable). This round adds
+    the CCNet perplexity partition (``scoring.ccnet_buckets``, Wenzek
+    et al. 2020): exact distributed rank on the LM score and
+    integer-arithmetic head/middle/tail tiers — the
+    keep-the-Wikipedia-like-third curation cut."""
     from lsdm_motogp_data_integration_spark.operators.scoring import (
-        unigram_nll,
+        ccnet_buckets,
     )
     from lsdm_motogp_data_integration_spark.operators.textops import (
         gopher_flags,
@@ -666,7 +670,9 @@ def q22_text_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    lm = unigram_nll(d).select("doc_id", "nll", "ppl")
+    lm = ccnet_buckets(d).select(
+        "doc_id", "nll", "ppl", "ppl_rank", "ppl_bucket"
+    )
     out = (
         base.join(rep, "doc_id", "inner")
         .join(bg_share, "doc_id", "left")
@@ -1042,7 +1048,13 @@ def q39_file_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
     and read back with a declared schema mirroring the reference's
     JSONPath field lists. Each side aggregates after the round trip, so
     a read error on either connector fails the row. (Merged from
-    round-1 q39/q51.)"""
+    round-1 q39/q51.) Round 3 adds the two columnar sinks a Spark
+    lakehouse actually ships curated data in: ``orc`` — part written
+    as ORC (built-in vectorized reader, predicate pushdown) and read
+    back — and ``parquet`` — customer written as snappy parquet and
+    read back; both aggregate decimal-exactly after the round trip, so
+    type fidelity (DECIMAL survives ORC/parquet logical types intact)
+    is what the oracle hash checks, not just row counts."""
     import tempfile
 
     from pyspark.sql import types as T
@@ -1102,7 +1114,54 @@ def q39_file_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
             "val_num",
         )
     )
-    return csv_side.unionByName(json_side)
+
+    p = read_table(spark, sf_dir, "part")
+    tmp_orc = tempfile.mkdtemp(prefix="orc_roundtrip_")
+    p.write.mode("overwrite").orc(tmp_orc)
+    orc_side = (
+        spark.read.orc(tmp_orc)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            _dec_sum("p_retailprice", "val_num"),
+        )
+        .select(
+            F.lit("orc").alias("fmt"),
+            # brand digits as the numeric group key so all four sides
+            # share one (fmt, group_key) shape
+            F.regexp_replace("p_brand", "[^0-9]", "")
+            .cast("bigint")
+            .alias("group_key"),
+            "n_rows",
+            F.lit(None).cast("string").alias("val_str"),
+            "val_num",
+        )
+    )
+
+    c = read_table(spark, sf_dir, "customer")
+    tmp_parq = tempfile.mkdtemp(prefix="parquet_roundtrip_")
+    c.write.mode("overwrite").parquet(tmp_parq)
+    parquet_side = (
+        spark.read.parquet(tmp_parq)
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            _dec_sum("c_acctbal", "val_num"),
+            F.min("c_mktsegment").alias("val_str"),
+        )
+        .select(
+            F.lit("parquet").alias("fmt"),
+            F.col("c_nationkey").cast("bigint").alias("group_key"),
+            "n_rows",
+            "val_str",
+            "val_num",
+        )
+    )
+    return (
+        csv_side.unionByName(json_side)
+        .unionByName(orc_side)
+        .unionByName(parquet_side)
+    )
 
 
 def q40_streaming_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1613,18 +1672,52 @@ def q68_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q69_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Int8 embedding quantization (operators/ann.quantize_embeddings):
-    symmetric per-vector scale, HALF_UP codes, worst-case
-    reconstruction error — the storage/bandwidth step of an embedding
-    pipeline (4× smaller than float32). Pure JVM higher-order-function
-    Columns, no shuffle; codes are exactly portable, so the oracle
-    hash-checks every code, scale, and error bound."""
+    """Embedding-compression suite (tagged union, ``scope``):
+
+    - ``int8``: symmetric per-vector int8 quantization
+      (operators/ann.quantize_embeddings) — per-vector scale, HALF_UP
+      codes, worst-case reconstruction error. Pure JVM
+      higher-order-function Columns, no shuffle; codes are exactly
+      portable, so the oracle hash-checks every code, scale, and
+      error bound.
+    - ``pq``: product quantization (operators/ann.pq_quantize, Jégou
+      et al. 2011) — 2 subspaces × 8 codewords fit by the shared
+      sample-bounded deterministic Lloyd trainer (train_sample=256
+      pinned so the oracle replays the identical bound), full corpus
+      encoded in one Arrow pass on the exact integer grid; the oracle
+      unrolls BOTH subspace Lloyd chains as prefixed CTEs and
+      recomputes every code and the 6dp reconstruction cosine."""
     from lsdm_motogp_data_integration_spark.operators.ann import (
+        pq_quantize,
         quantize_embeddings,
     )
 
     e = read_table(spark, sf_dir, "embeddings")
-    return quantize_embeddings(e, "embedding", "vec_id")
+    int8 = quantize_embeddings(e, "embedding", "vec_id").select(
+        F.lit("int8").alias("scope"),
+        "vec_id",
+        F.col("qvec").alias("codes"),
+        "scale",
+        "max_err",
+        F.lit(None).cast("double").alias("recon_sim"),
+    )
+    pq = pq_quantize(
+        e,
+        "embedding",
+        "vec_id",
+        n_subspaces=2,
+        n_codes=8,
+        n_iters=2,
+        train_sample=256,
+    ).select(
+        F.lit("pq").alias("scope"),
+        "vec_id",
+        "codes",
+        F.lit(None).cast("double").alias("scale"),
+        F.lit(None).cast("double").alias("max_err"),
+        "recon_sim",
+    )
+    return int8.unionByName(pq)
 
 
 def q70_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2418,6 +2511,7 @@ _SUITE_TAG_COLS: dict[str, str] = {
     "q65_quality_classifier": "scope",
     "q66_mixture_sample": "scope",
     "q67_span_dedup": "scope",
+    "q69_embedding_quantize": "scope",
 }
 
 
@@ -2718,6 +2812,7 @@ def _lloyd_ctes(
     dim: int = 64,
     train_sample: int = 0,
     source: str = "embeddings",
+    prefix: str = "",
 ) -> str:
     """CTE chain replaying operators/ann._train_centroids bit-for-bit:
     md5('ivf|'||id)-ordered sample init + ``n_iters`` unrolled Lloyd
@@ -2727,14 +2822,16 @@ def _lloyd_ctes(
     it identically). Each round: integer-grid argmax assignment (ORDER
     BY sim DESC, cell ASC == np.argmax first-index tie-break),
     per-(cell,pos) decimal(28,12)-exact mean → double, empty cells keep
-    their previous centroid, renormalize. Exposes ``qemb`` (vec_id, v
-    DOUBLE[], qv quantized) and ``c{n_iters}`` (cell, c normalized
-    DOUBLE[])."""
+    their previous centroid, renormalize. Exposes ``{prefix}qemb``
+    (vec_id, v DOUBLE[], qv quantized) and ``{prefix}c{n_iters}``
+    (cell, c normalized DOUBLE[]); ``prefix`` namespaces every CTE so
+    several chains (e.g. one per PQ subspace) coexist in one query."""
+    p = prefix
     tfilter = (
-        f"JOIN tsample t ON t.vec_id = e.vec_id" if train_sample else ""
+        f"JOIN {p}tsample t ON t.vec_id = e.vec_id" if train_sample else ""
     )
     parts = [
-        f"""tsample AS (
+        f"""{p}tsample AS (
                 SELECT vec_id FROM (
                     SELECT vec_id, ROW_NUMBER() OVER (
                         ORDER BY md5('ivf|' || CAST(vec_id AS VARCHAR)),
@@ -2742,7 +2839,7 @@ def _lloyd_ctes(
                     ) AS trk
                     FROM {source}
                 ) WHERE trk <= {train_sample if train_sample else 2**31 - 1}
-            ), init AS (
+            ), {p}init AS (
                 SELECT CAST(ROW_NUMBER() OVER (
                            ORDER BY md5('ivf|' || CAST(vec_id AS VARCHAR)),
                                     vec_id
@@ -2751,13 +2848,13 @@ def _lloyd_ctes(
                 FROM {source}
                 ORDER BY md5('ivf|' || CAST(vec_id AS VARCHAR)), vec_id
                 LIMIT {n_cells}
-            ), c0 AS (
-                SELECT cell, {_NORMALIZE} AS c FROM init
-            ), qemb AS (
+            ), {p}c0 AS (
+                SELECT cell, {_NORMALIZE} AS c FROM {p}init
+            ), {p}qemb AS (
                 SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
                        {_QV} AS qv
                 FROM {source}
-            ), comps AS (
+            ), {p}comps AS (
                 SELECT vec_id, generate_subscripts(embedding, 1) AS j,
                        CAST(unnest(embedding) AS DOUBLE) AS val
                 FROM {source}
@@ -2765,7 +2862,7 @@ def _lloyd_ctes(
     ]
     for i in range(1, n_iters + 1):
         parts.append(
-            f"""a{i} AS (
+            f"""{p}a{i} AS (
                 SELECT vec_id, cell FROM (
                     SELECT e.vec_id, k.cell,
                            ROW_NUMBER() OVER (
@@ -2773,23 +2870,23 @@ def _lloyd_ctes(
                                ORDER BY list_dot_product(e.qv, {_QC}) DESC,
                                         k.cell ASC
                            ) AS rn
-                    FROM qemb e {tfilter} CROSS JOIN c{i - 1} k
+                    FROM {p}qemb e {tfilter} CROSS JOIN {p}c{i - 1} k
                 ) WHERE rn = 1
-            ), m{i} AS (
+            ), {p}m{i} AS (
                 SELECT a.cell, u.j,
                        CAST(SUM(CAST(u.val AS DECIMAL(28,12))) AS DOUBLE)
                            / CAST(COUNT(*) AS DOUBLE) AS mean
-                FROM a{i} a JOIN comps u USING (vec_id)
+                FROM {p}a{i} a JOIN {p}comps u USING (vec_id)
                 GROUP BY a.cell, u.j
-            ), raw{i} AS (
+            ), {p}raw{i} AS (
                 SELECT k.cell,
                        list(COALESCE(m.mean, k.c[g.j]) ORDER BY g.j) AS c
-                FROM c{i - 1} k
+                FROM {p}c{i - 1} k
                 CROSS JOIN generate_series(1, {dim}) g(j)
-                LEFT JOIN m{i} m ON m.cell = k.cell AND m.j = g.j
+                LEFT JOIN {p}m{i} m ON m.cell = k.cell AND m.j = g.j
                 GROUP BY k.cell
-            ), c{i} AS (
-                SELECT cell, {_NORMALIZE} AS c FROM raw{i}
+            ), {p}c{i} AS (
+                SELECT cell, {_NORMALIZE} AS c FROM {p}raw{i}
             )"""
         )
     return ", ".join(parts)
@@ -3415,6 +3512,20 @@ def oracle_sql() -> dict[str, str]:
                        ROUND(EXP(nll_sum / CAST(n_toks AS DOUBLE)), 6)
                            AS ppl
                 FROM lm_sum
+            ), lmb AS (
+                -- scoring.ccnet_buckets (Wenzek et al. 2020): exact
+                -- global rank on (6dp nll, doc_id), tier index by
+                -- INTEGER division — no float near tier boundaries
+                SELECT doc_id, nll, ppl,
+                       CAST(ROW_NUMBER() OVER (
+                           ORDER BY nll ASC, doc_id ASC
+                       ) AS BIGINT) AS ppl_rank,
+                       (['head', 'middle', 'tail'])[
+                           CAST((3 * (ROW_NUMBER() OVER (
+                               ORDER BY nll ASC, doc_id ASC
+                           ) - 1)) // (COUNT(*) OVER ()) AS INTEGER) + 1
+                       ] AS ppl_bucket
+                FROM lm
             ), gopher AS (
                 -- textops.gopher_flags (Rae et al. 2021 rule subset)
                 SELECT doc_id,
@@ -3450,7 +3561,7 @@ def oracle_sql() -> dict[str, str]:
                    rep.distinct_ratio, rep.top_token_share,
                    COALESCE(bg_share.top_bigram_share, 0.0)
                        AS top_bigram_share,
-                   lm.nll, lm.ppl,
+                   lmb.nll, lmb.ppl, lmb.ppl_rank, lmb.ppl_bucket,
                    (tok.n_tokens >= 50 AND tok.n_tokens <= 100000
                     AND gopher.mean_word_len >= 3.0
                     AND gopher.mean_word_len <= 10.0
@@ -3465,14 +3576,19 @@ def oracle_sql() -> dict[str, str]:
             JOIN gopher USING (doc_id)
             JOIN rep USING (doc_id)
             LEFT JOIN bg_share USING (doc_id)
-            JOIN lm USING (doc_id)
+            JOIN lmb USING (doc_id)
         """,
         "q26_ann_suite": _ANN_SUITE_SQL,
         "q68_embedding_clusters": _KMEANS_SQL,
-        "q69_embedding_quantize": """
-            -- replay of operators/ann.quantize_embeddings: the scale
-            -- is emitted EXACT (place-rounding would zero it for tiny
-            -- vectors); only max_err is rounded to 9dp
+        "q69_embedding_quantize": f"""
+            -- int8 scope: replay of operators/ann.quantize_embeddings
+            -- (the scale is emitted EXACT — place-rounding would zero
+            -- it for tiny vectors; only max_err is rounded to 9dp).
+            -- pq scope: replay of operators/ann.pq_quantize — BOTH
+            -- per-subspace Lloyd chains unrolled as prefixed CTEs over
+            -- the 32-dim slices, integer-grid argmax codes, and the
+            -- 6dp reconstruction cosine against the concatenated
+            -- decoded codewords.
             WITH base AS (
                 SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
                        greatest(list_max(list_transform(
@@ -3484,15 +3600,67 @@ def oracle_sql() -> dict[str, str]:
                        list_transform(v, x -> greatest(-127, least(127,
                            CAST(round(x / scale) AS INTEGER)))) AS q
                 FROM base
+            ), emb AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings
+            ), sub0 AS (
+                SELECT vec_id, v[1:32] AS embedding FROM emb
+            ), sub1 AS (
+                SELECT vec_id, v[33:64] AS embedding FROM emb
+            ),
+            {_lloyd_ctes(2, 8, dim=32, train_sample=256,
+                         source="sub0", prefix="s0")},
+            {_lloyd_ctes(2, 8, dim=32, train_sample=256,
+                         source="sub1", prefix="s1")},
+            asn0 AS (
+                SELECT vec_id, cell AS code FROM (
+                    SELECT e.vec_id, k.cell,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY e.vec_id
+                               ORDER BY list_dot_product(e.qv, {_QC}) DESC,
+                                        k.cell ASC
+                           ) AS rn
+                    FROM s0qemb e CROSS JOIN s0c2 k
+                ) WHERE rn = 1
+            ), asn1 AS (
+                SELECT vec_id, cell AS code FROM (
+                    SELECT e.vec_id, k.cell,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY e.vec_id
+                               ORDER BY list_dot_product(e.qv, {_QC}) DESC,
+                                        k.cell ASC
+                           ) AS rn
+                    FROM s1qemb e CROSS JOIN s1c2 k
+                ) WHERE rn = 1
+            ), pqrow AS (
+                SELECT m.vec_id,
+                       CAST(a0.code AS VARCHAR) || ',' ||
+                           CAST(a1.code AS VARCHAR) AS codes,
+                       ROUND(list_cosine_similarity(
+                           m.v, list_concat(k0.c, k1.c)
+                       ), 6) AS recon_sim
+                FROM emb m
+                JOIN asn0 a0 USING (vec_id)
+                JOIN asn1 a1 USING (vec_id)
+                JOIN s0c2 k0 ON k0.cell = a0.code
+                JOIN s1c2 k1 ON k1.cell = a1.code
             )
-            SELECT vec_id,
+            SELECT 'int8' AS scope,
+                   vec_id,
+                   array_to_string(q, ',') AS codes,
                    scale,
-                   array_to_string(q, ',') AS qvec,
                    ROUND(list_max(list_transform(
                        list_zip(v, q),
                        p -> abs(p[1] - CAST(p[2] AS DOUBLE) * scale)
-                   )), 9) AS max_err
+                   )), 9) AS max_err,
+                   CAST(NULL AS DOUBLE) AS recon_sim
             FROM coded
+            UNION ALL
+            SELECT 'pq' AS scope, vec_id, codes,
+                   CAST(NULL AS DOUBLE) AS scale,
+                   CAST(NULL AS DOUBLE) AS max_err,
+                   recon_sim
+            FROM pqrow
         """,
         "q70_training_shards": """
             WITH h AS (
@@ -3721,6 +3889,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(s_acctbal AS DECIMAL(18,6))) AS DOUBLE)
                        AS val_num
             FROM supplier GROUP BY s_nationkey
+            UNION ALL
+            SELECT 'orc' AS fmt,
+                   CAST(regexp_replace(p_brand, '[^0-9]', '', 'g')
+                        AS BIGINT) AS group_key,
+                   COUNT(*) AS n_rows,
+                   CAST(NULL AS VARCHAR) AS val_str,
+                   CAST(SUM(CAST(p_retailprice AS DECIMAL(18,6))) AS DOUBLE)
+                       AS val_num
+            FROM part GROUP BY p_brand
+            UNION ALL
+            SELECT 'parquet' AS fmt,
+                   CAST(c_nationkey AS BIGINT) AS group_key,
+                   COUNT(*) AS n_rows,
+                   MIN(c_mktsegment) AS val_str,
+                   CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+                       AS val_num
+            FROM customer GROUP BY c_nationkey
         """,
         "q40_streaming_suite": """
             SELECT 'windowed' AS scope,

@@ -242,6 +242,57 @@ def unigram_nll(
     )
 
 
+def ccnet_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n_buckets: int = 3,
+    labels: tuple[str, ...] = ("head", "middle", "tail"),
+) -> DataFrame:
+    """CCNet's perplexity partition (Wenzek et al. 2020): rank every
+    document by its LM score and cut the corpus into equal-size
+    ``n_buckets`` tiers — CCNet keeps/weights "head" (lowest
+    perplexity, most Wikipedia-like) over "tail". The LM here is the
+    self-trained unigram model (:func:`unigram_nll`); the partition
+    machinery is what carries to a KenLM swap-in.
+
+    The global rank is exact but NOT a single-partition window:
+    :func:`keys.add_surrogate_key_distributed` range-partitions on
+    (nll, id) and composes partition-local row numbers with
+    O(#partitions) driver-side offsets — the 100 TB shape. Bucket
+    index is pure integer arithmetic ``(n_buckets * (rank-1)) div N``
+    (no float division near tier boundaries), so a SQL replay lands
+    every document in the identical tier; ranking uses the 6dp-rounded
+    nll with an id tie-break, the repo's cross-engine convention.
+
+    Returns (id_col, n_tokens, nll, ppl, ppl_rank BIGINT 1..N,
+    ppl_bucket STRING). Docs with no tokens have no LM score and are
+    absent, as in :func:`unigram_nll`."""
+    if n_buckets != len(labels):
+        raise ValueError(
+            f"need exactly {n_buckets} labels, got {len(labels)}"
+        )
+    from lsdm_motogp_data_integration_spark.operators.keys import (
+        add_surrogate_key_distributed,
+    )
+
+    scored = unigram_nll(df, id_col, text_col)
+    ranked = add_surrogate_key_distributed(
+        scored, "ppl_rank", [F.col("nll").asc(), F.col(id_col).asc()]
+    )
+    total = ranked.agg(F.count(F.lit(1)).alias("__n"))
+    idx = F.expr(f"({n_buckets} * (ppl_rank - 1)) div __n")
+    label = F.element_at(
+        F.array(*[F.lit(x) for x in labels]), (idx + 1).cast("int")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .withColumn("ppl_bucket", label)
+        .drop("__n")
+    )
+
+
 def _hashed_ngram_buckets(
     text_col: str, n_buckets: int, max_n: int, portable: bool
 ):

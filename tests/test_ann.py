@@ -230,3 +230,48 @@ def test_train_sample_bounds_codebook_to_md5_top_n(spark, sf_dir):
         for r in sub_only.collect()
     }
     assert got_full == got_sub and len(got_sub) == n
+
+
+def test_pq_quantize_codes_and_duplicates(spark, sf_dir):
+    """PQ: codes are in-range per subspace, exact-duplicate vectors get
+    identical codes, recon_sim is a valid 6dp cosine, and the whole
+    operator is deterministic across invocations."""
+    import pytest
+
+    from lsdm_motogp_data_integration_spark.operators.ann import (
+        pq_quantize,
+    )
+
+    e = read_table(spark, sf_dir, "embeddings").limit(200)
+    # duplicate one vector under a fresh id: same subvectors -> same
+    # integer-grid argmax -> same codes
+    dup = e.filter(F.col("vec_id") == 1).select(
+        F.lit(999999).cast("bigint").alias("vec_id"), "embedding", "label"
+    )
+    corpus = e.unionByName(dup)
+    out = pq_quantize(
+        corpus,
+        "embedding",
+        "vec_id",
+        n_subspaces=2,
+        n_codes=8,
+        n_iters=2,
+        train_sample=64,
+    )
+    rows = {r["vec_id"]: r for r in out.collect()}
+    assert len(rows) == 201
+    for r in rows.values():
+        parts = r["codes"].split(",")
+        assert len(parts) == 2
+        assert all(0 <= int(c) < 8 for c in parts)
+        assert -1.0 <= r["recon_sim"] <= 1.0
+    assert rows[999999]["codes"] == rows[1]["codes"]
+    assert rows[999999]["recon_sim"] == rows[1]["recon_sim"]
+
+    again = {r["vec_id"]: r for r in out.collect()}
+    assert {k: (v["codes"], v["recon_sim"]) for k, v in rows.items()} == {
+        k: (v["codes"], v["recon_sim"]) for k, v in again.items()
+    }
+
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_quantize(corpus, "embedding", "vec_id", n_subspaces=3)

@@ -313,3 +313,36 @@ def test_train_quality_classifier_learns_and_is_deterministic(spark, sf_dir):
     ).count()
     total = preds.count()
     assert agree / total > 0.6, (agree, total)
+
+
+def test_ccnet_buckets_tiers_and_determinism(spark, sf_dir):
+    """CCNet partition: ranks are a dense 1..N permutation ordered by
+    (nll, doc_id), tier sizes differ by at most one, the head tier
+    holds the lowest-nll docs, and token-less docs are absent."""
+    import pytest
+
+    from lsdm_motogp_data_integration_spark.operators.scoring import (
+        ccnet_buckets,
+    )
+    from lsdm_motogp_data_integration_spark.sources import read_table
+
+    docs = read_table(spark, sf_dir, "documents").limit(90)
+    out = ccnet_buckets(docs).collect()
+    n = len(out)
+    assert n > 0
+    ranks = sorted(r["ppl_rank"] for r in out)
+    assert ranks == list(range(1, n + 1))
+    by_rank = sorted(out, key=lambda r: r["ppl_rank"])
+    keys = [(r["nll"], r["doc_id"]) for r in by_rank]
+    assert keys == sorted(keys)
+    sizes = {}
+    for r in out:
+        sizes[r["ppl_bucket"]] = sizes.get(r["ppl_bucket"], 0) + 1
+    assert set(sizes) <= {"head", "middle", "tail"}
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    # the head tier is exactly the lowest-rank prefix
+    head_ranks = [r["ppl_rank"] for r in out if r["ppl_bucket"] == "head"]
+    assert sorted(head_ranks) == list(range(1, len(head_ranks) + 1))
+
+    with pytest.raises(ValueError, match="labels"):
+        ccnet_buckets(docs, n_buckets=2)

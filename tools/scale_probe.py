@@ -222,6 +222,32 @@ def main() -> None:
         r["quantize_s"], _ = timed(
             "quantize", quantize_embeddings(emb, "embedding", "vec_id")
         )
+        # PQ: codebook fitting is sample-bounded (flat cost); the
+        # encode pass is the part that must scale linearly
+        from lsdm_motogp_data_integration_spark.operators.ann import (
+            pq_quantize,
+        )
+
+        r["pq_s"], _ = timed(
+            "pq",
+            # thunk: per-subspace Lloyd training runs eagerly
+            lambda: pq_quantize(
+                emb, "embedding", "vec_id",
+                n_subspaces=2, n_codes=8, n_iters=2,
+            ),
+        )
+        # CCNet partition: LM scoring (explode + vocab join) + the
+        # range-partitioned two-phase global rank — the rank's range
+        # exchange is the scale-interesting shuffle
+        from lsdm_motogp_data_integration_spark.operators.scoring import (
+            ccnet_buckets,
+        )
+
+        r["ccnet_s"], _ = timed(
+            "ccnet",
+            # thunk: the distributed rank eagerly checkpoints
+            lambda: ccnet_buckets(docs),
+        )
         r["shards_s"], _ = timed(
             "shards", training_shards(docs, "doc_id", n_shards=32)
         )
@@ -276,6 +302,8 @@ def main() -> None:
         "ann_lsh_s",
         "ann_ivf_s",
         "quantize_s",
+        "pq_s",
+        "ccnet_s",
         "shards_s",
         "decontam_bloom_s",
         "media_decode_s",
