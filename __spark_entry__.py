@@ -593,8 +593,13 @@ def q22_text_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     the CCNet perplexity partition (``scoring.ccnet_buckets``, Wenzek
     et al. 2020): exact distributed rank on the LM score and
     integer-arithmetic head/middle/tail tiers — the
-    keep-the-Wikipedia-like-third curation cut."""
+    keep-the-Wikipedia-like-third curation cut — plus the interpolated
+    bigram LM (``scoring.bigram_nll``, Jelinek-Mercer λ=0.7): one
+    Markov order above the unigram filter, per-transition
+    ``λ·c(a,b)/c(a,·) + (1−λ)·c(b)/N``, decimal-exact per-doc
+    reduction (``nll2``/``ppl2``; NULL for 1-token docs)."""
     from lsdm_motogp_data_integration_spark.operators.scoring import (
+        bigram_nll,
         ccnet_buckets,
     )
     from lsdm_motogp_data_integration_spark.operators.textops import (
@@ -673,10 +678,13 @@ def q22_text_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     lm = ccnet_buckets(d).select(
         "doc_id", "nll", "ppl", "ppl_rank", "ppl_bucket"
     )
+    lm2 = bigram_nll(d).select("doc_id", "nll2", "ppl2")
     out = (
         base.join(rep, "doc_id", "inner")
         .join(bg_share, "doc_id", "left")
         .join(lm, "doc_id", "inner")
+        # LEFT: 1-token docs have no transitions, nll2/ppl2 stay NULL
+        .join(lm2, "doc_id", "left")
         .withColumn(
             "top_bigram_share",
             F.coalesce(F.col("top_bigram_share"), F.lit(0.0)),
@@ -2226,10 +2234,20 @@ def q63_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     8-word content lines with an identical formula in both engines and
     (b) plants deterministic template boilerplate the way q62 plants
     PII: every doc gets a license footer, every third doc a newsletter
-    header. With min_docs=3 the planted template lines (and the one
-    naturally-repeated short tail line) are dropped from every
-    document; unique content lines survive in order."""
+    header. Two line-hygiene policies share the driver row (tagged
+    union, ``scope``):
+
+    - ``boilerplate`` (remove_boilerplate_lines, min_docs=3): planted
+      template lines (and the one naturally-repeated short tail line)
+      are dropped from EVERY document; unique content lines survive
+      in order.
+    - ``linededup`` (dedup_lines_keep_first, the RefinedWeb /
+      MassiveText exact-line rule): every repeated line survives ONLY
+      at its globally first (doc_id, position) occurrence — so the
+      planted footer keeps exactly one copy corpus-wide instead of
+      zero, which is the observable difference the oracle checks."""
     from lsdm_motogp_data_integration_spark.operators.boilerplate import (
+        dedup_lines_keep_first,
         remove_boilerplate_lines,
     )
 
@@ -2254,19 +2272,41 @@ def q63_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     lined = d.select(
         "doc_id", F.concat(header, content, footer).alias("text")
     )
-    out = remove_boilerplate_lines(
+    boiler = remove_boilerplate_lines(
         lined,
         id_col="doc_id",
         text_col="text",
         sep="\n",
         min_docs=3,
         persist_lines=True,
-    )
-    return out.select(
+    ).select(
         "doc_id",
         F.col("text").alias("cleaned_text"),
         "n_lines_kept",
         "n_lines_removed",
+    )
+    linededup = dedup_lines_keep_first(
+        lined,
+        id_col="doc_id",
+        text_col="text",
+        sep="\n",
+        min_line_chars=1,
+        persist_lines=True,
+    ).select(
+        "doc_id",
+        F.col("text").alias("cleaned_text"),
+        "n_lines_kept",
+        "n_lines_removed",
+    )
+    return _suite_union(
+        [
+            ("doc_id", "bigint"),
+            ("cleaned_text", "string"),
+            ("n_lines_kept", "bigint"),
+            ("n_lines_removed", "bigint"),
+        ],
+        ("boilerplate", boiler),
+        ("linededup", linededup),
     )
 
 
@@ -2368,12 +2408,19 @@ def q66_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
       doc_id tie-break — no Gumbel noise). Run with the portable
       md5-60 feature hash so the oracle replays buckets → counts →
       add-one-smoothed log ratio → decimal-quantized per-doc sum
-      bit-for-bit."""
+      bit-for-bit.
+    - ``temperature`` (operators/textops.temperature_mixture_sample):
+      alpha-sampling (XLM-R / mT5 multilingual rebalancing) — target
+      proportions DERIVED from the data as n_g^0.5, upweighting small
+      languages; n^alpha is quantized to the 1e-6 integer grid before
+      the normalizing sum so the rates (and therefore the exact
+      sample) replay bit-identically in SQL."""
     from lsdm_motogp_data_integration_spark.operators.scoring import (
         dsir_select,
     )
     from lsdm_motogp_data_integration_spark.operators.textops import (
         mixture_sample,
+        temperature_mixture_sample,
     )
 
     d = read_table(spark, sf_dir, "documents")
@@ -2391,6 +2438,9 @@ def q66_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_buckets=4096,
         portable=True,
     ).select("doc_id", "lang", "source", "log_weight")
+    temp = temperature_mixture_sample(
+        d, "lang", budget=150, id_col="doc_id", alpha=0.5
+    ).select("doc_id", "lang", "source")
     return _suite_union(
         [
             ("doc_id", "bigint"),
@@ -2400,6 +2450,7 @@ def q66_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         ("mixture", mixture),
         ("dsir", dsir),
+        ("temperature", temp),
     )
 
 
@@ -2510,6 +2561,7 @@ _SUITE_TAG_COLS: dict[str, str] = {
     "q61_sequence_packing": "scope",
     "q65_quality_classifier": "scope",
     "q66_mixture_sample": "scope",
+    "q63_boilerplate_lines": "scope",
     "q67_span_dedup": "scope",
     "q69_embedding_quantize": "scope",
 }
@@ -3512,6 +3564,47 @@ def oracle_sql() -> dict[str, str]:
                        ROUND(EXP(nll_sum / CAST(n_toks AS DOUBLE)), 6)
                            AS ppl
                 FROM lm_sum
+            ), bg2 AS (
+                -- scoring.bigram_nll replay: positional bigram tf per
+                -- (doc, a, b) rides the existing bg_counts relation
+                SELECT doc_id, string_split(bgram, ' ')[1] AS a,
+                       string_split(bgram, ' ')[2] AS b, cnt AS tf
+                FROM bg_counts
+            ), big2 AS (
+                SELECT a, b, CAST(SUM(tf) AS BIGINT) AS cab
+                FROM bg2 GROUP BY 1, 2
+            ), left2 AS (
+                SELECT a, CAST(SUM(cab) AS BIGINT) AS ca
+                FROM big2 GROUP BY 1
+            ), lm2sum AS (
+                -- (1.0 - 0.7) spelled as the SUBTRACTION, not 0.3:
+                -- the engine computes lam via IEEE 1.0-0.7 and the
+                -- two literals differ in the last ulp
+                SELECT g.doc_id,
+                       CAST(SUM(g.tf) AS BIGINT) AS nbg,
+                       CAST(SUM(CAST(g.tf * (-ln(
+                           0.7 * (CAST(b2.cab AS DOUBLE)
+                                  / CAST(l2.ca AS DOUBLE))
+                           + (1.0 - 0.7) * (CAST(v.ccnt AS DOUBLE)
+                                  / CAST(tot.total AS DOUBLE))
+                       )) AS DECIMAL(18,6))) AS DOUBLE) AS s
+                FROM bg2 g
+                JOIN big2 b2 USING (a, b)
+                JOIN left2 l2 USING (a)
+                JOIN vocab v ON v.term = g.b
+                CROSS JOIN tot
+                GROUP BY g.doc_id
+            ), lm2 AS (
+                -- floor(x·1e6 + 0.5)/1e6, NOT ROUND: engine round
+                -- semantics diverge at an exact half-microunit (see
+                -- scoring.bigram_nll) — this op sequence is identical
+                -- IEEE arithmetic in both engines
+                SELECT doc_id,
+                       floor(s / CAST(nbg AS DOUBLE) * 1000000.0 + 0.5)
+                           / 1000000.0 AS nll2,
+                       floor(EXP(s / CAST(nbg AS DOUBLE)) * 1000000.0
+                             + 0.5) / 1000000.0 AS ppl2
+                FROM lm2sum
             ), lmb AS (
                 -- scoring.ccnet_buckets (Wenzek et al. 2020): exact
                 -- global rank on (6dp nll, doc_id), tier index by
@@ -3562,6 +3655,7 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(bg_share.top_bigram_share, 0.0)
                        AS top_bigram_share,
                    lmb.nll, lmb.ppl, lmb.ppl_rank, lmb.ppl_bucket,
+                   lm2.nll2, lm2.ppl2,
                    (tok.n_tokens >= 50 AND tok.n_tokens <= 100000
                     AND gopher.mean_word_len >= 3.0
                     AND gopher.mean_word_len <= 10.0
@@ -3577,6 +3671,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN rep USING (doc_id)
             LEFT JOIN bg_share USING (doc_id)
             JOIN lmb USING (doc_id)
+            LEFT JOIN lm2 USING (doc_id)
         """,
         "q26_ann_suite": _ANN_SUITE_SQL,
         "q68_embedding_clusters": _KMEANS_SQL,
@@ -4404,13 +4499,40 @@ def oracle_sql() -> dict[str, str]:
             ), totals AS (
                 SELECT doc_id, len(string_split(text, chr(10))) AS n_total
                 FROM lined_text
+            ),
+            -- dedup_lines_keep_first replay: eligibility (non-blank)
+            -- is a property of the line TEXT, so every row of a line
+            -- partition shares it and one window gives occ + keeper
+            lk AS (
+                SELECT doc_id, pos, line,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY line ORDER BY doc_id, pos
+                       ) AS rn,
+                       COUNT(*) OVER (PARTITION BY line) AS occ,
+                       length(trim(line)) >= 1 AS elig
+                FROM lines
+            ), kept2 AS (
+                SELECT doc_id, pos, line FROM lk
+                WHERE NOT elig OR occ < 2 OR rn = 1
+            ), rebuilt2 AS (
+                SELECT doc_id,
+                       string_agg(line, chr(10) ORDER BY pos) AS cleaned,
+                       COUNT(*) AS n_kept
+                FROM kept2 GROUP BY doc_id
             )
-            SELECT t.doc_id,
+            SELECT 'boilerplate' AS scope, t.doc_id,
                    COALESCE(r.cleaned, '') AS cleaned_text,
                    CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_lines_kept,
                    CAST(t.n_total - COALESCE(r.n_kept, 0) AS BIGINT)
                        AS n_lines_removed
             FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+            UNION ALL
+            SELECT 'linededup' AS scope, t.doc_id,
+                   COALESCE(r.cleaned, '') AS cleaned_text,
+                   CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_lines_kept,
+                   CAST(t.n_total - COALESCE(r.n_kept, 0) AS BIGINT)
+                       AS n_lines_removed
+            FROM totals t LEFT JOIN rebuilt2 r USING (doc_id)
         """,
         "q64_bm25": """
             WITH docs AS (
@@ -4679,6 +4801,33 @@ def oracle_sql() -> dict[str, str]:
                    r.log_weight
             FROM ranked r JOIN documents d USING (doc_id)
             WHERE r.rn <= 100
+            UNION ALL
+            -- temperature_mixture_sample replay: p_g ∝ n_g^0.5 with
+            -- the n^alpha weights quantized to BIGINT (exact sum),
+            -- rate = min(1, (qa/qtot)·budget/n), md5-threshold keep
+            SELECT 'temperature' AS scope, t.doc_id, t.lang, t.source,
+                   CAST(NULL AS DOUBLE) AS log_weight
+            FROM (
+                WITH tcnt AS (
+                    SELECT lang, COUNT(*) AS n,
+                           CAST(floor(pow(CAST(COUNT(*) AS DOUBLE), 0.5)
+                                      * 1000000.0) AS BIGINT) AS qa
+                    FROM documents GROUP BY lang
+                ), ttot AS (
+                    SELECT CAST(SUM(qa) AS BIGINT) AS qtot FROM tcnt
+                ), trate AS (
+                    SELECT lang,
+                           least(1.0,
+                                 (CAST(qa AS DOUBLE) / CAST(qtot AS DOUBLE))
+                                 * 150.0 / CAST(n AS DOUBLE)) AS rate
+                    FROM tcnt CROSS JOIN ttot
+                )
+                SELECT d.doc_id, d.lang, d.source
+                FROM documents d JOIN trate r USING (lang)
+                WHERE CAST(('0x' || substr(md5(
+                          d.lang || '|' || CAST(d.doc_id AS VARCHAR)
+                      ), 1, 8)) AS BIGINT) / 4294967296.0 < r.rate
+            ) t
         """,
         "q58_dedup_clusters": f"""
             WITH RECURSIVE {_DOC_CORPUS_SQL},

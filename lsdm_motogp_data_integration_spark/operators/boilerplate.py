@@ -98,3 +98,97 @@ def remove_boilerplate_lines(
             .alias("n_lines_removed"),
         )
     )
+
+
+def dedup_lines_keep_first(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    min_line_chars: int = 1,
+    persist_lines: bool = False,
+) -> DataFrame:
+    """Corpus-wide exact line dedup, keep-first (the RefinedWeb /
+    MassiveText line-level rule): every repeated line survives ONLY at
+    its globally first occurrence — smallest ``(id_col, position)`` —
+    and is dropped everywhere else, preserving the order of surviving
+    lines. Complements :func:`remove_boilerplate_lines` (which drops
+    frequent lines from EVERY document, first occurrence included) and
+    ``textops.cross_doc_span_dedup`` (same keep-first rule at word
+    k-gram granularity).
+
+    Lines shorter than ``min_line_chars`` (after trim) are exempt —
+    one-word lines ("yes", list bullets) repeat naturally and mass-
+    deleting them is noise, not dedup; ``0`` disables the exemption.
+
+    Scale shape: one aggregation keyed by line text (min-struct keeper
+    — map-side combinable), one shuffle join back on the line, one
+    per-document reassembly. Linear in corpus size; same heavy-hitter
+    caveat as the k-gram variant (a line shared by half the corpus
+    skews its key — that is boilerplate, remove it first).
+
+    ``persist_lines=True`` evaluates the input exactly once (the
+    persist_sets convention). Returns (id_col, text_col cleaned,
+    n_lines_kept, n_lines_removed)."""
+    split_expr = F.split(F.col(text_col), re.escape(sep))
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(split_expr).alias("pos", "line"),
+    )
+    if persist_lines:
+        lines = lines.persist()
+    totals = lines.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__n_total")
+    )
+    eligible = F.length(F.trim(F.col("line"))) >= int(min_line_chars)
+    keepers = (
+        lines.filter(eligible)
+        .groupBy("line")
+        .agg(
+            F.min(F.struct(F.col(id_col), F.col("pos"))).alias("__keep"),
+            F.count(F.lit(1)).alias("__occ"),
+        )
+        .filter(F.col("__occ") >= 2)
+        .select(
+            "line",
+            F.col(f"__keep.{id_col}").alias("__kdoc"),
+            F.col("__keep.pos").alias("__kpos"),
+        )
+    )
+    kept = (
+        lines.join(keepers, "line", "left")
+        .filter(
+            F.col("__kdoc").isNull()
+            | (
+                (F.col(id_col) == F.col("__kdoc"))
+                & (F.col("pos") == F.col("__kpos"))
+            )
+        )
+        .select(id_col, "pos", "line")
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("__cleaned"),
+        F.count(F.lit(1)).alias("__n_kept"),
+    )
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("__cleaned"), F.lit("")).alias(text_col),
+            F.coalesce(F.col("__n_kept"), F.lit(0))
+            .cast("bigint")
+            .alias("n_lines_kept"),
+            (
+                F.col("__n_total")
+                - F.coalesce(F.col("__n_kept"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("n_lines_removed"),
+        )
+    )

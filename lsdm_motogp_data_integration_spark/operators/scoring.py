@@ -242,6 +242,106 @@ def unigram_nll(
     )
 
 
+def bigram_nll(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Interpolated bigram language-model scoring — one Markov order
+    above :func:`unigram_nll`, the closest self-trained shape to
+    CCNet's KenLM filter. Per transition:
+    ``p(b|a) = lam·c(a,b)/c(a,·) + (1−lam)·c(b)/N`` (MLE bigram
+    interpolated with the unigram — the simplest Jelinek-Mercer
+    smoother; unseen bigrams in a replay still get unigram mass), and
+    the score is the per-document mean ``−ln p`` over its transitions.
+
+    Plan: one positional-bigram explode → per-(doc, a, b) counts
+    (shuffle 1, same shape as a bigram TF-IDF pass) → global bigram
+    counts c(a,b) and left-context totals c(a,·) (rollups of that
+    relation) → unigram counts for the fallback term → two vocab-keyed
+    shuffle joins back (NOT broadcast — a 100 TB corpus's bigram
+    vocabulary doesn't fit) → per-doc rollup. The per-transition
+    double is evaluated with one fixed scalar expression and cast to
+    DECIMAL(18,6) before the per-doc sum (the repo's float-determinism
+    convention), so the reduction is order-independent and
+    SQL-replayable.
+
+    Returns (id_col, n_bigrams BIGINT, nll2 DOUBLE, ppl2 DOUBLE);
+    documents with fewer than 2 tokens have no transitions and are
+    absent."""
+    words = F.split(
+        F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")), " "
+    )
+    base = df.select(F.col(id_col), words.alias("__w")).filter(
+        F.size("__w") >= 2
+    )
+    n = F.size("__w")
+    per_bg = (
+        base.select(
+            id_col,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), n - 1),
+                    lambda i: F.struct(
+                        F.element_at("__w", i).alias("a"),
+                        F.element_at("__w", i + 1).alias("b"),
+                    ),
+                )
+            ).alias("__bg"),
+        )
+        .select(id_col, F.col("__bg.a").alias("a"), F.col("__bg.b").alias("b"))
+        .groupBy(id_col, "a", "b")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    big = per_bg.groupBy("a", "b").agg(F.sum("tf").alias("cab"))
+    left = big.groupBy("a").agg(F.sum("cab").alias("ca"))
+    # unigram fallback distribution: the SAME tokenizer, over all words
+    uni = (
+        df.select(F.explode(words).alias("b"))
+        .filter(F.col("b") != "")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    tot = uni.agg(F.sum("cb").alias("__tot"))
+    scored = (
+        per_bg.join(big, ["a", "b"])
+        .join(left, "a")
+        .join(uni, "b")
+        .crossJoin(F.broadcast(tot))
+    )
+    p = F.lit(float(lam)) * (
+        F.col("cab").cast("double") / F.col("ca").cast("double")
+    ) + F.lit(1.0 - float(lam)) * (
+        F.col("cb").cast("double") / F.col("__tot").cast("double")
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.sum("tf").alias("n_bigrams"),
+        F.sum((F.col("tf") * (-F.log(p))).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("__nll_sum"),
+    )
+    nll = F.col("__nll_sum") / F.col("n_bigrams").cast("double")
+
+    # portable 6dp rounding for POSITIVE values: floor(x·1e6 + 0.5)/1e6
+    # is the same IEEE op sequence in any engine, so a value landing
+    # exactly on a half-microunit rounds the same way everywhere.
+    # F.round would not: Spark rounds the double's shortest decimal
+    # representation (BigDecimal HALF_UP) while DuckDB rounds the
+    # 1e6-scaled double — at an exact boundary (e.g. sum/n hitting
+    # x.xxxxxx5) the two disagree, which a sf0.01 probe actually hit.
+    def r6(c):
+        return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    return per_doc.select(
+        F.col(id_col),
+        F.col("n_bigrams"),
+        r6(nll).alias("nll2"),
+        r6(F.exp(nll)).alias("ppl2"),
+    )
+
+
 def ccnet_buckets(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -776,6 +776,69 @@ def mixture_sample(
     )
 
 
+def temperature_mixture_sample(
+    df,
+    group_col: str,
+    budget: int,
+    id_col: str,
+    *,
+    alpha: float = 0.5,
+):
+    """Temperature / alpha mixture sampling (the multilingual-LM
+    rebalancing rule of XLM-R / mT5): target proportions are DERIVED
+    from the data itself as ``p_g ∝ n_g^alpha`` — ``alpha < 1``
+    upweights small domains relative to their natural share,
+    ``alpha = 1`` reproduces it, ``alpha = 0`` is uniform-over-groups.
+    Complements :func:`mixture_sample`, where the caller supplies the
+    proportions explicitly.
+
+    Same scale shape: ONE count aggregation (O(#groups) rows),
+    per-group rates ``min(1, budget · p_g / n_g)`` broadcast back, and
+    the engine's deterministic md5-threshold keep — no RNG anywhere.
+
+    Portability: ``n_g^alpha`` is quantized to the 1e-6 integer grid
+    (``floor(pow(n, alpha) · 1e6)`` BIGINT) before the normalizing
+    sum, so the denominator is an exact integer total (no
+    summation-order drift) and a SQL replay computes bit-identical
+    rates; the only cross-engine float exposure is a last-ulp ``pow``
+    difference landing exactly on a grid boundary.
+    """
+    qa = F.floor(
+        F.pow(F.col("__n").cast("double"), F.lit(float(alpha)))
+        * F.lit(1e6)
+    ).cast("bigint")
+    counts = (
+        df.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn("__qa", qa)
+    )
+    tot = counts.agg(F.sum("__qa").alias("__qtot"))
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        group_col,
+        F.least(
+            F.lit(1.0),
+            (F.col("__qa").cast("double") / F.col("__qtot").cast("double"))
+            * F.lit(float(budget))
+            / F.col("__n").cast("double"),
+        ).alias("__rate"),
+    )
+    c = F.concat(
+        F.coalesce(F.col(group_col).cast("string"), F.lit("__null__")),
+        F.lit("|"),
+        F.col(id_col).cast("string"),
+    )
+    bucket = F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("bigint")
+    u = bucket / F.lit(float(1 << 32))
+    return (
+        df.join(
+            F.broadcast(rates.withColumnRenamed(group_col, "__grp")),
+            F.col(group_col).eqNullSafe(F.col("__grp")),
+        )
+        .filter(u < F.col("__rate"))
+        .drop("__rate", "__grp")
+    )
+
+
 def ngram_stats(
     df,
     id_col: str = "doc_id",

@@ -85,3 +85,44 @@ def test_bm25_matches_manual_formula(spark):
     assert abs(out[2]["score"] - exp2) < 1e-9
     # More matching mass -> higher score.
     assert out[1]["score"] > out[2]["score"]
+
+
+def test_dedup_lines_keep_first_global_rule(spark):
+    """Repeated lines survive only at the globally-first (doc, pos);
+    unique and blank lines always survive; counts reconcile."""
+    from pyspark.sql import Row
+
+    from lsdm_motogp_data_integration_spark.operators.boilerplate import (
+        dedup_lines_keep_first,
+    )
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a\nshared\nb"),
+            Row(doc_id=2, text="shared\nc"),
+            Row(doc_id=3, text="shared\nshared"),
+            Row(doc_id=4, text="x\n\ny"),
+            Row(doc_id=5, text="\nz"),
+        ]
+    )
+    out = {r["doc_id"]: r for r in dedup_lines_keep_first(df).collect()}
+    assert out[1]["text"] == "a\nshared\nb"  # keeper occurrence stays
+    assert out[2]["text"] == "c"
+    assert out[3]["text"] == ""  # both non-first copies dropped
+    assert out[3]["n_lines_kept"] == 0
+    assert out[3]["n_lines_removed"] == 2
+    # blank lines are exempt (min_line_chars=1) in every document
+    assert out[4]["text"] == "x\n\ny"
+    assert out[5]["text"] == "\nz"
+    total_kept = sum(r["n_lines_kept"] for r in out.values())
+    total_removed = sum(r["n_lines_removed"] for r in out.values())
+    assert total_kept + total_removed == 3 + 2 + 2 + 3 + 2
+
+    # layout independence
+    again = {
+        r["doc_id"]: r
+        for r in dedup_lines_keep_first(df.repartition(5)).collect()
+    }
+    assert {k: v["text"] for k, v in out.items()} == {
+        k: v["text"] for k, v in again.items()
+    }

@@ -346,3 +346,58 @@ def test_ccnet_buckets_tiers_and_determinism(spark, sf_dir):
 
     with pytest.raises(ValueError, match="labels"):
         ccnet_buckets(docs, n_buckets=2)
+
+
+def test_temperature_mixture_upweights_small_groups(spark):
+    """alpha=0.5 samples the small group ABOVE its natural share
+    (sqrt rebalancing), alpha=1 reproduces roughly the natural share,
+    and the draw is deterministic across partition layouts."""
+    from lsdm_motogp_data_integration_spark.operators.textops import (
+        temperature_mixture_sample,
+    )
+
+    df = _mix_corpus(spark)  # 200 'a', 100 'b' -> natural share 1/3 b
+    out_half = temperature_mixture_sample(
+        df, "grp", budget=90, id_col="doc_id", alpha=0.5
+    ).collect()
+    share_b_half = sum(1 for r in out_half if r["grp"] == "b") / len(
+        out_half
+    )
+    # p_b = sqrt(100)/(sqrt(200)+sqrt(100)) = 0.414 > 1/3
+    assert share_b_half > 0.34
+
+    out_nat = temperature_mixture_sample(
+        df, "grp", budget=90, id_col="doc_id", alpha=1.0
+    ).collect()
+    share_b_nat = sum(1 for r in out_nat if r["grp"] == "b") / len(out_nat)
+    assert share_b_half > share_b_nat
+
+    again = temperature_mixture_sample(
+        df.repartition(7), "grp", budget=90, id_col="doc_id", alpha=0.5
+    ).collect()
+    assert sorted(map(tuple, out_half)) == sorted(map(tuple, again))
+
+
+def test_bigram_nll_hand_computed(spark):
+    import math
+
+    from lsdm_motogp_data_integration_spark.operators.scoring import (
+        bigram_nll,
+    )
+
+    # unigram counts over the WHOLE corpus (incl. the 1-token doc):
+    # a=3 b=2 x=1, N=6; bigrams (a,b):1 (b,a):2; left a:1 b:2
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "b a"), (3, "x")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in bigram_nll(df, lam=0.7).collect()}
+    p_ab = 0.7 * (1 / 1) + (1.0 - 0.7) * (2 / 6)  # 0.8
+    p_ba = 0.7 * (2 / 2) + (1.0 - 0.7) * (3 / 6)  # 0.85
+    assert out[1]["n_bigrams"] == 2
+    want1 = -(math.log(p_ab) + math.log(p_ba)) / 2
+    assert abs(out[1]["nll2"] - want1) < 1e-4
+    assert abs(out[1]["ppl2"] - math.exp(want1)) < 1e-4
+    assert out[2]["n_bigrams"] == 1
+    assert abs(out[2]["nll2"] - (-math.log(p_ba))) < 1e-4
+    # 1-token doc: no transitions, absent
+    assert 3 not in out
