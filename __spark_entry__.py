@@ -508,8 +508,11 @@ def q19_neardup_pairs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       old×new pairs — a banding recall miss, estimator screen error,
       or verification bug all fail the hash.
 
-    persist_sets: one evaluation of the derived corpus instead of
-    three (measured 1.7× at sf0.1; equivalence pinned in tests)."""
+    Suite-wide sharing (r3): ONE persisted ``dedup.shingle_sets``
+    relation feeds the LSH signatures, both verification sides, the
+    exact PPJoin, and the incremental verify via their ``sets_df``
+    parameter — the shingle HOF pass runs once for the whole suite
+    instead of once per scope (equivalence pinned in tests)."""
     from lsdm_motogp_data_integration_spark.operators.dedup import (
         build_minhash_index,
         exact_jaccard_for_pairs,
@@ -525,11 +528,20 @@ def q19_neardup_pairs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     corpus = _compute_width(_doc_corpus(spark, sf_dir))
+    # ONE shingle pass for the whole suite: the sorted-set relation is
+    # built once, persisted, and shared by the LSH signatures + both
+    # verifications + the exact PPJoin + the incremental verify —
+    # previously each scope re-ran the heavy per-row shingle HOFs
+    from lsdm_motogp_data_integration_spark.operators.dedup import (
+        shingle_sets,
+    )
+
+    sets = shingle_sets(corpus, "text", "doc_id", k=5).persist()
     lsh = minhash_lsh_pairs(
-        corpus, "text", "doc_id", threshold=0.8, persist_sets=True
+        corpus, "text", "doc_id", threshold=0.8, sets_df=sets
     ).withColumn("method", F.lit("minhash_lsh"))
     exact = jaccard_pairs(
-        corpus, "text", "doc_id", threshold=0.8, persist_sets=True
+        corpus, "text", "doc_id", threshold=0.8, sets_df=sets
     ).withColumn("method", F.lit("exact"))
     historical = corpus.filter(F.col("doc_id") < 100000)
     new_batch = corpus.filter(F.col("doc_id") >= 100000)
@@ -542,7 +554,7 @@ def q19_neardup_pairs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     incremental = exact_jaccard_for_pairs(
         hits, corpus, "text", "doc_id", "ref_id", "new_id",
-        k=5, threshold=0.8,
+        k=5, threshold=0.8, sets_df=sets,
     ).withColumn("method", F.lit("incremental"))
     return (
         lsh.unionByName(exact)

@@ -195,6 +195,24 @@ def _compute_width(df: DataFrame) -> DataFrame:
     return df.repartition(n_shuffle)
 
 
+def shingle_sets(
+    df: DataFrame, text_col: str, id_col: str, *, k: int = 5
+) -> DataFrame:
+    """Prepared sorted word-``k``-gram shingle-set relation
+    ``(id_col, shingles array<bigint> sorted)`` — the shared input
+    contract of :func:`jaccard_pairs`, :func:`minhash_lsh_pairs`, and
+    :func:`exact_jaccard_for_pairs` (their ``sets_df`` parameter).
+    Build ONCE, persist, and pass to every consumer: the per-row
+    shingle HOF pass is the dominant map-side cost of the whole
+    near-dup family, and a suite that runs several methods over the
+    same corpus otherwise re-runs it per method (q19 measured it 3×).
+    """
+    return df.select(
+        F.col(id_col),
+        F.sort_array(word_shingle_hashes(text_col, k)).alias("shingles"),
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     text_col: str,
@@ -203,6 +221,7 @@ def jaccard_pairs(
     k: int = 5,
     threshold: float = 0.8,
     persist_sets: bool = False,
+    sets_df: DataFrame | None = None,
     _persist_handles: list[DataFrame] | None = None,
 ) -> DataFrame:
     """All pairs (a < b) with word-k-gram Jaccard >= threshold — EXACT
@@ -221,20 +240,30 @@ def jaccard_pairs(
     prefixes are exploded into the candidate equi-join (≈(1-t) of the
     index size at t=0.8), and candidates are verified on the full sets.
     Output: (id_a, id_b, jaccard) — identical to the naive full-explode
-    join, cheaper by ~1/(1-t) on the join fan-in."""
-    src = df.select(F.col(id_col).alias("__id"), F.col(text_col))
-    if persist_sets:
-        # widen BEFORE the shingle HOFs so the expensive per-row pass
-        # runs at full compute width, then cache the result
-        src = _compute_width(src)
-    sets_df = src.select(
-        "__id",
-        F.sort_array(word_shingle_hashes(text_col, k)).alias("__set"),
-    )
-    if persist_sets:
-        sets_df = sets_df.persist()
-        if _persist_handles is not None:
-            _persist_handles.append(sets_df)
+    join, cheaper by ~1/(1-t) on the join fan-in.
+
+    ``sets_df``: a prepared :func:`shingle_sets` relation (same
+    ``id_col``/``k``); when given, ``df``/``text_col`` are not scanned
+    at all and the caller owns persistence — the share-one-shingle-pass
+    path for suites running several methods over one corpus."""
+    if sets_df is not None:
+        sets_df = sets_df.select(
+            F.col(id_col).alias("__id"), F.col("shingles").alias("__set")
+        )
+    else:
+        src = df.select(F.col(id_col).alias("__id"), F.col(text_col))
+        if persist_sets:
+            # widen BEFORE the shingle HOFs so the expensive per-row
+            # pass runs at full compute width, then cache the result
+            src = _compute_width(src)
+        sets_df = src.select(
+            "__id",
+            F.sort_array(word_shingle_hashes(text_col, k)).alias("__set"),
+        )
+        if persist_sets:
+            sets_df = sets_df.persist()
+            if _persist_handles is not None:
+                _persist_handles.append(sets_df)
     # ceil over FLOAT t*size overcounts when the product lands an ulp
     # above an integer (0.8*5 = 4.0000000000000002 -> ceil 5, true 4),
     # silently shrinking the prefix and DROPPING true pairs from this
@@ -281,6 +310,7 @@ def exact_jaccard_for_pairs(
     *,
     k: int = 5,
     threshold: float = 0.8,
+    sets_df: DataFrame | None = None,
 ) -> DataFrame:
     """Exact word-k-gram Jaccard for GIVEN candidate pairs only — the
     verification step of the incremental-dedup contract
@@ -291,11 +321,19 @@ def exact_jaccard_for_pairs(
     sets — O(|pairs|) verification work, never a corpus self-join.
     Output (id_a = ``left_col`` side, id_b, jaccard) with
     :func:`jaccard_pairs`' 6-decimal rounding, so results splice into
-    the same oracle relation."""
-    sets_df = corpus.select(
-        F.col(id_col).alias("__id"),
-        word_shingle_hashes(text_col, k).alias("__set"),
-    )
+    the same oracle relation.
+
+    ``sets_df``: a prepared :func:`shingle_sets` relation; when given
+    ``corpus``/``text_col`` are not re-shingled (suite sharing)."""
+    if sets_df is not None:
+        sets_df = sets_df.select(
+            F.col(id_col).alias("__id"), F.col("shingles").alias("__set")
+        )
+    else:
+        sets_df = corpus.select(
+            F.col(id_col).alias("__id"),
+            word_shingle_hashes(text_col, k).alias("__set"),
+        )
     sa = sets_df.select(
         F.col("__id").alias(left_col), F.col("__set").alias("__sa")
     )
@@ -465,9 +503,15 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.8,
     persist_sets: bool = False,
+    sets_df: DataFrame | None = None,
     _persist_handles: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding + exact verification.
+
+    ``sets_df``: a prepared :func:`shingle_sets` relation (same
+    ``id_col``/``k``); when given, ``df``/``text_col`` are not scanned
+    and both signatures and verification read the shared relation
+    (caller owns persistence) — the one-shingle-pass path for suites.
 
     signatures (map) → band buckets (explode) → bucket self-join
     (the only shuffle that matters) → candidate pairs → verify exact
@@ -497,16 +541,27 @@ def minhash_lsh_pairs(
         raise ValueError("num_perm must divide evenly into bands")
     rows_per_band = num_perm // bands
 
-    src = df.select(F.col(id_col).alias("__id"), F.col(text_col))
-    if persist_sets:
+    if sets_df is not None:
+        # shared prepared relation (shingle_sets contract): signatures
+        # and verification both read it; caller owns persistence.
+        # MinHash minima over the distinct sorted set equal minima over
+        # raw grams — MinHash is duplicate- and order-insensitive.
+        sets_df = sets_df.select(
+            F.col(id_col).alias("__id"), F.col("shingles").alias("__set")
+        )
+        mins_df = sets_df.select(
+            "__id",
+            minhash_signature(F.col("__set"), num_perm).alias("__mins"),
+        )
+    elif persist_sets:
         # widen BEFORE the shingle/signature HOFs (see _compute_width)
-        src = _compute_width(src)
-    sets_df = src.select(
-        "__id",
-        word_shingle_hashes(text_col, k).alias("__set"),
-    )
-    if persist_sets:
-        sets_df = sets_df.persist()
+        src = _compute_width(
+            df.select(F.col(id_col).alias("__id"), F.col(text_col))
+        )
+        sets_df = src.select(
+            "__id",
+            word_shingle_hashes(text_col, k).alias("__set"),
+        ).persist()
         if _persist_handles is not None:
             _persist_handles.append(sets_df)
         # one input evaluation total: signatures from the persisted set
@@ -522,7 +577,12 @@ def minhash_lsh_pairs(
         # Signature minima come from the FUSED single-pass aggregate (no
         # gram array, no distinct — MinHash is duplicate-insensitive);
         # __mins stays a named multi-referenced column so CollapseProject
-        # won't inline the aggregate into each band column.
+        # won't inline the aggregate into each band column. The
+        # verification sets are a separate pruned scan of the input.
+        sets_df = df.select(
+            F.col(id_col).alias("__id"),
+            word_shingle_hashes(text_col, k).alias("__set"),
+        )
         mins_df = df.select(
             F.col(id_col).alias("__id"),
             fused_minhash_mins(text_col, k, num_perm).alias("__mins"),
@@ -892,6 +952,13 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
 
 
+#: salt lanes for the blocked embedding pair scan: per-pair compute is
+#: split across ``_SALT_R × #blocks`` partitions (see the block_col
+#: branch below); raising it buys parallelism at the cost of
+#: replicating the right side more times.
+_SALT_R = 8
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     vec_col: str,
@@ -935,8 +1002,34 @@ def embedding_neardup_pairs(
     slim = df.select(*cols)
     cond = F.col("a.__id") < F.col("b.__id")
     if block_col:
-        a, b = slim.alias("a"), slim.alias("b")
-        pairs = a.join(b, on=F.col("a.__blk") == F.col("b.__blk")).filter(cond)
+        # Salted self-join: the pair space is quadratic-within-block
+        # (heavy HOF dot per pair) while the block relation's BYTES are
+        # tiny, so AQE coalesces the plain blk-keyed join down to a
+        # couple of post-shuffle partitions and the whole scan
+        # serializes (measured: q27 blocked ran on 2 tasks). Splitting
+        # the left side into __SALT_R salt lanes (pair (x,y) lands in
+        # exactly one lane — x's) and pinning the width with an
+        # explicit user repartition (which AQE never coalesces) spreads
+        # the per-pair compute R×#blocks ways; the right side is
+        # replicated R× — R·|corpus| tiny rows against the quadratic
+        # pair compute they unlock. Results are identical: the salt
+        # only partitions the (a, b) pair space.
+        n_shuffle = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+        a = slim.withColumn(
+            "__salt",
+            F.pmod(F.xxhash64(F.col("__id")), F.lit(_SALT_R)).cast("int"),
+        ).repartition(n_shuffle, "__blk", "__salt")
+        b = slim.withColumn(
+            "__salt",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(_SALT_R - 1)).cast("array<int>")
+            ),
+        )
+        pairs = a.alias("a").join(
+            b.alias("b"), on=["__blk", "__salt"]
+        ).filter(cond)
     else:
         from lsdm_motogp_data_integration_spark.operators.ann import (
             signature_udf,

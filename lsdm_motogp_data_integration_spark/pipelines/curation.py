@@ -52,6 +52,7 @@ def curate(
     min_quality: float = 0.3,
     min_distinct_ratio: float = 0.2,
     gopher_rules: bool = False,
+    line_dedup: bool = False,
     neardup_threshold: float = 0.8,
     holdout: DataFrame | None = None,
     decontam_gram: int = 8,
@@ -103,6 +104,24 @@ def curate(
             & (gf["frac_alpha_words"] >= 0.8)
         )
     screened = screened.withColumn(text_col, redact_pii(text_col))
+
+    if line_dedup:
+        # RefinedWeb/MassiveText exact-line rule BEFORE document-level
+        # dedup: repeated lines survive only at their globally-first
+        # occurrence, so boilerplate-heavy mirrors stop matching each
+        # other (and the near-dup stage sees the distinctive residue).
+        from lsdm_motogp_data_integration_spark.operators.boilerplate import (
+            dedup_lines_keep_first,
+        )
+
+        cleaned = dedup_lines_keep_first(
+            screened, id_col=id_col, text_col=text_col
+        ).select(id_col, F.col(text_col).alias("__ld_text"))
+        screened = (
+            screened.drop(text_col)
+            .join(cleaned, id_col)
+            .withColumnRenamed("__ld_text", text_col)
+        )
 
     # exact dedup as a single window pass (survivor = min id per
     # content digest) rather than exact_dedup + semi-join back: the

@@ -148,3 +148,39 @@ def test_curate_gopher_rules_screen(spark, sf_dir):
     )
     for r in checked.collect():
         assert 50 <= r["nt"] <= 100000 and 3.0 <= r["mwl"] <= 10.0
+
+
+def test_curate_line_dedup_stage(spark):
+    """line_dedup=True strips repeated lines before document dedup:
+    the repeated footer survives only in the globally-first doc and
+    every other survivor loses it (text changes, ids unchanged by the
+    stage itself)."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from lsdm_motogp_data_integration_spark.pipelines.curation import curate
+
+    footer = "all rights reserved by the example website corporation"
+    body = (
+        "the quick brown fox jumps over a lazy dog and keeps running "
+        "through the quiet evening field toward the distant river"
+    )
+    rows = [
+        Row(
+            doc_id=i,
+            text=f"{body} variant number {i} of this story\n{footer}",
+            lang="en",
+            source="web",
+        )
+        for i in range(1, 5)
+    ]
+    docs = spark.createDataFrame(rows)
+    out = curate(docs, line_dedup=True)["screened"].collect()
+    by_id = {r["doc_id"]: r["text"] for r in out}
+    assert by_id, "screen dropped everything"
+    first = min(by_id)
+    assert footer in by_id[first]
+    for i, t in by_id.items():
+        if i != first:
+            assert footer not in t
+            assert f"variant number {i}" in t

@@ -602,3 +602,52 @@ def test_semdedup_marks_exact_duplicates(spark, sf_dir):
         # minimum the original itself qualifies
         assert copy["dup_of"] is not None and copy["dup_of"] <= r["vec_id"] - 100000
         assert orig["keep"] is True or orig["dup_of"] < orig["vec_id"]
+
+
+def test_shared_shingle_sets_equivalence(spark, sf_dir):
+    """The sets_df share-one-shingle-pass path must produce exactly
+    the pairs of the direct path for both the exact PPJoin and the
+    MinHash-LSH operator (q19's suite contract)."""
+    from lsdm_motogp_data_integration_spark.operators.dedup import (
+        jaccard_pairs,
+        minhash_lsh_pairs,
+        shingle_sets,
+    )
+    from lsdm_motogp_data_integration_spark.sources import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(dups)
+    sets = shingle_sets(corpus, "text", "doc_id", k=5).persist()
+    try:
+        direct = sorted(
+            map(tuple, jaccard_pairs(corpus, "text", "doc_id").collect())
+        )
+        shared = sorted(
+            map(
+                tuple,
+                jaccard_pairs(
+                    corpus, "text", "doc_id", sets_df=sets
+                ).collect(),
+            )
+        )
+        assert direct == shared and direct
+        direct_m = sorted(
+            map(
+                tuple,
+                minhash_lsh_pairs(corpus, "text", "doc_id").collect(),
+            )
+        )
+        shared_m = sorted(
+            map(
+                tuple,
+                minhash_lsh_pairs(
+                    corpus, "text", "doc_id", sets_df=sets
+                ).collect(),
+            )
+        )
+        assert direct_m == shared_m and direct_m
+    finally:
+        sets.unpersist()
