@@ -100,6 +100,53 @@ def add_surrogate_key_distributed(
     return result
 
 
+def _shard_hash(id_col: str, salt: str) -> Column:
+    # coalesce null ids into a sentinel: md5 of a NULL concat is NULL,
+    # which would assign shard=NULL — outside the 0..n_shards-1
+    # contract and a surprise __HIVE_DEFAULT_PARTITION__ at write time
+    return F.md5(
+        F.concat(
+            F.lit(f"{salt}|"),
+            F.coalesce(F.col(id_col).cast("string"), F.lit("__null__")),
+        )
+    )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    *,
+    n_shards: int = 8,
+    salt: str = "shuf",
+    fmt: str = "parquet",
+) -> None:
+    """Materialize :func:`training_shards` as the actual on-disk export
+    a trainer consumes: one ``shard=<k>/`` directory per shard, rows
+    written in their deterministic ``pos`` order (``fmt``: ``parquet``
+    or ``json`` lines).
+
+    Scale shape — exactly the shuffle the assignment needs anyway: one
+    hash repartition on ``shard`` (so each shard is one writer task's
+    partition — no cross-file interleaving) + an in-partition external
+    sort on ``pos``. No global sort, no driver collection; at 100 TB
+    pick ``n_shards`` ≥ cluster cores and each writer streams one
+    ~corpus/n_shards slice."""
+    sharded = training_shards(df, id_col, n_shards=n_shards, salt=salt)
+    writer = (
+        sharded.repartition(int(n_shards), F.col("shard"))
+        .sortWithinPartitions("shard", "pos")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+    )
+    if fmt == "parquet":
+        writer.parquet(path)
+    elif fmt == "json":
+        writer.json(path)
+    else:
+        raise ValueError(f"unsupported shard format: {fmt!r}")
+
+
 def training_shards(
     df: DataFrame,
     id_col: str,
@@ -128,18 +175,10 @@ def training_shards(
     bounded by ``n_shards``: pick n_shards ≥ cluster cores at scale
     (1024 shards ≈ 100 GB/shard at 100 TB — a per-reducer external
     sort, not a global one)."""
-    # coalesce null ids into a sentinel: md5 of a NULL concat is NULL,
-    # which would assign shard=NULL — outside the 0..n_shards-1
-    # contract and a surprise __HIVE_DEFAULT_PARTITION__ at write time.
-    # (As with duplicate ids, the in-shard order among equal-key rows
-    # is then tie-broken arbitrarily — unique ids give the full
-    # determinism guarantee.)
-    h = F.md5(
-        F.concat(
-            F.lit(f"{salt}|"),
-            F.coalesce(F.col(id_col).cast("string"), F.lit("__null__")),
-        )
-    )
+    # (null-id sentinel lives in _shard_hash; as with duplicate ids,
+    # the in-shard order among equal-key rows is tie-broken
+    # arbitrarily — unique ids give the full determinism guarantee)
+    h = _shard_hash(id_col, salt)
     shard = (
         F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")
         % F.lit(int(n_shards))

@@ -78,3 +78,41 @@ def test_training_shards_null_id_stays_in_contract(spark):
     out = training_shards(df, "doc_id", n_shards=4).collect()
     assert all(r["shard"] is not None for r in out)
     assert all(0 <= r["shard"] < 4 for r in out)
+
+
+def test_write_training_shards_layout_and_order(spark, sf_dir, tmp_path):
+    """The export writer produces one shard=<k>/ dir per shard whose
+    file order IS the deterministic pos order, and the union of shards
+    is exactly the input."""
+    import glob
+    import os
+
+    import pytest
+
+    from lsdm_motogp_data_integration_spark.operators.keys import (
+        training_shards,
+        write_training_shards,
+    )
+    from lsdm_motogp_data_integration_spark.sources import read_table
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    out = str(tmp_path / "shards")
+    write_training_shards(d, out, "doc_id", n_shards=4)
+    dirs = sorted(glob.glob(os.path.join(out, "shard=*")))
+    assert [os.path.basename(p) for p in dirs] == [
+        f"shard={k}" for k in range(4)
+    ]
+    want = {
+        (r["doc_id"], r["shard"], r["pos"])
+        for r in training_shards(d, "doc_id", n_shards=4).collect()
+    }
+    got = set()
+    for k, p in enumerate(dirs):
+        # file order must equal pos order (no sort on read)
+        rows = spark.read.parquet(p).collect()
+        assert [r["pos"] for r in rows] == sorted(r["pos"] for r in rows)
+        got |= {(r["doc_id"], k, r["pos"]) for r in rows}
+    assert got == want
+
+    with pytest.raises(ValueError, match="unsupported"):
+        write_training_shards(d, out, "doc_id", fmt="csvx")
