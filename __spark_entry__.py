@@ -2208,13 +2208,30 @@ def q61_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q62_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII screen: deterministic synthetic contact strings are appended
-    to each document (testdata has no PII), then counted and redacted
-    with the portable regex set (operators/textops.PII_PATTERNS) — the
-    scrub step between dedup and packing in a curation pipeline."""
+    """Text-transform suite (tagged union, ``scope``) — the two
+    string-rewrite stages of a web-corpus ingest, each planted
+    deterministically because testdata has neither PII nor markup:
+
+    - ``pii``: deterministic synthetic contact strings are appended to
+      each document, then counted and redacted with the portable regex
+      set (operators/textops.PII_PATTERNS) — the scrub step between
+      dedup and packing.
+    - ``html`` (r3): each document is wrapped into a full synthetic
+      page (head/title, a ``<script>`` whose body contains a fake tag,
+      a ``<style>`` block, a comment, escaped entities, two
+      ``href`` links), then run through the C4-style extraction
+      (textops.strip_html — script/style/comment subtrees dropped,
+      tags stripped BEFORE entities decode, whitespace collapsed)
+      plus title/outlink extraction and the text-to-markup boilerplate
+      ratio. The oracle replays the exact regex chain in DuckDB's RE2
+      — a cross-regex-engine parity check of the Java patterns."""
     from lsdm_motogp_data_integration_spark.operators.textops import (
+        html_links,
+        html_text_ratio,
+        html_title,
         pii_counts,
         redact_pii,
+        strip_html,
     )
 
     d = read_table(spark, sf_dir, "documents")
@@ -2229,12 +2246,64 @@ def q62_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     counts = pii_counts("text")
-    return salted.select(
+    pii = salted.select(
         "doc_id",
         counts["email"].alias("n_email"),
         counts["phone"].alias("n_phone"),
         counts["ssn_like"].alias("n_ssn"),
         F.length(redact_pii("text")).cast("bigint").alias("redacted_len"),
+    )
+    ds = F.col("doc_id").cast("string")
+    page = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head><title>Doc "),
+            ds,
+            F.lit(
+                "</title><script type=\"text/javascript\">var x = 1; "
+                "// <not a tag></script><style>.main { color: #fff; }"
+                "</style></head><body><h1>Doc "
+            ),
+            ds,
+            F.lit("</h1><!-- build "),
+            ds,
+            F.lit(" --><p>"),
+            F.substring(F.col("text"), 1, 150),
+            F.lit(
+                " &amp; more &lt;escaped&gt; &#39;quoted&#39;</p>"
+                "<a href=\"https://example.com/doc/"
+            ),
+            ds,
+            F.lit("\">self</a> <a href=\"https://mirror.example.org/"),
+            ds,
+            F.lit("\">mirror</a></body></html>"),
+        ).alias("__html"),
+    )
+    html = page.select(
+        "doc_id",
+        strip_html(F.col("__html")).alias("extracted"),
+        html_title(F.col("__html")).alias("page_title"),
+        F.size(html_links(F.col("__html"))).cast("bigint").alias("n_links"),
+        F.element_at(html_links(F.col("__html")), 1).alias("first_href"),
+        html_text_ratio(F.col("__html"), strip_html(F.col("__html"))).alias(
+            "text_ratio"
+        ),
+    )
+    return _suite_union(
+        [
+            ("doc_id", "bigint"),
+            ("n_email", "bigint"),
+            ("n_phone", "bigint"),
+            ("n_ssn", "bigint"),
+            ("redacted_len", "bigint"),
+            ("extracted", "string"),
+            ("page_title", "string"),
+            ("n_links", "bigint"),
+            ("first_href", "string"),
+            ("text_ratio", "double"),
+        ],
+        ("pii", pii),
+        ("html", html),
     )
 
 
@@ -2571,6 +2640,7 @@ _SUITE_TAG_COLS: dict[str, str] = {
     "q53_source_stats": "scope",
     "q57_decontamination": "scope",
     "q61_sequence_packing": "scope",
+    "q62_pii_redaction": "scope",
     "q65_quality_classifier": "scope",
     "q66_mixture_sample": "scope",
     "q63_boilerplate_lines": "scope",
@@ -4444,7 +4514,7 @@ def oracle_sql() -> dict[str, str]:
                             || '@example.com or +1-555-01'
                             || CAST(doc_id AS VARCHAR) AS text
                 FROM documents
-            )
+            ), pii AS (
             SELECT doc_id,
                    CAST(len(regexp_extract_all(text,
                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'
@@ -4466,6 +4536,67 @@ def oracle_sql() -> dict[str, str]:
                            '[PII]', 'g')
                    ) AS BIGINT) AS redacted_len
             FROM salted
+            ), page AS (
+                SELECT doc_id,
+                       '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+                       || '</title><script type="text/javascript">var x = 1; '
+                       || '// <not a tag></script><style>.main { color: #fff; }'
+                       || '</style></head><body><h1>Doc '
+                       || CAST(doc_id AS VARCHAR)
+                       || '</h1><!-- build ' || CAST(doc_id AS VARCHAR)
+                       || ' --><p>' || substr(text, 1, 150)
+                       || ' &amp; more &lt;escaped&gt; &#39;quoted&#39;</p>'
+                       || '<a href="https://example.com/doc/'
+                       || CAST(doc_id AS VARCHAR)
+                       || '">self</a> <a href="https://mirror.example.org/'
+                       || CAST(doc_id AS VARCHAR)
+                       || '">mirror</a></body></html>' AS html
+                FROM documents
+            ), stripped AS (
+                SELECT doc_id, html,
+                       trim(regexp_replace(
+                           replace(replace(replace(replace(replace(replace(
+                               regexp_replace(
+                                   regexp_replace(
+                                       regexp_replace(
+                                           regexp_replace(html,
+                                               '(?is)<script\\b[^>]*>.*?</script\\s*>',
+                                               ' ', 'g'),
+                                           '(?is)<style\\b[^>]*>.*?</style\\s*>',
+                                           ' ', 'g'),
+                                       '(?s)<!--.*?-->', ' ', 'g'),
+                                   '<[^>]+>', ' ', 'g'),
+                               '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                               '&quot;', '"'), '&#39;', chr(39)),
+                               '&amp;', '&'),
+                           '\\s+', ' ', 'g')) AS extracted
+                FROM page
+            ), html_rows AS (
+                SELECT doc_id, extracted,
+                       regexp_extract(html,
+                           '(?is)<title[^>]*>(.*?)</title', 1) AS page_title,
+                       CAST(len(regexp_extract_all(html,
+                           '(?i)href="([^"]*)"', 1)) AS BIGINT) AS n_links,
+                       regexp_extract_all(html,
+                           '(?i)href="([^"]*)"', 1)[1] AS first_href,
+                       round(CAST(length(extracted) AS DOUBLE)
+                             / length(html), 6) AS text_ratio
+                FROM stripped
+            )
+            SELECT 'pii' AS scope, doc_id, n_email, n_phone, n_ssn,
+                   redacted_len,
+                   CAST(NULL AS VARCHAR) AS extracted,
+                   CAST(NULL AS VARCHAR) AS page_title,
+                   CAST(NULL AS BIGINT) AS n_links,
+                   CAST(NULL AS VARCHAR) AS first_href,
+                   CAST(NULL AS DOUBLE) AS text_ratio
+            FROM pii
+            UNION ALL
+            SELECT 'html' AS scope, doc_id,
+                   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                   extracted, page_title, n_links, first_href, text_ratio
+            FROM html_rows
         """,
         "q63_boilerplate_lines": """
             WITH docs AS (

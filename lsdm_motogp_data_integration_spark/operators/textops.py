@@ -362,6 +362,79 @@ def redact_pii(col: Column | str, *, token: str = "[PII]") -> Column:
 
 
 # ---------------------------------------------------------------------------
+# HTML → text extraction (web-corpus ingestion)
+# ---------------------------------------------------------------------------
+
+#: Entity decode table, applied in ORDER — ``&amp;`` must come LAST so
+#: a double-escaped ``&amp;lt;`` decodes to the literal text ``&lt;``
+#: (one level, the HTML spec's behavior), not all the way to ``<``.
+#: Numeric entities other than ``&#39;`` are deliberately not decoded
+#: (a general ``&#NN;`` → chr(NN) needs per-match code points, which
+#: a portable regexp_replace can't express; document-scale impact is
+#: cosmetic).
+HTML_ENTITIES: list[tuple[str, str]] = [
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),
+]
+
+#: All patterns below are restricted to the regex subset shared by
+#: Java (Spark JVM) and RE2 (DuckDB oracle): inline (?is) flags, \b,
+#: non-greedy .*? — no backreferences, no lookaround (RE2 has
+#: neither). That is what lets the oracle replay extraction
+#: bit-for-bit in a different regex engine.
+_HTML_SCRIPT_RE = r"(?is)<script\b[^>]*>.*?</script\s*>"
+_HTML_STYLE_RE = r"(?is)<style\b[^>]*>.*?</style\s*>"
+_HTML_COMMENT_RE = r"(?s)<!--.*?-->"
+_HTML_TAG_RE = r"<[^>]+>"
+
+
+def strip_html(col: Column | str) -> Column:
+    """Visible text of an HTML page (the C4-style extraction step,
+    Raffel et al. 2020 §2.2 — every web-scale corpus starts here):
+    drop ``<script>``/``<style>`` subtrees and comments, strip the
+    remaining tags, decode the common entities, collapse whitespace.
+
+    Order is load-bearing and pinned by tests: tags are stripped
+    BEFORE entities decode, so escaped markup in the source
+    (``&lt;b&gt;``) survives as literal text instead of being
+    re-interpreted as a tag. Pure ``regexp_replace`` chain —
+    JVM-side, codegen'd, linear per byte; nothing here shuffles."""
+    c = _c(col)
+    c = F.regexp_replace(c, _HTML_SCRIPT_RE, " ")
+    c = F.regexp_replace(c, _HTML_STYLE_RE, " ")
+    c = F.regexp_replace(c, _HTML_COMMENT_RE, " ")
+    c = F.regexp_replace(c, _HTML_TAG_RE, " ")
+    for ent, rep in HTML_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def html_title(col: Column | str) -> Column:
+    """``<title>`` text (empty string when absent — Java and RE2
+    regexp_extract agree on that convention)."""
+    return F.regexp_extract(_c(col), r"(?is)<title[^>]*>(.*?)</title", 1)
+
+
+def html_links(col: Column | str) -> Column:
+    """Array of ``href="..."`` values in document order — the outlink
+    set a crawl-frontier / URL-dedup stage consumes."""
+    return F.regexp_extract_all(_c(col), F.lit(r'(?i)href="([^"]*)"'), 1)
+
+
+def html_text_ratio(html: Column | str, extracted: Column | str) -> Column:
+    """Visible-text-to-markup ratio, the classic boilerplate-page
+    signal (low ratio = nav/chrome-dominated page). Rounded to 6
+    decimals so both engines serialize identically."""
+    return F.round(
+        F.length(_c(extracted)).cast("double") / F.length(_c(html)), 6
+    )
+
+
+# ---------------------------------------------------------------------------
 # sequence packing
 # ---------------------------------------------------------------------------
 

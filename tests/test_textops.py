@@ -451,3 +451,76 @@ def test_bpe_segment_matches_driver_side_application(spark):
     for r in rows:
         for w, s in zip(r["w"], r["s"]):
             assert s == drive(w), (w, s, drive(w))
+
+
+# ---------------------------------------------------------------------------
+# HTML → text extraction
+# ---------------------------------------------------------------------------
+
+
+def _one(spark, html: str, expr):
+    return (
+        spark.createDataFrame([(html,)], "h string")
+        .select(expr(F.col("h")).alias("v"))
+        .first()["v"]
+    )
+
+
+def test_strip_html_drops_script_style_comments(spark):
+    from lsdm_motogp_data_integration_spark.operators.textops import (
+        strip_html,
+    )
+
+    html = (
+        "<html><head><script>var x = '<fake>';</script>"
+        "<STYLE type='x'>.a { b: c; }</STYLE></head>"
+        "<body><!-- secret -->Hello <b>world</b></body></html>"
+    )
+    assert _one(spark, html, strip_html) == "Hello world"
+
+
+def test_strip_html_tags_stripped_before_entities(spark):
+    """&lt;b&gt; must survive as literal '<b>' text, not be
+    re-interpreted as a tag after decoding."""
+    from lsdm_motogp_data_integration_spark.operators.textops import (
+        strip_html,
+    )
+
+    assert _one(spark, "a &lt;b&gt; c", strip_html) == "a <b> c"
+
+
+def test_strip_html_amp_decoded_last(spark):
+    """Double-escaped &amp;lt; decodes exactly ONE level (to '&lt;'),
+    per the entity-order contract on HTML_ENTITIES."""
+    from lsdm_motogp_data_integration_spark.operators.textops import (
+        strip_html,
+    )
+
+    assert _one(spark, "x &amp;lt; y &amp; z", strip_html) == "x &lt; y & z"
+
+
+def test_strip_html_whitespace_collapse_and_nbsp(spark):
+    from lsdm_motogp_data_integration_spark.operators.textops import (
+        strip_html,
+    )
+
+    assert (
+        _one(spark, "  a&nbsp;&nbsp;b \n\t c  <p>  d</p>", strip_html)
+        == "a b c d"
+    )
+
+
+def test_html_title_and_links(spark):
+    from lsdm_motogp_data_integration_spark.operators.textops import (
+        html_links,
+        html_title,
+    )
+
+    html = (
+        '<title id="t">My Page</title>'
+        '<a HREF="http://a/1">x</a><a href="http://b/2">y</a>'
+    )
+    assert _one(spark, html, html_title) == "My Page"
+    assert _one(spark, html, html_links) == ["http://a/1", "http://b/2"]
+    assert _one(spark, "<p>no links</p>", html_title) == ""
+    assert _one(spark, "<p>no links</p>", html_links) == []
