@@ -1844,7 +1844,18 @@ def q49_corpus_index_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       pair, ``tf`` = pair frequency, ``rk`` = merge rank. The oracle
       UNROLLS THE WHOLE LEARNING LOOP in SQL (word-freq → char-spaced
       segmentations → per-generation pair counts → canonical
-      double-space merge rewrite) and must land on the same table."""
+      double-space merge rewrite) and must land on the same table.
+    - ``cms`` (r3): count-min-sketch heavy hitters
+      (operators/sketches — Cormode & Muthukrishnan 2005): a 3×16
+      md5-bucketed counter grid deliberately NARROWER than the 31-term
+      vocabulary so collisions actually happen, probed with the
+      distinct terms and ranked by estimate. ``est`` carries the
+      sketch estimate, ``tf`` the exact count — the oracle replays
+      buckets → counters → min-estimates in SQL and the one-sided
+      ``est >= tf`` guarantee is visible in the checked values."""
+    from lsdm_motogp_data_integration_spark.operators.sketches import (
+        cms_heavy_hitters,
+    )
     from lsdm_motogp_data_integration_spark.operators.textops import (
         build_vocab,
         learn_bpe_merges,
@@ -1913,6 +1924,11 @@ def q49_corpus_index_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "doc_id bigint, term string, tf bigint, rk bigint, postings string",
     )
+    hh = cms_heavy_hitters(terms, "term", width=16, depth=3, top_k=40)
+    totals = tf.groupBy("term").agg(F.sum("tf").alias("tf"))
+    cms_rows = hh.join(F.broadcast(totals), "term").select(
+        "term", F.col("tf").cast("bigint").alias("tf"), "est", "rk"
+    )
     return _suite_union(
         [
             ("doc_id", "bigint"),
@@ -1922,11 +1938,13 @@ def q49_corpus_index_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("tfidf", "double"),
             ("rk", "bigint"),
             ("postings", "string"),
+            ("est", "bigint"),
         ],
         ("tfidf", per_doc.unionByName(corpus_bigrams)),
         ("index", index_rows),
         ("vocab", vocab_rows),
         ("bpe", bpe_rows),
+        ("cms", cms_rows),
     )
 
 
@@ -3095,7 +3113,7 @@ def _bpe_branch_sql(n_merges: int = 8, max_words: int = 10000) -> str:
             SELECT 'bpe' AS scope, CAST(-1 AS BIGINT) AS doc_id,
                    a || b AS term, c AS tf, NULL::BIGINT AS df,
                    NULL::DOUBLE AS tfidf, CAST(rk AS BIGINT) AS rk,
-                   a || ' ' || b AS postings
+                   a || ' ' || b AS postings, NULL::BIGINT AS est
             FROM (
                 WITH {_bpe_ctes(n_merges, max_words)}
                 {gens}
@@ -5184,7 +5202,8 @@ def oracle_sql() -> dict[str, str]:
             FROM parsed
         """,
         "q49_corpus_index_suite": f"""
-            SELECT 'tfidf' AS scope, t.*, NULL::VARCHAR AS postings
+            SELECT 'tfidf' AS scope, t.*, NULL::VARCHAR AS postings,
+                   NULL::BIGINT AS est
             FROM (
             WITH terms AS (
                 SELECT doc_id, unnest(regexp_split_to_array(
@@ -5235,7 +5254,7 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'index' AS scope, NULL::BIGINT AS doc_id, term,
                    NULL::BIGINT AS tf, df, NULL::DOUBLE AS tfidf,
-                   NULL::BIGINT AS rk, postings
+                   NULL::BIGINT AS rk, postings, NULL::BIGINT AS est
             FROM (
                 WITH dterms AS (
                     SELECT DISTINCT doc_id, unnest(regexp_split_to_array(
@@ -5251,7 +5270,8 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'vocab' AS scope, NULL::BIGINT AS doc_id,
                    token AS term, tf, df, NULL::DOUBLE AS tfidf,
-                   vocab_id AS rk, NULL::VARCHAR AS postings
+                   vocab_id AS rk, NULL::VARCHAR AS postings,
+                   NULL::BIGINT AS est
             FROM (
                 WITH vterms AS (
                     SELECT doc_id, unnest(regexp_split_to_array(
@@ -5272,6 +5292,51 @@ def oracle_sql() -> dict[str, str]:
             )
             UNION ALL
             {_bpe_branch_sql(8, 10000)}
+            UNION ALL
+            SELECT 'cms' AS scope, NULL::BIGINT AS doc_id, term, tf,
+                   NULL::BIGINT AS df, NULL::DOUBLE AS tfidf, rk,
+                   NULL::VARCHAR AS postings, est
+            FROM (
+                WITH cterms AS (
+                    SELECT unnest(regexp_split_to_array(
+                        trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                        ' '
+                    )) AS term
+                    FROM documents
+                ), rowsq AS (SELECT unnest([0, 1, 2]) AS r),
+                fan AS (
+                    SELECT c.term, rowsq.r,
+                           CAST(('0x' || substr(md5(
+                               'cms|' || CAST(rowsq.r AS VARCHAR) || '|'
+                               || c.term), 1, 15)) AS BIGINT) % 16 AS bucket
+                    FROM cterms c CROSS JOIN rowsq
+                ), sketch AS (
+                    SELECT r, bucket, COUNT(*) AS cnt FROM fan GROUP BY 1, 2
+                ), probes AS (SELECT DISTINCT term FROM cterms),
+                pfan AS (
+                    SELECT p.term, rowsq.r,
+                           CAST(('0x' || substr(md5(
+                               'cms|' || CAST(rowsq.r AS VARCHAR) || '|'
+                               || p.term), 1, 15)) AS BIGINT) % 16 AS bucket
+                    FROM probes p CROSS JOIN rowsq
+                ), probed AS (
+                    SELECT pf.term, COALESCE(s.cnt, 0) AS cnt
+                    FROM pfan pf LEFT JOIN sketch s
+                         ON s.r = pf.r AND s.bucket = pf.bucket
+                ), estq AS (
+                    SELECT term, CAST(MIN(cnt) AS BIGINT) AS est
+                    FROM probed GROUP BY 1
+                ), totals AS (
+                    SELECT term, CAST(COUNT(*) AS BIGINT) AS tf
+                    FROM cterms GROUP BY 1
+                )
+                SELECT e.term, t.tf, e.est,
+                       CAST(ROW_NUMBER() OVER (
+                           ORDER BY e.est DESC, e.term ASC
+                       ) AS BIGINT) AS rk
+                FROM estq e JOIN totals t USING (term)
+                ORDER BY e.est DESC, e.term ASC LIMIT 40
+            )
         """,
     }
     # mirror the Spark-side _counted registration: every suite oracle
