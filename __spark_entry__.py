@@ -460,7 +460,19 @@ def q18_digest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     'canonical' = case/punctuation-insensitive fingerprint grouping
     over documents ∪ UPPERCASED variants of every 7th doc. Survivors
     keep min doc_id with group size; the md5 shuffle key is constant
-    width regardless of document size."""
+    width regardless of document size.
+
+    'url' (r3) = crawl-frontier dedup by canonical URL
+    (operators/urls.normalize_url): each doc synthesizes one of five
+    messy variants of its target page (scheme/host case, www prefix,
+    default :443 port, utm_ tracking param, fragment, trailing slash,
+    unsorted query params) and normalization must collapse exactly the
+    variants that reference the same page — the oracle replays the
+    whole normalization chain in DuckDB's RE2 + list functions."""
+    from lsdm_motogp_data_integration_spark.operators.urls import (
+        normalize_url,
+    )
+
     d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     copies = d.filter(F.col("doc_id") % 5 == 0).select(
         (F.col("doc_id") + 100000).alias("doc_id"), "text"
@@ -482,7 +494,44 @@ def q18_digest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.lit("canonical").alias("kind"), "doc_id", "n_copies")
     )
-    return raw.unionByName(canonical)
+    ds_t = (F.col("doc_id") % 100).cast("string")
+    v = F.col("doc_id") % 5
+    raw_url = (
+        F.when(v == 0, F.concat(F.lit("https://Example.COM/page/"), ds_t))
+        .when(
+            v == 1,
+            F.concat(F.lit("https://www.example.com/page/"), ds_t, F.lit("/")),
+        )
+        .when(
+            v == 2,
+            F.concat(
+                F.lit("https://example.com:443/page/"),
+                ds_t,
+                F.lit("?utm_source=feed"),
+            ),
+        )
+        .when(
+            v == 3,
+            F.concat(
+                F.lit("https://example.com/page/"), ds_t, F.lit("#section2")
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://example.com/page/"), ds_t, F.lit("?b=2&a=1")
+            )
+        )
+    )
+    url_rows = (
+        d.select("doc_id", normalize_url(raw_url).alias("cu"))
+        .groupBy("cu")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select(F.lit("url").alias("kind"), "doc_id", "n_copies")
+    )
+    return raw.unionByName(canonical).unionByName(url_rows)
 
 
 def q19_neardup_pairs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3521,6 +3570,69 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'canonical', MIN(doc_id), COUNT(*)
             FROM fps GROUP BY fp
+            UNION ALL
+            SELECT 'url', MIN(doc_id), COUNT(*)
+            FROM (
+                WITH urls AS (
+                    SELECT doc_id,
+                        CASE WHEN doc_id % 5 = 0 THEN
+                                 'https://Example.COM/page/'
+                                 || CAST(doc_id % 100 AS VARCHAR)
+                             WHEN doc_id % 5 = 1 THEN
+                                 'https://www.example.com/page/'
+                                 || CAST(doc_id % 100 AS VARCHAR) || '/'
+                             WHEN doc_id % 5 = 2 THEN
+                                 'https://example.com:443/page/'
+                                 || CAST(doc_id % 100 AS VARCHAR)
+                                 || '?utm_source=feed'
+                             WHEN doc_id % 5 = 3 THEN
+                                 'https://example.com/page/'
+                                 || CAST(doc_id % 100 AS VARCHAR)
+                                 || '#section2'
+                             ELSE 'https://example.com/page/'
+                                 || CAST(doc_id % 100 AS VARCHAR)
+                                 || '?b=2&a=1' END AS url
+                    FROM documents
+                ), n1 AS (
+                    SELECT doc_id,
+                           regexp_replace(trim(url), '#.*$', '') AS nofrag
+                    FROM urls
+                ), n2 AS (
+                    SELECT doc_id,
+                           regexp_extract(nofrag, '^([^?]*)', 1) AS base,
+                           array_to_string(list_sort(list_filter(
+                               string_split(regexp_extract(nofrag,
+                                   '\\?(.*)$', 1), '&'),
+                               x -> x <> '' AND NOT starts_with(x, 'utm_')
+                           )), '&') AS q2
+                    FROM n1
+                ), n3 AS (
+                    SELECT doc_id, q2,
+                           lower(regexp_extract(base,
+                               '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)
+                           ) AS scheme,
+                           regexp_replace(base,
+                               '^[A-Za-z][A-Za-z0-9+.\\-]*://', '') AS rest
+                    FROM n2
+                ), n4 AS (
+                    SELECT doc_id, q2, scheme,
+                           regexp_replace(lower(regexp_extract(rest,
+                               '^([^/]*)', 1)), '^www\\.', '') AS host0,
+                           regexp_replace(regexp_replace(rest,
+                               '^[^/]*', ''), '/$', '') AS path
+                    FROM n3
+                )
+                SELECT doc_id,
+                       scheme || '://'
+                       || CASE WHEN scheme = 'http'
+                               THEN regexp_replace(host0, ':80$', '')
+                               WHEN scheme = 'https'
+                               THEN regexp_replace(host0, ':443$', '')
+                               ELSE host0 END
+                       || path
+                       || CASE WHEN q2 <> '' THEN '?' || q2 ELSE '' END AS cu
+                FROM n4
+            ) GROUP BY cu
         """,
         "q19_neardup_pairs_suite": f"""
             WITH pairs AS ({_JACCARD_PAIRS_SQL})

@@ -1,0 +1,69 @@
+"""URL canonicalization contracts (operators/urls)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lsdm_motogp_data_integration_spark.operators.urls import (
+    normalize_url,
+    url_domain,
+    url_host,
+)
+
+
+def _norm(spark, url, **kw):
+    return (
+        spark.createDataFrame([(url,)], "u string")
+        .select(normalize_url(F.col("u"), **kw).alias("v"))
+        .first()["v"]
+    )
+
+
+@pytest.mark.parametrize(
+    "raw,want",
+    [
+        # scheme+host case, default port, trailing slash
+        ("HTTP://WWW.Example.COM:80/A/b/", "http://example.com/A/b"),
+        ("https://example.com:443/x", "https://example.com/x"),
+        # non-default port survives
+        ("https://example.com:8443/x", "https://example.com:8443/x"),
+        # fragment dropped, utm_* dropped, params sorted
+        ("https://ex.com/p?b=2&utm_s=1&a=1#frag", "https://ex.com/p?a=1&b=2"),
+        # all params tracking → query dropped entirely
+        ("https://ex.com/p?utm_a=1&utm_b=2", "https://ex.com/p"),
+        # bare host, with and without slash, collapse
+        ("https://Ex.com/", "https://ex.com"),
+        ("https://ex.com", "https://ex.com"),
+        # path case preserved
+        ("https://ex.com/CaseSensitive", "https://ex.com/CaseSensitive"),
+        # no scheme → trimmed pass-through
+        ("  /relative/path  ", "/relative/path"),
+    ],
+)
+def test_normalize_url_cases(spark, raw, want):
+    assert _norm(spark, raw) == want
+
+
+def test_normalize_url_keep_www_and_custom_prefix(spark):
+    assert (
+        _norm(spark, "https://www.ex.com/a", strip_www=False)
+        == "https://www.ex.com/a"
+    )
+    assert (
+        _norm(spark, "https://ex.com/a?ref=x&b=1", strip_param_prefix="ref")
+        == "https://ex.com/a?b=1"
+    )
+
+
+def test_url_host_and_domain(spark):
+    df = spark.createDataFrame(
+        [("https://Sub.News.Example.co:8080/x?y#z",), ("not a url",)],
+        "u string",
+    )
+    rows = df.select(
+        url_host("u").alias("h"), url_domain("u").alias("d")
+    ).collect()
+    assert (rows[0]["h"], rows[0]["d"]) == (
+        "sub.news.example.co:8080",
+        "example.co",
+    )
+    assert (rows[1]["h"], rows[1]["d"]) == ("", "")
