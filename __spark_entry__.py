@@ -2151,21 +2151,60 @@ def q57_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q58_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplicate clusters: near-dup PAIRS (q19's MinHash output) closed
-    into components via iterative min-label propagation
-    (dedup.connected_components) — every doc labeled with its cluster
-    representative (smallest reachable id), singletons included. The
-    oracle computes the same closure with a recursive CTE."""
+    """Graph-operator suite (tagged union, ``scope``) — both iterative
+    distributed graph computations share one driver row:
+
+    - ``components``: near-dup PAIRS (q19's MinHash output) closed
+      into components via iterative min-label propagation
+      (dedup.connected_components) — every doc labeled with its
+      cluster representative (smallest reachable id), singletons
+      included. The oracle computes the same closure with a recursive
+      CTE.
+    - ``pagerank`` (r3): fixed-5-iteration PageRank
+      (operators/graph.pagerank, damping 0.85) over a deterministic
+      synthetic link graph (3 modular out-edges per doc; docs with
+      ``doc_id % 10 == 7`` get none, exercising the dangling-mass
+      path). Per-iteration contribution sums are integer-quantized
+      (floor(x·1e15) → BIGINT), so the oracle unrolls all 5
+      iterations in SQL and ranks compare as EXACT doubles."""
     from lsdm_motogp_data_integration_spark.operators.dedup import (
         connected_components,
     )
+    from lsdm_motogp_data_integration_spark.operators.graph import pagerank
 
     corpus = _doc_corpus(spark, sf_dir)
     pairs = minhash_lsh_pairs(
         corpus, "text", "doc_id", threshold=0.8, persist_sets=True
     )
-    return connected_components(
+    comp = connected_components(
         corpus.select("doc_id"), pairs, node_col="doc_id"
+    )
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    edges = None
+    for k in (1, 2, 3):
+        ek = docs.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * k + k) % F.lit(n)).alias("dst"),
+        )
+        edges = ek if edges is None else edges.unionByName(ek)
+    edges = edges.filter(F.col("src") % 10 != 7)
+    pr = pagerank(
+        docs,
+        edges,
+        node_col="doc_id",
+        src_col="src",
+        dst_col="dst",
+        n_iters=5,
+    )
+    return _suite_union(
+        [
+            ("doc_id", "bigint"),
+            ("component", "bigint"),
+            ("rank", "double"),
+        ],
+        ("components", comp),
+        ("pagerank", pr),
     )
 
 
@@ -2706,6 +2745,7 @@ _SUITE_TAG_COLS: dict[str, str] = {
     "q49_corpus_index_suite": "scope",
     "q53_source_stats": "scope",
     "q57_decontamination": "scope",
+    "q58_dedup_clusters": "scope",
     "q61_sequence_packing": "scope",
     "q62_pii_redaction": "scope",
     "q65_quality_classifier": "scope",
@@ -3150,6 +3190,41 @@ def _bpe_ctes(n_merges: int, max_words: int) -> str:
             )"""
         )
     return ", ".join(parts)
+
+
+def _pagerank_iters_sql(n_iters: int = 5) -> str:
+    """The q58 ``pagerank`` oracle CTEs: every iteration unrolled with
+    the same integer-quantized (floor(x*1e15) -> BIGINT) contribution
+    sums as operators/graph.pagerank, so ranks match as exact doubles."""
+    ctes = []
+    for k in range(1, n_iters + 1):
+        prev = f"pr{k - 1}"
+        ctes.append(f"""pr{k} AS (
+                SELECT nd.node,
+                       (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+                           / (SELECT n FROM nn)
+                       + CAST(0.85 AS DOUBLE) * (
+                           CAST(COALESCE(s.s, 0) AS DOUBLE) / 1e15
+                           + CAST(dm.dm AS DOUBLE) / 1e15
+                             / (SELECT CAST(n AS DOUBLE) FROM nn)
+                       ) AS r
+                FROM pnodes nd
+                LEFT JOIN (
+                    SELECT e.dst AS node,
+                           SUM(CAST(floor(p.r / d.deg * 1e15) AS BIGINT)) AS s
+                    FROM {prev} p
+                    JOIN pdegs d ON d.src = p.node
+                    JOIN pedges e ON e.src = p.node
+                    GROUP BY 1
+                ) s ON s.node = nd.node
+                CROSS JOIN (
+                    SELECT COALESCE(SUM(CAST(floor(p.r * 1e15) AS BIGINT)), 0)
+                           AS dm
+                    FROM {prev} p LEFT JOIN pdegs d ON d.src = p.node
+                    WHERE d.src IS NULL
+                ) dm
+            )""")
+    return ",\n            ".join(ctes)
 
 
 def _bpe_branch_sql(n_merges: int = 8, max_words: int = 10000) -> str:
@@ -5136,11 +5211,36 @@ def oracle_sql() -> dict[str, str]:
                 UNION
                 SELECT r.node, e.b FROM reach r JOIN edges e ON r.other = e.a
             )
-            SELECT c.doc_id,
+            , pnodes AS (SELECT doc_id AS node FROM documents),
+            nn AS (SELECT COUNT(*) AS n FROM pnodes),
+            pe0 AS (
+                SELECT doc_id AS src,
+                       (doc_id * 1 + 1) % (SELECT n FROM nn) AS dst
+                FROM documents
+                UNION ALL
+                SELECT doc_id, (doc_id * 2 + 2) % (SELECT n FROM nn)
+                FROM documents
+                UNION ALL
+                SELECT doc_id, (doc_id * 3 + 3) % (SELECT n FROM nn)
+                FROM documents
+            ),
+            pedges AS (SELECT src, dst FROM pe0 WHERE src % 10 <> 7),
+            pdegs AS (SELECT src, COUNT(*) AS deg FROM pedges GROUP BY 1),
+            pr0 AS (
+                SELECT node, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS r
+                FROM pnodes
+            ),
+            {_pagerank_iters_sql(5)}
+            SELECT 'components' AS scope, c.doc_id,
                    LEAST(c.doc_id, COALESCE(MIN(r.other), c.doc_id))
-                       AS component
+                       AS component,
+                   CAST(NULL AS DOUBLE) AS rank
             FROM corpus c LEFT JOIN reach r ON r.node = c.doc_id
             GROUP BY c.doc_id
+            UNION ALL
+            SELECT 'pagerank' AS scope, node AS doc_id,
+                   CAST(NULL AS BIGINT) AS component, r AS rank
+            FROM pr5
         """,
         "q57_decontamination": f"""
             WITH {_DOC_CORPUS_SQL},
