@@ -2009,7 +2009,13 @@ def q53_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       distinct counts, decimal-quantized numeric ranges and means,
       string extremes) computed in ONE aggregation pass — every metric
       for every column in a single agg, pivoted to rows by an
-      O(#columns) struct explode."""
+      O(#columns) struct explode.
+    - ``rollup`` (r3): multi-level aggregation — per (source, lang)
+      doc counts and char sums with ROLLUP subtotals and the grand
+      total, ``grp`` = grouping id disambiguating rollup-NULLs from
+      data NULLs (0 = leaf, 1 = per-source subtotal, 3 = grand
+      total). One pass; Spark expands grouping sets before the same
+      single shuffle a plain groupBy takes."""
     from lsdm_motogp_data_integration_spark.operators.profile import (
         profile_columns,
     )
@@ -2026,6 +2032,11 @@ def q53_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_chars").alias("max_chars"),
     )
     prof = profile_columns(d)
+    roll = d.rollup("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.grouping_id().cast("bigint").alias("grp"),
+    )
     return _suite_union(
         [
             ("source", "string"),
@@ -2044,9 +2055,13 @@ def q53_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("mean_num", "double"),
             ("min_str", "string"),
             ("max_str", "string"),
+            ("lang", "string"),
+            ("sum_chars", "bigint"),
+            ("grp", "bigint"),
         ],
         ("source", per_source),
         ("profile", prof),
+        ("rollup", roll),
     )
 
 
@@ -5364,13 +5379,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NULL AS DOUBLE) AS max_num,
                    CAST(NULL AS DOUBLE) AS mean_num,
                    CAST(NULL AS VARCHAR) AS min_str,
-                   CAST(NULL AS VARCHAR) AS max_str
+                   CAST(NULL AS VARCHAR) AS max_str,
+                   CAST(NULL AS VARCHAR) AS lang,
+                   CAST(NULL AS BIGINT) AS sum_chars,
+                   CAST(NULL AS BIGINT) AS grp
             FROM per_source
             UNION ALL
             SELECT 'profile', NULL, NULL, NULL, NULL, NULL, NULL,
                    "column", dtype, n_rows, n_nulls, n_distinct,
-                   min_num, max_num, mean_num, min_str, max_str
+                   min_num, max_num, mean_num, min_str, max_str,
+                   NULL, NULL, NULL
             FROM prof
+            UNION ALL
+            SELECT 'rollup' AS scope, source,
+                   COUNT(*) AS n_docs,
+                   CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT),
+                   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+                   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                   CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+                   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+                   lang,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                   CAST(GROUPING(source, lang) AS BIGINT) AS grp
+            FROM documents
+            GROUP BY ROLLUP (source, lang)
         """,
         "q60_dms_coordinates": """
             WITH dms AS (

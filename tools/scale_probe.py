@@ -285,6 +285,75 @@ def main() -> None:
                 ),
             ),
         )
+        # --- round-3 operators ---
+        from lsdm_motogp_data_integration_spark.operators.graph import (
+            pagerank,
+        )
+        from lsdm_motogp_data_integration_spark.operators.sketches import (
+            count_min_sketch,
+        )
+        from lsdm_motogp_data_integration_spark.operators.textops import (
+            strip_html,
+        )
+        from lsdm_motogp_data_integration_spark.operators.urls import (
+            normalize_url,
+        )
+
+        # HTML extraction: pure per-row regex chain — must be linear
+        html_docs = docs.select(
+            "doc_id",
+            F.concat(
+                F.lit(
+                    "<html><head><title>D</title><script>var x = 1;"
+                    "</script><style>.a { b: c; }</style></head><body><p>"
+                ),
+                F.col("text"),
+                F.lit(
+                    ' &amp; tail</p><a href="https://ex.com/a">l</a>'
+                    "</body></html>"
+                ),
+            ).alias("html"),
+        )
+        r["strip_html_s"], _ = timed(
+            "strip_html",
+            html_docs.select(F.length(strip_html(F.col("html")))),
+        )
+        # URL canonicalization: per-row regex + array HOFs
+        url_docs = docs.select(
+            F.concat(
+                F.lit("https://WWW.Example.com:443/page/"),
+                (F.col("doc_id") % 1000).cast("string"),
+                F.lit("/?utm_source=x&b=2&a=1#frag"),
+            ).alias("u")
+        )
+        r["normalize_url_s"], _ = timed(
+            "normalize_url", url_docs.select(normalize_url(F.col("u")))
+        )
+        # CMS build: token explode + constant-key-space aggregate —
+        # the output is depth×width rows at ANY corpus size
+        toks = docs.select(F.explode(words).alias("term"))
+        r["cms_s"], _ = timed(
+            "cms", count_min_sketch(toks, "term", width=1024, depth=4)
+        )
+        # PageRank: 3 modular out-edges per doc, 5 iterations — per-
+        # round cost is one edge join + one dst aggregate, so time
+        # must track edge count linearly
+        nodes = docs.select("doc_id")
+        pedges = None
+        for k in (1, 2, 3):
+            ek = nodes.select(
+                F.col("doc_id").alias("src"),
+                ((F.col("doc_id") * k + k) % F.lit(500_000)).alias("dst"),
+            )
+            pedges = ek if pedges is None else pedges.unionByName(ek)
+        r["pagerank_s"], _ = timed(
+            "pagerank",
+            # thunk: pagerank counts nodes eagerly at construction
+            lambda: pagerank(
+                nodes, pedges, node_col="doc_id", src_col="src",
+                dst_col="dst", n_iters=5,
+            ),
+        )
         results[scale] = r
 
     base, big = results["1x"], results[f"{replicas}x"]
@@ -308,6 +377,10 @@ def main() -> None:
         "decontam_bloom_s",
         "media_decode_s",
         "dsir_s",
+        "strip_html_s",
+        "normalize_url_s",
+        "cms_s",
+        "pagerank_s",
     ):
         ratio = (big[key] / base[key]) / replicas
         print(f"  {key}: {ratio:.2f}")
