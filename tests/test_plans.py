@@ -241,6 +241,9 @@ def test_no_accidental_cartesian_across_registry(spark, sf_dir):
         # DSIR's (rtot, ttot) corpus totals — a 1-row scalar broadcast,
         # same shape as q22/q64's
         "q66_mixture_sample",
+        # pagerank's per-iteration dangling-mass scalar — a 1-row
+        # aggregate crossJoin(broadcast(...)), O(1) rows per round
+        "q58_dedup_clusters",
     }
     skip = {
         "q40_streaming_suite",

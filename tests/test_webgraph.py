@@ -1,0 +1,85 @@
+"""Web-graph pipeline composition (pipelines/webgraph)."""
+
+from pyspark.sql import functions as F
+
+from lsdm_motogp_data_integration_spark.pipelines.webgraph import (
+    dedup_pages,
+    host_graph,
+    host_ranks,
+    parse_pages,
+)
+
+
+def _pages(spark):
+    rows = [
+        # two fetches of the SAME canonical page (trailing slash /
+        # tracking param) — must dedup to one
+        (
+            "https://a.com/home/",
+            '<p>A home</p><a href="https://b.com/x">b</a>'
+            '<a href="https://c.com/y">c</a>',
+        ),
+        (
+            "https://a.com/home?utm_source=f",
+            '<p>A home v2</p><a href="https://b.com/x">b</a>',
+        ),
+        (
+            "https://b.com/x",
+            '<script>var z;</script><p>B &amp; page</p>'
+            '<a href="https://a.com/home">a</a>'
+            '<a href="/relative">rel</a>'
+            '<a href="https://B.com/other">self</a>',
+        ),
+        ("https://c.com/y", "<p>C leaf</p>"),
+    ]
+    return spark.createDataFrame(rows, "url string, html string")
+
+
+def test_parse_pages_extracts_and_canonicalizes(spark):
+    parsed = parse_pages(_pages(spark), "url", "html")
+    rows = {r["canonical_url"]: r for r in parsed.collect()}
+    assert set(rows) == {
+        "https://a.com/home",
+        "https://b.com/x",
+        "https://c.com/y",
+    }
+    b = rows["https://b.com/x"]
+    # anchor text IS visible text — it survives extraction
+    assert b["text"] == "B & page a rel self"
+    # relative link dropped, self-link canonicalized (host lowercased)
+    assert b["outlinks"] == ["https://a.com/home", "https://b.com/other"]
+
+
+def test_dedup_pages_one_row_per_canonical(spark):
+    parsed = parse_pages(_pages(spark), "url", "html")
+    d = dedup_pages(parsed)
+    assert d.count() == 3
+    a = d.filter(F.col("canonical_url") == "https://a.com/home").first()
+    # deterministic survivor: lexicographically-smallest payload
+    # ("A home b c" < "A home v2 b" — anchor text is part of text)
+    assert a["text"] == "A home b c"
+    assert (
+        dedup_pages(parsed.repartition(7)).filter(
+            F.col("canonical_url") == "https://a.com/home"
+        ).first()["text"]
+        == a["text"]
+    )
+
+
+def test_host_graph_weights_and_no_self_loops(spark):
+    d = dedup_pages(parse_pages(_pages(spark), "url", "html"))
+    edges = {
+        (r["src"], r["dst"]): r["weight"] for r in host_graph(d).collect()
+    }
+    # b.com -> b.com self-loop dropped; a->b present
+    assert ("b.com", "b.com") not in edges
+    assert edges[("b.com", "a.com")] == 1
+    assert ("a.com", "b.com") in edges
+
+
+def test_host_ranks_cover_all_hosts_and_conserve_mass(spark):
+    d = dedup_pages(parse_pages(_pages(spark), "url", "html"))
+    pr = host_ranks(d, n_iters=6)
+    rows = {r["host"]: r["rank"] for r in pr.collect()}
+    assert set(rows) == {"a.com", "b.com", "c.com"}
+    assert abs(sum(rows.values()) - 1.0) < 1e-9
