@@ -34,6 +34,7 @@ from lsdm_motogp_data_integration_spark.operators.keys import (
     add_surrogate_key_distributed,
 )
 from lsdm_motogp_data_integration_spark.operators.sessions import (
+    gapfill_hourly,
     sessionize,
     tumbling_window_agg,
 )
@@ -870,7 +871,15 @@ def q28_event_time_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       hash agg — the batch twin of the q40 streaming plan).
     - ``session``: sessionization (gaps-and-islands, 30-min inactivity
       gap) — per-user session sequence numbers via lag + running sum,
-      one shuffle on the user key."""
+      one shuffle on the user key.
+    - ``gapfill`` (r3): time-series gap fill
+      (sessions.gapfill_hourly, the ``time_bucket_gapfill`` shape) —
+      the dense hourly axis per event type between its first and last
+      event, ``n_events = 0`` rows for the empty hours and
+      ``sum_value_ff`` carrying the hourly sum forward. The dense
+      axis is generated from a per-key (min,max) relation, never from
+      raw events; the oracle rebuilds it with ``generate_series`` and
+      an IGNORE NULLS window."""
     ev = read_table(spark, sf_dir, "events")
     return _suite_union(
         [
@@ -882,12 +891,23 @@ def q28_event_time_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("event_id", "bigint"),
             ("user_id", "bigint"),
             ("session_seq", "bigint"),
+            ("sum_value_ff", "double"),
         ],
         ("tumbling", tumbling_window_agg(ev, window_size="1 hour")),
         (
             "session",
             sessionize(ev, gap_minutes=30).select(
                 "event_id", "user_id", "session_seq"
+            ),
+        ),
+        (
+            "gapfill",
+            gapfill_hourly(ev).select(
+                "event_type",
+                "window_start",
+                "n_events",
+                "sum_value",
+                "sum_value_ff",
             ),
         ),
     )
@@ -4121,7 +4141,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value,
                    NULL::BIGINT AS event_id,
                    NULL::BIGINT AS user_id,
-                   NULL::BIGINT AS session_seq
+                   NULL::BIGINT AS session_seq,
+                   NULL::DOUBLE AS sum_value_ff
             FROM events GROUP BY 2, 3, 4
             UNION ALL
             SELECT 'session' AS scope,
@@ -4130,7 +4151,8 @@ def oracle_sql() -> dict[str, str]:
                    NULL::VARCHAR AS event_type,
                    NULL::BIGINT AS n_events,
                    NULL::DOUBLE AS sum_value,
-                   event_id, user_id, session_seq
+                   event_id, user_id, session_seq,
+                   NULL::DOUBLE AS sum_value_ff
             FROM (
             WITH w AS (
                 SELECT event_id, user_id, ts,
@@ -4154,6 +4176,49 @@ def oracle_sql() -> dict[str, str]:
                        ROWS UNBOUNDED PRECEDING
                    ) AS BIGINT) AS session_seq
             FROM flags
+            )
+            UNION ALL
+            SELECT 'gapfill' AS scope,
+                   window_start,
+                   NULL::TIMESTAMP AS window_end,
+                   event_type, n_events,
+                   sum_value,
+                   NULL::BIGINT AS event_id,
+                   NULL::BIGINT AS user_id,
+                   NULL::BIGINT AS session_seq,
+                   sum_value_ff
+            FROM (
+                WITH gb AS (
+                    SELECT event_type,
+                           date_trunc('hour', ts) AS bucket,
+                           COUNT(*) AS n_events,
+                           CAST(SUM(CAST(value AS DECIMAL(38,6)))
+                                AS DOUBLE) AS sum_value
+                    FROM events GROUP BY 1, 2
+                ), rng AS (
+                    SELECT event_type, MIN(bucket) AS lo, MAX(bucket) AS hi
+                    FROM gb GROUP BY 1
+                ), axis AS (
+                    SELECT event_type,
+                           unnest(generate_series(lo, hi,
+                               INTERVAL 1 HOUR)) AS bucket
+                    FROM rng
+                ), filled AS (
+                    SELECT a.event_type, a.bucket AS window_start,
+                           CAST(COALESCE(g.n_events, 0) AS BIGINT)
+                               AS n_events,
+                           g.sum_value
+                    FROM axis a LEFT JOIN gb g
+                         ON g.event_type = a.event_type
+                        AND g.bucket = a.bucket
+                )
+                SELECT event_type, window_start, n_events, sum_value,
+                       last_value(sum_value IGNORE NULLS) OVER (
+                           PARTITION BY event_type ORDER BY window_start
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW
+                       ) AS sum_value_ff
+                FROM filled
             )
         """,
         "q30_topk_per_group": """

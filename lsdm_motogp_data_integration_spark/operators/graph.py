@@ -66,8 +66,14 @@ def pagerank(
     deg = edges.groupBy(F.col(src_col).alias("__n")).agg(
         F.count(F.lit(1)).alias("__deg")
     )
-    base = nodes.select(F.col(node_col).alias("__n")).join(
-        deg, "__n", "left"
+    # base is re-joined EVERY round (the fill-back side); without
+    # truncation each round would re-run the full edge-scan degree
+    # aggregate — n_iters redundant passes over the edge relation.
+    # One eager localCheckpoint pins it to O(nodes) storage instead.
+    base = (
+        nodes.select(F.col(node_col).alias("__n"))
+        .join(deg, "__n", "left")
+        .localCheckpoint(eager=True)
     )
     teleport = (1.0 - damping) / n
     ranks = base.select("__n", F.lit(1.0 / n).alias("__r"), "__deg")

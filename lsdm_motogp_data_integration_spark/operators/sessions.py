@@ -84,6 +84,66 @@ def tumbling_window_agg(
     )
 
 
+def gapfill_hourly(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Time-series gap fill (TimescaleDB's ``time_bucket_gapfill``
+    shape): hourly buckets per key INCLUDING the empty hours between
+    each key's first and last event, with ``n_events = 0`` for gaps
+    and ``sum_value_ff`` = last-observation-carried-forward of the
+    hourly sum (NULL until the key's first observed hour — which by
+    construction is the range start, so only true interior gaps
+    inherit).
+
+    Scale shape: events collapse to per-(key, hour) rows FIRST (one
+    hash aggregate — the only pass over raw data); the dense bucket
+    axis is generated from a per-key (min, max) range relation (one
+    row per key) via ``sequence`` + ``explode``, so the fan-out is
+    O(keys × hours-of-history), never O(events); the fill join and
+    the LOCF window both run on that bounded bucket space, each
+    partitioned by key. A key with years of history and a hot key
+    with billions of events cost the same dense axis."""
+    b = (
+        events.groupBy(
+            F.col(key_col),
+            F.date_trunc("hour", F.col(ts_col)).alias("bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            # same (38,6) overflow stance as tumbling_window_agg
+            F.sum(F.col(value_col).cast("decimal(38,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+    rng = b.groupBy(key_col).agg(
+        F.min("bucket").alias("__lo"), F.max("bucket").alias("__hi")
+    )
+    axis = rng.select(
+        key_col,
+        F.explode(
+            F.sequence("__lo", "__hi", F.expr("interval 1 hour"))
+        ).alias("bucket"),
+    )
+    filled = axis.join(b, [key_col, "bucket"], "left")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return filled.select(
+        key_col,
+        F.col("bucket").alias("window_start"),
+        F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+        "sum_value",
+        F.last("sum_value", ignorenulls=True).over(w).alias("sum_value_ff"),
+    )
+
+
 def grouped_zscore_window(
     df: DataFrame,
     group_col: str,

@@ -318,3 +318,40 @@ def test_streaming_neardup_ingest_matches_batch_and_is_idempotent(
         for r in spark.read.parquet(accepted_dir).select("doc_id").collect()
     }
     assert accepted2 == accepted
+
+
+def test_gapfill_hourly_dense_axis_and_locf(spark):
+    """Empty interior hours appear with n_events=0; sum_value_ff
+    carries the last observed hourly sum across the gap; the axis is
+    per-key (no key sees hours outside its own [min, max])."""
+    from datetime import datetime
+
+    from lsdm_motogp_data_integration_spark.operators.sessions import (
+        gapfill_hourly,
+    )
+
+    rows = [
+        # type A: 10:00 (two events), 13:00 — hours 11,12 are gaps
+        (1, datetime(2024, 1, 1, 10, 5), "A", 2.0),
+        (2, datetime(2024, 1, 1, 10, 50), "A", 3.0),
+        (3, datetime(2024, 1, 1, 13, 1), "A", 7.0),
+        # type B: single hour — no gaps, single-row axis
+        (4, datetime(2024, 1, 1, 22, 0), "B", 1.5),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, event_type string, value double"
+    )
+    out = {
+        (r["event_type"], r["window_start"].hour): r
+        for r in gapfill_hourly(ev).collect()
+    }
+    assert set(out) == {("A", 10), ("A", 11), ("A", 12), ("A", 13), ("B", 22)}
+    assert out[("A", 10)]["n_events"] == 2
+    assert out[("A", 10)]["sum_value"] == 5.0
+    for h in (11, 12):
+        gap = out[("A", h)]
+        assert gap["n_events"] == 0
+        assert gap["sum_value"] is None
+        assert gap["sum_value_ff"] == 5.0  # carried from 10:00
+    assert out[("A", 13)]["sum_value_ff"] == 7.0
+    assert out[("B", 22)]["n_events"] == 1
