@@ -5,12 +5,27 @@ extends the engine with the large-scale training-data operations the
 reference lacks:
 
 - ``keys``        surrogate-key sequences (Kettle Sequence steps, §2.9)
+                  + deterministic training-shard assignment/export
 - ``fuzzy``       Jaro-Winkler best-match similarity join (FuzzyMatch, §2.3)
 - ``dedup``       exact / MinHash-LSH / SimHash / n-gram-Jaccard /
-                  embedding-cosine deduplication
-- ``ann``         approximate nearest-neighbor search over embeddings
+                  embedding-cosine / SemDeDup deduplication + clusters
+- ``ann``         approximate nearest-neighbor search, k-means,
+                  int8/product quantization
 - ``textops``     language-ID, quality scoring, token counting,
-                  fingerprinting
-- ``sessions``    sessionization (gaps-and-islands over event streams)
+                  fingerprinting, HTML→text extraction, chunking,
+                  packing, sampling, span dedup, BPE training
+- ``urls``        URL canonicalization (crawl-frontier dedup keys)
+- ``sketches``    count-min sketch (constant-size frequency state)
+- ``graph``       PageRank (iterative link-graph ranking)
+- ``sessions``    sessionization, tumbling windows, time-series gap fill
+- ``asof``/``ranges``  as-of join, bucketized range join
+- ``scoring``     LM perplexity filters, quality classifier, DSIR
+- ``ranking``     BM25
+- ``membership``  n-gram decontamination (exact + Bloom screen)
+- ``boilerplate`` corpus line-frequency hygiene
+- ``profile``     one-pass column profiler
+- ``skew``        salted joins
 - ``multimodal``  binary-column (image/audio/video) plumbing
+  + ``mediacodec`` pure-numpy BMP/PGM/PPM/WAV/Y4M codecs
+- ``sketches``/``graph``/``urls`` are round-3 additions
 """
