@@ -914,17 +914,52 @@ def q28_event_time_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q30_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-K per group (generalizes the FuzzyMatch closervalue=Y
-    best-match-per-row idiom, ``motogp.ktr:3038``): 3 largest orders
-    per customer."""
+    """Ranking/window suite (tagged union, ``scope``):
+
+    - ``topk``: top-K per group (generalizes the FuzzyMatch
+      closervalue=Y best-match-per-row idiom, ``motogp.ktr:3038``):
+      3 largest orders per customer.
+    - ``winfuncs`` (r3): the rest of the analytic-window surface over
+      the same total order (price desc, key asc) — ``ntile(4)``,
+      ``percent_rank``, ``cume_dist`` (both rounded to 6dp; the
+      (rank-1)/(n-1) division is IEEE-identical but rounding pins the
+      serialization), ``lag``/``lead`` of the price. Restricted to
+      every 50th customer — the filter is on the window PARTITION
+      key, so Catalyst pushes it below the window and the pruned
+      groups still compute exact in-group values."""
     o = read_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
     )
-    return (
+    topk = (
         o.withColumn("rk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rk") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+    )
+    winfuncs = o.filter(F.col("o_custkey") % 50 == 0).select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.ntile(4).over(w).cast("bigint").alias("tile"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.lag("o_totalprice", 1).over(w).alias("prev_price"),
+        F.lead("o_totalprice", 1).over(w).alias("next_price"),
+    )
+    return _suite_union(
+        [
+            ("o_custkey", "bigint"),
+            ("o_orderkey", "bigint"),
+            ("o_totalprice", "double"),
+            ("rk", "bigint"),
+            ("tile", "bigint"),
+            ("pr", "double"),
+            ("cd", "double"),
+            ("prev_price", "double"),
+            ("next_price", "double"),
+        ],
+        ("topk", topk),
+        ("winfuncs", winfuncs),
     )
 
 
@@ -2035,7 +2070,13 @@ def q53_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       total, ``grp`` = grouping id disambiguating rollup-NULLs from
       data NULLs (0 = leaf, 1 = per-source subtotal, 3 = grand
       total). One pass; Spark expands grouping sets before the same
-      single shuffle a plain groupBy takes."""
+      single shuffle a plain groupBy takes.
+    - ``pivot`` (r3): wide reshaping — per-source doc counts pivoted
+      into one column per language (``DataFrame.pivot`` with an
+      EXPLICIT value list, the plan-static form that needs no eager
+      distinct scan; absent combinations surface as 0). The oracle is
+      conditional aggregation (``COUNT(*) FILTER``) — the relational
+      identity pivot compiles to."""
     from lsdm_motogp_data_integration_spark.operators.profile import (
         profile_columns,
     )
@@ -2056,6 +2097,21 @@ def q53_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("sum_chars"),
         F.grouping_id().cast("bigint").alias("grp"),
+    )
+    langs = ["de", "en", "es", "fr", "zh"]
+    piv = (
+        d.groupBy("source")
+        .pivot("lang", langs)
+        .count()
+        .select(
+            "source",
+            *[
+                F.coalesce(F.col(lg), F.lit(0))
+                .cast("bigint")
+                .alias(f"n_{lg}")
+                for lg in langs
+            ],
+        )
     )
     return _suite_union(
         [
@@ -2078,10 +2134,16 @@ def q53_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("lang", "string"),
             ("sum_chars", "bigint"),
             ("grp", "bigint"),
+            ("n_de", "bigint"),
+            ("n_en", "bigint"),
+            ("n_es", "bigint"),
+            ("n_fr", "bigint"),
+            ("n_zh", "bigint"),
         ],
         ("source", per_source),
         ("profile", prof),
         ("rollup", roll),
+        ("pivot", piv),
     )
 
 
@@ -2773,6 +2835,7 @@ _SUITE_TAG_COLS: dict[str, str] = {
     "q26_ann_suite": "method",
     "q27_embedding_neardup": "scope",
     "q28_event_time_suite": "scope",
+    "q30_topk_per_group": "scope",
     "q39_file_roundtrips": "fmt",
     "q40_streaming_suite": "scope",
     "q41_multimodal_features": "scope",
@@ -4230,8 +4293,28 @@ def oracle_sql() -> dict[str, str]:
                        ) AS BIGINT) AS rk
                 FROM orders
             )
-            SELECT o_custkey, o_orderkey, o_totalprice, rk
+            SELECT 'topk' AS scope, o_custkey, o_orderkey, o_totalprice, rk,
+                   CAST(NULL AS BIGINT) AS tile,
+                   CAST(NULL AS DOUBLE) AS pr,
+                   CAST(NULL AS DOUBLE) AS cd,
+                   CAST(NULL AS DOUBLE) AS prev_price,
+                   CAST(NULL AS DOUBLE) AS next_price
             FROM ranked WHERE rk <= 3
+            UNION ALL
+            SELECT 'winfuncs' AS scope, o_custkey, o_orderkey,
+                   o_totalprice,
+                   CAST(NULL AS BIGINT) AS rk,
+                   CAST(NTILE(4) OVER w AS BIGINT) AS tile,
+                   ROUND(PERCENT_RANK() OVER w, 6) AS pr,
+                   ROUND(CUME_DIST() OVER w, 6) AS cd,
+                   LAG(o_totalprice, 1) OVER w AS prev_price,
+                   LEAD(o_totalprice, 1) OVER w AS next_price
+            FROM orders
+            WHERE o_custkey % 50 = 0
+            WINDOW w AS (
+                PARTITION BY o_custkey
+                ORDER BY o_totalprice DESC, o_orderkey ASC
+            )
         """,
         "q32_semi_anti_join": """
             SELECT c_custkey, 'active' AS status FROM customer
@@ -5447,13 +5530,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NULL AS VARCHAR) AS max_str,
                    CAST(NULL AS VARCHAR) AS lang,
                    CAST(NULL AS BIGINT) AS sum_chars,
-                   CAST(NULL AS BIGINT) AS grp
+                   CAST(NULL AS BIGINT) AS grp,
+                   CAST(NULL AS BIGINT) AS n_de,
+                   CAST(NULL AS BIGINT) AS n_en,
+                   CAST(NULL AS BIGINT) AS n_es,
+                   CAST(NULL AS BIGINT) AS n_fr,
+                   CAST(NULL AS BIGINT) AS n_zh
             FROM per_source
             UNION ALL
             SELECT 'profile', NULL, NULL, NULL, NULL, NULL, NULL,
                    "column", dtype, n_rows, n_nulls, n_distinct,
                    min_num, max_num, mean_num, min_str, max_str,
-                   NULL, NULL, NULL
+                   NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL
             FROM prof
             UNION ALL
             SELECT 'rollup' AS scope, source,
@@ -5467,9 +5555,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
                    lang,
                    CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
-                   CAST(GROUPING(source, lang) AS BIGINT) AS grp
+                   CAST(GROUPING(source, lang) AS BIGINT) AS grp,
+                   NULL, NULL, NULL, NULL, NULL
             FROM documents
             GROUP BY ROLLUP (source, lang)
+            UNION ALL
+            SELECT 'pivot' AS scope, source,
+                   CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+                   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                   CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+                   CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+                   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                   CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR),
+                   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+                   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                   CAST(COUNT(*) FILTER (WHERE lang = 'de') AS BIGINT) AS n_de,
+                   CAST(COUNT(*) FILTER (WHERE lang = 'en') AS BIGINT) AS n_en,
+                   CAST(COUNT(*) FILTER (WHERE lang = 'es') AS BIGINT) AS n_es,
+                   CAST(COUNT(*) FILTER (WHERE lang = 'fr') AS BIGINT) AS n_fr,
+                   CAST(COUNT(*) FILTER (WHERE lang = 'zh') AS BIGINT) AS n_zh
+            FROM documents
+            GROUP BY source
         """,
         "q60_dms_coordinates": """
             WITH dms AS (
