@@ -41,10 +41,25 @@ def pagerank(
     n_iters: int = 5,
     damping: float = 0.85,
     checkpoint_every: int = 3,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank: ``rank' = (1-d)/N + d·(Σ_in rank/deg
     + dangling_mass/N)``, uniform start ``1/N``. Returns
     ``(node_col, rank double)`` for every node.
+
+    ``weight_col`` (integer multiplicities): an edge of weight w
+    contributes ``w/deg`` of its source's rank with ``deg = Σ w`` —
+    BIT-IDENTICAL to exploding the edge into w parallel rows (the
+    quantized per-copy contribution ``floor(r/deg·1e15)`` is simply
+    multiplied by w), at O(distinct edges) per round instead of
+    O(total multiplicity).
+
+    Graph-closure contract: ``nodes`` defines the rank universe.
+    Edges whose dst is not in ``nodes`` LEAK their contribution (total
+    rank then sums below 1) and out-of-universe srcs never contribute
+    — the standard treatment of links into removed/unfetched pages.
+    Pass a closed graph when mass conservation matters; the operator
+    does not pay a validation join at scale.
 
     Scale shape: per iteration ONE edge join + ONE dst-keyed aggregate
     (both on graph keys — the same shuffle a 1000-executor PageRank
@@ -63,8 +78,11 @@ def pagerank(
         return nodes.select(
             F.col(node_col), F.lit(None).cast("double").alias("rank")
         )
+    wexpr = (
+        F.col(weight_col).cast("bigint") if weight_col else F.lit(1)
+    )
     deg = edges.groupBy(F.col(src_col).alias("__n")).agg(
-        F.count(F.lit(1)).alias("__deg")
+        F.sum(wexpr).alias("__deg")
     )
     # base is re-joined EVERY round (the fill-back side); without
     # truncation each round would re-run the full edge-scan degree
@@ -83,7 +101,7 @@ def pagerank(
             edges, linked["__n"] == edges[src_col]
         ).select(
             F.col(dst_col).alias("__n"),
-            _q(F.col("__r") / F.col("__deg")).alias("__c"),
+            (_q(F.col("__r") / F.col("__deg")) * wexpr).alias("__c"),
         )
         summed = contribs.groupBy("__n").agg(F.sum("__c").alias("__s"))
         dangling = ranks.filter(F.col("__deg").isNull()).agg(
@@ -108,7 +126,13 @@ def pagerank(
                 "__deg",
             )
         )
-        if (i + 1) % int(checkpoint_every) == 0 and (i + 1) < n_iters:
+        # checkpoint_every <= 0 disables intra-loop truncation (fine
+        # for small n_iters; lineage doubles per round otherwise)
+        if (
+            int(checkpoint_every) > 0
+            and (i + 1) % int(checkpoint_every) == 0
+            and (i + 1) < n_iters
+        ):
             ranks = ranks.localCheckpoint(eager=True)
     return ranks.select(
         F.col("__n").alias(node_col), F.col("__r").alias("rank")

@@ -134,7 +134,13 @@ def write_training_shards(
     ~corpus/n_shards slice."""
     sharded = training_shards(df, id_col, n_shards=n_shards, salt=salt)
     writer = (
-        sharded.repartition(int(n_shards), F.col("shard"))
+        # repartitionByRange, NOT hash repartition: hashing k shard
+        # values into k partitions collides near-certainly (some
+        # writers get 2-3 shards, others none); range partitioning on
+        # the dense 0..n_shards-1 key gives the documented 1:1
+        # shard-to-writer layout (same choice as
+        # add_surrogate_key_distributed above)
+        sharded.repartitionByRange(int(n_shards), F.col("shard"))
         .sortWithinPartitions("shard", "pos")
         .write.mode("overwrite")
         .partitionBy("shard")

@@ -32,17 +32,33 @@ def _c(col: Column | str) -> Column:
 
 
 def cms_bucket(term: Column | str, row: int, width: int, salt: str) -> Column:
-    """Bucket of ``term`` in hash row ``row``: portable md5-60 of
-    ``'{salt}|{row}|' + term``, mod ``width``. The md5-60 value is
-    non-negative, so plain ``%`` agrees between engines."""
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit(f"{salt}|{row}|"), _c(term))), 1, 15
-        ),
-        16,
-        10,
-    ).cast("bigint")
+    """Bucket of ``term`` in hash row ``row``: the repo-wide portable
+    hash (``dedup.md5_60bit`` — the SAME construction every oracle
+    replays) over ``'{salt}|{row}|' + term``, mod ``width``. The
+    md5-60 value is non-negative, so plain ``%`` agrees between
+    engines."""
+    from lsdm_motogp_data_integration_spark.operators.dedup import (
+        md5_60bit,
+    )
+
+    h = md5_60bit(F.concat(F.lit(f"{salt}|{row}|"), _c(term)))
     return (h % F.lit(int(width))).cast("int")
+
+
+def _fanout(term: Column, depth: int, width: int, salt: str) -> Column:
+    """The depth-way (row, bucket) explode shared by build and probe —
+    ONE definition so the two sides can never disagree on the grid."""
+    return F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("row"),
+                    cms_bucket(term, j, width, salt).alias("bucket"),
+                )
+                for j in range(int(depth))
+            ]
+        )
+    )
 
 
 def count_min_sketch(
@@ -66,17 +82,7 @@ def count_min_sketch(
     and broadcastable by construction."""
     t = _c(term_col)
     w = _c(weight_col) if weight_col else F.lit(1)
-    fan = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(j).alias("row"),
-                    cms_bucket(t, j, width, salt).alias("bucket"),
-                )
-                for j in range(int(depth))
-            ]
-        )
-    )
+    fan = _fanout(t, depth, width, salt)
     return (
         tokens.select(fan.alias("rb"), w.cast("bigint").alias("__w"))
         .groupBy(F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
@@ -93,9 +99,13 @@ def cms_estimate(
     depth: int = 4,
     salt: str = "cms",
 ) -> DataFrame:
-    """Point estimates for every row of ``probes``: adds ``est``
-    (bigint, the min over the sketch's ``depth`` counters — 0 when a
-    bucket is empty, i.e. the term was never seen).
+    """Point estimates for every DISTINCT row of ``probes``: adds
+    ``est`` (bigint, the min over the sketch's ``depth`` counters — 0
+    when a bucket is empty, i.e. the term was never seen). Duplicate
+    probe rows collapse to one output row (the estimate is a function
+    of the row's values); probe column names are free — the sketch's
+    internal ``row``/``bucket``/``cnt`` columns are renamed before the
+    join so they can't collide with probe columns.
 
     ``width``/``depth``/``salt`` must match the build call. The sketch
     side is broadcast (≤ depth·width rows by construction), so probing
@@ -104,24 +114,22 @@ def cms_estimate(
     corpus frequency estimate."""
     t = _c(term_col)
     ex = probes.select(
+        "*", _fanout(t, depth, width, salt).alias("__rb")
+    ).select(
         "*",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("row"),
-                        cms_bucket(t, j, width, salt).alias("bucket"),
-                    )
-                    for j in range(int(depth))
-                ]
-            )
-        ).alias("rb"),
-    ).select("*", F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
-    joined = ex.join(F.broadcast(sketch), ["row", "bucket"], "left")
-    keys = [c for c in probes.columns]
+        F.col("__rb.row").alias("__row"),
+        F.col("__rb.bucket").alias("__bucket"),
+    )
+    sk = sketch.select(
+        F.col("row").alias("__row"),
+        F.col("bucket").alias("__bucket"),
+        F.col("cnt").alias("__cnt"),
+    )
+    joined = ex.join(F.broadcast(sk), ["__row", "__bucket"], "left")
+    keys = list(probes.columns)
     return (
         joined.groupBy(*keys)
-        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+        .agg(F.min(F.coalesce(F.col("__cnt"), F.lit(0))).alias("est"))
     )
 
 

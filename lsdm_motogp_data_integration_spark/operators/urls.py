@@ -18,7 +18,10 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*)://"
+#: The absolute-URL scheme grammar — PUBLIC because consumers (e.g.
+#: pipelines/webgraph's absolute-link filter) must use the SAME
+#: grammar as normalize_url's pass-through contract.
+SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*)://"
 
 
 def _c(col: Column | str) -> Column:
@@ -48,7 +51,7 @@ def normalize_url(
     otherwise untouched (relative URLs have no canonical absolute
     form without a base)."""
     t = F.trim(_c(col))
-    has_scheme = t.rlike(_SCHEME_RE)
+    has_scheme = t.rlike(SCHEME_RE)
     nofrag = F.regexp_replace(t, r"#.*$", "")
     base = F.regexp_extract(nofrag, r"^([^?]*)", 1)
     query = F.regexp_extract(nofrag, r"\?(.*)$", 1)
@@ -57,8 +60,8 @@ def normalize_url(
         lambda x: (x != "") & (~x.startswith(strip_param_prefix)),
     )
     q2 = F.array_join(F.array_sort(kept), "&")
-    scheme = F.lower(F.regexp_extract(base, _SCHEME_RE, 1))
-    rest = F.regexp_replace(base, _SCHEME_RE, "")
+    scheme = F.lower(F.regexp_extract(base, SCHEME_RE, 1))
+    rest = F.regexp_replace(base, SCHEME_RE, "")
     host = F.lower(F.regexp_extract(rest, r"^([^/]*)", 1))
     if strip_www:
         host = F.regexp_replace(host, r"^www\.", "")
@@ -81,9 +84,9 @@ def normalize_url(
 def url_host(col: Column | str) -> Column:
     """Lowercased host (with port if present) of an absolute URL;
     empty string when there is no ``scheme://``."""
-    rest = F.regexp_replace(F.trim(_c(col)), _SCHEME_RE, "")
+    rest = F.regexp_replace(F.trim(_c(col)), SCHEME_RE, "")
     return F.when(
-        F.trim(_c(col)).rlike(_SCHEME_RE),
+        F.trim(_c(col)).rlike(SCHEME_RE),
         F.lower(F.regexp_extract(rest, r"^([^/?#]*)", 1)),
     ).otherwise(F.lit(""))
 

@@ -33,6 +33,7 @@ from lsdm_motogp_data_integration_spark.operators.textops import (
     strip_html,
 )
 from lsdm_motogp_data_integration_spark.operators.urls import (
+    SCHEME_RE,
     normalize_url,
     url_host,
 )
@@ -50,7 +51,8 @@ def parse_pages(
             html_links(F.col(html_col)),
             lambda u: normalize_url(u),
         ),
-        lambda u: u.rlike("^[A-Za-z][A-Za-z0-9+.\\-]*://"),
+        # the SAME grammar normalize_url's pass-through contract uses
+        lambda u: u.rlike(SCHEME_RE),
     )
     return pages.select(
         normalize_url(F.col(url_col)).alias("canonical_url"),
@@ -92,7 +94,13 @@ def host_graph(deduped: DataFrame) -> DataFrame:
         F.explode("outlinks").alias("link"),
     ).select("src", url_host(F.col("link")).alias("dst"))
     return (
-        e.filter((F.col("src") != F.col("dst")) & (F.col("dst") != ""))
+        e.filter(
+            (F.col("src") != F.col("dst"))
+            & (F.col("dst") != "")
+            # schemeless canonical URLs have no host — dropping only
+            # the dst side would keep asymmetric ''-source edges
+            & (F.col("src") != "")
+        )
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("weight"))
     )
@@ -103,10 +111,10 @@ def host_ranks(
 ) -> DataFrame:
     """PageRank over the host graph. Nodes = every host that appears
     as a page's own host OR as a link target (so pure sinks keep their
-    rank). Parallel-edge multiplicity is preserved by re-expanding the
-    weight into degree shares — ``pagerank`` counts edge rows, so an
-    edge with weight w contributes w/deg of the source's rank, exactly
-    the weighted-PageRank semantics."""
+    rank). Parallel-edge multiplicity flows through ``pagerank``'s
+    ``weight_col`` — an edge of weight w contributes ``w/Σw`` of its
+    source's rank (bit-identical to exploding w parallel rows, at
+    O(distinct host pairs) per iteration)."""
     edges = host_graph(deduped)
     nodes = (
         deduped.select(url_host(F.col("canonical_url")).alias("host"))
@@ -114,19 +122,13 @@ def host_ranks(
         .filter(F.col("host") != "")
         .distinct()
     )
-    expanded = edges.select(
-        "src",
-        "dst",
-        F.explode(
-            F.sequence(F.lit(1), F.col("weight").cast("int"))
-        ).alias("__i"),
-    ).select("src", "dst")
     return pagerank(
         nodes,
-        expanded,
+        edges,
         node_col="host",
         src_col="src",
         dst_col="dst",
         n_iters=n_iters,
         damping=damping,
+        weight_col="weight",
     )

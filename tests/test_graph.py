@@ -80,3 +80,36 @@ def test_pagerank_deterministic_across_runs(spark):
     ja = {r["id"]: r["rank"] for r in a.collect()}
     jb = {r["id"]: r["rank"] for r in b.collect()}
     assert ja == jb
+
+
+def test_pagerank_weighted_equals_exploded(spark):
+    """weight_col must be BIT-IDENTICAL to exploding each edge into
+    weight parallel rows (the quantized per-copy contribution just
+    multiplies)."""
+    n = 12
+    weighted = spark.createDataFrame(
+        [(i, (i + 1) % n, (i % 3) + 1) for i in range(n)],
+        "src bigint, dst bigint, w bigint",
+    )
+    exploded = weighted.select(
+        "src",
+        "dst",
+        F.explode(F.sequence(F.lit(1), F.col("w").cast("int"))).alias("i"),
+    ).select("src", "dst")
+    a = pagerank(
+        _nodes(spark, range(n)), weighted, n_iters=5, weight_col="w"
+    )
+    b = pagerank(_nodes(spark, range(n)), exploded, n_iters=5)
+    ja = {r["id"]: r["rank"] for r in a.collect()}
+    jb = {r["id"]: r["rank"] for r in b.collect()}
+    assert ja == jb
+
+
+def test_pagerank_open_graph_leaks_mass_as_documented(spark):
+    """Edges pointing outside the node universe leak their share —
+    total rank drops below 1 (the documented contract, not a bug)."""
+    n = 4
+    edges = _edges(spark, [(0, 1), (1, 99), (2, 3), (3, 0)])
+    pr = pagerank(_nodes(spark, range(n)), edges, n_iters=3)
+    total = pr.agg(F.sum("rank")).first()[0]
+    assert total < 1.0 - 1e-6

@@ -337,13 +337,21 @@ def main() -> None:
         )
         # PageRank: 3 modular out-edges per doc, 5 iterations — per-
         # round cost is one edge join + one dst aggregate, so time
-        # must track edge count linearly
+        # must track edge count linearly. Edges stay CLOSED within
+        # each replica's doc_id block (base corpus is 5000 docs per
+        # 1M-offset block) — an open graph would silently leak rank
+        # mass (documented pagerank contract) and under-exercise the
+        # fill-back join
+        n_base = read_table(spark, SF_DIR, "documents").count()
         nodes = docs.select("doc_id")
         pedges = None
         for k in (1, 2, 3):
             ek = nodes.select(
                 F.col("doc_id").alias("src"),
-                ((F.col("doc_id") * k + k) % F.lit(500_000)).alias("dst"),
+                (
+                    F.floor(F.col("doc_id") / 1_000_000) * 1_000_000
+                    + ((F.col("doc_id") * k + k) % F.lit(n_base))
+                ).cast("bigint").alias("dst"),
             )
             pedges = ek if pedges is None else pedges.unionByName(ek)
         r["pagerank_s"], _ = timed(
