@@ -1178,7 +1178,12 @@ def q39_file_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
     back — and ``parquet`` — customer written as snappy parquet and
     read back; both aggregate decimal-exactly after the round trip, so
     type fidelity (DECIMAL survives ORC/parquet logical types intact)
-    is what the oracle hash checks, not just row counts."""
+    is what the oracle hash checks, not just row counts. This round
+    adds ``text`` — the line-oriented reader/writer raw corpora ship
+    as (one document per line): documents written with ``write.text``
+    and read back with ``read.text``, aggregated by line-length
+    bucket so any line split/merge/truncation on the round trip
+    fails the hash."""
     import tempfile
 
     from pyspark.sql import types as T
@@ -1281,10 +1286,32 @@ def q39_file_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
             "val_num",
         )
     )
+    d = read_table(spark, sf_dir, "documents").select("text")
+    tmp_txt = tempfile.mkdtemp(prefix="text_roundtrip_")
+    d.coalesce(1).write.mode("overwrite").text(tmp_txt)
+    text_side = (
+        spark.read.text(tmp_txt)
+        .groupBy((F.length("value") % 10).cast("bigint").alias("group_key"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("value").alias("val_str"),
+            F.sum(F.length("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("val_num"),
+        )
+        .select(
+            F.lit("text").alias("fmt"),
+            "group_key",
+            "n_rows",
+            "val_str",
+            "val_num",
+        )
+    )
     return (
         csv_side.unionByName(json_side)
         .unionByName(orc_side)
         .unionByName(parquet_side)
+        .unionByName(text_side)
     )
 
 
@@ -4451,6 +4478,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
                        AS val_num
             FROM customer GROUP BY c_nationkey
+            UNION ALL
+            SELECT 'text' AS fmt,
+                   CAST(length(text) % 10 AS BIGINT) AS group_key,
+                   COUNT(*) AS n_rows,
+                   MIN(text) AS val_str,
+                   CAST(SUM(CAST(length(text) AS DECIMAL(18,6))) AS DOUBLE)
+                       AS val_num
+            FROM documents GROUP BY length(text) % 10
         """,
         "q40_streaming_suite": """
             SELECT 'windowed' AS scope,

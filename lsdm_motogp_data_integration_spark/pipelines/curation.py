@@ -39,6 +39,7 @@ from lsdm_motogp_data_integration_spark.operators.textops import (
     quality_score,
     redact_pii,
     stratified_sample,
+    strip_html,
     token_count,
 )
 
@@ -48,6 +49,7 @@ def curate(
     *,
     text_col: str = "text",
     id_col: str = "doc_id",
+    html: bool = False,
     keep_langs: tuple[str, ...] = ("en",),
     min_quality: float = 0.3,
     min_distinct_ratio: float = 0.2,
@@ -70,7 +72,15 @@ def curate(
       with the holdout is dropped — the conservative screen)
     - ``packed``    — per-source sequence assignments (seq_id/offset)
     - ``train`` / ``val`` — deterministic hash split of ``packed``
+
+    ``html=True`` prepends the C4-style extraction stage
+    (``textops.strip_html``): pass raw page markup in ``text_col``
+    and every downstream screen operates on the extracted visible
+    text — the crawl-to-corpus entry point. Per-row Column work; adds
+    no shuffle and fuses into the screen stage's scan.
     """
+    if html:
+        docs = docs.withColumn(text_col, strip_html(text_col))
     text = F.col(text_col)
 
     words = F.split(

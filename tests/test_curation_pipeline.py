@@ -184,3 +184,34 @@ def test_curate_line_dedup_stage(spark):
         if i != first:
             assert footer not in t
             assert f"variant number {i}" in t
+
+
+def test_curate_html_stage_equals_prestripped(spark, sf_dir):
+    """curate(html=True) on markup-wrapped docs must produce the same
+    screened/deduped sets as curate() on the pre-extracted text."""
+    from pyspark.sql import functions as F
+
+    from lsdm_motogp_data_integration_spark.pipelines.curation import curate
+
+    from lsdm_motogp_data_integration_spark.sources import read_table
+
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    ).limit(120)
+    wrapped = d.withColumn(
+        "text",
+        F.concat(
+            F.lit("<html><body><script>x()</script><p>"),
+            F.col("text"),
+            F.lit(" &amp; tail</p></body></html>"),
+        ),
+    )
+    plain = d.withColumn(
+        "text", F.concat(F.col("text"), F.lit(" & tail"))
+    )
+    a = curate(wrapped, html=True)
+    b = curate(plain)
+    ids_a = {r["doc_id"] for r in a["deduped"].select("doc_id").collect()}
+    ids_b = {r["doc_id"] for r in b["deduped"].select("doc_id").collect()}
+    assert ids_a == ids_b
+    assert ids_a  # the screen keeps something — not vacuous
