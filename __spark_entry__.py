@@ -2175,8 +2175,22 @@ def q53_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q55_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INTERSECT / EXCEPT (§2.7 — the reference has neither): customer
-    keys that do / do not appear as event users, tagged."""
+    """Set-operation suite (tagged by ``which``):
+
+    - ``both`` / ``customer_only``: INTERSECT / EXCEPT (§2.7 — the
+      reference has neither): customer keys that do / do not appear
+      as event users.
+    - ``diff_*`` (r3): corpus-version diffing
+      (operators/profile.corpus_diff) — a deterministic "v2" of the
+      documents corpus (every 7th-mod-3 doc removed, every 10th
+      changed, every 13th re-added under a new id) diffed against v1;
+      each id classified added/removed/changed/unchanged by digest
+      full-outer join (constant-width rows — diffing snapshots never
+      shuffles document bodies)."""
+    from lsdm_motogp_data_integration_spark.operators.profile import (
+        corpus_diff,
+    )
+
     c = read_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("key")
     )
@@ -2187,7 +2201,27 @@ def q55_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     only_c = c.exceptAll(u.distinct()).distinct().select(
         "key", F.lit("customer_only").alias("which")
     )
-    return both.unionByName(only_c)
+    old = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    new = (
+        old.filter(F.col("doc_id") % 7 != 3)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 10 == 0,
+                F.concat(F.col("text"), F.lit(" v2")),
+            ).otherwise(F.col("text")),
+        )
+        .unionByName(
+            old.filter(F.col("doc_id") % 13 == 0).select(
+                (F.col("doc_id") + 300000).alias("doc_id"), "text"
+            )
+        )
+    )
+    diff_rows = corpus_diff(old, new, "doc_id", "text").select(
+        F.col("doc_id").alias("key"),
+        F.concat(F.lit("diff_"), F.col("status")).alias("which"),
+    )
+    return both.unionByName(only_c).unionByName(diff_rows)
 
 
 def q56_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2869,6 +2903,7 @@ _SUITE_TAG_COLS: dict[str, str] = {
     "q43_statistics_suite": "scope",
     "q49_corpus_index_suite": "scope",
     "q53_source_stats": "scope",
+    "q55_set_ops": "which",
     "q57_decontamination": "scope",
     "q58_dedup_clusters": "scope",
     "q61_sequence_packing": "scope",
@@ -5491,6 +5526,27 @@ def oracle_sql() -> dict[str, str]:
                 SELECT c_custkey AS key FROM customer
                 EXCEPT
                 SELECT user_id AS key FROM events
+            )
+            UNION ALL
+            SELECT key, 'diff_' || status AS which FROM (
+                WITH oldc AS (SELECT doc_id, text FROM documents),
+                newc AS (
+                    SELECT doc_id,
+                           CASE WHEN doc_id % 10 = 0 THEN text || ' v2'
+                                ELSE text END AS text
+                    FROM documents WHERE doc_id % 7 <> 3
+                    UNION ALL
+                    SELECT doc_id + 300000, text FROM documents
+                    WHERE doc_id % 13 = 0
+                )
+                SELECT COALESCE(o.doc_id, n.doc_id) AS key,
+                       CASE WHEN o.doc_id IS NULL THEN 'added'
+                            WHEN n.doc_id IS NULL THEN 'removed'
+                            WHEN md5(o.text) = md5(n.text)
+                                 THEN 'unchanged'
+                            ELSE 'changed' END AS status
+                FROM oldc o FULL OUTER JOIN newc n
+                     ON o.doc_id = n.doc_id
             )
         """,
         "q53_source_stats": """

@@ -151,3 +151,37 @@ def profile_columns(
     return one.select(
         F.explode(F.array(*structs)).alias("p")
     ).select("p.*")
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    content_col: str,
+) -> DataFrame:
+    """Dataset-version diff — the data-card companion every corpus
+    release needs: classify each id as ``added`` / ``removed`` /
+    ``changed`` / ``unchanged`` between two corpus versions.
+
+    Scale shape: each side collapses to (id, md5 digest) BEFORE the
+    join, so the full-outer join shuffles constant-width rows
+    regardless of document size — diffing two 100 TB snapshots moves
+    O(ids × 32 bytes), not the corpora. Returns (``id_col``,
+    ``status``)."""
+    o = old.select(
+        F.col(id_col).alias("__id"),
+        F.md5(F.col(content_col)).alias("__od"),
+    )
+    n = new.select(
+        F.col(id_col).alias("__id"),
+        F.md5(F.col(content_col)).alias("__nd"),
+    )
+    status = (
+        F.when(F.col("__od").isNull(), F.lit("added"))
+        .when(F.col("__nd").isNull(), F.lit("removed"))
+        .when(F.col("__od") == F.col("__nd"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return o.join(n, "__id", "full_outer").select(
+        F.col("__id").alias(id_col), status.alias("status")
+    )

@@ -67,3 +67,42 @@ def test_url_host_and_domain(spark):
         "example.co",
     )
     assert (rows[1]["h"], rows[1]["d"]) == ("", "")
+
+
+def test_normalize_url_idempotent_over_messy_corpus(spark):
+    """normalize(normalize(u)) == normalize(u) — canonical forms are
+    fixed points, over a combinatorial corpus of messy URLs."""
+    import itertools
+
+    schemes = ["http://", "HTTPS://", ""]
+    hosts = ["Ex.com", "www.ex.com", "ex.com:443", "ex.com:8080"]
+    paths = ["", "/", "/A/b/", "/p"]
+    tails = ["", "?b=2&a=1", "?utm_x=1", "#f", "?a=1#f", "?utm_a=1&c=3"]
+    urls = [
+        "".join(parts)
+        for parts in itertools.product(schemes, hosts, paths, tails)
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    once = df.select(normalize_url(F.col("u")).alias("v"))
+    rows = once.select(
+        "v", normalize_url(F.col("v")).alias("vv")
+    ).collect()
+    bad = [(r["v"], r["vv"]) for r in rows if r["v"] != r["vv"]]
+    assert not bad, bad[:5]
+
+
+def test_corpus_diff_statuses(spark):
+    from lsdm_motogp_data_integration_spark.operators.profile import (
+        corpus_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id bigint, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B2"), (4, "d")], "id bigint, text string"
+    )
+    got = {r["id"]: r["status"] for r in corpus_diff(
+        old, new, "id", "text"
+    ).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
