@@ -406,3 +406,61 @@ def streaming_neardup_ingest(
         .start()
     )
     q.awaitTermination()
+
+
+def streaming_cms_ingest(
+    doc_stream: DataFrame,
+    *,
+    sketch_dir: str,
+    checkpoint_dir: str,
+    term_col: str = "term",
+    width: int = 1024,
+    depth: int = 4,
+    salt: str = "cms",
+) -> None:
+    """Continuously-maintained count-min sketch: each micro-batch's
+    token stream is sketched (``sketches.count_min_sketch`` — one
+    constant-key-space aggregate) and the partial lands in
+    ``sketch_dir/batch_id=N``. The live corpus-wide sketch is the
+    counter-addition merge of all partials (``read_cms_sketch``) —
+    the CMS merge property, so readers never rescan token history.
+
+    Exactly-once without a transactional store (same contract as
+    ``streaming_neardup_ingest``): the per-batch directory overwrite
+    is DETERMINISTIC content, so a replayed batch rewrites
+    byte-identical counters instead of double-counting. State scale:
+    ≤ depth × width rows per batch regardless of batch size; compact
+    by re-summing old partials into one directory offline if batch
+    count grows unbounded.
+
+    Drains the available input (availableNow trigger) and returns."""
+    from lsdm_motogp_data_integration_spark.operators.sketches import (
+        count_min_sketch,
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        count_min_sketch(
+            batch_df, term_col, width=width, depth=depth, salt=salt
+        ).write.mode("overwrite").parquet(
+            f"{sketch_dir}/batch_id={batch_id}"
+        )
+
+    q = (
+        doc_stream.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_cms_sketch(spark, sketch_dir: str) -> DataFrame:
+    """The live merged sketch: counter addition across every per-batch
+    partial — ≤ depth × width result rows however many batches have
+    landed."""
+    return (
+        spark.read.parquet(sketch_dir)
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )

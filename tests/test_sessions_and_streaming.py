@@ -355,3 +355,60 @@ def test_gapfill_hourly_dense_axis_and_locf(spark):
         assert gap["sum_value_ff"] == 5.0  # carried from 10:00
     assert out[("A", 13)]["sum_value_ff"] == 7.0
     assert out[("B", 22)]["n_events"] == 1
+
+
+def test_streaming_cms_ingest_matches_batch_and_is_idempotent(
+    spark, tmp_path_factory
+):
+    """Per-batch sketch partials must merge (counter addition) to the
+    batch-mode sketch of the full token stream, and re-draining with
+    the same checkpoint must not double-count."""
+    from pyspark.sql import types as T
+
+    from lsdm_motogp_data_integration_spark.operators.sketches import (
+        count_min_sketch,
+    )
+    from lsdm_motogp_data_integration_spark.streaming import (
+        read_cms_sketch,
+        streaming_cms_ingest,
+    )
+
+    schema = T.StructType([T.StructField("term", T.StringType())])
+    b1 = [("spark",)] * 5 + [("shuffle",)] * 2
+    b2 = [("spark",)] * 3 + [("window",)] * 4
+    src = str(tmp_path_factory.mktemp("termstream"))
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{src}/f1")
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{src}/f2")
+
+    sketch_dir = str(tmp_path_factory.mktemp("cms_sketch"))
+    ckpt = str(tmp_path_factory.mktemp("cms_ckpt"))
+
+    def drain():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+        streaming_cms_ingest(
+            stream, sketch_dir=sketch_dir, checkpoint_dir=ckpt,
+            width=64, depth=3,
+        )
+
+    drain()
+    merged = read_cms_sketch(spark, sketch_dir)
+    whole = count_min_sketch(
+        spark.createDataFrame(b1 + b2, schema), "term", width=64, depth=3
+    )
+    sym = merged.exceptAll(whole).count() + whole.exceptAll(merged).count()
+    assert sym == 0
+
+    # idempotence: draining again (no new files) changes nothing
+    drain()
+    again = read_cms_sketch(spark, sketch_dir)
+    sym2 = again.exceptAll(whole).count() + whole.exceptAll(again).count()
+    assert sym2 == 0
