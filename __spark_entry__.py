@@ -2274,9 +2274,19 @@ def q57_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The oracle computes the exact overlap once per scope tag — a Bloom
     false NEGATIVE (which the screen guarantees cannot happen) or an
-    unremoved false positive would break the hash."""
+    unremoved false positive would break the hash.
+
+    - ``semantic`` (r3): embedding-space decontamination
+      (membership.semantic_decontaminate) — train vectors with cosine
+      ≥ 0.99 to ANY holdout vector (holdout = exact copies of every
+      20th embedding + a 0.35-shifted variant of every 30th), hit
+      counts in ``n_shared_grams``. Broadcast-exact screen (the
+      ann-exact-baseline pattern); the oracle recomputes every
+      straddling cosine with ``list_cosine_similarity`` at the 6dp
+      convention."""
     from lsdm_motogp_data_integration_spark.operators.membership import (
         ngram_decontaminate,
+        semantic_decontaminate,
         word_gram_relation,
     )
 
@@ -2293,10 +2303,30 @@ def q57_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     bloom = ngram_decontaminate(
         train, eval_set, n=8, method="bloom", train_grams=tg, eval_grams=eg
     )
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    hold = emb.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 500000).alias("vec_id"), "embedding"
+    ).unionByName(
+        emb.filter(F.col("vec_id") % 30 == 0).select(
+            (F.col("vec_id") + 600000).alias("vec_id"),
+            F.transform(
+                F.col("embedding"), lambda x: x.cast("double") + F.lit(0.35)
+            ).alias("embedding"),
+        )
+    )
+    semantic = semantic_decontaminate(
+        emb, hold, "embedding", "vec_id", threshold=0.99
+    ).select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("n_sem_hits").alias("n_shared_grams"),
+    )
     out = _suite_union(
         [("doc_id", "bigint"), ("n_shared_grams", "bigint")],
         ("exact", exact),
         ("bloom", bloom),
+        ("semantic", semantic),
     )
     # the suite result is O(contaminated docs) — checkpoint it eagerly
     # and RELEASE the gram caches (the largest of the registry: the
@@ -5501,6 +5531,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT s.scope, o.doc_id, o.n_shared_grams
             FROM overlap o
             CROSS JOIN (SELECT unnest(['exact', 'bloom']) AS scope) s
+            UNION ALL
+            SELECT 'semantic' AS scope, t.vec_id AS doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_shared_grams
+            FROM embeddings t
+            JOIN (
+                SELECT CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings WHERE vec_id % 20 = 0
+                UNION ALL
+                SELECT list_transform(CAST(embedding AS DOUBLE[]),
+                                      x -> x + 0.35)
+                FROM embeddings WHERE vec_id % 30 = 0
+            ) h ON round(list_cosine_similarity(
+                       CAST(t.embedding AS DOUBLE[]), h.v), 6) >= 0.99
+            GROUP BY t.vec_id
         """,
         "q56_range_join": """
             WITH errors AS (

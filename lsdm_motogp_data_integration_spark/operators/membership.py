@@ -287,3 +287,58 @@ def ngram_decontaminate(
             out = out.localCheckpoint(eager=True)
             owned_cache.unpersist(blocking=False)
     return out
+
+
+def semantic_decontaminate(
+    train: DataFrame,
+    holdout: DataFrame,
+    vec_col: str,
+    id_col: str,
+    *,
+    threshold: float = 0.99,
+) -> DataFrame:
+    """Embedding-space decontamination — the semantic sibling of the
+    n-gram screen: flag training rows whose embedding has cosine ≥
+    ``threshold`` to ANY held-out embedding (paraphrased benchmark
+    leakage that n-gram overlap misses). Returns ``(id_col,
+    n_sem_hits)`` for flagged rows only — compose with a left-anti
+    join to drop them.
+
+    Scale shape: eval benchmarks are small, so the holdout side is
+    BROADCAST and the screen is one pass over train with an in-memory
+    inner loop — the same exact-broadcast-baseline pattern as
+    ``ann.cosine_topk``. Norms are precomputed per row on both sides
+    (never per pair); the cosine is rounded to 6dp before the
+    threshold compare, the repo's cross-engine float convention. For
+    a holdout too big to broadcast, use the hyperplane-bucketed
+    ``dedup.embedding_neardup_pairs`` machinery instead."""
+    from lsdm_motogp_data_integration_spark.operators.dedup import (
+        norm_expr,
+    )
+
+    t = train.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("__id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
+            "__tv"
+        ),
+        norm_expr(F.col(vec_col)).alias("__tn"),
+    )
+    h = holdout.filter(F.col(vec_col).isNotNull()).select(
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
+            "__hv"
+        ),
+        norm_expr(F.col(vec_col)).alias("__hn"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("__tv"), F.col("__hv"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = F.round(dot / (F.col("__tn") * F.col("__hn")), 6)
+    return (
+        t.crossJoin(F.broadcast(h))
+        .filter(cos >= F.lit(float(threshold)))
+        .groupBy("__id")
+        .agg(F.count(F.lit(1)).alias("n_sem_hits"))
+        .select(F.col("__id").alias(id_col), "n_sem_hits")
+    )

@@ -192,3 +192,35 @@ def test_screen_bloom_join_path_equals_literal_path(spark):
     )
     assert lit_rows == join_rows
     assert len(lit_rows) >= 2000  # all true members survive
+
+
+def test_semantic_decontaminate_flags_copies_not_strangers(spark):
+    """An exact-copy holdout vector flags its training source (cosine
+    1.0); an orthogonal vector flags nothing; hit counts accumulate."""
+    from lsdm_motogp_data_integration_spark.operators.membership import (
+        semantic_decontaminate,
+    )
+
+    train = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.0, 1.0, 0.0]),
+            (3, [0.0, 0.0, 1.0]),
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    hold = spark.createDataFrame(
+        [
+            (10, [2.0, 0.0, 0.0]),   # scaled copy of 1 -> cosine 1.0
+            (11, [1.0, 0.0, 0.0]),   # exact copy of 1 -> second hit
+            (12, [0.7, 0.7, 0.0]),   # 45° from 1 and 2 -> no hit at 0.99
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: r["n_sem_hits"]
+        for r in semantic_decontaminate(
+            train, hold, "embedding", "vec_id", threshold=0.99
+        ).collect()
+    }
+    assert got == {1: 2}

@@ -244,6 +244,9 @@ def test_no_accidental_cartesian_across_registry(spark, sf_dir):
         # pagerank's per-iteration dangling-mass scalar — a 1-row
         # aggregate crossJoin(broadcast(...)), O(1) rows per round
         "q58_dedup_clusters",
+        # semantic_decontaminate's broadcast-exact holdout screen —
+        # the ann-exact-baseline pattern (small eval side broadcast)
+        "q57_decontamination",
     }
     skip = {
         "q40_streaming_suite",
