@@ -2697,9 +2697,21 @@ def q64_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrdered: per-partition top-k, then a k-sized merge on the
     driver) — NOT a single-reducer global window; row_number runs only
     over the 100 surviving rows, the same scale shape as
-    textops.corpus_ngram_stats' top_k path."""
+    textops.corpus_ngram_stats' top_k path.
+
+    - ``hybrid`` (r3): hybrid text+vector retrieval — the BM25 top-20
+      fused with the cosine top-20 (each document's embedding scored
+      against the vec_id-0 query vector, 6dp convention; doc_id ↔
+      vec_id is the corpus correspondence) via reciprocal-rank fusion
+      (ranking.rrf_fuse, k=60, integer-quantized contributions).
+      Fused top-10 with ``rrf`` score and rank — ``rk`` restarts per
+      scope."""
+    from lsdm_motogp_data_integration_spark.operators.dedup import (
+        norm_expr,
+    )
     from lsdm_motogp_data_integration_spark.operators.ranking import (
         bm25_scores,
+        rrf_fuse,
     )
 
     d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -2710,7 +2722,62 @@ def q64_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bm25").desc(), F.col("doc_id").asc()
     ).limit(100)
     w = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
-    return top.withColumn("rk", F.row_number().over(w).cast("bigint"))
+    bm25_rows = top.withColumn(
+        "rk", F.row_number().over(w).cast("bigint")
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    qvec = emb.filter(F.col("vec_id") == 0).select(
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "__qv"
+        ),
+        norm_expr(F.col("embedding")).alias("__qn"),
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.transform(F.col("embedding"), lambda x: x.cast("double")),
+            F.col("__qv"),
+            lambda a, b: a * b,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = F.round(
+        dot / (norm_expr(F.col("embedding")) * F.col("__qn")), 6
+    )
+    vec_top = (
+        emb.crossJoin(F.broadcast(qvec))
+        .select(F.col("vec_id").alias("doc_id"), cos.alias("__cos"))
+        .orderBy(F.col("__cos").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+    wv = Window.orderBy(F.col("__cos").desc(), F.col("doc_id").asc())
+    vec_ranked = vec_top.withColumn(
+        "rank", F.row_number().over(wv).cast("bigint")
+    ).select("doc_id", "rank")
+    text_ranked = bm25_rows.filter(F.col("rk") <= 20).select(
+        "doc_id", F.col("rk").alias("rank")
+    )
+    fused = rrf_fuse([text_ranked, vec_ranked], "doc_id", k=60)
+    wf = Window.orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
+    hybrid_rows = (
+        fused.orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
+        .limit(10)
+        .withColumn("rk", F.row_number().over(wf).cast("bigint"))
+    )
+    return _suite_union(
+        [
+            ("doc_id", "bigint"),
+            ("bm25", "double"),
+            ("n_terms_hit", "bigint"),
+            ("rk", "bigint"),
+            ("rrf", "double"),
+        ],
+        ("bm25", bm25_rows),
+        ("hybrid", hybrid_rows),
+    )
 
 
 def q65_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2941,6 +3008,7 @@ _SUITE_TAG_COLS: dict[str, str] = {
     "q65_quality_classifier": "scope",
     "q66_mixture_sample": "scope",
     "q63_boilerplate_lines": "scope",
+    "q64_bm25": "scope",
     "q67_span_dedup": "scope",
     "q69_embedding_quantize": "scope",
 }
@@ -5187,11 +5255,54 @@ def oracle_sql() -> dict[str, str]:
                        COUNT(*) AS n_terms_hit
                 FROM scored GROUP BY doc_id
             )
-            SELECT doc_id, bm25, n_terms_hit,
-                   ROW_NUMBER() OVER (
-                       ORDER BY bm25 DESC, doc_id ASC) AS rk
-            FROM agg
-            ORDER BY bm25 DESC, doc_id ASC LIMIT 100
+            , btop AS (
+                SELECT doc_id, bm25, n_terms_hit,
+                       ROW_NUMBER() OVER (
+                           ORDER BY bm25 DESC, doc_id ASC) AS rk
+                FROM agg
+                ORDER BY bm25 DESC, doc_id ASC LIMIT 100
+            ), qv AS (
+                SELECT CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings WHERE vec_id = 0
+            ), vtop AS (
+                SELECT vec_id AS doc_id,
+                       ROW_NUMBER() OVER (ORDER BY c DESC, vec_id ASC)
+                           AS rank
+                FROM (
+                    SELECT e.vec_id,
+                           round(list_cosine_similarity(
+                               CAST(e.embedding AS DOUBLE[]), qv.v), 6)
+                               AS c
+                    FROM embeddings e CROSS JOIN qv
+                )
+                ORDER BY c DESC, vec_id ASC LIMIT 20
+            ), contribs AS (
+                SELECT doc_id,
+                       CAST(floor(1e15 / (60.0 + rk)) AS BIGINT) AS c
+                FROM btop WHERE rk <= 20
+                UNION ALL
+                SELECT doc_id,
+                       CAST(floor(1e15 / (60.0 + rank)) AS BIGINT) AS c
+                FROM vtop
+            ), fused AS (
+                SELECT doc_id,
+                       CAST(SUM(c) AS DOUBLE) / 1e15 AS rrf
+                FROM contribs GROUP BY doc_id
+            ), htop AS (
+                SELECT doc_id, rrf,
+                       ROW_NUMBER() OVER (
+                           ORDER BY rrf DESC, doc_id ASC) AS rk
+                FROM fused
+                ORDER BY rrf DESC, doc_id ASC LIMIT 10
+            )
+            SELECT 'bm25' AS scope, doc_id, bm25, n_terms_hit,
+                   CAST(rk AS BIGINT) AS rk, CAST(NULL AS DOUBLE) AS rrf
+            FROM btop
+            UNION ALL
+            SELECT 'hybrid' AS scope, doc_id,
+                   CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT),
+                   CAST(rk AS BIGINT), rrf
+            FROM htop
         """,
         "q65_quality_classifier": f"""
             WITH {_logit_train_ctes(5, 256, 1.0)},

@@ -99,3 +99,47 @@ def bm25_scores(
             F.count(F.lit(1)).cast("bigint").alias("n_terms_hit"),
         )
     )
+
+
+def rrf_fuse(
+    rankings: Sequence[DataFrame],
+    id_col: str = "doc_id",
+    *,
+    k: int = 60,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009): fuse N retriever
+    rankings into one score ``Σ 1/(k + rank_i)`` — the standard hybrid
+    text+vector retrieval combiner (items missing from a list simply
+    contribute nothing). Returns ``(id_col, rrf double)``.
+
+    Scale shape: a union of the (already tiny — top-k per retriever)
+    rank lists and ONE id-keyed aggregate; nothing touches the
+    corpora. Per-list contributions are integer-quantized
+    (``floor(1e15/(k+rank))`` → BIGINT) before the sum, so the fused
+    score is bit-identical regardless of how many lists fuse or which
+    order the partial sums reduce in — same convention as
+    operators/graph.pagerank."""
+    parts = []
+    for r in rankings:
+        parts.append(
+            r.select(
+                F.col(id_col).alias("__id"),
+                F.floor(
+                    F.lit(1e15)
+                    / (F.lit(float(k)) + F.col(rank_col).cast("double"))
+                )
+                .cast("bigint")
+                .alias("__c"),
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return (
+        u.groupBy("__id")
+        .agg(
+            (F.sum("__c").cast("double") / F.lit(1e15)).alias("rrf")
+        )
+        .select(F.col("__id").alias(id_col), "rrf")
+    )

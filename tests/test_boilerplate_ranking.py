@@ -126,3 +126,36 @@ def test_dedup_lines_keep_first_global_rule(spark):
     assert {k: v["text"] for k, v in out.items()} == {
         k: v["text"] for k, v in again.items()
     }
+
+
+def test_rrf_fuse_hand_computed(spark):
+    """Fused score matches Σ floor(1e15/(k+rank))/1e15 by hand; an id
+    in both lists outranks an id in one."""
+    from lsdm_motogp_data_integration_spark.operators.ranking import (
+        rrf_fuse,
+    )
+
+    a = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3)], "doc_id bigint, rank bigint"
+    )
+    b = spark.createDataFrame(
+        [(2, 1), (4, 2)], "doc_id bigint, rank bigint"
+    )
+    got = {
+        r["doc_id"]: r["rrf"]
+        for r in rrf_fuse([a, b], "doc_id", k=60).collect()
+    }
+
+    def h(*ranks):
+        import math
+
+        return sum(math.floor(1e15 / (60.0 + r)) for r in ranks) / 1e15
+
+    assert got == {
+        1: h(1),
+        2: h(2, 1),
+        3: h(3),
+        4: h(2),
+    }
+    # doc 2 (in both) beats doc 1 (rank-1 in one list only)
+    assert got[2] > got[1]
