@@ -2706,8 +2706,8 @@ def q64_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
       (ranking.rrf_fuse, k=60, integer-quantized contributions).
       Fused top-10 with ``rrf`` score and rank — ``rk`` restarts per
       scope."""
-    from lsdm_motogp_data_integration_spark.operators.dedup import (
-        norm_expr,
+    from lsdm_motogp_data_integration_spark.operators.ann import (
+        cosine_topk,
     )
     from lsdm_motogp_data_integration_spark.operators.ranking import (
         bm25_scores,
@@ -2722,41 +2722,26 @@ def q64_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bm25").desc(), F.col("doc_id").asc()
     ).limit(100)
     w = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    # 100 rows, consumed by BOTH the bm25 branch and the hybrid
+    # fusion — checkpoint eagerly or the whole BM25 pipeline
+    # (tokenize/tf/df/scalars) evaluates twice in one suite action
     bm25_rows = top.withColumn(
         "rk", F.row_number().over(w).cast("bigint")
-    )
+    ).localCheckpoint(eager=True)
 
     emb = read_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding"
     )
-    qvec = emb.filter(F.col("vec_id") == 0).select(
-        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
-            "__qv"
-        ),
-        norm_expr(F.col("embedding")).alias("__qn"),
+    qdf = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(0).cast("bigint").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
     )
-    dot = F.aggregate(
-        F.zip_with(
-            F.transform(F.col("embedding"), lambda x: x.cast("double")),
-            F.col("__qv"),
-            lambda a, b: a * b,
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    cos = F.round(
-        dot / (norm_expr(F.col("embedding")) * F.col("__qn")), 6
-    )
-    vec_top = (
-        emb.crossJoin(F.broadcast(qvec))
-        .select(F.col("vec_id").alias("doc_id"), cos.alias("__cos"))
-        .orderBy(F.col("__cos").desc(), F.col("doc_id").asc())
-        .limit(20)
-    )
-    wv = Window.orderBy(F.col("__cos").desc(), F.col("doc_id").asc())
-    vec_ranked = vec_top.withColumn(
-        "rank", F.row_number().over(wv).cast("bigint")
-    ).select("doc_id", "rank")
+    # the shared exact-ANN path (6dp cosine, id tie-break) — one
+    # implementation of the query-vector ranking, not a local rebuild
+    vec_ranked = cosine_topk(
+        emb, qdf, "embedding", "vec_id", "query_id", "query_vec",
+        k=20, exclude_self=False,
+    ).select(F.col("neighbor_id").alias("doc_id"), F.col("rank"))
     text_ranked = bm25_rows.filter(F.col("rk") <= 20).select(
         "doc_id", F.col("rk").alias("rank")
     )
@@ -5697,8 +5682,10 @@ def oracle_sql() -> dict[str, str]:
                 SELECT COALESCE(o.doc_id, n.doc_id) AS key,
                        CASE WHEN o.doc_id IS NULL THEN 'added'
                             WHEN n.doc_id IS NULL THEN 'removed'
-                            WHEN md5(o.text) = md5(n.text)
-                                 THEN 'unchanged'
+                            -- null-safe: NULL body ≡ NULL body is
+                            -- unchanged (operator contract)
+                            WHEN md5(o.text) IS NOT DISTINCT FROM
+                                 md5(n.text) THEN 'unchanged'
                             ELSE 'changed' END AS status
                 FROM oldc o FULL OUTER JOIN newc n
                      ON o.doc_id = n.doc_id

@@ -952,6 +952,20 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
 
 
+def precast_dot(a: Column, b: Column) -> Column:
+    """Dot product of two arrays ALREADY cast to double (the pairwise-
+    scan fast path: cast once per row before the join, so the per-pair
+    expression is just zip·multiply·sum — :func:`dot_expr` would
+    re-run the cast transform per pair). One definition shared by the
+    blocked pair scan and the broadcast holdout screen so the
+    accumulate order can't drift between them."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 #: salt lanes for the blocked embedding pair scan: per-pair compute is
 #: split across ``_SALT_R × #blocks`` partitions (see the block_col
 #: branch below); raising it buys parallelism at the cost of
@@ -1053,11 +1067,7 @@ def embedding_neardup_pairs(
             on=(F.col("a.__tbl") == F.col("b.__tbl"))
             & (F.col("a.__sig") == F.col("b.__sig")),
         ).filter(cond)
-    raw_dot = F.aggregate(
-        F.zip_with(F.col("a.__vd"), F.col("b.__vd"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    raw_dot = precast_dot(F.col("a.__vd"), F.col("b.__vd"))
     scored = pairs.select(
         F.col("a.__id").alias("id_a"),
         F.col("b.__id").alias("id_b"),

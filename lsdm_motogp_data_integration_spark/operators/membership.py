@@ -314,6 +314,7 @@ def semantic_decontaminate(
     ``dedup.embedding_neardup_pairs`` machinery instead."""
     from lsdm_motogp_data_integration_spark.operators.dedup import (
         norm_expr,
+        precast_dot,
     )
 
     t = train.filter(F.col(vec_col).isNotNull()).select(
@@ -329,12 +330,11 @@ def semantic_decontaminate(
         ),
         norm_expr(F.col(vec_col)).alias("__hn"),
     )
-    dot = F.aggregate(
-        F.zip_with(F.col("__tv"), F.col("__hv"), lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    cos = F.round(
+        precast_dot(F.col("__tv"), F.col("__hv"))
+        / (F.col("__tn") * F.col("__hn")),
+        6,
     )
-    cos = F.round(dot / (F.col("__tn") * F.col("__hn")), 6)
     return (
         t.crossJoin(F.broadcast(h))
         .filter(cos >= F.lit(float(threshold)))

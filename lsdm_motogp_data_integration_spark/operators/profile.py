@@ -168,18 +168,27 @@ def corpus_diff(
     regardless of document size — diffing two 100 TB snapshots moves
     O(ids × 32 bytes), not the corpora. Returns (``id_col``,
     ``status``)."""
+    # presence is tracked with explicit indicator columns, NOT digest
+    # nullity: md5(NULL content) is NULL, and a row that EXISTS with a
+    # NULL body must read as changed/unchanged, never as absent.
+    # Digest comparison is null-safe (NULL body ≡ NULL body →
+    # unchanged).
     o = old.select(
         F.col(id_col).alias("__id"),
+        F.lit(True).alias("__in_old"),
         F.md5(F.col(content_col)).alias("__od"),
     )
     n = new.select(
         F.col(id_col).alias("__id"),
+        F.lit(True).alias("__in_new"),
         F.md5(F.col(content_col)).alias("__nd"),
     )
     status = (
-        F.when(F.col("__od").isNull(), F.lit("added"))
-        .when(F.col("__nd").isNull(), F.lit("removed"))
-        .when(F.col("__od") == F.col("__nd"), F.lit("unchanged"))
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(
+            F.col("__od").eqNullSafe(F.col("__nd")), F.lit("unchanged")
+        )
         .otherwise(F.lit("changed"))
     )
     return o.join(n, "__id", "full_outer").select(

@@ -120,6 +120,8 @@ def rrf_fuse(
     score is bit-identical regardless of how many lists fuse or which
     order the partial sums reduce in — same convention as
     operators/graph.pagerank."""
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
     parts = []
     for r in rankings:
         parts.append(

@@ -458,9 +458,17 @@ def streaming_cms_ingest(
 def read_cms_sketch(spark, sketch_dir: str) -> DataFrame:
     """The live merged sketch: counter addition across every per-batch
     partial — ≤ depth × width result rows however many batches have
-    landed."""
-    return (
-        spark.read.parquet(sketch_dir)
-        .groupBy("row", "bucket")
-        .agg(F.sum("cnt").alias("cnt"))
-    )
+    landed. Before the first batch commits (missing or empty
+    ``sketch_dir``) the natural EMPTY sketch is returned — a poller
+    racing the stream must not crash on schema inference."""
+    from pyspark.errors import AnalysisException
+
+    schema = "row int, bucket int, cnt bigint"
+    try:
+        partials = spark.read.schema(schema).parquet(sketch_dir)
+        return (
+            partials.groupBy("row", "bucket")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+    except AnalysisException:
+        return spark.createDataFrame([], schema)

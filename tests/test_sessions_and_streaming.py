@@ -412,3 +412,14 @@ def test_streaming_cms_ingest_matches_batch_and_is_idempotent(
     again = read_cms_sketch(spark, sketch_dir)
     sym2 = again.exceptAll(whole).count() + whole.exceptAll(again).count()
     assert sym2 == 0
+
+
+def test_read_cms_sketch_empty_state(spark, tmp_path):
+    """Missing/empty sketch dir yields the empty sketch, not a crash."""
+    from lsdm_motogp_data_integration_spark.streaming import (
+        read_cms_sketch,
+    )
+
+    out = read_cms_sketch(spark, str(tmp_path / "never_written"))
+    assert out.columns == ["row", "bucket", "cnt"]
+    assert out.count() == 0

@@ -106,3 +106,22 @@ def test_corpus_diff_statuses(spark):
         old, new, "id", "text"
     ).collect()}
     assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_corpus_diff_null_content_is_presence_not_absence(spark):
+    """A row with NULL body still EXISTS: NULL→'x' is changed,
+    NULL→NULL is unchanged, NULL-bodied removals report removed."""
+    from lsdm_motogp_data_integration_spark.operators.profile import (
+        corpus_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, None), (2, None), (3, None)], "id bigint, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, "x"), (2, None)], "id bigint, text string"
+    )
+    got = {r["id"]: r["status"] for r in corpus_diff(
+        old, new, "id", "text"
+    ).collect()}
+    assert got == {1: "changed", 2: "unchanged", 3: "removed"}
