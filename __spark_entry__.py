@@ -2354,11 +2354,26 @@ def q58_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
       ``doc_id % 10 == 7`` get none, exercising the dangling-mass
       path). Per-iteration contribution sums are integer-quantized
       (floor(x·1e15) → BIGINT), so the oracle unrolls all 5
-      iterations in SQL and ranks compare as EXACT doubles."""
+      iterations in SQL and ranks compare as EXACT doubles.
+    - ``webrank`` (r3): the ENTIRE web-graph pipeline
+      (pipelines/webgraph: parse_pages → dedup_pages → host_graph →
+      weighted host PageRank) over synthetic pages built from
+      documents (7 hosts, 2-3 links per page with deterministic
+      duplicates so edge WEIGHTS vary). The oracle derives the
+      weighted host graph arithmetically — independently of the HTML
+      parsing the Spark side really performs — and unrolls the
+      weighted PageRank; host ranks compare as exact doubles, so a
+      bug anywhere in the parse/normalize/graph/rank chain fails the
+      hash."""
     from lsdm_motogp_data_integration_spark.operators.dedup import (
         connected_components,
     )
     from lsdm_motogp_data_integration_spark.operators.graph import pagerank
+    from lsdm_motogp_data_integration_spark.pipelines.webgraph import (
+        dedup_pages,
+        host_ranks,
+        parse_pages,
+    )
 
     corpus = _doc_corpus(spark, sf_dir)
     pairs = minhash_lsh_pairs(
@@ -2385,14 +2400,44 @@ def q58_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         dst_col="dst",
         n_iters=5,
     )
+    ds = F.col("doc_id").cast("string")
+    ha = ((F.col("doc_id") * 3 + 1) % 7).cast("string")
+    hb = ((F.col("doc_id") * 5 + 2) % 7).cast("string")
+    link_a = F.concat(
+        F.lit('<a href="https://h'), ha, F.lit('.example.com/x">a</a>')
+    )
+    link_b = F.concat(
+        F.lit('<a href="https://h'), hb, F.lit('.example.com/y">b</a>')
+    )
+    html = F.concat(
+        F.lit("<html><body><p>doc "),
+        ds,
+        F.lit("</p>"),
+        link_a,
+        F.when(F.col("doc_id") % 2 == 0, link_a).otherwise(F.lit("")),
+        link_b,
+        F.lit("</body></html>"),
+    )
+    url = F.concat(
+        F.lit("https://h"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example.com/p/"),
+        ds,
+    )
+    pages = docs.select(url.alias("url"), html.alias("html"))
+    webrank = host_ranks(
+        dedup_pages(parse_pages(pages, "url", "html")), n_iters=5
+    )
     return _suite_union(
         [
             ("doc_id", "bigint"),
             ("component", "bigint"),
             ("rank", "double"),
+            ("host", "string"),
         ],
         ("components", comp),
         ("pagerank", pr),
+        ("webrank", webrank),
     )
 
 
@@ -3435,35 +3480,44 @@ def _bpe_ctes(n_merges: int, max_words: int) -> str:
     return ", ".join(parts)
 
 
-def _pagerank_iters_sql(n_iters: int = 5) -> str:
-    """The q58 ``pagerank`` oracle CTEs: every iteration unrolled with
-    the same integer-quantized (floor(x*1e15) -> BIGINT) contribution
-    sums as operators/graph.pagerank, so ranks match as exact doubles."""
+def _pagerank_iters_sql(
+    n_iters: int = 5, prefix: str = "p", weighted: bool = False
+) -> str:
+    """PageRank oracle CTEs: every iteration unrolled with the same
+    integer-quantized (floor(x*1e15) -> BIGINT) contribution sums as
+    operators/graph.pagerank, so ranks match as exact doubles.
+    Expects base CTEs ``{prefix}nodes(node)``, ``{prefix}edges(src,
+    dst[, w])``, ``{prefix}degs(src, deg)``, ``{prefix}nn(n)`` and
+    ``{prefix}r0(node, r)``; ``weighted=True`` multiplies each
+    quantized per-copy contribution by ``e.w`` (the weight_col
+    exploded-parity form)."""
+    q = "SUM(CAST(floor(p.r / d.deg * 1e15) AS BIGINT)"
+    q += " * e.w) AS s" if weighted else ") AS s"
     ctes = []
     for k in range(1, n_iters + 1):
-        prev = f"pr{k - 1}"
-        ctes.append(f"""pr{k} AS (
+        prev = f"{prefix}r{k - 1}"
+        ctes.append(f"""{prefix}r{k} AS (
                 SELECT nd.node,
                        (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE))
-                           / (SELECT n FROM nn)
+                           / (SELECT n FROM {prefix}nn)
                        + CAST(0.85 AS DOUBLE) * (
                            CAST(COALESCE(s.s, 0) AS DOUBLE) / 1e15
                            + CAST(dm.dm AS DOUBLE) / 1e15
-                             / (SELECT CAST(n AS DOUBLE) FROM nn)
+                             / (SELECT CAST(n AS DOUBLE) FROM {prefix}nn)
                        ) AS r
-                FROM pnodes nd
+                FROM {prefix}nodes nd
                 LEFT JOIN (
                     SELECT e.dst AS node,
-                           SUM(CAST(floor(p.r / d.deg * 1e15) AS BIGINT)) AS s
+                           {q}
                     FROM {prev} p
-                    JOIN pdegs d ON d.src = p.node
-                    JOIN pedges e ON e.src = p.node
+                    JOIN {prefix}degs d ON d.src = p.node
+                    JOIN {prefix}edges e ON e.src = p.node
                     GROUP BY 1
                 ) s ON s.node = nd.node
                 CROSS JOIN (
                     SELECT COALESCE(SUM(CAST(floor(p.r * 1e15) AS BIGINT)), 0)
                            AS dm
-                    FROM {prev} p LEFT JOIN pdegs d ON d.src = p.node
+                    FROM {prev} p LEFT JOIN {prefix}degs d ON d.src = p.node
                     WHERE d.src IS NULL
                 ) dm
             )""")
@@ -5571,35 +5625,82 @@ def oracle_sql() -> dict[str, str]:
                 SELECT r.node, e.b FROM reach r JOIN edges e ON r.other = e.a
             )
             , pnodes AS (SELECT doc_id AS node FROM documents),
-            nn AS (SELECT COUNT(*) AS n FROM pnodes),
+            pnn AS (SELECT COUNT(*) AS n FROM pnodes),
             pe0 AS (
                 SELECT doc_id AS src,
-                       (doc_id * 1 + 1) % (SELECT n FROM nn) AS dst
+                       (doc_id * 1 + 1) % (SELECT n FROM pnn) AS dst
                 FROM documents
                 UNION ALL
-                SELECT doc_id, (doc_id * 2 + 2) % (SELECT n FROM nn)
+                SELECT doc_id, (doc_id * 2 + 2) % (SELECT n FROM pnn)
                 FROM documents
                 UNION ALL
-                SELECT doc_id, (doc_id * 3 + 3) % (SELECT n FROM nn)
+                SELECT doc_id, (doc_id * 3 + 3) % (SELECT n FROM pnn)
                 FROM documents
             ),
             pedges AS (SELECT src, dst FROM pe0 WHERE src % 10 <> 7),
             pdegs AS (SELECT src, COUNT(*) AS deg FROM pedges GROUP BY 1),
             pr0 AS (
-                SELECT node, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS r
+                SELECT node, CAST(1 AS DOUBLE) / (SELECT n FROM pnn) AS r
                 FROM pnodes
             ),
-            {_pagerank_iters_sql(5)}
+            {_pagerank_iters_sql(5)},
+            wpe AS (
+                SELECT 'h' || CAST(doc_id % 7 AS VARCHAR)
+                       || '.example.com' AS src,
+                       'h' || CAST((doc_id * 3 + 1) % 7 AS VARCHAR)
+                       || '.example.com' AS dst,
+                       CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS w
+                FROM documents
+                UNION ALL
+                SELECT 'h' || CAST(doc_id % 7 AS VARCHAR)
+                       || '.example.com',
+                       'h' || CAST((doc_id * 5 + 2) % 7 AS VARCHAR)
+                       || '.example.com',
+                       1
+                FROM documents
+            ),
+            wedges AS (
+                SELECT src, dst, CAST(SUM(w) AS BIGINT) AS w
+                FROM wpe WHERE src <> dst GROUP BY 1, 2
+            ),
+            wnodes AS (
+                -- DISTINCT over UNION ALL, not UNION: inside a WITH
+                -- RECURSIVE block DuckDB 1.x runs a bare UNION CTE
+                -- through the recursive evaluator and SKIPS the
+                -- global dedup (measured: 13 rows where 7 expected)
+                SELECT DISTINCT node FROM (
+                    SELECT src AS node FROM wpe
+                    UNION ALL
+                    SELECT dst FROM wedges
+                )
+            ),
+            wnn AS (SELECT COUNT(*) AS n FROM wnodes),
+            wdegs AS (
+                SELECT src, CAST(SUM(w) AS BIGINT) AS deg
+                FROM wedges GROUP BY 1
+            ),
+            wr0 AS (
+                SELECT node, CAST(1 AS DOUBLE) / (SELECT n FROM wnn) AS r
+                FROM wnodes
+            ),
+            {_pagerank_iters_sql(5, prefix="w", weighted=True)}
             SELECT 'components' AS scope, c.doc_id,
                    LEAST(c.doc_id, COALESCE(MIN(r.other), c.doc_id))
                        AS component,
-                   CAST(NULL AS DOUBLE) AS rank
+                   CAST(NULL AS DOUBLE) AS rank,
+                   CAST(NULL AS VARCHAR) AS host
             FROM corpus c LEFT JOIN reach r ON r.node = c.doc_id
             GROUP BY c.doc_id
             UNION ALL
             SELECT 'pagerank' AS scope, node AS doc_id,
-                   CAST(NULL AS BIGINT) AS component, r AS rank
+                   CAST(NULL AS BIGINT) AS component, r AS rank,
+                   CAST(NULL AS VARCHAR) AS host
             FROM pr5
+            UNION ALL
+            SELECT 'webrank' AS scope, CAST(NULL AS BIGINT) AS doc_id,
+                   CAST(NULL AS BIGINT) AS component, r AS rank,
+                   node AS host
+            FROM wr5
         """,
         "q57_decontamination": f"""
             WITH {_DOC_CORPUS_SQL},
