@@ -879,8 +879,33 @@ def q28_event_time_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       ``sum_value_ff`` carrying the hourly sum forward. The dense
       axis is generated from a per-key (min,max) relation, never from
       raw events; the oracle rebuilds it with ``generate_series`` and
-      an IGNORE NULLS window."""
+      an IGNORE NULLS window.
+    - ``funnel`` (r3): ordered funnel view→click→purchase
+      (sessions.funnel_counts, first-touch anchoring: each stage
+      anchors at the earliest event strictly after the previous
+      stage's anchor). Column map: event_type=step,
+      session_seq=step_seq, n_events=surviving users.
+    - ``retention`` (r3): weekly cohort retention
+      (sessions.cohort_retention) — users cohorted by the Monday-
+      truncated week of their first event, distinct active users per
+      (cohort_week, week_offset). Column map: window_start=
+      cohort_week, session_seq=week_offset, n_events=n_users."""
+    from lsdm_motogp_data_integration_spark.operators.sessions import (
+        cohort_retention,
+        funnel_counts,
+    )
+
     ev = read_table(spark, sf_dir, "events")
+    fun = funnel_counts(ev, ["view", "click", "purchase"]).select(
+        F.col("step").alias("event_type"),
+        F.col("step_seq").alias("session_seq"),
+        F.col("n_users").alias("n_events"),
+    )
+    ret = cohort_retention(ev).select(
+        F.col("cohort_week").alias("window_start"),
+        F.col("week_offset").alias("session_seq"),
+        F.col("n_users").alias("n_events"),
+    )
     return _suite_union(
         [
             ("window_start", "timestamp"),
@@ -910,6 +935,8 @@ def q28_event_time_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "sum_value_ff",
             ),
         ),
+        ("funnel", fun),
+        ("retention", ret),
     )
 
 
@@ -1888,12 +1915,26 @@ def q70_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q47_chunk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Chunk-then-sample, the composed curation step (merged from
-    round-1 q47 deterministic sampling + q48 chunking): fixed-window
-    chunking (q48 semantics) followed by deterministic content-hash
-    sampling of the CHUNKS — keep chunks whose md5(doc_id:chunk_start)
-    starts with 0-2 (~3/16 ≈ 19%). Training-data splits must be
-    reproducible across engines and runs — no RNG anywhere."""
+    """Chunking + deterministic-sampling suite (tagged by ``scope``;
+    no RNG anywhere — training splits must be reproducible across
+    engines, runs, and partitionings):
+
+    - ``chunks``: fixed-window chunking (50-token windows, stride 40)
+      followed by content-hash sampling of the CHUNKS — keep chunks
+      whose md5(doc_id:chunk_start) starts with 0-2 (~3/16 ≈ 19%).
+    - ``rate`` (r3): per-stratum RATE sampling of documents by lang
+      (textops.stratified_sample — md5(lang|id) as a uniform [0,1)
+      draw under per-lang rates, default rate for unlisted langs).
+      Zero-shuffle: one filter expression.
+    - ``exact`` (r3): EXACT-allocation stratified sampling
+      (textops.stratified_allocate) — exactly ceil(0.1·n_lang) docs
+      per lang in md5 order; nested-prefix property for scaling-law
+      subsamples. One window shuffle on the stratum key."""
+    from lsdm_motogp_data_integration_spark.operators.textops import (
+        stratified_allocate,
+        stratified_sample,
+    )
+
     chunks = q48_chunking(spark, sf_dir)
     bucket = F.substring(
         F.md5(
@@ -1906,7 +1947,30 @@ def q47_chunk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         1,
         1,
     )
-    return chunks.filter(bucket.isin("0", "1", "2"))
+    sampled = chunks.filter(bucket.isin("0", "1", "2"))
+    docs = read_table(spark, sf_dir, "documents")
+    rate = stratified_sample(
+        docs,
+        "lang",
+        {"en": 0.25, "fr": 0.5, "de": 0.1},
+        "doc_id",
+        default_fraction=0.05,
+    ).select("doc_id", "lang")
+    exact = stratified_allocate(docs, "lang", 0.1, "doc_id").select(
+        "doc_id", "lang"
+    )
+    return _suite_union(
+        [
+            ("doc_id", "bigint"),
+            ("chunk_start", "bigint"),
+            ("chunk_text", "string"),
+            ("chunk_tokens", "bigint"),
+            ("lang", "string"),
+        ],
+        ("chunks", sampled),
+        ("rate", rate),
+        ("exact", exact),
+    )
 
 
 def q48_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2186,7 +2250,20 @@ def q55_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
       changed, every 13th re-added under a new id) diffed against v1;
       each id classified added/removed/changed/unchanged by digest
       full-outer join (constant-width rows — diffing snapshots never
-      shuffles document bodies)."""
+      shuffles document bodies).
+    - ``scd2_*`` (r3): SCD2 history maintenance (operators/merge):
+      the v1→v2→v3 snapshot chain merged into a full change history
+      — v3 derives from v2 by removing every 11th-mod-5 doc,
+      appending " v3" to every 9th-mod-1, and re-adding every
+      17th-mod-0 under +600000. Each history row becomes
+      ``which = 'scd2_<ver_from>_<ver_to|cur>'`` — the tag encodes
+      the validity interval, so a wrong close/open anywhere in the
+      two merges moves a row between tags and fails both the count
+      and the hash."""
+    from lsdm_motogp_data_integration_spark.operators.merge import (
+        scd2_apply,
+        scd2_init,
+    )
     from lsdm_motogp_data_integration_spark.operators.profile import (
         corpus_diff,
     )
@@ -2221,7 +2298,48 @@ def q55_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("key"),
         F.concat(F.lit("diff_"), F.col("status")).alias("which"),
     )
-    return both.unionByName(only_c).unionByName(diff_rows)
+    v3 = (
+        new.filter(F.col("doc_id") % 11 != 5)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 9 == 1,
+                F.concat(F.col("text"), F.lit(" v3")),
+            ).otherwise(F.col("text")),
+        )
+        .unionByName(
+            new.filter(F.col("doc_id") % 17 == 0).select(
+                (F.col("doc_id") + 600000).alias("doc_id"), "text"
+            )
+        )
+    )
+    hist = scd2_apply(
+        scd2_apply(
+            scd2_init(old, "doc_id", "text", version=1),
+            new,
+            "doc_id",
+            "text",
+            version=2,
+        ),
+        v3,
+        "doc_id",
+        "text",
+        version=3,
+    )
+    scd2_rows = hist.select(
+        F.col("doc_id").alias("key"),
+        F.concat_ws(
+            "_",
+            F.lit("scd2"),
+            F.col("ver_from").cast("string"),
+            F.coalesce(F.col("ver_to").cast("string"), F.lit("cur")),
+        ).alias("which"),
+    )
+    return (
+        both.unionByName(only_c)
+        .unionByName(diff_rows)
+        .unionByName(scd2_rows)
+    )
 
 
 def q56_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2364,11 +2482,24 @@ def q58_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
       parsing the Spark side really performs — and unrolls the
       weighted PageRank; host ranks compare as exact doubles, so a
       bug anywhere in the parse/normalize/graph/rank chain fails the
-      hash."""
+      hash.
+    - ``degrees`` / ``triangles`` (r3): structural graph statistics
+      over the UNDIRECTED form of the same synthetic link graph
+      (graph.undirected_canonical collapses both orientations,
+      drops self-loops): the degree histogram (doc_id=degree,
+      component=node count) and per-node triangle participation
+      (doc_id=node, component=its triangle count) via degree-ordered
+      wedge closing (graph.triangle_counts). Pure integer outputs —
+      the oracle replays both with SQL joins."""
     from lsdm_motogp_data_integration_spark.operators.dedup import (
         connected_components,
     )
-    from lsdm_motogp_data_integration_spark.operators.graph import pagerank
+    from lsdm_motogp_data_integration_spark.operators.graph import (
+        degree_histogram,
+        pagerank,
+        triangle_counts,
+        undirected_canonical,
+    )
     from lsdm_motogp_data_integration_spark.pipelines.webgraph import (
         dedup_pages,
         host_ranks,
@@ -2428,6 +2559,15 @@ def q58_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     webrank = host_ranks(
         dedup_pages(parse_pages(pages, "url", "html")), n_iters=5
     )
+    canon = undirected_canonical(edges)
+    deg_hist = degree_histogram(canon).select(
+        F.col("degree").alias("doc_id"),
+        F.col("n_nodes").alias("component"),
+    )
+    tri = triangle_counts(canon).select(
+        F.col("node").alias("doc_id"),
+        F.col("n_triangles").alias("component"),
+    )
     return _suite_union(
         [
             ("doc_id", "bigint"),
@@ -2438,6 +2578,8 @@ def q58_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("components", comp),
         ("pagerank", pr),
         ("webrank", webrank),
+        ("degrees", deg_hist),
+        ("triangles", tri),
     )
 
 
@@ -3028,6 +3170,7 @@ _SUITE_TAG_COLS: dict[str, str] = {
     "q40_streaming_suite": "scope",
     "q41_multimodal_features": "scope",
     "q43_statistics_suite": "scope",
+    "q47_chunk_sample": "scope",
     "q49_corpus_index_suite": "scope",
     "q53_source_stats": "scope",
     "q55_set_ops": "which",
@@ -4482,6 +4625,67 @@ def oracle_sql() -> dict[str, str]:
                        ) AS sum_value_ff
                 FROM filled
             )
+            UNION ALL
+            SELECT 'funnel' AS scope,
+                   NULL::TIMESTAMP AS window_start,
+                   NULL::TIMESTAMP AS window_end,
+                   step AS event_type,
+                   n_users AS n_events,
+                   NULL::DOUBLE AS sum_value,
+                   NULL::BIGINT AS event_id,
+                   NULL::BIGINT AS user_id,
+                   step_seq AS session_seq,
+                   NULL::DOUBLE AS sum_value_ff
+            FROM (
+                WITH s1 AS (
+                    SELECT user_id AS u, MIN(ts) AS t FROM events
+                    WHERE event_type = 'view' GROUP BY 1
+                ), s2 AS (
+                    SELECT e.user_id AS u, MIN(e.ts) AS t
+                    FROM events e JOIN s1 ON e.user_id = s1.u
+                    WHERE e.event_type = 'click' AND e.ts > s1.t
+                    GROUP BY 1
+                ), s3 AS (
+                    SELECT e.user_id AS u, MIN(e.ts) AS t
+                    FROM events e JOIN s2 ON e.user_id = s2.u
+                    WHERE e.event_type = 'purchase' AND e.ts > s2.t
+                    GROUP BY 1
+                )
+                SELECT CAST(1 AS BIGINT) AS step_seq, 'view' AS step,
+                       (SELECT COUNT(*) FROM s1) AS n_users
+                UNION ALL
+                SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
+                UNION ALL
+                SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)
+            )
+            UNION ALL
+            SELECT 'retention' AS scope,
+                   cohort_week AS window_start,
+                   NULL::TIMESTAMP AS window_end,
+                   NULL::VARCHAR AS event_type,
+                   n_users AS n_events,
+                   NULL::DOUBLE AS sum_value,
+                   NULL::BIGINT AS event_id,
+                   NULL::BIGINT AS user_id,
+                   week_offset AS session_seq,
+                   NULL::DOUBLE AS sum_value_ff
+            FROM (
+                WITH fst AS (
+                    SELECT user_id AS u,
+                           date_trunc('week', MIN(ts)) AS cw
+                    FROM events GROUP BY 1
+                ), act AS (
+                    SELECT DISTINCT user_id AS u,
+                           date_trunc('week', ts) AS wk
+                    FROM events
+                )
+                SELECT cw AS cohort_week,
+                       CAST(date_diff('day', cw, wk) // 7 AS BIGINT)
+                           AS week_offset,
+                       COUNT(*) AS n_users
+                FROM act JOIN fst USING (u)
+                GROUP BY 1, 2
+            )
         """,
         "q30_topk_per_group": """
             WITH ranked AS (
@@ -5040,13 +5244,48 @@ def oracle_sql() -> dict[str, str]:
                     )) AS s
                 ) t
             )
-            SELECT doc_id, chunk_start, chunk_text,
+            SELECT 'chunks' AS scope, doc_id, chunk_start, chunk_text,
                    CAST(len(regexp_split_to_array(chunk_text, ' ')) AS BIGINT)
-                       AS chunk_tokens
+                       AS chunk_tokens,
+                   CAST(NULL AS VARCHAR) AS lang
             FROM chunks
             WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':'
                              || CAST(chunk_start AS VARCHAR)), 1, 1)
                   IN ('0', '1', '2')
+            UNION ALL
+            SELECT 'rate' AS scope, doc_id,
+                   CAST(NULL AS BIGINT) AS chunk_start,
+                   CAST(NULL AS VARCHAR) AS chunk_text,
+                   CAST(NULL AS BIGINT) AS chunk_tokens,
+                   lang
+            FROM documents
+            WHERE CAST(('0x' || substr(md5(
+                      COALESCE(lang, '__null__') || '|'
+                      || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                  / CAST(4294967296 AS DOUBLE)
+                  < CASE lang WHEN 'en' THEN CAST(0.25 AS DOUBLE)
+                              WHEN 'fr' THEN CAST(0.5 AS DOUBLE)
+                              WHEN 'de' THEN CAST(0.1 AS DOUBLE)
+                              ELSE CAST(0.05 AS DOUBLE) END
+            UNION ALL
+            SELECT 'exact' AS scope, doc_id,
+                   CAST(NULL AS BIGINT) AS chunk_start,
+                   CAST(NULL AS VARCHAR) AS chunk_text,
+                   CAST(NULL AS BIGINT) AS chunk_tokens,
+                   lang
+            FROM (
+                SELECT doc_id, lang,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY lang
+                           ORDER BY md5(COALESCE(lang, '__null__')
+                                        || '|'
+                                        || CAST(doc_id AS VARCHAR)),
+                                    doc_id
+                       ) AS rk,
+                       COUNT(*) OVER (PARTITION BY lang) AS cnt
+                FROM documents
+            )
+            WHERE rk <= CEIL(cnt * CAST(0.1 AS DOUBLE))
         """,
         "q61_sequence_packing": """
             WITH toks AS (
@@ -5683,7 +5922,42 @@ def oracle_sql() -> dict[str, str]:
                 SELECT node, CAST(1 AS DOUBLE) / (SELECT n FROM wnn) AS r
                 FROM wnodes
             ),
-            {_pagerank_iters_sql(5, prefix="w", weighted=True)}
+            {_pagerank_iters_sql(5, prefix="w", weighted=True)},
+            ucanon AS (
+                SELECT DISTINCT LEAST(src, dst) AS u,
+                                GREATEST(src, dst) AS v
+                FROM pedges WHERE src <> dst
+            ),
+            udeg AS (
+                SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+                FROM (
+                    SELECT u AS node FROM ucanon
+                    UNION ALL
+                    SELECT v FROM ucanon
+                ) GROUP BY 1
+            ),
+            udh AS (
+                SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+                FROM udeg GROUP BY 1
+            ),
+            -- id-ordered triangle enumeration (x<y<z) — deliberately
+            -- a DIFFERENT algorithm than the engine's degree-ordered
+            -- wedge closing; identical per-node counts iff both are
+            -- right
+            utri AS (
+                SELECT a.u AS x, a.v AS y, b.v AS z
+                FROM ucanon a
+                JOIN ucanon b ON b.u = a.v
+                JOIN ucanon c ON c.u = a.u AND c.v = b.v
+            ),
+            utricnt AS (
+                SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+                FROM (
+                    SELECT x AS node FROM utri
+                    UNION ALL SELECT y FROM utri
+                    UNION ALL SELECT z FROM utri
+                ) GROUP BY 1
+            )
             SELECT 'components' AS scope, c.doc_id,
                    LEAST(c.doc_id, COALESCE(MIN(r.other), c.doc_id))
                        AS component,
@@ -5701,6 +5975,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NULL AS BIGINT) AS component, r AS rank,
                    node AS host
             FROM wr5
+            UNION ALL
+            SELECT 'degrees' AS scope, degree AS doc_id,
+                   n_nodes AS component,
+                   CAST(NULL AS DOUBLE) AS rank,
+                   CAST(NULL AS VARCHAR) AS host
+            FROM udh
+            UNION ALL
+            SELECT 'triangles' AS scope, node AS doc_id,
+                   n_triangles AS component,
+                   CAST(NULL AS DOUBLE) AS rank,
+                   CAST(NULL AS VARCHAR) AS host
+            FROM utricnt
         """,
         "q57_decontamination": f"""
             WITH {_DOC_CORPUS_SQL},
@@ -5790,6 +6076,81 @@ def oracle_sql() -> dict[str, str]:
                             ELSE 'changed' END AS status
                 FROM oldc o FULL OUTER JOIN newc n
                      ON o.doc_id = n.doc_id
+            )
+            UNION ALL
+            -- SCD2 replay: two staged MERGEs as explicit CTEs, digest
+            -- sentinel '__NULL__' matching operators/merge._NULL_DIGEST
+            SELECT key, which FROM (
+                WITH v1 AS (
+                    SELECT doc_id, COALESCE(md5(text), '__NULL__') AS dg
+                    FROM documents
+                ), v2raw AS (
+                    SELECT doc_id,
+                           CASE WHEN doc_id % 10 = 0 THEN text || ' v2'
+                                ELSE text END AS text
+                    FROM documents WHERE doc_id % 7 <> 3
+                    UNION ALL
+                    SELECT doc_id + 300000, text FROM documents
+                    WHERE doc_id % 13 = 0
+                ), v3raw AS (
+                    SELECT doc_id,
+                           CASE WHEN doc_id % 9 = 1 THEN text || ' v3'
+                                ELSE text END AS text
+                    FROM v2raw WHERE doc_id % 11 <> 5
+                    UNION ALL
+                    SELECT doc_id + 600000, text FROM v2raw
+                    WHERE doc_id % 17 = 0
+                ), v2 AS (
+                    SELECT doc_id, COALESCE(md5(text), '__NULL__') AS dg
+                    FROM v2raw
+                ), v3 AS (
+                    SELECT doc_id, COALESCE(md5(text), '__NULL__') AS dg
+                    FROM v3raw
+                ), j2 AS (
+                    SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+                           a.dg AS od, b.dg AS nd
+                    FROM v1 a FULL OUTER JOIN v2 b
+                         ON a.doc_id = b.doc_id
+                ), h2 AS (
+                    SELECT doc_id, od AS dg, CAST(1 AS BIGINT) AS vf,
+                           CAST(NULL AS BIGINT) AS vt
+                    FROM j2 WHERE od IS NOT NULL AND nd IS NOT NULL
+                                  AND od = nd
+                    UNION ALL
+                    SELECT doc_id, od, 1, 2
+                    FROM j2 WHERE od IS NOT NULL
+                                  AND (nd IS NULL OR od <> nd)
+                    UNION ALL
+                    SELECT doc_id, nd, 2, NULL
+                    FROM j2 WHERE nd IS NOT NULL
+                                  AND (od IS NULL OR od <> nd)
+                ), cur2 AS (
+                    SELECT doc_id, dg, vf FROM h2 WHERE vt IS NULL
+                ), j3 AS (
+                    SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+                           a.dg AS od, b.dg AS nd, a.vf
+                    FROM cur2 a FULL OUTER JOIN v3 b
+                         ON a.doc_id = b.doc_id
+                ), h3 AS (
+                    SELECT doc_id, dg, vf, vt FROM h2
+                    WHERE vt IS NOT NULL
+                    UNION ALL
+                    SELECT doc_id, od, vf, CAST(NULL AS BIGINT)
+                    FROM j3 WHERE od IS NOT NULL AND nd IS NOT NULL
+                                  AND od = nd
+                    UNION ALL
+                    SELECT doc_id, od, vf, 3
+                    FROM j3 WHERE od IS NOT NULL
+                                  AND (nd IS NULL OR od <> nd)
+                    UNION ALL
+                    SELECT doc_id, nd, CAST(3 AS BIGINT), NULL
+                    FROM j3 WHERE nd IS NOT NULL
+                                  AND (od IS NULL OR od <> nd)
+                )
+                SELECT doc_id AS key,
+                       'scd2_' || CAST(vf AS VARCHAR) || '_'
+                       || COALESCE(CAST(vt AS VARCHAR), 'cur') AS which
+                FROM h3
             )
         """,
         "q53_source_stats": """

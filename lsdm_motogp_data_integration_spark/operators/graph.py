@@ -137,3 +137,108 @@ def pagerank(
     return ranks.select(
         F.col("__n").alias(node_col), F.col("__r").alias("rank")
     )
+
+
+def undirected_canonical(
+    edges: DataFrame, *, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Canonical undirected edge set ``(u, v)`` with ``u < v``: both
+    orientations of the input collapse to one row, self-loops are
+    dropped, duplicates removed. One distinct (= one shuffle on the
+    edge key) — the normal-form every undirected algorithm here
+    starts from."""
+    u = F.least(F.col(src_col), F.col(dst_col)).alias("u")
+    v = F.greatest(F.col(src_col), F.col(dst_col)).alias("v")
+    return (
+        edges.select(u, v).filter(F.col("u") != F.col("v")).distinct()
+    )
+
+
+def degrees(
+    canon: DataFrame, *, u_col: str = "u", v_col: str = "v"
+) -> DataFrame:
+    """Per-node degree over a CANONICAL undirected edge set (from
+    :func:`undirected_canonical`): ``(node, degree)``. Explode each
+    edge into its two endpoints, one count aggregate. Nodes with no
+    edges are absent (join against a node relation to zero-fill)."""
+    ends = canon.select(F.col(u_col).alias("node")).unionAll(
+        canon.select(F.col(v_col).alias("node"))
+    )
+    return ends.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+
+
+def degree_histogram(
+    canon: DataFrame, *, u_col: str = "u", v_col: str = "v"
+) -> DataFrame:
+    """Degree distribution ``(degree, n_nodes)`` — the first plot
+    anyone makes of a web/link graph, and the skew diagnostic that
+    decides whether PageRank / triangle joins need salting. Two
+    aggregates, both on bounded-width keys."""
+    return (
+        degrees(canon, u_col=u_col, v_col=v_col)
+        .groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+    )
+
+
+def triangle_counts(
+    canon: DataFrame, *, u_col: str = "u", v_col: str = "v"
+) -> DataFrame:
+    """Per-node triangle participation counts ``(node, n_triangles)``
+    over a canonical undirected edge set — the clustering-coefficient
+    numerator (spam-farm detection, community cohesion in web-corpus
+    curation).
+
+    Degree-ordered orientation (the MapReduce-era Suri-Vassilvitskii
+    / Cohen scheme, public): orient every edge from its lower-
+    ``(degree, id)`` endpoint to the higher one, then build wedges at
+    each node from its OUT-neighbors only and close them against the
+    canonical edge set. Out-degrees under this orientation are
+    O(sqrt(m)) even for celebrity nodes, so the wedge self-join —
+    the only superlinear step — is bounded; a naive id-ordered
+    orientation would square the max degree instead. Each triangle
+    is generated exactly once (at its unique min-(degree,id) vertex).
+
+    Shuffle shape: degree agg + orientation join + wedge self-join
+    (keyed on the wedge apex) + one closing join on the (lo,hi) edge
+    key + the final explode/count — all equi-joins on graph keys, no
+    cross products. Every triangle row then credits its 3 corners.
+    """
+    canon = canon.select(
+        F.col(u_col).alias("u"), F.col(v_col).alias("v")
+    )
+    deg = degrees(canon)
+    du = deg.select(
+        F.col("node").alias("u"), F.col("degree").alias("du")
+    )
+    dv = deg.select(
+        F.col("node").alias("v"), F.col("degree").alias("dv")
+    )
+    ranked = canon.join(du, "u").join(dv, "v")
+    # orient low-(degree,id) -> high-(degree,id)
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ranked.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
+    )
+    a = oriented.select(
+        F.col("src").alias("apex"), F.col("dst").alias("n1")
+    )
+    b = oriented.select(
+        F.col("src").alias("apex"), F.col("dst").alias("n2")
+    )
+    wedges = a.join(b, "apex").filter(F.col("n1") < F.col("n2"))
+    closed = wedges.join(
+        canon,
+        (wedges["n1"] == canon["u"]) & (wedges["n2"] == canon["v"]),
+    ).select("apex", "n1", "n2")
+    corners = (
+        closed.select(F.col("apex").alias("node"))
+        .unionAll(closed.select(F.col("n1").alias("node")))
+        .unionAll(closed.select(F.col("n2").alias("node")))
+    )
+    return corners.groupBy("node").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )

@@ -144,6 +144,102 @@ def gapfill_hourly(
     )
 
 
+def funnel_counts(
+    events: DataFrame,
+    steps: list[str],
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered funnel conversion: how many users performed
+    ``steps[0]``, then ``steps[1]`` STRICTLY AFTER their first
+    ``steps[0]``, then ``steps[2]`` strictly after that, … The classic
+    product-analytics sequence query (Amplitude/Mixpanel semantics:
+    first-touch anchoring — each stage anchors at the EARLIEST
+    qualifying timestamp, which maximizes later-stage conversion and
+    makes the result order-insensitive and deterministic).
+
+    Returns one row per step: ``(step_seq bigint, step string,
+    n_users bigint)``.
+
+    Scale shape: stage k is one equi-join of the (already filtered)
+    step-k events against the O(users) survivor relation from stage
+    k-1 plus a user-keyed min — every shuffle is on the user key, so
+    AQE reuses the partitioning across stages; no window over raw
+    events, no per-user sorting. len(steps) is small and fixed, so
+    the staged loop is a fixed-depth plan, not an iteration."""
+    if not steps:
+        raise ValueError("funnel_counts needs at least one step")
+    per_step = []
+    cur = None
+    for step in steps:
+        ev = events.filter(F.col(type_col) == step).select(
+            F.col(user_col).alias("__u"), F.col(ts_col).alias("__ts")
+        )
+        if cur is None:
+            cur = ev.groupBy("__u").agg(F.min("__ts").alias("__t"))
+        else:
+            cur = (
+                ev.join(cur, "__u")
+                .filter(F.col("__ts") > F.col("__t"))
+                .groupBy("__u")
+                .agg(F.min("__ts").alias("__t"))
+            )
+        per_step.append(cur)
+    out = None
+    for i, (step, survivors) in enumerate(zip(steps, per_step)):
+        row = survivors.agg(
+            F.lit(i + 1).cast("bigint").alias("step_seq"),
+            F.lit(step).alias("step"),
+            F.count(F.lit(1)).alias("n_users"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def cohort_retention(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort retention: users are assigned to the cohort of
+    the ISO week (Monday-truncated) of their FIRST event; for every
+    (cohort_week, week_offset) the count of distinct cohort members
+    active in that week. Offset 0 is the cohort week itself, so every
+    cohort's offset-0 row equals its size.
+
+    Returns ``(cohort_week timestamp, week_offset bigint,
+    n_users bigint)``.
+
+    Scale shape: first-event extraction is one user-keyed aggregate;
+    activity collapses to distinct (user, week) BEFORE joining the
+    cohort relation (so the join input is bounded by users × active
+    weeks, not raw events); the final count groups on the bounded
+    (cohort, offset) key. All three shuffles are on user or
+    low-cardinality keys — no window over raw events."""
+    wk = F.date_trunc("week", F.col(ts_col))
+    first = events.groupBy(F.col(user_col).alias("__u")).agg(
+        F.date_trunc("week", F.min(ts_col)).alias("cohort_week")
+    )
+    active = events.select(
+        F.col(user_col).alias("__u"), wk.alias("__wk")
+    ).distinct()
+    joined = active.join(first, "__u")
+    return (
+        joined.groupBy(
+            "cohort_week",
+            (
+                F.datediff(F.col("__wk"), F.col("cohort_week")) / 7
+            )
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
 def grouped_zscore_window(
     df: DataFrame,
     group_col: str,

@@ -571,6 +571,48 @@ def stratified_sample(
     return df.filter(u < rate)
 
 
+def stratified_allocate(
+    df,
+    strata_col: str,
+    fraction: float,
+    id_col: str,
+):
+    """Exact-allocation stratified sampling: EXACTLY
+    ``ceil(fraction · n_g)`` rows from every stratum g (the quota
+    form — :func:`stratified_sample` is the rate form, whose per-
+    stratum yield is only binomially close to the rate). Rows are
+    chosen by md5(strata|id) order, so the draw is deterministic
+    across runs, engines, and partitionings, and a stratum's sample
+    is a PREFIX of any larger sample of the same stratum (nested
+    samples for scaling-law runs).
+
+    Scale shape: one shuffle on the stratum key; rank and stratum
+    size come from the same window partition. A pathologically hot
+    stratum serializes through one partition's sort — for that
+    regime, pre-aggregate per-stratum counts and use the two-phase
+    rank (see ``operators/keys.py``'s distributed sequence) instead;
+    at normal stratum cardinalities the single window is the fewer-
+    shuffle plan."""
+    order = F.md5(
+        F.concat(
+            F.coalesce(F.col(strata_col).cast("string"), F.lit("__null__")),
+            F.lit("|"),
+            F.col(id_col).cast("string"),
+        )
+    )
+    w = Window.partitionBy(strata_col).orderBy(order, F.col(id_col))
+    wc = Window.partitionBy(strata_col)
+    quota = F.ceil(
+        F.count(F.lit(1)).over(wc) * F.lit(float(fraction))
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .withColumn("__q", quota)
+        .filter(F.col("__rk") <= F.col("__q"))
+        .drop("__rk", "__q")
+    )
+
+
 def mask_repeated_ngrams(
     df,
     id_col: str = "doc_id",

@@ -113,3 +113,87 @@ def test_pagerank_open_graph_leaks_mass_as_documented(spark):
     pr = pagerank(_nodes(spark, range(n)), edges, n_iters=3)
     total = pr.agg(F.sum("rank")).first()[0]
     assert total < 1.0 - 1e-6
+
+
+# ---------------------------------------------------------------------------
+# Structural statistics (undirected_canonical / degrees / triangles)
+# ---------------------------------------------------------------------------
+
+
+def test_undirected_canonical_collapses_and_drops_loops(spark):
+    from lsdm_motogp_data_integration_spark.operators.graph import (
+        undirected_canonical,
+    )
+
+    e = _edges(spark, [(1, 2), (2, 1), (2, 2), (3, 1), (1, 3), (1, 3)])
+    got = sorted(
+        (r["u"], r["v"]) for r in undirected_canonical(e).collect()
+    )
+    assert got == [(1, 2), (1, 3)]
+
+
+def test_degree_histogram_star(spark):
+    """A 4-leaf star: hub degree 4 (1 node), leaves degree 1 (4)."""
+    from lsdm_motogp_data_integration_spark.operators.graph import (
+        degree_histogram,
+        undirected_canonical,
+    )
+
+    e = _edges(spark, [(0, i) for i in range(1, 5)])
+    got = {
+        r["degree"]: r["n_nodes"]
+        for r in degree_histogram(undirected_canonical(e)).collect()
+    }
+    assert got == {4: 1, 1: 4}
+
+
+def test_triangle_counts_hand_graph(spark):
+    """K4 minus edge (2,3): triangles {0,1,2} and {0,1,3} — nodes 0
+    and 1 sit in both, 2 and 3 in one each; a pendant node (4) and an
+    isolated edge (5,6) contribute nothing."""
+    from lsdm_motogp_data_integration_spark.operators.graph import (
+        triangle_counts,
+        undirected_canonical,
+    )
+
+    e = _edges(
+        spark,
+        [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (0, 4), (5, 6)],
+    )
+    got = {
+        r["node"]: r["n_triangles"]
+        for r in triangle_counts(undirected_canonical(e)).collect()
+    }
+    assert got == {0: 2, 1: 2, 2: 1, 3: 1}
+
+
+def test_triangle_counts_match_bruteforce(spark):
+    """Degree-ordered wedge closing equals the O(n^3) reference count
+    on a 40-node deterministic graph (modular edges — same family as
+    the q58 synthetic graph, including skewed degrees)."""
+    from itertools import combinations
+
+    from lsdm_motogp_data_integration_spark.operators.graph import (
+        triangle_counts,
+        undirected_canonical,
+    )
+
+    n = 40
+    pairs = [(i, (i * k + k) % n) for i in range(n) for k in (1, 2, 3)]
+    pairs += [(0, i) for i in range(1, 15)]  # hot hub
+    e = _edges(spark, pairs)
+    canon = {
+        (min(a, b), max(a, b)) for a, b in pairs if a != b
+    }
+    expected: dict[int, int] = {}
+    for x, y, z in combinations(range(n), 3):
+        if (
+            (x, y) in canon and (y, z) in canon and (x, z) in canon
+        ):
+            for v in (x, y, z):
+                expected[v] = expected.get(v, 0) + 1
+    got = {
+        r["node"]: r["n_triangles"]
+        for r in triangle_counts(undirected_canonical(e)).collect()
+    }
+    assert got == expected

@@ -1,0 +1,80 @@
+"""SCD2 merge contracts (operators/merge)."""
+
+from lsdm_motogp_data_integration_spark.operators.merge import (
+    scd2_apply,
+    scd2_init,
+)
+
+
+def _snap(spark, rows):
+    return spark.createDataFrame(rows, "id bigint, body string")
+
+
+def _hist(df):
+    return sorted(
+        (r["id"], r["ver_from"], r["ver_to"])
+        for r in df.select("id", "ver_from", "ver_to").collect()
+    )
+
+
+def test_scd2_chain_open_close_reopen(spark):
+    """v1={1,2,3}; v2 changes 2, deletes 3, adds 4; v3 re-adds 3.
+    History: 1 open since 1; 2 closed [1,2) + open since 2; 3 closed
+    [1,2) + open since 3; 4 open since 2."""
+    h = scd2_init(
+        _snap(spark, [(1, "a"), (2, "b"), (3, "c")]), "id", "body"
+    )
+    h = scd2_apply(
+        h,
+        _snap(spark, [(1, "a"), (2, "B"), (4, "d")]),
+        "id",
+        "body",
+        version=2,
+    )
+    h = scd2_apply(
+        h,
+        _snap(spark, [(1, "a"), (2, "B"), (4, "d"), (3, "c")]),
+        "id",
+        "body",
+        version=3,
+    )
+    assert _hist(h) == [
+        (1, 1, None),
+        (2, 1, 2),
+        (2, 2, None),
+        (3, 1, 2),
+        (3, 3, None),
+        (4, 2, None),
+    ]
+
+
+def test_scd2_null_body_transitions(spark):
+    """NULL body is a real state: NULL→NULL is unchanged, NULL→'x'
+    closes and reopens (the corpus_diff null-safety contract)."""
+    h = scd2_init(_snap(spark, [(1, None), (2, None)]), "id", "body")
+    h = scd2_apply(
+        h,
+        _snap(spark, [(1, None), (2, "x")]),
+        "id",
+        "body",
+        version=2,
+    )
+    assert _hist(h) == [(1, 1, None), (2, 1, 2), (2, 2, None)]
+
+
+def test_scd2_current_rows_match_last_snapshot(spark):
+    """The open rows always equal the latest snapshot's key set."""
+    import pyspark.sql.functions as F
+
+    v2 = _snap(spark, [(10, "p"), (11, "q")])
+    h = scd2_apply(
+        scd2_init(_snap(spark, [(10, "p"), (12, "r")]), "id", "body"),
+        v2,
+        "id",
+        "body",
+        version=2,
+    )
+    open_ids = sorted(
+        r["id"] for r in h.filter(F.col("ver_to").isNull()).collect()
+    )
+    assert open_ids == [10, 11]

@@ -423,3 +423,86 @@ def test_read_cms_sketch_empty_state(spark, tmp_path):
     out = read_cms_sketch(spark, str(tmp_path / "never_written"))
     assert out.columns == ["row", "bucket", "cnt"]
     assert out.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Funnel / cohort retention (operators/sessions, r3)
+# ---------------------------------------------------------------------------
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp, event_type string"
+    )
+
+
+def test_funnel_counts_hand_case(spark):
+    """u1 completes the whole funnel; u2's only click precedes their
+    first view (order matters); u3 stops before purchase; u4's
+    purchase without a view never counts."""
+    from datetime import datetime as dt
+
+    from lsdm_motogp_data_integration_spark.operators.sessions import (
+        funnel_counts,
+    )
+
+    rows = [
+        (1, dt(2024, 1, 1, 10), "view"),
+        (1, dt(2024, 1, 1, 11), "click"),
+        (1, dt(2024, 1, 1, 12), "purchase"),
+        (2, dt(2024, 1, 1, 9), "click"),
+        (2, dt(2024, 1, 1, 10), "view"),
+        (3, dt(2024, 1, 2, 10), "view"),
+        (3, dt(2024, 1, 2, 11), "click"),
+        (4, dt(2024, 1, 3, 10), "purchase"),
+    ]
+    out = funnel_counts(_ev(spark, rows), ["view", "click", "purchase"])
+    got = {r["step"]: (r["step_seq"], r["n_users"]) for r in out.collect()}
+    assert got == {"view": (1, 3), "click": (2, 2), "purchase": (3, 1)}
+
+
+def test_funnel_strictly_after_anchor(spark):
+    """A later-stage event at EXACTLY the anchor timestamp does not
+    count (strict >) — simultaneous batch imports must not convert."""
+    from datetime import datetime as dt
+
+    from lsdm_motogp_data_integration_spark.operators.sessions import (
+        funnel_counts,
+    )
+
+    rows = [
+        (1, dt(2024, 1, 1, 10), "view"),
+        (1, dt(2024, 1, 1, 10), "click"),
+    ]
+    out = funnel_counts(_ev(spark, rows), ["view", "click"])
+    got = {r["step"]: r["n_users"] for r in out.collect()}
+    assert got == {"view": 1, "click": 0}
+
+
+def test_cohort_retention_hand_case(spark):
+    """2024-01-01 is a Monday. u1 cohorts at W0, active W0+W2; u2
+    cohorts at W1, active W1 only; offset-0 rows equal cohort size."""
+    from datetime import datetime as dt
+
+    from lsdm_motogp_data_integration_spark.operators.sessions import (
+        cohort_retention,
+    )
+
+    rows = [
+        (1, dt(2024, 1, 2, 10), "view"),     # W0 (wk of Jan 1)
+        (1, dt(2024, 1, 3, 11), "click"),    # W0 again (one distinct)
+        (1, dt(2024, 1, 16, 10), "view"),    # W2
+        (2, dt(2024, 1, 10, 10), "view"),    # W1
+    ]
+    out = cohort_retention(_ev(spark, rows))
+    got = {
+        (r["cohort_week"].strftime("%Y-%m-%d"), r["week_offset"]): r[
+            "n_users"
+        ]
+        for r in out.collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 1,
+        ("2024-01-01", 2): 1,
+        ("2024-01-08", 0): 1,
+    }

@@ -524,3 +524,30 @@ def test_html_title_and_links(spark):
     assert _one(spark, html, html_links) == ["http://a/1", "http://b/2"]
     assert _one(spark, "<p>no links</p>", html_title) == ""
     assert _one(spark, "<p>no links</p>", html_links) == []
+
+
+def test_stratified_allocate_exact_quota_and_nesting(spark):
+    """Exactly ceil(frac·n_g) rows per stratum, and the 5% draw is a
+    prefix of the 10% draw (nested samples — same md5 order)."""
+    import math
+
+    from lsdm_motogp_data_integration_spark.operators.textops import (
+        stratified_allocate,
+    )
+
+    rows = [(i, "en" if i % 3 else "fr") for i in range(100)]
+    d = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    sizes = {"en": sum(1 for _, l in rows if l == "en"),
+             "fr": sum(1 for _, l in rows if l == "fr")}
+    s10 = stratified_allocate(d, "lang", 0.10, "doc_id")
+    got10 = {}
+    for r in s10.collect():
+        got10.setdefault(r["lang"], set()).add(r["doc_id"])
+    for lang, n in sizes.items():
+        assert len(got10[lang]) == math.ceil(0.10 * n)
+    s5 = stratified_allocate(d, "lang", 0.05, "doc_id")
+    got5 = {}
+    for r in s5.collect():
+        got5.setdefault(r["lang"], set()).add(r["doc_id"])
+    for lang in sizes:
+        assert got5[lang] <= got10[lang]
