@@ -880,6 +880,10 @@ def q28_event_time_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       axis is generated from a per-key (min,max) relation, never from
       raw events; the oracle rebuilds it with ``generate_series`` and
       an IGNORE NULLS window.
+    - ``hopping`` (r3): 2-hour windows advancing hourly
+      (sessions.hopping_window_agg — F.window with slideDuration;
+      every event lands in exactly 2 windows, and the oracle
+      replicates each event to its two hour-grid window starts).
     - ``funnel`` (r3): ordered funnel view→click→purchase
       (sessions.funnel_counts, first-touch anchoring: each stage
       anchors at the earliest event strictly after the previous
@@ -893,6 +897,7 @@ def q28_event_time_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lsdm_motogp_data_integration_spark.operators.sessions import (
         cohort_retention,
         funnel_counts,
+        hopping_window_agg,
     )
 
     ev = read_table(spark, sf_dir, "events")
@@ -934,6 +939,10 @@ def q28_event_time_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "sum_value",
                 "sum_value_ff",
             ),
+        ),
+        (
+            "hopping",
+            hopping_window_agg(ev, window_size="2 hours", hop="1 hour"),
         ),
         ("funnel", fun),
         ("retention", ret),
@@ -2167,7 +2176,19 @@ def q53_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       EXPLICIT value list, the plan-static form that needs no eager
       distinct scan; absent combinations surface as 0). The oracle is
       conditional aggregation (``COUNT(*) FILTER``) — the relational
-      identity pivot compiles to."""
+      identity pivot compiles to.
+    - ``incremental`` (r3): incremental statistics maintenance
+      (operators/merge.partial_aggs + merge_partial_aggs) — the
+      documents table split into 3 disjoint delta batches
+      (doc_id mod 3), each reduced to a decomposable per-source
+      state, the states merged, and mean/min/max derived from the
+      MERGED state. The oracle aggregates the full table directly,
+      so the hash proves the algebraic combine is lossless — the
+      never-re-scan-history contract a 100 TB stats pipeline needs."""
+    from lsdm_motogp_data_integration_spark.operators.merge import (
+        merge_partial_aggs,
+        partial_aggs,
+    )
     from lsdm_motogp_data_integration_spark.operators.profile import (
         profile_columns,
     )
@@ -2188,6 +2209,22 @@ def q53_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("sum_chars"),
         F.grouping_id().cast("bigint").alias("grp"),
+    )
+    batches = [
+        partial_aggs(
+            d.filter(F.col("doc_id") % 3 == i), ["source"], "n_chars"
+        )
+        for i in range(3)
+    ]
+    merged = merge_partial_aggs(batches, ["source"])
+    inc = merged.select(
+        "source",
+        F.col("n").alias("n_docs"),
+        # double(exact decimal sum) / n — NOT decimal division: Spark
+        # and DuckDB disagree on result scale for wide decimals
+        (F.col("sum_v").cast("double") / F.col("n")).alias("mean_chars"),
+        F.col("min_v").alias("min_chars"),
+        F.col("max_v").alias("max_chars"),
     )
     langs = ["de", "en", "es", "fr", "zh"]
     piv = (
@@ -2235,6 +2272,7 @@ def q53_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("profile", prof),
         ("rollup", roll),
         ("pivot", piv),
+        ("incremental", inc),
     )
 
 
@@ -2490,11 +2528,16 @@ def q58_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
       component=node count) and per-node triangle participation
       (doc_id=node, component=its triangle count) via degree-ordered
       wedge closing (graph.triangle_counts). Pure integer outputs —
-      the oracle replays both with SQL joins."""
+      the oracle replays both with SQL joins.
+    - ``cooccur`` (r3): bipartite projection
+      (graph.bipartite_project) of the events (user, event_type)
+      relation onto event types — distinct users connected to both
+      types of each pair (host = 'a|b', component = count)."""
     from lsdm_motogp_data_integration_spark.operators.dedup import (
         connected_components,
     )
     from lsdm_motogp_data_integration_spark.operators.graph import (
+        bipartite_project,
         degree_histogram,
         pagerank,
         triangle_counts,
@@ -2568,6 +2611,14 @@ def q58_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("doc_id"),
         F.col("n_triangles").alias("component"),
     )
+    co = bipartite_project(
+        read_table(spark, sf_dir, "events"),
+        left_col="user_id",
+        right_col="event_type",
+    ).select(
+        F.concat_ws("|", "item_a", "item_b").alias("host"),
+        F.col("n_common").alias("component"),
+    )
     return _suite_union(
         [
             ("doc_id", "bigint"),
@@ -2580,6 +2631,7 @@ def q58_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("webrank", webrank),
         ("degrees", deg_hist),
         ("triangles", tri),
+        ("cooccur", co),
     )
 
 
@@ -4626,6 +4678,24 @@ def oracle_sql() -> dict[str, str]:
                 FROM filled
             )
             UNION ALL
+            SELECT 'hopping' AS scope,
+                   window_start,
+                   window_start + INTERVAL 2 HOUR AS window_end,
+                   event_type,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+                       AS sum_value,
+                   NULL::BIGINT AS event_id,
+                   NULL::BIGINT AS user_id,
+                   NULL::BIGINT AS session_seq,
+                   NULL::DOUBLE AS sum_value_ff
+            FROM (
+                SELECT event_type, value,
+                       unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR,
+                               date_trunc('hour', ts)]) AS window_start
+                FROM events
+            ) GROUP BY 1, 2, 3, 4
+            UNION ALL
             SELECT 'funnel' AS scope,
                    NULL::TIMESTAMP AS window_start,
                    NULL::TIMESTAMP AS window_end,
@@ -5987,6 +6057,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NULL AS DOUBLE) AS rank,
                    CAST(NULL AS VARCHAR) AS host
             FROM utricnt
+            UNION ALL
+            SELECT 'cooccur' AS scope, CAST(NULL AS BIGINT) AS doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS component,
+                   CAST(NULL AS DOUBLE) AS rank,
+                   a.event_type || '|' || b.event_type AS host
+            FROM (SELECT DISTINCT user_id, event_type FROM events) a
+            JOIN (SELECT DISTINCT user_id, event_type FROM events) b
+                 USING (user_id)
+            WHERE a.event_type < b.event_type
+            GROUP BY a.event_type, b.event_type
         """,
         "q57_decontamination": f"""
             WITH {_DOC_CORPUS_SQL},
@@ -6270,6 +6350,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) FILTER (WHERE lang = 'es') AS BIGINT) AS n_es,
                    CAST(COUNT(*) FILTER (WHERE lang = 'fr') AS BIGINT) AS n_fr,
                    CAST(COUNT(*) FILTER (WHERE lang = 'zh') AS BIGINT) AS n_zh
+            FROM documents
+            GROUP BY source
+            UNION ALL
+            -- incremental scope: aggregate the FULL table directly —
+            -- the engine's 3-batch partial-agg merge must equal this
+            -- one-pass computation exactly (lossless combine)
+            SELECT 'incremental' AS scope, source,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE)
+                       / COUNT(*) AS mean_chars,
+                   CAST(NULL AS BIGINT) AS n_langs,
+                   MIN(n_chars) AS min_chars,
+                   MAX(n_chars) AS max_chars,
+                   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+                   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                   CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+                   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+                   CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+                   CAST(NULL AS BIGINT),
+                   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                   CAST(NULL AS BIGINT)
             FROM documents
             GROUP BY source
         """,

@@ -181,6 +181,38 @@ def degree_histogram(
     )
 
 
+def bipartite_project(
+    edges: DataFrame,
+    *,
+    left_col: str,
+    right_col: str,
+) -> DataFrame:
+    """Project a bipartite relation (user–item, doc–term, host–page)
+    onto its RIGHT side: ``(item_a, item_b, n_common)`` = number of
+    distinct left nodes connected to both items, ``item_a < item_b``
+    — the co-occurrence graph recommenders and related-content
+    features start from.
+
+    Scale shape: distinct-collapse first (multi-edges don't inflate
+    co-occurrence), then one self-equi-join on the LEFT key and one
+    count aggregate on the pair key. Fan-out is Σ_l deg(l)² — the
+    inherent output size of co-occurrence, concentrated on hub left
+    nodes; cap or sample those upstream (e.g. drop users with
+    thousands of items — standard practice) when the square matters.
+    No cross product anywhere."""
+    e = edges.select(
+        F.col(left_col).alias("__l"), F.col(right_col).alias("__r")
+    ).distinct()
+    a = e.select("__l", F.col("__r").alias("item_a"))
+    b = e.select("__l", F.col("__r").alias("item_b"))
+    return (
+        a.join(b, "__l")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+
+
 def triangle_counts(
     canon: DataFrame, *, u_col: str = "u", v_col: str = "v"
 ) -> DataFrame:

@@ -112,3 +112,43 @@ def scd2_apply(
         .unionByName(newly_closed)
         .unionByName(opened)
     )
+
+
+def partial_aggs(
+    df: DataFrame, keys: list[str], value_col: str
+) -> DataFrame:
+    """Decomposable per-key aggregate STATE for incremental
+    maintenance: ``(keys…, n, sum_v decimal(38,6), min_v, max_v)``.
+    The state of a batch is mergeable with any other batch's state
+    (:func:`merge_partial_aggs`), so a 100 TB corpus's statistics are
+    maintained by aggregating only each new delta — never re-scanning
+    history. Sums are decimal so merge order can't change the result
+    (the repo's float-determinism convention)."""
+    return df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(value_col).cast("decimal(38,6)")).alias("sum_v"),
+        F.min(value_col).alias("min_v"),
+        F.max(value_col).alias("max_v"),
+    )
+
+
+def merge_partial_aggs(states: list[DataFrame], keys: list[str]) -> DataFrame:
+    """Merge any number of :func:`partial_aggs` states into one —
+    count/sum re-add, min/max re-extremize (the algebraic combine
+    every distributive aggregate admits). One union + one hash
+    aggregate over STATE rows (O(keys), not O(raw data)); this is
+    exactly Spark's own partial-aggregation combine, lifted to a
+    persistable relation so it can span batches, days, or clusters.
+    Derived measures (mean = sum/n) must be computed AFTER the final
+    merge — they don't compose."""
+    if not states:
+        raise ValueError("merge_partial_aggs needs at least one state")
+    u = states[0]
+    for s in states[1:]:
+        u = u.unionByName(s)
+    return u.groupBy(*keys).agg(
+        F.sum("n").alias("n"),
+        F.sum("sum_v").alias("sum_v"),
+        F.min("min_v").alias("min_v"),
+        F.max("max_v").alias("max_v"),
+    )

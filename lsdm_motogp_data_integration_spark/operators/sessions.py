@@ -84,6 +84,41 @@ def tumbling_window_agg(
     )
 
 
+def hopping_window_agg(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    window_size: str = "2 hours",
+    hop: str = "1 hour",
+) -> DataFrame:
+    """Hopping (sliding) event-time window aggregate: overlapping
+    windows of ``window_size`` advancing every ``hop`` — each event
+    lands in ``window/hop`` windows. Spark's ``F.window`` with a
+    slideDuration handles the replication natively (JVM-side explode
+    of window assignments, no Python); the aggregate shape is the
+    same single hash agg as the tumbling form, with the shuffle
+    inflated only by the window/hop overlap factor."""
+    win = F.window(F.col(ts_col), window_size, hop)
+    return (
+        events.groupBy(win.alias("__w"), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col(value_col).cast("decimal(38,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("__w.start").alias("window_start"),
+            F.col("__w.end").alias("window_end"),
+            key_col,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def gapfill_hourly(
     events: DataFrame,
     *,

@@ -197,3 +197,27 @@ def test_triangle_counts_match_bruteforce(spark):
         for r in triangle_counts(undirected_canonical(e)).collect()
     }
     assert got == expected
+
+
+def test_bipartite_project_hand_case(spark):
+    """users u1:{a,b,c} u2:{a,b} u3:{b} (u2's duplicate a-edge must
+    not inflate counts) -> a|b:2, a|c:1, b|c:1."""
+    from lsdm_motogp_data_integration_spark.operators.graph import (
+        bipartite_project,
+    )
+
+    e = spark.createDataFrame(
+        [
+            (1, "a"), (1, "b"), (1, "c"),
+            (2, "a"), (2, "a"), (2, "b"),
+            (3, "b"),
+        ],
+        "user bigint, item string",
+    )
+    got = {
+        (r["item_a"], r["item_b"]): r["n_common"]
+        for r in bipartite_project(
+            e, left_col="user", right_col="item"
+        ).collect()
+    }
+    assert got == {("a", "b"): 2, ("a", "c"): 1, ("b", "c"): 1}

@@ -78,3 +78,29 @@ def test_scd2_current_rows_match_last_snapshot(spark):
         r["id"] for r in h.filter(F.col("ver_to").isNull()).collect()
     )
     assert open_ids == [10, 11]
+
+
+def test_partial_aggs_merge_equals_direct(spark):
+    """Merging per-batch states equals aggregating the whole table —
+    the lossless-combine contract, including a key missing from one
+    batch."""
+    import pyspark.sql.functions as F
+
+    from lsdm_motogp_data_integration_spark.operators.merge import (
+        merge_partial_aggs,
+        partial_aggs,
+    )
+
+    rows = [(i, "s%d" % (i % 2 if i < 8 else 2), i * 10) for i in range(10)]
+    d = spark.createDataFrame(rows, "id bigint, src string, v bigint")
+    states = [
+        partial_aggs(d.filter(F.col("id") % 3 == i), ["src"], "v")
+        for i in range(3)
+    ]
+    merged = merge_partial_aggs(states, ["src"])
+    direct = partial_aggs(d, ["src"], "v")
+    as_map = lambda df: {
+        r["src"]: (r["n"], r["sum_v"], r["min_v"], r["max_v"])
+        for r in df.collect()
+    }
+    assert as_map(merged) == as_map(direct)

@@ -506,3 +506,25 @@ def test_cohort_retention_hand_case(spark):
         ("2024-01-01", 2): 1,
         ("2024-01-08", 0): 1,
     }
+
+
+def test_hopping_window_each_event_in_two_windows(spark):
+    """2h windows hopping hourly: an event at 10:30 lands in the
+    [09:00,11:00) and [10:00,12:00) windows, with the same decimal-
+    exact sum in each containing window."""
+    from datetime import datetime as dt
+
+    from lsdm_motogp_data_integration_spark.operators.sessions import (
+        hopping_window_agg,
+    )
+
+    ev = spark.createDataFrame(
+        [(1, dt(2024, 1, 1, 10, 30), "view", 2.5)],
+        "user_id bigint, ts timestamp, event_type string, value double",
+    )
+    out = hopping_window_agg(ev, window_size="2 hours", hop="1 hour")
+    got = sorted(
+        (r["window_start"].hour, r["n_events"], r["sum_value"])
+        for r in out.collect()
+    )
+    assert got == [(9, 1, 2.5), (10, 1, 2.5)]
