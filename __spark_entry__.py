@@ -784,9 +784,20 @@ def q26_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       assignment, decimal-exact cell means: the oracle unrolls both
       training rounds as CTEs and reproduces the codebook bit-for-bit.
 
+    - ``mmr`` (r3): Maximal Marginal Relevance diversity re-ranking
+      (operators/ranking.mmr_rerank, λ=0.5) — greedy top-5 from the
+      exact top-12 pool maximizing relevance minus max-similarity to
+      the already-picked set; rank = selection order. The oracle
+      unrolls all 4 greedy rounds as CTEs over the same 6dp-rounded
+      sims, so the entire selection TRACE must match, not just the
+      final set.
+
     Ranking everywhere is on 6-decimal-rounded cosine with an id
     tie-break (cross-engine float convention, q26 r1)."""
     from lsdm_motogp_data_integration_spark.operators.ann import ivf_topk
+    from lsdm_motogp_data_integration_spark.operators.ranking import (
+        mmr_rerank,
+    )
 
     e = read_table(spark, sf_dir, "embeddings")
     queries_df = e.filter(F.col("vec_id") < 5).select(
@@ -804,8 +815,15 @@ def q26_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, queries_df, "embedding", "vec_id", "query_id", "query_vec",
         k=5, n_cells=8, nprobe=3,
     ).withColumn("method", F.lit("ivf"))
+    mmr = mmr_rerank(
+        e, queries_df, "embedding", "vec_id", "query_id", "query_vec",
+        pool=12, k=5, lam=0.5,
+    ).withColumn("method", F.lit("mmr"))
     return (
-        exact.unionByName(lsh).unionByName(ivf).select(*cols)
+        exact.unionByName(lsh)
+        .unionByName(ivf)
+        .unionByName(mmr)
+        .select(*cols)
     )
 
 
@@ -3719,6 +3737,84 @@ def _pagerank_iters_sql(
     return ",\n            ".join(ctes)
 
 
+def _mmr_iters_sql(k: int = 5, lam: float = 0.5, pool: int = 12) -> str:
+    """MMR oracle CTEs (q26 ``mmr`` tier): the greedy selection loop
+    of operators/ranking.mmr_rerank unrolled — pool from the exact
+    tier's scored pairs, pairwise 6dp-rounded sims, then k−1 rounds
+    of (penalty = max sim to selected) → (score = λ·rel − (1−λ)·pen)
+    → argmax with id tie-break. Pure double arithmetic on identical
+    rounded inputs, so the whole selection trace replays exactly."""
+    out = [
+        f"""
+    mpool AS (
+        SELECT query_id, neighbor_id, cosine,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id ASC
+               ) AS BIGINT) AS rk
+        FROM exact_scored
+    ),
+    mp AS (SELECT * FROM mpool WHERE rk <= {pool}),
+    msims AS (
+        SELECT a.query_id, a.neighbor_id AS ia, b.neighbor_id AS ib,
+               ROUND(list_cosine_similarity(ea.v, eb.v), 6) AS sim
+        FROM mp a
+        JOIN mp b ON b.query_id = a.query_id
+                 AND b.neighbor_id != a.neighbor_id
+        JOIN qemb ea ON ea.vec_id = a.neighbor_id
+        JOIN qemb eb ON eb.vec_id = b.neighbor_id
+    ),
+    msel1 AS (
+        SELECT query_id, neighbor_id, cosine,
+               CAST(1 AS BIGINT) AS mmr_rank
+        FROM mp WHERE rk = 1
+    ),
+    mrem1 AS (
+        SELECT query_id, neighbor_id, cosine FROM mp WHERE rk > 1
+    )"""
+    ]
+    for r in range(2, int(k) + 1):
+        out.append(
+            f""",
+    mpen{r} AS (
+        SELECT s.query_id, s.ia, MAX(s.sim) AS ms
+        FROM msims s JOIN msel{r - 1} t
+             ON t.query_id = s.query_id AND t.neighbor_id = s.ib
+        GROUP BY 1, 2
+    ),
+    mpick{r} AS (
+        SELECT query_id, neighbor_id, cosine,
+               CAST({r} AS BIGINT) AS mmr_rank
+        FROM (
+            SELECT r.query_id, r.neighbor_id, r.cosine,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY r.query_id
+                       ORDER BY CAST({lam} AS DOUBLE) * r.cosine
+                                - CAST({1.0 - lam} AS DOUBLE) * p.ms
+                                    DESC,
+                                r.neighbor_id ASC
+                   ) AS pr
+            FROM mrem{r - 1} r JOIN mpen{r} p
+                 ON p.query_id = r.query_id AND p.ia = r.neighbor_id
+        ) WHERE pr = 1
+    ),
+    msel{r} AS (
+        SELECT * FROM msel{r - 1}
+        UNION ALL
+        SELECT * FROM mpick{r}
+    ),
+    mrem{r} AS (
+        SELECT r.* FROM mrem{r - 1} r
+        WHERE NOT EXISTS (
+            SELECT 1 FROM mpick{r} p
+            WHERE p.query_id = r.query_id
+              AND p.neighbor_id = r.neighbor_id
+        )
+    )"""
+        )
+    return "".join(out)
+
+
 def _bpe_branch_sql(n_merges: int = 8, max_words: int = 10000) -> str:
     """The q49 ``bpe`` scope branch: the merge table as suite rows."""
     gens = "\n                UNION ALL ".join(
@@ -3929,7 +4025,8 @@ _ANN_SUITE_SQL = f"""
         FROM ivf_cands p
         JOIN qemb qe ON qe.vec_id = p.query_id
         JOIN qemb ne ON ne.vec_id = p.neighbor_id
-    )
+    ),
+    {_mmr_iters_sql(5, 0.5, 12)}
     SELECT method, query_id, neighbor_id, cosine, "rank" FROM exact_ranked
     WHERE "rank" <= 5
     UNION ALL
@@ -3938,6 +4035,10 @@ _ANN_SUITE_SQL = f"""
     UNION ALL
     SELECT method, query_id, neighbor_id, cosine, "rank" FROM ivf_ranked
     WHERE "rank" <= 5
+    UNION ALL
+    SELECT 'mmr' AS method, query_id, neighbor_id, cosine,
+           mmr_rank AS "rank"
+    FROM msel5
 """
 
 _KMEANS_SQL = f"""

@@ -145,3 +145,160 @@ def rrf_fuse(
         )
         .select(F.col("__id").alias(id_col), "rrf")
     )
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_id_col: str,
+    query_vec_col: str,
+    *,
+    pool: int = 12,
+    k: int = 5,
+    lam: float = 0.5,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998): greedily pick ``k`` results per query from the exact
+    cosine top-``pool``, maximizing
+    ``lam·rel(d) − (1−lam)·max_{s∈selected} sim(d, s)`` — relevant
+    results that aren't near-duplicates of each other, the standard
+    diversity pass over retrieval-based data selection (and the
+    in-engine answer to "my top-k are 5 copies of the same page").
+
+    Output: (query_id, neighbor_id, cosine, rank) with rank =
+    selection order 1..k.
+
+    Determinism: rel and pairwise sims use the repo's 6dp-rounded
+    cosine with id tie-breaks; with lam = .5 (or any exactly-
+    representable lam) the scores are identical double arithmetic in
+    any engine, so the greedy trace is exactly replayable.
+
+    Scale shape: the pool bound makes everything downstream O(pool²)
+    PER QUERY — the pairwise sim matrix and each of the k−1 selection
+    rounds are query-keyed joins/windows on pool-sized relations; the
+    only corpus-sized work is the initial top-pool scan (delegated to
+    cosine_topk / any ANN tier). The greedy loop is a fixed-depth
+    k−1-round plan, not data-dependent iteration."""
+    from lsdm_motogp_data_integration_spark.operators.ann import (
+        cosine_topk,
+    )
+    from lsdm_motogp_data_integration_spark.operators.dedup import (
+        norm_expr,
+        precast_dot,
+    )
+    from pyspark.sql import Window
+
+    pool_df = cosine_topk(
+        corpus, queries, vec_col, id_col, query_id_col, query_vec_col,
+        k=pool,
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("__nid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
+            "__v"
+        ),
+        norm_expr(F.col(vec_col)).alias("__n"),
+    )
+    withv = pool_df.join(cv, pool_df["neighbor_id"] == cv["__nid"]).select(
+        "query_id", "neighbor_id", "cosine", "rank", "__v", "__n"
+    )
+    a = withv.select(
+        "query_id",
+        F.col("neighbor_id").alias("__ia"),
+        F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"),
+    )
+    b = withv.select(
+        "query_id",
+        F.col("neighbor_id").alias("__ib"),
+        F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"),
+    )
+    sims = (
+        a.join(b, "query_id")
+        .filter(F.col("__ia") != F.col("__ib"))
+        .select(
+            "query_id",
+            "__ia",
+            "__ib",
+            F.round(
+                F.try_divide(
+                    precast_dot(F.col("__va"), F.col("__vb")),
+                    F.col("__na") * F.col("__nb"),
+                ),
+                6,
+            ).alias("__sim"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    lam = float(lam)
+    selected = withv.filter(F.col("rank") == 1).select(
+        "query_id",
+        "neighbor_id",
+        "cosine",
+        F.lit(1).cast("bigint").alias("mmr_rank"),
+    )
+    remaining = withv.filter(F.col("rank") > 1).select(
+        "query_id", "neighbor_id", "cosine"
+    )
+    for r in range(2, int(k) + 1):
+        pen = (
+            sims.join(
+                selected.select(
+                    F.col("query_id").alias("__sq"),
+                    F.col("neighbor_id").alias("__sb"),
+                ),
+                (F.col("query_id") == F.col("__sq"))
+                & (F.col("__ib") == F.col("__sb")),
+            )
+            .groupBy("query_id", "__ia")
+            .agg(F.max("__sim").alias("__ms"))
+            # fresh attribute ids: pen shares lineage with `remaining`
+            # (both descend from withv), so the join below would
+            # otherwise trip Spark's ambiguous-self-join check
+            .select(
+                F.col("query_id").alias("__pq"),
+                F.col("__ia").alias("__pi"),
+                F.col("__ms"),
+            )
+        )
+        scored = remaining.join(
+            pen,
+            (remaining["query_id"] == pen["__pq"])
+            & (remaining["neighbor_id"] == pen["__pi"]),
+        ).select(
+            remaining["query_id"],
+            "neighbor_id",
+            "cosine",
+            (
+                F.lit(lam) * F.col("cosine")
+                - F.lit(1.0 - lam) * F.col("__ms")
+            ).alias("__score"),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("__score").desc(), F.col("neighbor_id").asc()
+        )
+        pick = (
+            scored.withColumn("__pr", F.row_number().over(w))
+            .filter(F.col("__pr") == 1)
+            .select(
+                "query_id",
+                "neighbor_id",
+                "cosine",
+                F.lit(r).cast("bigint").alias("mmr_rank"),
+            )
+        )
+        selected = selected.unionByName(pick)
+        remaining = remaining.join(
+            pick.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_anti",
+        )
+    return selected.select(
+        "query_id",
+        "neighbor_id",
+        "cosine",
+        F.col("mmr_rank").alias("rank"),
+    )

@@ -275,3 +275,40 @@ def test_pq_quantize_codes_and_duplicates(spark, sf_dir):
 
     with pytest.raises(ValueError, match="not divisible"):
         pq_quantize(corpus, "embedding", "vec_id", n_subspaces=3)
+
+
+def test_mmr_rerank_prefers_diverse_over_redundant(spark):
+    """Query along e1: two near-identical high-relevance vectors and
+    one orthogonal-ish mid-relevance vector. Plain top-2 = the two
+    clones; MMR rank 2 must skip the second clone for the diverse
+    candidate."""
+    from lsdm_motogp_data_integration_spark.operators.ranking import (
+        mmr_rerank,
+    )
+
+    # NB: the query must NOT coincide with clone A — if it does,
+    # penalty(d)=sim(d,A)=rel(d) and every λ=.5 score degenerates
+    # to exactly 0 (found by this test's first version)
+    rows = [
+        (1, [0.9, 0.1, 0.0]),     # clone A (rel ~.994)
+        (2, [0.9, 0.11, 0.0]),    # clone B (rel ~.993, sim(A,B)~1)
+        (3, [0.7, -0.7, 0.0]),    # diverse (rel ~.707, sim to A ~.62)
+        (4, [0.0, 1.0, 0.0]),     # near-orthogonal
+    ]
+    corpus = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    )
+    q = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0])],
+        "query_id bigint, query_vec array<double>",
+    )
+    out = mmr_rerank(
+        corpus, q, "embedding", "vec_id", "query_id", "query_vec",
+        pool=4, k=3, lam=0.5,
+    )
+    ranked = {
+        r["rank"]: r["neighbor_id"] for r in out.collect()
+    }
+    assert ranked[1] == 1          # most relevant first
+    assert ranked[2] == 3          # diversity beats the clone
+    assert ranked[3] in (2, 4)
