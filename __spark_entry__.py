@@ -805,9 +805,16 @@ def q26_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("query_vec"),
     )
     cols = ["method", "query_id", "neighbor_id", "cosine", "rank"]
-    exact = cosine_topk(
-        e, queries_df, "embedding", "vec_id", "query_id", "query_vec", k=5
-    ).withColumn("method", F.lit("exact"))
+    # one corpus-wide exact scan feeds BOTH the exact tier (rank<=5)
+    # and the MMR pool (rank<=12) — checkpointed so neither branch
+    # replays the scan
+    pool12 = cosine_topk(
+        e, queries_df, "embedding", "vec_id", "query_id", "query_vec",
+        k=12,
+    ).localCheckpoint(eager=True)
+    exact = pool12.filter(F.col("rank") <= 5).withColumn(
+        "method", F.lit("exact")
+    )
     lsh = lsh_topk(
         e, queries_df, "embedding", "vec_id", "query_id", "query_vec", k=5
     ).withColumn("method", F.lit("lsh"))
@@ -817,7 +824,7 @@ def q26_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("method", F.lit("ivf"))
     mmr = mmr_rerank(
         e, queries_df, "embedding", "vec_id", "query_id", "query_vec",
-        pool=12, k=5, lam=0.5,
+        pool=12, k=5, lam=0.5, pool_df=pool12,
     ).withColumn("method", F.lit("mmr"))
     return (
         exact.unionByName(lsh)

@@ -158,6 +158,7 @@ def mmr_rerank(
     pool: int = 12,
     k: int = 5,
     lam: float = 0.5,
+    pool_df: DataFrame | None = None,
 ) -> DataFrame:
     """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
     1998): greedily pick ``k`` results per query from the exact
@@ -190,10 +191,11 @@ def mmr_rerank(
     )
     from pyspark.sql import Window
 
-    pool_df = cosine_topk(
-        corpus, queries, vec_col, id_col, query_id_col, query_vec_col,
-        k=pool,
-    )
+    if pool_df is None:
+        pool_df = cosine_topk(
+            corpus, queries, vec_col, id_col, query_id_col,
+            query_vec_col, k=pool,
+        )
     cv = corpus.select(
         F.col(id_col).alias("__nid"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
@@ -201,8 +203,20 @@ def mmr_rerank(
         ),
         norm_expr(F.col(vec_col)).alias("__n"),
     )
-    withv = pool_df.join(cv, pool_df["neighbor_id"] == cv["__nid"]).select(
-        "query_id", "neighbor_id", "cosine", "rank", "__v", "__n"
+    # broadcast the O(queries×pool) pool into the corpus vector scan,
+    # then TRUNCATE lineage eagerly: everything downstream (the sim
+    # matrix and every greedy round) re-references this relation many
+    # times, and without the checkpoint each reference would replay
+    # the corpus-wide top-pool scan — measured 2× q26 wall time
+    withv = (
+        cv.join(
+            F.broadcast(pool_df),
+            cv["__nid"] == pool_df["neighbor_id"],
+        )
+        .select(
+            "query_id", "neighbor_id", "cosine", "rank", "__v", "__n"
+        )
+        .localCheckpoint(eager=True)
     )
     a = withv.select(
         "query_id",
@@ -231,74 +245,79 @@ def mmr_rerank(
                 6,
             ).alias("__sim"),
         )
-        .localCheckpoint(eager=False)
+        # O(queries·pool²) rows; the eager checkpoint both truncates
+        # the self-join lineage (fresh attribute ids — the cogroup
+        # below would otherwise trip the ambiguous-self-join check
+        # against pool_slim) and evaluates the pairwise matrix once
+        .localCheckpoint(eager=True)
     )
-    lam = float(lam)
-    selected = withv.filter(F.col("rank") == 1).select(
-        "query_id",
-        "neighbor_id",
-        "cosine",
-        F.lit(1).cast("bigint").alias("mmr_rank"),
-    )
-    remaining = withv.filter(F.col("rank") > 1).select(
-        "query_id", "neighbor_id", "cosine"
-    )
-    for r in range(2, int(k) + 1):
-        pen = (
-            sims.join(
-                selected.select(
-                    F.col("query_id").alias("__sq"),
-                    F.col("neighbor_id").alias("__sb"),
-                ),
-                (F.col("query_id") == F.col("__sq"))
-                & (F.col("__ib") == F.col("__sb")),
+    # greedy selection as ONE cogrouped grouped-map: per-query state
+    # is O(pool2), so the k-1 rounds run in-memory per group — one
+    # shuffle on query_id for each input instead of ~4 micro-stage
+    # shuffles per round (measured: the DataFrame-loop form spent
+    # more time scheduling 60-row stages than computing). All
+    # arithmetic uses the SAME 6dp-rounded doubles the unrolled SQL
+    # oracle sees, so the trace still replays exactly.
+    lam_f = float(lam)
+    kk = int(k)
+
+    def _greedy(key, pool_pdf, sims_pdf):
+        import pandas as pd
+
+        p = pool_pdf.sort_values("neighbor_id").reset_index(drop=True)
+        if p.empty:
+            return pd.DataFrame(
+                columns=["query_id", "neighbor_id", "cosine", "rank"]
             )
-            .groupBy("query_id", "__ia")
-            .agg(F.max("__sim").alias("__ms"))
-            # fresh attribute ids: pen shares lineage with `remaining`
-            # (both descend from withv), so the join below would
-            # otherwise trip Spark's ambiguous-self-join check
-            .select(
-                F.col("query_id").alias("__pq"),
-                F.col("__ia").alias("__pi"),
-                F.col("__ms"),
-            )
+        sim = {}
+        for ia, ib, sv in zip(
+            sims_pdf["__ia"], sims_pdf["__ib"], sims_pdf["__sim"]
+        ):
+            sim[(ia, ib)] = sv
+        ids = list(p["neighbor_id"])
+        rel = dict(zip(p["neighbor_id"], p["cosine"]))
+        first = p.loc[p["rank"].idxmin()]
+        selected = [int(first["neighbor_id"])]
+        out = [(int(first["neighbor_id"]), float(first["cosine"]), 1)]
+        remaining = [i for i in ids if i != selected[0]]
+        for r in range(2, kk + 1):
+            if not remaining:
+                break
+            best_id, best_score = None, None
+            for cand in remaining:  # id order = tie-break order
+                # NULL sims (zero-norm vectors) drop out of the MAX —
+                # same as SQL MAX over a nullable column; a candidate
+                # with NO non-null sim to the selected set gets no
+                # penalty row (SQL inner join) and is skipped
+                pens = [
+                    sim[(cand, s)]
+                    for s in selected
+                    if (cand, s) in sim
+                    and not pd.isna(sim[(cand, s)])
+                ]
+                if not pens:
+                    continue
+                score = lam_f * rel[cand] - (1.0 - lam_f) * max(pens)
+                if best_score is None or score > best_score:
+                    best_id, best_score = cand, score
+            if best_id is None:
+                break
+            selected.append(best_id)
+            out.append((int(best_id), float(rel[best_id]), r))
+            remaining.remove(best_id)
+        qid = key[0]
+        return pd.DataFrame(
+            [(qid, nid, cos, rk) for nid, cos, rk in out],
+            columns=["query_id", "neighbor_id", "cosine", "rank"],
         )
-        scored = remaining.join(
-            pen,
-            (remaining["query_id"] == pen["__pq"])
-            & (remaining["neighbor_id"] == pen["__pi"]),
-        ).select(
-            remaining["query_id"],
-            "neighbor_id",
-            "cosine",
-            (
-                F.lit(lam) * F.col("cosine")
-                - F.lit(1.0 - lam) * F.col("__ms")
-            ).alias("__score"),
+
+    pool_slim = withv.select("query_id", "neighbor_id", "cosine", "rank")
+    return (
+        pool_slim.groupBy("query_id")
+        .cogroup(sims.groupBy("query_id"))
+        .applyInPandas(
+            _greedy,
+            "query_id bigint, neighbor_id bigint, cosine double, "
+            "rank bigint",
         )
-        w = Window.partitionBy("query_id").orderBy(
-            F.col("__score").desc(), F.col("neighbor_id").asc()
-        )
-        pick = (
-            scored.withColumn("__pr", F.row_number().over(w))
-            .filter(F.col("__pr") == 1)
-            .select(
-                "query_id",
-                "neighbor_id",
-                "cosine",
-                F.lit(r).cast("bigint").alias("mmr_rank"),
-            )
-        )
-        selected = selected.unionByName(pick)
-        remaining = remaining.join(
-            pick.select("query_id", "neighbor_id"),
-            ["query_id", "neighbor_id"],
-            "left_anti",
-        )
-    return selected.select(
-        "query_id",
-        "neighbor_id",
-        "cosine",
-        F.col("mmr_rank").alias("rank"),
     )
