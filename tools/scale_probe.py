@@ -362,6 +362,94 @@ def main() -> None:
                 dst_col="dst", n_iters=5,
             ),
         )
+        # --- round-3 continuation operators ---
+        from lsdm_motogp_data_integration_spark.operators.graph import (
+            bipartite_project,
+            triangle_counts,
+            undirected_canonical,
+        )
+        from lsdm_motogp_data_integration_spark.operators.merge import (
+            scd2_apply,
+            scd2_init,
+        )
+        from lsdm_motogp_data_integration_spark.operators.sessions import (
+            cohort_retention,
+            funnel_counts,
+        )
+        from lsdm_motogp_data_integration_spark.operators.textops import (
+            stratified_allocate,
+        )
+
+        # triangles over the same closed modular graph — the wedge
+        # self-join is the superlinear-risk step; degree orientation
+        # must keep it near-linear at constant degree distribution
+        canon = undirected_canonical(pedges)
+        r["triangles_s"], _ = timed(
+            "triangles", triangle_counts(canon)
+        )
+        # events replicated with DISJOINT users per replica (behavior
+        # per user constant, population scales — the funnel/retention
+        # shuffles are user-keyed, so time must track users linearly)
+        ev0 = read_table(spark, SF_DIR, "events").select(
+            "event_id", "user_id", "ts", "event_type", "value"
+        )
+        eparts = [
+            ev0.select(
+                (F.col("event_id") + r_i * 10_000_000).alias("event_id"),
+                (F.col("user_id") + r_i * 1_000_000).alias("user_id"),
+                "ts",
+                "event_type",
+                "value",
+            )
+            for r_i in range(n_rep)
+        ]
+        evs = eparts[0]
+        for p in eparts[1:]:
+            evs = evs.unionByName(p)
+        r["funnel_s"], _ = timed(
+            "funnel",
+            funnel_counts(evs, ["view", "click", "purchase"]),
+        )
+        r["retention_s"], _ = timed(
+            "retention", cohort_retention(evs)
+        )
+        # bipartite projection user->event_type: right side is
+        # low-cardinality (5 types), per-user degree bounded — the
+        # distinct-collapse and pair aggregate must stay linear
+        r["cooccur_s"], _ = timed(
+            "cooccur",
+            bipartite_project(
+                evs, left_col="user_id", right_col="event_type"
+            ),
+        )
+        # SCD2 merge: digest collapse + one full-outer join on ids —
+        # constant-width rows regardless of document size
+        v2 = docs.filter(F.col("doc_id") % 7 != 3).withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 10 == 0,
+                F.concat(F.col("text"), F.lit(" v2")),
+            ).otherwise(F.col("text")),
+        )
+        r["scd2_s"], _ = timed(
+            "scd2",
+            scd2_apply(
+                scd2_init(docs, "doc_id", "text", version=1),
+                v2,
+                "doc_id",
+                "text",
+                version=2,
+            ),
+        )
+        # exact-allocation stratified sample: one window shuffle on a
+        # 5-value stratum key — the serialization-per-stratum risk
+        strata = docs.withColumn(
+            "stratum", (F.col("doc_id") % 5).cast("string")
+        )
+        r["stratified_s"], _ = timed(
+            "stratified",
+            stratified_allocate(strata, "stratum", 0.1, "doc_id"),
+        )
         results[scale] = r
 
     base, big = results["1x"], results[f"{replicas}x"]
@@ -389,6 +477,12 @@ def main() -> None:
         "normalize_url_s",
         "cms_s",
         "pagerank_s",
+        "triangles_s",
+        "funnel_s",
+        "retention_s",
+        "cooccur_s",
+        "scd2_s",
+        "stratified_s",
     ):
         ratio = (big[key] / base[key]) / replicas
         print(f"  {key}: {ratio:.2f}")
