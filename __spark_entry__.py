@@ -1783,8 +1783,36 @@ def q43_statistics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       EXACT regime (accuracy=1e6 ≥ group sizes), where it provably
       equals DuckDB's ``quantile_disc`` — compared as a direct VALUE,
       the strongest possible cross-engine check of the sketch's exact
-      mode. (Absorbs round-1 q59_approx_aggs, previously rows-only.)"""
+      mode. (Absorbs round-1 q59_approx_aggs, previously rows-only.)
+    - ``hll_sketch`` (r3): the repo's OWN portable HyperLogLog
+      (``operators/sketches.hll_sketch`` — md5-60 registers, mergeable
+      and persistable, unlike ``approx_count_distinct``'s opaque
+      result). Per event type over user_id: untouched-register count,
+      the exact scaled harmonic sum, an order-free register checksum,
+      and the final estimate — ALL replayed bit-exactly by the DuckDB
+      oracle (registers are pure integer arithmetic; the estimate is
+      an identical IEEE expression + portable positive 6dp rounding).
+    - ``global_q`` (r3): EXACT corpus-wide quantiles with NO global
+      sort (``operators/profile.exact_quantiles`` — distinct-value
+      collapse, range partitions, O(#partitions) offsets; the 100 TB
+      path where ``F.percentile``'s per-group sort and
+      ``percentile_approx``'s sketch both fall short). Value at rank
+      ceil(q·n), oracle-replayed by a transparent ROW_NUMBER scan."""
+    from lsdm_motogp_data_integration_spark.operators.profile import (
+        exact_quantiles,
+    )
+    from lsdm_motogp_data_integration_spark.operators.sketches import (
+        hll_estimate,
+        hll_sketch,
+    )
+
     ev = read_table(spark, sf_dir, "events")
+    hl = hll_estimate(
+        hll_sketch(ev, "user_id", m=64, group_cols=("event_type",)),
+        m=64,
+        group_cols=("event_type",),
+    )
+    gq = exact_quantiles(ev, "value", [0.25, 0.5, 0.9, 0.99])
     g = ev.groupBy("event_type").agg(
         F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
         F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
@@ -1859,9 +1887,17 @@ def q43_statistics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("stddev", "double"),
             ("hll_ok", "boolean"),
             ("approx_median", "double"),
+            ("hll_v", "bigint"),
+            ("hll_s", "bigint"),
+            ("hll_reg_sum", "bigint"),
+            ("hll_est", "double"),
+            ("q", "double"),
+            ("qvalue", "double"),
         ],
         ("exact", exact),
         ("approx", ap),
+        ("hll_sketch", hl),
+        ("global_q", gq),
     )
 
 
@@ -4062,6 +4098,19 @@ _KMEANS_SQL = f"""
 
 
 def oracle_sql() -> dict[str, str]:
+    # HLL oracle snippets generated by the SAME helpers the Spark
+    # operator uses (sketches.hll_*_sql) — the two engines share one
+    # definition of the rank CASE chain, the power table, and the
+    # estimate expression (m=64, matching q43's build call)
+    from lsdm_motogp_data_integration_spark.operators.sketches import (
+        hll_est_sql,
+        hll_pow_sql,
+        hll_rho_sql,
+    )
+
+    _hll_rho_sql_expr = hll_rho_sql("h", 64)
+    _hll_pow_sql_expr = hll_pow_sql("reg", 64)
+    _hll_est_sql_expr = hll_est_sql(64)[1]
     sqls = {
         "q01_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
@@ -5250,7 +5299,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(props->>'$.k' AS BIGINT) AS k_value
             FROM events
         """,
-        "q43_statistics_suite": """
+        "q43_statistics_suite": f"""
             WITH g AS (
                 SELECT event_type,
                        ROUND(quantile_cont(value, 0.5), 6) AS p50,
@@ -5269,7 +5318,10 @@ def oracle_sql() -> dict[str, str]:
                    SQRT((s2 - s1 * s1 / CAST(n AS DOUBLE))
                         / (CAST(n AS DOUBLE) - 1.0)) AS stddev,
                    NULL::BOOLEAN AS hll_ok,
-                   NULL::DOUBLE AS approx_median
+                   NULL::DOUBLE AS approx_median,
+                   NULL::BIGINT AS hll_v, NULL::BIGINT AS hll_s,
+                   NULL::BIGINT AS hll_reg_sum, NULL::DOUBLE AS hll_est,
+                   NULL::DOUBLE AS q, NULL::DOUBLE AS qvalue
             FROM g
             UNION ALL
             -- the sketch contracts: the HLL estimate must sit within
@@ -5281,8 +5333,77 @@ def oracle_sql() -> dict[str, str]:
                    NULL::DOUBLE, NULL::DOUBLE, COUNT(*) AS n,
                    NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE,
                    TRUE AS hll_ok,
-                   quantile_disc(value, 0.5) AS approx_median
+                   quantile_disc(value, 0.5) AS approx_median,
+                   NULL::BIGINT AS hll_v, NULL::BIGINT AS hll_s,
+                   NULL::BIGINT AS hll_reg_sum, NULL::DOUBLE AS hll_est,
+                   NULL::DOUBLE AS q, NULL::DOUBLE AS qvalue
             FROM events GROUP BY event_type
+            UNION ALL
+            -- the repo's OWN portable HLL (sketches.hll_sketch, m=64):
+            -- registers, the exact scaled harmonic sum, the register
+            -- checksum AND the rounded estimate replayed bit-exactly
+            -- (same md5-60 hash, same indicator-sum rank, same IEEE
+            -- estimate expression — snippets generated by the SAME
+            -- Python helpers the Spark side uses)
+            SELECT 'hll_sketch' AS scope, event_type,
+                   NULL::DOUBLE AS p50, NULL::DOUBLE AS p90,
+                   NULL::BIGINT AS n, NULL::DOUBLE AS vmin,
+                   NULL::DOUBLE AS vmax, NULL::DOUBLE AS mean,
+                   NULL::DOUBLE AS stddev, NULL::BOOLEAN AS hll_ok,
+                   NULL::DOUBLE AS approx_median,
+                   hll_v, hll_s, hll_reg_sum,
+                   {_hll_est_sql_expr} AS hll_est,
+                   NULL::DOUBLE AS q, NULL::DOUBLE AS qvalue
+            FROM (
+                WITH hashes AS (
+                    SELECT event_type,
+                           CAST(('0x' || substr(md5('hll|' ||
+                               CAST(user_id AS VARCHAR)), 1, 15))
+                               AS BIGINT) AS h
+                    FROM events WHERE user_id IS NOT NULL
+                ), regs AS (
+                    SELECT event_type, CAST(h % 64 AS INT) AS idx,
+                           {_hll_rho_sql_expr} AS rho
+                    FROM hashes
+                ), sk AS (
+                    SELECT event_type, idx, MAX(rho) AS reg
+                    FROM regs GROUP BY 1, 2
+                )
+                SELECT event_type,
+                       CAST(64 - COUNT(*) AS BIGINT) AS hll_v,
+                       CAST(SUM({_hll_pow_sql_expr})
+                            + (64 - COUNT(*)) * {1 << 55}
+                            AS BIGINT) AS hll_s,
+                       CAST(SUM((idx + 1) * reg) AS BIGINT)
+                           AS hll_reg_sum
+                FROM sk GROUP BY 1
+            )
+            UNION ALL
+            -- EXACT global quantiles: value at 1-based rank ceil(q*n)
+            -- of the sorted non-null column (the distributed
+            -- two-phase operator's contract, replayed transparently)
+            SELECT 'global_q' AS scope, NULL::VARCHAR AS event_type,
+                   NULL::DOUBLE AS p50, NULL::DOUBLE AS p90,
+                   n, NULL::DOUBLE AS vmin, NULL::DOUBLE AS vmax,
+                   NULL::DOUBLE AS mean, NULL::DOUBLE AS stddev,
+                   NULL::BOOLEAN AS hll_ok,
+                   NULL::DOUBLE AS approx_median,
+                   NULL::BIGINT AS hll_v, NULL::BIGINT AS hll_s,
+                   NULL::BIGINT AS hll_reg_sum, NULL::DOUBLE AS hll_est,
+                   q, qvalue
+            FROM (
+                WITH s AS (
+                    SELECT value,
+                           ROW_NUMBER() OVER (ORDER BY value) AS rn,
+                           COUNT(*) OVER () AS nn
+                    FROM events WHERE value IS NOT NULL
+                )
+                SELECT qv.q, MIN(s.value) AS qvalue,
+                       CAST(MIN(s.nn) AS BIGINT) AS n
+                FROM s, (VALUES (0.25), (0.5), (0.9), (0.99)) qv(q)
+                WHERE s.rn >= CEIL(CAST(qv.q AS DECIMAL(18,9)) * s.nn)
+                GROUP BY qv.q
+            )
         """,
         "q44_motogp_standings": f"""
             WITH {_MOTOGP_CORE_SQL},

@@ -194,3 +194,117 @@ def corpus_diff(
     return o.join(n, "__id", "full_outer").select(
         F.col("__id").alias(id_col), status.alias("status")
     )
+
+
+def exact_quantiles(
+    df: DataFrame,
+    value_col: str,
+    qs: list[float],
+    *,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """EXACT global quantiles without a global single-partition sort —
+    the 100 TB complement to ``percentile_approx`` (whose GK sketch is
+    only exact below its accuracy) and to q43's per-group
+    ``F.percentile`` (exact, but a per-group sort; useless when the
+    "group" is the whole corpus).
+
+    Semantics: for each ``q`` the value at 1-based rank ``ceil(q·n)``
+    of the sorted non-null column (``quantile_disc``-style discrete
+    quantile, lower tie value). Returns ``(q, qvalue, n)`` — one row
+    per requested quantile.
+
+    Scale shape (the ``add_surrogate_key_distributed`` scheme applied
+    to weighted values):
+
+    1. collapse rows to ``(value, count)`` — one shuffle keyed on the
+       value, output is the distinct-value relation (for measures the
+       value domain is far smaller than the row count; any heavy
+       single value becomes ONE row, so value skew disappears here);
+    2. range-repartition the distinct values, take per-partition count
+       sums — ONE O(#partitions) driver collect (metadata, not data)
+       turns them into cumulative offsets;
+    3. partition-local cumulative counts via a partition-bounded
+       window + the offset map give every distinct value its global
+       rank interval; each requested rank then selects
+       ``min(value | cum_count >= rank)`` in one aggregate.
+
+    No stage sorts more than one partition's distinct values; every
+    shuffle key is the value itself. Ranks are exact BIGINT arithmetic
+    (``ceil`` over DECIMAL multiplication — float rank boundaries
+    would be an engine-parity hazard)."""
+    from pyspark.sql import Window
+
+    if not qs:
+        raise ValueError("qs must be non-empty")
+    if num_partitions is None:
+        num_partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    v = F.col(value_col)
+    counts = (
+        df.where(v.isNotNull())
+        .groupBy(v.alias("__v"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    ranged = (
+        counts.repartitionByRange(num_partitions, F.col("__v"))
+        .withColumn("__pid", F.spark_partition_id())
+        # persist: the offsets job and the main job must see ONE
+        # consistent range partitioning (boundaries come from sampling)
+        .persist()
+    )
+    partials = ranged.groupBy("__pid").agg(
+        F.sum("__c").alias("__s")
+    ).orderBy("__pid").collect()
+    total = 0
+    kv = []
+    for row in partials:
+        kv.append(F.lit(row["__pid"]))
+        kv.append(F.lit(total))
+        total += row["__s"]
+    if total == 0:
+        ranged.unpersist()
+        return df.sparkSession.createDataFrame(
+            [], "q double, qvalue double, n bigint"
+        )
+    offset_of = F.create_map(*kv)
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = ranged.select(
+        "__v",
+        (F.sum("__c").over(w) + offset_of[F.col("__pid")]).alias("__cum"),
+    )
+    # rank_q = ceil(q·n) in exact decimal arithmetic; one aggregate
+    # computes every requested quantile from the same cumulative pass
+    aggs = []
+    for i, q in enumerate(qs):
+        rank = F.ceil(
+            F.lit(q).cast("decimal(18,9)") * F.lit(int(total))
+        ).cast("bigint")
+        aggs.append(
+            F.min(
+                F.when(F.col("__cum") >= rank, F.col("__v"))
+            ).alias(f"__q{i}")
+        )
+    one = cum.agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(float(q)).alias("q"),
+                F.col(f"__q{i}").cast("double").alias("qvalue"),
+            )
+            for i, q in enumerate(qs)
+        ]
+    )
+    out = one.select(F.explode(pairs).alias("p")).select(
+        F.col("p.q").alias("q"),
+        F.col("p.qvalue").alias("qvalue"),
+        F.lit(int(total)).cast("bigint").alias("n"),
+    )
+    out = out.localCheckpoint(eager=True)
+    ranged.unpersist()
+    return out

@@ -472,3 +472,60 @@ def read_cms_sketch(spark, sketch_dir: str) -> DataFrame:
         )
     except AnalysisException:
         return spark.createDataFrame([], schema)
+
+
+def streaming_hll_ingest(
+    doc_stream: DataFrame,
+    *,
+    sketch_dir: str,
+    checkpoint_dir: str,
+    term_col: str = "term",
+    m: int = 64,
+    salt: str = "hll",
+) -> None:
+    """Continuously-maintained HyperLogLog distinct-count registers:
+    each micro-batch is sketched (``sketches.hll_sketch`` — one
+    constant-key-space MAX aggregate) and the partial lands in
+    ``sketch_dir/batch_id=N``; the live cardinality state is the
+    register-wise MAX merge of all partials (:func:`read_hll_sketch`)
+    — exactly the sketch of the full history, with no history rescan
+    (pinned by the merge-property test).
+
+    Exactly-once by the repo's deterministic-overwrite contract
+    (same as ``streaming_cms_ingest``): a replayed batch rewrites
+    byte-identical registers instead of corrupting state. ≤ ``m``
+    rows per batch regardless of batch size.
+
+    Drains the available input (availableNow trigger) and returns."""
+    from lsdm_motogp_data_integration_spark.operators.sketches import (
+        hll_sketch,
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        hll_sketch(batch_df, term_col, m=m, salt=salt).write.mode(
+            "overwrite"
+        ).parquet(f"{sketch_dir}/batch_id={batch_id}")
+
+    q = (
+        doc_stream.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_hll_sketch(spark, sketch_dir: str) -> DataFrame:
+    """The live merged register relation (``idx``, ``reg``): MAX across
+    every per-batch partial — ≤ ``m`` result rows however many batches
+    have landed; feed to ``sketches.hll_estimate``. Missing or empty
+    ``sketch_dir`` returns the natural EMPTY sketch (estimate 0)."""
+    from pyspark.errors import AnalysisException
+
+    schema = "idx int, reg int"
+    try:
+        partials = spark.read.schema(schema).parquet(sketch_dir)
+        return partials.groupBy("idx").agg(F.max("reg").alias("reg"))
+    except AnalysisException:
+        return spark.createDataFrame([], schema)

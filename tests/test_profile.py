@@ -121,3 +121,41 @@ def test_profile_matches_duckdb_on_documents(spark, sf_dir):
     ).fetchone()
     assert got["lang"]["min_str"] == lmin
     assert got["lang"]["max_str"] == lmax
+
+
+def test_exact_quantiles_matches_single_node_sort(spark):
+    """The two-phase distributed quantile equals the value at rank
+    ceil(q*n) of a driver-side sort, including duplicate-heavy data
+    (the skewed value collapses to one weighted row)."""
+    import math
+
+    from lsdm_motogp_data_integration_spark.operators.profile import (
+        exact_quantiles,
+    )
+
+    vals = [float(i % 97) for i in range(5000)] + [42.0] * 3000
+    df = spark.createDataFrame([(v,) for v in vals], "x double").repartition(16)
+    qs = [0.01, 0.25, 0.5, 0.9, 0.99, 1.0]
+    got = {
+        r["q"]: (r["qvalue"], r["n"])
+        for r in exact_quantiles(df, "x", qs).collect()
+    }
+    s = sorted(vals)
+    n = len(s)
+    for q in qs:
+        expect = s[math.ceil(q * n) - 1]
+        assert got[q] == (expect, n), (q, got[q], expect)
+
+
+def test_exact_quantiles_ignores_nulls_and_handles_empty(spark):
+    from lsdm_motogp_data_integration_spark.operators.profile import (
+        exact_quantiles,
+    )
+
+    df = spark.createDataFrame(
+        [(1.0,), (None,), (3.0,), (None,)], "x double"
+    )
+    got = {r["q"]: r["qvalue"] for r in exact_quantiles(df, "x", [0.5, 1.0]).collect()}
+    assert got == {0.5: 1.0, 1.0: 3.0}
+    empty = spark.createDataFrame([(None,)], "x double")
+    assert exact_quantiles(empty, "x", [0.5]).count() == 0

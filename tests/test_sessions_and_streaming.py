@@ -414,6 +414,75 @@ def test_streaming_cms_ingest_matches_batch_and_is_idempotent(
     assert sym2 == 0
 
 
+def test_streaming_hll_ingest_matches_batch_and_is_idempotent(
+    spark, tmp_path_factory
+):
+    """Per-batch HLL register partials must MAX-merge to the batch-mode
+    sketch of the full stream (the HLL merge property made operational)
+    and re-draining with the same checkpoint must not move registers."""
+    from pyspark.sql import types as T
+
+    from lsdm_motogp_data_integration_spark.operators.sketches import (
+        hll_estimate,
+        hll_sketch,
+    )
+    from lsdm_motogp_data_integration_spark.streaming import (
+        read_hll_sketch,
+        streaming_hll_ingest,
+    )
+
+    schema = T.StructType([T.StructField("term", T.StringType())])
+    b1 = [(f"u{i}",) for i in range(40)]
+    b2 = [(f"u{i}",) for i in range(20, 60)]  # overlaps b1
+    src = str(tmp_path_factory.mktemp("hllstream"))
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{src}/f1")
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{src}/f2")
+
+    sketch_dir = str(tmp_path_factory.mktemp("hll_sketch"))
+    ckpt = str(tmp_path_factory.mktemp("hll_ckpt"))
+
+    def drain():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+        streaming_hll_ingest(
+            stream, sketch_dir=sketch_dir, checkpoint_dir=ckpt, m=64
+        )
+
+    drain()
+    merged = read_hll_sketch(spark, sketch_dir)
+    whole = hll_sketch(spark.createDataFrame(b1 + b2, schema), "term", m=64)
+    sym = merged.exceptAll(whole).count() + whole.exceptAll(merged).count()
+    assert sym == 0
+    # the live estimate sees 60 distinct terms (overlap NOT
+    # double-counted — registers are max, not sum)
+    est = hll_estimate(merged, m=64).first()["hll_est"]
+    assert abs(est - 60) / 60 < 0.40
+
+    drain()  # idempotence
+    again = read_hll_sketch(spark, sketch_dir)
+    sym2 = again.exceptAll(whole).count() + whole.exceptAll(again).count()
+    assert sym2 == 0
+
+
+def test_read_hll_sketch_empty_state(spark, tmp_path):
+    """Missing/empty HLL dir yields the empty register relation."""
+    from lsdm_motogp_data_integration_spark.streaming import (
+        read_hll_sketch,
+    )
+
+    out = read_hll_sketch(spark, str(tmp_path / "never_written"))
+    assert out.columns == ["idx", "reg"]
+    assert out.count() == 0
+
+
 def test_read_cms_sketch_empty_state(spark, tmp_path):
     """Missing/empty sketch dir yields the empty sketch, not a crash."""
     from lsdm_motogp_data_integration_spark.streaming import (

@@ -1,11 +1,19 @@
-"""Count-min sketch invariants (operators/sketches)."""
+"""Count-min sketch + HyperLogLog invariants (operators/sketches)."""
 
+import duckdb
+import pytest
 from pyspark.sql import functions as F
 
 from lsdm_motogp_data_integration_spark.operators.sketches import (
     cms_estimate,
     cms_heavy_hitters,
     count_min_sketch,
+    hll_est_sql,
+    hll_estimate,
+    hll_merge,
+    hll_pow_sql,
+    hll_rho_sql,
+    hll_sketch,
 )
 from lsdm_motogp_data_integration_spark.sources import read_table
 
@@ -89,6 +97,101 @@ def test_cms_heavy_hitters_rank_matches_exact_in_wide_regime(spark, sf_dir):
     assert [(r["term"], r["est"]) for r in got] == [
         (r["term"], r["tf"]) for r in exact
     ]
+
+
+def test_hll_accuracy_within_paper_bound(spark):
+    """m=64 registers → ~1.04/sqrt(64) = 13% expected relative error;
+    assert 3 sigma (~40%) on three groups of ~1.7k distinct ids, and
+    that the sketch never exceeds m rows per group."""
+    rows = [(i % 3, i * 7 + 1) for i in range(5000)]
+    df = spark.createDataFrame(rows, "g int, uid bigint")
+    sk = hll_sketch(df, "uid", m=64, group_cols=("g",))
+    assert (
+        sk.groupBy("g").count().filter(F.col("count") > 64).count() == 0
+    )
+    est = {
+        r["g"]: r["hll_est"]
+        for r in hll_estimate(sk, m=64, group_cols=("g",)).collect()
+    }
+    exact = {g: len({u for gg, u in rows if gg == g}) for g in (0, 1, 2)}
+    for g in exact:
+        assert abs(est[g] - exact[g]) / exact[g] < 0.40, (g, est[g])
+
+
+def test_hll_merge_equals_sketch_of_union(spark):
+    """Register-wise MAX of per-half sketches == sketch of the whole —
+    the merge property that lets per-batch partials compose exactly."""
+    rows = [(i,) for i in range(2000)]
+    df = spark.createDataFrame(rows, "uid bigint")
+    a = hll_sketch(df.filter("uid % 2 = 0"), "uid", m=64)
+    b = hll_sketch(df.filter("uid % 2 = 1"), "uid", m=64)
+    merged = hll_merge(a, b)
+    whole = hll_sketch(df, "uid", m=64)
+    sym = merged.exceptAll(whole).count() + whole.exceptAll(merged).count()
+    assert sym == 0
+
+
+def test_hll_ignores_nulls_and_counts_distinct_not_rows(spark):
+    """Duplicate terms don't move any register (MAX is idempotent) and
+    NULL terms are dropped — COUNT(DISTINCT ...) semantics."""
+    base = spark.createDataFrame([(i,) for i in range(500)], "uid bigint")
+    dup = base.unionByName(base).unionByName(
+        spark.createDataFrame([(None,)], "uid bigint")
+    )
+    a = hll_sketch(base, "uid", m=64)
+    b = hll_sketch(dup, "uid", m=64)
+    assert a.exceptAll(b).count() + b.exceptAll(a).count() == 0
+
+
+def test_hll_small_range_linear_counting_is_tight(spark):
+    """With n << m the estimator takes the linear-counting branch,
+    which is near-exact for tiny sets."""
+    df = spark.createDataFrame([(i,) for i in range(10)], "uid bigint")
+    est = hll_estimate(hll_sketch(df, "uid", m=64), m=64).first()
+    assert est["hll_v"] > 0
+    assert abs(est["hll_est"] - 10) <= 1.0
+
+
+def test_hll_duckdb_bit_parity(spark):
+    """The DuckDB replay (the q43 oracle construction, via the shared
+    hll_*_sql snippets) reproduces registers, the exact scaled harmonic
+    sum, the register checksum, AND the rounded estimate as exact
+    values."""
+    rows = [(i % 3, i * 7 + 1) for i in range(3000)]
+    df = spark.createDataFrame(rows, "g int, uid bigint")
+    sk = hll_sketch(df, "uid", m=64, group_cols=("g",))
+    sp = {
+        r["g"]: (r["hll_v"], r["hll_s"], r["hll_reg_sum"], r["hll_est"])
+        for r in hll_estimate(sk, m=64, group_cols=("g",)).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(g INT, uid BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?,?)", rows)
+    h = (
+        "CAST(('0x' || substr(md5('hll|' || CAST(uid AS VARCHAR)), 1, 15))"
+        " AS BIGINT)"
+    )
+    _, estx = hll_est_sql(64)
+    got = con.execute(f"""
+        WITH hashes AS (SELECT g, {h} AS h FROM t WHERE uid IS NOT NULL),
+        regs AS (SELECT g, CAST(h % 64 AS INT) AS idx,
+                 {hll_rho_sql('h', 64)} AS rho FROM hashes),
+        sk AS (SELECT g, idx, MAX(rho) AS reg FROM regs GROUP BY 1, 2),
+        agg AS (SELECT g, CAST(64 - COUNT(*) AS BIGINT) AS hll_v,
+                CAST(SUM({hll_pow_sql('reg', 64)})
+                     + (64 - COUNT(*)) * {1 << 55} AS BIGINT) AS hll_s,
+                CAST(SUM((idx + 1) * reg) AS BIGINT) AS hll_reg_sum
+                FROM sk GROUP BY 1)
+        SELECT g, hll_v, hll_s, hll_reg_sum, {estx} AS hll_est
+        FROM agg ORDER BY g
+    """).fetchall()
+    assert {r[0]: tuple(r[1:]) for r in got} == sp
+
+
+def test_hll_rejects_non_power_of_two_m(spark):
+    df = spark.createDataFrame([(1,)], "uid bigint")
+    with pytest.raises(ValueError):
+        hll_sketch(df, "uid", m=48)
 
 
 def test_cms_weighted_counts(spark):
