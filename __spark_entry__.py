@@ -557,6 +557,13 @@ def q19_neardup_pairs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       oracle is the same exact-Jaccard relation restricted to
       old×new pairs — a banding recall miss, estimator screen error,
       or verification bug all fail the hash.
+    - ``containment`` (r3): DIRECTED near-containment
+      (``|S_a∩S_b|/|S_a| >= 0.8``, Broder's resemblance-vs-containment
+      distinction) — the quoted-subdocument screen symmetric Jaccard
+      can't express; asymmetric prefix filter + size bound, verified
+      on full sets. The oracle computes exact directed containment
+      over the same gram sets (``containment`` column; ``jaccard``
+      NULL for this scope).
 
     Suite-wide sharing (r3): ONE persisted ``dedup.shingle_sets``
     relation feeds the LSH signatures, both verification sides, the
@@ -606,10 +613,24 @@ def q19_neardup_pairs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         hits, corpus, "text", "doc_id", "ref_id", "new_id",
         k=5, threshold=0.8, sets_df=sets,
     ).withColumn("method", F.lit("incremental"))
-    return (
+    from lsdm_motogp_data_integration_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    cont = (
+        containment_pairs(
+            corpus, "text", "doc_id", k=5, threshold=0.8, sets_df=sets
+        )
+        .withColumn("method", F.lit("containment"))
+        .withColumn("jaccard", F.lit(None).cast("double"))
+    )
+    sym = (
         lsh.unionByName(exact)
         .unionByName(incremental)
-        .select("method", "id_a", "id_b", "jaccard")
+        .withColumn("containment", F.lit(None).cast("double"))
+    )
+    return sym.unionByName(cont).select(
+        "method", "id_a", "id_b", "jaccard", "containment"
     )
 
 
@@ -4360,14 +4381,53 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q19_neardup_pairs_suite": f"""
             WITH pairs AS ({_JACCARD_PAIRS_SQL})
-            SELECT 'minhash_lsh' AS method, id_a, id_b, jaccard FROM pairs
+            SELECT 'minhash_lsh' AS method, id_a, id_b, jaccard,
+                   NULL::DOUBLE AS containment
+            FROM pairs
             UNION ALL
-            SELECT 'exact' AS method, id_a, id_b, jaccard FROM pairs
+            SELECT 'exact' AS method, id_a, id_b, jaccard,
+                   NULL::DOUBLE AS containment
+            FROM pairs
             UNION ALL
             -- incremental scope: only pairs straddling the index/new
             -- split (base ids < 100000, variant batch ids >= 100000)
-            SELECT 'incremental' AS method, id_a, id_b, jaccard FROM pairs
+            SELECT 'incremental' AS method, id_a, id_b, jaccard,
+                   NULL::DOUBLE AS containment
+            FROM pairs
             WHERE id_a < 100000 AND id_b >= 100000
+            UNION ALL
+            -- directed exact containment over the same gram sets:
+            -- |A ∩ B| / |A| >= 0.8, a != b (both directions checked)
+            SELECT 'containment' AS method, id_a, id_b,
+                   NULL::DOUBLE AS jaccard, containment
+            FROM (
+                WITH {_DOC_CORPUS_SQL},
+                w AS (
+                    SELECT doc_id,
+                           regexp_split_to_array(
+                               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '
+                           ) AS ws
+                    FROM corpus
+                ), g AS (
+                    SELECT DISTINCT doc_id,
+                           array_to_string(ws[i:i+4], ' ') AS gram
+                    FROM w, LATERAL (
+                        SELECT unnest(generate_series(1, greatest(len(ws) - 4, 1))) AS i
+                    ) t
+                ), sizes AS (
+                    SELECT doc_id, COUNT(*) AS n FROM g GROUP BY 1
+                ), shared AS (
+                    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                           COUNT(*) AS sh
+                    FROM g a JOIN g b USING (gram)
+                    WHERE a.doc_id != b.doc_id GROUP BY 1, 2
+                )
+                SELECT id_a, id_b,
+                       ROUND(sh * 1.0 / sa.n, 6) AS containment
+                FROM shared
+                JOIN sizes sa ON sa.doc_id = id_a
+                WHERE sh * 1.0 / sa.n >= 0.8
+            )
         """,
         # bit-arithmetic replay of the Spark SimHash sketch: identical
         # md5-derived 60-bit token hashes, per-bit ±1 votes, sign →

@@ -300,6 +300,95 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    k: int = 5,
+    threshold: float = 0.8,
+    sets_df: DataFrame | None = None,
+) -> DataFrame:
+    """DIRECTED near-containment pairs: (id_a, id_b, containment) with
+    ``|S_a ∩ S_b| / |S_a| >= threshold`` and ``id_a != id_b`` — doc a
+    is (nearly) a sub-document of b. The screen symmetric Jaccard
+    can't express: a paragraph quoted inside a much larger page has
+    Jaccard ≈ |a|/|b| (tiny) but containment ≈ 1; crawl corpora are
+    full of these (quote expansion, boilerplate-wrapped reposts), and
+    containment-dedup is the standard fix (Broder 1997 distinguishes
+    resemblance from containment for exactly this).
+
+    EXACT (no sketch loss), with an asymmetric prefix filter: order
+    each set canonically (numeric shingle-hash order); if
+    ``|A∩B| >= t·|A|`` then among the first
+    ``|A| - ceil(t·|A|) + 1`` elements of A at least one is in B
+    (else the intersection is at most ``ceil(t·|A|) - 1 < t·|A|``).
+    So the candidate join is A-prefix grams × the full gram index —
+    the contained side prunes by the theorem, the containing side
+    cannot prune (its size is unconstrained), plus the size bound
+    ``|B| >= ceil(t·|A|)`` (an intersection can't exceed |B|).
+    Candidates are verified on the full sorted sets.
+
+    Scale shape: one gram-keyed equi-join (prefix explode ≈ (1-t) of
+    the index vs the full index) + two id joins for verification —
+    the :func:`jaccard_pairs` plan with an asymmetric prefix; no
+    cross product anywhere.
+
+    ``sets_df``: a prepared :func:`shingle_sets` relation (suite
+    sharing — same contract as :func:`jaccard_pairs`)."""
+    if sets_df is not None:
+        sets_df = sets_df.select(
+            F.col(id_col).alias("__id"), F.col("shingles").alias("__set")
+        )
+    else:
+        sets_df = df.select(
+            F.col(id_col).alias("__id"),
+            F.sort_array(word_shingle_hashes(text_col, k)).alias("__set"),
+        )
+    # same float-ceil ulp back-off as jaccard_pairs: the prefix may
+    # only ever LENGTHEN, never silently drop a true pair
+    min_inter = F.ceil(
+        F.lit(threshold) * F.size("__set") - F.lit(1e-9)
+    ).cast("int")
+    prefix_len = (F.size("__set") - min_inter + 1).cast("int")
+    prefixes = sets_df.select(
+        "__id",
+        F.size("__set").alias("__na"),
+        min_inter.alias("__need"),
+        F.explode(F.slice("__set", 1, prefix_len)).alias("__gram"),
+    )
+    full = sets_df.select(
+        F.col("__id").alias("__idb"),
+        F.size("__set").alias("__nb"),
+        F.explode("__set").alias("__gram"),
+    )
+    candidates = (
+        prefixes.join(full, "__gram")
+        .filter(
+            (F.col("__id") != F.col("__idb"))
+            # the containing side must be able to hold the required
+            # intersection
+            & (F.col("__nb") >= F.col("__need"))
+        )
+        .select(F.col("__id").alias("id_a"), F.col("__idb").alias("id_b"))
+        .dropDuplicates()
+    )
+    sa = sets_df.select(F.col("__id").alias("id_a"), F.col("__set").alias("__sa"))
+    sb = sets_df.select(F.col("__id").alias("id_b"), F.col("__set").alias("__sb"))
+    return (
+        candidates.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "containment",
+            F.size(F.array_intersect("__sa", "__sb")) / F.size("__sa"),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select(
+            "id_a", "id_b", F.round("containment", 6).alias("containment")
+        )
+    )
+
+
 def exact_jaccard_for_pairs(
     pairs: DataFrame,
     corpus: DataFrame,

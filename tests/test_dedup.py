@@ -651,3 +651,80 @@ def test_shared_shingle_sets_equivalence(spark, sf_dir):
         assert direct_m == shared_m and direct_m
     finally:
         sets.unpersist()
+
+
+def test_containment_catches_quoted_subdocument_jaccard_misses(spark):
+    """A paragraph quoted inside a much larger page: containment ≈ 1 in
+    the contained→containing direction only, while symmetric Jaccard
+    sits far below any dedup threshold — the case the operator exists
+    for."""
+    from lsdm_motogp_data_integration_spark.operators.dedup import (
+        containment_pairs,
+        jaccard_pairs,
+    )
+
+    para = " ".join(f"quote{i}" for i in range(30))
+    page = (
+        " ".join(f"pre{i}" for i in range(60))
+        + " " + para + " "
+        + " ".join(f"post{i}" for i in range(60))
+    )
+    other = " ".join(f"noise{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, para), (2, page), (3, other)], "doc_id bigint, text string"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in containment_pairs(
+            df, "text", "doc_id", k=5, threshold=0.8
+        ).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] >= 0.8
+    assert (2, 1) not in got  # asymmetric: the page is NOT inside the para
+    assert not any(3 in pair for pair in got)
+    # symmetric Jaccard misses the same pair at the same threshold
+    assert (
+        jaccard_pairs(df, "text", "doc_id", k=5, threshold=0.8).count() == 0
+    )
+
+
+def test_containment_matches_bruteforce_and_prefix_filter_is_lossless(
+    spark,
+):
+    """Every directed pair from a no-filter brute force (threshold on
+    full sets) must survive the prefix+size-filtered path — the
+    asymmetric prefix theorem implemented correctly loses nothing."""
+    from lsdm_motogp_data_integration_spark.operators.dedup import (
+        containment_pairs,
+        shingle_sets,
+    )
+
+    words = [f"w{i}" for i in range(40)]
+    docs = []
+    for d in range(12):
+        # overlapping slices of one vocabulary: dense containment
+        # structure in both directions
+        lo = (3 * d) % 20
+        docs.append((d, " ".join(words[lo : lo + 12 + (d % 9)])))
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    sets = shingle_sets(df, "text", "doc_id", k=3)
+    got = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in containment_pairs(
+            df, "text", "doc_id", k=3, threshold=0.7, sets_df=sets
+        ).collect()
+    }
+    a = sets.selectExpr("doc_id AS ia", "shingles AS sa")
+    b = sets.selectExpr("doc_id AS ib", "shingles AS sb")
+    brute = (
+        a.crossJoin(b)
+        .filter("ia != ib")
+        .selectExpr(
+            "ia", "ib",
+            "round(size(array_intersect(sa, sb)) / size(sa), 6) AS c",
+        )
+        .filter("c >= 0.7")
+        .collect()
+    )
+    expect = {(r["ia"], r["ib"]): r["c"] for r in brute}
+    assert got == expect and len(expect) > 0
