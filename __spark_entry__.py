@@ -532,7 +532,46 @@ def q18_digest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.lit("url").alias("kind"), "doc_id", "n_copies")
     )
-    return raw.unionByName(canonical).unionByName(url_rows)
+    # url_blocked (r3): the crawl blocklist screen
+    # (operators/urls.filter_blocked_urls) — four deterministic source
+    # hosts per doc (messy case/ports, so the host-suffix ladder must
+    # normalize before matching), zone pattern 'tracker.io' kills the
+    # ads subdomain, exact-host pattern 'spam.example.com' kills that
+    # host only; survivors are the docs on the two clean hosts
+    from lsdm_motogp_data_integration_spark.operators.urls import (
+        filter_blocked_urls,
+    )
+
+    src = F.col("doc_id") % 4
+    crawl_url = (
+        F.when(src == 0, F.concat(F.lit("https://Example.COM/p/"), ds_t))
+        .when(
+            src == 1,
+            F.concat(F.lit("https://ADS.Tracker.IO:443/px/"), ds_t),
+        )
+        .when(
+            src == 2,
+            F.concat(F.lit("https://news.portal.org/a/"), ds_t),
+        )
+        .otherwise(
+            F.concat(F.lit("https://spam.example.com/x/"), ds_t)
+        )
+    )
+    blocklist = spark.createDataFrame(
+        [("tracker.io",), ("spam.example.com",)], "pattern string"
+    )
+    blocked_rows = filter_blocked_urls(
+        d.select("doc_id", crawl_url.alias("url")), "url", blocklist
+    ).select(
+        F.lit("url_blocked").alias("kind"),
+        "doc_id",
+        F.lit(1).cast("bigint").alias("n_copies"),
+    )
+    return (
+        raw.unionByName(canonical)
+        .unionByName(url_rows)
+        .unionByName(blocked_rows)
+    )
 
 
 def q19_neardup_pairs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4378,6 +4417,25 @@ def oracle_sql() -> dict[str, str]:
                        || CASE WHEN q2 <> '' THEN '?' || q2 ELSE '' END AS cu
                 FROM n4
             ) GROUP BY cu
+            UNION ALL
+            -- url_blocked: the blocklist screen's survivor set — the
+            -- zone semantics (host equals a pattern or sits under it)
+            -- replayed as transparent endswith checks over the
+            -- lowercased, port-stripped host
+            SELECT 'url_blocked', doc_id, CAST(1 AS BIGINT)
+            FROM (
+                SELECT doc_id,
+                    regexp_replace(lower(
+                        CASE WHEN doc_id % 4 = 0 THEN 'Example.COM'
+                             WHEN doc_id % 4 = 1 THEN 'ADS.Tracker.IO:443'
+                             WHEN doc_id % 4 = 2 THEN 'news.portal.org'
+                             ELSE 'spam.example.com' END
+                    ), ':[0-9]+$', '') AS host
+                FROM documents
+            )
+            WHERE NOT (host = 'tracker.io' OR host LIKE '%.tracker.io'
+                       OR host = 'spam.example.com'
+                       OR host LIKE '%.spam.example.com')
         """,
         "q19_neardup_pairs_suite": f"""
             WITH pairs AS ({_JACCARD_PAIRS_SQL})

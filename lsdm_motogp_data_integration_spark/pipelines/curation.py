@@ -50,6 +50,8 @@ def curate(
     text_col: str = "text",
     id_col: str = "doc_id",
     html: bool = False,
+    url_col: str | None = None,
+    url_blocklist: DataFrame | None = None,
     keep_langs: tuple[str, ...] = ("en",),
     min_quality: float = 0.3,
     min_distinct_ratio: float = 0.2,
@@ -78,7 +80,22 @@ def curate(
     and every downstream screen operates on the extracted visible
     text — the crawl-to-corpus entry point. Per-row Column work; adds
     no shuffle and fuses into the screen stage's scan.
+
+    ``url_col`` + ``url_blocklist`` (a ``pattern`` relation of blocked
+    zones) prepend the crawl blocklist screen
+    (``urls.filter_blocked_urls``): documents whose source host equals
+    or sits under a blocked zone are dropped BEFORE any text work —
+    the cheapest screen runs first (broadcast host match, no shuffle
+    on the document side).
     """
+    if url_blocklist is not None:
+        if url_col is None:
+            raise ValueError("url_blocklist requires url_col")
+        from lsdm_motogp_data_integration_spark.operators.urls import (
+            filter_blocked_urls,
+        )
+
+        docs = filter_blocked_urls(docs, url_col, url_blocklist)
     if html:
         docs = docs.withColumn(text_col, strip_html(text_col))
     text = F.col(text_col)

@@ -215,3 +215,46 @@ def test_curate_html_stage_equals_prestripped(spark, sf_dir):
     ids_b = {r["doc_id"] for r in b["deduped"].select("doc_id").collect()}
     assert ids_a == ids_b
     assert ids_a  # the screen keeps something — not vacuous
+
+
+def test_curate_url_blocklist_stage_drops_blocked_hosts(spark, sf_dir):
+    """curate(url_col=..., url_blocklist=...) must remove documents
+    from blocked zones before screening, and equal curate() on the
+    pre-filtered corpus otherwise."""
+    from pyspark.sql import functions as F
+
+    from lsdm_motogp_data_integration_spark.pipelines.curation import curate
+    from lsdm_motogp_data_integration_spark.sources import read_table
+
+    d = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", "text", "source")
+        .limit(120)
+        .withColumn(
+            "url",
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.lit("https://ads.spamzone.net/"), F.col("doc_id")),
+            ).otherwise(
+                F.concat(F.lit("https://ok.example.org/"), F.col("doc_id"))
+            ),
+        )
+    )
+    bl = spark.createDataFrame([("spamzone.net",)], "pattern string")
+    a = curate(d, url_col="url", url_blocklist=bl)
+    b = curate(d.filter(F.col("doc_id") % 3 != 0))
+    ids_a = {r["doc_id"] for r in a["screened"].select("doc_id").collect()}
+    ids_b = {r["doc_id"] for r in b["screened"].select("doc_id").collect()}
+    assert ids_a == ids_b
+    assert ids_a and not any(i % 3 == 0 for i in ids_a)
+
+
+def test_curate_url_blocklist_requires_url_col(spark):
+    import pytest
+
+    from lsdm_motogp_data_integration_spark.pipelines.curation import curate
+
+    bl = spark.createDataFrame([("x.com",)], "pattern string")
+    d = spark.createDataFrame([(1, "t", "s")], "doc_id bigint, text string, source string")
+    with pytest.raises(ValueError):
+        curate(d, url_blocklist=bl)

@@ -125,3 +125,73 @@ def test_corpus_diff_null_content_is_presence_not_absence(spark):
         old, new, "id", "text"
     ).collect()}
     assert got == {1: "changed", 2: "unchanged", 3: "removed"}
+
+
+def test_host_suffixes_ladder(spark):
+    from lsdm_motogp_data_integration_spark.operators.urls import (
+        host_suffixes,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("https://A.b.C.com:8080/x?y=1",), ("no-scheme",), ("https://solo/p",)],
+        "u string",
+    )
+    got = [r[0] for r in df.select(host_suffixes("u")).collect()]
+    assert got[0] == ["a.b.c.com", "b.c.com", "c.com"]
+    assert got[1] == []     # not an absolute URL
+    assert got[2] == []     # single-label host has no dotted suffix
+
+
+def test_filter_blocked_urls_zone_and_exact(spark):
+    """Pattern 'tracker.io' blocks the apex AND every subdomain; an
+    unrelated host containing the string (nottracker.io... as a
+    SUFFIX-ladder non-member like 'xtracker.io'? no — 'xtracker.io'
+    IS its own registrable domain) survives; keep_blocked inverts."""
+    from lsdm_motogp_data_integration_spark.operators.urls import (
+        filter_blocked_urls,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "https://ads.tracker.io/pixel"),
+            (2, "https://tracker.io/home"),
+            (3, "https://xtracker.io/page"),     # NOT under tracker.io
+            (4, "https://example.com/article"),
+            (5, "https://spam.example.com/x"),   # blocked exact host
+            (6, "https://deep.spam.example.com/x"),  # under blocked host
+        ],
+        "doc_id bigint, url string",
+    )
+    bl = spark.createDataFrame(
+        [("tracker.io",), ("spam.example.com",)], "pattern string"
+    )
+    kept = sorted(
+        r["doc_id"] for r in filter_blocked_urls(docs, "url", bl).collect()
+    )
+    assert kept == [3, 4]
+    blocked = sorted(
+        r["doc_id"]
+        for r in filter_blocked_urls(
+            docs, "url", bl, keep_blocked=True
+        ).collect()
+    )
+    assert blocked == [1, 2, 5, 6]
+
+
+def test_blocked_word_score_counts_case_insensitive(spark):
+    from lsdm_motogp_data_integration_spark.operators.urls import (
+        blocked_word_score,
+    )
+
+    df = spark.createDataFrame(
+        [("https://example.com/CASINO-poker-bonus",), ("https://example.com/news",)],
+        "u string",
+    )
+    got = [
+        r[0]
+        for r in df.select(
+            blocked_word_score("u", ("casino", "poker", "crypto"))
+        ).collect()
+    ]
+    assert got == [2, 0]
