@@ -1994,10 +1994,17 @@ def q69_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
       pinned so the oracle replays the identical bound), full corpus
       encoded in one Arrow pass on the exact integer grid; the oracle
       unrolls BOTH subspace Lloyd chains as prefixed CTEs and
-      recomputes every code and the 6dp reconstruction cosine."""
+      recomputes every code and the 6dp reconstruction cosine.
+    - ``rp`` (r3): Johnson–Lindenstrauss random projection
+      (operators/ann.random_projection, Achlioptas ±1 matrix from
+      md5) — 64 → 8 dims, exploded per component with the RAW exact
+      integer sum (``praw``, bit-identical in any engine) and the
+      6dp-rounded value; the oracle regenerates the sign matrix from
+      the same helper and recomputes both."""
     from lsdm_motogp_data_integration_spark.operators.ann import (
         pq_quantize,
         quantize_embeddings,
+        random_projection,
     )
 
     e = read_table(spark, sf_dir, "embeddings")
@@ -2025,7 +2032,40 @@ def q69_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("max_err"),
         "recon_sim",
     )
-    return int8.unionByName(pq)
+    rp = (
+        random_projection(
+            e, "embedding", out_dim=8, dim=64, raw_col="praw_arr"
+        )
+        .select(
+            "vec_id",
+            F.posexplode(F.arrays_zip("praw_arr", "proj")).alias(
+                "comp", "z"
+            ),
+        )
+        .select(
+            F.lit("rp").alias("scope"),
+            "vec_id",
+            F.lit(None).cast("string").alias("codes"),
+            F.lit(None).cast("double").alias("scale"),
+            F.lit(None).cast("double").alias("max_err"),
+            F.lit(None).cast("double").alias("recon_sim"),
+            F.col("comp").cast("bigint").alias("comp"),
+            F.col("z.praw_arr").alias("praw"),
+            F.col("z.proj").alias("pvalue"),
+        )
+    )
+    base = int8.unionByName(pq).select(
+        "scope",
+        "vec_id",
+        "codes",
+        "scale",
+        "max_err",
+        "recon_sim",
+        F.lit(None).cast("bigint").alias("comp"),
+        F.lit(None).cast("bigint").alias("praw"),
+        F.lit(None).cast("double").alias("pvalue"),
+    )
+    return base.unionByName(rp)
 
 
 def q70_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4171,6 +4211,25 @@ def oracle_sql() -> dict[str, str]:
     _hll_rho_sql_expr = hll_rho_sql("h", 64)
     _hll_pow_sql_expr = hll_pow_sql("reg", 64)
     _hll_est_sql_expr = hll_est_sql(64)[1]
+    # JL random-projection branch for q69: per-component raw integer
+    # sums + 6dp values, generated by the SAME sign-matrix helper the
+    # Spark operator uses (ann.random_projection_sql)
+    from lsdm_motogp_data_integration_spark.operators.ann import (
+        random_projection_sql,
+    )
+
+    _rp_branch_sql = "\nUNION ALL\n".join(
+        f"""SELECT 'rp' AS scope, vec_id, NULL::VARCHAR AS codes,
+                   NULL::DOUBLE AS scale, NULL::DOUBLE AS max_err,
+                   NULL::DOUBLE AS recon_sim,
+                   CAST({i} AS BIGINT) AS comp, {raw} AS praw,
+                   {val} AS pvalue
+            FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                  FROM embeddings)"""
+        for i, (raw, val) in enumerate(
+            random_projection_sql("v", out_dim=8, dim=64)
+        )
+    )
     sqls = {
         "q01_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
@@ -4802,14 +4861,20 @@ def oracle_sql() -> dict[str, str]:
                        list_zip(v, q),
                        p -> abs(p[1] - CAST(p[2] AS DOUBLE) * scale)
                    )), 9) AS max_err,
-                   CAST(NULL AS DOUBLE) AS recon_sim
+                   CAST(NULL AS DOUBLE) AS recon_sim,
+                   NULL::BIGINT AS comp, NULL::BIGINT AS praw,
+                   NULL::DOUBLE AS pvalue
             FROM coded
             UNION ALL
             SELECT 'pq' AS scope, vec_id, codes,
                    CAST(NULL AS DOUBLE) AS scale,
                    CAST(NULL AS DOUBLE) AS max_err,
-                   recon_sim
+                   recon_sim,
+                   NULL::BIGINT AS comp, NULL::BIGINT AS praw,
+                   NULL::DOUBLE AS pvalue
             FROM pqrow
+            UNION ALL
+            {_rp_branch_sql}
         """,
         "q70_training_shards": """
             WITH h AS (

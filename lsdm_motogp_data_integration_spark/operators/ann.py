@@ -673,3 +673,110 @@ def lsh_topk(
     return _score_and_rank(
         pairs, id_col, query_id_col, vec_col, query_vec_col, k
     )
+
+
+# ---------------------------------------------------------------------------
+# Johnson–Lindenstrauss random projection
+# ---------------------------------------------------------------------------
+
+
+def _rp_signs(out_dim: int, dim: int, salt: str) -> list[list[int]]:
+    """±1 sign matrix (out_dim × dim) from md5 — the Achlioptas (2003)
+    database-friendly JL matrix, derived exactly like the LSH
+    hyperplanes (:func:`_hyperplanes`) so any engine regenerates it:
+    sign(i, j) = +1 iff the first hex digit of ``md5('{salt}|i|j')``
+    is in ``89abcdef``."""
+    import hashlib
+
+    return [
+        [
+            1 if int(hashlib.md5(f"{salt}|{i}|{j}".encode()).hexdigest()[0], 16) >= 8 else -1
+            for j in range(dim)
+        ]
+        for i in range(out_dim)
+    ]
+
+
+def random_projection(
+    df: DataFrame,
+    vec_col: str,
+    *,
+    out_dim: int,
+    dim: int,
+    salt: str = "rp",
+    out_col: str = "proj",
+    raw_col: str | None = None,
+) -> DataFrame:
+    """Deterministic JL dimensionality reduction: project
+    ``vec_col`` (``array<float/double>``, length ``dim``) onto
+    ``out_dim`` md5-derived ±1 directions, scaled by
+    ``1/sqrt(out_dim)`` (the JL-preserving norm for a sign matrix).
+    The cheap pre-step before clustering / ANN when the native
+    dimension is wasteful — distances are preserved within
+    ``(1 ± eps)`` for ``out_dim = O(log n / eps²)``.
+
+    Exactness contract (the repo's integer-grid convention): inputs
+    quantize to ``floor(v·1e6)`` BIGINTs, each projected component is
+    an EXACT integer sum (``|sum| < 2^53`` for unit-scale embeddings
+    at any dim ≤ 2^29), and only the final rescale divides — so the
+    raw sums are bit-identical in any engine and the rounded doubles
+    follow from one IEEE division. Pure Column HOFs (zip_with +
+    aggregate per component): no UDF, no shuffle, fuses into the scan.
+
+    ``raw_col`` (optional) also emits the raw integer sums
+    (``array<bigint>``) — the strongest cross-engine comparison key.
+    """
+    signs = _rp_signs(out_dim, dim, salt)
+    denom = SIG_QUANT * float(np.sqrt(out_dim))
+    qv = F.transform(
+        F.col(vec_col), lambda x: F.floor(x.cast("double") * F.lit(SIG_QUANT))
+    )
+    raws = []
+    for i in range(out_dim):
+        sarr = F.array(*[F.lit(s) for s in signs[i]])
+        raws.append(
+            F.aggregate(
+                F.zip_with(qv, sarr, lambda a, b: a * b),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            )
+        )
+    raw_arr = F.array(*raws)
+    # portable rounding: floor(x·1e6 + 0.5)/1e6 — identical IEEE op
+    # sequence in any engine (see scoring.bigram_nll), applied to the
+    # single division result
+    proj = F.transform(
+        raw_arr,
+        lambda s: F.floor(
+            (s.cast("double") / F.lit(denom)) * F.lit(1e6) + F.lit(0.5)
+        )
+        / F.lit(1e6),
+    )
+    out = df.withColumn(out_col, proj)
+    if raw_col is not None:
+        out = out.withColumn(raw_col, raw_arr)
+    return out
+
+
+def random_projection_sql(
+    vec_sql: str, *, out_dim: int, dim: int, salt: str = "rp"
+) -> list[tuple[str, str]]:
+    """DuckDB text of :func:`random_projection`: per component ``i`` a
+    ``(raw_sql, value_sql)`` pair over 1-indexed ``vec_sql`` —
+    generated from the same sign matrix so the engines can never
+    disagree."""
+    signs = _rp_signs(out_dim, dim, salt)
+    denom = SIG_QUANT * float(np.sqrt(out_dim))
+    out = []
+    for i in range(out_dim):
+        terms = " + ".join(
+            f"({signs[i][j]})*FLOOR(({vec_sql}[{j + 1}])*1000000.0)"
+            for j in range(dim)
+        )
+        raw = f"CAST({terms} AS BIGINT)"
+        val = (
+            f"(FLOOR((CAST({terms} AS DOUBLE) / {denom!r}) * 1e6 + 0.5)"
+            " / 1e6)"
+        )
+        out.append((raw, val))
+    return out

@@ -312,3 +312,80 @@ def test_mmr_rerank_prefers_diverse_over_redundant(spark):
     assert ranked[1] == 1          # most relevant first
     assert ranked[2] == 3          # diversity beats the clone
     assert ranked[3] in (2, 4)
+
+
+def test_random_projection_preserves_similarity_structure(spark, sf_dir):
+    """JL contract on real embeddings: projected-space cosine tracks
+    original-space cosine (strong positive rank agreement over pairs),
+    and the operator is deterministic across partitionings."""
+    from lsdm_motogp_data_integration_spark.operators.ann import (
+        random_projection,
+    )
+    from lsdm_motogp_data_integration_spark.sources import read_table
+
+    e = read_table(spark, sf_dir, "embeddings").limit(60)
+    p = random_projection(e, "embedding", out_dim=32, dim=64)
+    rows = p.select("vec_id", "embedding", "proj").collect()
+    import numpy as np
+
+    ids = [r["vec_id"] for r in rows]
+    orig = np.array([r["embedding"] for r in rows], dtype=float)
+    proj = np.array([r["proj"] for r in rows], dtype=float)
+
+    def cos(m):
+        n = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        return (n @ n.T)[np.triu_indices(len(m), 1)]
+
+    c0, c1 = cos(orig), cos(proj)
+    r = np.corrcoef(c0, c1)[0, 1]
+    assert r > 0.5, r
+    # determinism across layout
+    p2 = random_projection(
+        e.repartition(7), "embedding", out_dim=32, dim=64
+    ).select("vec_id", "proj")
+    a = {r["vec_id"]: r["proj"] for r in p2.collect()}
+    b = {r["vec_id"]: list(v) for r, v in zip(rows, proj.tolist())}
+    assert set(a) == set(b)
+    for k in a:
+        assert list(a[k]) == b[k]
+
+
+def test_random_projection_duckdb_bit_parity(spark):
+    """Raw integer sums AND rounded values replayed by the generated
+    SQL snippets match exactly."""
+    import duckdb
+
+    from lsdm_motogp_data_integration_spark.operators.ann import (
+        random_projection,
+        random_projection_sql,
+    )
+
+    vecs = [
+        (1, [0.25, -0.5, 0.125, 1.0]),
+        (2, [-0.1, 0.2, -0.3, 0.4]),
+        (3, [0.0, 0.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id bigint, v array<double>")
+    got = (
+        random_projection(
+            df, "v", out_dim=3, dim=4, raw_col="praw"
+        )
+        .select("vec_id", "praw", "proj")
+        .collect()
+    )
+    sp = {r["vec_id"]: (list(r["praw"]), list(r["proj"])) for r in got}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(vec_id BIGINT, v DOUBLE[])")
+    con.executemany("INSERT INTO t VALUES (?,?)", vecs)
+    comps = random_projection_sql("v", out_dim=3, dim=4)
+    sel = ", ".join(
+        f"{raw} AS r{i}, {val} AS p{i}" for i, (raw, val) in enumerate(comps)
+    )
+    dk = {}
+    for row in con.execute(f"SELECT vec_id, {sel} FROM t").fetchall():
+        vid = row[0]
+        dk[vid] = (
+            [row[1 + 2 * i] for i in range(3)],
+            [row[2 + 2 * i] for i in range(3)],
+        )
+    assert sp == dk
