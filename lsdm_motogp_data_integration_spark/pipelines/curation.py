@@ -63,6 +63,7 @@ def curate(
     decontam_method: str = "exact",
     pack_budget: int = 2048,
     val_fraction: float = 0.05,
+    split_group_col: str | None = None,
 ) -> dict[str, DataFrame]:
     """Run the full curation flow; returns the intermediate and final
     tables (all lazy):
@@ -80,6 +81,12 @@ def curate(
     and every downstream screen operates on the extracted visible
     text — the crawl-to-corpus entry point. Per-row Column work; adds
     no shuffle and fuses into the screen stage's scan.
+
+    ``split_group_col`` switches the train/val split to a
+    LEAKAGE-SAFE group split: the verdict hashes the group key (e.g.
+    a domain column) instead of the document id, so documents sharing
+    a group always land on the same side — the standard guard against
+    near-duplicate train/val contamination.
 
     ``url_col`` + ``url_blocklist`` (a ``pattern`` relation of blocked
     zones) prepend the crawl blocklist screen
@@ -193,16 +200,36 @@ def curate(
         partition_by=["source"] if "source" in clean.columns else None,
     )
 
-    val = stratified_sample(
-        packed,
-        "source" if "source" in packed.columns else id_col,
-        {},
-        id_col,
-        default_fraction=val_fraction,
-    )
-    train = packed.join(
-        val.select(id_col), id_col, "left_anti"
-    )
+    if split_group_col is not None:
+        # LEAKAGE-SAFE split: the val/train verdict is a function of
+        # the GROUP key (e.g. the source domain), so near-duplicate or
+        # related documents sharing a group can never straddle the
+        # split — per-document hash splits leak test-adjacent text
+        # into train whenever dedup wasn't perfect. Pure Column
+        # threshold on md5(group): no join, no shuffle, deterministic
+        # across runs/engines/layouts.
+        gkey = F.coalesce(
+            F.col(split_group_col).cast("string"), F.lit("__null__")
+        )
+        bucket = F.conv(
+            F.substring(F.md5(F.concat(F.lit("split|"), gkey)), 1, 8),
+            16,
+            10,
+        ).cast("bigint") % F.lit(1_000_000)
+        is_val = bucket < F.lit(int(round(val_fraction * 1_000_000)))
+        val = packed.filter(is_val)
+        train = packed.filter(~is_val)
+    else:
+        val = stratified_sample(
+            packed,
+            "source" if "source" in packed.columns else id_col,
+            {},
+            id_col,
+            default_fraction=val_fraction,
+        )
+        train = packed.join(
+            val.select(id_col), id_col, "left_anti"
+        )
     return {
         "screened": screened,
         "deduped": deduped,

@@ -258,3 +258,41 @@ def test_curate_url_blocklist_requires_url_col(spark):
     d = spark.createDataFrame([(1, "t", "s")], "doc_id bigint, text string, source string")
     with pytest.raises(ValueError):
         curate(d, url_blocklist=bl)
+
+
+def test_curate_group_split_is_leakage_safe(spark, sf_dir):
+    """With split_group_col, no group ever straddles train/val; the
+    split stays disjoint, exhaustive, and deterministic."""
+    from pyspark.sql import functions as F
+
+    from lsdm_motogp_data_integration_spark.pipelines.curation import curate
+    from lsdm_motogp_data_integration_spark.sources import read_table
+
+    d = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", "text", "source")
+        .limit(200)
+        .withColumn(
+            "domain",
+            F.concat(F.lit("d"), (F.col("doc_id") % 17).cast("string")),
+        )
+    )
+    out = curate(d, val_fraction=0.25, split_group_col="domain")
+    tr = out["train"].select("doc_id", "domain").collect()
+    va = out["val"].select("doc_id", "domain").collect()
+    tr_ids = {r["doc_id"] for r in tr}
+    va_ids = {r["doc_id"] for r in va}
+    packed_ids = {
+        r["doc_id"] for r in out["packed"].select("doc_id").collect()
+    }
+    assert tr_ids.isdisjoint(va_ids)
+    assert tr_ids | va_ids == packed_ids
+    tr_doms = {r["domain"] for r in tr}
+    va_doms = {r["domain"] for r in va}
+    assert tr_doms.isdisjoint(va_doms)  # the leakage-safety property
+    assert va_ids  # 0.25 over 17 domains: val is non-empty
+    # determinism
+    out2 = curate(d, val_fraction=0.25, split_group_col="domain")
+    assert {
+        r["doc_id"] for r in out2["val"].select("doc_id").collect()
+    } == va_ids

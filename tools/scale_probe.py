@@ -315,8 +315,13 @@ def main() -> None:
             ).alias("html"),
         )
         r["strip_html_s"], _ = timed(
+            # aggregate over the extracted length: a bare projection
+            # under count() is PRUNED (measures only the scan) — the
+            # sum forces the whole regex chain per row
             "strip_html",
-            html_docs.select(F.length(strip_html(F.col("html")))),
+            html_docs.select(
+                F.length(strip_html(F.col("html"))).alias("n")
+            ).agg(F.sum("n")),
         )
         # URL canonicalization: per-row regex + array HOFs
         url_docs = docs.select(
@@ -327,7 +332,10 @@ def main() -> None:
             ).alias("u")
         )
         r["normalize_url_s"], _ = timed(
-            "normalize_url", url_docs.select(normalize_url(F.col("u")))
+            "normalize_url",
+            url_docs.select(
+                F.length(normalize_url(F.col("u"))).alias("n")
+            ).agg(F.sum("n")),
         )
         # CMS build: token explode + constant-key-space aggregate —
         # the output is depth×width rows at ANY corpus size
@@ -450,6 +458,78 @@ def main() -> None:
             "stratified",
             stratified_allocate(strata, "stratum", 0.1, "doc_id"),
         )
+        # --- round-3 closeout operators ---
+        from lsdm_motogp_data_integration_spark.operators.dedup import (
+            containment_pairs,
+            shingle_sets,
+        )
+        from lsdm_motogp_data_integration_spark.operators.profile import (
+            exact_quantiles,
+        )
+        from lsdm_motogp_data_integration_spark.operators.sketches import (
+            hll_estimate,
+            hll_sketch,
+        )
+        from lsdm_motogp_data_integration_spark.operators.urls import (
+            filter_blocked_urls,
+        )
+        from lsdm_motogp_data_integration_spark.operators.ann import (
+            random_projection,
+        )
+
+        # HLL: token explode + constant-key-space MAX aggregate — the
+        # register relation is m rows at ANY corpus size
+        r["hll_s"], _ = timed(
+            "hll", hll_estimate(hll_sketch(toks, "term", m=64), m=64)
+        )
+        # exact global quantiles over the scaled events table: the
+        # distinct-value collapse + range exchange are the shuffles
+        r["quantiles_s"], _ = timed(
+            "quantiles",
+            # thunk: the offsets job collects eagerly
+            lambda: exact_quantiles(evs, "value", [0.5, 0.9, 0.99]),
+        )
+        # containment: A-prefix x full-gram-index equi-join — replicas
+        # are vocabulary-disjoint so candidates stay per-replica; the
+        # full-index explode is the linearity-risk side
+        csets = shingle_sets(docs, "text", "doc_id", k=5).persist()
+        r["containment_s"], _ = timed(
+            "containment",
+            containment_pairs(
+                docs, "text", "doc_id", k=5, threshold=0.8,
+                sets_df=csets,
+            ),
+        )
+        csets.unpersist()
+        # URL blocklist: distinct-host suffix ladder vs broadcast
+        # patterns, then the broadcast anti probe — distinct hosts
+        # scale with the corpus here (worst case for the match side)
+        bl_urls = docs.select(
+            "doc_id",
+            F.concat(
+                F.lit("https://h"),
+                (F.col("doc_id") % 997).cast("string"),
+                F.when(
+                    F.col("doc_id") % 3 == 0, F.lit(".blocked.example")
+                ).otherwise(F.lit(".clean.example")),
+                F.lit("/p/"),
+                F.col("doc_id").cast("string"),
+            ).alias("url"),
+        )
+        blp = spark.createDataFrame(
+            [("blocked.example",)], "pattern string"
+        )
+        r["urlfilter_s"], _ = timed(
+            "urlfilter", filter_blocked_urls(bl_urls, "url", blp)
+        )
+        # JL projection: pure Column HOF math — aggregate over one
+        # component so the zip_with/aggregate chain isn't pruned
+        r["rp_s"], _ = timed(
+            "rp",
+            random_projection(emb, "embedding", out_dim=8, dim=64)
+            .select(F.element_at("proj", 1).alias("p1"))
+            .agg(F.sum("p1")),
+        )
         results[scale] = r
 
     base, big = results["1x"], results[f"{replicas}x"]
@@ -483,6 +563,11 @@ def main() -> None:
         "cooccur_s",
         "scd2_s",
         "stratified_s",
+        "hll_s",
+        "quantiles_s",
+        "containment_s",
+        "urlfilter_s",
+        "rp_s",
     ):
         ratio = (big[key] / base[key]) / replicas
         print(f"  {key}: {ratio:.2f}")
