@@ -2217,7 +2217,13 @@ def q49_corpus_index_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       distinct terms and ranked by estimate. ``est`` carries the
       sketch estimate, ``tf`` the exact count — the oracle replays
       buckets → counters → min-estimates in SQL and the one-sided
-      ``est >= tf`` guarantee is visible in the checked values."""
+      ``est >= tf`` guarantee is visible in the checked values.
+    - ``oov`` (r3): per-document coverage of the min_count=2 vocab
+      (textops.vocab_coverage — explode + broadcast vocab join + one
+      doc-keyed aggregate): ``tf`` = token count, ``df`` = OOV count,
+      ``tfidf`` = OOV rate. Positive rates measure exactly the
+      truncated min_count tail — the number a tokenizer trainer
+      watches when sizing the vocabulary."""
     from lsdm_motogp_data_integration_spark.operators.sketches import (
         cms_heavy_hitters,
     )
@@ -2225,6 +2231,7 @@ def q49_corpus_index_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         build_vocab,
         learn_bpe_merges,
         ngram_stats,
+        vocab_coverage,
     )
 
     d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -2275,11 +2282,18 @@ def q49_corpus_index_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("df") >= 10)
     )
-    vocab_rows = build_vocab(d, "text", "doc_id", min_count=2).select(
+    vocab = build_vocab(d, "text", "doc_id", min_count=2)
+    vocab_rows = vocab.select(
         F.col("token").alias("term"),
         "tf",
         "df",
         F.col("vocab_id").alias("rk"),
+    )
+    oov_rows = vocab_coverage(d, vocab, "text", "doc_id").select(
+        "doc_id",
+        F.col("n_tokens").alias("tf"),
+        F.col("n_oov").alias("df"),
+        F.col("oov_rate").alias("tfidf"),
     )
     merges = learn_bpe_merges(d, "text", n_merges=8, max_words=10000)
     bpe_rows = spark.createDataFrame(
@@ -2310,6 +2324,7 @@ def q49_corpus_index_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("vocab", vocab_rows),
         ("bpe", bpe_rows),
         ("cms", cms_rows),
+        ("oov", oov_rows),
     )
 
 
@@ -6964,6 +6979,40 @@ def oracle_sql() -> dict[str, str]:
                        ) AS BIGINT) AS rk
                 FROM estq e JOIN totals t USING (term)
                 ORDER BY e.est DESC, e.term ASC LIMIT 40
+            )
+            UNION ALL
+            -- oov: per-document coverage of the min_count=2 vocab —
+            -- tf = token count, df = OOV count (corpus tf < 2),
+            -- tfidf = OOV rate; token-less docs report (0, 0, 0.0)
+            SELECT 'oov' AS scope, doc_id, NULL::VARCHAR AS term,
+                   tf, df, tfidf, NULL::BIGINT AS rk,
+                   NULL::VARCHAR AS postings, NULL::BIGINT AS est
+            FROM (
+                WITH oterms AS (
+                    SELECT doc_id, unnest(regexp_split_to_array(
+                        trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '
+                    )) AS token
+                    FROM documents
+                ), onz AS (
+                    SELECT doc_id, token FROM oterms WHERE token != ''
+                ), ovocab AS (
+                    SELECT token AS vtok FROM onz GROUP BY token
+                    HAVING COUNT(*) >= 2
+                ), per_doc AS (
+                    SELECT o.doc_id,
+                           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                           CAST(SUM(CASE WHEN v.vtok IS NULL
+                                    THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+                    FROM onz o LEFT JOIN ovocab v ON o.token = v.vtok
+                    GROUP BY 1
+                )
+                SELECT d.doc_id,
+                       COALESCE(p.n_tokens, 0) AS tf,
+                       COALESCE(p.n_oov, 0) AS df,
+                       ROUND(COALESCE(
+                           p.n_oov * 1.0 / p.n_tokens, 0.0), 6) AS tfidf
+                FROM (SELECT DISTINCT doc_id FROM documents) d
+                LEFT JOIN per_doc p USING (doc_id)
             )
         """,
     }

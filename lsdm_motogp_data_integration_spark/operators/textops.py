@@ -1062,3 +1062,63 @@ def build_vocab(
         [F.col("tf").desc(), F.col("token").asc()],
         num_partitions=num_partitions,
     )
+
+
+def vocab_coverage(
+    df,
+    vocab,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    token_col: str = "token",
+    broadcast_vocab: bool = True,
+):
+    """Per-document vocabulary coverage — the tokenizer-QA companion
+    to :func:`build_vocab`: how much of each document a given
+    vocabulary actually covers. Returns (``id_col``, ``n_tokens``,
+    ``n_oov``, ``oov_rate`` 6dp; empty documents report rate 0.0).
+
+    Tokenization matches :func:`build_vocab` exactly (lowercased
+    whitespace words, empties dropped), so ``vocab_coverage(df,
+    build_vocab(df))`` is 0-OOV by construction and any positive rate
+    against a TRUNCATED vocab measures the min_count tail — the
+    number a tokenizer trainer watches when choosing vocab size.
+
+    Scale shape: one explode + a token-keyed join against the vocab
+    (BROADCAST by default — a truncated vocabulary is
+    dimension-sized; pass ``broadcast_vocab=False`` for untruncated
+    100 TB-corpus vocabularies, where it becomes an ordinary
+    token-keyed shuffle join) + one doc-keyed aggregate."""
+    from lsdm_motogp_data_integration_spark.operators.dedup import (
+        normalized_words,
+    )
+
+    terms = df.select(
+        F.col(id_col), F.explode(normalized_words(text_col)).alias("__tok")
+    ).filter(F.col("__tok") != "")
+    v = vocab.select(
+        F.col(token_col).alias("__tok"), F.lit(True).alias("__in_vocab")
+    ).distinct()
+    if broadcast_vocab:
+        v = F.broadcast(v)
+    joined = terms.join(v, "__tok", "left")
+    per_doc = joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum(
+            F.when(F.col("__in_vocab").isNull(), 1).otherwise(0)
+        ).cast("bigint").alias("n_oov"),
+    )
+    # LEFT join back to the full doc set: an all-empty document emits
+    # no tokens and would silently vanish from a coverage report
+    base = df.select(F.col(id_col)).distinct()
+    return base.join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        F.coalesce("n_oov", F.lit(0)).alias("n_oov"),
+        F.round(
+            F.coalesce(
+                F.col("n_oov") / F.col("n_tokens"), F.lit(0.0)
+            ),
+            6,
+        ).alias("oov_rate"),
+    )

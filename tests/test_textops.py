@@ -551,3 +551,38 @@ def test_stratified_allocate_exact_quota_and_nesting(spark):
         got5.setdefault(r["lang"], set()).add(r["doc_id"])
     for lang in sizes:
         assert got5[lang] <= got10[lang]
+
+
+def test_vocab_coverage_full_vocab_zero_oov_and_truncated_tail(spark):
+    """Coverage against the corpus's own full vocab is 0-OOV by
+    construction; against a min_count=2 vocab the OOV count equals the
+    number of singleton-token occurrences; token-less docs report 0."""
+    from pyspark.sql import functions as F
+
+    from lsdm_motogp_data_integration_spark.operators.textops import (
+        build_vocab,
+        vocab_coverage,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta alpha gamma"),
+            (2, "beta beta delta"),
+            (3, "   "),
+        ],
+        "doc_id bigint, text string",
+    )
+    full = build_vocab(df, "text", "doc_id", min_count=1)
+    cov = {
+        r["doc_id"]: (r["n_tokens"], r["n_oov"], r["oov_rate"])
+        for r in vocab_coverage(df, full).collect()
+    }
+    assert cov[1] == (4, 0, 0.0) and cov[2] == (3, 0, 0.0)
+    assert cov[3] == (0, 0, 0.0)
+    # min_count=2 keeps {alpha, beta}; gamma+delta are the OOV tail
+    trunc = build_vocab(df, "text", "doc_id", min_count=2)
+    cov2 = {
+        r["doc_id"]: (r["n_tokens"], r["n_oov"])
+        for r in vocab_coverage(df, trunc).collect()
+    }
+    assert cov2[1] == (4, 1) and cov2[2] == (3, 1) and cov2[3] == (0, 0)
