@@ -9,21 +9,26 @@ reference lacks:
 - ``fuzzy``       Jaro-Winkler best-match similarity join (FuzzyMatch, §2.3)
 - ``dedup``       exact / MinHash-LSH / SimHash / n-gram-Jaccard /
                   embedding-cosine / SemDeDup deduplication + clusters
+                  + directed containment (quoted-subdocument screen)
 - ``ann``         approximate nearest-neighbor search, k-means,
-                  int8/product quantization
+                  int8/product quantization, JL random projection
 - ``textops``     language-ID, quality scoring, token counting,
                   fingerprinting, HTML→text extraction, chunking,
                   packing, sampling, span dedup, BPE training
 - ``urls``        URL canonicalization (crawl-frontier dedup keys)
+                  + zone blocklist screen (suffix-ladder equi-join)
 - ``sketches``    count-min sketch (constant-size frequency state)
-- ``graph``       PageRank (iterative link-graph ranking)
+                  + HyperLogLog (mergeable distinct-count registers)
+- ``graph``       PageRank (iterative link-graph ranking), triangles,
+                  degree stats, bipartite projection
 - ``sessions``    sessionization, tumbling windows, time-series gap fill
 - ``asof``/``ranges``  as-of join, bucketized range join
 - ``scoring``     LM perplexity filters, quality classifier, DSIR
 - ``ranking``     BM25
 - ``membership``  n-gram decontamination (exact + Bloom screen)
 - ``boilerplate`` corpus line-frequency hygiene
-- ``profile``     one-pass column profiler
+- ``profile``     one-pass column profiler, corpus diff,
+                  exact global quantiles (no global sort)
 - ``skew``        salted joins
 - ``multimodal``  binary-column (image/audio/video) plumbing
   + ``mediacodec`` pure-numpy BMP/PGM/PPM/WAV/Y4M codecs
