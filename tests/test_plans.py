@@ -346,3 +346,81 @@ def test_zorder_value_validation(spark, sf_dir):
         zorder_value(ev, ["value"])  # needs >= 2 dims
     with pytest.raises(ValueError):
         zorder_value(ev, ["user_id", "value"], bits=32)  # 64 bits > 63
+
+
+def test_random_projection_is_pure_jvm_no_shuffle(spark, sf_dir):
+    """The JL projection must stay one JVM projection over the scan —
+    no Python nodes, no exchange (the 100 TB column-rewrite plan)."""
+    from lsdm_motogp_data_integration_spark.operators.ann import (
+        random_projection,
+    )
+
+    df = random_projection(
+        read_table(spark, sf_dir, "embeddings"),
+        "embedding",
+        out_dim=8,
+        dim=64,
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Arrow" not in plan
+    assert count_exchanges(df) == 0
+
+
+def test_hll_sketch_single_constant_key_shuffle(spark, sf_dir):
+    """One exchange (the m-key register groupBy) with a partial MAX
+    below it — the map-side-combinable shape that makes the sketch
+    O(m) however large the corpus."""
+    from lsdm_motogp_data_integration_spark.operators.sketches import (
+        hll_sketch,
+    )
+
+    df = hll_sketch(
+        read_table(spark, sf_dir, "events"), "user_id", m=64
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_max" in plan  # map-side combine proven, not assumed
+
+
+def test_filter_blocked_urls_broadcasts_never_shuffles_docs(spark, sf_dir):
+    """Both joins (suffix ladder vs blocklist, doc probe vs blocked
+    hosts) must be broadcast; the document side must not exchange."""
+    from lsdm_motogp_data_integration_spark.operators.urls import (
+        filter_blocked_urls,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("https://h"),
+            (F.col("doc_id") % 97).cast("string"),
+            F.lit(".example.net/p"),
+        ).alias("url"),
+    )
+    bl = spark.createDataFrame([("example.net",)], "pattern string")
+    out = filter_blocked_urls(docs, "url", bl)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # exchanges are allowed only on the NARROW relations (distinct
+    # hosts, distinct blocklist patterns) — never a hashpartitioning
+    # of doc rows on url/doc columns
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "__host" in m.group(1) or "__sfx" in m.group(1), m.group(0)
+
+
+def test_containment_no_cartesian_gram_equijoin(spark, sf_dir):
+    """Containment candidates must come from a gram equi-join — no
+    cartesian/nested-loop anywhere in the plan."""
+    from lsdm_motogp_data_integration_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    df = containment_pairs(docs, "text", "doc_id", k=5, threshold=0.8)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
