@@ -801,12 +801,18 @@ def q22_text_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "nll", "ppl", "ppl_rank", "ppl_bucket"
     )
     lm2 = bigram_nll(d).select("doc_id", "nll2", "ppl2")
+    from lsdm_motogp_data_integration_spark.operators.textops import (
+        char_entropy,
+    )
+
+    ent = char_entropy(d).select("doc_id", "n_chars", "char_entropy")
     out = (
         base.join(rep, "doc_id", "inner")
         .join(bg_share, "doc_id", "left")
         .join(lm, "doc_id", "inner")
         # LEFT: 1-token docs have no transitions, nll2/ppl2 stay NULL
         .join(lm2, "doc_id", "left")
+        .join(ent, "doc_id", "inner")
         .withColumn(
             "top_bigram_share",
             F.coalesce(F.col("top_bigram_share"), F.lit(0.0)),
@@ -3088,15 +3094,45 @@ def q63_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_lines_kept",
         "n_lines_removed",
     )
+    # dupfrac (r3): Gopher intra-document duplicate-line fractions
+    # (boilerplate.dup_line_stats) — every 4th doc re-appends its
+    # FIRST content line, so those docs carry a known positive
+    # duplicate fraction the oracle recomputes exactly
+    from lsdm_motogp_data_integration_spark.operators.boilerplate import (
+        dup_line_stats,
+    )
+
+    first_line = F.concat_ws(" ", F.slice(words, 1, 8))
+    duped = d.select(
+        "doc_id",
+        F.concat(
+            header,
+            content,
+            footer,
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.concat(F.lit("\n"), first_line),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    dupfrac = dup_line_stats(duped, "text", "doc_id").select(
+        "doc_id",
+        F.col("n_lines").alias("n_lines_kept"),
+        "dup_line_frac",
+        "dup_char_frac",
+    )
     return _suite_union(
         [
             ("doc_id", "bigint"),
             ("cleaned_text", "string"),
             ("n_lines_kept", "bigint"),
             ("n_lines_removed", "bigint"),
+            ("dup_line_frac", "double"),
+            ("dup_char_frac", "double"),
         ],
         ("boilerplate", boiler),
         ("linededup", linededup),
+        ("dupfrac", dupfrac),
     )
 
 
@@ -4774,6 +4810,35 @@ def oracle_sql() -> dict[str, str]:
                        ROUND(MAX(cnt) * 1.0 / SUM(cnt), 6)
                            AS top_bigram_share
                 FROM bg_counts GROUP BY doc_id
+            ), chars AS (
+                -- textops.char_entropy: per-character counts, the
+                -- Sigma c*ln(c) decimal-quantized for order
+                -- independence, entropy = ln(n) - Sigma/n, portable
+                -- floor-based 6dp rounding
+                SELECT d.doc_id, substr(d.text, t.i, 1) AS ch
+                FROM documents d, LATERAL (
+                    SELECT unnest(generate_series(1, length(d.text))) AS i
+                ) t
+                WHERE length(d.text) >= 1
+            ), char_counts AS (
+                SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY 1, 2
+            ), entq AS (
+                SELECT doc_id,
+                       CAST(SUM(c) AS BIGINT) AS n_chars,
+                       CAST(SUM(CAST(
+                           CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+                           AS DECIMAL(18,6))) AS DOUBLE) AS clnc
+                FROM char_counts GROUP BY 1
+            ), entropy AS (
+                SELECT d.doc_id,
+                       COALESCE(e.n_chars, 0) AS n_chars,
+                       COALESCE(
+                           FLOOR((ln(CAST(e.n_chars AS DOUBLE))
+                                  - e.clnc / CAST(e.n_chars AS DOUBLE))
+                                 * 1e6 + 0.5) / 1e6,
+                           0.0) AS char_entropy
+                FROM (SELECT DISTINCT doc_id FROM documents) d
+                LEFT JOIN entq e USING (doc_id)
             )
             SELECT tok.doc_id, tok.n_tokens, tok.n_subtokens,
                    qual.quality, lang.pred_lang,
@@ -4784,6 +4849,7 @@ def oracle_sql() -> dict[str, str]:
                        AS top_bigram_share,
                    lmb.nll, lmb.ppl, lmb.ppl_rank, lmb.ppl_bucket,
                    lm2.nll2, lm2.ppl2,
+                   entropy.n_chars, entropy.char_entropy,
                    (tok.n_tokens >= 50 AND tok.n_tokens <= 100000
                     AND gopher.mean_word_len >= 3.0
                     AND gopher.mean_word_len <= 10.0
@@ -4800,6 +4866,7 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN bg_share USING (doc_id)
             JOIN lmb USING (doc_id)
             LEFT JOIN lm2 USING (doc_id)
+            JOIN entropy USING (doc_id)
         """,
         "q26_ann_suite": _ANN_SUITE_SQL,
         "q68_embedding_clusters": _KMEANS_SQL,
@@ -5978,15 +6045,55 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(r.cleaned, '') AS cleaned_text,
                    CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_lines_kept,
                    CAST(t.n_total - COALESCE(r.n_kept, 0) AS BIGINT)
-                       AS n_lines_removed
+                       AS n_lines_removed,
+                   NULL::DOUBLE AS dup_line_frac,
+                   NULL::DOUBLE AS dup_char_frac
             FROM totals t LEFT JOIN rebuilt r USING (doc_id)
             UNION ALL
             SELECT 'linededup' AS scope, t.doc_id,
                    COALESCE(r.cleaned, '') AS cleaned_text,
                    CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_lines_kept,
                    CAST(t.n_total - COALESCE(r.n_kept, 0) AS BIGINT)
-                       AS n_lines_removed
+                       AS n_lines_removed,
+                   NULL::DOUBLE AS dup_line_frac,
+                   NULL::DOUBLE AS dup_char_frac
             FROM totals t LEFT JOIN rebuilt2 r USING (doc_id)
+            UNION ALL
+            -- dupfrac: Gopher intra-doc duplicate-line fractions over
+            -- the corpus with the 4th-doc first-line re-append
+            SELECT 'dupfrac' AS scope, doc_id,
+                   NULL::VARCHAR AS cleaned_text,
+                   n_lines AS n_lines_kept,
+                   NULL::BIGINT AS n_lines_removed,
+                   dup_line_frac, dup_char_frac
+            FROM (
+                WITH duped_text AS (
+                    SELECT lt.doc_id,
+                           lt.text || CASE WHEN lt.doc_id % 4 = 0
+                               THEN chr(10) || array_to_string(
+                                   d.words[1:8], ' ')
+                               ELSE '' END AS text
+                    FROM lined_text lt JOIN docs d USING (doc_id)
+                ), dlines AS (
+                    SELECT doc_id, arr[t.i] AS line
+                    FROM (SELECT doc_id,
+                                 string_split(text, chr(10)) AS arr
+                          FROM duped_text),
+                         UNNEST(generate_series(1, len(arr))) AS t(i)
+                    WHERE trim(arr[t.i]) != ''
+                ), dl_counts AS (
+                    SELECT doc_id, line, COUNT(*) AS c,
+                           length(line) AS ln
+                    FROM dlines GROUP BY 1, 2
+                )
+                SELECT doc_id,
+                       CAST(SUM(c) AS BIGINT) AS n_lines,
+                       ROUND(SUM(c - 1) * 1.0 / SUM(c), 6)
+                           AS dup_line_frac,
+                       ROUND(SUM((c - 1) * ln) * 1.0 / SUM(c * ln), 6)
+                           AS dup_char_frac
+                FROM dl_counts GROUP BY 1
+            )
         """,
         "q64_bm25": """
             WITH docs AS (

@@ -192,3 +192,58 @@ def dedup_lines_keep_first(
             .alias("n_lines_removed"),
         )
     )
+
+
+def dup_line_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gopher-style intra-document duplicate-line signals (Rae et al.
+    2021, Table A1 repetition rules): per document,
+
+    - ``n_lines``: non-empty lines;
+    - ``dup_line_frac``: occurrences beyond the first of any repeated
+      line, over all lines (the "fraction of duplicate lines" rule —
+      Gopher drops docs above 0.30);
+    - ``dup_char_frac``: the same fraction weighted by line length
+      (the "fraction of characters in duplicate lines" rule, 0.20).
+
+    Both 6dp-rounded; documents with no non-empty lines report
+    (0, 0.0, 0.0).
+
+    Scale shape: one explode + ONE doc-and-line-keyed aggregate +
+    one doc-keyed rollup — all shuffle keys carry the doc id, so
+    work never leaves the document (contrast
+    :func:`remove_boilerplate_lines`, whose frequency table is
+    corpus-global). Exact integer counts until the final division."""
+    lines = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), "\n")).alias("__line"),
+    ).filter(F.trim(F.col("__line")) != "")
+    per_line = lines.groupBy(id_col, "__line").agg(
+        F.count(F.lit(1)).alias("__c"),
+        F.length(F.col("__line")).alias("__len"),
+    )
+    per_doc = per_line.groupBy(id_col).agg(
+        F.sum("__c").cast("bigint").alias("n_lines"),
+        F.sum(F.col("__c") - 1).cast("bigint").alias("__dup"),
+        F.sum(F.col("__c") * F.col("__len")).cast("bigint").alias("__chars"),
+        F.sum((F.col("__c") - 1) * F.col("__len"))
+        .cast("bigint")
+        .alias("__dupchars"),
+    )
+    base = df.select(F.col(id_col)).distinct()
+    return base.join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+        F.round(
+            F.coalesce(F.col("__dup") / F.col("n_lines"), F.lit(0.0)), 6
+        ).alias("dup_line_frac"),
+        F.round(
+            F.coalesce(
+                F.col("__dupchars") / F.col("__chars"), F.lit(0.0)
+            ),
+            6,
+        ).alias("dup_char_frac"),
+    )

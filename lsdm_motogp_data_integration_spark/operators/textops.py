@@ -1122,3 +1122,60 @@ def vocab_coverage(
             6,
         ).alias("oov_rate"),
     )
+
+
+def char_entropy(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Per-document Shannon entropy over CHARACTERS (nats) — the
+    compression-style quality signal (low entropy = repetitive
+    machine noise, near-uniform entropy = encrypted/binary junk;
+    natural prose sits in a recognizable band). Used where a zlib
+    ratio would be (RefinedWeb-style entropy screens) but computed
+    exactly in BOTH engines — no codec, fully SQL-replayable.
+
+    Returns (``id_col``, ``n_chars``, ``char_entropy``): entropy =
+    ln(n) − (Σ c·ln c)/n over per-character counts c, the Σ
+    decimal-quantized (DECIMAL(18,6) per term) so the reduction is
+    order-independent, then the repo's portable positive 6dp rounding.
+    Character-less documents report (0, 0.0).
+
+    Scale shape: one char explode + a (doc, char)-keyed aggregate +
+    a doc-keyed rollup — all shuffle keys carry the doc id. The
+    explode is O(total chars); at 100 TB that is the same cardinality
+    every tokenizing pass already handles."""
+    t = F.col(text_col)
+    idx = F.when(
+        F.length(t) >= 1, F.sequence(F.lit(1), F.length(t))
+    ).otherwise(F.expr("CAST(array() AS ARRAY<INT>)"))
+    chars = df.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(idx, lambda i: t.substr(i, F.lit(1)))
+        ).alias("__ch"),
+    )
+    per_char = chars.groupBy(id_col, "__ch").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    per_doc = per_char.groupBy(id_col).agg(
+        F.sum("__c").cast("bigint").alias("n_chars"),
+        F.sum(
+            (F.col("__c").cast("double") * F.log(F.col("__c").cast("double")))
+            .cast("decimal(18,6)")
+        )
+        .cast("double")
+        .alias("__clnc"),
+    )
+    ent = F.log(F.col("n_chars").cast("double")) - F.col("__clnc") / F.col(
+        "n_chars"
+    ).cast("double")
+    # portable positive 6dp rounding (entropy >= 0)
+    ent6 = F.floor(ent * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    base = df.select(F.col(id_col)).distinct()
+    return base.join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("n_chars", F.lit(0)).alias("n_chars"),
+        F.coalesce(ent6, F.lit(0.0)).alias("char_entropy"),
+    )

@@ -159,3 +159,42 @@ def test_rrf_fuse_hand_computed(spark):
     }
     # doc 2 (in both) beats doc 1 (rank-1 in one list only)
     assert got[2] > got[1]
+
+
+def test_dup_line_stats_hand_computed(spark):
+    """4 lines, one repeated twice: dup frac = 1/4; char weighting
+    follows line lengths; line-free docs report zeros."""
+    from lsdm_motogp_data_integration_spark.operators.boilerplate import (
+        dup_line_stats,
+    )
+
+    text = "aaaa\nbb\naaaa\ncccccc"  # 'aaaa' x2 (len 4), bb (2), cccccc (6)
+    df = spark.createDataFrame(
+        [(1, text), (2, "x\ny"), (3, "  \n ")],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_lines"], r["dup_line_frac"], r["dup_char_frac"])
+        for r in dup_line_stats(df).collect()
+    }
+    # doc 1: 4 lines, 1 duplicate occurrence; chars = 4+4+2+6 = 16,
+    # dup chars = 4 -> 0.25
+    assert got[1] == (4, 0.25, 0.25)
+    assert got[2] == (2, 0.0, 0.0)
+    assert got[3] == (0, 0.0, 0.0)
+
+
+def test_dup_line_stats_triple_repeat_weighting(spark):
+    """A line occurring 3x contributes 2 duplicate occurrences; the
+    char fraction diverges from the line fraction when lengths vary."""
+    from lsdm_motogp_data_integration_spark.operators.boilerplate import (
+        dup_line_stats,
+    )
+
+    text = "longlongline\nlonglongline\nlonglongline\nab"
+    df = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+    r = dup_line_stats(df).first()
+    assert r["n_lines"] == 4
+    assert r["dup_line_frac"] == 0.5  # 2 of 4
+    # chars: 3*12 + 2 = 38; dup chars = 2*12 = 24
+    assert r["dup_char_frac"] == round(24 / 38, 6)

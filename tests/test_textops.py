@@ -586,3 +586,26 @@ def test_vocab_coverage_full_vocab_zero_oov_and_truncated_tail(spark):
         for r in vocab_coverage(df, trunc).collect()
     }
     assert cov2[1] == (4, 1) and cov2[2] == (3, 1) and cov2[3] == (0, 0)
+
+
+def test_char_entropy_hand_computed(spark):
+    """'aabb' -> ln(4) - (2·ln2·2)/4 = ln2; uniform 1-char doc -> 0;
+    empty -> (0, 0.0)."""
+    import math
+
+    from lsdm_motogp_data_integration_spark.operators.textops import (
+        char_entropy,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "aabb"), (2, "zzzz"), (3, "")],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_chars"], r["char_entropy"])
+        for r in char_entropy(df).collect()
+    }
+    assert got[1][0] == 4
+    assert abs(got[1][1] - math.log(2)) < 2e-6
+    assert got[2] == (4, 0.0)
+    assert got[3] == (0, 0.0)
