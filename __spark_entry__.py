@@ -857,6 +857,12 @@ def q26_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       unrolls all 4 greedy rounds as CTEs over the same 6dp-rounded
       sims, so the entire selection TRACE must match, not just the
       final set.
+    - ``pq`` (r3): PQ-compressed ADC search (operators/ann.pq_topk,
+      Jégou et al. 2011 query path) — queries scored against the
+      RECONSTRUCTED corpus (2×8 codes, same sample-bounded Lloyd
+      chains as q69's pq scope): the scan side reads 2 small ints per
+      vector, never the raw floats. The oracle replays both subspace
+      trainings, every code, the decode, and the full ranking.
 
     Ranking everywhere is on 6-decimal-rounded cosine with an id
     tie-break (cross-engine float convention, q26 r1)."""
@@ -892,10 +898,17 @@ def q26_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, queries_df, "embedding", "vec_id", "query_id", "query_vec",
         pool=12, k=5, lam=0.5, pool_df=pool12,
     ).withColumn("method", F.lit("mmr"))
+    from lsdm_motogp_data_integration_spark.operators.ann import pq_topk
+
+    pq = pq_topk(
+        e, queries_df, "embedding", "vec_id", "query_id", "query_vec",
+        k=5, n_subspaces=2, n_codes=8, n_iters=2, train_sample=256,
+    ).withColumn("method", F.lit("pq"))
     return (
         exact.unionByName(lsh)
         .unionByName(ivf)
         .unionByName(mmr)
+        .unionByName(pq)
         .select(*cols)
     )
 
@@ -4220,7 +4233,59 @@ _ANN_SUITE_SQL = f"""
         JOIN qemb qe ON qe.vec_id = p.query_id
         JOIN qemb ne ON ne.vec_id = p.neighbor_id
     ),
-    {_mmr_iters_sql(5, 0.5, 12)}
+    {_mmr_iters_sql(5, 0.5, 12)},
+    -- pq tier (ADC): per-subspace Lloyd chains (same bound/params as
+    -- q69's pq scope), integer-grid argmax codes, decode =
+    -- concatenated codewords, cosine of each query against the
+    -- DECODED corpus on the engine-wide 6dp + id-tie-break convention
+    pqsub0 AS (
+        SELECT vec_id, v[1:32] AS embedding FROM qemb
+    ), pqsub1 AS (
+        SELECT vec_id, v[33:64] AS embedding FROM qemb
+    ),
+    {_lloyd_ctes(2, 8, dim=32, train_sample=256,
+                 source="pqsub0", prefix="p0")},
+    {_lloyd_ctes(2, 8, dim=32, train_sample=256,
+                 source="pqsub1", prefix="p1")},
+    pqasn0 AS (
+        SELECT vec_id, cell AS code FROM (
+            SELECT e.vec_id, k.cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_dot_product(e.qv, {_QC}) DESC,
+                                k.cell ASC
+                   ) AS rn
+            FROM p0qemb e CROSS JOIN p0c2 k
+        ) WHERE rn = 1
+    ), pqasn1 AS (
+        SELECT vec_id, cell AS code FROM (
+            SELECT e.vec_id, k.cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_dot_product(e.qv, {_QC}) DESC,
+                                k.cell ASC
+                   ) AS rn
+            FROM p1qemb e CROSS JOIN p1c2 k
+        ) WHERE rn = 1
+    ), pqrecon AS (
+        SELECT a0.vec_id, list_concat(k0.c, k1.c) AS rv
+        FROM pqasn0 a0
+        JOIN pqasn1 a1 USING (vec_id)
+        JOIN p0c2 k0 ON k0.cell = a0.code
+        JOIN p1c2 k1 ON k1.cell = a1.code
+    ), pq_ranked AS (
+        SELECT 'pq' AS method, query_id, neighbor_id, cosine,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id ASC
+               ) AS BIGINT) AS "rank"
+        FROM (
+            SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
+                   ROUND(list_cosine_similarity(q.v, r.rv), 6) AS cosine
+            FROM pqrecon r JOIN qemb q ON q.vec_id < 5
+            WHERE r.vec_id != q.vec_id
+        )
+    )
     SELECT method, query_id, neighbor_id, cosine, "rank" FROM exact_ranked
     WHERE "rank" <= 5
     UNION ALL
@@ -4233,6 +4298,9 @@ _ANN_SUITE_SQL = f"""
     SELECT 'mmr' AS method, query_id, neighbor_id, cosine,
            mmr_rank AS "rank"
     FROM msel5
+    UNION ALL
+    SELECT method, query_id, neighbor_id, cosine, "rank" FROM pq_ranked
+    WHERE "rank" <= 5
 """
 
 _KMEANS_SQL = f"""

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -493,6 +493,83 @@ def quantize_embeddings(
     )
 
 
+def _pq_fit(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_subspaces: int,
+    n_codes: int,
+    n_iters: int,
+    train_sample: int | None,
+) -> tuple[list[np.ndarray], int]:
+    """Fit one spherical-k-means codebook per contiguous subspace
+    (shared :func:`_train_centroids` — sample-bounded, deterministic).
+    Returns ``(books, subdim)``; raises on an empty corpus or a dim
+    not divisible by ``n_subspaces``."""
+    first = df.select(vec_col).limit(1).collect()
+    if not first:
+        raise ValueError("pq fit needs a non-empty corpus")
+    dim = len(first[0][0])
+    if dim % n_subspaces:
+        raise ValueError(
+            f"vector dim {dim} not divisible by n_subspaces={n_subspaces}"
+        )
+    subdim = dim // n_subspaces
+    books: list[np.ndarray] = []
+    for s in range(n_subspaces):
+        sub = df.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), s * subdim + 1, subdim).alias(vec_col),
+        )
+        books.append(
+            _train_centroids(
+                sub, vec_col, id_col, n_codes, n_iters, train_sample
+            )
+        )
+    return books, subdim
+
+
+def _pq_encode_udf(qbooks: list[np.ndarray], subdim: int):
+    """Arrow-vectorized PQ encoder over PRE-quantized codebooks: per
+    subspace one integer-exact matmul + argmax (first-index tie-break
+    == ORDER BY sim DESC, code ASC)."""
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def encode(vecs: pd.Series) -> pd.Series:
+        v = np.vstack([np.asarray(x, dtype=np.float64) for x in vecs])
+        qv = _quantize(v)
+        codes = np.empty((len(v), len(qbooks)), dtype=np.int32)
+        for s, qb in enumerate(qbooks):
+            sims = qv[:, s * subdim : (s + 1) * subdim] @ qb.T
+            codes[:, s] = np.argmax(sims, axis=1)
+        return pd.Series(list(codes))
+
+    return encode
+
+
+def _pq_book_literals(books: list[np.ndarray]) -> list[Column]:
+    """The decoded-approximation lookup: each subspace codebook as an
+    O(n_codes × subdim) JVM array literal — decode is ``element_at``,
+    no second Python pass."""
+    return [
+        F.array(
+            *[F.array(*[F.lit(float(x)) for x in row]) for row in b]
+        )
+        for b in books
+    ]
+
+
+def _pq_recon(book_lits: list[Column]) -> Column:
+    """Reconstructed dim-wide vector from a ``__codes`` column: the
+    per-subspace codeword lookups concatenated back together."""
+    return F.concat(
+        *[
+            F.element_at(book_lits[s], F.col("__codes").getItem(s) + 1)
+            for s in range(len(book_lits))
+        ]
+    )
+
+
 def pq_quantize(
     df: DataFrame,
     vec_col: str,
@@ -534,61 +611,17 @@ def pq_quantize(
     recon_sim DOUBLE). Vectors whose length is not divisible by
     ``n_subspaces`` are a caller error (raises ValueError)."""
     df = _drop_null_vecs(df, vec_col)
-    first = df.select(vec_col).limit(1).collect()
-    if not first:
-        raise ValueError("pq_quantize needs a non-empty corpus")
-    dim = len(first[0][0])
-    if dim % n_subspaces:
-        raise ValueError(
-            f"vector dim {dim} not divisible by n_subspaces={n_subspaces}"
-        )
-    subdim = dim // n_subspaces
-    books: list[np.ndarray] = []
-    for s in range(n_subspaces):
-        sub = df.select(
-            F.col(id_col),
-            F.slice(F.col(vec_col), s * subdim + 1, subdim).alias(vec_col),
-        )
-        books.append(
-            _train_centroids(
-                sub, vec_col, id_col, n_codes, n_iters, train_sample
-            )
-        )
-    qbooks = [_quantize(b) for b in books]
-
-    @F.pandas_udf(T.ArrayType(T.IntegerType()))
-    def encode(vecs: pd.Series) -> pd.Series:
-        v = np.vstack([np.asarray(x, dtype=np.float64) for x in vecs])
-        qv = _quantize(v)
-        codes = np.empty((len(v), len(qbooks)), dtype=np.int32)
-        for s, qb in enumerate(qbooks):
-            sims = qv[:, s * subdim : (s + 1) * subdim] @ qb.T
-            codes[:, s] = np.argmax(sims, axis=1)
-        return pd.Series(list(codes))
-
-    # decoded approximation as a JVM literal lookup: element_at into the
-    # O(n_subspaces × n_codes × subdim) codebook literal, concatenated
-    # back to a dim-wide array — no second Python pass for the report
-    book_lits = [
-        F.array(
-            *[
-                F.array(*[F.lit(float(x)) for x in row])
-                for row in books[s]
-            ]
-        )
-        for s in range(n_subspaces)
-    ]
+    books, subdim = _pq_fit(
+        df, vec_col, id_col, n_subspaces, n_codes, n_iters, train_sample
+    )
+    encode = _pq_encode_udf([_quantize(b) for b in books], subdim)
+    book_lits = _pq_book_literals(books)
     coded = df.select(
         F.col(id_col),
         F.col(vec_col).alias("__v"),
         encode(F.col(vec_col)).alias("__codes"),
     )
-    recon = F.concat(
-        *[
-            F.element_at(book_lits[s], F.col("__codes").getItem(s) + 1)
-            for s in range(n_subspaces)
-        ]
-    )
+    recon = _pq_recon(book_lits)
     v = F.transform(F.col("__v"), lambda x: x.cast("double"))
     sim = F.round(
         F.try_divide(
@@ -602,6 +635,65 @@ def pq_quantize(
             F.transform(F.col("__codes"), lambda c: c.cast("string")), ","
         ).alias("codes"),
         sim.alias("recon_sim"),
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_id_col: str,
+    query_vec_col: str,
+    *,
+    k: int = 10,
+    n_subspaces: int = 2,
+    n_codes: int = 8,
+    n_iters: int = 2,
+    train_sample: int | None = None,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """PQ-compressed top-k search (the ADC query path of Jégou et al.
+    2011): score each query against the RECONSTRUCTED corpus — the
+    per-subspace codeword lookup concatenated back to a dim-wide
+    vector — instead of the raw floats. dot(q, decode(c)) =
+    Σ_s dot(q_s, book_s[c_s]), i.e. asymmetric distance computation;
+    expressing it as decode-then-dot keeps the whole scoring JVM-side
+    against the O(n_subspaces × n_codes × dim) broadcast codebook
+    literal.
+
+    Why it matters at 100 TB: the scan side reads ``n_subspaces``
+    SMALL INTEGERS per vector (the stored PQ codes; 2 bytes here vs
+    512 for float64×64) — the scored corpus never touches the original
+    embedding bytes, so a compressed-only replica serves search.
+    Approximate: quality bounded by reconstruction error (recall floor
+    pinned in tests vs the exact scan).
+
+    Output (query_id, neighbor_id, cosine, rank) — the cosine is
+    against the decoded vector, on the engine-wide 6dp + id-tie-break
+    convention (shared :func:`_score_and_rank`), so the whole tier is
+    SQL-replayable via the same Lloyd-chain CTEs that replay
+    :func:`pq_quantize`."""
+    corpus = _drop_null_vecs(corpus, vec_col)
+    books, subdim = _pq_fit(
+        corpus, vec_col, id_col, n_subspaces, n_codes, n_iters, train_sample
+    )
+    encode = _pq_encode_udf([_quantize(b) for b in books], subdim)
+    book_lits = _pq_book_literals(books)
+    coded = corpus.select(
+        F.col(id_col), encode(F.col(vec_col)).alias("__codes")
+    )
+    c = coded.withColumn("__recon", _pq_recon(book_lits)).withColumn(
+        "__cn", norm_expr(F.col("__recon"))
+    )
+    q = _drop_null_vecs(queries, query_vec_col).withColumn(
+        "__qn", norm_expr(F.col(query_vec_col))
+    )
+    pairs = c.crossJoin(F.broadcast(q))
+    if exclude_self:
+        pairs = pairs.filter(F.col(id_col) != F.col(query_id_col))
+    return _score_and_rank(
+        pairs, id_col, query_id_col, "__recon", query_vec_col, k
     )
 
 

@@ -389,3 +389,89 @@ def test_random_projection_duckdb_bit_parity(spark):
             [row[2 + 2 * i] for i in range(3)],
         )
     assert sp == dk
+
+
+def test_pq_topk_beats_random_and_is_deterministic(spark, sf_dir):
+    """The synthetic embeddings are near-random in 64 dims —
+    incompressible, so PQ reconstruction is poor BY CONSTRUCTION
+    (recon_sim ~0.3 at 2x8; measured) and top-5 recall is bounded
+    accordingly. Assert the tier still beats random ranking by an
+    order of magnitude, and that results are layout-deterministic."""
+    from lsdm_motogp_data_integration_spark.operators.ann import (
+        cosine_topk,
+        pq_topk,
+    )
+    from lsdm_motogp_data_integration_spark.sources import read_table
+
+    e = read_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    exact = cosine_topk(
+        e, q, "embedding", "vec_id", "query_id", "query_vec", k=5
+    )
+    kw = dict(n_subspaces=2, n_codes=8, n_iters=2, train_sample=256)
+    approx = pq_topk(
+        e, q, "embedding", "vec_id", "query_id", "query_vec", k=5, **kw
+    )
+    ex = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    ap1 = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in approx.collect()
+    }
+    recall = len(ex & {(a, b) for a, b, _ in ap1}) / len(ex)
+    # random top-5 of a 500-2000 vector corpus recalls ~1%; 2x8 PQ on
+    # incompressible data measured ~12% — assert well above chance
+    assert recall >= 0.04, recall
+    ap2 = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in pq_topk(
+            e.repartition(7), q, "embedding", "vec_id", "query_id",
+            "query_vec", k=5, **kw
+        ).collect()
+    }
+    assert ap1 == ap2
+
+
+def test_pq_topk_high_recall_on_clustered_data(spark):
+    """On data WITH structure (10 tight clusters — the regime PQ is
+    built for) ADC search must return neighbors from the QUERY'S OWN
+    cluster (purity ~1.0). Note exact top-5 overlap is NOT the right
+    assertion here: members of a tight cluster decode to near-identical
+    reconstructions, so within-cluster order falls to the id
+    tie-break — PQ resolves clusters, not intra-cluster rank."""
+    import numpy as np
+
+    from lsdm_motogp_data_integration_spark.operators.ann import (
+        cosine_topk,
+        pq_topk,
+    )
+
+    rng = np.random.RandomState(7)
+    centers = rng.randn(10, 64)
+    rows = []
+    for i in range(300):
+        c = centers[i % 10]
+        rows.append(
+            (i, (c + 0.05 * rng.randn(64)).astype(float).tolist())
+        )
+    e = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    exact = cosine_topk(
+        e, q, "embedding", "vec_id", "query_id", "query_vec", k=5
+    )
+    approx = pq_topk(
+        e, q, "embedding", "vec_id", "query_id", "query_vec",
+        k=5, n_subspaces=4, n_codes=16, n_iters=3, train_sample=300,
+    )
+    ex = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    ap = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    # exact neighbors of query q are its cluster (ids = q mod 10) —
+    # sanity-check the ground truth, then assert approx purity
+    assert all(a % 10 == q % 10 for q, a in ex)
+    purity = sum(1 for q, a in ap if a % 10 == q % 10) / len(ap)
+    assert purity >= 0.9, purity
