@@ -1876,11 +1876,19 @@ def q43_statistics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       collapse, range partitions, O(#partitions) offsets; the 100 TB
       path where ``F.percentile``'s per-group sort and
       ``percentile_approx``'s sketch both fall short). Value at rank
-      ceil(q·n), oracle-replayed by a transparent ROW_NUMBER scan."""
+      ceil(q·n), oracle-replayed by a transparent ROW_NUMBER scan.
+    - ``hist_q`` (r3): the MERGEABLE quantile path
+      (sketches.histogram_sketch/histogram_quantile — ≤ n_bins counter
+      rows, counter-addition merge like the CMS): estimates are the
+      upper edge of the first bin reaching rank ceil(q·n), within one
+      bin width of the exact value by construction; the oracle replays
+      bins, cumulative counts, and edges exactly."""
     from lsdm_motogp_data_integration_spark.operators.profile import (
         exact_quantiles,
     )
     from lsdm_motogp_data_integration_spark.operators.sketches import (
+        histogram_quantile,
+        histogram_sketch,
         hll_estimate,
         hll_sketch,
     )
@@ -1892,6 +1900,13 @@ def q43_statistics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         group_cols=("event_type",),
     )
     gq = exact_quantiles(ev, "value", [0.25, 0.5, 0.9, 0.99])
+    hq = histogram_quantile(
+        histogram_sketch(ev, "value", lo=0.0, hi=500.0, n_bins=100),
+        [0.5, 0.9, 0.99],
+        lo=0.0,
+        hi=500.0,
+        n_bins=100,
+    )
     g = ev.groupBy("event_type").agg(
         F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
         F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
@@ -1977,6 +1992,7 @@ def q43_statistics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("approx", ap),
         ("hll_sketch", hl),
         ("global_q", gq),
+        ("hist_q", hq),
     )
 
 
@@ -5735,6 +5751,41 @@ def oracle_sql() -> dict[str, str]:
                        CAST(MIN(s.nn) AS BIGINT) AS n
                 FROM s, (VALUES (0.25), (0.5), (0.9), (0.99)) qv(q)
                 WHERE s.rn >= CEIL(CAST(qv.q AS DECIMAL(18,9)) * s.nn)
+                GROUP BY qv.q
+            )
+            UNION ALL
+            -- hist_q: fixed-grid histogram sketch (100 bins over
+            -- [0, 500)) — estimate = upper edge of the first bin whose
+            -- cumulative count reaches rank ceil(q*n)
+            SELECT 'hist_q' AS scope, NULL::VARCHAR AS event_type,
+                   NULL::DOUBLE AS p50, NULL::DOUBLE AS p90,
+                   n, NULL::DOUBLE AS vmin, NULL::DOUBLE AS vmax,
+                   NULL::DOUBLE AS mean, NULL::DOUBLE AS stddev,
+                   NULL::BOOLEAN AS hll_ok,
+                   NULL::DOUBLE AS approx_median,
+                   NULL::BIGINT AS hll_v, NULL::BIGINT AS hll_s,
+                   NULL::BIGINT AS hll_reg_sum, NULL::DOUBLE AS hll_est,
+                   q, qvalue
+            FROM (
+                WITH hb AS (
+                    SELECT GREATEST(CAST(0 AS BIGINT), LEAST(
+                               CAST(99 AS BIGINT),
+                               CAST(FLOOR((value - 0.0) / 5.0) AS BIGINT)
+                           )) AS bin,
+                           COUNT(*) AS cnt
+                    FROM events WHERE value IS NOT NULL GROUP BY 1
+                ), cum AS (
+                    SELECT bin,
+                           SUM(cnt) OVER (ORDER BY bin) AS c,
+                           SUM(cnt) OVER () AS nn
+                    FROM hb
+                )
+                SELECT qv.q,
+                       0.0 + CAST(MIN(cum.bin) + 1 AS DOUBLE) * 5.0
+                           AS qvalue,
+                       CAST(MIN(cum.nn) AS BIGINT) AS n
+                FROM cum, (VALUES (0.5), (0.9), (0.99)) qv(q)
+                WHERE cum.c >= CEIL(CAST(qv.q AS DECIMAL(18,9)) * cum.nn)
                 GROUP BY qv.q
             )
         """,

@@ -373,3 +373,118 @@ def cms_heavy_hitters(
     return ranked.select(
         "term", "est", F.row_number().over(w).cast("bigint").alias("rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-grid histogram — mergeable quantile sketch
+# ---------------------------------------------------------------------------
+
+
+def histogram_sketch(
+    df: DataFrame,
+    value_col: str,
+    *,
+    lo: float,
+    hi: float,
+    n_bins: int = 128,
+    group_cols: tuple[str, ...] | list[str] = (),
+) -> DataFrame:
+    """Fixed-grid histogram over ``[lo, hi)``: ``(group_cols..., bin,
+    cnt)`` with at most ``n_bins`` rows per group — the MERGEABLE
+    quantile state (merge = counter addition, same contract as the
+    CMS), where :func:`profile.exact_quantiles` is the exact batch
+    path. Values outside the range clamp into the end bins (their
+    quantile estimates degrade to the range edge — pick lo/hi from
+    domain knowledge or a prior exact profile). NULLs are ignored.
+
+    Bin arithmetic is portable IEEE: ``floor((v - lo) / width)``
+    clamped to [0, n_bins-1] — the same ops in any engine, so the
+    whole sketch replays in SQL. One constant-key-space aggregate
+    (map-side combinable), exactly the CMS build shape."""
+    if not (hi > lo) or n_bins < 1:
+        raise ValueError("need hi > lo and n_bins >= 1")
+    v = _c(value_col).cast("double")
+    width = (float(hi) - float(lo)) / int(n_bins)
+    raw = F.floor((v - F.lit(float(lo))) / F.lit(width))
+    bin_ = F.greatest(
+        F.lit(0).cast("bigint"),
+        F.least(F.lit(int(n_bins) - 1).cast("bigint"), raw.cast("bigint")),
+    )
+    return (
+        df.where(v.isNotNull())
+        .groupBy(*group_cols, bin_.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def histogram_merge(
+    *sketches: DataFrame,
+    group_cols: tuple[str, ...] | list[str] = (),
+) -> DataFrame:
+    """Counter addition across per-batch/per-source histograms built
+    with the same grid."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy(*group_cols, "bin").agg(
+        F.sum("cnt").alias("cnt")
+    )
+
+
+def histogram_quantile(
+    sketch: DataFrame,
+    qs: list[float],
+    *,
+    lo: float,
+    hi: float,
+    n_bins: int = 128,
+    group_cols: tuple[str, ...] | list[str] = (),
+) -> DataFrame:
+    """Quantile estimates from a histogram sketch: for each ``q`` the
+    UPPER EDGE of the first bin whose cumulative count reaches rank
+    ``ceil(q·n)`` — a deterministic estimate within one bin width of
+    the exact :func:`profile.exact_quantiles` value (pinned by test).
+    Returns ``(group_cols..., q, qvalue, n)``.
+
+    The cumulative window runs over ≤ ``n_bins`` rows per group
+    (bounded state, never corpus-sized); ranks are exact decimal
+    arithmetic; edges are single IEEE expressions — SQL-replayable."""
+    from pyspark.sql import Window
+
+    width = (float(hi) - float(lo)) / int(n_bins)
+    w = (
+        Window.partitionBy(*[F.col(g) for g in group_cols])
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = Window.partitionBy(*[F.col(g) for g in group_cols])
+    cum = sketch.select(
+        *group_cols,
+        "bin",
+        F.sum("cnt").over(w).alias("__cum"),
+        F.sum("cnt").over(wn).alias("__n"),
+    )
+    branches = []
+    for q in qs:
+        rank = F.ceil(
+            F.lit(float(q)).cast("decimal(18,9)") * F.col("__n")
+        ).cast("bigint")
+        hit = cum.filter(F.col("__cum") >= rank).groupBy(*group_cols).agg(
+            F.min("bin").alias("__bin"), F.min("__n").alias("n")
+        )
+        branches.append(
+            hit.select(
+                *group_cols,
+                F.lit(float(q)).alias("q"),
+                (
+                    F.lit(float(lo))
+                    + (F.col("__bin") + F.lit(1)).cast("double")
+                    * F.lit(width)
+                ).alias("qvalue"),
+                F.col("n").cast("bigint").alias("n"),
+            )
+        )
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out

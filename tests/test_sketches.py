@@ -205,3 +205,53 @@ def test_cms_weighted_counts(spark):
     )
     vals = {r["term"]: r["est"] for r in est.collect()}
     assert vals == {"a": 7, "b": 1}
+
+
+def test_histogram_quantile_within_one_bin_of_exact(spark):
+    """Estimates must land within one bin width above the exact
+    discrete quantile (upper-edge convention)."""
+    import math
+
+    from lsdm_motogp_data_integration_spark.operators.sketches import (
+        histogram_quantile,
+        histogram_sketch,
+    )
+
+    vals = [float((i * 37) % 500) for i in range(4000)]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    sk = histogram_sketch(df, "x", lo=0.0, hi=500.0, n_bins=100)
+    assert sk.count() <= 100
+    got = {
+        r["q"]: r["qvalue"]
+        for r in histogram_quantile(
+            sk, [0.1, 0.5, 0.9], lo=0.0, hi=500.0, n_bins=100
+        ).collect()
+    }
+    s = sorted(vals)
+    width = 500.0 / 100
+    for q, est in got.items():
+        exact = s[math.ceil(q * len(s)) - 1]
+        assert exact <= est <= exact + width + 1e-9, (q, est, exact)
+
+
+def test_histogram_merge_is_counter_addition_and_clamps(spark):
+    from lsdm_motogp_data_integration_spark.operators.sketches import (
+        histogram_merge,
+        histogram_sketch,
+    )
+
+    a = spark.createDataFrame([(float(i),) for i in range(100)], "x double")
+    b = spark.createDataFrame(
+        [(float(i),) for i in range(50, 150)] + [(-5.0,), (1e9,)],
+        "x double",
+    )
+    kw = dict(lo=0.0, hi=100.0, n_bins=10)
+    merged = histogram_merge(
+        histogram_sketch(a, "x", **kw), histogram_sketch(b, "x", **kw)
+    )
+    whole = histogram_sketch(a.unionByName(b), "x", **kw)
+    sym = merged.exceptAll(whole).count() + whole.exceptAll(merged).count()
+    assert sym == 0
+    # out-of-range rows clamp into the end bins, never vanish
+    total = sum(r["cnt"] for r in whole.collect())
+    assert total == 202
