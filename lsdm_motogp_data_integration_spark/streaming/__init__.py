@@ -516,6 +516,62 @@ def streaming_hll_ingest(
     q.awaitTermination()
 
 
+def streaming_histogram_ingest(
+    value_stream: DataFrame,
+    *,
+    sketch_dir: str,
+    checkpoint_dir: str,
+    value_col: str = "value",
+    lo: float,
+    hi: float,
+    n_bins: int = 128,
+) -> None:
+    """Continuously-maintained quantile state: each micro-batch's
+    values land as a fixed-grid histogram partial
+    (``sketches.histogram_sketch`` — ≤ ``n_bins`` rows) in
+    ``sketch_dir/batch_id=N``; the live distribution is the
+    counter-addition merge (:func:`read_histogram_sketch`), fed to
+    ``sketches.histogram_quantile`` for always-current percentile
+    estimates. Exactly-once by the repo's deterministic-overwrite
+    contract. Completes the mergeable-sketch trio (CMS = frequencies,
+    HLL = distincts, histogram = quantiles).
+
+    Drains the available input (availableNow trigger) and returns."""
+    from lsdm_motogp_data_integration_spark.operators.sketches import (
+        histogram_sketch,
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        histogram_sketch(
+            batch_df, value_col, lo=lo, hi=hi, n_bins=n_bins
+        ).write.mode("overwrite").parquet(
+            f"{sketch_dir}/batch_id={batch_id}"
+        )
+
+    q = (
+        value_stream.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_histogram_sketch(spark, sketch_dir: str) -> DataFrame:
+    """The live merged histogram (``bin``, ``cnt``): counter addition
+    across per-batch partials — ≤ ``n_bins`` result rows however many
+    batches have landed. Missing/empty dir = the empty histogram."""
+    from pyspark.errors import AnalysisException
+
+    schema = "bin bigint, cnt bigint"
+    try:
+        partials = spark.read.schema(schema).parquet(sketch_dir)
+        return partials.groupBy("bin").agg(F.sum("cnt").alias("cnt"))
+    except AnalysisException:
+        return spark.createDataFrame([], schema)
+
+
 def read_hll_sketch(spark, sketch_dir: str) -> DataFrame:
     """The live merged register relation (``idx``, ``reg``): MAX across
     every per-batch partial — ≤ ``m`` result rows however many batches

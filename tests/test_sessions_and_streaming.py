@@ -597,3 +597,59 @@ def test_hopping_window_each_event_in_two_windows(spark):
         for r in out.collect()
     )
     assert got == [(9, 1, 2.5), (10, 1, 2.5)]
+
+
+def test_streaming_histogram_ingest_matches_batch_and_quantiles(
+    spark, tmp_path_factory
+):
+    """Histogram partials must counter-add to the batch-mode sketch of
+    the full stream, and the merged state must feed histogram_quantile
+    with the documented one-bin accuracy."""
+    from pyspark.sql import types as T
+
+    from lsdm_motogp_data_integration_spark.operators.sketches import (
+        histogram_quantile,
+        histogram_sketch,
+    )
+    from lsdm_motogp_data_integration_spark.streaming import (
+        read_histogram_sketch,
+        streaming_histogram_ingest,
+    )
+
+    schema = T.StructType([T.StructField("value", T.DoubleType())])
+    b1 = [(float(i),) for i in range(0, 500, 2)]
+    b2 = [(float(i),) for i in range(1, 500, 2)]
+    src = str(tmp_path_factory.mktemp("histstream"))
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{src}/f1")
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{src}/f2")
+    sketch_dir = str(tmp_path_factory.mktemp("hist_sketch"))
+    ckpt = str(tmp_path_factory.mktemp("hist_ckpt"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    streaming_histogram_ingest(
+        stream, sketch_dir=sketch_dir, checkpoint_dir=ckpt,
+        lo=0.0, hi=500.0, n_bins=50,
+    )
+    merged = read_histogram_sketch(spark, sketch_dir)
+    whole = histogram_sketch(
+        spark.createDataFrame(b1 + b2, schema), "value",
+        lo=0.0, hi=500.0, n_bins=50,
+    )
+    sym = merged.exceptAll(whole).count() + whole.exceptAll(merged).count()
+    assert sym == 0
+    est = {
+        r["q"]: r["qvalue"]
+        for r in histogram_quantile(
+            merged, [0.5], lo=0.0, hi=500.0, n_bins=50
+        ).collect()
+    }
+    # exact median of 0..499 is 250-ish; one 10-wide bin of slack
+    assert 240.0 <= est[0.5] <= 260.0
