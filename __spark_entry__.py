@@ -900,9 +900,12 @@ def q26_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("method", F.lit("mmr"))
     from lsdm_motogp_data_integration_spark.operators.ann import pq_topk
 
+    # n_iters=1: each Lloyd round is an EAGER driver job; one round
+    # on the 256-row sample is plenty for the demo-scale codebook and
+    # halves the per-run training latency (q69's pq scope keeps 2)
     pq = pq_topk(
         e, queries_df, "embedding", "vec_id", "query_id", "query_vec",
-        k=5, n_subspaces=2, n_codes=8, n_iters=2, train_sample=256,
+        k=5, n_subspaces=2, n_codes=8, n_iters=1, train_sample=256,
     ).withColumn("method", F.lit("pq"))
     return (
         exact.unionByName(lsh)
@@ -4259,9 +4262,9 @@ _ANN_SUITE_SQL = f"""
     ), pqsub1 AS (
         SELECT vec_id, v[33:64] AS embedding FROM qemb
     ),
-    {_lloyd_ctes(2, 8, dim=32, train_sample=256,
+    {_lloyd_ctes(1, 8, dim=32, train_sample=256,
                  source="pqsub0", prefix="p0")},
-    {_lloyd_ctes(2, 8, dim=32, train_sample=256,
+    {_lloyd_ctes(1, 8, dim=32, train_sample=256,
                  source="pqsub1", prefix="p1")},
     pqasn0 AS (
         SELECT vec_id, cell AS code FROM (
@@ -4271,7 +4274,7 @@ _ANN_SUITE_SQL = f"""
                        ORDER BY list_dot_product(e.qv, {_QC}) DESC,
                                 k.cell ASC
                    ) AS rn
-            FROM p0qemb e CROSS JOIN p0c2 k
+            FROM p0qemb e CROSS JOIN p0c1 k
         ) WHERE rn = 1
     ), pqasn1 AS (
         SELECT vec_id, cell AS code FROM (
@@ -4281,14 +4284,14 @@ _ANN_SUITE_SQL = f"""
                        ORDER BY list_dot_product(e.qv, {_QC}) DESC,
                                 k.cell ASC
                    ) AS rn
-            FROM p1qemb e CROSS JOIN p1c2 k
+            FROM p1qemb e CROSS JOIN p1c1 k
         ) WHERE rn = 1
     ), pqrecon AS (
         SELECT a0.vec_id, list_concat(k0.c, k1.c) AS rv
         FROM pqasn0 a0
         JOIN pqasn1 a1 USING (vec_id)
-        JOIN p0c2 k0 ON k0.cell = a0.code
-        JOIN p1c2 k1 ON k1.cell = a1.code
+        JOIN p0c1 k0 ON k0.cell = a0.code
+        JOIN p1c1 k1 ON k1.cell = a1.code
     ), pq_ranked AS (
         SELECT 'pq' AS method, query_id, neighbor_id, cosine,
                CAST(ROW_NUMBER() OVER (
