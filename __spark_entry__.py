@@ -2833,12 +2833,56 @@ def q58_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws("|", "item_a", "item_b").alias("host"),
         F.col("n_common").alias("component"),
     )
+    # anchors (r3): anchor-text aggregation per link target
+    # (pipelines/webgraph.anchor_texts) — the retrieval-training
+    # signal; every doc links one of 9 targets with a per-doc anchor
+    # text (even docs add a second, markup-wrapped anchor — t0 gets
+    # BOTH anchors from doc_id%18==0 docs, so n_sources < n_anchors is
+    # exercised), plus a relative href the SCHEME filter must drop.
+    # The oracle derives targets/texts arithmetically — independent of
+    # the HTML parsing the Spark side really performs.
+    from lsdm_motogp_data_integration_spark.pipelines.webgraph import (
+        anchor_texts,
+    )
+
+    t1 = (F.col("doc_id") % 9).cast("string")
+    t2 = ((F.col("doc_id") * 2) % 9).cast("string")
+    apages = docs.select(
+        F.concat(F.lit("https://s"), ds, F.lit(".example.org/p")).alias(
+            "url"
+        ),
+        F.concat(
+            F.lit('<a href="https://t'),
+            t1,
+            F.lit('.example.org/page">text '),
+            ds,
+            F.lit("</a>"),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(
+                    F.lit('<a href="https://t'),
+                    t2,
+                    F.lit('.example.org/page"><b>bold</b> '),
+                    ds,
+                    F.lit("</a>"),
+                ),
+            ).otherwise(F.lit("")),
+            F.lit('<a href="/rel">skip</a>'),
+        ).alias("html"),
+    )
+    anch = anchor_texts(apages, "url", "html").select(
+        F.col("n_sources").alias("doc_id"),
+        F.col("n_anchors").alias("component"),
+        F.col("target").alias("host"),
+        "texts",
+    )
     return _suite_union(
         [
             ("doc_id", "bigint"),
             ("component", "bigint"),
             ("rank", "double"),
             ("host", "string"),
+            ("texts", "string"),
         ],
         ("components", comp),
         ("pagerank", pr),
@@ -2846,6 +2890,7 @@ def q58_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("degrees", deg_hist),
         ("triangles", tri),
         ("cooccur", co),
+        ("anchors", anch),
     )
 
 
@@ -6688,41 +6733,75 @@ def oracle_sql() -> dict[str, str]:
                    LEAST(c.doc_id, COALESCE(MIN(r.other), c.doc_id))
                        AS component,
                    CAST(NULL AS DOUBLE) AS rank,
-                   CAST(NULL AS VARCHAR) AS host
+                   CAST(NULL AS VARCHAR) AS host,
+                   CAST(NULL AS VARCHAR) AS texts
             FROM corpus c LEFT JOIN reach r ON r.node = c.doc_id
             GROUP BY c.doc_id
             UNION ALL
             SELECT 'pagerank' AS scope, node AS doc_id,
                    CAST(NULL AS BIGINT) AS component, r AS rank,
-                   CAST(NULL AS VARCHAR) AS host
+                   CAST(NULL AS VARCHAR) AS host,
+                   CAST(NULL AS VARCHAR) AS texts
             FROM pr5
             UNION ALL
             SELECT 'webrank' AS scope, CAST(NULL AS BIGINT) AS doc_id,
                    CAST(NULL AS BIGINT) AS component, r AS rank,
-                   node AS host
+                   node AS host,
+                   CAST(NULL AS VARCHAR) AS texts
             FROM wr5
             UNION ALL
             SELECT 'degrees' AS scope, degree AS doc_id,
                    n_nodes AS component,
                    CAST(NULL AS DOUBLE) AS rank,
-                   CAST(NULL AS VARCHAR) AS host
+                   CAST(NULL AS VARCHAR) AS host,
+                   CAST(NULL AS VARCHAR) AS texts
             FROM udh
             UNION ALL
             SELECT 'triangles' AS scope, node AS doc_id,
                    n_triangles AS component,
                    CAST(NULL AS DOUBLE) AS rank,
-                   CAST(NULL AS VARCHAR) AS host
+                   CAST(NULL AS VARCHAR) AS host,
+                   CAST(NULL AS VARCHAR) AS texts
             FROM utricnt
             UNION ALL
             SELECT 'cooccur' AS scope, CAST(NULL AS BIGINT) AS doc_id,
                    CAST(COUNT(*) AS BIGINT) AS component,
                    CAST(NULL AS DOUBLE) AS rank,
-                   a.event_type || '|' || b.event_type AS host
+                   a.event_type || '|' || b.event_type AS host,
+                   CAST(NULL AS VARCHAR) AS texts
             FROM (SELECT DISTINCT user_id, event_type FROM events) a
             JOIN (SELECT DISTINCT user_id, event_type FROM events) b
                  USING (user_id)
             WHERE a.event_type < b.event_type
             GROUP BY a.event_type, b.event_type
+            UNION ALL
+            -- anchors: anchor-text aggregation per target, derived
+            -- arithmetically (independent of the Spark side's real
+            -- HTML parse/normalize/strip chain)
+            SELECT 'anchors' AS scope, n_sources AS doc_id,
+                   n_anchors AS component,
+                   CAST(NULL AS DOUBLE) AS rank,
+                   target AS host, texts
+            FROM (
+                WITH an AS (
+                    SELECT doc_id,
+                           'https://t' || CAST(doc_id % 9 AS VARCHAR)
+                               || '.example.org/page' AS target,
+                           'text ' || CAST(doc_id AS VARCHAR) AS txt
+                    FROM documents
+                    UNION ALL
+                    SELECT doc_id,
+                           'https://t' || CAST((doc_id * 2) % 9 AS VARCHAR)
+                               || '.example.org/page' AS target,
+                           'bold ' || CAST(doc_id AS VARCHAR) AS txt
+                    FROM documents WHERE doc_id % 2 = 0
+                )
+                SELECT target,
+                       CAST(COUNT(*) AS BIGINT) AS n_anchors,
+                       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_sources,
+                       string_agg(txt, '|' ORDER BY txt) AS texts
+                FROM an GROUP BY target
+            )
         """,
         "q57_decontamination": f"""
             WITH {_DOC_CORPUS_SQL},

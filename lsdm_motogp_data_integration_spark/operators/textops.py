@@ -1179,3 +1179,21 @@ def char_entropy(
         F.coalesce("n_chars", F.lit(0)).alias("n_chars"),
         F.coalesce(ent6, F.lit(0.0)).alias("char_entropy"),
     )
+
+
+def html_anchors(col):
+    """``<a href="...">text</a>`` pairs in document order as
+    ``array<struct<href, text>>`` — both fields extracted with the
+    SAME pattern (different capture groups), so the two arrays can
+    never misalign; anchors without an href are skipped by
+    construction. The anchor-text companion to :func:`html_links`
+    (hrefs only); inner markup in the text is NOT stripped here —
+    compose with :func:`strip_html` on the text field when needed."""
+    pat = r'(?i)<a\s[^>]*href="([^"]*)"[^>]*>(.*?)</a>'
+    hrefs = F.regexp_extract_all(_c(col), F.lit(pat), 1)
+    texts = F.regexp_extract_all(_c(col), F.lit(pat), 2)
+    return F.zip_with(
+        hrefs,
+        texts,
+        lambda h, t: F.struct(h.alias("href"), t.alias("text")),
+    )

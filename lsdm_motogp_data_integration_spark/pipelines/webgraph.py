@@ -132,3 +132,41 @@ def host_ranks(
         damping=damping,
         weight_col="weight",
     )
+
+
+def anchor_texts(
+    pages: DataFrame, url_col: str, html_col: str
+) -> DataFrame:
+    """Anchor-text aggregation per link target — the classic web-corpus
+    retrieval signal (anchor text describes the TARGET page better
+    than the page describes itself; anchor corpora train retrievers).
+    Returns one row per canonical target URL:
+    ``(target, n_anchors, n_sources, texts)`` with ``texts`` the
+    pipe-joined SORTED anchor texts (engine-agnostic comparison form,
+    same convention as q49's posting lists).
+
+    Scale shape: one anchor explode + one target-keyed aggregate —
+    the same shuffle the host graph needs; anchor text is stripped of
+    inner markup and whitespace-collapsed per row before the shuffle
+    (constant-width keys, no document bodies move)."""
+    from lsdm_motogp_data_integration_spark.operators.textops import (
+        html_anchors,
+        strip_html,
+    )
+
+    exploded = pages.select(
+        normalize_url(F.col(url_col)).alias("__src"),
+        F.explode(html_anchors(F.col(html_col))).alias("__a"),
+    ).select(
+        "__src",
+        normalize_url(F.col("__a.href")).alias("target"),
+        F.trim(strip_html(F.col("__a.text"))).alias("__text"),
+    )
+    absolute = exploded.filter(F.col("target").rlike(SCHEME_RE))
+    return absolute.groupBy("target").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_anchors"),
+        F.countDistinct("__src").cast("bigint").alias("n_sources"),
+        F.array_join(
+            F.array_sort(F.collect_list("__text")), "|"
+        ).alias("texts"),
+    )

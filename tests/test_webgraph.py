@@ -83,3 +83,37 @@ def test_host_ranks_cover_all_hosts_and_conserve_mass(spark):
     rows = {r["host"]: r["rank"] for r in pr.collect()}
     assert set(rows) == {"a.com", "b.com", "c.com"}
     assert abs(sum(rows.values()) - 1.0) < 1e-9
+
+
+def test_anchor_texts_aggregates_per_target(spark):
+    """Anchors from several pages to one target aggregate: counts,
+    distinct sources, sorted pipe-joined texts (inner markup stripped);
+    relative hrefs are dropped; href-less anchors never appear."""
+    from lsdm_motogp_data_integration_spark.pipelines.webgraph import (
+        anchor_texts,
+    )
+
+    pages = spark.createDataFrame(
+        [
+            (
+                "https://a.example/p1",
+                '<p>x</p><a href="https://T.example/page">Good <b>Docs</b></a>'
+                '<a href="/relative">skip me</a>'
+                '<a name="no-href">skip too</a>',
+            ),
+            (
+                "https://b.example/p2",
+                '<a href="https://t.example/page">alpha</a>'
+                '<a href="https://t.example/page">beta</a>',
+            ),
+        ],
+        "url string, html string",
+    )
+    got = {
+        r["target"]: (r["n_anchors"], r["n_sources"], r["texts"])
+        for r in anchor_texts(pages, "url", "html").collect()
+    }
+    assert set(got) == {"https://t.example/page"}
+    n_anchors, n_sources, texts = got["https://t.example/page"]
+    assert n_anchors == 3 and n_sources == 2
+    assert texts == "Good Docs|alpha|beta"
