@@ -3016,8 +3016,14 @@ def q62_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
       tags stripped BEFORE entities decode, whitespace collapsed)
       plus title/outlink extraction and the text-to-markup boilerplate
       ratio. The oracle replays the exact regex chain in DuckDB's RE2
-      — a cross-regex-engine parity check of the Java patterns."""
+      — a cross-regex-engine parity check of the Java patterns.
+    - ``badwords`` (r3): the C4 content blocklist
+      (textops.badword_screen — whole-word case-insensitive
+      alternation; ANY hit drops the page): every 5th doc gets two
+      planted list terms (one case-twisted), the rest stay clean; the
+      oracle recounts hits and the keep verdict in RE2."""
     from lsdm_motogp_data_integration_spark.operators.textops import (
+        badword_screen,
         html_links,
         html_text_ratio,
         html_title,
@@ -3081,6 +3087,23 @@ def q62_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             "text_ratio"
         ),
     )
+    bw_salted = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.col("text"), F.lit(" zzzCrude stuff zzzlewd here")
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    bw = badword_screen("text", ("zzzcrude", "zzzlewd"))
+    bwrows = bw_salted.select(
+        "doc_id",
+        bw["n_badwords"].alias("n_bad"),
+        bw["badword_keep"].alias("bw_keep"),
+    )
     return _suite_union(
         [
             ("doc_id", "bigint"),
@@ -3093,9 +3116,12 @@ def q62_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("n_links", "bigint"),
             ("first_href", "string"),
             ("text_ratio", "double"),
+            ("n_bad", "bigint"),
+            ("bw_keep", "boolean"),
         ],
         ("pii", pii),
         ("html", html),
+        ("badwords", bwrows),
     )
 
 
@@ -6134,14 +6160,42 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NULL AS VARCHAR) AS page_title,
                    CAST(NULL AS BIGINT) AS n_links,
                    CAST(NULL AS VARCHAR) AS first_href,
-                   CAST(NULL AS DOUBLE) AS text_ratio
+                   CAST(NULL AS DOUBLE) AS text_ratio,
+                   CAST(NULL AS BIGINT) AS n_bad,
+                   CAST(NULL AS BOOLEAN) AS bw_keep
             FROM pii
             UNION ALL
             SELECT 'html' AS scope, doc_id,
                    CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
                    CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
-                   extracted, page_title, n_links, first_href, text_ratio
+                   extracted, page_title, n_links, first_href, text_ratio,
+                   CAST(NULL AS BIGINT) AS n_bad,
+                   CAST(NULL AS BOOLEAN) AS bw_keep
             FROM html_rows
+            UNION ALL
+            -- badwords: the C4 whole-word content blocklist, recounted
+            -- in RE2 over the same planted terms
+            SELECT 'badwords' AS scope, doc_id,
+                   CAST(NULL AS BIGINT) AS n_email,
+                   CAST(NULL AS BIGINT) AS n_phone,
+                   CAST(NULL AS BIGINT) AS n_ssn,
+                   CAST(NULL AS BIGINT) AS redacted_len,
+                   CAST(NULL AS VARCHAR) AS extracted,
+                   CAST(NULL AS VARCHAR) AS page_title,
+                   CAST(NULL AS BIGINT) AS n_links,
+                   CAST(NULL AS VARCHAR) AS first_href,
+                   CAST(NULL AS DOUBLE) AS text_ratio,
+                   n_bad, n_bad = 0 AS bw_keep
+            FROM (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(
+                           CASE WHEN doc_id % 5 = 0
+                                THEN text || ' zzzCrude stuff zzzlewd here'
+                                ELSE text END,
+                           '(?i)\\b(zzzcrude|zzzlewd)\\b', 1
+                       )) AS BIGINT) AS n_bad
+                FROM documents
+            )
         """,
         "q63_boilerplate_lines": """
             WITH docs AS (

@@ -1197,3 +1197,27 @@ def html_anchors(col):
         texts,
         lambda h, t: F.struct(h.alias("href"), t.alias("text")),
     )
+
+
+def badword_screen(col, words: tuple[str, ...]):
+    """C4-style content blocklist (Raffel et al. 2020 dropped any page
+    containing a "List of Dirty, Naughty …" term): whole-word,
+    case-insensitive occurrence count over a literal word list, as a
+    dict of Columns — ``n_badwords`` (BIGINT total hits) and
+    ``badword_keep`` (TRUE iff zero hits, C4's drop rule).
+
+    One alternation regex per call (words are regex-escaped), inside
+    the RE2-compatible subset shared with the PII/HTML patterns — so
+    the screen replays in DuckDB. Pure per-row Column work: fuses into
+    whatever scan already reads the text; the word list is a literal,
+    not a relation (use ``urls.filter_blocked_urls``'s broadcast shape
+    for dictionary-sized lists keyed on a column instead)."""
+    import re as _re
+
+    if not words:
+        raise ValueError("badword_screen needs a non-empty word list")
+    pat = r"(?i)\b(" + "|".join(_re.escape(w) for w in words) + r")\b"
+    n = F.size(F.regexp_extract_all(_c(col), F.lit(pat), 1)).cast(
+        "bigint"
+    )
+    return {"n_badwords": n, "badword_keep": n == F.lit(0)}

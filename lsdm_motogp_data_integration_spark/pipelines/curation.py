@@ -56,6 +56,7 @@ def curate(
     min_quality: float = 0.3,
     min_distinct_ratio: float = 0.2,
     gopher_rules: bool = False,
+    badwords: tuple[str, ...] = (),
     line_dedup: bool = False,
     neardup_threshold: float = 0.8,
     holdout: DataFrame | None = None,
@@ -136,6 +137,16 @@ def curate(
             & (gf["mean_word_len"] <= 10.0)
             & (gf["symbol_word_ratio"] <= 0.1)
             & (gf["frac_alpha_words"] >= 0.8)
+        )
+    if badwords:
+        # C4 content blocklist: ANY whole-word hit drops the page
+        # (textops.badword_screen) — pure Column regex, same scan
+        from lsdm_motogp_data_integration_spark.operators.textops import (
+            badword_screen,
+        )
+
+        screened = screened.filter(
+            badword_screen(text_col, badwords)["badword_keep"]
         )
     screened = screened.withColumn(text_col, redact_pii(text_col))
 

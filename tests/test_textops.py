@@ -609,3 +609,56 @@ def test_char_entropy_hand_computed(spark):
     assert abs(got[1][1] - math.log(2)) < 2e-6
     assert got[2] == (4, 0.0)
     assert got[3] == (0, 0.0)
+
+
+def test_badword_screen_whole_word_case_insensitive(spark):
+    """Whole-word matches only (no substring hits), case-insensitive,
+    keep verdict is the C4 zero-hit rule; empty list rejected."""
+    import pytest
+
+    from lsdm_motogp_data_integration_spark.operators.textops import (
+        badword_screen,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a ZzzCrude word and zzzlewd too"),
+            (2, "zzzcrudeness is not a hit"),
+            (3, "all clean here"),
+        ],
+        "doc_id bigint, text string",
+    )
+    bw = badword_screen("text", ("zzzcrude", "zzzlewd"))
+    got = {
+        r["doc_id"]: (r["n"], r["keep"])
+        for r in df.select(
+            "doc_id", bw["n_badwords"].alias("n"),
+            bw["badword_keep"].alias("keep"),
+        ).collect()
+    }
+    assert got == {1: (2, False), 2: (0, True), 3: (0, True)}
+    with pytest.raises(ValueError):
+        badword_screen("text", ())
+
+
+def test_curate_badwords_stage_drops_hit_pages(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from lsdm_motogp_data_integration_spark.pipelines.curation import curate
+    from lsdm_motogp_data_integration_spark.sources import read_table
+
+    d = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", "text", "source")
+        .limit(100)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.concat(F.col("text"), F.lit(" zzzbadterm")),
+            ).otherwise(F.col("text")),
+        )
+    )
+    out = curate(d, badwords=("zzzbadterm",))
+    ids = {r["doc_id"] for r in out["screened"].select("doc_id").collect()}
+    assert ids and not any(i % 4 == 0 for i in ids)
