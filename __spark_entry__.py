@@ -3372,8 +3372,10 @@ def q65_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q66_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Data-selection suite — two selection policies share one driver
-    row, tagged by ``scope``:
+    """Data-selection suite — the selection policies share one driver
+    row, tagged by ``scope`` (mixture / dsir / temperature /
+    token_budget — the last (r3) samples by TOKEN budget, the unit
+    real data recipes are written in):
 
     - ``mixture`` (operators/textops.mixture_sample): draw ~200
       documents whose language composition targets 50% en / 20% zh /
@@ -3422,16 +3424,36 @@ def q66_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     temp = temperature_mixture_sample(
         d, "lang", budget=150, id_col="doc_id", alpha=0.5
     ).select("doc_id", "lang", "source")
+    # token_budget (r3): mixing specified in TOKENS, the unit real
+    # data recipes use (textops.token_budget_sample — md5-order greedy
+    # prefix per group, crossing doc kept so budgets are met)
+    from lsdm_motogp_data_integration_spark.operators.textops import (
+        token_budget_sample,
+    )
+
+    tokb = token_budget_sample(
+        d.select("doc_id", "text", "lang", "source"),
+        "lang",
+        {"en": 4000, "zh": 1500},
+        "doc_id",
+    ).select(
+        "doc_id", "lang", "source",
+        "n_tokens",
+        "cum_tokens",
+    )
     return _suite_union(
         [
             ("doc_id", "bigint"),
             ("lang", "string"),
             ("source", "string"),
             ("log_weight", "double"),
+            ("n_tokens", "bigint"),
+            ("cum_tokens", "bigint"),
         ],
         ("mixture", mixture),
         ("dsir", dsir),
         ("temperature", temp),
+        ("token_budget", tokb),
     )
 
 
@@ -6619,11 +6641,15 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored
             )
             SELECT 'mixture' AS scope, doc_id, lang, source,
-                   CAST(NULL AS DOUBLE) AS log_weight
+                   CAST(NULL AS DOUBLE) AS log_weight,
+                   CAST(NULL AS BIGINT) AS n_tokens,
+                   CAST(NULL AS BIGINT) AS cum_tokens
             FROM mixture
             UNION ALL
             SELECT 'dsir' AS scope, d.doc_id, d.lang, d.source,
-                   r.log_weight
+                   r.log_weight,
+                   CAST(NULL AS BIGINT) AS n_tokens,
+                   CAST(NULL AS BIGINT) AS cum_tokens
             FROM ranked r JOIN documents d USING (doc_id)
             WHERE r.rn <= 100
             UNION ALL
@@ -6631,7 +6657,9 @@ def oracle_sql() -> dict[str, str]:
             -- the n^alpha weights quantized to BIGINT (exact sum),
             -- rate = min(1, (qa/qtot)·budget/n), md5-threshold keep
             SELECT 'temperature' AS scope, t.doc_id, t.lang, t.source,
-                   CAST(NULL AS DOUBLE) AS log_weight
+                   CAST(NULL AS DOUBLE) AS log_weight,
+                   CAST(NULL AS BIGINT) AS n_tokens,
+                   CAST(NULL AS BIGINT) AS cum_tokens
             FROM (
                 WITH tcnt AS (
                     SELECT lang, COUNT(*) AS n,
@@ -6653,6 +6681,36 @@ def oracle_sql() -> dict[str, str]:
                           d.lang || '|' || CAST(d.doc_id AS VARCHAR)
                       ), 1, 8)) AS BIGINT) / 4294967296.0 < r.rate
             ) t
+            UNION ALL
+            -- token_budget_sample replay: md5-order greedy prefix per
+            -- lang until the token budget is crossed (crossing doc
+            -- kept); unlisted langs dropped
+            SELECT 'token_budget' AS scope, doc_id, lang, source,
+                   CAST(NULL AS DOUBLE) AS log_weight,
+                   n_tokens, cum_tokens
+            FROM (
+                WITH tb AS (
+                    SELECT doc_id, lang, source,
+                           CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                                ELSE len(regexp_split_to_array(
+                                    trim(text), '\\s+'))
+                           END AS BIGINT) AS n_tokens,
+                           md5(COALESCE(lang, '__null__') || '|'
+                               || CAST(doc_id AS VARCHAR)) AS h
+                    FROM documents
+                ), tcum AS (
+                    SELECT doc_id, lang, source, n_tokens,
+                           CAST(SUM(n_tokens) OVER (
+                               PARTITION BY lang ORDER BY h, doc_id
+                               ROWS UNBOUNDED PRECEDING
+                           ) AS BIGINT) AS cum_tokens
+                    FROM tb
+                )
+                SELECT doc_id, lang, source, n_tokens, cum_tokens
+                FROM tcum
+                WHERE (lang = 'en' AND cum_tokens - n_tokens < 4000)
+                   OR (lang = 'zh' AND cum_tokens - n_tokens < 1500)
+            )
         """,
         "q58_dedup_clusters": f"""
             WITH RECURSIVE {_DOC_CORPUS_SQL},

@@ -1221,3 +1221,64 @@ def badword_screen(col, words: tuple[str, ...]):
         "bigint"
     )
     return {"n_badwords": n, "badword_keep": n == F.lit(0)}
+
+
+def token_budget_sample(
+    df,
+    group_col: str,
+    token_budgets: dict,
+    id_col: str,
+    *,
+    token_col: str | None = None,
+    text_col: str = "text",
+):
+    """Data-mixing by TOKEN budget — the unit real mixes are specified
+    in ("50B tokens of web, 5B of code"), where :func:`mixture_sample`
+    works in document counts: per group, keep documents in the
+    deterministic md5(group|id) order until the group's cumulative
+    token count passes its budget (the budget-crossing document is
+    KEPT, so every budget is met, not undershot; groups without an
+    entry in ``token_budgets`` are dropped). Returns the surviving
+    rows with ``n_tokens`` and the group-cumulative ``cum_tokens``.
+
+    Deterministic and layout-independent (same md5-order property as
+    every sampler here — no RNG, reproducible across engines and
+    retries). ``token_col``: an existing count column; default counts
+    with :func:`token_count` over ``text_col``.
+
+    Scale shape: ONE group-keyed window (cumulative sum in md5 order)
+    + a filter — the same shuffle any per-group sampler needs. The
+    window is per GROUP, not global; a skewed giant group serializes
+    its own partition only, and at 100 TB mixes use many sources so
+    partitions stay balanced."""
+    toks = (
+        F.col(token_col)
+        if token_col
+        else token_count(F.col(text_col))
+    ).cast("bigint")
+    gkey = F.coalesce(F.col(group_col).cast("string"), F.lit("__null__"))
+    order = F.md5(
+        F.concat(gkey, F.lit("|"), F.col(id_col).cast("string"))
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(order.asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    kv = []
+    for g, b in token_budgets.items():
+        kv.append(F.lit(g))
+        kv.append(F.lit(int(b)))
+    budget_of = F.create_map(*kv)
+    tagged = df.withColumn("n_tokens", toks).withColumn(
+        "cum_tokens", F.sum("n_tokens").over(w).cast("bigint")
+    )
+    budget = budget_of[F.col(group_col)]
+    # keep while the PREVIOUS cumulative total was below budget — the
+    # crossing row is kept, everything after it is cut
+    return tagged.filter(
+        budget.isNotNull()
+        & (F.col("cum_tokens") - F.col("n_tokens") < budget)
+    )

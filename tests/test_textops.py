@@ -662,3 +662,37 @@ def test_curate_badwords_stage_drops_hit_pages(spark, sf_dir):
     out = curate(d, badwords=("zzzbadterm",))
     ids = {r["doc_id"] for r in out["screened"].select("doc_id").collect()}
     assert ids and not any(i % 4 == 0 for i in ids)
+
+
+def test_token_budget_sample_meets_budget_and_is_deterministic(spark):
+    """Each group keeps docs in md5 order until its token budget is
+    crossed (crossing doc kept — budgets met, never undershot);
+    unlisted groups are dropped; layout-independent."""
+    from lsdm_motogp_data_integration_spark.operators.textops import (
+        token_budget_sample,
+    )
+
+    rows = [
+        (i, "web" if i % 2 == 0 else "code", "tok " * (5 + i % 7))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    out = token_budget_sample(
+        df, "source", {"web": 100, "code": 37}, "doc_id"
+    )
+    got = out.select("doc_id", "source", "n_tokens", "cum_tokens").collect()
+    by_g = {}
+    for r in got:
+        by_g.setdefault(r["source"], []).append(r)
+    for g, budget in (("web", 100), ("code", 37)):
+        tot = sum(r["n_tokens"] for r in by_g[g])
+        assert tot >= budget  # met
+        # removing the LAST kept doc (max cum) must drop below budget
+        assert tot - max(r["n_tokens"] for r in by_g[g] if r["cum_tokens"] == max(x["cum_tokens"] for x in by_g[g])) < budget
+    ids1 = {r["doc_id"] for r in got}
+    out2 = token_budget_sample(
+        df.repartition(13), "source", {"web": 100, "code": 37}, "doc_id"
+    )
+    assert {r["doc_id"] for r in out2.collect()} == ids1
+    # unlisted group dropped entirely
+    assert not any(r["source"] not in ("web", "code") for r in got)
