@@ -159,6 +159,7 @@ def training_shards(
     *,
     n_shards: int = 8,
     salt: str = "shuf",
+    order_col: str | None = None,
 ) -> DataFrame:
     """Deterministic global shuffle + shard assignment for training-data
     export: the step that turns a curated corpus into N pseudo-randomly
@@ -190,9 +191,10 @@ def training_shards(
         % F.lit(int(n_shards))
     ).cast("bigint")
     tagged = df.withColumn("__h", h).withColumn("shard", shard)
-    w = Window.partitionBy("shard").orderBy(
-        F.col("__h").asc(), F.col(id_col).asc()
-    )
+    order = [F.col("__h").asc(), F.col(id_col).asc()]
+    if order_col is not None:
+        order = [F.col(order_col).asc()] + order
+    w = Window.partitionBy("shard").orderBy(*order)
     return (
         tagged.withColumn(
             "pos", (F.row_number().over(w) - F.lit(1)).cast("bigint")

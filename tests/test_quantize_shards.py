@@ -116,3 +116,34 @@ def test_write_training_shards_layout_and_order(spark, sf_dir, tmp_path):
 
     with pytest.raises(ValueError, match="unsupported"):
         write_training_shards(d, out, "doc_id", fmt="csvx")
+
+
+def test_training_shards_curriculum_order(spark):
+    """order_col makes each shard stream its rows in curriculum order
+    (difficulty asc, md5 tie-break) while the shard ASSIGNMENT is
+    unchanged (still the uniform hash)."""
+    from pyspark.sql import functions as F
+
+    from lsdm_motogp_data_integration_spark.operators.keys import (
+        training_shards,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float((i * 13) % 7)) for i in range(300)],
+        "doc_id bigint, difficulty double",
+    )
+    plain = training_shards(df, "doc_id", n_shards=4)
+    curr = training_shards(
+        df, "doc_id", n_shards=4, order_col="difficulty"
+    )
+    a = {r["doc_id"]: r["shard"] for r in plain.collect()}
+    rows = curr.collect()
+    b = {r["doc_id"]: r["shard"] for r in rows}
+    assert a == b  # assignment untouched
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: r["pos"])
+        diffs = [r["difficulty"] for r in rs]
+        assert diffs == sorted(diffs), shard  # easy -> hard per shard
