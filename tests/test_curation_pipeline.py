@@ -296,3 +296,79 @@ def test_curate_group_split_is_leakage_safe(spark, sf_dir):
     assert {
         r["doc_id"] for r in out2["val"].select("doc_id").collect()
     } == va_ids
+
+
+def test_curate_full_stack_all_stages(spark, sf_dir):
+    """Every curate stage enabled at once — the crawl-to-training-data
+    path: URL blocklist → HTML extraction → language/quality/
+    repetition → Gopher rules → badwords → PII → line dedup →
+    exact+near dedup → decontamination → packing → leakage-safe group
+    split. Checks each stage leaves its fingerprint and the final
+    splits stay disjoint/exhaustive."""
+    from pyspark.sql import functions as F
+
+    from lsdm_motogp_data_integration_spark.pipelines.curation import curate
+    from lsdm_motogp_data_integration_spark.sources import read_table
+
+    d = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", "text", "source")
+        .limit(300)
+    )
+    # wrap in markup; plant a badword in %11 docs; blocked host for %7
+    docs = d.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.lit("<html><body><script>x()</script><p>"),
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 11 == 0, F.lit(" zzzforbidden")
+            ).otherwise(F.lit("")),
+            F.lit("</p></body></html>"),
+        ).alias("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit("https://bad.zone.example/"), F.col("doc_id")),
+        )
+        .otherwise(
+            F.concat(F.lit("https://ok.site.example/"), F.col("doc_id"))
+        )
+        .alias("url"),
+        F.concat(F.lit("dom"), (F.col("doc_id") % 13).cast("string")).alias(
+            "domain"
+        ),
+    )
+    holdout = d.filter(F.col("doc_id") % 17 == 0).select("doc_id", "text")
+    bl = spark.createDataFrame([("zone.example",)], "pattern string")
+    out = curate(
+        docs,
+        html=True,
+        url_col="url",
+        url_blocklist=bl,
+        badwords=("zzzforbidden",),
+        gopher_rules=False,  # synthetic word-soup fails word-len rules
+        line_dedup=True,
+        holdout=holdout,
+        split_group_col="domain",
+        val_fraction=0.3,
+    )
+    screened = out["screened"].select("doc_id").collect()
+    s_ids = {r["doc_id"] for r in screened}
+    assert s_ids, "screen must keep something"
+    assert not any(i % 7 == 0 for i in s_ids), "blocked hosts survive?"
+    assert not any(i % 11 == 0 for i in s_ids), "badword pages survive?"
+    clean_ids = {r["doc_id"] for r in out["clean"].select("doc_id").collect()}
+    assert not any(
+        i % 17 == 0 for i in clean_ids
+    ), "holdout docs must be decontaminated away"
+    tr = out["train"].select("doc_id", "domain").collect()
+    va = out["val"].select("doc_id", "domain").collect()
+    tr_ids = {r["doc_id"] for r in tr}
+    va_ids = {r["doc_id"] for r in va}
+    packed_ids = {
+        r["doc_id"] for r in out["packed"].select("doc_id").collect()
+    }
+    assert tr_ids.isdisjoint(va_ids)
+    assert tr_ids | va_ids == packed_ids
+    assert {r["domain"] for r in tr}.isdisjoint({r["domain"] for r in va})
