@@ -1445,3 +1445,57 @@ def incremental_neardup(
             "est_jaccard",
         )
     )
+
+
+def containment_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    k: int = 5,
+    threshold: float = 0.9,
+    sets_df: DataFrame | None = None,
+) -> DataFrame:
+    """The ACTION on top of :func:`containment_pairs`: drop every
+    document (nearly) contained in another, keep the containing
+    supersets — the crawl-corpus cleanup for quote expansions and
+    boilerplate-wrapped reposts, where symmetric near-dup keeps both
+    (their Jaccard is low) and plain dedup keeps both (texts differ).
+
+    A document is dropped iff it is the CONTAINED side of any pair
+    (``|S_a ∩ S_b| / |S_a| >= threshold``, a != b). Two exact copies
+    contain each other; the smaller id survives (the larger id is
+    dropped as "contained in" the smaller — deterministic, matching
+    :func:`exact_dedup`'s min-id policy). Mutual-containment CHAINS
+    collapse the same way: only docs contained in no *surviving*
+    smaller-id doc remain... more precisely the rule is local — drop
+    iff contained in ANY doc that is not dropped relative to you by
+    the id tie-break — implemented as: drop a iff ∃b: C(a→b) ≥ t and
+    (C(b→a) < t or b < a). Verified by test on exact-copy groups and
+    strict-subset cases.
+
+    Returns the surviving rows of ``df``. One anti-join against the
+    (narrow) drop set; candidate generation is the prefix-filtered
+    equi-join of :func:`containment_pairs`."""
+    pairs = containment_pairs(
+        df, text_col, id_col, k=k, threshold=threshold, sets_df=sets_df
+    )
+    back = pairs.select(
+        F.col("id_a").alias("id_b"),
+        F.col("id_b").alias("id_a"),
+        F.col("containment").alias("__c_back"),
+    )
+    # a pair (a contained-in b): drop a unless the containment is
+    # MUTUAL and a has the smaller id (then b is the one dropped by
+    # its own row). LEFT join: absent reverse row = not mutual.
+    drops = (
+        pairs.join(back, ["id_a", "id_b"], "left")
+        .filter(
+            F.col("__c_back").isNull()
+            | (F.col("__c_back") < F.lit(threshold))
+            | (F.col("id_b") < F.col("id_a"))
+        )
+        .select(F.col("id_a").alias(id_col))
+        .distinct()
+    )
+    return df.join(drops, id_col, "left_anti")

@@ -728,3 +728,37 @@ def test_containment_matches_bruteforce_and_prefix_filter_is_lossless(
     )
     expect = {(r["ia"], r["ib"]): r["c"] for r in brute}
     assert got == expect and len(expect) > 0
+
+
+def test_containment_dedup_drops_subsets_keeps_supersets(spark):
+    """Strict subsets are dropped, the superset survives; exact-copy
+    groups keep exactly the min id; unrelated docs untouched."""
+    from lsdm_motogp_data_integration_spark.operators.dedup import (
+        containment_dedup,
+    )
+
+    para = " ".join(f"q{i}" for i in range(30))
+    page = (
+        " ".join(f"pre{i}" for i in range(50))
+        + " " + para + " "
+        + " ".join(f"post{i}" for i in range(50))
+    )
+    other = " ".join(f"n{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [
+            (1, para),      # contained in 2 -> dropped
+            (2, page),      # superset -> kept
+            (3, other),     # unrelated -> kept
+            (4, page),      # exact copy of 2: min id wins -> dropped
+            (5, para),      # exact copy of 1; 1 and 5 both contained in
+                            # 2/4 -> both dropped
+        ],
+        "doc_id bigint, text string",
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in containment_dedup(
+            df, "text", "doc_id", k=5, threshold=0.9
+        ).collect()
+    )
+    assert kept == [2, 3]
