@@ -2395,11 +2395,14 @@ def q53_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       (operators/merge.partial_aggs + merge_partial_aggs) — the
       documents table split into 3 disjoint delta batches
       (doc_id mod 3), each reduced to a decomposable per-source
-      state, the states merged, and mean/min/max derived from the
-      MERGED state. The oracle aggregates the full table directly,
-      so the hash proves the algebraic combine is lossless — the
-      never-re-scan-history contract a 100 TB stats pipeline needs."""
+      state, the states merged, and mean/stddev/min/max derived from
+      the MERGED state (merge.finalize_aggs — the sum-of-squares
+      moment makes VARIANCE incrementally maintainable too, r3). The
+      oracle aggregates the full table directly, so the hash proves
+      the algebraic combine is lossless — the never-re-scan-history
+      contract a 100 TB stats pipeline needs."""
     from lsdm_motogp_data_integration_spark.operators.merge import (
+        finalize_aggs,
         merge_partial_aggs,
         partial_aggs,
     )
@@ -2431,14 +2434,15 @@ def q53_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i in range(3)
     ]
     merged = merge_partial_aggs(batches, ["source"])
-    inc = merged.select(
+    inc = finalize_aggs(merged).select(
         "source",
         F.col("n").alias("n_docs"),
         # double(exact decimal sum) / n — NOT decimal division: Spark
         # and DuckDB disagree on result scale for wide decimals
-        (F.col("sum_v").cast("double") / F.col("n")).alias("mean_chars"),
+        F.col("mean_v").alias("mean_chars"),
         F.col("min_v").alias("min_chars"),
         F.col("max_v").alias("max_chars"),
+        F.col("std_v").alias("std_chars"),
     )
     langs = ["de", "en", "es", "fr", "zh"]
     piv = (
@@ -2481,6 +2485,7 @@ def q53_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("n_es", "bigint"),
             ("n_fr", "bigint"),
             ("n_zh", "bigint"),
+            ("std_chars", "double"),
         ],
         ("source", per_source),
         ("profile", prof),
@@ -7157,13 +7162,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NULL AS BIGINT) AS n_en,
                    CAST(NULL AS BIGINT) AS n_es,
                    CAST(NULL AS BIGINT) AS n_fr,
-                   CAST(NULL AS BIGINT) AS n_zh
+                   CAST(NULL AS BIGINT) AS n_zh,
+                   CAST(NULL AS DOUBLE) AS std_chars
             FROM per_source
             UNION ALL
             SELECT 'profile', NULL, NULL, NULL, NULL, NULL, NULL,
                    "column", dtype, n_rows, n_nulls, n_distinct,
                    min_num, max_num, mean_num, min_str, max_str,
-                   NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL
+                   NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+                   CAST(NULL AS DOUBLE) AS std_chars
             FROM prof
             UNION ALL
             SELECT 'rollup' AS scope, source,
@@ -7178,7 +7185,8 @@ def oracle_sql() -> dict[str, str]:
                    lang,
                    CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
                    CAST(GROUPING(source, lang) AS BIGINT) AS grp,
-                   NULL, NULL, NULL, NULL, NULL
+                   NULL, NULL, NULL, NULL, NULL,
+                   CAST(NULL AS DOUBLE) AS std_chars
             FROM documents
             GROUP BY ROLLUP (source, lang)
             UNION ALL
@@ -7196,7 +7204,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) FILTER (WHERE lang = 'en') AS BIGINT) AS n_en,
                    CAST(COUNT(*) FILTER (WHERE lang = 'es') AS BIGINT) AS n_es,
                    CAST(COUNT(*) FILTER (WHERE lang = 'fr') AS BIGINT) AS n_fr,
-                   CAST(COUNT(*) FILTER (WHERE lang = 'zh') AS BIGINT) AS n_zh
+                   CAST(COUNT(*) FILTER (WHERE lang = 'zh') AS BIGINT) AS n_zh,
+                   CAST(NULL AS DOUBLE) AS std_chars
             FROM documents
             GROUP BY source
             UNION ALL
@@ -7219,7 +7228,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NULL AS BIGINT),
                    CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
                    CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
-                   CAST(NULL AS BIGINT)
+                   CAST(NULL AS BIGINT),
+                   -- sample stddev from the SAME decimal moments the
+                   -- engine's merged state carries (merge.finalize_aggs)
+                   CASE WHEN COUNT(*) > 1 THEN SQRT(GREATEST(
+                       (CAST(SUM(CAST(n_chars * n_chars
+                                      AS DECIMAL(38,6))) AS DOUBLE)
+                        - CAST(SUM(CAST(n_chars AS DECIMAL(38,6)))
+                               AS DOUBLE)
+                          * CAST(SUM(CAST(n_chars AS DECIMAL(38,6)))
+                                 AS DOUBLE)
+                          / COUNT(*))
+                       / (COUNT(*) - 1.0), 0.0)) END AS std_chars
             FROM documents
             GROUP BY source
         """,

@@ -118,15 +118,19 @@ def partial_aggs(
     df: DataFrame, keys: list[str], value_col: str
 ) -> DataFrame:
     """Decomposable per-key aggregate STATE for incremental
-    maintenance: ``(keys…, n, sum_v decimal(38,6), min_v, max_v)``.
-    The state of a batch is mergeable with any other batch's state
-    (:func:`merge_partial_aggs`), so a 100 TB corpus's statistics are
-    maintained by aggregating only each new delta — never re-scanning
-    history. Sums are decimal so merge order can't change the result
-    (the repo's float-determinism convention)."""
+    maintenance: ``(keys…, n, sum_v decimal(38,6), sumsq_v
+    decimal(38,6), min_v, max_v)``. The state of a batch is mergeable
+    with any other batch's state (:func:`merge_partial_aggs`), so a
+    100 TB corpus's statistics are maintained by aggregating only each
+    new delta — never re-scanning history. Sums (including the
+    sum-of-squares moment, which makes mean AND variance derivable
+    after any merge) are decimal so merge order can't change the
+    result (the repo's float-determinism convention)."""
+    v = F.col(value_col)
     return df.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col(value_col).cast("decimal(38,6)")).alias("sum_v"),
+        F.sum(v.cast("decimal(38,6)")).alias("sum_v"),
+        F.sum((v * v).cast("decimal(38,6)")).alias("sumsq_v"),
         F.min(value_col).alias("min_v"),
         F.max(value_col).alias("max_v"),
     )
@@ -149,6 +153,32 @@ def merge_partial_aggs(states: list[DataFrame], keys: list[str]) -> DataFrame:
     return u.groupBy(*keys).agg(
         F.sum("n").alias("n"),
         F.sum("sum_v").alias("sum_v"),
+        F.sum("sumsq_v").alias("sumsq_v"),
         F.min("min_v").alias("min_v"),
         F.max("max_v").alias("max_v"),
+    )
+
+
+def finalize_aggs(state: DataFrame) -> DataFrame:
+    """Derived measures from a (merged) state: mean and SAMPLE
+    variance/stddev from the two decimal moments — identical scalar
+    double expressions in any engine (the q43 ``exact`` convention),
+    computed ONCE after the final merge (derived measures don't
+    compose). n = 1 groups report NULL variance (no degrees of
+    freedom); variance is clamped at 0 against negative rounding
+    residue."""
+    n = F.col("n").cast("double")
+    s1 = F.col("sum_v").cast("double")
+    s2 = F.col("sumsq_v").cast("double")
+    var = F.when(
+        F.col("n") > 1,
+        F.greatest(
+            (s2 - s1 * s1 / n) / (n - F.lit(1.0)), F.lit(0.0)
+        ),
+    )
+    return state.select(
+        "*",
+        (s1 / n).alias("mean_v"),
+        var.alias("var_v"),
+        F.sqrt(var).alias("std_v"),
     )

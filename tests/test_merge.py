@@ -104,3 +104,40 @@ def test_partial_aggs_merge_equals_direct(spark):
         for r in df.collect()
     }
     assert as_map(merged) == as_map(direct)
+
+
+def test_finalize_aggs_variance_from_merged_state_equals_direct(spark):
+    """Variance derived from the MERGED sum/sumsq moments must equal
+    the single-pass computation on the full data — the property that
+    makes stddev incrementally maintainable; n=1 groups report NULL."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from lsdm_motogp_data_integration_spark.operators.merge import (
+        finalize_aggs,
+        merge_partial_aggs,
+        partial_aggs,
+    )
+
+    rows = [(i, "a" if i % 4 else "b", float((i * 7) % 23)) for i in range(200)]
+    rows.append((999, "solo", 5.0))
+    d = spark.createDataFrame(rows, "id bigint, src string, v double")
+    states = [
+        partial_aggs(d.filter(F.col("id") % 3 == i), ["src"], "v")
+        for i in range(3)
+    ]
+    fin = {
+        r["src"]: (r["mean_v"], r["var_v"], r["std_v"])
+        for r in finalize_aggs(
+            merge_partial_aggs(states, ["src"])
+        ).collect()
+    }
+    import statistics
+
+    for src in ("a", "b"):
+        vals = [v for _, s, v in rows if s == src]
+        assert abs(fin[src][0] - statistics.mean(vals)) < 1e-9
+        assert abs(fin[src][1] - statistics.variance(vals)) < 1e-6
+        assert abs(fin[src][2] - math.sqrt(statistics.variance(vals))) < 1e-6
+    assert fin["solo"][1] is None and fin["solo"][2] is None
