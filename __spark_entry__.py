@@ -1885,9 +1885,15 @@ def q43_statistics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       rows, counter-addition merge like the CMS): estimates are the
       upper edge of the first bin reaching rank ceil(q·n), within one
       bin width of the exact value by construction; the oracle replays
-      bins, cumulative counts, and edges exactly."""
+      bins, cumulative counts, and edges exactly.
+    - ``winsor`` (r3): outlier clipping at the exact global
+      [0.01, 0.99] quantiles (profile.winsorize — bounds from the
+      two-phase quantile job as literals, clip fused into the scan):
+      per event type the clipped-row count and the winsorized
+      min/max, oracle-replayed via the same rank rule."""
     from lsdm_motogp_data_integration_spark.operators.profile import (
         exact_quantiles,
+        winsorize,
     )
     from lsdm_motogp_data_integration_spark.operators.sketches import (
         histogram_quantile,
@@ -1909,6 +1915,13 @@ def q43_statistics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         lo=0.0,
         hi=500.0,
         n_bins=100,
+    )
+    wz = winsorize(ev, "value", lo_q=0.01, hi_q=0.99).groupBy(
+        "event_type"
+    ).agg(
+        F.sum(F.col("value_clipped").cast("bigint")).alias("n"),
+        F.min("value_winsor").alias("vmin"),
+        F.max("value_winsor").alias("vmax"),
     )
     g = ev.groupBy("event_type").agg(
         F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
@@ -1996,6 +2009,7 @@ def q43_statistics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("hll_sketch", hl),
         ("global_q", gq),
         ("hist_q", hq),
+        ("winsor", wz),
     )
 
 
@@ -5888,6 +5902,47 @@ def oracle_sql() -> dict[str, str]:
                 FROM cum, (VALUES (0.5), (0.9), (0.99)) qv(q)
                 WHERE cum.c >= CEIL(CAST(qv.q AS DECIMAL(18,9)) * cum.nn)
                 GROUP BY qv.q
+            )
+            UNION ALL
+            -- winsor: clip at the exact global [0.01, 0.99] quantile
+            -- values (rank = ceil(q*n), same rule as global_q), then
+            -- per event type: clipped-row count + winsorized min/max
+            SELECT 'winsor' AS scope, event_type,
+                   NULL::DOUBLE AS p50, NULL::DOUBLE AS p90,
+                   n, vmin, vmax,
+                   NULL::DOUBLE AS mean, NULL::DOUBLE AS stddev,
+                   NULL::BOOLEAN AS hll_ok,
+                   NULL::DOUBLE AS approx_median,
+                   NULL::BIGINT AS hll_v, NULL::BIGINT AS hll_s,
+                   NULL::BIGINT AS hll_reg_sum, NULL::DOUBLE AS hll_est,
+                   NULL::DOUBLE AS q, NULL::DOUBLE AS qvalue
+            FROM (
+                WITH ws AS (
+                    SELECT value,
+                           ROW_NUMBER() OVER (ORDER BY value) AS rn,
+                           COUNT(*) OVER () AS nn
+                    FROM events WHERE value IS NOT NULL
+                ), bounds AS (
+                    SELECT
+                        (SELECT MIN(value) FROM ws
+                         WHERE rn >= CEIL(CAST(0.01 AS DECIMAL(18,9)) * nn))
+                            AS lo,
+                        (SELECT MIN(value) FROM ws
+                         WHERE rn >= CEIL(CAST(0.99 AS DECIMAL(18,9)) * nn))
+                            AS hi
+                )
+                SELECT e.event_type,
+                       CAST(SUM(CASE WHEN e.value IS NOT NULL
+                                AND (e.value < b.lo OR e.value > b.hi)
+                                THEN 1 ELSE 0 END) AS BIGINT) AS n,
+                       MIN(CASE WHEN e.value IS NULL THEN NULL
+                           ELSE LEAST(GREATEST(e.value, b.lo), b.hi)
+                           END) AS vmin,
+                       MAX(CASE WHEN e.value IS NULL THEN NULL
+                           ELSE LEAST(GREATEST(e.value, b.lo), b.hi)
+                           END) AS vmax
+                FROM events e CROSS JOIN bounds b
+                GROUP BY e.event_type
             )
         """,
         "q44_motogp_standings": f"""

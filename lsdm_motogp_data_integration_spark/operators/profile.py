@@ -308,3 +308,51 @@ def exact_quantiles(
     out = out.localCheckpoint(eager=True)
     ranged.unpersist()
     return out
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    *,
+    lo_q: float = 0.01,
+    hi_q: float = 0.99,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Outlier clipping at EXACT global quantiles (the data-cleaning
+    step before scale-sensitive statistics): values below the
+    ``lo_q`` quantile rise to it, values above ``hi_q`` drop to it.
+    Adds ``<value_col>_winsor`` (the clipped value) and
+    ``<value_col>_clipped`` (whether this row moved); NULL values stay
+    NULL and unclipped.
+
+    Bounds come from :func:`exact_quantiles` (two-phase distributed —
+    no global sort) and land as two LITERALS via one O(2)-row driver
+    collect (the codebook pattern: bounded metadata, not data), so the
+    clip itself is a pure Column projection fused into the scan —
+    winsorizing 100 TB is one quantile job plus a map."""
+    got = {
+        r["q"]: r["qvalue"]
+        for r in exact_quantiles(
+            df, value_col, [float(lo_q), float(hi_q)],
+            num_partitions=num_partitions,
+        ).collect()
+    }
+    if not got:
+        # all-null / empty input: nothing to clip
+        return df.withColumn(
+            f"{value_col}_winsor", F.col(value_col)
+        ).withColumn(f"{value_col}_clipped", F.lit(False))
+    lo, hi = float(got[float(lo_q)]), float(got[float(hi_q)])
+    v = F.col(value_col)
+    # explicit NULL guard: Spark's greatest/least SKIP nulls (they
+    # return the greatest non-null operand), so a bare
+    # least(greatest(v, lo), hi) would turn NULL into lo
+    clipped = F.when(
+        v.isNull(), F.lit(None).cast("double")
+    ).otherwise(F.least(F.greatest(v, F.lit(lo)), F.lit(hi)))
+    return df.withColumn(
+        f"{value_col}_winsor", clipped
+    ).withColumn(
+        f"{value_col}_clipped",
+        F.when(v.isNull(), F.lit(False)).otherwise(v != clipped),
+    )

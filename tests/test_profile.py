@@ -159,3 +159,34 @@ def test_exact_quantiles_ignores_nulls_and_handles_empty(spark):
     assert got == {0.5: 1.0, 1.0: 3.0}
     empty = spark.createDataFrame([(None,)], "x double")
     assert exact_quantiles(empty, "x", [0.5]).count() == 0
+
+
+def test_winsorize_clips_exact_tails(spark):
+    """Bounds are the exact rank-ceil(q*n) values; rows outside move
+    to them and are flagged; NULLs untouched; in-range rows intact."""
+    from lsdm_motogp_data_integration_spark.operators.profile import (
+        exact_quantiles,
+        winsorize,
+    )
+
+    vals = [float(i) for i in range(1, 101)]  # 1..100
+    df = spark.createDataFrame(
+        [(v,) for v in vals] + [(None,)], "x double"
+    )
+    out = winsorize(df, "x", lo_q=0.05, hi_q=0.95)
+    rows = out.collect()
+    # rank ceil(.05*100)=5 -> lo=5.0; ceil(.95*100)=95 -> hi=95.0
+    q = {
+        r["q"]: r["qvalue"]
+        for r in exact_quantiles(df, "x", [0.05, 0.95]).collect()
+    }
+    assert q == {0.05: 5.0, 0.95: 95.0}
+    for r in rows:
+        if r["x"] is None:
+            assert r["x_winsor"] is None and r["x_clipped"] is False
+        elif r["x"] < 5.0:
+            assert r["x_winsor"] == 5.0 and r["x_clipped"]
+        elif r["x"] > 95.0:
+            assert r["x_winsor"] == 95.0 and r["x_clipped"]
+        else:
+            assert r["x_winsor"] == r["x"] and not r["x_clipped"]
