@@ -27,9 +27,15 @@ for i, (name, fn) in enumerate(q.items(), 1):
     if tag:
         sql = o[name]
         found = set(re.findall(r"SELECT\s+'([^']+)'\s+AS\s+" + tag, sql))
-        # branches that lead with the bare literal (no AS — the column
-        # name is inherited from the first branch)
-        found |= set(re.findall(r"SELECT\s+'([^']+)'\s*,", sql))
+        # UNION branches that lead with the bare literal (no AS — the
+        # column name is inherited from the first branch); anchored to
+        # UNION ALL so scalar literals inside subqueries don't match
+        found |= set(
+            re.findall(
+                r"UNION ALL\s*(?:--[^\n]*\n\s*)*SELECT\s+'(\w+)'\s*,",
+                sql,
+            )
+        )
         scopes = ", ".join(
             sorted(x for x in found if not x.startswith("__"))
         )
