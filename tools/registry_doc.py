@@ -32,7 +32,7 @@ for i, (name, fn) in enumerate(q.items(), 1):
         # UNION ALL so scalar literals inside subqueries don't match
         found |= set(
             re.findall(
-                r"UNION ALL\s*(?:--[^\n]*\n\s*)*SELECT\s+'(\w+)'\s*,\s*(?!')",
+                r"UNION ALL\s*(?:--[^\n]*\n\s*)*SELECT\s+'(\w+)'\s*,(?!\s*')",
                 sql,
             )
         )
