@@ -530,6 +530,84 @@ def main() -> None:
             .select(F.element_at("proj", 1).alias("p1"))
             .agg(F.sum("p1")),
         )
+        # --- closeout batch 2 ---
+        from lsdm_motogp_data_integration_spark.operators.ann import (
+            pq_topk,
+        )
+        from lsdm_motogp_data_integration_spark.operators.boilerplate import (
+            dup_line_stats,
+        )
+        from lsdm_motogp_data_integration_spark.operators.profile import (
+            winsorize,
+        )
+        from lsdm_motogp_data_integration_spark.operators.sketches import (
+            histogram_quantile,
+            histogram_sketch,
+        )
+        from lsdm_motogp_data_integration_spark.operators.textops import (
+            badword_screen,
+            char_entropy,
+            token_budget_sample,
+        )
+
+        # per-char explode + doc-keyed rollups — must track total chars
+        r["char_entropy_s"], _ = timed(
+            "char_entropy",
+            char_entropy(docs).agg(F.sum("char_entropy")),
+        )
+        # doc-keyed line aggregates over the synthetic lined corpus
+        r["dupline_s"], _ = timed(
+            "dupline",
+            dup_line_stats(lined).agg(F.sum("dup_line_frac")),
+        )
+        # one alternation regex per row, fused into the scan
+        bwcols = badword_screen("text", ("zebra", "quux", "xyzzy"))
+        r["badwords_s"], _ = timed(
+            "badwords",
+            docs.select(bwcols["n_badwords"].alias("nb")).agg(F.sum("nb")),
+        )
+        # one group-keyed cumulative window over ~5 sources
+        r["token_budget_s"], _ = timed(
+            "token_budget",
+            token_budget_sample(
+                docs.withColumn(
+                    "src", (F.col("doc_id") % 5).cast("string")
+                ),
+                "src",
+                {str(i): 50_000 * n_rep for i in range(5)},
+                "doc_id",
+            ),
+        )
+        # constant-key-space bin aggregate + bounded cumulative window
+        r["hist_q_s"], _ = timed(
+            "hist_q",
+            histogram_quantile(
+                histogram_sketch(evs, "value", lo=0.0, hi=500.0, n_bins=100),
+                [0.5, 0.99], lo=0.0, hi=500.0, n_bins=100,
+            ),
+        )
+        # two-phase quantile job + fused clip projection
+        r["winsorize_s"], _ = timed(
+            "winsorize",
+            # thunk: the bounds collect runs eagerly
+            lambda: winsorize(evs, "value").agg(
+                F.sum(F.col("value_clipped").cast("bigint"))
+            ),
+        )
+        # PQ-ADC: sample-bounded training (flat) + one encode pass +
+        # broadcast query scoring — must track corpus linearly
+        pq_queries = emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        r["pq_topk_s"], _ = timed(
+            "pq_topk",
+            lambda: pq_topk(
+                emb, pq_queries, "embedding", "vec_id", "query_id",
+                "query_vec", k=5, n_subspaces=2, n_codes=8,
+                n_iters=1, train_sample=256,
+            ),
+        )
         results[scale] = r
 
     base, big = results["1x"], results[f"{replicas}x"]
@@ -568,6 +646,13 @@ def main() -> None:
         "containment_s",
         "urlfilter_s",
         "rp_s",
+        "char_entropy_s",
+        "dupline_s",
+        "badwords_s",
+        "token_budget_s",
+        "hist_q_s",
+        "winsorize_s",
+        "pq_topk_s",
     ):
         ratio = (big[key] / base[key]) / replicas
         print(f"  {key}: {ratio:.2f}")
