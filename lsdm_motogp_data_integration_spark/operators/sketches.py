@@ -298,11 +298,16 @@ def hll_estimate(
     present = F.count(F.lit(1))
     agg = sketch.groupBy(*group_cols).agg(
         (F.lit(int(m)) - present).cast("bigint").alias("hll_v"),
+        # coalesce: the GLOBAL aggregation of an EMPTY sketch yields
+        # one row with SUM = NULL — the empty estimate must be 0 (all
+        # registers untouched), not NULL
         (
-            F.sum(_hll_pow(F.col("reg"), m))
+            F.coalesce(F.sum(_hll_pow(F.col("reg"), m)), F.lit(0))
             + (F.lit(int(m)) - present) * F.lit(1 << (B + 1))
         ).cast("bigint").alias("hll_s"),
-        F.sum((F.col("idx") + F.lit(1)) * F.col("reg"))
+        F.coalesce(
+            F.sum((F.col("idx") + F.lit(1)) * F.col("reg")), F.lit(0)
+        )
         .cast("bigint")
         .alias("hll_reg_sum"),
     )

@@ -255,3 +255,12 @@ def test_histogram_merge_is_counter_addition_and_clamps(spark):
     # out-of-range rows clamp into the end bins, never vanish
     total = sum(r["cnt"] for r in whole.collect())
     assert total == 202
+
+
+def test_hll_estimate_of_empty_sketch_is_zero(spark):
+    """The streaming path can probe state before any batch lands: the
+    empty register relation must estimate 0, not NULL."""
+    empty = spark.createDataFrame([], "idx int, reg int")
+    r = hll_estimate(empty, m=64).first()
+    assert r["hll_v"] == 64 and r["hll_est"] == 0.0
+    assert r["hll_s"] == 64 * (1 << 55) and r["hll_reg_sum"] == 0
