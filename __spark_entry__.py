@@ -2889,7 +2889,10 @@ def q58_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit('<a href="/rel">skip</a>'),
         ).alias("html"),
     )
-    anch = anchor_texts(apages, "url", "html").select(
+    # max_texts high enough never to bite at any test sf: the oracle
+    # derives the UNCAPPED sorted text list, so the query must too
+    # (the cap's hub-bounding behavior is pinned in pytest instead)
+    anch = anchor_texts(apages, "url", "html", max_texts=10_000_000).select(
         F.col("n_sources").alias("doc_id"),
         F.col("n_anchors").alias("component"),
         F.col("target").alias("host"),

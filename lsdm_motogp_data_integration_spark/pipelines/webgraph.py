@@ -135,7 +135,11 @@ def host_ranks(
 
 
 def anchor_texts(
-    pages: DataFrame, url_col: str, html_col: str
+    pages: DataFrame,
+    url_col: str,
+    html_col: str,
+    *,
+    max_texts: int = 100,
 ) -> DataFrame:
     """Anchor-text aggregation per link target — the classic web-corpus
     retrieval signal (anchor text describes the TARGET page better
@@ -143,16 +147,23 @@ def anchor_texts(
     Returns one row per canonical target URL:
     ``(target, n_anchors, n_sources, texts)`` with ``texts`` the
     pipe-joined SORTED anchor texts (engine-agnostic comparison form,
-    same convention as q49's posting lists).
+    same convention as q49's posting lists), BOUNDED to the
+    ``max_texts`` lexicographically-first texts per target — a hub
+    page (a homepage with millions of inlinks) must not collapse into
+    one unboundedly wide row; counts stay exact over ALL anchors.
 
-    Scale shape: one anchor explode + one target-keyed aggregate —
-    the same shuffle the host graph needs; anchor text is stripped of
-    inner markup and whitespace-collapsed per row before the shuffle
-    (constant-width keys, no document bodies move)."""
+    Scale shape: one anchor explode + one target-keyed aggregate for
+    the exact counts — the same shuffle the host graph needs; anchor
+    text is stripped of inner markup and whitespace-collapsed per row
+    before the shuffle (constant-width keys, no document bodies
+    move). The text sample adds one target-keyed window whose output
+    is capped BEFORE the list aggregation, so no executor ever
+    materializes a hub's full anchor list."""
     from lsdm_motogp_data_integration_spark.operators.textops import (
         html_anchors,
         strip_html,
     )
+    from pyspark.sql import Window
 
     exploded = pages.select(
         normalize_url(F.col(url_col)).alias("__src"),
@@ -163,10 +174,21 @@ def anchor_texts(
         F.trim(strip_html(F.col("__a.text"))).alias("__text"),
     )
     absolute = exploded.filter(F.col("target").rlike(SCHEME_RE))
-    return absolute.groupBy("target").agg(
+    counts = absolute.groupBy("target").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_anchors"),
         F.countDistinct("__src").cast("bigint").alias("n_sources"),
-        F.array_join(
-            F.array_sort(F.collect_list("__text")), "|"
-        ).alias("texts"),
     )
+    w = Window.partitionBy("target").orderBy(
+        F.col("__text").asc(), F.col("__src").asc()
+    )
+    sampled = (
+        absolute.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= int(max_texts))
+        .groupBy("target")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_list("__text")), "|"
+            ).alias("texts")
+        )
+    )
+    return counts.join(sampled, "target")

@@ -117,3 +117,27 @@ def test_anchor_texts_aggregates_per_target(spark):
     n_anchors, n_sources, texts = got["https://t.example/page"]
     assert n_anchors == 3 and n_sources == 2
     assert texts == "Good Docs|alpha|beta"
+
+
+def test_anchor_texts_caps_hub_text_sample_counts_stay_exact(spark):
+    from pyspark.sql import functions as F
+
+    from lsdm_motogp_data_integration_spark.pipelines.webgraph import (
+        anchor_texts,
+    )
+
+    pages = spark.range(50).select(
+        F.concat(F.lit("https://s"), F.col("id"), F.lit(".ex/p")).alias("url"),
+        F.concat(
+            F.lit('<a href="https://hub.ex/home">t'),
+            F.col("id"),
+            F.lit("</a>"),
+        ).alias("html"),
+    )
+    got = anchor_texts(pages, "url", "html", max_texts=5).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["n_anchors"] == 50 and r["n_sources"] == 50  # exact
+    texts = r["texts"].split("|")
+    assert len(texts) == 5  # bounded sample
+    assert texts == sorted(texts)
