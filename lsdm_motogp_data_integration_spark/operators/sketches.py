@@ -453,7 +453,11 @@ def histogram_quantile(
 
     The cumulative window runs over ≤ ``n_bins`` rows per group
     (bounded state, never corpus-sized); ranks are exact decimal
-    arithmetic; edges are single IEEE expressions — SQL-replayable."""
+    arithmetic; edges are single IEEE expressions — SQL-replayable.
+    ALL requested quantiles come out of ONE pass over the cumulative
+    relation (per-q conditional aggregates + an explode — the
+    :func:`profile.exact_quantiles` shape), so a sketch built from raw
+    data is not re-aggregated once per q."""
     from pyspark.sql import Window
 
     width = (float(hi) - float(lo)) / int(n_bins)
@@ -469,27 +473,35 @@ def histogram_quantile(
         F.sum("cnt").over(w).alias("__cum"),
         F.sum("cnt").over(wn).alias("__n"),
     )
-    branches = []
-    for q in qs:
+    aggs = [F.min("__n").alias("__ntot")]
+    for i, q in enumerate(qs):
         rank = F.ceil(
             F.lit(float(q)).cast("decimal(18,9)") * F.col("__n")
         ).cast("bigint")
-        hit = cum.filter(F.col("__cum") >= rank).groupBy(*group_cols).agg(
-            F.min("bin").alias("__bin"), F.min("__n").alias("n")
+        aggs.append(
+            F.min(
+                F.when(F.col("__cum") >= rank, F.col("bin"))
+            ).alias(f"__b{i}")
         )
-        branches.append(
-            hit.select(
-                *group_cols,
+    one = cum.groupBy(*group_cols).agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(
                 F.lit(float(q)).alias("q"),
                 (
                     F.lit(float(lo))
-                    + (F.col("__bin") + F.lit(1)).cast("double")
+                    + (F.col(f"__b{i}") + F.lit(1)).cast("double")
                     * F.lit(width)
                 ).alias("qvalue"),
-                F.col("n").cast("bigint").alias("n"),
             )
-        )
-    out = branches[0]
-    for b in branches[1:]:
-        out = out.unionByName(b)
-    return out
+            for i, q in enumerate(qs)
+        ]
+    )
+    return one.select(
+        *group_cols, F.explode(pairs).alias("p"), F.col("__ntot")
+    ).select(
+        *group_cols,
+        F.col("p.q").alias("q"),
+        F.col("p.qvalue").alias("qvalue"),
+        F.col("__ntot").cast("bigint").alias("n"),
+    )
