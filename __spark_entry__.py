@@ -2151,10 +2151,16 @@ def q47_chunk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``exact`` (r3): EXACT-allocation stratified sampling
       (textops.stratified_allocate) — exactly ceil(0.1·n_lang) docs
       per lang in md5 order; nested-prefix property for scaling-law
-      subsamples. One window shuffle on the stratum key."""
+      subsamples. One window shuffle on the stratum key.
+    - ``weighted`` (r3): Efraimidis–Spirakis weighted sampling
+      WITHOUT replacement (textops.weighted_sample) — top-100 docs by
+      ``ln(md5-uniform)/n_chars``; inclusion ∝ length, deterministic
+      (no RNG), distributed TakeOrdered. The oracle replays the key
+      math and the cut exactly."""
     from lsdm_motogp_data_integration_spark.operators.textops import (
         stratified_allocate,
         stratified_sample,
+        weighted_sample,
     )
 
     chunks = q48_chunking(spark, sf_dir)
@@ -2181,6 +2187,9 @@ def q47_chunk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = stratified_allocate(docs, "lang", 0.1, "doc_id").select(
         "doc_id", "lang"
     )
+    weighted = weighted_sample(docs, "n_chars", 100, "doc_id").select(
+        "doc_id", "lang"
+    )
     return _suite_union(
         [
             ("doc_id", "bigint"),
@@ -2192,6 +2201,7 @@ def q47_chunk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("chunks", sampled),
         ("rate", rate),
         ("exact", exact),
+        ("weighted", weighted),
     )
 
 
@@ -6128,6 +6138,24 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             )
             WHERE rk <= CEIL(cnt * CAST(0.1 AS DOUBLE))
+            UNION ALL
+            -- weighted: Efraimidis-Spirakis A-ES keys replayed —
+            -- u = (md5-52 + 0.5)/2^52, key = ln(u)/weight, top-100
+            SELECT 'weighted' AS scope, doc_id,
+                   CAST(NULL AS BIGINT) AS chunk_start,
+                   CAST(NULL AS VARCHAR) AS chunk_text,
+                   CAST(NULL AS BIGINT) AS chunk_tokens,
+                   lang
+            FROM (
+                SELECT doc_id, lang,
+                       ln((CAST(('0x' || substr(md5('ws|'
+                               || CAST(doc_id AS VARCHAR)), 1, 13))
+                               AS BIGINT) + 0.5) / 4503599627370496.0)
+                       / CAST(n_chars AS DOUBLE) AS skey
+                FROM documents
+                WHERE n_chars IS NOT NULL AND n_chars > 0
+                ORDER BY skey DESC, doc_id ASC LIMIT 100
+            )
         """,
         "q61_sequence_packing": """
             WITH toks AS (

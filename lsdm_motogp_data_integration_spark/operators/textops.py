@@ -1282,3 +1282,68 @@ def token_budget_sample(
         budget.isNotNull()
         & (F.col("cum_tokens") - F.col("n_tokens") < budget)
     )
+
+
+def weighted_sample(
+    df,
+    weight_col: str,
+    k: int,
+    id_col: str,
+    *,
+    salt: str = "ws",
+    group_cols: tuple[str, ...] = (),
+):
+    """Weighted sampling WITHOUT replacement (Efraimidis & Spirakis
+    2006, A-ES): each row draws ``key = ln(u) / w`` with ``u`` a
+    DETERMINISTIC md5-uniform in (0,1) — the top-``k`` keys are an
+    exact weighted sample without replacement (inclusion ∝ weight,
+    no replacement bookkeeping). The engine-wide no-RNG rule holds:
+    the "randomness" is ``md5(salt|id)``, so the sample is
+    reproducible across runs, engines, and partitionings, and a new
+    ``salt`` is a fresh independent draw.
+
+    Rows with NULL or non-positive weight are never selected.
+    ``group_cols``: top-k per group (one group-keyed window);
+    without groups the global top-k is a distributed TakeOrdered
+    (orderBy + limit — per-partition heads, never a single-reducer
+    sort). Adds ``sample_key`` (the raw selection key; exposed so the
+    A-ES reservoir can be EXTENDED incrementally — keep the k-th key
+    as the threshold for a future batch)."""
+    from pyspark.sql import Window
+
+    from lsdm_motogp_data_integration_spark.operators.dedup import (
+        md5_60bit,
+    )
+
+    w = F.col(weight_col).cast("double")
+    # 52-bit md5 value -> exact double in (0,1): (h52 + 0.5) / 2^52
+    h52 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(f"{salt}|"), F.col(id_col).cast("string")
+                )
+            ),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    u = (h52.cast("double") + F.lit(0.5)) / F.lit(float(1 << 52))
+    key = F.log(u) / w
+    eligible = df.filter(w.isNotNull() & (w > 0)).withColumn(
+        "sample_key", key
+    )
+    if group_cols:
+        win = Window.partitionBy(*group_cols).orderBy(
+            F.col("sample_key").desc(), F.col(id_col).asc()
+        )
+        return (
+            eligible.withColumn("__rn", F.row_number().over(win))
+            .filter(F.col("__rn") <= int(k))
+            .drop("__rn")
+        )
+    return eligible.orderBy(
+        F.col("sample_key").desc(), F.col(id_col).asc()
+    ).limit(int(k))

@@ -696,3 +696,62 @@ def test_token_budget_sample_meets_budget_and_is_deterministic(spark):
     assert {r["doc_id"] for r in out2.collect()} == ids1
     # unlisted group dropped entirely
     assert not any(r["source"] not in ("web", "code") for r in got)
+
+
+def test_weighted_sample_matches_reference_and_biases_by_weight(spark):
+    """The selected set equals a python reference of the same A-ES
+    math exactly; heavier rows are strongly over-represented; zero/null
+    weights never selected; layout-deterministic."""
+    import hashlib
+    import math
+
+    from lsdm_motogp_data_integration_spark.operators.textops import (
+        weighted_sample,
+    )
+
+    rows = []
+    for i in range(500):
+        w = 100.0 if i % 10 == 0 else 1.0
+        rows.append((i, w))
+    rows += [(1000, 0.0), (1001, None)]
+    df = spark.createDataFrame(rows, "doc_id bigint, w double")
+    got = weighted_sample(df, "w", 50, "doc_id")
+    ids = {r["doc_id"] for r in got.collect()}
+    assert len(ids) == 50
+    assert 1000 not in ids and 1001 not in ids
+
+    def key(i, w):
+        h = int(hashlib.md5(f"ws|{i}".encode()).hexdigest()[:13], 16)
+        u = (h + 0.5) / float(1 << 52)
+        return math.log(u) / w
+
+    ref = sorted(
+        ((key(i, w), i) for i, w in rows if w), key=lambda t: (-t[0], t[1])
+    )[:50]
+    assert ids == {i for _, i in ref}
+    # heavy rows are 50 of 500 (10%) but ~100x weighted: most of the
+    # sample should be heavy
+    heavy = sum(1 for i in ids if i % 10 == 0)
+    assert heavy >= 35, heavy
+    ids2 = {
+        r["doc_id"]
+        for r in weighted_sample(df.repartition(11), "w", 50, "doc_id").collect()
+    }
+    assert ids2 == ids
+
+
+def test_weighted_sample_per_group(spark):
+    from lsdm_motogp_data_integration_spark.operators.textops import (
+        weighted_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "g" + str(i % 3), 1.0 + i % 5) for i in range(90)],
+        "doc_id bigint, g string, w double",
+    )
+    got = weighted_sample(df, "w", 7, "doc_id", group_cols=("g",)).collect()
+    per = {}
+    for r in got:
+        per.setdefault(r["g"], set()).add(r["doc_id"])
+    assert set(per) == {"g0", "g1", "g2"}
+    assert all(len(v) == 7 for v in per.values())
