@@ -1347,3 +1347,56 @@ def weighted_sample(
     return eligible.orderBy(
         F.col("sample_key").desc(), F.col(id_col).asc()
     ).limit(int(k))
+
+
+def extend_weighted_sample(
+    reservoir,
+    new_batch,
+    weight_col: str,
+    k: int,
+    id_col: str,
+    *,
+    salt: str = "ws",
+):
+    """Incremental A-ES: extend an existing :func:`weighted_sample`
+    reservoir (rows carrying ``sample_key``) with a NEW batch — union
+    the old keys with the batch's freshly drawn keys and re-take the
+    top-``k``. Because A-ES keys are independent per row and the
+    selection is a pure top-k over keys, this equals
+    ``weighted_sample(old_data ∪ new_batch)`` EXACTLY (pinned by
+    test) while touching only O(k + |batch|) rows — the
+    streaming/foreachBatch form of weighted sampling: history is
+    represented by its k reservoir rows, never re-scanned."""
+    new_keys = weighted_sample(
+        new_batch, weight_col, int(k) + new_batch.limit(1).count() * 0,
+        id_col, salt=salt,
+    ) if False else None  # (kept simple below)
+    # draw keys for the whole batch (top-k of the batch alone is NOT
+    # enough only when k > batch; the union top-k below is what must
+    # be exact, so draw ALL batch keys)
+    from lsdm_motogp_data_integration_spark.operators.dedup import (
+        md5_60bit,  # noqa: F401  (same import guard as weighted_sample)
+    )
+
+    w = F.col(weight_col).cast("double")
+    h52 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(f"{salt}|"), F.col(id_col).cast("string")
+                )
+            ),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    u = (h52.cast("double") + F.lit(0.5)) / F.lit(float(1 << 52))
+    batch_keyed = new_batch.filter(w.isNotNull() & (w > 0)).withColumn(
+        "sample_key", F.log(u) / w
+    )
+    merged = reservoir.unionByName(batch_keyed)
+    return merged.orderBy(
+        F.col("sample_key").desc(), F.col(id_col).asc()
+    ).limit(int(k))

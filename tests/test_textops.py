@@ -755,3 +755,27 @@ def test_weighted_sample_per_group(spark):
         per.setdefault(r["g"], set()).add(r["doc_id"])
     assert set(per) == {"g0", "g1", "g2"}
     assert all(len(v) == 7 for v in per.values())
+
+
+def test_extend_weighted_sample_equals_batch_over_union(spark):
+    """Reservoir(old) extended with a new batch must equal
+    weighted_sample over the full union — the exactly-incremental
+    property that lets the reservoir represent history."""
+    from lsdm_motogp_data_integration_spark.operators.textops import (
+        extend_weighted_sample,
+        weighted_sample,
+    )
+
+    old = spark.createDataFrame(
+        [(i, 1.0 + i % 4) for i in range(300)], "doc_id bigint, w double"
+    )
+    new = spark.createDataFrame(
+        [(i, 1.0 + i % 4) for i in range(300, 450)],
+        "doc_id bigint, w double",
+    )
+    res = weighted_sample(old, "w", 40, "doc_id")
+    ext = extend_weighted_sample(res, new, "w", 40, "doc_id")
+    full = weighted_sample(old.unionByName(new), "w", 40, "doc_id")
+    a = {(r["doc_id"], r["sample_key"]) for r in ext.collect()}
+    b = {(r["doc_id"], r["sample_key"]) for r in full.collect()}
+    assert a == b
