@@ -2255,7 +2255,12 @@ def q49_corpus_index_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       rows.
     - ``index``: inverted index — term → document frequency + sorted
       posting list (comma-joined for engine-agnostic comparison) for
-      terms in ≥ 10 documents.
+      terms in ≥ 10 documents. Scale note: at 100 TB the inverted
+      index IS the (term, doc_id) relation plus the df table — a
+      stopword's posting list must stay a term-keyed ROW SET (query
+      it with joins, as q64's BM25 does), never one concatenated
+      value; the string form here exists for the oracle's
+      value-comparison only.
     - ``vocab``: tokenizer-prep vocabulary (textops.build_vocab,
       min_count=2) — every surviving token with total count, document
       frequency, and a DENSE deterministic id by (count desc, token
