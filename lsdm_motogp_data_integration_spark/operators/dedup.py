@@ -1462,17 +1462,13 @@ def containment_dedup(
     boilerplate-wrapped reposts, where symmetric near-dup keeps both
     (their Jaccard is low) and plain dedup keeps both (texts differ).
 
-    A document is dropped iff it is the CONTAINED side of any pair
-    (``|S_a ∩ S_b| / |S_a| >= threshold``, a != b). Two exact copies
-    contain each other; the smaller id survives (the larger id is
-    dropped as "contained in" the smaller — deterministic, matching
-    :func:`exact_dedup`'s min-id policy). Mutual-containment CHAINS
-    collapse the same way: only docs contained in no *surviving*
-    smaller-id doc remain... more precisely the rule is local — drop
-    iff contained in ANY doc that is not dropped relative to you by
-    the id tie-break — implemented as: drop a iff ∃b: C(a→b) ≥ t and
-    (C(b→a) < t or b < a). Verified by test on exact-copy groups and
-    strict-subset cases.
+    The drop rule is LOCAL and deterministic: drop ``a`` iff some
+    ``b`` exists with ``C(a→b) = |S_a ∩ S_b| / |S_a| >= threshold``
+    and either the containment is one-directional (``C(b→a) < t`` —
+    a true subset dies, its superset lives) or it is mutual with
+    ``b < a`` (exact copies and mutual near-copies keep the smallest
+    id, matching :func:`exact_dedup`'s min-id policy). Verified by
+    test on strict subsets, exact-copy groups, and unrelated docs.
 
     Returns the surviving rows of ``df``. One anti-join against the
     (narrow) drop set; candidate generation is the prefix-filtered

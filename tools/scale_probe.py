@@ -608,6 +608,18 @@ def main() -> None:
                 n_iters=1, train_sample=256,
             ),
         )
+        # A-ES weighted sampling: per-row key + distributed TakeOrdered
+        from lsdm_motogp_data_integration_spark.operators.textops import (
+            weighted_sample,
+        )
+
+        r["weighted_sample_s"], _ = timed(
+            "weighted_sample",
+            weighted_sample(
+                docs.withColumn("w", F.length("text").cast("double")),
+                "w", 100, "doc_id",
+            ),
+        )
         results[scale] = r
 
     base, big = results["1x"], results[f"{replicas}x"]
@@ -653,6 +665,7 @@ def main() -> None:
         "hist_q_s",
         "winsorize_s",
         "pq_topk_s",
+        "weighted_sample_s",
     ):
         ratio = (big[key] / base[key]) / replicas
         print(f"  {key}: {ratio:.2f}")
