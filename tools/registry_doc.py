@@ -26,7 +26,11 @@ for i, (name, fn) in enumerate(q.items(), 1):
     scopes = ""
     if tag:
         sql = o[name]
-        found = set(re.findall(r"SELECT\s+'([^']+)'\s+AS\s+" + tag, sql))
+        found = set(
+            re.findall(
+                r"SELECT\s+(?:DISTINCT\s+)?'([^']+)'\s+AS\s+" + tag, sql
+            )
+        )
         # UNION branches that lead with the bare literal (no AS — the
         # column name is inherited from the first branch); anchored to
         # UNION ALL so scalar literals inside subqueries don't match
