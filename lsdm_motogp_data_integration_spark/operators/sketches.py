@@ -505,3 +505,43 @@ def histogram_quantile(
         F.col("p.qvalue").alias("qvalue"),
         F.col("__ntot").cast("bigint").alias("n"),
     )
+
+
+def hll_overlap_estimate(
+    a: DataFrame,
+    b: DataFrame,
+    *,
+    m: int = 64,
+) -> DataFrame:
+    """Distinct-overlap estimate between two corpora from their HLL
+    sketches alone (inclusion–exclusion: ``|A ∩ B| ≈ est(A) + est(B)
+    − est(A ∪ B)``, with the union sketch = register-wise MAX): the
+    "how much does source X overlap source Y" dashboard number
+    WITHOUT ever joining the corpora — three O(m) relations in, one
+    row out (``est_a``, ``est_b``, ``est_union``, ``est_overlap``).
+
+    Error compounds (three ±1.04/√m estimates), so this is a
+    magnitude signal, not a dedup decision — route real overlap
+    through the dedup family. Negative differences clamp to 0."""
+    ea = hll_estimate(a, m=m).select(
+        F.col("hll_est").alias("est_a")
+    )
+    eb = hll_estimate(b, m=m).select(
+        F.col("hll_est").alias("est_b")
+    )
+    eu = hll_estimate(hll_merge(a, b), m=m).select(
+        F.col("hll_est").alias("est_union")
+    )
+    return (
+        ea.crossJoin(eb)
+        .crossJoin(eu)
+        .select(
+            "est_a",
+            "est_b",
+            "est_union",
+            F.greatest(
+                F.col("est_a") + F.col("est_b") - F.col("est_union"),
+                F.lit(0.0),
+            ).alias("est_overlap"),
+        )
+    )

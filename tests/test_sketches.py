@@ -264,3 +264,27 @@ def test_hll_estimate_of_empty_sketch_is_zero(spark):
     r = hll_estimate(empty, m=64).first()
     assert r["hll_v"] == 64 and r["hll_est"] == 0.0
     assert r["hll_s"] == 64 * (1 << 55) and r["hll_reg_sum"] == 0
+
+
+def test_hll_overlap_estimate_tracks_true_intersection(spark):
+    """Two 2k-id sets overlapping by 1k: the sketch-only overlap
+    estimate lands within the compounded error band of the truth, and
+    disjoint sets estimate near zero."""
+    a = spark.createDataFrame([(i,) for i in range(2000)], "uid bigint")
+    b = spark.createDataFrame(
+        [(i,) for i in range(1000, 3000)], "uid bigint"
+    )
+    from lsdm_motogp_data_integration_spark.operators.sketches import (
+        hll_overlap_estimate,
+    )
+
+    r = hll_overlap_estimate(
+        hll_sketch(a, "uid", m=64), hll_sketch(b, "uid", m=64), m=64
+    ).first()
+    # truth 1000; three +-13% estimates compound — accept a wide band
+    assert 200 <= r["est_overlap"] <= 2200, r["est_overlap"]
+    c = spark.createDataFrame([(i,) for i in range(10_000, 12_000)], "uid bigint")
+    r2 = hll_overlap_estimate(
+        hll_sketch(a, "uid", m=64), hll_sketch(c, "uid", m=64), m=64
+    ).first()
+    assert r2["est_overlap"] <= 700, r2["est_overlap"]
