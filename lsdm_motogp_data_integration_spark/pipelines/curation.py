@@ -23,7 +23,7 @@ dominates.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from lsdm_motogp_data_integration_spark.operators.dedup import (
@@ -249,3 +249,113 @@ def curate(
         "train": train,
         "val": val,
     }
+
+
+def screen_report(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    keep_langs: tuple[str, ...] = ("en",),
+    min_quality: float = 0.3,
+    min_distinct_ratio: float = 0.2,
+    gopher_rules: bool = False,
+    badwords: tuple[str, ...] = (),
+) -> tuple[DataFrame, DataFrame]:
+    """Screening observability — the drop-funnel every production
+    curation run reports: per-document KEEP FLAGS for each screen
+    (computed as columns in ONE scan — no per-stage re-filtering) and
+    the aggregated funnel. Returns ``(flagged, funnel)``:
+
+    - ``flagged``: the input plus one boolean per screen
+      (``lang_ok``, ``quality_ok``, ``ratio_ok``, optional
+      ``gopher_ok`` / ``badword_ok``) and ``keep`` (their AND —
+      matches :func:`curate`'s ``screened`` membership for the same
+      parameters, pinned by test);
+    - ``funnel``: one row per screen with ``n_fail`` (docs that fail
+      THIS screen regardless of others — failure reasons overlap, so
+      these don't sum to total drops) and ``n_survive_cumulative``
+      (docs passing this screen AND all screens listed before it —
+      the classic funnel read), in screen order.
+
+    One aggregation over the flag columns; at 100 TB the report costs
+    one scan, not one scan per screen."""
+    from lsdm_motogp_data_integration_spark.operators.textops import (
+        badword_screen,
+    )
+
+    text = F.col(text_col)
+    words = F.split(
+        F.lower(F.regexp_replace(F.trim(text), r"\s+", " ")), " "
+    )
+    flags: list[tuple[str, Column]] = [
+        ("lang_ok", lang_id(text_col).isin(*keep_langs)),
+        ("quality_ok", quality_score(text_col) >= min_quality),
+        (
+            "ratio_ok",
+            (F.size(F.array_distinct(words)) / F.size(words))
+            >= min_distinct_ratio,
+        ),
+    ]
+    if gopher_rules:
+        gf = gopher_flags(text_col)
+        nt = token_count(text_col)
+        flags.append(
+            (
+                "gopher_ok",
+                (nt >= 50)
+                & (nt <= 100000)
+                & (gf["mean_word_len"] >= 3.0)
+                & (gf["mean_word_len"] <= 10.0)
+                & (gf["symbol_word_ratio"] <= 0.1)
+                & (gf["frac_alpha_words"] >= 0.8),
+            )
+        )
+    if badwords:
+        flags.append(
+            ("badword_ok", badword_screen(text_col, badwords)["badword_keep"])
+        )
+    flagged = docs
+    for name, c in flags:
+        flagged = flagged.withColumn(name, c)
+    keep = flags[0][1]
+    for _, c in flags[1:]:
+        keep = keep & c
+    flagged = flagged.withColumn("keep", keep)
+
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    cum = None
+    for name, _ in flags:
+        aggs.append(
+            F.sum(F.when(~F.col(name), 1).otherwise(0)).alias(
+                f"__fail_{name}"
+            )
+        )
+        cum = F.col(name) if cum is None else (cum & F.col(name))
+        aggs.append(
+            F.sum(F.when(cum, 1).otherwise(0)).alias(f"__cum_{name}")
+        )
+    one = flagged.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).cast("bigint").alias("stage"),
+                F.lit(name).alias("screen"),
+                F.col(f"__fail_{name}").cast("bigint").alias("n_fail"),
+                F.col(f"__cum_{name}")
+                .cast("bigint")
+                .alias("n_survive_cumulative"),
+            )
+            for i, (name, _) in enumerate(flags)
+        ]
+    )
+    funnel = one.select(
+        F.col("__n").cast("bigint").alias("n_total"),
+        F.explode(rows).alias("r"),
+    ).select(
+        "n_total",
+        F.col("r.stage").alias("stage"),
+        F.col("r.screen").alias("screen"),
+        F.col("r.n_fail").alias("n_fail"),
+        F.col("r.n_survive_cumulative").alias("n_survive_cumulative"),
+    )
+    return flagged, funnel

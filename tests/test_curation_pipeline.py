@@ -372,3 +372,53 @@ def test_curate_full_stack_all_stages(spark, sf_dir):
     assert tr_ids.isdisjoint(va_ids)
     assert tr_ids | va_ids == packed_ids
     assert {r["domain"] for r in tr}.isdisjoint({r["domain"] for r in va})
+
+
+def test_screen_report_flags_match_curate_and_funnel_is_consistent(
+    spark, sf_dir
+):
+    """keep == curate()'s screened membership for identical params;
+    the funnel's cumulative survivors are monotone non-increasing and
+    its final value equals the kept count."""
+    from pyspark.sql import functions as F
+
+    from lsdm_motogp_data_integration_spark.pipelines.curation import (
+        curate,
+        screen_report,
+    )
+    from lsdm_motogp_data_integration_spark.sources import read_table
+
+    d = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", "text", "source")
+        .limit(200)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 9 == 0,
+                F.concat(F.col("text"), F.lit(" zzzbanned")),
+            ).otherwise(F.col("text")),
+        )
+    )
+    flagged, funnel = screen_report(
+        d, keep_langs=("en", "zh"), badwords=("zzzbanned",)
+    )
+    kept = {r["doc_id"] for r in flagged.filter("keep").collect()}
+    screened = curate(d, keep_langs=("en", "zh"), badwords=("zzzbanned",))[
+        "screened"
+    ]
+    expect = {r["doc_id"] for r in screened.select("doc_id").collect()}
+    assert kept == expect and kept
+    rows = sorted(funnel.collect(), key=lambda r: r["stage"])
+    assert [r["screen"] for r in rows] == [
+        "lang_ok", "quality_ok", "ratio_ok", "badword_ok",
+    ]
+    surv = [r["n_survive_cumulative"] for r in rows]
+    assert all(a >= b for a, b in zip(surv, surv[1:]))
+    assert surv[-1] == len(kept)
+    assert rows[0]["n_total"] == 200
+    # the badword screen alone fails exactly the planted docs that
+    # contain the term
+    bw = next(r for r in rows if r["screen"] == "badword_ok")
+    assert bw["n_fail"] == sum(1 for i in range(200) if i % 9 == 0 and i in
+                               {r["doc_id"] for r in d.select("doc_id").collect()})
