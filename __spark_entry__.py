@@ -6400,11 +6400,15 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             -- dupfrac: Gopher intra-doc duplicate-line fractions over
             -- the corpus with the 4th-doc first-line re-append
+            -- base is ALL docs (left join + coalesce) to mirror the
+            -- Spark side, which emits (0, 0.0, 0.0) for docs with no
+            -- non-empty lines via its base left join
             SELECT 'dupfrac' AS scope, doc_id,
                    NULL::VARCHAR AS cleaned_text,
-                   n_lines AS n_lines_kept,
+                   COALESCE(n_lines, 0) AS n_lines_kept,
                    NULL::BIGINT AS n_lines_removed,
-                   dup_line_frac, dup_char_frac
+                   COALESCE(dup_line_frac, 0.0) AS dup_line_frac,
+                   COALESCE(dup_char_frac, 0.0) AS dup_char_frac
             FROM (
                 WITH duped_text AS (
                     SELECT lt.doc_id,
@@ -6424,14 +6428,19 @@ def oracle_sql() -> dict[str, str]:
                     SELECT doc_id, line, COUNT(*) AS c,
                            length(line) AS ln
                     FROM dlines GROUP BY 1, 2
+                ), per_doc AS (
+                    SELECT doc_id,
+                           CAST(SUM(c) AS BIGINT) AS n_lines,
+                           ROUND(SUM(c - 1) * 1.0 / SUM(c), 6)
+                               AS dup_line_frac,
+                           ROUND(SUM((c - 1) * ln) * 1.0
+                                 / SUM(c * ln), 6) AS dup_char_frac
+                    FROM dl_counts GROUP BY 1
                 )
-                SELECT doc_id,
-                       CAST(SUM(c) AS BIGINT) AS n_lines,
-                       ROUND(SUM(c - 1) * 1.0 / SUM(c), 6)
-                           AS dup_line_frac,
-                       ROUND(SUM((c - 1) * ln) * 1.0 / SUM(c * ln), 6)
-                           AS dup_char_frac
-                FROM dl_counts GROUP BY 1
+                SELECT b.doc_id, p.n_lines, p.dup_line_frac,
+                       p.dup_char_frac
+                FROM (SELECT DISTINCT doc_id FROM duped_text) b
+                LEFT JOIN per_doc p USING (doc_id)
             )
         """,
         "q64_bm25": """

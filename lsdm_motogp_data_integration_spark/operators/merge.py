@@ -144,16 +144,33 @@ def merge_partial_aggs(states: list[DataFrame], keys: list[str]) -> DataFrame:
     exactly Spark's own partial-aggregation combine, lifted to a
     persistable relation so it can span batches, days, or clusters.
     Derived measures (mean = sum/n) must be computed AFTER the final
-    merge — they don't compose."""
+    merge — they don't compose.
+
+    STATE-FORMAT COMPATIBILITY: ``sumsq_v`` was added to the state
+    schema after the first release; states persisted by the older
+    writer lack the column. Those still merge (union with
+    ``allowMissingColumns`` fills NULL), and a key whose history
+    includes ANY old-format state reports NULL ``sumsq_v`` — variance
+    is honestly non-derivable there (a partial sum would be silently
+    wrong) while n/sum/min/max stay exact."""
     if not states:
         raise ValueError("merge_partial_aggs needs at least one state")
     u = states[0]
     for s in states[1:]:
-        u = u.unionByName(s)
+        u = u.unionByName(s, allowMissingColumns=True)
+    if "sumsq_v" not in u.columns:
+        u = u.withColumn(
+            "sumsq_v", F.lit(None).cast("decimal(38,6)")
+        )
     return u.groupBy(*keys).agg(
         F.sum("n").alias("n"),
         F.sum("sum_v").alias("sum_v"),
-        F.sum("sumsq_v").alias("sumsq_v"),
+        # NULL if any contributing state predates sumsq_v — never a
+        # partial (wrong) second moment
+        F.when(
+            F.count(F.lit(1)) == F.count("sumsq_v"),
+            F.sum("sumsq_v"),
+        ).alias("sumsq_v"),
         F.min("min_v").alias("min_v"),
         F.max("max_v").alias("max_v"),
     )

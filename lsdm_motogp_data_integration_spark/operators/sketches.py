@@ -400,7 +400,11 @@ def histogram_sketch(
     CMS), where :func:`profile.exact_quantiles` is the exact batch
     path. Values outside the range clamp into the end bins (their
     quantile estimates degrade to the range edge — pick lo/hi from
-    domain knowledge or a prior exact profile). NULLs are ignored.
+    domain knowledge or a prior exact profile). NULLs and NaNs are
+    both ignored (COUNT-style semantics: without the NaN filter,
+    Spark's ``floor(NaN)`` casts to bigint 0 and would silently land
+    NaN rows in bin 0 — and DuckDB's CAST(NaN AS BIGINT) errors, so
+    dropping NaN is also what keeps the SQL replay portable).
 
     Bin arithmetic is portable IEEE: ``floor((v - lo) / width)``
     clamped to [0, n_bins-1] — the same ops in any engine, so the
@@ -416,7 +420,7 @@ def histogram_sketch(
         F.least(F.lit(int(n_bins) - 1).cast("bigint"), raw.cast("bigint")),
     )
     return (
-        df.where(v.isNotNull())
+        df.where(v.isNotNull() & ~F.isnan(v))
         .groupBy(*group_cols, bin_.alias("bin"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )

@@ -1284,6 +1284,31 @@ def token_budget_sample(
     )
 
 
+def _aes_sample_key(weight_col: str, id_col: str, salt: str):
+    """Shared A-ES key derivation: ``ln(u) / w`` with ``u`` the exact
+    md5-uniform double ``(h52 + 0.5) / 2^52`` from the first 13 hex
+    chars of ``md5(salt|id)``. Used by both :func:`weighted_sample`
+    and :func:`extend_weighted_sample` so the incremental path draws
+    BIT-IDENTICAL keys to the batch path (that identity is what makes
+    reservoir extension exact)."""
+    w = F.col(weight_col).cast("double")
+    h52 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(f"{salt}|"), F.col(id_col).cast("string")
+                )
+            ),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    u = (h52.cast("double") + F.lit(0.5)) / F.lit(float(1 << 52))
+    return w, F.log(u) / w
+
+
 def weighted_sample(
     df,
     weight_col: str,
@@ -1302,6 +1327,13 @@ def weighted_sample(
     reproducible across runs, engines, and partitionings, and a new
     ``salt`` is a fresh independent draw.
 
+    PRECONDITION: ``id_col`` values must be UNIQUE across the input
+    (and across all batches later fed to
+    :func:`extend_weighted_sample`). The key is a pure function of
+    ``(salt, id)``, so duplicate ids draw identical keys and could
+    both be selected — violating without-replacement semantics.
+    Dedup on ``id_col`` first if uniqueness is not guaranteed.
+
     Rows with NULL or non-positive weight are never selected.
     ``group_cols``: top-k per group (one group-keyed window);
     without groups the global top-k is a distributed TakeOrdered
@@ -1311,27 +1343,7 @@ def weighted_sample(
     as the threshold for a future batch)."""
     from pyspark.sql import Window
 
-    from lsdm_motogp_data_integration_spark.operators.dedup import (
-        md5_60bit,
-    )
-
-    w = F.col(weight_col).cast("double")
-    # 52-bit md5 value -> exact double in (0,1): (h52 + 0.5) / 2^52
-    h52 = F.conv(
-        F.substring(
-            F.md5(
-                F.concat(
-                    F.lit(f"{salt}|"), F.col(id_col).cast("string")
-                )
-            ),
-            1,
-            13,
-        ),
-        16,
-        10,
-    ).cast("bigint")
-    u = (h52.cast("double") + F.lit(0.5)) / F.lit(float(1 << 52))
-    key = F.log(u) / w
+    w, key = _aes_sample_key(weight_col, id_col, salt)
     eligible = df.filter(w.isNotNull() & (w > 0)).withColumn(
         "sample_key", key
     )
@@ -1366,35 +1378,17 @@ def extend_weighted_sample(
     ``weighted_sample(old_data ∪ new_batch)`` EXACTLY (pinned by
     test) while touching only O(k + |batch|) rows — the
     streaming/foreachBatch form of weighted sampling: history is
-    represented by its k reservoir rows, never re-scanned."""
-    new_keys = weighted_sample(
-        new_batch, weight_col, int(k) + new_batch.limit(1).count() * 0,
-        id_col, salt=salt,
-    ) if False else None  # (kept simple below)
-    # draw keys for the whole batch (top-k of the batch alone is NOT
-    # enough only when k > batch; the union top-k below is what must
-    # be exact, so draw ALL batch keys)
-    from lsdm_motogp_data_integration_spark.operators.dedup import (
-        md5_60bit,  # noqa: F401  (same import guard as weighted_sample)
-    )
+    represented by its k reservoir rows, never re-scanned.
 
-    w = F.col(weight_col).cast("double")
-    h52 = F.conv(
-        F.substring(
-            F.md5(
-                F.concat(
-                    F.lit(f"{salt}|"), F.col(id_col).cast("string")
-                )
-            ),
-            1,
-            13,
-        ),
-        16,
-        10,
-    ).cast("bigint")
-    u = (h52.cast("double") + F.lit(0.5)) / F.lit(float(1 << 52))
+    PRECONDITION: ``id_col`` must be unique across the reservoir's
+    history AND every batch — an id re-ingested in a later batch
+    draws the same md5 key and would duplicate the without-replacement
+    sample (see :func:`weighted_sample`). Keys are drawn for the WHOLE
+    batch (not its top-k alone): the union top-k below is what must
+    be exact."""
+    w, key = _aes_sample_key(weight_col, id_col, salt)
     batch_keyed = new_batch.filter(w.isNotNull() & (w > 0)).withColumn(
-        "sample_key", F.log(u) / w
+        "sample_key", key
     )
     merged = reservoir.unionByName(batch_keyed)
     return merged.orderBy(
