@@ -39,6 +39,25 @@ HEADLINE = [
     "q64_bm25",
     "q67_span_dedup",
 ]
+def _scope_values(name: str, tag: str) -> list[str]:
+    """Scope literals of a suite, extracted from its oracle SQL — the
+    same two regexes tools/registry_doc.py uses for REGISTRY.md (the
+    oracle is the source of truth for what a suite contains)."""
+    sql = entry_mod.oracle_sql().get(name, "")
+    found = set(
+        re.findall(
+            r"SELECT\s+(?:DISTINCT\s+)?'([^']+)'\s+AS\s+" + tag, sql
+        )
+    )
+    found |= set(
+        re.findall(
+            r"UNION ALL\s*(?:--[^\n]*\n\s*)*SELECT\s+'(\w+)'\s*,(?!\s*')",
+            sql,
+        )
+    )
+    return sorted(x for x in found if not x.startswith("__"))
+
+
 # q57/q66 (bloom decontamination, DSIR) are driver-checked for
 # correctness and scale-probed in SCALE.md (0.14 / 0.31 time-over-data at
 # 20x) but stay out of the headline set: each runs TWO suite scopes and
@@ -72,6 +91,9 @@ def main() -> None:
     queries = entry_mod.queries()
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
+    scope_timings: dict[str, dict[str, float]] = {}
+    load_samples: list[tuple[float, float, float]] = []
+    load_samples.append(os.getloadavg())
     for name in HEADLINE:
         fn = queries[name]
         runs = []
@@ -88,14 +110,38 @@ def main() -> None:
             runs.append(round(time.time() - t0, 3))
         cold[name] = runs[0]
         timings[name] = min(runs)
+        load_samples.append(os.getloadavg())
+        # per-scope attribution (one hot run per scope while the
+        # suite's persisted intermediates are live): a filter on the
+        # suite's literal tag column constant-folds every other union
+        # branch to an empty LocalRelation, so each number is that
+        # scope's own subplan. Sum over scopes can exceed the suite
+        # time (shared intermediates re-counted) — these attribute
+        # drift to a scope; the suite min stays the headline number.
+        tag = getattr(entry_mod, "_SUITE_TAG_COLS", {}).get(name)
+        scopes = _scope_values(name, tag) if tag else []
+        if scopes:
+            # build the suite ONCE (some suites train models eagerly at
+            # plan-build; rebuilding per scope would re-train), then
+            # filter the shared plan per scope
+            suite_df = fn(spark, sf_dir)
+            per_scope: dict[str, float] = {}
+            for scope in scopes:
+                t0 = time.time()
+                suite_df.filter(
+                    F.col(tag) == scope
+                ).write.format("noop").mode("overwrite").save()
+                per_scope[scope] = round(time.time() - t0, 3)
+            scope_timings[name] = per_scope
         # release anything this query persisted (persist_sets/
         # persist_tokens/...) so later queries aren't measured under
         # the accumulated cache pressure of earlier ones — same hygiene
-        # as tools/scale_probe.py. Within the 3 runs the cache is live,
+        # as tools/scale_probe.py. Within the 4 runs the cache is live,
         # so the hot number still reflects the persisted steady state.
         spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
+    loads = [round(l[0], 2) for l in load_samples]
     print(
         json.dumps(
             {
@@ -106,6 +152,13 @@ def main() -> None:
                 "sf": sf,
                 "cold_queries": cold,
                 "cold_total": round(sum(cold.values()), 3),
+                "scope_queries": scope_timings,
+                # host 1-min load average sampled before the run and
+                # after each query — lets a reader discount numbers
+                # contaminated by co-tenant load without SCALE.md prose
+                "loadavg_1m_samples": loads,
+                "loadavg_1m_max": max(loads),
+                "ncpus": os.cpu_count(),
             }
         )
     )
