@@ -68,36 +68,44 @@ def add_surrogate_key_distributed(
         # range partitioning (range boundaries come from sampling)
         .persist()
     )
-    counts = ranged.groupBy("__pid").count().orderBy("__pid").collect()
-    offsets: dict[int, int] = {}
-    acc = 0
-    for row in counts:
-        offsets[row["__pid"]] = acc
-        acc += row["count"]
-    kv: list[Column] = []
-    for pid, off in offsets.items():
-        kv.append(F.lit(pid))
-        kv.append(F.lit(off))
-    offset_of = F.create_map(*kv)
-    local = Window.partitionBy("__pid").orderBy(*cols)
-    result = ranged.withColumn(
-        name,
-        (F.row_number().over(local).cast("bigint") + offset_of[F.col("__pid")]),
-    ).drop("__pid")
-    # Materialize the keyed output, then release the persisted range
-    # partitioning — otherwise repeated calls in a long-lived session
-    # leak executor storage. Prefer a RELIABLE checkpoint when the
-    # session has a checkpoint dir (localCheckpoint blocks die with
-    # their executor — a post-checkpoint executor loss would make the
-    # returned fact-scale DataFrame unrecoverable); local remains the
-    # zero-config default, reclaimed by the ContextCleaner once the
-    # returned DataFrame is garbage-collected.
-    if df.sparkSession.sparkContext.getCheckpointDir():
-        result = result.checkpoint(eager=True)
-    else:
-        result = result.localCheckpoint(eager=True)
-    ranged.unpersist()
-    return result
+    # try/finally: the count collect and the checkpoint run driver jobs
+    # between persist and unpersist — an exception there (job killed,
+    # OOM on a task, bad column) must not leak executor storage
+    try:
+        counts = (
+            ranged.groupBy("__pid").count().orderBy("__pid").collect()
+        )
+        offsets: dict[int, int] = {}
+        acc = 0
+        for row in counts:
+            offsets[row["__pid"]] = acc
+            acc += row["count"]
+        kv: list[Column] = []
+        for pid, off in offsets.items():
+            kv.append(F.lit(pid))
+            kv.append(F.lit(off))
+        offset_of = F.create_map(*kv)
+        local = Window.partitionBy("__pid").orderBy(*cols)
+        result = ranged.withColumn(
+            name,
+            (
+                F.row_number().over(local).cast("bigint")
+                + offset_of[F.col("__pid")]
+            ),
+        ).drop("__pid")
+        # Materialize the keyed output, then release the persisted range
+        # partitioning — otherwise repeated calls in a long-lived session
+        # leak executor storage. Prefer a RELIABLE checkpoint when the
+        # session has a checkpoint dir (localCheckpoint blocks die with
+        # their executor — a post-checkpoint executor loss would make the
+        # returned fact-scale DataFrame unrecoverable); local remains the
+        # zero-config default, reclaimed by the ContextCleaner once the
+        # returned DataFrame is garbage-collected.
+        if df.sparkSession.sparkContext.getCheckpointDir():
+            return result.checkpoint(eager=True)
+        return result.localCheckpoint(eager=True)
+    finally:
+        ranged.unpersist()
 
 
 def _shard_hash(id_col: str, salt: str) -> Column:

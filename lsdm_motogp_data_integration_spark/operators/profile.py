@@ -254,60 +254,65 @@ def exact_quantiles(
         # consistent range partitioning (boundaries come from sampling)
         .persist()
     )
-    partials = ranged.groupBy("__pid").agg(
-        F.sum("__c").alias("__s")
-    ).orderBy("__pid").collect()
-    total = 0
-    kv = []
-    for row in partials:
-        kv.append(F.lit(row["__pid"]))
-        kv.append(F.lit(total))
-        total += row["__s"]
-    if total == 0:
-        ranged.unpersist()
-        return df.sparkSession.createDataFrame(
-            [], "q double, qvalue double, n bigint"
-        )
-    offset_of = F.create_map(*kv)
-    w = (
-        Window.partitionBy("__pid")
-        .orderBy("__v")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum = ranged.select(
-        "__v",
-        (F.sum("__c").over(w) + offset_of[F.col("__pid")]).alias("__cum"),
-    )
-    # rank_q = ceil(q·n) in exact decimal arithmetic; one aggregate
-    # computes every requested quantile from the same cumulative pass
-    aggs = []
-    for i, q in enumerate(qs):
-        rank = F.ceil(
-            F.lit(q).cast("decimal(18,9)") * F.lit(int(total))
-        ).cast("bigint")
-        aggs.append(
-            F.min(
-                F.when(F.col("__cum") >= rank, F.col("__v"))
-            ).alias(f"__q{i}")
-        )
-    one = cum.agg(*aggs)
-    pairs = F.array(
-        *[
-            F.struct(
-                F.lit(float(q)).alias("q"),
-                F.col(f"__q{i}").cast("double").alias("qvalue"),
+    # try/finally: the offsets collect and the checkpoint below run
+    # driver jobs between persist and unpersist — an exception there
+    # must not leak executor storage in a long-lived session
+    try:
+        partials = ranged.groupBy("__pid").agg(
+            F.sum("__c").alias("__s")
+        ).orderBy("__pid").collect()
+        total = 0
+        kv = []
+        for row in partials:
+            kv.append(F.lit(row["__pid"]))
+            kv.append(F.lit(total))
+            total += row["__s"]
+        if total == 0:
+            return df.sparkSession.createDataFrame(
+                [], "q double, qvalue double, n bigint"
             )
-            for i, q in enumerate(qs)
-        ]
-    )
-    out = one.select(F.explode(pairs).alias("p")).select(
-        F.col("p.q").alias("q"),
-        F.col("p.qvalue").alias("qvalue"),
-        F.lit(int(total)).cast("bigint").alias("n"),
-    )
-    out = out.localCheckpoint(eager=True)
-    ranged.unpersist()
-    return out
+        offset_of = F.create_map(*kv)
+        w = (
+            Window.partitionBy("__pid")
+            .orderBy("__v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cum = ranged.select(
+            "__v",
+            (F.sum("__c").over(w) + offset_of[F.col("__pid")]).alias(
+                "__cum"
+            ),
+        )
+        # rank_q = ceil(q·n) in exact decimal arithmetic; one aggregate
+        # computes every requested quantile from the same cumulative pass
+        aggs = []
+        for i, q in enumerate(qs):
+            rank = F.ceil(
+                F.lit(q).cast("decimal(18,9)") * F.lit(int(total))
+            ).cast("bigint")
+            aggs.append(
+                F.min(
+                    F.when(F.col("__cum") >= rank, F.col("__v"))
+                ).alias(f"__q{i}")
+            )
+        one = cum.agg(*aggs)
+        pairs = F.array(
+            *[
+                F.struct(
+                    F.lit(float(q)).alias("q"),
+                    F.col(f"__q{i}").cast("double").alias("qvalue"),
+                )
+                for i, q in enumerate(qs)
+            ]
+        )
+        out = one.select(F.explode(pairs).alias("p")).select(
+            F.col("p.q").alias("q"),
+            F.col("p.qvalue").alias("qvalue"),
+            F.lit(int(total)).cast("bigint").alias("n"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        ranged.unpersist()
 
 
 def winsorize(
