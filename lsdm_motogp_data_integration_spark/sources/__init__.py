@@ -343,9 +343,37 @@ def read_jdbc(
     table: str,
     *,
     properties: dict[str, str] | None = None,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int | None = None,
 ) -> DataFrame:
-    """JDBC source twin of :func:`write_jdbc`. For real databases at
-    scale, pass ``partitionColumn/lowerBound/upperBound/numPartitions``
-    via ``properties`` so the scan parallelizes instead of reading on
-    one task."""
+    """JDBC source twin of :func:`write_jdbc`.
+
+    Default form is a SINGLE-task scan — fine for dimension-sized
+    tables, a scale bug for anything big. Pass ``partition_column`` (a
+    numeric/date column) + ``lower_bound``/``upper_bound``/
+    ``num_partitions`` and Spark issues ``num_partitions`` range-
+    predicated queries in parallel (``WHERE col >= lo AND col < hi``),
+    one per task — the standard way to parallelize a 100 TB-adjacent
+    relational extract. Rows outside [lower, upper) are still read
+    (they land in the first/last stride), so bounds tune parallelism,
+    never correctness. N-task behavior is pinned in
+    tests/test_sources_jdbc.py via ``spark_partition_id`` distinctness
+    against embedded Derby."""
+    if partition_column is not None:
+        if None in (lower_bound, upper_bound, num_partitions):
+            raise ValueError(
+                "partitioned read_jdbc needs lower_bound, upper_bound "
+                "and num_partitions alongside partition_column"
+            )
+        return spark.read.jdbc(
+            url,
+            table,
+            column=partition_column,
+            lowerBound=lower_bound,
+            upperBound=upper_bound,
+            numPartitions=num_partitions,
+            properties=properties or {},
+        )
     return spark.read.jdbc(url, table, properties=properties or {})
