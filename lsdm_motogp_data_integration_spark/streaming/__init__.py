@@ -282,6 +282,9 @@ def streaming_neardup_ingest(
     bands: int = 16,
     threshold: float = 0.8,
     est_threshold: float = 0.4,
+    shards_dir: str | None = None,
+    n_shards: int = 8,
+    shard_salt: str = "shuf",
 ) -> None:
     """Continuously-ingested corpus near-dup removal — the streaming
     composition of the incremental-dedup pieces (``dedup_corpus`` +
@@ -301,6 +304,16 @@ def streaming_neardup_ingest(
     byte-identical results. State scale: the index is ``bands`` rows
     per accepted doc, partition-pruned by the batch_id layout and
     bucket-joinable without rescanning historical text.
+
+    ``shards_dir`` enables STREAMING SHARD APPEND: each batch's
+    survivors are additionally written under
+    ``shards_dir/batch_id=N/shard=K`` with the deterministic
+    ``keys.training_shards`` assignment (shard + in-shard pos derive
+    from ``md5(salt|id)``, so a doc's shard is IDENTICAL to what the
+    batch exporter would assign — membership equivalence is pinned by
+    test; ``pos`` is per-batch, documents arrive grouped by batch
+    within a shard). Same exactly-once story as the other two writes:
+    a replayed batch overwrites its own deterministic directory.
 
     Drains the available input (availableNow trigger) and returns.
     """
@@ -397,6 +410,21 @@ def streaming_neardup_ingest(
         ).write.mode("overwrite").parquet(
             f"{index_dir}/batch_id={batch_id}"
         )
+        if shards_dir is not None:
+            from lsdm_motogp_data_integration_spark.operators.keys import (
+                training_shards,
+            )
+
+            (
+                training_shards(
+                    survivors, id_col, n_shards=n_shards, salt=shard_salt
+                )
+                .repartitionByRange(int(n_shards), F.col("shard"))
+                .sortWithinPartitions("shard", "pos")
+                .write.mode("overwrite")
+                .partitionBy("shard")
+                .parquet(f"{shards_dir}/batch_id={batch_id}")
+            )
 
     q = (
         doc_stream.writeStream.outputMode("append")
