@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -443,6 +443,104 @@ def kmeans_clusters(
     )
 
 
+def _cells_udf(qmat: np.ndarray, n_top: int):
+    """Arrow-vectorized nearest-cell assignment against a broadcast
+    PRE-quantized centroid matrix: one integer-exact matmul per batch;
+    stable argsort so equal integer sims break by cell index asc — the
+    same order as SQL (sim DESC, cell ASC). Shared by training-time
+    assignment (:func:`ivf_topk`), the persisted index builder and the
+    index-serving query path, so the three can never drift."""
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def assign(vecs: pd.Series) -> pd.Series:
+        sims = _nearest_cells(vecs, qmat)
+        top = np.argsort(-sims, axis=1, kind="stable")[:, :n_top]
+        return pd.Series(list(top.astype(np.int32)))
+
+    return assign
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    *,
+    path: str,
+    codebook: "np.ndarray | str",
+) -> None:
+    """Materialize the IVF corpus assignment ONCE as a cell-partitioned
+    parquet index — the assign-once twin of :func:`save_codebook`'s
+    train-once (together they make IVF search fully incremental: at
+    100 TB, neither Lloyd training nor the corpus assignment pass
+    reruns per query batch).
+
+    Layout: ``path/cell=K/`` with columns (id, vec, ``__cn``
+    precomputed norm). Because ``cell`` is a PARTITION column, a query
+    batch probing ``nprobe`` of ``n_cells`` cells reads only those
+    directories — partition pruning does the inverted-file "visit few
+    lists" trick with plain parquet layout, no custom index format
+    (``ivf_topk_from_index`` joins broadcast queries on the partition
+    column, so Spark's dynamic partition pruning skips the rest of the
+    corpus at scan time; pinned in tests via the explained plan).
+
+    Appending a new document batch = assigning it with the SAME
+    codebook and appending to the same layout (cell membership is a
+    pure function of (vec, codebook))."""
+    mat = _resolve_codebook(codebook, corpus)
+    if mat is None:
+        raise ValueError("build_ivf_index requires a codebook")
+    qmat = _quantize(mat)
+    c = _drop_null_vecs(corpus, vec_col).select(
+        F.col(id_col),
+        F.col(vec_col),
+        norm_expr(F.col(vec_col)).alias("__cn"),
+        _cells_udf(qmat, 1)(F.col(vec_col)).getItem(0).alias("cell"),
+    )
+    c.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+
+def ivf_topk_from_index(
+    spark: SparkSession,
+    index_path: str,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_id_col: str,
+    query_vec_col: str,
+    *,
+    codebook: "np.ndarray | str",
+    k: int = 10,
+    nprobe: int = 3,
+) -> DataFrame:
+    """IVF top-k served from a :func:`build_ivf_index` layout: queries
+    are assigned to their ``nprobe`` nearest cells (same shared
+    assignment UDF) and joined — broadcast — against the index on the
+    ``cell`` PARTITION column, so the corpus scan touches only the
+    probed cells' directories (dynamic partition pruning; the corpus
+    is never re-assigned and the codebook never re-trained).
+
+    Results are identical to :func:`ivf_topk` run with the same
+    codebook (pinned by test): same assignment, same
+    :func:`_score_and_rank` tail, and the stored ``__cn`` norm is the
+    same expression the inline path computes."""
+    mat = _resolve_codebook(codebook, queries)
+    if mat is None:
+        raise ValueError("ivf_topk_from_index requires a codebook")
+    qmat = _quantize(mat)
+    idx = spark.read.parquet(index_path)
+    q = _drop_null_vecs(queries, query_vec_col).withColumn(
+        "__qn", norm_expr(F.col(query_vec_col))
+    ).withColumn(
+        "cell", F.explode(_cells_udf(qmat, nprobe)(F.col(query_vec_col)))
+    )
+    pairs = idx.join(F.broadcast(q), on="cell").filter(
+        F.col(id_col) != F.col(query_id_col)
+    )
+    return _score_and_rank(
+        pairs, id_col, query_id_col, vec_col, query_vec_col, k
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -491,24 +589,13 @@ def ivf_topk(
         )
     qmat = _quantize(mat)
 
-    def cells_udf(n_top: int):
-        @F.pandas_udf(T.ArrayType(T.IntegerType()))
-        def assign(vecs: pd.Series) -> pd.Series:
-            sims = _nearest_cells(vecs, qmat)
-            # stable sort: equal integer sims break by cell index asc —
-            # the same order as SQL (sim DESC, cell ASC)
-            top = np.argsort(-sims, axis=1, kind="stable")[:, :n_top]
-            return pd.Series(list(top.astype(np.int32)))
-
-        return assign
-
     c = corpus.withColumn("__cn", norm_expr(F.col(vec_col))).withColumn(
-        "__cell", cells_udf(1)(F.col(vec_col)).getItem(0)
+        "__cell", _cells_udf(qmat, 1)(F.col(vec_col)).getItem(0)
     )
     q = queries.withColumn(
         "__qn", norm_expr(F.col(query_vec_col))
     ).withColumn(
-        "__cell", F.explode(cells_udf(nprobe)(F.col(query_vec_col)))
+        "__cell", F.explode(_cells_udf(qmat, nprobe)(F.col(query_vec_col)))
     )
     # no pair dedupe needed (unlike LSH): a corpus row has exactly ONE
     # cell and a query's nprobe cells are distinct, so each (query,

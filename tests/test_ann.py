@@ -565,3 +565,49 @@ def test_codebook_save_load_injection_equivalence(spark, sf_dir, tmp_path):
         ).collect())
     )
     assert pqk_trained == pqk_injected
+
+
+def test_ivf_index_build_and_serve_matches_inline(spark, sf_dir, tmp_path):
+    """Persisted IVF index (r4): train once (save_codebook), assign the
+    corpus once (build_ivf_index, cell-partitioned parquet), then serve
+    top-k from the index — results must equal the inline ivf_topk with
+    the same codebook, and the index scan must prune to the probed
+    cells (partition filters on `cell` in the explained plan)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from lsdm_motogp_data_integration_spark.operators.ann import (
+        _train_centroids,
+        build_ivf_index,
+        ivf_topk,
+        ivf_topk_from_index,
+        save_codebook,
+    )
+
+    e = read_table(spark, sf_dir, "embeddings")
+    q = _query_set(e)
+    mat = _train_centroids(e, "embedding", "vec_id", 8, 2, None)
+    cb = str(tmp_path / "cb")
+    save_codebook(mat, spark, cb)
+    idx = str(tmp_path / "ivf_index")
+    build_ivf_index(e, "embedding", "vec_id", path=idx, codebook=cb)
+
+    served = ivf_topk_from_index(
+        spark, idx, q, "embedding", "vec_id", "query_id", "query_vec",
+        codebook=cb, k=5, nprobe=3,
+    )
+    inline = ivf_topk(
+        e, q, "embedding", "vec_id", "query_id", "query_vec",
+        k=5, nprobe=3, precomputed_codebook=cb,
+    )
+    assert sorted(map(tuple, served.collect())) == sorted(
+        map(tuple, inline.collect())
+    )
+
+    # the index scan is partition-pruned on `cell` (dynamic pruning
+    # from the broadcast query side reaches the parquet scan)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        served.explain(True)
+    plan = buf.getvalue()
+    assert "dynamicpruning" in plan.lower(), plan[-3000:]
