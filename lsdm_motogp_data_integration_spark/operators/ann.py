@@ -467,6 +467,7 @@ def build_ivf_index(
     *,
     path: str,
     codebook: "np.ndarray | str",
+    mode: str = "overwrite",
 ) -> None:
     """Materialize the IVF corpus assignment ONCE as a cell-partitioned
     parquet index — the assign-once twin of :func:`save_codebook`'s
@@ -483,9 +484,13 @@ def build_ivf_index(
     column, so Spark's dynamic partition pruning skips the rest of the
     corpus at scan time; pinned in tests via the explained plan).
 
-    Appending a new document batch = assigning it with the SAME
-    codebook and appending to the same layout (cell membership is a
-    pure function of (vec, codebook))."""
+    Appending a new document batch = calling this again with
+    ``mode="append"`` and the SAME codebook: cell membership is a pure
+    function of (vec, codebook), so new files land in the existing
+    ``cell=K`` directories and serving sees the union (pinned by test
+    — the ingest-side twin of the MinHash incremental index)."""
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"mode must be overwrite|append, got {mode!r}")
     mat = _resolve_codebook(codebook, corpus)
     if mat is None:
         raise ValueError("build_ivf_index requires a codebook")
@@ -496,7 +501,7 @@ def build_ivf_index(
         norm_expr(F.col(vec_col)).alias("__cn"),
         _cells_udf(qmat, 1)(F.col(vec_col)).getItem(0).alias("cell"),
     )
-    c.write.mode("overwrite").partitionBy("cell").parquet(path)
+    c.write.mode(mode).partitionBy("cell").parquet(path)
 
 
 def ivf_topk_from_index(

@@ -611,3 +611,53 @@ def test_ivf_index_build_and_serve_matches_inline(spark, sf_dir, tmp_path):
         served.explain(True)
     plan = buf.getvalue()
     assert "dynamicpruning" in plan.lower(), plan[-3000:]
+
+
+def test_ivf_index_incremental_append(spark, sf_dir, tmp_path):
+    """Index append (r4): building the index over half the corpus then
+    appending the other half with the SAME codebook must serve results
+    identical to an index built in one shot — the ingest-side twin of
+    the MinHash incremental index."""
+    from lsdm_motogp_data_integration_spark.operators.ann import (
+        _train_centroids,
+        build_ivf_index,
+        ivf_topk_from_index,
+        save_codebook,
+    )
+
+    e = read_table(spark, sf_dir, "embeddings")
+    q = _query_set(e)
+    mat = _train_centroids(e, "embedding", "vec_id", 8, 2, None)
+    cb = str(tmp_path / "cb")
+    save_codebook(mat, spark, cb)
+
+    full_idx = str(tmp_path / "idx_full")
+    build_ivf_index(e, "embedding", "vec_id", path=full_idx, codebook=cb)
+    inc_idx = str(tmp_path / "idx_inc")
+    build_ivf_index(
+        e.filter(F.col("vec_id") % 2 == 0), "embedding", "vec_id",
+        path=inc_idx, codebook=cb,
+    )
+    build_ivf_index(
+        e.filter(F.col("vec_id") % 2 == 1), "embedding", "vec_id",
+        path=inc_idx, codebook=cb, mode="append",
+    )
+
+    kw = dict(codebook=cb, k=5, nprobe=3)
+    a = sorted(map(tuple, ivf_topk_from_index(
+        spark, full_idx, q, "embedding", "vec_id", "query_id",
+        "query_vec", **kw,
+    ).collect()))
+    b = sorted(map(tuple, ivf_topk_from_index(
+        spark, inc_idx, q, "embedding", "vec_id", "query_id",
+        "query_vec", **kw,
+    ).collect()))
+    assert a == b and len(a) == 25
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        build_ivf_index(
+            e, "embedding", "vec_id", path=inc_idx, codebook=cb,
+            mode="errorifexists",
+        )
