@@ -885,6 +885,75 @@ def pq_topk(
     )
 
 
+def build_pq_index(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    *,
+    path: str,
+    codebooks: "list[np.ndarray] | str",
+    mode: str = "overwrite",
+) -> None:
+    """Materialize PQ codes ONCE as a parquet index ``(id, codes
+    array<int>)`` — the compressed-replica artifact of the PQ family:
+    at 100 TB the stored index is ``n_subspaces`` small ints per
+    vector (2 bytes here vs 512 for float64×64), and
+    :func:`pq_topk_from_index` serves search from it WITHOUT ever
+    touching the original embedding bytes. Appending a batch =
+    ``mode="append"`` with the same codebooks (codes are a pure
+    function of (vec, codebooks)) — same incremental contract as
+    :func:`build_ivf_index`."""
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+    books = _resolve_books(codebooks, corpus)
+    if books is None:
+        raise ValueError("build_pq_index requires codebooks")
+    subdim = books[0].shape[1]
+    encode = _pq_encode_udf([_quantize(b) for b in books], subdim)
+    _drop_null_vecs(corpus, vec_col).select(
+        F.col(id_col), encode(F.col(vec_col)).alias("codes")
+    ).write.mode(mode).parquet(path)
+
+
+def pq_topk_from_index(
+    spark: SparkSession,
+    index_path: str,
+    queries: DataFrame,
+    id_col: str,
+    query_id_col: str,
+    query_vec_col: str,
+    *,
+    codebooks: "list[np.ndarray] | str",
+    k: int = 10,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """PQ-ADC top-k served from a :func:`build_pq_index` layout: the
+    scan side reads ONLY the stored integer codes; reconstruction is
+    an ``element_at`` into the broadcast codebook literal and scoring
+    stays JVM-side — identical results to :func:`pq_topk` with the
+    same codebooks (pinned by test), but the corpus embeddings are
+    never read (the compressed-only-replica serving path)."""
+    books = _resolve_books(codebooks, queries)
+    if books is None:
+        raise ValueError("pq_topk_from_index requires codebooks")
+    book_lits = _pq_book_literals(books)
+    coded = spark.read.parquet(index_path).withColumnRenamed(
+        "codes", "__codes"
+    )
+    c = coded.withColumn("__recon", _pq_recon(book_lits)).withColumn(
+        "__cn", norm_expr(F.col("__recon"))
+    )
+    q = _drop_null_vecs(queries, query_vec_col).withColumn(
+        "__qn", norm_expr(F.col(query_vec_col))
+    )
+    pairs = c.crossJoin(F.broadcast(q))
+    if exclude_self:
+        pairs = pairs.filter(F.col(id_col) != F.col(query_id_col))
+    return _score_and_rank(
+        pairs, id_col, query_id_col, "__recon", query_vec_col, k
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

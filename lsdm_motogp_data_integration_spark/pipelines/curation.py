@@ -300,6 +300,9 @@ def curate_stream(
     bands: int = 16,
     est_threshold: float = 0.4,
     n_shards: int = 8,
+    holdout: DataFrame | None = None,
+    decontam_gram: int = 8,
+    decontam_method: str = "bloom",
 ) -> None:
     """Streaming curation — the continuous-ingest composition of the
     same stages :func:`curate` runs in batch (judge r4 ask #6):
@@ -333,16 +336,74 @@ def curate_stream(
     deterministic ``md5(salt|id)`` hash, hence identical to the batch
     exporter's regardless of batching.
 
-    Batch-only stages stay batch-only by design: ``line_dedup``
-    (keyed global state), decontamination (a static holdout screens
-    ACCEPTED output equally well after the fact) and sequence packing
-    (needs the final corpus) run downstream of ``accepted_dir``.
+    ``holdout`` enables STREAMING DECONTAMINATION: the holdout's
+    distinct word ``decontam_gram``-gram relation (and, for
+    ``decontam_method="bloom"``, its few-MB Bloom filter) is built
+    ONCE before the stream starts — the static-holdout codebook
+    pattern — and each batch's dedup survivors that share ANY gram
+    with it are dropped before the writes (the same conservative
+    drop-any-overlap rule as batch ``curate(holdout=...)``; the
+    verdict is per-document and static, so batch/stream equivalence
+    holds — pinned by test — with ONE deliberate divergence: a
+    contaminated doc is dropped BEFORE it enters the index, so a later
+    clean near-dup of it is admitted by the stream, while batch mode
+    loses both (there the contaminated doc wins dedup first and then
+    falls to decontamination, taking its shadowed near-dups with it).
+    The streaming behavior retains content that itself shares nothing
+    with the holdout — strictly less lossy, documented rather than
+    replicated). Per batch the added cost is one gram explode over the
+    batch + the Bloom-prescreened verify join; the holdout side is
+    never rescanned.
+
+    Batch-only stages stay batch-only by design: ``line_dedup`` (keyed
+    global state) and sequence packing (needs the final corpus) run
+    downstream of ``accepted_dir``.
 
     Drains available input (availableNow inside the ingest) and
     returns."""
+    from lsdm_motogp_data_integration_spark.operators.membership import (
+        build_bloom,
+        screen_bloom,
+        word_gram_relation,
+    )
     from lsdm_motogp_data_integration_spark.streaming import (
         streaming_neardup_ingest,
     )
+
+    post_filter = None
+    if holdout is not None:
+        if decontam_method not in ("bloom", "exact"):
+            raise ValueError(
+                f"decontam_method must be bloom|exact, got "
+                f"{decontam_method!r}"
+            )
+        # build-once state (the stream's decontamination "codebook"):
+        # the distinct holdout gram relation, localCheckpoint-ed so
+        # per-batch probes never re-run the holdout explode, + the
+        # Bloom bits for the no-shuffle prescreen
+        eval_grams = (
+            word_gram_relation(holdout, text_col, None, decontam_gram)
+            .dropDuplicates()
+            .localCheckpoint(eager=True)
+        )
+        spec = (
+            build_bloom(eval_grams, "gram")
+            if decontam_method == "bloom"
+            else None
+        )
+
+        def post_filter(survivors: DataFrame) -> DataFrame:
+            grams = word_gram_relation(
+                survivors, text_col, id_col, decontam_gram
+            )
+            if spec is not None:
+                grams = screen_bloom(grams, spec, "gram")
+            hits = (
+                grams.join(F.broadcast(eval_grams), "gram")
+                .select(id_col)
+                .dropDuplicates()
+            )
+            return survivors.join(hits, id_col, "left_anti")
 
     if html:
         doc_stream = doc_stream.withColumn(text_col, strip_html(text_col))
@@ -369,6 +430,7 @@ def curate_stream(
         est_threshold=est_threshold,
         shards_dir=shards_dir,
         n_shards=n_shards,
+        post_filter=post_filter,
     )
 
 

@@ -285,6 +285,7 @@ def streaming_neardup_ingest(
     shards_dir: str | None = None,
     n_shards: int = 8,
     shard_salt: str = "shuf",
+    post_filter=None,
 ) -> None:
     """Continuously-ingested corpus near-dup removal — the streaming
     composition of the incremental-dedup pieces (``dedup_corpus`` +
@@ -314,6 +315,12 @@ def streaming_neardup_ingest(
     test; ``pos`` is per-batch, documents arrive grouped by batch
     within a shard). Same exactly-once story as the other two writes:
     a replayed batch overwrites its own deterministic directory.
+
+    ``post_filter`` (``DataFrame -> DataFrame``, batch-mode) runs on
+    each batch's survivors AFTER dedup and before any write — the hook
+    streaming decontamination rides (``curation.curate_stream``); it
+    must be deterministic (replay rewrites its output) and per-row
+    (it sees one batch, not history).
 
     Drains the available input (availableNow trigger) and returns.
     """
@@ -398,6 +405,8 @@ def streaming_neardup_ingest(
                 F.col("id_b").alias(id_col)
             ).dropDuplicates()
             survivors = survivors.join(dup_ids, id_col, "left_anti")
+        if post_filter is not None:
+            survivors = post_filter(survivors)
         survivors = survivors.localCheckpoint(eager=True)
         # in-file sort by id: future batches' verification semi-joins
         # prune row groups via parquet min/max stats on the id

@@ -661,3 +661,49 @@ def test_ivf_index_incremental_append(spark, sf_dir, tmp_path):
             e, "embedding", "vec_id", path=inc_idx, codebook=cb,
             mode="errorifexists",
         )
+
+
+def test_pq_index_build_and_serve_matches_inline(spark, sf_dir, tmp_path):
+    """Persisted PQ code index (r4): codes encoded once, search served
+    from stored integers only — results must equal inline pq_topk with
+    the same codebooks; incremental append must equal one-shot."""
+    from lsdm_motogp_data_integration_spark.operators.ann import (
+        _pq_fit,
+        build_pq_index,
+        pq_topk,
+        pq_topk_from_index,
+        save_codebook,
+    )
+
+    e = read_table(spark, sf_dir, "embeddings")
+    q = _query_set(e)
+    books, _ = _pq_fit(e, "embedding", "vec_id", 4, 8, 2, None)
+    cb = str(tmp_path / "pq_cb")
+    save_codebook(books, spark, cb)
+
+    idx = str(tmp_path / "pq_idx")
+    build_pq_index(e, "embedding", "vec_id", path=idx, codebooks=cb)
+    served = sorted(map(tuple, pq_topk_from_index(
+        spark, idx, q, "vec_id", "query_id", "query_vec",
+        codebooks=cb, k=5,
+    ).collect()))
+    inline = sorted(map(tuple, pq_topk(
+        e, q, "embedding", "vec_id", "query_id", "query_vec",
+        k=5, precomputed_codebooks=cb,
+    ).collect()))
+    assert served == inline and len(served) == 25
+
+    inc = str(tmp_path / "pq_idx_inc")
+    build_pq_index(
+        e.filter(F.col("vec_id") % 2 == 0), "embedding", "vec_id",
+        path=inc, codebooks=cb,
+    )
+    build_pq_index(
+        e.filter(F.col("vec_id") % 2 == 1), "embedding", "vec_id",
+        path=inc, codebooks=cb, mode="append",
+    )
+    served_inc = sorted(map(tuple, pq_topk_from_index(
+        spark, inc, q, "vec_id", "query_id", "query_vec",
+        codebooks=cb, k=5,
+    ).collect()))
+    assert served_inc == served

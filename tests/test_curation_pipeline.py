@@ -533,3 +533,89 @@ def test_curate_stream_matches_batch_curate(spark, tmp_path_factory):
         ).collect()
     }
     assert got == want and {d for d, _ in got} == stream_ids
+
+
+def test_curate_stream_decontamination_matches_batch(
+    spark, tmp_path_factory
+):
+    """Streaming decontamination (r4): a static holdout sharing an
+    8-gram with exactly one corpus doc — the stream (bloom prescreen +
+    verify, built once up front) must drop the same doc batch
+    curate(holdout=..., method=exact) drops; cross-method equality
+    also re-pins bloom==exact."""
+    from pyspark.sql import types as T
+
+    from lsdm_motogp_data_integration_spark.pipelines.curation import (
+        curate_stream,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the spark "
+        "engine shuffles partitions across the cluster nodes "
+    )
+    alt = (
+        "completely different content about databases indexes vacuum "
+        "analyze planner costs and write ahead logging internals here "
+    )
+    contaminated = (
+        "singular narrative text with many unusual rare tokens "
+        "appearing gracefully in a calm readable order today"
+    )
+    b1 = [(1, base * 4), (2, base * 4 + "tail"), (3, alt * 4)]
+    b2 = [(11, alt * 2 + base * 2), (12, contaminated)]
+    holdout = spark.createDataFrame(
+        [(900, "quiz singular narrative text with many unusual rare "
+               "tokens flip flop")],
+        "doc_id bigint, text string",
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    kw = dict(
+        keep_langs=("en",), min_quality=0.1, min_distinct_ratio=0.15,
+        neardup_threshold=0.8,
+    )
+
+    full = spark.createDataFrame(b1 + b2, schema)
+    batch_clean = {
+        r["doc_id"]
+        for r in curate(
+            full, holdout=holdout, decontam_gram=8,
+            decontam_method="exact", **kw,
+        )["clean"].collect()
+    }
+
+    src = str(tmp_path_factory.mktemp("csd_src"))
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{src}/f1")
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{src}/f2")
+    accepted_dir = str(tmp_path_factory.mktemp("csd_acc"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    curate_stream(
+        stream,
+        accepted_dir=accepted_dir,
+        index_dir=str(tmp_path_factory.mktemp("csd_idx")),
+        checkpoint_dir=str(tmp_path_factory.mktemp("csd_ckpt")),
+        holdout=holdout,
+        decontam_gram=8,
+        decontam_method="bloom",
+        **kw,
+    )
+    stream_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(accepted_dir).select("doc_id").collect()
+    }
+    # 2 falls to within-batch near-dup, 12 to decontamination
+    assert stream_ids == {1, 3, 11}
+    assert stream_ids == batch_clean
