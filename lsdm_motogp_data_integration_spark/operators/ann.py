@@ -885,6 +885,53 @@ def pq_topk(
     )
 
 
+def hard_negatives(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    label_col: str,
+    *,
+    k: int = 5,
+    anchors: DataFrame | None = None,
+) -> DataFrame:
+    """Hard-negative mining for contrastive / embedding-model training
+    data: for each anchor, the ``k`` most-cosine-similar corpus items
+    with a DIFFERENT label — the near-misses that carry the training
+    signal (easy negatives are uninformative; InfoNCE-style losses
+    want the hardest).
+
+    The different-label constraint is applied BEFORE ranking (top-k
+    *among* negatives), not after — filtering a generic top-k by label
+    would silently return fewer/easier negatives whenever an anchor's
+    own class dominates its neighborhood.
+
+    ``anchors`` defaults to the corpus itself (self-mining, the usual
+    setup); pass a subset to mine for a specific anchor batch. Scale
+    shape = :func:`cosine_topk`'s: the anchor batch is the BROADCAST
+    side against a corpus scan, scored JVM-side; mine large anchor
+    sets in batches, or pre-block with :func:`lsh_topk`-style buckets
+    when recall <1 is acceptable. Output (query_id = anchor id,
+    neighbor_id, cosine, rank) on the engine-wide 6dp + id-tie-break
+    convention."""
+    c = _drop_null_vecs(corpus, vec_col).withColumn(
+        "__cn", norm_expr(F.col(vec_col))
+    )
+    if anchors is None:
+        anchors = corpus
+    a = _drop_null_vecs(anchors, vec_col).select(
+        F.col(id_col).alias("__aid"),
+        F.col(label_col).alias("__albl"),
+        F.col(vec_col).alias("__avec"),
+    ).withColumn("__qn", norm_expr(F.col("__avec")))
+    pairs = c.crossJoin(F.broadcast(a)).filter(
+        (F.col(id_col) != F.col("__aid"))
+        & (
+            ~F.col(label_col).eqNullSafe(F.col("__albl"))
+        )
+    )
+    return _score_and_rank(pairs, id_col, "__aid", vec_col, "__avec", k)
+
+
 def build_pq_index(
     corpus: DataFrame,
     vec_col: str,

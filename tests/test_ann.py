@@ -707,3 +707,45 @@ def test_pq_index_build_and_serve_matches_inline(spark, sf_dir, tmp_path):
         codebooks=cb, k=5,
     ).collect()))
     assert served_inc == served
+
+
+def test_hard_negatives_topk_among_negatives(spark, sf_dir):
+    """Hard-negative mining (r4): per anchor, returned neighbors all
+    carry a DIFFERENT label, ranks are contiguous by descending
+    cosine, and the set equals cosine_topk run against the corpus
+    restricted to other-label rows (constraint-before-ranking)."""
+    from lsdm_motogp_data_integration_spark.operators.ann import (
+        cosine_topk,
+        hard_negatives,
+    )
+
+    e = read_table(spark, sf_dir, "embeddings")
+    anchors = e.filter(F.col("vec_id") < 5)
+    out = hard_negatives(
+        e, "embedding", "vec_id", "label", k=4, anchors=anchors
+    ).collect()
+    labels = {r["vec_id"]: r["label"] for r in e.select("vec_id", "label").collect()}
+    by_q = {}
+    for r in out:
+        assert labels[r["neighbor_id"]] != labels[r["query_id"]]
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 1, 2, 3, 4}
+    for q, rows in by_q.items():
+        assert sorted(r["rank"] for r in rows) == [1, 2, 3, 4]
+        sims = [r["cosine"] for r in sorted(rows, key=lambda r: r["rank"])]
+        assert sims == sorted(sims, reverse=True)
+        # equality with the filter-then-topk formulation
+        neg_corpus = e.filter(F.col("label") != F.lit(labels[q]))
+        qdf = anchors.filter(F.col("vec_id") == q).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        want = {
+            (r["neighbor_id"], r["cosine"], r["rank"])
+            for r in cosine_topk(
+                neg_corpus, qdf, "embedding", "vec_id", "query_id",
+                "query_vec", k=4,
+            ).collect()
+        }
+        got = {(r["neighbor_id"], r["cosine"], r["rank"]) for r in rows}
+        assert got == want
