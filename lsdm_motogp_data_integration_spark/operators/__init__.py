@@ -11,7 +11,9 @@ reference lacks:
                   embedding-cosine / SemDeDup deduplication + clusters
                   + directed containment (quoted-subdocument screen)
 - ``ann``         approximate nearest-neighbor search, k-means,
-                  int8/product quantization, JL random projection
+                  int8/product quantization, JL random projection,
+                  persisted codebooks + IVF/PQ indexes (train once,
+                  assign once, search many), hard-negative mining
 - ``textops``     language-ID, quality scoring, token counting,
                   fingerprinting, HTML→text extraction, chunking,
                   packing, sampling, span dedup, BPE training
