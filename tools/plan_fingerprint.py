@@ -49,6 +49,10 @@ _NORMALIZE: list[tuple[re.Pattern[str], str]] = [
     (re.compile(r"plan_id=\d+"), "plan_id="),
     # python accumulator/worker ids occasionally embedded in UDF names
     (re.compile(r"<lambda>[^,)\]]*"), "<lambda>"),
+    # higher-order-function lambda variable names draw from a SESSION-
+    # GLOBAL counter (`lambda x_1` in a fresh session, `lambda x_76`
+    # after other queries built) — the name is bookkeeping, not plan
+    (re.compile(r"\b(lambda [a-z]+)_\d+"), r"\1_"),
     # explicit repartition widths are sized from the session's
     # parallelism (bench=32 threads, tests=8 shuffle partitions) — the
     # OPERATOR is the pin, the width is config
@@ -70,7 +74,16 @@ def fingerprint(df) -> tuple[str, str]:
     """(16-hex-char sha256, normalized plan text) of the OPTIMIZED
     LOGICAL plan — stable vs session/exprId churn, sensitive to real
     operator/pushdown/pruning changes. Logical (not physical) so AQE's
-    runtime re-planning and partition counts can't flap the pin."""
+    runtime re-planning and partition counts can't flap the pin.
+
+    The session cache is cleared FIRST: several suites persist shared
+    relations while building, and the optimizer substitutes
+    InMemoryRelation for any lineage that is still cached — so the
+    same query fingerprints differently depending on what was built
+    earlier in the session (observed: 7 suites flapping when the pin
+    test ran after other plan tests). Clearing pins the CACHE-FREE
+    plan, the one identity that is reproducible in any session."""
+    df.sparkSession.catalog.clearCache()
     raw = df._jdf.queryExecution().optimizedPlan().toString()
     norm = normalize(raw)
     return hashlib.sha256(norm.encode()).hexdigest()[:16], norm
