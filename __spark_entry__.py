@@ -726,6 +726,7 @@ def q22_text_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from lsdm_motogp_data_integration_spark.operators.textops import (
         gopher_flags,
+        script_id,
     )
 
     d = read_table(spark, sf_dir, "documents")
@@ -736,6 +737,10 @@ def q22_text_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         bpe_ish_token_count("text").alias("n_subtokens"),
         quality_score("text").alias("quality"),
         lang_id("text").alias("pred_lang"),
+        # r4: dominant Unicode script (textops.script_id) — the
+        # route-by-script-first curation signal; literal-character
+        # classes keep Java regex and RE2 agreeing
+        script_id("text").alias("script"),
         F.round(gf["mean_word_len"], 6).alias("mean_word_len"),
         F.round(gf["symbol_word_ratio"], 6).alias("symbol_word_ratio"),
         F.round(gf["frac_alpha_words"], 6).alias("frac_alpha_words"),
@@ -5044,6 +5049,41 @@ def oracle_sql() -> dict[str, str]:
                             ELSE 'it'
                        END AS pred_lang
                 FROM m
+            ), scr AS (
+                -- textops.script_id (r4): chars per Unicode block,
+                -- literal-character classes identical to the Spark
+                -- side's patterns
+                SELECT doc_id,
+                       len(regexp_extract_all(text, '[؀-ۿ]')) AS s_arabic,
+                       len(regexp_extract_all(text, '[一-鿿]')) AS s_cjk,
+                       len(regexp_extract_all(text, '[Ѐ-ӿ]')) AS s_cyrillic,
+                       len(regexp_extract_all(text, '[ऀ-ॿ]')) AS s_devanagari,
+                       len(regexp_extract_all(text, '[Ͱ-Ͽ]')) AS s_greek,
+                       len(regexp_extract_all(text, '[가-힯]')) AS s_hangul,
+                       len(regexp_extract_all(text, '[぀-ヿ]')) AS s_kana,
+                       len(regexp_extract_all(text, '[A-Za-zÀ-ɏ]'))
+                           AS s_latin
+                FROM documents
+            ), scrm AS (
+                SELECT *, greatest(s_arabic, s_cjk, s_cyrillic,
+                                   s_devanagari, s_greek, s_hangul,
+                                   s_kana, s_latin) AS smax
+                FROM scr
+            ), script AS (
+                -- CASE order = script name ascending == the engine's
+                -- smallest-code tie-break
+                SELECT doc_id,
+                       CASE WHEN smax <= 0 THEN 'und'
+                            WHEN s_arabic = smax THEN 'arabic'
+                            WHEN s_cjk = smax THEN 'cjk'
+                            WHEN s_cyrillic = smax THEN 'cyrillic'
+                            WHEN s_devanagari = smax THEN 'devanagari'
+                            WHEN s_greek = smax THEN 'greek'
+                            WHEN s_hangul = smax THEN 'hangul'
+                            WHEN s_kana = smax THEN 'kana'
+                            ELSE 'latin'
+                       END AS script
+                FROM scrm
             ), terms AS (
                 SELECT doc_id, unnest(regexp_split_to_array(
                     trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '
@@ -5189,7 +5229,7 @@ def oracle_sql() -> dict[str, str]:
                 LEFT JOIN entq e USING (doc_id)
             )
             SELECT tok.doc_id, tok.n_tokens, tok.n_subtokens,
-                   qual.quality, lang.pred_lang,
+                   qual.quality, lang.pred_lang, script.script,
                    gopher.mean_word_len, gopher.symbol_word_ratio,
                    gopher.frac_alpha_words,
                    rep.distinct_ratio, rep.top_token_share,
@@ -5209,6 +5249,7 @@ def oracle_sql() -> dict[str, str]:
             FROM tok
             JOIN qual USING (doc_id)
             JOIN lang USING (doc_id)
+            JOIN script USING (doc_id)
             JOIN gopher USING (doc_id)
             JOIN rep USING (doc_id)
             LEFT JOIN bg_share USING (doc_id)

@@ -121,24 +121,19 @@ LANG_MARKERS: dict[str, str] = {
 }
 
 
-def lang_id(col: Column | str, markers: dict[str, str] | None = None) -> Column:
-    """Heuristic language ID: count per-language marker stopwords and
-    take the argmax (deterministic tie-break: language code ascending;
-    'und' when no marker hits)."""
-    c = _c(col)
-    markers = markers or LANG_MARKERS
+def _argmax_pattern_hits(c: Column, patterns: dict[str, str]) -> Column:
+    """Argmax-by-regexp-count verdict shared by :func:`lang_id` and
+    :func:`script_id`: most hits wins, ties break on code ASCENDING,
+    'und' when nothing hits (NULL text coalesces to 0 hits so it can't
+    degenerate the comparator to code order)."""
     pairs = [
         F.struct(
-            # NULL text must not decide a language: regexp_count(NULL)
-            # is NULL, which makes every comparator test false and the
-            # sort degenerate to code order — 'de' for null docs.
-            # Coalesce to 0 hits so null/empty text lands on 'und'.
             F.coalesce(F.regexp_count(c, F.lit(pattern)), F.lit(0)).alias(
                 "hits"
             ),
             F.lit(code).alias("code"),
         )
-        for code, pattern in sorted(markers.items())
+        for code, pattern in sorted(patterns.items())
     ]
     # array_max on (hits, code) structs orders by hits then code — we
     # want max hits with SMALLEST code on ties, so compare on
@@ -153,6 +148,45 @@ def lang_id(col: Column | str, markers: dict[str, str] | None = None) -> Column:
         .otherwise(0),
     ).getItem(0)
     return F.when(best["hits"] <= 0, F.lit("und")).otherwise(best["code"])
+
+
+def lang_id(col: Column | str, markers: dict[str, str] | None = None) -> Column:
+    """Heuristic language ID: count per-language marker stopwords and
+    take the argmax (deterministic tie-break: language code ascending;
+    'und' when no marker hits)."""
+    return _argmax_pattern_hits(_c(col), markers or LANG_MARKERS)
+
+
+#: Unicode ranges as LITERAL characters inside classes, so the same
+#: pattern string means the same thing to Java regex (Spark) and RE2
+#: (DuckDB) — no engine-specific \uXXXX / \x{XXXX} syntax to reconcile.
+SCRIPT_RANGES: dict[str, str] = {
+    "arabic": "[؀-ۿ]",
+    "cjk": "[一-鿿]",
+    "cyrillic": "[Ѐ-ӿ]",
+    "devanagari": "[ऀ-ॿ]",
+    "greek": "[Ͱ-Ͽ]",
+    "hangul": "[가-힯]",
+    "kana": "[぀-ヿ]",
+    "latin": "[A-Za-zÀ-ɏ]",
+}
+
+
+def script_id(col: Column | str) -> Column:
+    """Dominant Unicode SCRIPT of a document (the signal marker-
+    stopword language ID cannot give: ``lang_id`` only separates
+    languages it has markers for, and a CJK/Cyrillic/Arabic document
+    scores 0 on every Latin marker — 'und' — while its script is
+    obvious from the code points). Counts characters per script block
+    and argmaxes, ties on script name ascending, 'und' for text with
+    no scripted characters (digits/punctuation only).
+
+    Pure Column regexp counts fused into the scan — one pass, no
+    shuffle, and the patterns are literal-character classes portable
+    between Java regex and RE2 (the q22 oracle recomputes the verdict
+    in DuckDB). The practical curation read: route by script FIRST
+    (cheap, reliable), then language-ID within the Latin bucket."""
+    return _argmax_pattern_hits(_c(col), SCRIPT_RANGES)
 
 
 def learn_bpe_merges(

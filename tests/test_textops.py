@@ -779,3 +779,102 @@ def test_extend_weighted_sample_equals_batch_over_union(spark):
     a = {(r["doc_id"], r["sample_key"]) for r in ext.collect()}
     b = {(r["doc_id"], r["sample_key"]) for r in full.collect()}
     assert a == b
+
+
+def test_script_id_classifies_unicode_blocks(spark):
+    """script_id (r4): dominant-block verdicts across scripts, mixed
+    text argmax, name-ascending tie-break, und for unscripted text,
+    and NULL-safe behavior — the route-by-script-first curation
+    signal lang_id cannot give (non-Latin docs score 0 on every
+    Latin marker)."""
+    from lsdm_motogp_data_integration_spark.operators.textops import (
+        lang_id,
+        script_id,
+    )
+
+    rows = [
+        (1, "hello world this is plainly english text"),
+        (2, "Привет мир это русский текст для теста"),
+        (3, "这是一个中文测试文档 内容全部是汉字"),
+        (4, "これはひらがなとカタカナのテストです"),
+        (5, "مرحبا بالعالم هذا نص عربي للاختبار"),
+        (6, "안녕하세요 세계 이것은 한국어 테스트입니다"),
+        (7, "यह एक हिंदी परीक्षण दस्तावेज़ है"),
+        (8, "Γειά σου κόσμε αυτό είναι ελληνικό κείμενο"),
+        (9, "12345 67890 !!! ???"),          # no scripted chars
+        (10, None),                           # NULL text
+        (11, "汉字 mixed with a lot more english words here ok"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: r["s"]
+        for r in df.select(
+            "doc_id", script_id("text").alias("s")
+        ).collect()
+    }
+    assert got[1] == "latin"
+    assert got[2] == "cyrillic"
+    assert got[3] == "cjk"
+    assert got[4] == "kana"
+    assert got[5] == "arabic"
+    assert got[6] == "hangul"
+    assert got[7] == "devanagari"
+    assert got[8] == "greek"
+    assert got[9] == "und"
+    assert got[10] == "und"
+    assert got[11] == "latin"  # more latin chars than cjk
+
+    # the lang_id blind spot script_id exists to cover: every
+    # non-Latin doc is 'und' to the marker-stopword ID
+    langs = {
+        r["doc_id"]: r["lg"]
+        for r in df.select("doc_id", lang_id("text").alias("lg")).collect()
+    }
+    assert langs[3] == "und" and got[3] == "cjk"
+
+    # DuckDB parity on the same rows (the q22 oracle formulation)
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t (doc_id BIGINT, text VARCHAR)"
+    )
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?)", [(i, t) for i, t in rows]
+    )
+    oracle = dict(
+        con.execute(
+            """
+            WITH scr AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text, '[؀-ۿ]')) AS s_arabic,
+                       len(regexp_extract_all(text, '[一-鿿]')) AS s_cjk,
+                       len(regexp_extract_all(text, '[Ѐ-ӿ]')) AS s_cyrillic,
+                       len(regexp_extract_all(text, '[ऀ-ॿ]')) AS s_devanagari,
+                       len(regexp_extract_all(text, '[Ͱ-Ͽ]')) AS s_greek,
+                       len(regexp_extract_all(text, '[가-힯]')) AS s_hangul,
+                       len(regexp_extract_all(text, '[぀-ヿ]')) AS s_kana,
+                       len(regexp_extract_all(text, '[A-Za-zÀ-ɏ]')) AS s_latin
+                FROM t
+            ), m AS (
+                SELECT *, greatest(s_arabic, s_cjk, s_cyrillic,
+                                   s_devanagari, s_greek, s_hangul,
+                                   s_kana, s_latin) AS smax
+                FROM scr
+            )
+            SELECT doc_id,
+                   CASE WHEN smax IS NULL OR smax <= 0 THEN 'und'
+                        WHEN s_arabic = smax THEN 'arabic'
+                        WHEN s_cjk = smax THEN 'cjk'
+                        WHEN s_cyrillic = smax THEN 'cyrillic'
+                        WHEN s_devanagari = smax THEN 'devanagari'
+                        WHEN s_greek = smax THEN 'greek'
+                        WHEN s_hangul = smax THEN 'hangul'
+                        WHEN s_kana = smax THEN 'kana'
+                        ELSE 'latin'
+                   END
+            FROM m
+            """
+        ).fetchall()
+    )
+    assert oracle == got
