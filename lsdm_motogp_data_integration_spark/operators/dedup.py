@@ -152,6 +152,29 @@ def word_shingle_hashes(text: Column | str, k: int = 5) -> Column:
     return rolling_gram_hashes(wh, k)
 
 
+def char_shingle_hashes(text: Column | str, k: int = 8) -> Column:
+    """Distinct CHARACTER k-gram shingles as ``array<bigint>`` — the
+    shingle basis for unsegmented scripts: whitespace tokenization of
+    CJK/Thai text yields one giant "word" per run, so word k-grams
+    simply don't exist (a 1-"word" document has no 5-gram) and the
+    entire word-based near-dup family goes blind. Char grams restore
+    the signal (route by ``textops.script_id`` first; default k=8
+    chars ≈ the discriminative power of ~2-3 CJK words).
+
+    Same normalization family as :func:`normalized_words` (lowercase,
+    whitespace squeezed to single spaces; spaces participate in grams
+    so cross-run context counts) and the same single-pass rolling
+    aggregate as :func:`word_shingle_hashes` — the per-char split is
+    one pass, not a per-element re-tokenization."""
+    c = F.col(text) if isinstance(text, str) else text
+    norm = F.lower(F.regexp_replace(F.trim(c), r"\s+", " "))
+    # split('', …) emits a trailing empty string — drop it
+    chars = F.filter(F.split(norm, ""), lambda x: x != F.lit(""))
+    return rolling_gram_hashes(
+        F.transform(chars, lambda x: F.xxhash64(x)), k
+    )
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -196,9 +219,14 @@ def _compute_width(df: DataFrame) -> DataFrame:
 
 
 def shingle_sets(
-    df: DataFrame, text_col: str, id_col: str, *, k: int = 5
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    k: int = 5,
+    unit: str = "word",
 ) -> DataFrame:
-    """Prepared sorted word-``k``-gram shingle-set relation
+    """Prepared sorted ``k``-gram shingle-set relation
     ``(id_col, shingles array<bigint> sorted)`` — the shared input
     contract of :func:`jaccard_pairs`, :func:`minhash_lsh_pairs`, and
     :func:`exact_jaccard_for_pairs` (their ``sets_df`` parameter).
@@ -206,10 +234,21 @@ def shingle_sets(
     shingle HOF pass is the dominant map-side cost of the whole
     near-dup family, and a suite that runs several methods over the
     same corpus otherwise re-runs it per method (q19 measured it 3×).
-    """
+
+    ``unit="word"`` (default, :func:`word_shingle_hashes`) or
+    ``"char"`` (r4, :func:`char_shingle_hashes` — for unsegmented
+    scripts where whitespace word shingles go blind; every downstream
+    consumer works unchanged because the contract is just a sorted
+    hash array)."""
+    if unit == "word":
+        grams = word_shingle_hashes(text_col, k)
+    elif unit == "char":
+        grams = char_shingle_hashes(text_col, k)
+    else:
+        raise ValueError(f"unit must be word|char, got {unit!r}")
     return df.select(
         F.col(id_col),
-        F.sort_array(word_shingle_hashes(text_col, k)).alias("shingles"),
+        F.sort_array(grams).alias("shingles"),
     )
 
 

@@ -762,3 +762,67 @@ def test_containment_dedup_drops_subsets_keeps_supersets(spark):
         ).collect()
     )
     assert kept == [2, 3]
+
+
+def test_char_shingles_catch_cjk_neardups_word_shingles_miss(spark):
+    """char-unit shingle_sets (r4): CJK text has no whitespace, so the
+    word tokenizer yields ONE giant token per run and word 5-grams
+    don't exist — the word-based near-dup family is provably blind.
+    Char 8-grams restore the signal through the UNCHANGED consumers
+    (sets_df contract), and exact duplicates still score 1.0."""
+    from lsdm_motogp_data_integration_spark.operators.dedup import (
+        jaccard_pairs,
+        minhash_lsh_pairs,
+        shingle_sets,
+    )
+
+    zh = (
+        "机器学习模型的训练数据质量决定了最终效果"
+        "数据清洗和去重是数据管线中最重要的步骤之一"
+        "近似重复文档会让模型记住重复内容并降低泛化能力"
+    )
+    rows = [
+        (1, zh),
+        (2, zh + "结尾稍有不同"),          # near-dup of 1
+        (3, zh),                            # exact dup of 1
+        (4, "完全不同的文本讨论分布式计算引擎的查询优化器"
+            "包括谓词下推列裁剪和连接重排序等经典技术内容"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    word_sets = shingle_sets(df, "text", "doc_id", k=5, unit="word")
+    # degenerate: ONE giant "word" per doc -> a single clamped gram
+    # (rolling_gram_hashes' short-input sentinel), so the word path
+    # collapses to exact matching — it finds the byte-identical pair
+    # but is BLIND to the near-dup
+    assert all(
+        len(r["shingles"]) == 1 for r in word_sets.collect()
+    )
+    word_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_pairs(
+            df, "text", "doc_id", k=5, threshold=0.5, sets_df=word_sets
+        ).collect()
+    }
+    assert word_pairs == {(1, 3)}  # exact dup only; (1,2)/(2,3) missed
+
+    char_sets = shingle_sets(df, "text", "doc_id", k=8, unit="char")
+    char_pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_pairs(
+            df, "text", "doc_id", k=8, threshold=0.5, sets_df=char_sets
+        ).collect()
+    }
+    assert set(char_pairs) == {(1, 2), (1, 3), (2, 3)}
+    assert char_pairs[(1, 3)] == 1.0  # exact dup
+    # LSH path over the same char sets agrees on the high-sim pairs
+    lsh_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(
+            df, "text", "doc_id", k=8, threshold=0.5, sets_df=char_sets
+        ).collect()
+    }
+    assert lsh_pairs == set(char_pairs)
+
+    with __import__("pytest").raises(ValueError):
+        shingle_sets(df, "text", "doc_id", unit="byte")
