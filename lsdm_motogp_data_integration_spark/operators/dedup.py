@@ -1287,6 +1287,8 @@ def dedup_corpus(
     threshold: float = 0.8,
     persist_sets: bool = True,
     keep_by: Column | None = None,
+    k: int = 5,
+    unit: str = "word",
 ) -> DataFrame:
     """The whole near-dup removal pipeline as one call: MinHash-LSH
     candidate pairs (exact-Jaccard verified at ``threshold``) → closed
@@ -1318,7 +1320,16 @@ def dedup_corpus(
     otherwise collide in every band and materialize O(m²) verified
     pairs before clustering ever sees them. Only the per-digest
     survivor enters the near-dup stage; the final semi-join returns
-    one representative per combined exact+near-dup cluster."""
+    one representative per combined exact+near-dup cluster.
+
+    ``unit="char"`` (+ ``k``, default 8 is sensible there) switches the
+    shingle basis to character k-grams for unsegmented scripts (see
+    :func:`char_shingle_hashes` — the word basis degenerates to exact
+    matching on CJK). NOTE: the incremental/streaming index family
+    (``build_minhash_index``/``incremental_neardup``) is word-basis;
+    a batch deduped with char shingles must not be screened against a
+    word-basis index (signatures would never match — silent
+    under-dedup, not an error)."""
     order = (
         [keep_by.desc(), F.col(id_col).asc()]
         if keep_by is not None
@@ -1331,11 +1342,22 @@ def dedup_corpus(
         .drop("__xrk")
     )
     handles: list[DataFrame] = []
-    pairs = minhash_lsh_pairs(
-        pruned, text_col, id_col,
-        threshold=threshold, persist_sets=persist_sets,
-        _persist_handles=handles,
-    )
+    if unit == "word" and k == 5:
+        # the default path is untouched (plan-pin stability)
+        pairs = minhash_lsh_pairs(
+            pruned, text_col, id_col,
+            threshold=threshold, persist_sets=persist_sets,
+            _persist_handles=handles,
+        )
+    else:
+        sets = shingle_sets(pruned, text_col, id_col, k=k, unit=unit)
+        if persist_sets:
+            sets = sets.persist()
+            handles.append(sets)
+        pairs = minhash_lsh_pairs(
+            pruned, text_col, id_col,
+            k=k, threshold=threshold, sets_df=sets,
+        )
     if handles:
         pairs = pairs.localCheckpoint(eager=True)
         for h in handles:

@@ -120,6 +120,8 @@ def curate(
     badwords: tuple[str, ...] = (),
     line_dedup: bool = False,
     neardup_threshold: float = 0.8,
+    shingle_unit: str = "word",
+    shingle_k: int = 5,
     holdout: DataFrame | None = None,
     decontam_gram: int = 8,
     decontam_method: str = "exact",
@@ -209,8 +211,12 @@ def curate(
         .filter(F.col("__dup_rk") == 1)
         .drop("__dup_rk")
     )
+    # shingle_unit="char" (+ shingle_k≈8) is the unsegmented-script
+    # basis (CJK etc. — route with textops.script_id); word shingles
+    # there degenerate to exact matching (dedup.char_shingle_hashes)
     deduped = dedup_corpus(
-        after_exact, text_col, id_col, threshold=neardup_threshold
+        after_exact, text_col, id_col, threshold=neardup_threshold,
+        k=shingle_k, unit=shingle_unit,
     )
 
     if holdout is not None:

@@ -826,3 +826,39 @@ def test_char_shingles_catch_cjk_neardups_word_shingles_miss(spark):
 
     with __import__("pytest").raises(ValueError):
         shingle_sets(df, "text", "doc_id", unit="byte")
+
+
+def test_dedup_corpus_char_unit_removes_cjk_neardups(spark):
+    """dedup_corpus(unit=\"char\") (r4): the one-call pipeline removes
+    CJK near-dups the default word basis cannot see; survivor = min id
+    per cluster; the default path is unchanged (word basis keeps both
+    near-dup variants, collapsing only the exact dup)."""
+    from lsdm_motogp_data_integration_spark.operators.dedup import (
+        dedup_corpus,
+    )
+
+    zh = (
+        "机器学习模型的训练数据质量决定了最终效果"
+        "数据清洗和去重是数据管线中最重要的步骤之一"
+        "近似重复文档会让模型记住重复内容并降低泛化能力"
+    )
+    rows = [
+        (1, zh),
+        (2, zh + "结尾稍有不同"),
+        (3, zh),
+        (4, "完全不同的文本讨论分布式计算引擎的查询优化器"
+            "包括谓词下推列裁剪和连接重排序等经典技术内容"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    char_ids = {
+        r["doc_id"]
+        for r in dedup_corpus(
+            df, "text", "doc_id", threshold=0.5, k=8, unit="char"
+        ).collect()
+    }
+    assert char_ids == {1, 4}  # 2 and 3 fall into 1's cluster
+    word_ids = {
+        r["doc_id"]
+        for r in dedup_corpus(df, "text", "doc_id", threshold=0.5).collect()
+    }
+    assert word_ids == {1, 2, 4}  # only the exact dup (3) collapses
