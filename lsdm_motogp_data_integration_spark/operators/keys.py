@@ -209,3 +209,47 @@ def training_shards(
         )
         .drop("__h")
     )
+
+
+def shard_manifest(
+    df: DataFrame,
+    id_col: str,
+    *,
+    n_shards: int = 8,
+    salt: str = "shuf",
+    token_col: str | None = None,
+) -> DataFrame:
+    """Per-shard manifest of the :func:`training_shards` assignment —
+    the small relation a training loader reads to plan an epoch
+    (doc/token counts per shard, deterministic content fingerprint)
+    WITHOUT scanning the shard files themselves. At 100 TB the
+    manifest is ``n_shards`` rows against terabytes of shards; write
+    it next to the export and loaders bootstrap from it.
+
+    Columns: ``shard``, ``n_docs``, ``n_tokens`` (sum of
+    ``token_col``, NULL-as-0; omitted when ``token_col`` is None) and
+    ``ids_fingerprint`` — BIT_XOR of ``xxhash64(id)``, an
+    ORDER-INDEPENDENT content digest (the same rows give the same
+    fingerprint under any partitioning/arrival order, and any
+    added/removed/substituted id flips it with overwhelming
+    probability; XOR is commutative+associative so it aggregates
+    map-side). Both the assignment and the fingerprint are engine-
+    portable (md5 bucketing, xxhash64 — DuckDB-replayable).
+
+    One hash-aggregate on the shard key — no sort, no window: the
+    manifest deliberately does NOT depend on the in-shard order, so
+    it can be recomputed from the source relation OR from the written
+    shards and must agree (pinned by test)."""
+    sharded = training_shards(df, id_col, n_shards=n_shards, salt=salt)
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.bit_xor(F.xxhash64(F.col(id_col))).alias("ids_fingerprint"),
+    ]
+    if token_col is not None:
+        aggs.insert(
+            1,
+            F.sum(F.coalesce(F.col(token_col), F.lit(0)))
+            .cast("bigint")
+            .alias("n_tokens"),
+        )
+    return sharded.groupBy("shard").agg(*aggs).orderBy("shard")

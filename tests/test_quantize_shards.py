@@ -147,3 +147,69 @@ def test_training_shards_curriculum_order(spark):
         rs.sort(key=lambda r: r["pos"])
         diffs = [r["difficulty"] for r in rs]
         assert diffs == sorted(diffs), shard  # easy -> hard per shard
+
+
+def test_shard_manifest_matches_written_shards(spark, sf_dir, tmp_path):
+    """shard_manifest (r4): counts/token sums/fingerprints computed
+    from the source relation must equal a recomputation over the
+    WRITTEN shard files (order-independent XOR fingerprint), and the
+    fingerprint must be invariant under repartitioning."""
+    from pyspark.sql import functions as F
+
+    from lsdm_motogp_data_integration_spark.operators.keys import (
+        shard_manifest,
+        write_training_shards,
+    )
+    from lsdm_motogp_data_integration_spark.sources import read_table
+
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.length("text").alias("n_chars")
+    )
+    man = {
+        r["shard"]: (r["n_docs"], r["n_tokens"], r["ids_fingerprint"])
+        for r in shard_manifest(
+            d, "doc_id", n_shards=4, token_col="n_chars"
+        ).collect()
+    }
+    assert len(man) == 4
+    assert sum(v[0] for v in man.values()) == d.count()
+
+    # invariant under physical layout
+    man2 = {
+        r["shard"]: (r["n_docs"], r["n_tokens"], r["ids_fingerprint"])
+        for r in shard_manifest(
+            d.repartition(13), "doc_id", n_shards=4, token_col="n_chars"
+        ).collect()
+    }
+    assert man == man2
+
+    # recompute over the actual written shards
+    out = str(tmp_path / "shards")
+    write_training_shards(d, out, "doc_id", n_shards=4)
+    back = spark.read.parquet(out)
+    re_man = {
+        r["shard"]: (r["n_docs"], r["n_tokens"], r["ids_fingerprint"])
+        for r in back.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("n_tokens"),
+            F.bit_xor(F.xxhash64(F.col("doc_id"))).alias(
+                "ids_fingerprint"
+            ),
+        )
+        .collect()
+    }
+    assert re_man == man
+
+    # a substituted id flips the fingerprint
+    tweaked = d.withColumn(
+        "doc_id",
+        F.when(F.col("doc_id") == 0, F.lit(999999)).otherwise(
+            F.col("doc_id")
+        ),
+    )
+    man3 = {
+        r["shard"]: r["ids_fingerprint"]
+        for r in shard_manifest(tweaked, "doc_id", n_shards=4).collect()
+    }
+    assert man3 != {k: v[2] for k, v in man.items()}
