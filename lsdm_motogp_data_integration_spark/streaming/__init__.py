@@ -622,3 +622,74 @@ def read_hll_sketch(spark, sketch_dir: str) -> DataFrame:
         return partials.groupBy("idx").agg(F.max("reg").alias("reg"))
     except AnalysisException:
         return spark.createDataFrame([], schema)
+
+
+def streaming_ivf_ingest(
+    vec_stream: DataFrame,
+    *,
+    index_dir: str,
+    checkpoint_dir: str,
+    codebook,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Continuously-ingested embedding corpus → IVF index maintenance:
+    each micro-batch is assigned to its nearest codebook cells (the
+    SAME shared assignment UDF as ``ann.build_ivf_index``) and written
+    as ``index_dir/batch_id=N/cell=K`` — the streaming twin of the
+    batch index builder, with the MinHash-index exactly-once story: a
+    replayed batch overwrites its own deterministic directory, never
+    appends duplicates (plain ``mode="append"`` would duplicate rows
+    under replay — that is why the batch builder's append mode is for
+    MANUAL batch addition, not for a restartable stream).
+
+    The codebook is resolved ONCE before the stream starts (matrix or
+    ``save_codebook`` path) — train-once, assign-per-batch, and
+    ``ann.ivf_topk_from_index`` serves over the whole tree unchanged:
+    ``cell`` stays a partition column under the batch_id layer, so
+    dynamic partition pruning still reads only the probed cells'
+    directories within every batch. Equivalence with a one-shot
+    ``build_ivf_index`` over the same vectors and replay idempotency
+    are pinned by test.
+
+    Drains available input (availableNow trigger) and returns."""
+    import numpy as np  # noqa: F401  (type context for codebook docs)
+
+    from lsdm_motogp_data_integration_spark.operators.ann import (
+        _cells_udf,
+        _drop_null_vecs,
+        _quantize,
+        _resolve_codebook,
+    )
+    from lsdm_motogp_data_integration_spark.operators.dedup import (
+        norm_expr,
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        mat = _resolve_codebook(codebook, batch_df)
+        if mat is None:
+            raise ValueError("streaming_ivf_ingest requires a codebook")
+        qmat = _quantize(mat)
+        (
+            _drop_null_vecs(batch_df, vec_col)
+            .select(
+                F.col(id_col),
+                F.col(vec_col),
+                norm_expr(F.col(vec_col)).alias("__cn"),
+                _cells_udf(qmat, 1)(F.col(vec_col))
+                .getItem(0)
+                .alias("cell"),
+            )
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(f"{index_dir}/batch_id={batch_id}")
+        )
+
+    q = (
+        vec_stream.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

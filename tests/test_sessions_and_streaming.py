@@ -653,3 +653,91 @@ def test_streaming_histogram_ingest_matches_batch_and_quantiles(
     }
     # exact median of 0..499 is 250-ish; one 10-wide bin of slack
     assert 240.0 <= est[0.5] <= 260.0
+
+
+def test_streaming_ivf_ingest_matches_batch_index(spark, tmp_path_factory):
+    """streaming_ivf_ingest (r4): two micro-batches of vectors
+    appended to a batch_id=N/cell=K index must serve results identical
+    to a one-shot build_ivf_index over the same vectors, and a replay
+    with the same checkpoint must not change the index (exactly-once
+    via per-batch directory overwrite)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from lsdm_motogp_data_integration_spark.operators.ann import (
+        _train_centroids,
+        build_ivf_index,
+        ivf_topk_from_index,
+        save_codebook,
+    )
+    from lsdm_motogp_data_integration_spark.sources import read_table
+    from lsdm_motogp_data_integration_spark.streaming import (
+        streaming_ivf_ingest,
+    )
+
+    e = read_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    mat = _train_centroids(e, "embedding", "vec_id", 8, 2, None)
+    cb = str(tmp_path_factory.mktemp("sivf") / "cb")
+    save_codebook(mat, spark, cb)
+
+    src = str(tmp_path_factory.mktemp("sivf_src"))
+    e.filter(F.col("vec_id") % 2 == 0).coalesce(1).write.parquet(
+        f"{src}/f1"
+    )
+    e.filter(F.col("vec_id") % 2 == 1).coalesce(1).write.parquet(
+        f"{src}/f2"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField(
+                "embedding", T.ArrayType(T.DoubleType())
+            ),
+        ]
+    )
+    # match on-disk physical type: read one file's schema instead
+    schema = spark.read.parquet(f"{src}/f1").schema
+    idx = str(tmp_path_factory.mktemp("sivf_idx"))
+    ckpt = str(tmp_path_factory.mktemp("sivf_ckpt"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    streaming_ivf_ingest(
+        stream, index_dir=idx, checkpoint_dir=ckpt, codebook=cb
+    )
+
+    oneshot = str(tmp_path_factory.mktemp("sivf_oneshot"))
+    build_ivf_index(e, "embedding", "vec_id", path=oneshot, codebook=cb)
+
+    kw = dict(codebook=cb, k=5, nprobe=3)
+    served_stream = sorted(map(tuple, ivf_topk_from_index(
+        spark, idx, q, "embedding", "vec_id", "query_id", "query_vec",
+        **kw,
+    ).collect()))
+    served_batch = sorted(map(tuple, ivf_topk_from_index(
+        spark, oneshot, q, "embedding", "vec_id", "query_id",
+        "query_vec", **kw,
+    ).collect()))
+    assert served_stream == served_batch and len(served_stream) == 25
+
+    # replay: same checkpoint, no new input -> index unchanged
+    n_before = spark.read.parquet(idx).count()
+    stream2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    streaming_ivf_ingest(
+        stream2, index_dir=idx, checkpoint_dir=ckpt, codebook=cb
+    )
+    assert spark.read.parquet(idx).count() == n_before
