@@ -619,3 +619,58 @@ def test_curate_stream_decontamination_matches_batch(
     # 2 falls to within-batch near-dup, 12 to decontamination
     assert stream_ids == {1, 3, 11}
     assert stream_ids == batch_clean
+
+
+def test_curate_stream_replay_is_idempotent(spark, tmp_path_factory):
+    """Re-draining curate_stream with the same checkpoint (no new
+    input) must leave accepted, index AND shard trees byte-stable —
+    the exactly-once contract extends to the r4 shard append."""
+    from pyspark.sql import types as T
+
+    from lsdm_motogp_data_integration_spark.pipelines.curation import (
+        curate_stream,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the spark "
+        "engine shuffles partitions across the cluster nodes "
+    )
+    rows = [(1, base * 4), (2, base * 4 + "tail"), (3, "unrelated text "
+            "about storage engines compaction and write amplification")]
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    src = str(tmp_path_factory.mktemp("cri_src"))
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+        f"{src}/f1"
+    )
+    accepted = str(tmp_path_factory.mktemp("cri_acc"))
+    index = str(tmp_path_factory.mktemp("cri_idx"))
+    shards = str(tmp_path_factory.mktemp("cri_shards"))
+    ckpt = str(tmp_path_factory.mktemp("cri_ckpt"))
+    kw = dict(
+        accepted_dir=accepted, index_dir=index, checkpoint_dir=ckpt,
+        shards_dir=shards, n_shards=2,
+        keep_langs=("en",), min_quality=0.1, min_distinct_ratio=0.15,
+    )
+
+    def drain():
+        curate_stream(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(src),
+            **kw,
+        )
+
+    drain()
+    snap = lambda p: sorted(
+        map(tuple, spark.read.parquet(p).collect())
+    )
+    a1, i1, s1 = snap(accepted), snap(index), snap(shards)
+    drain()  # no new files: nothing should change
+    assert (snap(accepted), snap(index), snap(shards)) == (a1, i1, s1)
+    assert {r[0] for r in a1} == {1, 3}
