@@ -53,6 +53,7 @@ def _apply_screens(
     min_distinct_ratio: float,
     gopher_rules: bool,
     badwords: tuple[str, ...],
+    keep_scripts: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """The stateless screen stage shared VERBATIM by :func:`curate`
     (batch) and :func:`curate_stream` (streaming): language filter →
@@ -60,7 +61,20 @@ def _apply_screens(
     optional badword screen → PII redaction. All pure Column
     expressions over one row at a time, so the same code path is valid
     on a batch AND a streaming DataFrame — sharing it is what makes
-    the batch/stream equivalence test a tautology for this stage."""
+    the batch/stream equivalence test a tautology for this stage.
+
+    ``keep_scripts`` (r4) prepends the route-by-script screen
+    (``textops.script_id`` — per-Unicode-block char counts): it runs
+    FIRST because it is the cheapest reliable multilingual split
+    (marker-stopword lang_id scores every non-Latin document 'und',
+    so without this screen a CJK corpus is silently all-dropped by
+    ``keep_langs`` with no signal as to why)."""
+    if keep_scripts is not None:
+        from lsdm_motogp_data_integration_spark.operators.textops import (
+            script_id,
+        )
+
+        docs = docs.filter(script_id(text_col).isin(*keep_scripts))
     text = F.col(text_col)
     words = F.split(
         F.lower(F.regexp_replace(F.trim(text), r"\s+", " ")), " "
@@ -114,6 +128,7 @@ def curate(
     url_col: str | None = None,
     url_blocklist: DataFrame | None = None,
     keep_langs: tuple[str, ...] = ("en",),
+    keep_scripts: tuple[str, ...] | None = None,
     min_quality: float = 0.3,
     min_distinct_ratio: float = 0.2,
     gopher_rules: bool = False,
@@ -174,6 +189,7 @@ def curate(
         docs,
         text_col=text_col,
         keep_langs=keep_langs,
+        keep_scripts=keep_scripts,
         min_quality=min_quality,
         min_distinct_ratio=min_distinct_ratio,
         gopher_rules=gopher_rules,
@@ -296,6 +312,7 @@ def curate_stream(
     id_col: str = "doc_id",
     html: bool = False,
     keep_langs: tuple[str, ...] = ("en",),
+    keep_scripts: tuple[str, ...] | None = None,
     min_quality: float = 0.3,
     min_distinct_ratio: float = 0.2,
     gopher_rules: bool = False,
@@ -417,6 +434,7 @@ def curate_stream(
         doc_stream,
         text_col=text_col,
         keep_langs=keep_langs,
+        keep_scripts=keep_scripts,
         min_quality=min_quality,
         min_distinct_ratio=min_distinct_ratio,
         gopher_rules=gopher_rules,

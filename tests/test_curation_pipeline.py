@@ -674,3 +674,47 @@ def test_curate_stream_replay_is_idempotent(spark, tmp_path_factory):
     drain()  # no new files: nothing should change
     assert (snap(accepted), snap(index), snap(shards)) == (a1, i1, s1)
     assert {r[0] for r in a1} == {1, 3}
+
+
+def test_curate_keep_scripts_routes_before_lang(spark):
+    """keep_scripts (r4): the script screen runs before lang_id, so a
+    multilingual corpus can be routed by script — a CJK doc survives
+    keep_scripts=("cjk",) curation with char shingles while the
+    default latin+en curation drops it silently."""
+    from lsdm_motogp_data_integration_spark.operators.dedup import (
+        dedup_corpus,  # noqa: F401  (import sanity under the param mix)
+    )
+
+    zh = (
+        "机器学习模型的训练数据质量决定了最终效果"
+        "数据清洗和去重是数据管线中最重要的步骤之一"
+        "近似重复文档会让模型记住重复内容并降低泛化能力"
+    )
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog in english "
+            "prose that is long enough to pass the basic screens ok"),
+        (2, zh),
+        (3, zh + "结尾稍有不同"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    latin = {
+        r["doc_id"]
+        for r in curate(
+            df, keep_scripts=("latin",), keep_langs=("en",),
+            min_quality=0.1, min_distinct_ratio=0.1,
+        )["deduped"].collect()
+    }
+    assert latin == {1}
+
+    cjk = {
+        r["doc_id"]
+        for r in curate(
+            df, keep_scripts=("cjk",),
+            # lang_id has no CJK markers: everything is 'und' there
+            keep_langs=("und",),
+            min_quality=0.0, min_distinct_ratio=0.0,
+            shingle_unit="char", shingle_k=8, neardup_threshold=0.5,
+        )["deduped"].collect()
+    }
+    assert cjk == {2}  # 3 removed as 2's char-shingle near-dup
