@@ -693,3 +693,54 @@ def streaming_ivf_ingest(
         .start()
     )
     q.awaitTermination()
+
+
+def streaming_pq_ingest(
+    vec_stream: DataFrame,
+    *,
+    index_dir: str,
+    checkpoint_dir: str,
+    codebooks,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Streaming PQ code maintenance — the PQ twin of
+    :func:`streaming_ivf_ingest`: each micro-batch is encoded against
+    the once-resolved per-subspace codebooks (shared
+    ``ann._pq_encode_udf``) and written as ``index_dir/batch_id=N``
+    with the usual per-batch-overwrite exactly-once story.
+    ``ann.pq_topk_from_index`` serves the whole tree unchanged (the
+    extra ``batch_id`` column rides along and is dropped by the
+    scoring projection). Equivalence with a one-shot
+    ``build_pq_index`` and replay idempotency are pinned by test."""
+    from lsdm_motogp_data_integration_spark.operators.ann import (
+        _drop_null_vecs,
+        _pq_encode_udf,
+        _quantize,
+        _resolve_books,
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        books = _resolve_books(codebooks, batch_df)
+        if books is None:
+            raise ValueError("streaming_pq_ingest requires codebooks")
+        encode = _pq_encode_udf(
+            [_quantize(b) for b in books], books[0].shape[1]
+        )
+        (
+            _drop_null_vecs(batch_df, vec_col)
+            .select(
+                F.col(id_col), encode(F.col(vec_col)).alias("codes")
+            )
+            .write.mode("overwrite")
+            .parquet(f"{index_dir}/batch_id={batch_id}")
+        )
+
+    q = (
+        vec_stream.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

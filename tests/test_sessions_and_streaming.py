@@ -741,3 +741,68 @@ def test_streaming_ivf_ingest_matches_batch_index(spark, tmp_path_factory):
         stream2, index_dir=idx, checkpoint_dir=ckpt, codebook=cb
     )
     assert spark.read.parquet(idx).count() == n_before
+
+
+def test_streaming_pq_ingest_matches_batch_index(spark, tmp_path_factory):
+    """streaming_pq_ingest (r4): per-batch encoded codes must serve
+    ADC results identical to a one-shot build_pq_index; replay with
+    the same checkpoint leaves the tree unchanged."""
+    from pyspark.sql import functions as F
+
+    from lsdm_motogp_data_integration_spark.operators.ann import (
+        _pq_fit,
+        build_pq_index,
+        pq_topk_from_index,
+        save_codebook,
+    )
+    from lsdm_motogp_data_integration_spark.sources import read_table
+    from lsdm_motogp_data_integration_spark.streaming import (
+        streaming_pq_ingest,
+    )
+
+    e = read_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    books, _ = _pq_fit(e, "embedding", "vec_id", 4, 8, 2, None)
+    cb = str(tmp_path_factory.mktemp("spq") / "cb")
+    save_codebook(books, spark, cb)
+
+    src = str(tmp_path_factory.mktemp("spq_src"))
+    e.filter(F.col("vec_id") % 2 == 0).coalesce(1).write.parquet(
+        f"{src}/f1"
+    )
+    e.filter(F.col("vec_id") % 2 == 1).coalesce(1).write.parquet(
+        f"{src}/f2"
+    )
+    schema = spark.read.parquet(f"{src}/f1").schema
+    idx = str(tmp_path_factory.mktemp("spq_idx"))
+    ckpt = str(tmp_path_factory.mktemp("spq_ckpt"))
+
+    def drain():
+        streaming_pq_ingest(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(src),
+            index_dir=idx, checkpoint_dir=ckpt, codebooks=cb,
+        )
+
+    drain()
+    oneshot = str(tmp_path_factory.mktemp("spq_oneshot"))
+    build_pq_index(e, "embedding", "vec_id", path=oneshot, codebooks=cb)
+    kw = dict(codebooks=cb, k=5)
+    a = sorted(map(tuple, pq_topk_from_index(
+        spark, idx, q, "vec_id", "query_id", "query_vec", **kw
+    ).collect()))
+    b = sorted(map(tuple, pq_topk_from_index(
+        spark, oneshot, q, "vec_id", "query_id", "query_vec", **kw
+    ).collect()))
+    assert a == b and len(a) == 25
+
+    n = spark.read.parquet(idx).count()
+    drain()
+    assert spark.read.parquet(idx).count() == n
