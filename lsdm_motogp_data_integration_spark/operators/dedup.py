@@ -166,13 +166,21 @@ def char_shingle_hashes(text: Column | str, k: int = 8) -> Column:
     so cross-run context counts) and the same single-pass rolling
     aggregate as :func:`word_shingle_hashes` — the per-char split is
     one pass, not a per-element re-tokenization."""
+    return rolling_gram_hashes(_char_element_hashes(text), k)
+
+
+def _char_element_hashes(text: Column | str) -> Column:
+    """Per-CHARACTER xxhash64 array under the engine normalization —
+    the char-basis twin of ``transform(normalized_words(c), xxhash64)``.
+    Single-sourced so :func:`char_shingle_hashes` and the fused
+    MinHash path (:func:`fused_minhash_mins` with ``unit="char"``)
+    can never diverge: an index built via one path must collide with
+    signatures from the other iff the texts match."""
     c = F.col(text) if isinstance(text, str) else text
     norm = F.lower(F.regexp_replace(F.trim(c), r"\s+", " "))
     # split('', …) emits a trailing empty string — drop it
     chars = F.filter(F.split(norm, ""), lambda x: x != F.lit(""))
-    return rolling_gram_hashes(
-        F.transform(chars, lambda x: F.xxhash64(x)), k
-    )
+    return F.transform(chars, lambda x: F.xxhash64(x))
 
 
 # ---------------------------------------------------------------------------
@@ -439,6 +447,7 @@ def exact_jaccard_for_pairs(
     k: int = 5,
     threshold: float = 0.8,
     sets_df: DataFrame | None = None,
+    unit: str = "word",
 ) -> DataFrame:
     """Exact word-k-gram Jaccard for GIVEN candidate pairs only — the
     verification step of the incremental-dedup contract
@@ -458,9 +467,13 @@ def exact_jaccard_for_pairs(
             F.col(id_col).alias("__id"), F.col("shingles").alias("__set")
         )
     else:
+        grams = (
+            word_shingle_hashes(text_col, k)
+            if unit == "word"
+            else char_shingle_hashes(text_col, k)
+        )
         sets_df = corpus.select(
-            F.col(id_col).alias("__id"),
-            word_shingle_hashes(text_col, k).alias("__set"),
+            F.col(id_col).alias("__id"), grams.alias("__set")
         )
     sa = sets_df.select(
         F.col("__id").alias(left_col), F.col("__set").alias("__sa")
@@ -524,7 +537,7 @@ def minhash_signature(shingle_hashes: Column, num_perm: int = 64) -> Column:
 
 
 def fused_minhash_mins(
-    text: Column | str, k: int, num_perm: int
+    text: Column | str, k: int, num_perm: int, unit: str = "word"
 ) -> Column:
     """num_perm running MinHash minima computed in the SAME rolling
     pass that forms word k-grams — no gram array, no distinct (the min
@@ -533,9 +546,17 @@ def fused_minhash_mins(
     ``minhash_signature(word_shingle_hashes(text, k), num_perm)`` —
     including NULL text, which yields the same ``[-1, ...]`` sentinel
     (an index built via one path must collide with signatures from the
-    other iff the texts match)."""
+    other iff the texts match). ``unit="char"`` swaps the element
+    basis to :func:`_char_element_hashes` (== signatures over
+    :func:`char_shingle_hashes`, pinned by test) for unsegmented
+    scripts."""
     c = F.col(text) if isinstance(text, str) else text
-    wh = F.transform(normalized_words(c), lambda w: F.xxhash64(w))
+    if unit == "word":
+        wh = F.transform(normalized_words(c), lambda w: F.xxhash64(w))
+    elif unit == "char":
+        wh = _char_element_hashes(c)
+    else:
+        raise ValueError(f"unit must be word|char, got {unit!r}")
     max_long = (1 << 63) - 1
     init = F.struct(
         F.expr("CAST(array() AS ARRAY<BIGINT>)").alias("buf"),
@@ -1402,6 +1423,7 @@ def build_minhash_index(
     k: int = 5,
     num_perm: int = 32,
     bands: int = 16,
+    unit: str = "word",
 ) -> DataFrame:
     """MinHash index of a corpus: one row per (doc, band bucket),
     carrying the full signature — ``(id_col, __bucket, __mins)``.
@@ -1424,7 +1446,7 @@ def build_minhash_index(
     rows_per_band = num_perm // bands
     mins_df = df.select(
         F.col(id_col),
-        fused_minhash_mins(text_col, k, num_perm).alias("__mins"),
+        fused_minhash_mins(text_col, k, num_perm, unit).alias("__mins"),
     )
     band_cols = _band_bucket_cols(F.col("__mins"), bands, rows_per_band)
     return mins_df.select(
@@ -1444,6 +1466,7 @@ def incremental_neardup(
     num_perm: int = 32,
     bands: int = 16,
     threshold: float = 0.8,
+    unit: str = "word",
 ) -> DataFrame:
     """Near-dup hits of a NEW batch against an existing
     ``build_minhash_index`` relation (the incremental path of a
@@ -1459,7 +1482,8 @@ def incremental_neardup(
     sets, i.e. historical text: callers wanting exactness join hits
     back to stored text and apply ``jaccard_pairs``; the estimate is
     the index-only contract. ``k``/``num_perm``/``bands`` MUST match
-    the index's build parameters (signatures are positional).
+    the index's build parameters (signatures are positional), and
+    ``unit`` must match the basis the index was built with.
 
     Scale: new-batch signatures are map-side; the only shuffle is the
     bucket equi-join against the index (co-located when the index is
@@ -1470,7 +1494,7 @@ def incremental_neardup(
     rows_per_band = num_perm // bands
     mins_new = new_df.select(
         F.col(id_col).alias("__new_id"),
-        fused_minhash_mins(text_col, k, num_perm).alias("__new_mins"),
+        fused_minhash_mins(text_col, k, num_perm, unit).alias("__new_mins"),
     )
     band_cols = _band_bucket_cols(F.col("__new_mins"), bands, rows_per_band)
     new_buckets = mins_new.select(

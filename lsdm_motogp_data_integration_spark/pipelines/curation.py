@@ -318,6 +318,7 @@ def curate_stream(
     gopher_rules: bool = False,
     badwords: tuple[str, ...] = (),
     neardup_threshold: float = 0.8,
+    shingle_unit: str = "word",
     k: int = 5,
     num_perm: int = 32,
     bands: int = 16,
@@ -455,6 +456,7 @@ def curate_stream(
         shards_dir=shards_dir,
         n_shards=n_shards,
         post_filter=post_filter,
+        unit=shingle_unit,
     )
 
 

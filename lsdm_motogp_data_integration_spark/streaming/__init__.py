@@ -286,6 +286,7 @@ def streaming_neardup_ingest(
     n_shards: int = 8,
     shard_salt: str = "shuf",
     post_filter=None,
+    unit: str = "word",
 ) -> None:
     """Continuously-ingested corpus near-dup removal — the streaming
     composition of the incremental-dedup pieces (``dedup_corpus`` +
@@ -357,7 +358,8 @@ def streaming_neardup_ingest(
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         survivors = dedup_corpus(
-            batch_df, text_col, id_col, threshold=threshold
+            batch_df, text_col, id_col, threshold=threshold,
+            k=k, unit=unit,
         )
         try:
             index = spark.read.parquet(index_dir).filter(
@@ -380,7 +382,7 @@ def streaming_neardup_ingest(
             hits = incremental_neardup(
                 survivors, index, text_col, id_col,
                 k=k, num_perm=num_perm, bands=bands,
-                threshold=est_threshold,
+                threshold=est_threshold, unit=unit,
             ).localCheckpoint(eager=True)
             # verification needs text only for the ref docs that
             # actually HIT (a broadcast semi-join against the small hit
@@ -400,6 +402,7 @@ def streaming_neardup_ingest(
             confirmed = exact_jaccard_for_pairs(
                 hits, verify_corpus, text_col, id_col,
                 "ref_id", "new_id", k=k, threshold=threshold,
+                unit=unit,
             )
             dup_ids = confirmed.select(
                 F.col("id_b").alias(id_col)
@@ -415,7 +418,7 @@ def streaming_neardup_ingest(
         ).parquet(f"{accepted_dir}/batch_id={batch_id}")
         build_minhash_index(
             survivors, text_col, id_col,
-            k=k, num_perm=num_perm, bands=bands,
+            k=k, num_perm=num_perm, bands=bands, unit=unit,
         ).write.mode("overwrite").parquet(
             f"{index_dir}/batch_id={batch_id}"
         )

@@ -718,3 +718,72 @@ def test_curate_keep_scripts_routes_before_lang(spark):
         )["deduped"].collect()
     }
     assert cjk == {2}  # 3 removed as 2's char-shingle near-dup
+
+
+def test_curate_stream_char_unit_cjk(spark, tmp_path_factory):
+    """curate_stream(shingle_unit=\"char\") (r4): cross-batch CJK
+    near-dups are caught against the char-basis streaming index —
+    the full multilingual streaming flow (script routing + char
+    shingles) matches batch curate on the same corpus."""
+    from pyspark.sql import types as T
+
+    from lsdm_motogp_data_integration_spark.pipelines.curation import (
+        curate_stream,
+    )
+
+    zh = (
+        "机器学习模型的训练数据质量决定了最终效果"
+        "数据清洗和去重是数据管线中最重要的步骤之一"
+        "近似重复文档会让模型记住重复内容并降低泛化能力"
+    )
+    other = (
+        "完全不同的文本讨论分布式计算引擎的查询优化器"
+        "包括谓词下推列裁剪和连接重排序等经典技术内容"
+    )
+    b1 = [(1, zh), (2, zh + "结尾稍有不同")]          # within-batch pair
+    b2 = [(11, zh + "另一个结尾"), (12, other)]        # 11 x-batch near-dup
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    kw = dict(
+        keep_scripts=("cjk",), keep_langs=("und",),
+        min_quality=0.0, min_distinct_ratio=0.0,
+        neardup_threshold=0.5, shingle_unit="char", k=8,
+    )
+    full = spark.createDataFrame(b1 + b2, schema)
+    batch_ids = {
+        r["doc_id"]
+        for r in curate(
+            full, keep_scripts=("cjk",), keep_langs=("und",),
+            min_quality=0.0, min_distinct_ratio=0.0,
+            neardup_threshold=0.5, shingle_unit="char", shingle_k=8,
+        )["deduped"].collect()
+    }
+
+    src = str(tmp_path_factory.mktemp("cjks_src"))
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(
+        f"{src}/f1"
+    )
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(
+        f"{src}/f2"
+    )
+    accepted = str(tmp_path_factory.mktemp("cjks_acc"))
+    curate_stream(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src),
+        accepted_dir=accepted,
+        index_dir=str(tmp_path_factory.mktemp("cjks_idx")),
+        checkpoint_dir=str(tmp_path_factory.mktemp("cjks_ckpt")),
+        **kw,
+    )
+    stream_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(accepted).select("doc_id").collect()
+    }
+    assert stream_ids == {1, 12}  # 2 within-batch, 11 cross-batch dropped
+    assert stream_ids == batch_ids

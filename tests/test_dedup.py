@@ -862,3 +862,32 @@ def test_dedup_corpus_char_unit_removes_cjk_neardups(spark):
         for r in dedup_corpus(df, "text", "doc_id", threshold=0.5).collect()
     }
     assert word_ids == {1, 2, 4}  # only the exact dup (3) collapses
+
+
+def test_fused_char_mins_match_signature_over_char_shingles(spark):
+    """Index-compat invariant for the char basis: the fused rolling
+    MinHash (unit=\"char\") must equal minhash_signature over
+    char_shingle_hashes — an index built via one path must collide
+    with signatures from the other iff the texts match."""
+    from lsdm_motogp_data_integration_spark.operators.dedup import (
+        char_shingle_hashes,
+        fused_minhash_mins,
+        minhash_signature,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("机器学习模型的训练数据质量决定效果",),
+            ("short",),
+            (None,),
+        ],
+        ["text"],
+    )
+    rows = df.select(
+        fused_minhash_mins("text", 8, 16, "char").alias("fused"),
+        minhash_signature(char_shingle_hashes("text", 8), 16).alias(
+            "via_sets"
+        ),
+    ).collect()
+    for r in rows:
+        assert r["fused"] == r["via_sets"]
