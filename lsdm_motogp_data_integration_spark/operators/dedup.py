@@ -1346,11 +1346,10 @@ def dedup_corpus(
     ``unit="char"`` (+ ``k``, default 8 is sensible there) switches the
     shingle basis to character k-grams for unsegmented scripts (see
     :func:`char_shingle_hashes` — the word basis degenerates to exact
-    matching on CJK). NOTE: the incremental/streaming index family
-    (``build_minhash_index``/``incremental_neardup``) is word-basis;
-    a batch deduped with char shingles must not be screened against a
-    word-basis index (signatures would never match — silent
-    under-dedup, not an error)."""
+    matching on CJK). The incremental/streaming index family takes the
+    same ``unit`` — but a MIXED pairing (char batch vs word-basis
+    index or vice versa) silently never matches (signatures are basis-
+    positional): keep one basis per index lineage."""
     order = (
         [keep_by.desc(), F.col(id_col).asc()]
         if keep_by is not None
