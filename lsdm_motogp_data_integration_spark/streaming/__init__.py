@@ -1,10 +1,22 @@
-"""Structured Streaming variants of the event pipelines.
+"""Structured Streaming variants of the event pipelines — plus the
+continuous-ingest state maintainers.
 
 The reference is batch-only (SURVEY.md §2.11); per the scale goal the
 same event transformations are exposed as streaming plans: file-source
 stream → watermark → windowed aggregate / stateful sessionization →
 sink. Tests drive these with ``availableNow`` + memory sink so a bounded
 parquet directory exercises the full streaming machinery.
+
+Beyond the event suite, this module maintains the engine's persisted
+state under continuous ingestion, all on the same exactly-once story
+(each micro-batch overwrites its own deterministic ``batch_id=N``
+directory, so replays rewrite byte-identical output instead of
+duplicating): near-dup corpus admission against a growing MinHash
+index (``streaming_neardup_ingest`` — the engine room of
+``pipelines.curation.curate_stream``), IVF cell-index and PQ
+code-index maintenance (``streaming_ivf_ingest`` /
+``streaming_pq_ingest``), and per-batch CMS/HLL/histogram sketch
+merging.
 """
 
 from __future__ import annotations
