@@ -120,9 +120,21 @@ def rolling_gram_hashes(element_hashes: Column, k: int) -> Column:
     return F.aggregate(element_hashes, init, merge, finish)
 
 
-def char_shingle_hashes(col: Column | str, k: int = 3) -> Column:
+def fuzzy_block_grams(col: Column | str, k: int = 3) -> Column:
     """Distinct character k-gram hashes of a (lowercased, trimmed)
-    string — the blocking representation for fuzzy string matching."""
+    string — the blocking representation for fuzzy string matching
+    (:func:`operators.fuzzy._lsh_candidates`).
+
+    Deliberately NOT the near-dup shingle basis
+    (:func:`char_shingle_hashes`): fuzzy keys are short entity names
+    where every raw character carries signal, so normalization stops
+    at trim+lower — interior whitespace runs are preserved exactly as
+    typed ("a  b" and "a b" produce different gram sets, and their
+    similarity is what the Jaro-Winkler scorer decides, not the
+    blocker). The near-dup basis squeezes whitespace because document
+    formatting is noise there; that choice must not leak into blocking
+    recall for the fuzzy path (pinned by
+    ``tests/test_keys_and_fuzzy.py::test_fuzzy_block_grams_pinned``)."""
     c = F.col(col) if isinstance(col, str) else col
     chars = F.split(F.lower(F.trim(c)), "")
     char_hashes = F.filter(

@@ -56,7 +56,7 @@ def _lsh_candidates(
     row iff they share a bucket. Returns probe ⨯ lookup candidate rows
     (all columns of both, ``__probe_id`` retained)."""
     from lsdm_motogp_data_integration_spark.operators.dedup import (
-        char_shingle_hashes,
+        fuzzy_block_grams,
     )
 
     rows_per_band = num_perm // bands
@@ -66,7 +66,7 @@ def _lsh_candidates(
         # won't inline a non-cheap expression with multiple consumers,
         # so the shingle aggregate runs once per row
         with_set = df.select(
-            *id_cols, char_shingle_hashes(F.col(key), 3).alias("__set")
+            *id_cols, fuzzy_block_grams(F.col(key), 3).alias("__set")
         )
 
         def min_perm(perm: int) -> Column:

@@ -189,7 +189,6 @@ def mmr_rerank(
         norm_expr,
         precast_dot,
     )
-    from pyspark.sql import Window
 
     if pool_df is None:
         pool_df = cosine_topk(

@@ -15,7 +15,7 @@ training-data-pipeline extension per the brief.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 #: The absolute-URL scheme grammar — PUBLIC because consumers (e.g.

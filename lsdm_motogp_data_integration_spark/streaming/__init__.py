@@ -668,8 +668,6 @@ def streaming_ivf_ingest(
     are pinned by test.
 
     Drains available input (availableNow trigger) and returns."""
-    import numpy as np  # noqa: F401  (type context for codebook docs)
-
     from lsdm_motogp_data_integration_spark.operators.ann import (
         _cells_udf,
         _drop_null_vecs,

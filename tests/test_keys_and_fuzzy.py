@@ -221,3 +221,39 @@ def test_fuzzy_rejects_score_col_collision(spark):
         probe, lookup, "probe_name", "n_name", score_col="jw_score"
     ).collect()
     assert len(out) == 1 and out[0]["jw_score"] > 0.8
+
+
+def test_fuzzy_block_grams_pinned(spark):
+    """Pin the fuzzy-blocking normalization (r4 regression guard): a
+    k=8 near-dup ``char_shingle_hashes`` once shadowed the k=3 blocking
+    helper and silently changed fuzzy candidate recall for keys with
+    whitespace runs. The blocker must preserve interior whitespace
+    exactly (trim+lower ONLY); the near-dup basis squeezes it. Any
+    future normalization change to either helper must flip one of
+    these assertions deliberately."""
+    from lsdm_motogp_data_integration_spark.operators.dedup import (
+        char_shingle_hashes,
+        fuzzy_block_grams,
+    )
+
+    df = spark.createDataFrame(
+        [("ab\t\tcd",), ("ab cd",), ("  AB CD ",)], ["s"]
+    )
+
+    def gram_sets(expr):
+        rows = df.select(
+            "s", F.array_sort(expr).alias("g")
+        ).collect()
+        return {r["s"]: tuple(r["g"]) for r in rows}
+
+    fuzzy = gram_sets(fuzzy_block_grams(F.col("s"), 3))
+    neardup = gram_sets(char_shingle_hashes(F.col("s"), 3))
+
+    # trim+lower applies on the fuzzy path ...
+    assert fuzzy["ab cd"] == fuzzy["  AB CD "]
+    # ... but interior whitespace runs are PRESERVED: a tab run and a
+    # single space are different blocking keys for the fuzzy path
+    assert fuzzy["ab\t\tcd"] != fuzzy["ab cd"]
+    # while the near-dup basis squeezes whitespace (documents), so the
+    # same two strings collide there — the deliberate divergence
+    assert neardup["ab\t\tcd"] == neardup["ab cd"]

@@ -3,7 +3,6 @@
 from __future__ import annotations
 
 import pytest
-from pyspark.sql import functions as F
 
 from lsdm_motogp_data_integration_spark.operators.profile import (
     profile_columns,

@@ -28,7 +28,6 @@ from __future__ import annotations
 
 import json
 import sys
-import time
 
 sys.path.insert(0, "/root/repo")
 
@@ -42,7 +41,6 @@ from lsdm_motogp_data_integration_spark.operators.urls import (
     filter_blocked_urls,
 )
 from lsdm_motogp_data_integration_spark.session import get_spark
-from lsdm_motogp_data_integration_spark.sources import read_table
 from tools.scale_probe import scaled_docs, timed
 
 SF_DIR = "/root/testdata/sf0.1"
