@@ -726,6 +726,7 @@ def q22_text_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from lsdm_motogp_data_integration_spark.operators.textops import (
         gopher_flags,
+        lang_id2,
         script_id,
     )
 
@@ -733,6 +734,7 @@ def q22_text_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     gf = gopher_flags("text")
     base = d.select(
         "doc_id",
+        "text",
         token_count("text").alias("n_tokens"),
         bpe_ish_token_count("text").alias("n_subtokens"),
         quality_score("text").alias("quality"),
@@ -744,7 +746,13 @@ def q22_text_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(gf["mean_word_len"], 6).alias("mean_word_len"),
         F.round(gf["symbol_word_ratio"], 6).alias("symbol_word_ratio"),
         F.round(gf["frac_alpha_words"], 6).alias("frac_alpha_words"),
-    )
+    ).select(
+        # r5: per-script language ID (textops.lang_id2) — reuses the
+        # already-computed script verdict (named column, evaluated
+        # once) instead of re-running the eight SCRIPT_RANGES counts
+        "*",
+        lang_id2("text", script=F.col("script")).alias("lang2"),
+    ).drop("text")
     # the engine-wide tokenization (operators/dedup.normalized_words) —
     # oracle parity depends on query-side and operator-side tokenizers
     # staying identical
@@ -5061,7 +5069,9 @@ def oracle_sql() -> dict[str, str]:
                        len(regexp_extract_all(text, '[Ͱ-Ͽ]')) AS s_greek,
                        len(regexp_extract_all(text, '[가-힯]')) AS s_hangul,
                        len(regexp_extract_all(text, '[぀-ヿ]')) AS s_kana,
-                       len(regexp_extract_all(text, '[A-Za-zÀ-ɏ]'))
+                       -- Latin LETTERS only: the class skips U+00D7
+                       -- (×) and U+00F7 (÷), mirroring SCRIPT_RANGES
+                       len(regexp_extract_all(text, '[A-Za-zÀ-ÖØ-öø-ɏ]'))
                            AS s_latin
                 FROM documents
             ), scrm AS (
@@ -5084,6 +5094,69 @@ def oracle_sql() -> dict[str, str]:
                             ELSE 'latin'
                        END AS script
                 FROM scrm
+            ), l2c AS (
+                -- textops.lang_id2 (r5): per-script discrimination
+                -- marker counts, same literal classes as the engine
+                SELECT doc_id,
+                       len(regexp_extract_all(text, '[぀-ヿ]')) AS c_kana,
+                       len(regexp_extract_all(text, '[가-힯]')) AS c_hangul,
+                       len(regexp_extract_all(text, '[ъЪ]')) AS c_bg,
+                       len(regexp_extract_all(text, '[ыэёЫЭЁ]')) AS c_ru,
+                       len(regexp_extract_all(text, '[јљњђћџЈЉЊЂЋЏ]'))
+                           AS c_sr,
+                       len(regexp_extract_all(text, '[іїєґІЇЄҐ]')) AS c_uk,
+                       len(regexp_extract_all(text, '[ةًٌٍ]')) AS c_ar,
+                       len(regexp_extract_all(text, '[پچژگ]')) AS c_fa,
+                       len(regexp_extract_all(text, '[ٹڈڑںےہ]')) AS c_ur,
+                       len(regexp_extract_all(text, '(है|का|की|के|में|और)'))
+                           AS c_hi,
+                       len(regexp_extract_all(text, '(आहे|आणि|मध्ये|येथे)'))
+                           AS c_mr,
+                       len(regexp_extract_all(text, '(छन्|गरेको|लागि|भएको)'))
+                           AS c_ne
+                FROM documents
+            ), l2 AS (
+                -- CASE order within each script = code ascending ==
+                -- the engine's argmax smallest-code tie-break
+                SELECT s.doc_id,
+                       CASE
+                         WHEN s.script IN ('cjk', 'kana', 'hangul') THEN
+                           CASE WHEN c.c_kana > 0 THEN 'ja'
+                                WHEN c.c_hangul > 0 THEN 'ko'
+                                ELSE 'zh' END
+                         WHEN s.script = 'latin' THEN lang.pred_lang
+                         WHEN s.script = 'cyrillic' THEN
+                           CASE WHEN greatest(c_bg, c_ru, c_sr, c_uk) <= 0
+                                    THEN 'und'
+                                WHEN c_bg = greatest(c_bg, c_ru, c_sr, c_uk)
+                                    THEN 'bg'
+                                WHEN c_ru = greatest(c_bg, c_ru, c_sr, c_uk)
+                                    THEN 'ru'
+                                WHEN c_sr = greatest(c_bg, c_ru, c_sr, c_uk)
+                                    THEN 'sr'
+                                ELSE 'uk' END
+                         WHEN s.script = 'arabic' THEN
+                           CASE WHEN greatest(c_ar, c_fa, c_ur) <= 0
+                                    THEN 'und'
+                                WHEN c_ar = greatest(c_ar, c_fa, c_ur)
+                                    THEN 'ar'
+                                WHEN c_fa = greatest(c_ar, c_fa, c_ur)
+                                    THEN 'fa'
+                                ELSE 'ur' END
+                         WHEN s.script = 'greek' THEN 'el'
+                         WHEN s.script = 'devanagari' THEN
+                           CASE WHEN greatest(c_hi, c_mr, c_ne) <= 0
+                                    THEN 'und'
+                                WHEN c_hi = greatest(c_hi, c_mr, c_ne)
+                                    THEN 'hi'
+                                WHEN c_mr = greatest(c_hi, c_mr, c_ne)
+                                    THEN 'mr'
+                                ELSE 'ne' END
+                         ELSE 'und'
+                       END AS lang2
+                FROM script s
+                JOIN l2c c USING (doc_id)
+                JOIN lang USING (doc_id)
             ), terms AS (
                 SELECT doc_id, unnest(regexp_split_to_array(
                     trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '
@@ -5230,6 +5303,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT tok.doc_id, tok.n_tokens, tok.n_subtokens,
                    qual.quality, lang.pred_lang, script.script,
+                   l2.lang2,
                    gopher.mean_word_len, gopher.symbol_word_ratio,
                    gopher.frac_alpha_words,
                    rep.distinct_ratio, rep.top_token_share,
@@ -5250,6 +5324,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN qual USING (doc_id)
             JOIN lang USING (doc_id)
             JOIN script USING (doc_id)
+            JOIN l2 USING (doc_id)
             JOIN gopher USING (doc_id)
             JOIN rep USING (doc_id)
             LEFT JOIN bg_share USING (doc_id)

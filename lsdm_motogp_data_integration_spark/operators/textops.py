@@ -168,7 +168,11 @@ SCRIPT_RANGES: dict[str, str] = {
     "greek": "[Ͱ-Ͽ]",
     "hangul": "[가-힯]",
     "kana": "[぀-ヿ]",
-    "latin": "[A-Za-zÀ-ɏ]",
+    # Latin letters only: the naive [À-ɏ] span would count the two
+    # non-letter math operators embedded in Latin-1 (U+00D7 ×,
+    # U+00F7 ÷) and bias math-heavy text toward 'latin' — the class
+    # skips exactly those two code points
+    "latin": "[A-Za-zÀ-ÖØ-öø-ɏ]",
 }
 
 
@@ -187,6 +191,103 @@ def script_id(col: Column | str) -> Column:
     in DuckDB). The practical curation read: route by script FIRST
     (cheap, reliable), then language-ID within the Latin bucket."""
     return _argmax_pattern_hits(_c(col), SCRIPT_RANGES)
+
+
+#: Per-script discrimination tables for :func:`lang_id2` — all fixed
+#: PUBLIC-knowledge literal classes (distinctive letters / stopwords),
+#: portable between Java regex and RE2 like SCRIPT_RANGES.
+#:
+#: cyrillic: letters exclusive (in practice) to each orthography —
+#: uk і/ї/є/ґ; ru ы/э/ё; bg heavy ъ usage; sr ј/љ/њ/ђ/ћ/џ.
+#: arabic-script: fa adds پ/چ/ژ/گ to the Arabic base; ur adds the
+#: retroflex/ heavy letters ٹ/ڈ/ڑ/ں/ے/ہ (ur also borrows the fa four,
+#: so ur markers must outnumber fa hits — true for running Urdu text).
+#: devanagari: no letter split exists (hi/mr/ne share the block), so
+#: marker STOPWORDS discriminate; plain substring counts, no \b
+#: (word-boundary semantics around Devanagari differ between engines).
+CYRILLIC_LANG_MARKERS: dict[str, str] = {
+    "bg": "[ъЪ]",
+    "ru": "[ыэёЫЭЁ]",
+    "sr": "[јљњђћџЈЉЊЂЋЏ]",
+    "uk": "[іїєґІЇЄҐ]",
+}
+ARABIC_LANG_MARKERS: dict[str, str] = {
+    "ar": "[ةًٌٍ]",
+    "fa": "[پچژگ]",
+    "ur": "[ٹڈڑںےہ]",
+}
+DEVANAGARI_LANG_MARKERS: dict[str, str] = {
+    "hi": "(है|का|की|के|में|और)",
+    "mr": "(आहे|आणि|मध्ये|येथे)",
+    "ne": "(छन्|गरेको|लागि|भएको)",
+}
+
+
+def lang_id2(col: Column | str, script: Column | None = None) -> Column:
+    """Per-SCRIPT language ID (round-5; VERDICT r4 next-round #3) —
+    the discrimination :func:`lang_id` cannot give outside Latin:
+    route by :func:`script_id` first, then decide the language INSIDE
+    the script bucket with a script-appropriate fixed table:
+
+    * ``latin`` → the marker-stopword argmax (:data:`LANG_MARKERS`,
+      same verdict as :func:`lang_id` — en/es/de/fr/it, else 'und');
+    * ``cjk``/``kana``/``hangul`` → the standard script-mix cascade
+      (public knowledge, e.g. langdetect's unicode-block heuristic):
+      ANY kana proves Japanese (zh/ko never use kana; Japanese prose
+      is majority kana), else ANY hangul proves Korean, else Han
+      text is Chinese;
+    * ``cyrillic`` → distinctive-letter argmax
+      (:data:`CYRILLIC_LANG_MARKERS`: ru/uk/bg/sr), 'und' when no
+      distinctive letter appears;
+    * ``arabic`` → distinctive-letter argmax
+      (:data:`ARABIC_LANG_MARKERS`: ar/fa/ur);
+    * ``greek`` → 'el' (the block is effectively one living
+      language);
+    * ``devanagari`` → marker-stopword argmax
+      (:data:`DEVANAGARI_LANG_MARKERS`: hi/mr/ne);
+    * anything else (script 'und') → 'und'.
+
+    Pure Column regexp counts — one scan, no shuffle, no UDF, and
+    every pattern is a literal-character class/alternation valid in
+    both Java regex and RE2, so the q22 oracle replays the whole
+    verdict in DuckDB. Pass a precomputed ``script`` Column when the
+    plan already carries one (q22 does) so the eight SCRIPT_RANGES
+    counts aren't re-evaluated; Catalyst does not CSE across separate
+    ``select`` items.
+
+    Honest-limits note: within-script fallback is 'und', never a
+    guessed default — a Cyrillic document with no distinctive letters
+    stays 'und' rather than pretending to be Russian. The tables are
+    orthography facts, not trained weights; for corpora needing finer
+    splits (e.g. within-Latin beyond the five markers) train the
+    hashed-n-gram classifier
+    (``operators.scoring.train_quality_classifier`` with language
+    labels) on labeled data and route on its verdict instead."""
+    c = _c(col)
+    s = script if script is not None else script_id(c)
+    kana = F.coalesce(
+        F.regexp_count(c, F.lit(SCRIPT_RANGES["kana"])), F.lit(0)
+    )
+    hangul = F.coalesce(
+        F.regexp_count(c, F.lit(SCRIPT_RANGES["hangul"])), F.lit(0)
+    )
+    cjk_family = (
+        F.when(kana > 0, F.lit("ja"))
+        .when(hangul > 0, F.lit("ko"))
+        .otherwise(F.lit("zh"))
+    )
+    return (
+        F.when(s.isin("cjk", "kana", "hangul"), cjk_family)
+        .when(s == "latin", _argmax_pattern_hits(c, LANG_MARKERS))
+        .when(s == "cyrillic", _argmax_pattern_hits(c, CYRILLIC_LANG_MARKERS))
+        .when(s == "arabic", _argmax_pattern_hits(c, ARABIC_LANG_MARKERS))
+        .when(s == "greek", F.lit("el"))
+        .when(
+            s == "devanagari",
+            _argmax_pattern_hits(c, DEVANAGARI_LANG_MARKERS),
+        )
+        .otherwise(F.lit("und"))
+    )
 
 
 def learn_bpe_merges(

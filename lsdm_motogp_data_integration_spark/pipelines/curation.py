@@ -34,7 +34,7 @@ from lsdm_motogp_data_integration_spark.operators.membership import (
 )
 from lsdm_motogp_data_integration_spark.operators.textops import (
     gopher_flags,
-    lang_id,
+    lang_id2,
     pack_sequences,
     quality_score,
     redact_pii,
@@ -65,10 +65,14 @@ def _apply_screens(
 
     ``keep_scripts`` (r4) prepends the route-by-script screen
     (``textops.script_id`` — per-Unicode-block char counts): it runs
-    FIRST because it is the cheapest reliable multilingual split
-    (marker-stopword lang_id scores every non-Latin document 'und',
-    so without this screen a CJK corpus is silently all-dropped by
-    ``keep_langs`` with no signal as to why)."""
+    FIRST because it is the cheapest reliable multilingual split.
+
+    The language screen routes on :func:`textops.lang_id2` (r5): the
+    per-script discriminator, so ``keep_langs=("zh",)`` keeps Chinese
+    and drops Japanese/Korean inside a CJK corpus — with the r4
+    marker-only ``lang_id``, every non-Latin doc was 'und' and the
+    only way to curate CJK was the blunt ``keep_langs=("und",)``.
+    Latin verdicts are unchanged (same marker tables)."""
     if keep_scripts is not None:
         from lsdm_motogp_data_integration_spark.operators.textops import (
             script_id,
@@ -85,7 +89,7 @@ def _apply_screens(
     ) >= min_distinct_ratio
 
     screened = (
-        docs.filter(lang_id(text_col).isin(*keep_langs))
+        docs.filter(lang_id2(text_col).isin(*keep_langs))
         .filter(quality_score(text_col) >= min_quality)
         .filter(distinct_ratio_ok)
     )
@@ -497,7 +501,7 @@ def screen_report(
         F.lower(F.regexp_replace(F.trim(text), r"\s+", " ")), " "
     )
     flags: list[tuple[str, Column]] = [
-        ("lang_ok", lang_id(text_col).isin(*keep_langs)),
+        ("lang_ok", lang_id2(text_col).isin(*keep_langs)),
         ("quality_ok", quality_score(text_col) >= min_quality),
         (
             "ratio_ok",

@@ -711,8 +711,8 @@ def test_curate_keep_scripts_routes_before_lang(spark):
         r["doc_id"]
         for r in curate(
             df, keep_scripts=("cjk",),
-            # lang_id has no CJK markers: everything is 'und' there
-            keep_langs=("und",),
+            # r5: lang_id2 discriminates within CJK — route on "zh"
+            keep_langs=("zh",),
             min_quality=0.0, min_distinct_ratio=0.0,
             shingle_unit="char", shingle_k=8, neardup_threshold=0.5,
         )["deduped"].collect()
@@ -749,7 +749,7 @@ def test_curate_stream_char_unit_cjk(spark, tmp_path_factory):
         ]
     )
     kw = dict(
-        keep_scripts=("cjk",), keep_langs=("und",),
+        keep_scripts=("cjk",), keep_langs=("zh",),
         min_quality=0.0, min_distinct_ratio=0.0,
         neardup_threshold=0.5, shingle_unit="char", k=8,
     )
@@ -757,7 +757,7 @@ def test_curate_stream_char_unit_cjk(spark, tmp_path_factory):
     batch_ids = {
         r["doc_id"]
         for r in curate(
-            full, keep_scripts=("cjk",), keep_langs=("und",),
+            full, keep_scripts=("cjk",), keep_langs=("zh",),
             min_quality=0.0, min_distinct_ratio=0.0,
             neardup_threshold=0.5, shingle_unit="char", shingle_k=8,
         )["deduped"].collect()

@@ -854,7 +854,7 @@ def test_script_id_classifies_unicode_blocks(spark):
                        len(regexp_extract_all(text, '[Ͱ-Ͽ]')) AS s_greek,
                        len(regexp_extract_all(text, '[가-힯]')) AS s_hangul,
                        len(regexp_extract_all(text, '[぀-ヿ]')) AS s_kana,
-                       len(regexp_extract_all(text, '[A-Za-zÀ-ɏ]')) AS s_latin
+                       len(regexp_extract_all(text, '[A-Za-zÀ-ÖØ-öø-ɏ]')) AS s_latin
                 FROM t
             ), m AS (
                 SELECT *, greatest(s_arabic, s_cjk, s_cyrillic,
@@ -878,3 +878,90 @@ def test_script_id_classifies_unicode_blocks(spark):
         ).fetchall()
     )
     assert oracle == got
+
+
+def test_lang_id2_discriminates_within_scripts(spark):
+    """lang_id2 (r5, VERDICT r4 next-round #3): per-script language
+    discrimination — ja/zh/ko split inside the CJK family (the r4
+    gap: script routing alone sent all CJK to 'und'), distinctive-
+    letter argmax for Cyrillic (ru/uk/bg/sr) and Arabic-script
+    (ar/fa/ur), stopword markers for Devanagari, Latin verdicts
+    identical to lang_id, honest 'und' fallbacks."""
+    from lsdm_motogp_data_integration_spark.operators.textops import (
+        lang_id,
+        lang_id2,
+    )
+
+    rows = [
+        (1, "the quick brown fox and the lazy dog that is english"),
+        # zh: pure Han, no kana/hangul
+        (2, "这是一个中文测试文档 内容全部是汉字 没有假名"),
+        # ja: Han-dominant but kana present (script argmax may say
+        # cjk — the cascade still catches it)
+        (3, "機械学習の訓練データの品質が最終結果を決める"),
+        # ja: kana-dominant
+        (4, "これはひらがなとカタカナのテストです"),
+        # ko: hangul
+        (5, "안녕하세요 세계 이것은 한국어 테스트입니다"),
+        # ru: ы/э/ё distinctive
+        (6, "Привет мир это русский текст для проверки языка"),
+        # uk: і/ї/є distinctive
+        (7, "Привіт світ це український текст для перевірки"),
+        # ar: taa marbuta / tanwin
+        (8, "مرحبا بالعالم هذه وثيقة عربية للاختبار"),
+        # fa: پ/چ/ژ/گ distinctive
+        (9, "سلام دنیا این یک متن فارسی برای آزمایش است گچپژ"),
+        # el
+        (10, "Γειά σου κόσμε αυτό είναι ελληνικό κείμενο"),
+        # hi: है/का/के markers
+        (11, "यह एक हिंदी परीक्षण दस्तावेज़ है और यह में का"),
+        # unscripted → und
+        (12, "12345 67890 !!! ???"),
+        (13, None),
+        # cyrillic with no distinctive letters → honest 'und'
+        (14, "на на на на"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: r["lg"]
+        for r in df.select(
+            "doc_id", lang_id2("text").alias("lg")
+        ).collect()
+    }
+    assert got[1] == "en"
+    assert got[2] == "zh"
+    assert got[3] == "ja"
+    assert got[4] == "ja"
+    assert got[5] == "ko"
+    assert got[6] == "ru"
+    assert got[7] == "uk"
+    assert got[8] == "ar"
+    assert got[9] == "fa"
+    assert got[10] == "el"
+    assert got[11] == "hi"
+    assert got[12] == "und"
+    assert got[13] == "und"
+    assert got[14] == "und"
+
+    # Latin bucket: lang_id2 == lang_id verbatim (same marker tables)
+    latin = df.filter(F.col("doc_id") == 1).select(
+        lang_id("text").alias("a"), lang_id2("text").alias("b")
+    ).collect()[0]
+    assert latin["a"] == latin["b"] == "en"
+
+
+def test_script_id_latin_excludes_math_operators(spark):
+    """ADVICE r4: U+00D7 (×) and U+00F7 (÷) are NOT Latin letters —
+    a math-heavy mostly-CJK doc must not tip toward 'latin' on
+    operator counts."""
+    from lsdm_motogp_data_integration_spark.operators.textops import (
+        script_id,
+    )
+
+    # 4 Han chars vs 2 latin letters + 3 math operators: the old
+    # [À-ɏ] class counted ×÷ as latin (5 > 4 → 'latin'); the fixed
+    # class counts 2 → 'cjk'
+    df = spark.createDataFrame(
+        [(1, "汉字测试 a×b ÷ × c")], "doc_id bigint, text string"
+    )
+    assert df.select(script_id("text").alias("s")).collect()[0]["s"] == "cjk"
