@@ -352,6 +352,76 @@ def load_codebook(spark, path: str) -> list[np.ndarray]:
     return books
 
 
+def codebook_digest(books) -> str:
+    """Deterministic content digest of a codebook (one matrix or a
+    per-subspace list): sha256 over shapes + float64 bytes. The
+    identity check between a persisted index and the codebook offered
+    at serve time — cell/code assignments are pure functions of
+    (vec, codebook), so a digest mismatch means the index's integers
+    were produced by a DIFFERENT function and every neighbor it
+    returns is silently wrong (VERDICT r4 next-round #7)."""
+    import hashlib
+
+    if isinstance(books, np.ndarray):
+        books = [books]
+    h = hashlib.sha256()
+    for mat in books:
+        a = np.ascontiguousarray(np.asarray(mat, dtype=np.float64))
+        h.update(str(a.shape).encode())
+        h.update(a.tobytes())
+    return h.hexdigest()
+
+
+def _write_index_meta(spark, path: str, meta: dict) -> None:
+    """Persist the index sidecar at ``path/_meta`` as a 1-row Spark
+    JSON dataset — underscore-prefixed children are invisible to
+    parquet scans of ``path``, and writing through Spark keeps the
+    sidecar on the same filesystem as the index (HDFS/S3/local alike;
+    a driver-local ``open()`` would strand it on local disk)."""
+    import json
+
+    spark.createDataFrame([(json.dumps(meta),)], "meta string").coalesce(
+        1
+    ).write.mode("overwrite").text(f"{path}/_meta")
+
+
+def _read_index_meta(spark, path: str) -> dict | None:
+    """Load the ``_meta`` sidecar; None when absent (pre-sidecar
+    indexes stay servable — the check engages only when the build
+    recorded provenance)."""
+    import json
+
+    try:
+        rows = spark.read.text(f"{path}/_meta").collect()
+    except Exception:
+        return None
+    if not rows:
+        return None
+    return json.loads(rows[0]["value"])
+
+
+def _verify_index_meta(spark, path: str, kind: str, books) -> None:
+    """Serve-time guard: if the index carries a sidecar, the offered
+    codebook's digest and the index kind must match — mismatches
+    raise instead of returning silently wrong neighbors."""
+    meta = _read_index_meta(spark, path)
+    if meta is None:
+        return
+    if meta.get("kind") != kind:
+        raise ValueError(
+            f"index at {path} is a {meta.get('kind')!r} index, "
+            f"served as {kind!r}"
+        )
+    got = codebook_digest(books)
+    if meta.get("codebook_digest") != got:
+        raise ValueError(
+            f"codebook mismatch for index at {path}: index was built "
+            f"with digest {meta.get('codebook_digest')}, serve offered "
+            f"{got} — results would be silently wrong; rebuild the "
+            f"index or load the build-time codebook"
+        )
+
+
 def _resolve_codebook(precomputed, df) -> np.ndarray | None:
     """One-matrix injection point: ndarray passes through, a string is
     a :func:`save_codebook` parquet path (must hold exactly 1 book)."""
@@ -494,6 +564,11 @@ def build_ivf_index(
     mat = _resolve_codebook(codebook, corpus)
     if mat is None:
         raise ValueError("build_ivf_index requires a codebook")
+    spark = corpus.sparkSession
+    if mode == "append":
+        # appending under a different codebook silently corrupts the
+        # index (old and new rows assigned by different functions)
+        _verify_index_meta(spark, path, "ivf", mat)
     qmat = _quantize(mat)
     c = _drop_null_vecs(corpus, vec_col).select(
         F.col(id_col),
@@ -502,6 +577,16 @@ def build_ivf_index(
         _cells_udf(qmat, 1)(F.col(vec_col)).getItem(0).alias("cell"),
     )
     c.write.mode(mode).partitionBy("cell").parquet(path)
+    _write_index_meta(
+        spark,
+        path,
+        {
+            "kind": "ivf",
+            "codebook_digest": codebook_digest(mat),
+            "n_cells": int(mat.shape[0]),
+            "dim": int(mat.shape[1]),
+        },
+    )
 
 
 def ivf_topk_from_index(
@@ -531,6 +616,7 @@ def ivf_topk_from_index(
     mat = _resolve_codebook(codebook, queries)
     if mat is None:
         raise ValueError("ivf_topk_from_index requires a codebook")
+    _verify_index_meta(spark, index_path, "ivf", mat)
     qmat = _quantize(mat)
     idx = spark.read.parquet(index_path)
     q = _drop_null_vecs(queries, query_vec_col).withColumn(
@@ -955,11 +1041,25 @@ def build_pq_index(
     books = _resolve_books(codebooks, corpus)
     if books is None:
         raise ValueError("build_pq_index requires codebooks")
+    spark = corpus.sparkSession
+    if mode == "append":
+        _verify_index_meta(spark, path, "pq", books)
     subdim = books[0].shape[1]
     encode = _pq_encode_udf([_quantize(b) for b in books], subdim)
     _drop_null_vecs(corpus, vec_col).select(
         F.col(id_col), encode(F.col(vec_col)).alias("codes")
     ).write.mode(mode).parquet(path)
+    _write_index_meta(
+        spark,
+        path,
+        {
+            "kind": "pq",
+            "codebook_digest": codebook_digest(books),
+            "n_subspaces": len(books),
+            "codes_per_book": int(books[0].shape[0]),
+            "subdim": int(subdim),
+        },
+    )
 
 
 def pq_topk_from_index(
@@ -983,6 +1083,7 @@ def pq_topk_from_index(
     books = _resolve_books(codebooks, queries)
     if books is None:
         raise ValueError("pq_topk_from_index requires codebooks")
+    _verify_index_meta(spark, index_path, "pq", books)
     book_lits = _pq_book_literals(books)
     coded = spark.read.parquet(index_path).withColumnRenamed(
         "codes", "__codes"

@@ -673,16 +673,34 @@ def streaming_ivf_ingest(
         _drop_null_vecs,
         _quantize,
         _resolve_codebook,
+        _verify_index_meta,
+        _write_index_meta,
+        codebook_digest,
     )
     from lsdm_motogp_data_integration_spark.operators.dedup import (
         norm_expr,
     )
 
+    spark = vec_stream.sparkSession
+    mat = _resolve_codebook(codebook, vec_stream)
+    if mat is None:
+        raise ValueError("streaming_ivf_ingest requires a codebook")
+    # resume guard: continuing an existing tree under a DIFFERENT
+    # codebook would mix assignments from two functions (r5 sidecar)
+    _verify_index_meta(spark, index_dir, "ivf", mat)
+    _write_index_meta(
+        spark,
+        index_dir,
+        {
+            "kind": "ivf",
+            "codebook_digest": codebook_digest(mat),
+            "n_cells": int(mat.shape[0]),
+            "dim": int(mat.shape[1]),
+        },
+    )
+    qmat = _quantize(mat)
+
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        mat = _resolve_codebook(codebook, batch_df)
-        if mat is None:
-            raise ValueError("streaming_ivf_ingest requires a codebook")
-        qmat = _quantize(mat)
         (
             _drop_null_vecs(batch_df, vec_col)
             .select(
@@ -731,15 +749,30 @@ def streaming_pq_ingest(
         _pq_encode_udf,
         _quantize,
         _resolve_books,
+        _verify_index_meta,
+        _write_index_meta,
+        codebook_digest,
     )
 
+    spark = vec_stream.sparkSession
+    books = _resolve_books(codebooks, vec_stream)
+    if books is None:
+        raise ValueError("streaming_pq_ingest requires codebooks")
+    _verify_index_meta(spark, index_dir, "pq", books)
+    _write_index_meta(
+        spark,
+        index_dir,
+        {
+            "kind": "pq",
+            "codebook_digest": codebook_digest(books),
+            "n_subspaces": len(books),
+            "codes_per_book": int(books[0].shape[0]),
+            "subdim": int(books[0].shape[1]),
+        },
+    )
+    encode = _pq_encode_udf([_quantize(b) for b in books], books[0].shape[1])
+
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        books = _resolve_books(codebooks, batch_df)
-        if books is None:
-            raise ValueError("streaming_pq_ingest requires codebooks")
-        encode = _pq_encode_udf(
-            [_quantize(b) for b in books], books[0].shape[1]
-        )
         (
             _drop_null_vecs(batch_df, vec_col)
             .select(
