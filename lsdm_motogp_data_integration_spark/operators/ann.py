@@ -979,6 +979,7 @@ def hard_negatives(
     *,
     k: int = 5,
     anchors: DataFrame | None = None,
+    include_unlabeled: bool = True,
 ) -> DataFrame:
     """Hard-negative mining for contrastive / embedding-model training
     data: for each anchor, the ``k`` most-cosine-similar corpus items
@@ -991,6 +992,18 @@ def hard_negatives(
     would silently return fewer/easier negatives whenever an anchor's
     own class dominates its neighborhood.
 
+    NULL-label semantics (ADVICE r4): "different label" is the
+    null-safe inequality, so by default an UNLABELED corpus row
+    (label NULL) counts as a negative for every labeled anchor, and a
+    labeled row counts as a negative for an unlabeled anchor — while
+    two NULLs match each other and are excluded. That default suits
+    weakly-labeled corpora where NULL means "not this class"; when
+    NULL means "label unknown" (the row might be same-class), mining
+    it as a negative poisons the training signal — pass
+    ``include_unlabeled=False`` to drop NULL-labeled corpus rows from
+    the negative pool entirely (anchors keep their own NULL handling:
+    an unlabeled anchor then mines only labeled rows).
+
     ``anchors`` defaults to the corpus itself (self-mining, the usual
     setup); pass a subset to mine for a specific anchor batch. Scale
     shape = :func:`cosine_topk`'s: the anchor batch is the BROADCAST
@@ -1002,6 +1015,8 @@ def hard_negatives(
     c = _drop_null_vecs(corpus, vec_col).withColumn(
         "__cn", norm_expr(F.col(vec_col))
     )
+    if not include_unlabeled:
+        c = c.filter(F.col(label_col).isNotNull())
     if anchors is None:
         anchors = corpus
     a = _drop_null_vecs(anchors, vec_col).select(

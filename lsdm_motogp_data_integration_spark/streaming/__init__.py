@@ -298,6 +298,7 @@ def streaming_neardup_ingest(
     n_shards: int = 8,
     shard_salt: str = "shuf",
     post_filter=None,
+    post_mark=None,
     unit: str = "word",
 ) -> None:
     """Continuously-ingested corpus near-dup removal — the streaming
@@ -335,6 +336,21 @@ def streaming_neardup_ingest(
     must be deterministic (replay rewrites its output) and per-row
     (it sees one batch, not history).
 
+    ``post_mark`` (r5, mutually exclusive with ``post_filter``) is the
+    MARK-DON'T-DROP variant: a batch-mode fn returning the survivors
+    plus a boolean ``excluded`` column. Marked rows are written to
+    ``accepted_dir`` (flagged) AND indexed — so they keep shadowing
+    their future near-dups and their text stays available for exact
+    verification — but are left out of the shard export; consumers of
+    ``accepted_dir`` filter ``NOT excluded``. This is what makes
+    strict batch/stream decontamination equivalence possible: batch
+    mode dedups FIRST (a contaminated doc wins representative and
+    takes its shadowed near-dups with it when decontamination drops
+    it), so a stream that hard-drops contaminated docs before the
+    index admits their later clean near-dups — ``post_mark`` keeps
+    the shadow while still excluding the content
+    (``curate_stream(strict_decontam=True)``).
+
     Drains the available input (availableNow trigger) and returns.
     """
     from pyspark.errors import AnalysisException
@@ -345,6 +361,9 @@ def streaming_neardup_ingest(
         exact_jaccard_for_pairs,
         incremental_neardup,
     )
+
+    if post_filter is not None and post_mark is not None:
+        raise ValueError("post_filter and post_mark are mutually exclusive")
 
     def _has_prior_batches(spark, path: str, batch_id: int) -> bool:
         # only batch_id < current counts as history: a batch that
@@ -422,6 +441,12 @@ def streaming_neardup_ingest(
             survivors = survivors.join(dup_ids, id_col, "left_anti")
         if post_filter is not None:
             survivors = post_filter(survivors)
+        elif post_mark is not None:
+            survivors = post_mark(survivors)
+            if "excluded" not in survivors.columns:
+                raise ValueError(
+                    "post_mark must return an `excluded` boolean column"
+                )
         survivors = survivors.localCheckpoint(eager=True)
         # in-file sort by id: future batches' verification semi-joins
         # prune row groups via parquet min/max stats on the id
@@ -439,9 +464,14 @@ def streaming_neardup_ingest(
                 training_shards,
             )
 
+            exportable = (
+                survivors.filter(~F.col("excluded")).drop("excluded")
+                if post_mark is not None
+                else survivors
+            )
             (
                 training_shards(
-                    survivors, id_col, n_shards=n_shards, salt=shard_salt
+                    exportable, id_col, n_shards=n_shards, salt=shard_salt
                 )
                 .repartitionByRange(int(n_shards), F.col("shard"))
                 .sortWithinPartitions("shard", "pos")

@@ -878,3 +878,50 @@ def test_ann_artifact_cache_content_keyed(spark, tmp_path):
         "ivf_index", "pq_index", "hard_neg",
     }
     assert os.path.isdir(k3)
+
+
+def test_hard_negatives_unlabeled_pool_option(spark):
+    """hard_negatives NULL-label semantics (ADVICE r4): by default a
+    NULL-labeled corpus row is mined as a negative for labeled anchors
+    (null-safe inequality) and two NULLs never pair; with
+    include_unlabeled=False the NULL-labeled rows leave the negative
+    pool entirely."""
+    from lsdm_motogp_data_integration_spark.operators.ann import (
+        hard_negatives,
+    )
+
+    rows = [
+        (1, [1.0, 0.0], "a"),
+        (2, [0.9, 0.1], "b"),       # labeled negative for 1
+        (3, [0.95, 0.05], None),    # unlabeled, very close to 1
+        (4, [0.0, 1.0], None),      # unlabeled, far
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>, label string")
+    anchors = df.filter(F.col("vec_id") == 1)
+
+    default = {
+        r["neighbor_id"]
+        for r in hard_negatives(
+            df, "embedding", "vec_id", "label", k=3, anchors=anchors
+        ).collect()
+    }
+    assert default == {2, 3, 4}  # NULL-labeled rows count as negatives
+
+    strict = {
+        r["neighbor_id"]
+        for r in hard_negatives(
+            df, "embedding", "vec_id", "label", k=3, anchors=anchors,
+            include_unlabeled=False,
+        ).collect()
+    }
+    assert strict == {2}  # unlabeled rows excluded from the pool
+
+    # two NULLs never pair (NULL anchor vs NULL corpus row is "same")
+    null_anchor = df.filter(F.col("vec_id") == 3)
+    got = {
+        r["neighbor_id"]
+        for r in hard_negatives(
+            df, "embedding", "vec_id", "label", k=3, anchors=null_anchor
+        ).collect()
+    }
+    assert got == {1, 2}

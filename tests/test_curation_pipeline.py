@@ -787,3 +787,138 @@ def test_curate_stream_char_unit_cjk(spark, tmp_path_factory):
     }
     assert stream_ids == {1, 12}  # 2 within-batch, 11 cross-batch dropped
     assert stream_ids == batch_ids
+
+
+def test_curate_stream_strict_decontam_matches_batch(
+    spark, tmp_path_factory
+):
+    """strict_decontam (r5, VERDICT r4 next-round #8) on the exact
+    divergence fixture: a contaminated doc arrives in batch 2 and its
+    CLEAN near-dup in batch 3. Default streaming drops the
+    contaminated doc before it enters the index, so the clean near-dup
+    is admitted (strictly-less-lossy divergence, documented in r4);
+    strict mode marks instead of drops — the contaminated doc shadows
+    its near-dup exactly like batch curate's dedup-then-decontaminate
+    order, and the NOT-excluded accepted set equals batch clean."""
+    from pyspark.sql import types as T
+
+    from lsdm_motogp_data_integration_spark.pipelines.curation import (
+        curate_stream,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the spark "
+        "engine shuffles partitions across the cluster nodes "
+    )
+    contam_head = (
+        "singular narrative text with many unusual rare tokens "
+        "appearing gracefully in a calm readable order today "
+    )
+    # near-dup head: ONE word changed INSIDE the holdout's 8-gram
+    # window, so no 8-gram is shared with the holdout while the long
+    # shared tail keeps shingle Jaccard >= 0.8. The tail must be
+    # NON-repetitive: distinct shingle sets are what dedup compares,
+    # and a periodic tail collapses to ~period distinct shingles,
+    # sinking the Jaccard below threshold
+    neardup_head = (
+        "singular narrative text beside many unusual rare tokens "
+        "appearing gracefully in a calm readable order today "
+    )
+    # shared tail carries the en marker stopwords (the/and/of/is) so
+    # BOTH docs clear the language screen on their own words — the
+    # heads differ in exactly one word and must not decide the lang
+    tail = " ".join(
+        "the morning river and the valley stone bridge of the quiet "
+        "meadow is near the falcon harvest and the lantern whisper "
+        "granite saddle timber orchard ember copper willow thunder "
+        "prairie compass anchor marble drift canyon beacon harbor "
+        "summit cedar raven tide crystal juniper".split()
+    )
+    b1 = [(1, base * 4 + "unrelated healthy document tail")]
+    b2 = [(12, contam_head + tail)]
+    b3 = [(21, neardup_head + tail)]
+    holdout = spark.createDataFrame(
+        [(900, "quiz singular narrative text with many unusual rare "
+               "tokens flip flop")],
+        "doc_id bigint, text string",
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    kw = dict(
+        keep_langs=("en",), min_quality=0.1, min_distinct_ratio=0.1,
+        neardup_threshold=0.8,
+    )
+
+    full = spark.createDataFrame(b1 + b2 + b3, schema)
+    batch_clean = {
+        r["doc_id"]
+        for r in curate(
+            full, holdout=holdout, decontam_gram=8,
+            decontam_method="exact", **kw,
+        )["clean"].collect()
+    }
+    assert batch_clean == {1}  # 21 shadowed by 12, 12 decontaminated
+
+    def run_stream(strict: bool, tag: str):
+        src = str(tmp_path_factory.mktemp(f"sd_src_{tag}"))
+        for i, rows in enumerate((b1, b2, b3)):
+            spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+                f"{src}/f{i}"
+            )
+        accepted = str(tmp_path_factory.mktemp(f"sd_acc_{tag}"))
+        curate_stream(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(src),
+            accepted_dir=accepted,
+            index_dir=str(tmp_path_factory.mktemp(f"sd_idx_{tag}")),
+            checkpoint_dir=str(tmp_path_factory.mktemp(f"sd_ck_{tag}")),
+            shards_dir=str(tmp_path_factory.mktemp(f"sd_sh_{tag}")),
+            n_shards=2,
+            holdout=holdout,
+            decontam_gram=8,
+            decontam_method="bloom",
+            strict_decontam=strict,
+            **kw,
+        )
+        return spark.read.parquet(accepted)
+
+    # default mode: the documented divergence — 21 is admitted
+    default_ids = {
+        r["doc_id"] for r in run_stream(False, "def").collect()
+    }
+    assert default_ids == {1, 21}
+
+    # strict mode: accepted carries the excluded flag; the corpus
+    # (NOT excluded) matches batch clean, and the contaminated doc is
+    # present-but-flagged (it must shadow 21)
+    acc = run_stream(True, "strict")
+    assert "excluded" in acc.columns
+    strict_ids = {
+        r["doc_id"] for r in acc.filter(~F.col("excluded")).collect()
+    }
+    flagged = {r["doc_id"] for r in acc.filter(F.col("excluded")).collect()}
+    assert strict_ids == batch_clean == {1}
+    assert flagged == {12}
+
+
+def test_curate_stream_strict_decontam_requires_holdout(spark):
+    import pytest
+
+    from lsdm_motogp_data_integration_spark.pipelines.curation import (
+        curate_stream,
+    )
+
+    with pytest.raises(ValueError, match="requires a holdout"):
+        curate_stream(
+            spark.readStream.format("rate").load(),
+            accepted_dir="/tmp/x",
+            index_dir="/tmp/y",
+            checkpoint_dir="/tmp/z",
+            strict_decontam=True,
+        )
