@@ -819,6 +819,22 @@ def q22_text_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ent = char_entropy(d).select("doc_id", "n_chars", "char_entropy")
+    # r5: TRAINED language verdict — self-trained multinomial NB over
+    # hashed char 3-grams (scoring.train_lang_nb, closed-form one-pass
+    # training on the corpus's own lang labels; portable md5-60
+    # hashing so the oracle replays training AND scoring in DuckDB)
+    from lsdm_motogp_data_integration_spark.operators.scoring import (
+        classify_lang_nb,
+        train_lang_nb,
+    )
+
+    nb_model = train_lang_nb(
+        d, "lang", "text", n_buckets=64, char_n=3, portable=True
+    )
+    nb = classify_lang_nb(
+        d, nb_model, "doc_id", "text",
+        n_buckets=64, char_n=3, portable=True,
+    ).select("doc_id", "lang_nb")
     out = (
         base.join(rep, "doc_id", "inner")
         .join(bg_share, "doc_id", "left")
@@ -826,6 +842,7 @@ def q22_text_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         # LEFT: 1-token docs have no transitions, nll2/ppl2 stay NULL
         .join(lm2, "doc_id", "left")
         .join(ent, "doc_id", "inner")
+        .join(nb, "doc_id", "inner")
         .withColumn(
             "top_bigram_share",
             F.coalesce(F.col("top_bigram_share"), F.lit(0.0)),
@@ -5201,6 +5218,78 @@ def oracle_sql() -> dict[str, str]:
                 FROM script s
                 JOIN l2c c USING (doc_id)
                 JOIN lang USING (doc_id)
+            ), nbnorm AS (
+                -- scoring.char_ngram_buckets normalization (r5):
+                -- trim -> squeeze whitespace -> lower, then char
+                -- 3-grams hashed md5-60 mod 64
+                SELECT doc_id, lang,
+                       lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))
+                           AS norm
+                FROM documents
+            ), nbbuckets AS (
+                SELECT doc_id, lang,
+                       CAST(('0x' || substr(md5(
+                           substr(norm, i, 3)), 1, 15)) AS BIGINT) % 64
+                           AS bucket
+                FROM nbnorm, LATERAL (
+                    SELECT unnest(generate_series(1, length(norm) - 2))
+                        AS i
+                ) t
+                WHERE length(norm) >= 3
+            ), nbcounts AS (
+                SELECT lang, bucket, COUNT(*) AS cnt
+                FROM nbbuckets GROUP BY 1, 2
+            ), nbtot AS (
+                SELECT lang, CAST(SUM(cnt) AS BIGINT) AS tot
+                FROM nbcounts GROUP BY 1
+            ), nbgrid AS (
+                -- complete (label x bucket) grid with add-one
+                -- smoothing; 6dp decimal quantization = the engine's
+                -- cross-float-op convention
+                SELECT l.lang, b.bucket,
+                       ROUND(CAST(CAST(ln(
+                           (COALESCE(c.cnt, 0) + 1.0)
+                           / (COALESCE(t.tot, 0) + 64.0)
+                       ) AS DECIMAL(18,6)) AS DOUBLE), 6) AS logp
+                FROM (SELECT DISTINCT lang FROM documents) l
+                CROSS JOIN (
+                    SELECT unnest(generate_series(0, 63)) AS bucket
+                ) b
+                LEFT JOIN nbtot t USING (lang)
+                LEFT JOIN nbcounts c USING (lang, bucket)
+            ), nbpriors AS (
+                SELECT lang,
+                       ROUND(CAST(CAST(ln(
+                           COUNT(*) / CAST((SELECT COUNT(*) FROM documents)
+                                           AS DOUBLE)
+                       ) AS DECIMAL(18,6)) AS DOUBLE), 6) AS logprior
+                FROM documents GROUP BY 1
+            ), nbdoc AS (
+                SELECT doc_id, bucket, COUNT(*) AS cnt
+                FROM nbbuckets GROUP BY 1, 2
+            ), nbgsum AS (
+                SELECT db.doc_id, m.lang,
+                       CAST(SUM(CAST(db.cnt * m.logp AS DECIMAL(18,6)))
+                            AS DOUBLE) AS gsum
+                FROM nbdoc db JOIN nbgrid m USING (bucket)
+                GROUP BY 1, 2
+            ), nbscore AS (
+                SELECT d.doc_id, p.lang,
+                       ROUND(p.logprior + COALESCE(g.gsum, 0.0), 6)
+                           AS score
+                FROM (SELECT DISTINCT doc_id FROM documents) d
+                CROSS JOIN nbpriors p
+                LEFT JOIN nbgsum g
+                    ON g.doc_id = d.doc_id AND g.lang = p.lang
+            ), nbpred AS (
+                SELECT doc_id, lang AS lang_nb FROM (
+                    SELECT doc_id, lang,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY doc_id
+                               ORDER BY score DESC, lang ASC
+                           ) AS rk
+                    FROM nbscore
+                ) WHERE rk = 1
             ), terms AS (
                 SELECT doc_id, unnest(regexp_split_to_array(
                     trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '
@@ -5347,7 +5436,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT tok.doc_id, tok.n_tokens, tok.n_subtokens,
                    qual.quality, lang.pred_lang, script.script,
-                   l2.lang2,
+                   l2.lang2, nbpred.lang_nb,
                    gopher.mean_word_len, gopher.symbol_word_ratio,
                    gopher.frac_alpha_words,
                    rep.distinct_ratio, rep.top_token_share,
@@ -5369,6 +5458,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN lang USING (doc_id)
             JOIN script USING (doc_id)
             JOIN l2 USING (doc_id)
+            JOIN nbpred USING (doc_id)
             JOIN gopher USING (doc_id)
             JOIN rep USING (doc_id)
             LEFT JOIN bg_share USING (doc_id)

@@ -583,3 +583,218 @@ def dsir_select(
     # the keep set is budget-sized — broadcast so the raw side never
     # shuffles
     return raw.join(F.broadcast(keep.select(id_col, "log_weight")), id_col)
+
+
+# ---------------------------------------------------------------------------
+# trained language classifier: multinomial NB over hashed char n-grams
+# ---------------------------------------------------------------------------
+
+
+def char_ngram_buckets(
+    col: Column | str,
+    n_buckets: int,
+    n: int = 3,
+    portable: bool = False,
+) -> Column:
+    """Per-document hashed CHARACTER n-gram buckets as
+    ``array<bigint>`` (one element per gram occurrence) — the feature
+    map of :func:`train_lang_nb`. Char grams, not words: language
+    identity lives in character statistics ("tion"/"ção"/"ción"), is
+    tokenizer-free, and works on unsegmented scripts.
+
+    Normalization is the engine's char basis (lowercase, whitespace
+    runs squeezed to one space, trim — same family as
+    ``dedup._char_element_hashes``); grams are contiguous char windows
+    over that string, hashed gram → ``md5_60bit % n_buckets``
+    (``portable=True``, the cross-engine convention — DuckDB replays
+    with ``substr``/``md5``) or ``xxhash64 % n_buckets`` (default,
+    cheaper). Docs shorter than ``n`` chars yield an empty array (the
+    classifier falls back to class priors)."""
+    from lsdm_motogp_data_integration_spark.operators.dedup import (
+        md5_60bit,
+    )
+
+    c = F.col(col) if isinstance(col, str) else col
+    norm = F.lower(F.regexp_replace(F.trim(c), r"\s+", " "))
+    chars = F.filter(F.split(norm, ""), lambda x: x != F.lit(""))
+    grams = F.when(
+        F.size(chars) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(chars) - F.lit(n - 1)),
+            lambda i: F.concat_ws("", F.slice(chars, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    def hash_fn(g: Column) -> Column:
+        return md5_60bit(g) if portable else F.xxhash64(g)
+
+    return F.transform(
+        grams, lambda g: F.pmod(hash_fn(g), F.lit(n_buckets))
+    )
+
+
+def train_lang_nb(
+    df: DataFrame,
+    label_col: str = "lang",
+    text_col: str = "text",
+    *,
+    n_buckets: int = 64,
+    char_n: int = 3,
+    portable: bool = False,
+) -> DataFrame:
+    """Train a multinomial Naive Bayes language classifier over hashed
+    char n-grams — the TRAINED route past :func:`textops.lang_id2`'s
+    fixed tables (VERDICT r4 #3's "per-script token-frequency
+    classification"): fixed tables split what orthography alone can
+    split; this learns any split the training labels witness (pt vs
+    es, sr-Latin vs hr, domain dialects).
+
+    NB, not logistic GD, deliberately: training is CLOSED-FORM — one
+    explode + ``groupBy(label, bucket)`` count aggregation (map-side
+    combinable, the only shuffle), add-one smoothing, done. No
+    iterations, no driver loop, no learning rate; at 100 TB training
+    is one linear pass, and the oracle replay is three CTEs instead of
+    an unrolled GD chain. This is the classical langid recipe
+    (Cavnar & Trenkle 1994 n-gram text categorization; langid.py's NB
+    core, Lui & Baldwin 2012).
+
+    Returns the MODEL as a tiny DataFrame — ``(label, bucket, logp)``
+    for every (label, bucket) pair (zero counts get the smoothing
+    floor, so scoring joins are total) plus one ``bucket = -1`` row
+    per label carrying the class log-prior. ``n_labels × (n_buckets
+    + 1)`` rows — broadcastable at any corpus size. Every log value
+    is 6dp-quantized (decimal cast) so the parquet/round-trip and the
+    DuckDB twin land on identical doubles.
+
+    Params (``n_buckets``, ``char_n``, ``portable``) must match at
+    :func:`classify_lang_nb` time; persist the model with
+    ``sources.write_table`` and record them alongside (the
+    ``save_codebook`` pattern)."""
+    b = char_ngram_buckets(text_col, n_buckets, char_n, portable)
+    spark = df.sparkSession
+    pairs = df.select(
+        F.col(label_col).alias("label"), F.explode(b).alias("bucket")
+    )
+    counts = pairs.groupBy("label", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    totals = counts.groupBy("label").agg(F.sum("cnt").alias("tot"))
+    labels = df.select(
+        F.col(label_col).alias("label")
+    ).dropDuplicates()
+    all_buckets = spark.range(int(n_buckets)).select(
+        F.col("id").cast("bigint").alias("bucket")
+    )
+    # complete (label × bucket) grid: absent counts take the add-one
+    # smoothing floor, so classify-time joins never miss a row
+    grid = labels.crossJoin(all_buckets)
+    logp = (
+        grid.join(totals, "label", "left")
+        .join(counts, ["label", "bucket"], "left")
+        .select(
+            "label",
+            "bucket",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(1.0))
+                    / (F.coalesce(F.col("tot"), F.lit(0)) + F.lit(float(n_buckets)))
+                ).cast("decimal(18,6)").cast("double"),
+                6,
+            ).alias("logp"),
+        )
+    )
+    n_docs = df.count()
+    priors = (
+        df.groupBy(F.col(label_col).alias("label"))
+        .agg(F.count(F.lit(1)).alias("nl"))
+        .select(
+            "label",
+            F.lit(-1).cast("bigint").alias("bucket"),
+            F.round(
+                F.log(F.col("nl") / F.lit(float(n_docs)))
+                .cast("decimal(18,6)")
+                .cast("double"),
+                6,
+            ).alias("logp"),
+        )
+    )
+    return logp.unionByName(priors)
+
+
+def classify_lang_nb(
+    df: DataFrame,
+    model: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n_buckets: int = 64,
+    char_n: int = 3,
+    portable: bool = False,
+    pred_col: str = "lang_nb",
+) -> DataFrame:
+    """Classify with a :func:`train_lang_nb` model: per document,
+    ``argmax_label [ log P(label) + Σ_gram log P(bucket | label) ]``,
+    ties broken label-ascending (the engine-wide argmax convention).
+
+    Scale shape: per-doc bucket counts (one explode + groupBy — the
+    classic TF pass) joined against the BROADCAST model (the grid is
+    total, so the join is an inner equi-join with no missing-bucket
+    special case), per-(doc,label) sum with every additive term
+    quantized to ``decimal(18,6)`` before summation (order-independent
+    across any partitioning; the unigram_nll convention), one
+    ``row_number`` argmax. Documents with no grams (shorter than
+    ``char_n``) fall back to the prior-only argmax — deterministic,
+    never NULL.
+
+    Returns (``id_col``, ``pred_col``, ``nb_score`` — the winning
+    6dp log-posterior)."""
+    from pyspark.sql import Window
+
+    b = char_ngram_buckets(text_col, n_buckets, char_n, portable)
+    doc_buckets = (
+        df.select(F.col(id_col), F.explode(b).alias("bucket"))
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    grid = model.filter(F.col("bucket") >= 0)
+    priors = model.filter(F.col("bucket") == -1).select(
+        "label", F.col("logp").alias("logprior")
+    )
+    gram_scores = (
+        doc_buckets.join(F.broadcast(grid), "bucket")
+        .groupBy(id_col, "label")
+        .agg(
+            F.sum(
+                (F.col("cnt") * F.col("logp")).cast("decimal(18,6)")
+            )
+            .cast("double")
+            .alias("gsum")
+        )
+    )
+    # prior-only fallback rows for every doc (gram rows, when present,
+    # dominate via the left join below); keeps gram-less docs scored
+    all_scored = (
+        df.select(id_col)
+        .crossJoin(F.broadcast(priors))
+        .join(gram_scores, [id_col, "label"], "left")
+        .select(
+            F.col(id_col),
+            "label",
+            F.round(
+                F.col("logprior") + F.coalesce(F.col("gsum"), F.lit(0.0)),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("label").asc()
+    )
+    return (
+        all_scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select(
+            F.col(id_col),
+            F.col("label").alias(pred_col),
+            F.col("score").alias("nb_score"),
+        )
+    )

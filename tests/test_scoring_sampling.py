@@ -401,3 +401,115 @@ def test_bigram_nll_hand_computed(spark):
     assert abs(out[2]["nll2"] - (-math.log(p_ba))) < 1e-4
     # 1-token doc: no transitions, absent
     assert 3 not in out
+
+
+def test_lang_nb_learns_splits_fixed_tables_cannot(spark):
+    """Trained NB language classifier (r5): multinomial NB over hashed
+    char 3-grams learns pt-vs-es — a split neither the marker tables
+    (no pt markers) nor lang_id2's orthography tables can make — and
+    generalizes to a held-out document. Closed-form training: one
+    count aggregation, no GD loop."""
+    from lsdm_motogp_data_integration_spark.operators.scoring import (
+        classify_lang_nb,
+        train_lang_nb,
+    )
+    from lsdm_motogp_data_integration_spark.operators.textops import (
+        lang_id2,
+    )
+
+    rows = [
+        (1, "the cat sat on the mat and the dog ran through the field", "en"),
+        (2, "a informação chegou à estação e a decisão não foi fácil", "pt"),
+        (3, "la información llegó a la estación y la decisión fue clara", "es"),
+        (4, "the weather station reported information about the decision", "en"),
+        (5, "as ações da nação são uma questão de atenção e conexão", "pt"),
+        (6, "las naciones toman acciones con atención y mucha conexión", "es"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    kw = dict(n_buckets=64, char_n=3, portable=True)
+    model = train_lang_nb(df, "lang", "text", **kw)
+    # model: labels x (buckets + prior row), every pair present
+    assert model.count() == 3 * 65
+
+    got = {
+        r["doc_id"]: r["lang_nb"]
+        for r in classify_lang_nb(df, model, **kw).collect()
+    }
+    assert got == {1: "en", 2: "pt", 3: "es", 4: "en", 5: "pt", 6: "es"}
+
+    held_out = spark.createDataFrame(
+        [(10, "a nação tem uma missão e uma visão e uma informação")],
+        "doc_id bigint, text string",
+    )
+    nb = classify_lang_nb(held_out, model, **kw).collect()[0]
+    assert nb["lang_nb"] == "pt"
+    # ...which the fixed tables cannot do: pt reads as es/und to them
+    fixed = held_out.select(lang_id2("text").alias("lg")).collect()[0]["lg"]
+    assert fixed != "pt"
+
+
+def test_lang_nb_priors_fallback_and_layout_determinism(spark):
+    """Docs shorter than char_n carry no grams: the verdict falls back
+    to the class-prior argmax (deterministic, never NULL); and the
+    whole classifier is layout-independent (decimal-quantized sums)."""
+    from lsdm_motogp_data_integration_spark.operators.scoring import (
+        classify_lang_nb,
+        train_lang_nb,
+    )
+
+    rows = [
+        (i, t, lg)
+        for i, (t, lg) in enumerate(
+            [("the cat and the dog sat on the mat", "en")] * 3
+            + [("la casa de la gata es una mesa", "es")] * 1
+        )
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    kw = dict(n_buckets=32, char_n=3, portable=True)
+    model = train_lang_nb(df, "lang", "text", **kw)
+
+    tiny = spark.createDataFrame(
+        [(100, "ab")], "doc_id bigint, text string"
+    )
+    r = classify_lang_nb(tiny, model, **kw).collect()[0]
+    assert r["lang_nb"] == "en"  # majority-class prior wins
+    assert r["nb_score"] is not None
+
+    # layout independence: same verdicts and scores from any partitioning
+    a = sorted(map(tuple, classify_lang_nb(df, model, **kw).collect()))
+    b = sorted(map(tuple, classify_lang_nb(
+        df.repartition(7), model, **kw
+    ).collect()))
+    assert a == b
+
+
+def test_lang_nb_cjk_family(spark):
+    """NB also covers the CJK family from data alone (no orthography
+    table): ja/zh/ko training docs classify correctly, incl. a
+    held-out kanji-heavy ja document."""
+    from lsdm_motogp_data_integration_spark.operators.scoring import (
+        classify_lang_nb,
+        train_lang_nb,
+    )
+
+    rows = [
+        (1, "これはひらがなとカタカナのテストです", "ja"),
+        (2, "日本語のデータはかなと漢字のまざりです", "ja"),
+        (3, "这是一个中文测试文档内容全部是汉字", "zh"),
+        (4, "数据清洗和去重是数据管线中最重要的步骤", "zh"),
+        (5, "안녕하세요 세계 이것은 한국어 테스트입니다", "ko"),
+        (6, "데이터 정제와 중복 제거는 중요한 단계입니다", "ko"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    kw = dict(n_buckets=64, char_n=2, portable=True)
+    model = train_lang_nb(df, "lang", "text", **kw)
+    got = {
+        r["doc_id"]: r["lang_nb"]
+        for r in classify_lang_nb(df, model, **kw).collect()
+    }
+    assert got == {1: "ja", 2: "ja", 3: "zh", 4: "zh", 5: "ko", 6: "ko"}
+
+    held_out = spark.createDataFrame(
+        [(10, "機械学習の訓練データの品質です")], "doc_id bigint, text string"
+    )
+    assert classify_lang_nb(held_out, model, **kw).collect()[0]["lang_nb"] == "ja"
