@@ -798,3 +798,80 @@ def classify_lang_nb(
             F.col("score").alias("nb_score"),
         )
     )
+
+
+def lang_nb_verdict(
+    col: Column | str,
+    model,
+    *,
+    n_buckets: int = 64,
+    char_n: int = 3,
+    portable: bool = False,
+) -> Column:
+    """:func:`classify_lang_nb` as a PURE COLUMN expression — the
+    model-as-plan-literal form (the ``_pq_book_literals`` pattern):
+    each label's 64 bucket log-probs become a literal array in the
+    plan, the per-doc score is one ``aggregate`` over the gram-bucket
+    array (``element_at`` lookups, all whole-stage codegen), and the
+    verdict is the argmax struct sort used engine-wide. No explode, no
+    join, NO SHUFFLE — which is what lets the curation screens route
+    on a TRAINED model in batch and streaming alike
+    (``_apply_screens`` stays a stateless per-row stage; a
+    join/groupBy classifier would turn the stream's screen into a
+    streaming aggregation).
+
+    ``model`` is a :func:`train_lang_nb` DataFrame or its collected
+    rows; collecting it is O(n_labels × n_buckets) — metadata-sized,
+    the codebook-collect pattern. Scores sum left-to-right over the
+    doc's gram order (deterministic per row) instead of the
+    shuffle-quantized order of :func:`classify_lang_nb`, so low-order
+    float bits can differ between the two forms; VERDICTS agree except
+    at exact sub-1e-6 score ties (argmax parity pinned by test on
+    real corpora). Gram-less docs score priors only — same fallback."""
+    if isinstance(model, DataFrame):
+        model = model.collect()
+    by_label: dict[str, dict[int, float]] = {}
+    priors: dict[str, float] = {}
+    for r in model:
+        if r["bucket"] == -1:
+            priors[r["label"]] = float(r["logp"])
+        else:
+            by_label.setdefault(r["label"], {})[int(r["bucket"])] = float(
+                r["logp"]
+            )
+    labels = sorted(priors)
+    missing = [
+        lb
+        for lb in labels
+        if len(by_label.get(lb, {})) != n_buckets
+    ]
+    if missing:
+        raise ValueError(
+            f"model grid incomplete for labels {missing} at "
+            f"n_buckets={n_buckets} — train/serve param mismatch"
+        )
+    buckets = char_ngram_buckets(col, n_buckets, char_n, portable)
+    pairs = []
+    for lb in labels:
+        lut = F.array(
+            *[F.lit(by_label[lb][b]) for b in range(n_buckets)]
+        )
+        score = F.aggregate(
+            buckets,
+            F.lit(float(priors[lb])),
+            lambda acc, b: acc + F.element_at(lut, (b + 1).cast("int")),
+        )
+        pairs.append(
+            F.struct(
+                F.round(score, 6).alias("score"), F.lit(lb).alias("code")
+            )
+        )
+    best = F.array_sort(
+        F.array(*pairs),
+        lambda a, b: F.when(a["score"] > b["score"], -1)
+        .when(a["score"] < b["score"], 1)
+        .when(a["code"] < b["code"], -1)
+        .when(a["code"] > b["code"], 1)
+        .otherwise(0),
+    ).getItem(0)
+    return best["code"]

@@ -44,6 +44,25 @@ from lsdm_motogp_data_integration_spark.operators.textops import (
 )
 
 
+def _lang_verdict(
+    text_col: str, lang_model, lang_model_params: dict | None
+) -> Column:
+    """The language-screen verdict shared by :func:`_apply_screens`
+    and :func:`screen_report`: the trained NB plan-literal Column when
+    a model is given (:func:`scoring.lang_nb_verdict`), else the fixed
+    per-script tables (:func:`textops.lang_id2`). Either way a pure
+    per-row expression — valid on batch and streaming plans alike."""
+    if lang_model is not None:
+        from lsdm_motogp_data_integration_spark.operators.scoring import (
+            lang_nb_verdict,
+        )
+
+        return lang_nb_verdict(
+            text_col, lang_model, **(lang_model_params or {})
+        )
+    return lang_id2(text_col)
+
+
 def _apply_screens(
     docs: DataFrame,
     *,
@@ -54,6 +73,8 @@ def _apply_screens(
     gopher_rules: bool,
     badwords: tuple[str, ...],
     keep_scripts: tuple[str, ...] | None = None,
+    lang_model=None,
+    lang_model_params: dict | None = None,
 ) -> DataFrame:
     """The stateless screen stage shared VERBATIM by :func:`curate`
     (batch) and :func:`curate_stream` (streaming): language filter →
@@ -72,7 +93,17 @@ def _apply_screens(
     and drops Japanese/Korean inside a CJK corpus — with the r4
     marker-only ``lang_id``, every non-Latin doc was 'und' and the
     only way to curate CJK was the blunt ``keep_langs=("und",)``.
-    Latin verdicts are unchanged (same marker tables)."""
+    Latin verdicts are unchanged (same marker tables).
+
+    ``lang_model`` (r5) upgrades the language screen to a TRAINED
+    verdict: a :func:`scoring.train_lang_nb` model (DataFrame or
+    collected rows) evaluated via :func:`scoring.lang_nb_verdict` —
+    the model-as-plan-literal Column form, so the screen STAYS a
+    stateless per-row expression and the same code path remains valid
+    on a stream (an explode/join classifier would turn this into a
+    streaming aggregation). ``lang_model_params`` must carry the
+    training ``n_buckets``/``char_n``/``portable`` when they differ
+    from the defaults."""
     if keep_scripts is not None:
         from lsdm_motogp_data_integration_spark.operators.textops import (
             script_id,
@@ -89,7 +120,11 @@ def _apply_screens(
     ) >= min_distinct_ratio
 
     screened = (
-        docs.filter(lang_id2(text_col).isin(*keep_langs))
+        docs.filter(
+            _lang_verdict(text_col, lang_model, lang_model_params).isin(
+                *keep_langs
+            )
+        )
         .filter(quality_score(text_col) >= min_quality)
         .filter(distinct_ratio_ok)
     )
@@ -133,6 +168,8 @@ def curate(
     url_blocklist: DataFrame | None = None,
     keep_langs: tuple[str, ...] = ("en",),
     keep_scripts: tuple[str, ...] | None = None,
+    lang_model=None,
+    lang_model_params: dict | None = None,
     min_quality: float = 0.3,
     min_distinct_ratio: float = 0.2,
     gopher_rules: bool = False,
@@ -194,6 +231,8 @@ def curate(
         text_col=text_col,
         keep_langs=keep_langs,
         keep_scripts=keep_scripts,
+        lang_model=lang_model,
+        lang_model_params=lang_model_params,
         min_quality=min_quality,
         min_distinct_ratio=min_distinct_ratio,
         gopher_rules=gopher_rules,
@@ -317,6 +356,8 @@ def curate_stream(
     html: bool = False,
     keep_langs: tuple[str, ...] = ("en",),
     keep_scripts: tuple[str, ...] | None = None,
+    lang_model=None,
+    lang_model_params: dict | None = None,
     min_quality: float = 0.3,
     min_distinct_ratio: float = 0.2,
     gopher_rules: bool = False,
@@ -473,6 +514,8 @@ def curate_stream(
         text_col=text_col,
         keep_langs=keep_langs,
         keep_scripts=keep_scripts,
+        lang_model=lang_model,
+        lang_model_params=lang_model_params,
         min_quality=min_quality,
         min_distinct_ratio=min_distinct_ratio,
         gopher_rules=gopher_rules,
@@ -503,6 +546,8 @@ def screen_report(
     *,
     text_col: str = "text",
     keep_langs: tuple[str, ...] = ("en",),
+    lang_model=None,
+    lang_model_params: dict | None = None,
     min_quality: float = 0.3,
     min_distinct_ratio: float = 0.2,
     gopher_rules: bool = False,
@@ -535,7 +580,9 @@ def screen_report(
         F.lower(F.regexp_replace(F.trim(text), r"\s+", " ")), " "
     )
     flags: list[tuple[str, Column]] = [
-        ("lang_ok", lang_id2(text_col).isin(*keep_langs)),
+        ("lang_ok", _lang_verdict(
+            text_col, lang_model, lang_model_params
+        ).isin(*keep_langs)),
         ("quality_ok", quality_score(text_col) >= min_quality),
         (
             "ratio_ok",

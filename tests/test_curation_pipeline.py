@@ -922,3 +922,82 @@ def test_curate_stream_strict_decontam_requires_holdout(spark):
             checkpoint_dir="/tmp/z",
             strict_decontam=True,
         )
+
+
+def test_curate_with_trained_lang_model_batch_and_stream(
+    spark, tmp_path_factory
+):
+    """lang_model routing (r5): curate/curate_stream screen languages
+    with a trained NB model (pure-Column plan-literal verdict) —
+    pt docs survive keep_langs=("pt",) though no fixed table knows pt,
+    and the stream (same shared screen stage) accepts the identical
+    set."""
+    from pyspark.sql import types as T
+
+    from lsdm_motogp_data_integration_spark.operators.scoring import (
+        train_lang_nb,
+    )
+    from lsdm_motogp_data_integration_spark.pipelines.curation import (
+        curate_stream,
+    )
+
+    train_rows = [
+        (1, "the cat sat on the mat and the dog ran through the field", "en"),
+        (2, "a informação chegou à estação e a decisão não foi fácil", "pt"),
+        (3, "la información llegó a la estación y la decisión fue clara", "es"),
+        (4, "the weather station reported information about the decision", "en"),
+        (5, "as ações da nação são uma questão de atenção e conexão", "pt"),
+        (6, "las naciones toman acciones con atención y mucha conexión", "es"),
+    ]
+    labeled = spark.createDataFrame(
+        train_rows, "doc_id bigint, text string, lang string"
+    )
+    nbkw = dict(n_buckets=64, char_n=3, portable=True)
+    model = train_lang_nb(labeled, "lang", "text", **nbkw).collect()
+
+    b1 = [
+        (11, "a nação tem uma missão e uma visão e uma informação boa"),
+        (12, "the information about the station is good and the dog sat"),
+    ]
+    b2 = [
+        (21, "as decisões da estação são questões de atenção e conexão"),
+        (22, "la decisión de la estación es una cuestión de atención"),
+    ]
+    corpus = spark.createDataFrame(
+        b1 + b2, "doc_id bigint, text string"
+    )
+    kw = dict(
+        keep_langs=("pt",), lang_model=model, lang_model_params=nbkw,
+        min_quality=0.0, min_distinct_ratio=0.0,
+    )
+    batch_ids = {
+        r["doc_id"] for r in curate(corpus, **kw)["deduped"].collect()
+    }
+    assert batch_ids == {11, 21}  # pt only; en and es dropped
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    src = str(tmp_path_factory.mktemp("lm_src"))
+    for i, rows in enumerate((b1, b2)):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            f"{src}/f{i}"
+        )
+    accepted = str(tmp_path_factory.mktemp("lm_acc"))
+    curate_stream(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src),
+        accepted_dir=accepted,
+        index_dir=str(tmp_path_factory.mktemp("lm_idx")),
+        checkpoint_dir=str(tmp_path_factory.mktemp("lm_ck")),
+        **kw,
+    )
+    stream_ids = {
+        r["doc_id"] for r in spark.read.parquet(accepted).collect()
+    }
+    assert stream_ids == batch_ids

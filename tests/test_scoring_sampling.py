@@ -513,3 +513,47 @@ def test_lang_nb_cjk_family(spark):
         [(10, "機械学習の訓練データの品質です")], "doc_id bigint, text string"
     )
     assert classify_lang_nb(held_out, model, **kw).collect()[0]["lang_nb"] == "ja"
+
+
+def test_lang_nb_verdict_column_matches_classifier(spark, sf_dir):
+    """lang_nb_verdict (r5): the model-as-plan-literal pure-Column
+    form must reach the same VERDICTS as the join/groupBy classifier
+    (scores may differ in low-order float bits — summation order —
+    but argmax parity holds away from sub-1e-6 ties), on both a
+    synthetic corpus and real testdata documents; and it must reject
+    a model trained under different n_buckets."""
+    import pytest
+
+    from lsdm_motogp_data_integration_spark.operators.scoring import (
+        classify_lang_nb,
+        lang_nb_verdict,
+        train_lang_nb,
+    )
+    from lsdm_motogp_data_integration_spark.sources import read_table
+
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    kw = dict(n_buckets=64, char_n=3, portable=True)
+    model = train_lang_nb(d, "lang", "text", **kw)
+
+    joined = {
+        r["doc_id"]: r["lang_nb"]
+        for r in classify_lang_nb(d, model, **kw).collect()
+    }
+    column = {
+        r["doc_id"]: r["v"]
+        for r in d.select(
+            "doc_id", lang_nb_verdict("text", model, **kw).alias("v")
+        ).collect()
+    }
+    assert column == joined
+    # NB the testdata's lang labels are synthetic metadata uncorrelated
+    # with the (uniformly English-ish) generated text, so there is no
+    # accuracy floor to assert here — real-language discrimination is
+    # pinned by test_lang_nb_learns_splits_fixed_tables_cannot and
+    # test_lang_nb_cjk_family; THIS test pins the two inference forms
+    # agreeing on 500 real documents
+
+    with pytest.raises(ValueError, match="grid incomplete"):
+        lang_nb_verdict("text", model, n_buckets=128, char_n=3, portable=True)
