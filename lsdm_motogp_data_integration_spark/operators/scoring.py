@@ -18,7 +18,7 @@ round-6 determinism recipe, oracle-unrollable like the Lloyd trainer.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from lsdm_motogp_data_integration_spark.operators.textops import (
     quality_features,
@@ -679,15 +679,19 @@ def train_lang_nb(
         F.count(F.lit(1)).alias("cnt")
     )
     totals = counts.groupBy("label").agg(F.sum("cnt").alias("tot"))
-    labels = df.select(
-        F.col(label_col).alias("label")
-    ).dropDuplicates()
+    # TWO corpus scans total: the gram pass above and this per-label
+    # doc-count pass; labels, priors, and the grand total all derive
+    # from the label-sized relation (never a third scan / df.count())
+    label_docs = df.groupBy(F.col(label_col).alias("label")).agg(
+        F.count(F.lit(1)).alias("nl")
+    )
+    n_total = F.sum("nl").over(Window.partitionBy())
     all_buckets = spark.range(int(n_buckets)).select(
         F.col("id").cast("bigint").alias("bucket")
     )
     # complete (label × bucket) grid: absent counts take the add-one
     # smoothing floor, so classify-time joins never miss a row
-    grid = labels.crossJoin(all_buckets)
+    grid = label_docs.select("label").crossJoin(all_buckets)
     logp = (
         grid.join(totals, "label", "left")
         .join(counts, ["label", "bucket"], "left")
@@ -703,20 +707,15 @@ def train_lang_nb(
             ).alias("logp"),
         )
     )
-    n_docs = df.count()
-    priors = (
-        df.groupBy(F.col(label_col).alias("label"))
-        .agg(F.count(F.lit(1)).alias("nl"))
-        .select(
-            "label",
-            F.lit(-1).cast("bigint").alias("bucket"),
-            F.round(
-                F.log(F.col("nl") / F.lit(float(n_docs)))
-                .cast("decimal(18,6)")
-                .cast("double"),
-                6,
-            ).alias("logp"),
-        )
+    priors = label_docs.select(
+        "label",
+        F.lit(-1).cast("bigint").alias("bucket"),
+        F.round(
+            F.log(F.col("nl") / n_total.cast("double"))
+            .cast("decimal(18,6)")
+            .cast("double"),
+            6,
+        ).alias("logp"),
     )
     return logp.unionByName(priors)
 
@@ -748,8 +747,6 @@ def classify_lang_nb(
 
     Returns (``id_col``, ``pred_col``, ``nb_score`` — the winning
     6dp log-posterior)."""
-    from pyspark.sql import Window
-
     b = char_ngram_buckets(text_col, n_buckets, char_n, portable)
     doc_buckets = (
         df.select(F.col(id_col), F.explode(b).alias("bucket"))
