@@ -388,12 +388,16 @@ def _write_index_meta(spark, path: str, meta: dict) -> None:
 def _read_index_meta(spark, path: str) -> dict | None:
     """Load the ``_meta`` sidecar; None when absent (pre-sidecar
     indexes stay servable — the check engages only when the build
-    recorded provenance)."""
+    recorded provenance). Only the missing-path analysis error is
+    tolerated — a present-but-unreadable sidecar fails loudly rather
+    than silently disabling the guard."""
     import json
+
+    from pyspark.errors import AnalysisException
 
     try:
         rows = spark.read.text(f"{path}/_meta").collect()
-    except Exception:
+    except AnalysisException:
         return None
     if not rows:
         return None
