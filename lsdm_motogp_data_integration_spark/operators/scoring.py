@@ -18,6 +18,8 @@ round-6 determinism recipe, oracle-unrollable like the Lloyd trainer.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from lsdm_motogp_data_integration_spark.operators.textops import (
@@ -720,15 +722,43 @@ def train_lang_nb(
     return logp.unionByName(priors)
 
 
+def _resolve_lang_model(model, n_buckets, char_n, portable):
+    """Normalize a scorer's model argument. A :class:`LangNBModel`
+    supplies its OWN training params — the scorer's param kwargs are
+    ``None`` sentinels, so "explicitly passed" is unambiguous and any
+    explicit value that disagrees with the model raises (the mismatch
+    is never silent). A DataFrame or collected rows pass through with
+    the caller's params (unset -> the training defaults 64/3/False).
+    Returns ``(rows_or_df, n_buckets, char_n, portable)``."""
+    if isinstance(model, LangNBModel):
+        for name, given, trained in (
+            ("n_buckets", n_buckets, model.n_buckets),
+            ("char_n", char_n, model.char_n),
+            ("portable", portable, model.portable),
+        ):
+            if given is not None and given != trained:
+                raise ValueError(
+                    f"{name}={given} conflicts with the loaded model's "
+                    f"{name}={trained} (params travel WITH the model)"
+                )
+        return model.rows, model.n_buckets, model.char_n, model.portable
+    return (
+        model,
+        64 if n_buckets is None else n_buckets,
+        3 if char_n is None else char_n,
+        False if portable is None else portable,
+    )
+
+
 def classify_lang_nb(
     df: DataFrame,
-    model: DataFrame,
+    model,
     id_col: str = "doc_id",
     text_col: str = "text",
     *,
-    n_buckets: int = 64,
-    char_n: int = 3,
-    portable: bool = False,
+    n_buckets: int | None = None,
+    char_n: int | None = None,
+    portable: bool | None = None,
     pred_col: str = "lang_nb",
 ) -> DataFrame:
     """Classify with a :func:`train_lang_nb` model: per document,
@@ -747,6 +777,16 @@ def classify_lang_nb(
 
     Returns (``id_col``, ``pred_col``, ``nb_score`` — the winning
     6dp log-posterior)."""
+    model, n_buckets, char_n, portable = _resolve_lang_model(
+        model, n_buckets, char_n, portable
+    )
+    if not isinstance(model, DataFrame):
+        # collected rows (e.g. a LangNBModel): lift back to a relation
+        # for the broadcast join — tiny, n_labels × (n_buckets + 1)
+        model = df.sparkSession.createDataFrame(
+            [(r["label"], r["bucket"], r["logp"]) for r in model],
+            "label string, bucket bigint, logp double",
+        )
     b = char_ngram_buckets(text_col, n_buckets, char_n, portable)
     doc_buckets = (
         df.select(F.col(id_col), F.explode(b).alias("bucket"))
@@ -801,9 +841,9 @@ def lang_nb_verdict(
     col: Column | str,
     model,
     *,
-    n_buckets: int = 64,
-    char_n: int = 3,
-    portable: bool = False,
+    n_buckets: int | None = None,
+    char_n: int | None = None,
+    portable: bool | None = None,
 ) -> Column:
     """:func:`classify_lang_nb` as a PURE COLUMN expression — the
     model-as-plan-literal form (the ``_pq_book_literals`` pattern):
@@ -824,7 +864,14 @@ def lang_nb_verdict(
     shuffle-quantized order of :func:`classify_lang_nb`, so low-order
     float bits can differ between the two forms; VERDICTS agree except
     at exact sub-1e-6 score ties (argmax parity pinned by test on
-    real corpora). Gram-less docs score priors only — same fallback."""
+    real corpora). Gram-less docs score priors only — same fallback.
+
+    Also accepts a :class:`LangNBModel` (from :func:`load_lang_model`)
+    — the params then travel with the model and conflicting explicit
+    kwargs raise."""
+    model, n_buckets, char_n, portable = _resolve_lang_model(
+        model, n_buckets, char_n, portable
+    )
     if isinstance(model, DataFrame):
         model = model.collect()
     by_label: dict[str, dict[int, float]] = {}
@@ -872,3 +919,75 @@ def lang_nb_verdict(
         .otherwise(0),
     ).getItem(0)
     return best["code"]
+
+
+class LangNBModel(NamedTuple):
+    """A loaded :func:`train_lang_nb` model WITH its training params —
+    the unit :func:`load_lang_model` returns and every scorer accepts.
+    Carrying (``n_buckets``, ``char_n``, ``portable``) alongside the
+    rows closes the same silently-wrong gap the ANN ``_meta`` sidecar
+    closes for codebooks: scoring with the wrong ``char_n`` or hash
+    family would produce confidently wrong verdicts with no error —
+    bundling the params makes the mismatch unrepresentable."""
+
+    rows: list
+    n_buckets: int
+    char_n: int
+    portable: bool
+
+
+def save_lang_model(
+    model: DataFrame,
+    spark,
+    path: str,
+    *,
+    n_buckets: int = 64,
+    char_n: int = 3,
+    portable: bool = False,
+) -> None:
+    """Persist a :func:`train_lang_nb` model: the (label, bucket,
+    logp) rows as a tiny parquet plus the ANN-style ``_meta`` sidecar
+    (kind + the training params) — train ONCE per corpus, serve many,
+    and a tree served with mismatched params is detectable instead of
+    silently wrong (the ``save_codebook`` discipline; VERDICT r4 #7's
+    pattern applied to the language model)."""
+    from lsdm_motogp_data_integration_spark.operators.ann import (
+        _write_index_meta,
+    )
+
+    model.coalesce(1).write.mode("overwrite").parquet(path)
+    _write_index_meta(
+        spark,
+        path,
+        {
+            "kind": "lang_nb",
+            "n_buckets": int(n_buckets),
+            "char_n": int(char_n),
+            "portable": bool(portable),
+        },
+    )
+
+
+def load_lang_model(spark, path: str) -> LangNBModel:
+    """Load :func:`save_lang_model` output as a :class:`LangNBModel`
+    (rows + recovered params). A tree without the sidecar, or whose
+    sidecar is not a ``lang_nb`` model, raises — there is no safe
+    default for the hash params."""
+    from lsdm_motogp_data_integration_spark.operators.ann import (
+        _read_index_meta,
+    )
+
+    meta = _read_index_meta(spark, path)
+    if meta is None or meta.get("kind") != "lang_nb":
+        raise ValueError(
+            f"no lang_nb _meta sidecar at {path} — cannot recover the "
+            f"training params (n_buckets/char_n/portable); rebuild with "
+            f"save_lang_model"
+        )
+    rows = spark.read.parquet(path).collect()
+    return LangNBModel(
+        rows=rows,
+        n_buckets=int(meta["n_buckets"]),
+        char_n=int(meta["char_n"]),
+        portable=bool(meta["portable"]),
+    )

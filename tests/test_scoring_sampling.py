@@ -557,3 +557,66 @@ def test_lang_nb_verdict_column_matches_classifier(spark, sf_dir):
 
     with pytest.raises(ValueError, match="grid incomplete"):
         lang_nb_verdict("text", model, n_buckets=128, char_n=3, portable=True)
+
+
+def test_lang_model_save_load_roundtrip(spark, tmp_path):
+    """Model persistence with provenance (r5): save_lang_model writes
+    the rows + a _meta sidecar carrying the training params;
+    load_lang_model recovers BOTH, verdicts survive the round-trip
+    bit-identically through either scorer, conflicting explicit params
+    raise, and a sidecar-less tree refuses to load (no safe default
+    for the hash params)."""
+    import pytest
+
+    from lsdm_motogp_data_integration_spark.operators.scoring import (
+        classify_lang_nb,
+        lang_nb_verdict,
+        load_lang_model,
+        save_lang_model,
+        train_lang_nb,
+    )
+
+    rows = [
+        (1, "the cat sat on the mat and the dog ran through the field", "en"),
+        (2, "a informação chegou à estação e a decisão não foi fácil", "pt"),
+        (3, "la información llegó a la estación y la decisión fue clara", "es"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    kw = dict(n_buckets=32, char_n=3, portable=True)
+    trained = train_lang_nb(df, "lang", "text", **kw)
+
+    path = str(tmp_path / "lang_model")
+    save_lang_model(trained, spark, path, **kw)
+    loaded = load_lang_model(spark, path)
+    assert (loaded.n_buckets, loaded.char_n, loaded.portable) == (32, 3, True)
+
+    # round-trip verdict identity through BOTH scorer forms — no
+    # params needed at serve time, they travel with the model
+    direct = sorted(map(tuple, classify_lang_nb(df, trained, **kw).collect()))
+    via_model = sorted(map(tuple, classify_lang_nb(df, loaded).collect()))
+    assert via_model == direct
+    col_direct = {
+        r["doc_id"]: r["v"]
+        for r in df.select(
+            "doc_id", lang_nb_verdict("text", trained, **kw).alias("v")
+        ).collect()
+    }
+    col_loaded = {
+        r["doc_id"]: r["v"]
+        for r in df.select(
+            "doc_id", lang_nb_verdict("text", loaded).alias("v")
+        ).collect()
+    }
+    assert col_loaded == col_direct
+
+    # explicit params that disagree with the model's raise
+    with pytest.raises(ValueError, match="conflicts"):
+        lang_nb_verdict("text", loaded, n_buckets=64)
+    with pytest.raises(ValueError, match="conflicts"):
+        classify_lang_nb(df, loaded, char_n=2)
+
+    # a bare parquet without the sidecar refuses to load
+    bare = str(tmp_path / "bare")
+    trained.write.parquet(bare)
+    with pytest.raises(ValueError, match="sidecar"):
+        load_lang_model(spark, bare)
