@@ -673,20 +673,37 @@ def train_lang_nb(
     ``sources.write_table`` and record them alongside (the
     ``save_codebook`` pattern)."""
     b = char_ngram_buckets(text_col, n_buckets, char_n, portable)
-    spark = df.sparkSession
     pairs = df.select(
         F.col(label_col).alias("label"), F.explode(b).alias("bucket")
     )
     counts = pairs.groupBy("label", "bucket").agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    totals = counts.groupBy("label").agg(F.sum("cnt").alias("tot"))
     # TWO corpus scans total: the gram pass above and this per-label
     # doc-count pass; labels, priors, and the grand total all derive
     # from the label-sized relation (never a third scan / df.count())
     label_docs = df.groupBy(F.col(label_col).alias("label")).agg(
         F.count(F.lit(1)).alias("nl")
     )
+    return _nb_model_from_counts(counts, label_docs, n_buckets)
+
+
+def _nb_model_from_counts(
+    counts: DataFrame, label_docs: DataFrame, n_buckets: int
+) -> DataFrame:
+    """Derive the NB model relation from COUNT relations — the
+    single-sourced finishing math shared by :func:`train_lang_nb`
+    (counts from one corpus pass) and
+    :func:`streaming.lang_model_from_partials` (counts summed over
+    per-batch partials): because NB sufficient statistics are plain
+    counts, batch and streaming training land on the SAME model
+    bit-for-bit iff their counts agree — sharing this function makes
+    that equivalence structural, not coincidental.
+
+    ``counts``: (label, bucket, cnt) gram-occurrence counts;
+    ``label_docs``: (label, nl) per-label document counts."""
+    spark = counts.sparkSession
+    totals = counts.groupBy("label").agg(F.sum("cnt").alias("tot"))
     n_total = F.sum("nl").over(Window.partitionBy())
     all_buckets = spark.range(int(n_buckets)).select(
         F.col("id").cast("bigint").alias("bucket")

@@ -15,8 +15,10 @@ duplicating): near-dup corpus admission against a growing MinHash
 index (``streaming_neardup_ingest`` — the engine room of
 ``pipelines.curation.curate_stream``), IVF cell-index and PQ
 code-index maintenance (``streaming_ivf_ingest`` /
-``streaming_pq_ingest``), and per-batch CMS/HLL/histogram sketch
-merging.
+``streaming_pq_ingest``), per-batch CMS/HLL/histogram sketch
+merging, and continuous NB language-model training
+(``streaming_lang_model_ingest`` — count partials merge by addition,
+so the live model never rescans document history).
 """
 
 from __future__ import annotations
@@ -820,3 +822,134 @@ def streaming_pq_ingest(
         .start()
     )
     q.awaitTermination()
+
+
+def streaming_lang_model_ingest(
+    doc_stream: DataFrame,
+    *,
+    partials_dir: str,
+    checkpoint_dir: str,
+    label_col: str = "lang",
+    text_col: str = "text",
+    n_buckets: int = 64,
+    char_n: int = 3,
+    portable: bool = False,
+) -> None:
+    """Continuously-trained NB language model (r5) — the trainer-side
+    twin of the sketch maintainers: NB sufficient statistics are plain
+    COUNTS (gram-bucket occurrences per label + documents per label),
+    which merge by addition, so each micro-batch writes its count
+    partial to ``partials_dir/batch_id=N`` and the live model is
+    derived from the summed partials (:func:`lang_model_from_partials`)
+    without ever rescanning document history. Per-label doc counts
+    ride the same relation as ``bucket = -1`` rows.
+
+    Stream == one-shot ``train_lang_nb`` bit-for-bit (shared finishing
+    math, ``scoring._nb_model_from_counts``; pinned by test), replay
+    idempotent via the deterministic per-batch directory overwrite,
+    and the ``_meta`` params sidecar is verified on resume — a stream
+    continued under different hash params would corrupt the counts
+    silently otherwise. State scale: ≤ n_labels × (n_buckets + 1)
+    rows per batch regardless of batch size.
+
+    Drains the available input (availableNow trigger) and returns."""
+    import json
+
+    from lsdm_motogp_data_integration_spark.operators.ann import (
+        _read_index_meta,
+        _write_index_meta,
+    )
+    from lsdm_motogp_data_integration_spark.operators.scoring import (
+        char_ngram_buckets,
+    )
+
+    spark = doc_stream.sparkSession
+    params = {
+        "kind": "lang_nb_partials",
+        "n_buckets": int(n_buckets),
+        "char_n": int(char_n),
+        "portable": bool(portable),
+    }
+    existing = _read_index_meta(spark, partials_dir)
+    if existing is not None and existing != params:
+        raise ValueError(
+            f"partials at {partials_dir} were built with "
+            f"{json.dumps(existing)}; resuming with "
+            f"{json.dumps(params)} would corrupt the counts"
+        )
+    _write_index_meta(spark, partials_dir, params)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        b = char_ngram_buckets(text_col, n_buckets, char_n, portable)
+        gram_counts = (
+            batch_df.select(
+                F.col(label_col).alias("label"),
+                F.explode(b).alias("bucket"),
+            )
+            .groupBy("label", "bucket")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        doc_counts = batch_df.groupBy(
+            F.col(label_col).alias("label")
+        ).agg(F.count(F.lit(1)).alias("cnt")).select(
+            "label", F.lit(-1).cast("bigint").alias("bucket"), "cnt"
+        )
+        gram_counts.unionByName(doc_counts).write.mode(
+            "overwrite"
+        ).parquet(f"{partials_dir}/batch_id={batch_id}")
+
+    q = (
+        doc_stream.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def lang_model_from_partials(spark, partials_dir: str):
+    """The live NB model from :func:`streaming_lang_model_ingest`
+    partials: sum the per-batch count relations (the count-merge
+    property — no document history rescan), then run the SAME
+    finishing math as one-shot training
+    (``scoring._nb_model_from_counts``). Returns a
+    :class:`scoring.LangNBModel` with the params recovered from the
+    ``_meta`` sidecar; raises before the first partial lands (there
+    is no model to serve yet) or when the sidecar is missing."""
+    from lsdm_motogp_data_integration_spark.operators.ann import (
+        _read_index_meta,
+    )
+    from lsdm_motogp_data_integration_spark.operators.scoring import (
+        LangNBModel,
+        _nb_model_from_counts,
+    )
+
+    meta = _read_index_meta(spark, partials_dir)
+    if meta is None or meta.get("kind") != "lang_nb_partials":
+        raise ValueError(
+            f"no lang_nb_partials _meta sidecar at {partials_dir}"
+        )
+    schema = "label string, bucket bigint, cnt bigint"
+    partials = spark.read.schema(schema).parquet(partials_dir)
+    summed = partials.groupBy("label", "bucket").agg(
+        F.sum("cnt").alias("cnt")
+    )
+    counts = summed.filter(F.col("bucket") >= 0)
+    label_docs = summed.filter(F.col("bucket") == -1).select(
+        "label", F.col("cnt").alias("nl")
+    )
+    rows = _nb_model_from_counts(
+        counts, label_docs, int(meta["n_buckets"])
+    ).collect()
+    if not rows:
+        raise ValueError(
+            f"no partials under {partials_dir} yet — the stream has "
+            f"not committed a batch"
+        )
+    return LangNBModel(
+        rows=rows,
+        n_buckets=int(meta["n_buckets"]),
+        char_n=int(meta["char_n"]),
+        portable=bool(meta["portable"]),
+    )

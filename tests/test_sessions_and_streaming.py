@@ -806,3 +806,98 @@ def test_streaming_pq_ingest_matches_batch_index(spark, tmp_path_factory):
     n = spark.read.parquet(idx).count()
     drain()
     assert spark.read.parquet(idx).count() == n
+
+
+def test_streaming_lang_model_ingest_matches_batch(
+    spark, tmp_path_factory
+):
+    """Continuous NB training (r5): per-batch count partials merged by
+    addition + the shared finishing math must equal one-shot
+    train_lang_nb over the full corpus BIT-FOR-BIT; replay is
+    idempotent; resuming under different hash params raises; the
+    finisher refuses before the first partial lands."""
+    import pytest
+    from pyspark.sql import types as T
+
+    from lsdm_motogp_data_integration_spark.operators.scoring import (
+        classify_lang_nb,
+        train_lang_nb,
+    )
+    from lsdm_motogp_data_integration_spark.streaming import (
+        lang_model_from_partials,
+        streaming_lang_model_ingest,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    b1 = [
+        (1, "the cat sat on the mat and the dog ran through a field", "en"),
+        (2, "a informação chegou à estação e a decisão não foi fácil", "pt"),
+    ]
+    b2 = [
+        (3, "la información llegó a la estación y la decisión fue clara", "es"),
+        (4, "as ações da nação são uma questão de atenção e conexão", "pt"),
+    ]
+    src = str(tmp_path_factory.mktemp("lmstream"))
+    for i, rows in enumerate((b1, b2)):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            f"{src}/f{i}"
+        )
+    partials = str(tmp_path_factory.mktemp("lm_partials"))
+    ckpt = str(tmp_path_factory.mktemp("lm_ckpt"))
+    kw = dict(n_buckets=32, char_n=3, portable=True)
+
+    def drain(**over):
+        streaming_lang_model_ingest(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(src),
+            partials_dir=partials,
+            checkpoint_dir=ckpt,
+            label_col="lang",
+            **{**kw, **over},
+        )
+
+    drain()
+    streamed = lang_model_from_partials(spark, partials)
+    assert (streamed.n_buckets, streamed.char_n, streamed.portable) == (
+        32, 3, True,
+    )
+    batch_model = sorted(
+        map(
+            tuple,
+            train_lang_nb(
+                spark.createDataFrame(b1 + b2, schema), "lang", "text", **kw
+            ).collect(),
+        )
+    )
+    assert sorted(map(tuple, streamed.rows)) == batch_model
+
+    # replay idempotence: re-drain with the same checkpoint, model
+    # unchanged (a double-counted partial would shift every logp)
+    drain()
+    again = lang_model_from_partials(spark, partials)
+    assert sorted(map(tuple, again.rows)) == batch_model
+
+    # the streamed model serves directly (params travel with it)
+    docs = spark.createDataFrame(b1 + b2, schema).drop("lang")
+    got = {
+        r["doc_id"]: r["lang_nb"]
+        for r in classify_lang_nb(docs, streamed).collect()
+    }
+    assert got[2] == "pt" and got[3] == "es"
+
+    # resume under different params: refused before any write
+    with pytest.raises(ValueError, match="corrupt"):
+        drain(char_n=2)
+
+    # a fresh partials dir with no batches: the finisher refuses
+    empty = str(tmp_path_factory.mktemp("lm_empty"))
+    with pytest.raises(ValueError, match="sidecar"):
+        lang_model_from_partials(spark, empty)
