@@ -620,6 +620,45 @@ def main() -> None:
                 "w", 100, "doc_id",
             ),
         )
+        # --- round-5 NB language classifier ---
+        from lsdm_motogp_data_integration_spark.operators.scoring import (
+            classify_lang_nb,
+            lang_nb_verdict,
+            train_lang_nb,
+        )
+
+        # synthetic 5-way labels (labels don't affect COST); training
+        # is the closed-form count pass — must be linear in the corpus
+        labeled = docs.withColumn(
+            "lang",
+            F.element_at(
+                F.array(*[F.lit(c) for c in ("aa", "bb", "cc", "dd", "ee")]),
+                (F.col("doc_id") % 5 + 1).cast("int"),
+            ),
+        )
+        nb_model_holder = {}
+
+        def _train_nb():
+            m = train_lang_nb(labeled, "lang", "text", n_buckets=64)
+            nb_model_holder["rows"] = m.collect()
+            # count() target for timed(): the model relation itself
+            return m
+
+        r["nb_train_s"], _ = timed("nb_train", _train_nb)
+        # join-form scoring: TF pass + broadcast grid join
+        r["nb_classify_s"], _ = timed(
+            "nb_classify",
+            classify_lang_nb(docs, nb_model_holder["rows"]).agg(
+                F.count(F.lit(1))
+            ),
+        )
+        # plan-literal Column form: zero-shuffle per-row verdict
+        r["nb_verdict_s"], _ = timed(
+            "nb_verdict",
+            docs.select(
+                lang_nb_verdict("text", nb_model_holder["rows"]).alias("v")
+            ).groupBy("v").count(),
+        )
         results[scale] = r
 
     base, big = results["1x"], results[f"{replicas}x"]
@@ -666,6 +705,9 @@ def main() -> None:
         "winsorize_s",
         "pq_topk_s",
         "weighted_sample_s",
+        "nb_train_s",
+        "nb_classify_s",
+        "nb_verdict_s",
     ):
         ratio = (big[key] / base[key]) / replicas
         print(f"  {key}: {ratio:.2f}")
