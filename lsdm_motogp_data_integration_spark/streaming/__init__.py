@@ -355,8 +355,14 @@ def streaming_neardup_ingest(
 
     Drains the available input (availableNow trigger) and returns.
     """
+    import json
+
     from pyspark.errors import AnalysisException
 
+    from lsdm_motogp_data_integration_spark.operators.ann import (
+        _read_index_meta,
+        _write_index_meta,
+    )
     from lsdm_motogp_data_integration_spark.operators.dedup import (
         build_minhash_index,
         dedup_corpus,
@@ -366,6 +372,31 @@ def streaming_neardup_ingest(
 
     if post_filter is not None and post_mark is not None:
         raise ValueError("post_filter and post_mark are mutually exclusive")
+
+    # signature-parameter sidecar (r5): the index rows are a pure
+    # function of (text, k, num_perm, bands, unit) — resuming the
+    # stream under DIFFERENT params would mix incompatible signatures
+    # in one tree and silently stop catching near-dups (a new batch's
+    # buckets never collide with history's). Same guard class as the
+    # ANN codebook sidecar. Threshold params are query-time and
+    # deliberately not pinned.
+    spark0 = doc_stream.sparkSession
+    sig_params = {
+        "kind": "minhash_index",
+        "k": int(k),
+        "num_perm": int(num_perm),
+        "bands": int(bands),
+        "unit": str(unit),
+    }
+    existing_meta = _read_index_meta(spark0, index_dir)
+    if existing_meta is not None and existing_meta != sig_params:
+        raise ValueError(
+            f"index at {index_dir} was built with "
+            f"{json.dumps(existing_meta)}; resuming with "
+            f"{json.dumps(sig_params)} would silently stop catching "
+            f"near-dups"
+        )
+    _write_index_meta(spark0, index_dir, sig_params)
 
     def _has_prior_batches(spark, path: str, batch_id: int) -> bool:
         # only batch_id < current counts as history: a batch that

@@ -901,3 +901,61 @@ def test_streaming_lang_model_ingest_matches_batch(
     empty = str(tmp_path_factory.mktemp("lm_empty"))
     with pytest.raises(ValueError, match="sidecar"):
         lang_model_from_partials(spark, empty)
+
+
+def test_streaming_neardup_index_params_sidecar(spark, tmp_path_factory):
+    """MinHash-index params sidecar (r5): index rows are a pure
+    function of (text, k, num_perm, bands, unit) — resuming the
+    ingest under different signature params is refused (mixed
+    signatures silently stop catching near-dups), same params resume
+    fine, and the sidecar is invisible to the parquet index scan."""
+    import pytest
+    from pyspark.sql import types as T
+
+    from lsdm_motogp_data_integration_spark.streaming import (
+        streaming_neardup_ingest,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    base = (
+        "the quick brown fox jumps over the lazy dog while the spark "
+        "engine shuffles partitions across the cluster nodes "
+    )
+    src = str(tmp_path_factory.mktemp("sidecar_src"))
+    spark.createDataFrame(
+        [(1, base * 4), (2, base * 4 + "tail")], schema
+    ).coalesce(1).write.parquet(f"{src}/f1")
+    index = str(tmp_path_factory.mktemp("sidecar_idx"))
+    accepted = str(tmp_path_factory.mktemp("sidecar_acc"))
+    ckpt = str(tmp_path_factory.mktemp("sidecar_ckpt"))
+
+    def drain(**over):
+        kw = dict(k=5, num_perm=32, bands=16, unit="word")
+        kw.update(over)
+        streaming_neardup_ingest(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(src),
+            index_dir=index,
+            accepted_dir=accepted,
+            checkpoint_dir=ckpt,
+            **kw,
+        )
+
+    drain()
+    assert {r["doc_id"] for r in spark.read.parquet(accepted).collect()} == {1}
+    # the sidecar is invisible to the index scan
+    assert set(spark.read.parquet(index).columns) >= {"doc_id", "__bucket"}
+
+    drain()  # same params: resume is fine (and idempotent)
+
+    for bad in (dict(unit="char", k=8), dict(num_perm=16, bands=8),
+                dict(k=3)):
+        with pytest.raises(ValueError, match="near-dups"):
+            drain(**bad)
