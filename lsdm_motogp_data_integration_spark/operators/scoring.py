@@ -645,8 +645,14 @@ def char_ngram_buckets(
     def hash_fn(g: Column) -> Column:
         return md5_60bit(g) if portable else F.xxhash64(g)
 
-    return F.transform(
-        grams, lambda g: F.pmod(hash_fn(g), F.lit(n_buckets))
+    # NULL text → EMPTY bucket array, not NULL: every consumer then
+    # agrees (explode drops the row; the verdict fold scores priors
+    # only) — a NULL array would instead propagate to a NULL verdict
+    # in the pure-Column form while the join form fell back to priors,
+    # a silent parity divergence (pinned by test)
+    return F.coalesce(
+        F.transform(grams, lambda g: F.pmod(hash_fn(g), F.lit(n_buckets))),
+        F.expr("CAST(array() AS ARRAY<BIGINT>)"),
     )
 
 
@@ -687,6 +693,10 @@ def train_lang_nb(
     :func:`classify_lang_nb` time; persist the model with
     ``sources.write_table`` and record them alongside (the
     ``save_codebook`` pattern)."""
+    # NULL labels are absent supervision, not a class: kept, they
+    # would surface as a None "language" that breaks the verdict's
+    # label ordering and dilutes every prior
+    df = df.filter(F.col(label_col).isNotNull())
     b = char_ngram_buckets(text_col, n_buckets, char_n, portable)
     pairs = df.select(
         F.col(label_col).alias("label"), F.explode(b).alias("bucket")

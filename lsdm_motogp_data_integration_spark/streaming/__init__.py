@@ -911,6 +911,9 @@ def streaming_lang_model_ingest(
     _write_index_meta(spark, partials_dir, params)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        # NULL labels are absent supervision, not a class (the
+        # train_lang_nb rule — batch/stream counts must agree)
+        batch_df = batch_df.filter(F.col(label_col).isNotNull())
         b = char_ngram_buckets(text_col, n_buckets, char_n, portable)
         gram_counts = (
             batch_df.select(

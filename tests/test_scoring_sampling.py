@@ -620,3 +620,46 @@ def test_lang_model_save_load_roundtrip(spark, tmp_path):
     trained.write.parquet(bare)
     with pytest.raises(ValueError, match="sidecar"):
         load_lang_model(spark, bare)
+
+
+def test_lang_nb_null_text_and_null_labels(spark):
+    """NULL handling (r5 self-review): a NULL-text document gets the
+    prior-argmax verdict from BOTH scorer forms (the pure-Column form
+    once returned NULL while the join form fell back to priors — a
+    silent parity divergence); NULL-labeled training rows are absent
+    supervision and are dropped, never a None class."""
+    from lsdm_motogp_data_integration_spark.operators.scoring import (
+        classify_lang_nb,
+        lang_nb_verdict,
+        train_lang_nb,
+    )
+
+    rows = [
+        (1, "the cat and the dog sat on the mat today", "en"),
+        (2, "the dog ran through the field and the barn", "en"),
+        (3, "la casa de la gata es una mesa", "es"),
+        (4, "should not train on me", None),  # NULL label: dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    kw = dict(n_buckets=32, char_n=3, portable=True)
+    model = train_lang_nb(df, "lang", "text", **kw)
+    labels = {
+        r["label"] for r in model.select("label").distinct().collect()
+    }
+    assert labels == {"en", "es"}  # no None class
+
+    probe = spark.createDataFrame(
+        [(10, None), (11, "")], "doc_id bigint, text string"
+    )
+    joined = {
+        r["doc_id"]: r["lang_nb"]
+        for r in classify_lang_nb(probe, model, **kw).collect()
+    }
+    column = {
+        r["doc_id"]: r["v"]
+        for r in probe.select(
+            "doc_id", lang_nb_verdict("text", model, **kw).alias("v")
+        ).collect()
+    }
+    # prior argmax (en: 2 docs vs es: 1) from BOTH forms, never NULL
+    assert joined == column == {10: "en", 11: "en"}
