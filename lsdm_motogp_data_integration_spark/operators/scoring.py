@@ -926,6 +926,13 @@ def lang_nb_verdict(
                 r["logp"]
             )
     labels = sorted(priors)
+    if not labels:
+        # an empty model (empty or all-NULL-label training corpus)
+        # would otherwise yield NULL verdicts row by row — fail loudly
+        raise ValueError(
+            "empty lang_nb model (no labels) — the training corpus "
+            "was empty or carried only NULL labels"
+        )
     missing = [
         lb
         for lb in labels

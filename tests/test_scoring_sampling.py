@@ -663,3 +663,21 @@ def test_lang_nb_null_text_and_null_labels(spark):
     }
     # prior argmax (en: 2 docs vs es: 1) from BOTH forms, never NULL
     assert joined == column == {10: "en", 11: "en"}
+
+
+def test_lang_nb_empty_model_raises(spark):
+    """An empty model (all-NULL-label corpus) fails loudly in the
+    Column scorer instead of yielding NULL verdicts row by row."""
+    import pytest
+
+    from lsdm_motogp_data_integration_spark.operators.scoring import (
+        lang_nb_verdict,
+        train_lang_nb,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "some text", None)], "doc_id bigint, text string, lang string"
+    )
+    model = train_lang_nb(df, "lang", "text", n_buckets=32)
+    with pytest.raises(ValueError, match="empty lang_nb model"):
+        lang_nb_verdict("text", model, n_buckets=32)
