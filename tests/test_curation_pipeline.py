@@ -1001,3 +1001,130 @@ def test_curate_with_trained_lang_model_batch_and_stream(
         r["doc_id"] for r in spark.read.parquet(accepted).collect()
     }
     assert stream_ids == batch_ids
+
+
+def test_curate_stream_full_multilingual_composition(
+    spark, tmp_path_factory
+):
+    """Capstone composition (r5): ONE stream running script routing +
+    trained-NB language routing + char-shingle near-dup dedup +
+    strict decontamination together — every multilingual piece in its
+    production wiring. zh docs survive, ja/en are screened out, a
+    cross-batch CJK near-dup is caught, the contaminated doc is
+    marked (shadowing its clean near-dup) — and the result matches
+    batch curate under the same config."""
+    from pyspark.sql import types as T
+
+    from lsdm_motogp_data_integration_spark.operators.scoring import (
+        train_lang_nb,
+    )
+    from lsdm_motogp_data_integration_spark.pipelines.curation import (
+        curate_stream,
+    )
+
+    labeled = spark.createDataFrame(
+        [
+            (1, "这是一个中文文档讨论数据处理的问题", "zh"),
+            (2, "数据质量决定了模型的最终效果和范围", "zh"),
+            # zh training must witness the eval-leak vocabulary, or the
+            # tiny model routes the contaminated doc to ja and the
+            # decontamination stage never sees it
+            (3, "评测集的泄漏问题需要重叠的筛查机制来检测词元", "zh"),
+            (4, "これはひらがなとカタカナのテストです", "ja"),
+            (5, "日本語のデータはかなと漢字のまざりです", "ja"),
+        ],
+        "doc_id bigint, text string, lang string",
+    )
+    # char_n=1 at 256 buckets: single chars are the strongest
+    # script discriminator for a 5-doc toy model (kana chars occur
+    # ONLY in the ja class), keeping the fixture robust
+    nbkw = dict(n_buckets=256, char_n=1, portable=True)
+    model = train_lang_nb(labeled, "lang", "text", **nbkw).collect()
+
+    zh_doc = (
+        "机器学习模型的训练数据质量决定了最终效果"
+        "数据清洗和去重是数据管线中最重要的步骤之一"
+    )
+    contam = "评测集泄漏检测需要八个连续词元的重叠筛查机制才能可靠工作"
+    b1 = [(11, zh_doc)]
+    b2 = [(12, "これは日本語のドキュメントですから除外されます"),  # ja: screened
+          (13, contam)]                                        # zh: contaminated
+    b3 = [(21, zh_doc + "结尾稍有不同"),                        # near-dup of 11
+          (22, contam + "尾部不同")]                            # near-dup of 13
+    # holdout shares a char-8-gram window with doc 13 only. NB: the
+    # decontamination gram unit is WORDS; unsegmented zh is one word
+    # per whitespace run, so use decontam_gram=1 with an exact
+    # whitespace-delimited token match
+    holdout = spark.createDataFrame(
+        [(900, "评测集泄漏检测需要八个连续词元的重叠筛查机制才能可靠工作")],
+        "doc_id bigint, text string",
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    kw = dict(
+        keep_scripts=("cjk",),
+        keep_langs=("zh",),
+        lang_model=model,
+        lang_model_params=nbkw,
+        min_quality=0.0,
+        min_distinct_ratio=0.0,
+        neardup_threshold=0.5,
+        holdout=holdout,
+        decontam_gram=1,
+    )
+
+    full = spark.createDataFrame(b1 + b2 + b3, schema)
+    # pin the routing the composition depends on: the contaminated doc
+    # and its near-dup classify zh (reach decontam), the ja doc doesn't
+    from lsdm_motogp_data_integration_spark.operators.scoring import (
+        lang_nb_verdict,
+    )
+
+    verdicts = {
+        r["doc_id"]: r["v"]
+        for r in full.select(
+            "doc_id", lang_nb_verdict("text", model, **nbkw).alias("v")
+        ).collect()
+    }
+    assert verdicts[13] == verdicts[22] == "zh" and verdicts[12] == "ja"
+
+    batch_clean = {
+        r["doc_id"]
+        for r in curate(
+            full, decontam_method="exact",
+            shingle_unit="char", shingle_k=8, **kw,
+        )["clean"].collect()
+    }
+    assert batch_clean == {11}  # 21 deduped, 12 ja-screened, 13+22 decontam
+
+    src = str(tmp_path_factory.mktemp("comp_src"))
+    for i, rows in enumerate((b1, b2, b3)):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            f"{src}/f{i}"
+        )
+    accepted = str(tmp_path_factory.mktemp("comp_acc"))
+    curate_stream(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src),
+        accepted_dir=accepted,
+        index_dir=str(tmp_path_factory.mktemp("comp_idx")),
+        checkpoint_dir=str(tmp_path_factory.mktemp("comp_ck")),
+        decontam_method="bloom",
+        shingle_unit="char",
+        k=8,
+        strict_decontam=True,
+        **kw,
+    )
+    acc = spark.read.parquet(accepted)
+    stream_clean = {
+        r["doc_id"] for r in acc.filter(~F.col("excluded")).collect()
+    }
+    flagged = {r["doc_id"] for r in acc.filter(F.col("excluded")).collect()}
+    assert stream_clean == batch_clean == {11}
+    assert flagged == {13}  # contaminated, indexed (shadows 22)
