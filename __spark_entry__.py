@@ -2603,7 +2603,16 @@ def q53_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       moment makes VARIANCE incrementally maintainable too, r3). The
       oracle aggregates the full table directly, so the hash proves
       the algebraic combine is lossless — the never-re-scan-history
-      contract a 100 TB stats pipeline needs."""
+      contract a 100 TB stats pipeline needs.
+    - ``langmix`` (r5): the language-mix table every multilingual
+      dataset card leads with — per PREDICTED language
+      (``textops.lang_id2``, the per-script discriminator; the
+      metadata ``lang`` column is what the rollup/pivot scopes
+      already count) doc counts and char sums. One groupBy over a
+      pure Column verdict; the oracle replays the full per-script
+      CASE via the same shared SQL fragment as q22's ``lang2``
+      column (``_LANG2_SQL_CTES`` — single-sourced, the two oracles
+      cannot drift)."""
     from lsdm_motogp_data_integration_spark.operators.merge import (
         finalize_aggs,
         merge_partial_aggs,
@@ -2646,6 +2655,14 @@ def q53_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("min_v").alias("min_chars"),
         F.col("max_v").alias("max_chars"),
         F.col("std_v").alias("std_chars"),
+    )
+    from lsdm_motogp_data_integration_spark.operators.textops import (
+        lang_id2,
+    )
+
+    langmix = d.groupBy(lang_id2("text").alias("lang")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
     )
     langs = ["de", "en", "es", "fr", "zh"]
     piv = (
@@ -2695,6 +2712,7 @@ def q53_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("rollup", roll),
         ("pivot", piv),
         ("incremental", inc),
+        ("langmix", langmix),
     )
 
 
@@ -4670,6 +4688,129 @@ _KMEANS_SQL = f"""
 """
 
 
+_LANG2_SQL_CTES = """            ), h AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text, '(?i)\\b(der|die|das|und|ist|mit|ein)\\b')) AS h_de,
+                       len(regexp_extract_all(text, '(?i)\\b(the|and|of|to|is|that|with)\\b')) AS h_en,
+                       len(regexp_extract_all(text, '(?i)\\b(el|la|los|las|que|de|con|una)\\b')) AS h_es,
+                       len(regexp_extract_all(text, '(?i)\\b(le|la|les|et|est|avec|une|des)\\b')) AS h_fr,
+                       len(regexp_extract_all(text, '(?i)\\b(il|la|gli|che|di|con|una|per)\\b')) AS h_it
+                FROM documents
+            ), m AS (
+                SELECT *, greatest(h_de, h_en, h_es, h_fr, h_it) AS hmax FROM h
+            ), lang AS (
+                SELECT doc_id,
+                       CASE WHEN hmax <= 0 THEN 'und'
+                            WHEN h_de = hmax THEN 'de'
+                            WHEN h_en = hmax THEN 'en'
+                            WHEN h_es = hmax THEN 'es'
+                            WHEN h_fr = hmax THEN 'fr'
+                            ELSE 'it'
+                       END AS pred_lang
+                FROM m
+            ), scr AS (
+                -- textops.script_id (r4): chars per Unicode block,
+                -- literal-character classes identical to the Spark
+                -- side's patterns
+                SELECT doc_id,
+                       len(regexp_extract_all(text, '[؀-ۿ]')) AS s_arabic,
+                       len(regexp_extract_all(text, '[一-鿿]')) AS s_cjk,
+                       len(regexp_extract_all(text, '[Ѐ-ӿ]')) AS s_cyrillic,
+                       len(regexp_extract_all(text, '[ऀ-ॿ]')) AS s_devanagari,
+                       len(regexp_extract_all(text, '[Ͱ-Ͽ]')) AS s_greek,
+                       len(regexp_extract_all(text, '[가-힯]')) AS s_hangul,
+                       len(regexp_extract_all(text, '[぀-ヿ]')) AS s_kana,
+                       -- Latin LETTERS only: the class skips U+00D7
+                       -- (×) and U+00F7 (÷), mirroring SCRIPT_RANGES
+                       len(regexp_extract_all(text, '[A-Za-zÀ-ÖØ-öø-ɏ]'))
+                           AS s_latin
+                FROM documents
+            ), scrm AS (
+                SELECT *, greatest(s_arabic, s_cjk, s_cyrillic,
+                                   s_devanagari, s_greek, s_hangul,
+                                   s_kana, s_latin) AS smax
+                FROM scr
+            ), script AS (
+                -- CASE order = script name ascending == the engine's
+                -- smallest-code tie-break
+                SELECT doc_id,
+                       CASE WHEN smax <= 0 THEN 'und'
+                            WHEN s_arabic = smax THEN 'arabic'
+                            WHEN s_cjk = smax THEN 'cjk'
+                            WHEN s_cyrillic = smax THEN 'cyrillic'
+                            WHEN s_devanagari = smax THEN 'devanagari'
+                            WHEN s_greek = smax THEN 'greek'
+                            WHEN s_hangul = smax THEN 'hangul'
+                            WHEN s_kana = smax THEN 'kana'
+                            ELSE 'latin'
+                       END AS script
+                FROM scrm
+            ), l2c AS (
+                -- textops.lang_id2 (r5): per-script discrimination
+                -- marker counts, same literal classes as the engine
+                SELECT doc_id,
+                       len(regexp_extract_all(text, '[぀-ヿ]')) AS c_kana,
+                       len(regexp_extract_all(text, '[가-힯]')) AS c_hangul,
+                       len(regexp_extract_all(text, '[ъЪ]')) AS c_bg,
+                       len(regexp_extract_all(text, '[ыэёЫЭЁ]')) AS c_ru,
+                       len(regexp_extract_all(text, '[јљњђћџЈЉЊЂЋЏ]'))
+                           AS c_sr,
+                       len(regexp_extract_all(text, '[іїєґІЇЄҐ]')) AS c_uk,
+                       len(regexp_extract_all(text, '[ةًٌٍ]')) AS c_ar,
+                       len(regexp_extract_all(text, '[پچژگ]')) AS c_fa,
+                       len(regexp_extract_all(text, '[ٹڈڑںےہ]')) AS c_ur,
+                       len(regexp_extract_all(text, '(है|का|की|के|में|और)'))
+                           AS c_hi,
+                       len(regexp_extract_all(text, '(आहे|आणि|मध्ये|येथे)'))
+                           AS c_mr,
+                       len(regexp_extract_all(text, '(छन्|गरेको|लागि|भएको)'))
+                           AS c_ne
+                FROM documents
+            ), l2 AS (
+                -- CASE order within each script = code ascending ==
+                -- the engine's argmax smallest-code tie-break
+                SELECT s.doc_id,
+                       CASE
+                         WHEN s.script IN ('cjk', 'kana', 'hangul') THEN
+                           CASE WHEN c.c_kana > 0 THEN 'ja'
+                                WHEN c.c_hangul > 0 THEN 'ko'
+                                ELSE 'zh' END
+                         WHEN s.script = 'latin' THEN lang.pred_lang
+                         WHEN s.script = 'cyrillic' THEN
+                           CASE WHEN greatest(c_bg, c_ru, c_sr, c_uk) <= 0
+                                    THEN 'und'
+                                WHEN c_bg = greatest(c_bg, c_ru, c_sr, c_uk)
+                                    THEN 'bg'
+                                WHEN c_ru = greatest(c_bg, c_ru, c_sr, c_uk)
+                                    THEN 'ru'
+                                WHEN c_sr = greatest(c_bg, c_ru, c_sr, c_uk)
+                                    THEN 'sr'
+                                ELSE 'uk' END
+                         WHEN s.script = 'arabic' THEN
+                           CASE WHEN greatest(c_ar, c_fa, c_ur) <= 0
+                                    THEN 'und'
+                                WHEN c_ar = greatest(c_ar, c_fa, c_ur)
+                                    THEN 'ar'
+                                WHEN c_fa = greatest(c_ar, c_fa, c_ur)
+                                    THEN 'fa'
+                                ELSE 'ur' END
+                         WHEN s.script = 'greek' THEN 'el'
+                         WHEN s.script = 'devanagari' THEN
+                           CASE WHEN greatest(c_hi, c_mr, c_ne) <= 0
+                                    THEN 'und'
+                                WHEN c_hi = greatest(c_hi, c_mr, c_ne)
+                                    THEN 'hi'
+                                WHEN c_mr = greatest(c_hi, c_mr, c_ne)
+                                    THEN 'mr'
+                                ELSE 'ne' END
+                         ELSE 'und'
+                       END AS lang2
+                FROM script s
+                JOIN l2c c USING (doc_id)
+                JOIN lang USING (doc_id)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     # HLL oracle snippets generated by the SAME helpers the Spark
     # operator uses (sketches.hll_*_sql) — the two engines share one
@@ -5098,126 +5239,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id,
                        ROUND(greatest(least(s, 1.0), 0.0), 6) AS quality
                 FROM score
-            ), h AS (
-                SELECT doc_id,
-                       len(regexp_extract_all(text, '(?i)\\b(der|die|das|und|ist|mit|ein)\\b')) AS h_de,
-                       len(regexp_extract_all(text, '(?i)\\b(the|and|of|to|is|that|with)\\b')) AS h_en,
-                       len(regexp_extract_all(text, '(?i)\\b(el|la|los|las|que|de|con|una)\\b')) AS h_es,
-                       len(regexp_extract_all(text, '(?i)\\b(le|la|les|et|est|avec|une|des)\\b')) AS h_fr,
-                       len(regexp_extract_all(text, '(?i)\\b(il|la|gli|che|di|con|una|per)\\b')) AS h_it
-                FROM documents
-            ), m AS (
-                SELECT *, greatest(h_de, h_en, h_es, h_fr, h_it) AS hmax FROM h
-            ), lang AS (
-                SELECT doc_id,
-                       CASE WHEN hmax <= 0 THEN 'und'
-                            WHEN h_de = hmax THEN 'de'
-                            WHEN h_en = hmax THEN 'en'
-                            WHEN h_es = hmax THEN 'es'
-                            WHEN h_fr = hmax THEN 'fr'
-                            ELSE 'it'
-                       END AS pred_lang
-                FROM m
-            ), scr AS (
-                -- textops.script_id (r4): chars per Unicode block,
-                -- literal-character classes identical to the Spark
-                -- side's patterns
-                SELECT doc_id,
-                       len(regexp_extract_all(text, '[؀-ۿ]')) AS s_arabic,
-                       len(regexp_extract_all(text, '[一-鿿]')) AS s_cjk,
-                       len(regexp_extract_all(text, '[Ѐ-ӿ]')) AS s_cyrillic,
-                       len(regexp_extract_all(text, '[ऀ-ॿ]')) AS s_devanagari,
-                       len(regexp_extract_all(text, '[Ͱ-Ͽ]')) AS s_greek,
-                       len(regexp_extract_all(text, '[가-힯]')) AS s_hangul,
-                       len(regexp_extract_all(text, '[぀-ヿ]')) AS s_kana,
-                       -- Latin LETTERS only: the class skips U+00D7
-                       -- (×) and U+00F7 (÷), mirroring SCRIPT_RANGES
-                       len(regexp_extract_all(text, '[A-Za-zÀ-ÖØ-öø-ɏ]'))
-                           AS s_latin
-                FROM documents
-            ), scrm AS (
-                SELECT *, greatest(s_arabic, s_cjk, s_cyrillic,
-                                   s_devanagari, s_greek, s_hangul,
-                                   s_kana, s_latin) AS smax
-                FROM scr
-            ), script AS (
-                -- CASE order = script name ascending == the engine's
-                -- smallest-code tie-break
-                SELECT doc_id,
-                       CASE WHEN smax <= 0 THEN 'und'
-                            WHEN s_arabic = smax THEN 'arabic'
-                            WHEN s_cjk = smax THEN 'cjk'
-                            WHEN s_cyrillic = smax THEN 'cyrillic'
-                            WHEN s_devanagari = smax THEN 'devanagari'
-                            WHEN s_greek = smax THEN 'greek'
-                            WHEN s_hangul = smax THEN 'hangul'
-                            WHEN s_kana = smax THEN 'kana'
-                            ELSE 'latin'
-                       END AS script
-                FROM scrm
-            ), l2c AS (
-                -- textops.lang_id2 (r5): per-script discrimination
-                -- marker counts, same literal classes as the engine
-                SELECT doc_id,
-                       len(regexp_extract_all(text, '[぀-ヿ]')) AS c_kana,
-                       len(regexp_extract_all(text, '[가-힯]')) AS c_hangul,
-                       len(regexp_extract_all(text, '[ъЪ]')) AS c_bg,
-                       len(regexp_extract_all(text, '[ыэёЫЭЁ]')) AS c_ru,
-                       len(regexp_extract_all(text, '[јљњђћџЈЉЊЂЋЏ]'))
-                           AS c_sr,
-                       len(regexp_extract_all(text, '[іїєґІЇЄҐ]')) AS c_uk,
-                       len(regexp_extract_all(text, '[ةًٌٍ]')) AS c_ar,
-                       len(regexp_extract_all(text, '[پچژگ]')) AS c_fa,
-                       len(regexp_extract_all(text, '[ٹڈڑںےہ]')) AS c_ur,
-                       len(regexp_extract_all(text, '(है|का|की|के|में|और)'))
-                           AS c_hi,
-                       len(regexp_extract_all(text, '(आहे|आणि|मध्ये|येथे)'))
-                           AS c_mr,
-                       len(regexp_extract_all(text, '(छन्|गरेको|लागि|भएको)'))
-                           AS c_ne
-                FROM documents
-            ), l2 AS (
-                -- CASE order within each script = code ascending ==
-                -- the engine's argmax smallest-code tie-break
-                SELECT s.doc_id,
-                       CASE
-                         WHEN s.script IN ('cjk', 'kana', 'hangul') THEN
-                           CASE WHEN c.c_kana > 0 THEN 'ja'
-                                WHEN c.c_hangul > 0 THEN 'ko'
-                                ELSE 'zh' END
-                         WHEN s.script = 'latin' THEN lang.pred_lang
-                         WHEN s.script = 'cyrillic' THEN
-                           CASE WHEN greatest(c_bg, c_ru, c_sr, c_uk) <= 0
-                                    THEN 'und'
-                                WHEN c_bg = greatest(c_bg, c_ru, c_sr, c_uk)
-                                    THEN 'bg'
-                                WHEN c_ru = greatest(c_bg, c_ru, c_sr, c_uk)
-                                    THEN 'ru'
-                                WHEN c_sr = greatest(c_bg, c_ru, c_sr, c_uk)
-                                    THEN 'sr'
-                                ELSE 'uk' END
-                         WHEN s.script = 'arabic' THEN
-                           CASE WHEN greatest(c_ar, c_fa, c_ur) <= 0
-                                    THEN 'und'
-                                WHEN c_ar = greatest(c_ar, c_fa, c_ur)
-                                    THEN 'ar'
-                                WHEN c_fa = greatest(c_ar, c_fa, c_ur)
-                                    THEN 'fa'
-                                ELSE 'ur' END
-                         WHEN s.script = 'greek' THEN 'el'
-                         WHEN s.script = 'devanagari' THEN
-                           CASE WHEN greatest(c_hi, c_mr, c_ne) <= 0
-                                    THEN 'und'
-                                WHEN c_hi = greatest(c_hi, c_mr, c_ne)
-                                    THEN 'hi'
-                                WHEN c_mr = greatest(c_hi, c_mr, c_ne)
-                                    THEN 'mr'
-                                ELSE 'ne' END
-                         ELSE 'und'
-                       END AS lang2
-                FROM script s
-                JOIN l2c c USING (doc_id)
-                JOIN lang USING (doc_id)
+""" + _LANG2_SQL_CTES + """
             ), nbnorm AS (
                 -- scoring.char_ngram_buckets normalization (r5):
                 -- trim -> squeeze whitespace -> lower, then char
@@ -7576,6 +7598,10 @@ def oracle_sql() -> dict[str, str]:
                        MIN(n_chars) AS min_chars,
                        MAX(n_chars) AS max_chars
                 FROM documents GROUP BY source
+            -- langmix scope replays textops.lang_id2 via the SAME
+            -- shared CTE fragment as q22's lang2 column (the two
+            -- oracles cannot drift)
+""" + _LANG2_SQL_CTES + """
             ), prof AS (
                 SELECT 'doc_id' AS "column", 'bigint' AS dtype,
                        COUNT(*) AS n_rows,
@@ -7723,6 +7749,30 @@ def oracle_sql() -> dict[str, str]:
                        / (COUNT(*) - 1.0), 0.0)) END AS std_chars
             FROM documents
             GROUP BY source
+            UNION ALL
+            -- langmix scope (r5): per PREDICTED language (lang_id2)
+            -- doc counts + char sums — the dataset-card mix table
+            SELECT 'langmix' AS scope,
+                   CAST(NULL AS VARCHAR) AS source,
+                   COUNT(*) AS n_docs,
+                   CAST(NULL AS DOUBLE) AS mean_chars,
+                   CAST(NULL AS BIGINT) AS n_langs,
+                   CAST(NULL AS BIGINT) AS min_chars,
+                   CAST(NULL AS BIGINT) AS max_chars,
+                   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+                   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                   CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+                   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+                   l.lang2 AS lang,
+                   CAST(SUM(d.n_chars) AS BIGINT) AS sum_chars,
+                   CAST(NULL AS BIGINT) AS grp,
+                   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                   CAST(NULL AS BIGINT),
+                   CAST(NULL AS DOUBLE) AS std_chars
+            FROM documents d JOIN l2 l USING (doc_id)
+            GROUP BY l.lang2
         """,
         "q60_dms_coordinates": """
             WITH dms AS (
