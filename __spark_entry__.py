@@ -641,12 +641,18 @@ def q19_neardup_pairs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("method", F.lit("exact"))
     historical = corpus.filter(F.col("doc_id") < 100000)
     new_batch = corpus.filter(F.col("doc_id") >= 100000)
+    # r5: the incremental scope now rides the suite's ONE persisted
+    # shingle pass too — index and probe signatures derive from the
+    # shared sets (minhash_signature == fused path, pinned) instead
+    # of re-running the shingle HOFs over both corpus halves
     index = build_minhash_index(
-        historical, "text", "doc_id", k=5, num_perm=32, bands=16
+        historical, "text", "doc_id", k=5, num_perm=32, bands=16,
+        sets_df=sets.filter(F.col("doc_id") < 100000),
     )
     hits = incremental_neardup(
         new_batch, index, "text", "doc_id",
         k=5, num_perm=32, bands=16, threshold=0.4,
+        sets_df=sets.filter(F.col("doc_id") >= 100000),
     )
     incremental = exact_jaccard_for_pairs(
         hits, corpus, "text", "doc_id", "ref_id", "new_id",

@@ -1435,6 +1435,7 @@ def build_minhash_index(
     num_perm: int = 32,
     bands: int = 16,
     unit: str = "word",
+    sets_df: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash index of a corpus: one row per (doc, band bucket),
     carrying the full signature — ``(id_col, __bucket, __mins)``.
@@ -1451,14 +1452,26 @@ def build_minhash_index(
     num_perm-long array); at 10^10 docs × 16 bands that is a flat
     parquet relation partitionable/bucketable by ``__bucket`` so the
     incremental join co-locates without a full shuffle of the index.
-    """
+
+    ``sets_df`` (r5): a prepared :func:`shingle_sets` relation FOR
+    ``df``'s rows — signatures then derive from the shared gram sets
+    (``minhash_signature``, bit-identical to the fused text path,
+    pinned by test), so a suite that already built the sets doesn't
+    re-run the shingle HOFs here; ``k``/``unit`` describe how the
+    sets were built and must match."""
     if num_perm % bands:
         raise ValueError("num_perm must divide evenly into bands")
     rows_per_band = num_perm // bands
-    mins_df = df.select(
-        F.col(id_col),
-        fused_minhash_mins(text_col, k, num_perm, unit).alias("__mins"),
-    )
+    if sets_df is not None:
+        mins_df = sets_df.select(
+            F.col(id_col),
+            minhash_signature(F.col("shingles"), num_perm).alias("__mins"),
+        )
+    else:
+        mins_df = df.select(
+            F.col(id_col),
+            fused_minhash_mins(text_col, k, num_perm, unit).alias("__mins"),
+        )
     band_cols = _band_bucket_cols(F.col("__mins"), bands, rows_per_band)
     return mins_df.select(
         id_col,
@@ -1478,12 +1491,15 @@ def incremental_neardup(
     bands: int = 16,
     threshold: float = 0.8,
     unit: str = "word",
+    sets_df: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup hits of a NEW batch against an existing
     ``build_minhash_index`` relation (the incremental path of a
     continuously-growing training corpus — no re-scan of historical
     text; the index signature alone both generates candidates and
-    verifies them).
+    verifies them). ``sets_df`` (r5): a prepared :func:`shingle_sets`
+    relation for ``new_df``'s rows — same share-the-shingle-pass
+    contract as :func:`build_minhash_index`.
 
     Returns (``new_id``, ``ref_id``, ``est_jaccard``): candidate pairs
     sharing ≥1 band bucket, kept when the signature-agreement Jaccard
@@ -1503,10 +1519,20 @@ def incremental_neardup(
     if num_perm % bands:
         raise ValueError("num_perm must divide evenly into bands")
     rows_per_band = num_perm // bands
-    mins_new = new_df.select(
-        F.col(id_col).alias("__new_id"),
-        fused_minhash_mins(text_col, k, num_perm, unit).alias("__new_mins"),
-    )
+    if sets_df is not None:
+        mins_new = sets_df.select(
+            F.col(id_col).alias("__new_id"),
+            minhash_signature(F.col("shingles"), num_perm).alias(
+                "__new_mins"
+            ),
+        )
+    else:
+        mins_new = new_df.select(
+            F.col(id_col).alias("__new_id"),
+            fused_minhash_mins(text_col, k, num_perm, unit).alias(
+                "__new_mins"
+            ),
+        )
     band_cols = _band_bucket_cols(F.col("__new_mins"), bands, rows_per_band)
     new_buckets = mins_new.select(
         "__new_id",

@@ -891,3 +891,59 @@ def test_fused_char_mins_match_signature_over_char_shingles(spark):
     ).collect()
     for r in rows:
         assert r["fused"] == r["via_sets"]
+
+
+def test_minhash_index_sets_df_path_bit_identical(spark, sf_dir):
+    """sets_df threading (r5): build_minhash_index and
+    incremental_neardup built from a prepared shingle_sets relation
+    must be BIT-IDENTICAL to the fused text path — for both shingle
+    units — so a suite sharing one shingle pass cannot change
+    results."""
+    from lsdm_motogp_data_integration_spark.operators.dedup import (
+        build_minhash_index,
+        incremental_neardup,
+        shingle_sets,
+    )
+    from lsdm_motogp_data_integration_spark.sources import read_table
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    near = d.filter(F.col("doc_id") % 40 == 0).select(
+        (F.col("doc_id") + 600000).alias("doc_id"),
+        F.expr("substr(text, 25)").alias("text"),
+    )
+    corpus = d.unionByName(near)
+    for unit, k in (("word", 5), ("char", 8)):
+        sets = shingle_sets(corpus, "text", "doc_id", k=k, unit=unit)
+        hist, new = (
+            corpus.filter(F.col("doc_id") < 600000),
+            corpus.filter(F.col("doc_id") >= 600000),
+        )
+        kw = dict(k=k, num_perm=32, bands=16, unit=unit)
+        idx_text = build_minhash_index(hist, "text", "doc_id", **kw)
+        idx_sets = build_minhash_index(
+            hist, "text", "doc_id",
+            sets_df=sets.filter(F.col("doc_id") < 600000), **kw,
+        )
+
+        def snap(df):
+            # collect-compare, not exceptAll: exceptAll over these
+            # generate-heavy plans trips a Spark attribute-binding
+            # internal error (ATTRIBUTE_NOT_FOUND on the exploded
+            # alias), and set-compare on collected rows is exact here
+            return sorted(
+                (r["doc_id"], r["__bucket"], tuple(r["__mins"]))
+                for r in df.collect()
+            )
+
+        assert snap(idx_text) == snap(idx_sets), unit
+
+        hits_text = incremental_neardup(
+            new, idx_text, "text", "doc_id", threshold=0.4, **kw
+        )
+        hits_sets = incremental_neardup(
+            new, idx_text, "text", "doc_id", threshold=0.4,
+            sets_df=sets.filter(F.col("doc_id") >= 600000), **kw,
+        )
+        a = sorted(map(tuple, hits_text.collect()))
+        b = sorted(map(tuple, hits_sets.collect()))
+        assert a == b and a, unit
