@@ -2011,7 +2011,33 @@ def q41_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_values",
         "weighted_sum",
     )
-    return fake.unionByName(real).unionByName(rz)
+    # real_resample (r5): decode the WAV → nearest-sample 8 kHz →
+    # 4 kHz (64 → 32 frames; src index floor((i+0.5)·64/32) = the odd
+    # samples) → re-encode PCM → decode AGAIN via media_stats; the
+    # oracle replays only the index arithmetic over the md5 sample
+    # chain — the audio twin of the real_resize contract
+    from lsdm_motogp_data_integration_spark.operators.multimodal import (
+        resample_audio,
+    )
+
+    wav_media = _build_multimodal_media(d, kinds=(2,))
+    resampled = resample_audio(wav_media, 4000, fake=False).select(
+        "media_id", F.lit("audio").alias("kind"), "content"
+    )
+    rs = media_stats(resampled).select(
+        F.lit("real_resample").alias("scope"),
+        F.expr("media_id DIV 4").alias("media_id"),
+        "kind",
+        "fmt",
+        "n_bytes",
+        F.lit(None).cast("string").alias("digest"),
+        "width",
+        "height",
+        "n_values",
+        "sum_values",
+        "weighted_sum",
+    )
+    return fake.unionByName(real).unionByName(rz).unionByName(rs)
 
 
 def q42_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6184,6 +6210,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT), CAST(SUM(v) AS BIGINT),
                    CAST(SUM(v * (j + 1)) AS BIGINT)
             FROM rz_bytes GROUP BY doc_id
+            UNION ALL
+            -- real_resample: nearest-sample 64 -> 32 frames; source
+            -- index floor((i+0.5)*64/32) = 2i+1, i.e. exactly the
+            -- odd source samples; output position i = (k-1)//2
+            SELECT 'real_resample', doc_id, 'audio', 'wav',
+                   CAST(108 AS BIGINT),  -- 44 hdr + 64 sample bytes
+                   NULL::VARCHAR, NULL::INT, NULL::INT,
+                   CAST(COUNT(*) AS BIGINT), CAST(SUM(v) AS BIGINT),
+                   CAST(SUM(v * ((k - 1) // 2 + 1)) AS BIGINT)
+            FROM au_samples WHERE k % 2 = 1 GROUP BY doc_id
         """,
         "q42_json_extract": """
             SELECT event_id,

@@ -550,3 +550,88 @@ def resize_images(
     return media.filter(F.col("kind") == "image").mapInPandas(
         run, schema=RESIZED_SCHEMA
     )
+
+
+RESAMPLED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("rate", T.IntegerType(), False),
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField("digest", T.StringType(), True),
+    ]
+)
+
+
+def _nn_resample(s: np.ndarray, n_out: int) -> np.ndarray:
+    """Deterministic nearest-sample resample — the audio twin of
+    :func:`_nn_resize`: source frame of output frame i is
+    ``floor((i + 0.5) * n_src / n_out)`` (sample-center mapping, same
+    convention as the image path so one rule covers both)."""
+    n_src = s.shape[0]
+    idx = np.minimum(
+        ((np.arange(n_out) + 0.5) * n_src / n_out).astype(np.int64),
+        n_src - 1,
+    )
+    return s[idx]
+
+
+def resample_audio(
+    media: DataFrame,
+    target_rate: int,
+    *,
+    fake: bool = True,
+) -> DataFrame:
+    """Audio resample plumbing (r5) — the transform the audio modality
+    was missing (images had :func:`resize_images`, video had
+    :func:`frame_sample`): WAVs in, ``target_rate`` WAVs out,
+    Arrow-batched; only ``kind == 'audio'`` rows are shipped to
+    Python.
+
+    ``fake=True``: deterministic content+rate-derived stand-in bytes
+    (same stub contract as the resize path).
+
+    ``fake=False``: REAL resample for PCM WAV — decode
+    (:func:`mediacodec.decode_wav`, chunk-walking), NEAREST-sample
+    index mapping (``floor((i+0.5)·n_src/n_out)``, n_out =
+    ``floor(n_frames·target/src)``; integer index arithmetic a SQL
+    oracle replays exactly, the same determinism choice as NN resize —
+    linear interpolation would put float rounding inside the
+    verification loop), re-encode 16-bit PCM at the target rate.
+    Channels are preserved (the mapping indexes frames). Compressed
+    audio raises — no silent fake fallback."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, contents, digests = [], [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                ids.append(mid)
+                if content is None:
+                    contents.append(None)
+                    digests.append(None)
+                    continue
+                if fake:
+                    seed = hashlib.sha256(
+                        bytes(content) + f"|@{target_rate}".encode()
+                    ).digest()
+                    reps = 128 // len(seed) + 1
+                    buf = (seed * reps)[:128]
+                else:
+                    s, rate = mc.decode_wav(bytes(content))
+                    n_out = max(1, (s.shape[0] * target_rate) // rate)
+                    buf = mc.encode_wav(
+                        _nn_resample(s, n_out), target_rate
+                    )
+                contents.append(buf)
+                digests.append(hashlib.sha256(buf).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "rate": [target_rate] * len(ids),
+                    "content": contents,
+                    "digest": digests,
+                }
+            )
+
+    return media.filter(F.col("kind") == "audio").mapInPandas(
+        run, schema=RESAMPLED_SCHEMA
+    )

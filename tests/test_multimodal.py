@@ -299,3 +299,60 @@ def test_weighted_sum_exact_no_int64_wrap():
     true = v * n * (n + 1) // 2
     got = _weighted_sum_exact(big, chunk=1 << 18)
     assert got == true and got > 0
+
+
+def test_resample_audio_real_and_gates(spark):
+    """resample_audio (r5): nearest-sample 2:1 downsample keeps
+    exactly the odd source frames (sample-center mapping, the
+    NN-resize convention), channels are preserved frame-wise, the
+    fake stub is deterministic, and compressed audio raises instead
+    of silently faking."""
+    import hashlib
+
+    import numpy as np
+    import pytest
+
+    from lsdm_motogp_data_integration_spark.operators import mediacodec as mc
+    from lsdm_motogp_data_integration_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        resample_audio,
+    )
+
+    mono = np.arange(64, dtype=np.int16) * 100
+    stereo = np.stack([mono, -mono], axis=1).astype(np.int16)
+    rows = [
+        (1, "audio", bytearray(mc.encode_wav(mono, 8000)), None),
+        (2, "audio", bytearray(mc.encode_wav(stereo, 8000)), None),
+        (3, "image", bytearray(b"notaudio"), None),  # filtered out
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    out = {
+        r["media_id"]: r
+        for r in resample_audio(media, 4000, fake=False).collect()
+    }
+    assert set(out) == {1, 2}  # image row never reaches the UDF
+    s1, rate1 = mc.decode_wav(bytes(out[1]["content"]))
+    assert rate1 == 4000 and s1.shape == (32, 1)
+    # floor((i+0.5)*64/32) = 2i+1: exactly the odd source frames
+    assert list(s1[:, 0]) == list(mono[1::2])
+    s2, _ = mc.decode_wav(bytes(out[2]["content"]))
+    assert s2.shape == (32, 2)
+    assert list(s2[:, 0]) == list(mono[1::2])
+    assert list(s2[:, 1]) == list((-mono)[1::2])
+    assert out[1]["digest"] == hashlib.sha256(
+        bytes(out[1]["content"])
+    ).hexdigest()
+
+    # fake path: deterministic stand-in, stable across calls
+    f1 = resample_audio(media, 4000).filter("media_id = 1").collect()[0]
+    f2 = resample_audio(media, 4000).filter("media_id = 1").collect()[0]
+    assert bytes(f1["content"]) == bytes(f2["content"])
+    assert len(bytes(f1["content"])) == 128
+
+    # honest gate: a non-WAV audio blob raises, never a fake fallback
+    bad = spark.createDataFrame(
+        [(9, "audio", bytearray(b"ID3\x03mp3bytes"), None)], MEDIA_SCHEMA
+    )
+    with pytest.raises(Exception, match="RIFF|NotImplemented"):
+        resample_audio(bad, 4000, fake=False).collect()
