@@ -2037,7 +2037,36 @@ def q41_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_values",
         "weighted_sum",
     )
-    return fake.unionByName(real).unionByName(rz).unionByName(rs)
+    # real_vresize (r5): Y4M 4×3 → 2×2 per frame (same pixel-center
+    # NN mapping as the image path: ys=[0,2], xs=[1,3]) → re-encode →
+    # re-decode; oracle replays the index arithmetic per frame
+    from lsdm_motogp_data_integration_spark.operators.multimodal import (
+        resize_video,
+    )
+
+    y4m_media = _build_multimodal_media(d, kinds=(3,))
+    vresized = resize_video(y4m_media, 2, 2, fake=False).select(
+        "media_id", F.lit("video").alias("kind"), "content"
+    )
+    vr = media_stats(vresized).select(
+        F.lit("real_vresize").alias("scope"),
+        F.expr("media_id DIV 4").alias("media_id"),
+        "kind",
+        "fmt",
+        "n_bytes",
+        F.lit(None).cast("string").alias("digest"),
+        "width",
+        "height",
+        "n_values",
+        "sum_values",
+        "weighted_sum",
+    )
+    return (
+        fake.unionByName(real)
+        .unionByName(rz)
+        .unionByName(rs)
+        .unionByName(vr)
+    )
 
 
 def q42_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6220,6 +6249,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT), CAST(SUM(v) AS BIGINT),
                    CAST(SUM(v * ((k - 1) // 2 + 1)) AS BIGINT)
             FROM au_samples WHERE k % 2 = 1 GROUP BY doc_id
+            UNION ALL
+            -- real_vresize: per-frame NN 4x3 -> 2x2 pixel-center
+            -- mapping ys=[0,2], xs=[1,3] -> per-frame source bytes
+            -- [1,3,9,11]; output position p = frame*4 + cell
+            SELECT 'real_vresize', doc_id, 'video', 'y4m',
+                   CAST(56 AS BIGINT),  -- 36 hdr + 2 x (6 + 4) frames
+                   NULL::VARCHAR, 2, 2,
+                   CAST(COUNT(*) AS BIGINT), CAST(SUM(b.v) AS BIGINT),
+                   CAST(SUM(b.v * (m.p + 1)) AS BIGINT)
+            FROM (
+                SELECT p,
+                       (p // 4) * 12
+                       + (list_value(1, 3, 9, 11))[(p % 4) + 1] AS src
+                FROM generate_series(0, 7) t(p)
+            ) m JOIN vf_bytes b ON b.j = m.src
+            GROUP BY doc_id
         """,
         "q42_json_extract": """
             SELECT event_id,

@@ -635,3 +635,82 @@ def resample_audio(
     return media.filter(F.col("kind") == "audio").mapInPandas(
         run, schema=RESAMPLED_SCHEMA
     )
+
+
+def resize_video(
+    media: DataFrame,
+    width: int,
+    height: int,
+    *,
+    fake: bool = True,
+) -> DataFrame:
+    """Video spatial resize (r5) — completes the per-modality
+    transform matrix (image :func:`resize_images`, audio
+    :func:`resample_audio`, video temporal :func:`frame_sample` +
+    THIS for the spatial axis): Y4M mono streams in, fixed-(width,
+    height) Y4M mono streams out, every frame through the SAME
+    nearest-neighbor pixel-center mapping as the image path
+    (:func:`_nn_resize` — one index convention across modalities, so
+    one oracle rule verifies both). Frame count, order, and frame
+    rate are preserved.
+
+    ``fake=True``: deterministic content+size stub (the resize-path
+    contract). ``fake=False``: real decode → per-frame NN resize →
+    re-encode; non-mono colorspaces raise (plane-aware chroma
+    resizing is codec territory — no silent fake fallback), as does
+    any non-Y4M container."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, contents, digests = [], [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                ids.append(mid)
+                if content is None:
+                    contents.append(None)
+                    digests.append(None)
+                    continue
+                if fake:
+                    seed = hashlib.sha256(
+                        bytes(content) + f"|{width}x{height}v".encode()
+                    ).digest()
+                    reps = (width * height) // len(seed) + 2
+                    buf = (seed * reps)[: width * height * 2]
+                else:
+                    data = bytes(content)
+                    info = mc.y4m_info(data)
+                    if info["frame_bytes"] != (
+                        info["width"] * info["height"]
+                    ):
+                        raise NotImplementedError(
+                            "resize_video supports Cmono Y4M only "
+                            "(plane-aware chroma resize is codec "
+                            "territory)"
+                        )
+                    frames = [
+                        _nn_resize(
+                            np.frombuffer(
+                                mc.y4m_frame(data, info, i), np.uint8
+                            ).reshape(info["height"], info["width"]),
+                            width,
+                            height,
+                        )
+                        for i in range(info["n_frames"])
+                    ]
+                    buf = mc.encode_y4m(
+                        frames, info["fps_num"], info["fps_den"]
+                    )
+                contents.append(buf)
+                digests.append(hashlib.sha256(buf).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "width": [width] * len(ids),
+                    "height": [height] * len(ids),
+                    "content": contents,
+                    "digest": digests,
+                }
+            )
+
+    return media.filter(F.col("kind") == "video").mapInPandas(
+        run, schema=RESIZED_SCHEMA
+    )

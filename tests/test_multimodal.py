@@ -356,3 +356,60 @@ def test_resample_audio_real_and_gates(spark):
     )
     with pytest.raises(Exception, match="RIFF|NotImplemented"):
         resample_audio(bad, 4000, fake=False).collect()
+
+
+def test_resize_video_real_and_gates(spark):
+    """resize_video (r5): per-frame NN resize preserves frame count,
+    order, and fps; the mapping equals _nn_resize applied frame-wise;
+    non-mono colorspaces and non-Y4M blobs raise; fake stub stable."""
+    import numpy as np
+    import pytest
+
+    from lsdm_motogp_data_integration_spark.operators import mediacodec as mc
+    from lsdm_motogp_data_integration_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        _nn_resize,
+        resize_video,
+    )
+
+    f0 = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    f1 = (np.arange(12, dtype=np.uint8) * 7 % 256).astype(
+        np.uint8
+    ).reshape(3, 4)
+    rows = [
+        (1, "video", bytearray(mc.encode_y4m([f0, f1], 10, 1)), None),
+        (2, "audio", bytearray(b"notvideo"), None),  # filtered out
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {
+        r["media_id"]: r
+        for r in resize_video(media, 2, 2, fake=False).collect()
+    }
+    assert set(out) == {1}
+    data = bytes(out[1]["content"])
+    info = mc.y4m_info(data)
+    assert (info["width"], info["height"], info["n_frames"]) == (2, 2, 2)
+    assert (info["fps_num"], info["fps_den"]) == (10, 1)
+    for i, src in enumerate((f0, f1)):
+        got = np.frombuffer(
+            mc.y4m_frame(data, info, i), np.uint8
+        ).reshape(2, 2)
+        assert (got == _nn_resize(src, 2, 2)).all(), i
+
+    # fake stub: deterministic
+    a = resize_video(media, 2, 2).collect()[0]
+    b = resize_video(media, 2, 2).collect()[0]
+    assert bytes(a["content"]) == bytes(b["content"])
+
+    # honest gates: non-Y4M raises; non-mono colorspace raises
+    bad = spark.createDataFrame(
+        [(9, "video", bytearray(b"\x00\x01notayuv"), None)], MEDIA_SCHEMA
+    )
+    with pytest.raises(Exception, match="YUV4MPEG2|NotImplemented"):
+        resize_video(bad, 2, 2, fake=False).collect()
+    c420 = b"YUV4MPEG2 W2 H2 F10:1 Ip A1:1 C420\nFRAME\n" + bytes(6)
+    nonmono = spark.createDataFrame(
+        [(8, "video", bytearray(c420), None)], MEDIA_SCHEMA
+    )
+    with pytest.raises(Exception, match="Cmono|mono"):
+        resize_video(nonmono, 2, 2, fake=False).collect()
