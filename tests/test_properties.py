@@ -156,3 +156,72 @@ def test_random_bytes_never_decode_silently(data):
         _mc.decode_wav(data)
     except (NotImplementedError, _mc.MediaFormatError):
         pass
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    s=_np_arrays(
+        dtype=np.int16,
+        shape=_st.tuples(
+            _st.integers(1, 200), _st.integers(1, 3)
+        ),
+    ),
+    n_out=_st.integers(1, 300),
+)
+def test_nn_resample_shape_values_and_roundtrip(s, n_out):
+    """_nn_resample (r5): output frames are a selection of source
+    frames (never interpolated values), shape is exact, mapping is
+    monotone, and the resampled signal survives a WAV encode/decode
+    round-trip bit-exactly."""
+    from lsdm_motogp_data_integration_spark.operators.multimodal import (
+        _nn_resample,
+    )
+
+    out = _nn_resample(s, n_out)
+    assert out.shape == (n_out, s.shape[1])
+    n_src = s.shape[0]
+    idx = ((np.arange(n_out) + 0.5) * n_src / n_out).astype(np.int64)
+    idx = np.minimum(idx, n_src - 1)
+    assert (out == s[idx]).all()
+    assert (np.diff(idx) >= 0).all()  # monotone: order preserved
+    dec, rate = _mc.decode_wav(_mc.encode_wav(out, 4000))
+    assert rate == 4000 and (dec == out).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    frames=_st.lists(
+        _np_arrays(dtype=np.uint8, shape=(5, 7)), min_size=1, max_size=4
+    ),
+    w=_st.integers(1, 10),
+    h=_st.integers(1, 10),
+)
+def test_video_resize_framewise_equals_image_resize(frames, w, h):
+    """resize_video's per-frame mapping (r5) is EXACTLY _nn_resize
+    frame-by-frame through a full Y4M encode/resize/decode cycle —
+    one index convention across modalities, property-checked."""
+    from lsdm_motogp_data_integration_spark.operators.multimodal import (
+        _nn_resize,
+    )
+
+    data = _mc.encode_y4m(frames, 10, 1)
+    info = _mc.y4m_info(data)
+    resized = [
+        _nn_resize(
+            np.frombuffer(_mc.y4m_frame(data, info, i), np.uint8).reshape(
+                info["height"], info["width"]
+            ),
+            w,
+            h,
+        )
+        for i in range(info["n_frames"])
+    ]
+    out = _mc.encode_y4m(resized, info["fps_num"], info["fps_den"])
+    oinfo = _mc.y4m_info(out)
+    assert (oinfo["width"], oinfo["height"]) == (w, h)
+    assert oinfo["n_frames"] == len(frames)
+    for i, f in enumerate(frames):
+        got = np.frombuffer(
+            _mc.y4m_frame(out, oinfo, i), np.uint8
+        ).reshape(h, w)
+        assert (got == _nn_resize(np.asarray(f), w, h)).all()
