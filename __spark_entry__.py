@@ -2631,8 +2631,8 @@ def q49_corpus_index_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q53_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dataset-card statistics suite — two rollup shapes share one
-    driver row, tagged by ``scope``:
+    """Dataset-card statistics suite — the corpus-statistics rollup
+    family shares one driver row, tagged by ``scope``:
 
     - ``source``: per-source corpus statistics (document counts,
       decimal-exact mean length, language breadth) — the grouped
