@@ -933,6 +933,16 @@ def lang_nb_verdict(
             "empty lang_nb model (no labels) — the training corpus "
             "was empty or carried only NULL labels"
         )
+    if len(labels) * n_buckets > 100_000:
+        # the plan-literal form inlines K×n_buckets doubles into the
+        # expression tree; past ~1e5 literals plan build/codegen cost
+        # dominates any scan — that regime belongs to the broadcast
+        # join form
+        raise ValueError(
+            f"model too large for the plan-literal form "
+            f"({len(labels)} labels × {n_buckets} buckets); use "
+            f"classify_lang_nb (broadcast join) instead"
+        )
     missing = [
         lb
         for lb in labels
