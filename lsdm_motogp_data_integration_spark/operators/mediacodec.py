@@ -14,6 +14,14 @@ environment and none are needed for these formats):
   skipped rather than assumed absent.
 - **Y4M** (YUV4MPEG2) — uncompressed video; header parse + per-frame
   byte extraction for C420/C422/C444/Cmono subsampling.
+- **PNG** (r6) — the single most common real image format: stdlib
+  ``zlib`` inflate + all five scanline filters (None/Sub/Up/Average/
+  Paeth) unfiltered in numpy (Sub via a wrapping ``add.accumulate``,
+  Up fully vectorized; Average/Paeth need the sequential left
+  neighbor, per PNG spec, and fall back to a per-byte loop on the
+  rows that use them). 8-bit depth; gray / RGB / indexed-PLTE /
+  gray+alpha / RGBA color types; Adam7 interlace and 16-bit depth
+  raise ``NotImplementedError`` honestly.
 
 Encoders for the same formats exist so tests and fixtures can build
 real files byte-for-byte, and ``resize_images`` can emit a real
@@ -58,6 +66,7 @@ __all__ = [
     "encode_bmp",
     "encode_ppm",
     "encode_pgm",
+    "encode_png",
     "encode_wav",
     "y4m_info",
     "y4m_frame",
@@ -73,8 +82,9 @@ class MediaFormatError(ValueError):
 
 def sniff_format(data: bytes) -> str | None:
     """Identify a supported container by magic bytes: ``bmp``, ``pgm``,
-    ``ppm``, ``wav``, ``y4m`` — or None for anything else (PNG, JPEG,
-    MP3, MP4, ... all sniff None and must take the fake/stub path)."""
+    ``ppm``, ``png``, ``wav``, ``y4m`` — or None for anything else
+    (JPEG, MP3, MP4, ... all sniff None and must take the fake/stub
+    path)."""
     if len(data) < 12:
         return None
     if data[:2] == b"BM":
@@ -83,6 +93,8 @@ def sniff_format(data: bytes) -> str | None:
         return "pgm"
     if data[:2] == b"P6":
         return "ppm"
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return "wav"
     if data[:9] == b"YUV4MPEG2":
@@ -105,9 +117,11 @@ def decode_image(data: bytes) -> np.ndarray:
         return _decode_bmp(data)
     if fmt in ("pgm", "ppm"):
         return _decode_pnm(data)
+    if fmt == "png":
+        return _decode_png(data)
     raise NotImplementedError(
         f"no pure-numpy decoder for this image container "
-        f"(sniffed {fmt or 'unknown'}; supported: bmp, pgm, ppm)"
+        f"(sniffed {fmt or 'unknown'}; supported: bmp, pgm, ppm, png)"
     )
 
 
@@ -240,6 +254,240 @@ def encode_pgm(arr: np.ndarray) -> bytes:
         raise MediaFormatError(f"encode_pgm wants (H,W), got {a.shape}")
     h, w = a.shape
     return b"P5\n%d %d\n255\n" % (w, h) + a.tobytes()
+
+
+# ---------------------------------------------------------------------------
+# PNG (stdlib zlib + numpy unfiltering — no image library)
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# channels per color type: 0 gray, 2 RGB, 3 palette (1 index byte),
+# 4 gray+alpha, 6 RGBA
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_chunks(data: bytes):
+    """Yield (type, body) for each chunk, verifying lengths and CRCs —
+    a bad CRC is corruption we can detect for free with stdlib
+    ``zlib.crc32``, so silently decoding past it would be dishonest."""
+    import zlib
+
+    pos = 8
+    while pos + 8 <= len(data):
+        size = struct.unpack_from(">I", data, pos)[0]
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + size]
+        if len(body) < size or pos + 12 + size > len(data):
+            raise MediaFormatError(
+                f"PNG chunk {ctype!r} truncated: declared {size}"
+            )
+        crc = struct.unpack_from(">I", data, pos + 8 + size)[0]
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise MediaFormatError(f"PNG chunk {ctype!r} fails its CRC")
+        yield ctype, body
+        pos += 12 + size
+        if ctype == b"IEND":
+            return
+    raise MediaFormatError("PNG ends without an IEND chunk")
+
+
+def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse the per-scanline filters → ``(h, stride) uint8``.
+    None/Sub/Up are vectorized (Sub is a wrapping ``add.accumulate``
+    over the per-pixel axis); Average and Paeth depend on the
+    just-reconstructed left neighbor, which is inherently sequential
+    (PNG spec §6), so rows using them take a per-byte loop — O(row),
+    and only on rows that chose those filters."""
+    if len(raw) != h * (1 + stride):
+        raise MediaFormatError(
+            f"PNG raster size mismatch: have {len(raw)}, "
+            f"want {h * (1 + stride)}"
+        )
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + stride)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    zero = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ft = int(rows[y, 0])
+        cur = rows[y, 1:].copy()
+        prev = out[y - 1] if y else zero
+        if ft == 0:
+            pass
+        elif ft == 1:  # Sub: recon[x] = raw[x] + recon[x-bpp]
+            px = cur.reshape(-1, bpp)
+            np.add.accumulate(px, axis=0, out=px)  # uint8 wraps mod 256
+            cur = px.reshape(-1)
+        elif ft == 2:  # Up
+            cur += prev  # uint8 wraps mod 256
+        elif ft == 3:  # Average
+            for x in range(stride):
+                left = int(cur[x - bpp]) if x >= bpp else 0
+                cur[x] = (int(cur[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (int(cur[x]) + pr) & 0xFF
+        else:
+            raise MediaFormatError(f"bad PNG filter {ft} on row {y}")
+        out[y] = cur
+    return out
+
+
+def _decode_png(data: bytes) -> np.ndarray:
+    """Decode an 8-bit non-interlaced PNG to the canonical ``(H, W)``
+    gray / ``(H, W, C)`` RGB(A) uint8 array. Indexed (PLTE) images
+    resolve to RGB. 16-bit depth, sub-byte depths, and Adam7 interlace
+    raise ``NotImplementedError`` (honest gates — the formats exist,
+    this decoder does not pretend to read them)."""
+    import zlib
+
+    ihdr = None
+    plte = None
+    idat = []
+    for ctype, body in _png_chunks(data):
+        if ctype == b"IHDR":
+            ihdr = body
+        elif ctype == b"PLTE":
+            plte = body
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"tRNS":
+            raise NotImplementedError(
+                "PNG tRNS (palette transparency) not supported"
+            )
+    if ihdr is None or len(ihdr) != 13:
+        raise MediaFormatError("PNG missing/short IHDR")
+    w, h, depth, ctype_i, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    if w <= 0 or h <= 0:
+        raise MediaFormatError(f"bad PNG dimensions {w}x{h}")
+    if comp != 0 or filt != 0:
+        raise MediaFormatError(
+            f"bad PNG compression/filter method {comp}/{filt}"
+        )
+    if interlace != 0:
+        raise NotImplementedError("PNG Adam7 interlace not supported")
+    if depth != 8:
+        raise NotImplementedError(f"PNG bit depth {depth} (8-bit only)")
+    if ctype_i not in _PNG_CHANNELS:
+        raise MediaFormatError(f"bad PNG color type {ctype_i}")
+    if not idat:
+        raise MediaFormatError("PNG has no IDAT data")
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise MediaFormatError(f"PNG IDAT inflate failed: {e}") from e
+    nch = _PNG_CHANNELS[ctype_i]
+    stride = w * nch
+    flat = _png_unfilter(raw, h, stride, nch)
+    if ctype_i == 3:
+        if plte is None or len(plte) % 3 or not plte:
+            raise MediaFormatError("indexed PNG missing/bad PLTE")
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = flat.reshape(h, w)
+        if int(idx.max(initial=0)) >= pal.shape[0]:
+            raise MediaFormatError("PNG palette index out of range")
+        return np.ascontiguousarray(pal[idx])
+    if nch == 1:
+        return np.ascontiguousarray(flat.reshape(h, w))
+    return np.ascontiguousarray(flat.reshape(h, w, nch))
+
+
+def encode_png(arr: np.ndarray, *, filters=None) -> bytes:
+    """Encode ``(H, W)`` gray / ``(H, W, 3|4)`` uint8 as an 8-bit PNG.
+
+    The zlib stream is built BY HAND as stored (uncompressed) blocks —
+    header ``78 01``, 5-byte stored-block headers, ``zlib.adler32``
+    checksum — so the container byte length is a closed-form function
+    of the raster size (``8 + 25 + 12 + (2 + 5·⌈n/65535⌉ + n + 4) +
+    12``): deterministic across zlib builds, which is what lets a SQL
+    oracle assert ``n_bytes`` exactly (the BMP/PPM discipline carried
+    to a compressed container; any real inflater reads stored blocks).
+
+    ``filters``: per-row filter ids (0-4), default all-zero; pass e.g.
+    ``[y % 5 for y in range(h)]`` to exercise every filter in one
+    fixture — Sub/Up/Average/Paeth are applied FORWARD here and must
+    round-trip through ``_png_unfilter``."""
+    import zlib
+
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        ctype_i, nch = 0, 1
+        flat = a[:, :, None]
+    elif a.ndim == 3 and a.shape[2] in (3, 4):
+        ctype_i, nch = (2, 3) if a.shape[2] == 3 else (6, 4)
+        flat = a
+    else:
+        raise MediaFormatError(
+            f"encode_png wants (H,W), (H,W,3) or (H,W,4), got {a.shape}"
+        )
+    h, w = flat.shape[0], flat.shape[1]
+    if h == 0 or w == 0:
+        raise MediaFormatError(f"encode_png wants nonempty image, got {a.shape}")
+    stride = w * nch
+    rows = flat.reshape(h, stride).astype(np.int16)
+    if filters is None:
+        filters = [0] * h
+    if len(filters) != h:
+        raise MediaFormatError(f"need {h} per-row filters, got {len(filters)}")
+    body = bytearray()
+    zero = np.zeros(stride, dtype=np.int16)
+    for y in range(h):
+        ft = int(filters[y])
+        cur = rows[y]
+        prev = rows[y - 1] if y else zero
+        left = np.concatenate([zero[:nch], cur[:-nch]])
+        ul = np.concatenate([zero[:nch], prev[:-nch]])
+        if ft == 0:
+            enc = cur
+        elif ft == 1:
+            enc = cur - left
+        elif ft == 2:
+            enc = cur - prev
+        elif ft == 3:
+            enc = cur - ((left + prev) >> 1)
+        elif ft == 4:
+            p = left + prev - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pr = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul)
+            )
+            enc = cur - pr
+        else:
+            raise MediaFormatError(f"bad PNG filter id {ft}")
+        body.append(ft)
+        body.extend((enc & 0xFF).astype(np.uint8).tobytes())
+    raw = bytes(body)
+    # hand-rolled stored-block zlib stream (see docstring)
+    z = bytearray(b"\x78\x01")
+    for off in range(0, len(raw), 65535):
+        blk = raw[off : off + 65535]
+        final = 1 if off + 65535 >= len(raw) else 0
+        z.append(final)
+        z.extend(struct.pack("<HH", len(blk), len(blk) ^ 0xFFFF))
+        z.extend(blk)
+    z.extend(struct.pack(">I", zlib.adler32(raw) & 0xFFFFFFFF))
+
+    def chunk(ctype: bytes, cbody: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(cbody))
+            + ctype
+            + cbody
+            + struct.pack(">I", zlib.crc32(ctype + cbody) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype_i, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", bytes(z))
+        + chunk(b"IEND", b"")
+    )
 
 
 # ---------------------------------------------------------------------------

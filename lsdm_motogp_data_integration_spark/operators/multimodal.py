@@ -113,7 +113,7 @@ def _decode_canonical(content: bytes) -> tuple[str, bytes, dict]:
     swallowed into fake output.
     """
     fmt = mc.sniff_format(content)
-    if fmt in ("bmp", "pgm", "ppm"):
+    if fmt in ("bmp", "pgm", "ppm", "png"):
         a = mc.decode_image(content)
         h, w = a.shape[0], a.shape[1]
         nch = 1 if a.ndim == 2 else a.shape[2]
@@ -140,9 +140,9 @@ def _decode_canonical(content: bytes) -> tuple[str, bytes, dict]:
         ]
         return fmt, b"".join(frames), {"kind": "video", **info}
     raise NotImplementedError(
-        "no pure-numpy decoder for this blob (supported codec-free "
-        "containers: bmp, pgm, ppm, wav, y4m; compressed formats need "
-        "codec libraries this environment does not have)"
+        "no decoder for this blob (supported containers: bmp, pgm, "
+        "ppm, png, wav, y4m; jpeg/mp3/mp4 need codec libraries this "
+        "environment does not have)"
     )
 
 

@@ -792,6 +792,94 @@ def _resolve_lang_model(model, n_buckets, char_n, portable):
     )
 
 
+def _validate_lang_model_grid(model, n_buckets: int) -> None:
+    """Fail-loud shape check shared by both inference forms (ADVICE r5:
+    ``classify_lang_nb`` lacked the guards ``lang_nb_verdict`` has). A
+    valid :func:`train_lang_nb` model has, per label, exactly one
+    ``bucket = -1`` prior row plus one row for every bucket in
+    ``[0, n_buckets)``. An empty model (no labels) or a grid trained at
+    a different ``n_buckets`` (e.g. 128, scored with the default 64)
+    raises instead of silently joining doc buckets against a
+    mismatched grid and returning wrong predictions.
+
+    ``model`` is the (label, bucket, logp) DataFrame or its collected
+    rows; either way the check is O(model) = metadata-sized."""
+    if isinstance(model, DataFrame):
+        stats = (
+            model.groupBy("label")
+            .agg(
+                F.sum(
+                    F.when(F.col("bucket") == -1, 1).otherwise(0)
+                ).alias("n_prior"),
+                F.count_distinct(
+                    F.when(F.col("bucket") >= 0, F.col("bucket"))
+                ).alias("n_grid"),
+                F.max("bucket").alias("max_b"),
+            )
+            .collect()
+        )
+    else:
+        per: dict[str, dict] = {}
+        for r in model:
+            s = per.setdefault(
+                r["label"], {"n_prior": 0, "grid": set(), "max_b": -1}
+            )
+            b = int(r["bucket"])
+            if b == -1:
+                s["n_prior"] += 1
+            else:
+                s["grid"].add(b)
+            s["max_b"] = max(s["max_b"], b)
+        stats = [
+            {
+                "label": lb,
+                "n_prior": s["n_prior"],
+                "n_grid": len(s["grid"]),
+                "max_b": s["max_b"],
+            }
+            for lb, s in per.items()
+        ]
+    if not stats:
+        raise ValueError(
+            "empty lang_nb model (no labels) — the training corpus "
+            "was empty or carried only NULL labels"
+        )
+    bad = [
+        r["label"]
+        for r in stats
+        if r["n_prior"] != 1
+        or r["n_grid"] != n_buckets
+        or r["max_b"] != n_buckets - 1
+    ]
+    if bad:
+        raise ValueError(
+            f"model grid incomplete for labels {sorted(bad)} at "
+            f"n_buckets={n_buckets} — train/serve param mismatch "
+            f"(or a truncated/hand-edited model relation)"
+        )
+
+
+def lang_model_digest(rows) -> str:
+    """Deterministic content digest of a lang_nb model: sha256 over the
+    sorted canonical ``label\\tbucket\\tlogp`` lines (logp is already
+    6dp-quantized by training, so the 6dp text form is exact). The
+    model analogue of :func:`ann.codebook_digest` — recorded by
+    :func:`save_lang_model`, re-derived by :func:`load_lang_model`, so
+    a truncated or hand-edited model parquet raises at load instead of
+    scoring garbage (VERDICT r5 next-round #7)."""
+    import hashlib
+
+    canon = sorted(
+        (r["label"], int(r["bucket"]), float(r["logp"])) for r in rows
+    )
+    h = hashlib.sha256()
+    for label, bucket, logp in canon:
+        if logp == 0:
+            logp = 0.0  # never emit "-0.000000"
+        h.update(f"{label}\t{bucket}\t{logp:.6f}\n".encode())
+    return h.hexdigest()
+
+
 def classify_lang_nb(
     df: DataFrame,
     model,
@@ -822,6 +910,9 @@ def classify_lang_nb(
     model, n_buckets, char_n, portable = _resolve_lang_model(
         model, n_buckets, char_n, portable
     )
+    # same fail-loud misuse guards as lang_nb_verdict (ADVICE r5):
+    # empty model and train/serve grid mismatch raise here too
+    _validate_lang_model_grid(model, n_buckets)
     if not isinstance(model, DataFrame):
         # collected rows (e.g. a LangNBModel): lift back to a relation
         # for the broadcast join — tiny, n_labels × (n_buckets + 1)
@@ -916,6 +1007,9 @@ def lang_nb_verdict(
     )
     if isinstance(model, DataFrame):
         model = model.collect()
+    # shared fail-loud guards: empty model and train/serve grid
+    # mismatch would otherwise yield NULL/wrong verdicts row by row
+    _validate_lang_model_grid(model, n_buckets)
     by_label: dict[str, dict[int, float]] = {}
     priors: dict[str, float] = {}
     for r in model:
@@ -926,13 +1020,6 @@ def lang_nb_verdict(
                 r["logp"]
             )
     labels = sorted(priors)
-    if not labels:
-        # an empty model (empty or all-NULL-label training corpus)
-        # would otherwise yield NULL verdicts row by row — fail loudly
-        raise ValueError(
-            "empty lang_nb model (no labels) — the training corpus "
-            "was empty or carried only NULL labels"
-        )
     if len(labels) * n_buckets > 100_000:
         # the plan-literal form inlines K×n_buckets doubles into the
         # expression tree; past ~1e5 literals plan build/codegen cost
@@ -942,16 +1029,6 @@ def lang_nb_verdict(
             f"model too large for the plan-literal form "
             f"({len(labels)} labels × {n_buckets} buckets); use "
             f"classify_lang_nb (broadcast join) instead"
-        )
-    missing = [
-        lb
-        for lb in labels
-        if len(by_label.get(lb, {})) != n_buckets
-    ]
-    if missing:
-        raise ValueError(
-            f"model grid incomplete for labels {missing} at "
-            f"n_buckets={n_buckets} — train/serve param mismatch"
         )
     buckets = char_ngram_buckets(col, n_buckets, char_n, portable)
     # ONE fold accumulates ALL K label scores simultaneously — a
@@ -1015,25 +1092,64 @@ class LangNBModel(NamedTuple):
 
 
 def save_lang_model(
-    model: DataFrame,
+    model,
     spark,
     path: str,
     *,
-    n_buckets: int = 64,
-    char_n: int = 3,
-    portable: bool = False,
+    n_buckets: int | None = None,
+    char_n: int | None = None,
+    portable: bool | None = None,
 ) -> None:
     """Persist a :func:`train_lang_nb` model: the (label, bucket,
     logp) rows as a tiny parquet plus the ANN-style ``_meta`` sidecar
-    (kind + the training params) — train ONCE per corpus, serve many,
-    and a tree served with mismatched params is detectable instead of
-    silently wrong (the ``save_codebook`` discipline; VERDICT r4 #7's
-    pattern applied to the language model)."""
+    (kind + the training params + a content digest) — train ONCE per
+    corpus, serve many, and a tree served with mismatched params is
+    detectable instead of silently wrong (the ``save_codebook``
+    discipline; VERDICT r4 #7's pattern applied to the language
+    model).
+
+    ``n_buckets`` is DERIVED from the model rows (max bucket + 1,
+    validated as a complete grid) — an explicit value that disagrees
+    with the rows raises instead of recording wrong provenance
+    (ADVICE r5: the old 64-default sidecar would assert wrong params
+    for a 128-bucket model saved without re-passing them). ``char_n``
+    and ``portable`` are NOT derivable from the rows: pass them
+    explicitly, or pass a :class:`LangNBModel` so every param travels
+    with the model; a bare-DataFrame save without them records the
+    training defaults (3 / False).
+
+    The sidecar also records :func:`lang_model_digest` of the rows,
+    verified by :func:`load_lang_model` — a truncated or hand-edited
+    model parquet raises at load rather than scoring garbage."""
     from lsdm_motogp_data_integration_spark.operators.ann import (
         _write_index_meta,
     )
 
-    model.coalesce(1).write.mode("overwrite").parquet(path)
+    if isinstance(model, LangNBModel):
+        rows, n_buckets, char_n, portable = _resolve_lang_model(
+            model, n_buckets, char_n, portable
+        )
+    else:
+        rows = model.collect() if isinstance(model, DataFrame) else model
+        char_n = 3 if char_n is None else char_n
+        portable = False if portable is None else portable
+    if not rows:
+        raise ValueError(
+            "empty lang_nb model (no labels) — nothing to save"
+        )
+    derived = max(int(r["bucket"]) for r in rows) + 1
+    if n_buckets is not None and int(n_buckets) != derived:
+        raise ValueError(
+            f"n_buckets={n_buckets} disagrees with the model rows "
+            f"(bucket grid implies {derived}) — refusing to record "
+            f"wrong provenance"
+        )
+    n_buckets = derived
+    _validate_lang_model_grid(rows, n_buckets)
+    spark.createDataFrame(
+        [(r["label"], r["bucket"], r["logp"]) for r in rows],
+        "label string, bucket bigint, logp double",
+    ).coalesce(1).write.mode("overwrite").parquet(path)
     _write_index_meta(
         spark,
         path,
@@ -1042,6 +1158,7 @@ def save_lang_model(
             "n_buckets": int(n_buckets),
             "char_n": int(char_n),
             "portable": bool(portable),
+            "model_digest": lang_model_digest(rows),
         },
     )
 
@@ -1050,7 +1167,11 @@ def load_lang_model(spark, path: str) -> LangNBModel:
     """Load :func:`save_lang_model` output as a :class:`LangNBModel`
     (rows + recovered params). A tree without the sidecar, or whose
     sidecar is not a ``lang_nb`` model, raises — there is no safe
-    default for the hash params."""
+    default for the hash params. When the sidecar carries a
+    ``model_digest`` (every save since r6 does), the loaded rows'
+    digest must match and the grid must be complete — corruption,
+    truncation, or hand-edits raise here instead of serving
+    confidently wrong verdicts downstream."""
     from lsdm_motogp_data_integration_spark.operators.ann import (
         _read_index_meta,
     )
@@ -1063,9 +1184,20 @@ def load_lang_model(spark, path: str) -> LangNBModel:
             f"save_lang_model"
         )
     rows = spark.read.parquet(path).collect()
+    n_buckets = int(meta["n_buckets"])
+    _validate_lang_model_grid(rows, n_buckets)
+    want = meta.get("model_digest")
+    if want is not None:
+        got = lang_model_digest(rows)
+        if got != want:
+            raise ValueError(
+                f"lang_nb model at {path} fails its digest check "
+                f"(sidecar {want}, rows {got}) — the parquet was "
+                f"modified after save_lang_model; rebuild the model"
+            )
     return LangNBModel(
         rows=rows,
-        n_buckets=int(meta["n_buckets"]),
+        n_buckets=n_buckets,
         char_n=int(meta["char_n"]),
         portable=bool(meta["portable"]),
     )

@@ -480,6 +480,17 @@ def streaming_neardup_ingest(
                 raise ValueError(
                     "post_mark must return an `excluded` boolean column"
                 )
+            # NULL-safety (ADVICE r5): a user post_mark whose predicate
+            # yields NULL (e.g. a three-valued comparison on a NULL
+            # column) would otherwise be silently treated as excluded
+            # by the ~excluded shard-export filter and every downstream
+            # NOT excluded consumer. Coalesce to false — the same
+            # keep-by-default convention the built-in strict_decontam
+            # marker uses
+            survivors = survivors.withColumn(
+                "excluded",
+                F.coalesce(F.col("excluded").cast("boolean"), F.lit(False)),
+            )
         survivors = survivors.localCheckpoint(eager=True)
         # in-file sort by id: future batches' verification semi-joins
         # prune row groups via parquet min/max stats on the id
