@@ -1844,17 +1844,19 @@ def q40_streaming_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _build_multimodal_media(
     docs: DataFrame, kinds: tuple[int, ...] = (0, 1, 2, 3)
 ) -> DataFrame:
-    """Four REAL codec-free media blobs per document — a 24-bit BMP
-    (7×6, exercises row padding + bottom-up/BGR), a P5 PGM (5×4), a
-    16-bit PCM WAV (64 mono samples @ 8 kHz), and a 2-frame Cmono Y4M
-    (4×3 @ 10 fps) — whose pixel/sample bytes are md5 chains of the
-    text (``md5(text + ':tag:' + i)`` blocks, truncated), so a SQL
-    oracle can regenerate the EXPECTED decoded values without parsing
-    any container.  ``media_id = doc_id*4 + k`` (k: 0=bmp, 1=pgm,
-    2=wav, 3=y4m) keys the scope; ``kinds`` restricts which blobs are
-    BUILT, so a consumer of one kind (the resize branch) never pays
-    for encoding the other three only to filter them out above the
-    UDF (a plain filter cannot push through mapInPandas)."""
+    """Five REAL media blobs per document — a 24-bit BMP (7×6,
+    exercises row padding + bottom-up/BGR), a P5 PGM (5×4), a 16-bit
+    PCM WAV (64 mono samples @ 8 kHz), a 2-frame Cmono Y4M (4×3 @ 10
+    fps), and (r6) a PNG (6×5 RGB, one scanline per filter type 0-4,
+    stored-block zlib so the container size is closed-form) — whose
+    pixel/sample bytes are md5 chains of the text (``md5(text +
+    ':tag:' + i)`` blocks, truncated), so a SQL oracle can regenerate
+    the EXPECTED decoded values without parsing any container.
+    ``media_id = doc_id*8 + k`` (k: 0=bmp, 1=pgm, 2=wav, 3=y4m,
+    4=png) keys the scope; ``kinds`` restricts which blobs are BUILT,
+    so a consumer of one kind (the resize branch) never pays for
+    encoding the other four only to filter them out above the UDF (a
+    plain filter cannot push through mapInPandas)."""
     import hashlib as _hl
 
     import numpy as _np
@@ -1887,6 +1889,15 @@ def _build_multimodal_media(
         if k == 2:
             au = _np.frombuffer(chain(t, "au", 8)[:128], "<i2")
             return "audio", mc.encode_wav(au, 8000)
+        if k == 4:
+            # PNG: every scanline gets a different filter (None/Sub/
+            # Up/Average/Paeth), so one fixture exercises the whole
+            # unfilter matrix; stored-block zlib keeps n_bytes a
+            # constant 163 the oracle can assert
+            pn = _np.frombuffer(
+                chain(t, "pn", 6)[:90], _np.uint8
+            ).reshape(5, 6, 3)
+            return "image", mc.encode_png(pn, filters=[0, 1, 2, 3, 4])
         vf = chain(t, "vf", 2)[:24]
         frames = [
             _np.frombuffer(vf[:12], _np.uint8).reshape(3, 4),
@@ -1901,7 +1912,7 @@ def _build_multimodal_media(
                 t = "" if text is None else str(text)
                 for k in sorted(want):
                     kind, blob = build_one(k, t)
-                    ids.append(int(did) * 4 + k)
+                    ids.append(int(did) * 8 + k)
                     kind_col.append(kind)
                     contents.append(blob)
                     metas.append(None)
@@ -1935,7 +1946,16 @@ def q41_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
       ``weighted_sum`` and fails the hash.  (Raw decoded digests are
       additionally pinned against hand-written golden bytes in
       tests/test_multimodal.py; DuckDB 1.0 cannot hash blobs, so the
-      driver compare uses the integer contract.)"""
+      driver compare uses the integer contract.)
+    - ``real_png`` (r6): a real PNG per document, one scanline per
+      filter type, decoded by the stdlib-zlib decoder — the oracle
+      replays the raw pixel chain, so every unfilter path must cancel
+      its forward filter exactly.
+    - ``real_dhash`` (r6): perceptual difference-hash near-dup — the
+      64-bit dHash replayed bit-for-bit in SQL (``sum_values`` is the
+      hash as int64) and the banded Hamming join pinned against a
+      brute-force xor/bit_count oracle (``weighted_sum`` = neighbors
+      within Hamming ≤ 10)."""
     from lsdm_motogp_data_integration_spark.operators.multimodal import (
         extract_features,
         media_stats,
@@ -1976,9 +1996,9 @@ def q41_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit("real_wav"),
                 F.lit("real_y4m"),
             ),
-            (F.col("media_id") % 4 + 1).cast("int"),
+            (F.col("media_id") % 8 + 1).cast("int"),
         ).alias("scope"),
-        F.expr("media_id DIV 4").alias("media_id"),
+        F.expr("media_id DIV 8").alias("media_id"),
         "kind",
         "fmt",
         "n_bytes",
@@ -2000,7 +2020,7 @@ def q41_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rz = media_stats(resized).select(
         F.lit("real_resize").alias("scope"),
-        F.expr("media_id DIV 4").alias("media_id"),
+        F.expr("media_id DIV 8").alias("media_id"),
         "kind",
         "fmt",
         "n_bytes",
@@ -2026,7 +2046,7 @@ def q41_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rs = media_stats(resampled).select(
         F.lit("real_resample").alias("scope"),
-        F.expr("media_id DIV 4").alias("media_id"),
+        F.expr("media_id DIV 8").alias("media_id"),
         "kind",
         "fmt",
         "n_bytes",
@@ -2050,7 +2070,7 @@ def q41_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vr = media_stats(vresized).select(
         F.lit("real_vresize").alias("scope"),
-        F.expr("media_id DIV 4").alias("media_id"),
+        F.expr("media_id DIV 8").alias("media_id"),
         "kind",
         "fmt",
         "n_bytes",
@@ -2061,11 +2081,79 @@ def q41_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_values",
         "weighted_sum",
     )
+    # real_png (r6): a real PNG per document — 6×5 RGB pixels from the
+    # 'pn' md5 chain, one scanline per filter type (None/Sub/Up/
+    # Average/Paeth), hand-rolled stored-block zlib (n_bytes a
+    # constant 163) — decoded by the stdlib-zlib + numpy-unfilter
+    # decoder and verified through the same exact-integer contract:
+    # the oracle replays the raw chain bytes (the filters must cancel
+    # exactly), so any unfilter bug flips sum_values/weighted_sum
+    png_media = _build_multimodal_media(d, kinds=(4,))
+    pg = media_stats(png_media).select(
+        F.lit("real_png").alias("scope"),
+        F.expr("media_id DIV 8").alias("media_id"),
+        "kind",
+        "fmt",
+        "n_bytes",
+        F.lit(None).cast("string").alias("digest"),
+        "width",
+        "height",
+        "n_values",
+        "sum_values",
+        "weighted_sum",
+    )
+    # real_dhash (r6): perceptual 64-bit difference hash over the
+    # decoded BMP pixels (integer luma → pixel-center NN 9×8 →
+    # right-neighbor gradient signs), plus the COMPLETE pigeonhole
+    # Hamming band join (dedup.hamming64_pairs — bucketed candidates,
+    # never all-pairs). sum_values carries the int64 hash itself;
+    # weighted_sum the count of OTHER images within Hamming ≤ 10 —
+    # the oracle replays the hash bit-for-bit from the md5 pixel
+    # chain and the neighbor counts via a brute-force xor/bit_count
+    # self-join, so the banded join is pinned against exact Hamming.
+    from lsdm_motogp_data_integration_spark.operators.dedup import (
+        hamming64_pairs,
+    )
+    from lsdm_motogp_data_integration_spark.operators.multimodal import (
+        image_dhash,
+    )
+
+    # persist: 8 bytes/image — metadata-sized at any corpus scale; the
+    # relation feeds both the band join (referenced twice) and the
+    # output join, so without it the decode pass would run 3×
+    hashes = image_dhash(bmp_media).persist()
+    pairs = hamming64_pairs(hashes, "media_id", "dhash", max_hamming=10)
+    nbr = (
+        pairs.select(F.col("id_a").alias("media_id"))
+        .unionAll(pairs.select(F.col("id_b").alias("media_id")))
+        .groupBy("media_id")
+        .agg(F.count(F.lit(1)).alias("__nbr"))
+    )
+    dh = (
+        hashes.join(nbr, "media_id", "left")
+        .select(
+            F.lit("real_dhash").alias("scope"),
+            F.expr("media_id DIV 8").alias("media_id"),
+            F.lit("image").alias("kind"),
+            F.lit("bmp").alias("fmt"),
+            F.lit(None).cast("bigint").alias("n_bytes"),
+            F.lit(None).cast("string").alias("digest"),
+            F.lit(9).cast("int").alias("width"),
+            F.lit(8).cast("int").alias("height"),
+            F.lit(64).cast("bigint").alias("n_values"),
+            F.col("dhash").alias("sum_values"),
+            F.coalesce(F.col("__nbr"), F.lit(0))
+            .cast("bigint")
+            .alias("weighted_sum"),
+        )
+    )
     return (
         fake.unionByName(real)
         .unionByName(rz)
         .unionByName(rs)
         .unionByName(vr)
+        .unionByName(pg)
+        .unionByName(dh)
     )
 
 
@@ -6148,6 +6236,12 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents, generate_series(0, 1) AS t(i)
                 GROUP BY doc_id
             ),
+            pn_chain AS (   -- 6 blocks = 96 bytes; png uses 90 (6x5 RGB)
+                SELECT doc_id,
+                       string_agg(md5(text || ':pn:' || i), '' ORDER BY i) AS hx
+                FROM documents, generate_series(0, 5) AS t(i)
+                GROUP BY doc_id
+            ),
             bmp_bytes AS (
                 SELECT doc_id, j,
                        (strpos('0123456789abcdef', substr(hx, 2*j+1, 1))-1)*16
@@ -6195,6 +6289,57 @@ def oracle_sql() -> dict[str, str]:
                        (strpos('0123456789abcdef', substr(p.hx, 2*r.src+1, 1))-1)*16
                      + (strpos('0123456789abcdef', substr(p.hx, 2*r.src+2, 1))-1) AS v
                 FROM px_chain p, rz_map r
+            ),
+            pn_bytes AS (   -- the 90 raw PNG pixels, row-major RGB —
+                            -- the five forward scanline filters must
+                            -- cancel against the five unfilter paths
+                SELECT doc_id, j,
+                       (strpos('0123456789abcdef', substr(hx, 2*j+1, 1))-1)*16
+                     + (strpos('0123456789abcdef', substr(hx, 2*j+2, 1))-1) AS v
+                FROM pn_chain, generate_series(0, 89) AS t(j)
+            ),
+            -- real_dhash: integer ITU-R 601 luma per BMP pixel ...
+            dh_gray AS (
+                SELECT doc_id, j // 3 AS p,
+                       (299 * MAX(CASE WHEN j % 3 = 0 THEN v END)
+                      + 587 * MAX(CASE WHEN j % 3 = 1 THEN v END)
+                      + 114 * MAX(CASE WHEN j % 3 = 2 THEN v END)) // 1000 AS gv
+                FROM bmp_bytes GROUP BY doc_id, j // 3
+            ),
+            -- ... pixel-center NN 7x6 -> 9x8: ys=floor((y+.5)*6/8)=
+            -- [0,1,1,2,3,4,4,5], xs=floor((x+.5)*7/9)=[0,1,1,2,3,4,5,5,6];
+            -- bit i=y*8+x set iff right neighbor strictly brighter
+            dh_map AS (
+                SELECT y*8 + x AS i,
+                       list_value(0,1,1,2,3,4,4,5)[y+1]*7
+                       + list_value(0,1,1,2,3,4,5,5,6)[x+1] AS pl,
+                       list_value(0,1,1,2,3,4,4,5)[y+1]*7
+                       + list_value(0,1,1,2,3,4,5,5,6)[x+2] AS pr
+                FROM generate_series(0,7) ty(y), generate_series(0,7) tx(x)
+            ),
+            dh_val AS (     -- uint64 bit pattern -> int64 two's complement
+                SELECT doc_id,
+                       CAST(CASE WHEN s >= (1::HUGEINT << 63)
+                                 THEN s - (1::HUGEINT << 64)
+                                 ELSE s END AS BIGINT) AS dh
+                FROM (
+                    SELECT g1.doc_id,
+                           SUM(CASE WHEN g2.gv > g1.gv
+                                    THEN (1::HUGEINT << m.i)
+                                    ELSE 0::HUGEINT END) AS s
+                    FROM dh_map m
+                    JOIN dh_gray g1 ON g1.p = m.pl
+                    JOIN dh_gray g2 ON g2.doc_id = g1.doc_id AND g2.p = m.pr
+                    GROUP BY g1.doc_id
+                )
+            ),
+            dh_nbr AS (     -- brute-force exact Hamming neighbors: the
+                            -- banded join must match this exactly
+                SELECT a.doc_id, COUNT(b.doc_id) AS nbr
+                FROM dh_val a LEFT JOIN dh_val b
+                  ON a.doc_id <> b.doc_id
+                 AND bit_count(xor(a.dh, b.dh)) <= 10
+                GROUP BY a.doc_id
             )
             SELECT 'fake' AS scope, doc_id AS media_id, 'text' AS kind,
                    NULL::VARCHAR AS fmt,
@@ -6265,6 +6410,24 @@ def oracle_sql() -> dict[str, str]:
                 FROM generate_series(0, 7) t(p)
             ) m JOIN vf_bytes b ON b.j = m.src
             GROUP BY doc_id
+            UNION ALL
+            -- real_png: the filters are a bijection per scanline, so
+            -- the decoded raster must equal the raw chain bytes
+            SELECT 'real_png', doc_id, 'image', 'png',
+                   CAST(163 AS BIGINT),  -- 8 sig + 25 IHDR + 12+106 IDAT
+                                         -- (stored zlib: 2+5+95+4) + 12 IEND
+                   NULL::VARCHAR, 6, 5,
+                   CAST(COUNT(*) AS BIGINT), CAST(SUM(v) AS BIGINT),
+                   CAST(SUM(v * (j + 1)) AS BIGINT)
+            FROM pn_bytes GROUP BY doc_id
+            UNION ALL
+            -- real_dhash: sum_values = the 64-bit perceptual hash as
+            -- int64; weighted_sum = exact-Hamming(<=10) neighbor count
+            -- (the Spark side uses the banded pigeonhole join)
+            SELECT 'real_dhash', v.doc_id, 'image', 'bmp',
+                   NULL::BIGINT, NULL::VARCHAR, 9, 8,
+                   CAST(64 AS BIGINT), v.dh, CAST(n.nbr AS BIGINT)
+            FROM dh_val v JOIN dh_nbr n ON n.doc_id = v.doc_id
         """,
         "q42_json_extract": """
             SELECT event_id,

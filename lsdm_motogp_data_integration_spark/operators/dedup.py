@@ -1039,9 +1039,36 @@ def simhash_pairs(
         hashed = hashed.persist()
         if _persist_handles is not None:
             _persist_handles.append(hashed)
-    # chunk count derives from the radius so the pigeonhole guarantee
-    # HOLDS for any max_hamming (a fixed 4-chunk split would silently
-    # miss pairs differing in all four chunks at h >= 4)
+    return hamming64_pairs(hashed, "__id", "__sh", max_hamming=max_hamming)
+
+
+def hamming64_pairs(
+    hashed: DataFrame,
+    id_col: str,
+    sig_col: str,
+    *,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """All pairs of rows whose 64-bit signatures are within
+    ``max_hamming`` bits — the banded-candidate core shared by SimHash
+    text near-dup (:func:`simhash_pairs`) and perceptual image near-dup
+    (``multimodal.image_dhash``; VERDICT r5 next-round #2).
+
+    COMPLETE, never sampled: candidates share at least one of
+    ``max_hamming + 1`` disjoint signature chunks (pigeonhole: a pair
+    within Hamming distance h of 64 bits must agree on ≥1 of h+1
+    chunks), then ``bit_count(a XOR b) <= max_hamming`` verifies
+    JVM-side. The chunk-bucket equi-join is the only shuffle — never an
+    all-pairs product; chunk count derives from the radius so the
+    guarantee holds for any ``max_hamming`` (a fixed 4-chunk split
+    would silently miss pairs differing in all four chunks at h >= 4).
+
+    Output: (id_a, id_b, hamming), id_a < id_b."""
+    if not (0 <= int(max_hamming) <= 63):
+        raise ValueError(f"max_hamming must be 0..63, got {max_hamming}")
+    hashed = hashed.select(
+        F.col(id_col).alias("__id"), F.col(sig_col).alias("__sh")
+    )
     n_chunks = int(max_hamming) + 1
     chunk_bits = -(-64 // n_chunks)  # ceil
     mask = (1 << chunk_bits) - 1
