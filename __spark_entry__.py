@@ -4838,23 +4838,42 @@ _KMEANS_SQL = f"""
 
 
 _LANG2_SQL_CTES = """            ), h AS (
+                -- textops.LANG_MARKERS (r6: 11 Latin languages; every
+                -- marker starts/ends with an ASCII letter so Java and
+                -- RE2 agree on the \\b semantics)
                 SELECT doc_id,
                        len(regexp_extract_all(text, '(?i)\\b(der|die|das|und|ist|mit|ein)\\b')) AS h_de,
                        len(regexp_extract_all(text, '(?i)\\b(the|and|of|to|is|that|with)\\b')) AS h_en,
                        len(regexp_extract_all(text, '(?i)\\b(el|la|los|las|que|de|con|una)\\b')) AS h_es,
                        len(regexp_extract_all(text, '(?i)\\b(le|la|les|et|est|avec|une|des)\\b')) AS h_fr,
-                       len(regexp_extract_all(text, '(?i)\\b(il|la|gli|che|di|con|una|per)\\b')) AS h_it
+                       len(regexp_extract_all(text, '(?i)\\b(il|la|gli|che|di|con|una|per)\\b')) AS h_it,
+                       len(regexp_extract_all(text, '(?i)\\b(het|een|van|niet|zijn|voor|ook)\\b')) AS h_nl,
+                       len(regexp_extract_all(text, '(?i)\\b(jest|oraz|przez|bardzo|które|także|tylko)\\b')) AS h_pl,
+                       len(regexp_extract_all(text, '(?i)\\b(não|são|uma|pelo|pela|também)\\b')) AS h_pt,
+                       len(regexp_extract_all(text, '(?i)\\b(pentru|dintre|acest|aceasta|către|fiind)\\b')) AS h_ro,
+                       len(regexp_extract_all(text, '(?i)\\b(och|att|det|som|från|inte|denna)\\b')) AS h_sv,
+                       len(regexp_extract_all(text, '(?i)\\b(bir|için|olarak|değil|ancak|daha|gibi)\\b')) AS h_tr
                 FROM documents
             ), m AS (
-                SELECT *, greatest(h_de, h_en, h_es, h_fr, h_it) AS hmax FROM h
+                SELECT *, greatest(h_de, h_en, h_es, h_fr, h_it, h_nl,
+                                   h_pl, h_pt, h_ro, h_sv, h_tr) AS hmax
+                FROM h
             ), lang AS (
+                -- CASE order = code ascending == the engine's
+                -- smallest-code tie-break
                 SELECT doc_id,
                        CASE WHEN hmax <= 0 THEN 'und'
                             WHEN h_de = hmax THEN 'de'
                             WHEN h_en = hmax THEN 'en'
                             WHEN h_es = hmax THEN 'es'
                             WHEN h_fr = hmax THEN 'fr'
-                            ELSE 'it'
+                            WHEN h_it = hmax THEN 'it'
+                            WHEN h_nl = hmax THEN 'nl'
+                            WHEN h_pl = hmax THEN 'pl'
+                            WHEN h_pt = hmax THEN 'pt'
+                            WHEN h_ro = hmax THEN 'ro'
+                            WHEN h_sv = hmax THEN 'sv'
+                            ELSE 'tr'
                        END AS pred_lang
                 FROM m
             ), scr AS (

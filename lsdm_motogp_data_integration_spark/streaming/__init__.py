@@ -998,3 +998,94 @@ def lang_model_from_partials(spark, partials_dir: str):
         char_n=int(meta["char_n"]),
         portable=bool(meta["portable"]),
     )
+
+
+def lang_model_drift(spark, model_a, model_b) -> DataFrame:
+    """Drift report between two NB language models (r6; VERDICT r5
+    next-round #8) — the observability piece continuous training was
+    missing: :func:`streaming_lang_model_ingest` keeps folding batches
+    into the count partials, and this report says WHAT each new
+    snapshot changed, per label:
+
+    - ``status``: 'added' (label first seen in ``model_b``),
+      'removed', or 'kept';
+    - ``prior_a`` / ``prior_b`` / ``prior_delta``: the class doc-share
+      ``exp(logprior)`` of each side and its change — a corpus whose
+      language mix is shifting shows up here first (the q53 langmix
+      signal read off the model instead of the corpus);
+    - ``gram_l1``: L1 distance between the two smoothed gram-bucket
+      distributions ``Σ_b |exp(logp_b) − exp(logp_a)|`` ∈ [0, 2] —
+      within-label drift (topic/orthography change) that priors can't
+      see. NULL for added/removed labels (no counterpart side).
+
+    Models may be :class:`scoring.LangNBModel` (params travel; a
+    hash-param mismatch between the two sides raises — drift between
+    models in different feature spaces is meaningless) or raw
+    rows/DataFrames (caller vouches the params match). All math runs
+    driver-side on the metadata-sized model rows (n_labels ×
+    (n_buckets + 1)); values are 6dp-rounded for stable pinning."""
+    import math
+
+    from lsdm_motogp_data_integration_spark.operators.scoring import (
+        LangNBModel,
+    )
+
+    def norm(m):
+        params = None
+        if isinstance(m, LangNBModel):
+            params = (m.n_buckets, m.char_n, m.portable)
+            m = m.rows
+        elif isinstance(m, DataFrame):
+            m = m.collect()
+        priors, grams = {}, {}
+        for r in m:
+            if r["bucket"] == -1:
+                priors[r["label"]] = float(r["logp"])
+            else:
+                grams.setdefault(r["label"], {})[int(r["bucket"])] = float(
+                    r["logp"]
+                )
+        return params, priors, grams
+
+    pa, priors_a, grams_a = norm(model_a)
+    pb, priors_b, grams_b = norm(model_b)
+    if pa is not None and pb is not None and pa != pb:
+        raise ValueError(
+            f"model params differ (a={pa}, b={pb}) — drift between "
+            f"models in different feature spaces is meaningless; "
+            f"retrain instead of comparing"
+        )
+    out = []
+    for lb in sorted(set(priors_a) | set(priors_b)):
+        in_a, in_b = lb in priors_a, lb in priors_b
+        status = "kept" if (in_a and in_b) else ("added" if in_b else "removed")
+        prior_a = round(math.exp(priors_a[lb]), 6) if in_a else None
+        prior_b = round(math.exp(priors_b[lb]), 6) if in_b else None
+        gram_l1 = None
+        if in_a and in_b:
+            ga, gb = grams_a.get(lb, {}), grams_b.get(lb, {})
+            gram_l1 = round(
+                sum(
+                    abs(
+                        math.exp(gb.get(k, float("-inf")))
+                        - math.exp(ga.get(k, float("-inf")))
+                    )
+                    for k in set(ga) | set(gb)
+                ),
+                6,
+            )
+        out.append(
+            (
+                lb,
+                status,
+                prior_a,
+                prior_b,
+                round((prior_b or 0.0) - (prior_a or 0.0), 6),
+                gram_l1,
+            )
+        )
+    return spark.createDataFrame(
+        out,
+        "label string, status string, prior_a double, prior_b double, "
+        "prior_delta double, gram_l1 double",
+    )

@@ -93,6 +93,29 @@ def test_curate_screens_filter(spark):
     assert langs <= {"en"}
 
 
+def test_curate_keep_langs_r6_latin_tier(spark):
+    """keep_langs routes on the r6-extended marker table (VERDICT r5
+    next-round #5): a mixed pt/sv/tr/en corpus curated with
+    keep_langs=('pt', 'tr') keeps exactly the Portuguese and Turkish
+    documents — previously every non-{en,es,de,fr,it} Latin doc was
+    'und' and could only be kept via the blunt keep_langs=('und',)."""
+    rows = [
+        (1, "a decisão não foi fácil mas são horas de tomar uma e "
+            "também agir sem medo", "s"),
+        (2, "det är viktigt att komma från skolan och inte glömma "
+            "denna bok idag", "s"),
+        (3, "bu bir deneme için olarak yazdım ancak daha iyi değil "
+            "gibi oldu bence", "s"),
+        (4, "the cat and the dog of the house that is with us", "s"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    out = curate(
+        df, keep_langs=("pt", "tr"), min_quality=0.0, min_distinct_ratio=0.0
+    )
+    kept = {r["doc_id"] for r in out["screened"].select("doc_id").collect()}
+    assert kept == {1, 3}
+
+
 def test_curate_bloom_decontamination_equals_exact(spark):
     """decontam_method='bloom' must produce the identical clean set —
     the screen changes the plan (bit-filter + verify), never the

@@ -903,6 +903,112 @@ def test_streaming_lang_model_ingest_matches_batch(
         lang_model_from_partials(spark, empty)
 
 
+def test_lang_model_drift_two_batch_report(spark, tmp_path_factory):
+    """Drift telemetry for continuous NB training (r6; VERDICT r5
+    next-round #8): snapshot the model after each micro-batch and the
+    report must name what changed — a label the new batch introduced
+    ('added'), the prior mass it took from the incumbents
+    (prior_delta < 0), and within-label gram drift when a kept label
+    saw new text. Param-mismatched models refuse to compare."""
+    import pytest
+    from pyspark.sql import types as T
+
+    from lsdm_motogp_data_integration_spark.operators.scoring import (
+        train_lang_nb,
+    )
+    from lsdm_motogp_data_integration_spark.streaming import (
+        lang_model_drift,
+        lang_model_from_partials,
+        streaming_lang_model_ingest,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    b1 = [
+        (1, "the cat sat on the mat and the dog ran through a field", "en"),
+        (2, "the house of the hill is with the old oak and the barn", "en"),
+        (3, "a informação chegou à estação e a decisão não foi fácil", "pt"),
+    ]
+    b2 = [
+        (4, "la información llegó a la estación y la decisión fue clara", "es"),
+        (5, "as ações da nação são uma questão de atenção e conexão", "pt"),
+    ]
+    src = str(tmp_path_factory.mktemp("lmdrift_src"))
+    partials = str(tmp_path_factory.mktemp("lmdrift_partials"))
+    ckpt = str(tmp_path_factory.mktemp("lmdrift_ckpt"))
+    kw = dict(n_buckets=32, char_n=3, portable=True)
+
+    def drain():
+        streaming_lang_model_ingest(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(src),
+            partials_dir=partials,
+            checkpoint_dir=ckpt,
+            label_col="lang",
+            **kw,
+        )
+
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(f"{src}/f0")
+    drain()
+    model_a = lang_model_from_partials(spark, partials)
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(f"{src}/f1")
+    drain()
+    model_b = lang_model_from_partials(spark, partials)
+
+    rep = {
+        r["label"]: r
+        for r in lang_model_drift(spark, model_a, model_b).collect()
+    }
+    assert {lb: r["status"] for lb, r in rep.items()} == {
+        "en": "kept", "pt": "kept", "es": "added",
+    }
+    # es appeared in batch 2: no prior_a, a real prior_b, no gram_l1
+    assert rep["es"]["prior_a"] is None
+    assert rep["es"]["prior_b"] == pytest.approx(1 / 5, abs=1e-4)
+    assert rep["es"]["gram_l1"] is None
+    # en lost prior mass to the new arrivals (2/3 -> 2/5) ...
+    assert rep["en"]["prior_delta"] < 0
+    assert rep["en"]["prior_a"] == pytest.approx(2 / 3, abs=1e-4)
+    assert rep["en"]["prior_b"] == pytest.approx(2 / 5, abs=1e-4)
+    # ... and saw NO new text: zero within-label gram drift, while pt
+    # (one new doc with fresh grams) drifted
+    assert rep["en"]["gram_l1"] == pytest.approx(0.0, abs=1e-6)
+    assert rep["pt"]["gram_l1"] > 0.01
+
+    # the report equals drift(one-shot(b1), one-shot(b1+b2)) — the
+    # stream==batch count property carried through the telemetry
+    a1 = train_lang_nb(spark.createDataFrame(b1, schema), "lang", "text", **kw)
+    a2 = train_lang_nb(
+        spark.createDataFrame(b1 + b2, schema), "lang", "text", **kw
+    )
+    rep2 = sorted(
+        map(tuple, lang_model_drift(spark, a1, a2).collect())
+    )
+    assert rep2 == sorted(map(tuple, lang_model_drift(
+        spark, model_a, model_b
+    ).collect()))
+
+    # param-mismatched models refuse to compare
+    other = train_lang_nb(
+        spark.createDataFrame(b1, schema), "lang", "text",
+        n_buckets=64, char_n=3,
+    )
+    from lsdm_motogp_data_integration_spark.operators.scoring import (
+        LangNBModel,
+    )
+
+    other_m = LangNBModel(other.collect(), 64, 3, False)
+    with pytest.raises(ValueError, match="feature spaces"):
+        lang_model_drift(spark, model_a, other_m)
+
+
 def test_streaming_neardup_index_params_sidecar(spark, tmp_path_factory):
     """MinHash-index params sidecar (r5): index rows are a pure
     function of (text, k, num_perm, bands, unit) — resuming the

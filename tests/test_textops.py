@@ -57,6 +57,34 @@ def test_lang_id_markers(spark):
         assert one(spark, text, lang_id("t")) == expected, text
 
 
+def test_lang_id_r6_latin_tier(spark):
+    """One real-language fixture per r6 marker table entry (VERDICT r5
+    next-round #5: pt/nl/pl/tr/sv/ro): each lands on its own code, and
+    the original five still win on their fixtures (no new marker
+    cannibalizes an old language's common words — the construction
+    rule that pt dropped 'para'/'mais' etc.)."""
+    cases = {
+        # pt: não/são/uma/também — non-ASCII only INSIDE markers
+        "a decisão não foi fácil mas são horas de tomar uma e também agir": "pt",
+        # nl: het/een/van/niet/zijn/voor/ook
+        "het huis van de buren is niet groot maar ook een beetje oud": "nl",
+        # pl: jest/oraz/przez/bardzo/które/także/tylko
+        "to jest bardzo dobre oraz tylko niektóre rzeczy które znamy": "pl",
+        # tr: bir/için/olarak/değil/ancak/daha/gibi
+        "bu bir deneme için olarak yazdım ancak daha iyi değil gibi": "tr",
+        # sv: och/att/det/som/från/inte/denna
+        "det är viktigt att komma från skolan och inte glömma denna bok": "sv",
+        # ro: pentru/dintre/acest/aceasta/către/fiind
+        "pentru aceasta am ales acest drum dintre toate fiind cel bun": "ro",
+        # the original five keep winning on their own fixtures
+        "the cat and the dog of the house": "en",
+        "der hund und die katze ist mit ein haus": "de",
+        "il gatto e il cane che di casa con una mesa per": "it",
+    }
+    for text, expected in cases.items():
+        assert one(spark, text, lang_id("t")) == expected, text
+
+
 def test_fingerprint_canonicalizes(spark):
     a = one(spark, "Hello,   World!", fingerprint("t"))
     b = one(spark, "hello world", fingerprint("t"))
