@@ -1955,7 +1955,10 @@ def q41_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
       64-bit dHash replayed bit-for-bit in SQL (``sum_values`` is the
       hash as int64) and the banded Hamming join pinned against a
       brute-force xor/bit_count oracle (``weighted_sum`` = neighbors
-      within Hamming ≤ 10)."""
+      within Hamming ≤ 10).
+    - ``real_adhash`` (r6): the audio twin — envelope-sign hash over
+      the decoded WAV samples (sample-center NN to 65 points), same
+      bit-for-bit SQL replay and banded-vs-brute-force pin."""
     from lsdm_motogp_data_integration_spark.operators.multimodal import (
         extract_features,
         media_stats,
@@ -2147,6 +2150,40 @@ def q41_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("weighted_sum"),
         )
     )
+    # real_adhash (r6, beyond the ask): the audio twin of real_dhash —
+    # 64-bit envelope-sign hash over decoded samples (integer channel
+    # mix, sample-center NN resample to 65 points, strictly-louder
+    # signs), same banded Hamming join, same SQL-replay contract
+    from lsdm_motogp_data_integration_spark.operators.multimodal import (
+        audio_dhash,
+    )
+
+    ahashes = audio_dhash(wav_media).persist()
+    apairs = hamming64_pairs(ahashes, "media_id", "adhash", max_hamming=10)
+    anbr = (
+        apairs.select(F.col("id_a").alias("media_id"))
+        .unionAll(apairs.select(F.col("id_b").alias("media_id")))
+        .groupBy("media_id")
+        .agg(F.count(F.lit(1)).alias("__nbr"))
+    )
+    adh = (
+        ahashes.join(anbr, "media_id", "left")
+        .select(
+            F.lit("real_adhash").alias("scope"),
+            F.expr("media_id DIV 8").alias("media_id"),
+            F.lit("audio").alias("kind"),
+            F.lit("wav").alias("fmt"),
+            F.lit(None).cast("bigint").alias("n_bytes"),
+            F.lit(None).cast("string").alias("digest"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(64).cast("bigint").alias("n_values"),
+            F.col("adhash").alias("sum_values"),
+            F.coalesce(F.col("__nbr"), F.lit(0))
+            .cast("bigint")
+            .alias("weighted_sum"),
+        )
+    )
     return (
         fake.unionByName(real)
         .unionByName(rz)
@@ -2154,6 +2191,7 @@ def q41_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(vr)
         .unionByName(pg)
         .unionByName(dh)
+        .unionByName(adh)
     )
 
 
@@ -6359,6 +6397,39 @@ def oracle_sql() -> dict[str, str]:
                   ON a.doc_id <> b.doc_id
                  AND bit_count(xor(a.dh, b.dh)) <= 10
                 GROUP BY a.doc_id
+            ),
+            -- real_adhash: envelope-sign hash over the 64 WAV samples
+            -- resampled to 65 points, pl/pr = sample-center picks
+            -- floor((i+.5)*64/65) for points i and i+1
+            ad_map AS (
+                SELECT i,
+                       ((2*i + 1) * 64) // 130 AS pl,
+                       ((2*i + 3) * 64) // 130 AS pr
+                FROM generate_series(0, 63) t(i)
+            ),
+            ad_val AS (
+                SELECT doc_id,
+                       CAST(CASE WHEN s >= (1::HUGEINT << 63)
+                                 THEN s - (1::HUGEINT << 64)
+                                 ELSE s END AS BIGINT) AS ah
+                FROM (
+                    SELECT s1.doc_id,
+                           SUM(CASE WHEN s2.v > s1.v
+                                    THEN (1::HUGEINT << m.i)
+                                    ELSE 0::HUGEINT END) AS s
+                    FROM ad_map m
+                    JOIN au_samples s1 ON s1.k = m.pl
+                    JOIN au_samples s2 ON s2.doc_id = s1.doc_id
+                                      AND s2.k = m.pr
+                    GROUP BY s1.doc_id
+                )
+            ),
+            ad_nbr AS (
+                SELECT a.doc_id, COUNT(b.doc_id) AS nbr
+                FROM ad_val a LEFT JOIN ad_val b
+                  ON a.doc_id <> b.doc_id
+                 AND bit_count(xor(a.ah, b.ah)) <= 10
+                GROUP BY a.doc_id
             )
             SELECT 'fake' AS scope, doc_id AS media_id, 'text' AS kind,
                    NULL::VARCHAR AS fmt,
@@ -6447,6 +6518,13 @@ def oracle_sql() -> dict[str, str]:
                    NULL::BIGINT, NULL::VARCHAR, 9, 8,
                    CAST(64 AS BIGINT), v.dh, CAST(n.nbr AS BIGINT)
             FROM dh_val v JOIN dh_nbr n ON n.doc_id = v.doc_id
+            UNION ALL
+            -- real_adhash: the audio twin — hash as int64, neighbor
+            -- count at Hamming <= 10 vs brute force
+            SELECT 'real_adhash', v.doc_id, 'audio', 'wav',
+                   NULL::BIGINT, NULL::VARCHAR, NULL::INT, NULL::INT,
+                   CAST(64 AS BIGINT), v.ah, CAST(n.nbr AS BIGINT)
+            FROM ad_val v JOIN ad_nbr n ON n.doc_id = v.doc_id
         """,
         "q42_json_extract": """
             SELECT event_id,

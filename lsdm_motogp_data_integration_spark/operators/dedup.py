@@ -1111,6 +1111,75 @@ def hamming64_pairs(
     )
 
 
+def hamming64_join(
+    probe: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    sig_col: str,
+    *,
+    max_hamming: int = 3,
+    ref_id_col: str | None = None,
+    ref_sig_col: str | None = None,
+) -> DataFrame:
+    """Two-relation variant of :func:`hamming64_pairs` — the
+    incremental/streaming screen: every (probe, index) pair within
+    ``max_hamming`` bits, via the same pigeonhole chunk buckets (a
+    probe meets an index row iff they agree on ≥1 of ``max_hamming+1``
+    disjoint chunks — COMPLETE for the radius, bucketed, never
+    |probe|×|index|). The perceptual analogue of
+    ``incremental_neardup``'s MinHash band screen: the index side is 8
+    bytes per historical item, so screening a new batch against an
+    arbitrarily long history shuffles only chunk buckets.
+
+    ``ref_id_col``/``ref_sig_col`` default to the probe-side names.
+    Output: (new_id, ref_id, hamming)."""
+    if not (0 <= int(max_hamming) <= 63):
+        raise ValueError(f"max_hamming must be 0..63, got {max_hamming}")
+    n_chunks = int(max_hamming) + 1
+    chunk_bits = -(-64 // n_chunks)  # ceil
+    mask = (1 << chunk_bits) - 1
+
+    def chunked(df: DataFrame, idc: str, sgc: str) -> DataFrame:
+        return df.select(
+            F.col(idc).alias("__id"), F.col(sgc).alias("__sh")
+        ).select(
+            "__id",
+            "__sh",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("c"),
+                            F.shiftrightunsigned(
+                                F.col("__sh"), chunk_bits * i
+                            )
+                            .bitwiseAND(F.lit(mask))
+                            .alias("v"),
+                        )
+                        for i in range(n_chunks)
+                    ]
+                )
+            ).alias("__chunk"),
+        )
+
+    a = chunked(probe, id_col, sig_col).alias("a")
+    b = chunked(
+        index, ref_id_col or id_col, ref_sig_col or sig_col
+    ).alias("b")
+    return (
+        a.join(b, on=F.col("a.__chunk") == F.col("b.__chunk"))
+        .select(
+            F.col("a.__id").alias("new_id"),
+            F.col("b.__id").alias("ref_id"),
+            F.bit_count(F.col("a.__sh").bitwiseXOR(F.col("b.__sh")))
+            .cast("bigint")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["new_id", "ref_id"])
+    )
+
+
 # ---------------------------------------------------------------------------
 # embedding cosine near-dup
 # ---------------------------------------------------------------------------

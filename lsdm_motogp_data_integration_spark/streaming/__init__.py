@@ -866,6 +866,159 @@ def streaming_pq_ingest(
     q.awaitTermination()
 
 
+def streaming_dhash_ingest(
+    media_stream: DataFrame,
+    *,
+    index_dir: str,
+    checkpoint_dir: str,
+    max_hamming: int = 10,
+    hash_w: int = 8,
+    hash_h: int = 8,
+) -> None:
+    """Continuously-ingested PERCEPTUAL image dedup (r6) — the
+    maintainer-family composition of the new dHash pieces
+    (``multimodal.image_dhash`` + ``dedup.hamming64_pairs`` /
+    ``hamming64_join``), mirroring ``streaming_neardup_ingest``'s
+    shape with an 8-bytes-per-image index instead of ``bands`` MinHash
+    rows: each micro-batch is (1) hashed (the only decode pass),
+    (2) self-deduplicated (keep the lowest media_id of each
+    within-radius pair), (3) screened against the persisted hash index
+    of everything accepted so far (pigeonhole chunk buckets — never
+    |batch|×|history|), and (4) survivors' (media_id, dhash) rows land
+    in ``index_dir/batch_id=N``. The accepted corpus IS the index —
+    callers join back to content by media_id; blobs are never
+    re-shipped or re-decoded.
+
+    Exactly-once like the other maintainers: deterministic per-batch
+    directory overwrites, history reads prune to ``batch_id < N``, and
+    a replay rewrites byte-identical rows. The ``_meta`` sidecar pins
+    (hash_w, hash_h, max_hamming): hashes from a different grid or a
+    different dedup radius are a DIFFERENT accepted-set semantics, so
+    resuming under changed params raises instead of silently mixing.
+    """
+    import json
+
+    from lsdm_motogp_data_integration_spark.operators.ann import (
+        _read_index_meta,
+        _write_index_meta,
+    )
+    from lsdm_motogp_data_integration_spark.operators.dedup import (
+        hamming64_join,
+        hamming64_pairs,
+    )
+    from lsdm_motogp_data_integration_spark.operators.multimodal import (
+        image_dhash,
+    )
+
+    spark = media_stream.sparkSession
+    params = {
+        "kind": "dhash_index",
+        "hash_w": int(hash_w),
+        "hash_h": int(hash_h),
+        "max_hamming": int(max_hamming),
+    }
+    existing = _read_index_meta(spark, index_dir)
+    if existing is not None and existing != params:
+        raise ValueError(
+            f"dhash index at {index_dir} was built with "
+            f"{json.dumps(existing)}; resuming with "
+            f"{json.dumps(params)} would change the accepted-set "
+            f"semantics mid-stream"
+        )
+    _write_index_meta(spark, index_dir, params)
+
+    def _has_prior_batches(path: str, batch_id: int) -> bool:
+        # Hadoop FS listing (works on HDFS/S3/local alike — an
+        # os.listdir would strand the guard on local disk); only
+        # batch_id < current counts as history, so a batch that
+        # crashed after writing ITS OWN partial directory replays
+        # cleanly instead of re-raising forever
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(p):
+            return False
+        for st in fs.listStatus(p):
+            name = st.getPath().getName()
+            if name.startswith("batch_id="):
+                try:
+                    if int(name.split("=", 1)[1]) < batch_id:
+                        return True
+                except ValueError:
+                    continue
+        return False
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
+        hashes = image_dhash(
+            batch_df, hash_w=hash_w, hash_h=hash_h
+        ).filter(F.col("dhash").isNotNull())
+        # the relation feeds the self-join AND the screen AND the
+        # write: pin it (8 bytes/image — the cheapest checkpoint in
+        # the engine)
+        hashes = hashes.localCheckpoint(eager=True)
+        # (2) within-batch self-dedup: keep the lowest media_id of
+        # each within-radius pair (the dedup_corpus keep-first rule)
+        dups = hamming64_pairs(
+            hashes, "media_id", "dhash", max_hamming=max_hamming
+        ).select(F.col("id_b").alias("media_id")).dropDuplicates()
+        survivors = hashes.join(dups, "media_id", "left_anti")
+        # (3) screen against accepted history (batch_id < N only —
+        # a replayed batch must not see its own partial output)
+        try:
+            hist = spark.read.parquet(index_dir).filter(
+                F.col("batch_id") < batch_id
+            )
+            have_history = True
+        except AnalysisException:
+            if _has_prior_batches(index_dir, batch_id):
+                raise
+            have_history = False
+        if have_history:
+            hits = hamming64_join(
+                survivors,
+                hist.select("media_id", "dhash"),
+                "media_id",
+                "dhash",
+                max_hamming=max_hamming,
+            ).select(F.col("new_id").alias("media_id")).dropDuplicates()
+            survivors = survivors.join(hits, "media_id", "left_anti")
+        survivors.select("media_id", "dhash").sortWithinPartitions(
+            "media_id"
+        ).write.mode("overwrite").parquet(
+            f"{index_dir}/batch_id={batch_id}"
+        )
+
+    q = (
+        media_stream.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_dhash_index(spark, index_dir: str):
+    """The accepted perceptual index from
+    :func:`streaming_dhash_ingest`: (media_id, dhash) rows plus the
+    recovered params. Raises without the sidecar — serving a hash
+    index at the wrong grid/radius is silently wrong, never an
+    error, otherwise. Returns (DataFrame, params_dict)."""
+    from lsdm_motogp_data_integration_spark.operators.ann import (
+        _read_index_meta,
+    )
+
+    meta = _read_index_meta(spark, index_dir)
+    if meta is None or meta.get("kind") != "dhash_index":
+        raise ValueError(f"no dhash_index _meta sidecar at {index_dir}")
+    return (
+        spark.read.parquet(index_dir).select("media_id", "dhash"),
+        meta,
+    )
+
+
 def streaming_lang_model_ingest(
     doc_stream: DataFrame,
     *,

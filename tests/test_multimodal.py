@@ -646,3 +646,54 @@ def test_dhash_value_pinned_against_definition():
     if val_g >= 1 << 63:
         val_g -= 1 << 64
     assert got_g == val_g
+
+
+def test_audio_dhash_perceptual_twins_pair_up(spark):
+    """Audio twin of the dHash contract (r6): a clip, its NN-resampled
+    re-encode, and its 8-bit-quantized re-encode all pair up within
+    the Hamming radius, while a different waveform does not."""
+    from lsdm_motogp_data_integration_spark.operators.multimodal import (
+        _nn_resample,
+        audio_dhash,
+        audio_dhash_pairs,
+    )
+
+    t = np.arange(128)
+    clip = (8000 * np.sin(t / 7.0) + 3000 * np.sin(t / 2.3)).astype(
+        np.int16
+    )
+    resampled = _nn_resample(clip, 64)
+    # 8-bit PCM twin, hand-written container (decoder widens via
+    # (v-128)<<8 — monotone, so envelope signs survive quantization)
+    u8 = ((clip.astype(np.int32) >> 8) + 128).astype(np.uint8).tobytes()
+    fmt8 = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    wav8 = (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt8) + 8 + len(u8))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt8))
+        + fmt8
+        + b"data"
+        + struct.pack("<I", len(u8))
+        + u8
+    )
+    other = (8000 * np.sin(t / 3.1 + 2)).astype(np.int16)
+    rows = [
+        (1, "audio", mc.encode_wav(clip, 8000), None),
+        (2, "audio", mc.encode_wav(resampled, 4000), None),
+        (3, "audio", wav8, None),
+        (4, "audio", mc.encode_wav(other, 8000), None),
+        (5, "image", GOLD_BMP, None),  # non-audio: ignored
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    hashes = {
+        r["media_id"]: r["adhash"] for r in audio_dhash(media).collect()
+    }
+    assert set(hashes) == {1, 2, 3, 4}
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in audio_dhash_pairs(media, max_hamming=10).collect()
+    }
+    assert (1, 2) in pairs and (1, 3) in pairs
+    assert not any(4 in p for p in pairs)

@@ -405,10 +405,14 @@ def test_bigram_nll_hand_computed(spark):
 
 def test_lang_nb_learns_splits_fixed_tables_cannot(spark):
     """Trained NB language classifier (r5): multinomial NB over hashed
-    char 3-grams learns pt-vs-es — a split neither the marker tables
-    (no pt markers) nor lang_id2's orthography tables can make — and
-    generalizes to a held-out document. Closed-form training: one
-    count aggregation, no GD loop."""
+    char 3-grams learns pt-vs-es and generalizes to a held-out
+    document. Closed-form training: one count aggregation, no GD loop.
+
+    r5 pinned the pt held-out verdict as 'a split the fixed tables
+    cannot make'; r6 moved that goalpost deliberately (pt joined
+    LANG_MARKERS — VERDICT r5 #5), so the tables-can't-do-this claim
+    now uses CATALAN, which is in no fixed table: NB trained on ca/es
+    labels names it, lang_id2 structurally cannot."""
     from lsdm_motogp_data_integration_spark.operators.scoring import (
         classify_lang_nb,
         train_lang_nb,
@@ -443,9 +447,30 @@ def test_lang_nb_learns_splits_fixed_tables_cannot(spark):
     )
     nb = classify_lang_nb(held_out, model, **kw).collect()[0]
     assert nb["lang_nb"] == "pt"
-    # ...which the fixed tables cannot do: pt reads as es/und to them
-    fixed = held_out.select(lang_id2("text").alias("lg")).collect()[0]["lg"]
-    assert fixed != "pt"
+    # r6: pt is now IN the fixed tables ('uma' is a pt marker), so the
+    # tables-can't-make-this-split demonstration uses Catalan — absent
+    # from every fixed table, so lang_id2 can never output 'ca', while
+    # NB trained on ca/es labels names a held-out Catalan doc
+    ca_rows = [
+        (21, "aquesta és una qüestió important i això cal fer-ho bé", "ca"),
+        (22, "el govern ha dit que això també és una decisió difícil", "ca"),
+        (23, "la información llegó a la estación y la decisión fue clara", "es"),
+        (24, "las naciones toman acciones con atención y mucha conexión", "es"),
+    ]
+    ca_df = spark.createDataFrame(
+        ca_rows, "doc_id bigint, text string, lang string"
+    )
+    ca_model = train_lang_nb(ca_df, "lang", "text", **kw)
+    ca_held = spark.createDataFrame(
+        [(30, "aquesta decisió també és una qüestió de confiança")],
+        "doc_id bigint, text string",
+    )
+    assert (
+        classify_lang_nb(ca_held, ca_model, **kw).collect()[0]["lang_nb"]
+        == "ca"
+    )
+    fixed = ca_held.select(lang_id2("text").alias("lg")).collect()[0]["lg"]
+    assert fixed != "ca"
 
 
 def test_lang_nb_priors_fallback_and_layout_determinism(spark):

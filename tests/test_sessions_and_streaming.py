@@ -1065,3 +1065,163 @@ def test_streaming_neardup_index_params_sidecar(spark, tmp_path_factory):
                 dict(k=3)):
         with pytest.raises(ValueError, match="near-dups"):
             drain(**bad)
+
+
+def test_streaming_post_mark_null_coalesces_to_kept(
+    spark, tmp_path_factory
+):
+    """ADVICE r5: a user post_mark whose predicate yields NULL (e.g.
+    `F.when(cond, True)` with no otherwise — classic three-valued
+    logic) must not silently exclude the row: the ~excluded shard
+    filter and every downstream NOT-excluded consumer treat NULL as
+    excluded. The ingest now coalesces the marker to false (the
+    keep-by-default convention of the built-in strict_decontam
+    marker)."""
+    from pyspark.sql import types as T
+
+    from lsdm_motogp_data_integration_spark.streaming import (
+        streaming_neardup_ingest,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy sleeping dog today"),
+        (2, "a completely different second document about rivers and stones"),
+        (3, "this third document mentions banthis and gets flagged properly"),
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    src = str(tmp_path_factory.mktemp("pm_src"))
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+        f"{src}/f0"
+    )
+    accepted = str(tmp_path_factory.mktemp("pm_acc"))
+    shards = str(tmp_path_factory.mktemp("pm_sh"))
+
+    def post_mark(df):
+        # True for doc 3, NULL (not False!) for everyone else
+        return df.withColumn(
+            "excluded",
+            F.when(F.col("text").contains("banthis"), F.lit(True)),
+        )
+
+    streaming_neardup_ingest(
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(src),
+        index_dir=str(tmp_path_factory.mktemp("pm_idx")),
+        accepted_dir=accepted,
+        checkpoint_dir=str(tmp_path_factory.mktemp("pm_ck")),
+        shards_dir=shards,
+        n_shards=2,
+        post_mark=post_mark,
+    )
+    acc = spark.read.parquet(accepted)
+    flags = {r["doc_id"]: r["excluded"] for r in acc.collect()}
+    # no NULL markers survive the ingest ...
+    assert flags == {1: False, 2: False, 3: True}
+    # ... so the NOT-excluded corpus and the shard export keep 1 and 2
+    assert {
+        r["doc_id"] for r in acc.filter(~F.col("excluded")).collect()
+    } == {1, 2}
+    sharded = {
+        r["doc_id"] for r in spark.read.parquet(shards).collect()
+    }
+    assert sharded == {1, 2}
+
+
+def test_streaming_dhash_ingest_perceptual_index(
+    spark, tmp_path_factory
+):
+    """Streaming perceptual image dedup (r6): the dHash maintainer
+    must (a) self-dedup within a batch keeping the lowest media_id,
+    (b) screen later batches against the persisted index — a
+    re-encoded PNG twin and an NN-resized twin of an accepted image
+    are both rejected, a genuinely different image is admitted,
+    (c) replay idempotently, and (d) refuse to resume under different
+    hash params."""
+    import numpy as np
+    import pytest
+
+    from lsdm_motogp_data_integration_spark.operators import (
+        mediacodec as mc,
+    )
+    from lsdm_motogp_data_integration_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        _nn_resize,
+    )
+    from lsdm_motogp_data_integration_spark.streaming import (
+        read_dhash_index,
+        streaming_dhash_ingest,
+    )
+
+    base = (np.add.outer(np.arange(24) * 8, np.arange(28) * 4) % 256).astype(
+        np.uint8
+    )
+    img_a = np.stack(
+        [base, 255 - base, (base.astype(int) * 2 % 256).astype(np.uint8)],
+        axis=2,
+    )
+    img_b = np.flip(img_a, axis=1).copy()  # mirrored: distinct
+    # NB a VERTICAL flip would NOT be distinct under dHash — the bits
+    # compare horizontal neighbors only, and flipping rows preserves
+    # every horizontal gradient sign (hashes ~identical). Noise is
+    # unambiguous (measured 35/27 bits from img_a/img_b).
+    img_c = np.random.RandomState(9).randint(
+        0, 256, (24, 28, 3), dtype=np.uint8
+    )
+    b1 = [
+        (1, "image", mc.encode_bmp(img_a), None),
+        (2, "image", mc.encode_bmp(img_a), None),  # in-batch twin of 1
+        (3, "image", mc.encode_bmp(img_b), None),
+    ]
+    b2 = [
+        # re-encoded twin of accepted 1: rejected by the history screen
+        (10, "image", mc.encode_png(
+            img_a, filters=[y % 5 for y in range(24)]
+        ), None),
+        (11, "image", mc.encode_bmp(img_c), None),  # genuinely new
+    ]
+    b3 = [
+        # NN-resized twin of accepted 1: rejected
+        (20, "image", mc.encode_ppm(_nn_resize(img_a, 14, 12)), None),
+    ]
+    src = str(tmp_path_factory.mktemp("dh_src"))
+    for i, rows in enumerate((b1, b2, b3)):
+        spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(1).write.parquet(
+            f"{src}/f{i}"
+        )
+    index = str(tmp_path_factory.mktemp("dh_idx"))
+    ckpt = str(tmp_path_factory.mktemp("dh_ck"))
+
+    def drain(**over):
+        streaming_dhash_ingest(
+            spark.readStream.schema(MEDIA_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(src),
+            index_dir=index,
+            checkpoint_dir=ckpt,
+            **{"max_hamming": 10, **over},
+        )
+
+    drain()
+    idx, meta = read_dhash_index(spark, index)
+    accepted = {r["media_id"] for r in idx.collect()}
+    assert accepted == {1, 3, 11}
+    assert meta["hash_w"] == 8 and meta["max_hamming"] == 10
+
+    # replay idempotence: same checkpoint, nothing new, index unchanged
+    drain()
+    again = {r["media_id"] for r in read_dhash_index(spark, index)[0].collect()}
+    assert again == accepted
+
+    # resume under a different radius/grid: refused (different
+    # accepted-set semantics)
+    with pytest.raises(ValueError, match="semantics"):
+        drain(max_hamming=6)
+    with pytest.raises(ValueError, match="semantics"):
+        drain(hash_w=4)
