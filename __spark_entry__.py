@@ -1955,7 +1955,7 @@ def q41_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
       64-bit dHash replayed bit-for-bit in SQL (``sum_values`` is the
       hash as int64) and the banded Hamming join pinned against a
       brute-force xor/bit_count oracle (``weighted_sum`` = neighbors
-      within Hamming ≤ 10).
+      within Hamming ≤ 6).
     - ``real_adhash`` (r6): the audio twin — envelope-sign hash over
       the decoded WAV samples (sample-center NN to 65 points), same
       bit-for-bit SQL replay and banded-vs-brute-force pin."""
@@ -2110,7 +2110,7 @@ def q41_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # right-neighbor gradient signs), plus the COMPLETE pigeonhole
     # Hamming band join (dedup.hamming64_pairs — bucketed candidates,
     # never all-pairs). sum_values carries the int64 hash itself;
-    # weighted_sum the count of OTHER images within Hamming ≤ 10 —
+    # weighted_sum the count of OTHER images within Hamming ≤ 6 —
     # the oracle replays the hash bit-for-bit from the md5 pixel
     # chain and the neighbor counts via a brute-force xor/bit_count
     # self-join, so the banded join is pinned against exact Hamming.
@@ -2125,7 +2125,10 @@ def q41_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # relation feeds both the band join (referenced twice) and the
     # output join, so without it the decode pass would run 3×
     hashes = image_dhash(bmp_media).persist()
-    pairs = hamming64_pairs(hashes, "media_id", "dhash", max_hamming=10)
+    pairs = hamming64_pairs(
+        hashes, "media_id", "dhash", max_hamming=6,
+        collapse_identical=True,
+    )
     nbr = (
         pairs.select(F.col("id_a").alias("media_id"))
         .unionAll(pairs.select(F.col("id_b").alias("media_id")))
@@ -2159,7 +2162,10 @@ def q41_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ahashes = audio_dhash(wav_media).persist()
-    apairs = hamming64_pairs(ahashes, "media_id", "adhash", max_hamming=10)
+    apairs = hamming64_pairs(
+        ahashes, "media_id", "adhash", max_hamming=6,
+        collapse_identical=True,
+    )
     anbr = (
         apairs.select(F.col("id_a").alias("media_id"))
         .unionAll(apairs.select(F.col("id_b").alias("media_id")))
@@ -6395,7 +6401,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT a.doc_id, COUNT(b.doc_id) AS nbr
                 FROM dh_val a LEFT JOIN dh_val b
                   ON a.doc_id <> b.doc_id
-                 AND bit_count(xor(a.dh, b.dh)) <= 10
+                 AND bit_count(xor(a.dh, b.dh)) <= 6
                 GROUP BY a.doc_id
             ),
             -- real_adhash: envelope-sign hash over the 64 WAV samples
@@ -6428,7 +6434,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT a.doc_id, COUNT(b.doc_id) AS nbr
                 FROM ad_val a LEFT JOIN ad_val b
                   ON a.doc_id <> b.doc_id
-                 AND bit_count(xor(a.ah, b.ah)) <= 10
+                 AND bit_count(xor(a.ah, b.ah)) <= 6
                 GROUP BY a.doc_id
             )
             SELECT 'fake' AS scope, doc_id AS media_id, 'text' AS kind,
@@ -6520,7 +6526,7 @@ def oracle_sql() -> dict[str, str]:
             FROM dh_val v JOIN dh_nbr n ON n.doc_id = v.doc_id
             UNION ALL
             -- real_adhash: the audio twin — hash as int64, neighbor
-            -- count at Hamming <= 10 vs brute force
+            -- count at Hamming <= 6 vs brute force
             SELECT 'real_adhash', v.doc_id, 'audio', 'wav',
                    NULL::BIGINT, NULL::VARCHAR, NULL::INT, NULL::INT,
                    CAST(64 AS BIGINT), v.ah, CAST(n.nbr AS BIGINT)

@@ -1048,6 +1048,7 @@ def hamming64_pairs(
     sig_col: str,
     *,
     max_hamming: int = 3,
+    collapse_identical: bool = False,
 ) -> DataFrame:
     """All pairs of rows whose 64-bit signatures are within
     ``max_hamming`` bits — the banded-candidate core shared by SimHash
@@ -1063,12 +1064,28 @@ def hamming64_pairs(
     guarantee holds for any ``max_hamming`` (a fixed 4-chunk split
     would silently miss pairs differing in all four chunks at h >= 4).
 
+    RADIUS COST MODEL (the r6 scale probe's finding, SCALE.md): chunk
+    width is ``⌈64/(h+1)⌉`` bits, so expected candidates on
+    incompressible signatures are ``≈ n²·(h+1)/2^⌈64/(h+1)⌉`` — the
+    pigeonhole guarantee gets quadratically expensive as h grows
+    (h=3 → 4 chunks × 16 bits: n²/16384; h=6 → 7 × 10: n²/146;
+    h=10 → 11 × 6: n²/6, measured 45× time at 20× data). Keep the
+    radius as tight as the duplicates you actually hunt (the engine's
+    perceptual twins measure ≤ 4 bits; the dHash defaults use 6), and
+    pass ``collapse_identical=True`` when exact-duplicate signatures
+    are common (real corpora): the self-join then runs on DISTINCT
+    signatures — identical-signature groups expand combinatorially
+    AFTER the join, so n enters the join as |distinct sigs|. Output is
+    pair-for-pair identical either way (pinned by test).
+
     Output: (id_a, id_b, hamming), id_a < id_b."""
     if not (0 <= int(max_hamming) <= 63):
         raise ValueError(f"max_hamming must be 0..63, got {max_hamming}")
     hashed = hashed.select(
         F.col(id_col).alias("__id"), F.col(sig_col).alias("__sh")
     )
+    if collapse_identical:
+        return _hamming64_pairs_collapsed(hashed, max_hamming)
     n_chunks = int(max_hamming) + 1
     chunk_bits = -(-64 // n_chunks)  # ceil
     mask = (1 << chunk_bits) - 1
@@ -1109,6 +1126,98 @@ def hamming64_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def _hamming64_pairs_collapsed(hashed: DataFrame, max_hamming: int) -> DataFrame:
+    """:func:`hamming64_pairs` with the identical-signature collapse:
+    (1) group to distinct signatures with their member-id lists,
+    (2) run the pigeonhole chunk join on the DISTINCT signatures only
+    (plus the ham-0 within-group pairs, which need no join at all),
+    (3) expand each matched signature pair back to member-id pairs.
+    Exact — every (a, b) with ham ≤ h appears exactly once — but the
+    expensive self-join sees |distinct sigs| rows, which on real
+    corpora (exact-dup-heavy) is a large fraction smaller than n."""
+    # the grouped relation feeds FIVE plan branches (the sig self-join's
+    # two sides, both expansion joins, and the within-group pairs):
+    # pin it — 8 bytes + a member-id list per distinct signature
+    # (measured unpinned: the groupBy re-ran per branch, 5× the work).
+    # _compute_width BEFORE the pin: the grouped relation's BYTES are
+    # tiny, so AQE coalesces its shuffle to ~1 partition and the pin
+    # freezes that — then the chunk join's candidate probe (the
+    # expensive part, n²·(h+1)/2^w rows) runs on one core (measured
+    # 12× on 100k distinct sigs; the q38 bytes-vs-compute blindness)
+    groups = _compute_width(
+        hashed.groupBy("__sh").agg(
+            F.sort_array(F.collect_list("__id")).alias("__ids")
+        )
+    ).localCheckpoint(eager=True)
+    # within-group pairs (identical signatures, hamming 0): pure
+    # array combinatorics, no join
+    within = (
+        groups.filter(F.size("__ids") >= 2)
+        .select(
+            F.explode(
+                F.filter(
+                    F.flatten(
+                        F.transform(
+                            F.col("__ids"),
+                            lambda a: F.transform(
+                                F.col("__ids"),
+                                lambda b: F.struct(
+                                    a.alias("id_a"), b.alias("id_b")
+                                ),
+                            ),
+                        )
+                    ),
+                    lambda s: s["id_a"] < s["id_b"],
+                )
+            ).alias("__p")
+        )
+        .select(
+            F.col("__p.id_a").alias("id_a"),
+            F.col("__p.id_b").alias("id_b"),
+            F.lit(0).cast("bigint").alias("hamming"),
+        )
+    )
+    sig_pairs = hamming64_pairs(
+        groups.select(F.col("__sh").alias("__sig")),
+        "__sig",
+        "__sig",
+        max_hamming=max_hamming,
+    ).filter(F.col("hamming") > 0)
+    ga = groups.select(
+        F.col("__sh").alias("id_a"), F.col("__ids").alias("__ids_a")
+    )
+    gb = groups.select(
+        F.col("__sh").alias("id_b"), F.col("__ids").alias("__ids_b")
+    )
+    across = (
+        sig_pairs.join(ga, "id_a")
+        .join(gb, "id_b")
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("__ids_a"),
+                        lambda a: F.transform(
+                            F.col("__ids_b"),
+                            lambda b: F.struct(
+                                F.least(a, b).alias("id_a"),
+                                F.greatest(a, b).alias("id_b"),
+                            ),
+                        ),
+                    )
+                )
+            ).alias("__p"),
+            "hamming",
+        )
+        .select(
+            F.col("__p.id_a").alias("id_a"),
+            F.col("__p.id_b").alias("id_b"),
+            "hamming",
+        )
+    )
+    return within.unionByName(across)
 
 
 def hamming64_join(

@@ -795,7 +795,7 @@ def image_dhash(
 def dhash_pairs(
     media: DataFrame,
     *,
-    max_hamming: int = 10,
+    max_hamming: int = 6,
     hash_w: int = 8,
     hash_h: int = 8,
 ) -> DataFrame:
@@ -813,8 +813,13 @@ def dhash_pairs(
     hashes = image_dhash(media, hash_w=hash_w, hash_h=hash_h).filter(
         F.col("dhash").isNotNull()
     )
+    # collapse_identical: real image corpora are exact-duplicate-heavy
+    # (the same bytes re-hosted), and identical pixels hash identically
+    # — measured 9x on a 20-replica corpus, and no worse on
+    # adversarially all-distinct signatures (SCALE.md r6)
     return hamming64_pairs(
-        hashes, "media_id", "dhash", max_hamming=max_hamming
+        hashes, "media_id", "dhash", max_hamming=max_hamming,
+        collapse_identical=True,
     )
 
 
@@ -881,7 +886,7 @@ def audio_dhash(media: DataFrame, *, n_points: int = 65) -> DataFrame:
 
 
 def audio_dhash_pairs(
-    media: DataFrame, *, max_hamming: int = 10, n_points: int = 65
+    media: DataFrame, *, max_hamming: int = 6, n_points: int = 65
 ) -> DataFrame:
     """Perceptual near-duplicate audio pairs — :func:`audio_dhash`
     through the shared pigeonhole band join (``dedup.hamming64_pairs``,
@@ -896,5 +901,6 @@ def audio_dhash_pairs(
         F.col("adhash").isNotNull()
     )
     return hamming64_pairs(
-        hashes, "media_id", "adhash", max_hamming=max_hamming
+        hashes, "media_id", "adhash", max_hamming=max_hamming,
+        collapse_identical=True,
     )

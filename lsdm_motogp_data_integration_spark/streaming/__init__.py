@@ -871,7 +871,7 @@ def streaming_dhash_ingest(
     *,
     index_dir: str,
     checkpoint_dir: str,
-    max_hamming: int = 10,
+    max_hamming: int = 6,
     hash_w: int = 8,
     hash_h: int = 8,
 ) -> None:
@@ -961,7 +961,8 @@ def streaming_dhash_ingest(
         # (2) within-batch self-dedup: keep the lowest media_id of
         # each within-radius pair (the dedup_corpus keep-first rule)
         dups = hamming64_pairs(
-            hashes, "media_id", "dhash", max_hamming=max_hamming
+            hashes, "media_id", "dhash", max_hamming=max_hamming,
+            collapse_identical=True,
         ).select(F.col("id_b").alias("media_id")).dropDuplicates()
         survivors = hashes.join(dups, "media_id", "left_anti")
         # (3) screen against accepted history (batch_id < N only —

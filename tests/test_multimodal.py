@@ -697,3 +697,47 @@ def test_audio_dhash_perceptual_twins_pair_up(spark):
     }
     assert (1, 2) in pairs and (1, 3) in pairs
     assert not any(4 in p for p in pairs)
+
+
+def test_hamming64_collapse_identical_equivalent(spark):
+    """collapse_identical=True (r6 scale fix): the self-join runs on
+    DISTINCT signatures and identical-signature groups expand
+    combinatorially after — output must be pair-for-pair identical to
+    the direct path on a fixture mixing exact-dup groups, near pairs
+    across groups, and isolated far signatures."""
+    from lsdm_motogp_data_integration_spark.operators.dedup import (
+        hamming64_pairs,
+    )
+
+    def i64(v):  # uint64 bit pattern -> int64 two's complement
+        return v - (1 << 64) if v >= 1 << 63 else v
+
+    base = 0x0123456789ABCDEF
+    sigs = [
+        (1, base), (2, base), (3, base),             # exact-dup group of 3
+        (4, base ^ 0b11),                             # near group (ham 2)
+        (5, base ^ 0b11),                             # ... duplicated
+        (6, i64(base ^ ((1 << 63) | (1 << 40)))),     # ham 2, sign bit
+        (7, -(1 << 63)),                              # far from everything
+        (8, 0x7FFFFFFFFFFFFFFF),
+    ]
+    df = spark.createDataFrame(sigs, "id bigint, sig bigint")
+    kw = dict(max_hamming=6)
+
+    def run(**over):
+        return sorted(
+            map(
+                tuple,
+                hamming64_pairs(df, "id", "sig", **kw, **over).collect(),
+            )
+        )
+
+    direct = run()
+    collapsed = run(collapse_identical=True)
+    assert collapsed == direct
+    # sanity on content: the 3-group yields its 3 internal ham-0 pairs
+    assert ((1, 2, 0) in direct and (1, 3, 0) in direct
+            and (2, 3, 0) in direct)
+    assert (4, 5, 0) in direct          # the duplicated near pair
+    assert (1, 4, 2) in direct          # across groups
+    assert not any(p[0] == 7 or p[1] == 7 for p in direct)

@@ -274,6 +274,32 @@ def main() -> None:
             "media_decode",
             media_stats(_build_multimodal_media(docs, kinds=(0,))),
         )
+        # r6 perceptual near-dup: dHash (decode + 8-byte fingerprint)
+        # then the pigeonhole Hamming band join — the join input is 8
+        # bytes/image, so pair generation must stay ~flat while the
+        # hash pass scales with the decode (linear)
+        from lsdm_motogp_data_integration_spark.operators.dedup import (
+            hamming64_pairs,
+        )
+        from lsdm_motogp_data_integration_spark.operators.multimodal import (
+            image_dhash,
+        )
+
+        bmp_media = _build_multimodal_media(docs, kinds=(0,))
+        dhash_holder = {}
+
+        def _dhash():
+            h = image_dhash(bmp_media).localCheckpoint(eager=True)
+            dhash_holder["df"] = h
+            return h
+
+        r["dhash_s"], _ = timed("dhash", _dhash)
+        r["dhash_pairs_s"], _ = timed(
+            "dhash_pairs",
+            hamming64_pairs(
+                dhash_holder["df"], "media_id", "dhash", max_hamming=6
+            ).agg(F.count(F.lit(1))),
+        )
         r["dsir_s"], _ = timed(
             "dsir",
             # thunk: dsir_log_weights eagerly localCheckpoints its
@@ -681,6 +707,8 @@ def main() -> None:
         "shards_s",
         "decontam_bloom_s",
         "media_decode_s",
+        "dhash_s",
+        "dhash_pairs_s",
         "dsir_s",
         "strip_html_s",
         "normalize_url_s",
