@@ -1853,7 +1853,8 @@ def _build_multimodal_media(
     ':tag:' + i)`` blocks, truncated), so a SQL oracle can regenerate
     the EXPECTED decoded values without parsing any container.
     ``media_id = doc_id*8 + k`` (k: 0=bmp, 1=pgm, 2=wav, 3=y4m,
-    4=png) keys the scope; ``kinds`` restricts which blobs are BUILT,
+    4=png, 5=jpeg, 6=gif) keys the scope; ``kinds`` restricts which
+    blobs are BUILT,
     so a consumer of one kind (the resize branch) never pays for
     encoding the other four only to filter them out above the UDF (a
     plain filter cannot push through mapInPandas)."""
@@ -1898,6 +1899,35 @@ def _build_multimodal_media(
                 chain(t, "pn", 6)[:90], _np.uint8
             ).reshape(5, 6, 3)
             return "image", mc.encode_png(pn, filters=[0, 1, 2, 3, 4])
+        if k == 5:
+            # JPEG (r6): 24×16 grayscale of six CONSTANT 8×8 blocks
+            # (values = the first 6 bytes of the 'jp' chain) encoded
+            # with a flat quant table whose DC entry is 8 — constant
+            # blocks have all-zero AC and DC = 8·(v−128) exactly, so
+            # the LOSSY codec is exact on this subset and a SQL oracle
+            # can replay every decoded pixel with no DCT (the codec's
+            # general-image accuracy is pinned in test_jpegcodec)
+            from lsdm_motogp_data_integration_spark.operators.jpegcodec import (
+                encode_jpeg,
+            )
+
+            jb = _np.frombuffer(chain(t, "jp", 1)[:6], _np.uint8)
+            img = _np.repeat(
+                _np.repeat(jb.reshape(2, 3), 8, axis=0), 8, axis=1
+            )
+            return "image", encode_jpeg(
+                img, quant=_np.full((8, 8), 8, _np.int64)
+            )
+        if k == 6:
+            # GIF (r6): 6×5 grayscale through the identity 256-gray
+            # palette — LZW (uncompressed-form literal codes) keeps
+            # the container size a constant 831 the oracle asserts;
+            # decode expands the palette, so pixel j lands at RGB
+            # positions 3j..3j+2 with r=g=b=chain byte j
+            gf = _np.frombuffer(
+                chain(t, "gf", 2)[:30], _np.uint8
+            ).reshape(5, 6)
+            return "image", mc.encode_gif(gf)
         vf = chain(t, "vf", 2)[:24]
         frames = [
             _np.frombuffer(vf[:12], _np.uint8).reshape(3, 4),
@@ -1958,7 +1988,19 @@ def q41_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
       within Hamming ≤ 6).
     - ``real_adhash`` (r6): the audio twin — envelope-sign hash over
       the decoded WAV samples (sample-center NN to 65 points), same
-      bit-for-bit SQL replay and banded-vs-brute-force pin."""
+      bit-for-bit SQL replay and banded-vs-brute-force pin.
+    - ``real_jpeg`` (r6): REAL baseline JPEG decode (jpegcodec: marker
+      walk + canonical Huffman + dequant + 8×8 IDCT, pure numpy) — the
+      fixture's constant 8×8 blocks with a flat-8 quant table make the
+      lossy codec exact, so the oracle replays every decoded pixel
+      from the 'jp' md5 chain with no DCT; general-image accuracy,
+      color/4:2:0, restarts, and the progressive gate are pinned in
+      tests/test_jpegcodec.py.
+    - ``real_gif`` (r6): REAL GIF decode (pure-python variable-width
+      LZW + numpy palette expansion) — lossless, so the oracle replays
+      the raw 'gf' chain through the identity gray palette; the
+      compressed-LZW path, interlace, and KwKwK case are pinned in
+      tests/test_gifcodec.py against an independent compressor."""
     from lsdm_motogp_data_integration_spark.operators.multimodal import (
         extract_features,
         media_stats,
@@ -2190,6 +2232,44 @@ def q41_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("weighted_sum"),
         )
     )
+    # real_jpeg (r6): six constant 8×8 blocks per document decoded by
+    # the pure-numpy baseline JPEG decoder (jpegcodec) — the flat-8
+    # quant table makes the lossy codec EXACT on this fixture, so the
+    # oracle replays every decoded pixel from the 'jp' md5 chain
+    # (n_bytes varies with the Huffman-coded values → NULL, like the
+    # dhash scopes)
+    jpeg_media = _build_multimodal_media(d, kinds=(5,))
+    jp = media_stats(jpeg_media).select(
+        F.lit("real_jpeg").alias("scope"),
+        F.expr("media_id DIV 8").alias("media_id"),
+        "kind",
+        "fmt",
+        F.lit(None).cast("bigint").alias("n_bytes"),
+        F.lit(None).cast("string").alias("digest"),
+        "width",
+        "height",
+        "n_values",
+        "sum_values",
+        "weighted_sum",
+    )
+    # real_gif (r6): LZW-decoded palette image — lossless, so the
+    # oracle replays the raw 'gf' chain through the identity gray
+    # palette (pixel j → RGB positions 3j..3j+2); the uncompressed-
+    # form LZW stream keeps n_bytes a constant 831
+    gif_media = _build_multimodal_media(d, kinds=(6,))
+    gi = media_stats(gif_media).select(
+        F.lit("real_gif").alias("scope"),
+        F.expr("media_id DIV 8").alias("media_id"),
+        "kind",
+        "fmt",
+        "n_bytes",
+        F.lit(None).cast("string").alias("digest"),
+        "width",
+        "height",
+        "n_values",
+        "sum_values",
+        "weighted_sum",
+    )
     return (
         fake.unionByName(real)
         .unionByName(rz)
@@ -2198,6 +2278,8 @@ def q41_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(pg)
         .unionByName(dh)
         .unionByName(adh)
+        .unionByName(jp)
+        .unionByName(gi)
     )
 
 
@@ -6305,6 +6387,27 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents, generate_series(0, 5) AS t(i)
                 GROUP BY doc_id
             ),
+            jp_chain AS (   -- 1 block; jpeg uses 6 bytes (6 const 8x8 blocks)
+                SELECT doc_id, md5(text || ':jp:0') AS hx FROM documents
+            ),
+            gf_chain AS (   -- 2 blocks = 32 bytes; gif uses 30 (6x5 gray)
+                SELECT doc_id,
+                       string_agg(md5(text || ':gf:' || i), '' ORDER BY i) AS hx
+                FROM documents, generate_series(0, 1) AS t(i)
+                GROUP BY doc_id
+            ),
+            gf_bytes AS (
+                SELECT doc_id, j,
+                       (strpos('0123456789abcdef', substr(hx, 2*j+1, 1))-1)*16
+                     + (strpos('0123456789abcdef', substr(hx, 2*j+2, 1))-1) AS v
+                FROM gf_chain, generate_series(0, 29) AS t(j)
+            ),
+            jp_blocks AS (
+                SELECT doc_id, i,
+                       (strpos('0123456789abcdef', substr(hx, 2*i+1, 1))-1)*16
+                     + (strpos('0123456789abcdef', substr(hx, 2*i+2, 1))-1) AS v
+                FROM jp_chain, generate_series(0, 5) AS t(i)
+            ),
             bmp_bytes AS (
                 SELECT doc_id, j,
                        (strpos('0123456789abcdef', substr(hx, 2*j+1, 1))-1)*16
@@ -6531,6 +6634,31 @@ def oracle_sql() -> dict[str, str]:
                    NULL::BIGINT, NULL::VARCHAR, NULL::INT, NULL::INT,
                    CAST(64 AS BIGINT), v.ah, CAST(n.nbr AS BIGINT)
             FROM ad_val v JOIN ad_nbr n ON n.doc_id = v.doc_id
+            UNION ALL
+            -- real_jpeg: six constant 8x8 blocks (block i = chain
+            -- byte i, raster 3 wide x 2 high in a 24x16 image); with
+            -- the flat-8 quant table the lossy codec is EXACT here,
+            -- so every pixel of block i equals v_i. Block i covers
+            -- rows 8*(i//3).. and cols 8*(i%3)..; the 1-based
+            -- position-weight sum over one block is
+            -- 64*(24*(8*by+3.5) + (8*bx+3.5) + 1)
+            --   = 12288*by + 512*bx + 5664
+            SELECT 'real_jpeg', doc_id, 'image', 'jpeg',
+                   NULL::BIGINT, NULL::VARCHAR, 24, 16,
+                   CAST(384 AS BIGINT), CAST(SUM(64 * v) AS BIGINT),
+                   CAST(SUM(v * (12288*(i // 3) + 512*(i % 3) + 5664))
+                        AS BIGINT)
+            FROM jp_blocks GROUP BY doc_id
+            UNION ALL
+            -- real_gif: LZW is lossless and the identity gray palette
+            -- expands pixel j to r=g=b=v at positions 3j,3j+1,3j+2 →
+            -- weight sum per pixel (3j+1)+(3j+2)+(3j+3) = 9j+6;
+            -- uncompressed-form LZW makes n_bytes a constant 831
+            SELECT 'real_gif', doc_id, 'image', 'gif',
+                   CAST(831 AS BIGINT), NULL::VARCHAR, 6, 5,
+                   CAST(90 AS BIGINT), CAST(SUM(3 * v) AS BIGINT),
+                   CAST(SUM(v * (9*j + 6)) AS BIGINT)
+            FROM gf_bytes GROUP BY doc_id
         """,
         "q42_json_extract": """
             SELECT event_id,

@@ -1,0 +1,741 @@
+"""Pure-numpy baseline JPEG codec (ITU-T T.81 sequential DCT).
+
+The one real image format :mod:`mediacodec` still gated behind
+``NotImplementedError`` — JPEG is by far the most common container in
+any web-crawled multimodal corpus, and decoding it needs no codec
+library: the baseline process is marker parsing + canonical Huffman
+entropy decoding + dequantization + an 8×8 inverse DCT, all of which
+is public specification (ITU-T T.81, Annex F/K; the JFIF colorspace
+is ITU-T T.871).  Everything here is implemented from that public
+spec with numpy doing the block math.
+
+Decoder (:func:`decode_jpeg`):
+
+- **Baseline sequential DCT (SOF0)**, 8-bit precision, 1 or 3
+  components, arbitrary sampling factors with max factor ≤ 4 (covers
+  4:4:4, 4:2:2, 4:2:0); chroma upsampling is nearest (pixel
+  replication), the cheapest spec-allowed reconstruction.
+- Huffman tables, quantization tables, and restart intervals are read
+  FROM THE FILE (DHT/DQT/DRI), so any baseline JPEG decodes — the
+  Annex K tables below are only the encoder's defaults.
+- Byte-stuffing (``FF 00``) and restart markers (``RST0-7`` with DC
+  predictor reset + byte realignment) handled in the entropy reader.
+- Progressive (SOF2), arithmetic coding (SOF9+), hierarchical, and
+  12-bit precision raise ``NotImplementedError`` — honest gates, same
+  contract as the other codecs.
+
+Encoder (:func:`encode_jpeg`):
+
+- Grayscale or RGB input; JFIF YCbCr conversion; optional 2×2 box
+  chroma subsampling (4:2:0); Annex K quantization tables scaled by
+  ``quality`` (libjpeg's published 50-point pivot formula) or a
+  caller-supplied flat table; Annex K Huffman tables; optional
+  restart interval.
+- Deterministic: same array + params → same bytes on any platform
+  (float64 DCT, ``np.rint`` quantization).
+
+Exactness contract used by the q41 ``real_jpeg`` oracle: an image
+whose every 8×8 block is a CONSTANT value v has all-zero AC
+coefficients and DC = 8·(v−128) exactly; with a quant table whose
+DC entry is 8 the quantized DC is v−128 with no rounding, so
+decode(encode(img)) reproduces v bit-for-bit — a closed form a SQL
+oracle can replay from the fixture's md5 chain without a DCT.  (The
+float IDCT's |error| for these values is ≤ ~1e-10, far inside the
+round-to-integer.)  General images round-trip within quantization
+error, pinned by tests, not by the oracle.
+
+Runs INSIDE Arrow-batched pandas UDFs on executor-local ``bytes``
+(same placement as :mod:`mediacodec`); cost is O(pixels) per blob
+with numpy doing the 8×8 transforms batched per component.
+
+Reference parity note: the reference ETL
+(salvatoreChiacchio0/LSDM-MotoGP-Data-Integration) has no media
+handling; this serves the brief's multimodal-columns requirement.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from lsdm_motogp_data_integration_spark.operators.mediacodec import (
+    MediaFormatError,
+)
+
+__all__ = ["decode_jpeg", "encode_jpeg"]
+
+
+# --- constants (public: ITU-T T.81 Annex K) --------------------------------
+
+# zigzag scan: generated, not transcribed — position k of the scan is
+# (row, col) ZIGZAG[k]; NATURAL[r*8+c] = k inverts it.
+def _zigzag_pairs() -> list[tuple[int, int]]:
+    out: list[tuple[int, int]] = []
+    for s in range(15):
+        rc = [(r, s - r) for r in range(s + 1) if r < 8 and s - r < 8]
+        if s % 2 == 0:
+            rc.reverse()
+        out.extend(rc)
+    return out
+
+
+_ZIGZAG = _zigzag_pairs()
+# flat natural index (r*8+c) for each zigzag position
+_ZIG_TO_NAT = np.array([r * 8 + c for r, c in _ZIGZAG], dtype=np.int64)
+
+# Annex K.1/K.2 quantization tables (luminance, chrominance), natural order
+_K1_LUMA = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.int64,
+).reshape(8, 8)
+_K2_CHROMA = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.int64,
+).reshape(8, 8)
+
+# Annex K.3 Huffman table specs: (BITS[1..16] code counts, HUFFVAL)
+_DC_LUMA_SPEC = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_DC_CHROMA_SPEC = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_AC_LUMA_SPEC = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+_AC_CHROMA_SPEC = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+
+# 8×8 DCT-II orthonormal basis: A[u, x] = c_u/2 · cos((2x+1)uπ/16);
+# forward F = A·f·Aᵀ, inverse f = Aᵀ·F·A (T.81 A.3.3 with the ¼·c·c
+# normalization folded into the matrix)
+def _dct_matrix() -> np.ndarray:
+    x = np.arange(8, dtype=np.float64)
+    u = x.reshape(8, 1)
+    a = 0.5 * np.cos((2.0 * x + 1.0) * u * np.pi / 16.0)
+    a[0, :] *= 1.0 / np.sqrt(2.0)
+    return a
+
+
+_A = _dct_matrix()
+
+
+# --- Huffman code construction (T.81 Annex C) ------------------------------
+
+
+def _build_decode_table(bits: list[int], vals: list[int]) -> dict:
+    """(code_length, code) → symbol, canonical order per Annex C."""
+    lut: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            lut[(ln, code)] = vals[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return lut
+
+
+def _build_encode_table(bits: list[int], vals: list[int]) -> dict:
+    """symbol → (code, code_length)."""
+    enc: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            enc[vals[k]] = (code, ln)
+            k += 1
+            code += 1
+        code <<= 1
+    return enc
+
+
+# --- entropy-coded segment reader ------------------------------------------
+
+
+class _BitReader:
+    """MSB-first bit reader over the entropy-coded segment with FF00
+    byte-unstuffing; stops (leaves position) at any real marker."""
+
+    __slots__ = ("data", "pos", "buf", "n")
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.buf = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.data):
+                raise MediaFormatError("JPEG entropy data truncated")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.pos >= len(self.data):
+                    raise MediaFormatError("JPEG truncated after FF")
+                nxt = self.data[self.pos]
+                if nxt == 0x00:
+                    self.pos += 1
+                else:
+                    raise MediaFormatError(
+                        f"marker FF{nxt:02X} inside entropy segment"
+                    )
+            self.buf = b
+            self.n = 8
+        self.n -= 1
+        return (self.buf >> self.n) & 1
+
+    def bits(self, count: int) -> int:
+        v = 0
+        for _ in range(count):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align_and_expect_rst(self, idx: int) -> None:
+        """Byte-align and consume the next RSTn marker (n = idx mod 8)."""
+        self.n = 0
+        d, p = self.data, self.pos
+        # skip optional FF fill bytes before the marker code
+        while p + 1 < len(d) and d[p] == 0xFF and d[p + 1] == 0xFF:
+            p += 1
+        if p + 1 >= len(d) or d[p] != 0xFF or d[p + 1] != 0xD0 + (idx % 8):
+            raise MediaFormatError(
+                f"expected RST{idx % 8} at offset {p}"
+            )
+        self.pos = p + 2
+
+
+def _huff_decode(r: _BitReader, lut: dict) -> int:
+    code = 0
+    for ln in range(1, 17):
+        code = (code << 1) | r.bit()
+        v = lut.get((ln, code))
+        if v is not None:
+            return v
+    raise MediaFormatError("invalid Huffman code in entropy segment")
+
+
+def _extend(v: int, size: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map the raw `size`-bit magnitude to the
+    signed coefficient value."""
+    if size == 0:
+        return 0
+    if v < (1 << (size - 1)):
+        return v - (1 << size) + 1
+    return v
+
+
+# --- decoder ----------------------------------------------------------------
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Decode a baseline sequential JPEG to ``(H, W) uint8`` grayscale
+    or ``(H, W, 3) uint8`` RGB (JFIF YCbCr→RGB).  Reads quant/Huffman
+    tables, sampling factors, and restart interval from the stream.
+    Raises ``NotImplementedError`` for progressive/arithmetic/12-bit
+    and ``MediaFormatError`` for corrupt baseline streams."""
+    if data[:3] != b"\xff\xd8\xff":
+        raise MediaFormatError("not a JPEG (no SOI)")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    hufftabs: dict[tuple[int, int], dict] = {}  # (class 0=DC/1=AC, id)
+    frame = None
+    restart_interval = 0
+    scan = None
+    n = len(data)
+    while pos + 4 <= n:
+        if data[pos] != 0xFF:
+            raise MediaFormatError(f"expected marker at offset {pos}")
+        marker = data[pos + 1]
+        if marker == 0xFF:  # fill byte
+            pos += 1
+            continue
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue  # no-payload markers
+        if marker == 0xD9:  # EOI before SOS
+            break
+        (seglen,) = struct.unpack(">H", data[pos : pos + 2])
+        seg = data[pos + 2 : pos + seglen]
+        if len(seg) != seglen - 2:
+            raise MediaFormatError("JPEG segment truncated")
+        if marker == 0xDB:  # DQT
+            off = 0
+            while off < len(seg):
+                pq, tq = seg[off] >> 4, seg[off] & 15
+                off += 1
+                if pq == 0:
+                    tab = np.frombuffer(
+                        seg[off : off + 64], np.uint8
+                    ).astype(np.int64)
+                    off += 64
+                else:
+                    tab = np.frombuffer(
+                        seg[off : off + 128], ">u2"
+                    ).astype(np.int64)
+                    off += 128
+                nat = np.zeros(64, dtype=np.int64)
+                nat[_ZIG_TO_NAT] = tab
+                qtables[tq] = nat.reshape(8, 8)
+        elif marker == 0xC4:  # DHT
+            off = 0
+            while off < len(seg):
+                tc, th = seg[off] >> 4, seg[off] & 15
+                bits = list(seg[off + 1 : off + 17])
+                nv = sum(bits)
+                vals = list(seg[off + 17 : off + 17 + nv])
+                hufftabs[(tc, th)] = _build_decode_table(bits, vals)
+                off += 17 + nv
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xC0 or marker == 0xC1:
+            # baseline / extended-sequential Huffman (same decode path)
+            prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise NotImplementedError(f"JPEG precision {prec}")
+            comps = []
+            for ci in range(nc):
+                cid, hv, tq = seg[6 + 3 * ci : 9 + 3 * ci]
+                comps.append((cid, hv >> 4, hv & 15, tq))
+            frame = (h, w, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
+            raise NotImplementedError(
+                "JPEG progressive/lossless/differential (SOF"
+                f"{marker - 0xC0}) not supported (baseline only)"
+            )
+        elif marker in (0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError("JPEG arithmetic coding")
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            scan = []
+            for si in range(ns):
+                cs, tdta = seg[1 + 2 * si], seg[2 + 2 * si]
+                scan.append((cs, tdta >> 4, tdta & 15))
+            pos += seglen
+            break
+        pos += seglen
+    if frame is None or scan is None:
+        raise MediaFormatError("JPEG missing SOF0/SOS")
+    h, w, comps = frame
+    if h == 0 or w == 0:
+        raise MediaFormatError("JPEG zero dimension (DNL unsupported)")
+    if len(comps) not in (1, 3):
+        raise NotImplementedError(f"JPEG {len(comps)}-component")
+    maxh = max(c[1] for c in comps)
+    maxv = max(c[2] for c in comps)
+    if not (1 <= maxh <= 4 and 1 <= maxv <= 4):
+        raise MediaFormatError("JPEG sampling factors out of range")
+
+    # per-component block grids (interleaved-MCU geometry, A.2.3)
+    mcus_x = -(-w // (8 * maxh))
+    mcus_y = -(-h // (8 * maxv))
+    scan_by_cid = {s[0]: s for s in scan}
+    planes = []
+    comp_meta = []
+    for cid, hi, vi, tq in comps:
+        if cid not in scan_by_cid:
+            raise MediaFormatError(f"component {cid} missing from SOS")
+        _, td, ta = scan_by_cid[cid]
+        bw, bh = mcus_x * hi, mcus_y * vi
+        planes.append(
+            np.zeros((bh * 8, bw * 8), dtype=np.float64)
+        )
+        comp_meta.append((hi, vi, qtables[tq], td, ta))
+
+    r = _BitReader(data, pos)
+    preds = [0] * len(comps)
+    coef = np.zeros(64, dtype=np.int64)
+    mcu_idx = 0
+    rst_idx = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_idx and (
+                mcu_idx % restart_interval == 0
+            ):
+                r.align_and_expect_rst(rst_idx)
+                rst_idx += 1
+                preds = [0] * len(comps)
+            for ci, (hi, vi, q, td, ta) in enumerate(comp_meta):
+                dctab = hufftabs[(0, td)]
+                actab = hufftabs[(1, ta)]
+                for by in range(vi):
+                    for bx in range(hi):
+                        coef[:] = 0
+                        t = _huff_decode(r, dctab)
+                        preds[ci] += _extend(r.bits(t), t)
+                        coef[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _huff_decode(r, actab)
+                            rr, ss = rs >> 4, rs & 15
+                            if ss == 0:
+                                if rr == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += rr
+                            if k > 63:
+                                raise MediaFormatError(
+                                    "AC run past block end"
+                                )
+                            coef[_ZIG_TO_NAT[k]] = _extend(
+                                r.bits(ss), ss
+                            )
+                            k += 1
+                        block = (
+                            coef.reshape(8, 8).astype(np.float64) * q
+                        )
+                        px = _A.T @ block @ _A
+                        y0 = (my * vi + by) * 8
+                        x0 = (mx * hi + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px
+            mcu_idx += 1
+
+    out_planes = []
+    for (hi, vi, _q, _td, _ta), plane in zip(comp_meta, planes):
+        up = np.repeat(
+            np.repeat(plane, maxv // vi, axis=0), maxh // hi, axis=1
+        )
+        out_planes.append(up[:h, :w] + 128.0)
+    if len(out_planes) == 1:
+        return np.clip(np.rint(out_planes[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = out_planes
+    cb = cb - 128.0
+    cr = cr - 128.0
+    rgb = np.stack(
+        [
+            y + 1.402 * cr,
+            y - 0.344136 * cb - 0.714136 * cr,
+            y + 1.772 * cb,
+        ],
+        axis=-1,
+    )
+    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
+# --- encoder ----------------------------------------------------------------
+
+
+class _BitWriter:
+    __slots__ = ("out", "buf", "n")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.buf = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.buf = (self.buf << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.buf)
+                if self.buf == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.buf = 0
+                self.n = 0
+
+    def flush(self) -> None:
+        """Pad the final partial byte with 1-bits (T.81 F.1.2.3)."""
+        if self.n:
+            self.write((1 << (8 - self.n)) - 1, 8 - self.n)
+
+
+def _scaled_quant(base: np.ndarray, quality: int) -> np.ndarray:
+    """libjpeg's published quality scaling: 50 → the Annex K table,
+    100 → all-1s, 1 → 50× coarser; clamped to [1, 255] for 8-bit
+    table precision."""
+    if not 1 <= quality <= 100:
+        raise ValueError("quality must be in [1, 100]")
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    q = (base * scale + 50) // 100
+    return np.clip(q, 1, 255).astype(np.int64)
+
+
+def _encode_component_block(
+    wtr: _BitWriter,
+    coef_zz: np.ndarray,
+    pred: int,
+    dc_enc: dict,
+    ac_enc: dict,
+) -> int:
+    """Huffman-encode one quantized block (zigzag order); returns the
+    new DC predictor."""
+    dc = int(coef_zz[0])
+    diff = dc - pred
+    size = int(diff).bit_length() if diff != 0 else 0
+    code, ln = dc_enc[size]
+    wtr.write(code, ln)
+    if size:
+        v = diff if diff > 0 else diff + (1 << size) - 1
+        wtr.write(v & ((1 << size) - 1), size)
+    # AC: run-length of zeros + size, ZRL for 16 zeros, EOB at end
+    last_nz = 0
+    for k in range(63, 0, -1):
+        if coef_zz[k] != 0:
+            last_nz = k
+            break
+    run = 0
+    for k in range(1, last_nz + 1):
+        v = int(coef_zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_enc[0xF0]  # ZRL
+            wtr.write(code, ln)
+            run -= 16
+        size = abs(v).bit_length()
+        code, ln = ac_enc[(run << 4) | size]
+        wtr.write(code, ln)
+        vv = v if v > 0 else v + (1 << size) - 1
+        wtr.write(vv & ((1 << size) - 1), size)
+        run = 0
+    if last_nz < 63:
+        code, ln = ac_enc[0x00]  # EOB
+        wtr.write(code, ln)
+    return dc
+
+
+def _plane_to_blocks(plane: np.ndarray) -> np.ndarray:
+    """(H, W) float64, H and W multiples of 8 → (H//8, W//8, 8, 8)."""
+    bh, bw = plane.shape[0] // 8, plane.shape[1] // 8
+    return plane.reshape(bh, 8, bw, 8).swapaxes(1, 2)
+
+
+def _pad_to(plane: np.ndarray, ph: int, pw: int) -> np.ndarray:
+    h, w = plane.shape
+    return np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+
+
+def encode_jpeg(
+    arr: np.ndarray,
+    *,
+    quality: int = 85,
+    quant: np.ndarray | None = None,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode ``(H, W) uint8`` grayscale or ``(H, W, 3) uint8`` RGB as
+    a baseline JFIF JPEG.  ``quant`` (an 8×8 int table used for every
+    component) overrides the quality-scaled Annex K tables — pass a
+    table with ``quant[0, 0] == 8`` to make constant 8×8 blocks
+    round-trip exactly (the q41 oracle contract).  ``subsample=True``
+    emits 4:2:0 (2×2 box-mean chroma); ``restart_interval`` emits DRI
+    + RSTn markers every that many MCUs."""
+    if arr.dtype != np.uint8 or arr.ndim not in (2, 3):
+        raise ValueError("encode_jpeg wants (H,W) or (H,W,3) uint8")
+    if arr.ndim == 3 and arr.shape[2] != 3:
+        raise ValueError("encode_jpeg wants 3 channels for color")
+    h, w = arr.shape[:2]
+    if h == 0 or w == 0 or h > 65535 or w > 65535:
+        raise ValueError("encode_jpeg dimensions out of range")
+    gray = arr.ndim == 2
+
+    if quant is not None:
+        qt = np.asarray(quant, dtype=np.int64).reshape(8, 8)
+        if np.any(qt < 1) or np.any(qt > 255):
+            raise ValueError("quant entries must be in [1, 255]")
+        qluma = qchroma = qt
+        two_tables = False
+    else:
+        qluma = _scaled_quant(_K1_LUMA, quality)
+        qchroma = _scaled_quant(_K2_CHROMA, quality)
+        two_tables = not gray
+
+    if gray:
+        planes = [arr.astype(np.float64) - 128.0]
+        samp = [(1, 1)]
+    else:
+        rf = arr[..., 0].astype(np.float64)
+        gf = arr[..., 1].astype(np.float64)
+        bf = arr[..., 2].astype(np.float64)
+        y = 0.299 * rf + 0.587 * gf + 0.114 * bf
+        cb = 128.0 - 0.168736 * rf - 0.331264 * gf + 0.5 * bf
+        cr = 128.0 + 0.5 * rf - 0.418688 * gf - 0.081312 * bf
+        if subsample:
+            # 2×2 box mean on an edge-padded even grid
+            he, we = (h + 1) & ~1, (w + 1) & ~1
+            cbp = _pad_to(cb, he, we)
+            crp = _pad_to(cr, he, we)
+            cb = cbp.reshape(he // 2, 2, we // 2, 2).mean(axis=(1, 3))
+            cr = crp.reshape(he // 2, 2, we // 2, 2).mean(axis=(1, 3))
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            samp = [(1, 1), (1, 1), (1, 1)]
+        planes = [y - 128.0, cb - 128.0, cr - 128.0]
+
+    maxh = max(s[0] for s in samp)
+    maxv = max(s[1] for s in samp)
+    mcus_x = -(-w // (8 * maxh))
+    mcus_y = -(-h // (8 * maxv))
+
+    # FDCT + quantize each component's padded block grid up front
+    comp_coefs = []
+    for (hi, vi), plane in zip(samp, planes):
+        ph, pw = mcus_y * vi * 8, mcus_x * hi * 8
+        blocks = _plane_to_blocks(_pad_to(plane, ph, pw))
+        freq = np.einsum("ux,byxw,wv->byuv", _A, blocks, _A.T)
+        q = qluma if len(comp_coefs) == 0 else qchroma
+        comp_coefs.append(np.rint(freq / q).astype(np.int64))
+
+    dc_specs = [_DC_LUMA_SPEC] + (
+        [] if gray else [_DC_CHROMA_SPEC, _DC_CHROMA_SPEC]
+    )
+    ac_specs = [_AC_LUMA_SPEC] + (
+        [] if gray else [_AC_CHROMA_SPEC, _AC_CHROMA_SPEC]
+    )
+    dc_enc = [_build_encode_table(*_DC_LUMA_SPEC)]
+    ac_enc = [_build_encode_table(*_AC_LUMA_SPEC)]
+    if not gray:
+        dc_enc.append(_build_encode_table(*_DC_CHROMA_SPEC))
+        ac_enc.append(_build_encode_table(*_AC_CHROMA_SPEC))
+        dc_enc.append(dc_enc[1])
+        ac_enc.append(ac_enc[1])
+
+    wtr = _BitWriter()
+    preds = [0] * len(planes)
+    mcu_idx = 0
+    rst_idx = 0
+    zz_rows = _ZIG_TO_NAT // 8
+    zz_cols = _ZIG_TO_NAT % 8
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_idx and (
+                mcu_idx % restart_interval == 0
+            ):
+                wtr.flush()
+                wtr.out += bytes([0xFF, 0xD0 + (rst_idx % 8)])
+                rst_idx += 1
+                preds = [0] * len(planes)
+            for ci, (hi, vi) in enumerate(samp):
+                for by in range(vi):
+                    for bx in range(hi):
+                        blk = comp_coefs[ci][
+                            my * vi + by, mx * hi + bx
+                        ]
+                        preds[ci] = _encode_component_block(
+                            wtr,
+                            blk[zz_rows, zz_cols],
+                            preds[ci],
+                            dc_enc[ci],
+                            ac_enc[ci],
+                        )
+            mcu_idx += 1
+    wtr.flush()
+
+    # --- assemble the stream -------------------------------------------
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(
+        0xE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HHBB", 1, 1, 0, 0)
+    )
+
+    def dqt_body(tid: int, table: np.ndarray) -> bytes:
+        zz = table.reshape(64)[_ZIG_TO_NAT]
+        return bytes([tid]) + bytes(int(v) for v in zz)
+
+    if two_tables:
+        out += seg(0xDB, dqt_body(0, qluma) + dqt_body(1, qchroma))
+    else:
+        out += seg(0xDB, dqt_body(0, qluma))
+    ncomp = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        hi, vi = samp[ci]
+        tq = 0 if (ci == 0 or not two_tables) else 1
+        sof += bytes([ci + 1, (hi << 4) | vi, tq])
+    out += seg(0xC0, sof)
+
+    def dht_body(tc: int, th: int, spec) -> bytes:
+        bits, vals = spec
+        return bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+
+    dht = dht_body(0, 0, dc_specs[0]) + dht_body(1, 0, ac_specs[0])
+    if not gray:
+        dht += dht_body(0, 1, _DC_CHROMA_SPEC)
+        dht += dht_body(1, 1, _AC_CHROMA_SPEC)
+    out += seg(0xC4, dht)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        td = ta = 0 if ci == 0 else 1
+        sos += bytes([ci + 1, (td << 4) | ta])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    out += wtr.out
+    out += b"\xff\xd9"
+    return bytes(out)

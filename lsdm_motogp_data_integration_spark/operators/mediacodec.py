@@ -19,9 +19,18 @@ environment and none are needed for these formats):
   Paeth) unfiltered in numpy (Sub via a wrapping ``add.accumulate``,
   Up fully vectorized; Average/Paeth need the sequential left
   neighbor, per PNG spec, and fall back to a per-byte loop on the
-  rows that use them). 8-bit depth; gray / RGB / indexed-PLTE /
-  gray+alpha / RGBA color types; Adam7 interlace and 16-bit depth
-  raise ``NotImplementedError`` honestly.
+  rows that use them). 8- AND 16-bit depth (16-bit returns uint16,
+  full fidelity), Adam7 interlace (seven independently-filtered
+  sub-rasters scattered onto their grids), gray / RGB / indexed-PLTE
+  / gray+alpha / RGBA color types; sub-byte depths raise
+  ``NotImplementedError`` honestly.
+- **GIF** (r6) — pure-python variable-width LZW (LSB-first, deferred
+  clear, KwKwK case) + numpy palette expansion; 87a/89a, interlace,
+  local color tables; animated GIFs decode their first frame.
+- **JPEG** (r6) — baseline sequential DCT, in :mod:`jpegcodec`
+  (marker walk + canonical Huffman + dequant + 8×8 IDCT, grayscale /
+  YCbCr with arbitrary ≤4 sampling factors); progressive and
+  arithmetic coding raise ``NotImplementedError``.
 
 Encoders for the same formats exist so tests and fixtures can build
 real files byte-for-byte, and ``resize_images`` can emit a real
@@ -67,6 +76,7 @@ __all__ = [
     "encode_ppm",
     "encode_pgm",
     "encode_png",
+    "encode_gif",
     "encode_wav",
     "y4m_info",
     "y4m_frame",
@@ -82,8 +92,8 @@ class MediaFormatError(ValueError):
 
 def sniff_format(data: bytes) -> str | None:
     """Identify a supported container by magic bytes: ``bmp``, ``pgm``,
-    ``ppm``, ``png``, ``wav``, ``y4m`` — or None for anything else
-    (JPEG, MP3, MP4, ... all sniff None and must take the fake/stub
+    ``ppm``, ``png``, ``jpeg``, ``wav``, ``y4m`` — or None for anything
+    else (MP3, MP4, ... sniff None and must take the fake/stub
     path)."""
     if len(data) < 12:
         return None
@@ -95,6 +105,10 @@ def sniff_format(data: bytes) -> str | None:
         return "ppm"
     if data[:8] == b"\x89PNG\r\n\x1a\n":
         return "png"
+    if data[:3] == b"\xff\xd8\xff":
+        return "jpeg"
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return "wav"
     if data[:9] == b"YUV4MPEG2":
@@ -119,9 +133,18 @@ def decode_image(data: bytes) -> np.ndarray:
         return _decode_pnm(data)
     if fmt == "png":
         return _decode_png(data)
+    if fmt == "jpeg":
+        from lsdm_motogp_data_integration_spark.operators.jpegcodec import (
+            decode_jpeg,
+        )
+
+        return decode_jpeg(data)
+    if fmt == "gif":
+        return _decode_gif(data)
     raise NotImplementedError(
         f"no pure-numpy decoder for this image container "
-        f"(sniffed {fmt or 'unknown'}; supported: bmp, pgm, ppm, png)"
+        f"(sniffed {fmt or 'unknown'}; supported: bmp, pgm, ppm, png, "
+        f"jpeg, gif)"
     )
 
 
@@ -337,12 +360,52 @@ def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
     return out
 
 
+# Adam7 pass grid: (x0, y0, dx, dy) per pass (PNG spec §8.2)
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _png_reconstruct(
+    raw: bytes, h: int, w: int, bpp: int, interlace: bool
+) -> np.ndarray:
+    """Unfilter the inflated raster → ``(h, w, bpp) uint8`` bytes.
+    Adam7 streams are seven independently-filtered sub-rasters in
+    sequence (empty passes contribute NO bytes, not even filter
+    bytes); each unfilters with the same row machinery and scatters
+    onto its (y0::dy, x0::dx) grid."""
+    if not interlace:
+        return _png_unfilter(raw, h, w * bpp, bpp).reshape(h, w, bpp)
+    out = np.zeros((h, w, bpp), dtype=np.uint8)
+    pos = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        n = ph * (1 + pw * bpp)
+        sub = _png_unfilter(raw[pos : pos + n], ph, pw * bpp, bpp)
+        pos += n
+        out[y0::dy, x0::dx] = sub.reshape(ph, pw, bpp)
+    if pos != len(raw):
+        raise MediaFormatError(
+            f"PNG Adam7 raster size mismatch: used {pos} of {len(raw)}"
+        )
+    return out
+
+
 def _decode_png(data: bytes) -> np.ndarray:
-    """Decode an 8-bit non-interlaced PNG to the canonical ``(H, W)``
-    gray / ``(H, W, C)`` RGB(A) uint8 array. Indexed (PLTE) images
-    resolve to RGB. 16-bit depth, sub-byte depths, and Adam7 interlace
-    raise ``NotImplementedError`` (honest gates — the formats exist,
-    this decoder does not pretend to read them)."""
+    """Decode an 8- or 16-bit PNG (plain or Adam7-interlaced) to the
+    canonical ``(H, W)`` gray / ``(H, W, C)`` RGB(A) array — uint8 for
+    8-bit sources, uint16 for 16-bit (full fidelity, no silent high-
+    byte truncation). Indexed (PLTE) images resolve to RGB. Sub-byte
+    depths (1/2/4) raise ``NotImplementedError`` (honest gate)."""
     import zlib
 
     ihdr = None
@@ -370,12 +433,16 @@ def _decode_png(data: bytes) -> np.ndarray:
         raise MediaFormatError(
             f"bad PNG compression/filter method {comp}/{filt}"
         )
-    if interlace != 0:
-        raise NotImplementedError("PNG Adam7 interlace not supported")
-    if depth != 8:
-        raise NotImplementedError(f"PNG bit depth {depth} (8-bit only)")
+    if interlace not in (0, 1):
+        raise MediaFormatError(f"bad PNG interlace method {interlace}")
+    if depth not in (8, 16):
+        raise NotImplementedError(
+            f"PNG bit depth {depth} (8/16-bit only)"
+        )
     if ctype_i not in _PNG_CHANNELS:
         raise MediaFormatError(f"bad PNG color type {ctype_i}")
+    if ctype_i == 3 and depth == 16:
+        raise MediaFormatError("PNG indexed color cannot be 16-bit")
     if not idat:
         raise MediaFormatError("PNG has no IDAT data")
     try:
@@ -383,19 +450,27 @@ def _decode_png(data: bytes) -> np.ndarray:
     except zlib.error as e:
         raise MediaFormatError(f"PNG IDAT inflate failed: {e}") from e
     nch = _PNG_CHANNELS[ctype_i]
-    stride = w * nch
-    flat = _png_unfilter(raw, h, stride, nch)
+    sb = depth // 8  # bytes per sample
+    grid = _png_reconstruct(raw, h, w, nch * sb, interlace == 1)
     if ctype_i == 3:
         if plte is None or len(plte) % 3 or not plte:
             raise MediaFormatError("indexed PNG missing/bad PLTE")
         pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
-        idx = flat.reshape(h, w)
+        idx = grid.reshape(h, w)
         if int(idx.max(initial=0)) >= pal.shape[0]:
             raise MediaFormatError("PNG palette index out of range")
         return np.ascontiguousarray(pal[idx])
+    if depth == 16:
+        # network byte order per sample → native uint16, full fidelity
+        hi = grid[:, :, 0::2].astype(np.uint16)
+        lo = grid[:, :, 1::2].astype(np.uint16)
+        a16 = (hi << 8) | lo
+        if nch == 1:
+            return np.ascontiguousarray(a16.reshape(h, w))
+        return np.ascontiguousarray(a16)
     if nch == 1:
-        return np.ascontiguousarray(flat.reshape(h, w))
-    return np.ascontiguousarray(flat.reshape(h, w, nch))
+        return np.ascontiguousarray(grid.reshape(h, w))
+    return np.ascontiguousarray(grid.reshape(h, w, nch))
 
 
 def encode_png(arr: np.ndarray, *, filters=None) -> bytes:
@@ -689,3 +764,223 @@ def encode_y4m(
         out.append(b"FRAME\n")
         out.append(a.tobytes())
     return b"".join(out)
+
+
+# ---------------------------------------------------------------------------
+# GIF (r6): LZW-compressed palette images — pure-python LZW (GIF's
+# variable-width LSB-first variant, ~50 lines, public spec: GIF89a
+# specification + Welch 1984), numpy palette mapping.  Animated GIFs
+# decode their FIRST image descriptor (the canonical still frame);
+# transparency is ignored (the palette color shows through) — decode
+# fidelity for compositing is renderer territory, not corpus
+# statistics territory.
+# ---------------------------------------------------------------------------
+
+
+def _gif_lzw_decode(min_code_size: int, data: bytes, n_pixels: int) -> bytes:
+    """GIF-variant LZW: codes packed LSB-first, width starts
+    ``min_code_size + 1`` and grows as the dictionary fills (cap 12
+    bits, deferred-clear per the spec)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    # dictionary as (prefix_code, suffix_byte); roots are implicit
+    prefix = [0] * 4096
+    suffix = bytearray(4096)
+    next_code = end + 1
+    width = min_code_size + 1
+    prev = -1
+    buf = 0
+    nbits = 0
+    pos = 0
+    ln = len(data)
+
+    def expand(code: int) -> bytes:
+        s = bytearray()
+        while code >= clear:
+            s.append(suffix[code])
+            code = prefix[code]
+        s.append(code)
+        s.reverse()
+        return bytes(s)
+
+    while len(out) < n_pixels:
+        while nbits < width:
+            if pos >= ln:
+                raise MediaFormatError("GIF LZW data truncated")
+            buf |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = buf & ((1 << width) - 1)
+        buf >>= width
+        nbits -= width
+        if code == clear:
+            next_code = end + 1
+            width = min_code_size + 1
+            prev = -1
+            continue
+        if code == end:
+            break
+        if prev < 0:
+            if code >= clear:
+                raise MediaFormatError("GIF LZW: first code not a root")
+            out.append(code)
+            prev = code
+            continue
+        if code < next_code:
+            entry = expand(code)
+        elif code == next_code:
+            entry = expand(prev) + expand(prev)[:1]
+        else:
+            raise MediaFormatError("GIF LZW: code out of range")
+        out += entry
+        if next_code < 4096:
+            prefix[next_code] = prev
+            suffix[next_code] = entry[0]
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = code
+    return bytes(out[:n_pixels])
+
+
+def _decode_gif(data: bytes) -> np.ndarray:
+    """Decode the first image of a GIF87a/89a to ``(H, W, 3) uint8``
+    RGB via the (local-over-global) color table."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise MediaFormatError("not a GIF")
+    if len(data) < 13:
+        raise MediaFormatError("GIF truncated in screen descriptor")
+    packed = data[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        gct = np.frombuffer(data[pos : pos + 3 * n], np.uint8)
+        if gct.size != 3 * n:
+            raise MediaFormatError("GIF global color table truncated")
+        gct = gct.reshape(n, 3)
+        pos += 3 * n
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x3B:  # trailer before any image
+            raise MediaFormatError("GIF has no image descriptor")
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(data) and data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise MediaFormatError(f"GIF unknown block 0x{b:02x}")
+        # image descriptor
+        w = int.from_bytes(data[pos + 5 : pos + 7], "little")
+        h = int.from_bytes(data[pos + 7 : pos + 9], "little")
+        ipacked = data[pos + 9]
+        pos += 10
+        pal = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 7)
+            pal = np.frombuffer(data[pos : pos + 3 * n], np.uint8)
+            if pal.size != 3 * n:
+                raise MediaFormatError("GIF local color table truncated")
+            pal = pal.reshape(n, 3)
+            pos += 3 * n
+        if pal is None:
+            raise MediaFormatError("GIF image has no color table")
+        if w <= 0 or h <= 0:
+            raise MediaFormatError(f"bad GIF dimensions {w}x{h}")
+        min_code_size = data[pos]
+        pos += 1
+        if not 2 <= min_code_size <= 8:
+            raise MediaFormatError(
+                f"bad GIF LZW min code size {min_code_size}"
+            )
+        chunks = []
+        while pos < len(data) and data[pos] != 0:
+            ln = data[pos]
+            chunks.append(data[pos + 1 : pos + 1 + ln])
+            pos += 1 + ln
+        idx = np.frombuffer(
+            _gif_lzw_decode(min_code_size, b"".join(chunks), w * h),
+            np.uint8,
+        )
+        if idx.size != w * h:
+            raise MediaFormatError("GIF pixel data short")
+        if int(idx.max(initial=0)) >= pal.shape[0]:
+            raise MediaFormatError("GIF palette index out of range")
+        img = idx.reshape(h, w)
+        if ipacked & 0x40:  # interlaced: 4-pass row order
+            order = np.concatenate(
+                [
+                    np.arange(0, h, 8),
+                    np.arange(4, h, 8),
+                    np.arange(2, h, 4),
+                    np.arange(1, h, 2),
+                ]
+            )
+            de = np.empty_like(img)
+            de[order] = img
+            img = de
+        return np.ascontiguousarray(pal[img])
+    raise MediaFormatError("GIF truncated before image data")
+
+
+def encode_gif(arr: np.ndarray) -> bytes:
+    """Encode ``(H, W)`` uint8 gray (identity 256-gray palette) or
+    ``(H, W, 3)`` uint8 RGB (≤ 256 distinct colors) as a GIF89a.
+
+    The LZW stream is the classic "uncompressed GIF" form — literal
+    9-bit codes with a clear code every 250 symbols so the code width
+    never grows — which makes the container byte length a CLOSED-FORM
+    function of the pixel count (the stored-block-PNG discipline for
+    an LZW container): ``13 + 768 + 10 + 1 +
+    bytes_of(9·(1 + n + ⌈n/250⌉ - 1 + 1) bits) + subblock_framing +
+    2``."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        pal = np.repeat(np.arange(256, dtype=np.uint8), 3).reshape(256, 3)
+        idx = a
+    elif a.ndim == 3 and a.shape[2] == 3:
+        flat = a.reshape(-1, 3)
+        pal_u, inv = np.unique(flat, axis=0, return_inverse=True)
+        if pal_u.shape[0] > 256:
+            raise MediaFormatError(
+                f"encode_gif: {pal_u.shape[0]} distinct colors (max 256)"
+            )
+        pal = np.zeros((256, 3), np.uint8)
+        pal[: pal_u.shape[0]] = pal_u
+        idx = inv.astype(np.uint8).reshape(a.shape[:2])
+    else:
+        raise MediaFormatError("encode_gif wants (H,W) or (H,W,3) uint8")
+    h, w = idx.shape
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0xF7, 0, 0])  # GCT present, 256 entries, 8-bit res
+    out += pal.tobytes()
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    out += bytes([8])  # LZW min code size
+    # 9-bit codes LSB-first: CLEAR, ≤250 literals, CLEAR, ..., END
+    codes = [256]
+    for i, v in enumerate(idx.reshape(-1)):
+        if i and i % 250 == 0:
+            codes.append(256)
+        codes.append(int(v))
+    codes.append(257)
+    buf = 0
+    nbits = 0
+    stream = bytearray()
+    for c in codes:
+        buf |= c << nbits
+        nbits += 9
+        while nbits >= 8:
+            stream.append(buf & 0xFF)
+            buf >>= 8
+            nbits -= 8
+    if nbits:
+        stream.append(buf & 0xFF)
+    for off in range(0, len(stream), 255):
+        chunk = stream[off : off + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)

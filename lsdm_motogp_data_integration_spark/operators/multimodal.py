@@ -113,7 +113,7 @@ def _decode_canonical(content: bytes) -> tuple[str, bytes, dict]:
     swallowed into fake output.
     """
     fmt = mc.sniff_format(content)
-    if fmt in ("bmp", "pgm", "ppm", "png"):
+    if fmt in ("bmp", "pgm", "ppm", "png", "jpeg", "gif"):
         a = mc.decode_image(content)
         h, w = a.shape[0], a.shape[1]
         nch = 1 if a.ndim == 2 else a.shape[2]
@@ -141,8 +141,8 @@ def _decode_canonical(content: bytes) -> tuple[str, bytes, dict]:
         return fmt, b"".join(frames), {"kind": "video", **info}
     raise NotImplementedError(
         "no decoder for this blob (supported containers: bmp, pgm, "
-        "ppm, png, wav, y4m; jpeg/mp3/mp4 need codec libraries this "
-        "environment does not have)"
+        "ppm, png, jpeg, gif, wav, y4m; mp3/mp4 audio/video decode "
+        "needs codec libraries this environment does not have)"
     )
 
 
@@ -159,7 +159,10 @@ def _real_features(content: bytes, dim: int) -> tuple[str, np.ndarray]:
     fmt, canon, info = _decode_canonical(content)
     digest = hashlib.sha256(canon).hexdigest()
     if info["kind"] == "image":
-        a = info["array"].astype(np.float64) / 255.0
+        # dtype-max normalization: uint8 → /255, 16-bit PNG (uint16,
+        # r6) → /65535, so features stay in [0, 1] for both depths
+        full = float(np.iinfo(info["array"].dtype).max)
+        a = info["array"].astype(np.float64) / full
         hist = np.histogram(a, bins=8, range=(0.0, 1.00001))[0]
         hist = hist / max(a.size, 1)
         vals = [
@@ -530,6 +533,13 @@ def resize_images(
                     buf = (seed * reps)[: width * height * 3]
                 else:
                     a = mc.decode_image(bytes(content))
+                    if a.dtype != np.uint8:
+                        raise NotImplementedError(
+                            "resize_images re-encodes as 24-bit BMP; "
+                            "16-bit sources would be silently "
+                            "truncated — convert depth explicitly "
+                            "first"
+                        )
                     if a.ndim == 2:
                         a = np.repeat(a[:, :, None], 3, axis=2)
                     elif a.shape[2] == 4:

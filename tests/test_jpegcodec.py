@@ -1,0 +1,182 @@
+"""Baseline JPEG codec: decoder pinned against a hand-built stream +
+an INDEPENDENT per-coefficient IDCT, encoder/decoder roundtrips, the
+constant-block exactness contract the q41 oracle relies on, and the
+honest gates for unsupported JPEG modes."""
+
+import math
+import struct
+
+import numpy as np
+import pytest
+
+from lsdm_motogp_data_integration_spark.operators.jpegcodec import (
+    _DC_LUMA_SPEC,
+    _AC_LUMA_SPEC,
+    _ZIG_TO_NAT,
+    decode_jpeg,
+    encode_jpeg,
+)
+from lsdm_motogp_data_integration_spark.operators.mediacodec import (
+    MediaFormatError,
+    sniff_format,
+)
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+def _hand_built_gray_jpeg() -> bytes:
+    """One 8×8 grayscale block, flat quant table of 1s, Annex K luma
+    Huffman tables, entropy stream written BY HAND (no encoder code):
+
+    DC = 5  → category 3 ('100') + magnitude '101'
+    AC zigzag[1] = -3 → run/size 0x02 ('01') + magnitude '00'
+    EOB → '1010'
+    bits: 100 101 01 00 1010 = 10010101 0010 1011₁-padded
+    """
+    out = bytearray(b"\xff\xd8")
+    qzz = bytes([0]) + bytes([1] * 64)
+    out += _seg(0xDB, qzz)
+    out += _seg(0xC0, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    dcb, dcv = _DC_LUMA_SPEC
+    acb, acv = _AC_LUMA_SPEC
+    out += _seg(
+        0xC4,
+        bytes([0x00]) + bytes(dcb) + bytes(dcv)
+        + bytes([0x10]) + bytes(acb) + bytes(acv),
+    )
+    out += _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    out += bytes([0b10010101, 0b00101011])
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _reference_idct(coef: np.ndarray) -> np.ndarray:
+    """Straightforward T.81 A.3.3 double loop — independent of the
+    codec's matrix formulation."""
+    out = np.zeros((8, 8))
+    for y in range(8):
+        for x in range(8):
+            s = 0.0
+            for u in range(8):
+                for v in range(8):
+                    cu = 1 / math.sqrt(2) if u == 0 else 1.0
+                    cv = 1 / math.sqrt(2) if v == 0 else 1.0
+                    s += (
+                        cu * cv * coef[u, v]
+                        * math.cos((2 * y + 1) * u * math.pi / 16)
+                        * math.cos((2 * x + 1) * v * math.pi / 16)
+                    )
+            out[y, x] = s / 4.0
+    return out
+
+
+def test_hand_built_stream_matches_independent_idct():
+    data = _hand_built_gray_jpeg()
+    assert sniff_format(data) == "jpeg"
+    dec = decode_jpeg(data)
+    assert dec.shape == (8, 8) and dec.dtype == np.uint8
+    coef = np.zeros((8, 8))
+    coef[0, 0] = 5.0
+    r, c = divmod(int(_ZIG_TO_NAT[1]), 8)
+    assert (r, c) == (0, 1)  # zigzag position 1 is (row 0, col 1)
+    coef[r, c] = -3.0
+    expected = np.clip(
+        np.rint(_reference_idct(coef) + 128.0), 0, 255
+    ).astype(np.uint8)
+    assert np.array_equal(dec, expected)
+
+
+def test_constant_block_flat8_roundtrip_is_exact():
+    # the q41 real_jpeg oracle contract: constant 8×8 blocks with a
+    # quant table whose DC entry is 8 reproduce every pixel exactly
+    rng = np.random.RandomState(3)
+    blocks = rng.randint(0, 256, size=(2, 3), dtype=np.uint8)
+    img = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+    flat8 = np.full((8, 8), 8, dtype=np.int64)
+    dec = decode_jpeg(encode_jpeg(img, quant=flat8))
+    assert np.array_equal(dec, img)
+
+
+def test_gray_roundtrip_bounded_error_odd_dims():
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, size=(33, 41), dtype=np.uint8)
+    dec = decode_jpeg(encode_jpeg(img, quality=95))
+    assert dec.shape == img.shape
+    assert np.max(np.abs(dec.astype(int) - img.astype(int))) <= 16
+
+
+def test_smooth_gradient_near_lossless():
+    yy, xx = np.mgrid[0:40, 0:56]
+    img = np.clip(yy * 4 + xx * 2, 0, 255).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(img, quality=85))
+    assert np.max(np.abs(dec.astype(int) - img.astype(int))) <= 3
+
+
+def test_rgb_444_and_420_roundtrip():
+    yy, xx = np.mgrid[0:32, 0:32]
+    img = np.stack(
+        [
+            np.clip(yy * 6, 0, 255),
+            np.clip(xx * 6, 0, 255),
+            np.clip(yy * 3 + xx * 3, 0, 255),
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+    d444 = decode_jpeg(encode_jpeg(img, quality=95))
+    assert d444.shape == img.shape
+    assert np.mean(np.abs(d444.astype(int) - img.astype(int))) < 2.0
+    d420 = decode_jpeg(encode_jpeg(img, quality=95, subsample=True))
+    assert d420.shape == img.shape
+    assert np.mean(np.abs(d420.astype(int) - img.astype(int))) < 4.0
+
+
+def test_constant_color_420_exact():
+    c = np.full((16, 16, 3), [200, 30, 90], dtype=np.uint8)
+    dec = decode_jpeg(encode_jpeg(c, quality=95, subsample=True))
+    assert np.array_equal(dec, c)
+
+
+def test_restart_interval_changes_bytes_not_pixels():
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, size=(24, 40), dtype=np.uint8)
+    plain = encode_jpeg(img, quality=92)
+    rst = encode_jpeg(img, quality=92, restart_interval=2)
+    assert plain != rst
+    assert b"\xff\xdd" in rst  # DRI segment present
+    assert np.array_equal(decode_jpeg(plain), decode_jpeg(rst))
+
+
+def test_encode_is_deterministic():
+    rng = np.random.RandomState(9)
+    img = rng.randint(0, 256, size=(19, 23, 3), dtype=np.uint8)
+    assert encode_jpeg(img, quality=80) == encode_jpeg(img, quality=80)
+
+
+def test_progressive_and_corrupt_gates():
+    # flip the hand-built fixture's SOF0 marker to SOF2 (progressive)
+    data = bytearray(_hand_built_gray_jpeg())
+    idx = data.index(b"\xff\xc0")
+    data[idx + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="progressive"):
+        decode_jpeg(bytes(data))
+    with pytest.raises(MediaFormatError):
+        decode_jpeg(b"\xff\xd8\xff" + b"\x00" * 32)
+    with pytest.raises(MediaFormatError):
+        decode_jpeg(b"not a jpeg at all")
+
+
+def test_decode_through_media_stats_contract():
+    # the multimodal dispatch path accepts jpeg end-to-end
+    from lsdm_motogp_data_integration_spark.operators.multimodal import (
+        _decode_canonical,
+    )
+
+    blocks = np.array([[10, 250], [130, 60]], dtype=np.uint8)
+    img = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+    flat8 = np.full((8, 8), 8, dtype=np.int64)
+    fmt, canon, info = _decode_canonical(encode_jpeg(img, quant=flat8))
+    assert fmt == "jpeg" and info["kind"] == "image"
+    assert info["width"] == 16 and info["height"] == 16
+    assert np.array_equal(info["array"], img)

@@ -488,15 +488,18 @@ def test_png_honest_gates_and_corruption():
 
     img = np.zeros((2, 2, 3), dtype=np.uint8)
     good = mc.encode_png(img)
-    # interlace byte -> NotImplementedError (Adam7)
+    # interlace byte flipped on a NON-interlaced raster: Adam7 is now
+    # SUPPORTED (r6, test_png_adam7_16bit), so this is no longer a
+    # capability gate — it must still fail LOUDLY, as the seven-pass
+    # layout disagrees with the raster byte count
     bad = bytearray(good)
     # IHDR body starts at 8 (len) + 8: width..., interlace is last of 13
     ihdr_off = 8 + 8
     bad[ihdr_off + 12] = 1
-    # fix the CRC so the gate (not CRC) fires
+    # fix the CRC so the raster check (not CRC) fires
     crc = zlib.crc32(bytes(bad[ihdr_off - 4 : ihdr_off + 13])) & 0xFFFFFFFF
     bad[ihdr_off + 13 : ihdr_off + 17] = struct.pack(">I", crc)
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(mc.MediaFormatError):
         mc.decode_image(bytes(bad))
     # flipped pixel byte inside IDAT -> CRC failure, loud
     bad2 = bytearray(good)
