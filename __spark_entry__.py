@@ -2000,7 +2000,13 @@ def q41_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
       LZW + numpy palette expansion) — lossless, so the oracle replays
       the raw 'gf' chain through the identity gray palette; the
       compressed-LZW path, interlace, and KwKwK case are pinned in
-      tests/test_gifcodec.py against an independent compressor."""
+      tests/test_gifcodec.py against an independent compressor.
+    - ``real_vdhash_f0``/``f1`` (r6): the video member of the
+      perceptual family — per-sampled-frame dHash over the Y4M luma
+      (center-mapped temporal picks), each frame hash replayed
+      bit-for-bit in SQL; weighted_sum = the CONJUNCTIVE neighbor
+      count (both frame slots within Hamming ≤ 6), pinning
+      video_neardup_pairs' every-slot rule against brute force."""
     from lsdm_motogp_data_integration_spark.operators.multimodal import (
         extract_features,
         media_stats,
@@ -2270,6 +2276,48 @@ def q41_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_values",
         "weighted_sum",
     )
+    # real_vdhash_f0/f1 (r6): the video member of the perceptual
+    # family — per-sampled-frame dHash over the Y4M luma (k=2 over the
+    # 2-frame fixture picks frames 0,1 via the center mapping), each
+    # frame hash replayed bit-for-bit in SQL; weighted_sum = the
+    # CONJUNCTIVE neighbor count (other videos with BOTH frame slots
+    # within Hamming ≤ 6), pinning video_neardup_pairs' every-slot
+    # rule against a brute-force xor/bit_count oracle
+    from lsdm_motogp_data_integration_spark.operators.multimodal import (
+        video_dhash,
+        video_neardup_pairs,
+    )
+
+    vhashes = video_dhash(y4m_media, n_sample_frames=2).persist()
+    vpairs = video_neardup_pairs(
+        vhashes, n_sample_frames=2, max_hamming=6
+    )
+    vnbr = (
+        vpairs.select(F.col("id_a").alias("media_id"))
+        .unionAll(vpairs.select(F.col("id_b").alias("media_id")))
+        .groupBy("media_id")
+        .agg(F.count(F.lit(1)).alias("__nbr"))
+    )
+    vdh = (
+        vhashes.join(vnbr, "media_id", "left")
+        .select(
+            F.concat(
+                F.lit("real_vdhash_f"), F.col("frame_idx").cast("string")
+            ).alias("scope"),
+            F.expr("media_id DIV 8").alias("media_id"),
+            F.lit("video").alias("kind"),
+            F.lit("y4m").alias("fmt"),
+            F.lit(None).cast("bigint").alias("n_bytes"),
+            F.lit(None).cast("string").alias("digest"),
+            F.lit(4).cast("int").alias("width"),
+            F.lit(3).cast("int").alias("height"),
+            F.lit(64).cast("bigint").alias("n_values"),
+            F.col("vdhash").alias("sum_values"),
+            F.coalesce(F.col("__nbr"), F.lit(0))
+            .cast("bigint")
+            .alias("weighted_sum"),
+        )
+    )
     return (
         fake.unionByName(real)
         .unionByName(rz)
@@ -2280,6 +2328,7 @@ def q41_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(adh)
         .unionByName(jp)
         .unionByName(gi)
+        .unionByName(vdh)
     )
 
 
@@ -6539,6 +6588,51 @@ def oracle_sql() -> dict[str, str]:
                   ON a.doc_id <> b.doc_id
                  AND bit_count(xor(a.ah, b.ah)) <= 6
                 GROUP BY a.doc_id
+            ),
+            -- real_vdhash: per-frame dHash over the 4x3 Y4M luma.
+            -- NN 4x3 -> 9x8: ys=floor((y+.5)*3/8)=[0,0,0,1,1,2,2,2],
+            -- xs=floor((x+.5)*4/9)=[0,0,1,1,2,2,2,3,3]; frame f's
+            -- luma pixel (y,x) is vf byte f*12 + y*4 + x
+            vd_map AS (
+                SELECT y*8 + x AS i,
+                       list_value(0,0,0,1,1,2,2,2)[y+1]*4
+                       + list_value(0,0,1,1,2,2,2,3,3)[x+1] AS pl,
+                       list_value(0,0,0,1,1,2,2,2)[y+1]*4
+                       + list_value(0,0,1,1,2,2,2,3,3)[x+2] AS pr
+                FROM generate_series(0,7) ty(y), generate_series(0,7) tx(x)
+            ),
+            vd_val AS (
+                SELECT doc_id, f,
+                       CAST(CASE WHEN s >= (1::HUGEINT << 63)
+                                 THEN s - (1::HUGEINT << 64)
+                                 ELSE s END AS BIGINT) AS vh
+                FROM (
+                    SELECT b1.doc_id, fr.f,
+                           SUM(CASE WHEN b2.v > b1.v
+                                    THEN (1::HUGEINT << m.i)
+                                    ELSE 0::HUGEINT END) AS s
+                    FROM vd_map m
+                    CROSS JOIN generate_series(0,1) fr(f)
+                    JOIN vf_bytes b1 ON b1.j = fr.f*12 + m.pl
+                    JOIN vf_bytes b2 ON b2.doc_id = b1.doc_id
+                                    AND b2.j = fr.f*12 + m.pr
+                    GROUP BY b1.doc_id, fr.f
+                )
+            ),
+            vd_w AS (
+                SELECT doc_id,
+                       MAX(CASE WHEN f = 0 THEN vh END) AS h0,
+                       MAX(CASE WHEN f = 1 THEN vh END) AS h1
+                FROM vd_val GROUP BY doc_id
+            ),
+            vd_nbr AS (     -- CONJUNCTIVE brute force: BOTH frame
+                            -- slots within Hamming <= 6
+                SELECT a.doc_id, COUNT(b.doc_id) AS nbr
+                FROM vd_w a LEFT JOIN vd_w b
+                  ON a.doc_id <> b.doc_id
+                 AND bit_count(xor(a.h0, b.h0)) <= 6
+                 AND bit_count(xor(a.h1, b.h1)) <= 6
+                GROUP BY a.doc_id
             )
             SELECT 'fake' AS scope, doc_id AS media_id, 'text' AS kind,
                    NULL::VARCHAR AS fmt,
@@ -6659,6 +6753,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(90 AS BIGINT), CAST(SUM(3 * v) AS BIGINT),
                    CAST(SUM(v * (9*j + 6)) AS BIGINT)
             FROM gf_bytes GROUP BY doc_id
+            UNION ALL
+            -- real_vdhash: each frame slot's hash bit-for-bit +
+            -- the conjunctive (both-slot) neighbor count
+            SELECT 'real_vdhash_f0', w.doc_id, 'video', 'y4m',
+                   NULL::BIGINT, NULL::VARCHAR, 4, 3,
+                   CAST(64 AS BIGINT), w.h0, CAST(n.nbr AS BIGINT)
+            FROM vd_w w JOIN vd_nbr n ON n.doc_id = w.doc_id
+            UNION ALL
+            SELECT 'real_vdhash_f1', w.doc_id, 'video', 'y4m',
+                   NULL::BIGINT, NULL::VARCHAR, 4, 3,
+                   CAST(64 AS BIGINT), w.h1, CAST(n.nbr AS BIGINT)
+            FROM vd_w w JOIN vd_nbr n ON n.doc_id = w.doc_id
         """,
         "q42_json_extract": """
             SELECT event_id,

@@ -914,3 +914,117 @@ def audio_dhash_pairs(
         hashes, "media_id", "adhash", max_hamming=max_hamming,
         collapse_identical=True,
     )
+
+
+VDHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("vdhash", T.LongType()),
+    ]
+)
+
+
+def video_dhash(
+    media: DataFrame,
+    *,
+    n_sample_frames: int = 2,
+    hash_w: int = 8,
+    hash_h: int = 8,
+) -> DataFrame:
+    """(media_id, frame_idx, vdhash) — the video member of the
+    perceptual family (r6; image ``dhash_value``, audio
+    ``audio_dhash_value``): ``n_sample_frames`` frames are picked with
+    the engine-wide center mapping (source frame =
+    ``floor((i+0.5)·n/k)`` — temporal NN, same arithmetic as the
+    spatial/sample resamplers so a SQL oracle replays the pick), and
+    each sampled frame's LUMA plane (the first w·h payload bytes of
+    any Y4M colorspace) gets the standard 64-bit difference hash.
+
+    Honest robustness contract: invariant to container re-encode,
+    spatial NN resize (``resize_video`` — pixel-center picks compose,
+    gradient signs are scale-stable), and any frame-wise monotone
+    brightness map; temporal cuts/insertions shift which frames are
+    sampled and need shot-boundary fingerprints (codec territory).
+
+    100 TB shape: one decode pass per video, ``8·k`` bytes out; the
+    near-dup join (:func:`video_neardup_pairs`) runs per frame slot on
+    the 8-byte relation — frame hashes only ever equi-join within the
+    same ``frame_idx``, so k slots are k independent banded joins,
+    never a cross-slot product."""
+    if n_sample_frames < 1:
+        raise ValueError("n_sample_frames must be >= 1")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fidx, hashes = [], [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                if content is None:
+                    ids.append(mid)
+                    fidx.append(None)
+                    hashes.append(None)
+                    continue
+                blob = bytes(content)
+                info = mc.y4m_info(blob)
+                n = info["n_frames"]
+                w, h = info["width"], info["height"]
+                for i in range(n_sample_frames):
+                    src = ((2 * i + 1) * n) // (2 * n_sample_frames)
+                    fb = mc.y4m_frame(blob, info, src)
+                    luma = np.frombuffer(
+                        fb[: w * h], np.uint8
+                    ).reshape(h, w)
+                    ids.append(mid)
+                    fidx.append(i)
+                    hashes.append(dhash_value(luma, hash_w, hash_h))
+            out = pd.DataFrame(
+                {"media_id": ids, "frame_idx": fidx, "vdhash": hashes}
+            )
+            out["frame_idx"] = out["frame_idx"].astype("Int32")
+            out["vdhash"] = out["vdhash"].astype("Int64")
+            yield out
+
+    return media.filter(F.col("kind") == "video").mapInPandas(
+        run, schema=VDHASH_SCHEMA
+    )
+
+
+def video_neardup_pairs(
+    hashes: DataFrame,
+    *,
+    n_sample_frames: int = 2,
+    max_hamming: int = 6,
+) -> DataFrame:
+    """Perceptual near-duplicate video pairs from :func:`video_dhash`
+    output: two videos pair iff EVERY sampled frame slot is within
+    ``max_hamming`` bits (the conjunctive rule — one coincidentally
+    similar frame is not a duplicate video). Per-slot candidates come
+    from the shared pigeonhole band join (``dedup.hamming64_pairs``,
+    bucketed, never all-pairs); slots then conjoin by a pair-keyed
+    count, so the cross-slot step is an aggregate on candidate pairs,
+    not a join on videos. Output: (id_a, id_b, max_frame_hamming)."""
+    from lsdm_motogp_data_integration_spark.operators.dedup import (
+        hamming64_pairs,
+    )
+
+    per_slot = None
+    for i in range(n_sample_frames):
+        slot = hamming64_pairs(
+            hashes.filter(
+                (F.col("frame_idx") == i) & F.col("vdhash").isNotNull()
+            ),
+            "media_id",
+            "vdhash",
+            max_hamming=max_hamming,
+            collapse_identical=True,
+        )
+        per_slot = slot if per_slot is None else per_slot.unionAll(slot)
+    return (
+        per_slot.groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("__n_slots"),
+            F.max("hamming").alias("max_frame_hamming"),
+        )
+        .filter(F.col("__n_slots") == n_sample_frames)
+        .select("id_a", "id_b", "max_frame_hamming")
+    )

@@ -744,3 +744,63 @@ def test_hamming64_collapse_identical_equivalent(spark):
     assert (4, 5, 0) in direct          # the duplicated near pair
     assert (1, 4, 2) in direct          # across groups
     assert not any(p[0] == 7 or p[1] == 7 for p in direct)
+
+
+def test_video_dhash_samples_frames_per_center_mapping(spark):
+    """k=2 over a 4-frame clip must hash frames 1 and 3
+    (floor((2i+1)·n/2k)) with the standard per-frame dHash."""
+    from lsdm_motogp_data_integration_spark.operators.multimodal import (
+        dhash_value,
+        video_dhash,
+    )
+
+    rng = np.random.RandomState(21)
+    frames = [
+        rng.randint(0, 256, (6, 7), dtype=np.uint8) for _ in range(4)
+    ]
+    media = spark.createDataFrame(
+        [(1, "video", mc.encode_y4m(frames, 10, 1), None)], MEDIA_SCHEMA
+    )
+    got = {
+        r["frame_idx"]: r["vdhash"]
+        for r in video_dhash(media, n_sample_frames=2).collect()
+    }
+    assert got == {
+        0: dhash_value(frames[1]),
+        1: dhash_value(frames[3]),
+    }
+
+
+def test_video_neardup_conjunctive_rule(spark):
+    """A brightness-shifted twin AND a spatially NN-resized twin pair
+    with the original; a video sharing only ONE frame does not (the
+    conjunctive every-slot rule); unrelated videos do not."""
+    from lsdm_motogp_data_integration_spark.operators.multimodal import (
+        video_dhash,
+        video_neardup_pairs,
+    )
+
+    rng = np.random.RandomState(22)
+    f0 = rng.randint(0, 200, (16, 18), dtype=np.uint8)
+    f1 = rng.randint(0, 200, (16, 18), dtype=np.uint8)
+    # 18x16 -> 9x8 NN resize: picks (2y+1, 2x+1) — exactly the pixels
+    # the 9x8 hash grid of the ORIGINAL picks, so hashes are identical
+    small0, small1 = f0[1::2, 1::2], f1[1::2, 1::2]
+    other = rng.randint(0, 200, (16, 18), dtype=np.uint8)
+    rows = [
+        (1, "video", mc.encode_y4m([f0, f1], 10, 1), None),
+        (2, "video", mc.encode_y4m([f0 + 20, f1 + 20], 10, 1), None),
+        (3, "video", mc.encode_y4m([small0, small1], 10, 1), None),
+        (4, "video", mc.encode_y4m([f0, other], 10, 1), None),  # 1 slot
+        (5, "video", mc.encode_y4m([other, other], 10, 1), None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    hashes = video_dhash(media, n_sample_frames=2)
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in video_neardup_pairs(
+            hashes, n_sample_frames=2, max_hamming=4
+        ).collect()
+    }
+    assert (1, 2) in pairs and (1, 3) in pairs and (2, 3) in pairs
+    assert not any(4 in p or 5 in p for p in pairs)
