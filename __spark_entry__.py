@@ -1853,8 +1853,8 @@ def _build_multimodal_media(
     ':tag:' + i)`` blocks, truncated), so a SQL oracle can regenerate
     the EXPECTED decoded values without parsing any container.
     ``media_id = doc_id*8 + k`` (k: 0=bmp, 1=pgm, 2=wav, 3=y4m,
-    4=png, 5=jpeg, 6=gif) keys the scope; ``kinds`` restricts which
-    blobs are BUILT,
+    4=png, 5=jpeg, 6=gif, 7=mp4|mp3 skeleton) keys the scope;
+    ``kinds`` restricts which blobs are BUILT,
     so a consumer of one kind (the resize branch) never pays for
     encoding the other four only to filter them out above the UDF (a
     plain filter cannot push through mapInPandas)."""
@@ -1928,6 +1928,24 @@ def _build_multimodal_media(
                 chain(t, "gf", 2)[:30], _np.uint8
             ).reshape(5, 6)
             return "image", mc.encode_gif(gf)
+        if k == 7:
+            # compressed-container metadata (r6): a structurally real
+            # MP4 (box framing, empty mdat) or MP3 (valid frame
+            # headers, opaque payload) whose params derive from the
+            # 'mi' chain bytes — byte 15 selects the format, so the
+            # SQL oracle replays every walked field closed-form
+            mi = chain(t, "mi", 1)
+            if mi[15] % 2 == 0:
+                return "video", mc.encode_mp4_skeleton(
+                    mi[0] * 256 + mi[1],
+                    width=16 * (mi[2] % 64 + 1),
+                    height=16 * (mi[3] % 64 + 1),
+                    has_audio=mi[4] % 2 == 1,
+                )
+            return "audio", mc.encode_mp3_skeleton(
+                8 + mi[0] % 32,
+                bitrate_kbps=(96, 128, 160, 192)[mi[1] % 4],
+            )
         vf = chain(t, "vf", 2)[:24]
         frames = [
             _np.frombuffer(vf[:12], _np.uint8).reshape(3, 4),
@@ -2006,7 +2024,12 @@ def q41_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
       (center-mapped temporal picks), each frame hash replayed
       bit-for-bit in SQL; weighted_sum = the CONJUNCTIVE neighbor
       count (both frame slots within Hamming ≤ 6), pinning
-      video_neardup_pairs' every-slot rule against brute force."""
+      video_neardup_pairs' every-slot rule against brute force.
+    - ``real_minfo`` (r6): header-only metadata for the compressed
+      containers this engine cannot decode — container_info walks a
+      structurally real MP4 box tree / MP3 frame-header chain;
+      duration, dims, track layout, bitrate, and exact container size
+      all replay closed-form from the 'mi' chain params."""
     from lsdm_motogp_data_integration_spark.operators.multimodal import (
         extract_features,
         media_stats,
@@ -2298,6 +2321,35 @@ def q41_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("media_id")
         .agg(F.count(F.lit(1)).alias("__nbr"))
     )
+    # real_minfo (r6): header-only metadata for the compressed
+    # containers this engine cannot decode — container_info walks the
+    # MP4 box tree / MP3 frame headers; every field (duration, dims,
+    # track layout, bitrate, exact container size) is replayed
+    # closed-form from the 'mi' chain params in SQL
+    from lsdm_motogp_data_integration_spark.operators.multimodal import (
+        container_info,
+    )
+
+    minfo_media = _build_multimodal_media(d, kinds=(7,))
+    mi = container_info(minfo_media).select(
+        F.lit("real_minfo").alias("scope"),
+        F.expr("media_id DIV 8").alias("media_id"),
+        F.when(F.col("fmt") == "mp4", F.lit("video"))
+        .otherwise(F.lit("audio"))
+        .alias("kind"),
+        "fmt",
+        "n_bytes",
+        F.lit(None).cast("string").alias("digest"),
+        "width",
+        "height",
+        # n_values carries the walked count (tracks for mp4, frames
+        # for mp3); sum_values the duration; weighted_sum the bitrate
+        F.coalesce(
+            F.col("n_tracks").cast("bigint"), F.col("n_frames")
+        ).alias("n_values"),
+        F.col("duration_ms").alias("sum_values"),
+        F.col("bit_rate").cast("bigint").alias("weighted_sum"),
+    )
     vdh = (
         vhashes.join(vnbr, "media_id", "left")
         .select(
@@ -2329,6 +2381,7 @@ def q41_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(jp)
         .unionByName(gi)
         .unionByName(vdh)
+        .unionByName(mi)
     )
 
 
@@ -6439,6 +6492,25 @@ def oracle_sql() -> dict[str, str]:
             jp_chain AS (   -- 1 block; jpeg uses 6 bytes (6 const 8x8 blocks)
                 SELECT doc_id, md5(text || ':jp:0') AS hx FROM documents
             ),
+            mi_chain AS (   -- 1 block; mp4/mp3 skeleton params
+                SELECT doc_id, md5(text || ':mi:0') AS hx FROM documents
+            ),
+            mi_bytes AS (
+                SELECT doc_id, i,
+                       (strpos('0123456789abcdef', substr(hx, 2*i+1, 1))-1)*16
+                     + (strpos('0123456789abcdef', substr(hx, 2*i+2, 1))-1) AS v
+                FROM mi_chain, generate_series(0, 15) AS t(i)
+            ),
+            mi_params AS (
+                SELECT doc_id,
+                       MAX(CASE WHEN i = 15 THEN v % 2 END) AS is_mp3,
+                       MAX(CASE WHEN i = 0 THEN v END) AS b0,
+                       MAX(CASE WHEN i = 1 THEN v END) AS b1,
+                       MAX(CASE WHEN i = 2 THEN v END) AS b2,
+                       MAX(CASE WHEN i = 3 THEN v END) AS b3,
+                       MAX(CASE WHEN i = 4 THEN v END) AS b4
+                FROM mi_bytes GROUP BY doc_id
+            ),
             gf_chain AS (   -- 2 blocks = 32 bytes; gif uses 30 (6x5 gray)
                 SELECT doc_id,
                        string_agg(md5(text || ':gf:' || i), '' ORDER BY i) AS hx
@@ -6765,6 +6837,40 @@ def oracle_sql() -> dict[str, str]:
                    NULL::BIGINT, NULL::VARCHAR, 4, 3,
                    CAST(64 AS BIGINT), w.h1, CAST(n.nbr AS BIGINT)
             FROM vd_w w JOIN vd_nbr n ON n.doc_id = w.doc_id
+            UNION ALL
+            -- real_minfo: compressed-container metadata, closed-form
+            -- from the 'mi' params. mp4 (is_mp3=0): duration b0*256+
+            -- b1, dims 16*(b2%64+1) x 16*(b3%64+1), tracks 1+b4%2,
+            -- skeleton size 321 (video only) / 494 (+audio track).
+            -- mp3: frames 8+b0%32 at bitrate [96,128,160,192][b1%4];
+            -- duration floor(frames*1152*1000/44100); container size
+            -- frames * floor(144*br/44100)
+            SELECT 'real_minfo', doc_id,
+                   CASE WHEN is_mp3 = 0 THEN 'video' ELSE 'audio' END,
+                   CASE WHEN is_mp3 = 0 THEN 'mp4' ELSE 'mp3' END,
+                   CAST(CASE WHEN is_mp3 = 0
+                             THEN CASE WHEN b4 % 2 = 1
+                                       THEN 494 ELSE 321 END
+                             ELSE (8 + b0 % 32)
+                                  * (144 * list_value(96000, 128000,
+                                     160000, 192000)[b1 % 4 + 1]
+                                     // 44100)
+                        END AS BIGINT),
+                   NULL::VARCHAR,
+                   CASE WHEN is_mp3 = 0
+                        THEN 16 * (b2 % 64 + 1) ELSE NULL END,
+                   CASE WHEN is_mp3 = 0
+                        THEN 16 * (b3 % 64 + 1) ELSE NULL END,
+                   CAST(CASE WHEN is_mp3 = 0 THEN 1 + b4 % 2
+                             ELSE 8 + b0 % 32 END AS BIGINT),
+                   CAST(CASE WHEN is_mp3 = 0 THEN b0 * 256 + b1
+                             ELSE (8 + b0 % 32) * 1152 * 1000 // 44100
+                        END AS BIGINT),
+                   CAST(CASE WHEN is_mp3 = 0 THEN NULL
+                             ELSE list_value(96000, 128000, 160000,
+                                             192000)[b1 % 4 + 1]
+                        END AS BIGINT)
+            FROM mi_params
         """,
         "q42_json_extract": """
             SELECT event_id,

@@ -81,6 +81,12 @@ __all__ = [
     "y4m_info",
     "y4m_frame",
     "encode_y4m",
+    "mp4_info",
+    "encode_mp4_skeleton",
+    "mp3_info",
+    "encode_mp3_skeleton",
+    "image_dims",
+    "wav_info",
     "MediaFormatError",
 ]
 
@@ -92,9 +98,10 @@ class MediaFormatError(ValueError):
 
 def sniff_format(data: bytes) -> str | None:
     """Identify a supported container by magic bytes: ``bmp``, ``pgm``,
-    ``ppm``, ``png``, ``jpeg``, ``wav``, ``y4m`` — or None for anything
-    else (MP3, MP4, ... sniff None and must take the fake/stub
-    path)."""
+    ``ppm``, ``png``, ``jpeg``, ``gif``, ``wav``, ``y4m`` (decodable),
+    ``mp4``/``mp3`` (metadata walk only — :func:`mp4_info` /
+    :func:`mp3_info`; sample decode needs codecs this environment
+    lacks) — or None for anything else."""
     if len(data) < 12:
         return None
     if data[:2] == b"BM":
@@ -113,6 +120,12 @@ def sniff_format(data: bytes) -> str | None:
         return "wav"
     if data[:9] == b"YUV4MPEG2":
         return "y4m"
+    if data[4:8] == b"ftyp":
+        return "mp4"
+    if data[:3] == b"ID3" or (
+        data[0] == 0xFF and (data[1] & 0xE0) == 0xE0
+    ):
+        return "mp3"
     return None
 
 
@@ -984,3 +997,347 @@ def encode_gif(arr: np.ndarray) -> bytes:
         out += bytes([len(chunk)]) + chunk
     out += b"\x00\x3b"
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# MP4 / MP3 metadata walkers (r6): the decode of these formats needs
+# codec libraries this environment does not have (and stays an honest
+# NotImplementedError gate), but their CONTAINER METADATA — duration,
+# dimensions, track layout, bitrate — is plain public structure (ISO
+# 14496-12 box grammar; the MPEG audio frame header), and it is
+# exactly what a 100 TB multimodal pipeline needs to filter/stat
+# media WITHOUT paying for decode.  The skeleton encoders build
+# structurally real containers (true box/frame framing, opaque
+# payload) so fixtures exercise the real walkers.
+# ---------------------------------------------------------------------------
+
+
+def mp4_info(data: bytes) -> dict:
+    """Walk the ISO BMFF box tree of an MP4/MOV: ``brand``,
+    ``duration_ms`` (mvhd, at its timescale), per-track kind + video
+    dimensions (tkhd/hdlr), ``n_tracks``.  No sample data is read —
+    O(header bytes) regardless of mdat size."""
+    if len(data) < 12 or data[4:8] != b"ftyp":
+        raise MediaFormatError("not an ISO BMFF (no ftyp)")
+
+    def boxes(buf: bytes, pos: int, end: int):
+        while pos + 8 <= end:
+            size = struct.unpack_from(">I", buf, pos)[0]
+            btype = buf[pos + 4 : pos + 8]
+            if size == 1:  # 64-bit largesize
+                if pos + 16 > end:
+                    raise MediaFormatError("MP4 largesize truncated")
+                size = struct.unpack_from(">Q", buf, pos + 8)[0]
+                body_off = pos + 16
+            elif size == 0:  # to end of enclosing box
+                size = end - pos
+                body_off = pos + 8
+            else:
+                body_off = pos + 8
+            if size < body_off - pos or pos + size > end:
+                raise MediaFormatError(
+                    f"MP4 box {btype!r} size {size} out of range"
+                )
+            yield btype, body_off, pos + size
+            pos += size
+
+    brand = data[8:12].decode("latin-1")
+    info = {
+        "brand": brand,
+        "duration_ms": None,
+        "n_tracks": 0,
+        "width": None,
+        "height": None,
+        "has_video": False,
+        "has_audio": False,
+    }
+    moov = None
+    for btype, off, end in boxes(data, 0, len(data)):
+        if btype == b"moov":
+            moov = (off, end)
+    if moov is None:
+        raise MediaFormatError("MP4 has no moov box")
+    for btype, off, end in boxes(data, *moov):
+        if btype == b"mvhd":
+            ver = data[off]
+            if ver == 1:
+                ts, dur = struct.unpack_from(">IQ", data, off + 20)
+            else:
+                ts, dur = struct.unpack_from(">II", data, off + 12)
+            if ts == 0:
+                raise MediaFormatError("MP4 mvhd timescale is zero")
+            info["duration_ms"] = dur * 1000 // ts
+        elif btype == b"trak":
+            info["n_tracks"] += 1
+            for t2, o2, e2 in boxes(data, off, end):
+                if t2 == b"tkhd":
+                    ver = data[o2]
+                    base = o2 + (32 if ver == 1 else 20)
+                    # width/height: 16.16 fixed point at body end
+                    w_fx, h_fx = struct.unpack_from(
+                        ">II", data, e2 - 8
+                    )
+                    if w_fx and h_fx:
+                        info["width"] = w_fx >> 16
+                        info["height"] = h_fx >> 16
+                elif t2 == b"mdia":
+                    for t3, o3, e3 in boxes(data, o2, e2):
+                        if t3 == b"hdlr":
+                            handler = data[o3 + 8 : o3 + 12]
+                            if handler == b"vide":
+                                info["has_video"] = True
+                            elif handler == b"soun":
+                                info["has_audio"] = True
+    return info
+
+
+def encode_mp4_skeleton(
+    duration_ms: int,
+    *,
+    width: int | None = None,
+    height: int | None = None,
+    has_audio: bool = False,
+    brand: str = "isom",
+) -> bytes:
+    """Structurally real ISO BMFF: true ftyp/moov/mvhd/trak/tkhd/
+    mdia/mdhd/hdlr framing with an empty mdat — the metadata is real
+    and walkable, the media payload is honestly absent (decode of
+    real MP4 sample data needs codecs this environment lacks)."""
+
+    def box(btype: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", len(body) + 8) + btype + body
+
+    ts = 1000
+    dur = int(duration_ms)
+    mvhd = box(
+        b"mvhd",
+        b"\x00\x00\x00\x00"
+        + struct.pack(">II", 0, 0)
+        + struct.pack(">II", ts, dur)
+        + b"\x00\x01\x00\x00"  # rate 1.0
+        + b"\x01\x00"  # volume 1.0
+        + b"\x00" * 10
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24
+        + struct.pack(">I", 3),  # next track id
+    )
+
+    def trak(track_id: int, handler: bytes, w: int, h: int) -> bytes:
+        tkhd = box(
+            b"tkhd",
+            b"\x00\x00\x00\x07"
+            + struct.pack(">II", 0, 0)
+            + struct.pack(">I", track_id)
+            + b"\x00" * 4
+            + struct.pack(">I", dur)
+            + b"\x00" * 8
+            + struct.pack(">hhhh", 0, 0, 0, 0)
+            + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+            + struct.pack(">II", w << 16, h << 16),
+        )
+        mdhd = box(
+            b"mdhd",
+            b"\x00\x00\x00\x00"
+            + struct.pack(">IIII", 0, 0, ts, dur)
+            + struct.pack(">HH", 0x55C4, 0),  # und language
+        )
+        hdlr = box(
+            b"hdlr",
+            b"\x00\x00\x00\x00" + b"\x00" * 4 + handler + b"\x00" * 12 + b"\x00",
+        )
+        mdia = box(b"mdia", mdhd + hdlr)
+        return box(b"trak", tkhd + mdia)
+
+    traks = b""
+    if width is not None and height is not None:
+        traks += trak(1, b"vide", width, height)
+    if has_audio:
+        traks += trak(2, b"soun", 0, 0)
+    ftyp = box(b"ftyp", brand.encode("latin-1") + struct.pack(">I", 0x200) + b"isomiso2")
+    moov = box(b"moov", mvhd + traks)
+    mdat = box(b"mdat", b"")
+    return ftyp + moov + mdat
+
+
+# MPEG-1 Layer III bitrate table (kbps), index 1-14 (0=free, 15=bad)
+_MP3_BITRATES = (
+    None, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320,
+)
+_MP3_RATES = (44100, 48000, 32000)
+
+
+def mp3_info(data: bytes) -> dict:
+    """Walk MPEG-1 Layer III frame headers (skipping a leading ID3v2
+    tag): frame count, bitrate (CBR or 'vbr' if headers disagree),
+    sample rate, exact duration from frames·1152/rate.  Payload bytes
+    are skipped by the frame-length arithmetic — O(n_frames), no
+    decode."""
+    pos = 0
+    if data[:3] == b"ID3":
+        if len(data) < 10:
+            raise MediaFormatError("ID3v2 header truncated")
+        # syncsafe 28-bit size
+        sz = 0
+        for b in data[6:10]:
+            if b & 0x80:
+                raise MediaFormatError("ID3v2 size byte not syncsafe")
+            sz = (sz << 7) | b
+        pos = 10 + sz
+    n_frames = 0
+    bitrates = set()
+    rate = None
+    while pos + 4 <= len(data):
+        h = struct.unpack_from(">I", data, pos)[0]
+        if (h >> 21) != 0x7FF:
+            raise MediaFormatError(
+                f"MP3 lost sync at offset {pos} (frame {n_frames})"
+            )
+        version = (h >> 19) & 3
+        layer = (h >> 17) & 3
+        if version != 3 or layer != 1:
+            raise NotImplementedError(
+                "only MPEG-1 Layer III frame walking is supported"
+            )
+        bidx = (h >> 12) & 0xF
+        ridx = (h >> 10) & 3
+        padding = (h >> 9) & 1
+        if bidx in (0, 15) or ridx == 3:
+            raise MediaFormatError(
+                f"MP3 bad bitrate/rate index at frame {n_frames}"
+            )
+        br = _MP3_BITRATES[bidx] * 1000
+        sr = _MP3_RATES[ridx]
+        if rate is None:
+            rate = sr
+        elif rate != sr:
+            raise MediaFormatError("MP3 sample rate changes mid-stream")
+        bitrates.add(br)
+        n_frames += 1
+        flen = 144 * br // sr + padding
+        if flen <= 4:
+            raise MediaFormatError("MP3 degenerate frame length")
+        pos += flen
+    if n_frames == 0:
+        raise MediaFormatError("MP3 has no audio frames")
+    return {
+        "n_frames": n_frames,
+        "sample_rate": rate,
+        "bit_rate": next(iter(bitrates)) if len(bitrates) == 1 else None,
+        "duration_ms": n_frames * 1152 * 1000 // rate,
+    }
+
+
+def encode_mp3_skeleton(
+    n_frames: int, *, bitrate_kbps: int = 128, sample_rate: int = 44100
+) -> bytes:
+    """Structurally real MPEG-1 Layer III stream: valid frame headers
+    with correct frame-length arithmetic and opaque (zero) payload —
+    the walker's fixture, honest about not containing decodable
+    audio."""
+    if bitrate_kbps not in _MP3_BITRATES[1:]:
+        raise MediaFormatError(f"bitrate {bitrate_kbps} not in the table")
+    if sample_rate not in _MP3_RATES:
+        raise MediaFormatError(f"sample rate {sample_rate} not MPEG-1")
+    bidx = _MP3_BITRATES.index(bitrate_kbps)
+    ridx = _MP3_RATES.index(sample_rate)
+    h = (
+        (0x7FF << 21)
+        | (3 << 19)   # MPEG-1
+        | (1 << 17)   # Layer III
+        | (1 << 16)   # no CRC
+        | (bidx << 12)
+        | (ridx << 10)
+        | (0 << 9)    # no padding
+        | (0 << 6)    # stereo
+    )
+    hdr = struct.pack(">I", h)
+    flen = 144 * bitrate_kbps * 1000 // sample_rate
+    frame = hdr + b"\x00" * (flen - 4)
+    return frame * int(n_frames)
+
+
+def image_dims(data: bytes) -> tuple[int, int]:
+    """(width, height) from HEADER BYTES ONLY — no pixel decode, no
+    inflate, no entropy scan: the O(1) stat pass a 100 TB corpus runs
+    before deciding what to decode.  Supports every container this
+    module can identify as an image."""
+    fmt = sniff_format(data)
+    if fmt == "bmp":
+        w = struct.unpack_from("<i", data, 18)[0]
+        h = struct.unpack_from("<i", data, 22)[0]
+        return w, abs(h)
+    if fmt in ("pgm", "ppm"):
+        toks, _pos = _pnm_header_tokens(data, 3)
+        return toks[0], toks[1]
+    if fmt == "png":
+        if data[12:16] != b"IHDR":
+            raise MediaFormatError("PNG IHDR not first chunk")
+        w, h = struct.unpack_from(">II", data, 16)
+        return w, h
+    if fmt == "gif":
+        w, h = struct.unpack_from("<HH", data, 6)
+        return w, h
+    if fmt == "jpeg":
+        pos = 2
+        while pos + 4 <= len(data):
+            if data[pos] != 0xFF:
+                raise MediaFormatError("JPEG marker desync in dims walk")
+            marker = data[pos + 1]
+            if marker == 0xFF:
+                pos += 1
+                continue
+            pos += 2
+            if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD9:
+                continue
+            seglen = struct.unpack_from(">H", data, pos)[0]
+            if marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                          0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                h, w = struct.unpack_from(">HH", data, pos + 3)
+                return w, h
+            pos += seglen
+        raise MediaFormatError("JPEG has no SOF marker")
+    raise NotImplementedError(f"image_dims: not an image ({fmt})")
+
+
+def wav_info(data: bytes) -> dict:
+    """WAV metadata from the chunk walk ONLY — fmt fields + the data
+    chunk's declared size, no sample array (the header-only stat pass;
+    :func:`decode_wav` is the one that materializes samples)."""
+    if sniff_format(data) != "wav":
+        raise NotImplementedError("not a RIFF/WAVE container")
+    pos = 12
+    fmt = None
+    data_size = None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        size = struct.unpack_from("<I", data, pos + 4)[0]
+        if pos + 8 + size > len(data):
+            raise MediaFormatError(
+                f"WAV chunk {cid!r} truncated: declared {size}"
+            )
+        if cid == b"fmt ":
+            fmt = data[pos + 8 : pos + 8 + size]
+        elif cid == b"data":
+            data_size = size
+        pos += 8 + size + (size & 1)
+    if fmt is None or data_size is None:
+        raise MediaFormatError("WAV missing fmt / data chunk")
+    if len(fmt) < 16:
+        raise MediaFormatError("WAV fmt chunk truncated")
+    audio_fmt, n_ch, rate, _, _, bits = struct.unpack_from("<HHIIHH", fmt, 0)
+    if audio_fmt != 1:
+        raise NotImplementedError(
+            f"WAV audio format {audio_fmt} not supported (PCM=1 only)"
+        )
+    if bits not in (8, 16):
+        raise NotImplementedError(f"WAV bit depth {bits} (8/16 only)")
+    if n_ch <= 0 or rate <= 0:
+        raise MediaFormatError(f"bad WAV fmt fields ch={n_ch} rate={rate}")
+    n_frames = data_size // (n_ch * (bits // 8))
+    return {
+        "n_frames": int(n_frames),
+        "sample_rate": int(rate),
+        "channels": int(n_ch),
+        "bits": int(bits),
+        "duration_ms": int(n_frames) * 1000 // int(rate),
+    }

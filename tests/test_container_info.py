@@ -1,0 +1,134 @@
+"""Header-only container metadata (r6): MP4 box walk, MP3 frame-header
+walk, image_dims (no pixel decode), wav_info (no sample array), and
+the Spark container_info operator's strict / triage modes."""
+
+import numpy as np
+import pytest
+
+from lsdm_motogp_data_integration_spark.operators import mediacodec as mc
+from lsdm_motogp_data_integration_spark.operators.jpegcodec import (
+    encode_jpeg,
+)
+from lsdm_motogp_data_integration_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
+    container_info,
+)
+
+
+def test_mp4_walk_roundtrips_skeleton():
+    b = mc.encode_mp4_skeleton(
+        123456, width=1920, height=1080, has_audio=True
+    )
+    info = mc.mp4_info(b)
+    assert info["duration_ms"] == 123456
+    assert (info["width"], info["height"]) == (1920, 1080)
+    assert info["n_tracks"] == 2
+    assert info["has_video"] and info["has_audio"]
+    assert info["brand"] == "isom"
+    # audio-only skeleton
+    a = mc.mp4_info(mc.encode_mp4_skeleton(999, has_audio=True))
+    assert a["n_tracks"] == 1 and a["has_audio"] and not a["has_video"]
+    assert a["width"] is None
+
+
+def test_mp4_corrupt_gates():
+    with pytest.raises(mc.MediaFormatError):
+        mc.mp4_info(b"\x00\x00\x00\x08free" + b"\x00" * 8)  # no ftyp
+    good = mc.encode_mp4_skeleton(1000, width=64, height=48)
+    with pytest.raises(mc.MediaFormatError):  # box size past EOF
+        mc.mp4_info(good[:40])
+
+
+def test_mp3_walk_exact_duration_and_bitrate():
+    b = mc.encode_mp3_skeleton(38, bitrate_kbps=160, sample_rate=44100)
+    info = mc.mp3_info(b)
+    assert info["n_frames"] == 38
+    assert info["bit_rate"] == 160000
+    assert info["sample_rate"] == 44100
+    assert info["duration_ms"] == 38 * 1152 * 1000 // 44100
+    # frame length arithmetic: 144·160000/44100 = 522 bytes/frame
+    assert len(b) == 38 * (144 * 160000 // 44100)
+
+
+def test_mp3_id3v2_tag_skipped():
+    frames = mc.encode_mp3_skeleton(5, bitrate_kbps=128)
+    # ID3v2 header with syncsafe size 300
+    tag = b"ID3\x04\x00\x00" + bytes([0, 0, 2, 44]) + b"\x00" * 300
+    info = mc.mp3_info(tag + frames)
+    assert info["n_frames"] == 5 and info["bit_rate"] == 128000
+
+
+def test_mp3_desync_is_loud():
+    frames = mc.encode_mp3_skeleton(3)
+    with pytest.raises(mc.MediaFormatError, match="lost sync"):
+        mc.mp3_info(frames + b"\x12\x34\x56\x78")
+
+
+def test_image_dims_header_only_all_formats():
+    a = np.arange(45, dtype=np.uint8).reshape(5, 9)
+    rgb = np.repeat(a[:, :, None], 3, axis=2)
+    for blob in (
+        mc.encode_bmp(rgb),
+        mc.encode_pgm(a),
+        mc.encode_ppm(rgb),
+        mc.encode_png(a),
+        mc.encode_gif(a),
+        encode_jpeg(a),
+    ):
+        assert mc.image_dims(blob) == (9, 5)
+    # a TRUNCATED png (headers intact, no pixel data) still reports
+    # dims — proof no decode happens
+    png = mc.encode_png(a)
+    assert mc.image_dims(png[:33]) == (9, 5)
+
+
+def test_wav_info_no_sample_array():
+    s = np.arange(-40, 40, dtype=np.int16)
+    b = mc.encode_wav(s, 16000)
+    info = mc.wav_info(b)
+    assert info["n_frames"] == 80 and info["sample_rate"] == 16000
+    assert info["duration_ms"] == 80 * 1000 // 16000
+    assert info["channels"] == 1 and info["bits"] == 16
+
+
+def test_container_info_operator_all_kinds(spark):
+    rows = [
+        (1, "video", mc.encode_mp4_skeleton(
+            7500, width=320, height=240, has_audio=True), None),
+        (2, "audio", mc.encode_mp3_skeleton(10, bitrate_kbps=96), None),
+        (3, "image", mc.encode_gif(np.zeros((3, 4), np.uint8)), None),
+        (4, "audio", mc.encode_wav(
+            np.zeros(800, np.int16), 8000), None),
+        (5, "video", mc.encode_y4m(
+            [np.zeros((3, 4), np.uint8)] * 5, 10, 1), None),
+        (6, "image", None, None),  # NULL content
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in container_info(media).collect()}
+    assert out[1]["fmt"] == "mp4" and out[1]["duration_ms"] == 7500
+    assert (out[1]["width"], out[1]["height"]) == (320, 240)
+    assert out[1]["has_video"] and out[1]["has_audio"]
+    assert out[2]["fmt"] == "mp3" and out[2]["bit_rate"] == 96000
+    assert out[2]["duration_ms"] == 10 * 1152 * 1000 // 44100
+    assert out[3]["fmt"] == "gif" and (
+        out[3]["width"], out[3]["height"]) == (4, 3)
+    assert out[4]["fmt"] == "wav" and out[4]["duration_ms"] == 100
+    assert out[5]["fmt"] == "y4m" and out[5]["n_frames"] == 5
+    assert out[5]["duration_ms"] == 500  # 5 frames @ 10 fps
+    assert out[6]["fmt"] is None and out[6]["n_bytes"] is None
+
+
+def test_container_info_strict_vs_triage(spark):
+    rows = [
+        (1, "image", b"certainly not a container at all....", None),
+        (2, "image", mc.encode_gif(np.zeros((2, 2), np.uint8)), None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    with pytest.raises(Exception):
+        container_info(media, strict=True).collect()
+    out = {
+        r["media_id"]: r
+        for r in container_info(media, strict=False).collect()
+    }
+    assert out[1]["fmt"] is None and out[1]["n_bytes"] == 36
+    assert out[2]["fmt"] == "gif"
