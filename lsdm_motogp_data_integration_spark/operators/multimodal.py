@@ -951,7 +951,16 @@ def video_dhash(
     near-dup join (:func:`video_neardup_pairs`) runs per frame slot on
     the 8-byte relation — frame hashes only ever equi-join within the
     same ``frame_idx``, so k slots are k independent banded joins,
-    never a cross-slot product."""
+    never a cross-slot product.
+
+    Entropy caveat (measured, SCALE.md r6): frames SMALLER than the
+    hash grid upsample with repeated pixels, leaving structurally
+    constant bits — 4×3 frames vary only 24 of 64 bits (~9 bits
+    effective over a real corpus), so unrelated videos collide at
+    radius 6 (~1.2% false-pair rate) and pair expansion goes
+    quadratic at large n.  For thumbnail-sized media tighten
+    ``max_hamming`` toward 0–2; at or above 9×8 frames the full
+    64-bit entropy and the ~32-bit random baseline apply."""
     if n_sample_frames < 1:
         raise ValueError("n_sample_frames must be >= 1")
 

@@ -300,6 +300,55 @@ def main() -> None:
                 dhash_holder["df"], "media_id", "dhash", max_hamming=6
             ).agg(F.count(F.lit(1))),
         )
+        # r6 continuation codecs: compressed-image decode (JPEG
+        # entropy loop + batched IDCT; GIF LZW — per-blob Python
+        # inside Arrow batches, expected linear in blob count),
+        # header-only container metadata (O(header) per blob — must
+        # stay linear with a SMALL constant), and the video member of
+        # the perceptual family (decode + 2 frame hashes, then two
+        # slot-band joins conjoined by a pair count)
+        from lsdm_motogp_data_integration_spark.operators.multimodal import (
+            container_info,
+            video_dhash,
+            video_neardup_pairs,
+        )
+
+        r["jpeg_decode_s"], _ = timed(
+            "jpeg_decode",
+            media_stats(_build_multimodal_media(docs, kinds=(5,))),
+        )
+        r["gif_decode_s"], _ = timed(
+            "gif_decode",
+            media_stats(_build_multimodal_media(docs, kinds=(6,))),
+        )
+        r["minfo_s"], _ = timed(
+            "minfo",
+            container_info(_build_multimodal_media(docs, kinds=(7,))),
+        )
+        vh_holder = {}
+
+        def _vdhash():
+            hdf = video_dhash(
+                _build_multimodal_media(docs, kinds=(3,)),
+                n_sample_frames=2,
+            ).localCheckpoint(eager=True)
+            vh_holder["df"] = hdf
+            return hdf
+
+        r["vdhash_s"], _ = timed("vdhash", _vdhash)
+        # radius 1, not the q41 default 6: the probe's 4×3 fixture
+        # frames have only ~9 bits of effective hash entropy (tiny
+        # frames upsample with repeated pixels — structurally
+        # constant bits), so radius 6 false-pairs ~1.2% of ALL video
+        # pairs and the expansion goes quadratic at 20× (measured;
+        # the video_dhash docstring documents the tighten-the-radius
+        # rule for sub-grid media)
+        r["vdhash_pairs_s"], _ = timed(
+            "vdhash_pairs",
+            video_neardup_pairs(
+                vh_holder["df"], n_sample_frames=2, max_hamming=1
+            ).agg(F.count(F.lit(1))),
+        )
         r["dsir_s"], _ = timed(
             "dsir",
             # thunk: dsir_log_weights eagerly localCheckpoints its
@@ -709,6 +758,11 @@ def main() -> None:
         "media_decode_s",
         "dhash_s",
         "dhash_pairs_s",
+        "jpeg_decode_s",
+        "gif_decode_s",
+        "minfo_s",
+        "vdhash_s",
+        "vdhash_pairs_s",
         "dsir_s",
         "strip_html_s",
         "normalize_url_s",
