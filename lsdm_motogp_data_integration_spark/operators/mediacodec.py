@@ -9,8 +9,10 @@ environment and none are needed for these formats):
   BITMAPV4/V5 (108/124) header sizes.
 - **PNM** (Netpbm): binary ``P5`` (PGM grayscale) and ``P6`` (PPM
   RGB), maxval ≤ 255, with ``#`` comment handling in the header.
-- **WAV** (RIFF PCM, 8-bit unsigned / 16-bit signed) — chunk-walked,
-  so extra chunks (LIST/INFO, fact) before or after ``data`` are
+- **WAV** (RIFF: PCM 8-bit unsigned / 16-bit signed, plus G.711
+  mu-law and A-law telephony expansion via the classic 256-entry
+  tables, pinned against stdlib ``audioop`` — r6) — chunk-walked, so
+  extra chunks (LIST/INFO, fact) before or after ``data`` are
   skipped rather than assumed absent.
 - **Y4M** (YUV4MPEG2) — uncompressed video; header parse + per-frame
   byte extraction for C420/C422/C444/Cmono subsampling.
@@ -583,6 +585,40 @@ def encode_png(arr: np.ndarray, *, filters=None) -> bytes:
 # ---------------------------------------------------------------------------
 
 
+def _ulaw_table() -> np.ndarray:
+    """G.711 mu-law code → linear int16, the classic expansion
+    (complement the code; magnitude = (((mant<<3) + 0x84) << exp) −
+    0x84; sign bit of the COMPLEMENTED code set → negative).  Output
+    on the conventional 16-bit scale, ±32124 full scale; code 0xFF
+    decodes to exactly 0."""
+    codes = np.arange(256, dtype=np.int64)
+    u = ~codes & 0xFF
+    sign = (u & 0x80) != 0
+    exp = (u >> 4) & 7
+    mant = u & 0x0F
+    mag = (((mant << 3) + 0x84) << exp) - 0x84
+    return np.where(sign, -mag, mag).astype(np.int16)
+
+
+def _alaw_table() -> np.ndarray:
+    """G.711 A-law code → linear int16: even bits inverted (0x55);
+    segment 0 is linear ((mant<<4)+8), higher segments
+    ((mant<<4)+0x108) << (exp−1); A-law's sign bit SET means
+    POSITIVE (opposite of mu-law's complemented convention).  Output
+    on the conventional 16-bit scale, ±32256 full scale."""
+    codes = np.arange(256, dtype=np.int64)
+    a = codes ^ 0x55
+    sign = (a & 0x80) != 0
+    exp = (a >> 4) & 7
+    mant = a & 0x0F
+    mag = np.where(
+        exp == 0,
+        (mant << 4) + 8,
+        ((mant << 4) + 0x108) << np.maximum(exp - 1, 0),
+    )
+    return np.where(sign, mag, -mag).astype(np.int16)
+
+
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     """Decode a PCM WAV to ``(samples, sample_rate)``; samples are
     ``(n_frames, n_channels) int16`` in canonical form (8-bit unsigned
@@ -615,11 +651,21 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     if len(fmt) < 16:
         raise MediaFormatError("WAV fmt chunk truncated")
     audio_fmt, n_ch, rate, _, _, bits = struct.unpack_from("<HHIIHH", fmt, 0)
-    if audio_fmt != 1:
+    if audio_fmt not in (1, 6, 7):
         raise NotImplementedError(
-            f"WAV audio format {audio_fmt} not supported (PCM=1 only)"
+            f"WAV audio format {audio_fmt} not supported "
+            f"(PCM=1, A-law=6, mu-law=7)"
         )
-    if bits == 16:
+    if audio_fmt in (6, 7):
+        # G.711 companded telephony audio (r6): one 256-entry LUT
+        # built from the public piecewise-linear formulas
+        if bits != 8:
+            raise MediaFormatError(
+                f"G.711 WAV must be 8-bit, got {bits}"
+            )
+        lut = _alaw_table() if audio_fmt == 6 else _ulaw_table()
+        s = lut[np.frombuffer(raw, dtype=np.uint8)]
+    elif bits == 16:
         s = np.frombuffer(raw, dtype="<i2", count=len(raw) // 2)
         s = s.astype(np.int16)
     elif bits == 8:
@@ -1325,12 +1371,15 @@ def wav_info(data: bytes) -> dict:
     if len(fmt) < 16:
         raise MediaFormatError("WAV fmt chunk truncated")
     audio_fmt, n_ch, rate, _, _, bits = struct.unpack_from("<HHIIHH", fmt, 0)
-    if audio_fmt != 1:
+    if audio_fmt not in (1, 6, 7):
         raise NotImplementedError(
-            f"WAV audio format {audio_fmt} not supported (PCM=1 only)"
+            f"WAV audio format {audio_fmt} not supported "
+            f"(PCM=1, A-law=6, mu-law=7)"
         )
-    if bits not in (8, 16):
-        raise NotImplementedError(f"WAV bit depth {bits} (8/16 only)")
+    if bits not in (8, 16) or (audio_fmt in (6, 7) and bits != 8):
+        raise NotImplementedError(
+            f"WAV bit depth {bits} unsupported for format {audio_fmt}"
+        )
     if n_ch <= 0 or rate <= 0:
         raise MediaFormatError(f"bad WAV fmt fields ch={n_ch} rate={rate}")
     n_frames = data_size // (n_ch * (bits // 8))

@@ -132,3 +132,50 @@ def test_container_info_strict_vs_triage(spark):
     }
     assert out[1]["fmt"] is None and out[1]["n_bytes"] == 36
     assert out[2]["fmt"] == "gif"
+
+
+def _g711_wav(codes: bytes, audio_fmt: int, rate: int = 8000) -> bytes:
+    import struct as _st
+
+    fmt = _st.pack("<HHIIHH", audio_fmt, 1, rate, rate, 1, 8)
+    return (
+        b"RIFF"
+        + _st.pack("<I", 4 + 8 + len(fmt) + 8 + len(codes))
+        + b"WAVE"
+        + b"fmt "
+        + _st.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + _st.pack("<I", len(codes))
+        + codes
+    )
+
+
+def test_g711_tables_match_stdlib_audioop():
+    """Pin both 256-entry expansions against the INDEPENDENT stdlib
+    implementation (audioop wraps the classic Sun G.711 tables)."""
+    audioop = pytest.importorskip("audioop")
+    codes = bytes(range(256))
+    from lsdm_motogp_data_integration_spark.operators.mediacodec import (
+        _alaw_table,
+        _ulaw_table,
+    )
+
+    ref_u = np.frombuffer(audioop.ulaw2lin(codes, 2), dtype="<i2")
+    ref_a = np.frombuffer(audioop.alaw2lin(codes, 2), dtype="<i2")
+    assert np.array_equal(_ulaw_table(), ref_u)
+    assert np.array_equal(_alaw_table(), ref_a)
+
+
+def test_g711_wav_decode_and_info():
+    codes = bytes([0xFF, 0x7F, 0x80, 0x00, 0x55, 0xD5])
+    s, rate = mc.decode_wav(_g711_wav(codes, 7))  # mu-law
+    assert rate == 8000 and s.shape == (6, 1)
+    assert s[0, 0] == 0  # mu-law 0xFF is exactly zero
+    assert s[2, 0] == 32124 and s[3, 0] == -32124  # full scale
+    a, _ = mc.decode_wav(_g711_wav(codes, 6))  # A-law
+    assert a[4, 0] == -8 and a[5, 0] == 8  # sign bit SET = positive
+    info = mc.wav_info(_g711_wav(codes, 6))
+    assert info["n_frames"] == 6 and info["bits"] == 8
+    with pytest.raises(NotImplementedError):
+        mc.decode_wav(_g711_wav(codes, 2))  # ADPCM stays a gate
