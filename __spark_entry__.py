@@ -2687,6 +2687,69 @@ def q70_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q71_media_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media curation pipeline (r6, ``pipelines/media``), tagged by
+    ``scope``:
+
+    - ``screen``: per-blob header-only screen verdicts over the
+      jpeg/gif/mp4|mp3 fixture kinds (min_width=10 drops the 6-wide
+      GIFs; min_duration_ms=700 drops short mp4/mp3 — walked from the
+      REAL containers' metadata, never decoded) — every flag, every
+      walked field, and the conjunctive keep replay closed-form from
+      the md5 chains.
+    - ``funnel``: the media_screen_report observability rows —
+      per-screen fail counts and cumulative survivors in screen
+      order, the same flags relation curate_media filters on."""
+    from lsdm_motogp_data_integration_spark.pipelines.media import (
+        media_screen_flags,
+        media_screen_report,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    media = _build_multimodal_media(d, kinds=(5, 6, 7))
+    kw = dict(min_width=10, min_duration_ms=700)
+    flags = media_screen_flags(media, **kw).select(
+        F.lit("screen").alias("scope"),
+        "media_id",
+        "fmt",
+        "width",
+        "height",
+        "duration_ms",
+        F.col("keep_parse").cast("int").alias("k_parse"),
+        F.col("keep_fmt").cast("int").alias("k_fmt"),
+        F.col("keep_dims").cast("int").alias("k_dims"),
+        F.col("keep_duration").cast("int").alias("k_duration"),
+        F.col("keep_size").cast("int").alias("k_size"),
+        F.col("keep").cast("int").alias("k_keep"),
+        F.lit(None).cast("bigint").alias("n_fail"),
+        F.lit(None).cast("bigint").alias("n_surviving"),
+        F.lit(None).cast("string").alias("screen"),
+    )
+    funnel = media_screen_report(media, **kw).select(
+        F.lit("funnel").alias("scope"),
+        F.col("screen_order").cast("bigint").alias("media_id"),
+        F.lit(None).cast("string").alias("fmt"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("bigint").alias("duration_ms"),
+        *[
+            F.lit(None).cast("int").alias(c)
+            for c in (
+                "k_parse",
+                "k_fmt",
+                "k_dims",
+                "k_duration",
+                "k_size",
+                "k_keep",
+            )
+        ],
+        "n_fail",
+        "n_surviving",
+        "screen",
+    )
+    return flags.unionByName(funnel)
+
+
 def q47_chunk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunking + deterministic-sampling suite (tagged by ``scope``;
     no RNG anywhere — training splits must be reproducible across
@@ -4179,6 +4242,7 @@ _SUITE_TAG_COLS: dict[str, str] = {
     "q64_bm25": "scope",
     "q67_span_dedup": "scope",
     "q69_embedding_quantize": "scope",
+    "q71_media_curation": "scope",
 }
 
 
@@ -4322,6 +4386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q68_embedding_clusters": q68_embedding_clusters,
         "q69_embedding_quantize": q69_embedding_quantize,
         "q70_training_shards": q70_training_shards,
+        "q71_media_curation": q71_media_curation,
     } | {
         # suite queries re-registered with per-scope count rows (the
         # oracle dict applies _with_tag_counts to the same names)
@@ -5989,6 +6054,91 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY hx ASC, doc_id ASC
                    ) - 1 AS BIGINT) AS pos
             FROM h
+        """,
+        "q71_media_curation": """
+            -- the media pipeline's header screens + funnel, replayed
+            -- closed-form: jpeg fixtures are 24x16 (pass min_width
+            -- 10), gifs 6x5 (fail), mp4/mp3 durations from the 'mi'
+            -- chain params vs the 700 ms floor (dims vacuous where
+            -- the walked metadata has no width; every blob parses)
+            WITH mi_chain AS (
+                SELECT doc_id, md5(text || ':mi:0') AS hx FROM documents
+            ),
+            mi_bytes AS (
+                SELECT doc_id, i,
+                       (strpos('0123456789abcdef', substr(hx, 2*i+1, 1))-1)*16
+                     + (strpos('0123456789abcdef', substr(hx, 2*i+2, 1))-1) AS v
+                FROM mi_chain, generate_series(0, 15) AS t(i)
+            ),
+            mi_params AS (
+                SELECT doc_id,
+                       MAX(CASE WHEN i = 15 THEN v % 2 END) AS is_mp3,
+                       MAX(CASE WHEN i = 0 THEN v END) AS b0,
+                       MAX(CASE WHEN i = 1 THEN v END) AS b1,
+                       MAX(CASE WHEN i = 2 THEN v END) AS b2,
+                       MAX(CASE WHEN i = 3 THEN v END) AS b3
+                FROM mi_bytes GROUP BY doc_id
+            ),
+            m AS (
+                SELECT doc_id*8 + 5 AS media_id, 'jpeg' AS fmt,
+                       24 AS w, 16 AS h, NULL::BIGINT AS dur
+                FROM documents
+                UNION ALL
+                SELECT doc_id*8 + 6, 'gif', 6, 5, NULL::BIGINT
+                FROM documents
+                UNION ALL
+                SELECT doc_id*8 + 7,
+                       CASE WHEN is_mp3 = 0 THEN 'mp4' ELSE 'mp3' END,
+                       CASE WHEN is_mp3 = 0
+                            THEN 16*(b2 % 64 + 1) ELSE NULL END,
+                       CASE WHEN is_mp3 = 0
+                            THEN 16*(b3 % 64 + 1) ELSE NULL END,
+                       CAST(CASE WHEN is_mp3 = 0 THEN b0*256 + b1
+                                 ELSE (8 + b0 % 32) * 1152 * 1000
+                                      // 44100
+                            END AS BIGINT)
+                FROM mi_params
+            ),
+            f AS (
+                SELECT media_id, fmt, w, h, dur,
+                       1 AS k_parse, 1 AS k_fmt,
+                       CASE WHEN w IS NOT NULL AND w < 10
+                            THEN 0 ELSE 1 END AS k_dims,
+                       CASE WHEN dur IS NOT NULL AND dur < 700
+                            THEN 0 ELSE 1 END AS k_duration,
+                       1 AS k_size
+                FROM m
+            )
+            SELECT 'screen' AS scope, media_id, fmt,
+                   w AS width, h AS height, dur AS duration_ms,
+                   k_parse, k_fmt, k_dims, k_duration, k_size,
+                   CAST(k_parse*k_fmt*k_dims*k_duration*k_size
+                        AS INT) AS k_keep,
+                   NULL::BIGINT AS n_fail, NULL::BIGINT AS n_surviving,
+                   NULL::VARCHAR AS screen
+            FROM f
+            UNION ALL
+            SELECT 'funnel', so, NULL, NULL, NULL, NULL,
+                   NULL, NULL, NULL, NULL, NULL, NULL,
+                   CAST(n_fail AS BIGINT), CAST(n_surv AS BIGINT), name
+            FROM (
+                SELECT 0 AS so, 'parse' AS name,
+                       SUM(1 - k_parse) AS n_fail,
+                       SUM(k_parse) AS n_surv FROM f
+                UNION ALL
+                SELECT 1, 'fmt', SUM(1 - k_fmt),
+                       SUM(k_parse*k_fmt) FROM f
+                UNION ALL
+                SELECT 2, 'dims', SUM(1 - k_dims),
+                       SUM(k_parse*k_fmt*k_dims) FROM f
+                UNION ALL
+                SELECT 3, 'duration', SUM(1 - k_duration),
+                       SUM(k_parse*k_fmt*k_dims*k_duration) FROM f
+                UNION ALL
+                SELECT 4, 'size', SUM(1 - k_size),
+                       SUM(k_parse*k_fmt*k_dims*k_duration*k_size)
+                FROM f
+            )
         """,
         "q27_embedding_neardup": f"""
             WITH corpus AS (

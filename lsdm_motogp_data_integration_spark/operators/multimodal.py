@@ -1075,68 +1075,6 @@ def container_info(media: DataFrame, *, strict: bool = True) -> DataFrame:
     triage mode: corrupt files surface as a NULL-fmt count, not a
     dead job)."""
 
-    def one(content: bytes) -> dict:
-        fmt = mc.sniff_format(content)
-        out = {
-            "fmt": fmt,
-            "n_bytes": len(content),
-            "width": None,
-            "height": None,
-            "duration_ms": None,
-            "n_tracks": None,
-            "n_frames": None,
-            "sample_rate": None,
-            "bit_rate": None,
-            "has_video": None,
-            "has_audio": None,
-        }
-        if fmt in ("bmp", "pgm", "ppm", "png", "jpeg", "gif"):
-            w, h = mc.image_dims(content)
-            out.update(width=w, height=h)
-        elif fmt == "wav":
-            # chunk walk only: fmt fields + the data chunk's declared
-            # size — no sample array is ever built
-            iw = mc.wav_info(content)
-            out.update(
-                n_frames=iw["n_frames"],
-                sample_rate=iw["sample_rate"],
-                duration_ms=iw["duration_ms"],
-                has_audio=True,
-            )
-        elif fmt == "y4m":
-            info = mc.y4m_info(content)
-            fps_num, fps_den = info["fps_num"], max(info["fps_den"], 1)
-            out.update(
-                width=info["width"],
-                height=info["height"],
-                n_frames=info["n_frames"],
-                duration_ms=info["n_frames"] * 1000 * fps_den
-                // max(fps_num, 1),
-                has_video=True,
-            )
-        elif fmt == "mp4":
-            i4 = mc.mp4_info(content)
-            out.update(
-                width=i4["width"],
-                height=i4["height"],
-                duration_ms=i4["duration_ms"],
-                n_tracks=i4["n_tracks"],
-                has_video=i4["has_video"],
-                has_audio=i4["has_audio"],
-            )
-        elif fmt == "mp3":
-            i3 = mc.mp3_info(content)
-            out.update(
-                duration_ms=i3["duration_ms"],
-                n_frames=i3["n_frames"],
-                sample_rate=i3["sample_rate"],
-                bit_rate=i3["bit_rate"],
-                has_audio=True,
-            )
-        else:
-            raise mc.MediaFormatError("unrecognized container")
-        return out
-
     cols = [f.name for f in CONTAINER_INFO_SCHEMA.fields]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1147,7 +1085,7 @@ def container_info(media: DataFrame, *, strict: bool = True) -> DataFrame:
                 rec = {c: None for c in cols if c != "media_id"}
                 if content is not None:
                     try:
-                        rec.update(one(bytes(content)))
+                        rec.update(_container_info_one(bytes(content)))
                     except (
                         mc.MediaFormatError,
                         NotImplementedError,
@@ -1168,3 +1106,71 @@ def container_info(media: DataFrame, *, strict: bool = True) -> DataFrame:
             yield out
 
     return media.mapInPandas(run, schema=CONTAINER_INFO_SCHEMA)
+
+
+def _container_info_one(content: bytes) -> dict:
+    """Header-only metadata of ONE blob (the per-blob core of
+    :func:`container_info`, shared with ``pipelines/media`` so the
+    curation screen pass computes verdicts ALONGSIDE the blobs in one
+    Arrow batch instead of joining blobs against a metadata
+    relation)."""
+    fmt = mc.sniff_format(content)
+    out = {
+        "fmt": fmt,
+        "n_bytes": len(content),
+        "width": None,
+        "height": None,
+        "duration_ms": None,
+        "n_tracks": None,
+        "n_frames": None,
+        "sample_rate": None,
+        "bit_rate": None,
+        "has_video": None,
+        "has_audio": None,
+    }
+    if fmt in ("bmp", "pgm", "ppm", "png", "jpeg", "gif"):
+        w, h = mc.image_dims(content)
+        out.update(width=w, height=h)
+    elif fmt == "wav":
+        # chunk walk only: fmt fields + the data chunk's declared
+        # size — no sample array is ever built
+        iw = mc.wav_info(content)
+        out.update(
+            n_frames=iw["n_frames"],
+            sample_rate=iw["sample_rate"],
+            duration_ms=iw["duration_ms"],
+            has_audio=True,
+        )
+    elif fmt == "y4m":
+        info = mc.y4m_info(content)
+        fps_num, fps_den = info["fps_num"], max(info["fps_den"], 1)
+        out.update(
+            width=info["width"],
+            height=info["height"],
+            n_frames=info["n_frames"],
+            duration_ms=info["n_frames"] * 1000 * fps_den
+            // max(fps_num, 1),
+            has_video=True,
+        )
+    elif fmt == "mp4":
+        i4 = mc.mp4_info(content)
+        out.update(
+            width=i4["width"],
+            height=i4["height"],
+            duration_ms=i4["duration_ms"],
+            n_tracks=i4["n_tracks"],
+            has_video=i4["has_video"],
+            has_audio=i4["has_audio"],
+        )
+    elif fmt == "mp3":
+        i3 = mc.mp3_info(content)
+        out.update(
+            duration_ms=i3["duration_ms"],
+            n_frames=i3["n_frames"],
+            sample_rate=i3["sample_rate"],
+            bit_rate=i3["bit_rate"],
+            has_audio=True,
+        )
+    else:
+        raise mc.MediaFormatError("unrecognized container")
+    return out
