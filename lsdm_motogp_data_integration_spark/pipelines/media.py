@@ -332,3 +332,186 @@ def media_screen_report(
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+def curate_media_stream(
+    media_stream: DataFrame,
+    *,
+    index_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    dedup: str | None = "digest",
+    dhash_radius: int = 4,
+    keep_fmts: tuple[str, ...] | None = None,
+    min_width: int | None = None,
+    min_height: int | None = None,
+    min_duration_ms: int | None = None,
+    max_duration_ms: int | None = None,
+    max_bytes: int | None = None,
+) -> None:
+    """Continuously-curated media corpus — the streaming form of
+    :func:`curate_media`, in the engine's maintainer-family shape
+    (``streaming_dhash_ingest``): per micro-batch, (1) the SAME
+    zero-shuffle header screens (stateless per-row — valid on a
+    stream by construction), (2) within-batch exact dedup (lowest
+    media_id per canonical decoded digest, ``raw:`` fallback for
+    metadata-only formats), (3) a history screen against the
+    persisted digest index (one equi-join on the 64-hex digest — the
+    only state ever read is (media_id, digest[, dhash]) rows, never
+    blobs), (4) for ``dedup="perceptual"``: within-batch + history
+    image dHash screens via the pigeonhole chunk joins (images only
+    on the stream — the audio/video hash families follow the same
+    pattern and are composed in the BATCH pipeline; a stream of mixed
+    modalities still gets exact dedup for all of them), and (5)
+    accepted index rows land in ``index_dir/batch_id=N`` while the
+    accepted BLOBS land in ``out_dir/batch_id=N`` — the curated
+    corpus itself, written exactly once.
+
+    Exactly-once discipline as the other maintainers: deterministic
+    per-batch directory overwrites, history reads prune to
+    ``batch_id < N``, replay rewrites byte-identical rows.  The
+    ``_meta`` sidecar pins the screen params + dedup policy — a
+    changed policy is a different accepted-set semantics and refuses
+    to resume.  Stream-order caveat (same as the text
+    ``curate_stream``): history wins — a duplicate arriving AFTER its
+    twin is dropped regardless of id order, so stream and batch
+    accepted sets agree when lower ids arrive first."""
+    import json
+
+    from pyspark.errors import AnalysisException
+
+    from lsdm_motogp_data_integration_spark.operators.ann import (
+        _read_index_meta,
+        _write_index_meta,
+    )
+    from lsdm_motogp_data_integration_spark.operators.dedup import (
+        hamming64_join,
+        hamming64_pairs,
+    )
+
+    if dedup not in (None, "digest", "perceptual"):
+        raise ValueError(f"unknown dedup policy {dedup!r}")
+    spark = media_stream.sparkSession
+    screen_kwargs = dict(
+        keep_fmts=keep_fmts,
+        min_width=min_width,
+        min_height=min_height,
+        min_duration_ms=min_duration_ms,
+        max_duration_ms=max_duration_ms,
+        max_bytes=max_bytes,
+    )
+    params = {
+        "kind": "media_curation_index",
+        "dedup": dedup or "none",
+        "dhash_radius": int(dhash_radius),
+        "screens": {
+            k: (list(v) if isinstance(v, tuple) else v)
+            for k, v in screen_kwargs.items()
+            if v is not None
+        },
+    }
+    existing = _read_index_meta(spark, index_dir)
+    if existing is not None and existing != params:
+        raise ValueError(
+            f"media curation index at {index_dir} was built with "
+            f"{json.dumps(existing)}; resuming with "
+            f"{json.dumps(params)} would change the accepted-set "
+            f"semantics mid-stream"
+        )
+    _write_index_meta(spark, index_dir, params)
+
+    def _read_history(batch_id: int):
+        try:
+            return spark.read.parquet(index_dir).filter(
+                F.col("batch_id") < batch_id
+            )
+        except AnalysisException:
+            return None
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        flagged = media_screen_flags(batch_df, **screen_kwargs)
+        surv = flagged.filter(F.col("keep")).drop(
+            *[f"keep_{s}" for s in _SCREENS], "keep"
+        )
+        if dedup is None:
+            surv.sortWithinPartitions("media_id").write.mode(
+                "overwrite"
+            ).parquet(f"{out_dir}/batch_id={batch_id}")
+            return
+        digests = _decoded_digest_relation(surv).localCheckpoint(
+            eager=True
+        )
+        keep = digests.groupBy("digest").agg(
+            F.min("media_id").alias("media_id")
+        )
+        hist = _read_history(batch_id)
+        if hist is not None:
+            keep = keep.join(
+                hist.select("digest"), "digest", "left_anti"
+            )
+        accepted = keep.select("media_id", "digest")
+        if dedup == "perceptual":
+            kept_blobs = surv.join(
+                accepted.select("media_id"), "media_id", "left_semi"
+            )
+            hashes = image_dhash(
+                kept_blobs.filter(
+                    F.col("fmt").isin(
+                        "bmp", "pgm", "ppm", "png", "jpeg", "gif"
+                    )
+                )
+            ).filter(F.col("dhash").isNotNull())
+            hashes = hashes.localCheckpoint(eager=True)
+            dups = (
+                hamming64_pairs(
+                    hashes,
+                    "media_id",
+                    "dhash",
+                    max_hamming=dhash_radius,
+                    collapse_identical=True,
+                )
+                .select(F.col("id_b").alias("media_id"))
+                .dropDuplicates()
+            )
+            if hist is not None:
+                hits = (
+                    hamming64_join(
+                        hashes,
+                        hist.filter(
+                            F.col("dhash").isNotNull()
+                        ).select("media_id", "dhash"),
+                        "media_id",
+                        "dhash",
+                        max_hamming=dhash_radius,
+                    )
+                    .select(F.col("new_id").alias("media_id"))
+                    .dropDuplicates()
+                )
+                dups = dups.unionAll(hits).dropDuplicates()
+            accepted = (
+                accepted.join(dups, "media_id", "left_anti")
+                .join(hashes, "media_id", "left")
+                .select("media_id", "digest", "dhash")
+            )
+        else:
+            accepted = accepted.withColumn(
+                "dhash", F.lit(None).cast("long")
+            )
+        accepted = accepted.localCheckpoint(eager=True)
+        accepted.sortWithinPartitions("media_id").write.mode(
+            "overwrite"
+        ).parquet(f"{index_dir}/batch_id={batch_id}")
+        surv.join(
+            accepted.select("media_id"), "media_id", "left_semi"
+        ).sortWithinPartitions("media_id").write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/batch_id={batch_id}")
+
+    q = (
+        media_stream.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -72,8 +72,9 @@ def test_screens_and_funnel(corpus):
         r["media_id"]
         for r in curate_media(corpus, dedup=None, **_SCREEN_KW).collect()
     }
-    # 5 fails dims; 12 fails duration (4 frames ≈ 104 ms? no: 4·1152/
-    # 44100 ≈ 104 ms — passes; see report below), 13/14 fail parse
+    # 5 fails dims; 13/14 fail parse; 12 (mp3, 4 frames ≈ 104 ms)
+    # PASSES the 10 ms floor here — the 200 ms floor drops it in
+    # test_duration_screen_uses_walked_metadata
     assert 5 not in survivors and 13 not in survivors
     assert 14 not in survivors
     assert {1, 2, 3, 4, 6, 7, 8, 9, 10, 11}.issubset(survivors)
@@ -178,3 +179,100 @@ def test_jpeg_blob_through_pipeline(spark):
         for r in curate_media(media, dedup="digest").collect()
     }
     assert survivors == {1}
+
+
+def test_curate_media_stream_matches_batch(spark, tmp_path_factory):
+    """The streaming form: same screens, exact dedup within AND
+    across batches (container-independent), image-perceptual history
+    screen, exactly-once replay, params-resume guard — and the
+    accepted set equals batch curate_media on the union when lower
+    ids arrive first."""
+    from lsdm_motogp_data_integration_spark.operators.multimodal import (
+        _nn_resize,
+    )
+    from lsdm_motogp_data_integration_spark.pipelines.media import (
+        curate_media_stream,
+    )
+
+    base = (
+        np.add.outer(np.arange(24) * 8, np.arange(28) * 4) % 256
+    ).astype(np.uint8)
+    img_a = np.stack(
+        [base, 255 - base, (base.astype(int) * 2 % 256).astype(np.uint8)],
+        axis=2,
+    )
+    img_new = np.random.RandomState(9).randint(
+        0, 256, (24, 28, 3), dtype=np.uint8
+    )
+    wave = (7000 * np.sin(np.arange(64) / 5.0)).astype(np.int16)
+    b1 = [
+        (1, "image", mc.encode_bmp(img_a), None),
+        (2, "image", mc.encode_bmp(img_a), None),  # in-batch exact twin
+        (3, "audio", mc.encode_wav(wave, 8000), None),
+        (4, "image", mc.encode_png(_img(5, 3, 3)), None),  # fails dims
+    ]
+    b2 = [
+        # re-encoded twin of 1 (exact decoded digest): history-killed
+        (10, "image", mc.encode_png(img_a), None),
+        # NN-resized twin of 1: PERCEPTUAL history kill
+        (11, "image", mc.encode_ppm(_nn_resize(img_a, 14, 12)), None),
+        (12, "image", mc.encode_bmp(img_new), None),  # genuinely new
+        (13, "audio", mc.encode_wav(wave, 8000), None),  # exact twin of 3
+    ]
+    src = str(tmp_path_factory.mktemp("mc_src"))
+    for i, rows in enumerate((b1, b2)):
+        spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(
+            1
+        ).write.parquet(f"{src}/f{i}")
+    index = str(tmp_path_factory.mktemp("mc_idx"))
+    ckpt = str(tmp_path_factory.mktemp("mc_ck"))
+    out = str(tmp_path_factory.mktemp("mc_out"))
+
+    def drain(**over):
+        curate_media_stream(
+            spark.readStream.schema(MEDIA_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(src),
+            index_dir=index,
+            checkpoint_dir=ckpt,
+            out_dir=out,
+            **{
+                "dedup": "perceptual",
+                "dhash_radius": 10,
+                "min_width": 4,
+                "min_height": 4,
+                **over,
+            },
+        )
+
+    drain()
+    got = spark.read.parquet(out)
+    accepted = {r["media_id"] for r in got.collect()}
+    assert accepted == {1, 3, 12}
+    # blobs + metadata columns landed in the curated corpus
+    row = {r["media_id"]: r for r in got.collect()}
+    assert row[1]["fmt"] == "bmp" and row[1]["content"] is not None
+    # batch equivalence on the union (lower ids arrived first)
+    from lsdm_motogp_data_integration_spark.pipelines.media import (
+        curate_media,
+    )
+
+    union = spark.createDataFrame(b1 + b2, MEDIA_SCHEMA)
+    batch_ids = {
+        r["media_id"]
+        for r in curate_media(
+            union, dedup="perceptual", dhash_radius=10,
+            min_width=4, min_height=4,
+        ).collect()
+    }
+    assert batch_ids == accepted
+    # replay is idempotent
+    drain()
+    again = {
+        r["media_id"] for r in spark.read.parquet(out).collect()
+    }
+    assert again == accepted
+    # resume under a different policy refuses
+    with pytest.raises(ValueError, match="accepted-set semantics"):
+        drain(dedup="digest")

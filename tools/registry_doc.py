@@ -11,10 +11,9 @@ q = entry.queries()
 o = entry.oracle_sql()
 tags = getattr(entry, "_SUITE_TAG_COLS", {})
 
-print("# REGISTRY — the 50 driver-window queries\n")
+print(f"# REGISTRY — the {len(q)} driver-window queries\n")
 print("Every entry is oracle-backed (DuckDB twin in `oracle_sql()`); "
-      "suites pack several operators behind one tagged driver row "
-      "(the 50-slot discipline). Scopes are enumerated from the "
+      "suites pack several operators behind one tagged driver row. Scopes are enumerated from the "
       "oracle SQL.\n")
 print("| # | query | tag col | scopes | headline |")
 print("|---|---|---|---|---|")
