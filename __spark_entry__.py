@@ -2029,7 +2029,14 @@ def q41_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
       containers this engine cannot decode — container_info walks a
       structurally real MP4 box tree / MP3 frame-header chain;
       duration, dims, track layout, bitrate, and exact container size
-      all replay closed-form from the 'mi' chain params."""
+      all replay closed-form from the 'mi' chain params.
+    - ``mscreen``/``mfunnel`` (r6): the media curation pipeline's
+      header screens + funnel (pipelines/media) over the jpeg/gif/
+      mp4|mp3 kinds — every per-screen flag (bitmask in n_values),
+      walked field, the conjunctive keep, and the per-screen funnel
+      (n_fail + cumulative survivors) replay closed-form; folded into
+      this suite because the driver records only the first 50
+      registry entries (test_registry_contract pins the window)."""
     from lsdm_motogp_data_integration_spark.operators.multimodal import (
         extract_features,
         media_stats,
@@ -2350,6 +2357,58 @@ def q41_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("duration_ms").alias("sum_values"),
         F.col("bit_rate").cast("bigint").alias("weighted_sum"),
     )
+    # mscreen/mfunnel (r6): the media curation pipeline's header
+    # screens + funnel (pipelines/media) over the jpeg/gif/mp4|mp3
+    # kinds — min_width=10 drops the 6-wide GIFs, min_duration_ms=700
+    # drops short mp4/mp3, all walked from REAL container metadata,
+    # never decoded. Column mapping onto the suite schema: mscreen
+    # keeps the RAW media_id (3 blobs/doc), n_values = the 5-flag
+    # bitmask (parse|fmt<<1|dims<<2|duration<<3|size<<4), sum_values
+    # = walked duration_ms, weighted_sum = the conjunctive keep;
+    # mfunnel rows key by screen order with fmt = screen name,
+    # n_values = n_fail, sum_values = cumulative survivors
+    from lsdm_motogp_data_integration_spark.pipelines.media import (
+        media_screen_flags,
+        media_screen_report,
+    )
+
+    screen_media = _build_multimodal_media(d, kinds=(5, 6, 7))
+    _mkw = dict(min_width=10, min_duration_ms=700)
+    msc = media_screen_flags(screen_media, **_mkw).select(
+        F.lit("mscreen").alias("scope"),
+        "media_id",
+        F.when(F.col("fmt").isin("jpeg", "gif"), F.lit("image"))
+        .when(F.col("fmt") == "mp4", F.lit("video"))
+        .otherwise(F.lit("audio"))
+        .alias("kind"),
+        "fmt",
+        F.lit(None).cast("bigint").alias("n_bytes"),
+        F.lit(None).cast("string").alias("digest"),
+        "width",
+        "height",
+        (
+            F.col("keep_parse").cast("bigint")
+            + F.col("keep_fmt").cast("bigint") * 2
+            + F.col("keep_dims").cast("bigint") * 4
+            + F.col("keep_duration").cast("bigint") * 8
+            + F.col("keep_size").cast("bigint") * 16
+        ).alias("n_values"),
+        F.col("duration_ms").alias("sum_values"),
+        F.col("keep").cast("bigint").alias("weighted_sum"),
+    )
+    mfn = media_screen_report(screen_media, **_mkw).select(
+        F.lit("mfunnel").alias("scope"),
+        F.col("screen_order").cast("bigint").alias("media_id"),
+        F.lit(None).cast("string").alias("kind"),
+        F.col("screen").alias("fmt"),
+        F.lit(None).cast("bigint").alias("n_bytes"),
+        F.lit(None).cast("string").alias("digest"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.col("n_fail").alias("n_values"),
+        F.col("n_surviving").alias("sum_values"),
+        F.lit(None).cast("bigint").alias("weighted_sum"),
+    )
     vdh = (
         vhashes.join(vnbr, "media_id", "left")
         .select(
@@ -2382,6 +2441,8 @@ def q41_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(gi)
         .unionByName(vdh)
         .unionByName(mi)
+        .unionByName(msc)
+        .unionByName(mfn)
     )
 
 
@@ -2685,69 +2746,6 @@ def q70_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return training_shards(d, "doc_id", n_shards=8).select(
         "doc_id", "source", "shard", "pos"
     )
-
-
-def q71_media_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Media curation pipeline (r6, ``pipelines/media``), tagged by
-    ``scope``:
-
-    - ``screen``: per-blob header-only screen verdicts over the
-      jpeg/gif/mp4|mp3 fixture kinds (min_width=10 drops the 6-wide
-      GIFs; min_duration_ms=700 drops short mp4/mp3 — walked from the
-      REAL containers' metadata, never decoded) — every flag, every
-      walked field, and the conjunctive keep replay closed-form from
-      the md5 chains.
-    - ``funnel``: the media_screen_report observability rows —
-      per-screen fail counts and cumulative survivors in screen
-      order, the same flags relation curate_media filters on."""
-    from lsdm_motogp_data_integration_spark.pipelines.media import (
-        media_screen_flags,
-        media_screen_report,
-    )
-
-    d = read_table(spark, sf_dir, "documents")
-    media = _build_multimodal_media(d, kinds=(5, 6, 7))
-    kw = dict(min_width=10, min_duration_ms=700)
-    flags = media_screen_flags(media, **kw).select(
-        F.lit("screen").alias("scope"),
-        "media_id",
-        "fmt",
-        "width",
-        "height",
-        "duration_ms",
-        F.col("keep_parse").cast("int").alias("k_parse"),
-        F.col("keep_fmt").cast("int").alias("k_fmt"),
-        F.col("keep_dims").cast("int").alias("k_dims"),
-        F.col("keep_duration").cast("int").alias("k_duration"),
-        F.col("keep_size").cast("int").alias("k_size"),
-        F.col("keep").cast("int").alias("k_keep"),
-        F.lit(None).cast("bigint").alias("n_fail"),
-        F.lit(None).cast("bigint").alias("n_surviving"),
-        F.lit(None).cast("string").alias("screen"),
-    )
-    funnel = media_screen_report(media, **kw).select(
-        F.lit("funnel").alias("scope"),
-        F.col("screen_order").cast("bigint").alias("media_id"),
-        F.lit(None).cast("string").alias("fmt"),
-        F.lit(None).cast("int").alias("width"),
-        F.lit(None).cast("int").alias("height"),
-        F.lit(None).cast("bigint").alias("duration_ms"),
-        *[
-            F.lit(None).cast("int").alias(c)
-            for c in (
-                "k_parse",
-                "k_fmt",
-                "k_dims",
-                "k_duration",
-                "k_size",
-                "k_keep",
-            )
-        ],
-        "n_fail",
-        "n_surviving",
-        "screen",
-    )
-    return flags.unionByName(funnel)
 
 
 def q47_chunk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4242,7 +4240,6 @@ _SUITE_TAG_COLS: dict[str, str] = {
     "q64_bm25": "scope",
     "q67_span_dedup": "scope",
     "q69_embedding_quantize": "scope",
-    "q71_media_curation": "scope",
 }
 
 
@@ -4386,7 +4383,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q68_embedding_clusters": q68_embedding_clusters,
         "q69_embedding_quantize": q69_embedding_quantize,
         "q70_training_shards": q70_training_shards,
-        "q71_media_curation": q71_media_curation,
     } | {
         # suite queries re-registered with per-scope count rows (the
         # oracle dict applies _with_tag_counts to the same names)
@@ -6055,91 +6051,6 @@ def oracle_sql() -> dict[str, str]:
                    ) - 1 AS BIGINT) AS pos
             FROM h
         """,
-        "q71_media_curation": """
-            -- the media pipeline's header screens + funnel, replayed
-            -- closed-form: jpeg fixtures are 24x16 (pass min_width
-            -- 10), gifs 6x5 (fail), mp4/mp3 durations from the 'mi'
-            -- chain params vs the 700 ms floor (dims vacuous where
-            -- the walked metadata has no width; every blob parses)
-            WITH mi_chain AS (
-                SELECT doc_id, md5(text || ':mi:0') AS hx FROM documents
-            ),
-            mi_bytes AS (
-                SELECT doc_id, i,
-                       (strpos('0123456789abcdef', substr(hx, 2*i+1, 1))-1)*16
-                     + (strpos('0123456789abcdef', substr(hx, 2*i+2, 1))-1) AS v
-                FROM mi_chain, generate_series(0, 15) AS t(i)
-            ),
-            mi_params AS (
-                SELECT doc_id,
-                       MAX(CASE WHEN i = 15 THEN v % 2 END) AS is_mp3,
-                       MAX(CASE WHEN i = 0 THEN v END) AS b0,
-                       MAX(CASE WHEN i = 1 THEN v END) AS b1,
-                       MAX(CASE WHEN i = 2 THEN v END) AS b2,
-                       MAX(CASE WHEN i = 3 THEN v END) AS b3
-                FROM mi_bytes GROUP BY doc_id
-            ),
-            m AS (
-                SELECT doc_id*8 + 5 AS media_id, 'jpeg' AS fmt,
-                       24 AS w, 16 AS h, NULL::BIGINT AS dur
-                FROM documents
-                UNION ALL
-                SELECT doc_id*8 + 6, 'gif', 6, 5, NULL::BIGINT
-                FROM documents
-                UNION ALL
-                SELECT doc_id*8 + 7,
-                       CASE WHEN is_mp3 = 0 THEN 'mp4' ELSE 'mp3' END,
-                       CASE WHEN is_mp3 = 0
-                            THEN 16*(b2 % 64 + 1) ELSE NULL END,
-                       CASE WHEN is_mp3 = 0
-                            THEN 16*(b3 % 64 + 1) ELSE NULL END,
-                       CAST(CASE WHEN is_mp3 = 0 THEN b0*256 + b1
-                                 ELSE (8 + b0 % 32) * 1152 * 1000
-                                      // 44100
-                            END AS BIGINT)
-                FROM mi_params
-            ),
-            f AS (
-                SELECT media_id, fmt, w, h, dur,
-                       1 AS k_parse, 1 AS k_fmt,
-                       CASE WHEN w IS NOT NULL AND w < 10
-                            THEN 0 ELSE 1 END AS k_dims,
-                       CASE WHEN dur IS NOT NULL AND dur < 700
-                            THEN 0 ELSE 1 END AS k_duration,
-                       1 AS k_size
-                FROM m
-            )
-            SELECT 'screen' AS scope, media_id, fmt,
-                   w AS width, h AS height, dur AS duration_ms,
-                   k_parse, k_fmt, k_dims, k_duration, k_size,
-                   CAST(k_parse*k_fmt*k_dims*k_duration*k_size
-                        AS INT) AS k_keep,
-                   NULL::BIGINT AS n_fail, NULL::BIGINT AS n_surviving,
-                   NULL::VARCHAR AS screen
-            FROM f
-            UNION ALL
-            SELECT 'funnel', so, NULL, NULL, NULL, NULL,
-                   NULL, NULL, NULL, NULL, NULL, NULL,
-                   CAST(n_fail AS BIGINT), CAST(n_surv AS BIGINT), name
-            FROM (
-                SELECT 0 AS so, 'parse' AS name,
-                       SUM(1 - k_parse) AS n_fail,
-                       SUM(k_parse) AS n_surv FROM f
-                UNION ALL
-                SELECT 1, 'fmt', SUM(1 - k_fmt),
-                       SUM(k_parse*k_fmt) FROM f
-                UNION ALL
-                SELECT 2, 'dims', SUM(1 - k_dims),
-                       SUM(k_parse*k_fmt*k_dims) FROM f
-                UNION ALL
-                SELECT 3, 'duration', SUM(1 - k_duration),
-                       SUM(k_parse*k_fmt*k_dims*k_duration) FROM f
-                UNION ALL
-                SELECT 4, 'size', SUM(1 - k_size),
-                       SUM(k_parse*k_fmt*k_dims*k_duration*k_size)
-                FROM f
-            )
-        """,
         "q27_embedding_neardup": f"""
             WITH corpus AS (
                 SELECT vec_id, embedding, label FROM embeddings
@@ -6855,6 +6766,46 @@ def oracle_sql() -> dict[str, str]:
                  AND bit_count(xor(a.h0, b.h0)) <= 6
                  AND bit_count(xor(a.h1, b.h1)) <= 6
                 GROUP BY a.doc_id
+            ),
+            -- mscreen/mfunnel: the media pipeline's header screens
+            -- replayed closed-form (jpeg 24x16 passes min_width 10,
+            -- gif 6x5 fails; mp4/mp3 durations from the mi params vs
+            -- the 700 ms floor; dims/duration vacuous where the
+            -- walked metadata has no such field; every blob parses)
+            mflags AS (
+                SELECT media_id, fmt, kind, w, h, dur,
+                       1 AS k_parse, 1 AS k_fmt,
+                       CASE WHEN w IS NOT NULL AND w < 10
+                            THEN 0 ELSE 1 END AS k_dims,
+                       CASE WHEN dur IS NOT NULL AND dur < 700
+                            THEN 0 ELSE 1 END AS k_duration,
+                       1 AS k_size
+                FROM (
+                    SELECT doc_id*8 + 5 AS media_id, 'jpeg' AS fmt,
+                           'image' AS kind, 24 AS w, 16 AS h,
+                           NULL::BIGINT AS dur
+                    FROM documents
+                    UNION ALL
+                    SELECT doc_id*8 + 6, 'gif', 'image', 6, 5,
+                           NULL::BIGINT
+                    FROM documents
+                    UNION ALL
+                    SELECT doc_id*8 + 7,
+                           CASE WHEN is_mp3 = 0
+                                THEN 'mp4' ELSE 'mp3' END,
+                           CASE WHEN is_mp3 = 0
+                                THEN 'video' ELSE 'audio' END,
+                           CASE WHEN is_mp3 = 0
+                                THEN 16*(b2 % 64 + 1) ELSE NULL END,
+                           CASE WHEN is_mp3 = 0
+                                THEN 16*(b3 % 64 + 1) ELSE NULL END,
+                           CAST(CASE WHEN is_mp3 = 0
+                                     THEN b0*256 + b1
+                                     ELSE (8 + b0 % 32) * 1152 * 1000
+                                          // 44100
+                                END AS BIGINT)
+                    FROM mi_params
+                )
             )
             SELECT 'fake' AS scope, doc_id AS media_id, 'text' AS kind,
                    NULL::VARCHAR AS fmt,
@@ -7021,6 +6972,43 @@ def oracle_sql() -> dict[str, str]:
                                              192000)[b1 % 4 + 1]
                         END AS BIGINT)
             FROM mi_params
+            UNION ALL
+            -- mscreen: raw media_id (3 blobs/doc); n_values = the
+            -- 5-flag bitmask, sum_values = walked duration_ms,
+            -- weighted_sum = the conjunctive keep
+            SELECT 'mscreen', media_id, kind, fmt,
+                   NULL::BIGINT, NULL::VARCHAR, w, h,
+                   CAST(k_parse + 2*k_fmt + 4*k_dims + 8*k_duration
+                        + 16*k_size AS BIGINT),
+                   dur,
+                   CAST(k_parse*k_fmt*k_dims*k_duration*k_size
+                        AS BIGINT)
+            FROM mflags
+            UNION ALL
+            -- mfunnel: per-screen fail counts + cumulative survivors
+            -- keyed by screen order, screen name in fmt
+            SELECT 'mfunnel', so, NULL::VARCHAR, name,
+                   NULL::BIGINT, NULL::VARCHAR, NULL::INT, NULL::INT,
+                   CAST(n_fail AS BIGINT), CAST(n_surv AS BIGINT),
+                   NULL::BIGINT
+            FROM (
+                SELECT 0 AS so, 'parse' AS name,
+                       SUM(1 - k_parse) AS n_fail,
+                       SUM(k_parse) AS n_surv FROM mflags
+                UNION ALL
+                SELECT 1, 'fmt', SUM(1 - k_fmt),
+                       SUM(k_parse*k_fmt) FROM mflags
+                UNION ALL
+                SELECT 2, 'dims', SUM(1 - k_dims),
+                       SUM(k_parse*k_fmt*k_dims) FROM mflags
+                UNION ALL
+                SELECT 3, 'duration', SUM(1 - k_duration),
+                       SUM(k_parse*k_fmt*k_dims*k_duration) FROM mflags
+                UNION ALL
+                SELECT 4, 'size', SUM(1 - k_size),
+                       SUM(k_parse*k_fmt*k_dims*k_duration*k_size)
+                FROM mflags
+            )
         """,
         "q42_json_extract": """
             SELECT event_id,
