@@ -2030,6 +2030,11 @@ def q41_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
       structurally real MP4 box tree / MP3 frame-header chain;
       duration, dims, track layout, bitrate, and exact container size
       all replay closed-form from the 'mi' chain params.
+    - ``real_tiff`` (r6): REAL uncompressed TIFF decode (IFD tag walk,
+      both byte orders, multi-strip reassembly) — per-doc endianness
+      is chain-selected and must be INVISIBLE in the decoded
+      contract; lossless, so the oracle replays the raw chain bytes
+      and the constant-158 two-strip container size.
     - ``mscreen``/``mfunnel`` (r6): the media curation pipeline's
       header screens + funnel (pipelines/media) over the jpeg/gif/
       mp4|mp3 kinds — every per-screen flag (bitmask in n_values),
@@ -2357,6 +2362,69 @@ def q41_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("duration_ms").alias("sum_values"),
         F.col("bit_rate").cast("bigint").alias("weighted_sum"),
     )
+    # real_tiff (r6): lossless multi-strip TIFF — per-doc endianness
+    # (byte 20 of the 'tf' chain picks II vs MM) must be INVISIBLE in
+    # the decoded contract, and the two-strip layout must reassemble;
+    # n_bytes is the closed-form 158 for both byte orders
+    def _build_tiff_media(docs: DataFrame) -> DataFrame:
+        import hashlib as _hl
+
+        import numpy as _np
+        import pandas as _pd
+
+        from lsdm_motogp_data_integration_spark.operators import (
+            mediacodec as _mc,
+        )
+        from lsdm_motogp_data_integration_spark.operators.multimodal import (
+            MEDIA_SCHEMA,
+        )
+
+        def run(batches):
+            for pdf in batches:
+                ids, kinds, contents, metas = [], [], [], []
+                for did, text in zip(pdf["doc_id"], pdf["text"]):
+                    t = "" if text is None else str(text)
+                    ch = b"".join(
+                        _hl.md5(f"{t}:tf:{i}".encode()).digest()
+                        for i in range(2)
+                    )
+                    px = _np.frombuffer(ch[:20], _np.uint8).reshape(4, 5)
+                    ids.append(int(did))
+                    kinds.append("image")
+                    contents.append(
+                        _mc.encode_tiff(
+                            px,
+                            big_endian=ch[20] % 2 == 1,
+                            rows_per_strip=2,
+                        )
+                    )
+                    metas.append(None)
+                yield _pd.DataFrame(
+                    {
+                        "media_id": ids,
+                        "kind": kinds,
+                        "content": contents,
+                        "meta": metas,
+                    }
+                )
+
+        return docs.select("doc_id", "text").mapInPandas(
+            run, schema=MEDIA_SCHEMA
+        )
+
+    tf = media_stats(_build_tiff_media(d)).select(
+        F.lit("real_tiff").alias("scope"),
+        "media_id",
+        "kind",
+        "fmt",
+        "n_bytes",
+        F.lit(None).cast("string").alias("digest"),
+        "width",
+        "height",
+        "n_values",
+        "sum_values",
+        "weighted_sum",
+    )
     # mscreen/mfunnel (r6): the media curation pipeline's header
     # screens + funnel (pipelines/media) over the jpeg/gif/mp4|mp3
     # kinds — min_width=10 drops the 6-wide GIFs, min_duration_ms=700
@@ -2443,6 +2511,7 @@ def q41_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(mi)
         .unionByName(msc)
         .unionByName(mfn)
+        .unionByName(tf)
     )
 
 
@@ -6572,6 +6641,18 @@ def oracle_sql() -> dict[str, str]:
                        MAX(CASE WHEN i = 4 THEN v END) AS b4
                 FROM mi_bytes GROUP BY doc_id
             ),
+            tf_chain AS (   -- 2 blocks; tiff uses 20 px + 1 endian byte
+                SELECT doc_id,
+                       string_agg(md5(text || ':tf:' || i), '' ORDER BY i) AS hx
+                FROM documents, generate_series(0, 1) AS t(i)
+                GROUP BY doc_id
+            ),
+            tf_bytes AS (
+                SELECT doc_id, j,
+                       (strpos('0123456789abcdef', substr(hx, 2*j+1, 1))-1)*16
+                     + (strpos('0123456789abcdef', substr(hx, 2*j+2, 1))-1) AS v
+                FROM tf_chain, generate_series(0, 19) AS t(j)
+            ),
             gf_chain AS (   -- 2 blocks = 32 bytes; gif uses 30 (6x5 gray)
                 SELECT doc_id,
                        string_agg(md5(text || ':gf:' || i), '' ORDER BY i) AS hx
@@ -6972,6 +7053,15 @@ def oracle_sql() -> dict[str, str]:
                                              192000)[b1 % 4 + 1]
                         END AS BIGINT)
             FROM mi_params
+            UNION ALL
+            -- real_tiff: lossless — decoded raster equals the raw
+            -- chain bytes regardless of the per-doc byte order; the
+            -- two-strip layout is a constant-158 container
+            SELECT 'real_tiff', doc_id, 'image', 'tiff',
+                   CAST(158 AS BIGINT), NULL::VARCHAR, 5, 4,
+                   CAST(COUNT(*) AS BIGINT), CAST(SUM(v) AS BIGINT),
+                   CAST(SUM(v * (j + 1)) AS BIGINT)
+            FROM tf_bytes GROUP BY doc_id
             UNION ALL
             -- mscreen: raw media_id (3 blobs/doc); n_values = the
             -- 5-flag bitmask, sum_values = walked duration_ms,

@@ -33,6 +33,10 @@ environment and none are needed for these formats):
   (marker walk + canonical Huffman + dequant + 8×8 IDCT, grayscale /
   YCbCr with arbitrary ≤4 sampling factors); progressive and
   arithmetic coding raise ``NotImplementedError``.
+- **TIFF** (r6) — baseline uncompressed: IFD tag walk in both byte
+  orders, 8-bit gray/RGB chunky layout, multi-strip reassembly,
+  WhiteIsZero inversion; all compressed TIFF variants
+  (LZW/PackBits/JPEG-in-TIFF/CCITT) raise honestly.
 
 Encoders for the same formats exist so tests and fixtures can build
 real files byte-for-byte, and ``resize_images`` can emit a real
@@ -79,6 +83,7 @@ __all__ = [
     "encode_pgm",
     "encode_png",
     "encode_gif",
+    "encode_tiff",
     "encode_wav",
     "y4m_info",
     "y4m_frame",
@@ -118,6 +123,8 @@ def sniff_format(data: bytes) -> str | None:
         return "jpeg"
     if data[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
+    if data[:4] in (b"II\x2a\x00", b"MM\x00\x2a"):
+        return "tiff"
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return "wav"
     if data[:9] == b"YUV4MPEG2":
@@ -156,10 +163,12 @@ def decode_image(data: bytes) -> np.ndarray:
         return decode_jpeg(data)
     if fmt == "gif":
         return _decode_gif(data)
+    if fmt == "tiff":
+        return _decode_tiff(data)
     raise NotImplementedError(
         f"no pure-numpy decoder for this image container "
         f"(sniffed {fmt or 'unknown'}; supported: bmp, pgm, ppm, png, "
-        f"jpeg, gif)"
+        f"jpeg, gif, tiff)"
     )
 
 
@@ -1323,6 +1332,11 @@ def image_dims(data: bytes) -> tuple[int, int]:
     if fmt == "gif":
         w, h = struct.unpack_from("<HH", data, 6)
         return w, h
+    if fmt == "tiff":
+        t = _tiff_read_ifd(data, "<" if data[:2] == b"II" else ">")
+        if "width" not in t or "height" not in t:
+            raise MediaFormatError("TIFF missing dimension tags")
+        return t["width"], t["height"]
     if fmt == "jpeg":
         pos = 2
         while pos + 4 <= len(data):
@@ -1390,3 +1404,196 @@ def wav_info(data: bytes) -> dict:
         "bits": int(bits),
         "duration_ms": int(n_frames) * 1000 // int(rate),
     }
+
+
+# ---------------------------------------------------------------------------
+# TIFF (r6): baseline uncompressed — the scanned-document corpus
+# format.  IFD tag walk (both byte orders), 8-bit gray / RGB(A),
+# strip assembly, WhiteIsZero inversion; every compression scheme
+# (LZW/PackBits/JPEG-in-TIFF/CCITT) raises honestly.
+# ---------------------------------------------------------------------------
+
+_TIFF_TAGS = {
+    256: "width",
+    257: "height",
+    258: "bits_per_sample",
+    259: "compression",
+    262: "photometric",
+    273: "strip_offsets",
+    277: "samples_per_pixel",
+    278: "rows_per_strip",
+    279: "strip_byte_counts",
+    284: "planar_config",
+}
+# field type → byte width (1 BYTE, 3 SHORT, 4 LONG are the ones
+# baseline writers use for these tags)
+_TIFF_TYPE_W = {1: 1, 3: 2, 4: 4}
+
+
+def _tiff_read_ifd(data: bytes, bo: str) -> dict:
+    (ifd_off,) = struct.unpack_from(bo + "I", data, 4)
+    if ifd_off + 2 > len(data):
+        raise MediaFormatError("TIFF IFD offset out of range")
+    (n_entries,) = struct.unpack_from(bo + "H", data, ifd_off)
+    tags: dict = {}
+    for i in range(n_entries):
+        off = ifd_off + 2 + 12 * i
+        if off + 12 > len(data):
+            raise MediaFormatError("TIFF IFD entry truncated")
+        tag, ftype, count = struct.unpack_from(bo + "HHI", data, off)
+        name = _TIFF_TAGS.get(tag)
+        if name is None:
+            continue
+        w = _TIFF_TYPE_W.get(ftype)
+        if w is None:
+            raise MediaFormatError(
+                f"TIFF tag {tag} has unsupported field type {ftype}"
+            )
+        total = w * count
+        if total <= 4:
+            voff = off + 8
+        else:
+            (voff,) = struct.unpack_from(bo + "I", data, off + 8)
+            if voff + total > len(data):
+                raise MediaFormatError(f"TIFF tag {tag} values truncated")
+        fmt = {1: "B", 2: "H", 4: "I"}[w]
+        vals = list(
+            struct.unpack_from(bo + fmt * count, data, voff)
+        )
+        tags[name] = vals if count > 1 else vals[0]
+    return tags
+
+
+def _decode_tiff(data: bytes) -> np.ndarray:
+    bo = "<" if data[:2] == b"II" else ">"
+    t = _tiff_read_ifd(data, bo)
+    for req in ("width", "height", "strip_offsets"):
+        if req not in t:
+            raise MediaFormatError(f"TIFF missing required tag {req}")
+    comp = t.get("compression", 1)
+    if comp != 1:
+        raise NotImplementedError(
+            f"TIFF compression {comp} not supported (uncompressed=1 "
+            f"only; LZW/PackBits/JPEG-in-TIFF need codec work)"
+        )
+    if t.get("planar_config", 1) != 1:
+        raise NotImplementedError("TIFF planar (separated) layout")
+    spp = t.get("samples_per_pixel", 1)
+    bps = t.get("bits_per_sample", 8)
+    if isinstance(bps, list):
+        if any(b != 8 for b in bps):
+            raise NotImplementedError(f"TIFF bits/sample {bps} (8 only)")
+    elif bps != 8:
+        raise NotImplementedError(f"TIFF bits/sample {bps} (8 only)")
+    if spp not in (1, 3, 4):
+        raise NotImplementedError(f"TIFF {spp} samples/pixel")
+    w, h = t["width"], t["height"]
+    if w <= 0 or h <= 0:
+        raise MediaFormatError(f"bad TIFF dimensions {w}x{h}")
+    offs = t["strip_offsets"]
+    offs = offs if isinstance(offs, list) else [offs]
+    counts = t.get("strip_byte_counts")
+    if counts is None:
+        # single-strip files may omit byte counts; infer exactly
+        if len(offs) != 1:
+            raise MediaFormatError("TIFF multi-strip without byte counts")
+        counts = [w * h * spp]
+    counts = counts if isinstance(counts, list) else [counts]
+    if len(counts) != len(offs):
+        raise MediaFormatError("TIFF strip offsets/counts disagree")
+    raw = bytearray()
+    for o, c in zip(offs, counts):
+        if o + c > len(data):
+            raise MediaFormatError("TIFF strip out of range")
+        raw += data[o : o + c]
+    need = w * h * spp
+    if len(raw) < need:
+        raise MediaFormatError(
+            f"TIFF pixel data short: have {len(raw)}, need {need}"
+        )
+    a = np.frombuffer(bytes(raw[:need]), np.uint8)
+    a = a.reshape(h, w) if spp == 1 else a.reshape(h, w, spp)
+    if t.get("photometric", 1) == 0:
+        # WhiteIsZero: invert to the canonical BlackIsZero scale
+        a = (255 - a).astype(np.uint8)
+    return np.ascontiguousarray(a)
+
+
+def encode_tiff(
+    arr: np.ndarray, *, big_endian: bool = False, rows_per_strip: int = 0
+) -> bytes:
+    """Minimal uncompressed TIFF writer: 8-bit gray/RGB, chunky
+    layout, one strip per ``rows_per_strip`` rows (0 = single strip),
+    either byte order — enough to exercise every real decoder path
+    (multi-strip assembly, endianness, out-of-line tag values)."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        spp = 1
+        photometric = 1
+    elif a.ndim == 3 and a.shape[2] == 3:
+        spp = 3
+        photometric = 2
+    else:
+        raise MediaFormatError("encode_tiff wants (H,W) or (H,W,3) uint8")
+    h, w = a.shape[0], a.shape[1]
+    bo = ">" if big_endian else "<"
+    rps = rows_per_strip if rows_per_strip > 0 else h
+    strips = [
+        a[y : y + rps].tobytes() for y in range(0, h, rps)
+    ]
+    n = len(strips)
+
+    # layout: header(8) | pixel strips | IFD | out-of-line arrays
+    pix_off = 8
+    offs = []
+    cur = pix_off
+    for s in strips:
+        offs.append(cur)
+        cur += len(s)
+    ifd_off = cur
+    entries = []  # (tag, type, count, packed-or-offset placeholder)
+
+    def entry(tag, ftype, count, value_bytes):
+        entries.append((tag, ftype, count, value_bytes))
+
+    def short(v):
+        return struct.pack(bo + "H", v) + b"\x00\x00"
+
+    def long_(v):
+        return struct.pack(bo + "I", v)
+
+    n_fixed = 9
+    ifd_size = 2 + 12 * n_fixed + 4
+    extra_off = ifd_off + ifd_size
+    extra = bytearray()
+
+    def arr_long(vals):
+        nonlocal extra
+        if len(vals) == 1:
+            return long_(vals[0])
+        off = extra_off + len(extra)
+        extra += b"".join(struct.pack(bo + "I", v) for v in vals)
+        return long_(off)
+
+    entry(256, 4, 1, long_(w))
+    entry(257, 4, 1, long_(h))
+    entry(258, 3, 1, short(8))
+    entry(259, 3, 1, short(1))
+    entry(262, 3, 1, short(photometric))
+    entry(273, 4, n, arr_long(offs))
+    entry(277, 3, 1, short(spp))
+    entry(278, 4, 1, long_(rps))
+    entry(279, 4, n, arr_long([len(s) for s in strips]))
+
+    out = bytearray()
+    out += (b"II" if not big_endian else b"MM")
+    out += struct.pack(bo + "H", 42)
+    out += struct.pack(bo + "I", ifd_off)
+    for s in strips:
+        out += s
+    out += struct.pack(bo + "H", n_fixed)
+    for tag, ftype, count, vb in sorted(entries):
+        out += struct.pack(bo + "HHI", tag, ftype, count) + vb
+    out += b"\x00\x00\x00\x00"  # next-IFD = none
+    out += extra
+    return bytes(out)

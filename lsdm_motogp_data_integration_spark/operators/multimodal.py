@@ -113,7 +113,7 @@ def _decode_canonical(content: bytes) -> tuple[str, bytes, dict]:
     swallowed into fake output.
     """
     fmt = mc.sniff_format(content)
-    if fmt in ("bmp", "pgm", "ppm", "png", "jpeg", "gif"):
+    if fmt in ("bmp", "pgm", "ppm", "png", "jpeg", "gif", "tiff"):
         a = mc.decode_image(content)
         h, w = a.shape[0], a.shape[1]
         nch = 1 if a.ndim == 2 else a.shape[2]
@@ -141,8 +141,8 @@ def _decode_canonical(content: bytes) -> tuple[str, bytes, dict]:
         return fmt, b"".join(frames), {"kind": "video", **info}
     raise NotImplementedError(
         "no decoder for this blob (supported containers: bmp, pgm, "
-        "ppm, png, jpeg, gif, wav, y4m; mp3/mp4 audio/video decode "
-        "needs codec libraries this environment does not have)"
+        "ppm, png, jpeg, gif, tiff, wav, y4m; mp3/mp4 audio/video "
+        "decode needs codec libraries this environment does not have)"
     )
 
 
@@ -1128,7 +1128,7 @@ def _container_info_one(content: bytes) -> dict:
         "has_video": None,
         "has_audio": None,
     }
-    if fmt in ("bmp", "pgm", "ppm", "png", "jpeg", "gif"):
+    if fmt in ("bmp", "pgm", "ppm", "png", "jpeg", "gif", "tiff"):
         w, h = mc.image_dims(content)
         out.update(width=w, height=h)
     elif fmt == "wav":

@@ -208,7 +208,7 @@ def _perceptual_drop_ids(
         image_dhash(
             survivors.filter(
                 F.col("fmt").isin(
-                    "bmp", "pgm", "ppm", "png", "jpeg", "gif"
+                    "bmp", "pgm", "ppm", "png", "jpeg", "gif", "tiff"
                 )
             )
         ).filter(F.col("dhash").isNotNull()),
@@ -457,7 +457,7 @@ def curate_media_stream(
             hashes = image_dhash(
                 kept_blobs.filter(
                     F.col("fmt").isin(
-                        "bmp", "pgm", "ppm", "png", "jpeg", "gif"
+                        "bmp", "pgm", "ppm", "png", "jpeg", "gif", "tiff"
                     )
                 )
             ).filter(F.col("dhash").isNotNull())

@@ -179,3 +179,55 @@ def test_g711_wav_decode_and_info():
     assert info["n_frames"] == 6 and info["bits"] == 8
     with pytest.raises(NotImplementedError):
         mc.decode_wav(_g711_wav(codes, 2))  # ADPCM stays a gate
+
+
+def test_tiff_roundtrip_both_endians_and_strips():
+    rng = np.random.RandomState(17)
+    g = rng.randint(0, 256, (7, 11), np.uint8)
+    c = rng.randint(0, 256, (6, 5, 3), np.uint8)
+    for be in (False, True):
+        for rps in (0, 2):
+            bg = mc.encode_tiff(g, big_endian=be, rows_per_strip=rps)
+            assert mc.sniff_format(bg) == "tiff"
+            assert np.array_equal(mc.decode_image(bg), g)
+            bc = mc.encode_tiff(c, big_endian=be, rows_per_strip=rps)
+            assert np.array_equal(mc.decode_image(bc), c)
+    # header-only dims + container_info dispatch
+    b = mc.encode_tiff(g)
+    assert mc.image_dims(b) == (11, 7)
+    from lsdm_motogp_data_integration_spark.operators.multimodal import (
+        _container_info_one,
+        _decode_canonical,
+    )
+
+    info = _container_info_one(b)
+    assert info["fmt"] == "tiff" and (info["width"], info["height"]) == (11, 7)
+    fmt, canon, dinfo = _decode_canonical(b)
+    assert fmt == "tiff" and dinfo["kind"] == "image"
+
+
+def test_tiff_white_is_zero_inverts():
+    import struct as _st
+
+    g = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    b = bytearray(mc.encode_tiff(g))
+    # flip the photometric tag (262) value from 1 to 0 in the IFD
+    idx = b.find(_st.pack("<HHI", 262, 3, 1))
+    assert idx > 0
+    assert b[idx + 8] == 1
+    b[idx + 8] = 0
+    dec = mc.decode_image(bytes(b))
+    assert np.array_equal(dec, 255 - g)
+
+
+def test_tiff_compression_gate_and_corruption():
+    import struct as _st
+
+    g = np.zeros((4, 4), np.uint8)
+    b = bytearray(mc.encode_tiff(g))
+    idx = b.find(_st.pack("<HHI", 259, 3, 1))
+    b[idx + 8] = 5  # LZW
+    with pytest.raises(NotImplementedError, match="compression 5"):
+        mc.decode_image(bytes(b))
+    with pytest.raises(mc.MediaFormatError):
+        mc.decode_image(mc.encode_tiff(g)[:20])  # strip out of range
