@@ -22,10 +22,12 @@ environment and none are needed for these formats):
   Up fully vectorized; Average/Paeth need the sequential left
   neighbor, per PNG spec, and fall back to a per-byte loop on the
   rows that use them). 8- AND 16-bit depth (16-bit returns uint16,
-  full fidelity), Adam7 interlace (seven independently-filtered
-  sub-rasters scattered onto their grids), gray / RGB / indexed-PLTE
-  / gray+alpha / RGBA color types; sub-byte depths raise
-  ``NotImplementedError`` honestly.
+  full fidelity), sub-byte depths 1/2/4 for gray and palette (packed
+  rows filter with bpp=1 per spec, MSB-first unpack, exact-integer
+  gray scaling ×255/85/17), Adam7 interlace (seven independently-
+  filtered sub-rasters scattered onto their grids), gray / RGB /
+  indexed-PLTE / gray+alpha / RGBA color types; sub-byte + Adam7
+  combined stays a gate.
 - **GIF** (r6) — pure-python variable-width LZW (LSB-first, deferred
   clear, KwKwK case) + numpy palette expansion; 87a/89a, interlace,
   local color tables; animated GIFs decode their first frame.
@@ -459,14 +461,20 @@ def _decode_png(data: bytes) -> np.ndarray:
         )
     if interlace not in (0, 1):
         raise MediaFormatError(f"bad PNG interlace method {interlace}")
-    if depth not in (8, 16):
-        raise NotImplementedError(
-            f"PNG bit depth {depth} (8/16-bit only)"
-        )
+    if depth not in (1, 2, 4, 8, 16):
+        raise MediaFormatError(f"bad PNG bit depth {depth}")
     if ctype_i not in _PNG_CHANNELS:
         raise MediaFormatError(f"bad PNG color type {ctype_i}")
     if ctype_i == 3 and depth == 16:
         raise MediaFormatError("PNG indexed color cannot be 16-bit")
+    if depth < 8 and ctype_i not in (0, 3):
+        raise MediaFormatError(
+            f"PNG sub-byte depth invalid for color type {ctype_i}"
+        )
+    if depth < 8 and interlace:
+        raise NotImplementedError(
+            "PNG sub-byte depth + Adam7 interlace not supported"
+        )
     if not idat:
         raise MediaFormatError("PNG has no IDAT data")
     try:
@@ -474,8 +482,28 @@ def _decode_png(data: bytes) -> np.ndarray:
     except zlib.error as e:
         raise MediaFormatError(f"PNG IDAT inflate failed: {e}") from e
     nch = _PNG_CHANNELS[ctype_i]
-    sb = depth // 8  # bytes per sample
-    grid = _png_reconstruct(raw, h, w, nch * sb, interlace == 1)
+    if depth < 8:
+        # sub-byte (r6): filters operate on the PACKED bytes with
+        # bpp=1 (PNG spec: "bpp is rounded up to one"); unfiltered
+        # rows then unpack MSB-first into per-pixel samples.  Gray
+        # scales to the canonical 8-bit range by the exact integer
+        # factor 255/(2^d − 1) (1→×255, 2→×85, 4→×17); palette
+        # indices pass through to the PLTE lookup.
+        stride = (w * depth + 7) // 8
+        rows = _png_unfilter(raw, h, stride, 1)
+        bits = np.unpackbits(rows, axis=1)[:, : w * depth]
+        samples = bits.reshape(h, w, depth)
+        weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+        vals = (samples * weights).sum(axis=2).astype(np.uint8)
+        if ctype_i == 0:
+            scale = 255 // ((1 << depth) - 1)
+            return np.ascontiguousarray(
+                (vals.astype(np.uint16) * scale).astype(np.uint8)
+            )
+        grid = vals.reshape(h, w, 1)
+    else:
+        sb = depth // 8  # bytes per sample
+        grid = _png_reconstruct(raw, h, w, nch * sb, interlace == 1)
     if ctype_i == 3:
         if plte is None or len(plte) % 3 or not plte:
             raise MediaFormatError("indexed PNG missing/bad PLTE")

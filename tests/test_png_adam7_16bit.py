@@ -140,10 +140,12 @@ def test_16bit_features_normalized_to_unit_range():
     assert all(v <= 1.00001 for v in vec[3:])
 
 
-def test_sub_byte_depth_still_gated():
+def test_corrupted_depth_fails_loudly():
+    # sub-byte depths are now SUPPORTED (tests below) — a depth byte
+    # flipped on an 8-bit raster must still fail LOUDLY, as the
+    # packed-stride arithmetic disagrees with the raster byte count
     a = np.zeros((4, 4), dtype=np.uint8)
     b = bytearray(_build_png(a))
-    # corrupt IHDR depth to 4 and re-CRC
     ihdr = bytearray(b[16:29])
     ihdr[8] = 4
     rebuilt = (
@@ -151,7 +153,11 @@ def test_sub_byte_depth_still_gated():
         + _chunk(b"IHDR", bytes(ihdr))
         + bytes(b[8 + 25 :])
     )
-    with pytest.raises(NotImplementedError, match="bit depth 4"):
+    from lsdm_motogp_data_integration_spark.operators.mediacodec import (
+        MediaFormatError,
+    )
+
+    with pytest.raises(MediaFormatError):
         _decode_png(rebuilt)
 
 
@@ -161,3 +167,69 @@ def test_encoder_output_still_decodes_after_refactor():
     assert np.array_equal(
         decode_image(encode_png(a, filters=[0, 1, 2, 3, 4])), a
     )
+
+
+def _build_subbyte_png(
+    samples: np.ndarray,
+    depth: int,
+    ctype_i: int,
+    plte: bytes | None = None,
+    sub_rows: frozenset[int] = frozenset(),
+) -> bytes:
+    """(H, W) integer samples < 2^depth, packed MSB-first per row
+    (rows padded to byte boundaries per spec), optional Sub filter
+    rows (bpp=1 on the packed bytes)."""
+    h, w = samples.shape
+    raw = bytearray()
+    for y in range(h):
+        bits = np.zeros(((w * depth + 7) // 8) * 8, dtype=np.uint8)
+        for x in range(w):
+            v = int(samples[y, x])
+            for b in range(depth):
+                bits[x * depth + b] = (v >> (depth - 1 - b)) & 1
+        row = np.packbits(bits).tobytes()
+        if y in sub_rows:
+            rb = bytearray(row)
+            for i in range(len(rb) - 1, 0, -1):
+                rb[i] = (rb[i] - rb[i - 1]) & 0xFF
+            raw += b"\x01" + bytes(rb)
+        else:
+            raw += b"\x00" + row
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype_i, 0, 0, 0)
+    chunks = _SIG + _chunk(b"IHDR", ihdr)
+    if plte is not None:
+        chunks += _chunk(b"PLTE", plte)
+    return chunks + _chunk(b"IDAT", zlib.compress(bytes(raw))) + _chunk(
+        b"IEND", b""
+    )
+
+
+def test_1bit_gray_scales_to_full_range():
+    s = (np.add.outer(np.arange(5), np.arange(9)) % 2).astype(np.uint8)
+    dec = decode_image(_build_subbyte_png(s, 1, 0))
+    assert np.array_equal(dec, s * 255)
+
+
+def test_4bit_gray_non_byte_aligned_width():
+    rng = np.random.RandomState(13)
+    s = rng.randint(0, 16, (6, 5), dtype=np.uint8)  # stride 3, 4 pad bits
+    dec = decode_image(_build_subbyte_png(s, 4, 0))
+    assert np.array_equal(dec, s * 17)
+
+
+def test_2bit_palette_with_sub_filter():
+    rng = np.random.RandomState(14)
+    s = rng.randint(0, 4, (7, 9), dtype=np.uint8)
+    pal = bytes([10, 20, 30, 200, 100, 50, 0, 255, 128, 90, 91, 92])
+    dec = decode_image(
+        _build_subbyte_png(s, 2, 3, plte=pal, sub_rows=frozenset({2, 3}))
+    )
+    pal_arr = np.frombuffer(pal, np.uint8).reshape(4, 3)
+    assert np.array_equal(dec, pal_arr[s])
+
+
+def test_subbyte_gates():
+    s = np.zeros((4, 4), np.uint8)
+    # sub-byte RGB is illegal per spec → loud
+    with pytest.raises(Exception):
+        decode_image(_build_subbyte_png(s, 4, 2))
