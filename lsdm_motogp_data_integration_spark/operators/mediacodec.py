@@ -35,10 +35,11 @@ environment and none are needed for these formats):
   (marker walk + canonical Huffman + dequant + 8×8 IDCT, grayscale /
   YCbCr with arbitrary ≤4 sampling factors); progressive and
   arithmetic coding raise ``NotImplementedError``.
-- **TIFF** (r6) — baseline uncompressed: IFD tag walk in both byte
-  orders, 8-bit gray/RGB chunky layout, multi-strip reassembly,
-  WhiteIsZero inversion; all compressed TIFF variants
-  (LZW/PackBits/JPEG-in-TIFF/CCITT) raise honestly.
+- **TIFF** (r6) — IFD tag walk in both byte orders, 8-bit gray/RGB
+  chunky layout, multi-strip reassembly, WhiteIsZero inversion,
+  uncompressed AND LZW (MSB-first, spec §13 early-change width
+  schedule, per-strip) with the horizontal-differencing predictor;
+  PackBits/JPEG-in-TIFF/CCITT raise honestly.
 
 Encoders for the same formats exist so tests and fixtures can build
 real files byte-for-byte, and ``resize_images`` can emit a real
@@ -1452,6 +1453,7 @@ _TIFF_TAGS = {
     278: "rows_per_strip",
     279: "strip_byte_counts",
     284: "planar_config",
+    317: "predictor",
 }
 # field type → byte width (1 BYTE, 3 SHORT, 4 LONG are the ones
 # baseline writers use for these tags)
@@ -1499,10 +1501,10 @@ def _decode_tiff(data: bytes) -> np.ndarray:
         if req not in t:
             raise MediaFormatError(f"TIFF missing required tag {req}")
     comp = t.get("compression", 1)
-    if comp != 1:
+    if comp not in (1, 5):
         raise NotImplementedError(
             f"TIFF compression {comp} not supported (uncompressed=1 "
-            f"only; LZW/PackBits/JPEG-in-TIFF need codec work)"
+            f"and LZW=5; PackBits/JPEG-in-TIFF/CCITT need codec work)"
         )
     if t.get("planar_config", 1) != 1:
         raise NotImplementedError("TIFF planar (separated) layout")
@@ -1529,11 +1531,16 @@ def _decode_tiff(data: bytes) -> np.ndarray:
     counts = counts if isinstance(counts, list) else [counts]
     if len(counts) != len(offs):
         raise MediaFormatError("TIFF strip offsets/counts disagree")
+    rps = t.get("rows_per_strip", h)
     raw = bytearray()
-    for o, c in zip(offs, counts):
+    for si, (o, c) in enumerate(zip(offs, counts)):
         if o + c > len(data):
             raise MediaFormatError("TIFF strip out of range")
-        raw += data[o : o + c]
+        strip = data[o : o + c]
+        if comp == 5:
+            rows_here = min(rps, h - si * rps)
+            strip = _tiff_lzw_decode(strip, rows_here * w * spp)
+        raw += strip
     need = w * h * spp
     if len(raw) < need:
         raise MediaFormatError(
@@ -1541,6 +1548,16 @@ def _decode_tiff(data: bytes) -> np.ndarray:
         )
     a = np.frombuffer(bytes(raw[:need]), np.uint8)
     a = a.reshape(h, w) if spp == 1 else a.reshape(h, w, spp)
+    if t.get("predictor", 1) == 2:
+        # horizontal differencing: rows store per-channel deltas;
+        # reconstruct with a wrapping running sum along x (the PNG
+        # Sub trick)
+        a = a.copy()
+        np.add.accumulate(a, axis=1, out=a)  # uint8 wraps mod 256
+    elif t.get("predictor", 1) != 1:
+        raise NotImplementedError(
+            f"TIFF predictor {t['predictor']} (none/horizontal only)"
+        )
     if t.get("photometric", 1) == 0:
         # WhiteIsZero: invert to the canonical BlackIsZero scale
         a = (255 - a).astype(np.uint8)
@@ -1625,3 +1642,70 @@ def encode_tiff(
     out += b"\x00\x00\x00\x00"  # next-IFD = none
     out += extra
     return bytes(out)
+
+
+def _tiff_lzw_decode(data: bytes, expected: int) -> bytes:
+    """TIFF-variant LZW (spec §13): MSB-first bit packing, fixed
+    8-bit roots (CLEAR=256, EOI=257), and the EARLY-CHANGE width
+    schedule — the code width grows when the next free code reaches
+    ``2^width − 1``, one code earlier than GIF's convention (the
+    documented historical off-by-one every real reader honors)."""
+    out = bytearray()
+    prefix = [0] * 4096
+    suffix = bytearray(4096)
+    next_code = 258
+    width = 9
+    prev = -1
+    buf = 0
+    nb = 0
+    pos = 0
+    ln = len(data)
+
+    def expand(c: int) -> bytes:
+        s = bytearray()
+        while c >= 256:
+            s.append(suffix[c])
+            c = prefix[c]
+        s.append(c)
+        s.reverse()
+        return bytes(s)
+
+    while len(out) < expected:
+        while nb < width:
+            if pos >= ln:
+                raise MediaFormatError("TIFF LZW data truncated")
+            buf = (buf << 8) | data[pos]
+            pos += 1
+            nb += 8
+        nb -= width
+        code = (buf >> nb) & ((1 << width) - 1)
+        buf &= (1 << nb) - 1
+        if code == 256:  # CLEAR
+            next_code = 258
+            width = 9
+            prev = -1
+            continue
+        if code == 257:  # EOI
+            break
+        if prev < 0:
+            if code >= 256:
+                raise MediaFormatError("TIFF LZW: first code not a root")
+            out.append(code)
+            prev = code
+            continue
+        if code < next_code:
+            entry = expand(code)
+        elif code == next_code:
+            e = expand(prev)
+            entry = e + e[:1]
+        else:
+            raise MediaFormatError("TIFF LZW: code out of range")
+        out += entry
+        if next_code < 4096:
+            prefix[next_code] = prev
+            suffix[next_code] = entry[0]
+            next_code += 1
+            if next_code == (1 << width) - 1 and width < 12:
+                width += 1
+        prev = code
+    return bytes(out[:expected])
