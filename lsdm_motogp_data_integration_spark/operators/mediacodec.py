@@ -9,11 +9,14 @@ environment and none are needed for these formats):
   BITMAPV4/V5 (108/124) header sizes.
 - **PNM** (Netpbm): binary ``P5`` (PGM grayscale) and ``P6`` (PPM
   RGB), maxval ≤ 255, with ``#`` comment handling in the header.
-- **WAV** (RIFF: PCM 8-bit unsigned / 16-bit signed, plus G.711
-  mu-law and A-law telephony expansion via the classic 256-entry
-  tables, pinned against stdlib ``audioop`` — r6) — chunk-walked, so
-  extra chunks (LIST/INFO, fact) before or after ``data`` are
-  skipped rather than assumed absent.
+- **WAV** (RIFF: PCM 8-bit unsigned / 16-bit signed, G.711 mu-law /
+  A-law telephony expansion via the classic 256-entry tables, and
+  IMA ADPCM — 4-bit compressed, per-block headers, channel-
+  interleaved nibble words, exact-integer state machine; both
+  companded families pinned against stdlib ``audioop`` — r6) —
+  chunk-walked, so extra chunks (LIST/INFO, fact) before or after
+  ``data`` are skipped rather than assumed absent. MS ADPCM and
+  float WAV stay honest gates.
 - **Y4M** (YUV4MPEG2) — uncompressed video; header parse + per-frame
   byte extraction for C420/C422/C444/Cmono subsampling.
 - **PNG** (r6) — the single most common real image format: stdlib
@@ -688,12 +691,24 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         raise MediaFormatError("WAV missing fmt / data chunk")
     if len(fmt) < 16:
         raise MediaFormatError("WAV fmt chunk truncated")
-    audio_fmt, n_ch, rate, _, _, bits = struct.unpack_from("<HHIIHH", fmt, 0)
-    if audio_fmt not in (1, 6, 7):
+    audio_fmt, n_ch, rate, _, block_align, bits = struct.unpack_from(
+        "<HHIIHH", fmt, 0
+    )
+    if audio_fmt not in (1, 6, 7, 17):
         raise NotImplementedError(
             f"WAV audio format {audio_fmt} not supported "
-            f"(PCM=1, A-law=6, mu-law=7)"
+            f"(PCM=1, A-law=6, mu-law=7, IMA ADPCM=17)"
         )
+    if audio_fmt == 17:
+        # IMA ADPCM (r6): 4-bit compressed telephony/game audio,
+        # decoded by the exact-integer per-nibble state machine
+        if bits != 4:
+            raise MediaFormatError(
+                f"IMA ADPCM WAV must be 4-bit, got {bits}"
+            )
+        if n_ch <= 0:
+            raise MediaFormatError(f"bad WAV channel count {n_ch}")
+        return _decode_ima_adpcm(raw, n_ch, block_align), int(rate)
     if audio_fmt in (6, 7):
         # G.711 companded telephony audio (r6): one 256-entry LUT
         # built from the public piecewise-linear formulas
@@ -1413,19 +1428,30 @@ def wav_info(data: bytes) -> dict:
         raise MediaFormatError("WAV missing fmt / data chunk")
     if len(fmt) < 16:
         raise MediaFormatError("WAV fmt chunk truncated")
-    audio_fmt, n_ch, rate, _, _, bits = struct.unpack_from("<HHIIHH", fmt, 0)
-    if audio_fmt not in (1, 6, 7):
+    audio_fmt, n_ch, rate, _, block_align, bits = struct.unpack_from(
+        "<HHIIHH", fmt, 0
+    )
+    if audio_fmt not in (1, 6, 7, 17):
         raise NotImplementedError(
             f"WAV audio format {audio_fmt} not supported "
-            f"(PCM=1, A-law=6, mu-law=7)"
+            f"(PCM=1, A-law=6, mu-law=7, IMA ADPCM=17)"
         )
-    if bits not in (8, 16) or (audio_fmt in (6, 7) and bits != 8):
+    if audio_fmt == 17:
+        if bits != 4 or block_align <= 4 * n_ch or n_ch <= 0:
+            raise MediaFormatError(
+                f"bad IMA ADPCM fmt fields bits={bits} "
+                f"align={block_align} ch={n_ch}"
+            )
+        frames_per_block = 1 + (block_align - 4 * n_ch) * 2 // n_ch
+        n_frames = (data_size // block_align) * frames_per_block
+    elif bits not in (8, 16) or (audio_fmt in (6, 7) and bits != 8):
         raise NotImplementedError(
             f"WAV bit depth {bits} unsupported for format {audio_fmt}"
         )
+    else:
+        n_frames = data_size // (n_ch * (bits // 8))
     if n_ch <= 0 or rate <= 0:
         raise MediaFormatError(f"bad WAV fmt fields ch={n_ch} rate={rate}")
-    n_frames = data_size // (n_ch * (bits // 8))
     return {
         "n_frames": int(n_frames),
         "sample_rate": int(rate),
@@ -1709,3 +1735,101 @@ def _tiff_lzw_decode(data: bytes, expected: int) -> bytes:
                 width += 1
         prev = code
     return bytes(out[:expected])
+
+
+# IMA/DVI ADPCM tables (public: IMA Digital Audio Pack, 1992)
+_IMA_STEPS = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+    34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130,
+    143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449,
+    494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411,
+    1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026,
+    4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442,
+    11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623,
+    27086, 29794, 32767,
+)
+_IMA_INDEX_ADJ = (-1, -1, -1, -1, 2, 4, 6, 8)
+
+
+def _ima_decode_nibbles(
+    nibbles, pred: int, index: int, out: list
+) -> tuple[int, int]:
+    """Decode a run of 4-bit IMA ADPCM codes, appending int16 samples
+    to ``out``; returns the updated (predictor, step index) state.
+    The per-nibble state machine is exact integer arithmetic (the
+    spec's bit-test diff accumulation), so decode is bit-reproducible
+    anywhere."""
+    steps = _IMA_STEPS
+    adj = _IMA_INDEX_ADJ
+    for n in nibbles:
+        step = steps[index]
+        diff = step >> 3
+        if n & 1:
+            diff += step >> 2
+        if n & 2:
+            diff += step >> 1
+        if n & 4:
+            diff += step
+        if n & 8:
+            pred -= diff
+        else:
+            pred += diff
+        if pred > 32767:
+            pred = 32767
+        elif pred < -32768:
+            pred = -32768
+        index += adj[n & 7]
+        if index < 0:
+            index = 0
+        elif index > 88:
+            index = 88
+        out.append(pred)
+    return pred, index
+
+
+def _decode_ima_adpcm(
+    raw: bytes, n_ch: int, block_align: int
+) -> np.ndarray:
+    """WAV IMA ADPCM (format 17) data chunk → (n_frames, n_ch) int16.
+    Each block: a 4-byte header PER CHANNEL (initial int16 predictor,
+    step index, reserved) — the header predictor IS the block's first
+    output frame — then nibble words interleaved 4 bytes per channel,
+    low nibble first."""
+    if block_align <= 4 * n_ch or block_align % 4:
+        raise MediaFormatError(
+            f"bad IMA ADPCM block align {block_align} for {n_ch} ch"
+        )
+    chans: list[list[int]] = [[] for _ in range(n_ch)]
+    for boff in range(0, len(raw), block_align):
+        block = raw[boff : boff + block_align]
+        if len(block) < 4 * n_ch:
+            raise MediaFormatError("IMA ADPCM block truncated")
+        states = []
+        for c in range(n_ch):
+            (pred,) = struct.unpack_from("<h", block, 4 * c)
+            index = block[4 * c + 2]
+            if index > 88:
+                raise MediaFormatError(
+                    f"IMA ADPCM step index {index} out of range"
+                )
+            chans[c].append(pred)
+            states.append((pred, index))
+        data = block[4 * n_ch :]
+        # channel-interleaved 4-byte words
+        for goff in range(0, len(data), 4 * n_ch):
+            for c in range(n_ch):
+                word = data[goff + 4 * c : goff + 4 * c + 4]
+                if len(word) < 4:
+                    break
+                nibs = []
+                for b in word:
+                    nibs.append(b & 0x0F)
+                    nibs.append(b >> 4)
+                states[c] = _ima_decode_nibbles(
+                    nibs, states[c][0], states[c][1], chans[c]
+                )
+    n_frames = min(len(c) for c in chans)
+    a = np.empty((n_frames, n_ch), dtype=np.int16)
+    for c in range(n_ch):
+        a[:, c] = chans[c][:n_frames]
+    return a

@@ -178,7 +178,7 @@ def test_g711_wav_decode_and_info():
     info = mc.wav_info(_g711_wav(codes, 6))
     assert info["n_frames"] == 6 and info["bits"] == 8
     with pytest.raises(NotImplementedError):
-        mc.decode_wav(_g711_wav(codes, 2))  # ADPCM stays a gate
+        mc.decode_wav(_g711_wav(codes, 2))  # MS ADPCM stays a gate
 
 
 def test_tiff_roundtrip_both_endians_and_strips():
@@ -345,3 +345,94 @@ def test_tiff_lzw_early_change_width_bump():
     g = rng.randint(0, 256, (30, 40), np.uint8)
     blob = _retiff_lzw(g)
     assert np.array_equal(mc.decode_image(blob), g)
+
+
+def _ima_wav(
+    blocks: bytes, n_ch: int, block_align: int, rate: int = 8000
+) -> bytes:
+    import struct as _st
+
+    frames_per_block = 1 + (block_align - 4 * n_ch) * 2 // n_ch
+    fmt = _st.pack(
+        "<HHIIHH", 17, n_ch, rate,
+        rate * block_align // frames_per_block, block_align, 4,
+    ) + _st.pack("<H", 2)  # cbSize + wSamplesPerBlock omitted body
+    return (
+        b"RIFF"
+        + _st.pack("<I", 4 + 8 + len(fmt) + 8 + len(blocks))
+        + b"WAVE"
+        + b"fmt "
+        + _st.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + _st.pack("<I", len(blocks))
+        + blocks
+    )
+
+
+def test_ima_nibble_machine_matches_stdlib_audioop():
+    """The per-nibble state machine pinned against the INDEPENDENT
+    stdlib Intel/DVI ADPCM decoder (same IMA tables; audioop packs
+    the first code in the HIGH nibble, WAV packs low-first — the
+    comparison repacks accordingly)."""
+    audioop = pytest.importorskip("audioop")
+    from lsdm_motogp_data_integration_spark.operators.mediacodec import (
+        _ima_decode_nibbles,
+    )
+
+    rng = np.random.RandomState(31)
+    nibs = rng.randint(0, 16, 64).tolist()
+    pred0, idx0 = 123, 17
+    mine: list = []
+    _ima_decode_nibbles(nibs, pred0, idx0, mine)
+    packed = bytes(
+        (nibs[i] << 4) | nibs[i + 1] for i in range(0, 64, 2)
+    )
+    ref = np.frombuffer(
+        audioop.adpcm2lin(packed, 2, (pred0, idx0))[0], dtype="<i2"
+    )
+    assert mine == ref.tolist()
+
+
+def test_ima_adpcm_wav_decode_mono_and_stereo():
+    from lsdm_motogp_data_integration_spark.operators.mediacodec import (
+        _ima_decode_nibbles,
+    )
+
+    rng = np.random.RandomState(32)
+    # mono: one block, align 12 -> header + 8 data bytes = 16 nibbles
+    nibs = rng.randint(0, 16, 16).tolist()
+    data = bytes(
+        (nibs[i + 1] << 4) | nibs[i] for i in range(0, 16, 2)
+    )  # WAV low-nibble-first
+    import struct as _st
+
+    block = _st.pack("<hBB", -200, 30, 0) + data
+    s, rate = mc.decode_wav(_ima_wav(block, 1, 12))
+    assert rate == 8000 and s.shape == (17, 1)
+    assert s[0, 0] == -200  # header predictor is the first frame
+    expect: list = []
+    _ima_decode_nibbles(nibs, -200, 30, expect)
+    assert s[1:, 0].tolist() == expect
+    # stereo: channel headers then 4-byte words interleaved L,R
+    nl = rng.randint(0, 16, 8).tolist()
+    nr = rng.randint(0, 16, 8).tolist()
+    wl = bytes((nl[i + 1] << 4) | nl[i] for i in range(0, 8, 2))
+    wr = bytes((nr[i + 1] << 4) | nr[i] for i in range(0, 8, 2))
+    sblock = (
+        _st.pack("<hBB", 100, 5, 0)
+        + _st.pack("<hBB", -100, 50, 0)
+        + wl
+        + wr
+    )
+    st, _ = mc.decode_wav(_ima_wav(sblock, 2, 16))
+    assert st.shape == (9, 2)
+    el: list = []
+    er: list = []
+    _ima_decode_nibbles(nl, 100, 5, el)
+    _ima_decode_nibbles(nr, -100, 50, er)
+    assert st[0].tolist() == [100, -100]
+    assert st[1:, 0].tolist() == el and st[1:, 1].tolist() == er
+    # wav_info frame math agrees without touching sample data
+    info = mc.wav_info(_ima_wav(block, 1, 12))
+    assert info["n_frames"] == 17 and info["bits"] == 4
