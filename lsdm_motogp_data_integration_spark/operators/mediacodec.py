@@ -40,9 +40,9 @@ environment and none are needed for these formats):
   arithmetic coding raise ``NotImplementedError``.
 - **TIFF** (r6) — IFD tag walk in both byte orders, 8-bit gray/RGB
   chunky layout, multi-strip reassembly, WhiteIsZero inversion,
-  uncompressed AND LZW (MSB-first, spec §13 early-change width
-  schedule, per-strip) with the horizontal-differencing predictor;
-  PackBits/JPEG-in-TIFF/CCITT raise honestly.
+  uncompressed, LZW (MSB-first, spec §13 early-change width
+  schedule, per-strip), AND PackBits, with the horizontal-
+  differencing predictor; JPEG-in-TIFF/CCITT raise honestly.
 
 Encoders for the same formats exist so tests and fixtures can build
 real files byte-for-byte, and ``resize_images`` can emit a real
@@ -1527,10 +1527,11 @@ def _decode_tiff(data: bytes) -> np.ndarray:
         if req not in t:
             raise MediaFormatError(f"TIFF missing required tag {req}")
     comp = t.get("compression", 1)
-    if comp not in (1, 5):
+    if comp not in (1, 5, 32773):
         raise NotImplementedError(
-            f"TIFF compression {comp} not supported (uncompressed=1 "
-            f"and LZW=5; PackBits/JPEG-in-TIFF/CCITT need codec work)"
+            f"TIFF compression {comp} not supported (uncompressed=1, "
+            f"LZW=5, PackBits=32773; JPEG-in-TIFF/CCITT need codec "
+            f"work)"
         )
     if t.get("planar_config", 1) != 1:
         raise NotImplementedError("TIFF planar (separated) layout")
@@ -1563,9 +1564,11 @@ def _decode_tiff(data: bytes) -> np.ndarray:
         if o + c > len(data):
             raise MediaFormatError("TIFF strip out of range")
         strip = data[o : o + c]
+        rows_here = min(rps, h - si * rps)
         if comp == 5:
-            rows_here = min(rps, h - si * rps)
             strip = _tiff_lzw_decode(strip, rows_here * w * spp)
+        elif comp == 32773:
+            strip = _packbits_decode(strip, rows_here * w * spp)
         raw += strip
     need = w * h * spp
     if len(raw) < need:
@@ -1833,3 +1836,32 @@ def _decode_ima_adpcm(
     for c in range(n_ch):
         a[:, c] = chans[c][:n_frames]
     return a
+
+
+def _packbits_decode(data: bytes, expected: int) -> bytes:
+    """TIFF PackBits (Apple RLE, spec §9): n ≥ 0 → copy n+1 literal
+    bytes; −127 ≤ n ≤ −1 → repeat the next byte 1−n times; −128 is a
+    no-op."""
+    out = bytearray()
+    pos = 0
+    ln = len(data)
+    while len(out) < expected and pos < ln:
+        n = data[pos]
+        pos += 1
+        if n < 128:  # literal run of n+1
+            if pos + n + 1 > ln:
+                raise MediaFormatError("PackBits literal run truncated")
+            out += data[pos : pos + n + 1]
+            pos += n + 1
+        elif n == 128:  # no-op
+            continue
+        else:  # repeat next byte 257-n times
+            if pos >= ln:
+                raise MediaFormatError("PackBits repeat run truncated")
+            out += bytes([data[pos]]) * (257 - n)
+            pos += 1
+    if len(out) < expected:
+        raise MediaFormatError(
+            f"PackBits data short: have {len(out)}, need {expected}"
+        )
+    return bytes(out[:expected])

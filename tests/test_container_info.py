@@ -226,9 +226,9 @@ def test_tiff_compression_gate_and_corruption():
     g = np.zeros((4, 4), np.uint8)
     b = bytearray(mc.encode_tiff(g))
     idx = b.find(_st.pack("<HHI", 259, 3, 1))
-    # PackBits (32773) stays a gate (LZW=5 now decodes — tests above)
-    _st.pack_into("<H", b, idx + 8, 32773)
-    with pytest.raises(NotImplementedError, match="compression 32773"):
+    # CCITT G3 (3) stays a gate (LZW and PackBits now decode)
+    _st.pack_into("<H", b, idx + 8, 3)
+    with pytest.raises(NotImplementedError, match="compression 3"):
         mc.decode_image(bytes(b))
     with pytest.raises(mc.MediaFormatError):
         mc.decode_image(mc.encode_tiff(g)[:20])  # strip out of range
@@ -436,3 +436,51 @@ def test_ima_adpcm_wav_decode_mono_and_stereo():
     # wav_info frame math agrees without touching sample data
     info = mc.wav_info(_ima_wav(block, 1, 12))
     assert info["n_frames"] == 17 and info["bits"] == 4
+
+
+def test_tiff_packbits_roundtrip():
+    """PackBits strips via an independent reference packer (greedy
+    literal/repeat runs), spliced into the uncompressed container the
+    same way as the LZW fixtures."""
+    import struct as _st
+
+    def packbits(data: bytes) -> bytes:
+        out = bytearray()
+        i = 0
+        n = len(data)
+        while i < n:
+            run = 1
+            while (
+                i + run < n and run < 128 and data[i + run] == data[i]
+            ):
+                run += 1
+            if run >= 2:
+                out += bytes([257 - run, data[i]])
+                i += run
+                continue
+            lit = i
+            while (
+                i < n and i - lit < 128
+                and not (i + 1 < n and data[i + 1] == data[i])
+            ):
+                i += 1
+            out += bytes([i - lit - 1]) + data[lit:i]
+        return bytes(out)
+
+    rng = np.random.RandomState(41)
+    # runs + noise: both PackBits branches
+    g = np.where(
+        rng.rand(9, 13) < 0.5,
+        np.uint8(7),
+        rng.randint(0, 256, (9, 13)),
+    ).astype(np.uint8)
+    plain = mc.encode_tiff(g)
+    comp = packbits(g.tobytes())
+    n_px = g.size
+    b = bytearray(plain[:8] + comp + plain[8 + n_px:])
+    _st.pack_into("<I", b, 4, 8 + len(comp))
+    ifd = 8 + len(comp)
+    for tag, val, ftype in ((259, 32773, 3), (279, len(comp), 4)):
+        idx = bytes(b).find(_st.pack("<HH", tag, ftype), ifd)
+        _st.pack_into("<I", b, idx + 8, val)
+    assert np.array_equal(mc.decode_image(bytes(b)), g)
