@@ -11,12 +11,12 @@ environment and none are needed for these formats):
   RGB), maxval ≤ 255, with ``#`` comment handling in the header.
 - **WAV** (RIFF: PCM 8-bit unsigned / 16-bit signed, G.711 mu-law /
   A-law telephony expansion via the classic 256-entry tables, and
-  IMA ADPCM — 4-bit compressed, per-block headers, channel-
-  interleaved nibble words, exact-integer state machine; both
-  companded families pinned against stdlib ``audioop`` — r6) —
-  chunk-walked, so extra chunks (LIST/INFO, fact) before or after
-  ``data`` are skipped rather than assumed absent. MS ADPCM and
-  float WAV stay honest gates.
+  IMA ADPCM and MS ADPCM — 4-bit compressed, per-block headers,
+  exact-integer state machines; the companded/IMA families pinned
+  against stdlib ``audioop``, MS ADPCM against a per-spec
+  reimplementation — r6) — chunk-walked, so extra chunks (LIST/INFO,
+  fact) before or after ``data`` are skipped rather than assumed
+  absent. IEEE-float WAV stays an honest gate.
 - **Y4M** (YUV4MPEG2) — uncompressed video; header parse + per-frame
   byte extraction for C420/C422/C444/Cmono subsampling.
 - **PNG** (r6) — the single most common real image format: stdlib
@@ -694,21 +694,22 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     audio_fmt, n_ch, rate, _, block_align, bits = struct.unpack_from(
         "<HHIIHH", fmt, 0
     )
-    if audio_fmt not in (1, 6, 7, 17):
+    if audio_fmt not in (1, 2, 6, 7, 17):
         raise NotImplementedError(
-            f"WAV audio format {audio_fmt} not supported "
-            f"(PCM=1, A-law=6, mu-law=7, IMA ADPCM=17)"
+            f"WAV audio format {audio_fmt} not supported (PCM=1, "
+            f"MS ADPCM=2, A-law=6, mu-law=7, IMA ADPCM=17)"
         )
-    if audio_fmt == 17:
-        # IMA ADPCM (r6): 4-bit compressed telephony/game audio,
-        # decoded by the exact-integer per-nibble state machine
+    if audio_fmt in (2, 17):
+        # ADPCM families (r6): 4-bit compressed audio decoded by the
+        # exact-integer per-nibble state machines
         if bits != 4:
             raise MediaFormatError(
-                f"IMA ADPCM WAV must be 4-bit, got {bits}"
+                f"ADPCM WAV must be 4-bit, got {bits}"
             )
         if n_ch <= 0:
             raise MediaFormatError(f"bad WAV channel count {n_ch}")
-        return _decode_ima_adpcm(raw, n_ch, block_align), int(rate)
+        dec = _decode_ms_adpcm if audio_fmt == 2 else _decode_ima_adpcm
+        return dec(raw, n_ch, block_align), int(rate)
     if audio_fmt in (6, 7):
         # G.711 companded telephony audio (r6): one 256-entry LUT
         # built from the public piecewise-linear formulas
@@ -1431,18 +1432,20 @@ def wav_info(data: bytes) -> dict:
     audio_fmt, n_ch, rate, _, block_align, bits = struct.unpack_from(
         "<HHIIHH", fmt, 0
     )
-    if audio_fmt not in (1, 6, 7, 17):
+    if audio_fmt not in (1, 2, 6, 7, 17):
         raise NotImplementedError(
-            f"WAV audio format {audio_fmt} not supported "
-            f"(PCM=1, A-law=6, mu-law=7, IMA ADPCM=17)"
+            f"WAV audio format {audio_fmt} not supported (PCM=1, "
+            f"MS ADPCM=2, A-law=6, mu-law=7, IMA ADPCM=17)"
         )
-    if audio_fmt == 17:
-        if bits != 4 or block_align <= 4 * n_ch or n_ch <= 0:
+    if audio_fmt in (2, 17):
+        hdr = 7 * n_ch if audio_fmt == 2 else 4 * n_ch
+        if bits != 4 or block_align <= hdr or n_ch <= 0:
             raise MediaFormatError(
-                f"bad IMA ADPCM fmt fields bits={bits} "
+                f"bad ADPCM fmt fields bits={bits} "
                 f"align={block_align} ch={n_ch}"
             )
-        frames_per_block = 1 + (block_align - 4 * n_ch) * 2 // n_ch
+        seed = 2 if audio_fmt == 2 else 1
+        frames_per_block = seed + (block_align - hdr) * 2 // n_ch
         n_frames = (data_size // block_align) * frames_per_block
     elif bits not in (8, 16) or (audio_fmt in (6, 7) and bits != 8):
         raise NotImplementedError(
@@ -1865,3 +1868,81 @@ def _packbits_decode(data: bytes, expected: int) -> bytes:
             f"PackBits data short: have {len(out)}, need {expected}"
         )
     return bytes(out[:expected])
+
+
+# MS ADPCM tables (public: Microsoft WAVE format specification)
+_MS_COEFS = (
+    (256, 0), (512, -256), (0, 0), (192, 64), (240, 0),
+    (460, -208), (392, -232),
+)
+_MS_ADAPT = (
+    230, 230, 230, 230, 307, 409, 512, 614,
+    768, 614, 512, 409, 307, 230, 230, 230,
+)
+
+
+def _decode_ms_adpcm(
+    raw: bytes, n_ch: int, block_align: int
+) -> np.ndarray:
+    """WAV MS ADPCM (format 2) → (n_frames, n_ch) int16: per-block
+    channel headers (coef-pair selector, initial delta, the two seed
+    samples — emitted oldest-first), then signed 4-bit codes high
+    nibble first, channels alternating.  Exact integer arithmetic
+    per the published predictor/adaptation rules."""
+    hdr = 7 * n_ch
+    if block_align <= hdr:
+        raise MediaFormatError(
+            f"bad MS ADPCM block align {block_align} for {n_ch} ch"
+        )
+    chans: list[list[int]] = [[] for _ in range(n_ch)]
+    for boff in range(0, len(raw), block_align):
+        block = raw[boff : boff + block_align]
+        if len(block) < hdr:
+            raise MediaFormatError("MS ADPCM block truncated")
+        preds = []
+        for c in range(n_ch):
+            p = block[c]
+            if p >= len(_MS_COEFS):
+                raise MediaFormatError(
+                    f"MS ADPCM predictor index {p} out of range"
+                )
+            preds.append(_MS_COEFS[p])
+        deltas = [
+            struct.unpack_from("<h", block, n_ch + 2 * c)[0]
+            for c in range(n_ch)
+        ]
+        s1 = [
+            struct.unpack_from("<h", block, 3 * n_ch + 2 * c)[0]
+            for c in range(n_ch)
+        ]
+        s2 = [
+            struct.unpack_from("<h", block, 5 * n_ch + 2 * c)[0]
+            for c in range(n_ch)
+        ]
+        for c in range(n_ch):
+            chans[c].append(s2[c])
+            chans[c].append(s1[c])
+        ci = 0
+        for b in block[hdr:]:
+            for nib in (b >> 4, b & 0x0F):
+                c = ci % n_ch
+                ci += 1
+                signed = nib - 16 if nib >= 8 else nib
+                c1, c2 = preds[c]
+                pred = (s1[c] * c1 + s2[c] * c2) >> 8
+                new = pred + signed * deltas[c]
+                if new > 32767:
+                    new = 32767
+                elif new < -32768:
+                    new = -32768
+                s2[c] = s1[c]
+                s1[c] = new
+                deltas[c] = (_MS_ADAPT[nib] * deltas[c]) >> 8
+                if deltas[c] < 16:
+                    deltas[c] = 16
+                chans[c].append(new)
+    n_frames = min(len(ch) for ch in chans)
+    a = np.empty((n_frames, n_ch), dtype=np.int16)
+    for c in range(n_ch):
+        a[:, c] = chans[c][:n_frames]
+    return a

@@ -178,7 +178,7 @@ def test_g711_wav_decode_and_info():
     info = mc.wav_info(_g711_wav(codes, 6))
     assert info["n_frames"] == 6 and info["bits"] == 8
     with pytest.raises(NotImplementedError):
-        mc.decode_wav(_g711_wav(codes, 2))  # MS ADPCM stays a gate
+        mc.decode_wav(_g711_wav(codes, 3))  # IEEE float stays a gate
 
 
 def test_tiff_roundtrip_both_endians_and_strips():
@@ -484,3 +484,87 @@ def test_tiff_packbits_roundtrip():
         idx = bytes(b).find(_st.pack("<HH", tag, ftype), ifd)
         _st.pack_into("<I", b, idx + 8, val)
     assert np.array_equal(mc.decode_image(bytes(b)), g)
+
+
+def test_ms_adpcm_wav_decode_matches_spec_reimplementation():
+    """MS ADPCM (format 2) pinned against an INDEPENDENT per-spec
+    reimplementation written here from the published predictor /
+    adaptation rules, plus the structural pins: seed samples emitted
+    oldest-first, high nibble first, stereo alternation."""
+    import struct as _st
+
+    COEFS = ((256, 0), (512, -256), (0, 0), (192, 64), (240, 0),
+             (460, -208), (392, -232))
+    ADAPT = (230, 230, 230, 230, 307, 409, 512, 614,
+             768, 614, 512, 409, 307, 230, 230, 230)
+
+    def ref_decode_mono(pidx, delta, s1, s2, nibbles):
+        out = [s2, s1]
+        c1, c2 = COEFS[pidx]
+        for nib in nibbles:
+            signed = nib - 16 if nib >= 8 else nib
+            pred = (s1 * c1 + s2 * c2) >> 8
+            new = max(-32768, min(32767, pred + signed * delta))
+            s2, s1 = s1, new
+            delta = max(16, (ADAPT[nib] * delta) >> 8)
+            out.append(new)
+        return out
+
+    rng = np.random.RandomState(51)
+    nibs = rng.randint(0, 16, 10).tolist()
+    data = bytes((nibs[i] << 4) | nibs[i + 1] for i in range(0, 10, 2))
+    # header layout: predictor(1) delta(2) sample1(2) sample2(2)
+    block = bytes([1]) + _st.pack("<hhh", 300, 1000, 500) + data
+    ba = len(block)
+    fmt = _st.pack("<HHIIHH", 2, 1, 8000, 4000, ba, 4)
+    wav = (
+        b"RIFF" + _st.pack("<I", 4 + 8 + len(fmt) + 8 + len(block))
+        + b"WAVE" + b"fmt " + _st.pack("<I", len(fmt)) + fmt
+        + b"data" + _st.pack("<I", len(block)) + block
+    )
+    s, rate = mc.decode_wav(wav)
+    assert rate == 8000
+    expect = ref_decode_mono(1, 300, 1000, 500, nibs)
+    assert s[:, 0].tolist() == expect
+    assert s[0, 0] == 500 and s[1, 0] == 1000  # oldest seed first
+    info = mc.wav_info(wav)
+    assert info["n_frames"] == len(expect) and info["bits"] == 4
+
+
+def test_ms_adpcm_stereo_alternation():
+    import struct as _st
+
+    rng = np.random.RandomState(52)
+    nibs = rng.randint(0, 16, 8).tolist()
+    data = bytes((nibs[i] << 4) | nibs[i + 1] for i in range(0, 8, 2))
+    hdr = (
+        bytes([0, 0])
+        + _st.pack("<hh", 256, 128)   # deltas L, R
+        + _st.pack("<hh", 100, -100)  # sample1 L, R
+        + _st.pack("<hh", 50, -50)    # sample2 L, R
+    )
+    block = hdr + data
+    fmt = _st.pack("<HHIIHH", 2, 2, 8000, 4000, len(block), 4)
+    wav = (
+        b"RIFF" + _st.pack("<I", 4 + 8 + len(fmt) + 8 + len(block))
+        + b"WAVE" + b"fmt " + _st.pack("<I", len(fmt)) + fmt
+        + b"data" + _st.pack("<I", len(block)) + block
+    )
+    s, _ = mc.decode_wav(wav)
+    assert s.shape == (6, 2)  # 2 seeds + 8 nibbles / 2 channels
+    assert s[0].tolist() == [50, -50] and s[1].tolist() == [100, -100]
+    # left channel consumes the even (high-nibble-first) codes:
+    # replay L independently with the mono reference rule
+    COEFS0 = (256, 0)
+    sl1, sl2, dl = 100, 50, 256
+    expect_l = []
+    for nib in nibs[0::2]:
+        signed = nib - 16 if nib >= 8 else nib
+        pred = (sl1 * COEFS0[0] + sl2 * COEFS0[1]) >> 8
+        new = max(-32768, min(32767, pred + signed * dl))
+        sl2, sl1 = sl1, new
+        dl = max(16, ((230, 230, 230, 230, 307, 409, 512, 614,
+                       768, 614, 512, 409, 307, 230, 230, 230)[nib]
+                      * dl) >> 8)
+        expect_l.append(new)
+    assert s[2:, 0].tolist() == expect_l
