@@ -16,7 +16,10 @@ environment and none are needed for these formats):
   against stdlib ``audioop``, MS ADPCM against a per-spec
   reimplementation — r6) — chunk-walked, so extra chunks (LIST/INFO,
   fact) before or after ``data`` are skipped rather than assumed
-  absent. IEEE-float WAV stays an honest gate.
+  absent. IEEE-float WAV (32/64-bit, half-even scaled to the
+  canonical int16 with clipping) decodes too — every WAV format a
+  real corpus carries is now supported; remaining WAV gates are the
+  genuinely codec-bound payloads (MPEG-in-WAV).
 - **Y4M** (YUV4MPEG2) — uncompressed video; header parse + per-frame
   byte extraction for C420/C422/C444/Cmono subsampling.
 - **PNG** (r6) — the single most common real image format: stdlib
@@ -694,10 +697,10 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     audio_fmt, n_ch, rate, _, block_align, bits = struct.unpack_from(
         "<HHIIHH", fmt, 0
     )
-    if audio_fmt not in (1, 2, 6, 7, 17):
+    if audio_fmt not in (1, 2, 3, 6, 7, 17):
         raise NotImplementedError(
             f"WAV audio format {audio_fmt} not supported (PCM=1, "
-            f"MS ADPCM=2, A-law=6, mu-law=7, IMA ADPCM=17)"
+            f"MS ADPCM=2, float=3, A-law=6, mu-law=7, IMA ADPCM=17)"
         )
     if audio_fmt in (2, 17):
         # ADPCM families (r6): 4-bit compressed audio decoded by the
@@ -710,6 +713,25 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
             raise MediaFormatError(f"bad WAV channel count {n_ch}")
         dec = _decode_ms_adpcm if audio_fmt == 2 else _decode_ima_adpcm
         return dec(raw, n_ch, block_align), int(rate)
+    if audio_fmt == 3:
+        # IEEE float (r6): [-1, 1] nominal scale → canonical int16 by
+        # round-half-even on v·32767 with clipping (values past full
+        # scale are legal in float WAV and must clamp, not wrap)
+        if bits == 32:
+            f = np.frombuffer(raw, dtype="<f4", count=len(raw) // 4)
+        elif bits == 64:
+            f = np.frombuffer(raw, dtype="<f8", count=len(raw) // 8)
+        else:
+            raise MediaFormatError(
+                f"float WAV must be 32/64-bit, got {bits}"
+            )
+        s = np.clip(
+            np.rint(f.astype(np.float64) * 32767.0), -32768, 32767
+        ).astype(np.int16)
+        if n_ch <= 0:
+            raise MediaFormatError(f"bad WAV channel count {n_ch}")
+        n_frames = len(s) // n_ch
+        return s[: n_frames * n_ch].reshape(n_frames, n_ch), int(rate)
     if audio_fmt in (6, 7):
         # G.711 companded telephony audio (r6): one 256-entry LUT
         # built from the public piecewise-linear formulas
@@ -1432,12 +1454,18 @@ def wav_info(data: bytes) -> dict:
     audio_fmt, n_ch, rate, _, block_align, bits = struct.unpack_from(
         "<HHIIHH", fmt, 0
     )
-    if audio_fmt not in (1, 2, 6, 7, 17):
+    if audio_fmt not in (1, 2, 3, 6, 7, 17):
         raise NotImplementedError(
             f"WAV audio format {audio_fmt} not supported (PCM=1, "
-            f"MS ADPCM=2, A-law=6, mu-law=7, IMA ADPCM=17)"
+            f"MS ADPCM=2, float=3, A-law=6, mu-law=7, IMA ADPCM=17)"
         )
-    if audio_fmt in (2, 17):
+    if audio_fmt == 3:
+        if bits not in (32, 64) or n_ch <= 0:
+            raise MediaFormatError(
+                f"bad float WAV fmt fields bits={bits} ch={n_ch}"
+            )
+        n_frames = data_size // (n_ch * (bits // 8))
+    elif audio_fmt in (2, 17):
         hdr = 7 * n_ch if audio_fmt == 2 else 4 * n_ch
         if bits != 4 or block_align <= hdr or n_ch <= 0:
             raise MediaFormatError(

@@ -178,7 +178,28 @@ def test_g711_wav_decode_and_info():
     info = mc.wav_info(_g711_wav(codes, 6))
     assert info["n_frames"] == 6 and info["bits"] == 8
     with pytest.raises(NotImplementedError):
-        mc.decode_wav(_g711_wav(codes, 3))  # IEEE float stays a gate
+        mc.decode_wav(_g711_wav(codes, 80))  # MPEG-in-WAV stays a gate
+
+
+def test_float_wav_decode_round_half_even_and_clip():
+    import struct as _st
+
+    f = np.array([0.0, 0.5, -0.5, 1.0, -1.0, 1.5, -2.0], dtype="<f4")
+    raw = f.tobytes()
+    fmt = _st.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    wav = (
+        b"RIFF" + _st.pack("<I", 4 + 8 + len(fmt) + 8 + len(raw))
+        + b"WAVE" + b"fmt " + _st.pack("<I", len(fmt)) + fmt
+        + b"data" + _st.pack("<I", len(raw)) + raw
+    )
+    s, rate = mc.decode_wav(wav)
+    assert rate == 8000
+    # 0.5·32767 = 16383.5 → 16384 (half-even); out-of-range clamps
+    assert s[:, 0].tolist() == [
+        0, 16384, -16384, 32767, -32767, 32767, -32768
+    ]
+    info = mc.wav_info(wav)
+    assert info["n_frames"] == 7 and info["bits"] == 32
 
 
 def test_tiff_roundtrip_both_endians_and_strips():
