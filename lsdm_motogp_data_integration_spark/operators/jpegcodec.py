@@ -516,7 +516,22 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         if cid not in scan_by_cid:
             raise MediaFormatError(f"component {cid} missing from SOS")
         _, td, ta = scan_by_cid[cid]
+        if tq not in qtables:
+            raise MediaFormatError(
+                f"JPEG references undefined DQT id {tq}"
+            )
         comp_meta.append((hi, vi, qtables[tq], td, ta))
+        for cls, tid in ((0, td), (1, ta)):
+            if (cls, tid) not in hufftabs:
+                raise MediaFormatError(
+                    f"JPEG references undefined DHT "
+                    f"class={cls} id={tid}"
+                )
+        if maxv % vi or maxh % hi:
+            raise NotImplementedError(
+                f"non-integral JPEG subsampling ratio "
+                f"{maxh}x{maxv} / {hi}x{vi}"
+            )
 
     segs, rst_marks = _split_entropy(data, pos)
     zn = _ZIG_TO_NAT.tolist()

@@ -1309,6 +1309,10 @@ def mp3_info(data: bytes) -> dict:
     bitrates = set()
     rate = None
     while pos + 4 <= len(data):
+        if data[pos : pos + 3] == b"TAG":
+            # ID3v1 trailer (128 bytes at EOF) — near-universal in
+            # real MP3s; end the frame walk cleanly.
+            break
         h = struct.unpack_from(">I", data, pos)[0]
         if (h >> 21) != 0x7FF:
             raise MediaFormatError(
@@ -1333,11 +1337,15 @@ def mp3_info(data: bytes) -> dict:
             rate = sr
         elif rate != sr:
             raise MediaFormatError("MP3 sample rate changes mid-stream")
-        bitrates.add(br)
-        n_frames += 1
         flen = 144 * br // sr + padding
         if flen <= 4:
             raise MediaFormatError("MP3 degenerate frame length")
+        if pos + flen > len(data):
+            # declared length runs past end-of-data (truncated final
+            # frame) — don't count a frame that isn't fully present
+            break
+        bitrates.add(br)
+        n_frames += 1
         pos += flen
     if n_frames == 0:
         raise MediaFormatError("MP3 has no audio frames")
@@ -1585,7 +1593,13 @@ def _decode_tiff(data: bytes) -> np.ndarray:
         # single-strip files may omit byte counts; infer exactly
         if len(offs) != 1:
             raise MediaFormatError("TIFF multi-strip without byte counts")
-        counts = [w * h * spp]
+        if comp == 1:
+            counts = [w * h * spp]
+        else:
+            # compressed strip length is unknowable from the pixel
+            # geometry — slice to EOF and let the decompressor's
+            # expected-output-length stop condition bound the read
+            counts = [len(data) - offs[0]]
     counts = counts if isinstance(counts, list) else [counts]
     if len(counts) != len(offs):
         raise MediaFormatError("TIFF strip offsets/counts disagree")
@@ -1909,6 +1923,14 @@ _MS_ADAPT = (
 )
 
 
+def _c_div256(x: int) -> int:
+    """C-semantics ``x / 256``: truncation toward zero (the MS ADPCM
+    spec's fixed-point base), which differs from Python ``//`` /
+    ``>> 8`` (floor) by 1 for negative x not divisible by 256."""
+    q = abs(x) >> 8
+    return -q if x < 0 else q
+
+
 def _decode_ms_adpcm(
     raw: bytes, n_ch: int, block_align: int
 ) -> np.ndarray:
@@ -1957,7 +1979,10 @@ def _decode_ms_adpcm(
                 ci += 1
                 signed = nib - 16 if nib >= 8 else nib
                 c1, c2 = preds[c]
-                pred = (s1[c] * c1 + s2[c] * c2) >> 8
+                # the MS spec pseudo-code (and ffmpeg/Windows ACM) is
+                # C '/256': truncation toward zero, NOT floor — a
+                # negative sum not divisible by 256 differs by 1 LSB
+                pred = _c_div256(s1[c] * c1 + s2[c] * c2)
                 new = pred + signed * deltas[c]
                 if new > 32767:
                     new = 32767
@@ -1965,7 +1990,7 @@ def _decode_ms_adpcm(
                     new = -32768
                 s2[c] = s1[c]
                 s1[c] = new
-                deltas[c] = (_MS_ADAPT[nib] * deltas[c]) >> 8
+                deltas[c] = _c_div256(_MS_ADAPT[nib] * deltas[c])
                 if deltas[c] < 16:
                     deltas[c] = 16
                 chans[c].append(new)

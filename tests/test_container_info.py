@@ -64,6 +64,25 @@ def test_mp3_desync_is_loud():
         mc.mp3_info(frames + b"\x12\x34\x56\x78")
 
 
+def test_mp3_id3v1_trailer_stops_walk():
+    """128-byte 'TAG' trailers are near-universal in real MP3s — the
+    frame walk must end cleanly there, not lose sync."""
+    frames = mc.encode_mp3_skeleton(4)
+    trailer = b"TAG" + b"\x00" * 125
+    info = mc.mp3_info(frames + trailer)
+    assert info["n_frames"] == 4
+    assert info["duration_ms"] == 4 * 1152 * 1000 // 44100
+
+
+def test_mp3_truncated_final_frame_not_counted():
+    """A final frame whose declared length runs past end-of-data is
+    incomplete — it must not inflate the frame/duration counts."""
+    frames = mc.encode_mp3_skeleton(4)
+    info = mc.mp3_info(frames[:-10])
+    assert info["n_frames"] == 3
+    assert info["duration_ms"] == 3 * 1152 * 1000 // 44100
+
+
 def test_image_dims_header_only_all_formats():
     a = np.arange(45, dtype=np.uint8).reshape(5, 9)
     rgb = np.repeat(a[:, :, None], 3, axis=2)
@@ -360,6 +379,25 @@ def test_tiff_lzw_with_horizontal_predictor():
     assert np.array_equal(mc.decode_image(blob), g)
 
 
+def test_tiff_lzw_missing_byte_counts_slices_to_eof():
+    """Single-strip LZW file WITHOUT StripByteCounts: the w*h*spp
+    inference is only valid uncompressed — the decoder must slice to
+    EOF and let the decompressor's expected-length stop bound the
+    read, not raise 'strip out of range' on a valid file."""
+    import struct as _st
+
+    tile = np.arange(24, dtype=np.uint8).reshape(4, 6)
+    g = np.tile(tile, (5, 4))
+    b = bytearray(_retiff_lzw(g))
+    (ifd,) = _st.unpack_from("<I", b, 4)
+    # retag StripByteCounts (279, LONG) as an unknown private tag so
+    # the walker skips it — layout and offsets are untouched
+    idx = bytes(b).find(_st.pack("<HH", 279, 4), ifd)
+    assert idx > 0
+    _st.pack_into("<H", b, idx, 60000)
+    assert np.array_equal(mc.decode_image(bytes(b)), g)
+
+
 def test_tiff_lzw_early_change_width_bump():
     # >253 dict entries forces the 9->10 bump at next_code 511
     rng = np.random.RandomState(22)
@@ -524,10 +562,11 @@ def test_ms_adpcm_wav_decode_matches_spec_reimplementation():
         c1, c2 = COEFS[pidx]
         for nib in nibbles:
             signed = nib - 16 if nib >= 8 else nib
-            pred = (s1 * c1 + s2 * c2) >> 8
+            # C '/256' truncates toward zero (spec pseudo-code), not floor
+            pred = int((s1 * c1 + s2 * c2) / 256)
             new = max(-32768, min(32767, pred + signed * delta))
             s2, s1 = s1, new
-            delta = max(16, (ADAPT[nib] * delta) >> 8)
+            delta = max(16, int((ADAPT[nib] * delta) / 256))
             out.append(new)
         return out
 
@@ -550,6 +589,29 @@ def test_ms_adpcm_wav_decode_matches_spec_reimplementation():
     assert s[0, 0] == 500 and s[1, 0] == 1000  # oldest seed first
     info = mc.wav_info(wav)
     assert info["n_frames"] == len(expect) and info["bits"] == 4
+
+
+def test_ms_adpcm_negative_predictor_truncates_toward_zero():
+    """Hand-computed vector where the predictor sum is negative and NOT
+    divisible by 256 — C '/256' (truncation, per the MS spec pseudo-code
+    and ffmpeg/Windows ACM) gives -1 where '>> 8' (floor) gives -2, so
+    this pin is NOT circular with the decoder's arithmetic choice.
+
+    coefs[5]=(460,-208), s1=-1, s2=0, delta=16, nibbles (0,0):
+      step 1: sum = -460        → trunc -1 (floor would be -2); new = -1
+      step 2: sum = -460+208 = -252 → trunc 0 (floor -1);       new =  0
+    """
+    import struct as _st
+
+    block = bytes([5]) + _st.pack("<hhh", 16, -1, 0) + bytes([0x00])
+    fmt = _st.pack("<HHIIHH", 2, 1, 8000, 4000, len(block), 4)
+    wav = (
+        b"RIFF" + _st.pack("<I", 4 + 8 + len(fmt) + 8 + len(block))
+        + b"WAVE" + b"fmt " + _st.pack("<I", len(fmt)) + fmt
+        + b"data" + _st.pack("<I", len(block)) + block
+    )
+    s, _ = mc.decode_wav(wav)
+    assert s[:, 0].tolist() == [0, -1, -1, 0]
 
 
 def test_ms_adpcm_stereo_alternation():
@@ -581,11 +643,11 @@ def test_ms_adpcm_stereo_alternation():
     expect_l = []
     for nib in nibs[0::2]:
         signed = nib - 16 if nib >= 8 else nib
-        pred = (sl1 * COEFS0[0] + sl2 * COEFS0[1]) >> 8
+        pred = int((sl1 * COEFS0[0] + sl2 * COEFS0[1]) / 256)
         new = max(-32768, min(32767, pred + signed * dl))
         sl2, sl1 = sl1, new
-        dl = max(16, ((230, 230, 230, 230, 307, 409, 512, 614,
-                       768, 614, 512, 409, 307, 230, 230, 230)[nib]
-                      * dl) >> 8)
+        dl = max(16, int(((230, 230, 230, 230, 307, 409, 512, 614,
+                           768, 614, 512, 409, 307, 230, 230, 230)[nib]
+                          * dl) / 256))
         expect_l.append(new)
     assert s[2:, 0].tolist() == expect_l

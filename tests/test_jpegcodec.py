@@ -167,6 +167,39 @@ def test_progressive_and_corrupt_gates():
         decode_jpeg(b"not a jpeg at all")
 
 
+def test_undefined_table_ids_raise_media_format_error():
+    """A corrupt-but-parseable stream whose SOF/SOS reference a DQT or
+    DHT id that was never defined must fail the module's documented
+    error contract (MediaFormatError), not a bare KeyError."""
+    base = _hand_built_gray_jpeg()
+    # SOF0 component Tq byte → undefined quant table id 3
+    data = bytearray(base)
+    idx = data.index(b"\xff\xc0")
+    data[idx + 12] = 3
+    with pytest.raises(MediaFormatError, match="undefined DQT"):
+        decode_jpeg(bytes(data))
+    # SOS component Td/Ta byte → undefined huffman table id 1
+    data = bytearray(base)
+    idx = data.index(b"\xff\xda")
+    data[idx + 6] = 0x11
+    with pytest.raises(MediaFormatError, match="undefined DHT"):
+        decode_jpeg(bytes(data))
+
+
+def test_non_integral_subsampling_raises():
+    """Legal-but-exotic sampling ratios (e.g. 4:3) don't divide — the
+    np.repeat upsampler would silently produce an undersized plane, so
+    the decoder must refuse loudly instead."""
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, (16, 16, 3), np.uint8)
+    data = bytearray(encode_jpeg(img, quality=90, subsample=True))
+    idx = data.index(b"\xff\xc0")
+    data[idx + 11] = 0x44  # Y  4x4
+    data[idx + 14] = 0x33  # Cb 3x3 → 4 % 3 != 0
+    with pytest.raises(NotImplementedError, match="non-integral"):
+        decode_jpeg(bytes(data))
+
+
 def test_decode_through_media_stats_contract():
     # the multimodal dispatch path accepts jpeg end-to-end
     from lsdm_motogp_data_integration_spark.operators.multimodal import (
