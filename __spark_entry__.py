@@ -1842,7 +1842,9 @@ def q40_streaming_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _build_multimodal_media(
-    docs: DataFrame, kinds: tuple[int, ...] = (0, 1, 2, 3)
+    docs: DataFrame,
+    kinds: tuple[int, ...] = (0, 1, 2, 3),
+    jpeg_progressive: bool = False,
 ) -> DataFrame:
     """Five REAL media blobs per document — a 24-bit BMP (7×6,
     exercises row padding + bottom-up/BGR), a P5 PGM (5×4), a 16-bit
@@ -1915,8 +1917,14 @@ def _build_multimodal_media(
             img = _np.repeat(
                 _np.repeat(jb.reshape(2, 3), 8, axis=0), 8, axis=1
             )
+            # jpeg_progressive re-encodes the SAME pixels as SOF2
+            # (multi-scan successive approximation) — the exactness
+            # closed form is identical, but the decode path is the
+            # full progressive machinery (r7 real_jpeg_p scope)
             return "image", encode_jpeg(
-                img, quant=_np.full((8, 8), 8, _np.int64)
+                img,
+                quant=_np.full((8, 8), 8, _np.int64),
+                progressive=jpeg_progressive,
             )
         if k == 6:
             # GIF (r6): 6×5 grayscale through the identity 256-gray
@@ -2012,8 +2020,13 @@ def q41_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
       fixture's constant 8×8 blocks with a flat-8 quant table make the
       lossy codec exact, so the oracle replays every decoded pixel
       from the 'jp' md5 chain with no DCT; general-image accuracy,
-      color/4:2:0, restarts, and the progressive gate are pinned in
-      tests/test_jpegcodec.py.
+      color/4:2:0, and restarts are pinned in tests/test_jpegcodec.py.
+    - ``real_jpeg_p`` (r7): the SAME pixels re-encoded PROGRESSIVE
+      (SOF2: spectral selection + successive approximation, per-scan
+      optimal Huffman tables) — the multi-scan decode must land on
+      the identical closed form; general-image progressive parity
+      with baseline is pinned in tests/test_jpegcodec.py, including
+      a hand-assembled multi-scan stream vs an independent IDCT.
     - ``real_gif`` (r6): REAL GIF decode (pure-python variable-width
       LZW + numpy palette expansion) — lossless, so the oracle replays
       the raw 'gf' chain through the identity gray palette; the
@@ -2293,6 +2306,29 @@ def q41_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_values",
         "weighted_sum",
     )
+    # real_jpeg_p (r7): the SAME six constant blocks re-encoded as
+    # PROGRESSIVE (SOF2, libjpeg's default scan script: DC Al=1 →
+    # spectral AC bands at Al=2 → two successive-approximation
+    # refinements → DC refinement) — the multi-scan decode must
+    # reproduce the identical closed form, so the oracle rows differ
+    # from real_jpeg only in the scope tag while the decode path is
+    # entirely different machinery
+    jpegp_media = _build_multimodal_media(
+        d, kinds=(5,), jpeg_progressive=True
+    )
+    jpp = media_stats(jpegp_media).select(
+        F.lit("real_jpeg_p").alias("scope"),
+        F.expr("media_id DIV 8").alias("media_id"),
+        "kind",
+        "fmt",
+        F.lit(None).cast("bigint").alias("n_bytes"),
+        F.lit(None).cast("string").alias("digest"),
+        "width",
+        "height",
+        "n_values",
+        "sum_values",
+        "weighted_sum",
+    )
     # real_gif (r6): LZW-decoded palette image — lossless, so the
     # oracle replays the raw 'gf' chain through the identity gray
     # palette (pixel j → RGB positions 3j..3j+2); the uncompressed-
@@ -2506,6 +2542,7 @@ def q41_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(dh)
         .unionByName(adh)
         .unionByName(jp)
+        .unionByName(jpp)
         .unionByName(gi)
         .unionByName(vdh)
         .unionByName(mi)
@@ -6992,6 +7029,17 @@ def oracle_sql() -> dict[str, str]:
             -- 64*(24*(8*by+3.5) + (8*bx+3.5) + 1)
             --   = 12288*by + 512*bx + 5664
             SELECT 'real_jpeg', doc_id, 'image', 'jpeg',
+                   NULL::BIGINT, NULL::VARCHAR, 24, 16,
+                   CAST(384 AS BIGINT), CAST(SUM(64 * v) AS BIGINT),
+                   CAST(SUM(v * (12288*(i // 3) + 512*(i % 3) + 5664))
+                        AS BIGINT)
+            FROM jp_blocks GROUP BY doc_id
+            UNION ALL
+            -- real_jpeg_p: the same pixels re-encoded PROGRESSIVE
+            -- (SOF2 multi-scan successive approximation) — constant
+            -- blocks stay exact through DC-first/AC-band/refinement
+            -- scans, so the closed form is identical to real_jpeg
+            SELECT 'real_jpeg_p', doc_id, 'image', 'jpeg',
                    NULL::BIGINT, NULL::VARCHAR, 24, 16,
                    CAST(384 AS BIGINT), CAST(SUM(64 * v) AS BIGINT),
                    CAST(SUM(v * (12288*(i // 3) + 512*(i % 3) + 5664))

@@ -154,12 +154,22 @@ def test_encode_is_deterministic():
     assert encode_jpeg(img, quality=80) == encode_jpeg(img, quality=80)
 
 
-def test_progressive_and_corrupt_gates():
-    # flip the hand-built fixture's SOF0 marker to SOF2 (progressive)
+def test_unsupported_sof_and_corrupt_gates():
+    # flip the hand-built fixture's SOF0 marker to SOF3 (lossless)
     data = bytearray(_hand_built_gray_jpeg())
     idx = data.index(b"\xff\xc0")
+    data[idx + 1] = 0xC3
+    with pytest.raises(NotImplementedError, match="lossless"):
+        decode_jpeg(bytes(data))
+    # SOF2 with a baseline scan header (Ss=0, Se=63) is a CORRUPT
+    # progressive stream, not a gate — loud, typed error
+    data = bytearray(_hand_built_gray_jpeg())
     data[idx + 1] = 0xC2
-    with pytest.raises(NotImplementedError, match="progressive"):
+    with pytest.raises(MediaFormatError, match="Se"):
+        decode_jpeg(bytes(data))
+    data = bytearray(_hand_built_gray_jpeg())
+    data[idx + 1] = 0xC9  # arithmetic sequential
+    with pytest.raises(NotImplementedError, match="arithmetic"):
         decode_jpeg(bytes(data))
     with pytest.raises(MediaFormatError):
         decode_jpeg(b"\xff\xd8\xff" + b"\x00" * 32)
@@ -213,3 +223,113 @@ def test_decode_through_media_stats_contract():
     assert fmt == "jpeg" and info["kind"] == "image"
     assert info["width"] == 16 and info["height"] == 16
     assert np.array_equal(info["array"], img)
+
+
+# --- progressive (SOF2) -----------------------------------------------------
+
+
+def _hand_built_progressive_jpeg() -> bytes:
+    """One 8×8 grayscale block, flat quant of 1s, coefficients
+    DC=6, zigzag[1]=-3, zigzag[2]=5, four HAND-ASSEMBLED scans with
+    hand-chosen Huffman tables (no encoder code) — pins the decoder's
+    DC-first(Al=1)/AC-first(Al=1)/AC-refine/DC-refine procedures
+    against bits computed on paper:
+
+    scan1 DC first Al=1: dc>>1=3, diff size 2 ('0') + '11' → 0x7F
+    scan2 AC first Ss=1 Se=63 Al=1: (-3)→t=1 sym 0x01('0')+raw '0';
+      5→t=2 sym 0x02('10')+raw '10'; EOB run 1 sym 0x00('11')
+      → '00101011' = 0x2B
+    scan3 AC refine Ah=1 Al=0: EOB sym 0x00('0') then correction bits
+      '1','1' (|-3| and |5| both odd) → 0x7F
+    scan4 DC refine Ah=1 Al=0: bit 6&1=0 → 0x7F
+    """
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xDB, bytes([0]) + bytes([1] * 64))
+    out += _seg(0xC2, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+
+    def dht(tc, bits16, vals):
+        b = [0] * 16
+        for i, n in enumerate(bits16):
+            b[i] = n
+        return _seg(0xC4, bytes([tc << 4]) + bytes(b) + bytes(vals))
+
+    # scan 1: DC first (table: symbol 2 → '0')
+    out += dht(0, [1], [2])
+    out += _seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x01]))
+    out += bytes([0b01111111])
+    # scan 2: AC first (0x01→'0', 0x02→'10', 0x00→'11')
+    out += dht(1, [1, 2], [0x01, 0x02, 0x00])
+    out += _seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x01]))
+    out += bytes([0b00101011])
+    # scan 3: AC refine (0x00→'0')
+    out += dht(1, [1], [0x00])
+    out += _seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x10]))
+    out += bytes([0b01111111])
+    # scan 4: DC refine (no Huffman table)
+    out += _seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x10]))
+    out += bytes([0b01111111])
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_hand_built_progressive_stream_matches_independent_idct():
+    dec = decode_jpeg(_hand_built_progressive_jpeg())
+    assert dec.shape == (8, 8) and dec.dtype == np.uint8
+    coef = np.zeros((8, 8))
+    coef[0, 0] = 6.0
+    coef[divmod(int(_ZIG_TO_NAT[1]), 8)] = -3.0
+    coef[divmod(int(_ZIG_TO_NAT[2]), 8)] = 5.0
+    expected = np.clip(
+        np.rint(_reference_idct(coef) + 128.0), 0, 255
+    ).astype(np.uint8)
+    assert np.array_equal(dec, expected)
+
+
+@pytest.mark.parametrize(
+    "shape,kw",
+    [
+        ((24, 16), dict(quality=90)),
+        ((19, 23), dict(quality=85)),
+        ((16, 16, 3), dict(quality=92)),
+        ((21, 18, 3), dict(quality=88, subsample=True)),
+        ((32, 32, 3), dict(quality=80, subsample=True, restart_interval=2)),
+        ((40, 24), dict(quality=95, restart_interval=3)),
+    ],
+)
+def test_progressive_decodes_identical_to_baseline(shape, kw):
+    """The same quantized coefficients emitted as SOF0 and SOF2 must
+    decode to IDENTICAL pixels — progressive is a transmission
+    reordering, not a different approximation.  Covers gray/RGB,
+    4:2:0 (where the luma MCU padding grid exceeds the
+    non-interleaved AC block grid), odd dims, and restart markers in
+    every scan kind."""
+    rng = np.random.RandomState(sum(shape))
+    img = rng.randint(0, 256, shape, np.uint8)
+    b = encode_jpeg(img, **kw)
+    p = encode_jpeg(img, progressive=True, **kw)
+    assert b"\xff\xc2" in p and b"\xff\xc2" not in b
+    assert p.count(b"\xff\xda") > b.count(b"\xff\xda")
+    db, dp = decode_jpeg(b), decode_jpeg(p)
+    assert np.array_equal(db, dp)
+
+
+def test_progressive_constant_blocks_exact():
+    # the q41 real_jpeg_p oracle contract: same closed form as
+    # baseline — constant blocks + flat-8 quant decode bit-exactly
+    # through the multi-scan successive-approximation path
+    rng = np.random.RandomState(9)
+    blocks = rng.randint(0, 256, size=(2, 3), dtype=np.uint8)
+    img = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+    flat8 = np.full((8, 8), 8, dtype=np.int64)
+    blob = encode_jpeg(img, quant=flat8, progressive=True)
+    assert np.array_equal(decode_jpeg(blob), img)
+
+
+def test_progressive_missing_dht_and_bad_scan_headers():
+    blob = bytearray(_hand_built_progressive_jpeg())
+    # drop the first DHT: the DC-first scan references an undefined table
+    i = blob.index(b"\xff\xc4")
+    seglen = struct.unpack(">H", blob[i + 2 : i + 4])[0]
+    del blob[i : i + 2 + seglen]
+    with pytest.raises(MediaFormatError, match="undefined DHT"):
+        decode_jpeg(bytes(blob))
