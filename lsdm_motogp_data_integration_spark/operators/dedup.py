@@ -1042,6 +1042,87 @@ def simhash_pairs(
     return hamming64_pairs(hashed, "__id", "__sh", max_hamming=max_hamming)
 
 
+def _hamming_chunk_bounds(max_hamming: int) -> list[int]:
+    """Balanced pigeonhole chunk boundaries: ``h+1`` chunks whose
+    widths differ by at most 1 bit (``bounds[i] = i*64 // (h+1)``).
+    The former uniform ceil-width split had two defects this fixes:
+    a rump chunk (4 bits at h=6) whose ``2^-4`` collision rate
+    dominated the candidate count ~4× over the documented model, and
+    EMPTY chunks from h=22 up (ceil(64/ceil(64/(h+1))) < h+1) that
+    silently broke the pigeonhole completeness guarantee."""
+    n_chunks = int(max_hamming) + 1
+    return [i * 64 // n_chunks for i in range(n_chunks + 1)]
+
+
+def hamming_join_cost(
+    hashed: DataFrame, sig_col: str, max_hamming: int
+) -> dict:
+    """One-aggregate cost estimate for :func:`hamming64_pairs` —
+    the self-policing form of the r6 SCALE probe's radius cost model
+    (VERDICT r6 next-round #2).
+
+    A single JVM-side pass computes n and the 64 per-bit one-counts;
+    driver-side math (O(64), no data collect) then yields:
+
+    - ``effective_bits``: Σ per-bit Shannon entropy — 64 for
+      incompressible signatures, collapsing toward 0 when the hashed
+      content is smaller than the hash grid (the r6 probe's 4×3-frame
+      dHashes measured 24/64, turning the banded join quadratic).
+    - ``est_candidates``: expected chunk-join candidate rows under
+      per-bit independence — ``(n²/2)·Σ_c Π_{b∈c}(p_b²+(1-p_b)²)``
+      (the per-chunk Rényi collision probability).
+    - ``model_candidates``: the same with all p=0.5 — the
+      incompressible baseline ``(n²/2)·Σ_c 2^-width_c``.
+    - ``ratio``: est/model — how much worse than the documented cost
+      model this corpus behaves; the guard's trigger.
+    """
+    aggs = [F.count(F.lit(1)).alias("n")] + [
+        F.sum(
+            F.shiftrightunsigned(F.col(sig_col), b)
+            .bitwiseAND(F.lit(1))
+            .cast("long")
+        ).alias(f"b{b}")
+        for b in range(64)
+    ]
+    row = hashed.agg(*aggs).collect()[0]  # 65 numbers — metadata-sized
+    n = int(row["n"] or 0)
+    if n == 0:
+        return {
+            "n": 0,
+            "effective_bits": 0.0,
+            "est_candidates": 0.0,
+            "model_candidates": 0.0,
+            "ratio": 1.0,
+        }
+    import math
+
+    ps = [int(row[f"b{b}"] or 0) / n for b in range(64)]
+    eff = 0.0
+    for p in ps:
+        if 0.0 < p < 1.0:
+            eff -= p * math.log2(p) + (1 - p) * math.log2(1 - p)
+    bounds = _hamming_chunk_bounds(max_hamming)
+    est = 0.0
+    model = 0.0
+    for i in range(len(bounds) - 1):
+        coll = 1.0
+        for b in range(bounds[i], bounds[i + 1]):
+            p = ps[b]
+            coll *= p * p + (1 - p) * (1 - p)
+        est += coll
+        model += 2.0 ** -(bounds[i + 1] - bounds[i])
+    half_n2 = n * n / 2.0
+    est *= half_n2
+    model *= half_n2
+    return {
+        "n": n,
+        "effective_bits": eff,
+        "est_candidates": est,
+        "model_candidates": model,
+        "ratio": (est / model) if model > 0 else 1.0,
+    }
+
+
 def hamming64_pairs(
     hashed: DataFrame,
     id_col: str,
@@ -1049,6 +1130,10 @@ def hamming64_pairs(
     *,
     max_hamming: int = 3,
     collapse_identical: bool = False,
+    entropy_guard: str = "warn",
+    guard_ratio: float = 16.0,
+    guard_min_candidates: float = 2e6,
+    guard_max_candidates: float = 1e8,
 ) -> DataFrame:
     """All pairs of rows whose 64-bit signatures are within
     ``max_hamming`` bits — the banded-candidate core shared by SimHash
@@ -1064,31 +1149,91 @@ def hamming64_pairs(
     guarantee holds for any ``max_hamming`` (a fixed 4-chunk split
     would silently miss pairs differing in all four chunks at h >= 4).
 
-    RADIUS COST MODEL (the r6 scale probe's finding, SCALE.md): chunk
-    width is ``⌈64/(h+1)⌉`` bits, so expected candidates on
-    incompressible signatures are ``≈ n²·(h+1)/2^⌈64/(h+1)⌉`` — the
+    RADIUS COST MODEL (the r6 scale probe's finding, SCALE.md; r7:
+    balanced chunks + a self-policing guard): the 64 bits split into
+    ``h+1`` chunks of width ``64//(h+1)`` or one more (balanced — see
+    :func:`_hamming_chunk_bounds`), so expected candidates on
+    incompressible signatures are ``≈ (n²/2)·Σ_c 2^-width_c`` — the
     pigeonhole guarantee gets quadratically expensive as h grows
-    (h=3 → 4 chunks × 16 bits: n²/16384; h=6 → 7 × 10: n²/146;
-    h=10 → 11 × 6: n²/6, measured 45× time at 20× data). Keep the
+    (h=3 → 4 × 16 bits: n²/32768 ; h=6 → 7 × ~9: n²/151 ;
+    h=10 → 11 × ~6: n²/11, measured 45× time at 20× data). Keep the
     radius as tight as the duplicates you actually hunt (the engine's
-    perceptual twins measure ≤ 4 bits; the dHash defaults use 6), and
-    pass ``collapse_identical=True`` when exact-duplicate signatures
+    perceptual twins measure ≤ 4 bits), and pass
+    ``collapse_identical=True`` when exact-duplicate signatures
     are common (real corpora): the self-join then runs on DISTINCT
     signatures — identical-signature groups expand combinatorially
     AFTER the join, so n enters the join as |distinct sigs|. Output is
     pair-for-pair identical either way (pinned by test).
 
+    ENTROPY GUARD (r7, VERDICT r6 #2): signatures of content smaller
+    than the hash grid carry far fewer than 64 effective bits (the r6
+    probe measured 24/64 on 4×3-frame dHashes → radius-6 quadratic
+    blowup), which the cost model can't see from the radius alone.
+    ``entropy_guard`` runs :func:`hamming_join_cost` (one cheap
+    aggregate) before the join and warns (``"warn"``, default) or
+    raises (``"raise"``) on either trigger:
+
+    - **collapse**: the corpus behaves ``guard_ratio``× worse than
+      the incompressible model AND the estimate exceeds
+      ``guard_min_candidates`` (the r6 vdhash case: 24/64 bits);
+    - **blowup**: the estimate exceeds ``guard_max_candidates``
+      outright — quadratic cost is pathological past some point even
+      at full entropy, and mild per-bit skew (the 7×6 dhash fixtures:
+      48/64 bits, ratio ~5) evades a ratio-only check while still
+      producing 10⁸+ candidates at scale.
+
+    ``"off"`` skips the pre-pass.  Under ``collapse_identical`` the
+    guard evaluates the DISTINCT signature relation — the one that
+    actually enters the join.
+
     Output: (id_a, id_b, hamming), id_a < id_b."""
     if not (0 <= int(max_hamming) <= 63):
         raise ValueError(f"max_hamming must be 0..63, got {max_hamming}")
+    if entropy_guard not in ("off", "warn", "raise"):
+        raise ValueError(
+            f"entropy_guard must be off/warn/raise, got {entropy_guard!r}"
+        )
     hashed = hashed.select(
         F.col(id_col).alias("__id"), F.col(sig_col).alias("__sh")
     )
     if collapse_identical:
-        return _hamming64_pairs_collapsed(hashed, max_hamming)
-    n_chunks = int(max_hamming) + 1
-    chunk_bits = -(-64 // n_chunks)  # ceil
-    mask = (1 << chunk_bits) - 1
+        return _hamming64_pairs_collapsed(
+            hashed,
+            max_hamming,
+            entropy_guard=entropy_guard,
+            guard_ratio=guard_ratio,
+            guard_min_candidates=guard_min_candidates,
+            guard_max_candidates=guard_max_candidates,
+        )
+    if entropy_guard != "off":
+        cost = hamming_join_cost(hashed, "__sh", max_hamming)
+        collapse = (
+            cost["ratio"] > guard_ratio
+            and cost["est_candidates"] > guard_min_candidates
+        )
+        blowup = cost["est_candidates"] > guard_max_candidates
+        if collapse or blowup:
+            why = (
+                "signature entropy collapse"
+                if collapse
+                else "candidate blowup"
+            )
+            msg = (
+                f"hamming64_pairs: {why} — "
+                f"{cost['effective_bits']:.1f}/64 effective bits over "
+                f"{cost['n']} signatures makes the radius-{max_hamming} "
+                f"band join ~{cost['ratio']:.0f}x the incompressible "
+                f"cost model (~{cost['est_candidates']:.2e} candidate "
+                f"rows). Tighten max_hamming, hash a coarser grid, or "
+                f"pass collapse_identical=True; entropy_guard='off' "
+                f"silences this check."
+            )
+            if entropy_guard == "raise":
+                raise ValueError(msg)
+            import warnings
+
+            warnings.warn(msg, RuntimeWarning, stacklevel=2)
+    bounds = _hamming_chunk_bounds(max_hamming)
     chunks = hashed.select(
         "__id",
         "__sh",
@@ -1097,13 +1242,13 @@ def hamming64_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("c"),
-                        F.shiftrightunsigned(
-                            F.col("__sh"), chunk_bits * i
+                        F.shiftrightunsigned(F.col("__sh"), bounds[i])
+                        .bitwiseAND(
+                            F.lit((1 << (bounds[i + 1] - bounds[i])) - 1)
                         )
-                        .bitwiseAND(F.lit(mask))
                         .alias("v"),
                     )
-                    for i in range(n_chunks)
+                    for i in range(len(bounds) - 1)
                 ]
             )
         ).alias("__chunk"),
@@ -1128,7 +1273,15 @@ def hamming64_pairs(
     )
 
 
-def _hamming64_pairs_collapsed(hashed: DataFrame, max_hamming: int) -> DataFrame:
+def _hamming64_pairs_collapsed(
+    hashed: DataFrame,
+    max_hamming: int,
+    *,
+    entropy_guard: str = "warn",
+    guard_ratio: float = 16.0,
+    guard_min_candidates: float = 2e6,
+    guard_max_candidates: float = 1e8,
+) -> DataFrame:
     """:func:`hamming64_pairs` with the identical-signature collapse:
     (1) group to distinct signatures with their member-id lists,
     (2) run the pigeonhole chunk join on the DISTINCT signatures only
@@ -1184,6 +1337,10 @@ def _hamming64_pairs_collapsed(hashed: DataFrame, max_hamming: int) -> DataFrame
         "__sig",
         "__sig",
         max_hamming=max_hamming,
+        entropy_guard=entropy_guard,
+        guard_ratio=guard_ratio,
+        guard_min_candidates=guard_min_candidates,
+        guard_max_candidates=guard_max_candidates,
     ).filter(F.col("hamming") > 0)
     ga = groups.select(
         F.col("__sh").alias("id_a"), F.col("__ids").alias("__ids_a")

@@ -805,7 +805,7 @@ def image_dhash(
 def dhash_pairs(
     media: DataFrame,
     *,
-    max_hamming: int = 6,
+    max_hamming: int = 4,
     hash_w: int = 8,
     hash_h: int = 8,
 ) -> DataFrame:
@@ -815,6 +815,10 @@ def dhash_pairs(
     all-pairs; the q21 SimHash machinery pointed at pixels instead of
     tokens). Catches the duplicates exact content digests miss:
     re-encoded (BMP→PNG) and NN-resized twins of the same picture.
+    Default radius 4: the engine's own resize/re-encode twins measure
+    ≤ 4 bits apart (SCALE.md r6), and the banded join's cost model is
+    quadratically sensitive to radius — 6 is opt-in for looser
+    hunting (VERDICT r6 #2 flipped this default).
     Output: (id_a, id_b, hamming)."""
     from lsdm_motogp_data_integration_spark.operators.dedup import (
         hamming64_pairs,

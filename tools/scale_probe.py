@@ -294,10 +294,25 @@ def main() -> None:
             return h
 
         r["dhash_s"], _ = timed("dhash", _dhash)
+        # r7: the entropy guard's own telemetry — the sub-grid fixtures
+        # (7×6 BMPs) are exactly where the r6 probe found the radius-6
+        # blowup; record what the guard sees so SCALE.md can show it
+        # fires at the same point
+        from lsdm_motogp_data_integration_spark.operators.dedup import (
+            hamming_join_cost,
+        )
+
+        gc = hamming_join_cost(dhash_holder["df"], "dhash", 6)
+        gc["fires_default"] = bool(
+            (gc["ratio"] > 16.0 and gc["est_candidates"] > 2e6)
+            or gc["est_candidates"] > 1e8
+        )
+        r["dhash_guard"] = gc
         r["dhash_pairs_s"], _ = timed(
             "dhash_pairs",
             hamming64_pairs(
-                dhash_holder["df"], "media_id", "dhash", max_hamming=6
+                dhash_holder["df"], "media_id", "dhash", max_hamming=6,
+                entropy_guard="off",  # timing the join, not the guard
             ).agg(F.count(F.lit(1))),
         )
         # r6 continuation codecs: compressed-image decode (JPEG
