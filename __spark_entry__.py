@@ -3156,7 +3156,17 @@ def q53_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       pure Column verdict; the oracle replays the full per-script
       CASE via the same shared SQL fragment as q22's ``lang2``
       column (``_LANG2_SQL_CTES`` — single-sourced, the two oracles
-      cannot drift)."""
+      cannot drift).
+    - ``pdf`` (r7, VERDICT r6 #4): PDF as a curation SOURCE — a
+      2-page skeleton PDF per document (page 1 = chars 1–120, page 2
+      = 'page two: ' + chars 121–240; real catalog/page-tree/xref,
+      FlateDecode content streams) is text-extracted by the
+      pure-Python ISO 32000 walker (operators/pdfcodec via
+      multimodal.pdf_text); the oracle replays the expected
+      extraction closed-form from ``documents.text`` and compares
+      md5 + length per document, so a wrong xref offset, Flate
+      error, string-escape slip, or line-move newline anywhere in
+      the walker flips the hash."""
     from lsdm_motogp_data_integration_spark.operators.merge import (
         finalize_aggs,
         merge_partial_aggs,
@@ -3208,6 +3218,59 @@ def q53_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("sum_chars"),
     )
+    # pdf scope (r7): build → extract → verify, all executor-side;
+    # the only shuffle is the 2-column join back to source
+    from lsdm_motogp_data_integration_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        pdf_text,
+    )
+
+    def _build_pdf_media(docs: DataFrame) -> DataFrame:
+        import pandas as _pd
+
+        from lsdm_motogp_data_integration_spark.operators.pdfcodec import (
+            encode_pdf_skeleton,
+        )
+
+        def run(batches):
+            for pb in batches:
+                ids, kinds, contents, metas = [], [], [], []
+                for did, text in zip(pb["doc_id"], pb["text"]):
+                    t = "" if text is None else str(text)
+                    pages = [t[:120], "page two: " + t[120:240]]
+                    ids.append(int(did))
+                    kinds.append("document")
+                    contents.append(encode_pdf_skeleton(pages))
+                    metas.append(None)
+                yield _pd.DataFrame(
+                    {
+                        "media_id": ids,
+                        "kind": kinds,
+                        "content": contents,
+                        "meta": metas,
+                    }
+                )
+
+        return docs.select("doc_id", "text").mapInPandas(
+            run, schema=MEDIA_SCHEMA
+        )
+
+    pdfrows = (
+        pdf_text(_build_pdf_media(d))
+        .join(
+            d.select(F.col("doc_id").alias("media_id"), "source"),
+            "media_id",
+        )
+        .select(
+            "source",
+            F.col("media_id").cast("bigint").alias("n_docs"),
+            F.col("n_pages").cast("bigint").alias("n_rows"),
+            F.col("n_objects").cast("bigint").alias("n_distinct"),
+            F.col("pdf_version").alias("dtype"),
+            F.md5(F.col("text")).alias("min_str"),
+            F.length("text").cast("bigint").alias("sum_chars"),
+        )
+    )
     langs = ["de", "en", "es", "fr", "zh"]
     piv = (
         d.groupBy("source")
@@ -3257,6 +3320,7 @@ def q53_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("pivot", piv),
         ("incremental", inc),
         ("langmix", langmix),
+        ("pdf", pdfrows),
     )
 
 
@@ -8742,6 +8806,44 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NULL AS DOUBLE) AS std_chars
             FROM documents d JOIN l2 l USING (doc_id)
             GROUP BY l.lang2
+            UNION ALL
+            -- pdf scope (r7): the expected text of each skeleton PDF
+            -- replays closed-form (page1 = chars 1-120, page2 =
+            -- 'page two: ' || chars 121-240, blank-line joined);
+            -- md5 + length over the engine's extraction catch any
+            -- xref/Flate/escape/line-move defect in the walker.
+            -- n_distinct carries n_objects (3 + 2 per page = 7),
+            -- n_rows the page count, dtype the header version.
+            SELECT 'pdf' AS scope, source,
+                   CAST(doc_id AS BIGINT) AS n_docs,
+                   CAST(NULL AS DOUBLE) AS mean_chars,
+                   CAST(NULL AS BIGINT) AS n_langs,
+                   CAST(NULL AS BIGINT) AS min_chars,
+                   CAST(NULL AS BIGINT) AS max_chars,
+                   CAST(NULL AS VARCHAR) AS "column",
+                   '1.4' AS dtype,
+                   CAST(2 AS BIGINT) AS n_rows,
+                   CAST(NULL AS BIGINT) AS n_nulls,
+                   CAST(7 AS BIGINT) AS n_distinct,
+                   CAST(NULL AS DOUBLE) AS min_num,
+                   CAST(NULL AS DOUBLE) AS max_num,
+                   CAST(NULL AS DOUBLE) AS mean_num,
+                   md5(substr(text, 1, 120) || chr(10) || chr(10) ||
+                       'page two: ' || substr(text, 121, 120))
+                       AS min_str,
+                   CAST(NULL AS VARCHAR) AS max_str,
+                   CAST(NULL AS VARCHAR) AS lang,
+                   CAST(length(substr(text, 1, 120)) + 12
+                        + length(substr(text, 121, 120)) AS BIGINT)
+                       AS sum_chars,
+                   CAST(NULL AS BIGINT) AS grp,
+                   CAST(NULL AS BIGINT) AS n_de,
+                   CAST(NULL AS BIGINT) AS n_en,
+                   CAST(NULL AS BIGINT) AS n_es,
+                   CAST(NULL AS BIGINT) AS n_fr,
+                   CAST(NULL AS BIGINT) AS n_zh,
+                   CAST(NULL AS DOUBLE) AS std_chars
+            FROM documents
         """,
         "q60_dms_coordinates": """
             WITH dms AS (

@@ -1185,3 +1185,93 @@ def _container_info_one(content: bytes) -> dict:
     else:
         raise mc.MediaFormatError("unrecognized container")
     return out
+
+
+# --- PDF text extraction (r7, VERDICT r6 #4) --------------------------------
+
+PDF_TEXT_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_pages", T.IntegerType(), True),
+        T.StructField("n_objects", T.IntegerType(), True),
+        T.StructField("pdf_version", T.StringType(), True),
+        T.StructField("text", T.StringType(), True),
+    ]
+)
+
+
+def pdf_text(
+    media: DataFrame,
+    *,
+    strict: bool = True,
+    page_sep: str = "\n\n",
+    max_pages: int = 0,
+) -> DataFrame:
+    """Extract text from PDF blobs (``operators/pdfcodec`` — the
+    pure-Python ISO 32000 walker): (media_id, n_pages, n_objects,
+    pdf_version, text), pages joined by ``page_sep``.  The biggest
+    real-world LLM-corpus document format becomes a first-class
+    curation SOURCE: feed the output's ``text`` straight into
+    ``pipelines.curation.curate``.
+
+    ``strict=True`` propagates per-blob errors (incl. the honest
+    gates: encrypted, xref streams, exotic filters); ``strict=False``
+    is the triage mode — gated/corrupt blobs yield text=NULL with
+    whatever :func:`pdfcodec.pdf_info` could still report, so a real
+    crawl's encrypted minority surfaces as a NULL count instead of a
+    dead job.  Same Arrow-batch placement and cost shape as the other
+    codecs: O(file bytes) per blob, no driver involvement."""
+    from lsdm_motogp_data_integration_spark.operators import pdfcodec
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_batch in batches:
+            ids, npages, nobjs, vers, texts = [], [], [], [], []
+            for mid, content in zip(
+                pdf_batch["media_id"], pdf_batch["content"]
+            ):
+                ids.append(mid)
+                if content is None:
+                    npages.append(None)
+                    nobjs.append(None)
+                    vers.append(None)
+                    texts.append(None)
+                    continue
+                blob = bytes(content)
+                try:
+                    pages = pdfcodec.decode_pdf_text(
+                        blob, max_pages=max_pages
+                    )
+                    info = pdfcodec.pdf_info(blob)
+                    npages.append(info["n_pages"])
+                    nobjs.append(info["n_objects"])
+                    vers.append(info["version"])
+                    texts.append(page_sep.join(pages))
+                except (mc.MediaFormatError, NotImplementedError):
+                    if strict:
+                        raise
+                    try:
+                        info = pdfcodec.pdf_info(blob)
+                    except mc.MediaFormatError:
+                        info = {
+                            "n_pages": None,
+                            "n_objects": None,
+                            "version": None,
+                        }
+                    npages.append(info["n_pages"])
+                    nobjs.append(info["n_objects"])
+                    vers.append(info["version"])
+                    texts.append(None)
+            out = pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "n_pages": npages,
+                    "n_objects": nobjs,
+                    "pdf_version": vers,
+                    "text": texts,
+                }
+            )
+            out["n_pages"] = out["n_pages"].astype("Int32")
+            out["n_objects"] = out["n_objects"].astype("Int32")
+            yield out
+
+    return media.mapInPandas(run, schema=PDF_TEXT_SCHEMA)
