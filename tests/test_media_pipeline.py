@@ -276,3 +276,46 @@ def test_curate_media_stream_matches_batch(spark, tmp_path_factory):
     # resume under a different policy refuses
     with pytest.raises(ValueError, match="accepted-set semantics"):
         drain(dedup="digest")
+
+
+def test_media_dataset_card(corpus):
+    """The per-(kind, fmt) dataset card (r7): every input blob is
+    accounted for (unparseable/NULL under fmt=NULL), counts/bytes/
+    dims/durations all from the O(header) flags relation, and n_kept
+    reports against the same screens curate_media applies."""
+    from lsdm_motogp_data_integration_spark.pipelines.media import (
+        media_dataset_card,
+    )
+
+    card = {
+        (r["kind"], r["fmt"]): r
+        for r in media_dataset_card(corpus, **_SCREEN_KW).collect()
+    }
+    assert sum(r["n_blobs"] for r in card.values()) == 14
+    png = card[("image", "png")]
+    assert png["n_blobs"] == 4 and png["n_kept"] == 3  # 3x3 fails dims
+    assert (png["min_width"], png["max_width"]) == (3, 12)
+    assert (png["min_height"], png["max_height"]) == (3, 10)
+    assert card[("image", "bmp")]["n_blobs"] == 1
+    bad = card[("image", None)]
+    assert bad["n_blobs"] == 2 and bad["n_kept"] == 0  # garbage + NULL
+    assert bad["sum_bytes"] == 36 and bad["mean_bytes"] == 36.0
+    wav = card[("audio", "wav")]
+    assert wav["n_blobs"] == 2
+    assert (wav["min_duration_ms"], wav["max_duration_ms"]) == (16, 16)
+    assert wav["sum_duration_ms"] == 32
+    mp3 = card[("audio", "mp3")]
+    assert mp3["n_blobs"] == 1 and mp3["n_kept"] == 1
+    assert mp3["min_duration_ms"] == 4 * 1152 * 1000 // 44100
+    y4m = card[("video", "y4m")]
+    assert y4m["n_blobs"] == 2 and y4m["sum_duration_ms"] == 400
+    mp4 = card[("video", "mp4")]
+    assert mp4["n_blobs"] == 2 and mp4["min_duration_ms"] == 60000
+    assert (mp4["min_width"], mp4["min_height"]) == (640, 480)
+    # no-screens form: every parseable blob counts as kept
+    free = {
+        (r["kind"], r["fmt"]): r
+        for r in media_dataset_card(corpus).collect()
+    }
+    assert free[("image", "png")]["n_kept"] == 4
+    assert free[("image", None)]["n_kept"] == 0
