@@ -3159,12 +3159,16 @@ def q53_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       cannot drift).
     - ``pdf`` (r7, VERDICT r6 #4): PDF as a curation SOURCE — a
       2-page skeleton PDF per document (page 1 = chars 1–120, page 2
-      = 'page two: ' + chars 121–240; real catalog/page-tree/xref,
-      FlateDecode content streams) is text-extracted by the
+      = 'page two: ' + chars 121–240) is text-extracted by the
       pure-Python ISO 32000 walker (operators/pdfcodec via
-      multimodal.pdf_text); the oracle replays the expected
-      extraction closed-form from ``documents.text`` and compares
-      md5 + length per document, so a wrong xref offset, Flate
+      multimodal.pdf_text). Even docs use the classic 1.4 layout
+      (xref table, FlateDecode content streams); odd docs the 1.5
+      COMPRESSED layout (object stream + PNG-predictor-coded xref
+      stream), so both walkers are driver-verified. The oracle
+      replays the expected extraction closed-form from
+      ``documents.text`` and compares md5 + length per document
+      (plus the per-layout object count and version), so a wrong
+      xref offset, /W field, predictor row, ObjStm pair, Flate
       error, string-escape slip, or line-move newline anywhere in
       the walker flips the hash."""
     from lsdm_motogp_data_integration_spark.operators.merge import (
@@ -3240,7 +3244,20 @@ def q53_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     pages = [t[:120], "page two: " + t[120:240]]
                     ids.append(int(did))
                     kinds.append("document")
-                    contents.append(encode_pdf_skeleton(pages))
+                    # even docs: classic 1.4 layout; odd docs: the
+                    # PDF 1.5 compressed layout (ObjStm + predictor-
+                    # coded xref stream) — the oracle CASEs on parity,
+                    # so BOTH walkers are driver-verified
+                    contents.append(
+                        encode_pdf_skeleton(
+                            pages,
+                            layout=(
+                                "classic"
+                                if did % 2 == 0
+                                else "xref_stream"
+                            ),
+                        )
+                    )
                     metas.append(None)
                 yield _pd.DataFrame(
                     {
@@ -8821,10 +8838,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NULL AS BIGINT) AS min_chars,
                    CAST(NULL AS BIGINT) AS max_chars,
                    CAST(NULL AS VARCHAR) AS "column",
-                   '1.4' AS dtype,
+                   -- even docs: classic 1.4 (7 objects: catalog,
+                   -- pages, info, 2 page dicts, 2 content streams);
+                   -- odd docs: 1.5 compressed (those 5 packed in an
+                   -- ObjStm + 2 content streams + ObjStm + XRef = 9)
+                   CASE WHEN doc_id % 2 = 0 THEN '1.4' ELSE '1.5' END
+                       AS dtype,
                    CAST(2 AS BIGINT) AS n_rows,
                    CAST(NULL AS BIGINT) AS n_nulls,
-                   CAST(7 AS BIGINT) AS n_distinct,
+                   CAST(CASE WHEN doc_id % 2 = 0 THEN 7 ELSE 9 END
+                        AS BIGINT) AS n_distinct,
                    CAST(NULL AS DOUBLE) AS min_num,
                    CAST(NULL AS DOUBLE) AS max_num,
                    CAST(NULL AS DOUBLE) AS mean_num,

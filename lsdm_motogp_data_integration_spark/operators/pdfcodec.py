@@ -27,12 +27,19 @@ Surface:
   builder for the driver oracle, which replays extraction closed-form
   from the text it fed in.
 
+The PDF 1.5 compressed layout is fully supported (r7 continuation):
+cross-reference STREAMS (§7.5.8 — /W column fields, /Index
+subsections, type 0/1/2 entries, /Prev chains, hybrid ``/XRefStm``),
+object streams (§7.5.7 — /N /First header pairs, lazily parsed and
+cached per ObjStm), and the PNG/TIFF predictors xref streams are
+near-universally filtered through (§7.4.4.4 — all five PNG row
+filters at any byte width).
+
 Honest gates (``NotImplementedError``): encrypted documents
-(``/Encrypt``), cross-reference STREAMS and object streams
-(PDF 1.5 compressed layout), filters beyond FlateDecode /
-ASCIIHexDecode / none (DCT/CCITT/JBIG2/LZW), and ToUnicode CMap
-remapping (bytes are read through the standard encodings).  Malformed
-structure raises :class:`~.mediacodec.MediaFormatError`.
+(``/Encrypt``), filters beyond FlateDecode / ASCIIHexDecode / none
+(DCT/CCITT/JBIG2/LZW), and ToUnicode CMap remapping (bytes are read
+through the standard encodings).  Malformed structure raises
+:class:`~.mediacodec.MediaFormatError`.
 
 Scale placement: like the other codecs this runs INSIDE Arrow-batched
 ``mapInPandas`` on executor-local ``bytes`` — O(file) per blob, no
@@ -248,8 +255,63 @@ class _Lexer:
 # --- document structure ------------------------------------------------------
 
 
+def _apply_predictor(raw: bytes, pred: int, cols: int, bpp: int) -> bytes:
+    """§7.4.4.4 predictor post-pass: PNG row filters (pred ≥ 10 — the
+    near-universal choice for xref streams) or TIFF horizontal
+    differencing (pred 2), at ``cols`` bytes per row and ``bpp`` bytes
+    per pixel."""
+    if pred == 2:
+        out = bytearray(raw)
+        for r0 in range(0, len(out), cols):
+            for i in range(r0 + bpp, min(r0 + cols, len(out))):
+                out[i] = (out[i] + out[i - bpp]) & 0xFF
+        return bytes(out)
+    if pred < 10:
+        raise MediaFormatError(f"PDF unknown predictor {pred}")
+    out = bytearray()
+    prev = bytearray(cols)
+    p = 0
+    n = len(raw)
+    while p < n:
+        ft = raw[p]
+        p += 1
+        row = bytearray(raw[p : p + cols])
+        p += cols
+        if len(row) < cols:
+            raise MediaFormatError("PDF predictor row truncated")
+        if ft == 1:  # Sub
+            for i in range(bpp, cols):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(cols):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(cols):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(cols):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                pa = abs(b - c)
+                pb = abs(a - c)
+                pc = abs(a + b - 2 * c)
+                row[i] = (
+                    row[i]
+                    + (a if pa <= pb and pa <= pc else b if pb <= pc else c)
+                ) & 0xFF
+        elif ft != 0:
+            raise MediaFormatError(f"PDF bad PNG predictor filter {ft}")
+        out += row
+        prev = row
+    return bytes(out)
+
+
 class _Document:
-    """Parsed xref map + lazy object resolution."""
+    """Parsed xref map + lazy object resolution.  ``xref`` values are
+    byte offsets (type-1 entries) or ``(objstm_num, idx)`` tuples
+    (type-2, compressed objects)."""
 
     def __init__(self, data: bytes):
         self.d = data
@@ -257,9 +319,10 @@ class _Document:
             raise MediaFormatError("not a PDF (no %PDF- header)")
         m = re.match(rb"%PDF-(\d+\.\d+)", data)
         self.version = m.group(1).decode("ascii") if m else "?"
-        self.xref: dict[int, int] = {}  # obj num -> byte offset
+        self.xref: dict[int, object] = {}
         self.trailer: dict = {}
         self._cache: dict[int, object] = {}
+        self._objstm_cache: dict[int, tuple] = {}
         self._load_xref()
         if "Encrypt" in self.trailer:
             raise NotImplementedError(
@@ -295,11 +358,9 @@ class _Document:
         lx = _Lexer(d, off)
         lx._skip_ws()
         if d[lx.p : lx.p + 4] != b"xref":
-            # a dict here means a PDF 1.5 cross-reference STREAM
-            if re.match(rb"\d+\s+\d+\s+obj", d[lx.p : lx.p + 64]):
-                raise NotImplementedError(
-                    "PDF cross-reference stream (1.5 compressed layout)"
-                )
+            # an object header here means a cross-reference STREAM
+            if _OBJ_RE.match(d, lx.p):
+                return self._load_xref_stream_section(lx.p)
             raise MediaFormatError(f"PDF xref table not found at {off}")
         lx.p += 4
         while True:
@@ -309,6 +370,11 @@ class _Document:
                 tr = lx.read_object()
                 if not isinstance(tr, dict):
                     raise MediaFormatError("PDF trailer is not a dict")
+                if "XRefStm" in tr:
+                    # hybrid-reference file (§7.5.8.4): the stream
+                    # carries the compressed-object entries; classic
+                    # entries (already setdefault'd) win overlaps
+                    self._load_xref_stream_section(int(tr["XRefStm"]))
                 return tr
             m = _SUBSEC_RE.match(d, lx.p)
             if not m:
@@ -329,6 +395,83 @@ class _Document:
                 nl = ent.find(b"\n", em.end() - 1)
                 lx.p += (nl + 1) if 0 <= nl < 20 else 20
 
+    def _load_xref_stream_section(self, off: int) -> dict:
+        """§7.5.8: the xref table AS a stream — /W column widths,
+        /Index subsections, binary entries (type 0 free / 1 offset /
+        2 in-object-stream), usually Flate + PNG-predictor coded."""
+        d = self.d
+        lx = _Lexer(d, off)
+        lx._skip_ws()
+        m = _OBJ_RE.match(d, lx.p)
+        if not m:
+            raise MediaFormatError(f"PDF xref stream not found at {off}")
+        lx.p = m.end()
+        sd = lx.read_object()
+        if not isinstance(sd, dict):
+            raise MediaFormatError("PDF xref stream has no dict")
+        lx._skip_ws()
+        if d[lx.p : lx.p + 6] != b"stream":
+            raise MediaFormatError("PDF xref stream has no stream data")
+        lx.p += 6
+        if d[lx.p : lx.p + 2] == b"\r\n":
+            lx.p += 2
+        elif d[lx.p : lx.p + 1] in (b"\n", b"\r"):
+            lx.p += 1
+        length = sd.get("Length")
+        if not isinstance(length, int):
+            # spec: xref stream dict entries must be direct values
+            raise MediaFormatError("PDF xref stream /Length not direct")
+        sd = dict(sd)
+        sd["__raw__"] = d[lx.p : lx.p + length]
+        if len(sd["__raw__"]) != length:
+            raise MediaFormatError("PDF xref stream truncated")
+        data = self.stream_data(sd)
+        w = sd.get("W")
+        if not (
+            isinstance(w, list)
+            and len(w) == 3
+            and all(isinstance(x, int) and 0 <= x <= 8 for x in w)
+        ):
+            raise MediaFormatError("PDF xref stream bad /W")
+        size = sd.get("Size")
+        if not isinstance(size, int):
+            raise MediaFormatError("PDF xref stream /Size missing")
+        index = sd.get("Index", [0, size])
+        if not (
+            isinstance(index, list)
+            and len(index) % 2 == 0
+            and all(isinstance(x, int) for x in index)
+        ):
+            raise MediaFormatError("PDF xref stream bad /Index")
+        ew = sum(w)
+        pos = 0
+        for si in range(0, len(index), 2):
+            first, count = index[si], index[si + 1]
+            for k in range(count):
+                ent = data[pos : pos + ew]
+                if len(ent) != ew:
+                    raise MediaFormatError("PDF xref stream entry short")
+                pos += ew
+                o = 0
+                fields = []
+                for wi in w:
+                    fields.append(
+                        int.from_bytes(ent[o : o + wi], "big") if wi else None
+                    )
+                    o += wi
+                t = fields[0] if w[0] else 1  # omitted type → 1 (spec)
+                num = first + k
+                if t == 1:
+                    self.xref.setdefault(num, fields[1])
+                elif t == 2:
+                    self.xref.setdefault(num, (fields[1], fields[2]))
+                # t == 0: free
+        return {
+            k: v
+            for k, v in sd.items()
+            if k in ("Size", "Root", "Info", "Prev", "Encrypt", "ID")
+        }
+
     def resolve(self, obj):
         """Follow indirect references (memoized); pass-through else."""
         while isinstance(obj, _Ref):
@@ -342,8 +485,13 @@ class _Document:
         return obj
 
     def _parse_indirect(self, num: int):
+        loc = self.xref[num]
+        if isinstance(loc, tuple):  # type-2: inside an object stream
+            obj = self._parse_from_objstm(num, loc[0], loc[1])
+            self._cache[num] = obj
+            return obj
         d = self.d
-        lx = _Lexer(d, self.xref[num])
+        lx = _Lexer(d, loc)
         lx._skip_ws()
         m = _OBJ_RE.match(d, lx.p)
         if not m or int(m.group(1)) != num:
@@ -371,6 +519,51 @@ class _Document:
             obj["__raw__"] = raw
         self._cache[num] = obj
         return obj
+
+    def _parse_from_objstm(self, num: int, stm_num: int, idx: int):
+        """§7.5.7: object streams — /N header pairs (objnum, offset
+        relative to /First), objects concatenated after; the decoded
+        stream + parsed header are cached per ObjStm so resolving k
+        of its objects decodes it once, not k times."""
+        hdr = self._objstm_cache.get(stm_num)
+        if hdr is None:
+            sd = self.resolve(_Ref((stm_num, 0)))
+            if not isinstance(sd, dict) or "__raw__" not in sd:
+                raise MediaFormatError(
+                    f"PDF ObjStm {stm_num} is not a stream"
+                )
+            data = self.stream_data(sd)
+            n = self.resolve(sd.get("N"))
+            first = self.resolve(sd.get("First"))
+            if not isinstance(n, int) or not isinstance(first, int):
+                raise MediaFormatError(
+                    f"PDF ObjStm {stm_num} missing /N or /First"
+                )
+            lx = _Lexer(data, 0)
+            pairs = []
+            for _ in range(n):
+                onum = lx.read_object()
+                ooff = lx.read_object()
+                if not isinstance(onum, int) or not isinstance(ooff, int):
+                    raise MediaFormatError(
+                        f"PDF ObjStm {stm_num} bad header pair"
+                    )
+                pairs.append((onum, ooff))
+            hdr = (pairs, data, first)
+            self._objstm_cache[stm_num] = hdr
+        pairs, data, first = hdr
+        if 0 <= idx < len(pairs) and pairs[idx][0] == num:
+            off = pairs[idx][1]
+        else:  # tolerate a stale index: search by object number
+            for onum, ooff in pairs:
+                if onum == num:
+                    off = ooff
+                    break
+            else:
+                raise MediaFormatError(
+                    f"PDF object {num} not found in ObjStm {stm_num}"
+                )
+        return _Lexer(data, first + off).read_object()
 
     def stream_data(self, sd: dict) -> bytes:
         """Decode a stream object's bytes through its /Filter chain."""
@@ -406,10 +599,30 @@ class _Document:
                     f"PDF filter {f} (FlateDecode/ASCIIHexDecode only)"
                 )
         params = self.resolve(sd.get("DecodeParms"))
-        if params and self.resolve(
-            params.get("Predictor") if isinstance(params, dict) else None
-        ) not in (None, 1):
-            raise NotImplementedError("PDF predictor-coded stream")
+        if isinstance(params, list):  # one entry per filter; take the
+            params = next(  # (single) predictor-bearing one
+                (
+                    self.resolve(pp)
+                    for pp in params
+                    if isinstance(self.resolve(pp), dict)
+                ),
+                None,
+            )
+        if isinstance(params, dict):
+            pred = self.resolve(params.get("Predictor", 1))
+            if pred not in (None, 1):
+                cols = self.resolve(params.get("Columns", 1)) or 1
+                colors = self.resolve(params.get("Colors", 1)) or 1
+                bpc = self.resolve(
+                    params.get("BitsPerComponent", 8)
+                ) or 8
+                if bpc % 8:
+                    raise NotImplementedError(
+                        f"PDF predictor at {bpc} bits/component"
+                    )
+                bpp = max(1, int(colors) * int(bpc) // 8)
+                rowlen = int(cols) * int(colors) * int(bpc) // 8
+                raw = _apply_predictor(raw, int(pred), rowlen, bpp)
         return raw
 
     def pages(self) -> list[dict]:
@@ -636,13 +849,24 @@ def encode_pdf_skeleton(
     *,
     compress: bool = True,
     producer: str = "spark-graft",
+    layout: str = "classic",
 ) -> bytes:
     """Structurally real PDF: header, catalog, page tree, one content
     stream per page (Flate or raw), Info dict, correct classic xref
     offsets + trailer.  Each page's text is emitted one line per
     ``Tj`` with ``TD`` line moves inside a single ``BT/ET``, so
     :func:`decode_pdf_text` round-trips the input EXACTLY (newlines
-    preserved; the fixture contract the driver oracle replays)."""
+    preserved; the fixture contract the driver oracle replays).
+
+    ``layout="xref_stream"`` emits the PDF 1.5 compressed form
+    instead: the non-stream objects (catalog, page tree, info, page
+    dicts) packed into ONE object stream, and the cross-reference
+    table as a Flate + PNG-Up-predictor coded xref STREAM (/W [1 4 2])
+    — the modern layout nearly every real PDF uses."""
+    if layout == "xref_stream":
+        return _encode_pdf_15(pages, compress, producer)
+    if layout != "classic":
+        raise ValueError(f"unknown layout {layout!r}")
     objs: list[bytes] = []  # 1-based object bodies
 
     n_pages = len(pages)
@@ -698,4 +922,125 @@ def encode_pdf_skeleton(
         b"trailer\n<< /Size %d /Root 1 0 R /Info 3 0 R >>\n"
         b"startxref\n%d\n%%%%EOF\n" % (len(objs) + 1, xref_off)
     )
+    return bytes(out)
+
+
+def _page_content(text: str) -> bytes:
+    """One page's content-stream body (shared by both layouts)."""
+    body = bytearray(b"BT /F1 12 Tf 72 720 Td\n")
+    for j, ln in enumerate(text.split("\n")):
+        if j:
+            body += b"0 -14 TD\n"
+        body += b"(" + _esc_literal(ln.encode("latin-1")) + b") Tj\n"
+    body += b"ET"
+    return bytes(body)
+
+
+def _encode_pdf_15(
+    pages: list[str], compress: bool, producer: str
+) -> bytes:
+    """The PDF 1.5 compressed layout of :func:`encode_pdf_skeleton`:
+    object numbers 1..3+n (catalog/pages/info/page dicts) live as
+    type-2 entries inside ObjStm object ``4+2n``; content streams are
+    regular objects ``4+n..3+2n``; the cross-reference is a stream
+    object ``5+2n`` coded Flate + PNG Up (/Predictor 12) — decoding it
+    exercises /W field parsing, the predictor pass, AND ObjStm
+    resolution on every fixture."""
+    n = len(pages)
+    kids = b" ".join(b"%d 0 R" % (4 + i) for i in range(n))
+    packed = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [" + kids + b"] /Count %d >>" % n,
+        b"<< /Producer ("
+        + _esc_literal(producer.encode("latin-1"))
+        + b") >>",
+    ] + [
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 << /Type /Font /Subtype "
+        b"/Type1 /BaseFont /Helvetica >> >> >> /Contents %d 0 R >>"
+        % (4 + n + i)
+        for i in range(n)
+    ]
+    # ObjStm payload: "num off ..." header, then the objects
+    offs = []
+    pos = 0
+    for body in packed:
+        offs.append(pos)
+        pos += len(body) + 1
+    header = b" ".join(
+        b"%d %d" % (i + 1, o) for i, o in enumerate(offs)
+    )
+    payload = header + b"\n" + b" ".join(packed) + b" "
+    first = len(header) + 1
+    # recompute: objects are space-joined, so offset deltas are
+    # len(body)+1 — matches offs as built above
+    stm_data = zlib.compress(payload, 6) if compress else payload
+    objstm_num = 4 + 2 * n
+    xref_num = 5 + 2 * n
+
+    out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
+    for i, text in enumerate(pages):
+        data = _page_content(text)
+        if compress:
+            data = zlib.compress(data, 6)
+            head = b"<< /Length %d /Filter /FlateDecode >>" % len(data)
+        else:
+            head = b"<< /Length %d >>" % len(data)
+        num = 4 + n + i
+        offsets[num] = len(out)
+        out += (
+            b"%d 0 obj\n" % num
+            + head
+            + b"\nstream\n"
+            + data
+            + b"\nendstream\nendobj\n"
+        )
+    offsets[objstm_num] = len(out)
+    oshead = b"<< /Type /ObjStm /N %d /First %d /Length %d" % (
+        len(packed),
+        first,
+        len(stm_data),
+    )
+    if compress:
+        oshead += b" /Filter /FlateDecode"
+    out += (
+        b"%d 0 obj\n" % objstm_num
+        + oshead
+        + b" >>\nstream\n"
+        + stm_data
+        + b"\nendstream\nendobj\n"
+    )
+    xref_off = len(out)
+    offsets[xref_num] = xref_off
+    size = xref_num + 1
+    rows = []
+    for num in range(size):
+        if num == 0:
+            t, f2, f3 = 0, 0, 65535
+        elif num <= 3 + n:
+            t, f2, f3 = 2, objstm_num, num - 1
+        else:
+            t, f2, f3 = 1, offsets[num], 0
+        rows.append(
+            bytes([t]) + f2.to_bytes(4, "big") + f3.to_bytes(2, "big")
+        )
+    # forward PNG Up filter (Predictor 12), 7-byte rows
+    prev = bytes(7)
+    filtered = bytearray()
+    for r in rows:
+        filtered += bytes([2]) + bytes(
+            (r[i] - prev[i]) & 0xFF for i in range(7)
+        )
+        prev = r
+    xdata = zlib.compress(bytes(filtered), 6)
+    out += (
+        b"%d 0 obj\n<< /Type /XRef /Size %d /W [1 4 2] "
+        b"/Root 1 0 R /Info 3 0 R /Filter /FlateDecode "
+        b"/DecodeParms << /Predictor 12 /Columns 7 >> /Length %d "
+        b">>\nstream\n" % (xref_num, size, len(xdata))
+        + xdata
+        + b"\nendstream\nendobj\n"
+    )
+    out += b"startxref\n%d\n%%%%EOF\n" % xref_off
     return bytes(out)

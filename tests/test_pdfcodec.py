@@ -157,12 +157,12 @@ def test_honest_gates_and_corruption():
     broken = blob[:i] + b"\x00\x00" + blob[i + 2 :]
     with pytest.raises(MediaFormatError, match="FlateDecode"):
         decode_pdf_text(broken)
-    # xref STREAM layout (PDF 1.5): an obj header where xref expected
+    # startxref pointing at a NON-stream object: parsed as an xref
+    # stream attempt (PDF 1.5 layout), fails loudly and typed
     xs = _hand_built_pdf(b"BT (t) Tj ET")
-    # point startxref at object 1's offset (an 'N 0 obj' header)
     obj1 = xs.index(b"1 0 obj")
     xs2 = xs.rsplit(b"startxref", 1)[0] + b"startxref\n%d\n%%%%EOF" % obj1
-    with pytest.raises(NotImplementedError, match="cross-reference"):
+    with pytest.raises(MediaFormatError, match="xref stream"):
         decode_pdf_text(xs2)
 
 
@@ -269,3 +269,169 @@ def test_pdf_source_feeds_curate(spark):
     assert len(clean) == 2
     packed = out["packed"].collect()
     assert len(packed) >= 2
+
+
+# --- PDF 1.5 compressed layout (xref streams + object streams) --------------
+
+
+def test_xref_stream_layout_roundtrips():
+    """The modern layout: catalog/page-tree/info packed in an ObjStm,
+    xref as a Flate + PNG-Up-predictor stream — every fixture decode
+    exercises /W parsing, the predictor pass, and ObjStm resolution."""
+    cases = [
+        ["Hello 1.5 world\nline two (x) \\ y", "page 2\na\n\nb", ""],
+        ["single page"],
+        ["many\n" * 40 + "lines"],
+    ]
+    for pages in cases:
+        for compress in (True, False):
+            blob = encode_pdf_skeleton(
+                pages, compress=compress, layout="xref_stream"
+            )
+            assert blob.startswith(b"%PDF-1.5")
+            assert b"/ObjStm" in blob and b"/XRef" in blob
+            assert b"trailer" not in blob  # no classic table at all
+            assert decode_pdf_text(blob) == pages, (pages, compress)
+    info = pdf_info(
+        encode_pdf_skeleton(["a", "b"], layout="xref_stream")
+    )
+    # catalog+pages+info+2 page dicts (compressed) + 2 content
+    # streams + ObjStm + XRef stream = 9 live objects
+    assert info["version"] == "1.5" and info["n_pages"] == 2
+    assert info["n_objects"] == 9 and info["producer"] == "spark-graft"
+
+
+def test_xref_stream_same_text_as_classic():
+    pages = ["identical extraction\nfrom either layout", "p2"]
+    a = decode_pdf_text(encode_pdf_skeleton(pages, layout="classic"))
+    b = decode_pdf_text(
+        encode_pdf_skeleton(pages, layout="xref_stream")
+    )
+    assert a == b == pages
+
+
+def test_apply_predictor_all_png_filters_and_tiff():
+    """_apply_predictor pinned against hand-computed rows (bpp=1,
+    3-byte rows): each PNG filter reconstructs the same plaintext the
+    forward filter was applied to."""
+    from lsdm_motogp_data_integration_spark.operators.pdfcodec import (
+        _apply_predictor,
+    )
+
+    rows = [bytes([10, 20, 30]), bytes([13, 24, 35]), bytes([5, 6, 7])]
+
+    def fwd(ft, row, prev):
+        if ft == 0:
+            return row
+        if ft == 1:  # Sub
+            return bytes(
+                (row[i] - (row[i - 1] if i else 0)) & 0xFF
+                for i in range(3)
+            )
+        if ft == 2:  # Up
+            return bytes((row[i] - prev[i]) & 0xFF for i in range(3))
+        if ft == 3:  # Average
+            return bytes(
+                (row[i] - (((row[i - 1] if i else 0) + prev[i]) >> 1))
+                & 0xFF
+                for i in range(3)
+            )
+        # Paeth
+        def paeth(a, b, c):
+            pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+            return a if pa <= pb and pa <= pc else b if pb <= pc else c
+
+        return bytes(
+            (
+                row[i]
+                - paeth(
+                    row[i - 1] if i else 0,
+                    prev[i],
+                    prev[i - 1] if i else 0,
+                )
+            )
+            & 0xFF
+            for i in range(3)
+        )
+
+    for fts in ([0, 1, 2], [3, 4, 1], [4, 4, 4], [2, 2, 2]):
+        enc = bytearray()
+        prev = bytes(3)
+        for ft, row in zip(fts, rows):
+            enc += bytes([ft]) + fwd(ft, row, prev)
+            prev = row
+        assert _apply_predictor(bytes(enc), 12, 3, 1) == b"".join(rows)
+    # TIFF predictor 2: horizontal running sum per row
+    tiff = bytes([10, 10, 10, 200, 56, 56])  # rows of 3, bpp 1
+    assert _apply_predictor(tiff, 2, 3, 1) == bytes(
+        [10, 20, 30, 200, 0, 56]
+    )
+    with pytest.raises(MediaFormatError, match="predictor"):
+        _apply_predictor(b"\x09aaa", 12, 3, 1)  # bad filter type
+
+
+def test_hybrid_xrefstm():
+    """Hybrid-reference file (§7.5.8.4): a classic table whose trailer
+    /XRefStm points at an xref stream carrying extra entries — both
+    must be honored (classic wins overlaps)."""
+    import struct as _st
+
+    base = encode_pdf_skeleton(["hybrid text"], compress=False)
+    # rebuild: mark the content stream object (5) FREE in the classic
+    # table and supply its real offset only via an /XRefStm stream
+    off5 = base.index(b"5 0 obj")
+    out = bytearray(base.rsplit(b"xref\n", 1)[0])
+    # xref stream object 6: one type-1 entry for object 5
+    entry = bytes([1]) + off5.to_bytes(4, "big") + (0).to_bytes(2, "big")
+    xdata = zlib.compress(entry)
+    xs_off = len(out)
+    out += (
+        b"6 0 obj\n<< /Type /XRef /Size 7 /W [1 4 2] /Index [5 1] "
+        b"/Root 1 0 R /Filter /FlateDecode /Length %d >>\nstream\n"
+        % len(xdata)
+        + xdata
+        + b"\nendstream\nendobj\n"
+    )
+    # classic table: objects 0-4 real, 5 marked free, 6 the stream
+    offs = [base.index(b"%d 0 obj" % i) for i in range(1, 5)]
+    xr = len(out)
+    out += b"xref\n0 7\n0000000000 65535 f \n"
+    for o in offs:
+        out += b"%010d 00000 n \n" % o
+    out += b"0000000000 00000 f \n"  # object 5: free here
+    out += b"%010d 00000 n \n" % xs_off
+    out += (
+        b"trailer\n<< /Size 7 /Root 1 0 R /XRefStm %d >>\n"
+        b"startxref\n%d\n%%%%EOF" % (xs_off, xr)
+    )
+    assert _st  # silence unused import in reduced variants
+    assert decode_pdf_text(bytes(out)) == ["hybrid text"]
+
+
+def test_xref_stream_prev_chain_incremental_update():
+    """Incremental update in the 1.5 world: an appended revision whose
+    xref STREAM has /Prev pointing at the original xref stream."""
+    base = encode_pdf_skeleton(["old 1.5 text"], layout="xref_stream")
+    assert decode_pdf_text(base) == ["old 1.5 text"]
+    orig_xr = int(base.rsplit(b"startxref", 1)[1].split()[0])
+    # object 5 (= 4+n with n=1) is the content stream; replace it
+    new_stream = b"BT (new 1.5 text) Tj ET"
+    out = bytearray(base)
+    off5 = len(out)
+    out += (
+        b"5 0 obj\n<< /Length %d >>\nstream\n" % len(new_stream)
+        + new_stream
+        + b"\nendstream\nendobj\n"
+    )
+    entry = bytes([1]) + off5.to_bytes(4, "big") + (0).to_bytes(2, "big")
+    xdata = zlib.compress(entry)
+    xr = len(out)
+    out += (
+        b"8 0 obj\n<< /Type /XRef /Size 8 /W [1 4 2] /Index [5 1] "
+        b"/Root 1 0 R /Prev %d /Filter /FlateDecode /Length %d "
+        b">>\nstream\n" % (orig_xr, len(xdata))
+        + xdata
+        + b"\nendstream\nendobj\n"
+    )
+    out += b"startxref\n%d\n%%%%EOF" % xr
+    assert decode_pdf_text(bytes(out)) == ["new 1.5 text"]
