@@ -31,9 +31,9 @@ environment and none are needed for these formats):
   full fidelity), sub-byte depths 1/2/4 for gray and palette (packed
   rows filter with bpp=1 per spec, MSB-first unpack, exact-integer
   gray scaling ×255/85/17), Adam7 interlace (seven independently-
-  filtered sub-rasters scattered onto their grids), gray / RGB /
-  indexed-PLTE / gray+alpha / RGBA color types; sub-byte + Adam7
-  combined stays a gate.
+  filtered sub-rasters scattered onto their grids — incl. COMBINED
+  with sub-byte depths, each pass at its own packed stride, r7),
+  gray / RGB / indexed-PLTE / gray+alpha / RGBA color types.
 - **GIF** (r6) — pure-python variable-width LZW (LSB-first, deferred
   clear, KwKwK case) + numpy palette expansion; 87a/89a, interlace,
   local color tables; animated GIFs decode their first frame.
@@ -434,11 +434,11 @@ def _png_reconstruct(
 
 
 def _decode_png(data: bytes) -> np.ndarray:
-    """Decode an 8- or 16-bit PNG (plain or Adam7-interlaced) to the
+    """Decode a PNG at any legal bit depth (1/2/4/8/16, plain or
+    Adam7-interlaced, including sub-byte + Adam7 combined) to the
     canonical ``(H, W)`` gray / ``(H, W, C)`` RGB(A) array — uint8 for
-    8-bit sources, uint16 for 16-bit (full fidelity, no silent high-
-    byte truncation). Indexed (PLTE) images resolve to RGB. Sub-byte
-    depths (1/2/4) raise ``NotImplementedError`` (honest gate)."""
+    ≤8-bit sources, uint16 for 16-bit (full fidelity, no silent high-
+    byte truncation). Indexed (PLTE) images resolve to RGB."""
     import zlib
 
     ihdr = None
@@ -478,10 +478,6 @@ def _decode_png(data: bytes) -> np.ndarray:
         raise MediaFormatError(
             f"PNG sub-byte depth invalid for color type {ctype_i}"
         )
-    if depth < 8 and interlace:
-        raise NotImplementedError(
-            "PNG sub-byte depth + Adam7 interlace not supported"
-        )
     if not idat:
         raise MediaFormatError("PNG has no IDAT data")
     try:
@@ -495,13 +491,39 @@ def _decode_png(data: bytes) -> np.ndarray:
         # rows then unpack MSB-first into per-pixel samples.  Gray
         # scales to the canonical 8-bit range by the exact integer
         # factor 255/(2^d − 1) (1→×255, 2→×85, 4→×17); palette
-        # indices pass through to the PLTE lookup.
-        stride = (w * depth + 7) // 8
-        rows = _png_unfilter(raw, h, stride, 1)
-        bits = np.unpackbits(rows, axis=1)[:, : w * depth]
-        samples = bits.reshape(h, w, depth)
-        weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
-        vals = (samples * weights).sum(axis=2).astype(np.uint8)
+        # indices pass through to the PLTE lookup.  Adam7 (r7 — the
+        # last PNG gate): each pass is an independent packed
+        # sub-raster at ITS OWN stride ceil(pw·depth/8), unpacked per
+        # pass and scattered onto the (y0::dy, x0::dx) grid.
+        def unpack(rows: np.ndarray, width: int) -> np.ndarray:
+            bits = np.unpackbits(rows, axis=1)[:, : width * depth]
+            samples = bits.reshape(rows.shape[0], width, depth)
+            weights = (
+                1 << np.arange(depth - 1, -1, -1)
+            ).astype(np.uint8)
+            return (samples * weights).sum(axis=2).astype(np.uint8)
+
+        if interlace:
+            vals = np.zeros((h, w), dtype=np.uint8)
+            pos = 0
+            for x0, y0, dx, dy in _ADAM7:
+                pw = (w - x0 + dx - 1) // dx
+                ph = (h - y0 + dy - 1) // dy
+                if pw <= 0 or ph <= 0:
+                    continue
+                stride = (pw * depth + 7) // 8
+                n = ph * (1 + stride)
+                rows = _png_unfilter(raw[pos : pos + n], ph, stride, 1)
+                pos += n
+                vals[y0::dy, x0::dx] = unpack(rows, pw)
+            if pos != len(raw):
+                raise MediaFormatError(
+                    f"PNG Adam7 raster size mismatch: used {pos} "
+                    f"of {len(raw)}"
+                )
+        else:
+            stride = (w * depth + 7) // 8
+            vals = unpack(_png_unfilter(raw, h, stride, 1), w)
         if ctype_i == 0:
             scale = 255 // ((1 << depth) - 1)
             return np.ascontiguousarray(

@@ -1,7 +1,8 @@
 """PNG Adam7 interlace + 16-bit depth (r6): hand-built containers
 (real zlib streams, per-pass filtering serialized independently per
 the spec) decoded back to the exact source pixels; full-fidelity
-uint16 output for 16-bit sources; the sub-byte-depth gate stays."""
+uint16 output for 16-bit sources; sub-byte depths at every
+interlace mode (the r7 combined case closed the last PNG gate)."""
 
 import struct
 import zlib
@@ -175,27 +176,43 @@ def _build_subbyte_png(
     ctype_i: int,
     plte: bytes | None = None,
     sub_rows: frozenset[int] = frozenset(),
+    interlace: int = 0,
 ) -> bytes:
     """(H, W) integer samples < 2^depth, packed MSB-first per row
     (rows padded to byte boundaries per spec), optional Sub filter
-    rows (bpp=1 on the packed bytes)."""
+    rows (bpp=1 on the packed bytes).  ``interlace=1`` serializes the
+    seven Adam7 passes, each packed at ITS OWN stride."""
     h, w = samples.shape
-    raw = bytearray()
-    for y in range(h):
-        bits = np.zeros(((w * depth + 7) // 8) * 8, dtype=np.uint8)
-        for x in range(w):
-            v = int(samples[y, x])
-            for b in range(depth):
-                bits[x * depth + b] = (v >> (depth - 1 - b)) & 1
-        row = np.packbits(bits).tobytes()
-        if y in sub_rows:
-            rb = bytearray(row)
-            for i in range(len(rb) - 1, 0, -1):
-                rb[i] = (rb[i] - rb[i - 1]) & 0xFF
-            raw += b"\x01" + bytes(rb)
-        else:
-            raw += b"\x00" + row
-    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype_i, 0, 0, 0)
+
+    def pack_grid(grid: np.ndarray) -> bytes:
+        gh, gw = grid.shape
+        out = bytearray()
+        for y in range(gh):
+            bits = np.zeros(((gw * depth + 7) // 8) * 8, dtype=np.uint8)
+            for x in range(gw):
+                v = int(grid[y, x])
+                for b in range(depth):
+                    bits[x * depth + b] = (v >> (depth - 1 - b)) & 1
+            row = np.packbits(bits).tobytes()
+            if y in sub_rows:
+                rb = bytearray(row)
+                for i in range(len(rb) - 1, 0, -1):
+                    rb[i] = (rb[i] - rb[i - 1]) & 0xFF
+                out += b"\x01" + bytes(rb)
+            else:
+                out += b"\x00" + row
+        return bytes(out)
+
+    if interlace:
+        raw = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            sub = samples[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                raw += pack_grid(sub)
+        raw = bytes(raw)
+    else:
+        raw = pack_grid(samples)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype_i, 0, 0, interlace)
     chunks = _SIG + _chunk(b"IHDR", ihdr)
     if plte is not None:
         chunks += _chunk(b"PLTE", plte)
@@ -233,3 +250,42 @@ def test_subbyte_gates():
     # sub-byte RGB is illegal per spec → loud
     with pytest.raises(Exception):
         decode_image(_build_subbyte_png(s, 4, 2))
+
+
+def test_1bit_gray_adam7_combined():
+    """Sub-byte + Adam7 together (r7 — the last PNG gate): each pass
+    packs at its OWN stride, so byte boundaries fall differently in
+    every pass."""
+    s = (np.add.outer(np.arange(9), np.arange(11)) % 2).astype(np.uint8)
+    dec = decode_image(_build_subbyte_png(s, 1, 0, interlace=1))
+    assert np.array_equal(dec, s * 255)
+
+
+def test_4bit_gray_adam7_odd_width_with_sub_rows():
+    rng = np.random.RandomState(15)
+    s = rng.randint(0, 16, (10, 13), dtype=np.uint8)
+    dec = decode_image(
+        _build_subbyte_png(
+            s, 4, 0, sub_rows=frozenset({0, 1}), interlace=1
+        )
+    )
+    assert np.array_equal(dec, s * 17)
+
+
+def test_2bit_palette_adam7():
+    rng = np.random.RandomState(16)
+    s = rng.randint(0, 4, (6, 7), dtype=np.uint8)
+    pal = bytes([10, 20, 30, 200, 100, 50, 0, 255, 128, 90, 91, 92])
+    dec = decode_image(
+        _build_subbyte_png(s, 2, 3, plte=pal, interlace=1)
+    )
+    assert np.array_equal(
+        dec, np.frombuffer(pal, np.uint8).reshape(4, 3)[s]
+    )
+
+
+def test_subbyte_adam7_tiny_images_skip_empty_passes():
+    for shape in ((1, 1), (2, 3), (1, 8), (5, 1)):
+        s = (np.indices(shape).sum(axis=0) % 2).astype(np.uint8)
+        dec = decode_image(_build_subbyte_png(s, 1, 0, interlace=1))
+        assert np.array_equal(dec, s * 255), shape
