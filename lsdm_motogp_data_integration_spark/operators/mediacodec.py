@@ -1523,10 +1523,11 @@ def wav_info(data: bytes) -> dict:
 
 
 # ---------------------------------------------------------------------------
-# TIFF (r6): baseline uncompressed — the scanned-document corpus
-# format.  IFD tag walk (both byte orders), 8-bit gray / RGB(A),
-# strip assembly, WhiteIsZero inversion; every compression scheme
-# (LZW/PackBits/JPEG-in-TIFF/CCITT) raises honestly.
+# TIFF (r6; JPEG-in-TIFF r7): the scanned-document corpus format.
+# IFD tag walk (both byte orders), 8-bit gray / RGB(A), strip
+# assembly, WhiteIsZero inversion; LZW / PackBits / new-style JPEG
+# (compression 7, JPEGTables merging) decode; CCITT and old-style
+# JPEG (6) raise honestly.
 # ---------------------------------------------------------------------------
 
 _TIFF_TAGS = {
@@ -1541,10 +1542,11 @@ _TIFF_TAGS = {
     279: "strip_byte_counts",
     284: "planar_config",
     317: "predictor",
+    347: "jpeg_tables",
 }
-# field type → byte width (1 BYTE, 3 SHORT, 4 LONG are the ones
-# baseline writers use for these tags)
-_TIFF_TYPE_W = {1: 1, 3: 2, 4: 4}
+# field type → byte width (1 BYTE, 3 SHORT, 4 LONG, 7 UNDEFINED are
+# the ones baseline writers use for these tags)
+_TIFF_TYPE_W = {1: 1, 3: 2, 4: 4, 7: 1}
 
 
 def _tiff_read_ifd(data: bytes, bo: str) -> dict:
@@ -1573,7 +1575,7 @@ def _tiff_read_ifd(data: bytes, bo: str) -> dict:
             (voff,) = struct.unpack_from(bo + "I", data, off + 8)
             if voff + total > len(data):
                 raise MediaFormatError(f"TIFF tag {tag} values truncated")
-        fmt = {1: "B", 2: "H", 4: "I"}[w]
+        fmt = "B" if ftype == 7 else {1: "B", 2: "H", 4: "I"}[w]
         vals = list(
             struct.unpack_from(bo + fmt * count, data, voff)
         )
@@ -1588,11 +1590,13 @@ def _decode_tiff(data: bytes) -> np.ndarray:
         if req not in t:
             raise MediaFormatError(f"TIFF missing required tag {req}")
     comp = t.get("compression", 1)
+    if comp == 7:  # new-style JPEG-in-TIFF (r7: the codec exists now)
+        return _decode_tiff_jpeg(data, t)
     if comp not in (1, 5, 32773):
         raise NotImplementedError(
             f"TIFF compression {comp} not supported (uncompressed=1, "
-            f"LZW=5, PackBits=32773; JPEG-in-TIFF/CCITT need codec "
-            f"work)"
+            f"LZW=5, PackBits=32773, JPEG=7; CCITT/old-JPEG need "
+            f"codec work)"
         )
     if t.get("planar_config", 1) != 1:
         raise NotImplementedError("TIFF planar (separated) layout")
@@ -2021,3 +2025,73 @@ def _decode_ms_adpcm(
     for c in range(n_ch):
         a[:, c] = chans[c][:n_frames]
     return a
+
+
+def _decode_tiff_jpeg(data: bytes, t: dict) -> np.ndarray:
+    """New-style JPEG-in-TIFF (compression 7): each strip is a
+    complete JPEG stream; when a JPEGTables tag (347) is present the
+    strips are ABBREVIATED streams and the shared tables stream
+    (SOI + DQT/DHT + EOI) splices in after each strip's SOI (TIFF
+    Technical Note 2).  Strips decode through :mod:`jpegcodec` and
+    stack vertically; rows_per_strip bounds each strip's contribution
+    (JPEG MCU padding is cropped by the per-strip SOF dims)."""
+    from lsdm_motogp_data_integration_spark.operators.jpegcodec import (
+        decode_jpeg,
+    )
+
+    w, h = t["width"], t["height"]
+    if w <= 0 or h <= 0:
+        raise MediaFormatError(f"bad TIFF dimensions {w}x{h}")
+    spp = t.get("samples_per_pixel", 1)
+    offs = t["strip_offsets"]
+    offs = offs if isinstance(offs, list) else [offs]
+    counts = t.get("strip_byte_counts")
+    if counts is None:
+        if len(offs) != 1:
+            raise MediaFormatError("TIFF multi-strip without byte counts")
+        counts = [len(data) - offs[0]]
+    counts = counts if isinstance(counts, list) else [counts]
+    if len(counts) != len(offs):
+        raise MediaFormatError("TIFF strip offsets/counts disagree")
+    tmid = None
+    if "jpeg_tables" in t:
+        tb = t["jpeg_tables"]
+        tb = bytes(tb if isinstance(tb, list) else [tb])
+        if tb[:2] != b"\xff\xd8" or tb[-2:] != b"\xff\xd9":
+            raise MediaFormatError("TIFF JPEGTables missing SOI/EOI")
+        tmid = tb[2:-2]
+    rps = t.get("rows_per_strip", h)
+    if rps <= 0:
+        raise MediaFormatError(f"bad TIFF rows_per_strip {rps}")
+    parts = []
+    for si, (o, c) in enumerate(zip(offs, counts)):
+        if o + c > len(data):
+            raise MediaFormatError("TIFF strip out of range")
+        blob = data[o : o + c]
+        if blob[:2] != b"\xff\xd8":
+            raise MediaFormatError(
+                f"JPEG-in-TIFF strip {si} does not start with SOI"
+            )
+        if tmid is not None:
+            blob = b"\xff\xd8" + tmid + blob[2:]
+        arr = decode_jpeg(blob)
+        rows_here = min(rps, h - si * rps)
+        nch = 1 if arr.ndim == 2 else arr.shape[2]
+        if nch != spp:
+            raise MediaFormatError(
+                f"JPEG-in-TIFF strip {si} has {nch} channels, "
+                f"IFD says {spp}"
+            )
+        if arr.shape[0] < rows_here or arr.shape[1] < w:
+            raise MediaFormatError(
+                f"JPEG-in-TIFF strip {si} smaller than IFD geometry"
+            )
+        parts.append(arr[:rows_here, :w])
+    out = parts[0] if len(parts) == 1 else np.vstack(parts)
+    if out.shape[0] < h:
+        raise MediaFormatError(
+            f"JPEG-in-TIFF strips cover {out.shape[0]} of {h} rows"
+        )
+    if t.get("photometric", 1) == 0:
+        out = (255 - out).astype(np.uint8)
+    return np.ascontiguousarray(out)

@@ -651,3 +651,163 @@ def test_ms_adpcm_stereo_alternation():
                           * dl) / 256))
         expect_l.append(new)
     assert s[2:, 0].tolist() == expect_l
+
+
+def _jpeg_tiff(
+    strips: list[bytes],
+    w: int,
+    h: int,
+    rps: int,
+    spp: int,
+    jpeg_tables: bytes | None = None,
+    photometric: int = 1,
+) -> bytes:
+    """Hand-built little-endian TIFF wrapping JPEG strips
+    (compression 7), offsets computed by assembly — independent of
+    encode_tiff."""
+    import struct as _st
+
+    out = bytearray(b"II*\x00\x00\x00\x00\x00")
+    offs = []
+    for s in strips:
+        offs.append(len(out))
+        out += s
+    entries = []
+
+    def entry(tag, ftype, count, payload: bytes):
+        entries.append((tag, ftype, count, payload))
+
+    def offarr(vals, ftype):
+        fmt = {3: "H", 4: "I"}[ftype]
+        return b"".join(_st.pack("<" + fmt, v) for v in vals)
+
+    entry(256, 3, 1, _st.pack("<H", w) + b"\x00\x00")
+    entry(257, 3, 1, _st.pack("<H", h) + b"\x00\x00")
+    extra = bytearray()
+    ifd_guess = None  # two-pass: sizes below are layout-independent
+
+    def build(ifd_off):
+        ents = []
+        ex = bytearray()
+        ex_base = ifd_off + 2 + 12 * n_entries + 4
+
+        def put(tag, ftype, vals_or_bytes):
+            nonlocal ex
+            if isinstance(vals_or_bytes, bytes):
+                data, count = vals_or_bytes, len(vals_or_bytes)
+            else:
+                count = len(vals_or_bytes)
+                data = offarr(vals_or_bytes, ftype)
+            if len(data) <= 4:
+                ents.append(
+                    _st.pack("<HHI", tag, ftype, count)
+                    + data.ljust(4, b"\x00")
+                )
+            else:
+                ents.append(
+                    _st.pack(
+                        "<HHII", tag, ftype, count, ex_base + len(ex)
+                    )
+                )
+                ex += data
+
+        put(256, 3, [w])
+        put(257, 3, [h])
+        put(258, 3, [8] * spp)
+        put(259, 3, [7])
+        put(262, 3, [photometric])
+        put(273, 4, offs)
+        put(277, 3, [spp])
+        put(278, 3, [rps])
+        put(279, 4, [len(s) for s in strips])
+        if jpeg_tables is not None:
+            put(347, 7, jpeg_tables)
+        return ents, bytes(ex)
+
+    n_entries = 9 + (1 if jpeg_tables is not None else 0)
+    ifd_off = len(out)
+    ents, ex = build(ifd_off)
+    out += _st.pack("<H", n_entries) + b"".join(ents)
+    out += _st.pack("<I", 0) + ex
+    _st.pack_into("<I", out, 4, ifd_off)
+    return bytes(out)
+
+
+def _split_jpeg_tables(blob: bytes) -> tuple[bytes, bytes]:
+    """Split a full JPEG into (JPEGTables stream, abbreviated strip):
+    tables = SOI + every DQT/DHT + EOI; strip = everything else."""
+    import struct as _st
+
+    tables = bytearray(b"\xff\xd8")
+    strip = bytearray(b"\xff\xd8")
+    pos = 2
+    while pos + 4 <= len(blob):
+        assert blob[pos] == 0xFF
+        marker = blob[pos + 1]
+        if marker == 0xDA:  # SOS: header + the rest of the stream
+            strip += blob[pos:]
+            break
+        (ln,) = _st.unpack_from(">H", blob, pos + 2)
+        seg = blob[pos : pos + 2 + ln]
+        (tables if marker in (0xDB, 0xC4) else strip).extend(seg)
+        pos += 2 + ln
+    tables += b"\xff\xd9"
+    return bytes(tables), bytes(strip)
+
+
+def test_jpeg_in_tiff_single_strip_exact():
+    """Compression-7 TIFF with one full-JPEG strip: the constant-
+    block flat-8 contract makes the lossy codec exact, so the TIFF
+    path must reproduce the pixels bit-for-bit."""
+    from lsdm_motogp_data_integration_spark.operators.jpegcodec import (
+        encode_jpeg,
+    )
+
+    rng = np.random.RandomState(41)
+    blocks = rng.randint(0, 256, (2, 3), np.uint8)
+    img = np.repeat(np.repeat(blocks, 8, 0), 8, 1)  # 16x24
+    flat8 = np.full((8, 8), 8, np.int64)
+    strip = encode_jpeg(img, quant=flat8)
+    blob = _jpeg_tiff([strip], 24, 16, 16, 1)
+    assert mc.sniff_format(blob) == "tiff"
+    assert np.array_equal(mc.decode_image(blob), img)
+
+
+def test_jpeg_in_tiff_multi_strip_with_jpeg_tables():
+    """Abbreviated strips + a shared JPEGTables tag (TTN2): tables
+    splice in after each strip's SOI; strips stack vertically."""
+    from lsdm_motogp_data_integration_spark.operators.jpegcodec import (
+        encode_jpeg,
+    )
+
+    rng = np.random.RandomState(42)
+    blocks = rng.randint(0, 256, (4, 2), np.uint8)
+    img = np.repeat(np.repeat(blocks, 8, 0), 8, 1)  # 32x16
+    flat8 = np.full((8, 8), 8, np.int64)
+    full0 = encode_jpeg(img[:16], quant=flat8)
+    full1 = encode_jpeg(img[16:], quant=flat8)
+    t0, s0 = _split_jpeg_tables(full0)
+    t1, s1 = _split_jpeg_tables(full1)
+    assert t0 == t1  # same quant/huffman specs → shared tables
+    blob = _jpeg_tiff([s0, s1], 16, 32, 16, 1, jpeg_tables=t0)
+    assert np.array_equal(mc.decode_image(blob), img)
+    # the abbreviated strips alone must NOT decode (tables absent)
+    with pytest.raises(mc.MediaFormatError):
+        mc.decode_image(_jpeg_tiff([s0], 16, 16, 16, 1))
+
+
+def test_jpeg_in_tiff_rgb_and_corruption():
+    from lsdm_motogp_data_integration_spark.operators.jpegcodec import (
+        encode_jpeg,
+    )
+
+    c = np.full((16, 16, 3), [200, 30, 90], np.uint8)
+    strip = encode_jpeg(c, quality=95)  # constant color: exact
+    blob = _jpeg_tiff([strip], 16, 16, 16, 3, photometric=6)
+    assert np.array_equal(mc.decode_image(blob), c)
+    # channel count disagreeing with IFD spp is loud
+    with pytest.raises(mc.MediaFormatError, match="channels"):
+        mc.decode_image(_jpeg_tiff([strip], 16, 16, 16, 1))
+    # strip that isn't JPEG at all
+    with pytest.raises(mc.MediaFormatError, match="SOI"):
+        mc.decode_image(_jpeg_tiff([b"\x00" * 40], 16, 16, 16, 1))
