@@ -35,10 +35,17 @@ cached per ObjStm), and the PNG/TIFF predictors xref streams are
 near-universally filtered through (§7.4.4.4 — all five PNG row
 filters at any byte width).
 
+Embedded-font text is readable through /ToUnicode CMaps (§9.10.3,
+r7 continuation): per-page /Resources /Font dicts are resolved, each
+font's CMap (codespacerange width, bfchar, bfrange with incremented
+or array destinations) is parsed once, ``Tf`` selects it, and shown
+strings decode code-by-code; fonts without a CMap keep the standard
+encodings.  Filters: FlateDecode, ASCIIHexDecode, ASCII85Decode,
+RunLengthDecode.
+
 Honest gates (``NotImplementedError``): encrypted documents
-(``/Encrypt``), filters beyond FlateDecode / ASCIIHexDecode / none
-(DCT/CCITT/JBIG2/LZW), and ToUnicode CMap remapping (bytes are read
-through the standard encodings).  Malformed structure raises
+(``/Encrypt``) and image filters (DCT/CCITT/JBIG2/LZW) — the latter
+never carry text.  Malformed structure raises
 :class:`~.mediacodec.MediaFormatError`.
 
 Scale placement: like the other codecs this runs INSIDE Arrow-batched
@@ -253,6 +260,69 @@ class _Lexer:
 
 
 # --- document structure ------------------------------------------------------
+
+
+def _ascii85_decode(raw: bytes) -> bytes:
+    """§7.4.3 ASCII85Decode: 5 chars ('!'..'u') → 4 bytes base-85
+    big-endian; 'z' is the 4-zero-bytes shorthand (only between
+    groups); a partial final group of n chars yields n−1 bytes
+    (pad with 'u', drop the padding's bytes); '~>' is EOD;
+    whitespace ignored."""
+    body = re.sub(rb"[\x00\t\n\x0c\r ]", b"", raw).split(b"~>", 1)[0]
+    out = bytearray()
+    group: list[int] = []
+    for c in body:
+        if c == 0x7A:  # 'z'
+            if group:
+                raise MediaFormatError("PDF ASCII85 'z' inside group")
+            out += b"\x00\x00\x00\x00"
+            continue
+        if not 0x21 <= c <= 0x75:
+            raise MediaFormatError(f"PDF ASCII85 bad byte {c:#x}")
+        group.append(c - 0x21)
+        if len(group) == 5:
+            v = 0
+            for g in group:
+                v = v * 85 + g
+            if v > 0xFFFFFFFF:
+                raise MediaFormatError("PDF ASCII85 group overflow")
+            out += v.to_bytes(4, "big")
+            group = []
+    if group:
+        if len(group) == 1:
+            raise MediaFormatError("PDF ASCII85 lone final char")
+        n = len(group)
+        for _ in range(5 - n):
+            group.append(84)  # pad with 'u'
+        v = 0
+        for g in group:
+            v = v * 85 + g
+        out += v.to_bytes(4, "big")[: n - 1]
+    return bytes(out)
+
+
+def _runlength_decode(raw: bytes) -> bytes:
+    """§7.4.5 RunLengthDecode: L ≤ 127 → copy L+1 literals;
+    L ≥ 129 → repeat next byte 257−L times; 128 = EOD."""
+    out = bytearray()
+    p = 0
+    n = len(raw)
+    while p < n:
+        ln = raw[p]
+        p += 1
+        if ln == 128:
+            break
+        if ln < 128:
+            if p + ln + 1 > n:
+                raise MediaFormatError("PDF RunLength literal truncated")
+            out += raw[p : p + ln + 1]
+            p += ln + 1
+        else:
+            if p >= n:
+                raise MediaFormatError("PDF RunLength repeat truncated")
+            out += bytes([raw[p]]) * (257 - ln)
+            p += 1
+    return bytes(out)
 
 
 def _apply_predictor(raw: bytes, pred: int, cols: int, bpp: int) -> bytes:
@@ -592,11 +662,14 @@ class _Document:
                 if len(hx) % 2:
                     hx += b"0"
                 raw = bytes.fromhex(hx.decode("ascii"))
-            elif f in ("ObjStm",):
-                raise NotImplementedError("PDF object streams")
+            elif f == "ASCII85Decode":
+                raw = _ascii85_decode(raw)
+            elif f == "RunLengthDecode":
+                raw = _runlength_decode(raw)
             else:
                 raise NotImplementedError(
-                    f"PDF filter {f} (FlateDecode/ASCIIHexDecode only)"
+                    f"PDF filter {f} (Flate/ASCIIHex/ASCII85/"
+                    f"RunLength only)"
                 )
         params = self.resolve(sd.get("DecodeParms"))
         if isinstance(params, list):  # one entry per filter; take the
@@ -666,7 +739,123 @@ def _pdf_string_to_text(b: bytes) -> str:
     return b.decode("latin-1")
 
 
-def _extract_page_text(content: bytes, kern_space: float = 180.0) -> str:
+def _parse_tounicode(data: bytes) -> tuple[int, dict[int, str]]:
+    """Parse a /ToUnicode CMap stream (§9.10.3 / Adobe CMap spec):
+    ``begincodespacerange`` fixes the code byte width,
+    ``beginbfchar`` maps single codes, ``beginbfrange`` maps runs
+    (destination string's final UTF-16 code unit increments, or an
+    explicit destination array).  Returns (code_width, code →
+    unicode)."""
+    lx = _Lexer(data, 0)
+    n = len(data)
+    width = 1
+    cmap: dict[int, str] = {}
+
+    def at_kw(kw: bytes) -> bool:
+        lx._skip_ws()
+        if data[lx.p : lx.p + len(kw)] == kw:
+            lx.p += len(kw)
+            return True
+        return False
+
+    def u16(b: bytes) -> str:
+        if len(b) % 2:
+            raise MediaFormatError(
+                "PDF ToUnicode destination is not UTF-16BE"
+            )
+        return b.decode("utf-16-be", errors="replace")
+
+    while True:
+        lx._skip_ws()
+        if lx.p >= n:
+            break
+        c = data[lx.p]
+        if c in b"(<[/+-.0123456789" or _KW_RE.match(data, lx.p):
+            try:
+                lx.read_object()
+            except MediaFormatError:
+                break
+            continue
+        m = _OP_RE.match(data, lx.p)
+        if not m:
+            break
+        op = m.group()
+        lx.p = m.end()
+        if op == b"begincodespacerange":
+            while not at_kw(b"endcodespacerange"):
+                lo = lx.read_object()
+                lx.read_object()  # hi
+                if isinstance(lo, bytes) and lo:
+                    width = len(lo)
+        elif op == b"beginbfchar":
+            while not at_kw(b"endbfchar"):
+                src = lx.read_object()
+                dst = lx.read_object()
+                if not isinstance(src, bytes) or not isinstance(
+                    dst, bytes
+                ):
+                    raise MediaFormatError("PDF bad bfchar pair")
+                width = len(src)
+                cmap[int.from_bytes(src, "big")] = u16(dst)
+        elif op == b"beginbfrange":
+            while not at_kw(b"endbfrange"):
+                lo = lx.read_object()
+                hi = lx.read_object()
+                dst = lx.read_object()
+                if not isinstance(lo, bytes) or not isinstance(
+                    hi, bytes
+                ):
+                    raise MediaFormatError("PDF bad bfrange bounds")
+                width = len(lo)
+                lo_i = int.from_bytes(lo, "big")
+                hi_i = int.from_bytes(hi, "big")
+                if hi_i < lo_i or hi_i - lo_i > 0x10000:
+                    raise MediaFormatError("PDF bad bfrange span")
+                if isinstance(dst, list):
+                    if len(dst) != hi_i - lo_i + 1:
+                        raise MediaFormatError(
+                            "PDF bfrange array length mismatch"
+                        )
+                    for k, dv in enumerate(dst):
+                        if not isinstance(dv, bytes):
+                            raise MediaFormatError(
+                                "PDF bfrange array entry not a string"
+                            )
+                        cmap[lo_i + k] = u16(dv)
+                elif isinstance(dst, bytes):
+                    if len(dst) % 2:
+                        raise MediaFormatError(
+                            "PDF ToUnicode destination is not UTF-16BE"
+                        )
+                    base = int.from_bytes(dst[-2:], "big")
+                    head = dst[:-2]
+                    for k in range(hi_i - lo_i + 1):
+                        cmap[lo_i + k] = u16(
+                            head + ((base + k) & 0xFFFF).to_bytes(2, "big")
+                        )
+                else:
+                    raise MediaFormatError("PDF bad bfrange destination")
+    return width, cmap
+
+
+def _decode_with_cmap(
+    b: bytes, width: int, cmap: dict[int, str]
+) -> str:
+    """Show-string bytes → text through a ToUnicode map: fixed-width
+    codes, unmapped codes become U+FFFD (visible, not silent)."""
+    out = []
+    for i in range(0, len(b) - width + 1, width):
+        out.append(
+            cmap.get(int.from_bytes(b[i : i + width], "big"), "�")
+        )
+    return "".join(out)
+
+
+def _extract_page_text(
+    content: bytes,
+    kern_space: float = 180.0,
+    fonts: dict | None = None,
+) -> str:
     """Interpret the text-showing subset of the content stream
     (§9.4): an operand stack feeds each operator; ``Tj``/``'``/``"``
     and ``TJ`` emit text, line-move operators (``Td`` with ty≠0,
@@ -674,7 +863,11 @@ def _extract_page_text(content: bytes, kern_space: float = 180.0) -> str:
     adjustments more negative than ``-kern_space`` (thousandths of a
     text-space unit; ~a space width) emit a space.  Graphics
     operators are consumed and ignored — their operands pop like any
-    other."""
+    other.  ``fonts`` maps resource names to parsed ToUnicode
+    ``(code_width, cmap)`` pairs; ``Tf`` selects, and shown strings
+    under a mapped font decode through the CMap instead of the
+    standard encodings (embedded-font PDFs are unreadable without
+    this)."""
     lx = _Lexer(content, 0)
     d = content
     n = len(d)
@@ -686,6 +879,7 @@ def _extract_page_text(content: bytes, kern_space: float = 180.0) -> str:
     pending = False
     started = False
     last_tm_y: float | None = None
+    cur_cmap: tuple | None = None
 
     def newline() -> None:
         nonlocal pending
@@ -698,7 +892,10 @@ def _extract_page_text(content: bytes, kern_space: float = 180.0) -> str:
                 out.append("\n")
             pending = False
             started = True
-            out.append(_pdf_string_to_text(s))
+            if cur_cmap is not None:
+                out.append(_decode_with_cmap(s, *cur_cmap))
+            else:
+                out.append(_pdf_string_to_text(s))
 
     while True:
         lx._skip_ws()
@@ -738,6 +935,11 @@ def _extract_page_text(content: bytes, kern_space: float = 180.0) -> str:
             newline()
             if stack:
                 show(stack[-1])
+        elif op == "Tf":
+            if fonts and len(stack) >= 2 and isinstance(
+                stack[-2], _Name
+            ):
+                cur_cmap = fonts.get(str(stack[-2]))
         elif op in ("Td", "TD"):
             ty = stack[-1] if stack else 0
             if isinstance(ty, (int, float)) and ty != 0:
@@ -789,7 +991,23 @@ def decode_pdf_text(data: bytes, *, max_pages: int = 0) -> list[str]:
             raise MediaFormatError("PDF /Contents is not a stream/array")
         # §7.8.2: multiple streams form ONE content stream when
         # concatenated with whitespace between
-        out.append(_extract_page_text(b"\n".join(parts)))
+        fonts = {}
+        res = doc.resolve(pg.get("Resources"))
+        if isinstance(res, dict):
+            fdict = doc.resolve(res.get("Font"))
+            if isinstance(fdict, dict):
+                for fname, fref in fdict.items():
+                    fobj = doc.resolve(fref)
+                    if not isinstance(fobj, dict):
+                        continue
+                    tu = doc.resolve(fobj.get("ToUnicode"))
+                    if isinstance(tu, dict) and "__raw__" in tu:
+                        fonts[str(fname)] = _parse_tounicode(
+                            doc.stream_data(tu)
+                        )
+        out.append(
+            _extract_page_text(b"\n".join(parts), fonts=fonts)
+        )
     return out
 
 

@@ -435,3 +435,115 @@ def test_xref_stream_prev_chain_incremental_update():
     )
     out += b"startxref\n%d\n%%%%EOF" % xr
     assert decode_pdf_text(bytes(out)) == ["new 1.5 text"]
+
+
+def test_ascii85_and_runlength_filters():
+    """§7.4.3/§7.4.5 filters pinned against stdlib base64.a85encode
+    and hand-built RLE; also chained with Flate (filter arrays apply
+    in order)."""
+    import base64
+
+    from lsdm_motogp_data_integration_spark.operators.pdfcodec import (
+        _ascii85_decode,
+        _runlength_decode,
+    )
+
+    rng_bytes = bytes(range(0, 256, 7)) + b"\x00\x00\x00\x00tail"
+    enc = base64.a85encode(rng_bytes) + b"~>"
+    assert _ascii85_decode(enc) == rng_bytes
+    # 'z' shorthand + whitespace tolerance
+    assert _ascii85_decode(b" z \n z~>") == b"\x00" * 8
+    with pytest.raises(MediaFormatError, match="lone final"):
+        _ascii85_decode(b"!~>")
+    rle = b"\x02abc" + bytes([257 - 5]) + b"x" + b"\x80" + b"junk"
+    assert _runlength_decode(rle) == b"abcxxxxx"
+    # end-to-end: a content stream through [ASCII85 RunLength] chain
+    content = b"BT (a85+rle text) Tj ET"
+    # forward RLE: all-literal runs of <=128
+    fwd = bytearray()
+    for i in range(0, len(content), 128):
+        chunk = content[i : i + 128]
+        fwd += bytes([len(chunk) - 1]) + chunk
+    fwd += b"\x80"
+    wrapped = base64.a85encode(bytes(fwd)) + b"~>"
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+        b"<< /Length %d /Filter [/ASCII85Decode /RunLengthDecode] "
+        b">>\nstream\n" % len(wrapped)
+        + wrapped
+        + b"\nendstream",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offs = []
+    for i, body in enumerate(objs, 1):
+        offs.append(len(out))
+        out += b"%d 0 obj\n" % i + body + b"\nendobj\n"
+    xr = len(out)
+    out += b"xref\n0 5\n0000000000 65535 f \n"
+    for o in offs:
+        out += b"%010d 00000 n \n" % o
+    out += (
+        b"trailer\n<< /Size 5 /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF"
+        % xr
+    )
+    assert decode_pdf_text(bytes(out)) == ["a85+rle text"]
+
+
+def test_tounicode_cmap_embedded_font_text():
+    """Embedded-font text (§9.10.3): a Type0-style font whose 2-byte
+    codes mean nothing without the /ToUnicode CMap — bfchar entries,
+    an incremented bfrange, an array bfrange, Tf font switching
+    mid-page, and an unmapped code surfacing as U+FFFD."""
+    cmap = (
+        b"/CIDInit /ProcSet findresource begin\n"
+        b"12 dict begin begincmap\n"
+        b"1 begincodespacerange <0000> <FFFF> endcodespacerange\n"
+        b"2 beginbfchar\n"
+        b"<0001> <0048>\n"          # H
+        b"<0002> <0065>\n"          # e
+        b"endbfchar\n"
+        b"1 beginbfrange\n"
+        b"<0010> <0012> <006C>\n"   # l m n (incremented)
+        b"endbfrange\n"
+        b"1 beginbfrange\n"
+        b"<0020> <0021> [<0021> <00212019>]\n"  # '!' and "!'" (array)
+        b"endbfrange\n"
+        b"endcmap end end\n"
+    )
+    content = (
+        b"BT /F9 12 Tf <00010002 0010 0011 0012> Tj "
+        b"<0020 0021> Tj "
+        b"/F1 12 Tf (plain latin1) Tj "
+        b"/F9 12 Tf <0999> Tj ET"
+    )
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R /Resources "
+        b"<< /Font << /F9 5 0 R /F1 << /Subtype /Type1 "
+        b"/BaseFont /Helvetica >> >> >> >>",
+        b"<< /Length %d >>\nstream\n" % len(content)
+        + content
+        + b"\nendstream",
+        b"<< /Type /Font /Subtype /Type0 /ToUnicode 6 0 R >>",
+        b"<< /Length %d >>\nstream\n" % len(cmap)
+        + cmap
+        + b"\nendstream",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offs = []
+    for i, body in enumerate(objs, 1):
+        offs.append(len(out))
+        out += b"%d 0 obj\n" % i + body + b"\nendobj\n"
+    xr = len(out)
+    out += b"xref\n0 7\n0000000000 65535 f \n"
+    for o in offs:
+        out += b"%010d 00000 n \n" % o
+    out += (
+        b"trailer\n<< /Size 7 /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF"
+        % xr
+    )
+    pages = decode_pdf_text(bytes(out))
+    assert pages == ["Helmn!!’plain latin1�"]
