@@ -332,6 +332,71 @@ def main() -> None:
             "jpeg_decode",
             media_stats(_build_multimodal_media(docs, kinds=(5,))),
         )
+        # r7: the progressive (SOF2) twin — multi-scan entropy decode
+        # over the same pixels; expected linear with a modestly larger
+        # constant than baseline (several passes over the band scans)
+        r["jpeg_p_decode_s"], _ = timed(
+            "jpeg_p_decode",
+            media_stats(
+                _build_multimodal_media(
+                    docs, kinds=(5,), jpeg_progressive=True
+                )
+            ),
+        )
+        # r7: PDF text extraction — skeleton build + full xref/object
+        # walk + Flate + text-operator interpretation per blob, both
+        # layouts (classic / 1.5 compressed); expected linear
+        from lsdm_motogp_data_integration_spark.operators.multimodal import (
+            pdf_text,
+        )
+
+        def _build_pdf_media_probe(ds):
+            import pandas as _pd
+
+            from lsdm_motogp_data_integration_spark.operators.multimodal import (  # noqa: E501
+                MEDIA_SCHEMA,
+            )
+            from lsdm_motogp_data_integration_spark.operators.pdfcodec import (  # noqa: E501
+                encode_pdf_skeleton,
+            )
+
+            def run(batches):
+                for pb in batches:
+                    ids, kinds_c, contents, metas = [], [], [], []
+                    for did, text in zip(pb["doc_id"], pb["text"]):
+                        t = "" if text is None else str(text)
+                        ids.append(int(did))
+                        kinds_c.append("document")
+                        contents.append(
+                            encode_pdf_skeleton(
+                                [t[:200], "p2: " + t[200:400]],
+                                layout=(
+                                    "classic"
+                                    if did % 2 == 0
+                                    else "xref_stream"
+                                ),
+                            )
+                        )
+                        metas.append(None)
+                    yield _pd.DataFrame(
+                        {
+                            "media_id": ids,
+                            "kind": kinds_c,
+                            "content": contents,
+                            "meta": metas,
+                        }
+                    )
+
+            return ds.select("doc_id", "text").mapInPandas(
+                run, schema=MEDIA_SCHEMA
+            )
+
+        r["pdf_text_s"], _ = timed(
+            "pdf_text",
+            pdf_text(_build_pdf_media_probe(docs)).agg(
+                F.sum(F.length("text"))
+            ),
+        )
         r["gif_decode_s"], _ = timed(
             "gif_decode",
             media_stats(_build_multimodal_media(docs, kinds=(6,))),
