@@ -1744,12 +1744,15 @@ def encode_tiff(
     return bytes(out)
 
 
-def _tiff_lzw_decode(data: bytes, expected: int) -> bytes:
+def _tiff_lzw_decode(data: bytes, expected: int = 0) -> bytes:
     """TIFF-variant LZW (spec §13): MSB-first bit packing, fixed
     8-bit roots (CLEAR=256, EOI=257), and the EARLY-CHANGE width
     schedule — the code width grows when the next free code reaches
     ``2^width − 1``, one code earlier than GIF's convention (the
-    documented historical off-by-one every real reader honors)."""
+    documented historical off-by-one every real reader honors).
+    ``expected`` bounds the output (TIFF strips know their raster
+    size); 0 = decode until EOI or end of data (the PDF LZWDecode
+    caller — identical algorithm at /EarlyChange 1, its default)."""
     out = bytearray()
     prefix = [0] * 4096
     suffix = bytearray(4096)
@@ -1770,9 +1773,11 @@ def _tiff_lzw_decode(data: bytes, expected: int) -> bytes:
         s.reverse()
         return bytes(s)
 
-    while len(out) < expected:
+    while expected <= 0 or len(out) < expected:
         while nb < width:
             if pos >= ln:
+                if expected <= 0 and nb == 0:
+                    return bytes(out)  # unbounded mode: data exhausted
                 raise MediaFormatError("TIFF LZW data truncated")
             buf = (buf << 8) | data[pos]
             pos += 1
@@ -1808,7 +1813,7 @@ def _tiff_lzw_decode(data: bytes, expected: int) -> bytes:
             if next_code == (1 << width) - 1 and width < 12:
                 width += 1
         prev = code
-    return bytes(out[:expected])
+    return bytes(out[:expected]) if expected > 0 else bytes(out)
 
 
 # IMA/DVI ADPCM tables (public: IMA Digital Audio Pack, 1992)

@@ -40,12 +40,12 @@ r7 continuation): per-page /Resources /Font dicts are resolved, each
 font's CMap (codespacerange width, bfchar, bfrange with incremented
 or array destinations) is parsed once, ``Tf`` selects it, and shown
 strings decode code-by-code; fonts without a CMap keep the standard
-encodings.  Filters: FlateDecode, ASCIIHexDecode, ASCII85Decode,
-RunLengthDecode.
+encodings.  Filters: FlateDecode, LZWDecode (the TIFF LZW machinery
+at /EarlyChange 1), ASCIIHexDecode, ASCII85Decode, RunLengthDecode.
 
 Honest gates (``NotImplementedError``): encrypted documents
-(``/Encrypt``) and image filters (DCT/CCITT/JBIG2/LZW) — the latter
-never carry text.  Malformed structure raises
+(``/Encrypt``) and image filters (DCT/CCITT/JBIG2) — they never
+carry text.  Malformed structure raises
 :class:`~.mediacodec.MediaFormatError`.
 
 Scale placement: like the other codecs this runs INSIDE Arrow-batched
@@ -666,9 +666,23 @@ class _Document:
                 raw = _ascii85_decode(raw)
             elif f == "RunLengthDecode":
                 raw = _runlength_decode(raw)
+            elif f == "LZWDecode":
+                from lsdm_motogp_data_integration_spark.operators.mediacodec import (  # noqa: E501
+                    _tiff_lzw_decode,
+                )
+
+                parms = self.resolve(sd.get("DecodeParms"))
+                ec = 1
+                if isinstance(parms, dict):
+                    ec = self.resolve(parms.get("EarlyChange", 1))
+                if ec != 1:
+                    raise NotImplementedError(
+                        "PDF LZWDecode /EarlyChange 0"
+                    )
+                raw = _tiff_lzw_decode(raw)
             else:
                 raise NotImplementedError(
-                    f"PDF filter {f} (Flate/ASCIIHex/ASCII85/"
+                    f"PDF filter {f} (Flate/LZW/ASCIIHex/ASCII85/"
                     f"RunLength only)"
                 )
         params = self.resolve(sd.get("DecodeParms"))

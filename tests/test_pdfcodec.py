@@ -547,3 +547,62 @@ def test_tounicode_cmap_embedded_font_text():
     )
     pages = decode_pdf_text(bytes(out))
     assert pages == ["Helmn!!’plain latin1�"]
+
+
+def test_lzw_filter():
+    """LZWDecode (the TIFF early-change machinery at /EarlyChange 1):
+    a content stream compressed by the independent test-side LZW
+    encoder extracts; /EarlyChange 0 stays a loud gate."""
+    from test_container_info import _tiff_lzw_encode
+
+    content = b"BT (lzw text lzw text lzw text) Tj ET"
+    comp = _tiff_lzw_encode(content)
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+        b"<< /Length %d /Filter /LZWDecode >>\nstream\n" % len(comp)
+        + comp
+        + b"\nendstream",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offs = []
+    for i, body in enumerate(objs, 1):
+        offs.append(len(out))
+        out += b"%d 0 obj\n" % i + body + b"\nendobj\n"
+    xr = len(out)
+    out += b"xref\n0 5\n0000000000 65535 f \n"
+    for o in offs:
+        out += b"%010d 00000 n \n" % o
+    out += (
+        b"trailer\n<< /Size 5 /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF"
+        % xr
+    )
+    assert decode_pdf_text(bytes(out)) == ["lzw text lzw text lzw text"]
+    ec0 = bytes(out).replace(
+        b"/Filter /LZWDecode",
+        b"/Filter /LZWDecode /DecodeParms << /EarlyChange 0 >>",
+    )
+    # NOTE: inserting lengthens the file → rebuild instead of replace
+    objs[3] = (
+        b"<< /Length %d /Filter /LZWDecode /DecodeParms "
+        b"<< /EarlyChange 0 >> >>\nstream\n" % len(comp)
+        + comp
+        + b"\nendstream"
+    )
+    out = bytearray(b"%PDF-1.4\n")
+    offs = []
+    for i, body in enumerate(objs, 1):
+        offs.append(len(out))
+        out += b"%d 0 obj\n" % i + body + b"\nendobj\n"
+    xr = len(out)
+    out += b"xref\n0 5\n0000000000 65535 f \n"
+    for o in offs:
+        out += b"%010d 00000 n \n" % o
+    out += (
+        b"trailer\n<< /Size 5 /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF"
+        % xr
+    )
+    assert ec0  # the naive in-place replace is a corrupt-xref trap
+    with pytest.raises(NotImplementedError, match="EarlyChange"):
+        decode_pdf_text(bytes(out))
