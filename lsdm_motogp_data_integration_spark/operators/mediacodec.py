@@ -1001,14 +1001,20 @@ def _gif_lzw_decode(min_code_size: int, data: bytes, n_pixels: int) -> bytes:
     return bytes(out[:n_pixels])
 
 
-def _decode_gif(data: bytes) -> np.ndarray:
-    """Decode the first image of a GIF87a/89a to ``(H, W, 3) uint8``
-    RGB via the (local-over-global) color table."""
+def _gif_parse(data: bytes, first_only: bool = False) -> tuple:
+    """Parse a GIF87a/89a: screen geometry, global color table,
+    background index, and the frame list — each frame a dict with
+    its sub-rectangle (x, y, w, h), palette-resolved indices ``idx``,
+    palette ``pal``, and the preceding Graphic Control Extension's
+    disposal / transparent-index / delay (GIF89a §23)."""
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise MediaFormatError("not a GIF")
     if len(data) < 13:
         raise MediaFormatError("GIF truncated in screen descriptor")
+    sw = int.from_bytes(data[6:8], "little")
+    sh = int.from_bytes(data[8:10], "little")
     packed = data[10]
+    bg_idx = data[11]
     pos = 13
     gct = None
     if packed & 0x80:
@@ -1018,11 +1024,26 @@ def _decode_gif(data: bytes) -> np.ndarray:
             raise MediaFormatError("GIF global color table truncated")
         gct = gct.reshape(n, 3)
         pos += 3 * n
+    frames: list[dict] = []
+    gce: dict | None = None
     while pos < len(data):
         b = data[pos]
-        if b == 0x3B:  # trailer before any image
-            raise MediaFormatError("GIF has no image descriptor")
+        if b == 0x3B:  # trailer
+            if not frames:
+                raise MediaFormatError("GIF has no image descriptor")
+            return sw, sh, gct, bg_idx, frames
         if b == 0x21:  # extension: label + sub-blocks
+            if (
+                pos + 7 <= len(data)
+                and data[pos + 1] == 0xF9
+                and data[pos + 2] == 4
+            ):
+                blk = data[pos + 3 : pos + 7]
+                gce = {
+                    "disposal": (blk[0] >> 2) & 7,
+                    "transparent": blk[3] if blk[0] & 1 else None,
+                    "delay_ms": int.from_bytes(blk[1:3], "little") * 10,
+                }
             pos += 2
             while pos < len(data) and data[pos] != 0:
                 pos += 1 + data[pos]
@@ -1031,6 +1052,8 @@ def _decode_gif(data: bytes) -> np.ndarray:
         if b != 0x2C:
             raise MediaFormatError(f"GIF unknown block 0x{b:02x}")
         # image descriptor
+        x = int.from_bytes(data[pos + 1 : pos + 3], "little")
+        y = int.from_bytes(data[pos + 3 : pos + 5], "little")
         w = int.from_bytes(data[pos + 5 : pos + 7], "little")
         h = int.from_bytes(data[pos + 7 : pos + 9], "little")
         ipacked = data[pos + 9]
@@ -1058,6 +1081,7 @@ def _decode_gif(data: bytes) -> np.ndarray:
             ln = data[pos]
             chunks.append(data[pos + 1 : pos + 1 + ln])
             pos += 1 + ln
+        pos += 1  # sub-block terminator
         idx = np.frombuffer(
             _gif_lzw_decode(min_code_size, b"".join(chunks), w * h),
             np.uint8,
@@ -1079,8 +1103,78 @@ def _decode_gif(data: bytes) -> np.ndarray:
             de = np.empty_like(img)
             de[order] = img
             img = de
-        return np.ascontiguousarray(pal[img])
-    raise MediaFormatError("GIF truncated before image data")
+        frames.append(
+            {
+                "x": x,
+                "y": y,
+                "w": w,
+                "h": h,
+                "idx": img,
+                "pal": pal,
+                "gce": gce,
+            }
+        )
+        gce = None
+        if first_only:
+            return sw, sh, gct, bg_idx, frames
+    if not frames:
+        raise MediaFormatError("GIF truncated before image data")
+    return sw, sh, gct, bg_idx, frames
+
+
+def _decode_gif(data: bytes) -> np.ndarray:
+    """Decode the first image of a GIF87a/89a to ``(H, W, 3) uint8``
+    RGB via the (local-over-global) color table."""
+    _sw, _sh, _gct, _bg, frames = _gif_parse(data, first_only=True)
+    f = frames[0]
+    return np.ascontiguousarray(f["pal"][f["idx"]])
+
+
+def decode_gif_frames(data: bytes) -> tuple[list[np.ndarray], list[int]]:
+    """Decode ALL frames of a (possibly animated) GIF, composed onto
+    the logical screen per the GIF89a disposal model (r7 — animated
+    GIFs are short videos in any web corpus and feed the video
+    perceptual-hash path):
+
+    - sub-rectangle frames blit at their (x, y) offsets;
+    - transparent-index pixels leave the canvas unchanged;
+    - disposal 2 restores the frame's rectangle to the background
+      color, 3 restores the pre-frame canvas, 0/1 leave it.
+
+    Returns (frames — each ``(screen_h, screen_w, 3) uint8``, per-
+    frame delays in ms, 0 where no GCE)."""
+    sw, sh, gct, bg_idx, frames = _gif_parse(data)
+    if gct is not None and bg_idx < gct.shape[0]:
+        bg = gct[bg_idx]
+    else:
+        bg = np.zeros(3, np.uint8)
+    canvas = np.broadcast_to(bg, (sh, sw, 3)).copy()
+    out: list[np.ndarray] = []
+    delays: list[int] = []
+    for f in frames:
+        x, y, w, h = f["x"], f["y"], f["w"], f["h"]
+        if x + w > sw or y + h > sh:
+            raise MediaFormatError(
+                "GIF frame rectangle outside logical screen"
+            )
+        gce = f["gce"] or {}
+        disposal = gce.get("disposal", 0)
+        trans = gce.get("transparent")
+        saved = canvas.copy() if disposal == 3 else None
+        rgb = f["pal"][f["idx"]]
+        region = canvas[y : y + h, x : x + w]
+        if trans is None:
+            region[:] = rgb
+        else:
+            mask = f["idx"] != trans
+            region[mask] = rgb[mask]
+        out.append(canvas.copy())
+        delays.append(int(gce.get("delay_ms", 0)))
+        if disposal == 2:
+            canvas[y : y + h, x : x + w] = bg
+        elif disposal == 3:
+            canvas = saved
+    return out, delays
 
 
 def encode_gif(arr: np.ndarray) -> bytes:

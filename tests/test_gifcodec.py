@@ -6,6 +6,7 @@ closed-form container size, and corrupt-stream gates."""
 import numpy as np
 import pytest
 
+from lsdm_motogp_data_integration_spark.operators import mediacodec as mc
 from lsdm_motogp_data_integration_spark.operators.mediacodec import (
     MediaFormatError,
     _decode_gif,
@@ -184,3 +185,111 @@ def test_decode_through_media_stats_dispatch():
     assert info["width"] == 6 and info["height"] == 5
     assert info["channels"] == 3
     assert np.array_equal(info["array"], np.repeat(g[:, :, None], 3, axis=2))
+
+
+# --- animated GIFs (r7): all-frames decode with the disposal model ---------
+
+
+def _animate(frames, delays_cs, disposal=1, transparent=None):
+    """Test-side animation assembler: per-frame sections from the
+    REAL encoder (shared identity-gray palette), GCEs spliced in."""
+    parts = [mc.encode_gif(f) for f in frames]
+    head = parts[0][: 13 + 768]
+    body = b""
+    for p, d in zip(parts, delays_cs):
+        flags = (disposal << 2) | (1 if transparent is not None else 0)
+        body += bytes(
+            [0x21, 0xF9, 4, flags, d & 255, d >> 8,
+             transparent or 0, 0]
+        )
+        body += p[13 + 768 : -1]  # image descriptor..data, no trailer
+    return head + body + b"\x3b"
+
+
+def test_animated_gif_all_frames_and_delays():
+    rng = np.random.RandomState(33)
+    frames = [rng.randint(0, 256, (5, 7), np.uint8) for _ in range(3)]
+    blob = _animate(frames, [10, 25, 0])
+    out, delays = mc.decode_gif_frames(blob)
+    assert len(out) == 3 and delays == [100, 250, 0]
+    for got, f in zip(out, frames):
+        assert np.array_equal(got, np.repeat(f[:, :, None], 3, 2))
+    # the single-frame API still reads frame 1 only
+    assert np.array_equal(
+        mc.decode_image(blob), np.repeat(frames[0][:, :, None], 3, 2)
+    )
+
+
+def test_animated_gif_subrect_transparency_and_disposal():
+    """Frame 2 is a 2×2 sub-rect at (1,1) with a transparent index
+    and disposal 2 (restore background); frame 3 shows the restored
+    rectangle."""
+    base = np.arange(16, dtype=np.uint8).reshape(4, 4) + 100
+    patch = np.array([[7, 9], [9, 8]], np.uint8)  # 9 = transparent
+    f3 = np.full((4, 4), 55, np.uint8)
+    p1 = mc.encode_gif(base)
+    p2 = mc.encode_gif(patch)
+    p3 = mc.encode_gif(f3)
+    head = p1[: 13 + 768]
+
+    def gce(disposal, trans=None):
+        flags = (disposal << 2) | (1 if trans is not None else 0)
+        return bytes([0x21, 0xF9, 4, flags, 0, 0, trans or 0, 0])
+
+    sec2 = bytearray(p2[13 + 768 : -1])
+    assert sec2[0] == 0x2C
+    sec2[1:3] = (1).to_bytes(2, "little")  # x = 1
+    sec2[3:5] = (1).to_bytes(2, "little")  # y = 1
+    blob = (
+        head
+        + gce(1) + p1[13 + 768 : -1]
+        + gce(2, trans=9) + bytes(sec2)
+        + gce(0) + p3[13 + 768 : -1]
+        + b"\x3b"
+    )
+    out, _ = mc.decode_gif_frames(blob)
+    assert len(out) == 3
+    gray = lambda a: np.repeat(a[:, :, None], 3, 2)  # noqa: E731
+    assert np.array_equal(out[0], gray(base))
+    # frame 2: patch blitted at (1,1), transparent 9s keep the base
+    exp = base.copy()
+    exp[1, 1] = 7
+    exp[2, 2] = 8
+    assert np.array_equal(out[1], gray(exp))
+    # frame 3: full overwrite hides the disposal-2 restore, so build
+    # the expectation from the model: after disposal 2 the (1:3,1:3)
+    # rect went to background color 0, then f3 overwrites everything
+    assert np.array_equal(out[2], gray(f3))
+
+
+def test_animated_gif_disposal_2_visible_restore():
+    """A third frame that does NOT cover the disposed rectangle makes
+    the background restore visible."""
+    base = np.full((4, 4), 200, np.uint8)
+    patch = np.full((2, 2), 30, np.uint8)
+    corner = np.full((1, 1), 77, np.uint8)
+    p1, p2, p3 = (mc.encode_gif(a) for a in (base, patch, corner))
+    head = p1[: 13 + 768]
+
+    def gce(disposal):
+        return bytes([0x21, 0xF9, 4, disposal << 2, 0, 0, 0, 0])
+
+    sec2 = bytearray(p2[13 + 768 : -1])
+    sec2[1:3] = (1).to_bytes(2, "little")
+    sec2[3:5] = (1).to_bytes(2, "little")
+    blob = (
+        head
+        + gce(1) + p1[13 + 768 : -1]
+        + gce(2) + bytes(sec2)
+        + gce(0) + p3[13 + 768 : -1]
+        + b"\x3b"
+    )
+    out, _ = mc.decode_gif_frames(blob)
+    exp2 = base.copy()
+    exp2[1:3, 1:3] = 30
+    exp3 = base.copy()
+    exp3[1:3, 1:3] = 0  # background index 0 → gray 0
+    exp3[0, 0] = 77
+    gray = lambda a: np.repeat(a[:, :, None], 3, 2)  # noqa: E731
+    assert np.array_equal(out[1], gray(exp2))
+    assert np.array_equal(out[2], gray(exp3))
