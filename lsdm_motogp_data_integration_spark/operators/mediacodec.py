@@ -2194,3 +2194,65 @@ def _decode_tiff_jpeg(data: bytes, t: dict) -> np.ndarray:
     if t.get("photometric", 1) == 0:
         out = (255 - out).astype(np.uint8)
     return np.ascontiguousarray(out)
+
+
+def gif_anim_info(data: bytes) -> dict:
+    """Animation metadata WITHOUT pixel decode (r7): screen dims,
+    frame count, and total duration (sum of Graphic Control delays —
+    ``None`` when no GCE exists, i.e. a plain still GIF).  The walk
+    hops image data by sub-block length headers (1 byte per ≤255 of
+    payload), the O(blocks) cost class of the MP3 frame walk."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise MediaFormatError("not a GIF")
+    if len(data) < 13:
+        raise MediaFormatError("GIF truncated in screen descriptor")
+    w = int.from_bytes(data[6:8], "little")
+    h = int.from_bytes(data[8:10], "little")
+    pos = 13
+    if data[10] & 0x80:
+        pos += 3 * (2 << (data[10] & 7))
+    n_frames = 0
+    total_ms = 0
+    saw_gce = False
+    pending_ms = 0
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x3B:
+            break
+        if b == 0x21:
+            if (
+                pos + 7 <= len(data)
+                and data[pos + 1] == 0xF9
+                and data[pos + 2] == 4
+            ):
+                saw_gce = True
+                pending_ms = (
+                    int.from_bytes(data[pos + 4 : pos + 6], "little")
+                    * 10
+                )
+            pos += 2
+            while pos < len(data) and data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise MediaFormatError(f"GIF unknown block 0x{b:02x}")
+        ipacked = data[pos + 9]
+        pos += 10
+        if ipacked & 0x80:
+            pos += 3 * (2 << (ipacked & 7))
+        pos += 1  # LZW min code size
+        while pos < len(data) and data[pos] != 0:
+            pos += 1 + data[pos]
+        pos += 1
+        n_frames += 1
+        total_ms += pending_ms
+        pending_ms = 0
+    if n_frames == 0:
+        raise MediaFormatError("GIF has no image descriptor")
+    return {
+        "width": w,
+        "height": h,
+        "n_frames": n_frames,
+        "duration_ms": total_ms if saw_gce else None,
+    }

@@ -985,6 +985,21 @@ def video_dhash(
                     hashes.append(None)
                     continue
                 blob = bytes(content)
+                if mc.sniff_format(blob) == "gif":
+                    # animated GIFs are short videos (r7): composed
+                    # frames through the same center-mapped picks
+                    frames, _delays = mc.decode_gif_frames(blob)
+                    n = len(frames)
+                    for i in range(n_sample_frames):
+                        src = ((2 * i + 1) * n) // (
+                            2 * n_sample_frames
+                        )
+                        ids.append(mid)
+                        fidx.append(i)
+                        hashes.append(
+                            dhash_value(frames[src], hash_w, hash_h)
+                        )
+                    continue
                 info = mc.y4m_info(blob)
                 n = info["n_frames"]
                 w, h = info["width"], info["height"]
@@ -1142,6 +1157,15 @@ def _container_info_one(content: bytes) -> dict:
     if fmt in ("bmp", "pgm", "ppm", "png", "jpeg", "gif", "tiff"):
         w, h = mc.image_dims(content)
         out.update(width=w, height=h)
+        if fmt == "gif":
+            # animation metadata from the block walk (no LZW decode);
+            # duration stays None for plain stills (no GCE), so still
+            # GIFs screen as images, animated ones as short videos
+            gi = mc.gif_anim_info(content)
+            out.update(
+                n_frames=gi["n_frames"],
+                duration_ms=gi["duration_ms"],
+            )
     elif fmt == "wav":
         # chunk walk only: fmt fields + the data chunk's declared
         # size — no sample array is ever built

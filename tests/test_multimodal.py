@@ -866,3 +866,56 @@ def test_audio_dhash_rate_canonical(spark):
     }
     assert {(1, 2), (1, 3), (2, 3)} <= pairs
     assert not any(4 in p for p in pairs)
+
+
+def test_animated_gif_joins_the_video_family(spark):
+    """r7: animated GIFs are short videos — container_info reports
+    their frame count/duration from the block walk (stills keep
+    duration NULL), and video_dhash/video_neardup_pairs treat GIF
+    frames like Y4M luma: a brightness twin pairs conjunctively, a
+    different animation does not."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_gifcodec import _animate
+
+    from lsdm_motogp_data_integration_spark.operators.multimodal import (
+        container_info,
+        video_dhash,
+        video_neardup_pairs,
+    )
+
+    rng = np.random.RandomState(8)
+    f0 = rng.randint(0, 200, (16, 18), np.uint8)
+    f1 = rng.randint(0, 200, (16, 18), np.uint8)
+    g0 = rng.randint(0, 200, (16, 18), np.uint8)
+    anim = _animate([f0, f1], [10, 20])
+    twin = _animate([f0 + 20, f1 + 20], [10, 20])  # brightness twin
+    other = _animate([g0, 255 - g0], [5, 5])
+    rows = [
+        (1, "video", anim, None),
+        (2, "video", twin, None),
+        (3, "video", other, None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    info = {
+        r["media_id"]: r for r in container_info(media).collect()
+    }
+    assert info[1]["fmt"] == "gif" and info[1]["n_frames"] == 2
+    assert info[1]["duration_ms"] == 300  # (10 + 20) cs
+    vh = video_dhash(media, n_sample_frames=2)
+    assert len(vh.collect()) == 6
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in video_neardup_pairs(
+            vh, n_sample_frames=2, max_hamming=4
+        ).collect()
+    }
+    assert (1, 2) in pairs
+    assert not any(3 in p for p in pairs)
+    # a STILL gif keeps duration NULL (screens as an image)
+    still = spark.createDataFrame(
+        [(9, "image", mc.encode_gif(f0), None)], MEDIA_SCHEMA
+    )
+    si = container_info(still).collect()[0]
+    assert si["n_frames"] == 1 and si["duration_ms"] is None
