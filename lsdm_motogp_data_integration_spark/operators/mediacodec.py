@@ -41,11 +41,14 @@ environment and none are needed for these formats):
   (marker walk + canonical Huffman + dequant + 8×8 IDCT, grayscale /
   YCbCr with arbitrary ≤4 sampling factors); progressive and
   arithmetic coding raise ``NotImplementedError``.
-- **TIFF** (r6) — IFD tag walk in both byte orders, 8-bit gray/RGB
-  chunky layout, multi-strip reassembly, WhiteIsZero inversion,
-  uncompressed, LZW (MSB-first, spec §13 early-change width
-  schedule, per-strip), AND PackBits, with the horizontal-
-  differencing predictor; JPEG-in-TIFF/CCITT raise honestly.
+- **TIFF** (r6; r7 closures) — IFD tag walk in both byte orders,
+  8-bit gray/RGB chunky layout, multi-strip reassembly, WhiteIsZero
+  inversion, uncompressed, LZW (MSB-first, spec §13 early-change
+  width schedule, per-strip), PackBits with the horizontal-
+  differencing predictor, new-style JPEG-in-TIFF (compression 7 +
+  TTN2 JPEGTables splicing, via :mod:`jpegcodec`), AND CCITT Group 4
+  (compression 4, via :mod:`faxcodec`); G3 and old-style JPEG (6)
+  raise honestly.
 
 Encoders for the same formats exist so tests and fixtures can build
 real files byte-for-byte, and ``resize_images`` can emit a real
@@ -1635,6 +1638,7 @@ _TIFF_TAGS = {
     278: "rows_per_strip",
     279: "strip_byte_counts",
     284: "planar_config",
+    293: "t6_options",
     317: "predictor",
     347: "jpeg_tables",
 }
@@ -1686,10 +1690,12 @@ def _decode_tiff(data: bytes) -> np.ndarray:
     comp = t.get("compression", 1)
     if comp == 7:  # new-style JPEG-in-TIFF (r7: the codec exists now)
         return _decode_tiff_jpeg(data, t)
+    if comp == 4:  # CCITT Group 4 (r7: operators/faxcodec)
+        return _decode_tiff_g4(data, t)
     if comp not in (1, 5, 32773):
         raise NotImplementedError(
             f"TIFF compression {comp} not supported (uncompressed=1, "
-            f"LZW=5, PackBits=32773, JPEG=7; CCITT/old-JPEG need "
+            f"G4=4, LZW=5, JPEG=7, PackBits=32773; G3/old-JPEG need "
             f"codec work)"
         )
     if t.get("planar_config", 1) != 1:
@@ -2256,3 +2262,53 @@ def gif_anim_info(data: bytes) -> dict:
         "n_frames": n_frames,
         "duration_ms": total_ms if saw_gce else None,
     }
+
+
+def _decode_tiff_g4(data: bytes, t: dict) -> np.ndarray:
+    """CCITT Group 4 TIFF (compression 4, r7): each strip is an
+    independent T.6 stream of its rows (operators/faxcodec);
+    photometric 0 (WhiteIsZero — the fax convention) maps white→255 /
+    black→0 in the canonical gray output."""
+    from lsdm_motogp_data_integration_spark.operators.faxcodec import (
+        decode_g4,
+    )
+
+    w, h = t["width"], t["height"]
+    if w <= 0 or h <= 0:
+        raise MediaFormatError(f"bad TIFF dimensions {w}x{h}")
+    if t.get("bits_per_sample", 1) != 1 or t.get(
+        "samples_per_pixel", 1
+    ) != 1:
+        raise MediaFormatError("TIFF G4 must be 1-bit single-sample")
+    if t.get("photometric", 0) != 0:
+        raise NotImplementedError(
+            "TIFF G4 with photometric != WhiteIsZero"
+        )
+    if t.get("t6_options", 0) & 2:
+        raise NotImplementedError("TIFF G4 uncompressed mode option")
+    offs = t["strip_offsets"]
+    offs = offs if isinstance(offs, list) else [offs]
+    counts = t.get("strip_byte_counts")
+    if counts is None:
+        if len(offs) != 1:
+            raise MediaFormatError("TIFF multi-strip without byte counts")
+        counts = [len(data) - offs[0]]
+    counts = counts if isinstance(counts, list) else [counts]
+    if len(counts) != len(offs):
+        raise MediaFormatError("TIFF strip offsets/counts disagree")
+    rps = t.get("rows_per_strip", h)
+    if rps <= 0:
+        raise MediaFormatError(f"bad TIFF rows_per_strip {rps}")
+    parts = []
+    for si, (o, c) in enumerate(zip(offs, counts)):
+        if o + c > len(data):
+            raise MediaFormatError("TIFF strip out of range")
+        rows_here = min(rps, h - si * rps)
+        black = decode_g4(data[o : o + c], w, rows_here)
+        parts.append(np.where(black, 0, 255).astype(np.uint8))
+    out = parts[0] if len(parts) == 1 else np.vstack(parts)
+    if out.shape[0] != h:
+        raise MediaFormatError(
+            f"TIFF G4 strips cover {out.shape[0]} of {h} rows"
+        )
+    return np.ascontiguousarray(out)

@@ -1,0 +1,156 @@
+"""CCITT Group 4 (T.6): a HAND-COMPUTED bit vector (mode selection +
+T.4 run codes worked out on paper — not via the encoder), roundtrips
+over every mode-exercising raster shape, makeup-code runs, the TIFF
+compression-4 container path, and the honest gates."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from lsdm_motogp_data_integration_spark.operators import mediacodec as mc
+from lsdm_motogp_data_integration_spark.operators.faxcodec import (
+    decode_g4,
+    encode_g4,
+)
+
+
+def test_hand_computed_vector():
+    """8×2: row 0 all white, row 1 black in cols 2..5 — coded by hand:
+
+    row 0: no transitions, a1=8, ref empty → b1=8 → V0          '1'
+    row 1: a1=2 vs b1=8 → H '001' + white-2 '0111' + black-4 '011',
+           then a1=8, b1=8 → V0 '1'
+    EOFB = (000000000001)×2; 1-padding to 5 bytes.
+    bits: 1 0010111011 1 EOFB 1111 → 97 70 01 00 1F
+    """
+    blob = bytes([0x97, 0x70, 0x01, 0x00, 0x1F])
+    img = decode_g4(blob, 8, 2)
+    exp = np.zeros((2, 8), bool)
+    exp[1, 2:6] = True
+    assert np.array_equal(img, exp)
+    # the encoder must produce these exact bytes for this raster
+    assert encode_g4(exp) == blob
+
+
+def test_roundtrip_mode_coverage():
+    rng = np.random.RandomState(5)
+    yy, xx = np.mgrid[0:40, 0:120]
+    cases = [
+        np.zeros((4, 8), bool),                     # V0 only
+        np.ones((3, 5), bool),                      # H with run 0
+        rng.rand(20, 37) > 0.5,                     # dense noise
+        rng.rand(8, 3000) > 0.97,                   # makeup-code runs
+        np.tile((np.arange(64) % 2).astype(bool), (10, 1)),
+        (yy - 20) ** 2 + (xx - 60) ** 2 < 250,      # smooth edges: V±
+        np.eye(17, 23, dtype=bool),                 # diagonal: VR1
+        rng.rand(30, 61) > 0.1,                     # mostly black
+    ]
+    # pass-mode-heavy: a wide bar that disappears next row
+    bar = np.zeros((4, 50), bool)
+    bar[0, 5:45] = True
+    bar[1, 10:12] = True
+    bar[2, 5:45] = True
+    cases.append(bar)
+    for img in cases:
+        got = decode_g4(encode_g4(img), img.shape[1], img.shape[0])
+        assert np.array_equal(got, img), img.shape
+
+
+def test_run_longer_than_2623_uses_chained_makeups():
+    img = np.zeros((2, 6000), bool)
+    img[1, 5990:] = True
+    got = decode_g4(encode_g4(img), 6000, 2)
+    assert np.array_equal(got, img)
+
+
+def test_gates_and_corruption():
+    img = np.zeros((3, 10), bool)
+    blob = encode_g4(img)
+    # EOFB before the declared height
+    with pytest.raises(mc.MediaFormatError, match="EOFB"):
+        decode_g4(blob, 10, 5)
+    # extension / uncompressed mode code
+    ext = bytes([0b00000010]) + b"\x00" * 4  # 0000001...
+    with pytest.raises(NotImplementedError, match="extension"):
+        decode_g4(ext, 10, 1)
+    with pytest.raises(mc.MediaFormatError):
+        decode_g4(b"", 10, 1)
+    with pytest.raises(mc.MediaFormatError):
+        decode_g4(blob, 0, 3)
+
+
+def _g4_tiff(
+    strips: list[bytes],
+    w: int,
+    h: int,
+    rps: int,
+    photometric: int = 0,
+    t6_options: int | None = None,
+) -> bytes:
+    """Hand-built little-endian TIFF wrapping G4 strips."""
+    out = bytearray(b"II*\x00\x00\x00\x00\x00")
+    offs = []
+    for s in strips:
+        offs.append(len(out))
+        out += s
+    tags = [
+        (256, 3, [w]),
+        (257, 3, [h]),
+        (258, 3, [1]),
+        (259, 3, [4]),
+        (262, 3, [photometric]),
+        (273, 4, offs),
+        (277, 3, [1]),
+        (278, 3, [rps]),
+        (279, 4, [len(s) for s in strips]),
+    ]
+    if t6_options is not None:
+        tags.append((293, 4, [t6_options]))
+    tags.sort()
+    n = len(tags)
+    ifd = len(out)
+    ex_base = ifd + 2 + 12 * n + 4
+    ents = b""
+    extra = bytearray()
+    for tag, ftype, vals in tags:
+        fmt = {3: "H", 4: "I"}[ftype]
+        dat = b"".join(struct.pack("<" + fmt, v) for v in vals)
+        if len(dat) <= 4:
+            ents += struct.pack("<HHI", tag, ftype, len(vals)) + dat.ljust(
+                4, b"\x00"
+            )
+        else:
+            ents += struct.pack(
+                "<HHII", tag, ftype, len(vals), ex_base + len(extra)
+            )
+            extra += dat
+    out += struct.pack("<H", n) + ents + struct.pack("<I", 0) + extra
+    struct.pack_into("<I", out, 4, ifd)
+    return bytes(out)
+
+
+def test_g4_tiff_decode_and_strips():
+    rng = np.random.RandomState(7)
+    img = rng.rand(12, 30) > 0.6
+    # single strip
+    blob = _g4_tiff([encode_g4(img)], 30, 12, 12)
+    assert mc.sniff_format(blob) == "tiff"
+    dec = mc.decode_image(blob)
+    assert np.array_equal(dec, np.where(img, 0, 255).astype(np.uint8))
+    # two strips of 6 rows, independent T.6 streams
+    blob2 = _g4_tiff(
+        [encode_g4(img[:6]), encode_g4(img[6:])], 30, 12, 6
+    )
+    assert np.array_equal(mc.decode_image(blob2), dec)
+    # gates: uncompressed-mode option, non-fax photometric
+    with pytest.raises(NotImplementedError, match="uncompressed"):
+        mc.decode_image(
+            _g4_tiff([encode_g4(img)], 30, 12, 12, t6_options=2)
+        )
+    with pytest.raises(NotImplementedError, match="photometric"):
+        mc.decode_image(
+            _g4_tiff([encode_g4(img)], 30, 12, 12, photometric=1)
+        )
