@@ -1,9 +1,11 @@
-"""CCITT Group 4 (ITU-T T.6) bilevel codec — TIFF compression 4.
+"""CCITT bilevel fax codecs (ITU-T T.4 / T.6) — TIFF compressions
+2 (Modified Huffman 1D), 3 (Group 3), and 4 (Group 4).
 
 G4 (MMR, two-dimensional READ without EOLs) is the compression of the
 scanned-document corpus: legal archives, patents, and book scans ship
-as G4 TIFFs almost exclusively.  Everything here is implemented from
-the public ITU-T T.4/T.6 recommendations:
+as G4 TIFFs almost exclusively; MH and G3 cover the older fax-born
+files.  Everything here is implemented from the public ITU-T T.4/T.6
+recommendations:
 
 - **Vertical modes** V0/VR1-3/VL1-3 code a run boundary relative to
   the reference (previous) line's changing elements, **pass mode**
@@ -17,6 +19,10 @@ the public ITU-T T.4/T.6 recommendations:
   ``b2 < a1``, vertical when ``|a1-b1| <= 3``, else horizontal) —
   fixtures are REAL G4 streams, and the decoder is additionally
   pinned on hand-assembled mode sequences computed on paper.
+- G3 (:func:`decode_g3`) reuses the same 1D/2D row machinery behind
+  per-row EOLs with tag bits (T4Options bit 0) and the K-factor
+  1D-resync convention in the encoder; MH (:func:`decode_mh`) is the
+  TIFF-compression-2 form: independent byte-aligned 1D rows.
 
 Table provenance: the T.4 code tables are transcribed from the
 published recommendation; construction is machine-checked at import
@@ -205,6 +211,97 @@ def _read_runlen(bits: _Bits, dec: dict[str, int]) -> int:
             return total
 
 
+def _decode_2d_row(bits: "_Bits", ref: list[int], width: int) -> list[int]:
+    """One 2D-coded row (shared by T.6 G4 and T.4 G3 2D rows):
+    returns the row's transition list."""
+    cur: list[int] = []
+    a0 = -1
+    color = 0  # 0 = white, 1 = black
+    while a0 < width:
+        code = ""
+        mode = None
+        for _ in range(7):
+            code += "1" if bits.read_bit() else "0"
+            if code in _MODE_CODES:
+                mode = _MODE_CODES[code]
+                break
+        if mode is None:
+            if code == "0000001":
+                raise NotImplementedError(
+                    "G4 extension/uncompressed mode"
+                )
+            raise MediaFormatError(f"G4 bad mode code {code}")
+        # b1: first reference transition > a0 changing to !color;
+        # transitions alternate starting white->black, so the parity
+        # of the index IS the changes-to color
+        want = 1 - color
+        i = bisect.bisect_right(ref, a0 if a0 >= 0 else -1)
+        while i < len(ref) and (ref[i] % 2 == 0) != (want == 1):
+            i += 1
+        b1 = ref[i] if i < len(ref) else width
+        b2 = ref[i + 1] if i + 1 < len(ref) else width
+        kind, arg = mode
+        if kind == "P":
+            a0 = b2  # run of `color` extends through b2
+            continue
+        if kind == "V":
+            a1 = b1 + arg
+            if a1 < 0 or a1 > width or (a0 >= 0 and a1 <= a0):
+                raise MediaFormatError(
+                    f"G4 vertical mode lands at {a1} (a0={a0})"
+                )
+            cur.append(a1)
+            a0 = a1
+            color ^= 1
+            continue
+        # horizontal: two 1D runs, color then opposite
+        start = a0 if a0 > 0 else 0
+        r1 = _read_runlen(bits, _BLACK_DEC if color else _WHITE_DEC)
+        r2 = _read_runlen(bits, _WHITE_DEC if color else _BLACK_DEC)
+        t1 = start + r1
+        t2 = t1 + r2
+        if t2 > width or t1 > width:
+            raise MediaFormatError("G4 horizontal run past width")
+        cur.append(t1)
+        cur.append(t2)
+        a0 = t2
+    if cur and cur[-1] > width:
+        raise MediaFormatError("G4 row overruns width")
+    return cur
+
+
+def _decode_1d_row(bits: "_Bits", width: int) -> list[int]:
+    """One T.4 one-dimensional (Modified Huffman) row: alternating
+    white/black run codes summing to exactly ``width``."""
+    cur: list[int] = []
+    pos = 0
+    color = 0
+    while pos < width:
+        run = _read_runlen(bits, _BLACK_DEC if color else _WHITE_DEC)
+        pos += run
+        if pos > width:
+            raise MediaFormatError("T.4 1D run past width")
+        cur.append(pos)
+        color ^= 1
+    # a trailing zero-length final run is legal; drop width-markers
+    return [t for t in cur if t < width] + (
+        [t for t in cur if t == width][:1]
+    )
+
+
+def _paint_row(out: np.ndarray, y: int, cur: list[int], width: int) -> None:
+    row = out[y]
+    prev = 0
+    c = False
+    for t in cur:
+        if c:
+            row[prev:t] = True
+        prev = t
+        c = not c
+    if c and prev < width:
+        row[prev:width] = True
+
+
 def decode_g4(data: bytes, width: int, height: int) -> np.ndarray:
     """Decode a T.6 (Group 4) stream to ``(height, width) bool``
     (True = black).  Rows code against the previous row's transition
@@ -220,81 +317,78 @@ def decode_g4(data: bytes, width: int, height: int) -> np.ndarray:
             raise MediaFormatError(
                 f"G4 EOFB after {y} of {height} rows"
             )
-        cur: list[int] = []  # this row's transitions (color changes)
-        a0 = -1
-        color = 0  # 0 = white, 1 = black
-        while a0 < width:
-            # decode one mode code
-            code = ""
-            mode = None
-            for _ in range(7):
-                code += "1" if bits.read_bit() else "0"
-                if code in _MODE_CODES:
-                    mode = _MODE_CODES[code]
-                    break
-            if mode is None:
-                if code == "0000001":
-                    raise NotImplementedError(
-                        "G4 extension/uncompressed mode"
-                    )
-                raise MediaFormatError(f"G4 bad mode code {code}")
-            # b1: first reference transition > a0 changing to !color;
-            # transitions alternate starting white->black, so the
-            # parity of the index IS the changes-to color
-            want = 1 - color  # changes-to color we need
-            i = bisect.bisect_right(ref, a0 if a0 >= 0 else -1)
-            while i < len(ref) and (ref[i] % 2 == 0) != (want == 1):
-                i += 1
-            b1 = ref[i] if i < len(ref) else width
-            b2 = ref[i + 1] if i + 1 < len(ref) else width
-            kind, arg = mode
-            if kind == "P":
-                # run of `color` extends through b2
-                a0 = b2
-                continue
-            if kind == "V":
-                a1 = b1 + arg
-                if a1 < 0 or a1 > width or (a0 >= 0 and a1 <= a0):
-                    raise MediaFormatError(
-                        f"G4 vertical mode lands at {a1} (a0={a0})"
-                    )
-                cur.append(a1)
-                a0 = a1
-                color ^= 1
-                continue
-            # horizontal: two 1D runs, color then opposite
-            start = a0 if a0 > 0 else 0
-            r1 = _read_runlen(
-                bits, _BLACK_DEC if color else _WHITE_DEC
-            )
-            r2 = _read_runlen(
-                bits, _WHITE_DEC if color else _BLACK_DEC
-            )
-            t1 = start + r1
-            t2 = t1 + r2
-            if t2 > width or t1 > width:
-                raise MediaFormatError("G4 horizontal run past width")
-            cur.append(t1)
-            cur.append(t2)
-            a0 = t2
-            # color unchanged (two toggles)
-        if cur and cur[-1] > width:
-            raise MediaFormatError("G4 row overruns width")
-        # paint the row from its transitions
-        row = out[y]
-        prev = 0
-        c = False
-        for t in cur:
-            if c:
-                row[prev:t] = True
-            prev = t
-            c = not c
-        if c and prev < width:
-            row[prev:width] = True
+        cur = _decode_2d_row(bits, ref, width)
+        _paint_row(out, y, cur, width)
         # reference line for the next row: changing elements strictly
         # inside the line (a valid stream's transitions are monotone;
         # a trailing width-width pair from a zero-length closing run
         # drops out here, preserving index-parity = changes-to color)
+        ref = [t for t in cur if t < width]
+    return out
+
+
+_EOL = "000000000001"
+
+
+def decode_mh(data: bytes, width: int, height: int) -> np.ndarray:
+    """TIFF compression 2 — CCITT one-dimensional Modified Huffman:
+    independent 1D rows, each starting on a BYTE boundary (the TIFF 6
+    convention), no EOL codes."""
+    if width <= 0 or height <= 0:
+        raise MediaFormatError(f"bad MH dimensions {width}x{height}")
+    bits = _Bits(data)
+    out = np.zeros((height, width), dtype=bool)
+    for y in range(height):
+        if bits.p % 8:
+            bits.p += 8 - (bits.p % 8)
+        cur = _decode_1d_row(bits, width)
+        _paint_row(out, y, cur, width)
+    return out
+
+
+def decode_g3(
+    data: bytes,
+    width: int,
+    height: int,
+    *,
+    two_d: bool = False,
+) -> np.ndarray:
+    """TIFF compression 3 — CCITT T.4 Group 3: each row is preceded
+    by an EOL (fill zeros tolerated before it); in 2D mode
+    (T4Options bit 0) a tag bit after the EOL selects a 1D or 2D
+    row, the latter coded against the previous row with the same
+    machinery as G4."""
+    if width <= 0 or height <= 0:
+        raise MediaFormatError(f"bad G3 dimensions {width}x{height}")
+    bits = _Bits(data)
+    out = np.zeros((height, width), dtype=bool)
+    ref: list[int] = []
+    for y in range(height):
+        # fill bits (zeros) then EOL
+        zeros = 0
+        while True:
+            if bits.p >= bits.n:
+                raise MediaFormatError(
+                    f"G3 stream ends after {y} of {height} rows"
+                )
+            b = bits.read_bit()
+            if b:
+                break
+            zeros += 1
+        if zeros < 11:
+            raise MediaFormatError(
+                f"G3 row {y}: expected EOL, saw {zeros} zeros"
+            )
+        if two_d:
+            tag = bits.read_bit()
+            cur = (
+                _decode_1d_row(bits, width)
+                if tag
+                else _decode_2d_row(bits, ref, width)
+            )
+        else:
+            cur = _decode_1d_row(bits, width)
+        _paint_row(out, y, cur, width)
         ref = [t for t in cur if t < width]
     return out
 
@@ -324,62 +418,124 @@ def _encode_runlen(run: int, color: int, parts: list[str]) -> None:
     parts.append(codes[run])
 
 
+def _encode_2d_row(
+    cur: list[int], ref: list[int], w: int, parts: list[str]
+) -> None:
+    """Emit one 2D-coded row (shared by G4 and G3-2D rows)."""
+    a0 = -1
+    color = 0
+    while a0 < w:
+        # a1: next transition after a0 in the current row
+        j = bisect.bisect_right(cur, a0 if a0 >= 0 else -1)
+        a1 = cur[j] if j < len(cur) else w
+        want = 1 - color
+        i = bisect.bisect_right(ref, a0 if a0 >= 0 else -1)
+        while i < len(ref) and (ref[i] % 2 == 0) != (want == 1):
+            i += 1
+        b1 = ref[i] if i < len(ref) else w
+        b2 = ref[i + 1] if i + 1 < len(ref) else w
+        if b2 < a1:
+            parts.append("0001")  # pass
+            a0 = b2
+            continue
+        if abs(a1 - b1) <= 3:
+            parts.append(
+                {
+                    0: "1",
+                    1: "011",
+                    2: "000011",
+                    3: "0000011",
+                    -1: "010",
+                    -2: "000010",
+                    -3: "0000010",
+                }[a1 - b1]
+            )
+            a0 = a1
+            color ^= 1
+            continue
+        # horizontal: two runs from max(a0, 0)
+        a2 = cur[j + 1] if j + 1 < len(cur) else w
+        start = a0 if a0 > 0 else 0
+        parts.append("001")
+        _encode_runlen(a1 - start, color, parts)
+        _encode_runlen(a2 - a1, 1 - color, parts)
+        a0 = a2
+
+
+def _encode_1d_row(cur: list[int], w: int, parts: list[str]) -> None:
+    """Emit one T.4 1D row: alternating white/black runs to width."""
+    pos = 0
+    color = 0
+    bounds = [t for t in cur if t < w] + [w]
+    for t in bounds:
+        _encode_runlen(t - pos, color, parts)
+        pos = t
+        color ^= 1
+
+
+def _pack_bits(s: str, pad_bit: str = "1") -> bytes:
+    pad = (-len(s)) % 8
+    s += pad_bit * pad
+    return bytes(int(s[i : i + 8], 2) for i in range(0, len(s), 8))
+
+
+def _as_bilevel(img: np.ndarray, who: str) -> np.ndarray:
+    a = np.asarray(img, dtype=bool)
+    if a.ndim != 2 or a.size == 0:
+        raise MediaFormatError(f"{who} wants a non-empty (H, W) bool")
+    return a
+
+
 def encode_g4(img: np.ndarray) -> bytes:
     """Encode ``(H, W) bool`` (True = black) as a T.6 stream with the
     standard mode-selection rule, ending in EOFB, 1-padded to a byte
     boundary."""
-    a = np.asarray(img, dtype=bool)
-    if a.ndim != 2 or a.size == 0:
-        raise MediaFormatError("encode_g4 wants a non-empty (H, W) bool")
+    a = _as_bilevel(img, "encode_g4")
     h, w = a.shape
     parts: list[str] = []
     ref: list[int] = []
     for y in range(h):
         cur = _changes(a[y])
-        a0 = -1
-        color = 0
-        while a0 < w:
-            # a1: next transition after a0 in the current row
-            j = bisect.bisect_right(cur, a0 if a0 >= 0 else -1)
-            a1 = cur[j] if j < len(cur) else w
-            want = 1 - color
-            i = bisect.bisect_right(ref, a0 if a0 >= 0 else -1)
-            while i < len(ref) and (ref[i] % 2 == 0) != (want == 1):
-                i += 1
-            b1 = ref[i] if i < len(ref) else w
-            b2 = ref[i + 1] if i + 1 < len(ref) else w
-            if b2 < a1:
-                parts.append("0001")  # pass
-                a0 = b2
-                continue
-            if abs(a1 - b1) <= 3:
-                delta = a1 - b1
-                parts.append(
-                    {
-                        0: "1",
-                        1: "011",
-                        2: "000011",
-                        3: "0000011",
-                        -1: "010",
-                        -2: "000010",
-                        -3: "0000010",
-                    }[delta]
-                )
-                a0 = a1
-                color ^= 1
-                continue
-            # horizontal: two runs from max(a0, 0)
-            a2 = cur[j + 1] if j + 1 < len(cur) else w
-            start = a0 if a0 > 0 else 0
-            parts.append("001")
-            _encode_runlen(a1 - start, color, parts)
-            _encode_runlen(a2 - a1, 1 - color, parts)
-            a0 = a2
+        _encode_2d_row(cur, ref, w, parts)
         ref = cur
     parts.append(_EOFB)
-    s = "".join(parts)
-    pad = (-len(s)) % 8
-    s += "1" * pad
-    return bytes(
-        int(s[i : i + 8], 2) for i in range(0, len(s), 8)
-    )
+    return _pack_bits("".join(parts))
+
+
+def encode_mh(img: np.ndarray) -> bytes:
+    """TIFF compression 2 form: independent 1D rows, each starting on
+    a byte boundary (zero-filled)."""
+    a = _as_bilevel(img, "encode_mh")
+    h, w = a.shape
+    s = ""
+    for y in range(h):
+        parts: list[str] = []
+        _encode_1d_row(_changes(a[y]), w, parts)
+        s += "".join(parts)
+        s += "0" * ((-len(s)) % 8)
+    return _pack_bits(s, pad_bit="0")
+
+
+def encode_g3(img: np.ndarray, *, two_d: bool = False, k: int = 2) -> bytes:
+    """TIFF compression 3 form: EOL before every row; in 2D mode each
+    EOL carries a tag bit and every ``k``-th row is coded 1D (the
+    T.4 K-factor error-confinement convention), the others 2D against
+    the previous row."""
+    a = _as_bilevel(img, "encode_g3")
+    h, w = a.shape
+    parts: list[str] = []
+    ref: list[int] = []
+    for y in range(h):
+        parts.append(_EOL)
+        cur = _changes(a[y])
+        if two_d:
+            one_d = y % max(k, 1) == 0
+            parts.append("1" if one_d else "0")
+            if one_d:
+                _encode_1d_row(cur, w, parts)
+            else:
+                _encode_2d_row(cur, ref, w, parts)
+        else:
+            _encode_1d_row(cur, w, parts)
+        ref = cur
+    return _pack_bits("".join(parts), pad_bit="0")

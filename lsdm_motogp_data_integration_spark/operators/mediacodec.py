@@ -1638,6 +1638,7 @@ _TIFF_TAGS = {
     278: "rows_per_strip",
     279: "strip_byte_counts",
     284: "planar_config",
+    292: "t4_options",
     293: "t6_options",
     317: "predictor",
     347: "jpeg_tables",
@@ -1690,13 +1691,13 @@ def _decode_tiff(data: bytes) -> np.ndarray:
     comp = t.get("compression", 1)
     if comp == 7:  # new-style JPEG-in-TIFF (r7: the codec exists now)
         return _decode_tiff_jpeg(data, t)
-    if comp == 4:  # CCITT Group 4 (r7: operators/faxcodec)
+    if comp in (2, 3, 4):  # CCITT MH/G3/G4 (r7: operators/faxcodec)
         return _decode_tiff_g4(data, t)
     if comp not in (1, 5, 32773):
         raise NotImplementedError(
             f"TIFF compression {comp} not supported (uncompressed=1, "
-            f"G4=4, LZW=5, JPEG=7, PackBits=32773; G3/old-JPEG need "
-            f"codec work)"
+            f"MH=2, G3=3, G4=4, LZW=5, JPEG=7, PackBits=32773; "
+            f"old-JPEG=6 needs codec work)"
         )
     if t.get("planar_config", 1) != 1:
         raise NotImplementedError("TIFF planar (separated) layout")
@@ -2265,14 +2266,19 @@ def gif_anim_info(data: bytes) -> dict:
 
 
 def _decode_tiff_g4(data: bytes, t: dict) -> np.ndarray:
-    """CCITT Group 4 TIFF (compression 4, r7): each strip is an
-    independent T.6 stream of its rows (operators/faxcodec);
-    photometric 0 (WhiteIsZero — the fax convention) maps white→255 /
-    black→0 in the canonical gray output."""
+    """CCITT bilevel TIFF (r7): compression 2 (Modified Huffman 1D,
+    byte-aligned rows), 3 (T.4 Group 3, EOL per row, 1D or mixed
+    1D/2D per T4Options bit 0), or 4 (T.6 Group 4).  Each strip is an
+    independent stream of its rows (operators/faxcodec); photometric
+    0 (WhiteIsZero — the fax convention) maps white→255 / black→0 in
+    the canonical gray output."""
     from lsdm_motogp_data_integration_spark.operators.faxcodec import (
+        decode_g3,
         decode_g4,
+        decode_mh,
     )
 
+    comp = t.get("compression", 1)
     w, h = t["width"], t["height"]
     if w <= 0 or h <= 0:
         raise MediaFormatError(f"bad TIFF dimensions {w}x{h}")
@@ -2284,8 +2290,11 @@ def _decode_tiff_g4(data: bytes, t: dict) -> np.ndarray:
         raise NotImplementedError(
             "TIFF G4 with photometric != WhiteIsZero"
         )
-    if t.get("t6_options", 0) & 2:
+    if comp == 4 and t.get("t6_options", 0) & 2:
         raise NotImplementedError("TIFF G4 uncompressed mode option")
+    t4opt = t.get("t4_options", 0)
+    if comp == 3 and t4opt & 2:
+        raise NotImplementedError("TIFF G3 uncompressed mode option")
     offs = t["strip_offsets"]
     offs = offs if isinstance(offs, list) else [offs]
     counts = t.get("strip_byte_counts")
@@ -2304,7 +2313,15 @@ def _decode_tiff_g4(data: bytes, t: dict) -> np.ndarray:
         if o + c > len(data):
             raise MediaFormatError("TIFF strip out of range")
         rows_here = min(rps, h - si * rps)
-        black = decode_g4(data[o : o + c], w, rows_here)
+        strip = data[o : o + c]
+        if comp == 4:
+            black = decode_g4(strip, w, rows_here)
+        elif comp == 3:
+            black = decode_g3(
+                strip, w, rows_here, two_d=bool(t4opt & 1)
+            )
+        else:
+            black = decode_mh(strip, w, rows_here)
         parts.append(np.where(black, 0, 255).astype(np.uint8))
     out = parts[0] if len(parts) == 1 else np.vstack(parts)
     if out.shape[0] != h:

@@ -154,3 +154,93 @@ def test_g4_tiff_decode_and_strips():
         mc.decode_image(
             _g4_tiff([encode_g4(img)], 30, 12, 12, photometric=1)
         )
+
+
+def test_mh_and_g3_roundtrips():
+    from lsdm_motogp_data_integration_spark.operators.faxcodec import (
+        decode_g3,
+        decode_mh,
+        encode_g3,
+        encode_mh,
+    )
+
+    rng = np.random.RandomState(11)
+    yy, xx = np.mgrid[0:30, 0:90]
+    cases = [
+        np.zeros((4, 8), bool),
+        np.ones((3, 5), bool),
+        rng.rand(20, 37) > 0.5,
+        rng.rand(6, 3000) > 0.97,
+        (yy - 15) ** 2 + (xx - 45) ** 2 < 150,
+    ]
+    for img in cases:
+        h, w = img.shape
+        assert np.array_equal(decode_mh(encode_mh(img), w, h), img)
+        for twod in (False, True):
+            got = decode_g3(
+                encode_g3(img, two_d=twod), w, h, two_d=twod
+            )
+            assert np.array_equal(got, img), (img.shape, twod)
+    # G3 missing EOL is loud
+    with pytest.raises(mc.MediaFormatError, match="EOL"):
+        decode_g3(b"\xff\xff\xff\xff", 8, 1)
+
+
+def test_mh_hand_computed_row():
+    """1D MH by hand: an 8-wide row, white 2 then black 6:
+    white-2 '0111' + black-6 '0010' → '01110010' = 0x72."""
+    from lsdm_motogp_data_integration_spark.operators.faxcodec import (
+        decode_mh,
+        encode_mh,
+    )
+
+    exp = np.zeros((1, 8), bool)
+    exp[0, 2:] = True
+    assert np.array_equal(decode_mh(bytes([0x72]), 8, 1), exp)
+    assert encode_mh(exp) == bytes([0x72])
+
+
+def test_mh_and_g3_tiff_paths():
+    from lsdm_motogp_data_integration_spark.operators.faxcodec import (
+        encode_g3,
+        encode_mh,
+    )
+
+    rng = np.random.RandomState(13)
+    img = rng.rand(10, 24) > 0.6
+    exp = np.where(img, 0, 255).astype(np.uint8)
+
+    def tiff(strips, comp, rps, t4=None):
+        b = _g4_tiff(strips, 24, 10, rps)
+        # patch compression tag (259) and optionally add T4Options
+        i = b.index(struct.pack("<HH", 259, 3))
+        bb = bytearray(b)
+        struct.pack_into("<I", bb, i + 8, comp)
+        if t4 is not None:
+            # rebuild with the tag via the helper's own path instead
+            return _g4_tiff_with_t4(strips, 24, 10, rps, comp, t4)
+        return bytes(bb)
+
+    def _g4_tiff_with_t4(strips, w, h, rps, comp, t4):
+        base = _g4_tiff(strips, w, h, rps, t6_options=t4)
+        bb = bytearray(base)
+        i = base.index(struct.pack("<HH", 259, 3))
+        struct.pack_into("<I", bb, i + 8, comp)
+        j = base.index(struct.pack("<HH", 293, 4))
+        struct.pack_into("<H", bb, j, 292)  # retag 293 -> 292
+        return bytes(bb)
+
+    assert np.array_equal(
+        mc.decode_image(tiff([encode_mh(img)], 2, 10)), exp
+    )
+    assert np.array_equal(
+        mc.decode_image(tiff([encode_g3(img)], 3, 10)), exp
+    )
+    blob2d = tiff([encode_g3(img, two_d=True)], 3, 10, t4=1)
+    assert np.array_equal(mc.decode_image(blob2d), exp)
+    # two strips, 2D G3 (each strip restarts its reference line)
+    two = _g4_tiff_with_t4(
+        [encode_g3(img[:5], two_d=True), encode_g3(img[5:], two_d=True)],
+        24, 10, 5, 3, 1,
+    )
+    assert np.array_equal(mc.decode_image(two), exp)
