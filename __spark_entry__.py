@@ -2027,6 +2027,13 @@ def q41_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
       the identical closed form; general-image progressive parity
       with baseline is pinned in tests/test_jpegcodec.py, including
       a hand-assembled multi-scan stream vs an independent IDCT.
+    - ``real_g4`` (r7): the scanned-document path — a 6×8 bilevel
+      raster from the 'g4' chain BITS encoded as a CCITT Group 4
+      TIFF (operators/faxcodec: 2D vertical/pass/horizontal modes +
+      the T.4 run tables) and decoded through media_stats; the
+      oracle replays every pixel from the chain bits, so a wrong
+      mode decode, run-table entry, or WhiteIsZero mapping flips
+      the hash.
     - ``real_gif`` (r6): REAL GIF decode (pure-python variable-width
       LZW + numpy palette expansion) — lossless, so the oracle replays
       the raw 'gf' chain through the identity gray palette; the
@@ -2448,6 +2455,65 @@ def q41_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             run, schema=MEDIA_SCHEMA
         )
 
+    # real_g4 (r7): the scanned-document path — a 6×8 BILEVEL raster
+    # whose pixels are the BITS of the 'g4' md5 chain (pixel j black
+    # iff bit 7-(j%8) of chain byte j//8 is set), encoded as a
+    # CCITT Group 4 TIFF (operators/faxcodec: 2D modes + T.4 run
+    # tables) and decoded through media_stats — the oracle replays
+    # every pixel closed-form from the chain bits, so a wrong mode
+    # decode, run-table entry, or WhiteIsZero mapping flips the hash
+    def _build_g4_media(docs: DataFrame) -> DataFrame:
+        import hashlib as _hl
+
+        import numpy as _np
+        import pandas as _pd
+
+        from lsdm_motogp_data_integration_spark.operators import (
+            mediacodec as _mc,
+        )
+        from lsdm_motogp_data_integration_spark.operators.multimodal import (
+            MEDIA_SCHEMA,
+        )
+
+        def run(batches):
+            for pdf in batches:
+                ids, kinds, contents, metas = [], [], [], []
+                for did, text in zip(pdf["doc_id"], pdf["text"]):
+                    t = "" if text is None else str(text)
+                    ch = _hl.md5(f"{t}:g4:0".encode()).digest()[:6]
+                    px = _np.unpackbits(
+                        _np.frombuffer(ch, _np.uint8)
+                    ).reshape(6, 8).astype(bool)
+                    ids.append(int(did))
+                    kinds.append("image")
+                    contents.append(_mc.encode_tiff_g4(px))
+                    metas.append(None)
+                yield _pd.DataFrame(
+                    {
+                        "media_id": ids,
+                        "kind": kinds,
+                        "content": contents,
+                        "meta": metas,
+                    }
+                )
+
+        return docs.select("doc_id", "text").mapInPandas(
+            run, schema=MEDIA_SCHEMA
+        )
+
+    g4 = media_stats(_build_g4_media(d)).select(
+        F.lit("real_g4").alias("scope"),
+        "media_id",
+        "kind",
+        "fmt",
+        F.lit(None).cast("bigint").alias("n_bytes"),
+        F.lit(None).cast("string").alias("digest"),
+        "width",
+        "height",
+        "n_values",
+        "sum_values",
+        "weighted_sum",
+    )
     tf = media_stats(_build_tiff_media(d)).select(
         F.lit("real_tiff").alias("scope"),
         "media_id",
@@ -2549,6 +2615,7 @@ def q41_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(msc)
         .unionByName(mfn)
         .unionByName(tf)
+        .unionByName(g4)
     )
 
 
@@ -6789,6 +6856,22 @@ def oracle_sql() -> dict[str, str]:
                      + (strpos('0123456789abcdef', substr(hx, 2*i+2, 1))-1) AS v
                 FROM jp_chain, generate_series(0, 5) AS t(i)
             ),
+            g4_chain AS (
+                SELECT doc_id, md5(text || ':g4:0') AS hx FROM documents
+            ),
+            g4_bytes AS (
+                SELECT doc_id, i,
+                       (strpos('0123456789abcdef', substr(hx, 2*i+1, 1))-1)*16
+                     + (strpos('0123456789abcdef', substr(hx, 2*i+2, 1))-1) AS b
+                FROM g4_chain, generate_series(0, 5) AS t(i)
+            ),
+            g4_px AS (
+                -- pixel j: bit 7-(j%8) of byte j//8; black -> 0
+                SELECT doc_id, i * 8 + k AS j,
+                       CASE WHEN (b >> (7 - k)) & 1 = 1
+                            THEN 0 ELSE 255 END AS v
+                FROM g4_bytes, generate_series(0, 7) AS u(k)
+            ),
             bmp_bytes AS (
                 SELECT doc_id, j,
                        (strpos('0123456789abcdef', substr(hx, 2*j+1, 1))-1)*16
@@ -7191,6 +7274,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT), CAST(SUM(v) AS BIGINT),
                    CAST(SUM(v * (j + 1)) AS BIGINT)
             FROM tf_bytes GROUP BY doc_id
+            UNION ALL
+            -- real_g4: the bilevel raster replayed from the 'g4'
+            -- chain BITS — pixel j is black (gray 0) iff bit
+            -- 7-(j%8) of chain byte j//8 is set, else white (255);
+            -- n_bytes varies with the Huffman-coded stream -> NULL
+            SELECT 'real_g4', doc_id, 'image', 'tiff',
+                   NULL::BIGINT, NULL::VARCHAR, 8, 6,
+                   CAST(COUNT(*) AS BIGINT), CAST(SUM(v) AS BIGINT),
+                   CAST(SUM(v * (j + 1)) AS BIGINT)
+            FROM g4_px GROUP BY doc_id
             UNION ALL
             -- mscreen: raw media_id (3 blobs/doc); n_values = the
             -- 5-flag bitmask, sum_values = walked duration_ms,

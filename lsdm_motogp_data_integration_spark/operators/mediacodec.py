@@ -2329,3 +2329,45 @@ def _decode_tiff_g4(data: bytes, t: dict) -> np.ndarray:
             f"TIFF G4 strips cover {out.shape[0]} of {h} rows"
         )
     return np.ascontiguousarray(out)
+
+
+def encode_tiff_g4(img: np.ndarray) -> bytes:
+    """Minimal single-strip CCITT Group 4 TIFF writer (r7): ``(H, W)``
+    bool (True = black) → little-endian, photometric WhiteIsZero,
+    1 bit/sample — the fixture/export form for the scanned-document
+    path (decode: ``_decode_tiff_g4``)."""
+    from lsdm_motogp_data_integration_spark.operators.faxcodec import (
+        encode_g4,
+    )
+
+    a = np.asarray(img, dtype=bool)
+    if a.ndim != 2 or a.size == 0:
+        raise MediaFormatError("encode_tiff_g4 wants (H, W) bool")
+    h, w = a.shape
+    strip = encode_g4(a)
+    out = bytearray(b"II*\x00\x00\x00\x00\x00")
+    strip_off = len(out)
+    out += strip
+    tags = [
+        (256, 3, w),
+        (257, 3, h),
+        (258, 3, 1),
+        (259, 3, 4),
+        (262, 3, 0),
+        (273, 4, strip_off),
+        (277, 3, 1),
+        (278, 3, h),
+        (279, 4, len(strip)),
+    ]
+    ifd = len(out)
+    out += struct.pack("<H", len(tags))
+    for tag, ftype, val in tags:
+        out += struct.pack("<HHI", tag, ftype, 1)
+        out += (
+            struct.pack("<HH", val, 0)
+            if ftype == 3
+            else struct.pack("<I", val)
+        )
+    out += struct.pack("<I", 0)
+    struct.pack_into("<I", out, 4, ifd)
+    return bytes(out)
