@@ -1641,6 +1641,10 @@ _TIFF_TAGS = {
     292: "t4_options",
     293: "t6_options",
     317: "predictor",
+    322: "tile_width",
+    323: "tile_length",
+    324: "tile_offsets",
+    325: "tile_byte_counts",
     347: "jpeg_tables",
 }
 # field type → byte width (1 BYTE, 3 SHORT, 4 LONG, 7 UNDEFINED are
@@ -1685,6 +1689,8 @@ def _tiff_read_ifd(data: bytes, bo: str) -> dict:
 def _decode_tiff(data: bytes) -> np.ndarray:
     bo = "<" if data[:2] == b"II" else ">"
     t = _tiff_read_ifd(data, bo)
+    if "tile_offsets" in t:  # tiled layout (r7)
+        return _decode_tiff_tiled(data, t)
     for req in ("width", "height", "strip_offsets"):
         if req not in t:
             raise MediaFormatError(f"TIFF missing required tag {req}")
@@ -2371,3 +2377,147 @@ def encode_tiff_g4(img: np.ndarray) -> bytes:
     out += struct.pack("<I", 0)
     struct.pack_into("<I", out, 4, ifd)
     return bytes(out)
+
+
+def _decode_tiff_tiled(data: bytes, t: dict) -> np.ndarray:
+    """Tiled TIFF (tags 322-325, r7): the raster is a grid of
+    ceil(w/tw) x ceil(h/th) fixed-size tiles, each a COMPLETE
+    compressed unit padded to full tile size; tiles decode through
+    the per-compression machinery (uncompressed / LZW / PackBits
+    inline; G4 and JPEG via their per-blob decoders) and crop-place
+    onto the output.  The lakehouse/GeoTIFF/scan layout strips can't
+    express."""
+    for req in ("width", "height", "tile_width", "tile_length"):
+        if req not in t:
+            raise MediaFormatError(f"tiled TIFF missing tag {req}")
+    w, h = t["width"], t["height"]
+    tw, th = t["tile_width"], t["tile_length"]
+    if w <= 0 or h <= 0 or tw <= 0 or th <= 0:
+        raise MediaFormatError("bad tiled-TIFF geometry")
+    if tw % 16 or th % 16:
+        raise MediaFormatError(
+            f"TIFF tile size {tw}x{th} not a multiple of 16"
+        )
+    comp = t.get("compression", 1)
+    if t.get("planar_config", 1) != 1:
+        raise NotImplementedError("TIFF planar (separated) layout")
+    spp = t.get("samples_per_pixel", 1)
+    bps = t.get("bits_per_sample", 8 if comp not in (2, 3, 4) else 1)
+    if isinstance(bps, list):
+        if any(b != bps[0] for b in bps):
+            raise NotImplementedError(f"TIFF mixed bits/sample {bps}")
+        bps = bps[0]
+    offs = t["tile_offsets"]
+    offs = offs if isinstance(offs, list) else [offs]
+    counts = t.get("tile_byte_counts")
+    if counts is None:
+        raise MediaFormatError("tiled TIFF missing TileByteCounts")
+    counts = counts if isinstance(counts, list) else [counts]
+    nx = -(-w // tw)
+    ny = -(-h // th)
+    if len(offs) != nx * ny or len(counts) != nx * ny:
+        raise MediaFormatError(
+            f"tiled TIFF expects {nx * ny} tiles, has {len(offs)}"
+        )
+    bilevel = comp in (2, 3, 4)
+    if bilevel:
+        if bps != 1 or spp != 1:
+            raise MediaFormatError("TIFF CCITT tiles must be 1-bit")
+        if t.get("photometric", 0) != 0:
+            raise NotImplementedError(
+                "TIFF G4 with photometric != WhiteIsZero"
+            )
+        out = np.zeros((h, w), dtype=np.uint8)
+    else:
+        if bps != 8:
+            raise NotImplementedError(f"TIFF tiles at {bps} bits")
+        if spp not in (1, 3, 4):
+            raise NotImplementedError(f"TIFF {spp} samples/pixel")
+        out = np.zeros((h, w, spp), dtype=np.uint8)
+    from lsdm_motogp_data_integration_spark.operators import faxcodec
+
+    for ti, (o, c) in enumerate(zip(offs, counts)):
+        if o + c > len(data):
+            raise MediaFormatError("TIFF tile out of range")
+        blob = data[o : o + c]
+        ty, tx = divmod(ti, nx)
+        y0, x0 = ty * th, tx * tw
+        hh = min(th, h - y0)
+        ww = min(tw, w - x0)
+        if bilevel:
+            if comp == 4:
+                black = faxcodec.decode_g4(blob, tw, th)
+            elif comp == 3:
+                black = faxcodec.decode_g3(
+                    blob, tw, th,
+                    two_d=bool(t.get("t4_options", 0) & 1),
+                )
+            else:
+                black = faxcodec.decode_mh(blob, tw, th)
+            tile = np.where(black, 0, 255).astype(np.uint8)
+            out[y0 : y0 + hh, x0 : x0 + ww] = tile[:hh, :ww]
+            continue
+        need = tw * th * spp
+        if comp == 5:
+            raw = _tiff_lzw_decode(blob, need)
+        elif comp == 32773:
+            raw = _packbits_decode(blob, need)
+        elif comp == 7:
+            from lsdm_motogp_data_integration_spark.operators.jpegcodec import (  # noqa: E501
+                decode_jpeg,
+            )
+
+            tmid = None
+            if "jpeg_tables" in t:
+                tb = t["jpeg_tables"]
+                tb = bytes(tb if isinstance(tb, list) else [tb])
+                if tb[:2] != b"\xff\xd8" or tb[-2:] != b"\xff\xd9":
+                    raise MediaFormatError(
+                        "TIFF JPEGTables missing SOI/EOI"
+                    )
+                tmid = tb[2:-2]
+            if blob[:2] != b"\xff\xd8":
+                raise MediaFormatError(
+                    f"JPEG-in-TIFF tile {ti} lacks SOI"
+                )
+            if tmid is not None:
+                blob = b"\xff\xd8" + tmid + blob[2:]
+            arr = decode_jpeg(blob)
+            nch = 1 if arr.ndim == 2 else arr.shape[2]
+            if nch != spp:
+                raise MediaFormatError(
+                    f"JPEG tile {ti} has {nch} channels, IFD says {spp}"
+                )
+            if arr.ndim == 2:
+                arr = arr[:, :, None]
+            if arr.shape[0] < hh or arr.shape[1] < ww:
+                raise MediaFormatError(
+                    f"JPEG tile {ti} smaller than tile geometry"
+                )
+            out[y0 : y0 + hh, x0 : x0 + ww] = arr[:hh, :ww]
+            continue
+        elif comp == 1:
+            raw = blob
+            if len(raw) < need:
+                raise MediaFormatError("TIFF tile data short")
+        else:
+            raise NotImplementedError(
+                f"TIFF tiled compression {comp} not supported"
+            )
+        if len(raw) < need:
+            raise MediaFormatError("TIFF tile data short")
+        tile = np.frombuffer(raw[:need], np.uint8).reshape(th, tw, spp)
+        if t.get("predictor", 1) == 2:
+            tile = tile.copy()
+            np.add.accumulate(tile, axis=1, out=tile)
+        elif t.get("predictor", 1) != 1:
+            raise NotImplementedError(
+                f"TIFF predictor {t['predictor']}"
+            )
+        out[y0 : y0 + hh, x0 : x0 + ww] = tile[:hh, :ww]
+    if not bilevel:
+        if t.get("photometric", 1) == 0:
+            out = (255 - out).astype(np.uint8)
+        if spp == 1:
+            out = out.reshape(h, w)
+    return np.ascontiguousarray(out)

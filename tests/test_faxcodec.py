@@ -244,3 +244,129 @@ def test_mh_and_g3_tiff_paths():
         24, 10, 5, 3, 1,
     )
     assert np.array_equal(mc.decode_image(two), exp)
+
+
+def _tiled_tiff(
+    tiles: list[bytes],
+    w: int,
+    h: int,
+    tw: int,
+    th: int,
+    comp: int,
+    spp: int = 1,
+    photometric: int = 0,
+    predictor: int | None = None,
+    jpeg_tables: bytes | None = None,
+) -> bytes:
+    """Hand-built little-endian TILED TIFF (tags 322-325)."""
+    out = bytearray(b"II*\x00\x00\x00\x00\x00")
+    offs = []
+    for s in tiles:
+        offs.append(len(out))
+        out += s
+    bps = 1 if comp in (2, 3, 4) else 8
+    tags = [
+        (256, 3, [w]),
+        (257, 3, [h]),
+        (258, 3, [bps] * spp),
+        (259, 3, [comp]),
+        (262, 3, [photometric]),
+        (277, 3, [spp]),
+        (322, 3, [tw]),
+        (323, 3, [th]),
+        (324, 4, offs),
+        (325, 4, [len(s) for s in tiles]),
+    ]
+    if predictor is not None:
+        tags.append((317, 3, [predictor]))
+    if jpeg_tables is not None:
+        tags.append((347, 7, jpeg_tables))
+    tags.sort()
+    n = len(tags)
+    ifd = len(out)
+    ex_base = ifd + 2 + 12 * n + 4
+    ents = b""
+    extra = bytearray()
+    for tag, ftype, vals in tags:
+        if ftype == 7:
+            dat = bytes(vals)
+        else:
+            fmt = {3: "H", 4: "I"}[ftype]
+            dat = b"".join(struct.pack("<" + fmt, v) for v in vals)
+        if len(dat) <= 4:
+            ents += struct.pack(
+                "<HHI", tag, ftype, len(vals)
+            ) + dat.ljust(4, b"\x00")
+        else:
+            ents += struct.pack(
+                "<HHII", tag, ftype, len(vals), ex_base + len(extra)
+            )
+            extra += dat
+    out += struct.pack("<H", n) + ents + struct.pack("<I", 0) + extra
+    struct.pack_into("<I", out, 4, ifd)
+    return bytes(out)
+
+
+def _tiles_of(img, tw, th, pad_val):
+    h, w = img.shape[:2]
+    tiles = []
+    for y0 in range(0, h, th):
+        for x0 in range(0, w, tw):
+            pad_shape = (th, tw) + img.shape[2:]
+            tile = np.full(pad_shape, pad_val, dtype=img.dtype)
+            sub = img[y0 : y0 + th, x0 : x0 + tw]
+            tile[: sub.shape[0], : sub.shape[1]] = sub
+            tiles.append(tile)
+    return tiles
+
+
+def test_tiled_tiff_g4_and_uncompressed():
+    rng = np.random.RandomState(17)
+    # bilevel 20x40 in 16x16 tiles (edge tiles padded)
+    img = rng.rand(20, 40) > 0.5
+    tiles = [encode_g4(t) for t in _tiles_of(img, 16, 16, False)]
+    blob = _tiled_tiff(tiles, 40, 20, 16, 16, 4)
+    assert np.array_equal(
+        mc.decode_image(blob), np.where(img, 0, 255).astype(np.uint8)
+    )
+    # 8-bit gray uncompressed tiles
+    g = rng.randint(0, 256, (20, 40), np.uint8)
+    raw_tiles = [t.tobytes() for t in _tiles_of(g[:, :, None], 16, 16, 0)]
+    blob = _tiled_tiff(raw_tiles, 40, 20, 16, 16, 1, spp=1, photometric=1)
+    assert np.array_equal(mc.decode_image(blob), g)
+
+
+def test_tiled_tiff_lzw_rgb_and_jpeg():
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_container_info import _split_jpeg_tables, _tiff_lzw_encode
+
+    from lsdm_motogp_data_integration_spark.operators.jpegcodec import (
+        encode_jpeg,
+    )
+
+    rng = np.random.RandomState(19)
+    rgb = rng.randint(0, 256, (20, 40, 3), np.uint8)
+    tiles = [
+        _tiff_lzw_encode(t.tobytes())
+        for t in _tiles_of(rgb, 16, 16, 0)
+    ]
+    blob = _tiled_tiff(tiles, 40, 20, 16, 16, 5, spp=3, photometric=2)
+    assert np.array_equal(mc.decode_image(blob), rgb)
+    # JPEG tiles with shared JPEGTables: constant-block exact fixture
+    blocks = rng.randint(0, 256, (4, 6), np.uint8)
+    img = np.repeat(np.repeat(blocks, 8, 0), 8, 1)  # 32x48
+    flat8 = np.full((8, 8), 8, np.int64)
+    full = [
+        encode_jpeg(t, quant=flat8)
+        for t in _tiles_of(img, 16, 16, 0)
+    ]
+    split = [_split_jpeg_tables(f) for f in full]
+    jt = split[0][0]
+    assert all(t == jt for t, _s in split)
+    jblob = _tiled_tiff(
+        [s for _t, s in split], 48, 32, 16, 16, 7, spp=1,
+        photometric=1, jpeg_tables=jt,
+    )
+    assert np.array_equal(mc.decode_image(jblob), img)
