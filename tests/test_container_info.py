@@ -266,9 +266,13 @@ def test_tiff_compression_gate_and_corruption():
     g = np.zeros((4, 4), np.uint8)
     b = bytearray(mc.encode_tiff(g))
     idx = b.find(_st.pack("<HHI", 259, 3, 1))
-    # CCITT G3 (3) stays a gate (LZW and PackBits now decode)
+    # old-style JPEG (6) stays a gate (MH/G3/G4/LZW/new-JPEG decode)
+    _st.pack_into("<H", b, idx + 8, 6)
+    with pytest.raises(NotImplementedError, match="compression 6"):
+        mc.decode_image(bytes(b))
+    # an 8-bit file mislabeled CCITT G3 is a typed structure error
     _st.pack_into("<H", b, idx + 8, 3)
-    with pytest.raises(NotImplementedError, match="compression 3"):
+    with pytest.raises(mc.MediaFormatError, match="1-bit"):
         mc.decode_image(bytes(b))
     with pytest.raises(mc.MediaFormatError):
         mc.decode_image(mc.encode_tiff(g)[:20])  # strip out of range
