@@ -1631,6 +1631,9 @@ _TIFF_TAGS = {
     256: "width",
     257: "height",
     258: "bits_per_sample",
+    271: "make",
+    272: "model",
+    274: "orientation",
     259: "compression",
     262: "photometric",
     273: "strip_offsets",
@@ -1639,6 +1642,7 @@ _TIFF_TAGS = {
     279: "strip_byte_counts",
     284: "planar_config",
     292: "t4_options",
+    306: "datetime",
     293: "t6_options",
     317: "predictor",
     322: "tile_width",
@@ -1649,7 +1653,7 @@ _TIFF_TAGS = {
 }
 # field type → byte width (1 BYTE, 3 SHORT, 4 LONG, 7 UNDEFINED are
 # the ones baseline writers use for these tags)
-_TIFF_TYPE_W = {1: 1, 3: 2, 4: 4, 7: 1}
+_TIFF_TYPE_W = {1: 1, 2: 1, 3: 2, 4: 4, 7: 1}
 
 
 def _tiff_read_ifd(data: bytes, bo: str) -> dict:
@@ -2521,3 +2525,73 @@ def _decode_tiff_tiled(data: bytes, t: dict) -> np.ndarray:
         if spp == 1:
             out = out.reshape(h, w)
     return np.ascontiguousarray(out)
+
+
+_EXIF_STR_TAGS = ("make", "model", "datetime")
+
+
+def jpeg_exif(data: bytes) -> dict:
+    """EXIF metadata from a JPEG's APP1 segment (r7): the embedded
+    block IS a TIFF IFD, so the existing walker reads it — camera
+    make/model, capture datetime, and the ORIENTATION flag (tag 274)
+    that rotated-phone photos carry instead of rotated pixels.
+    Returns {} when no EXIF is present; O(header bytes)."""
+    if data[:3] != b"\xff\xd8\xff":
+        raise MediaFormatError("not a JPEG (no SOI)")
+    pos = 2
+    n = len(data)
+    while pos + 4 <= n:
+        if data[pos] != 0xFF:
+            break
+        marker = data[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker in (0xDA, 0xD9):  # entropy data / end: no more APPn
+            break
+        (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        if marker == 0xE1 and data[pos + 4 : pos + 10] == b"Exif\x00\x00":
+            tiff = data[pos + 10 : pos + 2 + seglen]
+            if tiff[:2] not in (b"II", b"MM"):
+                raise MediaFormatError("EXIF block has no TIFF header")
+            bo = "<" if tiff[:2] == b"II" else ">"
+            t = _tiff_read_ifd(tiff, bo)
+            out = {}
+            for k in _EXIF_STR_TAGS:
+                if k in t:
+                    v = t[k]
+                    v = bytes(v if isinstance(v, list) else [v])
+                    out[k] = v.split(b"\x00", 1)[0].decode(
+                        "latin-1", errors="replace"
+                    )
+            if "orientation" in t:
+                o = t["orientation"]
+                out["orientation"] = int(
+                    o[0] if isinstance(o, list) else o
+                )
+            return out
+        pos += 2 + seglen
+    return {}
+
+
+def apply_exif_orientation(a: np.ndarray, orientation: int) -> np.ndarray:
+    """Normalize pixels to EXIF orientation 1 (the 8 standard cases:
+    mirror/rotate combinations) — rotated-phone twins of the same
+    shot only perceptual-pair after this."""
+    if orientation in (0, 1):
+        return a
+    if orientation == 2:
+        return np.ascontiguousarray(a[:, ::-1])
+    if orientation == 3:
+        return np.ascontiguousarray(a[::-1, ::-1])
+    if orientation == 4:
+        return np.ascontiguousarray(a[::-1])
+    if orientation == 5:  # transpose (main diagonal)
+        return np.ascontiguousarray(np.swapaxes(a, 0, 1))
+    if orientation == 6:  # stored row 0 = visual right → rotate CW
+        return np.ascontiguousarray(np.rot90(a, k=3))
+    if orientation == 7:  # transverse (anti-diagonal)
+        return np.ascontiguousarray(np.swapaxes(a, 0, 1)[::-1, ::-1])
+    if orientation == 8:  # stored row 0 = visual left → rotate CCW
+        return np.ascontiguousarray(np.rot90(a, k=1))
+    raise MediaFormatError(f"EXIF orientation {orientation} out of range")

@@ -774,14 +774,27 @@ def dhash_value(a: np.ndarray, hash_w: int = 8, hash_h: int = 8) -> int:
 
 
 def image_dhash(
-    media: DataFrame, *, hash_w: int = 8, hash_h: int = 8
+    media: DataFrame,
+    *,
+    hash_w: int = 8,
+    hash_h: int = 8,
+    normalize_orientation: bool = False,
 ) -> DataFrame:
     """(media_id, dhash) for every decodable image blob — the
     Arrow-batched fingerprint pass feeding :func:`dhash_pairs`. NULL
     content → NULL hash; undecodable containers raise (same honest
     contract as ``media_stats``). 100 TB shape: one decode pass, 8
     bytes of output per image; everything downstream (the Hamming
-    band join) is JVM-side on the 8-byte relation."""
+    band join) is JVM-side on the 8-byte relation.
+
+    ``normalize_orientation`` (r7): phone photos carry rotation as an
+    EXIF flag instead of rotated pixels, so the same shot shared from
+    two devices hashes ~32 bits apart; with the flag on, JPEG blobs
+    are normalized via ``mediacodec.jpeg_exif`` +
+    ``apply_exif_orientation`` (an O(header) walk + a numpy view)
+    before hashing. Opt-in so existing oracles/indexes keep their
+    hash values; flipping it on a persisted dhash index is a
+    different accepted-set semantics."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -791,7 +804,14 @@ def image_dhash(
                 if content is None:
                     hashes.append(None)
                     continue
-                a = mc.decode_image(bytes(content))
+                blob = bytes(content)
+                a = mc.decode_image(blob)
+                if (
+                    normalize_orientation
+                    and mc.sniff_format(blob) == "jpeg"
+                ):
+                    o = mc.jpeg_exif(blob).get("orientation", 1)
+                    a = mc.apply_exif_orientation(a, o)
                 hashes.append(dhash_value(a, hash_w, hash_h))
             out = pd.DataFrame({"media_id": ids, "dhash": hashes})
             out["dhash"] = out["dhash"].astype("Int64")

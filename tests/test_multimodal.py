@@ -919,3 +919,108 @@ def test_animated_gif_joins_the_video_family(spark):
     )
     si = container_info(still).collect()[0]
     assert si["n_frames"] == 1 and si["duration_ms"] is None
+
+
+def _with_exif(jpeg_blob: bytes, orientation: int) -> bytes:
+    """Splice a hand-built APP1/EXIF segment (a real little-endian
+    TIFF IFD: Make, Orientation, DateTime) after the JFIF APP0."""
+    make = b"testcam\x00"
+    dt = b"2026:08:16 10:00:00\x00"
+    ifd_off = 8
+    n = 3
+    data_off = ifd_off + 2 + 12 * n + 4
+    entries = struct.pack(
+        "<HHII", 271, 2, len(make), data_off
+    ) + struct.pack(
+        "<HHIHH", 274, 3, 1, orientation, 0
+    ) + struct.pack(
+        "<HHII", 306, 2, len(dt), data_off + len(make)
+    )
+    tiff = (
+        b"II*\x00" + struct.pack("<I", ifd_off)
+        + struct.pack("<H", n) + entries + struct.pack("<I", 0)
+        + make + dt
+    )
+    body = b"Exif\x00\x00" + tiff
+    app1 = b"\xff\xe1" + struct.pack(">H", len(body) + 2) + body
+    # insert after APP0 (which follows SOI)
+    assert jpeg_blob[2:4] == b"\xff\xe0"
+    app0_len = struct.unpack(">H", jpeg_blob[4:6])[0]
+    cut = 4 + app0_len
+    return jpeg_blob[:cut] + app1 + jpeg_blob[cut:]
+
+
+def test_exif_walk_and_orientation_transforms():
+    from lsdm_motogp_data_integration_spark.operators.jpegcodec import (
+        encode_jpeg,
+    )
+
+    rng = np.random.RandomState(21)
+    img = rng.randint(0, 256, (16, 24), np.uint8)
+    plain = encode_jpeg(img, quality=90)
+    assert mc.jpeg_exif(plain) == {}
+    tagged = _with_exif(plain, 6)
+    info = mc.jpeg_exif(tagged)
+    assert info["orientation"] == 6 and info["make"] == "testcam"
+    assert info["datetime"] == "2026:08:16 10:00:00"
+    # the EXIF segment must not change the decoded pixels
+    assert np.array_equal(mc.decode_image(tagged), mc.decode_image(plain))
+    # inverse property for all 8 orientations: storing U through the
+    # inverse transform and normalizing recovers U exactly
+    u = rng.randint(0, 256, (6, 9, 3), np.uint8)
+    inverses = {
+        1: lambda a: a,
+        2: lambda a: a[:, ::-1],
+        3: lambda a: a[::-1, ::-1],
+        4: lambda a: a[::-1],
+        5: lambda a: np.swapaxes(a, 0, 1),
+        6: lambda a: np.rot90(a, k=1),
+        7: lambda a: np.swapaxes(a, 0, 1)[::-1, ::-1],
+        8: lambda a: np.rot90(a, k=3),
+    }
+    for o, inv in inverses.items():
+        stored = np.ascontiguousarray(inv(u))
+        assert np.array_equal(
+            mc.apply_exif_orientation(stored, o), u
+        ), o
+
+
+def test_dhash_exif_orientation_normalization(spark):
+    """A rotated-phone twin (same shot, orientation 6 flag + rotated
+    pixels) only pairs when normalize_orientation is on — and the
+    default-off path keeps every existing hash value."""
+    from lsdm_motogp_data_integration_spark.operators.jpegcodec import (
+        encode_jpeg,
+    )
+    from lsdm_motogp_data_integration_spark.operators.multimodal import (
+        image_dhash,
+    )
+
+    rng = np.random.RandomState(22)
+    img = rng.randint(0, 256, (32, 48), np.uint8)
+    flat8 = np.full((8, 8), 8, np.int64)
+    upright = encode_jpeg(img, quant=flat8)
+    # the "phone" stored the pixels rotated 90° CCW + flagged 6
+    rotated = _with_exif(
+        encode_jpeg(np.ascontiguousarray(np.rot90(img, 1)), quant=flat8),
+        6,
+    )
+    media = spark.createDataFrame(
+        [(1, "image", upright, None), (2, "image", rotated, None)],
+        MEDIA_SCHEMA,
+    )
+    raw = {
+        r["media_id"]: r["dhash"] for r in image_dhash(media).collect()
+    }
+    norm = {
+        r["media_id"]: r["dhash"]
+        for r in image_dhash(
+            media, normalize_orientation=True
+        ).collect()
+    }
+    def ham(a, b):
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    assert ham(raw[1], raw[2]) > 10          # unpaired without EXIF
+    assert ham(norm[1], norm[2]) == 0        # exact after normalizing
+    assert norm[1] == raw[1]                 # upright hash unchanged
