@@ -2027,6 +2027,12 @@ def q41_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
       the identical closed form; general-image progressive parity
       with baseline is pinned in tests/test_jpegcodec.py, including
       a hand-assembled multi-scan stream vs an independent IDCT.
+    - ``mcard`` (r7): the media DATASET CARD driver-verified — per
+      (kind, fmt) blob counts, kept counts against the same screen
+      thresholds, dims maxima, and duration sums
+      (pipelines/media.media_dataset_card over the O(header) flags
+      relation), replayed closed-form by the same mflags oracle CTE
+      that pins mscreen/mfunnel.
     - ``real_g4`` (r7): the scanned-document path — a 6×8 bilevel
       raster from the 'g4' chain BITS encoded as a CCITT Group 4
       TIFF (operators/faxcodec: 2D vertical/pass/horizontal modes +
@@ -2566,6 +2572,28 @@ def q41_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("duration_ms").alias("sum_values"),
         F.col("keep").cast("bigint").alias("weighted_sum"),
     )
+    # mcard (r7, VERDICT r6 #7 driver-verified): the media dataset
+    # card over the same mixed corpus — per-(kind, fmt) blob counts,
+    # kept counts against the same thresholds, dims maxima, and
+    # duration sums, all aggregated from the O(header) flags relation
+    # and replayed closed-form by the oracle's mflags CTE
+    from lsdm_motogp_data_integration_spark.pipelines.media import (
+        media_dataset_card,
+    )
+
+    mcd = media_dataset_card(screen_media, **_mkw).select(
+        F.lit("mcard").alias("scope"),
+        F.lit(None).cast("bigint").alias("media_id"),
+        "kind",
+        "fmt",
+        F.lit(None).cast("bigint").alias("n_bytes"),
+        F.lit(None).cast("string").alias("digest"),
+        F.col("max_width").alias("width"),
+        F.col("max_height").alias("height"),
+        F.col("n_blobs").alias("n_values"),
+        F.col("sum_duration_ms").alias("sum_values"),
+        F.col("n_kept").alias("weighted_sum"),
+    )
     mfn = media_screen_report(screen_media, **_mkw).select(
         F.lit("mfunnel").alias("scope"),
         F.col("screen_order").cast("bigint").alias("media_id"),
@@ -2614,6 +2642,7 @@ def q41_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(mi)
         .unionByName(msc)
         .unionByName(mfn)
+        .unionByName(mcd)
         .unionByName(tf)
         .unionByName(g4)
     )
@@ -7296,6 +7325,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(k_parse*k_fmt*k_dims*k_duration*k_size
                         AS BIGINT)
             FROM mflags
+            UNION ALL
+            -- mcard: the media dataset card — per-(kind, fmt) blob
+            -- counts, kept counts (the same conjunctive flags), dims
+            -- maxima, and duration sums over the identical closed-
+            -- form metadata
+            SELECT 'mcard', NULL::BIGINT, kind, fmt,
+                   NULL::BIGINT, NULL::VARCHAR,
+                   CAST(MAX(w) AS INT), CAST(MAX(h) AS INT),
+                   CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(dur) AS BIGINT),
+                   CAST(SUM(k_parse*k_fmt*k_dims*k_duration*k_size)
+                        AS BIGINT)
+            FROM mflags GROUP BY kind, fmt
             UNION ALL
             -- mfunnel: per-screen fail counts + cumulative survivors
             -- keyed by screen order, screen name in fmt
