@@ -713,24 +713,36 @@ class _Document:
         return raw
 
     def pages(self) -> list[dict]:
-        """Flatten the page tree (depth-first, /Kids order)."""
+        """Flatten the page tree (depth-first, /Kids order).  The
+        INHERITABLE page attributes (§7.7.3.4: /Resources, /MediaBox,
+        /Rotate) flow down from Pages nodes to leaves that lack them
+        — real PDFs routinely hang one shared /Resources on the tree
+        root, so font/CMap lookup must see inherited values."""
         root = self.resolve(self.trailer.get("Root"))
         if not isinstance(root, dict):
             raise MediaFormatError("PDF trailer /Root missing")
         top = self.resolve(root.get("Pages"))
         if not isinstance(top, dict):
             raise MediaFormatError("PDF catalog /Pages missing")
+        inheritable = ("Resources", "MediaBox", "Rotate")
         out: list[dict] = []
-        stack = [top]
+        stack: list[tuple[dict, dict]] = [(top, {})]
         guard = 0
         while stack:
             guard += 1
             if guard > 100_000:
                 raise MediaFormatError("PDF page tree too deep/cyclic")
-            node = stack.pop()
+            node, inherited = stack.pop()
+            passed = dict(inherited)
+            for k in inheritable:
+                if k in node:
+                    passed[k] = node[k]
             t = str(self.resolve(node.get("Type")) or "")
             if t == "Page":
-                out.append(node)
+                merged = dict(node)
+                for k, v in passed.items():
+                    merged.setdefault(k, v)
+                out.append(merged)
                 continue
             kids = self.resolve(node.get("Kids"))
             if not isinstance(kids, list):
@@ -739,7 +751,7 @@ class _Document:
                 kd = self.resolve(k)
                 if not isinstance(kd, dict):
                     raise MediaFormatError("PDF page tree kid not a dict")
-                stack.append(kd)
+                stack.append((kd, passed))
         return out
 
 

@@ -606,3 +606,42 @@ def test_lzw_filter():
     assert ec0  # the naive in-place replace is a corrupt-xref trap
     with pytest.raises(NotImplementedError, match="EarlyChange"):
         decode_pdf_text(bytes(out))
+
+
+def test_inherited_resources_cmap():
+    """§7.7.3.4: /Resources hung on the page-TREE node (not the page)
+    must still reach the font/CMap lookup — real PDFs share one
+    Resources dict across all pages this way."""
+    cmap = (
+        b"1 begincodespacerange <00> <FF> endcodespacerange\n"
+        b"2 beginbfchar <41> <0058> <42> <0059> endbfchar\n"
+    )
+    content = b"BT /F1 10 Tf <4142> Tj ET"
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        # Resources on the PAGES node; the page itself has none
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 "
+        b"/Resources << /Font << /F1 5 0 R >> >> >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+        b"<< /Length %d >>\nstream\n" % len(content)
+        + content
+        + b"\nendstream",
+        b"<< /Type /Font /Subtype /Type0 /ToUnicode 6 0 R >>",
+        b"<< /Length %d >>\nstream\n" % len(cmap)
+        + cmap
+        + b"\nendstream",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offs = []
+    for i, body in enumerate(objs, 1):
+        offs.append(len(out))
+        out += b"%d 0 obj\n" % i + body + b"\nendobj\n"
+    xr = len(out)
+    out += b"xref\n0 7\n0000000000 65535 f \n"
+    for o in offs:
+        out += b"%010d 00000 n \n" % o
+    out += (
+        b"trailer\n<< /Size 7 /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF"
+        % xr
+    )
+    assert decode_pdf_text(bytes(out)) == ["XY"]
