@@ -36,11 +36,14 @@ environment and none are needed for these formats):
   gray / RGB / indexed-PLTE / gray+alpha / RGBA color types.
 - **GIF** (r6) — pure-python variable-width LZW (LSB-first, deferred
   clear, KwKwK case) + numpy palette expansion; 87a/89a, interlace,
-  local color tables; animated GIFs decode their first frame.
+  local color tables; animated GIFs decode their first frame via
+  ``decode_image`` and ALL frames (full disposal model) via
+  ``decode_gif_frames`` (r7).
 - **JPEG** (r6) — baseline sequential DCT, in :mod:`jpegcodec`
   (marker walk + canonical Huffman + dequant + 8×8 IDCT, grayscale /
-  YCbCr with arbitrary ≤4 sampling factors); progressive and
-  arithmetic coding raise ``NotImplementedError``.
+  YCbCr with arbitrary ≤4 sampling factors, r7: full progressive
+  SOF2 multi-scan decode); arithmetic coding raises
+  ``NotImplementedError``.
 - **TIFF** (r6; r7 closures) — IFD tag walk in both byte orders,
   8-bit gray/RGB chunky layout, multi-strip reassembly, WhiteIsZero
   inversion, uncompressed, LZW (MSB-first, spec §13 early-change

@@ -10,12 +10,15 @@ Two decode paths:
   decode output — exercises the full Spark contract (schemas, batch
   iteration, partitioning) with zero codec dependencies; matches the
   historical stub behavior bit-for-bit.
-- ``fake=False``: REAL decoding via :mod:`.mediacodec` — pure-numpy
-  parsers for codec-free containers (BMP, PGM/PPM, PCM WAV, Y4M
-  uncompressed video).  Compressed formats (PNG/JPEG/MP3/MP4/…) have no
-  decoder in this environment and raise ``NotImplementedError`` from
-  inside the task with a clear message; there is no silent fallback to
-  fake output.
+- ``fake=False``: REAL decoding via :mod:`.mediacodec` /
+  :mod:`.jpegcodec` / :mod:`.faxcodec` — pure-numpy/python codecs for
+  BMP, PGM/PPM, PNG (every depth + Adam7), JPEG (baseline +
+  progressive, r7), GIF (incl. animation), TIFF (uncompressed / LZW /
+  PackBits / CCITT / JPEG-in-TIFF / tiled), WAV (PCM / G.711 /
+  IMA+MS ADPCM / float), and Y4M.  The formats that genuinely need
+  codec libraries (MP3/MP4 SAMPLE data — their metadata walks are
+  supported) raise ``NotImplementedError`` from inside the task with
+  a clear message; there is no silent fallback to fake output.
 
 Real-mode digests are CONTENT-addressed: sha256 over the canonical
 decoded form (row-major RGB pixels / little-endian int16 samples /
