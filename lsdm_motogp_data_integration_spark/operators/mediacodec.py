@@ -142,6 +142,8 @@ def sniff_format(data: bytes) -> str | None:
         return "tiff"
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return "wav"
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        return "webp"
     if data[:9] == b"YUV4MPEG2":
         return "y4m"
     if data[4:8] == b"ftyp":
@@ -1534,6 +1536,8 @@ def image_dims(data: bytes) -> tuple[int, int]:
         if "width" not in t or "height" not in t:
             raise MediaFormatError("TIFF missing dimension tags")
         return t["width"], t["height"]
+    if fmt == "webp":
+        return _webp_dims(data)
     if fmt == "jpeg":
         pos = 2
         while pos + 4 <= len(data):
@@ -1554,6 +1558,40 @@ def image_dims(data: bytes) -> tuple[int, int]:
             pos += seglen
         raise MediaFormatError("JPEG has no SOF marker")
     raise NotImplementedError(f"image_dims: not an image ({fmt})")
+
+
+def _webp_dims(data: bytes) -> tuple[int, int]:
+    """WebP canvas dims from the first VP8/VP8L/VP8X chunk header —
+    the web's #3 image format joins the O(header) stat pass (r7);
+    SAMPLE decode needs the VP8 codec and stays a gate."""
+    pos = 12
+    n = len(data)
+    while pos + 8 <= n:
+        cid = data[pos : pos + 4]
+        size = struct.unpack_from("<I", data, pos + 4)[0]
+        body = data[pos + 8 : pos + 8 + size]
+        if len(body) < min(size, 10):
+            raise MediaFormatError(f"WebP chunk {cid!r} truncated")
+        if cid == b"VP8 ":
+            # lossy: 3-byte frame tag, start code 9D 01 2A, then
+            # 14-bit width/height (low bits of two u16le)
+            if body[3:6] != b"\x9d\x01\x2a":
+                raise MediaFormatError("WebP VP8 start code missing")
+            w = struct.unpack_from("<H", body, 6)[0] & 0x3FFF
+            h = struct.unpack_from("<H", body, 8)[0] & 0x3FFF
+            return w, h
+        if cid == b"VP8L":
+            if body[0] != 0x2F:
+                raise MediaFormatError("WebP VP8L signature missing")
+            bits = struct.unpack_from("<I", body, 1)[0]
+            return (bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1
+        if cid == b"VP8X":
+            # canvas size: 24-bit LE minus-one fields at offsets 4, 7
+            w = int.from_bytes(body[4:7], "little") + 1
+            h = int.from_bytes(body[7:10], "little") + 1
+            return w, h
+        pos += 8 + size + (size & 1)
+    raise MediaFormatError("WebP has no VP8/VP8L/VP8X chunk")
 
 
 def wav_info(data: bytes) -> dict:

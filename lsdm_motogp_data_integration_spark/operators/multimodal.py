@@ -1177,7 +1177,8 @@ def _container_info_one(content: bytes) -> dict:
         "has_video": None,
         "has_audio": None,
     }
-    if fmt in ("bmp", "pgm", "ppm", "png", "jpeg", "gif", "tiff"):
+    if fmt in ("bmp", "pgm", "ppm", "png", "jpeg", "gif", "tiff",
+               "webp"):
         w, h = mc.image_dims(content)
         out.update(width=w, height=h)
         if fmt == "gif":

@@ -815,3 +815,49 @@ def test_jpeg_in_tiff_rgb_and_corruption():
     # strip that isn't JPEG at all
     with pytest.raises(mc.MediaFormatError, match="SOI"):
         mc.decode_image(_jpeg_tiff([b"\x00" * 40], 16, 16, 16, 1))
+
+
+def test_webp_header_dims_all_chunk_kinds(spark):
+    """WebP (r7): dims from the VP8 (lossy) / VP8L (lossless) / VP8X
+    (extended) chunk headers — the O(header) stat pass covers the
+    web's #3 image format; SAMPLE decode stays an honest gate."""
+    import struct as _st
+
+    def riff(chunks):
+        body = b"WEBP" + chunks
+        return b"RIFF" + _st.pack("<I", len(body)) + body
+
+    vp8 = (
+        b"VP8 " + _st.pack("<I", 10) + bytes(3) + b"\x9d\x01\x2a"
+        + _st.pack("<HH", 320, 240)
+    )
+    bits = (320 - 1) | ((240 - 1) << 14)
+    vp8l = (
+        b"VP8L" + _st.pack("<I", 5) + b"\x2f" + _st.pack("<I", bits)
+        + b"\x00"
+    )
+    vp8x = (
+        b"VP8X" + _st.pack("<I", 10) + bytes(4)
+        + (319).to_bytes(3, "little") + (239).to_bytes(3, "little")
+    )
+    blobs = [riff(vp8), riff(vp8l), riff(vp8x)]
+    for blob in blobs:
+        assert mc.sniff_format(blob) == "webp"
+        assert mc.image_dims(blob) == (320, 240)
+    with pytest.raises(NotImplementedError):
+        mc.decode_image(blobs[0])
+    with pytest.raises(mc.MediaFormatError, match="start code"):
+        bad = bytearray(blobs[0])
+        bad[23] ^= 0xFF
+        mc.image_dims(bytes(bad))
+    # through the Spark stat operator (triage keeps the row)
+    media = spark.createDataFrame(
+        [(i, "image", b, None) for i, b in enumerate(blobs)],
+        MEDIA_SCHEMA,
+    )
+    out = {r["media_id"]: r for r in container_info(media).collect()}
+    assert all(
+        out[i]["fmt"] == "webp"
+        and (out[i]["width"], out[i]["height"]) == (320, 240)
+        for i in range(3)
+    )
