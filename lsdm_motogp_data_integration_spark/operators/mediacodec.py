@@ -147,6 +147,12 @@ def sniff_format(data: bytes) -> str | None:
     if data[:9] == b"YUV4MPEG2":
         return "y4m"
     if data[4:8] == b"ftyp":
+        brand = data[8:12]
+        if brand in (b"avif", b"avis"):
+            return "avif"
+        if brand in (b"heic", b"heix", b"mif1", b"msf1", b"heim",
+                     b"heis", b"hevc"):
+            return "heic"
         return "mp4"
     if data[:3] == b"ID3" or (
         data[0] == 0xFF and (data[1] & 0xE0) == 0xE0
@@ -1538,6 +1544,8 @@ def image_dims(data: bytes) -> tuple[int, int]:
         return t["width"], t["height"]
     if fmt == "webp":
         return _webp_dims(data)
+    if fmt in ("avif", "heic"):
+        return _heif_dims(data)
     if fmt == "jpeg":
         pos = 2
         while pos + 4 <= len(data):
@@ -1592,6 +1600,56 @@ def _webp_dims(data: bytes) -> tuple[int, int]:
             return w, h
         pos += 8 + size + (size & 1)
     raise MediaFormatError("WebP has no VP8/VP8L/VP8X chunk")
+
+
+def _heif_dims(data: bytes) -> tuple[int, int]:
+    """AVIF/HEIC canvas dims from the ISO-BMFF property walk (r7):
+    meta (FullBox) → iprp → ipco → ispe boxes; multiple ispe entries
+    (thumbnails, alpha planes) resolve to the LARGEST — the primary
+    item in practice.  Pixel decode needs the AV1/HEVC codec and
+    stays a gate."""
+
+    def children(buf: bytes, pos: int, end: int):
+        while pos + 8 <= end:
+            size = struct.unpack_from(">I", buf, pos)[0]
+            btype = buf[pos + 4 : pos + 8]
+            hdr = 8
+            if size == 1:
+                size = struct.unpack_from(">Q", buf, pos + 8)[0]
+                hdr = 16
+            elif size == 0:
+                size = end - pos
+            if size < hdr or pos + size > end:
+                raise MediaFormatError(
+                    f"HEIF box {btype!r} size out of range"
+                )
+            yield btype, pos + hdr, pos + size
+            pos += size
+
+    def find(buf: bytes, pos: int, end: int, btype: bytes, full: bool):
+        for bt, b0, b1 in children(buf, pos, end):
+            if bt == btype:
+                return (b0 + 4 if full else b0), b1
+        return None
+
+    meta = find(data, 0, len(data), b"meta", True)
+    if meta is None:
+        raise MediaFormatError("HEIF has no meta box")
+    iprp = find(data, meta[0], meta[1], b"iprp", False)
+    if iprp is None:
+        raise MediaFormatError("HEIF has no iprp box")
+    ipco = find(data, iprp[0], iprp[1], b"ipco", False)
+    if ipco is None:
+        raise MediaFormatError("HEIF has no ipco box")
+    best = None
+    for bt, b0, b1 in children(data, ipco[0], ipco[1]):
+        if bt == b"ispe" and b1 - b0 >= 12:
+            w, h = struct.unpack_from(">II", data, b0 + 4)
+            if best is None or w * h > best[0] * best[1]:
+                best = (w, h)
+    if best is None:
+        raise MediaFormatError("HEIF has no ispe property")
+    return best
 
 
 def wav_info(data: bytes) -> dict:

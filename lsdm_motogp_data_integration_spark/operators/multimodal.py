@@ -1178,7 +1178,7 @@ def _container_info_one(content: bytes) -> dict:
         "has_audio": None,
     }
     if fmt in ("bmp", "pgm", "ppm", "png", "jpeg", "gif", "tiff",
-               "webp"):
+               "webp", "avif", "heic"):
         w, h = mc.image_dims(content)
         out.update(width=w, height=h)
         if fmt == "gif":

@@ -861,3 +861,47 @@ def test_webp_header_dims_all_chunk_kinds(spark):
         and (out[i]["width"], out[i]["height"]) == (320, 240)
         for i in range(3)
     )
+
+
+def test_avif_heic_header_dims(spark):
+    """AVIF/HEIC (r7): canvas dims from the meta→iprp→ipco→ispe box
+    walk on a hand-built skeleton; the largest ispe wins (thumbnails
+    carry their own); decode stays a gate."""
+    import struct as _st
+
+    def box(btype, body):
+        return _st.pack(">I", len(body) + 8) + btype + body
+
+    def fullbox(btype, body):
+        return box(btype, b"\x00\x00\x00\x00" + body)
+
+    def heif(brand, ispes):
+        ipco = b"".join(
+            fullbox(b"ispe", _st.pack(">II", w, h)) for w, h in ispes
+        )
+        meta = fullbox(
+            b"meta",
+            box(b"hdlr", b"\x00" * 24)
+            + box(b"iprp", box(b"ipco", ipco)),
+        )
+        return box(b"ftyp", brand + b"\x00\x00\x00\x00" + brand) + meta
+
+    avif = heif(b"avif", [(160, 90), (1920, 1080)])
+    heic = heif(b"heic", [(640, 480)])
+    assert mc.sniff_format(avif) == "avif"
+    assert mc.sniff_format(heic) == "heic"
+    assert mc.image_dims(avif) == (1920, 1080)  # largest ispe
+    assert mc.image_dims(heic) == (640, 480)
+    # plain mp4 brands still sniff as mp4
+    assert mc.sniff_format(mc.encode_mp4_skeleton(1000)) == "mp4"
+    with pytest.raises(Exception):
+        mc.decode_image(avif)  # pixel decode needs AV1 — gated
+    with pytest.raises(mc.MediaFormatError, match="ispe"):
+        mc.image_dims(heif(b"avif", []))
+    media = spark.createDataFrame(
+        [(1, "image", avif, None), (2, "image", heic, None)],
+        MEDIA_SCHEMA,
+    )
+    out = {r["media_id"]: r for r in container_info(media).collect()}
+    assert out[1]["fmt"] == "avif" and out[1]["width"] == 1920
+    assert out[2]["fmt"] == "heic" and out[2]["height"] == 480
