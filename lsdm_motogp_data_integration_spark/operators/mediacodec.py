@@ -1152,17 +1152,18 @@ def decode_gif_frames(data: bytes) -> tuple[list[np.ndarray], list[int]]:
 
     - sub-rectangle frames blit at their (x, y) offsets;
     - transparent-index pixels leave the canvas unchanged;
-    - disposal 2 restores the frame's rectangle to the background
-      color, 3 restores the pre-frame canvas, 0/1 leave it.
+    - disposal 2 restores the frame's rectangle to TRANSPARENT
+      (rendered black on this alpha-less canvas — what browsers and
+      Pillow do; the spec's "background color" is ignored by every
+      reference renderer, and the background index is frequently
+      also the transparent index), 3 restores the pre-frame canvas,
+      0/1 leave it.
 
     Returns (frames — each ``(screen_h, screen_w, 3) uint8``, per-
     frame delays in ms, 0 where no GCE)."""
     sw, sh, gct, bg_idx, frames = _gif_parse(data)
-    if gct is not None and bg_idx < gct.shape[0]:
-        bg = gct[bg_idx]
-    else:
-        bg = np.zeros(3, np.uint8)
-    canvas = np.broadcast_to(bg, (sh, sw, 3)).copy()
+    del gct, bg_idx  # reference renderers treat the canvas as
+    canvas = np.zeros((sh, sw, 3), np.uint8)  # transparent → black
     out: list[np.ndarray] = []
     delays: list[int] = []
     for f in frames:
@@ -1185,7 +1186,7 @@ def decode_gif_frames(data: bytes) -> tuple[list[np.ndarray], list[int]]:
         out.append(canvas.copy())
         delays.append(int(gce.get("delay_ms", 0)))
         if disposal == 2:
-            canvas[y : y + h, x : x + w] = bg
+            canvas[y : y + h, x : x + w] = 0
         elif disposal == 3:
             canvas = saved
     return out, delays
@@ -1578,7 +1579,11 @@ def _webp_dims(data: bytes) -> tuple[int, int]:
         cid = data[pos : pos + 4]
         size = struct.unpack_from("<I", data, pos + 4)[0]
         body = data[pos + 8 : pos + 8 + size]
-        if len(body) < min(size, 10):
+        # per-chunk minimum is required of BOTH the declared size and
+        # the available bytes — a chunk declaring size < minimum would
+        # otherwise pass and die in struct.unpack (wrong error type)
+        need = {b"VP8 ": 10, b"VP8L": 5, b"VP8X": 10}.get(cid)
+        if need is not None and (size < need or len(body) < need):
             raise MediaFormatError(f"WebP chunk {cid!r} truncated")
         if cid == b"VP8 ":
             # lossy: 3-byte frame tag, start code 9D 01 2A, then

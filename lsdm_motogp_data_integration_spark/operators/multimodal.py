@@ -1263,7 +1263,7 @@ def pdf_text(
     ``pipelines.curation.curate``.
 
     ``strict=True`` propagates per-blob errors (incl. the honest
-    gates: encrypted, xref streams, exotic filters); ``strict=False``
+    gates: encrypted documents, image-only filters); ``strict=False``
     is the triage mode — gated/corrupt blobs yield text=NULL with
     whatever :func:`pdfcodec.pdf_info` could still report, so a real
     crawl's encrypted minority surfaces as a NULL count instead of a
@@ -1286,10 +1286,11 @@ def pdf_text(
                     continue
                 blob = bytes(content)
                 try:
+                    doc = pdfcodec._Document(blob)
                     pages = pdfcodec.decode_pdf_text(
-                        blob, max_pages=max_pages
+                        blob, max_pages=max_pages, doc=doc
                     )
-                    info = pdfcodec.pdf_info(blob)
+                    info = pdfcodec.pdf_info(blob, doc=doc)
                     npages.append(info["n_pages"])
                     nobjs.append(info["n_objects"])
                     vers.append(info["version"])

@@ -393,6 +393,7 @@ class _Document:
         self.trailer: dict = {}
         self._cache: dict[int, object] = {}
         self._objstm_cache: dict[int, tuple] = {}
+        self._inflight: set[int] = set()  # objects being parsed (cycle guard)
         self._load_xref()
         if "Encrypt" in self.trailer:
             raise NotImplementedError(
@@ -433,6 +434,12 @@ class _Document:
                 return self._load_xref_stream_section(lx.p)
             raise MediaFormatError(f"PDF xref table not found at {off}")
         lx.p += 4
+        # 'f' entries tombstone stale /Prev offsets (§7.5.4: freed
+        # objects read as null) — but DEFERRED past this section's
+        # /XRefStm, which may legitimately define an object the
+        # classic table of the SAME hybrid revision marks free
+        # (§7.5.8.4); newer sections' entries still beat both.
+        pending_free: list[int] = []
         while True:
             lx._skip_ws()
             if d[lx.p : lx.p + 7] == b"trailer":
@@ -445,6 +452,8 @@ class _Document:
                     # carries the compressed-object entries; classic
                     # entries (already setdefault'd) win overlaps
                     self._load_xref_stream_section(int(tr["XRefStm"]))
+                for num in pending_free:
+                    self.xref.setdefault(num, None)
                 return tr
             m = _SUBSEC_RE.match(d, lx.p)
             if not m:
@@ -461,6 +470,8 @@ class _Document:
                     )
                 if em.group(3) == b"n":
                     self.xref.setdefault(first + k, int(em.group(1)))
+                else:  # 'f': tombstoned after the /XRefStm loads
+                    pending_free.append(first + k)
                 # entries are fixed 20 bytes per spec; tolerate 18-19
                 nl = ent.find(b"\n", em.end() - 1)
                 lx.p += (nl + 1) if 0 <= nl < 20 else 20
@@ -535,7 +546,8 @@ class _Document:
                     self.xref.setdefault(num, fields[1])
                 elif t == 2:
                     self.xref.setdefault(num, (fields[1], fields[2]))
-                # t == 0: free
+                else:  # type 0 free: tombstone masks stale /Prev entries
+                    self.xref.setdefault(num, None)
         return {
             k: v
             for k, v in sd.items()
@@ -543,18 +555,35 @@ class _Document:
         }
 
     def resolve(self, obj):
-        """Follow indirect references (memoized); pass-through else."""
+        """Follow indirect references (memoized); pass-through else.
+
+        Guards reference cycles (1 0 obj 2 0 R / 2 0 obj 1 0 R would
+        otherwise ping-pong between cached _Ref values forever — a
+        hang, not an error, on untrusted web PDFs)."""
+        seen: set[int] = set()
         while isinstance(obj, _Ref):
             num = obj[0]
+            if num in seen:
+                raise MediaFormatError("PDF circular reference chain")
+            seen.add(num)
             if num in self._cache:
                 obj = self._cache[num]
                 continue
-            if num not in self.xref:
+            if self.xref.get(num) is None:
                 return None  # free/absent object reads as null (spec)
             obj = self._parse_indirect(num)
         return obj
 
     def _parse_indirect(self, num: int):
+        if num in self._inflight:  # e.g. ObjStm whose /Length or header
+            raise MediaFormatError("PDF circular reference chain")
+        self._inflight.add(num)
+        try:
+            return self._parse_indirect_inner(num)
+        finally:
+            self._inflight.discard(num)
+
+    def _parse_indirect_inner(self, num: int):
         loc = self.xref[num]
         if isinstance(loc, tuple):  # type-2: inside an object stream
             obj = self._parse_from_objstm(num, loc[0], loc[1])
@@ -992,12 +1021,17 @@ def _extract_page_text(
     return "".join(out)
 
 
-def decode_pdf_text(data: bytes, *, max_pages: int = 0) -> list[str]:
+def decode_pdf_text(
+    data: bytes, *, max_pages: int = 0, doc: "_Document | None" = None
+) -> list[str]:
     """Extract text per page → list of page strings (see module doc
     for the operator subset and honest gates).  ``max_pages`` > 0
     truncates the walk (header-cheap page counting stays in
-    :func:`pdf_info`)."""
-    doc = _Document(bytes(data))
+    :func:`pdf_info`).  Pass ``doc`` to reuse an already-parsed
+    :class:`_Document` (callers that also need :func:`pdf_info`
+    avoid re-walking the xref chain and page tree)."""
+    if doc is None:
+        doc = _Document(bytes(data))
     pages = doc.pages()
     if max_pages > 0:
         pages = pages[:max_pages]
@@ -1037,16 +1071,18 @@ def decode_pdf_text(data: bytes, *, max_pages: int = 0) -> list[str]:
     return out
 
 
-def pdf_info(data: bytes) -> dict:
+def pdf_info(data: bytes, *, doc: "_Document | None" = None) -> dict:
     """Header/structure metadata without text extraction: version,
     page count, object count, producer/title (when present).
     Encrypted documents REPORT here (encrypted=True) instead of
-    raising — the curation screen needs to see them to drop them."""
+    raising — the curation screen needs to see them to drop them.
+    Pass ``doc`` to reuse an already-parsed :class:`_Document`."""
     data = bytes(data)
     if not data.startswith(b"%PDF-"):
         raise MediaFormatError("not a PDF (no %PDF- header)")
     try:
-        doc = _Document(data)
+        if doc is None:
+            doc = _Document(data)
         enc = False
     except NotImplementedError:
         return {
@@ -1069,7 +1105,7 @@ def pdf_info(data: bytes) -> dict:
     return {
         "version": doc.version,
         "n_pages": len(doc.pages()),
-        "n_objects": len(doc.xref),
+        "n_objects": sum(1 for v in doc.xref.values() if v is not None),
         "encrypted": enc,
         "producer": producer,
         "title": title,

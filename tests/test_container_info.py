@@ -850,6 +850,12 @@ def test_webp_header_dims_all_chunk_kinds(spark):
         bad = bytearray(blobs[0])
         bad[23] ^= 0xFF
         mc.image_dims(bytes(bad))
+    # a chunk whose DECLARED size is below the per-kind minimum must
+    # raise the codec's typed error, not struct.error/IndexError (r8)
+    for cid, tiny in ((b"VP8 ", 4), (b"VP8L", 2), (b"VP8X", 6)):
+        short = riff(cid + _st.pack("<I", tiny) + bytes(tiny))
+        with pytest.raises(mc.MediaFormatError, match="truncated"):
+            mc.image_dims(short)
     # through the Spark stat operator (triage keeps the row)
     media = spark.createDataFrame(
         [(i, "image", b, None) for i, b in enumerate(blobs)],

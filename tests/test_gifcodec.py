@@ -293,3 +293,36 @@ def test_animated_gif_disposal_2_visible_restore():
     gray = lambda a: np.repeat(a[:, :, None], 3, 2)  # noqa: E731
     assert np.array_equal(out[1], gray(exp2))
     assert np.array_equal(out[2], gray(exp3))
+
+
+def test_animated_gif_disposal_2_restores_transparent_not_bg_color():
+    """Reference renderers (browsers, Pillow) restore disposal-2
+    rectangles to TRANSPARENT (black on an alpha-less canvas), never
+    the screen descriptor's background COLOR — pin that a nonzero
+    background index does not leak into the restored rect (r8)."""
+    base = np.full((4, 4), 200, np.uint8)
+    patch = np.full((2, 2), 30, np.uint8)
+    corner = np.full((1, 1), 77, np.uint8)
+    p1, p2, p3 = (mc.encode_gif(a) for a in (base, patch, corner))
+    head = bytearray(p1[: 13 + 768])
+    head[11] = 250  # background index → gray 250 in the identity pal
+
+    def gce(disposal):
+        return bytes([0x21, 0xF9, 4, disposal << 2, 0, 0, 0, 0])
+
+    sec2 = bytearray(p2[13 + 768 : -1])
+    sec2[1:3] = (1).to_bytes(2, "little")
+    sec2[3:5] = (1).to_bytes(2, "little")
+    blob = (
+        bytes(head)
+        + gce(1) + p1[13 + 768 : -1]
+        + gce(2) + bytes(sec2)
+        + gce(0) + p3[13 + 768 : -1]
+        + b"\x3b"
+    )
+    out, _ = mc.decode_gif_frames(blob)
+    exp3 = base.copy()
+    exp3[1:3, 1:3] = 0  # restored to transparent/black, NOT 250
+    exp3[0, 0] = 77
+    gray = lambda a: np.repeat(a[:, :, None], 3, 2)  # noqa: E731
+    assert np.array_equal(out[2], gray(exp3))

@@ -645,3 +645,86 @@ def test_inherited_resources_cmap():
         % xr
     )
     assert decode_pdf_text(bytes(out)) == ["XY"]
+
+
+# --- r8 advisor fixes: cycle guards + free-entry tombstones ------------------
+
+
+def _assemble(objs: list[bytes], *, free: dict[int, bool] | None = None) -> bytes:
+    """Assemble numbered objects + classic xref (helper for the guard
+    tests); ``free`` marks object numbers written as 'f' entries."""
+    free = free or {}
+    out = bytearray(b"%PDF-1.4\n")
+    offs = []
+    for i, body in enumerate(objs, 1):
+        offs.append(len(out))
+        out += b"%d 0 obj\n" % i + body + b"\nendobj\n"
+    xr = len(out)
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
+    for i, o in enumerate(offs, 1):
+        if free.get(i):
+            out += b"%010d 00001 f \n" % 0
+        else:
+            out += b"%010d 00000 n \n" % o
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF"
+        % (len(objs) + 1, xr)
+    )
+    return bytes(out)
+
+
+def test_circular_reference_chain_raises_not_hangs():
+    """Two objects that are bare indirect references to each other
+    (4 0 obj → 5 0 R, 5 0 obj → 4 0 R) must raise a typed error —
+    before the r8 guard this ping-ponged between cached _Ref values
+    forever, hanging the executor task on a 200-byte crafted PDF."""
+    blob = _assemble(
+        [
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+            b"5 0 R",
+            b"4 0 R",
+        ]
+    )
+    with pytest.raises(MediaFormatError, match="circular"):
+        decode_pdf_text(blob)
+
+
+def test_self_referential_length_raises():
+    """A stream whose /Length is an indirect reference to the stream
+    object ITSELF re-enters _parse_indirect mid-parse — the in-flight
+    guard must raise instead of recursing."""
+    content = b"BT (t) Tj ET"
+    blob = _assemble(
+        [
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+            b"<< /Length 4 0 R >>\nstream\n" + content + b"\nendstream",
+        ]
+    )
+    with pytest.raises(MediaFormatError, match="circular"):
+        decode_pdf_text(blob)
+
+
+def test_free_entry_tombstone_masks_prev_offset():
+    """An incremental update that FREES an object must mask the older
+    /Prev section's offset (spec: freed objects read as null) — the
+    page's /Contents resolves to null, not the stale stream."""
+    base = encode_pdf_skeleton(["old text"], compress=False)
+    assert decode_pdf_text(base) == ["old text"]
+    out = bytearray(base)
+    xr = len(out)
+    orig_xr = int(base.rsplit(b"startxref", 1)[1].split()[0])
+    # new section: object 5 (page 1's content stream) freed
+    out += b"xref\n5 1\n0000000000 00001 f \n"
+    out += (
+        b"trailer\n<< /Size 6 /Root 1 0 R /Prev %d >>\n"
+        b"startxref\n%d\n%%%%EOF" % (orig_xr, xr)
+    )
+    assert decode_pdf_text(bytes(out)) == [""]
+    info = pdf_info(bytes(out))
+    assert info["n_pages"] == 1
+    # the freed object is not counted
+    assert info["n_objects"] == pdf_info(base)["n_objects"] - 1
