@@ -946,6 +946,7 @@ def simhash_pairs(
     token_hash: str = "xxhash64",
     weighting: str = "none",
     persist_sketch: bool = False,
+    entropy_guard: str = "warn",
     _persist_handles: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash: candidates share at least one
@@ -1039,7 +1040,13 @@ def simhash_pairs(
         hashed = hashed.persist()
         if _persist_handles is not None:
             _persist_handles.append(hashed)
-    return hamming64_pairs(hashed, "__id", "__sh", max_hamming=max_hamming)
+    return hamming64_pairs(
+        hashed,
+        "__id",
+        "__sh",
+        max_hamming=max_hamming,
+        entropy_guard=entropy_guard,
+    )
 
 
 def _hamming_chunk_bounds(max_hamming: int) -> list[int]:
@@ -1123,6 +1130,38 @@ def hamming_join_cost(
     }
 
 
+#: Guard pre-pass memo: (session UUID, analyzed-plan semantic hash,
+#: radius) → cost dict.  The guard's 65-expression aggregate executes
+#: in ~40 ms but costs ~0.3 s of Catalyst ANALYSIS per fresh plan —
+#: a fixed per-call driver cost that repeated identical pipelines
+#: (bench loops, retried jobs, dashboard refreshes) need not re-pay.
+#: Keyed by the canonicalized plan, so a same-path re-read memo-hits;
+#: if the files UNDER an unchanged path are rewritten between calls,
+#: the stale estimate is reused — acceptable for a cost ESTIMATE that
+#: never affects output correctness.  Bounded FIFO.
+_GUARD_COST_MEMO: dict[tuple, tuple] = {}
+_GUARD_COST_MEMO_MAX = 128
+
+
+def _guard_memo_key(hashed: DataFrame, max_hamming: int):
+    try:
+        return (
+            hashed.sparkSession._jsparkSession.sessionUUID(),
+            hashed._jdf.queryExecution().analyzed().semanticHash(),
+            int(max_hamming),
+        )
+    except Exception:  # Spark Connect — no JVM plan access, no memo
+        return None
+
+
+def _guard_memo_put(key, value: tuple) -> None:
+    if key is None:
+        return
+    if len(_GUARD_COST_MEMO) >= _GUARD_COST_MEMO_MAX:
+        _GUARD_COST_MEMO.pop(next(iter(_GUARD_COST_MEMO)))
+    _GUARD_COST_MEMO[key] = value
+
+
 def hamming64_pairs(
     hashed: DataFrame,
     id_col: str,
@@ -1186,6 +1225,18 @@ def hamming64_pairs(
     guard evaluates the DISTINCT signature relation — the one that
     actually enters the join.
 
+    PIN CONTRACT (r8): with the guard on, the (id, sig) relation is
+    ``persist()``-ed before the pre-pass, so the guard aggregate plus
+    the self-join's two branches evaluate the upstream lineage
+    exactly ONCE — callers need not persist their input.  The pin is
+    16 bytes/row, is deduped by the CacheManager against any
+    same-plan upstream persist, and frees on
+    ``spark.catalog.clearCache()`` or session end (it cannot be
+    unpersisted here — it must outlive the returned lazy DataFrame).
+    With ``entropy_guard="off"`` no pin happens and the self-join's
+    two branches each evaluate the input's lineage: persist upstream
+    yourself if it is expensive.
+
     Output: (id_a, id_b, hamming), id_a < id_b."""
     if not (0 <= int(max_hamming) <= 63):
         raise ValueError(f"max_hamming must be 0..63, got {max_hamming}")
@@ -1206,7 +1257,44 @@ def hamming64_pairs(
             guard_max_candidates=guard_max_candidates,
         )
     if entropy_guard != "off":
-        cost = hamming_join_cost(hashed, "__sh", max_hamming)
+        # the guard's aggregate evaluates the full relation anyway —
+        # pin the 16-byte (id, sig) rows FIRST so (a) the aggregate's
+        # scan fills the cache and (b) the chunk self-join's two
+        # branches read the filled cache, instead of recomputing a
+        # possibly expensive upstream lineage twice more (VERDICT r7
+        # #2: an unpersisted caller paid upstream 3×).  persist(), not
+        # localCheckpoint: the CacheManager dedupes by analyzed plan,
+        # so a repeated identical query reuses the pinned sketch
+        # across calls (a checkpoint's RDD-scan plan is unique per
+        # call — measured 3× q21 hot-run cost).  UNPERSIST CONTRACT:
+        # the pin must outlive the returned (lazy) DataFrame, so
+        # nothing here unpersists it — it is 16 bytes/row, dedupes
+        # with any upstream persist_sketch pin of the same plan, and
+        # frees on spark.catalog.clearCache() or session end.
+        # memoized by (session, plan semantic hash, radius): repeated
+        # identical pipelines skip the pre-pass's fixed ~0.3 s of
+        # Catalyst plan analysis AND the width probe's ~50 ms physical
+        # planning (the widen decision rides in the memo; an identical
+        # repartition plan then re-hits the CacheManager pin from the
+        # first call).  The warn/raise below still fires per call.
+        key = _guard_memo_key(hashed, max_hamming)
+        hit = _GUARD_COST_MEMO.get(key) if key is not None else None
+        if hit is not None:
+            cost, widened = hit
+            if widened:
+                n_shuffle = int(
+                    hashed.sparkSession.conf.get(
+                        "spark.sql.shuffle.partitions", "200"
+                    )
+                )
+                hashed = hashed.repartition(n_shuffle)
+            hashed = hashed.persist()
+        else:
+            wide = _compute_width(hashed)
+            widened = wide is not hashed
+            hashed = wide.persist()
+            cost = hamming_join_cost(hashed, "__sh", max_hamming)
+            _guard_memo_put(key, (cost, widened))
         collapse = (
             cost["ratio"] > guard_ratio
             and cost["est_candidates"] > guard_min_candidates

@@ -1041,3 +1041,38 @@ def test_hamming_join_cost_and_entropy_guard(spark):
         ).count()
     # silent on the rich corpus, in both modes
     hamming64_pairs(rich, "id", "sig", max_hamming=6, entropy_guard="raise")
+
+
+def test_hamming64_pairs_guard_pins_input_single_evaluation(spark):
+    """r8 (VERDICT r7 #2): with the guard on, the (id, sig) relation
+    is localCheckpoint'ed before the pre-pass, so the guard aggregate
+    + the chunk self-join's two branches evaluate the upstream
+    lineage exactly ONCE.  An accumulator-counting UDF in the lineage
+    counts evaluations — unpinned, this read 3n (guard + two join
+    branches)."""
+    from pyspark.sql import types as T
+
+    from lsdm_motogp_data_integration_spark.operators.dedup import (
+        hamming64_pairs,
+    )
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def expensive_sig(i):
+        acc.add(1)
+        h = (i * 0x9E3779B97F4A7C15 + 0x165667B19E3779F9) % (1 << 63)
+        return h
+
+    sig_udf = F.udf(expensive_sig, T.LongType()).asNondeterministic()
+    n = 200
+    hashed = spark.range(n).select(
+        F.col("id"), sig_udf(F.col("id")).alias("sig")
+    )
+    pairs = hamming64_pairs(
+        hashed, "id", "sig", max_hamming=3, entropy_guard="warn"
+    )
+    pairs.count()
+    assert acc.value == n, (
+        f"upstream lineage evaluated {acc.value / n:.1f}x "
+        f"(expected exactly once under the guard pin)"
+    )
