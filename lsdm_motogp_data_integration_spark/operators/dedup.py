@@ -1049,20 +1049,27 @@ def simhash_pairs(
     )
 
 
-def _hamming_chunk_bounds(max_hamming: int) -> list[int]:
+def _hamming_chunk_bounds(
+    max_hamming: int, sig_bits: int = 64
+) -> list[int]:
     """Balanced pigeonhole chunk boundaries: ``h+1`` chunks whose
-    widths differ by at most 1 bit (``bounds[i] = i*64 // (h+1)``).
-    The former uniform ceil-width split had two defects this fixes:
-    a rump chunk (4 bits at h=6) whose ``2^-4`` collision rate
-    dominated the candidate count ~4× over the documented model, and
-    EMPTY chunks from h=22 up (ceil(64/ceil(64/(h+1))) < h+1) that
-    silently broke the pigeonhole completeness guarantee."""
+    widths differ by at most 1 bit (``bounds[i] = i*W // (h+1)`` over
+    the ``W = sig_bits`` wide signature).  The former uniform
+    ceil-width split had two defects this fixes: a rump chunk (4 bits
+    at h=6) whose ``2^-4`` collision rate dominated the candidate
+    count ~4× over the documented model, and EMPTY chunks from h=22
+    up (ceil(64/ceil(64/(h+1))) < h+1) that silently broke the
+    pigeonhole completeness guarantee.  ``sig_bits`` < 64 (r8) splits
+    only the bits that actually VARY — a 16-bit signature split into
+    64-bit-wide chunks would put all rows in the same bucket for
+    every all-zero high chunk (n² candidates per dead chunk)."""
     n_chunks = int(max_hamming) + 1
-    return [i * 64 // n_chunks for i in range(n_chunks + 1)]
+    return [i * sig_bits // n_chunks for i in range(n_chunks + 1)]
 
 
 def hamming_join_cost(
-    hashed: DataFrame, sig_col: str, max_hamming: int
+    hashed: DataFrame, sig_col: str, max_hamming: int,
+    sig_bits: int = 64,
 ) -> dict:
     """One-aggregate cost estimate for :func:`hamming64_pairs` —
     the self-policing form of the r6 SCALE probe's radius cost model
@@ -1089,9 +1096,24 @@ def hamming_join_cost(
             .bitwiseAND(F.lit(1))
             .cast("long")
         ).alias(f"b{b}")
-        for b in range(64)
+        for b in range(sig_bits)
     ]
-    row = hashed.agg(*aggs).collect()[0]  # 65 numbers — metadata-sized
+    if sig_bits < 64:
+        # self-policing the sig_bits contract in the same pass: a
+        # signature with set bits ABOVE the declared width breaks the
+        # pigeonhole completeness guarantee silently
+        aggs.append(
+            F.max(
+                F.shiftrightunsigned(F.col(sig_col), sig_bits)
+            ).alias("__hi")
+        )
+    row = hashed.agg(*aggs).collect()[0]  # ≤66 numbers — metadata-sized
+    if sig_bits < 64 and (row["__hi"] or 0) != 0:
+        raise ValueError(
+            f"hamming_join_cost: signatures carry set bits at or above "
+            f"the declared sig_bits={sig_bits} — the chunk split would "
+            f"silently miss pairs differing only in those bits"
+        )
     n = int(row["n"] or 0)
     if n == 0:
         return {
@@ -1103,12 +1125,12 @@ def hamming_join_cost(
         }
     import math
 
-    ps = [int(row[f"b{b}"] or 0) / n for b in range(64)]
+    ps = [int(row[f"b{b}"] or 0) / n for b in range(sig_bits)]
     eff = 0.0
     for p in ps:
         if 0.0 < p < 1.0:
             eff -= p * math.log2(p) + (1 - p) * math.log2(1 - p)
-    bounds = _hamming_chunk_bounds(max_hamming)
+    bounds = _hamming_chunk_bounds(max_hamming, sig_bits)
     est = 0.0
     model = 0.0
     for i in range(len(bounds) - 1):
@@ -1143,12 +1165,15 @@ _GUARD_COST_MEMO: dict[tuple, tuple] = {}
 _GUARD_COST_MEMO_MAX = 128
 
 
-def _guard_memo_key(hashed: DataFrame, max_hamming: int):
+def _guard_memo_key(
+    hashed: DataFrame, max_hamming: int, sig_bits: int = 64
+):
     try:
         return (
             hashed.sparkSession._jsparkSession.sessionUUID(),
             hashed._jdf.queryExecution().analyzed().semanticHash(),
             int(max_hamming),
+            int(sig_bits),
         )
     except Exception:  # Spark Connect — no JVM plan access, no memo
         return None
@@ -1168,6 +1193,7 @@ def hamming64_pairs(
     sig_col: str,
     *,
     max_hamming: int = 3,
+    sig_bits: int = 64,
     collapse_identical: bool = False,
     entropy_guard: str = "warn",
     guard_ratio: float = 16.0,
@@ -1225,6 +1251,17 @@ def hamming64_pairs(
     guard evaluates the DISTINCT signature relation — the one that
     actually enters the join.
 
+    SIG_BITS (r8, VERDICT r7 #5): signatures narrower than 64 bits
+    (coarser perceptual grids — a 5×4 dHash is 16 bits) declare their
+    width via ``sig_bits``; the pigeonhole chunks then split only the
+    bits that vary.  With the default 64-bit split, a 16-bit
+    signature would put EVERY row in the same bucket for each
+    all-zero high chunk — n² candidates per dead chunk, which is
+    exactly why the entropy guard fired at every radius on
+    thumbnail-video corpora.  Bits at or above ``sig_bits`` MUST be
+    zero (pigeonhole completeness silently breaks otherwise); the
+    guard pre-pass verifies this in its aggregate and raises.
+
     PIN CONTRACT (r8): with the guard on, the (id, sig) relation is
     ``persist()``-ed before the pre-pass, so the guard aggregate plus
     the self-join's two branches evaluate the upstream lineage
@@ -1238,8 +1275,13 @@ def hamming64_pairs(
     yourself if it is expensive.
 
     Output: (id_a, id_b, hamming), id_a < id_b."""
-    if not (0 <= int(max_hamming) <= 63):
-        raise ValueError(f"max_hamming must be 0..63, got {max_hamming}")
+    if not (1 <= int(sig_bits) <= 64):
+        raise ValueError(f"sig_bits must be 1..64, got {sig_bits}")
+    if not (0 <= int(max_hamming) <= sig_bits - 1):
+        raise ValueError(
+            f"max_hamming must be 0..{sig_bits - 1} for "
+            f"sig_bits={sig_bits}, got {max_hamming}"
+        )
     if entropy_guard not in ("off", "warn", "raise"):
         raise ValueError(
             f"entropy_guard must be off/warn/raise, got {entropy_guard!r}"
@@ -1251,6 +1293,7 @@ def hamming64_pairs(
         return _hamming64_pairs_collapsed(
             hashed,
             max_hamming,
+            sig_bits=sig_bits,
             entropy_guard=entropy_guard,
             guard_ratio=guard_ratio,
             guard_min_candidates=guard_min_candidates,
@@ -1277,7 +1320,7 @@ def hamming64_pairs(
         # planning (the widen decision rides in the memo; an identical
         # repartition plan then re-hits the CacheManager pin from the
         # first call).  The warn/raise below still fires per call.
-        key = _guard_memo_key(hashed, max_hamming)
+        key = _guard_memo_key(hashed, max_hamming, sig_bits)
         hit = _GUARD_COST_MEMO.get(key) if key is not None else None
         if hit is not None:
             cost, widened = hit
@@ -1293,7 +1336,9 @@ def hamming64_pairs(
             wide = _compute_width(hashed)
             widened = wide is not hashed
             hashed = wide.persist()
-            cost = hamming_join_cost(hashed, "__sh", max_hamming)
+            cost = hamming_join_cost(
+                hashed, "__sh", max_hamming, sig_bits
+            )
             _guard_memo_put(key, (cost, widened))
         collapse = (
             cost["ratio"] > guard_ratio
@@ -1321,7 +1366,7 @@ def hamming64_pairs(
             import warnings
 
             warnings.warn(msg, RuntimeWarning, stacklevel=2)
-    bounds = _hamming_chunk_bounds(max_hamming)
+    bounds = _hamming_chunk_bounds(max_hamming, sig_bits)
     chunks = hashed.select(
         "__id",
         "__sh",
@@ -1365,6 +1410,7 @@ def _hamming64_pairs_collapsed(
     hashed: DataFrame,
     max_hamming: int,
     *,
+    sig_bits: int = 64,
     entropy_guard: str = "warn",
     guard_ratio: float = 16.0,
     guard_min_candidates: float = 2e6,
@@ -1425,6 +1471,7 @@ def _hamming64_pairs_collapsed(
         "__sig",
         "__sig",
         max_hamming=max_hamming,
+        sig_bits=sig_bits,
         entropy_guard=entropy_guard,
         guard_ratio=guard_ratio,
         guard_min_candidates=guard_min_candidates,
@@ -1487,8 +1534,13 @@ def hamming64_join(
 
     ``ref_id_col``/``ref_sig_col`` default to the probe-side names.
     Output: (new_id, ref_id, hamming)."""
-    if not (0 <= int(max_hamming) <= 63):
-        raise ValueError(f"max_hamming must be 0..63, got {max_hamming}")
+    if not (1 <= int(sig_bits) <= 64):
+        raise ValueError(f"sig_bits must be 1..64, got {sig_bits}")
+    if not (0 <= int(max_hamming) <= sig_bits - 1):
+        raise ValueError(
+            f"max_hamming must be 0..{sig_bits - 1} for "
+            f"sig_bits={sig_bits}, got {max_hamming}"
+        )
     n_chunks = int(max_hamming) + 1
     chunk_bits = -(-64 // n_chunks)  # ceil
     mask = (1 << chunk_bits) - 1

@@ -856,6 +856,7 @@ def dhash_pairs(
     # adversarially all-distinct signatures (SCALE.md r6)
     return hamming64_pairs(
         hashes, "media_id", "dhash", max_hamming=max_hamming,
+        sig_bits=hash_w * hash_h,
         collapse_identical=True,
     )
 
@@ -992,9 +993,18 @@ def video_dhash(
     constant bits — 4×3 frames vary only 24 of 64 bits (~9 bits
     effective over a real corpus), so unrelated videos collide at
     radius 6 (~1.2% false-pair rate) and pair expansion goes
-    quadratic at large n.  For thumbnail-sized media tighten
-    ``max_hamming`` toward 0–2; at or above 9×8 frames the full
-    64-bit entropy and the ~32-bit random baseline apply."""
+    quadratic at large n.  At or above 9×8 frames the full 64-bit
+    entropy and the ~32-bit random baseline apply.
+
+    THE SUPPORTED THUMBNAIL PATH (r8, VERDICT r7 #5): hash a grid no
+    finer than the frames — ``video_dhash(..., hash_w=4, hash_h=4)``
+    emits 16-bit signatures whose bits genuinely vary, then
+    ``video_neardup_pairs(..., sig_bits=16, max_hamming=1)`` derives
+    the pigeonhole chunks from the TRUE width (a 64-bit split would
+    leave every high chunk all-zero → n² candidates per dead chunk —
+    precisely the guard's r6 finding).  Pinned in
+    tests/test_multimodal.py: a 4×3-frame corpus finds its twins
+    without tripping the guard."""
     if n_sample_frames < 1:
         raise ValueError("n_sample_frames must be >= 1")
 
@@ -1052,6 +1062,7 @@ def video_neardup_pairs(
     *,
     n_sample_frames: int = 2,
     max_hamming: int = 6,
+    sig_bits: int = 64,
 ) -> DataFrame:
     """Perceptual near-duplicate video pairs from :func:`video_dhash`
     output: two videos pair iff EVERY sampled frame slot is within
@@ -1074,6 +1085,7 @@ def video_neardup_pairs(
             "media_id",
             "vdhash",
             max_hamming=max_hamming,
+            sig_bits=sig_bits,
             collapse_identical=True,
         )
         per_slot = slot if per_slot is None else per_slot.unionAll(slot)

@@ -1076,3 +1076,67 @@ def test_hamming64_pairs_guard_pins_input_single_evaluation(spark):
         f"upstream lineage evaluated {acc.value / n:.1f}x "
         f"(expected exactly once under the guard pin)"
     )
+
+
+def test_hamming64_pairs_sig_bits_complete_vs_brute_force(spark):
+    """r8: narrow signatures declare their width; the chunk split over
+    ``sig_bits`` stays COMPLETE (pinned against brute force at several
+    radii) where a 64-bit split would still work but bucket every row
+    together in the dead high chunks."""
+    from itertools import combinations
+
+    from lsdm_motogp_data_integration_spark.operators.dedup import (
+        _hamming_chunk_bounds,
+        hamming64_pairs,
+    )
+
+    # balanced bounds over a narrow width: cover all bits, no empties
+    for h in (0, 1, 2, 7, 15):
+        b = _hamming_chunk_bounds(h, 16)
+        assert b[0] == 0 and b[-1] == 16 and len(b) == h + 2
+        widths = [b[i + 1] - b[i] for i in range(len(b) - 1)]
+        assert min(widths) >= 1 and max(widths) - min(widths) <= 1
+
+    import random
+
+    rnd = random.Random(42)
+    sigs = [(i, rnd.getrandbits(16)) for i in range(80)]
+    df = spark.createDataFrame(sigs, "id: long, sig: long")
+    for h in (0, 1, 3, 6):
+        want = {
+            (a, b)
+            for (a, sa), (b, sb) in combinations(sigs, 2)
+            if bin(sa ^ sb).count("1") <= h
+        }
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in hamming64_pairs(
+                df, "id", "sig", max_hamming=h, sig_bits=16,
+                entropy_guard="off",
+            ).collect()
+        }
+        assert got == want, f"radius {h}"
+
+
+def test_hamming64_pairs_sig_bits_contract_enforced(spark):
+    """Bits at or above the declared width break pigeonhole
+    completeness silently — the guard pre-pass must catch them, and
+    parameter validation rejects an impossible radius."""
+    import pytest as _pt
+
+    from lsdm_motogp_data_integration_spark.operators.dedup import (
+        hamming64_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 0x1FFFF), (2, 0x10000)], "id: long, sig: long"
+    )
+    with _pt.raises(ValueError, match="sig_bits=16"):
+        hamming64_pairs(
+            df, "id", "sig", max_hamming=1, sig_bits=16,
+            entropy_guard="warn",
+        )
+    with _pt.raises(ValueError, match="max_hamming must be 0..15"):
+        hamming64_pairs(df, "id", "sig", max_hamming=16, sig_bits=16)
+    with _pt.raises(ValueError, match="sig_bits"):
+        hamming64_pairs(df, "id", "sig", max_hamming=1, sig_bits=65)

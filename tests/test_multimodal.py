@@ -1024,3 +1024,52 @@ def test_dhash_exif_orientation_normalization(spark):
     assert ham(raw[1], raw[2]) > 10          # unpaired without EXIF
     assert ham(norm[1], norm[2]) == 0        # exact after normalizing
     assert norm[1] == raw[1]                 # upright hash unchanged
+
+
+def test_video_neardup_thumbnail_corpus_coarse_grid(spark):
+    """r8 (VERDICT r7 #5): the supported radius for tiny-frame video.
+    4×3 frames under the default 9×8 grid leave 40/64 bits constant —
+    the entropy guard fires at EVERY radius (correct but terminal).
+    The coarse 5×4 grid (hash_w=hash_h=4 → 16-bit signatures) with
+    ``sig_bits=16`` chunk bounds finds every twin with the guard in
+    its strictest mode and no warning."""
+    import warnings
+
+    from lsdm_motogp_data_integration_spark.operators.multimodal import (
+        video_dhash,
+        video_neardup_pairs,
+    )
+
+    rng = np.random.RandomState(88)
+    rows = []
+    for i in range(30):
+        f0 = rng.randint(0, 200, (3, 4), dtype=np.uint8)
+        f1 = rng.randint(0, 200, (3, 4), dtype=np.uint8)
+        rows.append(
+            (2 * i, "video", mc.encode_y4m([f0, f1], 10, 1), None)
+        )
+        # brightness-shifted twin: gradient signs survive, hash equal
+        rows.append(
+            (
+                2 * i + 1,
+                "video",
+                mc.encode_y4m([f0 + 20, f1 + 20], 10, 1),
+                None,
+            )
+        )
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    hashes = video_dhash(
+        media, n_sample_frames=2, hash_w=4, hash_h=4
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)  # guard = loud
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in video_neardup_pairs(
+                hashes, n_sample_frames=2, max_hamming=1, sig_bits=16
+            ).collect()
+        }
+    expected = {(2 * i, 2 * i + 1) for i in range(30)}
+    assert expected <= pairs
+    extras = pairs - expected
+    assert len(extras) <= 1, extras  # chance collisions only
