@@ -1519,6 +1519,7 @@ def hamming64_join(
     sig_col: str,
     *,
     max_hamming: int = 3,
+    sig_bits: int = 64,
     ref_id_col: str | None = None,
     ref_sig_col: str | None = None,
 ) -> DataFrame:
@@ -1533,6 +1534,10 @@ def hamming64_join(
     arbitrarily long history shuffles only chunk buckets.
 
     ``ref_id_col``/``ref_sig_col`` default to the probe-side names.
+    ``sig_bits`` (r8) declares narrow signatures, same contract as
+    :func:`hamming64_pairs`; r8 also moved this join onto the same
+    BALANCED chunk bounds (the old ceil-width split left a rump
+    chunk whose higher collision rate dominated candidates ~4×).
     Output: (new_id, ref_id, hamming)."""
     if not (1 <= int(sig_bits) <= 64):
         raise ValueError(f"sig_bits must be 1..64, got {sig_bits}")
@@ -1541,9 +1546,7 @@ def hamming64_join(
             f"max_hamming must be 0..{sig_bits - 1} for "
             f"sig_bits={sig_bits}, got {max_hamming}"
         )
-    n_chunks = int(max_hamming) + 1
-    chunk_bits = -(-64 // n_chunks)  # ceil
-    mask = (1 << chunk_bits) - 1
+    bounds = _hamming_chunk_bounds(max_hamming, sig_bits)
 
     def chunked(df: DataFrame, idc: str, sgc: str) -> DataFrame:
         return df.select(
@@ -1557,12 +1560,17 @@ def hamming64_join(
                         F.struct(
                             F.lit(i).alias("c"),
                             F.shiftrightunsigned(
-                                F.col("__sh"), chunk_bits * i
+                                F.col("__sh"), bounds[i]
                             )
-                            .bitwiseAND(F.lit(mask))
+                            .bitwiseAND(
+                                F.lit(
+                                    (1 << (bounds[i + 1] - bounds[i]))
+                                    - 1
+                                )
+                            )
                             .alias("v"),
                         )
-                        for i in range(n_chunks)
+                        for i in range(len(bounds) - 1)
                     ]
                 )
             ).alias("__chunk"),

@@ -354,7 +354,9 @@ def media_dataset_card(
     apply; with none given every parseable blob counts as kept.
 
     Columns: kind, fmt, n_blobs, n_kept, sum_bytes, mean_bytes
-    (decimal-exact mean, double), min/max_width, min/max_height,
+    (decimal-exact mean, double), min/max_bytes (r8 — the unified
+    :func:`curation.dataset_card` wants the same size spread the text
+    side reports for chars), min/max_width, min/max_height,
     min/max/sum_duration_ms."""
     flagged = media_screen_flags(media, **screen_kwargs)
     return flagged.groupBy("kind", "fmt").agg(
@@ -365,6 +367,8 @@ def media_dataset_card(
             F.sum(F.col("n_bytes").cast("decimal(18,6)"))
             / F.count("n_bytes")
         ).cast("double").alias("mean_bytes"),
+        F.min("n_bytes").alias("min_bytes"),
+        F.max("n_bytes").alias("max_bytes"),
         F.min("width").alias("min_width"),
         F.max("width").alias("max_width"),
         F.min("height").alias("min_height"),

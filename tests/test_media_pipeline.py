@@ -319,3 +319,117 @@ def test_media_dataset_card(corpus):
     }
     assert free[("image", "png")]["n_kept"] == 4
     assert free[("image", None)]["n_kept"] == 0
+
+
+def test_unified_dataset_card_composes_verified_cards(spark, corpus):
+    """r8 (VERDICT r7 #7): the unified corpus card is a pure
+    COMPOSITION of the two driver-verified cards — its media section
+    must row-match media_dataset_card, its text sections must
+    row-match independent per-source / per-lang_id2 rollups, and
+    every input (doc or blob) is accounted for exactly once per
+    grouping."""
+    from lsdm_motogp_data_integration_spark.operators.textops import (
+        lang_id2,
+    )
+    from lsdm_motogp_data_integration_spark.pipelines.curation import (
+        dataset_card,
+    )
+    from lsdm_motogp_data_integration_spark.pipelines.media import (
+        media_dataset_card,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [
+            (1, "crawl", "the quick brown fox jumps over the dog"),
+            (2, "crawl", "pack my box with five dozen liquor jugs"),
+            (3, "books", "Съешь же ещё этих мягких французских булок"),
+            (4, "books", "short"),
+            (5, "wiki", "και το ελληνικό κείμενο έχει θέση εδώ"),
+        ],
+        "doc_id: long, source: string, text: string",
+    )
+    card = dataset_card(docs, corpus, **_SCREEN_KW)
+    rows = card.collect()
+    by_sec = {}
+    for r in rows:
+        by_sec.setdefault((r["modality"], r["grouping"]), []).append(r)
+
+    # media section == media_dataset_card, column for column
+    med = {
+        (r["kind"], r["fmt"]): r
+        for r in media_dataset_card(corpus, **_SCREEN_KW).collect()
+    }
+    got_med = [
+        r
+        for (m, g), rs in by_sec.items()
+        if g == "fmt"
+        for r in rs
+    ]
+    assert len(got_med) == len(med)
+    for r in got_med:
+        ref = med[(r["modality"], r["key"])]
+        assert r["unit"] == "bytes"
+        assert r["n_items"] == ref["n_blobs"]
+        assert r["n_kept"] == ref["n_kept"]
+        assert r["sum_units"] == ref["sum_bytes"]
+        assert r["mean_units"] == ref["mean_bytes"]
+        assert (r["min_units"], r["max_units"]) == (
+            ref["min_bytes"],
+            ref["max_bytes"],
+        )
+        for c in (
+            "min_width", "max_width", "min_height", "max_height",
+            "min_duration_ms", "max_duration_ms", "sum_duration_ms",
+        ):
+            assert r[c] == ref[c]
+
+    # text/source section == an independent rollup
+    src = {
+        r["source"]: r
+        for r in docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.length("text")).alias("s"),
+            F.min(F.length("text")).alias("lo"),
+            F.max(F.length("text")).alias("hi"),
+        )
+        .collect()
+    }
+    got_src = {r["key"]: r for r in by_sec[("text", "source")]}
+    assert set(got_src) == set(src)
+    for k, r in got_src.items():
+        assert r["unit"] == "chars"
+        assert r["n_items"] == src[k]["n"] == r["n_kept"]
+        assert r["sum_units"] == src[k]["s"]
+        assert (r["min_units"], r["max_units"]) == (
+            src[k]["lo"],
+            src[k]["hi"],
+        )
+        assert all(
+            r[c] is None
+            for c in ("min_width", "sum_duration_ms", "max_height")
+        )
+
+    # text/lang section == the langmix rollup over lang_id2
+    mix = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy(lang_id2("text").alias("lang"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    got_mix = {r["key"]: r["n_items"] for r in by_sec[("text", "lang")]}
+    assert got_mix == mix
+    assert sum(got_mix.values()) == 5  # every doc in the mix
+
+    # text-only and media-only forms
+    assert dataset_card(docs).count() == len(
+        by_sec[("text", "source")]
+    ) + len(by_sec[("text", "lang")])
+    assert dataset_card(media=corpus, **_SCREEN_KW).count() == len(
+        got_med
+    )
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="documents and/or media"):
+        dataset_card()
