@@ -1845,6 +1845,7 @@ def _build_multimodal_media(
     docs: DataFrame,
     kinds: tuple[int, ...] = (0, 1, 2, 3),
     jpeg_progressive: bool = False,
+    webp: bool = False,
 ) -> DataFrame:
     """Five REAL media blobs per document — a 24-bit BMP (7×6,
     exercises row padding + bottom-up/BGR), a P5 PGM (5×4), a 16-bit
@@ -1896,10 +1897,22 @@ def _build_multimodal_media(
             # PNG: every scanline gets a different filter (None/Sub/
             # Up/Average/Paeth), so one fixture exercises the whole
             # unfilter matrix; stored-block zlib keeps n_bytes a
-            # constant 163 the oracle can assert
+            # constant 163 the oracle can assert.  webp=True (r8)
+            # re-encodes the SAME pixels as lossless WebP (VP8L,
+            # subtract-green + per-channel canonical prefix codes) —
+            # lossless, so the identical chain-byte closed form holds
+            # through entirely different decode machinery
             pn = _np.frombuffer(
                 chain(t, "pn", 6)[:90], _np.uint8
             ).reshape(5, 6, 3)
+            if webp:
+                from lsdm_motogp_data_integration_spark.operators.webpcodec import (
+                    encode_webp_lossless,
+                )
+
+                return "image", encode_webp_lossless(
+                    pn, subtract_green=True
+                )
             return "image", mc.encode_png(pn, filters=[0, 1, 2, 3, 4])
         if k == 5:
             # JPEG (r6): 24×16 grayscale of six CONSTANT 8×8 blocks
@@ -2003,6 +2016,12 @@ def q41_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
       additionally pinned against hand-written golden bytes in
       tests/test_multimodal.py; DuckDB 1.0 cannot hash blobs, so the
       driver compare uses the integer contract.)
+    - ``real_webp`` (r8): the same pixels as ``real_png``
+      re-encoded LOSSLESS WebP (VP8L — subtract-green + canonical
+      prefix codes, ``operators/webpcodec`` from RFC 9649); lossless,
+      so the identical raw-chain closed form verifies an entirely
+      different decode path (LSB-first prefix codes, 2D LZ77,
+      transform inverses).
     - ``real_png`` (r6): a real PNG per document, one scanline per
       filter type, decoded by the stdlib-zlib decoder — the oracle
       replays the raw pixel chain, so every unfilter path must cancel
@@ -2207,6 +2226,28 @@ def q41_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "kind",
         "fmt",
         "n_bytes",
+        F.lit(None).cast("string").alias("digest"),
+        "width",
+        "height",
+        "n_values",
+        "sum_values",
+        "weighted_sum",
+    )
+    # real_webp (r8, VERDICT r7 #3): the SAME 'pn' chain pixels
+    # re-encoded as LOSSLESS WebP (VP8L: subtract-green transform +
+    # canonical prefix codes, operators/webpcodec from RFC 9649) —
+    # lossless, so the oracle replays the identical raw-chain closed
+    # form while the decode walks a completely different bitstream
+    # (LSB-first prefix codes, transform inverse); n_bytes varies
+    # with the Huffman-coded stream → NULL like the other entropy-
+    # coded scopes
+    webp_media = _build_multimodal_media(d, kinds=(4,), webp=True)
+    wb = media_stats(webp_media).select(
+        F.lit("real_webp").alias("scope"),
+        F.expr("media_id DIV 8").alias("media_id"),
+        "kind",
+        "fmt",
+        F.lit(None).cast("bigint").alias("n_bytes"),
         F.lit(None).cast("string").alias("digest"),
         "width",
         "height",
@@ -2633,6 +2674,7 @@ def q41_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(rs)
         .unionByName(vr)
         .unionByName(pg)
+        .unionByName(wb)
         .unionByName(dh)
         .unionByName(adh)
         .unionByName(jp)
@@ -7194,6 +7236,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(163 AS BIGINT),  -- 8 sig + 25 IHDR + 12+106 IDAT
                                          -- (stored zlib: 2+5+95+4) + 12 IEND
                    NULL::VARCHAR, 6, 5,
+                   CAST(COUNT(*) AS BIGINT), CAST(SUM(v) AS BIGINT),
+                   CAST(SUM(v * (j + 1)) AS BIGINT)
+            FROM pn_bytes GROUP BY doc_id
+            UNION ALL
+            -- real_webp: lossless VP8L re-encode of the same 'pn'
+            -- pixels — identical chain-byte closed form; n_bytes
+            -- varies with the prefix-coded stream -> NULL
+            SELECT 'real_webp', doc_id, 'image', 'webp',
+                   NULL::BIGINT, NULL::VARCHAR, 6, 5,
                    CAST(COUNT(*) AS BIGINT), CAST(SUM(v) AS BIGINT),
                    CAST(SUM(v * (j + 1)) AS BIGINT)
             FROM pn_bytes GROUP BY doc_id

@@ -188,10 +188,16 @@ def decode_image(data: bytes) -> np.ndarray:
         return _decode_gif(data)
     if fmt == "tiff":
         return _decode_tiff(data)
+    if fmt == "webp":
+        from lsdm_motogp_data_integration_spark.operators.webpcodec import (
+            decode_webp,
+        )
+
+        return decode_webp(data)
     raise NotImplementedError(
         f"no pure-numpy decoder for this image container "
         f"(sniffed {fmt or 'unknown'}; supported: bmp, pgm, ppm, png, "
-        f"jpeg, gif, tiff)"
+        f"jpeg, gif, tiff, webp-lossless)"
     )
 
 
@@ -1571,8 +1577,9 @@ def image_dims(data: bytes) -> tuple[int, int]:
 
 def _webp_dims(data: bytes) -> tuple[int, int]:
     """WebP canvas dims from the first VP8/VP8L/VP8X chunk header —
-    the web's #3 image format joins the O(header) stat pass (r7);
-    SAMPLE decode needs the VP8 codec and stays a gate."""
+    the web's #3 image format joins the O(header) stat pass (r7).
+    Lossless (VP8L) SAMPLE decode landed in r8 (``webpcodec``);
+    lossy VP8 decode stays a gate."""
     pos = 12
     n = len(data)
     while pos + 8 <= n:

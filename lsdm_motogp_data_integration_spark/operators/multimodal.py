@@ -116,7 +116,8 @@ def _decode_canonical(content: bytes) -> tuple[str, bytes, dict]:
     swallowed into fake output.
     """
     fmt = mc.sniff_format(content)
-    if fmt in ("bmp", "pgm", "ppm", "png", "jpeg", "gif", "tiff"):
+    if fmt in ("bmp", "pgm", "ppm", "png", "jpeg", "gif", "tiff",
+               "webp"):
         a = mc.decode_image(content)
         h, w = a.shape[0], a.shape[1]
         nch = 1 if a.ndim == 2 else a.shape[2]
@@ -144,8 +145,9 @@ def _decode_canonical(content: bytes) -> tuple[str, bytes, dict]:
         return fmt, b"".join(frames), {"kind": "video", **info}
     raise NotImplementedError(
         "no decoder for this blob (supported containers: bmp, pgm, "
-        "ppm, png, jpeg, gif, tiff, wav, y4m; mp3/mp4 audio/video "
-        "decode needs codec libraries this environment does not have)"
+        "ppm, png, jpeg, gif, tiff, webp-lossless, wav, y4m; mp3/mp4 "
+        "audio/video decode needs codec libraries this environment "
+        "does not have)"
     )
 
 

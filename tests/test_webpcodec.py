@@ -1,0 +1,514 @@
+"""WebP-lossless (VP8L, RFC 9649 §3): encoder/decoder round-trips,
+HAND-BUILT bit vectors (assembled by an independent local bit packer,
+never the module's writer) pinning the decoder paths the restricted
+encoder does not emit — LZ77 with the 2D distance map, color cache,
+code-length 16/17/18 repeats, the max_symbol cutoff, and all four
+transforms — plus container dispatch and the perceptual-dedup pin
+(a WebP re-encode of a PNG twin pairs at Hamming 0)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from lsdm_motogp_data_integration_spark.operators import mediacodec as mc
+from lsdm_motogp_data_integration_spark.operators import webpcodec as wc
+from lsdm_motogp_data_integration_spark.operators.mediacodec import (
+    MediaFormatError,
+)
+
+
+class _HandWriter:
+    """Independent LSB-first bit packer for hand-built vectors."""
+
+    def __init__(self):
+        self.bits: list[int] = []
+
+    def b(self, v: int, k: int) -> None:
+        for i in range(k):
+            self.bits.append((v >> i) & 1)
+
+    def code(self, c: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.bits.append((c >> i) & 1)
+
+    def payload(self) -> bytes:
+        out = bytearray([0x2F])
+        cur, n = 0, 0
+        for bit in self.bits:
+            cur |= bit << n
+            n += 1
+            if n == 8:
+                out.append(cur)
+                cur, n = 0, 0
+        if n:
+            out.append(cur)
+        return bytes(out)
+
+    def riff(self) -> bytes:
+        import struct as _st
+
+        pl = self.payload()
+        chunk = b"VP8L" + _st.pack("<I", len(pl)) + pl
+        if len(pl) & 1:
+            chunk += b"\x00"
+        body = b"WEBP" + chunk
+        return b"RIFF" + _st.pack("<I", len(body)) + body
+
+
+def _simple1(hw: _HandWriter, sym: int) -> None:
+    hw.b(1, 1)
+    hw.b(0, 1)
+    if sym <= 1:
+        hw.b(0, 1)
+        hw.b(sym, 1)
+    else:
+        hw.b(1, 1)
+        hw.b(sym, 8)
+
+
+def _simple2(hw: _HandWriter, s0: int, s1: int) -> None:
+    """First read symbol gets code 0, second code 1."""
+    hw.b(1, 1)
+    hw.b(1, 1)
+    if s0 <= 1:
+        hw.b(0, 1)
+        hw.b(s0, 1)
+    else:
+        hw.b(1, 1)
+        hw.b(s0, 8)
+    hw.b(s1, 8)
+
+
+def _header(hw: _HandWriter, w: int, h: int) -> None:
+    hw.b(w - 1, 14)
+    hw.b(h - 1, 14)
+    hw.b(0, 1)  # alpha hint
+    hw.b(0, 3)  # version
+
+
+def test_roundtrip_shapes_and_subtract_green():
+    rng = np.random.RandomState(0)
+    for shape in [(1, 1), (1, 9), (7, 1), (4, 3), (16, 18, 3), (6, 7, 4)]:
+        a = rng.randint(0, 256, shape).astype(np.uint8)
+        for sg in (False, True):
+            blob = wc.encode_webp_lossless(a, subtract_green=sg)
+            out = wc.decode_webp(blob)
+            exp = a if a.ndim == 3 else np.repeat(a[:, :, None], 3, 2)
+            if exp.shape[2] == 4 and (exp[:, :, 3] == 255).all():
+                exp = exp[:, :, :3]
+            assert np.array_equal(out, exp), (shape, sg)
+    # RGBA with varying alpha survives
+    a = rng.randint(0, 256, (5, 4, 4)).astype(np.uint8)
+    a[0, 0, 3] = 7
+    assert np.array_equal(wc.decode_webp(wc.encode_webp_lossless(a)), a)
+
+
+def test_hand_built_literals_simple_codes():
+    """2×1 image, every prefix code in the simple form — written from
+    the spec with an independent bit packer."""
+    hw = _HandWriter()
+    _header(hw, 2, 1)
+    hw.b(0, 1)  # no transforms
+    hw.b(0, 1)  # no cache
+    hw.b(0, 1)  # no meta
+    _simple1(hw, 20)  # green: always 20
+    _simple2(hw, 10, 40)  # red: 10→code0, 40→code1
+    _simple2(hw, 30, 90)  # blue
+    _simple1(hw, 255)  # alpha
+    _simple1(hw, 0)  # distance (unused)
+    # px0 = (r10, g20, b30): red code 0, blue code 0
+    hw.b(0, 1)
+    hw.b(0, 1)
+    # px1 = (r40, g20, b90)
+    hw.b(1, 1)
+    hw.b(1, 1)
+    out = wc.decode_webp(hw.riff())
+    assert np.array_equal(
+        out, np.array([[[10, 20, 30], [40, 20, 90]]], np.uint8)
+    )
+
+
+def test_hand_built_lz77_and_code_length_repeats():
+    """4×2: row 1 is an LZ77 copy (length 4, plane code 1 → (0,1) →
+    distance = width) of row 0; the green code uses the NORMAL
+    code-length path with 17- and 18-repeats, a 16-repeat (copy
+    previous nonzero), and the max_symbol cutoff."""
+    hw = _HandWriter()
+    _header(hw, 4, 2)
+    hw.b(0, 1)  # no transforms
+    hw.b(0, 1)  # no cache
+    hw.b(0, 1)  # no meta
+    # green code (alphabet 280): lengths — 5,6,7,8 → 3; 259 → 1
+    # canonical: 259 = code 0 (len 1); 5,6,7,8 = 100,101,110,111
+    hw.b(0, 1)  # normal
+    hw.b(15, 4)  # num_code_lengths = 19
+    # clc lengths: we use clc symbols {1, 3, 16, 17, 18} → give each
+    # length 3, plus symbol 0 unused; Kraft needs sum 2^-l = 1:
+    # five at 3 = 5/8, so bump one to shorter: {1:2, 3:3, 16:3,
+    # 17:3, 18:3} → 1/4+3/8 = 5/8... use {1:1, 3:3, 16:3, 17:3,
+    # 18:3} → 1/2+4/8 = 1.  canonical: 1→0; 3→100, 16→101,
+    # 17→110, 18→111 (ascending symbol at len 3)
+    clc_len = {1: 1, 3: 3, 16: 3, 17: 3, 18: 3}
+    order = wc._CLC_ORDER
+    for i in range(19):
+        hw.b(clc_len.get(order[i], 0), 3)
+    clc_code = {1: (0, 1), 3: (0b100, 3), 16: (0b101, 3),
+                17: (0b110, 3), 18: (0b111, 3)}
+    hw.b(1, 1)  # use max_symbol cutoff
+    # max_symbol counts code-length READS (tokens), not alphabet
+    # positions: 6 reads below → stored 6-2=4 in 4 bits
+    hw.b(1, 3)
+    hw.b(4, 4)
+    # symbols 0..4: 5 zeros → 17 with repeat 3+2
+    hw.code(*clc_code[17])
+    hw.b(2, 3)
+    # symbol 5: length 3
+    hw.code(*clc_code[3])
+    # symbols 6,7,8: 16-repeat (3+0) of previous nonzero (3)
+    hw.code(*clc_code[16])
+    hw.b(0, 2)
+    # symbols 9..258: 250 zeros → 18 (11+127=138) + 18 (11+101=112)
+    hw.code(*clc_code[18])
+    hw.b(127, 7)
+    hw.code(*clc_code[18])
+    hw.b(101, 7)
+    # symbol 259: length 1
+    hw.code(*clc_code[1])
+    green_code = {5: (0b100, 3), 6: (0b101, 3), 7: (0b110, 3),
+                  8: (0b111, 3), 259: (0, 1)}
+    _simple1(hw, 1)  # red: always 1
+    _simple1(hw, 2)  # blue: always 2
+    _simple1(hw, 255)  # alpha
+    _simple1(hw, 0)  # distance: prefix code 0 → plane code 1
+    # row 0 literals: greens 5, 6, 7, 8
+    for gsym in (5, 6, 7, 8):
+        hw.code(*green_code[gsym])
+    # LZ77: green 259 = length code 3 → length 4 (no extra bits);
+    # distance symbol 0 → plane code 1 → (0,1) → dist = 4
+    hw.code(*green_code[259])
+    out = wc.decode_webp(hw.riff())
+    row = [[1, 5, 2], [1, 6, 2], [1, 7, 2], [1, 8, 2]]
+    assert np.array_equal(out, np.array([row, row], np.uint8))
+
+
+def test_hand_built_color_cache():
+    """3×1: literal A, literal B, then a color-cache reference back
+    to A (cache_bits=4; index = (0x1e35a7bd·ARGB) >> 28)."""
+    argb_a = (255 << 24) | (9 << 16) | (17 << 8) | 33
+    idx_a = ((0x1E35A7BD * argb_a) & 0xFFFFFFFF) >> 28
+    cache_sym = 280 + idx_a
+    hw = _HandWriter()
+    _header(hw, 3, 1)
+    hw.b(0, 1)  # no transforms
+    hw.b(1, 1)  # cache present
+    hw.b(4, 4)  # cache_bits = 4
+    hw.b(0, 1)  # no meta
+    # green alphabet = 280 + 16; symbols {17, 99, cache_sym} need a
+    # normal code (cache_sym > 255): lengths 1, 2, 2
+    hw.b(0, 1)
+    hw.b(15, 4)
+    clc_len = {1: 2, 2: 2, 17: 2, 18: 2}
+    for i in range(19):
+        hw.b(clc_len.get(wc._CLC_ORDER[i], 0), 3)
+    # canonical clc: 1→00, 2→01, 17→10, 18→11
+    clc = {1: (0b00, 2), 2: (0b01, 2), 17: (0b10, 2), 18: (0b11, 2)}
+    # token plan: zeros to 16 (18 rep 11+6), len2 @17, zeros
+    # 18..98 (18 rep 11+70), len2 @99, zeros to cache_sym-1 (one or
+    # two 18-repeats), len1 @cache_sym
+    gap = cache_sym - 100  # 180..195 for any 4-bit cache index
+    gap_tokens = []
+    rem = gap
+    while rem:
+        take = min(rem, 138)
+        if rem - take and rem - take < 11:
+            take = rem - 11
+        gap_tokens.append(take)
+        rem -= take
+    n_reads = 5 + len(gap_tokens)
+    hw.b(1, 1)  # max_symbol cutoff = number of reads
+    nbits = 2
+    while (n_reads - 2) >> nbits:
+        nbits += 2
+    hw.b((nbits - 2) // 2, 3)
+    hw.b(n_reads - 2, nbits)
+    hw.code(*clc[18])
+    hw.b(6, 7)
+    hw.code(*clc[2])
+    hw.code(*clc[18])
+    hw.b(70, 7)
+    hw.code(*clc[2])
+    for take in gap_tokens:
+        assert take >= 11
+        hw.code(*clc[18])
+        hw.b(take - 11, 7)
+    hw.code(*clc[1])
+    # canonical green: cache_sym len1 → 0; 17 → 10, 99 → 11
+    green = {17: (0b10, 2), 99: (0b11, 2), cache_sym: (0, 1)}
+    _simple2(hw, 9, 1)  # red: 9→0, 1→1
+    _simple1(hw, 33)  # blue
+    _simple1(hw, 255)  # alpha
+    _simple1(hw, 0)  # distance
+    # px0 = A (r9 g17 b33): green 17, red code 0
+    hw.code(*green[17])
+    hw.b(0, 1)
+    # px1 = B (r1 g99 b33): green 99, red code 1
+    hw.code(*green[99])
+    hw.b(1, 1)
+    # px2 = cache hit → A
+    hw.code(*green[cache_sym])
+    out = wc.decode_webp(hw.riff())
+    assert np.array_equal(
+        out,
+        np.array([[[9, 17, 33], [1, 99, 33], [9, 17, 33]]], np.uint8),
+    )
+
+
+def test_hand_built_predictor_transform():
+    """2×2 with the predictor transform (size_bits=2 → one block,
+    mode 2 = T).  Expected output computed by hand from the border
+    rules ((0,0)=opaque black, row 0 = L, col 0 = T) and mod-256
+    channel adds."""
+    hw = _HandWriter()
+    _header(hw, 2, 2)
+    hw.b(1, 1)  # a transform
+    hw.b(0, 2)  # predictor
+    hw.b(0, 3)  # size_bits = 2
+    # 1×1 sub-image: pixel green channel = mode 2 → all codes simple
+    hw.b(0, 1)  # sub-image: no cache
+    _simple1(hw, 2)  # green = 2 (the mode)
+    _simple1(hw, 0)  # red
+    _simple1(hw, 0)  # blue
+    _simple1(hw, 0)  # alpha
+    _simple1(hw, 0)  # distance
+    hw.b(0, 1)  # no more transforms
+    hw.b(0, 1)  # main: no cache
+    hw.b(0, 1)  # no meta
+    # residual channels: a {0}; r {1,0}; g {2,0}; b {3,0}
+    # (code descriptions are read GREEN first — RFC 9649 §3.7.1)
+    _simple2(hw, 2, 0)  # green: 2→0, 0→1
+    _simple2(hw, 1, 0)  # red: 1→0, 0→1
+    _simple2(hw, 3, 0)  # blue: 3→0, 0→1
+    _simple1(hw, 0)  # alpha residual always 0
+    _simple1(hw, 0)  # distance
+    # residuals (g, r, b codes per pixel; green read first):
+    # (0,0): res (a0 r1 g2 b3)   → out (255,1,2,3)
+    # (0,1): res (a0 r1 g0 b3)   → pred L → out (255,2,2,6)
+    # (1,0): res (a0 r0 g2 b0)   → pred T (col 0) → out (255,1,4,3)
+    # (1,1): res (a0 r1 g0 b0)   → pred T (mode 2) → out (255,3,2,6)
+    for gc, rc, bc in ((0, 0, 0), (1, 0, 0), (0, 1, 1), (1, 0, 1)):
+        hw.b(gc, 1)
+        hw.b(rc, 1)
+        hw.b(bc, 1)
+    out = wc.decode_webp(hw.riff())
+    exp = np.array(
+        [[[1, 2, 3], [2, 2, 6]], [[1, 4, 3], [3, 2, 6]]], np.uint8
+    )
+    assert np.array_equal(out, exp)
+
+
+def test_hand_built_color_transform():
+    """2×1 with the cross-channel color transform (one block):
+    g2r=2 (blue ch), g2b=3 (green ch), r2b=1 (red ch); the second
+    pixel's green is ≥128 so the signed-multiplier floor shows."""
+    hw = _HandWriter()
+    _header(hw, 2, 1)
+    hw.b(1, 1)
+    hw.b(1, 2)  # color transform
+    hw.b(0, 3)  # size_bits = 2 → one 4×4 block
+    hw.b(0, 1)  # sub: no cache
+    _simple1(hw, 3)  # green ch = g2b = 3
+    _simple1(hw, 1)  # red ch = r2b = 1
+    _simple1(hw, 2)  # blue ch = g2r = 2
+    _simple1(hw, 0)  # alpha
+    _simple1(hw, 0)  # distance
+    hw.b(0, 1)  # no more transforms
+    hw.b(0, 1)
+    hw.b(0, 1)
+    _simple2(hw, 64, 200)  # green: 64→0, 200→1
+    _simple1(hw, 10)  # red stored
+    _simple1(hw, 20)  # blue stored
+    _simple1(hw, 255)
+    _simple1(hw, 0)
+    hw.b(0, 1)  # px0 green 64
+    hw.b(1, 1)  # px1 green 200
+    out = wc.decode_webp(hw.riff())
+    # px0: gs=64; r = 10 + (2*64>>5) = 14; b = 20 + (3*64>>5) = 26;
+    #      b += (1*s8(14))>>5 = 0 → 26
+    # px1: gs=-56; r = (10 + ((2*-56)>>5)) & 255 = 10 - 4 = 6;
+    #      b = (20 + ((3*-56)>>5)) & 255 = 20 - 6 = 14;
+    #      b += (1*6)>>5 = 0 → 14
+    exp = np.array([[[14, 64, 26], [6, 200, 14]]], np.uint8)
+    assert np.array_equal(out, exp)
+
+
+def test_hand_built_color_indexing_packed():
+    """4×1 with a 2-entry palette → 1-bit bundled indices (8 per
+    green byte, LSB-first) and delta-coded palette entries."""
+    hw = _HandWriter()
+    _header(hw, 4, 1)
+    hw.b(1, 1)
+    hw.b(3, 2)  # color indexing
+    hw.b(1, 8)  # palette size - 1 = 1 → 2 entries
+    # palette sub-image 2×1: entries stored DELTA-coded:
+    # raw (a255 r10 g20 b30), delta (a0 r30 g40 b50)
+    hw.b(0, 1)  # sub: no cache
+    _simple2(hw, 20, 40)  # green
+    _simple2(hw, 10, 30)  # red
+    _simple2(hw, 30, 50)  # blue
+    _simple2(hw, 255, 0)  # alpha
+    _simple1(hw, 0)  # distance
+    hw.b(0, 1)  # entry 0: green code 0 (=20)
+    hw.b(0, 1)  # red 10
+    hw.b(0, 1)  # blue 30
+    hw.b(0, 1)  # alpha 255
+    hw.b(1, 1)  # entry 1: green 40
+    hw.b(1, 1)  # red 30
+    hw.b(1, 1)  # blue 50
+    hw.b(1, 1)  # alpha 0 (delta → stays 255 after add)
+    hw.b(0, 1)  # no more transforms
+    # main image at packed width ceil(4/8)=1: one pixel, green=0b1101
+    hw.b(0, 1)  # no cache
+    hw.b(0, 1)  # no meta
+    _simple1(hw, 0b1101)  # green byte: indices 1,0,1,1 LSB-first
+    _simple1(hw, 0)
+    _simple1(hw, 0)
+    _simple1(hw, 0)
+    _simple1(hw, 0)
+    out = wc.decode_webp(hw.riff())
+    pal0 = [10, 20, 30]
+    pal1 = [40, 60, 80]  # delta-added: (10+30, 20+40, 30+50)
+    assert np.array_equal(
+        out, np.array([[pal1, pal0, pal1, pal1]], np.uint8)
+    )
+
+
+def test_error_gates():
+    a = np.zeros((2, 2), np.uint8)
+    blob = wc.encode_webp_lossless(a)
+    # truncated payload
+    with pytest.raises(MediaFormatError, match="truncated"):
+        wc.decode_webp(blob[:-2] if len(blob) % 2 == 0 else blob[:-3])
+    # bad signature byte
+    bad = bytearray(blob)
+    bad[20] ^= 0xFF  # first VP8L payload byte (0x2F)
+    sig_off = blob.index(b"VP8L") + 8
+    bad = bytearray(blob)
+    bad[sig_off] = 0x00
+    with pytest.raises(MediaFormatError, match="signature"):
+        wc.decode_webp(bytes(bad))
+    # not a webp at all
+    with pytest.raises(MediaFormatError, match="RIFF"):
+        wc.decode_webp(b"nope")
+    # invalid cache bits (hand-built)
+    hw = _HandWriter()
+    _header(hw, 1, 1)
+    hw.b(0, 1)
+    hw.b(1, 1)
+    hw.b(15, 4)  # cache_bits 15 — out of range
+    with pytest.raises(MediaFormatError, match="cache bits"):
+        wc.decode_webp(hw.riff())
+    # incomplete prefix code (normal path, Kraft < 1)
+    hw = _HandWriter()
+    _header(hw, 2, 1)
+    hw.b(0, 1)
+    hw.b(0, 1)
+    hw.b(0, 1)
+    hw.b(0, 1)  # green: normal
+    hw.b(15, 4)
+    clc_len = {2: 1, 18: 1}
+    for i in range(19):
+        hw.b(clc_len.get(wc._CLC_ORDER[i], 0), 3)
+    hw2 = _HandWriter()
+    _header(hw2, 2, 1)
+    hw2.b(0, 1)
+    hw2.b(0, 1)
+    hw2.b(0, 1)
+    hw2.b(0, 1)
+    hw2.b(15, 4)
+    for i in range(19):
+        hw2.b(clc_len.get(wc._CLC_ORDER[i], 0), 3)
+    hw2.b(0, 1)
+    hw2.code(0, 1)  # len 2 for symbol 0
+    hw2.code(0, 1)  # len 2 for symbol 1
+    hw2.code(1, 1)  # 18: zeros ×(11+127)
+    hw2.b(127, 7)
+    hw2.code(1, 1)
+    hw2.b(127, 7)  # 276 symbols covered; rest zeros via more reads
+    hw2.code(1, 1)
+    hw2.b(0, 7)  # overshoot → repeat overflow OR kraft error
+    with pytest.raises(MediaFormatError):
+        wc.decode_webp(hw2.riff())
+    # lossy VP8 stays a gate
+    import struct as _st
+
+    vp8 = (
+        b"VP8 " + _st.pack("<I", 10) + bytes(3) + b"\x9d\x01\x2a"
+        + _st.pack("<HH", 320, 240)
+    )
+    body = b"WEBP" + vp8
+    lossy = b"RIFF" + _st.pack("<I", len(body)) + body
+    with pytest.raises(NotImplementedError, match="lossy WebP"):
+        wc.decode_webp(lossy)
+
+
+def test_mediacodec_dispatch_and_dims():
+    rng = np.random.RandomState(5)
+    a = rng.randint(0, 256, (10, 12, 3)).astype(np.uint8)
+    blob = wc.encode_webp_lossless(a)
+    assert mc.sniff_format(blob) == "webp"
+    assert mc.image_dims(blob) == (12, 10)
+    assert np.array_equal(mc.decode_image(blob), a)
+
+
+def test_webp_png_twin_pairs_by_dhash():
+    """The perceptual-dedup pin (VERDICT r7 #3 'Done'): the same
+    pixels encoded as PNG and as lossless WebP hash identically —
+    dHash distance 0."""
+    from lsdm_motogp_data_integration_spark.operators.multimodal import (
+        dhash_value,
+    )
+
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, (20, 24, 3)).astype(np.uint8)
+    png = mc.encode_png(img)
+    webp = wc.encode_webp_lossless(img, subtract_green=True)
+    assert np.array_equal(mc.decode_image(png), mc.decode_image(webp))
+    h1 = dhash_value(mc.decode_image(png))
+    h2 = dhash_value(mc.decode_image(webp))
+    assert h1 == h2
+
+
+def test_hand_built_meta_prefix_groups():
+    """8×1 with meta prefix codes (meta_bits=2 → two 4-pixel blocks):
+    the entropy image assigns group 0 to block 0 and group 1 to
+    block 1 via (red << 8) | green; each group carries its own green
+    code, so a group mixup decodes the wrong constant."""
+    hw = _HandWriter()
+    _header(hw, 8, 1)
+    hw.b(0, 1)  # no transforms
+    hw.b(0, 1)  # no cache
+    hw.b(1, 1)  # meta prefix codes present
+    hw.b(0, 3)  # meta_bits = 2 → entropy image ceil(8/4)=2 × 1
+    # entropy sub-image (2×1): green = group index, red = 0
+    hw.b(0, 1)  # sub: no cache
+    _simple2(hw, 0, 1)  # green: 0→code0, 1→code1
+    _simple1(hw, 0)  # red
+    _simple1(hw, 0)  # blue
+    _simple1(hw, 0)  # alpha
+    _simple1(hw, 0)  # distance
+    hw.b(0, 1)  # block 0 → group 0
+    hw.b(1, 1)  # block 1 → group 1
+    # group 0: green always 50; group 1: green always 200
+    for gval in (50, 200):
+        _simple1(hw, gval)  # green
+        _simple1(hw, 7)  # red
+        _simple1(hw, 9)  # blue
+        _simple1(hw, 255)  # alpha
+        _simple1(hw, 0)  # distance
+    # 8 pixels, every code trivial → zero payload bits
+    out = wc.decode_webp(hw.riff())
+    exp = np.array(
+        [[[7, 50, 9]] * 4 + [[7, 200, 9]] * 4], np.uint8
+    )
+    assert np.array_equal(out, exp)
