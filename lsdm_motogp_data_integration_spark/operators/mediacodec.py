@@ -154,6 +154,8 @@ def sniff_format(data: bytes) -> str | None:
                      b"heis", b"hevc"):
             return "heic"
         return "mp4"
+    if data[:4] == b"fLaC":
+        return "flac"
     if data[:3] == b"ID3" or (
         data[0] == 0xFF and (data[1] & 0xE0) == 0xE0
     ):
@@ -164,6 +166,36 @@ def sniff_format(data: bytes) -> str | None:
 # ---------------------------------------------------------------------------
 # BMP
 # ---------------------------------------------------------------------------
+
+
+def decode_audio(data: bytes) -> tuple[np.ndarray, int]:
+    """Decode a supported audio container to ``((n, ch) int16, rate)``
+    — WAV (PCM 8/16-bit via :func:`decode_wav`) or FLAC (r8,
+    ``operators/flaccodec``; 8-bit widens ``v << 8`` like the WAV
+    path, 24-bit stays an honest gate at this int16 canonical form).
+    Raises ``NotImplementedError`` for mp3/other compressed audio."""
+    fmt = sniff_format(data)
+    if fmt == "wav":
+        return decode_wav(data)
+    if fmt == "flac":
+        from lsdm_motogp_data_integration_spark.operators.flaccodec import (
+            decode_flac, flac_info,
+        )
+
+        bps = flac_info(data)["bits_per_sample"]
+        s, rate = decode_flac(data)
+        if bps == 8:
+            return (s << 8).astype(np.int16), rate
+        if bps == 16:
+            return s.astype(np.int16), rate
+        raise NotImplementedError(
+            "FLAC 24-bit samples exceed the engine's int16 canonical "
+            "audio form"
+        )
+    raise NotImplementedError(
+        f"no pure-python audio decoder for this container "
+        f"(sniffed {fmt or 'unknown'}; supported: wav, flac)"
+    )
 
 
 def decode_image(data: bytes) -> np.ndarray:

@@ -128,8 +128,8 @@ def _decode_canonical(content: bytes) -> tuple[str, bytes, dict]:
             "channels": nch,
             "array": a,
         }
-    if fmt == "wav":
-        s, rate = mc.decode_wav(content)
+    if fmt in ("wav", "flac"):
+        s, rate = mc.decode_audio(content)
         return fmt, s.astype("<i2").tobytes(), {
             "kind": "audio",
             "n_frames": s.shape[0],
@@ -631,7 +631,7 @@ def resample_audio(
                     reps = 128 // len(seed) + 1
                     buf = (seed * reps)[:128]
                 else:
-                    s, rate = mc.decode_wav(bytes(content))
+                    s, rate = mc.decode_audio(bytes(content))
                     n_out = max(1, (s.shape[0] * target_rate) // rate)
                     buf = mc.encode_wav(
                         _nn_resample(s, n_out), target_rate
@@ -915,7 +915,7 @@ def audio_dhash(media: DataFrame, *, n_points: int = 65) -> DataFrame:
                 if content is None:
                     hashes.append(None)
                     continue
-                s, _rate = mc.decode_wav(bytes(content))
+                s, _rate = mc.decode_audio(bytes(content))
                 hashes.append(audio_dhash_value(s, n_points))
             out = pd.DataFrame({"media_id": ids, "adhash": hashes})
             out["adhash"] = out["adhash"].astype("Int64")
@@ -1234,6 +1234,18 @@ def _container_info_one(content: bytes) -> dict:
             n_tracks=i4["n_tracks"],
             has_video=i4["has_video"],
             has_audio=i4["has_audio"],
+        )
+    elif fmt == "flac":
+        from lsdm_motogp_data_integration_spark.operators.flaccodec import (
+            flac_info,
+        )
+
+        fi = flac_info(content)
+        out.update(
+            n_frames=fi["n_frames"],
+            sample_rate=fi["sample_rate"],
+            duration_ms=fi["duration_ms"],
+            has_audio=True,
         )
     elif fmt == "mp3":
         i3 = mc.mp3_info(content)
