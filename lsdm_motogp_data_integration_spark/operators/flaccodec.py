@@ -502,15 +502,13 @@ def _write_rice_residual(
         bw.bits(v & ((1 << param) - 1), param)
 
 
-def _encode_subframe(bw: _BitWriter, samples: list[int], bps: int) -> None:
+def _plan_subframe(samples: list[int], bps: int) -> tuple[int, tuple]:
+    """Cost (bits) + writing plan for the cheapest subframe coding of
+    one channel: CONSTANT / FIXED order 0-2 with per-block Rice
+    parameter search / VERBATIM fallback."""
     n = len(samples)
     if all(s == samples[0] for s in samples):
-        bw.bits(0, 1)
-        bw.bits(0, 6)  # CONSTANT
-        bw.bits(0, 1)  # no wasted bits
-        bw.bits(samples[0] & ((1 << bps) - 1), bps)
-        return
-    # pick the FIXED order 0-2 with the cheapest Rice cost
+        return 8 + bps, ("const", samples[0])
     best = None
     for order in range(0, 3):
         if n <= order:
@@ -522,22 +520,36 @@ def _encode_subframe(bw: _BitWriter, samples: list[int], bps: int) -> None:
             for i in range(order, n)
         ]
         for param in range(0, 15):
-            cost = order * bps + _rice_cost(resid, param)
+            cost = 8 + order * bps + 10 + _rice_cost(resid, param)
             if best is None or cost < best[0]:
                 best = (cost, order, param, resid)
-    verbatim_cost = n * bps
+    verbatim_cost = 8 + n * bps
     if best is None or best[0] >= verbatim_cost:
+        return verbatim_cost, ("verbatim", list(samples))
+    cost, order, param, resid = best
+    return cost, ("fixed", order, param, resid, samples[:order])
+
+
+def _write_subframe(bw: _BitWriter, plan: tuple, bps: int) -> None:
+    kind = plan[0]
+    if kind == "const":
+        bw.bits(0, 1)
+        bw.bits(0, 6)  # CONSTANT
+        bw.bits(0, 1)  # no wasted bits
+        bw.bits(plan[1] & ((1 << bps) - 1), bps)
+        return
+    if kind == "verbatim":
         bw.bits(0, 1)
         bw.bits(1, 6)  # VERBATIM
         bw.bits(0, 1)
-        for s in samples:
+        for s in plan[1]:
             bw.bits(s & ((1 << bps) - 1), bps)
         return
-    _, order, param, resid = best
+    _, order, param, resid, warm = plan
     bw.bits(0, 1)
     bw.bits(8 + order, 6)  # FIXED
     bw.bits(0, 1)  # no wasted bits
-    for s in samples[:order]:
+    for s in warm:
         bw.bits(s & ((1 << bps) - 1), bps)
     _write_rice_residual(bw, resid, param)
 
@@ -546,10 +558,12 @@ def encode_flac(
     samples: np.ndarray, rate: int, *, block_size: int = 4096
 ) -> bytes:
     """Encode int16 PCM ((n,) mono or (n, ch)) as a real FLAC stream:
-    CONSTANT/FIXED(0–2)+Rice/VERBATIM subframes per block, correct
-    CRC-8/CRC-16, STREAMINFO MD5.  Lossless by construction —
-    :func:`decode_flac` (or any conformant decoder) reproduces the
-    input exactly."""
+    CONSTANT/FIXED(0–2)+Rice/VERBATIM subframes per block, and — for
+    stereo — per-block choice among independent / left-side /
+    right-side / mid-side channel decorrelation by measured coded
+    cost (r8).  Correct CRC-8/CRC-16, STREAMINFO MD5.  Lossless by
+    construction — :func:`decode_flac` (or any conformant decoder)
+    reproduces the input exactly."""
     s = np.asarray(samples)
     if s.dtype != np.int16:
         raise MediaFormatError("encode_flac wants int16 samples")
@@ -582,13 +596,39 @@ def encode_flac(
     for start in range(0, n, block_size):
         blk = s[start : start + block_size]
         bn = blk.shape[0]
+        # channel coding: independent planes, or (stereo only) the
+        # decorrelation mode with the smallest measured coded cost
+        plans = [
+            _plan_subframe(blk[:, c].tolist(), bps) for c in range(nch)
+        ]
+        ch_code = nch - 1
+        subframes = [(pl, bps) for _, pl in plans]
+        if nch == 2:
+            left = blk[:, 0].astype(np.int64)
+            right = blk[:, 1].astype(np.int64)
+            side = (left - right).tolist()
+            mid = ((left + right) >> 1).tolist()
+            p_l, p_r = plans
+            p_s = _plan_subframe(side, bps + 1)
+            p_m = _plan_subframe(mid, bps)
+            indep = p_l[0] + p_r[0]
+            cands = [
+                (indep, 1, [(p_l[1], bps), (p_r[1], bps)]),
+                (p_l[0] + p_s[0], 8,
+                 [(p_l[1], bps), (p_s[1], bps + 1)]),
+                (p_s[0] + p_r[0], 9,
+                 [(p_s[1], bps + 1), (p_r[1], bps)]),
+                (p_m[0] + p_s[0], 10,
+                 [(p_m[1], bps), (p_s[1], bps + 1)]),
+            ]
+            _, ch_code, subframes = min(cands, key=lambda c: c[0])
         bw = _BitWriter()
         bw.bits(0x3FFE, 14)
         bw.bits(0, 1)
         bw.bits(0, 1)  # fixed blocking strategy
         bw.bits(7, 4)  # block size: 16-bit at end of header
         bw.bits(0, 4)  # sample rate: from STREAMINFO
-        bw.bits(nch - 1, 4)  # independent channels
+        bw.bits(ch_code, 4)
         bw.bits(4, 3)  # 16-bit samples
         bw.bits(0, 1)
         _write_coded_number(bw, frame_no)
@@ -596,8 +636,8 @@ def encode_flac(
         hdr = bw.bytes()
         hdr += bytes([_crc8(hdr)])
         body = _BitWriter()
-        for c in range(nch):
-            _encode_subframe(body, blk[:, c].tolist(), bps)
+        for pl, pbps in subframes:
+            _write_subframe(body, pl, pbps)
         frame = hdr + body.bytes()
         frame += struct.pack(">H", _crc16(frame))
         out += frame

@@ -340,3 +340,42 @@ def test_flac_wav_twin_pairs_by_audio_dhash(spark):
         for r in audio_dhash_pairs(media, max_hamming=2).collect()
     }
     assert pairs == {(1, 2)}
+
+
+def test_encoder_stereo_decorrelation():
+    """r8: the encoder picks a stereo decorrelation mode by measured
+    coded cost — a correlated pair encodes via a side channel (frame
+    header channel code 8/9/10) and stays bit-exact, including the
+    int16 extremes through the 17-bit side channel."""
+    rng = np.random.RandomState(9)
+    t = np.arange(6000)
+    left = (5000 * np.sin(t / 30)).astype(np.int16)
+    right = (
+        (left.astype(np.int32) + rng.randint(-40, 40, 6000))
+        .clip(-32768, 32767)
+        .astype(np.int16)
+    )
+    st = np.stack([left, right], axis=1)
+    blob = fc.encode_flac(st, 44100)
+    out, _ = fc.decode_flac(blob)
+    assert np.array_equal(out, st.astype(np.int32))
+    # first frame header: 'fLaC' + 4-byte block header + 34 streaminfo
+    frame_off = 4 + 4 + 34
+    assert blob[frame_off : frame_off + 2] == b"\xff\xf8"
+    assert (blob[frame_off + 3] >> 4) in (8, 9, 10)
+    # decorrelation must beat independent coding on correlated input
+    indep = fc.encode_flac(
+        np.stack(
+            [left, rng.randint(-32768, 32768, 6000).astype(np.int16)],
+            axis=1,
+        ),
+        44100,
+    )
+    assert len(blob) < len(indep)
+    assert len(blob) < 6000 * 2 * 2 // 2  # beats half of raw PCM
+    # extremes: odd sums shift through the mid/side odd-bit path
+    edge = np.array(
+        [[-32768, 32767], [32767, -32768], [1, -2], [-5, 4]], np.int16
+    )
+    got, _ = fc.decode_flac(fc.encode_flac(edge, 8000))
+    assert np.array_equal(got, edge.astype(np.int32))

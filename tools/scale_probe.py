@@ -401,6 +401,22 @@ def main() -> None:
             "gif_decode",
             media_stats(_build_multimodal_media(docs, kinds=(6,))),
         )
+        # r8: lossless WebP (VP8L) decode — LSB-first prefix decode +
+        # subtract-green inverse per blob; expected linear
+        r["webp_decode_s"], _ = timed(
+            "webp_decode",
+            media_stats(
+                _build_multimodal_media(docs, kinds=(4,), webp=True)
+            ),
+        )
+        # r8: FLAC decode — frame walk + FIXED/Rice residual decode +
+        # CRC/MD5 verification per blob; expected linear
+        r["flac_decode_s"], _ = timed(
+            "flac_decode",
+            media_stats(
+                _build_multimodal_media(docs, kinds=(2,), flac=True)
+            ),
+        )
         r["minfo_s"], _ = timed(
             "minfo",
             container_info(_build_multimodal_media(docs, kinds=(7,))),
