@@ -817,45 +817,22 @@ def _write_prefix_code(
     return _canonical_codes(lt_full)
 
 
-def encode_webp_lossless(
-    arr: np.ndarray, *, subtract_green: bool = False
-) -> bytes:
-    """Encode ``(H, W)`` gray / ``(H, W, 3)`` RGB / ``(H, W, 4)``
-    RGBA uint8 pixels as a lossless WebP (VP8L) — the literals-only
-    subset (optimal per-channel canonical prefix codes, optional
-    subtract-green transform, no LZ77/cache/meta).  Any conformant
-    decoder reproduces the input exactly."""
-    a = np.asarray(arr, dtype=np.uint8)
-    if a.ndim == 2:
-        a = np.repeat(a[:, :, None], 3, axis=2)
-    if a.ndim != 3 or a.shape[2] not in (3, 4):
-        raise MediaFormatError("encode_webp_lossless wants gray/RGB/RGBA")
-    h, w = a.shape[:2]
-    if not (1 <= w <= 16384 and 1 <= h <= 16384):
-        raise MediaFormatError("VP8L dimensions out of range (1..16384)")
-    r = a[:, :, 0].astype(np.int64)
-    g = a[:, :, 1].astype(np.int64)
-    b = a[:, :, 2].astype(np.int64)
-    alpha = (
-        a[:, :, 3].astype(np.int64)
-        if a.shape[2] == 4
-        else np.full((h, w), 255, np.int64)
-    )
-    if subtract_green:
-        r = (r - g) % 256
-        b = (b - g) % 256
-    bw = _BitWriter()
-    bw.bits(0x2F, 8)
-    bw.bits(w - 1, 14)
-    bw.bits(h - 1, 14)
-    bw.bits(1 if (alpha != 255).any() else 0, 1)
-    bw.bits(0, 3)  # version
-    if subtract_green:
-        bw.bits(1, 1)
-        bw.bits(_TR_SUBTRACT_GREEN, 2)
-    bw.bits(0, 1)  # no (more) transforms
+def _write_literal_stream(
+    bw: _BitWriter,
+    g: np.ndarray,
+    r: np.ndarray,
+    b: np.ndarray,
+    alpha: np.ndarray,
+    *,
+    is_level0: bool,
+) -> None:
+    """One entropy-coded image stream in the literals-only form: no
+    color cache, no meta groups, optimal per-channel canonical prefix
+    codes, a 1-symbol distance code.  Sub-images (``is_level0=False``)
+    have no meta bit (RFC 9649 §3.7.1)."""
     bw.bits(0, 1)  # no color cache
-    bw.bits(0, 1)  # no meta prefix codes
+    if is_level0:
+        bw.bits(0, 1)  # no meta prefix codes
     planes = [g.ravel(), r.ravel(), b.ravel(), alpha.ravel()]
     alphabets = [_GREEN_LIT + _LEN_CODES, 256, 256, 256]
     books = []
@@ -870,11 +847,125 @@ def encode_webp_lossless(
     # distance code: unused — a 1-symbol code is the minimal valid one
     _write_prefix_code(bw, {0: 1}, 40)
     gb, rb, bb, ab = books
-    for i in range(h * w):
+    for i in range(planes[0].shape[0]):
         for book, plane in ((gb, planes[0]), (rb, planes[1]),
                             (bb, planes[2]), (ab, planes[3])):
             c, ln = book[int(plane[i])]
             bw.code(c, ln)
+
+
+def encode_webp_lossless(
+    arr: np.ndarray,
+    *,
+    subtract_green: bool = False,
+    palette: bool | None = None,
+) -> bytes:
+    """Encode ``(H, W)`` gray / ``(H, W, 3)`` RGB / ``(H, W, 4)``
+    RGBA uint8 pixels as a lossless WebP (VP8L): optimal per-channel
+    canonical prefix codes, optional subtract-green transform, and —
+    r8 — the COLOR-INDEXING transform for paletted content
+    (delta-coded palette + sub-byte index bundling at ≤ 16 colors).
+    ``palette=None`` auto-selects indexing when the image has ≤ 256
+    distinct colors and more pixels than palette entries;
+    ``palette=True`` requires it (raises above 256 colors); it does
+    not compose with ``subtract_green``.  No LZ77/cache/meta.  Any
+    conformant decoder reproduces the input exactly."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = np.repeat(a[:, :, None], 3, axis=2)
+    if a.ndim != 3 or a.shape[2] not in (3, 4):
+        raise MediaFormatError("encode_webp_lossless wants gray/RGB/RGBA")
+    h, w = a.shape[:2]
+    if not (1 <= w <= 16384 and 1 <= h <= 16384):
+        raise MediaFormatError("VP8L dimensions out of range (1..16384)")
+    if a.shape[2] == 3:
+        a = np.concatenate(
+            [a, np.full((h, w, 1), 255, np.uint8)], axis=2
+        )
+    flat = a.reshape(-1, 4)
+    pal_u = None
+    if palette is not False and not (palette is None and subtract_green):
+        pal_u = np.unique(flat, axis=0)
+        if pal_u.shape[0] > 256 or pal_u.shape[0] >= flat.shape[0]:
+            if palette:
+                raise MediaFormatError(
+                    f"palette=True but {pal_u.shape[0]} distinct "
+                    f"colors (max 256)"
+                )
+            pal_u = None
+    if pal_u is not None and subtract_green:
+        raise MediaFormatError(
+            "subtract_green does not compose with color indexing"
+        )
+    bw = _BitWriter()
+    bw.bits(0x2F, 8)
+    bw.bits(w - 1, 14)
+    bw.bits(h - 1, 14)
+    bw.bits(1 if (a[:, :, 3] != 255).any() else 0, 1)
+    bw.bits(0, 3)  # version
+    if pal_u is not None:
+        size = pal_u.shape[0]
+        # pixel → palette index via a packed-key sort lookup
+        keys = (
+            (flat[:, 0].astype(np.int64) << 24)
+            | (flat[:, 1].astype(np.int64) << 16)
+            | (flat[:, 2].astype(np.int64) << 8)
+            | flat[:, 3].astype(np.int64)
+        )
+        pal_keys = (
+            (pal_u[:, 0].astype(np.int64) << 24)
+            | (pal_u[:, 1].astype(np.int64) << 16)
+            | (pal_u[:, 2].astype(np.int64) << 8)
+            | pal_u[:, 3].astype(np.int64)
+        )
+        order = np.argsort(pal_keys)
+        inv = np.empty(size, np.int64)
+        inv[order] = np.arange(size)
+        idx = inv[np.searchsorted(pal_keys[order], keys)]
+        bw.bits(1, 1)
+        bw.bits(_TR_COLOR_INDEXING, 2)
+        bw.bits(size - 1, 8)
+        # palette sub-image: entries DELTA-coded per channel mod 256
+        deltas = np.zeros((size, 4), np.int64)
+        prev = np.zeros(4, np.int64)
+        for i in range(size):
+            cur = pal_u[i].astype(np.int64)
+            deltas[i] = (cur - prev) % 256
+            prev = cur
+        _write_literal_stream(
+            bw,
+            deltas[:, 1],  # green
+            deltas[:, 0],  # red
+            deltas[:, 2],  # blue
+            deltas[:, 3],  # alpha
+            is_level0=False,
+        )
+        bw.bits(0, 1)  # no more transforms
+        # main image at the packed width: indices bundled LSB-first
+        wb_ = _color_index_width_bits(size)
+        bpp = 8 >> wb_
+        per = 1 << wb_
+        wp = (w + per - 1) // per
+        packed = np.zeros((h, wp), np.int64)
+        im = idx.reshape(h, w)
+        for x in range(w):
+            packed[:, x >> wb_] |= im[:, x] << ((x % per) * bpp)
+        zeros = np.zeros(h * wp, np.int64)
+        _write_literal_stream(
+            bw, packed.ravel(), zeros, zeros, zeros, is_level0=True
+        )
+    else:
+        r = a[:, :, 0].astype(np.int64)
+        g = a[:, :, 1].astype(np.int64)
+        b = a[:, :, 2].astype(np.int64)
+        alpha = a[:, :, 3].astype(np.int64)
+        if subtract_green:
+            r = (r - g) % 256
+            b = (b - g) % 256
+            bw.bits(1, 1)
+            bw.bits(_TR_SUBTRACT_GREEN, 2)
+        bw.bits(0, 1)  # no (more) transforms
+        _write_literal_stream(bw, g, r, b, alpha, is_level0=True)
     payload = bw.bytes()
     chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
     if len(payload) & 1:

@@ -512,3 +512,47 @@ def test_hand_built_meta_prefix_groups():
         [[[7, 50, 9]] * 4 + [[7, 200, 9]] * 4], np.uint8
     )
     assert np.array_equal(out, exp)
+
+
+def test_encoder_color_indexing_palette():
+    """r8: the encoder's color-indexing path — delta-coded palette +
+    sub-byte index bundling — round-trips at every bundling width
+    (1/2/4/8 bpp) including non-multiple widths, auto-selects for
+    paletted content, falls back above 256 colors, and refuses an
+    explicit palette=True there."""
+    rng = np.random.RandomState(1)
+    for ncol, shape in [(2, (5, 11)), (4, (7, 9)), (13, (6, 10)),
+                        (40, (8, 8)), (256, (16, 16))]:
+        pal = rng.randint(0, 256, (ncol, 3), dtype=np.uint8)
+        img = pal[rng.randint(0, ncol, shape)]
+        blob = wc.encode_webp_lossless(img)  # auto
+        assert np.array_equal(wc.decode_webp(blob), img), ncol
+        assert np.array_equal(
+            wc.decode_webp(wc.encode_webp_lossless(img, palette=True)),
+            img,
+        )
+    # GIF-ish 8-gray image: paletted beats the literal form clearly
+    g = rng.randint(0, 8, (32, 48)).astype(np.uint8) * 30
+    pal_blob = wc.encode_webp_lossless(g, palette=True)
+    lit_blob = wc.encode_webp_lossless(g, palette=False)
+    assert np.array_equal(
+        wc.decode_webp(pal_blob), np.repeat(g[:, :, None], 3, 2)
+    )
+    assert len(pal_blob) < len(lit_blob)
+    # RGBA palette keeps varying alpha
+    a4 = np.zeros((4, 6, 4), np.uint8)
+    a4[..., :3] = 100
+    a4[0, 0] = [1, 2, 3, 9]
+    assert np.array_equal(
+        wc.decode_webp(wc.encode_webp_lossless(a4)), a4
+    )
+    # >256 colors: auto falls back to literals; palette=True raises
+    big = rng.randint(0, 256, (30, 30, 3), dtype=np.uint8)
+    assert np.array_equal(
+        wc.decode_webp(wc.encode_webp_lossless(big)), big
+    )
+    with pytest.raises(MediaFormatError, match="palette=True"):
+        wc.encode_webp_lossless(big, palette=True)
+    # subtract_green composes with neither auto- nor explicit palette
+    with pytest.raises(MediaFormatError, match="compose"):
+        wc.encode_webp_lossless(g, palette=True, subtract_green=True)
