@@ -2033,6 +2033,11 @@ def q41_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
       so the identical raw-chain closed form verifies an entirely
       different decode path (LSB-first prefix codes, 2D LZ77,
       transform inverses).
+    - ``transcode`` (r8): the lossless storage-normalization
+      operator (``multimodal.transcode_media``) — BMP fixtures
+      re-encoded WebP-lossless, stats over the TRANSCODED blobs
+      replay the ``real_bmp`` closed form (decode→encode→decode is
+      the identity on arbitrary pixels).
     - ``real_flac`` (r8): the ``real_wav`` samples re-encoded as a
       REAL Rice-coded FLAC stream (``operators/flaccodec`` from RFC
       9639 — FIXED predictors, Rice residual partitions, CRC-8/16,
@@ -2280,6 +2285,35 @@ def q41_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     flac_media = _build_multimodal_media(d, kinds=(2,), flac=True)
     fl = media_stats(flac_media).select(
         F.lit("real_flac").alias("scope"),
+        F.expr("media_id DIV 8").alias("media_id"),
+        "kind",
+        "fmt",
+        F.lit(None).cast("bigint").alias("n_bytes"),
+        F.lit(None).cast("string").alias("digest"),
+        "width",
+        "height",
+        "n_values",
+        "sum_values",
+        "weighted_sum",
+    )
+    # transcode (r8): the LOSSLESS storage-normalization operator —
+    # the BMP fixtures re-encoded as WebP-lossless by
+    # multimodal.transcode_media (decode → VP8L encode with the
+    # auto palette/literal choice), then media_stats decodes the
+    # TRANSCODED blobs; lossless means the real_bmp closed form
+    # replays unchanged (fmt flips to webp, n_bytes varies with the
+    # prefix-coded stream → NULL). One driver row proves
+    # decode→encode→decode is the identity on arbitrary chain pixels.
+    from lsdm_motogp_data_integration_spark.operators.multimodal import (
+        transcode_media,
+    )
+
+    bmp_for_tc = _build_multimodal_media(d, kinds=(0,))
+    tc_media = transcode_media(bmp_for_tc, image_fmt="webp").select(
+        "media_id", "kind", "content", "meta"
+    )
+    tc = media_stats(tc_media).select(
+        F.lit("transcode").alias("scope"),
         F.expr("media_id DIV 8").alias("media_id"),
         "kind",
         "fmt",
@@ -2712,6 +2746,7 @@ def q41_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(pg)
         .unionByName(wb)
         .unionByName(fl)
+        .unionByName(tc)
         .unionByName(dh)
         .unionByName(adh)
         .unionByName(jp)
@@ -7286,6 +7321,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT), CAST(SUM(v) AS BIGINT),
                    CAST(SUM(v * (j + 1)) AS BIGINT)
             FROM pn_bytes GROUP BY doc_id
+            UNION ALL
+            -- transcode: BMP fixtures re-encoded WebP-lossless by
+            -- transcode_media — lossless, so the real_bmp closed
+            -- form replays with fmt webp and NULL n_bytes
+            SELECT 'transcode', doc_id, 'image', 'webp',
+                   NULL::BIGINT, NULL::VARCHAR, 7, 6,
+                   CAST(COUNT(*) AS BIGINT), CAST(SUM(v) AS BIGINT),
+                   CAST(SUM(v * (j + 1)) AS BIGINT)
+            FROM bmp_bytes GROUP BY doc_id
             UNION ALL
             -- real_webp: lossless VP8L re-encode of the same 'pn'
             -- pixels — identical chain-byte closed form; n_bytes

@@ -743,6 +743,144 @@ DHASH_SCHEMA = T.StructType(
 )
 
 
+TRANSCODED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), True),
+        T.StructField("fmt_in", T.StringType(), True),
+        T.StructField("fmt_out", T.StringType(), True),
+        T.StructField("n_bytes_in", T.LongType(), True),
+        T.StructField("n_bytes_out", T.LongType(), True),
+        T.StructField("content", T.BinaryType(), True),
+        MEDIA_SCHEMA["meta"],
+    ]
+)
+
+#: lossless image re-encoders available to :func:`transcode_media`
+_IMAGE_ENCODERS = ("png", "webp", "bmp")
+_AUDIO_ENCODERS = ("wav", "flac")
+
+
+def transcode_media(
+    media: DataFrame,
+    *,
+    image_fmt: str | None = None,
+    audio_fmt: str | None = None,
+    strict: bool = True,
+) -> DataFrame:
+    """LOSSLESS storage normalization (r8): re-encode every decodable
+    image blob as ``image_fmt`` (png / webp — VP8L lossless, auto
+    palette — / bmp) and every decodable audio blob as ``audio_fmt``
+    (wav / flac), leaving other kinds and unrequested modalities
+    passed through unchanged.  This is the convert-the-corpus job a
+    real 100 TB pipeline runs once encoders exist — FLAC and
+    paletted/subtract-green WebP typically halve raw-PCM/BMP storage
+    with bit-exact decoded content, so every downstream consumer
+    (exact dedup on decoded digests, perceptual dHash, feature
+    extraction) is provably unaffected: the decoded canonical form is
+    IDENTICAL pre/post transcode (pinned in tests).
+
+    ``strict=True`` raises on undecodable blobs of a requested
+    modality; ``strict=False`` is the triage mode — such blobs pass
+    through with ``fmt_out`` NULL (content unchanged), so a crawl's
+    lossy-JPEG/VP8 minority surfaces as a count instead of a dead
+    job.  Note transcode is only offered where it is lossless: a
+    JPEG input is DECODED losslessly but its bytes are already the
+    product of a lossy codec — re-encoding it as png/webp preserves
+    the decoded pixels exactly (and usually costs bytes; the card
+    shows it).
+
+    Output keeps (media_id, kind, content, meta) so the transcoded
+    relation feeds every media operator directly, plus
+    fmt_in/fmt_out/n_bytes_in/n_bytes_out for the storage report.
+    100 TB shape: one decode + one encode per blob inside the Arrow
+    pass; no shuffle, no driver involvement."""
+    if image_fmt is not None and image_fmt not in _IMAGE_ENCODERS:
+        raise ValueError(
+            f"image_fmt must be one of {_IMAGE_ENCODERS}, got "
+            f"{image_fmt!r}"
+        )
+    if audio_fmt is not None and audio_fmt not in _AUDIO_ENCODERS:
+        raise ValueError(
+            f"audio_fmt must be one of {_AUDIO_ENCODERS}, got "
+            f"{audio_fmt!r}"
+        )
+
+    def _encode_image(a: np.ndarray) -> bytes:
+        if image_fmt == "png":
+            if a.ndim == 3 and a.shape[2] == 4:
+                a = a[:, :, :3]  # encode_png is RGB/gray
+            return mc.encode_png(a)
+        if image_fmt == "webp":
+            from lsdm_motogp_data_integration_spark.operators.webpcodec import (  # noqa: E501
+                encode_webp_lossless,
+            )
+
+            return encode_webp_lossless(a)
+        if a.ndim == 2:
+            a = np.repeat(a[:, :, None], 3, axis=2)
+        elif a.shape[2] == 4:
+            a = a[:, :, :3]
+        return mc.encode_bmp(a)
+
+    def _encode_audio(smp: np.ndarray, rate: int) -> bytes:
+        if audio_fmt == "wav":
+            return mc.encode_wav(smp.astype(np.int16), rate)
+        from lsdm_motogp_data_integration_spark.operators.flaccodec import (  # noqa: E501
+            encode_flac,
+        )
+
+        return encode_flac(smp.astype(np.int16), rate)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {c: [] for c in (
+                "media_id", "kind", "fmt_in", "fmt_out",
+                "n_bytes_in", "n_bytes_out", "content", "meta",
+            )}
+            for mid, kind, content, meta in zip(
+                pdf["media_id"], pdf["kind"], pdf["content"],
+                pdf["meta"],
+            ):
+                rows["media_id"].append(mid)
+                rows["kind"].append(kind)
+                rows["meta"].append(meta)
+                if content is None:
+                    rows["fmt_in"].append(None)
+                    rows["fmt_out"].append(None)
+                    rows["n_bytes_in"].append(None)
+                    rows["n_bytes_out"].append(None)
+                    rows["content"].append(None)
+                    continue
+                blob = bytes(content)
+                fmt_in = mc.sniff_format(blob)
+                rows["fmt_in"].append(fmt_in)
+                rows["n_bytes_in"].append(len(blob))
+                out_blob, fmt_out = blob, None
+                try:
+                    if kind == "image" and image_fmt is not None:
+                        a = mc.decode_image(blob)
+                        out_blob = _encode_image(a)
+                        fmt_out = image_fmt
+                    elif kind == "audio" and audio_fmt is not None:
+                        smp, rate = mc.decode_audio(blob)
+                        out_blob = _encode_audio(smp, rate)
+                        fmt_out = audio_fmt
+                except (mc.MediaFormatError, NotImplementedError):
+                    if strict:
+                        raise
+                    out_blob, fmt_out = blob, None
+                rows["fmt_out"].append(fmt_out)
+                rows["n_bytes_out"].append(len(out_blob))
+                rows["content"].append(out_blob)
+            out = pd.DataFrame(rows)
+            out["n_bytes_in"] = out["n_bytes_in"].astype("Int64")
+            out["n_bytes_out"] = out["n_bytes_out"].astype("Int64")
+            yield out
+
+    return media.mapInPandas(run, schema=TRANSCODED_SCHEMA)
+
+
 def dhash_value(a: np.ndarray, hash_w: int = 8, hash_h: int = 8) -> int:
     """64-bit difference hash of one decoded image array — the
     classic perceptual fingerprint (gradient-sign hash, public

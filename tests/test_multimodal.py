@@ -1073,3 +1073,79 @@ def test_video_neardup_thumbnail_corpus_coarse_grid(spark):
     assert expected <= pairs
     extras = pairs - expected
     assert len(extras) <= 1, extras  # chance collisions only
+
+
+def test_transcode_media_lossless_normalization(spark):
+    """r8: transcode_media — the storage-normalization job (everything
+    → WebP-lossless / FLAC): requested modalities re-encode smaller,
+    other kinds pass through, and the decoded canonical digest is
+    IDENTICAL pre/post (so dedup/dHash/features are provably
+    unaffected); strict vs triage contract on undecodable blobs."""
+    from lsdm_motogp_data_integration_spark.operators import (
+        flaccodec as fc,
+    )
+    from lsdm_motogp_data_integration_spark.operators.multimodal import (
+        media_stats,
+        transcode_media,
+    )
+
+    rng = np.random.RandomState(2)
+    img_pal = rng.randint(0, 6, (12, 14)).astype(np.uint8) * 40
+    img_rgb = rng.randint(0, 256, (9, 8, 3), dtype=np.uint8)
+    wav = mc.encode_wav(
+        (4000 * np.sin(np.arange(600) / 9)).astype(np.int16), 8000
+    )
+    y4m = mc.encode_y4m(
+        [np.zeros((3, 4), np.uint8), np.ones((3, 4), np.uint8)], 10, 1
+    )
+    rows = [
+        (1, "image", mc.encode_bmp(np.repeat(img_pal[:, :, None], 3, 2)),
+         None),
+        (2, "image", mc.encode_png(img_rgb), None),
+        (3, "audio", wav, None),
+        (4, "video", y4m, None),
+        (5, "image", None, None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = transcode_media(media, image_fmt="webp", audio_fmt="flac")
+    res = {r["media_id"]: r for r in out.collect()}
+    assert res[1]["fmt_out"] == "webp"
+    assert res[1]["n_bytes_out"] < res[1]["n_bytes_in"] // 3
+    assert res[2]["fmt_out"] == "webp"
+    assert res[3]["fmt_out"] == "flac"
+    assert res[3]["n_bytes_out"] < res[3]["n_bytes_in"]
+    assert res[4]["fmt_out"] is None  # video passes through unchanged
+    assert bytes(res[4]["content"]) == bytes(y4m)
+    assert res[5]["content"] is None
+    # the decoded canonical form is identical pre/post
+    pre = {
+        r["media_id"]: r["decoded_digest"]
+        for r in media_stats(media.filter("media_id < 4")).collect()
+    }
+    post_media = out.select("media_id", "kind", "content", "meta")
+    post = {
+        r["media_id"]: r["decoded_digest"]
+        for r in media_stats(
+            post_media.filter("media_id < 4")
+        ).collect()
+    }
+    assert pre == post
+    # FLAC round value check: decode the transcoded audio directly
+    s_out, rate = fc.decode_flac(bytes(res[3]["content"]))
+    s_in, _ = mc.decode_wav(wav)
+    assert rate == 8000
+    assert np.array_equal(s_out, s_in.astype(np.int32))
+    # strict raises on an undecodable image; triage passes it through
+    bad = spark.createDataFrame(
+        [(9, "image", b"not an image at all!", None)], MEDIA_SCHEMA
+    )
+    with pytest.raises(Exception, match="decoder|MediaFormat"):
+        transcode_media(bad, image_fmt="webp").collect()
+    tri = transcode_media(bad, image_fmt="webp", strict=False).collect()
+    assert tri[0]["fmt_out"] is None
+    assert bytes(tri[0]["content"]) == b"not an image at all!"
+    # parameter validation
+    with pytest.raises(ValueError, match="image_fmt"):
+        transcode_media(media, image_fmt="jpeg")
+    with pytest.raises(ValueError, match="audio_fmt"):
+        transcode_media(media, audio_fmt="mp3")
