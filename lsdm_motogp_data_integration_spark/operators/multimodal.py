@@ -598,15 +598,16 @@ def resample_audio(
 ) -> DataFrame:
     """Audio resample plumbing (r5) — the transform the audio modality
     was missing (images had :func:`resize_images`, video had
-    :func:`frame_sample`): WAVs in, ``target_rate`` WAVs out,
-    Arrow-batched; only ``kind == 'audio'`` rows are shipped to
+    :func:`frame_sample`): WAV/FLAC in (r8:
+    :func:`mediacodec.decode_audio` dispatch), ``target_rate`` WAVs
+    out, Arrow-batched; only ``kind == 'audio'`` rows are shipped to
     Python.
 
     ``fake=True``: deterministic content+rate-derived stand-in bytes
     (same stub contract as the resize path).
 
-    ``fake=False``: REAL resample for PCM WAV — decode
-    (:func:`mediacodec.decode_wav`, chunk-walking), NEAREST-sample
+    ``fake=False``: REAL resample for PCM WAV / FLAC — decode
+    (:func:`mediacodec.decode_audio`), NEAREST-sample
     index mapping (``floor((i+0.5)·n_src/n_out)``, n_out =
     ``floor(n_frames·target/src)``; integer index arithmetic a SQL
     oracle replays exactly, the same determinism choice as NN resize —
@@ -1041,9 +1042,10 @@ def audio_dhash_value(s: np.ndarray, n_points: int = 65) -> int:
 
 
 def audio_dhash(media: DataFrame, *, n_points: int = 65) -> DataFrame:
-    """(media_id, adhash) for every decodable audio blob — one decode
-    pass, 8 bytes out per clip (the :func:`image_dhash` shape). NULL
-    content → NULL hash; undecodable containers raise."""
+    """(media_id, adhash) for every decodable audio blob (WAV or,
+    r8, FLAC — :func:`mediacodec.decode_audio`) — one decode pass, 8
+    bytes out per clip (the :func:`image_dhash` shape). NULL content
+    → NULL hash; undecodable containers raise."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
