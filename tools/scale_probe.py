@@ -835,58 +835,10 @@ def main() -> None:
     base, big = results["1x"], results[f"{replicas}x"]
     print(json.dumps(results))
     print("\nscaling factors (time ratio / data ratio — 1.0 = linear):")
-    for key in (
-        "minhash_lsh_s",
-        "simhash_s",
-        "boilerplate_s",
-        "span_dedup_s",
-        "span_xdoc_s",
-        "bm25_s",
-        "semdedup_s",
-        "ann_brute_s",
-        "ann_lsh_s",
-        "ann_ivf_s",
-        "quantize_s",
-        "pq_s",
-        "ccnet_s",
-        "shards_s",
-        "decontam_bloom_s",
-        "media_decode_s",
-        "dhash_s",
-        "dhash_pairs_s",
-        "jpeg_decode_s",
-        "gif_decode_s",
-        "minfo_s",
-        "vdhash_s",
-        "vdhash_pairs_s",
-        "dsir_s",
-        "strip_html_s",
-        "normalize_url_s",
-        "cms_s",
-        "pagerank_s",
-        "triangles_s",
-        "funnel_s",
-        "retention_s",
-        "cooccur_s",
-        "scd2_s",
-        "stratified_s",
-        "hll_s",
-        "quantiles_s",
-        "containment_s",
-        "urlfilter_s",
-        "rp_s",
-        "char_entropy_s",
-        "dupline_s",
-        "badwords_s",
-        "token_budget_s",
-        "hist_q_s",
-        "winsorize_s",
-        "pq_topk_s",
-        "weighted_sample_s",
-        "nb_train_s",
-        "nb_classify_s",
-        "nb_verdict_s",
-    ):
+    # every timed *_s key present in BOTH runs — a hardcoded list
+    # silently dropped the r7/r8 additions (jpeg_p, pdf_text, webp,
+    # flac) from this summary even though they were measured
+    for key in sorted(k for k in base if k.endswith("_s") and k in big):
         ratio = (big[key] / base[key]) / replicas
         print(f"  {key}: {ratio:.2f}")
 
