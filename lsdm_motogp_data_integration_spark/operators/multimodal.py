@@ -1160,10 +1160,20 @@ def video_dhash(
                     hashes.append(None)
                     continue
                 blob = bytes(content)
-                if mc.sniff_format(blob) == "gif":
-                    # animated GIFs are short videos (r7): composed
-                    # frames through the same center-mapped picks
-                    frames, _delays = mc.decode_gif_frames(blob)
+                fmt = mc.sniff_format(blob)
+                if fmt in ("gif", "webp"):
+                    # animated GIFs/WebPs are short videos (r7/r8):
+                    # composed frames through the same center-mapped
+                    # picks (webp frames are RGBA; dhash uses RGB)
+                    if fmt == "gif":
+                        frames, _delays = mc.decode_gif_frames(blob)
+                    else:
+                        from lsdm_motogp_data_integration_spark.operators.webpcodec import (  # noqa: E501
+                            decode_webp_anim,
+                        )
+
+                        frames, _delays = decode_webp_anim(blob)
+                        frames = [f[:, :, :3] for f in frames]
                     n = len(frames)
                     for i in range(n_sample_frames):
                         src = ((2 * i + 1) * n) // (
@@ -1344,6 +1354,20 @@ def _container_info_one(content: bytes) -> dict:
                 n_frames=gi["n_frames"],
                 duration_ms=gi["duration_ms"],
             )
+        elif fmt == "webp":
+            # animated WebP (r8): frame count/durations from the
+            # ANMF chunk headers only — still WebPs keep NULLs
+            from lsdm_motogp_data_integration_spark.operators.webpcodec import (  # noqa: E501
+                webp_anim_info,
+                webp_is_animated,
+            )
+
+            if webp_is_animated(content):
+                wi = webp_anim_info(content)
+                out.update(
+                    n_frames=wi["n_frames"],
+                    duration_ms=wi["duration_ms"],
+                )
     elif fmt == "wav":
         # chunk walk only: fmt fields + the data chunk's declared
         # size — no sample array is ever built

@@ -685,6 +685,13 @@ def decode_webp(data: bytes) -> np.ndarray:
                 "lossy WebP (VP8) sample decode not supported — "
                 "float-DCT territory; header dims remain available"
             )
+        if cid == b"VP8X" and body and body[0] & 0x02:
+            # animated: the still-image convention is the first
+            # composed frame (what _decode_gif does for GIF)
+            frame = decode_webp_anim(data)[0][0]
+            if (frame[:, :, 3] == 255).all():
+                return frame[:, :, :3].copy()
+            return frame
         pos += 8 + size + (size & 1)
     raise MediaFormatError("WebP has no VP8L/VP8 bitstream chunk")
 
@@ -972,3 +979,219 @@ def encode_webp_lossless(
         chunk += b"\x00"
     riff = b"WEBP" + chunk
     return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+# --- animated WebP (VP8X + ANIM/ANMF container framing) -----------------------
+
+
+def _walk_webp_chunks(data: bytes):
+    if data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise MediaFormatError("not a WebP (RIFF/WEBP header missing)")
+    pos = 12
+    n = len(data)
+    while pos + 8 <= n:
+        cid = data[pos : pos + 4]
+        size = struct.unpack_from("<I", data, pos + 4)[0]
+        body = data[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise MediaFormatError(f"WebP chunk {cid!r} truncated")
+        yield cid, body
+        pos += 8 + size + (size & 1)
+
+
+def webp_is_animated(data: bytes) -> bool:
+    """O(header): VP8X animation flag (bit 0x02 of the flags byte)."""
+    for cid, body in _walk_webp_chunks(data):
+        if cid == b"VP8X":
+            if len(body) < 10:
+                raise MediaFormatError("WebP VP8X chunk truncated")
+            return bool(body[0] & 0x02)
+        return False
+    return False
+
+
+def webp_anim_info(data: bytes) -> dict:
+    """O(header) animation metadata WITHOUT frame decode (the
+    ``gif_anim_info`` twin): canvas dims, frame count, per-frame and
+    total durations, loop count — from the VP8X/ANIM/ANMF chunk
+    headers only (frame payloads are skipped, never entropy-decoded)."""
+    canvas = None
+    loop = None
+    durations: list[int] = []
+    for cid, body in _walk_webp_chunks(data):
+        if cid == b"VP8X":
+            if len(body) < 10:
+                raise MediaFormatError("WebP VP8X chunk truncated")
+            if not body[0] & 0x02:
+                raise MediaFormatError("WebP is not animated (no flag)")
+            canvas = (
+                int.from_bytes(body[4:7], "little") + 1,
+                int.from_bytes(body[7:10], "little") + 1,
+            )
+        elif cid == b"ANIM":
+            if len(body) < 6:
+                raise MediaFormatError("WebP ANIM chunk truncated")
+            loop = struct.unpack_from("<H", body, 4)[0]
+        elif cid == b"ANMF":
+            if len(body) < 16:
+                raise MediaFormatError("WebP ANMF chunk truncated")
+            durations.append(int.from_bytes(body[12:15], "little"))
+    if canvas is None or loop is None:
+        raise MediaFormatError("WebP has no VP8X/ANIM animation chunks")
+    return {
+        "width": canvas[0],
+        "height": canvas[1],
+        "n_frames": len(durations),
+        "durations_ms": durations,
+        "duration_ms": sum(durations),
+        "loop_count": loop,
+    }
+
+
+def decode_webp_anim(
+    data: bytes,
+) -> tuple[list[np.ndarray], list[int]]:
+    """Decode an animated WebP (lossless frames) → (composed frames,
+    per-frame durations in ms).  Each frame is the full
+    ``(canvas_h, canvas_w, 4)`` RGBA canvas after applying the ANMF
+    placement/blend/dispose model:
+
+    - frames blit at their (2·x, 2·y) offsets;
+    - blend bit 0 → straight-alpha compositing onto the canvas (the
+      container spec's formula, integer-truncated; opaque sources
+      reduce to overwrite exactly), blend bit 1 → overwrite;
+    - dispose bit 1 → the frame rect reverts to TRANSPARENT (what
+      reference renderers do — the same call as the r8 GIF
+      disposal-2 fix; the ANIM background color is metadata).
+
+    Lossy (VP8) frames stay an honest gate."""
+    info = webp_anim_info(data)  # validates the container shape
+    w, h = info["width"], info["height"]
+    canvas = np.zeros((h, w, 4), np.uint16)
+    out: list[np.ndarray] = []
+    durations: list[int] = []
+    for cid, body in _walk_webp_chunks(data):
+        if cid != b"ANMF":
+            continue
+        fx = 2 * int.from_bytes(body[0:3], "little")
+        fy = 2 * int.from_bytes(body[3:6], "little")
+        fw = int.from_bytes(body[6:9], "little") + 1
+        fh = int.from_bytes(body[9:12], "little") + 1
+        dur = int.from_bytes(body[12:15], "little")
+        flags = body[15]
+        no_blend = bool(flags & 0x02)
+        dispose_bg = bool(flags & 0x01)
+        if fx + fw > w or fy + fh > h:
+            raise MediaFormatError(
+                "WebP ANMF frame rectangle outside canvas"
+            )
+        # frame payload: sub-chunks; VP8L carries the pixels
+        sub = body[16:]
+        frame_rgba = None
+        pos = 0
+        while pos + 8 <= len(sub):
+            scid = sub[pos : pos + 4]
+            ssize = struct.unpack_from("<I", sub, pos + 4)[0]
+            sbody = sub[pos + 8 : pos + 8 + ssize]
+            if scid == b"VP8L":
+                frame_rgba = decode_vp8l(sbody)
+                break
+            if scid == b"VP8 ":
+                raise NotImplementedError(
+                    "animated WebP with lossy (VP8) frames — "
+                    "sample decode not supported"
+                )
+            pos += 8 + ssize + (ssize & 1)
+        if frame_rgba is None:
+            raise MediaFormatError("WebP ANMF frame has no bitstream")
+        if frame_rgba.shape[:2] != (fh, fw):
+            raise MediaFormatError(
+                "WebP ANMF frame dims disagree with its bitstream"
+            )
+        src = frame_rgba.astype(np.uint16)
+        region = canvas[fy : fy + fh, fx : fx + fw]
+        if no_blend:
+            region[:] = src
+        else:
+            # container-spec straight-alpha blend, integer-truncated;
+            # src alpha 255 → exact overwrite, 0 → canvas unchanged
+            sa = src[:, :, 3:4]
+            da = region[:, :, 3:4]
+            ba = sa + da * (255 - sa) // 255
+            num = (
+                src[:, :, :3].astype(np.uint32) * sa
+                + region[:, :, :3].astype(np.uint32)
+                * da
+                * (255 - sa)
+                // 255
+            )
+            rgb = np.where(ba > 0, num // np.maximum(ba, 1), 0)
+            region[:, :, :3] = rgb.astype(np.uint16)
+            region[:, :, 3:4] = ba
+        out.append(canvas.astype(np.uint8).copy())
+        durations.append(dur)
+        if dispose_bg:
+            canvas[fy : fy + fh, fx : fx + fw] = 0
+    if not out:
+        raise MediaFormatError("WebP animation has no ANMF frames")
+    return out, durations
+
+
+def encode_webp_anim(
+    frames: list[np.ndarray],
+    durations_ms: list[int],
+    *,
+    loop_count: int = 0,
+) -> bytes:
+    """Encode full-canvas RGB(A) frames as an animated lossless WebP
+    (VP8X + ANIM + one no-blend ANMF per frame, each carrying a VP8L
+    bitstream from :func:`encode_webp_lossless`'s machinery)."""
+    if not frames or len(frames) != len(durations_ms):
+        raise MediaFormatError(
+            "encode_webp_anim wants equal-length frames/durations"
+        )
+    first = np.asarray(frames[0], dtype=np.uint8)
+    h, w = first.shape[:2]
+    chunks = bytearray()
+    flags = 0x02  # animation
+    has_alpha = any(
+        np.asarray(f).ndim == 3
+        and np.asarray(f).shape[2] == 4
+        and (np.asarray(f)[:, :, 3] != 255).any()
+        for f in frames
+    )
+    if has_alpha:
+        flags |= 0x10
+    vp8x = (
+        bytes([flags, 0, 0, 0])
+        + (w - 1).to_bytes(3, "little")
+        + (h - 1).to_bytes(3, "little")
+    )
+    chunks += b"VP8X" + struct.pack("<I", len(vp8x)) + vp8x
+    anim = struct.pack("<I", 0) + struct.pack("<H", loop_count)
+    chunks += b"ANIM" + struct.pack("<I", len(anim)) + anim
+    for f, dur in zip(frames, durations_ms):
+        a = np.asarray(f, dtype=np.uint8)
+        if a.shape[:2] != (h, w):
+            raise MediaFormatError(
+                "encode_webp_anim frames must share the canvas size"
+            )
+        riff = encode_webp_lossless(a)
+        # lift the VP8L chunk out of the single-image container
+        vp8l_off = riff.index(b"VP8L")
+        size = struct.unpack_from("<I", riff, vp8l_off + 4)[0]
+        payload = riff[vp8l_off : vp8l_off + 8 + size + (size & 1)]
+        body = (
+            (0).to_bytes(3, "little")  # x/2
+            + (0).to_bytes(3, "little")  # y/2
+            + (w - 1).to_bytes(3, "little")
+            + (h - 1).to_bytes(3, "little")
+            + int(dur).to_bytes(3, "little")
+            + bytes([0x02])  # no-blend, keep (dispose 0)
+            + payload
+        )
+        chunks += b"ANMF" + struct.pack("<I", len(body)) + body
+        if len(body) & 1:
+            chunks += b"\x00"
+    riff_body = b"WEBP" + bytes(chunks)
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body

@@ -556,3 +556,142 @@ def test_encoder_color_indexing_palette():
     # subtract_green composes with neither auto- nor explicit palette
     with pytest.raises(MediaFormatError, match="compose"):
         wc.encode_webp_lossless(g, palette=True, subtract_green=True)
+
+
+def test_animated_webp_info_decode_and_blend_model():
+    """r8: animated WebP (VP8X + ANIM/ANMF) — O(header) info without
+    frame decode, full composed-frame decode with the placement /
+    blend / dispose model (hand-computed blend arithmetic), and the
+    first-frame still convention."""
+    rng = np.random.RandomState(4)
+    f0 = rng.randint(0, 256, (6, 8, 3), dtype=np.uint8)
+    f1 = rng.randint(0, 256, (6, 8, 3), dtype=np.uint8)
+    blob = wc.encode_webp_anim([f0, f1], [40, 60], loop_count=3)
+    assert mc.sniff_format(blob) == "webp"
+    assert wc.webp_is_animated(blob)
+    info = wc.webp_anim_info(blob)
+    assert (info["width"], info["height"]) == (8, 6)
+    assert info["n_frames"] == 2 and info["durations_ms"] == [40, 60]
+    assert info["duration_ms"] == 100 and info["loop_count"] == 3
+    frames, durs = wc.decode_webp_anim(blob)
+    assert durs == [40, 60]
+    assert np.array_equal(frames[0][:, :, :3], f0)
+    assert np.array_equal(frames[1][:, :, :3], f1)
+    assert (frames[0][:, :, 3] == 255).all()
+    # first-frame still convention through decode_image
+    assert np.array_equal(mc.decode_image(blob), f0)
+    # still webp is NOT animated
+    assert not wc.webp_is_animated(wc.encode_webp_lossless(f0))
+
+    # hand-built sub-rect frame with BLEND + DISPOSE: a 2×2 half-
+    # transparent patch at (2, 2) over an opaque base, then disposed
+    import struct as _st
+
+    base = np.full((4, 6, 4), 200, np.uint8)
+    patch = np.zeros((2, 2, 4), np.uint8)
+    patch[..., 0] = 100  # red 100
+    patch[..., 3] = 128  # alpha 128
+    base_riff = wc.encode_webp_lossless(base)
+    patch_riff = wc.encode_webp_lossless(patch)
+
+    def vp8l_chunk(riff):
+        off = riff.index(b"VP8L")
+        size = _st.unpack_from("<I", riff, off + 4)[0]
+        return riff[off : off + 8 + size + (size & 1)]
+
+    def anmf(x2, y2, w, h, dur, flags, payload):
+        body = (
+            x2.to_bytes(3, "little") + y2.to_bytes(3, "little")
+            + (w - 1).to_bytes(3, "little")
+            + (h - 1).to_bytes(3, "little")
+            + dur.to_bytes(3, "little") + bytes([flags]) + payload
+        )
+        pad = b"\x00" if len(body) & 1 else b""
+        return b"ANMF" + _st.pack("<I", len(body)) + body + pad
+
+    vp8x = bytes([0x12, 0, 0, 0]) + (5).to_bytes(3, "little") + (
+        3
+    ).to_bytes(3, "little")
+    chunks = (
+        b"VP8X" + _st.pack("<I", len(vp8x)) + vp8x
+        + b"ANIM" + _st.pack("<I", 6) + bytes(4) + _st.pack("<H", 0)
+        + anmf(0, 0, 6, 4, 10, 0x02, vp8l_chunk(base_riff))
+        # blend (flag bit 0x02 clear) + dispose (bit 0x01 set)
+        + anmf(1, 1, 2, 2, 20, 0x01, vp8l_chunk(patch_riff))
+        + anmf(0, 0, 6, 4, 30, 0x02, vp8l_chunk(base_riff))
+    )
+    body = b"WEBP" + chunks
+    blob2 = b"RIFF" + _st.pack("<I", len(body)) + body
+    frames2, durs2 = wc.decode_webp_anim(blob2)
+    assert durs2 == [10, 20, 30]
+    # blend math (integer-truncated container formula) with
+    # sa=128 over the base's da=200 canvas:
+    #   ba = 128 + 200*(255-128)//255           = 227
+    #   r  = (100*128 + 200*200*127//255) // 227 = 144
+    #   g/b = (0*128 + 200*200*127//255) // 227  = 87
+    exp = base.copy()
+    dterm = 200 * 200 * 127 // 255
+    ba = 128 + 200 * 127 // 255
+    exp[2:4, 2:4, 0] = (100 * 128 + dterm) // ba
+    exp[2:4, 2:4, 1] = dterm // ba
+    exp[2:4, 2:4, 2] = dterm // ba
+    exp[2:4, 2:4, 3] = ba
+    assert np.array_equal(frames2[1], exp)
+    # dispose-to-transparent: frame 3 overwrites fully, so compare
+    # the CANVAS state by a 4th frame? frame 3 is full-canvas
+    # no-blend — equal to base everywhere
+    assert np.array_equal(frames2[2], base)
+
+
+def test_animated_webp_joins_video_family(spark):
+    """Animated WebP twins pair via video_dhash + the conjunctive
+    rule — including a CROSS-FORMAT pair with an animated GIF of the
+    same frames (lossless both ways → identical frame hashes)."""
+    from lsdm_motogp_data_integration_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        container_info,
+        video_dhash,
+        video_neardup_pairs,
+    )
+
+    rng = np.random.RandomState(6)
+    f0 = rng.randint(0, 200, (16, 18), dtype=np.uint8)
+    f1 = rng.randint(0, 200, (16, 18), dtype=np.uint8)
+    other = rng.randint(0, 200, (16, 18), dtype=np.uint8)
+    gray3 = lambda a: np.repeat(a[:, :, None], 3, 2)  # noqa: E731
+
+    def gif_anim(frames):
+        import lsdm_motogp_data_integration_spark.operators.mediacodec as m
+
+        p = [m.encode_gif(f) for f in frames]
+        head = p[0][: 13 + 768]
+        gce = bytes([0x21, 0xF9, 4, 1 << 2, 0, 0, 0, 0])
+        out = head
+        for pp in p:
+            out += gce + pp[13 + 768 : -1]
+        return out + b"\x3b"
+
+    rows = [
+        (1, "video", wc.encode_webp_anim(
+            [gray3(f0), gray3(f1)], [40, 40]), None),
+        (2, "video", wc.encode_webp_anim(
+            [gray3(f0 + 20), gray3(f1 + 20)], [40, 40]), None),
+        (3, "video", gif_anim([f0, f1]), None),
+        (4, "video", wc.encode_webp_anim(
+            [gray3(other), gray3(other)], [40, 40]), None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    hashes = video_dhash(media, n_sample_frames=2)
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in video_neardup_pairs(
+            hashes, n_sample_frames=2, max_hamming=4
+        ).collect()
+    }
+    assert (1, 2) in pairs and (1, 3) in pairs and (2, 3) in pairs
+    assert not any(4 in p for p in pairs)
+    # container stats: animated webp rows carry frames/duration
+    ci = {r["media_id"]: r for r in container_info(media).collect()}
+    assert ci[1]["fmt"] == "webp" and ci[1]["n_frames"] == 2
+    assert ci[1]["duration_ms"] == 80
+    assert (ci[1]["width"], ci[1]["height"]) == (18, 16)
