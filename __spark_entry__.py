@@ -2033,6 +2033,11 @@ def q41_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
       so the identical raw-chain closed form verifies an entirely
       different decode path (LSB-first prefix codes, 2D LZ77,
       transform inverses).
+    - ``real_awebp`` (r8): the ``real_vdhash`` frames packaged as
+      an ANIMATED WEBP (VP8X/ANIM/ANMF of VP8L bitstreams) hashed
+      through ``video_dhash``'s webp branch — lossless + r=g=b means
+      both frame hashes must equal the y4m scope's, replayed from
+      the same ``vd_w`` closed form.
     - ``transcode`` (r8): the lossless storage-normalization
       operator (``multimodal.transcode_media``) — BMP fixtures
       re-encoded WebP-lossless, stats over the TRANSCODED blobs
@@ -2275,6 +2280,96 @@ def q41_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_values",
         "sum_values",
         "weighted_sum",
+    )
+    # real_awebp (r8): the SAME two 4×3 'vf' chain frames packaged
+    # as an ANIMATED WEBP (VP8X/ANIM/ANMF, each frame a VP8L
+    # bitstream) and hashed through video_dhash's webp branch —
+    # lossless and r=g=b, so both frame hashes must equal the y4m
+    # scope's (the oracle reuses the vd_w closed form verbatim:
+    # sum_values = frame-0 hash, weighted_sum = frame-1 hash)
+    def _build_awebp_media(docs):
+        import hashlib as _hl
+
+        import numpy as _np
+        import pandas as _pd
+
+        from lsdm_motogp_data_integration_spark.operators.multimodal import (  # noqa: E501
+            MEDIA_SCHEMA,
+        )
+        from lsdm_motogp_data_integration_spark.operators.webpcodec import (  # noqa: E501
+            encode_webp_anim,
+        )
+
+        def run(batches):
+            for pb in batches:
+                ids, kinds_c, contents, metas = [], [], [], []
+                for did, text in zip(pb["doc_id"], pb["text"]):
+                    t = "" if text is None else str(text)
+                    vf = b"".join(
+                        _hl.md5(f"{t}:vf:{i}".encode()).digest()
+                        for i in range(2)
+                    )[:24]
+                    frames = [
+                        _np.repeat(
+                            _np.frombuffer(vf[:12], _np.uint8)
+                            .reshape(3, 4)[:, :, None],
+                            3,
+                            2,
+                        ),
+                        _np.repeat(
+                            _np.frombuffer(vf[12:], _np.uint8)
+                            .reshape(3, 4)[:, :, None],
+                            3,
+                            2,
+                        ),
+                    ]
+                    ids.append(int(did))
+                    kinds_c.append("video")
+                    contents.append(
+                        encode_webp_anim(frames, [100, 100])
+                    )
+                    metas.append(None)
+                yield _pd.DataFrame(
+                    {
+                        "media_id": ids,
+                        "kind": kinds_c,
+                        "content": contents,
+                        "meta": metas,
+                    }
+                )
+
+        return docs.select("doc_id", "text").mapInPandas(
+            run, schema=MEDIA_SCHEMA
+        )
+
+    from lsdm_motogp_data_integration_spark.operators.multimodal import (  # noqa: E501
+        video_dhash as _vdh,
+    )
+
+    awebp_hashes = _vdh(_build_awebp_media(d), n_sample_frames=2)
+    aw = (
+        awebp_hashes.groupBy("media_id")
+        .agg(
+            F.max(
+                F.when(F.col("frame_idx") == 0, F.col("vdhash"))
+            ).alias("__h0"),
+            F.max(
+                F.when(F.col("frame_idx") == 1, F.col("vdhash"))
+            ).alias("__h1"),
+        )
+        .select(
+            F.lit("real_awebp").alias("scope"),
+            F.col("media_id"),
+            F.lit("video").alias("kind"),
+            F.lit("webp").alias("fmt"),
+            F.lit(None).cast("bigint").alias("n_bytes"),
+            F.lit(None).cast("string").alias("digest"),
+            F.lit(4).cast("int").alias("width"),
+            F.lit(3).cast("int").alias("height"),
+            F.lit(2).cast("bigint").alias("n_values"),
+            F.col("__h0").alias("sum_values"),
+            F.col("__h1").alias("weighted_sum"),
+        )
     )
     # real_flac (r8, VERDICT r7 #4): the SAME 64 'au' samples
     # re-encoded as a REAL Rice-coded FLAC stream (operators/
@@ -2747,6 +2842,7 @@ def q41_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(wb)
         .unionByName(fl)
         .unionByName(tc)
+        .unionByName(aw)
         .unionByName(dh)
         .unionByName(adh)
         .unionByName(jp)
@@ -7402,6 +7498,14 @@ def oracle_sql() -> dict[str, str]:
                    NULL::BIGINT, NULL::VARCHAR, 4, 3,
                    CAST(64 AS BIGINT), w.h1, CAST(n.nbr AS BIGINT)
             FROM vd_w w JOIN vd_nbr n ON n.doc_id = w.doc_id
+            UNION ALL
+            -- real_awebp: the same two frames as ANIMATED WEBP —
+            -- lossless + r=g=b, so the frame hashes replay the vd_w
+            -- closed form verbatim (h0/h1 in two value columns)
+            SELECT 'real_awebp', w.doc_id, 'video', 'webp',
+                   NULL::BIGINT, NULL::VARCHAR, 4, 3,
+                   CAST(2 AS BIGINT), w.h0, w.h1
+            FROM vd_w w
             UNION ALL
             -- real_minfo: compressed-container metadata, closed-form
             -- from the 'mi' params. mp4 (is_mp3=0): duration b0*256+
