@@ -824,6 +824,74 @@ def _write_prefix_code(
     return _canonical_codes(lt_full)
 
 
+def _prefix_encode(v: int) -> tuple[int, int, int]:
+    """Inverse of :func:`_prefix_value`: value ≥ 1 → (prefix_code,
+    extra_bit_count, extra_bit_value)."""
+    if v <= 4:
+        return v - 1, 0, 0
+    for code in range(4, 40):
+        extra = (code - 2) >> 1
+        offset = (2 + (code & 1)) << extra
+        if offset + 1 <= v <= offset + (1 << extra):
+            return code, extra, v - offset - 1
+    raise MediaFormatError(f"VP8L LZ77 value {v} out of range")
+
+
+def _lz77_tokens(argb: list[int], w: int) -> list[tuple]:
+    """Greedy hash-chain LZ77 over the ARGB pixel sequence:
+    ``(0, pixel)`` literals and ``(1, length, plane_code)`` copies
+    (min match 3, max 4096; short distances map through the 2D
+    neighborhood table, the rest code linearly as dist+120)."""
+    n = len(argb)
+    dist2code: dict[int, int] = {}
+    for i, (dx, dy) in enumerate(_DIST_MAP):
+        d = dy * w + dx
+        if d >= 1:
+            dist2code.setdefault(d, i + 1)
+    tokens: list[tuple] = []
+    table: dict[tuple, list[int]] = {}
+
+    def note(pos: int) -> None:
+        if pos + 2 < n:
+            k = (argb[pos], argb[pos + 1], argb[pos + 2])
+            lst = table.setdefault(k, [])
+            lst.append(pos)
+            if len(lst) > 8:
+                lst.pop(0)
+
+    i = 0
+    while i < n:
+        best_len = 0
+        best_dist = 0
+        if i + 2 < n:
+            key = (argb[i], argb[i + 1], argb[i + 2])
+            for j in reversed(table.get(key, [])):
+                length = 3
+                maxl = min(4096, n - i)
+                while (
+                    length < maxl and argb[j + length] == argb[i + length]
+                ):
+                    length += 1
+                if length > best_len:
+                    best_len, best_dist = length, i - j
+        if best_len >= 3:
+            tokens.append(
+                (
+                    1,
+                    best_len,
+                    dist2code.get(best_dist, best_dist + 120),
+                )
+            )
+            for k in range(i, i + best_len):
+                note(k)
+            i += best_len
+        else:
+            tokens.append((0, argb[i]))
+            note(i)
+            i += 1
+    return tokens
+
+
 def _write_literal_stream(
     bw: _BitWriter,
     g: np.ndarray,
@@ -832,33 +900,80 @@ def _write_literal_stream(
     alpha: np.ndarray,
     *,
     is_level0: bool,
+    w: int = 0,
+    lz77: bool = True,
 ) -> None:
-    """One entropy-coded image stream in the literals-only form: no
-    color cache, no meta groups, optimal per-channel canonical prefix
-    codes, a 1-symbol distance code.  Sub-images (``is_level0=False``)
-    have no meta bit (RFC 9649 §3.7.1)."""
+    """One entropy-coded image stream: no color cache, no meta
+    groups, optimal per-symbol canonical prefix codes, greedy LZ77
+    backward references (r8 — disable with ``lz77=False`` for the
+    pure-literal form).  Sub-images (``is_level0=False``) have no
+    meta bit (RFC 9649 §3.7.1)."""
     bw.bits(0, 1)  # no color cache
     if is_level0:
         bw.bits(0, 1)  # no meta prefix codes
-    planes = [g.ravel(), r.ravel(), b.ravel(), alpha.ravel()]
-    alphabets = [_GREEN_LIT + _LEN_CODES, 256, 256, 256]
-    books = []
-    for plane, alphabet in zip(planes, alphabets):
-        vals, counts = np.unique(plane, return_counts=True)
-        freqs = {int(v): int(c) for v, c in zip(vals, counts)}
-        if len(freqs) == 1:
-            lengths = {next(iter(freqs)): 1}
+    gf = g.ravel().tolist()
+    rf = r.ravel().tolist()
+    bf = b.ravel().tolist()
+    af = alpha.ravel().tolist()
+    argb = [
+        (int(a_) << 24) | (int(r_) << 16) | (int(g_) << 8) | int(b_)
+        for g_, r_, b_, a_ in zip(gf, rf, bf, af)
+    ]
+    if lz77 and len(argb) >= 8:
+        tokens = _lz77_tokens(argb, w or 1)
+    else:
+        tokens = [(0, px) for px in argb]
+    freqs: list[dict[int, int]] = [{}, {}, {}, {}, {}]
+    for t in tokens:
+        if t[0] == 0:
+            px = t[1]
+            for fi, v in zip(
+                range(4),
+                ((px >> 8) & 0xFF, (px >> 16) & 0xFF, px & 0xFF,
+                 (px >> 24) & 0xFF),
+            ):
+                freqs[fi][v] = freqs[fi].get(v, 0) + 1
         else:
-            lengths = _huffman_lengths(freqs, 15)
+            lc = _GREEN_LIT + _prefix_encode(t[1])[0]
+            freqs[0][lc] = freqs[0].get(lc, 0) + 1
+            dc = _prefix_encode(t[2])[0]
+            freqs[4][dc] = freqs[4].get(dc, 0) + 1
+    # red/blue/alpha/distance codes may be unused (all-copy streams
+    # still carry ≥1 literal, but guard anyway): a 1-symbol code is
+    # the minimal valid description
+    books = []
+    for fi, alphabet in enumerate(
+        (_GREEN_LIT + _LEN_CODES, 256, 256, 256, 40)
+    ):
+        fq = freqs[fi] or {0: 1}
+        if len(fq) == 1:
+            lengths = {next(iter(fq)): 1}
+        else:
+            lengths = _huffman_lengths(fq, 15)
         books.append(_write_prefix_code(bw, lengths, alphabet))
-    # distance code: unused — a 1-symbol code is the minimal valid one
-    _write_prefix_code(bw, {0: 1}, 40)
-    gb, rb, bb, ab = books
-    for i in range(planes[0].shape[0]):
-        for book, plane in ((gb, planes[0]), (rb, planes[1]),
-                            (bb, planes[2]), (ab, planes[3])):
-            c, ln = book[int(plane[i])]
+    gb, rb, bb, ab, db = books
+    for t in tokens:
+        if t[0] == 0:
+            px = t[1]
+            for book, v in (
+                (gb, (px >> 8) & 0xFF),
+                (rb, (px >> 16) & 0xFF),
+                (bb, px & 0xFF),
+                (ab, (px >> 24) & 0xFF),
+            ):
+                c, ln = book[v]
+                bw.code(c, ln)
+        else:
+            lc, lext, lval = _prefix_encode(t[1])
+            c, ln = gb[_GREEN_LIT + lc]
             bw.code(c, ln)
+            if lext:
+                bw.bits(lval, lext)
+            dc, dext, dval = _prefix_encode(t[2])
+            c, ln = db[dc]
+            bw.code(c, ln)
+            if dext:
+                bw.bits(dval, dext)
 
 
 def encode_webp_lossless(
@@ -946,6 +1061,7 @@ def encode_webp_lossless(
             deltas[:, 2],  # blue
             deltas[:, 3],  # alpha
             is_level0=False,
+            w=size,
         )
         bw.bits(0, 1)  # no more transforms
         # main image at the packed width: indices bundled LSB-first
@@ -959,7 +1075,8 @@ def encode_webp_lossless(
             packed[:, x >> wb_] |= im[:, x] << ((x % per) * bpp)
         zeros = np.zeros(h * wp, np.int64)
         _write_literal_stream(
-            bw, packed.ravel(), zeros, zeros, zeros, is_level0=True
+            bw, packed.ravel(), zeros, zeros, zeros, is_level0=True,
+            w=wp,
         )
     else:
         r = a[:, :, 0].astype(np.int64)
@@ -972,7 +1089,7 @@ def encode_webp_lossless(
             bw.bits(1, 1)
             bw.bits(_TR_SUBTRACT_GREEN, 2)
         bw.bits(0, 1)  # no (more) transforms
-        _write_literal_stream(bw, g, r, b, alpha, is_level0=True)
+        _write_literal_stream(bw, g, r, b, alpha, is_level0=True, w=w)
     payload = bw.bytes()
     chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
     if len(payload) & 1:
