@@ -908,9 +908,6 @@ def _write_literal_stream(
     backward references (r8 — disable with ``lz77=False`` for the
     pure-literal form).  Sub-images (``is_level0=False``) have no
     meta bit (RFC 9649 §3.7.1)."""
-    bw.bits(0, 1)  # no color cache
-    if is_level0:
-        bw.bits(0, 1)  # no meta prefix codes
     gf = g.ravel().tolist()
     rf = r.ravel().tolist()
     bf = b.ravel().tolist()
@@ -923,6 +920,44 @@ def _write_literal_stream(
         tokens = _lz77_tokens(argb, w or 1)
     else:
         tokens = [(0, px) for px in argb]
+    # color cache (r8): simulate the decoder's cache over the token
+    # stream and convert literal repeats into 1-symbol cache hits —
+    # (2, idx) tokens; worth the 4 header bits only on streams with
+    # enough pixels to amortize the bigger green alphabet
+    cache_bits = 8 if len(argb) >= 64 else 0
+    if cache_bits:
+        csize = 1 << cache_bits
+        cache = [None] * csize
+        out_tokens: list[tuple] = []
+        pos = 0
+        for t in tokens:
+            if t[0] == 0:
+                px = t[1]
+                idx = ((0x1E35A7BD * px) & 0xFFFFFFFF) >> (
+                    32 - cache_bits
+                )
+                if cache[idx] == px:
+                    out_tokens.append((2, idx))
+                else:
+                    out_tokens.append(t)
+                    cache[idx] = px
+                pos += 1
+            else:
+                out_tokens.append(t)
+                for k in range(t[1]):
+                    px = argb[pos + k]
+                    cache[
+                        ((0x1E35A7BD * px) & 0xFFFFFFFF)
+                        >> (32 - cache_bits)
+                    ] = px
+                pos += t[1]
+        tokens = out_tokens
+    bw.bits(1 if cache_bits else 0, 1)
+    if cache_bits:
+        bw.bits(cache_bits, 4)
+    if is_level0:
+        bw.bits(0, 1)  # no meta prefix codes
+    cache_base = _GREEN_LIT + _LEN_CODES
     freqs: list[dict[int, int]] = [{}, {}, {}, {}, {}]
     for t in tokens:
         if t[0] == 0:
@@ -933,17 +968,20 @@ def _write_literal_stream(
                  (px >> 24) & 0xFF),
             ):
                 freqs[fi][v] = freqs[fi].get(v, 0) + 1
-        else:
+        elif t[0] == 1:
             lc = _GREEN_LIT + _prefix_encode(t[1])[0]
             freqs[0][lc] = freqs[0].get(lc, 0) + 1
             dc = _prefix_encode(t[2])[0]
             freqs[4][dc] = freqs[4].get(dc, 0) + 1
-    # red/blue/alpha/distance codes may be unused (all-copy streams
-    # still carry ≥1 literal, but guard anyway): a 1-symbol code is
+        else:
+            cs = cache_base + t[1]
+            freqs[0][cs] = freqs[0].get(cs, 0) + 1
+    # red/blue/alpha/distance codes may be unused: a 1-symbol code is
     # the minimal valid description
     books = []
+    green_alpha = cache_base + ((1 << cache_bits) if cache_bits else 0)
     for fi, alphabet in enumerate(
-        (_GREEN_LIT + _LEN_CODES, 256, 256, 256, 40)
+        (green_alpha, 256, 256, 256, 40)
     ):
         fq = freqs[fi] or {0: 1}
         if len(fq) == 1:
@@ -963,7 +1001,7 @@ def _write_literal_stream(
             ):
                 c, ln = book[v]
                 bw.code(c, ln)
-        else:
+        elif t[0] == 1:
             lc, lext, lval = _prefix_encode(t[1])
             c, ln = gb[_GREEN_LIT + lc]
             bw.code(c, ln)
@@ -974,6 +1012,9 @@ def _write_literal_stream(
             bw.code(c, ln)
             if dext:
                 bw.bits(dval, dext)
+        else:
+            c, ln = gb[cache_base + t[1]]
+            bw.code(c, ln)
 
 
 def encode_webp_lossless(
