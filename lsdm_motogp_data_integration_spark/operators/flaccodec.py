@@ -407,6 +407,8 @@ def decode_flac(data: bytes) -> tuple[np.ndarray, int]:
         else:
             bps = _SAMPLE_SIZES[ss_code]
         br.align()
+        if br.pos >= len(data):
+            raise MediaFormatError("FLAC frame header truncated")
         hdr_crc = data[br.pos]
         if _crc8(data[frame_start : br.pos]) != hdr_crc:
             raise MediaFormatError("FLAC frame header CRC-8 mismatch")

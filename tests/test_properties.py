@@ -225,3 +225,115 @@ def test_video_resize_framewise_equals_image_resize(frames, w, h):
             _mc.y4m_frame(out, oinfo, i), np.uint8
         ).reshape(h, w)
         assert (got == _nn_resize(np.asarray(f), w, h)).all()
+
+
+# --- r8 codecs: WebP-lossless and FLAC ---------------------------------------
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    a=_np_arrays(
+        dtype=np.uint8,
+        shape=_st.tuples(
+            _st.integers(1, 12), _st.integers(1, 14), _st.just(3)
+        ),
+    ),
+    sg=_st.booleans(),
+)
+def test_webp_lossless_roundtrip_any_rgb(a, sg):
+    """Any RGB array round-trips bit-exactly through the VP8L
+    encoder/decoder pair — the encoder auto-chooses palette vs
+    literal+LZ77+cache paths, all of which must be lossless."""
+    from lsdm_motogp_data_integration_spark.operators import webpcodec
+
+    pal = None if not sg else False
+    blob = webpcodec.encode_webp_lossless(
+        a, subtract_green=sg, palette=pal
+    )
+    out = webpcodec.decode_webp(blob)
+    assert np.array_equal(out, a)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    s=_np_arrays(
+        dtype=np.int16,
+        shape=_st.tuples(_st.integers(1, 400), _st.integers(1, 2)),
+    ),
+    rate=_st.sampled_from([8000, 16000, 44100]),
+)
+def test_flac_roundtrip_any_pcm(s, rate):
+    """Any int16 PCM round-trips bit-exactly through the FLAC
+    encoder/decoder pair (constant/fixed/verbatim subframes, stereo
+    decorrelation, CRCs, MD5 — all under the property)."""
+    from lsdm_motogp_data_integration_spark.operators import flaccodec
+
+    blob = flaccodec.encode_flac(s, rate)
+    out, r = flaccodec.decode_flac(blob)
+    assert r == rate
+    assert np.array_equal(out, s.astype(np.int32))
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    seed=_st.integers(0, 2**32 - 1),
+    pos_frac=_st.floats(0.0, 1.0),
+    mutation=_st.integers(1, 255),
+)
+def test_webp_flac_mutations_raise_typed_errors(
+    seed, pos_frac, mutation
+):
+    """Bit-flipped VP8L/FLAC streams either decode (the flip landed
+    in don't-care padding) or raise the codec's TYPED errors — never
+    hang, never crash with IndexError/struct.error/KeyError, never
+    return out-of-contract shapes.  (The r8 advisor theme: untrusted
+    web bytes must fail loudly and typed.)"""
+    from lsdm_motogp_data_integration_spark.operators import (
+        flaccodec,
+        webpcodec,
+    )
+
+    rng = np.random.RandomState(seed % (2**31))
+    img = rng.randint(0, 256, (5, 6, 3)).astype(np.uint8)
+    wav = rng.randint(-3000, 3000, 64).astype(np.int16)
+    wblob = bytearray(webpcodec.encode_webp_lossless(img))
+    fblob = bytearray(flaccodec.encode_flac(wav, 8000))
+    for blob, decode in (
+        (wblob, webpcodec.decode_webp),
+        (fblob, flaccodec.decode_flac),
+    ):
+        pos = min(len(blob) - 1, int(pos_frac * len(blob)))
+        blob[pos] ^= mutation
+        try:
+            decode(bytes(blob))
+        except (_mc.MediaFormatError, NotImplementedError):
+            pass
+
+
+def test_webp_flac_every_truncation_raises_typed():
+    """Every PREFIX of a valid VP8L / FLAC / animated-WebP stream
+    either decodes (nothing essential was cut) or raises the typed
+    codec error — exhaustively, every cut point (the fuzz that found
+    the r8 FLAC header-CRC IndexError)."""
+    from lsdm_motogp_data_integration_spark.operators import (
+        flaccodec,
+        webpcodec,
+    )
+
+    rng = np.random.RandomState(8)
+    img = rng.randint(0, 256, (6, 7, 3)).astype(np.uint8)
+    wav = rng.randint(-3000, 3000, 150).astype(np.int16)
+    cases = (
+        (webpcodec.encode_webp_lossless(img), webpcodec.decode_webp),
+        (flaccodec.encode_flac(wav, 8000), flaccodec.decode_flac),
+        (
+            webpcodec.encode_webp_anim([img, img], [10, 10]),
+            webpcodec.decode_webp_anim,
+        ),
+    )
+    for blob, decode in cases:
+        for cut in range(len(blob)):
+            try:
+                decode(bytes(blob[:cut]))
+            except (_mc.MediaFormatError, NotImplementedError):
+                pass
