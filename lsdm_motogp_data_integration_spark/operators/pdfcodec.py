@@ -153,7 +153,12 @@ class _Lexer:
         while self.p < n and d[self.p] not in _WS and d[self.p] not in _DELIM:
             c = d[self.p]
             if c == 0x23 and self.p + 2 < n:  # '#xx' hex escape
-                out.append(int(d[self.p + 1 : self.p + 3], 16))
+                try:
+                    out.append(int(d[self.p + 1 : self.p + 3], 16))
+                except ValueError:
+                    raise MediaFormatError(
+                        "PDF name with malformed #xx hex escape"
+                    ) from None
                 self.p += 3
             else:
                 out.append(c)

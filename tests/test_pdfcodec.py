@@ -728,3 +728,22 @@ def test_free_entry_tombstone_masks_prev_offset():
     assert info["n_pages"] == 1
     # the freed object is not counted
     assert info["n_objects"] == pdf_info(base)["n_objects"] - 1
+
+
+def test_pdf_truncation_and_malformed_name_escape_typed():
+    """Every PREFIX of both skeleton layouts raises the typed error
+    (or decodes) — the hang/crash class the r8 cycle-guard advisor
+    fix targets — and a name token whose #xx hex escape is junk
+    raises MediaFormatError, not ValueError (found by mutation
+    fuzzing)."""
+    for layout in ("classic", "xref_stream"):
+        blob = encode_pdf_skeleton(["hello " * 5, "p2"], layout=layout)
+        for cut in range(len(blob)):
+            try:
+                decode_pdf_text(bytes(blob[:cut]))
+            except (MediaFormatError, NotImplementedError):
+                pass
+    blob = encode_pdf_skeleton(["x"], compress=False)
+    bad = blob.replace(b"/Type", b"/T#zz", 1)
+    with pytest.raises(MediaFormatError, match="hex escape"):
+        decode_pdf_text(bad)
