@@ -221,12 +221,22 @@ def _build_fast_table(
     invalid prefix).  One peek + one table hit replaces a bit-by-bit
     walk — the difference between O(bits) and O(codes) Python
     iterations per coefficient."""
+    if len(bits) < 16:
+        raise MediaFormatError("JPEG DHT BITS list truncated")
+    if len(vals) < sum(bits):
+        raise MediaFormatError(
+            "JPEG DHT value list shorter than its BITS counts"
+        )
     sym = [0] * 65536
     lng = [0] * 65536
     code = 0
     k = 0
     for ln in range(1, 17):
         for _ in range(bits[ln - 1]):
+            if code >= (1 << ln):
+                raise MediaFormatError(
+                    "JPEG DHT code space oversubscribed"
+                )
             base = code << (16 - ln)
             span = 1 << (16 - ln)
             sym[base : base + span] = [vals[k]] * span
@@ -896,6 +906,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             while off < len(seg):
                 pq, tq = seg[off] >> 4, seg[off] & 15
                 off += 1
+                nbytes = 64 if pq == 0 else 128
+                if off + nbytes > len(seg):
+                    raise MediaFormatError("JPEG DQT table truncated")
                 if pq == 0:
                     tab = np.frombuffer(
                         seg[off : off + 64], np.uint8
@@ -916,21 +929,39 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 bits = list(seg[off + 1 : off + 17])
                 nv = sum(bits)
                 vals = list(seg[off + 17 : off + 17 + nv])
+                if tc == 0 and any(v > 15 for v in vals):
+                    # DC symbols are magnitude CATEGORIES (0..15,
+                    # T.81 table F.1); a corrupt table would feed
+                    # receive() a 200-bit read and blow the int32
+                    # coefficient contract instead of failing typed
+                    raise MediaFormatError(
+                        "JPEG DC Huffman table with category > 15"
+                    )
                 hufftabs[(tc, th)] = _build_fast_table(bits, vals)
                 off += 17 + nv
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xC0 or marker == 0xC1:
             # baseline / extended-sequential Huffman (same decode path)
+            if len(seg) < 6:
+                raise MediaFormatError("JPEG SOF header truncated")
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise NotImplementedError(f"JPEG precision {prec}")
+            if len(seg) < 6 + 3 * nc:
+                raise MediaFormatError("JPEG SOF component list truncated")
             comps = []
             for ci in range(nc):
                 cid, hv, tq = seg[6 + 3 * ci : 9 + 3 * ci]
+                if (hv >> 4) == 0 or (hv & 15) == 0:
+                    raise MediaFormatError(
+                        "JPEG zero sampling factor"
+                    )
                 comps.append((cid, hv >> 4, hv & 15, tq))
             frame = (h, w, comps)
         elif marker == 0xC2:  # progressive DCT, Huffman (SOF2)
+            if len(seg) < 6:
+                raise MediaFormatError("JPEG SOF header truncated")
             prec, ph, pw, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise NotImplementedError(f"JPEG precision {prec}")
@@ -940,9 +971,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 )
             if nc not in (1, 3):
                 raise NotImplementedError(f"JPEG {nc}-component")
+            if len(seg) < 6 + 3 * nc:
+                raise MediaFormatError("JPEG SOF component list truncated")
             comps = []
             for ci in range(nc):
                 cid, hv, tq = seg[6 + 3 * ci : 9 + 3 * ci]
+                if (hv >> 4) == 0 or (hv & 15) == 0:
+                    raise MediaFormatError("JPEG zero sampling factor")
                 comps.append((cid, hv >> 4, hv & 15, tq))
             maxh = max(c[1] for c in comps)
             maxv = max(c[2] for c in comps)
@@ -973,7 +1008,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         elif marker in (0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError("JPEG arithmetic coding")
         elif marker == 0xDA:  # SOS
+            if not seg:
+                raise MediaFormatError("JPEG SOS header truncated")
             ns = seg[0]
+            if len(seg) < 1 + 2 * ns + 3:
+                raise MediaFormatError("JPEG SOS header truncated")
             scomps = []
             for si in range(ns):
                 cs, tdta = seg[1 + 2 * si], seg[2 + 2 * si]

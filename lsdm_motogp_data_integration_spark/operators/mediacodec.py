@@ -887,15 +887,25 @@ def y4m_info(data: bytes) -> dict:
         if not tok:
             continue
         tag, val = tok[:1], tok[1:]
-        if tag == b"W":
-            w = int(val)
-        elif tag == b"H":
-            h = int(val)
-        elif tag == b"F":
-            a, b = val.split(b":")
-            num, den = int(a), int(b)
-        elif tag == b"C":
-            v = val.decode("ascii")
+        try:
+            if tag == b"W":
+                w = int(val)
+            elif tag == b"H":
+                h = int(val)
+            elif tag == b"F":
+                a, b = val.split(b":")
+                num, den = int(a), int(b)
+        except ValueError:
+            raise MediaFormatError(
+                f"Y4M header field {tok!r} is not numeric"
+            ) from None
+        if tag == b"C":
+            try:
+                v = val.decode("ascii")
+            except UnicodeDecodeError:
+                raise MediaFormatError(
+                    "Y4M colorspace tag is not ASCII"
+                ) from None
             # match the FULL tag against the known 8-bit layouts — a
             # prefix match would misread C420p10/Cmono16 (10/16-bit
             # variants) as their 8-bit cousins and compute frame_bytes
@@ -1104,6 +1114,8 @@ def _gif_parse(data: bytes, first_only: bool = False) -> tuple:
         if b != 0x2C:
             raise MediaFormatError(f"GIF unknown block 0x{b:02x}")
         # image descriptor
+        if pos + 10 > len(data):
+            raise MediaFormatError("GIF truncated in image descriptor")
         x = int.from_bytes(data[pos + 1 : pos + 3], "little")
         y = int.from_bytes(data[pos + 3 : pos + 5], "little")
         w = int.from_bytes(data[pos + 5 : pos + 7], "little")
@@ -1122,6 +1134,8 @@ def _gif_parse(data: bytes, first_only: bool = False) -> tuple:
             raise MediaFormatError("GIF image has no color table")
         if w <= 0 or h <= 0:
             raise MediaFormatError(f"bad GIF dimensions {w}x{h}")
+        if pos >= len(data):
+            raise MediaFormatError("GIF truncated before LZW data")
         min_code_size = data[pos]
         pos += 1
         if not 2 <= min_code_size <= 8:
@@ -2433,6 +2447,8 @@ def _decode_tiff_g4(data: bytes, t: dict) -> np.ndarray:
 
     comp = t.get("compression", 1)
     w, h = t["width"], t["height"]
+    if not isinstance(w, int) or not isinstance(h, int):
+        raise MediaFormatError("TIFF width/height tags must be scalar")
     if w <= 0 or h <= 0:
         raise MediaFormatError(f"bad TIFF dimensions {w}x{h}")
     if t.get("bits_per_sample", 1) != 1 or t.get(

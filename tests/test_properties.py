@@ -337,3 +337,83 @@ def test_webp_flac_every_truncation_raises_typed():
                 decode(bytes(blob[:cut]))
             except (_mc.MediaFormatError, NotImplementedError):
                 pass
+
+
+def test_every_decoder_family_truncation_typed():
+    """r8 hardening sweep: EVERY prefix of a valid stream from every
+    decoder family raises the typed codec errors or decodes — the
+    class of fixes this round landed (GIF descriptor bounds, JPEG
+    DHT/SOF/SOS/DQT segment validation incl. zero sampling factors
+    and DC categories, TIFF scalar tags, Y4M numeric headers, FLAC
+    header CRC byte)."""
+    from lsdm_motogp_data_integration_spark.operators import jpegcodec
+
+    rng = np.random.RandomState(13)
+    img = rng.randint(0, 256, (9, 11, 3)).astype(np.uint8)
+    gray = rng.randint(0, 256, (8, 10)).astype(np.uint8)
+    bilevel = rng.randint(0, 2, (6, 8)).astype(bool)
+    wav = rng.randint(-3000, 3000, 120).astype(np.int16)
+    frames = [rng.randint(0, 256, (3, 4), dtype=np.uint8)
+              for _ in range(2)]
+    cases = [
+        (_mc.encode_bmp(img), _mc.decode_image),
+        (_mc.encode_png(img), _mc.decode_image),
+        (_mc.encode_pgm(gray), _mc.decode_image),
+        (_mc.encode_gif(gray), _mc.decode_image),
+        (jpegcodec.encode_jpeg(gray), _mc.decode_image),
+        (jpegcodec.encode_jpeg(gray, progressive=True),
+         _mc.decode_image),
+        (_mc.encode_tiff_g4(bilevel), _mc.decode_image),
+        (_mc.encode_wav(wav, 8000), _mc.decode_wav),
+        (_mc.encode_y4m(frames, 10, 1),
+         lambda b: _mc.y4m_frame(b, _mc.y4m_info(b), 0)),
+        (_mc.encode_mp4_skeleton(5000, width=64, height=48),
+         _mc.mp4_info),
+        (_mc.encode_mp3_skeleton(10), _mc.mp3_info),
+    ]
+    for blob, decode in cases:
+        for cut in range(len(blob)):
+            try:
+                decode(bytes(blob[:cut]))
+            except (_mc.MediaFormatError, NotImplementedError):
+                pass
+
+
+def test_every_decoder_family_mutations_typed():
+    """Seeded byte-flip fuzz across every decoder family — typed
+    errors only, never IndexError/struct.error/OverflowError/
+    ZeroDivisionError/UnicodeDecodeError (each of which a mutation
+    produced before the r8 hardening)."""
+    import random
+
+    from lsdm_motogp_data_integration_spark.operators import jpegcodec
+
+    rng = np.random.RandomState(13)
+    rnd = random.Random(424242)
+    img = rng.randint(0, 256, (9, 11, 3)).astype(np.uint8)
+    gray = rng.randint(0, 256, (8, 10)).astype(np.uint8)
+    bilevel = rng.randint(0, 2, (6, 8)).astype(bool)
+    wav = rng.randint(-3000, 3000, 120).astype(np.int16)
+    frames = [rng.randint(0, 256, (3, 4), dtype=np.uint8)
+              for _ in range(2)]
+    cases = [
+        (_mc.encode_gif(gray), _mc.decode_image),
+        (jpegcodec.encode_jpeg(gray), _mc.decode_image),
+        (jpegcodec.encode_jpeg(gray, progressive=True),
+         _mc.decode_image),
+        (_mc.encode_tiff_g4(bilevel), _mc.decode_image),
+        (_mc.encode_wav(wav, 8000), _mc.decode_wav),
+        (_mc.encode_y4m(frames, 10, 1),
+         lambda b: _mc.y4m_frame(b, _mc.y4m_info(b), 0)),
+        (_mc.encode_png(img), _mc.decode_image),
+    ]
+    for blob, decode in cases:
+        base = bytearray(blob)
+        for _ in range(400):
+            mut = bytearray(base)
+            for _ in range(rnd.randint(1, 3)):
+                mut[rnd.randrange(len(mut))] ^= rnd.randint(1, 255)
+            try:
+                decode(bytes(mut))
+            except (_mc.MediaFormatError, NotImplementedError):
+                pass
