@@ -576,14 +576,22 @@ def encode_flac(
         raise MediaFormatError(f"FLAC channels {nch} out of range")
     if n == 0:
         raise MediaFormatError("encode_flac of empty sample array")
+    # r9 advisor fix: the 20-bit STREAMINFO field silently truncates
+    # rates >= 2^20 into a wrong-rate-but-CRC-valid stream; the spec
+    # ceiling is 655350 Hz — reject instead
+    if not (1 <= rate <= 655350):
+        raise MediaFormatError(f"FLAC sample rate {rate} out of range")
     bps = 16
     md5 = hashlib.md5(
         s.astype("<i2").tobytes()
     ).digest()
-    # STREAMINFO (min/max block size exclude the last, shorter block)
+    # STREAMINFO (min/max block size exclude the last, shorter block).
+    # r9 advisor fix: the spec-minimum block size is 16, so clamp the
+    # declared min/max for ultra-short inputs (the actual frame still
+    # carries its true bn in the frame header — decoders trust that)
     si = _BitWriter()
-    si.bits(min(n, block_size), 16)
-    si.bits(min(n, block_size), 16)
+    si.bits(max(16, min(n, block_size)), 16)
+    si.bits(max(16, min(n, block_size)), 16)
     si.bits(0, 24)
     si.bits(0, 24)
     si.bits(rate, 20)

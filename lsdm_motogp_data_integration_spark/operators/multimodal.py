@@ -791,6 +791,15 @@ def transcode_media(
     the decoded pixels exactly (and usually costs bytes; the card
     shows it).
 
+    Shape preservation (r9, advisor fix): the identity contract wins
+    over the format request.  Alpha passes through untouched (PNG
+    ctype 6 / VP8L RGBA), and when the requested format cannot carry
+    the decoded shape losslessly — gray into webp (the VP8L encoder
+    widens to RGB), gray or RGBA into 24-bit BMP — the blob is
+    encoded as PNG instead, with ``fmt_out`` reporting the actual
+    format ('png').  So ``fmt_out`` may differ from the request, but
+    the decoded canonical form NEVER changes.
+
     Output keeps (media_id, kind, content, meta) so the transcoded
     relation feeds every media operator directly, plus
     fmt_in/fmt_out/n_bytes_in/n_bytes_out for the storage report.
@@ -807,22 +816,23 @@ def transcode_media(
             f"{audio_fmt!r}"
         )
 
-    def _encode_image(a: np.ndarray) -> bytes:
-        if image_fmt == "png":
-            if a.ndim == 3 and a.shape[2] == 4:
-                a = a[:, :, :3]  # encode_png is RGB/gray
-            return mc.encode_png(a)
-        if image_fmt == "webp":
+    def _encode_image(a: np.ndarray) -> tuple[bytes, str]:
+        # The identity contract is absolute: when the requested format
+        # cannot represent the decoded shape losslessly (gray in webp
+        # — the VP8L encoder widens to RGB; gray/RGBA in 24-bit BMP),
+        # fall back to PNG (ctype 0/2/6 carries all three) and report
+        # the ACTUAL format in fmt_out.  Never flatten alpha or widen
+        # channels: that would silently change decoded digests.
+        nch = 1 if a.ndim == 2 else a.shape[2]
+        if image_fmt == "webp" and nch != 1:
             from lsdm_motogp_data_integration_spark.operators.webpcodec import (  # noqa: E501
                 encode_webp_lossless,
             )
 
-            return encode_webp_lossless(a)
-        if a.ndim == 2:
-            a = np.repeat(a[:, :, None], 3, axis=2)
-        elif a.shape[2] == 4:
-            a = a[:, :, :3]
-        return mc.encode_bmp(a)
+            return encode_webp_lossless(a), "webp"
+        if image_fmt == "bmp" and nch == 3:
+            return mc.encode_bmp(a), "bmp"
+        return mc.encode_png(a), "png"
 
     def _encode_audio(smp: np.ndarray, rate: int) -> bytes:
         if audio_fmt == "wav":
@@ -861,8 +871,7 @@ def transcode_media(
                 try:
                     if kind == "image" and image_fmt is not None:
                         a = mc.decode_image(blob)
-                        out_blob = _encode_image(a)
-                        fmt_out = image_fmt
+                        out_blob, fmt_out = _encode_image(a)
                     elif kind == "audio" and audio_fmt is not None:
                         smp, rate = mc.decode_audio(blob)
                         out_blob = _encode_audio(smp, rate)

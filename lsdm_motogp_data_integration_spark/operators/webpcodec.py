@@ -866,6 +866,13 @@ def _lz77_tokens(argb: list[int], w: int) -> list[tuple]:
         if i + 2 < n:
             key = (argb[i], argb[i + 1], argb[i + 2])
             for j in reversed(table.get(key, [])):
+                # r9 advisor fix: the linear distance code is
+                # dist+120 and _prefix_encode caps at 2^20, so any
+                # match farther back than 2^20-120 pixels is not
+                # codable — skip it (realistic on >1MP images whose
+                # only repeats are a border seen megapixels ago)
+                if i - j > (1 << 20) - 120:
+                    continue
                 length = 3
                 maxl = min(4096, n - i)
                 while (

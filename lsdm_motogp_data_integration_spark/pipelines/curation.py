@@ -716,8 +716,14 @@ def dataset_card(
             F.count(F.lit(1)).alias("n_items"),
             F.count(F.lit(1)).alias("n_kept"),
             F.sum(n_chars.cast("bigint")).alias("sum_units"),
+            # r9 advisor fix: divide by count(text), not count(*) —
+            # sum(length(text)) skips NULL texts, so the denominator
+            # must too (the media side already divides by
+            # count(n_bytes)); n_items stays count(*) so NULL-text
+            # rows remain visible in the item count
             (
-                F.sum(n_chars.cast("decimal(18,6)")) / F.count(F.lit(1))
+                F.sum(n_chars.cast("decimal(18,6)"))
+                / F.count(F.col(text_col))
             ).cast("double").alias("mean_units"),
             F.min(n_chars.cast("bigint")).alias("min_units"),
             F.max(n_chars.cast("bigint")).alias("max_units"),

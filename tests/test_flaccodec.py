@@ -379,3 +379,27 @@ def test_encoder_stereo_decorrelation():
     )
     got, _ = fc.decode_flac(fc.encode_flac(edge, 8000))
     assert np.array_equal(got, edge.astype(np.int32))
+
+
+def test_streaminfo_spec_bounds():
+    """r9 advisor fix: ultra-short inputs clamp the declared
+    STREAMINFO min/max block size to the spec floor of 16 (the frame
+    header still carries the true count), and sample rates above the
+    20-bit STREAMINFO field (spec ceiling 655350) are rejected
+    instead of silently truncated into a wrong-rate CRC-valid
+    stream."""
+    s = np.array([5, -3, 100, 7], np.int16)
+    blob = fc.encode_flac(s, 8000)
+    mn = int.from_bytes(blob[8:10], "big")
+    mx = int.from_bytes(blob[10:12], "big")
+    assert mn == 16 and mx == 16
+    out, rate = fc.decode_flac(blob)
+    assert rate == 8000
+    assert np.array_equal(out[:, 0], s.astype(np.int32))
+    for bad_rate in (0, 1 << 20, 655351, 1 << 24):
+        with pytest.raises(MediaFormatError, match="rate"):
+            fc.encode_flac(s, bad_rate)
+    # the ceiling itself is codable
+    blob2 = fc.encode_flac(s, 655350)
+    _, rate2 = fc.decode_flac(blob2)
+    assert rate2 == 655350

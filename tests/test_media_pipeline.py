@@ -433,3 +433,31 @@ def test_unified_dataset_card_composes_verified_cards(spark, corpus):
 
     with _pt.raises(ValueError, match="documents and/or media"):
         dataset_card()
+
+
+def test_dataset_card_null_text_mean(spark):
+    """r9 advisor fix: mean_units divides sum(length(text)) — which
+    skips NULL texts — by count(text), not count(*); NULL-text rows
+    still count in n_items so they stay visible."""
+    from lsdm_motogp_data_integration_spark.pipelines.curation import (
+        dataset_card,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "crawl", "abcd"),       # 4 chars
+            (2, "crawl", "abcdefgh"),   # 8 chars
+            (3, "crawl", None),         # must not skew the mean
+        ],
+        "doc_id: long, source: string, text: string",
+    )
+    rows = dataset_card(docs, None).collect()
+    src = [
+        r for r in rows
+        if r["modality"] == "text" and r["grouping"] == "source"
+    ]
+    assert len(src) == 1
+    r = src[0]
+    assert r["n_items"] == 3
+    assert r["sum_units"] == 12
+    assert r["mean_units"] == 6.0  # 12 / 2 non-null, not 12 / 3

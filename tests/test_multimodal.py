@@ -1149,3 +1149,60 @@ def test_transcode_media_lossless_normalization(spark):
         transcode_media(media, image_fmt="jpeg")
     with pytest.raises(ValueError, match="audio_fmt"):
         transcode_media(media, audio_fmt="mp3")
+
+
+def test_transcode_media_preserves_alpha_and_shape(spark):
+    """r9 advisor fix: transcode_media never changes the decoded
+    canonical form — RGBA passes through to PNG ctype 6 / VP8L RGBA
+    untouched (previously alpha was silently flattened), and when
+    the requested format cannot carry the shape (gray into webp,
+    gray/RGBA into 24-bit BMP) the blob falls back to PNG with
+    fmt_out reporting the actual format."""
+    from lsdm_motogp_data_integration_spark.operators.multimodal import (
+        media_stats,
+        transcode_media,
+    )
+    from lsdm_motogp_data_integration_spark.operators import (
+        webpcodec as wc,
+    )
+
+    rng = np.random.RandomState(7)
+    rgba = rng.randint(0, 256, (6, 5, 4), dtype=np.uint8)
+    gray = rng.randint(0, 256, (7, 9), dtype=np.uint8)
+    rows = [
+        (1, "image", mc.encode_png(rgba), None),   # RGBA
+        (2, "image", mc.encode_pgm(gray), None),   # gray
+        (3, "image", wc.encode_webp_lossless(rgba), None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    for fmt in ("png", "webp", "bmp"):
+        out = transcode_media(media, image_fmt=fmt)
+        res = {r["media_id"]: r for r in out.collect()}
+        # decoded pixels identical pre/post, bit for bit
+        for mid, arr in ((1, rgba), (2, gray), (3, rgba)):
+            back = mc.decode_image(bytes(res[mid]["content"]))
+            assert back.shape == arr.shape, (fmt, mid)
+            assert np.array_equal(back, arr), (fmt, mid)
+        # fmt_out reports the ACTUAL format written
+        if fmt == "png":
+            assert {res[m]["fmt_out"] for m in (1, 2, 3)} == {"png"}
+        elif fmt == "webp":
+            assert res[1]["fmt_out"] == "webp"
+            assert res[2]["fmt_out"] == "png"   # gray fallback
+            assert res[3]["fmt_out"] == "webp"
+        else:  # bmp carries only RGB
+            assert res[1]["fmt_out"] == "png"
+            assert res[2]["fmt_out"] == "png"
+            assert res[3]["fmt_out"] == "png"
+        # canonical digest invariant under every request
+        pre = {
+            r["media_id"]: r["decoded_digest"]
+            for r in media_stats(media).collect()
+        }
+        post = {
+            r["media_id"]: r["decoded_digest"]
+            for r in media_stats(
+                out.select("media_id", "kind", "content", "meta")
+            ).collect()
+        }
+        assert pre == post, fmt

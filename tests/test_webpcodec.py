@@ -769,3 +769,36 @@ def test_encoder_color_cache():
         ),
         img2,
     )
+
+
+def test_lz77_window_cap():
+    """r9 advisor fix: matches farther back than the VP8L window
+    (2^20 - 120, the farthest linearly-codable distance) are skipped
+    instead of emitted as tokens _prefix_encode rejects — the
+    reproduction is a 3-pixel run whose only earlier copy sits ~1.05M
+    unique pixels back (realistic on >1MP photos with borders)."""
+    window = (1 << 20) - 120
+    trip = [0xFF000001, 0xFF000002, 0xFF000003]
+    filler = [0xFF100000 + i for i in range(window + 50)]
+    argb = trip + filler + trip
+    toks = wc._lz77_tokens(argb, 1024)
+    over = [
+        t for t in toks
+        if t[0] == 1 and t[2] > 120 and (t[2] - 120) > window
+    ]
+    assert over == []
+    # every emitted copy token survives the prefix coder
+    for t in toks:
+        if t[0] == 1:
+            wc._prefix_encode(t[1])
+            wc._prefix_encode(t[2])
+    # and the stream reproduces the input: tokens decode by hand
+    out = []
+    for t in toks:
+        if t[0] == 0:
+            out.append(t[1])
+        else:
+            d = t[2] - 120
+            for _ in range(t[1]):
+                out.append(out[-d])
+    assert out == argb
