@@ -661,18 +661,24 @@ def decode_vp8l(payload: bytes) -> np.ndarray:
 
 
 def decode_webp(data: bytes) -> np.ndarray:
-    """Decode a WebP container: VP8L (lossless) → pixels; a VP8X
-    wrapper is walked to its VP8L chunk; lossy VP8 stays an honest
-    gate.  Returns (H, W, 3) RGB, or (H, W, 4) RGBA when any alpha
-    < 255 (the PNG convention of ``mediacodec.decode_image``)."""
+    """Decode a WebP container: VP8L (lossless) → pixels, VP8
+    (lossy keyframe, r9 — ``vp8codec``, RFC 6386 bit-exact integer
+    decode) → engine-canonical RGB; a VP8X wrapper is walked to its
+    bitstream chunk.  Returns (H, W, 3) RGB, or (H, W, 4) RGBA when
+    any alpha < 255 (the PNG convention of
+    ``mediacodec.decode_image``).  A lossy stream with a separate
+    ALPH alpha plane stays an honest gate."""
     if data[:4] != b"RIFF" or data[8:12] != b"WEBP":
         raise MediaFormatError("not a WebP (RIFF/WEBP header missing)")
     pos = 12
     n = len(data)
+    seen_alph = False
     while pos + 8 <= n:
         cid = data[pos : pos + 4]
         size = struct.unpack_from("<I", data, pos + 4)[0]
         body = data[pos + 8 : pos + 8 + size]
+        if cid == b"ALPH":
+            seen_alph = True
         if cid == b"VP8L":
             if len(body) < size:
                 raise MediaFormatError("WebP VP8L chunk truncated")
@@ -681,10 +687,18 @@ def decode_webp(data: bytes) -> np.ndarray:
                 return rgba[:, :, :3].copy()
             return rgba
         if cid == b"VP8 ":
-            raise NotImplementedError(
-                "lossy WebP (VP8) sample decode not supported — "
-                "float-DCT territory; header dims remain available"
+            if len(body) < size:
+                raise MediaFormatError("WebP VP8 chunk truncated")
+            if seen_alph:
+                raise NotImplementedError(
+                    "lossy WebP with an ALPH alpha plane is not "
+                    "supported (the VP8 color decode itself is)"
+                )
+            from lsdm_motogp_data_integration_spark.operators.vp8codec import (  # noqa: E501
+                decode_webp_lossy,
             )
+
+            return decode_webp_lossy(body)
         if cid == b"VP8X" and body and body[0] & 0x02:
             # animated: the still-image convention is the first
             # composed frame (what _decode_gif does for GIF)
