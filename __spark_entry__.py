@@ -1847,6 +1847,7 @@ def _build_multimodal_media(
     jpeg_progressive: bool = False,
     webp: bool = False,
     flac: bool = False,
+    vp8: bool = False,
 ) -> DataFrame:
     """Five REAL media blobs per document — a 24-bit BMP (7×6,
     exercises row padding + bottom-up/BGR), a P5 PGM (5×4), a 16-bit
@@ -1912,7 +1913,25 @@ def _build_multimodal_media(
             # re-encodes the SAME pixels as lossless WebP (VP8L,
             # subtract-green + per-channel canonical prefix codes) —
             # lossless, so the identical chain-byte closed form holds
-            # through entirely different decode machinery
+            # through entirely different decode machinery.
+            # vp8=True (r9): a LOSSY WebP — an 8×8 gray image of four
+            # flat 4×4 tiles (the first 4 'v8' chain bytes), encoded
+            # by the DC-exact VP8 keyframe subset (operators/
+            # vp8codec): quantizer step 4 makes each flat residual
+            # exactly representable, so a SQL oracle can replay every
+            # decoded pixel through the closed-form integer BT.601
+            # round trip while the decode runs the full RFC 6386
+            # machinery (boolean decoder, B_PRED modes, IDCT)
+            if vp8:
+                from lsdm_motogp_data_integration_spark.operators.vp8codec import (
+                    encode_webp_vp8,
+                )
+
+                g4 = _np.frombuffer(chain(t, "v8", 1)[:4], _np.uint8)
+                img = _np.kron(
+                    g4.reshape(2, 2), _np.ones((4, 4), _np.uint8)
+                )
+                return "image", encode_webp_vp8(img)
             pn = _np.frombuffer(
                 chain(t, "pn", 6)[:90], _np.uint8
             ).reshape(5, 6, 3)
@@ -2033,6 +2052,15 @@ def q41_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
       so the identical raw-chain closed form verifies an entirely
       different decode path (LSB-first prefix codes, 2D LZ77,
       transform inverses).
+    - ``real_vp8`` (r9, VERDICT r8 ask #1): a LOSSY WebP — a VP8
+      keyframe of four flat 4×4 gray tiles encoded by the DC-exact
+      subset of ``operators/vp8codec`` (RFC 6386 from scratch;
+      differential-pinned bit-exact against the system libwebp in
+      tests/test_vp8codec.py) and decoded by the full keyframe
+      machinery: boolean arithmetic decoder, B_PRED sub-modes,
+      integer IDCT, canonical BT.601 RGB.  DC-exactness makes the
+      lossy round trip lossless here, so the oracle replays every
+      decoded pixel in closed form.
     - ``real_awebp`` (r8): the ``real_vdhash`` frames packaged as
       an ANIMATED WEBP (VP8X/ANIM/ANMF of VP8L bitstreams) hashed
       through ``video_dhash``'s webp branch — lossless + r=g=b means
@@ -2270,6 +2298,31 @@ def q41_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     webp_media = _build_multimodal_media(d, kinds=(4,), webp=True)
     wb = media_stats(webp_media).select(
         F.lit("real_webp").alias("scope"),
+        F.expr("media_id DIV 8").alias("media_id"),
+        "kind",
+        "fmt",
+        F.lit(None).cast("bigint").alias("n_bytes"),
+        F.lit(None).cast("string").alias("digest"),
+        "width",
+        "height",
+        "n_values",
+        "sum_values",
+        "weighted_sum",
+    )
+    # real_vp8 (r9, VERDICT r8 ask #1): a LOSSY WebP (VP8 keyframe)
+    # per document — four flat 4×4 gray tiles from the 'v8' chain,
+    # encoded by the DC-exact subset of operators/vp8codec and
+    # decoded by the full RFC 6386 keyframe machinery (boolean
+    # arithmetic decoder, B_PRED sub-modes, integer IDCT, canonical
+    # BT.601 RGB).  The DC-exact construction makes the lossy round
+    # trip LOSSLESS on this content, so the oracle replays each
+    # decoded pixel in closed form: g → Y = ((220·g+128)>>8)+16 →
+    # out = (298·(Y−16)+128)>>8, each tile byte covering 16 px × 3
+    # channels.  n_bytes varies with the arithmetic-coded stream →
+    # NULL like the other entropy-coded scopes.
+    vp8_media = _build_multimodal_media(d, kinds=(4,), vp8=True)
+    v8s = media_stats(vp8_media).select(
+        F.lit("real_vp8").alias("scope"),
         F.expr("media_id DIV 8").alias("media_id"),
         "kind",
         "fmt",
@@ -2840,6 +2893,7 @@ def q41_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(vr)
         .unionByName(pg)
         .unionByName(wb)
+        .unionByName(v8s)
         .unionByName(fl)
         .unionByName(tc)
         .unionByName(aw)
@@ -7167,6 +7221,27 @@ def oracle_sql() -> dict[str, str]:
                      + (strpos('0123456789abcdef', substr(hx, 2*j+2, 1))-1) AS v
                 FROM pn_chain, generate_series(0, 89) AS t(j)
             ),
+            v8_tiles AS (   -- 4 flat 4x4 gray tiles from md5(:v8:0)
+                SELECT doc_id, ts.t AS t,
+                       (strpos('0123456789abcdef', substr(hx, 2*ts.t+1, 1))-1)*16
+                     + (strpos('0123456789abcdef', substr(hx, 2*ts.t+2, 1))-1) AS g
+                FROM (
+                    SELECT doc_id, md5(text || ':v8:0') AS hx
+                    FROM documents
+                ) c, generate_series(0, 3) AS ts(t)
+            ),
+            v8_vals AS (    -- decoded 8x8x3 RGB in closed form: the
+                            -- DC-exact lossy round trip is lossless,
+                            -- so pixel = BT.601 integer round trip of
+                            -- its tile's gray byte; tile of flat pos
+                            -- j: pixel p=j//3, tile=(p//32)*2+(p%8)//4
+                SELECT tt.doc_id, sj.j,
+                       (298 * ((220 * tt.g + 128) // 256) + 128) // 256 AS v
+                FROM generate_series(0, 191) AS sj(j)
+                JOIN v8_tiles tt
+                  ON tt.t = ((sj.j // 3) // 32) * 2
+                            + (((sj.j // 3) % 8) // 4)
+            ),
             -- real_dhash: integer ITU-R 601 luma per BMP pixel ...
             dh_gray AS (
                 SELECT doc_id, j // 3 AS p,
@@ -7435,6 +7510,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT), CAST(SUM(v) AS BIGINT),
                    CAST(SUM(v * (j + 1)) AS BIGINT)
             FROM pn_bytes GROUP BY doc_id
+            UNION ALL
+            -- real_vp8 (r9): LOSSY WebP, DC-exact keyframe subset —
+            -- the decoded pixels replay in closed form (lossless on
+            -- per-4x4-flat content); n_bytes varies with the
+            -- arithmetic-coded stream -> NULL
+            SELECT 'real_vp8', doc_id, 'image', 'webp',
+                   NULL::BIGINT, NULL::VARCHAR, 8, 8,
+                   CAST(COUNT(*) AS BIGINT), CAST(SUM(v) AS BIGINT),
+                   CAST(SUM(v * (j + 1)) AS BIGINT)
+            FROM v8_vals GROUP BY doc_id
             UNION ALL
             -- real_dhash: sum_values = the 64-bit perceptual hash as
             -- int64; weighted_sum = exact-Hamming(<=10) neighbor count

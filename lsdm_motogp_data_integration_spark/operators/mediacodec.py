@@ -1625,7 +1625,7 @@ def _webp_dims(data: bytes) -> tuple[int, int]:
     """WebP canvas dims from the first VP8/VP8L/VP8X chunk header —
     the web's #3 image format joins the O(header) stat pass (r7).
     Lossless (VP8L) SAMPLE decode landed in r8 (``webpcodec``);
-    lossy VP8 decode stays a gate."""
+    lossy (VP8 keyframe) sample decode landed in r9 (``vp8codec``)."""
     pos = 12
     n = len(data)
     while pos + 8 <= n:

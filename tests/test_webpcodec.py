@@ -439,17 +439,34 @@ def test_error_gates():
     hw2.b(0, 7)  # overshoot → repeat overflow OR kraft error
     with pytest.raises(MediaFormatError):
         wc.decode_webp(hw2.riff())
-    # lossy VP8 stays a gate
+    # lossy VP8 decodes since r9 (vp8codec); a truncated VP8 chunk
+    # raises typed, and the ALPH alpha-plane combination stays a gate
     import struct as _st
 
+    from lsdm_motogp_data_integration_spark.operators.vp8codec import (
+        encode_webp_vp8,
+    )
+
+    lossy = encode_webp_vp8(np.full((16, 16), 77, np.uint8))
+    out = wc.decode_webp(lossy)
+    assert out.shape == (16, 16, 3)
     vp8 = (
-        b"VP8 " + _st.pack("<I", 10) + bytes(3) + b"\x9d\x01\x2a"
+        b"VP8 " + _st.pack("<I", 10) + b"\x00\x20\x00" + b"\x9d\x01\x2a"
         + _st.pack("<HH", 320, 240)
     )
     body = b"WEBP" + vp8
-    lossy = b"RIFF" + _st.pack("<I", len(body)) + body
-    with pytest.raises(NotImplementedError, match="lossy WebP"):
-        wc.decode_webp(lossy)
+    trunc = b"RIFF" + _st.pack("<I", len(body)) + body
+    with pytest.raises(MediaFormatError, match="truncated"):
+        wc.decode_webp(trunc)
+    alph = b"ALPH" + _st.pack("<I", 2) + b"\x00\x00"
+    payload = lossy[20:]
+    chunk = b"VP8 " + _st.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    body2 = b"WEBP" + alph + chunk
+    gated = b"RIFF" + _st.pack("<I", len(body2)) + body2
+    with pytest.raises(NotImplementedError, match="ALPH"):
+        wc.decode_webp(gated)
 
 
 def test_mediacodec_dispatch_and_dims():

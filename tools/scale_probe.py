@@ -409,6 +409,14 @@ def main() -> None:
                 _build_multimodal_media(docs, kinds=(4,), webp=True)
             ),
         )
+        # r9: lossy VP8 decode — boolean arithmetic decoder + B_PRED
+        # prediction + IDCT per blob; expected linear
+        r["vp8_decode_s"], _ = timed(
+            "vp8_decode",
+            media_stats(
+                _build_multimodal_media(docs, kinds=(4,), vp8=True)
+            ),
+        )
         # r8: FLAC decode — frame walk + FIXED/Rice residual decode +
         # CRC/MD5 verification per blob; expected linear
         r["flac_decode_s"], _ = timed(
