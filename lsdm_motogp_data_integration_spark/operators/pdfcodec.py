@@ -43,8 +43,12 @@ strings decode code-by-code; fonts without a CMap keep the standard
 encodings.  Filters: FlateDecode, LZWDecode (the TIFF LZW machinery
 at /EarlyChange 1), ASCIIHexDecode, ASCII85Decode, RunLengthDecode.
 
-Honest gates (``NotImplementedError``): encrypted documents
-(``/Encrypt``) and image filters (DCT/CCITT/JBIG2) — they never
+Encryption (r9): the standard security handler with an EMPTY user
+password — the common permissions-only case in real crawls — is
+decrypted transparently (RC4 V1/V2, revisions 2/3: MD5 key schedule
++ per-object RC4, the empty password verified against ``/U`` first).
+Honest gates (``NotImplementedError``): AES / real-password
+encryption and image filters (DCT/CCITT/JBIG2) — the latter never
 carry text.  Malformed structure raises
 :class:`~.mediacodec.MediaFormatError`.
 
@@ -59,7 +63,9 @@ JSON; this serves the brief's training-data-pipeline requirement.
 
 from __future__ import annotations
 
+import hashlib
 import re
+import struct
 import zlib
 
 from lsdm_motogp_data_integration_spark.operators.mediacodec import (
@@ -383,6 +389,33 @@ def _apply_predictor(raw: bytes, pred: int, cols: int, bpp: int) -> bytes:
     return bytes(out)
 
 
+#: the standard security handler's 32-byte padding string (§7.6.3.3)
+_PDF_PAD = bytes((
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+    0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+    0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+    0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+))
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    """Plain RC4 (the PDF standard security handler's V1/V2 cipher)."""
+    s = list(range(256))
+    j = 0
+    kl = len(key)
+    for i in range(256):
+        j = (j + s[i] + key[i % kl]) & 255
+        s[i], s[j] = s[j], s[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for n, b in enumerate(data):
+        i = (i + 1) & 255
+        j = (j + s[i]) & 255
+        s[i], s[j] = s[j], s[i]
+        out[n] = b ^ s[(s[i] + s[j]) & 255]
+    return bytes(out)
+
+
 class _Document:
     """Parsed xref map + lazy object resolution.  ``xref`` values are
     byte offsets (type-1 entries) or ``(objstm_num, idx)`` tuples
@@ -399,11 +432,101 @@ class _Document:
         self._cache: dict[int, object] = {}
         self._objstm_cache: dict[int, tuple] = {}
         self._inflight: set[int] = set()  # objects being parsed (cycle guard)
+        self._dec_key: bytes | None = None
+        self.encrypted = False
         self._load_xref()
         if "Encrypt" in self.trailer:
+            self.encrypted = True
+            self._setup_decryption()
+
+    def _setup_decryption(self) -> None:
+        """Empty-user-password RC4 decryption (r9, VERDICT r8 ask
+        #2): a large share of real-crawl 'encrypted' PDFs use the
+        STANDARD security handler with an empty user password —
+        permissions-only encryption (§7.6.3).  V1/V2 (RC4 40/128)
+        with revision 2/3 is pure-stdlib (MD5 key schedule + RC4);
+        the empty password is VERIFIED against /U before any byte is
+        trusted.  AES (V≥4) and real-password documents keep the
+        honest ``NotImplementedError`` gate, which ``pdf_info``
+        surfaces as a NULL-triage row instead of a dead job."""
+        enc = self.resolve(self.trailer["Encrypt"])
+        if not isinstance(enc, dict):
+            raise MediaFormatError("PDF /Encrypt is not a dictionary")
+        filt = enc.get("Filter")
+        v = self.resolve(enc.get("V", 0))
+        r = self.resolve(enc.get("R", 0))
+        if str(filt) != "Standard" or v not in (1, 2) or r not in (2, 3):
             raise NotImplementedError(
-                "encrypted PDF (/Encrypt) — decryption not supported"
+                "encrypted PDF: only the Standard handler with RC4 "
+                f"(V=1/2, R=2/3) is supported, got V={v!r} R={r!r}"
             )
+        o = enc.get("O")
+        u = enc.get("U")
+        p = self.resolve(enc.get("P"))
+        length = self.resolve(enc.get("Length", 40))
+        if not (isinstance(o, bytes) and isinstance(u, bytes)
+                and len(o) >= 32 and len(u) >= 32 and isinstance(p, int)
+                and isinstance(length, int)):
+            raise MediaFormatError("PDF /Encrypt missing O/U/P/Length")
+        ids = self.trailer.get("ID")
+        id0 = b""
+        if isinstance(ids, list) and ids and isinstance(ids[0], bytes):
+            id0 = ids[0]
+        n = 5 if r == 2 else max(5, min(16, length // 8))
+        h = hashlib.md5()
+        h.update(_PDF_PAD)  # the empty user password, padded
+        h.update(o[:32])
+        h.update(struct.pack("<I", p & 0xFFFFFFFF))
+        h.update(id0)
+        key = h.digest()
+        if r >= 3:
+            for _ in range(50):
+                key = hashlib.md5(key[:n]).digest()
+        key = key[:n]
+        # verify the empty user password against /U (algorithms 4/5)
+        if r == 2:
+            ok = _rc4(key, _PDF_PAD) == u[:32]
+        else:
+            tmp = _rc4(key, hashlib.md5(_PDF_PAD + id0).digest())
+            for i in range(1, 20):
+                tmp = _rc4(bytes(b ^ i for b in key), tmp)
+            ok = tmp[:16] == u[:16]
+        if not ok:
+            raise NotImplementedError(
+                "encrypted PDF: non-empty user password — cannot decrypt"
+            )
+        self._dec_key = key
+
+    def _decrypt_obj(self, obj, num: int, gen: int):
+        """Decrypt every string and the stream bytes of one indirect
+        object with the per-object RC4 key (algorithm 1: MD5(key +
+        objnum[0:3] LE + gen[0:2] LE)).  Cross-reference streams are
+        never encrypted (§7.5.8.2) and objects INSIDE object streams
+        are not re-encrypted (the container stream already was)."""
+        key = self._dec_key
+        okey = hashlib.md5(
+            key + struct.pack("<I", num)[:3] + struct.pack("<I", gen)[:2]
+        ).digest()[: min(len(key) + 5, 16)]
+
+        def walk(x):
+            if isinstance(x, bytes):
+                return _rc4(okey, x)
+            if isinstance(x, list):
+                return [walk(e) for e in x]
+            if isinstance(x, dict):
+                return {k: (walk(v) if k != "__raw__" else v)
+                        for k, v in x.items()}
+            return x
+
+        if isinstance(obj, dict):
+            t = obj.get("Type")
+            if isinstance(t, _Name) and str(t) == "XRef":
+                return obj
+            out = walk(obj)
+            if "__raw__" in obj:
+                out["__raw__"] = _rc4(okey, obj["__raw__"])
+            return out
+        return walk(obj)
 
     def _load_xref(self) -> None:
         d = self.d
@@ -621,6 +744,8 @@ class _Document:
                 raise MediaFormatError("PDF stream truncated")
             obj = dict(obj)
             obj["__raw__"] = raw
+        if self._dec_key is not None:
+            obj = self._decrypt_obj(obj, num, int(m.group(2)))
         self._cache[num] = obj
         return obj
 
@@ -1088,7 +1213,7 @@ def pdf_info(data: bytes, *, doc: "_Document | None" = None) -> dict:
     try:
         if doc is None:
             doc = _Document(data)
-        enc = False
+        enc = doc.encrypted  # decryptable (empty-password) docs parse
     except NotImplementedError:
         return {
             "version": re.match(rb"%PDF-(\d+\.\d+)", data)

@@ -747,3 +747,127 @@ def test_pdf_truncation_and_malformed_name_escape_typed():
     bad = blob.replace(b"/Type", b"/T#zz", 1)
     with pytest.raises(MediaFormatError, match="hex escape"):
         decode_pdf_text(bad)
+
+
+# --- encrypted PDFs (r9, VERDICT r8 ask #2) -----------------------------------
+
+
+def _build_encrypted_pdf(text: str, *, r: int, length: int = 40,
+                         user_pwd: bytes = b"") -> bytes:
+    """Test-local encryptor: a minimal classic-layout PDF whose
+    content stream is RC4-encrypted by the STANDARD security handler
+    (independent implementation of algorithms 2/3/4/5, so the
+    decoder's key schedule is pinned against a second derivation,
+    not against itself)."""
+    import hashlib
+    import struct as st
+
+    from lsdm_motogp_data_integration_spark.operators.pdfcodec import (
+        _PDF_PAD,
+        _page_content,
+        _rc4,
+    )
+
+    def pad(pw: bytes) -> bytes:
+        return (pw + _PDF_PAD)[:32]
+
+    n = 5 if r == 2 else length // 8
+    idb = hashlib.md5(text.encode()).digest()
+    # algorithm 3: /O from the (empty) owner password
+    okey = hashlib.md5(pad(b"")).digest()
+    if r >= 3:
+        for _ in range(50):
+            okey = hashlib.md5(okey).digest()
+    okey = okey[:n]
+    o = _rc4(okey, pad(user_pwd))
+    if r >= 3:
+        for i in range(1, 20):
+            o = _rc4(bytes(b ^ i for b in okey), o)
+    # algorithm 2: the file key
+    p = -44  # permissions: print/copy denied, high bits set
+    h = hashlib.md5()
+    h.update(pad(user_pwd))
+    h.update(o)
+    h.update(st.pack("<I", p & 0xFFFFFFFF))
+    h.update(idb)
+    key = h.digest()
+    if r >= 3:
+        for _ in range(50):
+            key = hashlib.md5(key[:n]).digest()
+    key = key[:n]
+    # algorithms 4/5: /U
+    if r == 2:
+        u = _rc4(key, _PDF_PAD)
+    else:
+        u = _rc4(key, hashlib.md5(_PDF_PAD + idb).digest())
+        for i in range(1, 20):
+            u = _rc4(bytes(b ^ i for b in key), u)
+        u = u + b"\x00" * 16
+    # per-object key for the content stream (object 4, gen 0)
+    okey4 = hashlib.md5(
+        key + st.pack("<I", 4)[:3] + st.pack("<I", 0)[:2]
+    ).digest()[: min(n + 5, 16)]
+    content = _rc4(okey4, _page_content(text))
+
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R >>",
+        b"<< /Length %d >>\nstream\n" % len(content) + content
+        + b"\nendstream",
+        (b"<< /Filter /Standard /V %d /R %d /Length %d /P %d "
+         b"/O <%s> /U <%s> >>"
+         % (1 if r == 2 else 2, r, n * 8, p, o.hex().encode(),
+            u.hex().encode())),
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offs = []
+    for i, body in enumerate(objs, start=1):
+        offs.append(len(out))
+        out += b"%d 0 obj\n" % i + body + b"\nendobj\n"
+    xref_off = len(out)
+    out += b"xref\n0 %d\n" % (len(objs) + 1)
+    out += b"0000000000 65535 f \n"
+    for off in offs:
+        out += b"%010d 00000 n \n" % off
+    out += (b"trailer\n<< /Size %d /Root 1 0 R /Encrypt 5 0 R "
+            b"/ID [<%s> <%s>] >>\nstartxref\n%d\n%%%%EOF"
+            % (len(objs) + 1, idb.hex().encode(), idb.hex().encode(),
+               xref_off))
+    return bytes(out)
+
+
+def test_encrypted_pdf_empty_password_rc4():
+    """Empty-user-password standard-handler PDFs decrypt
+    transparently: RC4-40 (V1/R2) and RC4-128 (V2/R3) both extract
+    the same text as their unencrypted twin, and pdf_info reports
+    encrypted=True with full metadata."""
+    text = "secret line one\nand a second line"
+    for r, length in ((2, 40), (3, 128)):
+        blob = _build_encrypted_pdf(text, r=r, length=length)
+        assert decode_pdf_text(blob) == [text], (r, length)
+        info = pdf_info(blob)
+        assert info["encrypted"] is True
+        assert info["n_pages"] == 1
+
+
+def test_encrypted_pdf_real_password_stays_gated():
+    """A non-empty user password cannot be decrypted — the gate
+    stays honest and pdf_info reports the triage row."""
+    blob = _build_encrypted_pdf("hidden", r=3, length=128,
+                                user_pwd=b"hunter2")
+    with pytest.raises(NotImplementedError, match="password"):
+        decode_pdf_text(blob)
+    info = pdf_info(blob)
+    assert info["encrypted"] is True
+    assert info["n_pages"] is None
+
+
+def test_encrypted_pdf_aes_stays_gated():
+    """V4+ (AES) keeps the honest NotImplementedError gate."""
+    blob = _build_encrypted_pdf("x", r=2, length=40)
+    # poke the V/R fields up to the unsupported range
+    blob = blob.replace(b"/V 1 /R 2", b"/V 4 /R 4")
+    with pytest.raises(NotImplementedError, match="V="):
+        decode_pdf_text(blob)
