@@ -3517,6 +3517,15 @@ def q53_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       CASE via the same shared SQL fragment as q22's ``lang2``
       column (``_LANG2_SQL_CTES`` — single-sourced, the two oracles
       cannot drift).
+    - ``card`` (r9, VERDICT r8 ask #4): the UNIFIED dataset card
+      (``pipelines/curation.dataset_card``) — text per-source and
+      per-``lang_id2`` sections plus a media per-(kind, fmt) section
+      in one modality/grouping/key schema, run over the documents
+      table and the closed-form bmp+pgm fixture pair.  The oracle
+      replays every reshaped number (unit-suffixed stats, the
+      ``count(text)`` mean denominator, width/height spreads, the
+      constant 198-/31-byte container sizes), so the card's
+      reshaping logic is hash-pinned, not just pytest-pinned.
     - ``pdf`` (r7, VERDICT r6 #4): PDF as a curation SOURCE — a
       2-page skeleton PDF per document (page 1 = chars 1–120, page 2
       = 'page two: ' + chars 121–240) is text-extracted by the
@@ -3648,6 +3657,41 @@ def q53_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length("text").cast("bigint").alias("sum_chars"),
         )
     )
+    # card scope (r9, VERDICT r8 ask #4): the UNIFIED dataset card
+    # (pipelines/curation.dataset_card — text per-source + per-lang
+    # sections AND a media per-(kind,fmt) section in ONE schema),
+    # driver-verified end-to-end: the media input is the closed-form
+    # bmp+pgm fixture pair (constant 198-/31-byte containers, 7×6 /
+    # 5×4 dims), so the oracle replays every reshaped number — the
+    # unit-suffixed stats, the modality/grouping/key keying, and the
+    # text mean's count(text) denominator (the r9 advisor fix) —
+    # mapped onto this suite's columns (column←modality, dtype←
+    # grouping, lang←unit, n_rows←n_kept, n_nulls/n_distinct←width
+    # spread, min/max_num←height spread).
+    from lsdm_motogp_data_integration_spark.pipelines.curation import (
+        dataset_card,
+    )
+
+    card_media = _build_multimodal_media(d, kinds=(0, 1))
+    card = dataset_card(d, card_media).select(
+        F.col("key").alias("source"),
+        F.col("n_items").alias("n_docs"),
+        F.col("mean_units").alias("mean_chars"),
+        F.col("max_duration_ms").cast("bigint").alias("n_langs"),
+        F.col("min_units").alias("min_chars"),
+        F.col("max_units").alias("max_chars"),
+        F.col("modality").alias("column"),
+        F.col("grouping").alias("dtype"),
+        F.col("n_kept").alias("n_rows"),
+        F.col("min_width").cast("bigint").alias("n_nulls"),
+        F.col("max_width").cast("bigint").alias("n_distinct"),
+        F.col("min_height").cast("double").alias("min_num"),
+        F.col("max_height").cast("double").alias("max_num"),
+        F.col("sum_duration_ms").cast("double").alias("mean_num"),
+        F.col("unit").alias("lang"),
+        F.col("sum_units").alias("sum_chars"),
+        F.col("min_duration_ms").cast("bigint").alias("grp"),
+    )
     langs = ["de", "en", "es", "fr", "zh"]
     piv = (
         d.groupBy("source")
@@ -3698,6 +3742,7 @@ def q53_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("incremental", inc),
         ("langmix", langmix),
         ("pdf", pdfrows),
+        ("card", card),
     )
 
 
@@ -9333,6 +9378,78 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NULL AS BIGINT) AS n_zh,
                    CAST(NULL AS DOUBLE) AS std_chars
             FROM documents
+            UNION ALL
+            -- card scope (r9): the unified dataset_card — text
+            -- per-source + per-lang_id2 sections (unit 'chars',
+            -- mean over COUNT(text)) and the media per-(kind,fmt)
+            -- section over the constant bmp/pgm fixtures (unit
+            -- 'bytes', 198/31 bytes, 7x6 / 5x4 dims, all kept)
+            SELECT 'card' AS scope, source,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(CAST(LENGTH(text) AS DECIMAL(18,6)))
+                        / COUNT(text) AS DOUBLE) AS mean_chars,
+                   CAST(NULL AS BIGINT) AS n_langs,
+                   CAST(MIN(LENGTH(text)) AS BIGINT) AS min_chars,
+                   CAST(MAX(LENGTH(text)) AS BIGINT) AS max_chars,
+                   'text' AS "column", 'source' AS dtype,
+                   COUNT(*) AS n_rows,
+                   CAST(NULL AS BIGINT) AS n_nulls,
+                   CAST(NULL AS BIGINT) AS n_distinct,
+                   CAST(NULL AS DOUBLE) AS min_num,
+                   CAST(NULL AS DOUBLE) AS max_num,
+                   CAST(NULL AS DOUBLE) AS mean_num,
+                   CAST(NULL AS VARCHAR) AS min_str,
+                   CAST(NULL AS VARCHAR) AS max_str,
+                   'chars' AS lang,
+                   CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_chars,
+                   CAST(NULL AS BIGINT) AS grp,
+                   NULL, NULL, NULL, NULL, NULL,
+                   CAST(NULL AS DOUBLE) AS std_chars
+            FROM documents GROUP BY source
+            UNION ALL
+            SELECT 'card', l.lang2,
+                   COUNT(*),
+                   CAST(SUM(CAST(LENGTH(d.text) AS DECIMAL(18,6)))
+                        / COUNT(d.text) AS DOUBLE),
+                   CAST(NULL AS BIGINT),
+                   CAST(MIN(LENGTH(d.text)) AS BIGINT),
+                   CAST(MAX(LENGTH(d.text)) AS BIGINT),
+                   'text', 'lang',
+                   COUNT(*),
+                   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                   CAST(NULL AS DOUBLE),
+                   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+                   'chars',
+                   CAST(SUM(LENGTH(d.text)) AS BIGINT),
+                   CAST(NULL AS BIGINT),
+                   NULL, NULL, NULL, NULL, NULL,
+                   CAST(NULL AS DOUBLE)
+            FROM documents d JOIN l2 l USING (doc_id)
+            GROUP BY l.lang2
+            UNION ALL
+            SELECT 'card', f.fmt,
+                   COUNT(*),
+                   CAST(f.nb AS DOUBLE),
+                   CAST(NULL AS BIGINT),
+                   CAST(f.nb AS BIGINT), CAST(f.nb AS BIGINT),
+                   'image', 'fmt',
+                   COUNT(*),
+                   CAST(f.w AS BIGINT), CAST(f.w AS BIGINT),
+                   CAST(f.h AS DOUBLE), CAST(f.h AS DOUBLE),
+                   CAST(NULL AS DOUBLE),
+                   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+                   'bytes',
+                   CAST(COUNT(*) * f.nb AS BIGINT),
+                   CAST(NULL AS BIGINT),
+                   NULL, NULL, NULL, NULL, NULL,
+                   CAST(NULL AS DOUBLE)
+            FROM documents, (
+                SELECT * FROM (VALUES ('bmp', 198, 7, 6),
+                                      ('pgm', 31, 5, 4))
+                       t(fmt, nb, w, h)
+            ) f
+            GROUP BY f.fmt, f.nb, f.w, f.h
         """,
         "q60_dms_coordinates": """
             WITH dms AS (

@@ -1049,6 +1049,15 @@ def simhash_pairs(
     )
 
 
+def _chunk_mask(width: int) -> int:
+    """Bit mask for one pigeonhole chunk as a JVM-long literal.  A
+    radius-0 join over full-width signatures has ONE chunk of width
+    64, whose unsigned mask 2^64-1 does not fit a Java long — the
+    signed all-ones -1 is the same bit pattern and bitwiseAND treats
+    it identically (r9 fix; every narrower chunk is unaffected)."""
+    return -1 if width >= 64 else (1 << width) - 1
+
+
 def _hamming_chunk_bounds(
     max_hamming: int, sig_bits: int = 64
 ) -> list[int]:
@@ -1377,7 +1386,7 @@ def hamming64_pairs(
                         F.lit(i).alias("c"),
                         F.shiftrightunsigned(F.col("__sh"), bounds[i])
                         .bitwiseAND(
-                            F.lit((1 << (bounds[i + 1] - bounds[i])) - 1)
+                            F.lit(_chunk_mask(bounds[i + 1] - bounds[i]))
                         )
                         .alias("v"),
                     )
@@ -1564,8 +1573,9 @@ def hamming64_join(
                             )
                             .bitwiseAND(
                                 F.lit(
-                                    (1 << (bounds[i + 1] - bounds[i]))
-                                    - 1
+                                    _chunk_mask(
+                                        bounds[i + 1] - bounds[i]
+                                    )
                                 )
                             )
                             .alias("v"),

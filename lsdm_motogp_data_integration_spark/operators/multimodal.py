@@ -1170,6 +1170,23 @@ def video_dhash(
                     continue
                 blob = bytes(content)
                 fmt = mc.sniff_format(blob)
+                if fmt == "mp4":
+                    # motion-JPEG MP4s are decodable videos (r9):
+                    # every sample is a still through the engine's
+                    # own JPEG codec; other MP4 codecs raise the
+                    # honest gate inside the decoder
+                    frames = mc.decode_mp4_mjpeg_frames(blob)
+                    n = len(frames)
+                    for i in range(n_sample_frames):
+                        src = ((2 * i + 1) * n) // (
+                            2 * n_sample_frames
+                        )
+                        ids.append(mid)
+                        fidx.append(i)
+                        hashes.append(
+                            dhash_value(frames[src], hash_w, hash_h)
+                        )
+                    continue
                 if fmt in ("gif", "webp"):
                     # animated GIFs/WebPs are short videos (r7/r8):
                     # composed frames through the same center-mapped

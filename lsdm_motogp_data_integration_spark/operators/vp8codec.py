@@ -663,6 +663,10 @@ def decode_vp8(data: bytes):
     width, height = w16 & 0x3FFF, h16 & 0x3FFF
     if width == 0 or height == 0:
         raise MediaFormatError("VP8 frame has zero dimension")
+    if part1_size == 0:
+        raise MediaFormatError(
+            "VP8 first partition empty (header-only stub, not a frame)"
+        )
     if 10 + part1_size > len(data):
         raise MediaFormatError("VP8 first partition truncated")
     hdr = _Hdr()

@@ -607,6 +607,16 @@ def decode_vp8l(payload: bytes) -> np.ndarray:
     br.bit1()  # alpha-is-used hint (informative)
     if br.bits(3) != 0:
         raise MediaFormatError("VP8L version must be 0")
+    return _decode_vp8l_body(br, w, h)
+
+
+def _decode_vp8l_body(br: "_BitReader", w: int, h: int) -> np.ndarray:
+    """The VP8L image stream AFTER the 5-byte container header:
+    transforms + entropy-coded pixels → (H, W, 4) RGBA.  Shared by
+    the normal chunk path and the HEADERLESS alpha-plane stream
+    (r9 — an ALPH chunk with compression method 1 is exactly this
+    stream at the frame's dimensions, §'Alpha' of the container
+    spec; the alpha values travel in the green channel)."""
     # transforms (level 0 only); each type may appear at most once
     transforms: list[tuple] = []
     seen = set()
@@ -662,25 +672,82 @@ def decode_vp8l(payload: bytes) -> np.ndarray:
     return np.stack([r, g, b, a], axis=2)
 
 
+def decode_alpha_plane(body: bytes, w: int, h: int) -> np.ndarray:
+    """Decode a WebP ALPH chunk → (h, w) uint8 alpha plane (r9).
+    Header byte (MSB-first): 2 reserved, 2 pre-processing (encode-
+    side level reduction, no inverse), 2 filtering, 2 compression.
+    Compression 0 is the raw plane; 1 is the HEADERLESS VP8L stream
+    at the frame's dimensions with alpha in the green channel.  The
+    filter inverse runs rowwise exactly as the container spec's
+    predictors: horizontal (left, first pixel seeded from above),
+    vertical (above), gradient (clamped left+above−aboveleft)."""
+    if not body:
+        raise MediaFormatError("WebP ALPH chunk empty")
+    head = body[0]
+    comp = head & 3
+    filt = (head >> 2) & 3
+    if comp == 0:
+        if len(body) < 1 + w * h:
+            raise MediaFormatError("WebP ALPH raw plane truncated")
+        a = np.frombuffer(body[1 : 1 + w * h], np.uint8).reshape(h, w)
+        a = a.astype(np.int32)
+    elif comp == 1:
+        rgba = _decode_vp8l_body(_BitReader(body[1:]), w, h)
+        a = rgba[:, :, 1].astype(np.int32)  # green carries alpha
+    else:
+        raise MediaFormatError(f"WebP ALPH compression {comp} reserved")
+    if filt == 0:
+        return a.astype(np.uint8)
+    out = np.zeros((h, w), np.int32)
+    for y in range(h):
+        if filt == 1:  # horizontal
+            pred = 0 if y == 0 else int(out[y - 1, 0])
+            row = np.cumsum(a[y]) + pred
+            out[y] = row & 255
+        elif filt == 2:  # vertical
+            if y == 0:
+                pred = 0
+                out[y] = (np.cumsum(a[y]) + pred) & 255
+            else:
+                out[y] = (a[y] + out[y - 1]) & 255
+        else:  # gradient
+            if y == 0:
+                out[y] = np.cumsum(a[y]) & 255
+                continue
+            left = int(out[y - 1, 0])
+            tl = left
+            for x in range(w):
+                top = int(out[y - 1, x])
+                g = left + top - tl
+                g = 0 if g < 0 else (255 if g > 255 else g)
+                left = (a[y, x] + g) & 255
+                out[y, x] = left
+                tl = top
+    return out.astype(np.uint8)
+
+
 def decode_webp(data: bytes) -> np.ndarray:
     """Decode a WebP container: VP8L (lossless) → pixels, VP8
     (lossy keyframe, r9 — ``vp8codec``, RFC 6386 bit-exact integer
     decode) → engine-canonical RGB; a VP8X wrapper is walked to its
-    bitstream chunk.  Returns (H, W, 3) RGB, or (H, W, 4) RGBA when
-    any alpha < 255 (the PNG convention of
-    ``mediacodec.decode_image``).  A lossy stream with a separate
-    ALPH alpha plane stays an honest gate."""
+    bitstream chunk, and a lossy stream's separate ALPH alpha plane
+    decodes through :func:`decode_alpha_plane` (r9 — raw or
+    headerless-VP8L, all three filters).  Returns (H, W, 3) RGB, or
+    (H, W, 4) RGBA when any alpha < 255 (the PNG convention of
+    ``mediacodec.decode_image``)."""
     if data[:4] != b"RIFF" or data[8:12] != b"WEBP":
         raise MediaFormatError("not a WebP (RIFF/WEBP header missing)")
     pos = 12
     n = len(data)
-    seen_alph = False
+    alph: bytes | None = None
     while pos + 8 <= n:
         cid = data[pos : pos + 4]
         size = struct.unpack_from("<I", data, pos + 4)[0]
         body = data[pos + 8 : pos + 8 + size]
         if cid == b"ALPH":
-            seen_alph = True
+            if len(body) < size:
+                raise MediaFormatError("WebP ALPH chunk truncated")
+            alph = body
         if cid == b"VP8L":
             if len(body) < size:
                 raise MediaFormatError("WebP VP8L chunk truncated")
@@ -691,16 +758,19 @@ def decode_webp(data: bytes) -> np.ndarray:
         if cid == b"VP8 ":
             if len(body) < size:
                 raise MediaFormatError("WebP VP8 chunk truncated")
-            if seen_alph:
-                raise NotImplementedError(
-                    "lossy WebP with an ALPH alpha plane is not "
-                    "supported (the VP8 color decode itself is)"
-                )
             from lsdm_motogp_data_integration_spark.operators.vp8codec import (  # noqa: E501
                 decode_webp_lossy,
             )
 
-            return decode_webp_lossy(body)
+            rgb = decode_webp_lossy(body)
+            if alph is None:
+                return rgb
+            hh, ww = rgb.shape[:2]
+            a = decode_alpha_plane(alph, ww, hh)
+            rgba = np.concatenate([rgb, a[:, :, None]], axis=2)
+            if (a == 255).all():
+                return rgb
+            return rgba
         if cid == b"VP8X" and body and body[0] & 0x02:
             # animated: the still-image convention is the first
             # composed frame (what _decode_gif does for GIF)
@@ -1278,9 +1348,22 @@ def decode_webp_anim(
                 frame_rgba = decode_vp8l(sbody)
                 break
             if scid == b"VP8 ":
+                # lossy frames decode since r9 (vp8codec); the frame
+                # is opaque (a separate ALPH sub-chunk stays a gate)
+                from lsdm_motogp_data_integration_spark.operators.vp8codec import (  # noqa: E501
+                    decode_webp_lossy,
+                )
+
+                rgb = decode_webp_lossy(sbody)
+                frame_rgba = np.concatenate(
+                    [rgb, np.full(rgb.shape[:2] + (1,), 255, np.uint8)],
+                    axis=2,
+                )
+                break
+            if scid == b"ALPH":
                 raise NotImplementedError(
-                    "animated WebP with lossy (VP8) frames — "
-                    "sample decode not supported"
+                    "animated WebP with an ALPH alpha plane on a "
+                    "lossy frame is not supported"
                 )
             pos += 8 + ssize + (ssize & 1)
         if frame_rgba is None:

@@ -35,6 +35,16 @@ def load():
             ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_float, ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
         ]
+        lib.WebPEncodeRGBA.restype = ctypes.c_size_t
+        lib.WebPEncodeRGBA.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_float, ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+        ]
+        lib.WebPDecodeRGBA.restype = ctypes.POINTER(ctypes.c_uint8)
+        lib.WebPDecodeRGBA.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ]
         lib.WebPDecodeYUV.restype = ctypes.POINTER(ctypes.c_uint8)
         lib.WebPDecodeYUV.argtypes = [
             ctypes.c_char_p, ctypes.c_size_t,
@@ -70,6 +80,39 @@ def encode_rgb(arr: np.ndarray, quality: float = 75.0) -> bytes:
     blob = ctypes.string_at(out, n)
     lib.WebPFree(out)
     return blob
+
+
+def encode_rgba(arr: np.ndarray, quality: float = 75.0) -> bytes:
+    """Encode (H, W, 4) uint8 RGBA as lossy WebP + ALPH plane."""
+    lib = load()
+    assert lib is not None
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    h, w = a.shape[:2]
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    n = lib.WebPEncodeRGBA(
+        a.tobytes(), w, h, w * 4, ctypes.c_float(quality),
+        ctypes.byref(out),
+    )
+    assert n > 0, "libwebp RGBA encode failed"
+    blob = ctypes.string_at(out, n)
+    lib.WebPFree(out)
+    return blob
+
+
+def decode_rgba(blob: bytes) -> np.ndarray:
+    """Decode via libwebp to (H, W, 4) RGBA (its own fancy YUV→RGB —
+    compare ALPHA bytes against this, not the color channels)."""
+    lib = load()
+    assert lib is not None
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    p = lib.WebPDecodeRGBA(blob, len(blob), ctypes.byref(w),
+                           ctypes.byref(h))
+    assert p, "libwebp RGBA decode failed"
+    a = np.ctypeslib.as_array(p, (h.value, w.value * 4)).reshape(
+        h.value, w.value, 4).copy()
+    lib.WebPFree(p)
+    return a
 
 
 def decode_yuv(blob: bytes):

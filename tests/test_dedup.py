@@ -1140,3 +1140,29 @@ def test_hamming64_pairs_sig_bits_contract_enforced(spark):
         hamming64_pairs(df, "id", "sig", max_hamming=16, sig_bits=16)
     with _pt.raises(ValueError, match="sig_bits"):
         hamming64_pairs(df, "id", "sig", max_hamming=1, sig_bits=65)
+
+
+def test_hamming64_pairs_radius_zero_full_width_chunk(spark):
+    """r9 fix: max_hamming=0 over 64-bit signatures makes ONE chunk
+    of width 64 — its mask must be the signed all-ones -1 (the
+    unsigned 2^64-1 literal does not fit a JVM long).  Radius 0 is
+    the exact-duplicate join, so only identical signatures pair."""
+    from lsdm_motogp_data_integration_spark.operators.dedup import (
+        hamming64_pairs,
+    )
+
+    rows = [
+        (1, -1),                      # all ones
+        (2, -1),
+        (3, (1 << 63) - 1),           # differs in the sign bit only
+        (4, 12345),
+        (5, 12345),
+    ]
+    df = spark.createDataFrame(rows, "id: long, sig: long")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in hamming64_pairs(
+            df, "id", "sig", max_hamming=0, collapse_identical=True
+        ).collect()
+    }
+    assert got == {(1, 2), (4, 5)}

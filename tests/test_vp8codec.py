@@ -204,3 +204,81 @@ def test_differential_bmode_rows():
         ref = wr.decode_yuv(_towebp(payload))
         mine = v8.decode_vp8(payload)
         assert np.array_equal(ref[0], mine[0]), m
+
+
+@needs_libwebp
+def test_differential_alpha_plane():
+    """ALPH decode (r9): alpha planes from libwebp's RGBA encoder —
+    both compression methods (raw and headerless-VP8L) — must
+    reproduce libwebp's decoded alpha BYTE-EXACTLY (the color
+    channels use this engine's canonical conversion, so only alpha
+    compares against libwebp's fancy-upsampled RGBA)."""
+    from lsdm_motogp_data_integration_spark.operators import (
+        webpcodec as wc,
+    )
+
+    rng = np.random.RandomState(9)
+    alphas = (
+        (np.arange(40)[:, None] * 6).astype(np.uint8)
+        + np.zeros((40, 56), np.uint8),
+        rng.randint(0, 256, (40, 56), dtype=np.uint8),
+        rng.randint(0, 2, (40, 56), dtype=np.uint8) * 255,
+    )
+    comps = set()
+    for alpha in alphas:
+        img = rng.randint(0, 256, (40, 56, 4), dtype=np.uint8)
+        img[:, :, 3] = alpha
+        for q in (30, 75, 95):
+            blob = wr.encode_rgba(img, q)
+            i = blob.find(b"ALPH")
+            assert i > 0
+            comps.add(blob[i + 8] & 3)
+            ref = wr.decode_rgba(blob)
+            mine = wc.decode_webp(blob)
+            mya = (mine[:, :, 3] if mine.shape[2] == 4
+                   else np.full(mine.shape[:2], 255, np.uint8))
+            assert np.array_equal(mya, ref[:, :, 3]), q
+    assert comps == {0, 1}  # raw AND compressed planes exercised
+
+
+def test_alpha_plane_filters_roundtrip():
+    """The three ALPH filters (horizontal/vertical/gradient) —
+    libwebp's simple encoder never emits them, so hand-built raw
+    planes are FORWARD-filtered here with the container spec's
+    predictor definitions and must unfilter back exactly."""
+    from lsdm_motogp_data_integration_spark.operators import (
+        webpcodec as wc,
+    )
+
+    rng = np.random.RandomState(4)
+    a = rng.randint(0, 256, (9, 13), dtype=np.uint8).astype(np.int32)
+    h, w = a.shape
+
+    def clip(v):
+        return 0 if v < 0 else (255 if v > 255 else v)
+
+    for filt in (0, 1, 2, 3):
+        res = np.zeros((h, w), np.int32)
+        for y in range(h):
+            for x in range(w):
+                if filt == 0:
+                    pred = 0
+                elif y == 0:
+                    pred = 0 if x == 0 else a[0, x - 1]
+                elif filt == 1:
+                    pred = a[y - 1, 0] if x == 0 else a[y, x - 1]
+                elif filt == 2:
+                    pred = a[y - 1, x]
+                else:
+                    left = a[y - 1, 0] if x == 0 else a[y, x - 1]
+                    tl = a[y - 1, 0] if x == 0 else a[y - 1, x - 1]
+                    pred = clip(left + a[y - 1, x] - tl)
+                res[y, x] = (a[y, x] - pred) & 255
+        body = bytes([filt << 2]) + res.astype(np.uint8).tobytes()
+        out = wc.decode_alpha_plane(body, w, h)
+        assert np.array_equal(out, a.astype(np.uint8)), filt
+    # reserved compression method raises typed
+    with pytest.raises(MediaFormatError, match="reserved"):
+        wc.decode_alpha_plane(b"\x03" + bytes(9 * 13), 13, 9)
+    with pytest.raises(MediaFormatError, match="truncated|empty"):
+        wc.decode_alpha_plane(b"", 13, 9)

@@ -458,15 +458,31 @@ def test_error_gates():
     trunc = b"RIFF" + _st.pack("<I", len(body)) + body
     with pytest.raises(MediaFormatError, match="truncated"):
         wc.decode_webp(trunc)
-    alph = b"ALPH" + _st.pack("<I", 2) + b"\x00\x00"
+    # VP8 + raw ALPH plane decodes to RGBA (r9, decode_alpha_plane)
+    plane = bytes(range(16)) * 16  # 16x16 alpha, values 0..15 rows
+    alph_body = b"\x00" + plane
+    alph = b"ALPH" + _st.pack("<I", len(alph_body)) + alph_body
+    if len(alph_body) & 1:
+        alph += b"\x00"
     payload = lossy[20:]
     chunk = b"VP8 " + _st.pack("<I", len(payload)) + payload
     if len(payload) & 1:
         chunk += b"\x00"
     body2 = b"WEBP" + alph + chunk
-    gated = b"RIFF" + _st.pack("<I", len(body2)) + body2
-    with pytest.raises(NotImplementedError, match="ALPH"):
-        wc.decode_webp(gated)
+    rgba_blob = b"RIFF" + _st.pack("<I", len(body2)) + body2
+    out2 = wc.decode_webp(rgba_blob)
+    assert out2.shape == (16, 16, 4)
+    assert np.array_equal(
+        out2[:, :, 3],
+        np.frombuffer(plane, np.uint8).reshape(16, 16),
+    )
+    # truncated alpha plane raises typed
+    short = b"ALPH" + _st.pack("<I", 3) + b"\x00\x01\x02" + b"\x00"
+    body3 = b"WEBP" + short + chunk
+    with pytest.raises(MediaFormatError, match="truncated"):
+        wc.decode_webp(
+            b"RIFF" + _st.pack("<I", len(body3)) + body3
+        )
 
 
 def test_mediacodec_dispatch_and_dims():
@@ -819,3 +835,55 @@ def test_lz77_window_cap():
             for _ in range(t[1]):
                 out.append(out[-d])
     assert out == argb
+
+
+def test_animated_webp_lossy_frames_decode():
+    """r9: animated WebP whose ANMF frames carry LOSSY (VP8)
+    bitstreams decodes through vp8codec — flat frames from the
+    DC-exact encoder reproduce exactly (opaque alpha), and the
+    still-image convention (first composed frame) holds."""
+    import struct as _st
+
+    from lsdm_motogp_data_integration_spark.operators.vp8codec import (
+        encode_vp8,
+        _rgb_to_yuv,
+        vp8_to_rgb,
+    )
+
+    grays = (40, 200)
+    w, h = 32, 16
+    anmf = b""
+    for g in grays:
+        payload = encode_vp8(np.full((h, w), g, np.uint8))
+        sub = b"VP8 " + _st.pack("<I", len(payload)) + payload
+        if len(payload) & 1:
+            sub += b"\x00"
+        body = (
+            (0).to_bytes(3, "little") + (0).to_bytes(3, "little")
+            + (w - 1).to_bytes(3, "little")
+            + (h - 1).to_bytes(3, "little")
+            + (100).to_bytes(3, "little") + bytes([0x02])  # no-blend
+            + sub
+        )
+        anmf += b"ANMF" + _st.pack("<I", len(body)) + body
+        if len(body) & 1:
+            anmf += b"\x00"
+    vp8x = b"VP8X" + _st.pack("<I", 10) + bytes([0x02]) + bytes(3) \
+        + (w - 1).to_bytes(3, "little") + (h - 1).to_bytes(3, "little")
+    anim = b"ANIM" + _st.pack("<I", 6) + bytes(6)
+    content = b"WEBP" + vp8x + anim + anmf
+    blob = b"RIFF" + _st.pack("<I", len(content)) + content
+    frames, durs = wc.decode_webp_anim(blob)
+    assert len(frames) == 2 and durs == [100, 100]
+    for g, fr in zip(grays, frames):
+        y, u, v = _rgb_to_yuv(np.full((h, w, 3), g, np.uint8))
+        exp = vp8_to_rgb(
+            np.full((h, w), y[0, 0], np.uint8),
+            np.full((h // 2, w // 2), 128, np.uint8),
+            np.full((h // 2, w // 2), 128, np.uint8),
+        )
+        assert np.array_equal(fr[:, :, :3], exp)
+        assert (fr[:, :, 3] == 255).all()
+    # still-image convention: decode_webp returns frame 0 composed
+    still = wc.decode_webp(blob)
+    assert np.array_equal(still, frames[0][:, :, :3])

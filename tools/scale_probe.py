@@ -99,15 +99,36 @@ def scaled_embeddings(spark, replicas: int):
     return out
 
 
+#: rows whose first run lands under this are re-run and reported
+#: min-of-2 — a 0.1–0.3 s measurement is mostly worker spin-up, and a
+#: single sample lets a 2× "ratio" read as a regression when it is
+#: noise (VERDICT r8 "what's wrong" #2; the same fix bench.py got)
+MIN_OF_2_BELOW_S = 3.0
+
+
 def timed(label: str, df_or_thunk) -> tuple[float, int]:
     """Time evaluation. Pass a THUNK (zero-arg callable) for operators
     that run eager Spark jobs at DataFrame-construction time (IVF's
-    Lloyd training collects) so that work is inside the timer too."""
+    Lloyd training collects) so that work is inside the timer too.
+
+    Sub-``MIN_OF_2_BELOW_S`` first runs are re-run and the MINIMUM
+    reported: on measurements that small the scheduler/spin-up noise
+    dominates, and min-of-2 is the cheapest way to make the row
+    self-defending (both samples are printed for the log)."""
     t0 = time.time()
     df = df_or_thunk() if callable(df_or_thunk) else df_or_thunk
     n = df.count()
     dt = time.time() - t0
-    print(f"  {label}: {dt:.1f}s rows={n}", flush=True)
+    if dt < MIN_OF_2_BELOW_S:
+        t1 = time.time()
+        df2 = df_or_thunk() if callable(df_or_thunk) else df_or_thunk
+        df2.count()
+        dt2 = time.time() - t1
+        print(f"  {label}: {min(dt, dt2):.1f}s rows={n} "
+              f"(min of {dt:.2f}/{dt2:.2f})", flush=True)
+        dt = min(dt, dt2)
+    else:
+        print(f"  {label}: {dt:.1f}s rows={n}", flush=True)
     # drop anything an operator persisted (e.g. minhash persist_sets)
     # so later probes aren't measured under its memory pressure
     df.sparkSession.catalog.clearCache()
@@ -838,8 +859,12 @@ def main() -> None:
                 lang_nb_verdict("text", nb_model_holder["rows"]).alias("v")
             ).groupBy("v").count(),
         )
+        import os
+
+        r["loadavg_1m"] = round(os.getloadavg()[0], 2)
         results[scale] = r
 
+    results["min_of_2_below_s"] = MIN_OF_2_BELOW_S
     base, big = results["1x"], results[f"{replicas}x"]
     print(json.dumps(results))
     print("\nscaling factors (time ratio / data ratio — 1.0 = linear):")
@@ -848,7 +873,11 @@ def main() -> None:
     # flac) from this summary even though they were measured
     for key in sorted(k for k in base if k.endswith("_s") and k in big):
         ratio = (big[key] / base[key]) / replicas
-        print(f"  {key}: {ratio:.2f}")
+        # a sub-second 1x denominator is still mostly fixed overhead
+        # even after min-of-2 — label it so a >1.0 ratio reads as the
+        # noise it is, not as superlinear scaling
+        note = "  [1x <1s: overhead-dominated]" if base[key] < 1.0 else ""
+        print(f"  {key}: {ratio:.2f}{note}")
 
 
 if __name__ == "__main__":
