@@ -143,11 +143,32 @@ def _decode_canonical(content: bytes) -> tuple[str, bytes, dict]:
             mc.y4m_frame(content, info, i) for i in range(info["n_frames"])
         ]
         return fmt, b"".join(frames), {"kind": "video", **info}
+    if fmt == "mp4":
+        # motion-JPEG tracks decode with the engine's own JPEG codec
+        # (r9); other MP4 codecs raise NotImplementedError inside the
+        # sample walk — the same triage contract as before
+        frames = mc.decode_mp4_mjpeg_frames(content)
+        minfo = mc.mp4_info(content)
+        h, w = frames[0].shape[0], frames[0].shape[1]
+        n = len(frames)
+        dur = minfo["duration_ms"] or 0
+        return fmt, b"".join(
+            np.ascontiguousarray(f).tobytes() for f in frames
+        ), {
+            "kind": "video",
+            "width": w,
+            "height": h,
+            "n_frames": n,
+            "fps_num": n * 1000,
+            "fps_den": dur if dur else 1,
+            "duration_ms": dur,
+            "frame_bytes": frames[0].nbytes,
+        }
     raise NotImplementedError(
         "no decoder for this blob (supported containers: bmp, pgm, "
-        "ppm, png, jpeg, gif, tiff, webp-lossless, wav, y4m; mp3/mp4 "
-        "audio/video decode needs codec libraries this environment "
-        "does not have)"
+        "ppm, png, jpeg, gif, tiff, webp, wav, flac, y4m, mjpeg-mp4; "
+        "mp3/aac audio and inter-frame video codecs need decoders "
+        "this engine does not have)"
     )
 
 

@@ -171,7 +171,13 @@ def _decoded_digest_relation(survivors: DataFrame) -> DataFrame:
                 try:
                     _fmt, canon, _info = _decode_canonical(blob)
                     digests.append(hashlib.sha256(canon).hexdigest())
-                except NotImplementedError:
+                except (NotImplementedError, mc.MediaFormatError):
+                    # r9: MediaFormatError joins the fallback —
+                    # SCREENS already dropped malformed blobs, so a
+                    # surviving blob that still cannot sample-decode
+                    # (an mp4 skeleton's header-only track, a gated
+                    # variant) dedups by raw bytes instead of killing
+                    # the job
                     digests.append(
                         "raw:" + hashlib.sha256(blob).hexdigest()
                     )

@@ -1243,6 +1243,17 @@ def test_mjpeg_mp4_joins_video_family(spark):
     assert len(out) == 4
     for a, b in zip(frames, out):
         assert np.array_equal(a, b)
+    # container independence: the y4m and the mjpeg-MP4 of the SAME
+    # frames share one decoded canonical digest (exact video dedup
+    # across containers), and media_stats decodes the mp4 for real
+    from lsdm_motogp_data_integration_spark.operators.multimodal import (
+        media_stats,
+    )
+
+    st = {r["media_id"]: r for r in media_stats(media).collect()}
+    assert st[2]["fmt"] == "mp4"
+    assert st[2]["width"] == 24 and st[2]["height"] == 16
+    assert st[1]["decoded_digest"] == st[2]["decoded_digest"]
     # non-JPEG codec: honest gate (patch the stsd fourcc)
     gated = mp4.replace(b"jpeg", b"avc1", 1)
     with pytest.raises(NotImplementedError, match="avc1"):
