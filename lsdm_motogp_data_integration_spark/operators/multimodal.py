@@ -1561,3 +1561,75 @@ def pdf_text(
             yield out
 
     return media.mapInPandas(run, schema=PDF_TEXT_SCHEMA)
+
+
+PDF_IMAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("page", T.IntegerType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("content", T.BinaryType()),
+    ]
+)
+
+
+def pdf_image_extract(
+    media: DataFrame, *, strict: bool = True
+) -> DataFrame:
+    """Extract embedded raster images from PDF blobs (r9 —
+    ``pdfcodec.pdf_images``, composing the engine's own JPEG / fax /
+    Flate machinery): one output row per image, in (page, XObject
+    name) order, with ``content`` re-encoded as PNG so the rows feed
+    the ENTIRE image family directly (``image_dhash`` near-dup,
+    ``media_stats`` digests, ``transcode_media``) — the
+    figure-harvesting step a multimodal training pipeline runs over
+    a document corpus.  Works on empty-password ENCRYPTED PDFs too
+    (the decryption layer sits below the image walk).
+
+    ``strict=False`` triage: blobs whose structure is malformed or
+    whose images use gated filters (JPX/JBIG2/ImageMask) yield one
+    NULL-content row so the corpus count survives.  A PDF with NO
+    images yields no rows (it is not an error).  100 TB shape: pure
+    per-blob Arrow work, no shuffle, no driver involvement."""
+    from lsdm_motogp_data_integration_spark.operators import pdfcodec
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_batch in batches:
+            rows = {k: [] for k in (
+                "media_id", "page", "name", "width", "height",
+                "content",
+            )}
+
+            def emit(mid, page, name, w, h, content):
+                rows["media_id"].append(mid)
+                rows["page"].append(page)
+                rows["name"].append(name)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["content"].append(content)
+
+            for mid, content in zip(
+                pdf_batch["media_id"], pdf_batch["content"]
+            ):
+                if content is None:
+                    emit(mid, None, None, None, None, None)
+                    continue
+                try:
+                    for im in pdfcodec.pdf_images(bytes(content)):
+                        emit(
+                            mid, im["page"], im["name"], im["width"],
+                            im["height"], mc.encode_png(im["array"]),
+                        )
+                except (mc.MediaFormatError, NotImplementedError):
+                    if strict:
+                        raise
+                    emit(mid, None, None, None, None, None)
+            out = pd.DataFrame(rows)
+            out["page"] = out["page"].astype("Int32")
+            out["width"] = out["width"].astype("Int32")
+            out["height"] = out["height"].astype("Int32")
+            yield out
+
+    return media.mapInPandas(run, schema=PDF_IMAGES_SCHEMA)

@@ -68,6 +68,8 @@ import re
 import struct
 import zlib
 
+import numpy as np
+
 from lsdm_motogp_data_integration_spark.operators.mediacodec import (
     MediaFormatError,
 )
@@ -1151,6 +1153,201 @@ def _extract_page_text(
     return "".join(out)
 
 
+def pdf_images(
+    data: bytes, *, doc: "_Document | None" = None
+) -> list[dict]:
+    """Extract embedded raster images (r9) — the multimodal-corpus
+    step PDF text extraction was missing: walk every page's
+    ``/Resources /XObject`` dictionary and decode each ``/Subtype
+    /Image`` stream by composing the engine's OWN codecs:
+
+    - ``DCTDecode`` → :mod:`jpegcodec` (baseline + progressive);
+    - ``CCITTFaxDecode`` → :mod:`faxcodec` (K<0 G4, K=0 MH, K>0 G3;
+      ``/BlackIs1`` honored — PDF default is 0=black);
+    - transport-filter chains (Flate/LZW/ASCIIHex/ASCII85/RunLength)
+      → raw bitmaps: DeviceGray 1/8-bit (rows byte-aligned per
+      §8.9.5.2), DeviceRGB 8-bit, and ``/Indexed`` palettes over
+      either base (8-bit indices); gray ``/Decode [1 0]`` inversion.
+
+    Honest gates: JPXDecode/JBIG2Decode, ImageMask stencils, exotic
+    colorspaces/depths.  Returns one dict per image, in (page,
+    name) order: ``{page, name, width, height, array}`` with
+    ``array`` uint8 ``(H, W)`` gray or ``(H, W, 3)`` RGB — ready for
+    the image family (dHash, media_stats, dedup).
+
+    100 TB shape: pure per-blob work (the same Arrow placement as
+    ``pdf_text``); the heavy lifting is the already-per-blob image
+    codecs."""
+    from lsdm_motogp_data_integration_spark.operators.faxcodec import (
+        decode_g3,
+        decode_g4,
+        decode_mh,
+    )
+    from lsdm_motogp_data_integration_spark.operators.jpegcodec import (
+        decode_jpeg,
+    )
+
+    if doc is None:
+        doc = _Document(bytes(data))
+    out: list[dict] = []
+    for pno, page in enumerate(doc.pages()):
+        res = doc.resolve(page.get("Resources"))
+        if not isinstance(res, dict):
+            continue
+        xo = doc.resolve(res.get("XObject"))
+        if not isinstance(xo, dict):
+            continue
+        for name in sorted(xo):
+            obj = doc.resolve(xo[name])
+            if not isinstance(obj, dict):
+                continue
+            if str(doc.resolve(obj.get("Subtype")) or "") != "Image":
+                continue
+            w = doc.resolve(obj.get("Width"))
+            h = doc.resolve(obj.get("Height"))
+            if not (isinstance(w, int) and isinstance(h, int)
+                    and w > 0 and h > 0):
+                raise MediaFormatError("PDF image bad /Width//Height")
+            if doc.resolve(obj.get("ImageMask")):
+                raise NotImplementedError(
+                    "PDF ImageMask stencils are not images"
+                )
+            filters = doc.resolve(obj.get("Filter"))
+            if filters is None:
+                filters = []
+            elif isinstance(filters, _Name):
+                filters = [filters]
+            filters = [str(doc.resolve(f)) for f in filters]
+            last = filters[-1] if filters else None
+
+            def _pre_decoded(drop_last: bool) -> bytes:
+                sd = dict(obj)
+                keep = filters[:-1] if drop_last else filters
+                sd["Filter"] = [_Name(f) for f in keep]
+                return doc.stream_data(sd)
+
+            if last == "DCTDecode":
+                arr = decode_jpeg(_pre_decoded(True))
+            elif last == "CCITTFaxDecode":
+                parms = doc.resolve(obj.get("DecodeParms"))
+                if isinstance(parms, list):
+                    parms = next(
+                        (doc.resolve(p) for p in parms
+                         if isinstance(doc.resolve(p), dict)),
+                        {},
+                    )
+                if not isinstance(parms, dict):
+                    parms = {}
+                k = doc.resolve(parms.get("K", 0)) or 0
+                cols = doc.resolve(parms.get("Columns", 1728)) or 1728
+                rows = doc.resolve(parms.get("Rows", h)) or h
+                black1 = bool(doc.resolve(parms.get("BlackIs1", False)))
+                raw = _pre_decoded(True)
+                if k < 0:
+                    bl = decode_g4(raw, cols, rows)
+                elif k == 0:
+                    bl = decode_mh(raw, cols, rows)
+                else:
+                    bl = decode_g3(raw, cols, rows)
+                # PDF default BlackIs1=false: 0 bits are black; the
+                # fax decoders return True=black either way, so the
+                # visual gray form is black→0
+                arr = np.where(bl, 0, 255).astype(np.uint8)
+                arr = arr[:h, :w]
+            elif last in ("JPXDecode", "JBIG2Decode"):
+                raise NotImplementedError(
+                    f"PDF image filter {last} — no JPEG2000/JBIG2 "
+                    "decoder in this engine"
+                )
+            else:
+                raw = _pre_decoded(False)
+                bpc = doc.resolve(obj.get("BitsPerComponent", 8))
+                cs = doc.resolve(obj.get("ColorSpace"))
+                pal = None
+                if isinstance(cs, list) and cs and str(
+                    doc.resolve(cs[0])
+                ) == "Indexed":
+                    base = str(doc.resolve(cs[1]))
+                    hival = doc.resolve(cs[2])
+                    lookup = doc.resolve(cs[3])
+                    if isinstance(lookup, dict):
+                        lookup = doc.stream_data(lookup)
+                    if not isinstance(lookup, bytes):
+                        raise MediaFormatError(
+                            "PDF Indexed lookup is not a string/stream"
+                        )
+                    nch = 3 if base == "DeviceRGB" else 1
+                    pal = np.frombuffer(
+                        lookup[: (hival + 1) * nch], np.uint8
+                    ).reshape(-1, nch)
+                    csname = "Indexed"
+                else:
+                    csname = str(cs) if cs is not None else "DeviceGray"
+                if csname == "DeviceRGB" and bpc == 8:
+                    need = h * w * 3
+                    if len(raw) < need:
+                        raise MediaFormatError("PDF RGB image truncated")
+                    arr = np.frombuffer(raw[:need], np.uint8).reshape(
+                        h, w, 3
+                    )
+                elif csname in ("DeviceGray", "Indexed") and bpc == 8:
+                    # §8.9.5.2: rows are byte-aligned — at 8 bpc the
+                    # stride is exactly w
+                    need = h * w
+                    if len(raw) < need:
+                        raise MediaFormatError(
+                            "PDF gray/indexed image truncated"
+                        )
+                    arr = np.frombuffer(raw[:need], np.uint8).reshape(
+                        h, w
+                    )
+                    if pal is not None:
+                        if int(arr.max()) >= pal.shape[0]:
+                            raise MediaFormatError(
+                                "PDF Indexed sample beyond /hival"
+                            )
+                        arr = pal[arr]
+                        if arr.shape[2] == 1:
+                            arr = arr[:, :, 0]
+                elif csname == "DeviceGray" and bpc == 1:
+                    stride = (w + 7) >> 3
+                    need = h * stride
+                    if len(raw) < need:
+                        raise MediaFormatError(
+                            "PDF 1-bit image truncated"
+                        )
+                    bits = np.unpackbits(
+                        np.frombuffer(raw[:need], np.uint8).reshape(
+                            h, stride
+                        ),
+                        axis=1,
+                    )[:, :w]
+                    arr = (bits * 255).astype(np.uint8)
+                else:
+                    raise NotImplementedError(
+                        f"PDF image colorspace/depth {csname}/{bpc} "
+                        "not supported (DeviceGray 1/8, DeviceRGB 8, "
+                        "Indexed 8)"
+                    )
+                dec = doc.resolve(obj.get("Decode"))
+                if (isinstance(dec, list) and len(dec) == 2
+                        and arr.ndim == 2 and pal is None):
+                    if [doc.resolve(x) for x in dec] == [1, 0]:
+                        arr = (255 - arr.astype(np.int32)).astype(
+                            np.uint8
+                        )
+            out.append(
+                {
+                    "page": pno,
+                    "name": str(name),
+                    "width": int(arr.shape[1]),
+                    "height": int(arr.shape[0]),
+                    "array": arr,
+                }
+            )
+    return out
+
+
 def decode_pdf_text(
     data: bytes, *, max_pages: int = 0, doc: "_Document | None" = None
 ) -> list[str]:
@@ -1453,4 +1650,114 @@ def _encode_pdf_15(
         + b"\nendstream\nendobj\n"
     )
     out += b"startxref\n%d\n%%%%EOF\n" % xref_off
+    return bytes(out)
+
+
+def encode_pdf_with_images(images: list, *, text: str = "") -> bytes:
+    """Fixture encoder for :func:`pdf_images` (r9): one classic-layout
+    page embedding each ``(kind, array)`` as an image XObject —
+    ``dct`` (the engine's JPEG encoder), ``g4`` (CCITTFaxDecode group
+    4, bool/0-255 bilevel input), ``flate_gray`` / ``flate_rgb``
+    (8-bit raw + FlateDecode), ``flate_gray1`` (1-bit packed rows),
+    ``indexed`` (8-bit indices over a DeviceRGB palette built from
+    the array's unique colors).  The content stream paints each image
+    once (``cm`` + ``Do``), so the file is a REAL renderable PDF."""
+    from lsdm_motogp_data_integration_spark.operators.faxcodec import (
+        encode_g4,
+    )
+    from lsdm_motogp_data_integration_spark.operators.jpegcodec import (
+        encode_jpeg,
+    )
+
+    xobjs: list[tuple[bytes, bytes]] = []  # (dict-body, stream bytes)
+    for kind, arr in images:
+        a = np.asarray(arr)
+        h, w = a.shape[0], a.shape[1]
+        if kind == "dct":
+            blob = encode_jpeg(
+                a.astype(np.uint8),
+                quant=np.full((8, 8), 8, np.int64),
+            )
+            nch = 1 if a.ndim == 2 else a.shape[2]
+            cs = b"/DeviceGray" if nch == 1 else b"/DeviceRGB"
+            d = (b"/Subtype /Image /Width %d /Height %d "
+                 b"/ColorSpace %s /BitsPerComponent 8 "
+                 b"/Filter /DCTDecode" % (w, h, cs))
+        elif kind == "g4":
+            blob = encode_g4(a)
+            d = (b"/Subtype /Image /Width %d /Height %d "
+                 b"/ColorSpace /DeviceGray /BitsPerComponent 1 "
+                 b"/Filter /CCITTFaxDecode "
+                 b"/DecodeParms << /K -1 /Columns %d /Rows %d >>"
+                 % (w, h, w, h))
+        elif kind == "flate_gray":
+            blob = zlib.compress(a.astype(np.uint8).tobytes())
+            d = (b"/Subtype /Image /Width %d /Height %d "
+                 b"/ColorSpace /DeviceGray /BitsPerComponent 8 "
+                 b"/Filter /FlateDecode" % (w, h))
+        elif kind == "flate_rgb":
+            blob = zlib.compress(a.astype(np.uint8).tobytes())
+            d = (b"/Subtype /Image /Width %d /Height %d "
+                 b"/ColorSpace /DeviceRGB /BitsPerComponent 8 "
+                 b"/Filter /FlateDecode" % (w, h))
+        elif kind == "flate_gray1":
+            bits = (a.astype(np.uint8) > 0).astype(np.uint8)
+            packed = np.packbits(bits, axis=1)
+            blob = zlib.compress(packed.tobytes())
+            d = (b"/Subtype /Image /Width %d /Height %d "
+                 b"/ColorSpace /DeviceGray /BitsPerComponent 1 "
+                 b"/Filter /FlateDecode" % (w, h))
+        elif kind == "indexed":
+            colors, inv = np.unique(
+                a.reshape(-1, 3), axis=0, return_inverse=True
+            )
+            if colors.shape[0] > 256:
+                raise MediaFormatError(">256 colors for indexed fixture")
+            blob = zlib.compress(
+                inv.astype(np.uint8).tobytes()
+            )
+            lut = colors.astype(np.uint8).tobytes()
+            d = (b"/Subtype /Image /Width %d /Height %d "
+                 b"/ColorSpace [/Indexed /DeviceRGB %d <%s>] "
+                 b"/BitsPerComponent 8 /Filter /FlateDecode"
+                 % (w, h, colors.shape[0] - 1, lut.hex().encode()))
+        else:
+            raise ValueError(f"unknown image kind {kind!r}")
+        xobjs.append((d, blob))
+
+    n_img = len(xobjs)
+    # object layout: 1=catalog 2=pages 3=page 4=content 5..4+n=images
+    names = [b"/Im%d" % i for i in range(n_img)]
+    content = bytearray(_page_content(text))
+    for i, (_, _b) in enumerate(xobjs):
+        content += (b"\nq 100 0 0 100 %d 80 cm %s Do Q"
+                    % (60 + 110 * i, names[i]))
+    resources = b"<< /XObject << " + b" ".join(
+        b"%s %d 0 R" % (names[i], 5 + i) for i in range(n_img)
+    ) + b" >> >>"
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R /Resources " + resources + b" >>",
+        b"<< /Length %d >>\nstream\n" % len(content)
+        + bytes(content) + b"\nendstream",
+    ]
+    for d, blob in xobjs:
+        objs.append(
+            b"<< " + d + b" /Length %d >>\nstream\n" % len(blob)
+            + blob + b"\nendstream"
+        )
+    out = bytearray(b"%PDF-1.4\n")
+    offs = []
+    for i, body in enumerate(objs, start=1):
+        offs.append(len(out))
+        out += b"%d 0 obj\n" % i + body + b"\nendobj\n"
+    xref_off = len(out)
+    out += b"xref\n0 %d\n" % (len(objs) + 1)
+    out += b"0000000000 65535 f \n"
+    for off in offs:
+        out += b"%010d 00000 n \n" % off
+    out += (b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF"
+            % (len(objs) + 1, xref_off))
     return bytes(out)

@@ -1268,3 +1268,55 @@ def test_mjpeg_mp4_joins_video_family(spark):
             mc.decode_mp4_mjpeg_frames(mp4[:cut])
         except (mc.MediaFormatError, NotImplementedError):
             pass
+
+
+def test_pdf_image_extract_feeds_image_family(spark):
+    """r9: pdf_image_extract — embedded figures become first-class
+    image rows (PNG content): the extracted image pairs with its
+    direct PNG twin at dHash Hamming 0, media_stats digests match,
+    and triage mode keeps malformed blobs as NULL rows."""
+    from lsdm_motogp_data_integration_spark.operators.multimodal import (
+        image_dhash,
+        media_stats,
+        pdf_image_extract,
+    )
+    from lsdm_motogp_data_integration_spark.operators.pdfcodec import (
+        encode_pdf_with_images,
+    )
+
+    rng = np.random.RandomState(13)
+    fig = rng.randint(0, 256, (24, 18), dtype=np.uint8)
+    rgbfig = rng.randint(0, 256, (9, 8, 3), dtype=np.uint8)
+    pdf1 = encode_pdf_with_images(
+        [("flate_gray", fig), ("flate_rgb", rgbfig)], text="doc one"
+    )
+    media = spark.createDataFrame(
+        [
+            (1, "document", pdf1, None),
+            (2, "document", b"not a pdf", None),
+            (3, "document", None, None),
+        ],
+        MEDIA_SCHEMA,
+    )
+    with pytest.raises(Exception, match="PDF|MediaFormat"):
+        pdf_image_extract(media).collect()
+    rows = pdf_image_extract(media, strict=False).collect()
+    got = {(r["media_id"], r["name"]): r for r in rows}
+    assert set(got) == {(1, "Im0"), (1, "Im1"), (2, None), (3, None)}
+    r0 = got[(1, "Im0")]
+    assert (r0["width"], r0["height"]) == (18, 24)
+    assert bytes(r0["content"]) == mc.encode_png(fig)
+    # the extracted figure IS the direct PNG, bit for bit — so the
+    # whole image family (dHash/dedup/stats) applies unchanged
+    twin = spark.createDataFrame(
+        [
+            (10, "image", bytes(r0["content"]), None),
+            (11, "image", mc.encode_png(fig), None),
+        ],
+        MEDIA_SCHEMA,
+    )
+    h = {r["media_id"]: r["dhash"] for r in image_dhash(twin).collect()}
+    assert h[10] == h[11]
+    st = {r["media_id"]: r["decoded_digest"]
+          for r in media_stats(twin).collect()}
+    assert st[10] == st[11]
