@@ -3526,6 +3526,14 @@ def q53_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       ``count(text)`` mean denominator, width/height spreads, the
       constant 198-/31-byte container sizes), so the card's
       reshaping logic is hash-pinned, not just pytest-pinned.
+    - ``pdf_img`` (r9): embedded-IMAGE extraction — each doc's PDF
+      carries one FlateDecode DeviceGray XObject (4×6 pixels from
+      the ':pi:' md5 chain); ``pdfcodec.pdf_images`` walks the
+      resource dictionary and inflates the stream,
+      ``multimodal.pdf_image_extract`` re-encodes it as PNG, and
+      ``media_stats`` decodes THAT — the oracle's chain replay pins
+      the whole pdf→image→png→stats composition (sum + weighted
+      checksum + dims + XObject name).
     - ``pdf`` (r7, VERDICT r6 #4): PDF as a curation SOURCE — a
       2-page skeleton PDF per document (page 1 = chars 1–120, page 2
       = 'page two: ' + chars 121–240) is text-extracted by the
@@ -3657,6 +3665,82 @@ def q53_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length("text").cast("bigint").alias("sum_chars"),
         )
     )
+    # pdf_img scope (r9): embedded-image extraction as a driver-
+    # verified path — each doc gets a PDF embedding ONE FlateDecode
+    # DeviceGray image whose 24 pixels are the ':pi:' md5 chain
+    # (4 rows × 6 cols); pdfcodec.pdf_images walks the XObject dict,
+    # inflates the stream, and multimodal.pdf_image_extract re-emits
+    # it as PNG; media_stats then decodes THAT — so the oracle's
+    # chain replay pins the whole pdf→image→png→stats composition.
+    from lsdm_motogp_data_integration_spark.operators.multimodal import (
+        media_stats as _media_stats_q53,
+        pdf_image_extract,
+    )
+
+    def _build_pdf_img_media(docs: DataFrame) -> DataFrame:
+        import hashlib as _hl
+
+        import numpy as _np
+        import pandas as _pd
+
+        from lsdm_motogp_data_integration_spark.operators.multimodal import (  # noqa: E501
+            MEDIA_SCHEMA,
+        )
+        from lsdm_motogp_data_integration_spark.operators.pdfcodec import (
+            encode_pdf_with_images,
+        )
+
+        def run(batches):
+            for pb in batches:
+                ids, kinds, contents, metas = [], [], [], []
+                for did, text in zip(pb["doc_id"], pb["text"]):
+                    t = "" if text is None else str(text)
+                    px = b"".join(
+                        _hl.md5(f"{t}:pi:{i}".encode()).digest()
+                        for i in range(2)
+                    )[:24]
+                    arr = _np.frombuffer(px, _np.uint8).reshape(4, 6)
+                    ids.append(int(did))
+                    kinds.append("document")
+                    contents.append(
+                        encode_pdf_with_images(
+                            [("flate_gray", arr)], text=t[:40]
+                        )
+                    )
+                    metas.append(None)
+                yield _pd.DataFrame(
+                    {
+                        "media_id": ids,
+                        "kind": kinds,
+                        "content": contents,
+                        "meta": metas,
+                    }
+                )
+
+        return docs.select("doc_id", "text").mapInPandas(
+            run, schema=MEDIA_SCHEMA
+        )
+
+    extracted = pdf_image_extract(_build_pdf_img_media(d))
+    pdfimg = _media_stats_q53(
+        extracted.select(
+            "media_id",
+            F.lit("image").alias("kind"),
+            "content",
+            F.lit(None).cast("binary").alias("meta"),
+        )
+    ).join(
+        extracted.select("media_id", "name"), "media_id"
+    ).select(
+        F.lit(None).cast("string").alias("source"),
+        F.col("media_id").cast("bigint").alias("n_docs"),
+        F.col("name").alias("column"),
+        F.col("n_values").alias("n_rows"),
+        F.col("width").cast("bigint").alias("n_nulls"),
+        F.col("height").cast("bigint").alias("n_distinct"),
+        F.col("sum_values").alias("sum_chars"),
+        F.col("weighted_sum").alias("grp"),
+    )
     # card scope (r9, VERDICT r8 ask #4): the UNIFIED dataset card
     # (pipelines/curation.dataset_card — text per-source + per-lang
     # sections AND a media per-(kind,fmt) section in ONE schema),
@@ -3743,6 +3827,7 @@ def q53_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("langmix", langmix),
         ("pdf", pdfrows),
         ("card", card),
+        ("pdf_img", pdfimg),
     )
 
 
@@ -9450,6 +9535,52 @@ def oracle_sql() -> dict[str, str]:
                        t(fmt, nb, w, h)
             ) f
             GROUP BY f.fmt, f.nb, f.w, f.h
+            UNION ALL
+            -- pdf_img scope (r9): one FlateDecode DeviceGray image
+            -- (4x6, the ':pi:' chain) embedded per doc, walked by
+            -- pdf_images -> re-encoded PNG -> media_stats; the chain
+            -- replay pins the whole composition
+            SELECT 'pdf_img' AS scope,
+                   CAST(NULL AS VARCHAR) AS source,
+                   CAST(doc_id AS BIGINT) AS n_docs,
+                   CAST(NULL AS DOUBLE) AS mean_chars,
+                   CAST(NULL AS BIGINT) AS n_langs,
+                   CAST(NULL AS BIGINT) AS min_chars,
+                   CAST(NULL AS BIGINT) AS max_chars,
+                   'Im0' AS "column",
+                   CAST(NULL AS VARCHAR) AS dtype,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(6 AS BIGINT) AS n_nulls,
+                   CAST(4 AS BIGINT) AS n_distinct,
+                   CAST(NULL AS DOUBLE) AS min_num,
+                   CAST(NULL AS DOUBLE) AS max_num,
+                   CAST(NULL AS DOUBLE) AS mean_num,
+                   CAST(NULL AS VARCHAR) AS min_str,
+                   CAST(NULL AS VARCHAR) AS max_str,
+                   CAST(NULL AS VARCHAR) AS lang,
+                   CAST(SUM(v) AS BIGINT) AS sum_chars,
+                   CAST(SUM(v * (j + 1)) AS BIGINT) AS grp,
+                   CAST(NULL AS BIGINT) AS n_de,
+                   CAST(NULL AS BIGINT) AS n_en,
+                   CAST(NULL AS BIGINT) AS n_es,
+                   CAST(NULL AS BIGINT) AS n_fr,
+                   CAST(NULL AS BIGINT) AS n_zh,
+                   CAST(NULL AS DOUBLE) AS std_chars
+            FROM (
+                SELECT doc_id, j,
+                       (strpos('0123456789abcdef',
+                               substr(hx, 2*j+1, 1))-1)*16
+                     + (strpos('0123456789abcdef',
+                               substr(hx, 2*j+2, 1))-1) AS v
+                FROM (
+                    SELECT doc_id,
+                           string_agg(md5(text || ':pi:' || i), ''
+                                      ORDER BY i) AS hx
+                    FROM documents, generate_series(0, 1) AS t(i)
+                    GROUP BY doc_id
+                ) c, generate_series(0, 23) AS t(j)
+            ) pix
+            GROUP BY doc_id
         """,
         "q60_dms_coordinates": """
             WITH dms AS (
