@@ -120,10 +120,10 @@ class MediaFormatError(ValueError):
 
 def sniff_format(data: bytes) -> str | None:
     """Identify a supported container by magic bytes: ``bmp``, ``pgm``,
-    ``ppm``, ``png``, ``jpeg``, ``gif``, ``wav``, ``y4m`` (decodable),
-    ``mp4``/``mp3`` (metadata walk only — :func:`mp4_info` /
-    :func:`mp3_info`; sample decode needs codecs this environment
-    lacks) — or None for anything else."""
+    ``ppm``, ``png``, ``jpeg``, ``gif``, ``tiff``, ``webp``, ``wav``,
+    ``flac``, ``y4m`` (decodable), ``mp4`` (motion-JPEG tracks decode
+    since r9; other codecs metadata-walk only) / ``mp3`` (metadata
+    walk — :func:`mp3_info`) — or None for anything else."""
     if len(data) < 12:
         return None
     if data[:2] == b"BM":
@@ -171,9 +171,13 @@ def sniff_format(data: bytes) -> str | None:
 def decode_audio(data: bytes) -> tuple[np.ndarray, int]:
     """Decode a supported audio container to ``((n, ch) int16, rate)``
     — WAV (PCM 8/16-bit via :func:`decode_wav`) or FLAC (r8,
-    ``operators/flaccodec``; 8-bit widens ``v << 8`` like the WAV
-    path, 24-bit stays an honest gate at this int16 canonical form).
-    Raises ``NotImplementedError`` for mp3/other compressed audio."""
+    ``operators/flaccodec``): 8-bit widens ``v << 8`` like the WAV
+    path; 24-bit (r9) down-converts ``v >> 8`` — the ARITHMETIC
+    shift (floor toward −∞), a deterministic integer map any SQL
+    oracle replays, documented as strictly lossy at this int16
+    canonical form (the full-precision int32 samples remain
+    available from ``decode_flac`` directly).  Raises
+    ``NotImplementedError`` for mp3/other compressed audio."""
     fmt = sniff_format(data)
     if fmt == "wav":
         return decode_wav(data)
@@ -188,10 +192,7 @@ def decode_audio(data: bytes) -> tuple[np.ndarray, int]:
             return (s << 8).astype(np.int16), rate
         if bps == 16:
             return s.astype(np.int16), rate
-        raise NotImplementedError(
-            "FLAC 24-bit samples exceed the engine's int16 canonical "
-            "audio form"
-        )
+        return (s >> 8).astype(np.int16), rate
     raise NotImplementedError(
         f"no pure-python audio decoder for this container "
         f"(sniffed {fmt or 'unknown'}; supported: wav, flac)"

@@ -403,3 +403,34 @@ def test_streaminfo_spec_bounds():
     blob2 = fc.encode_flac(s, 655350)
     _, rate2 = fc.decode_flac(blob2)
     assert rate2 == 655350
+
+
+def test_24bit_decode_and_canonical_downshift():
+    """r9: 24-bit FLAC decodes exactly (int32, hand-built VERBATIM
+    frame from the independent packer) and the engine canonical
+    (decode_audio) down-converts with the ARITHMETIC >>8 — floor
+    toward -inf, the documented deterministic map."""
+    import hashlib
+
+    samples = [0x123456, -0x123456, 0x7FFFFF, -0x800000, 0, 257, -257]
+    n = len(samples)
+    # MD5 over the little-endian 3-byte stream (RFC 9639 §9.1.2)
+    md = hashlib.md5()
+    for v in samples:
+        md.update((v & 0xFFFFFF).to_bytes(3, "little"))
+    body = _W()
+    body.b(0, 1)
+    body.b(1, 6)  # VERBATIM
+    body.b(0, 1)  # no wasted bits
+    for v in samples:
+        body.b(v & 0xFFFFFF, 24)
+    blob = _streaminfo(n, 1, 24, 8000, md.digest()) + _finish_frame(
+        _frame_header(n, 0, ss_code=6), body
+    )
+    out, rate = fc.decode_flac(blob)
+    assert rate == 8000
+    assert out[:, 0].tolist() == samples
+    s16, rate2 = mc.decode_audio(blob)
+    assert s16.dtype == np.int16
+    # arithmetic shift: floor, so -0x123456 >> 8 == -0x1235
+    assert s16[:, 0].tolist() == [v >> 8 for v in samples]
