@@ -822,8 +822,24 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     elif bits == 8:
         u = np.frombuffer(raw, dtype=np.uint8)
         s = ((u.astype(np.int16) - 128) << 8).astype(np.int16)
+    elif bits == 24:
+        # r9: 3-byte little-endian signed PCM → the same arithmetic
+        # >>8 canonical down-shift as 24-bit FLAC (floor toward −∞,
+        # deterministic; strictly lossy at the int16 canonical form)
+        n3 = len(raw) // 3
+        b = np.frombuffer(raw[: n3 * 3], np.uint8).reshape(n3, 3)
+        v = (b[:, 0].astype(np.int32)
+             | (b[:, 1].astype(np.int32) << 8)
+             | (b[:, 2].astype(np.int32) << 16))
+        v = np.where(v >= 1 << 23, v - (1 << 24), v)
+        s = (v >> 8).astype(np.int16)
+    elif bits == 32:
+        v = np.frombuffer(raw, dtype="<i4", count=len(raw) // 4)
+        s = (v >> 16).astype(np.int16)
     else:
-        raise NotImplementedError(f"WAV bit depth {bits} (8/16 only)")
+        raise NotImplementedError(
+            f"WAV PCM bit depth {bits} (8/16/24/32 only)"
+        )
     if n_ch <= 0:
         raise MediaFormatError(f"bad WAV channel count {n_ch}")
     n_frames = len(s) // n_ch

@@ -1320,3 +1320,31 @@ def test_pdf_image_extract_feeds_image_family(spark):
     st = {r["media_id"]: r["decoded_digest"]
           for r in media_stats(twin).collect()}
     assert st[10] == st[11]
+
+
+def test_wav_24_32_bit_pcm_canonical():
+    """r9: 24- and 32-bit integer PCM WAVs decode through the same
+    arithmetic-shift canonical policy as 24-bit FLAC (hand-built
+    containers; floor semantics pinned on negatives)."""
+    import struct
+
+    vals = [0x123456, -0x123456, 0x7FFFFF, -0x800000, 0]
+
+    def wav(fmt_bits, payload):
+        fmt = struct.pack("<HHIIHH", 1, 1, 8000,
+                          8000 * fmt_bits // 8, fmt_bits // 8, fmt_bits)
+        body = (b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(payload)) + payload)
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    p24 = b"".join((v & 0xFFFFFF).to_bytes(3, "little") for v in vals)
+    s, rate = mc.decode_wav(wav(24, p24))
+    assert rate == 8000
+    assert s[:, 0].tolist() == [v >> 8 for v in vals]
+    p32 = b"".join(
+        struct.pack("<i", v << 8) for v in vals
+    )
+    s2, _ = mc.decode_wav(wav(32, p32))
+    assert s2[:, 0].tolist() == [(v << 8) >> 16 for v in vals]
+    with pytest.raises(NotImplementedError, match="bit depth"):
+        mc.decode_wav(wav(12, b"\x00" * 12))
