@@ -1848,6 +1848,7 @@ def _build_multimodal_media(
     webp: bool = False,
     flac: bool = False,
     vp8: bool = False,
+    vp8_alpha: bool = False,
 ) -> DataFrame:
     """Five REAL media blobs per document — a 24-bit BMP (7×6,
     exercises row padding + bottom-up/BGR), a P5 PGM (5×4), a 16-bit
@@ -1923,7 +1924,10 @@ def _build_multimodal_media(
             # round trip while the decode runs the full RFC 6386
             # machinery (boolean decoder, B_PRED modes, IDCT)
             if vp8:
+                import struct as _st
+
                 from lsdm_motogp_data_integration_spark.operators.vp8codec import (
+                    encode_vp8,
                     encode_webp_vp8,
                 )
 
@@ -1931,7 +1935,34 @@ def _build_multimodal_media(
                 img = _np.kron(
                     g4.reshape(2, 2), _np.ones((4, 4), _np.uint8)
                 )
-                return "image", encode_webp_vp8(img)
+                if not vp8_alpha:
+                    return "image", encode_webp_vp8(img)
+                # vp8_alpha (r9): the same lossy frame plus a RAW
+                # ALPH plane whose 64 bytes are the 'va' chain —
+                # decode_webp composes VP8 color + decode_alpha_plane
+                # into RGBA, every byte closed-form
+                alpha = chain(t, "va", 4)[:64]
+                payload = encode_vp8(img)
+                alph_body = b"\x00" + alpha
+                chunks = b"VP8X" + _st.pack("<I", 10) + bytes(
+                    [0x10]
+                ) + bytes(3) + (7).to_bytes(3, "little") + (
+                    7
+                ).to_bytes(3, "little")
+                chunks += b"ALPH" + _st.pack(
+                    "<I", len(alph_body)
+                ) + alph_body
+                if len(alph_body) & 1:
+                    chunks += b"\x00"
+                chunks += b"VP8 " + _st.pack(
+                    "<I", len(payload)
+                ) + payload
+                if len(payload) & 1:
+                    chunks += b"\x00"
+                body = b"WEBP" + chunks
+                return "image", (
+                    b"RIFF" + _st.pack("<I", len(body)) + body
+                )
             pn = _np.frombuffer(
                 chain(t, "pn", 6)[:90], _np.uint8
             ).reshape(5, 6, 3)
@@ -2061,6 +2092,12 @@ def q41_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
       integer IDCT, canonical BT.601 RGB.  DC-exactness makes the
       lossy round trip lossless here, so the oracle replays every
       decoded pixel in closed form.
+    - ``real_alpha`` (r9): the ``real_vp8`` frame plus a RAW ALPH
+      alpha plane (the 'va' chain verbatim) — ``decode_webp``
+      composes the VP8 color decode with
+      ``webpcodec.decode_alpha_plane`` into RGBA; every channel
+      byte replays closed-form (color via the BT.601 round trip,
+      alpha from the chain).
     - ``real_mjpeg`` (r9, VERDICT r8 #6): a motion-JPEG MP4 per
       document — a REAL ISO BMFF sample table (stsc/stsz/stco)
       walked and every sample decoded by the engine's own JPEG
@@ -2329,6 +2366,27 @@ def q41_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     vp8_media = _build_multimodal_media(d, kinds=(4,), vp8=True)
     v8s = media_stats(vp8_media).select(
         F.lit("real_vp8").alias("scope"),
+        F.expr("media_id DIV 8").alias("media_id"),
+        "kind",
+        "fmt",
+        F.lit(None).cast("bigint").alias("n_bytes"),
+        F.lit(None).cast("string").alias("digest"),
+        "width",
+        "height",
+        "n_values",
+        "sum_values",
+        "weighted_sum",
+    )
+    # real_alpha (r9): the real_vp8 frame plus a RAW ALPH plane (the
+    # 64 'va' chain bytes) — decode_webp composes the VP8 color
+    # decode with webpcodec.decode_alpha_plane into RGBA, so every
+    # decoded byte (3 color channels from the v8-tile closed form +
+    # the alpha channel verbatim from the chain) replays in SQL.
+    alpha_media = _build_multimodal_media(
+        d, kinds=(4,), vp8=True, vp8_alpha=True
+    )
+    al = media_stats(alpha_media).select(
+        F.lit("real_alpha").alias("scope"),
         F.expr("media_id DIV 8").alias("media_id"),
         "kind",
         "fmt",
@@ -2965,6 +3023,7 @@ def q41_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(pg)
         .unionByName(wb)
         .unionByName(v8s)
+        .unionByName(al)
         .unionByName(mj)
         .unionByName(fl)
         .unionByName(tc)
@@ -7752,6 +7811,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT), CAST(SUM(v) AS BIGINT),
                    CAST(SUM(v * (j + 1)) AS BIGINT)
             FROM v8_vals GROUP BY doc_id
+            UNION ALL
+            -- real_alpha (r9): VP8 color + RAW ALPH plane -> RGBA;
+            -- positions j: pixel p=j//4, channel c=j%4 — c<3 replays
+            -- the v8-tile BT.601 value, c=3 the 'va' chain byte p
+            SELECT 'real_alpha', m.doc_id, 'image', 'webp',
+                   NULL::BIGINT, NULL::VARCHAR, 8, 8,
+                   CAST(COUNT(*) AS BIGINT), CAST(SUM(m.v) AS BIGINT),
+                   CAST(SUM(m.v * (m.j + 1)) AS BIGINT)
+            FROM (
+                SELECT tt.doc_id, sj.j,
+                       (298 * ((220 * tt.g + 128) // 256) + 128)
+                           // 256 AS v
+                FROM generate_series(0, 255) AS sj(j)
+                JOIN v8_tiles tt
+                  ON sj.j % 4 < 3
+                 AND tt.t = ((sj.j // 4) // 32) * 2
+                            + (((sj.j // 4) % 8) // 4)
+                UNION ALL
+                SELECT av.doc_id, av.k * 4 + 3 AS j, av.v
+                FROM (
+                    SELECT doc_id, k,
+                           (strpos('0123456789abcdef',
+                                   substr(hx, 2*k+1, 1))-1)*16
+                         + (strpos('0123456789abcdef',
+                                   substr(hx, 2*k+2, 1))-1) AS v
+                    FROM (
+                        SELECT doc_id,
+                               string_agg(md5(text || ':va:' || i), ''
+                                          ORDER BY i) AS hx
+                        FROM documents, generate_series(0, 3) AS t(i)
+                        GROUP BY doc_id
+                    ) c, generate_series(0, 63) AS t(k)
+                ) av
+            ) m
+            GROUP BY m.doc_id
             UNION ALL
             -- real_dhash: sum_values = the 64-bit perceptual hash as
             -- int64; weighted_sum = exact-Hamming(<=10) neighbor count
