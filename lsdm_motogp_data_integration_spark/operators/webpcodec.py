@@ -1336,35 +1336,42 @@ def decode_webp_anim(
             raise MediaFormatError(
                 "WebP ANMF frame rectangle outside canvas"
             )
-        # frame payload: sub-chunks; VP8L carries the pixels
+        # frame payload: sub-chunks; VP8L carries the pixels, and a
+        # lossy frame may carry an ALPH alpha plane before its VP8
+        # chunk (r9 — same composition as the still-image path)
         sub = body[16:]
         frame_rgba = None
+        frame_alph: bytes | None = None
         pos = 0
         while pos + 8 <= len(sub):
             scid = sub[pos : pos + 4]
             ssize = struct.unpack_from("<I", sub, pos + 4)[0]
             sbody = sub[pos + 8 : pos + 8 + ssize]
+            if scid == b"ALPH":
+                if len(sbody) < ssize:
+                    raise MediaFormatError(
+                        "WebP ANMF ALPH sub-chunk truncated"
+                    )
+                frame_alph = sbody
             if scid == b"VP8L":
                 frame_rgba = decode_vp8l(sbody)
                 break
             if scid == b"VP8 ":
-                # lossy frames decode since r9 (vp8codec); the frame
-                # is opaque (a separate ALPH sub-chunk stays a gate)
                 from lsdm_motogp_data_integration_spark.operators.vp8codec import (  # noqa: E501
                     decode_webp_lossy,
                 )
 
                 rgb = decode_webp_lossy(sbody)
+                if frame_alph is not None:
+                    a = decode_alpha_plane(
+                        frame_alph, rgb.shape[1], rgb.shape[0]
+                    )
+                else:
+                    a = np.full(rgb.shape[:2], 255, np.uint8)
                 frame_rgba = np.concatenate(
-                    [rgb, np.full(rgb.shape[:2] + (1,), 255, np.uint8)],
-                    axis=2,
+                    [rgb, a[:, :, None]], axis=2
                 )
                 break
-            if scid == b"ALPH":
-                raise NotImplementedError(
-                    "animated WebP with an ALPH alpha plane on a "
-                    "lossy frame is not supported"
-                )
             pos += 8 + ssize + (ssize & 1)
         if frame_rgba is None:
             raise MediaFormatError("WebP ANMF frame has no bitstream")

@@ -887,3 +887,57 @@ def test_animated_webp_lossy_frames_decode():
     # still-image convention: decode_webp returns frame 0 composed
     still = wc.decode_webp(blob)
     assert np.array_equal(still, frames[0][:, :, :3])
+
+
+def test_animated_webp_lossy_frames_with_alpha():
+    """r9: ANMF frames carrying ALPH + VP8 compose into RGBA — a
+    half-transparent second frame blends onto the canvas with the
+    container's integer blend formula (alpha 0 leaves the canvas
+    pixel; 255 overwrites)."""
+    import struct as _st
+
+    from lsdm_motogp_data_integration_spark.operators.vp8codec import (
+        encode_vp8,
+    )
+
+    w, h = 16, 16
+    payload1 = encode_vp8(np.full((h, w), 200, np.uint8))
+    payload2 = encode_vp8(np.full((h, w), 40, np.uint8))
+    # frame 2 alpha: left half 0 (keep canvas), right half 255
+    aplane = np.zeros((h, w), np.uint8)
+    aplane[:, w // 2:] = 255
+    alph_body = b"\x00" + aplane.tobytes()
+
+    def chunk(cid, body):
+        c = cid + _st.pack("<I", len(body)) + body
+        return c + (b"\x00" if len(body) & 1 else b"")
+
+    def anmf(subs, blend):
+        body = ((0).to_bytes(3, "little") * 2
+                + (w - 1).to_bytes(3, "little")
+                + (h - 1).to_bytes(3, "little")
+                + (50).to_bytes(3, "little")
+                + bytes([0x02 if not blend else 0x00]) + subs)
+        return chunk(b"ANMF", body)
+
+    content = (b"WEBP"
+               + chunk(b"VP8X", bytes([0x12]) + bytes(3)
+                       + (w - 1).to_bytes(3, "little")
+                       + (h - 1).to_bytes(3, "little"))
+               + chunk(b"ANIM", bytes(6))
+               + anmf(chunk(b"VP8 ", payload1), blend=False)
+               + anmf(chunk(b"ALPH", alph_body)
+                      + chunk(b"VP8 ", payload2), blend=True))
+    blob = b"RIFF" + _st.pack("<I", len(content)) + content
+    frames, durs = wc.decode_webp_anim(blob)
+    assert len(frames) == 2
+    f1, f2 = frames
+    # frame 1: opaque 200-gray everywhere
+    v200 = int(f1[0, 0, 0])
+    assert (f1[:, :, 3] == 255).all()
+    # frame 2 composed: left half keeps frame 1's pixels (alpha 0),
+    # right half is the new frame's 40-gray (alpha 255)
+    assert np.array_equal(f2[:, : w // 2, :3], f1[:, : w // 2, :3])
+    v40 = int(f2[0, w - 1, 0])
+    assert (f2[:, w // 2:, 0] == v40).all()
+    assert v40 != v200
