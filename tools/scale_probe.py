@@ -430,6 +430,56 @@ def main() -> None:
                 _build_multimodal_media(docs, kinds=(4,), webp=True)
             ),
         )
+        # r9 late: PDF embedded-image extraction — XObject walk +
+        # Flate inflate + PNG re-encode per blob; expected linear
+        from lsdm_motogp_data_integration_spark.operators.multimodal import (  # noqa: E501
+            MEDIA_SCHEMA,
+            pdf_image_extract,
+        )
+
+        def _pdf_img_media(dd):
+            import hashlib as _hl
+
+            import numpy as _nnp
+            import pandas as _ppd
+
+            from lsdm_motogp_data_integration_spark.operators.pdfcodec import (  # noqa: E501
+                encode_pdf_with_images,
+            )
+
+            def run(batches):
+                for pb in batches:
+                    ids, kinds, contents, metas = [], [], [], []
+                    for did, text in zip(pb["doc_id"], pb["text"]):
+                        t = "" if text is None else str(text)
+                        px = _hl.md5(f"{t}:pi:0".encode()).digest()[:12]
+                        arr = _nnp.frombuffer(
+                            px, _nnp.uint8
+                        ).reshape(3, 4)
+                        ids.append(int(did))
+                        kinds.append("document")
+                        contents.append(
+                            encode_pdf_with_images(
+                                [("flate_gray", arr)], text=t[:40]
+                            )
+                        )
+                        metas.append(None)
+                    yield _ppd.DataFrame(
+                        {
+                            "media_id": ids,
+                            "kind": kinds,
+                            "content": contents,
+                            "meta": metas,
+                        }
+                    )
+
+            return dd.select("doc_id", "text").mapInPandas(
+                run, schema=MEDIA_SCHEMA
+            )
+
+        r["pdf_img_s"], _ = timed(
+            "pdf_img", pdf_image_extract(_pdf_img_media(docs))
+        )
         # r9: lossy VP8 decode — boolean arithmetic decoder + B_PRED
         # prediction + IDCT per blob; expected linear
         r["vp8_decode_s"], _ = timed(
