@@ -417,3 +417,82 @@ def test_every_decoder_family_mutations_typed():
                 decode(bytes(mut))
             except (_mc.MediaFormatError, NotImplementedError):
                 pass
+
+def _r9_fuzz_cases():
+    """r9 decoder families: lossy WebP (VP8), VP8+ALPH RGBA, MJPEG
+    MP4, PDF embedded images, encrypted PDF — each (blob, decode)."""
+    import struct as st
+
+    from lsdm_motogp_data_integration_spark.operators import (
+        pdfcodec as pc,
+    )
+    from lsdm_motogp_data_integration_spark.operators import (
+        vp8codec as v8,
+    )
+
+    rng = np.random.RandomState(1)
+    tiles = rng.randint(0, 256, (2, 2), dtype=np.uint8)
+    img = np.kron(tiles, np.ones((8, 8), np.uint8))
+    payload = v8.encode_vp8(img)
+    aplane = rng.randint(0, 256, (16, 16), dtype=np.uint8)
+    body = b"\x00" + aplane.tobytes()
+    ch = (b"VP8X" + st.pack("<I", 10) + bytes([0x10]) + bytes(3)
+          + (15).to_bytes(3, "little") * 2)
+    ch += (b"ALPH" + st.pack("<I", len(body)) + body
+           + (b"\x00" if len(body) & 1 else b""))
+    ch += (b"VP8 " + st.pack("<I", len(payload)) + payload
+           + (b"\x00" if len(payload) & 1 else b""))
+    b2 = b"WEBP" + ch
+    alph_webp = b"RIFF" + st.pack("<I", len(b2)) + b2
+    frames = [
+        np.repeat(np.repeat(
+            rng.randint(0, 256, (2, 3), dtype=np.uint8), 8, 0), 8, 1)
+        for _ in range(3)
+    ]
+    gray = rng.randint(0, 256, (12, 10), dtype=np.uint8)
+    bil = rng.randint(0, 2, (10, 14), dtype=np.uint8).astype(bool)
+    try:
+        from test_pdfcodec import _build_encrypted_pdf
+    except ImportError:
+        from tests.test_pdfcodec import _build_encrypted_pdf
+    return [
+        (v8.encode_webp_vp8(img), _mc.decode_image),
+        (alph_webp, _mc.decode_image),
+        (_mc.encode_mp4_mjpeg(frames, fps=10),
+         _mc.decode_mp4_mjpeg_frames),
+        (pc.encode_pdf_with_images(
+            [("flate_gray", gray), ("g4", bil), ("dct", img)],
+            text="x"), pc.pdf_images),
+        (_build_encrypted_pdf("fuzz target", r=3, length=128),
+         pc.decode_pdf_text),
+    ]
+
+
+def test_r9_decoder_families_truncation_typed():
+    """r9 families under the r8 hardening contract: EVERY prefix of a
+    valid stream raises typed codec errors or decodes (discovery run:
+    zero untyped exceptions, zero hangs under a 10 s watchdog)."""
+    for blob, decode in _r9_fuzz_cases():
+        for cut in range(len(blob)):
+            try:
+                decode(bytes(blob[:cut]))
+            except (_mc.MediaFormatError, NotImplementedError):
+                pass
+
+
+def test_r9_decoder_families_mutations_typed():
+    """Seeded byte-flip fuzz over the r9 families — typed errors
+    only (the same contract the r8 battery pinned engine-wide)."""
+    import random
+
+    rnd = random.Random(777)
+    for blob, decode in _r9_fuzz_cases():
+        base = bytearray(blob)
+        for _ in range(300):
+            mut = bytearray(base)
+            for _ in range(rnd.randint(1, 3)):
+                mut[rnd.randrange(len(mut))] ^= rnd.randint(1, 255)
+            try:
+                decode(bytes(mut))
+            except (_mc.MediaFormatError, NotImplementedError):
+                pass
