@@ -611,7 +611,6 @@ def q19_neardup_pairs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of once per scope (equivalence pinned in tests)."""
     from lsdm_motogp_data_integration_spark.operators.dedup import (
         build_minhash_index,
-        exact_jaccard_for_pairs,
         incremental_neardup,
     )
 
@@ -633,11 +632,21 @@ def q19_neardup_pairs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     sets = shingle_sets(corpus, "text", "doc_id", k=5).persist()
-    lsh = minhash_lsh_pairs(
-        corpus, "text", "doc_id", threshold=0.8, sets_df=sets
+    # r9: every scope emits CANDIDATE pairs only; the exact
+    # verification (two id-joins against the persisted sets + the
+    # intersect/union measures) runs ONCE over the tagged union
+    # instead of once per scope — 3 verification subplans (6 id-joins
+    # + 3 measure passes) collapse to 1, with per-scope predicates
+    # identical to the operators' own (equivalence: the measures are
+    # the operators' verbatim expressions over the same joined rows;
+    # oracle re-checked at 3 SFs)
+    cand_lsh = minhash_lsh_pairs(
+        corpus, "text", "doc_id", threshold=0.8, sets_df=sets,
+        candidates_only=True,
     ).withColumn("method", F.lit("minhash_lsh"))
-    exact = jaccard_pairs(
-        corpus, "text", "doc_id", threshold=0.8, sets_df=sets
+    cand_exact = jaccard_pairs(
+        corpus, "text", "doc_id", threshold=0.8, sets_df=sets,
+        candidates_only=True,
     ).withColumn("method", F.lit("exact"))
     historical = corpus.filter(F.col("doc_id") < 100000)
     new_batch = corpus.filter(F.col("doc_id") >= 100000)
@@ -654,28 +663,50 @@ def q19_neardup_pairs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5, num_perm=32, bands=16, threshold=0.4,
         sets_df=sets.filter(F.col("doc_id") >= 100000),
     )
-    incremental = exact_jaccard_for_pairs(
-        hits, corpus, "text", "doc_id", "ref_id", "new_id",
-        k=5, threshold=0.8, sets_df=sets,
+    cand_incr = hits.select(
+        F.col("ref_id").alias("id_a"), F.col("new_id").alias("id_b")
     ).withColumn("method", F.lit("incremental"))
     from lsdm_motogp_data_integration_spark.operators.dedup import (
         containment_pairs,
     )
 
-    cont = (
-        containment_pairs(
-            corpus, "text", "doc_id", k=5, threshold=0.8, sets_df=sets
+    cand_cont = containment_pairs(
+        corpus, "text", "doc_id", k=5, threshold=0.8, sets_df=sets,
+        candidates_only=True,
+    ).withColumn("method", F.lit("containment"))
+    cands = (
+        cand_lsh.unionByName(cand_exact)
+        .unionByName(cand_incr)
+        .unionByName(cand_cont)
+    )
+    sa = sets.select(
+        F.col("doc_id").alias("id_a"), F.col("shingles").alias("__sa")
+    )
+    sb = sets.select(
+        F.col("doc_id").alias("id_b"), F.col("shingles").alias("__sb")
+    )
+    jac = F.size(F.array_intersect("__sa", "__sb")) / F.size(
+        F.array_union("__sa", "__sb")
+    )
+    con = F.size(F.array_intersect("__sa", "__sb")) / F.size("__sa")
+    is_cont = F.col("method") == "containment"
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("__jac", jac)
+        .withColumn("__con", con)
+        .filter(
+            F.when(is_cont, F.col("__con") >= 0.8).otherwise(
+                F.col("__jac") >= 0.8
+            )
         )
-        .withColumn("method", F.lit("containment"))
-        .withColumn("jaccard", F.lit(None).cast("double"))
-    )
-    sym = (
-        lsh.unionByName(exact)
-        .unionByName(incremental)
-        .withColumn("containment", F.lit(None).cast("double"))
-    )
-    return sym.unionByName(cont).select(
-        "method", "id_a", "id_b", "jaccard", "containment"
+        .select(
+            "method",
+            "id_a",
+            "id_b",
+            F.when(~is_cont, F.round("__jac", 6)).alias("jaccard"),
+            F.when(is_cont, F.round("__con", 6)).alias("containment"),
+        )
     )
 
 
@@ -4643,8 +4674,18 @@ def q63_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("subscribe to our newsletter for updates\n"),
     ).otherwise(F.lit(""))
     footer = F.lit("\nall rights reserved example corpus inc")
-    lined = d.select(
-        "doc_id", F.concat(header, content, footer).alias("text")
+    from lsdm_motogp_data_integration_spark.operators.dedup import (
+        _compute_width,
+    )
+
+    # widen the derived corpus (r9): the documents scan is one
+    # small-bytes partition but the line-regroup HOF + the operators'
+    # per-row array passes are compute-heavy (the q19/_compute_width
+    # lesson; no-op on already-wide scans)
+    lined = _compute_width(
+        d.select(
+            "doc_id", F.concat(header, content, footer).alias("text")
+        )
     )
     boiler = remove_boilerplate_lines(
         lined,
@@ -4693,7 +4734,7 @@ def q63_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.lit("")),
         ).alias("text"),
     )
-    dupfrac = dup_line_stats(duped, "text", "doc_id").select(
+    dupfrac = dup_line_stats(_compute_width(duped), "text", "doc_id").select(
         "doc_id",
         F.col("n_lines").alias("n_lines_kept"),
         "dup_line_frac",
@@ -4949,21 +4990,30 @@ def q67_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       normalized corpus — the documents table carries near-duplicate
       groups, so shared 5-grams survive only at their globally first
       (doc_id, start) occurrence."""
+    from lsdm_motogp_data_integration_spark.operators.dedup import (
+        _compute_width,
+    )
     from lsdm_motogp_data_integration_spark.operators.textops import (
         cross_doc_span_dedup,
         mask_repeated_ngrams,
     )
 
+    # widen the derived corpora (r9): the documents scan is a single
+    # small-bytes partition, but both operators run heavy per-row gram
+    # HOFs — narrow input would serialize them onto one core (the
+    # q19/_compute_width lesson; no-op on already-wide scans)
     d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
-    normalized = d.select("doc_id", norm.alias("text"))
-    salted = d.select(
-        "doc_id",
-        F.concat(
-            norm,
-            F.lit(" "),
-            F.concat_ws(" ", F.slice(F.split(norm, " "), 1, 10)),
-        ).alias("text"),
+    normalized = _compute_width(d.select("doc_id", norm.alias("text")))
+    salted = _compute_width(
+        d.select(
+            "doc_id",
+            F.concat(
+                norm,
+                F.lit(" "),
+                F.concat_ws(" ", F.slice(F.split(norm, " "), 1, 10)),
+            ).alias("text"),
+        )
     )
     intra = mask_repeated_ngrams(
         salted, id_col="doc_id", text_col="text", k=5, persist_words=True

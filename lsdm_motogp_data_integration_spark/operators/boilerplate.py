@@ -43,60 +43,93 @@ def remove_boilerplate_lines(
     string when every line was boilerplate), ``n_lines_kept`` and
     ``n_lines_removed``.
 
-    The exploded line relation feeds three consumers (frequency agg,
-    anti-join probe, per-doc totals); ``persist_lines=True`` evaluates
-    the input — and any expensive upstream — exactly once (the
-    persist_sets/persist_sketch convention of the dedup operators).
+    Scale shape (r9 rewrite, ``broadcast_frequent=True`` default): the
+    per-document line multiset stays an ARRAY — one row-local
+    ``array_distinct`` + explode feeds the frequency aggregate (one
+    line-keyed shuffle, map-side combinable; the old shape paid an
+    extra (doc, line) distinct shuffle first), the frequent set — by
+    definition small — is collected to a single array row and
+    cross-broadcast, and each document rebuilds itself row-locally
+    with an ``array_contains`` filter.  The old anti-join → collect_
+    list reassembly shuffled every line of the corpus twice more.
+    ``broadcast_frequent=False`` keeps the relational shuffle
+    anti-join for adversarial corpora where the boilerplate set is
+    huge; equivalence of the two paths is pinned by tests.
+
+    ``persist_lines=True`` persists the tokenized array relation
+    (two consumers: frequency aggregate and rebuild).
     """
     split_expr = F.split(F.col(text_col), re.escape(sep))
-    lines = df.select(
-        F.col(id_col),
-        F.posexplode(split_expr).alias("pos", "line"),
+    # null-text rows produce no `lines` rows in the relational form and
+    # therefore no output row — replicate by filtering them out
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), split_expr.alias("__la")
     )
     if persist_lines:
-        lines = lines.persist()
-    # split() always yields >= 1 element, so every input doc appears in
-    # `lines` and per-doc totals can come from it — no second pass over
-    # the (possibly expensive) input plan
-    totals = lines.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("__n_total")
-    )
+        base = base.persist()
+    if not broadcast_frequent:
+        # relational path: shuffle anti-join (unbounded frequent set)
+        lines = base.select(
+            F.col(id_col),
+            F.posexplode(F.col("__la")).alias("pos", "line"),
+        )
+        totals = lines.groupBy(id_col).agg(
+            F.count(F.lit(1)).alias("__n_total")
+        )
+        frequent = (
+            lines.select(id_col, "line")
+            .distinct()
+            .groupBy("line")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .filter(F.col("n_docs") >= int(min_docs))
+            .select("line")
+        )
+        kept = lines.join(frequent, "line", "left_anti")
+        rebuilt = kept.groupBy(id_col).agg(
+            F.concat_ws(
+                sep,
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+            ).alias("__cleaned"),
+            F.count(F.lit(1)).alias("__n_kept"),
+        )
+        return (
+            totals.join(rebuilt, id_col, "left")
+            .select(
+                F.col(id_col),
+                F.coalesce(F.col("__cleaned"), F.lit("")).alias(text_col),
+                F.coalesce(F.col("__n_kept"), F.lit(0))
+                .cast("bigint")
+                .alias("n_lines_kept"),
+                (
+                    F.col("__n_total")
+                    - F.coalesce(F.col("__n_kept"), F.lit(0))
+                )
+                .cast("bigint")
+                .alias("n_lines_removed"),
+            )
+        )
+    # distinct lines per doc row-locally, ONE corpus-global aggregate
     frequent = (
-        lines.select(id_col, "line")
-        .distinct()
+        base.select(F.explode(F.array_distinct("__la")).alias("line"))
         .groupBy("line")
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .filter(F.col("n_docs") >= int(min_docs))
-        .select("line")
+        .agg(F.sort_array(F.collect_list("line")).alias("__freq"))
     )
-    if broadcast_frequent:
-        frequent = F.broadcast(frequent)
-    kept = lines.join(frequent, "line", "left_anti")
-    rebuilt = kept.groupBy(id_col).agg(
-        F.concat_ws(
-            sep,
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "line"))),
-                lambda s: s["line"],
-            ),
-        ).alias("__cleaned"),
-        F.count(F.lit(1)).alias("__n_kept"),
+    kept_arr = F.filter(
+        F.col("__la"),
+        lambda line: ~F.array_contains(F.col("__freq"), line),
     )
-    return (
-        totals.join(rebuilt, id_col, "left")
-        .select(
-            F.col(id_col),
-            F.coalesce(F.col("__cleaned"), F.lit("")).alias(text_col),
-            F.coalesce(F.col("__n_kept"), F.lit(0))
-            .cast("bigint")
-            .alias("n_lines_kept"),
-            (
-                F.col("__n_total")
-                - F.coalesce(F.col("__n_kept"), F.lit(0))
-            )
-            .cast("bigint")
-            .alias("n_lines_removed"),
-        )
+    return base.crossJoin(F.broadcast(frequent)).select(
+        F.col(id_col),
+        F.concat_ws(sep, kept_arr).alias(text_col),
+        F.size(kept_arr).cast("bigint").alias("n_lines_kept"),
+        (F.size("__la") - F.size(kept_arr))
+        .cast("bigint")
+        .alias("n_lines_removed"),
     )
 
 
@@ -121,24 +154,33 @@ def dedup_lines_keep_first(
     one-word lines ("yes", list bullets) repeat naturally and mass-
     deleting them is noise, not dedup; ``0`` disables the exemption.
 
-    Scale shape: one aggregation keyed by line text (min-struct keeper
-    — map-side combinable), one shuffle join back on the line, one
-    per-document reassembly. Linear in corpus size; same heavy-hitter
-    caveat as the k-gram variant (a line shared by half the corpus
-    skews its key — that is boilerplate, remove it first).
+    Scale shape (r9 rewrite): one aggregation keyed by line text
+    (min-struct keeper — map-side combinable), one line-keyed join of
+    each document's DISTINCT lines against the keeper table, a tiny
+    doc-keyed rollup of the matches into a per-document line→keeper
+    map, and one doc-granular join back to the array relation for a
+    row-local rebuild (``F.filter`` with the positional lambda +
+    ``try_element_at`` map lookups).  The old shape instead shuffled
+    every (line, pos) row of the corpus through the keeper join AND a
+    collect_list reassembly — two corpus-wide line-granular shuffles
+    replaced by doc-granular ones.  Same heavy-hitter caveat as the
+    k-gram variant (a line shared by half the corpus skews its key —
+    that is boilerplate, remove it first).
 
-    ``persist_lines=True`` evaluates the input exactly once (the
-    persist_sets convention). Returns (id_col, text_col cleaned,
-    n_lines_kept, n_lines_removed)."""
+    ``persist_lines=True`` persists the tokenized array relation
+    (three consumers: keeper aggregate, distinct-line probe, rebuild).
+    Returns (id_col, text_col cleaned, n_lines_kept,
+    n_lines_removed)."""
     split_expr = F.split(F.col(text_col), re.escape(sep))
-    lines = df.select(
-        F.col(id_col),
-        F.posexplode(split_expr).alias("pos", "line"),
+    # null-text rows produce no output row in the relational form
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), split_expr.alias("__la")
     )
     if persist_lines:
-        lines = lines.persist()
-    totals = lines.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("__n_total")
+        base = base.persist()
+    lines = base.select(
+        F.col(id_col),
+        F.posexplode(F.col("__la")).alias("pos", "line"),
     )
     eligible = F.length(F.trim(F.col("line"))) >= int(min_line_chars)
     keepers = (
@@ -155,42 +197,46 @@ def dedup_lines_keep_first(
             F.col("__keep.pos").alias("__kpos"),
         )
     )
-    kept = (
-        lines.join(keepers, "line", "left")
-        .filter(
-            F.col("__kdoc").isNull()
-            | (
-                (F.col(id_col) == F.col("__kdoc"))
-                & (F.col("pos") == F.col("__kpos"))
-            )
+    # per-document line→(kdoc, kpos) map over the doc's DISTINCT lines
+    # that are globally repeated — metadata-sized relative to the
+    # corpus (only repeated lines appear, once per containing doc)
+    doc_hits = (
+        base.select(
+            F.col(id_col), F.explode(F.array_distinct("__la")).alias("line")
         )
-        .select(id_col, "pos", "line")
-    )
-    rebuilt = kept.groupBy(id_col).agg(
-        F.concat_ws(
-            sep,
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "line"))),
-                lambda s: s["line"],
-            ),
-        ).alias("__cleaned"),
-        F.count(F.lit(1)).alias("__n_kept"),
-    )
-    return (
-        totals.join(rebuilt, id_col, "left")
-        .select(
-            F.col(id_col),
-            F.coalesce(F.col("__cleaned"), F.lit("")).alias(text_col),
-            F.coalesce(F.col("__n_kept"), F.lit(0))
-            .cast("bigint")
-            .alias("n_lines_kept"),
-            (
-                F.col("__n_total")
-                - F.coalesce(F.col("__n_kept"), F.lit(0))
-            )
-            .cast("bigint")
-            .alias("n_lines_removed"),
+        .join(keepers, "line")
+        .groupBy(id_col)
+        .agg(
+            F.map_from_entries(
+                F.collect_list(
+                    F.struct(
+                        F.col("line"),
+                        F.struct(
+                            F.col("__kdoc").alias("d"),
+                            F.col("__kpos").alias("p"),
+                        ),
+                    )
+                )
+            ).alias("__km")
         )
+    )
+    keep_line = lambda line, pos: (  # noqa: E731
+        F.try_element_at(F.col("__km"), line).isNull()
+        | (
+            (F.try_element_at(F.col("__km"), line)["d"] == F.col(id_col))
+            & (F.try_element_at(F.col("__km"), line)["p"] == pos)
+        )
+    )
+    kept_arr = F.when(
+        F.col("__km").isNotNull(), F.filter(F.col("__la"), keep_line)
+    ).otherwise(F.col("__la"))
+    return base.join(doc_hits, id_col, "left").select(
+        F.col(id_col),
+        F.concat_ws(sep, kept_arr).alias(text_col),
+        F.size(kept_arr).cast("bigint").alias("n_lines_kept"),
+        (F.size("__la") - F.size(kept_arr))
+        .cast("bigint")
+        .alias("n_lines_removed"),
     )
 
 
@@ -212,37 +258,55 @@ def dup_line_stats(
     Both 6dp-rounded; documents with no non-empty lines report
     (0, 0.0, 0.0).
 
-    Scale shape: one explode + ONE doc-and-line-keyed aggregate +
-    one doc-keyed rollup — all shuffle keys carry the doc id, so
-    work never leaves the document (contrast
-    :func:`remove_boilerplate_lines`, whose frequency table is
-    corpus-global). Exact integer counts until the final division."""
-    lines = df.select(
-        F.col(id_col),
-        F.explode(F.split(F.col(text_col), "\n")).alias("__line"),
-    ).filter(F.trim(F.col("__line")) != "")
-    per_line = lines.groupBy(id_col, "__line").agg(
-        F.count(F.lit(1)).alias("__c"),
-        F.length(F.col("__line")).alias("__len"),
+    Scale shape (r9 rewrite): the signals are purely row-local, so the
+    operator is ONE narrow projection — zero shuffles (the previous
+    explode → (doc, line) aggregate → doc rollup → join shape shuffled
+    every line of the corpus twice to compute per-document counts).
+    ``array_distinct`` keeps first occurrences, so "occurrences beyond
+    the first" is ``n_lines - n_distinct`` and the character-weighted
+    twin is ``total_chars - distinct_chars`` — exact integer counts
+    until the final division, identical to the relational form (pinned
+    by tests). One row out per row in; duplicate ``id_col`` values are
+    no longer merged across rows (a degenerate input for the
+    relational form too — it combined their line multisets)."""
+    lines_arr = F.filter(
+        F.split(F.col(text_col), "\n"),
+        lambda line: F.trim(line) != "",
     )
-    per_doc = per_line.groupBy(id_col).agg(
-        F.sum("__c").cast("bigint").alias("n_lines"),
-        F.sum(F.col("__c") - 1).cast("bigint").alias("__dup"),
-        F.sum(F.col("__c") * F.col("__len")).cast("bigint").alias("__chars"),
-        F.sum((F.col("__c") - 1) * F.col("__len"))
+    char_sum = lambda arr: F.aggregate(  # noqa: E731
+        arr,
+        F.lit(0).cast("bigint"),
+        lambda acc, line: acc + F.length(line),
+    )
+    base = df.select(
+        F.col(id_col),
+        F.coalesce(F.size(lines_arr), F.lit(0))
         .cast("bigint")
-        .alias("__dupchars"),
+        .alias("n_lines"),
+        F.coalesce(F.size(F.array_distinct(lines_arr)), F.lit(0))
+        .cast("bigint")
+        .alias("__ndist"),
+        F.coalesce(char_sum(lines_arr), F.lit(0)).alias("__chars"),
+        F.coalesce(char_sum(F.array_distinct(lines_arr)), F.lit(0)).alias(
+            "__dchars"
+        ),
     )
-    base = df.select(F.col(id_col)).distinct()
-    return base.join(per_doc, id_col, "left").select(
+    return base.select(
         F.col(id_col),
-        F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+        F.col("n_lines"),
         F.round(
-            F.coalesce(F.col("__dup") / F.col("n_lines"), F.lit(0.0)), 6
+            F.coalesce(
+                (F.col("n_lines") - F.col("__ndist"))
+                / F.nullif(F.col("n_lines"), F.lit(0)),
+                F.lit(0.0),
+            ),
+            6,
         ).alias("dup_line_frac"),
         F.round(
             F.coalesce(
-                F.col("__dupchars") / F.col("__chars"), F.lit(0.0)
+                (F.col("__chars") - F.col("__dchars"))
+                / F.nullif(F.col("__chars"), F.lit(0)),
+                F.lit(0.0),
             ),
             6,
         ).alias("dup_char_frac"),

@@ -281,10 +281,16 @@ def jaccard_pairs(
     threshold: float = 0.8,
     persist_sets: bool = False,
     sets_df: DataFrame | None = None,
+    candidates_only: bool = False,
     _persist_handles: list[DataFrame] | None = None,
 ) -> DataFrame:
     """All pairs (a < b) with word-k-gram Jaccard >= threshold — EXACT
     (no LSH recall loss), with positional prefix filtering.
+
+    ``candidates_only=True`` returns the deduplicated candidate pair
+    relation (id_a, id_b) BEFORE exact verification — for suites that
+    verify several generators' candidates in one shared join pass
+    (r9; see q19).
 
     The sorted-set relation feeds the prefix index and both
     verification sides (three references); ``persist_sets=True``
@@ -344,6 +350,8 @@ def jaccard_pairs(
         .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         .dropDuplicates()
     )
+    if candidates_only:
+        return candidates
     sa = sets_df.select(F.col("__id").alias("id_a"), F.col("__set").alias("__sa"))
     sb = sets_df.select(F.col("__id").alias("id_b"), F.col("__set").alias("__sb"))
     return (
@@ -367,6 +375,7 @@ def containment_pairs(
     k: int = 5,
     threshold: float = 0.8,
     sets_df: DataFrame | None = None,
+    candidates_only: bool = False,
 ) -> DataFrame:
     """DIRECTED near-containment pairs: (id_a, id_b, containment) with
     ``|S_a ∩ S_b| / |S_a| >= threshold`` and ``id_a != id_b`` — doc a
@@ -432,6 +441,8 @@ def containment_pairs(
         .select(F.col("__id").alias("id_a"), F.col("__idb").alias("id_b"))
         .dropDuplicates()
     )
+    if candidates_only:
+        return candidates
     sa = sets_df.select(F.col("__id").alias("id_a"), F.col("__set").alias("__sa"))
     sb = sets_df.select(F.col("__id").alias("id_b"), F.col("__set").alias("__sb"))
     return (
@@ -665,9 +676,15 @@ def minhash_lsh_pairs(
     threshold: float = 0.8,
     persist_sets: bool = False,
     sets_df: DataFrame | None = None,
+    candidates_only: bool = False,
     _persist_handles: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding + exact verification.
+
+    ``candidates_only=True`` returns the deduplicated candidate pair
+    relation (id_a, id_b) BEFORE exact verification — for suites that
+    verify several generators' candidates in one shared join pass
+    (r9; see q19).
 
     ``sets_df``: a prepared :func:`shingle_sets` relation (same
     ``id_col``/``k``); when given, ``df``/``text_col`` are not scanned
@@ -760,6 +777,8 @@ def minhash_lsh_pairs(
         .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         .dropDuplicates()
     )
+    if candidates_only:
+        return candidates
 
     sa = sets_df.select(F.col("__id").alias("id_a"), F.col("__set").alias("__sa"))
     sb = sets_df.select(F.col("__id").alias("id_b"), F.col("__set").alias("__sb"))

@@ -788,24 +788,28 @@ def mask_repeated_ngrams(
     document), keeping first occurrences and unique text in order.
 
     Tokenization is a plain single-space split — normalize upstream.
-    All stages are keyed by the document id (gram ranking windows, the
-    covered-position anti-join, reassembly), so the operator scales
-    horizontally with no cross-document data movement at all.
 
-    The tokenized relation feeds three consumers (positions, grams,
-    totals); ``persist_words=True`` evaluates the input plan exactly
-    once (persist_sets convention).
+    The decision is purely row-local, so the whole operator is ONE
+    narrow projection — zero shuffles, zero joins (r9 rewrite; the
+    previous explode → window → anti-join → reassembly shape shuffled
+    every word of the corpus three times to make per-document
+    decisions).  Per document: build the (gram, start) list, sort it
+    (O(n log n)), mark occurrence 2+ of equal adjacent grams, expand
+    repeat starts to covered positions, and rebuild the text with
+    ``array_except`` (hash-based, order-preserving) + ``element_at``
+    — identical output to the relational form, pinned by tests.
+
+    ``persist_words`` is accepted for API compatibility but unused:
+    a single-pass operator has nothing to share.  One row out per row
+    in (duplicate ``id_col`` values are no longer merged — they were a
+    degenerate input for the relational form too).
 
     Returns (id_col, text_col cleaned, n_words_kept, n_words_removed).
     """
+    del persist_words  # single-pass: nothing is evaluated twice
     words = F.split(F.col(text_col), " ")
     base = df.select(F.col(id_col), words.alias("__w"))
-    if persist_words:
-        base = base.persist()
     n = F.size("__w")
-    pos = base.select(
-        id_col, F.posexplode("__w").alias("__p", "__word")
-    )
     # docs with fewer than k words emit NO grams: greatest(n-k, 0)
     # would yield a truncated partial gram at s=0, making short docs
     # dedup-eligible below the k-gram threshold (and the gate must be
@@ -813,56 +817,69 @@ def mask_repeated_ngrams(
     gram_starts = F.when(
         n >= k, F.sequence(F.lit(0), n - F.lit(int(k)))
     ).otherwise(F.array().cast("array<int>"))
-    grams = base.select(
-        id_col,
-        F.explode(
-            F.transform(
-                gram_starts,
-                lambda s: F.struct(
-                    s.alias("s"),
-                    F.concat_ws(
-                        " ", F.slice("__w", s + 1, int(k))
-                    ).alias("g"),
+    # (g, s) structs sorted by gram then start: occurrence 2+ of a
+    # gram is any element whose predecessor carries the same gram
+    sorted_gs = F.array_sort(
+        F.transform(
+            gram_starts,
+            lambda s: F.struct(
+                F.concat_ws(" ", F.slice("__w", s + 1, int(k))).alias(
+                    "g"
                 ),
-            )
-        ).alias("__sg"),
-    ).select(id_col, F.col("__sg.s").alias("s"), F.col("__sg.g").alias("g"))
-    w = Window.partitionBy(id_col, "g").orderBy("s")
-    repeats = (
-        grams.withColumn("__r", F.row_number().over(w))
-        .filter(F.col("__r") > 1)
-        .select(id_col, "s")
-    )
-    covered = repeats.select(
-        id_col,
-        F.explode(
-            F.sequence(F.col("s"), F.col("s") + F.lit(int(k) - 1))
-        ).alias("__p"),
-    ).distinct()
-    kept = pos.join(covered, [id_col, "__p"], "left_anti")
-    rebuilt = kept.groupBy(id_col).agg(
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("__p", "__word"))),
-                lambda x: x["__word"],
+                s.alias("s"),
             ),
-        ).alias("__cleaned"),
-        F.count(F.lit(1)).alias("__n_kept"),
-    )
-    return (
-        base.select(id_col, F.coalesce(n, F.lit(0)).alias("__n_total"))
-        .join(rebuilt, id_col, "left")
-        .select(
-            F.col(id_col),
-            F.coalesce(F.col("__cleaned"), F.lit("")).alias(text_col),
-            F.coalesce(F.col("__n_kept"), F.lit(0))
-            .cast("bigint")
-            .alias("n_words_kept"),
-            (F.col("__n_total") - F.coalesce(F.col("__n_kept"), F.lit(0)))
-            .cast("bigint")
-            .alias("n_words_removed"),
         )
+    )
+    with_sorted = base.select(id_col, "__w", sorted_gs.alias("__gs"))
+    m = F.size("__gs")
+    repeat_starts = F.when(
+        m >= 2,
+        F.filter(
+            F.transform(
+                F.sequence(F.lit(1), m - F.lit(1)),
+                lambda i: F.when(
+                    F.element_at("__gs", i + 1)["g"]
+                    == F.element_at("__gs", i)["g"],
+                    F.element_at("__gs", i + 1)["s"],
+                ),
+            ),
+            lambda x: x.isNotNull(),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    covered = F.array_distinct(
+        F.flatten(
+            F.transform(
+                repeat_starts,
+                lambda s: F.sequence(s, s + F.lit(int(k) - 1)),
+            )
+        )
+    )
+    kept_pos = F.array_except(
+        F.sequence(F.lit(0), F.size("__w") - F.lit(1)), covered
+    )
+    cleaned = F.concat_ws(
+        " ",
+        F.transform(kept_pos, lambda p: F.element_at("__w", p + 1)),
+    )
+    n_kept = F.size(kept_pos)
+    return with_sorted.select(
+        F.col(id_col),
+        F.coalesce(
+            F.when(F.col("__w").isNotNull(), cleaned), F.lit("")
+        ).alias(text_col),
+        F.coalesce(
+            F.when(F.col("__w").isNotNull(), n_kept), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("n_words_kept"),
+        (
+            F.coalesce(F.size("__w"), F.lit(0))
+            - F.coalesce(
+                F.when(F.col("__w").isNotNull(), n_kept), F.lit(0)
+            )
+        )
+        .cast("bigint")
+        .alias("n_words_removed"),
     )
 
 
@@ -903,8 +920,8 @@ def cross_doc_span_dedup(
     ``boilerplate.remove_boilerplate_lines``.
 
     ``persist_words=True`` evaluates the input plan exactly once
-    (persist_sets convention) — the tokenized relation feeds positions,
-    grams, and totals.
+    (persist_sets convention) — the tokenized relation feeds the gram
+    relation and the final rebuild join.
 
     Returns (id_col, text_col cleaned, n_words_kept, n_words_removed).
     """
@@ -913,7 +930,6 @@ def cross_doc_span_dedup(
     if persist_words:
         base = base.persist()
     n = F.size("__w")
-    pos = base.select(id_col, F.posexplode("__w").alias("__p", "__word"))
     # docs with fewer than k words emit NO grams: greatest(n-k, 0)
     # would yield a truncated partial gram at s=0, making short docs
     # dedup-eligible below the k-gram threshold (and the gate must be
@@ -960,33 +976,52 @@ def cross_doc_span_dedup(
         )
         .select(id_col, "s")
     )
-    covered = masked.select(
-        id_col,
-        F.explode(F.sequence(F.col("s"), F.col("s") + F.lit(int(k) - 1))).alias(
-            "__p"
-        ),
-    ).distinct()
-    kept = pos.join(covered, [id_col, "__p"], "left_anti")
-    rebuilt = kept.groupBy(id_col).agg(
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("__p", "__word"))),
-                lambda x: x["__word"],
-            ),
-        ).alias("__cleaned"),
-        F.count(F.lit(1)).alias("__n_kept"),
+    # r9 rewrite: the masked starts are METADATA (a few ints per doc)
+    # while the old covered-position → anti-join → collect_list chain
+    # shuffled every word of the corpus twice more to apply them.
+    # Aggregate the starts per doc (tiny shuffle), join back to the
+    # tokenized relation once (doc-granular; AQE broadcasts the starts
+    # side when it is small), and rebuild the text row-locally:
+    # array_except is hash-based and order-preserving, element_at is
+    # O(1) — identical output to the relational form, pinned by tests.
+    starts_per_doc = masked.groupBy(id_col).agg(
+        F.collect_list("s").alias("__starts")
     )
+    covered = F.array_distinct(
+        F.flatten(
+            F.transform(
+                F.col("__starts"),
+                lambda s: F.sequence(s, s + F.lit(int(k) - 1)),
+            )
+        )
+    )
+    kept_pos = F.array_except(
+        F.sequence(F.lit(0), F.size("__w") - F.lit(1)),
+        F.coalesce(covered, F.array().cast("array<int>")),
+    )
+    cleaned = F.concat_ws(
+        " ",
+        F.transform(kept_pos, lambda p: F.element_at("__w", p + 1)),
+    )
+    n_kept = F.size(kept_pos)
     return (
-        base.select(id_col, F.coalesce(n, F.lit(0)).alias("__n_total"))
-        .join(rebuilt, id_col, "left")
+        base.join(starts_per_doc, id_col, "left")
         .select(
             F.col(id_col),
-            F.coalesce(F.col("__cleaned"), F.lit("")).alias(text_col),
-            F.coalesce(F.col("__n_kept"), F.lit(0))
+            F.coalesce(
+                F.when(F.col("__w").isNotNull(), cleaned), F.lit("")
+            ).alias(text_col),
+            F.coalesce(
+                F.when(F.col("__w").isNotNull(), n_kept), F.lit(0)
+            )
             .cast("bigint")
             .alias("n_words_kept"),
-            (F.col("__n_total") - F.coalesce(F.col("__n_kept"), F.lit(0)))
+            (
+                F.coalesce(F.size("__w"), F.lit(0))
+                - F.coalesce(
+                    F.when(F.col("__w").isNotNull(), n_kept), F.lit(0)
+                )
+            )
             .cast("bigint")
             .alias("n_words_removed"),
         )

@@ -247,6 +247,11 @@ def test_no_accidental_cartesian_across_registry(spark, sf_dir):
         # semantic_decontaminate's broadcast-exact holdout screen —
         # the ann-exact-baseline pattern (small eval side broadcast)
         "q57_decontamination",
+        # remove_boilerplate_lines (r9 array-native rebuild): the
+        # frequent-line set — by definition small — collected to a
+        # 1-row array and cross-broadcast, same scalar shape as
+        # q22/q64's corpus totals
+        "q63_boilerplate_lines",
     }
     skip = {
         "q40_streaming_suite",
