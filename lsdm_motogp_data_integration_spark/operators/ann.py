@@ -200,6 +200,53 @@ def _nearest_cells(vecs: pd.Series, qcentroids: np.ndarray) -> np.ndarray:
 TRAIN_SAMPLE_FACTOR = 32
 
 
+_DEC12 = None  # lazy: decimal context objects built once
+
+
+def _cast_dec12(x: float):
+    """Python twin of Spark's ``cast(double AS decimal(28,12))``:
+    Java ``BigDecimal.valueOf(d)`` parses ``Double.toString(d)`` — the
+    shortest round-trip decimal representation, which is exactly what
+    Python's ``repr(float)`` produces — then ``changePrecision`` rounds
+    HALF_UP to scale 12. Bit-parity is pinned by the
+    local-vs-distributed trainer equivalence test."""
+    global _DEC12
+    import decimal
+
+    if _DEC12 is None:
+        _DEC12 = decimal.Decimal("1e-12")
+    return decimal.Decimal(repr(float(x))).quantize(
+        _DEC12, rounding=decimal.ROUND_HALF_UP
+    )
+
+
+def _lloyd_round_local(
+    vmat: np.ndarray, mat: np.ndarray, n_cells: int
+) -> np.ndarray:
+    """One driver-local Lloyd round over a collected training sample —
+    the exact arithmetic of the distributed round (integer-grid argmax
+    assignment with first-max tie-break, decimal(28,12)-exact
+    element-wise sums, one IEEE double division, zero-norm-guarded
+    renormalization)."""
+    import decimal
+
+    sims = _quantize(vmat) @ _quantize(mat).T
+    cells = np.argmax(sims, axis=1)
+    new_mat = mat.copy()
+    for c in range(n_cells):
+        members = vmat[cells == c]
+        if len(members) == 0:
+            continue  # a cell that captured no vectors keeps its centroid
+        cnt = float(len(members))
+        for pos in range(members.shape[1]):
+            s = sum(
+                (_cast_dec12(x) for x in members[:, pos]),
+                decimal.Decimal(0),
+            )
+            new_mat[c, pos] = float(s) / cnt
+    return _normalize_rows(new_mat)
+
+
 def _train_centroids(
     corpus: DataFrame,
     vec_col: str,
@@ -240,16 +287,43 @@ def _train_centroids(
         F.md5(F.concat(F.lit("ivf|"), F.col(id_col).cast("string"))),
     )
     if train_sample:
-        # TakeOrdered (per-partition top-N + N-merge), NOT a global
-        # sort; the checkpoint pins O(train_sample × dim) rows so the
-        # n_iters rounds below never re-run the corpus-wide selection
-        train_df = (
+        # r9: the bounded sample is O(train_sample × dim) driver
+        # metadata — ONE distributed TakeOrdered collects it, then the
+        # Lloyd rounds run driver-locally with the SAME arithmetic
+        # (integer-grid argmax, shortest-repr double→decimal(28,12)
+        # HALF_UP cast, exact decimal sum → double ÷ count), so the
+        # codebook is bit-identical to the distributed rounds (pinned
+        # by test: train_sample=N over an N-row corpus ==
+        # train_sample=0). Previously each round was 1-2 cluster jobs
+        # over ≤ a few hundred rows — ~1.5 s of per-job overhead per
+        # trained codebook at bench scale, pure scheduling at 100 TB
+        # (guide §5: the driver should not spin jobs for metadata).
+        rows = (
             ranked.orderBy("__h", F.col(id_col).asc())
             .limit(int(train_sample))
-            .localCheckpoint(eager=True)
+            .collect()
         )
-    else:
-        train_df = ranked
+        rows.sort(key=lambda r: (r["__h"], r[id_col]))
+        if not rows:
+            raise ValueError(
+                "k-means/IVF training needs a non-empty corpus with a "
+                f"non-null {vec_col!r} column"
+            )
+        n_cells = min(n_cells, len(rows))
+        mat = np.vstack(
+            [
+                np.asarray(r[vec_col], dtype=np.float64)
+                for r in rows[:n_cells]
+            ]
+        )
+        mat = _normalize_rows(mat)
+        vmat = np.vstack(
+            [np.asarray(r[vec_col], dtype=np.float64) for r in rows]
+        )
+        for _ in range(n_iters):
+            mat = _lloyd_round_local(vmat, mat, n_cells)
+        return mat
+    train_df = ranked
     # id tie-break: md5 collisions are not the concern — DUPLICATE
     # ids hash identically, and without the second key their order
     # (hence the sampled codebook) would depend on partition layout
@@ -335,7 +409,47 @@ def save_codebook(books, spark, path: str) -> None:
 def load_codebook(spark, path: str) -> list[np.ndarray]:
     """Load :func:`save_codebook` output. float64 survives the parquet
     round-trip bit-exactly, so an injected codebook reproduces the
-    trained run's results hash-identically (pinned by test)."""
+    trained run's results hash-identically (pinned by test).
+
+    r9: a codebook is O(cells × dim) driver metadata; when ``path`` is
+    a plain local directory it is read with pyarrow on the driver —
+    zero Spark jobs (guide §5: the driver should not spin cluster jobs
+    for metadata; each Spark read+collect here cost ~0.3 s and q26's
+    build pays four of them). Non-local paths (HDFS/S3) keep the Spark
+    read. Identical float64 bytes either way (pinned by test)."""
+    import os
+
+    if os.path.isdir(path):
+        import pyarrow.parquet as papq
+
+        parts = sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+        if parts:
+            recs: list[tuple[int, int, list[float]]] = []
+            for p in parts:
+                t = papq.read_table(p)
+                recs.extend(
+                    zip(
+                        t.column("book").to_pylist(),
+                        t.column("cell").to_pylist(),
+                        t.column("vec").to_pylist(),
+                    )
+                )
+            recs.sort(key=lambda r: (r[0], r[1]))
+            n_books = max(r[0] for r in recs) + 1
+            return [
+                np.vstack(
+                    [
+                        np.asarray(r[2], dtype=np.float64)
+                        for r in recs
+                        if r[0] == b
+                    ]
+                )
+                for b in range(n_books)
+            ]
     rows = spark.read.parquet(path).orderBy("book", "cell").collect()
     n_books = max(r["book"] for r in rows) + 1
     books = []
@@ -390,8 +504,29 @@ def _read_index_meta(spark, path: str) -> dict | None:
     indexes stay servable — the check engages only when the build
     recorded provenance). Only the missing-path analysis error is
     tolerated — a present-but-unreadable sidecar fails loudly rather
-    than silently disabling the guard."""
+    than silently disabling the guard.
+
+    r9: a local sidecar directory is read with plain ``open()`` —
+    zero Spark jobs for a 1-line JSON (guide §5); non-local paths
+    keep the Spark read."""
     import json
+    import os
+
+    meta_dir = f"{path}/_meta"
+    if os.path.isdir(meta_dir):
+        parts = sorted(
+            os.path.join(meta_dir, f)
+            for f in os.listdir(meta_dir)
+            if f.startswith("part-")
+        )
+        for p in parts:
+            with open(p) as f:
+                line = f.readline().strip()
+            if line:
+                return json.loads(line)
+        return None
+    if os.path.isdir(path) and not os.path.exists(meta_dir):
+        return None  # local index without a sidecar
 
     from pyspark.errors import AnalysisException
 

@@ -216,3 +216,36 @@ def test_candidates_only_composition_equals_direct_operator(spark):
         )
     )
     assert direct == fused
+
+
+def test_lloyd_local_rounds_bitidentical_to_distributed(spark):
+    """r9: with train_sample >= |corpus| the driver-local Lloyd rounds
+    see exactly the rows the distributed rounds (train_sample=0) see,
+    so the codebooks must be BIT-identical — pinning the integer-grid
+    argmax and the shortest-repr double→decimal(28,12) HALF_UP cast
+    parity driver-side vs JVM-side."""
+    import numpy as np
+
+    from lsdm_motogp_data_integration_spark.operators.ann import (
+        _train_centroids,
+    )
+
+    rows = []
+    for i in range(97):
+        # awkward floats: negative, tiny, near-decimal-boundary values
+        rows.append(
+            Row(
+                vec_id=i,
+                embedding=[
+                    ((-1) ** i) * (i + 1) / 7.0,
+                    i * 1e-7 + 1e-13,
+                    float(np.float64(i) * 0.1),
+                    1.0 / (i + 3),
+                ],
+            )
+        )
+    df = spark.createDataFrame(rows)
+    local = _train_centroids(df, "embedding", "vec_id", 5, 3, 97)
+    dist = _train_centroids(df, "embedding", "vec_id", 5, 3, 0)
+    assert local.shape == dist.shape
+    assert (local == dist).all(), np.abs(local - dist).max()
