@@ -4681,19 +4681,22 @@ def q63_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     # widen the derived corpus (r9): the documents scan is one
     # small-bytes partition but the line-regroup HOF + the operators'
     # per-row array passes are compute-heavy (the q19/_compute_width
-    # lesson; no-op on already-wide scans)
+    # lesson; no-op on already-wide scans). Persist it ONCE here —
+    # the regroup HOF previously re-ran inside each operator's own
+    # persist; the operators' remaining re-reads are cheap splits of
+    # the cached strings (persist_lines=False)
     lined = _compute_width(
         d.select(
             "doc_id", F.concat(header, content, footer).alias("text")
         )
-    )
+    ).persist()
     boiler = remove_boilerplate_lines(
         lined,
         id_col="doc_id",
         text_col="text",
         sep="\n",
         min_docs=3,
-        persist_lines=True,
+        persist_lines=False,
     ).select(
         "doc_id",
         F.col("text").alias("cleaned_text"),
@@ -4706,7 +4709,7 @@ def q63_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         text_col="text",
         sep="\n",
         min_line_chars=1,
-        persist_lines=True,
+        persist_lines=False,
     ).select(
         "doc_id",
         F.col("text").alias("cleaned_text"),

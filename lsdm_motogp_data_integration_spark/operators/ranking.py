@@ -42,19 +42,47 @@ def bm25_scores(
     (id_col, score DOUBLE, n_terms_hit BIGINT), one row per matching
     document.
 
-    The tokenized relation feeds both the (N, avgdl) scalar agg and
-    the postings scan, and the tf relation feeds both df-counts and
-    scoring; ``persist_tokens=True`` persists both so the input plan
-    is evaluated exactly once (persist_sets convention — measured 20×
-    probe: 18.3 s → linear-constant removed on derived lineage).
+    r9 rewrite: per-document term frequencies for a FIXED small query
+    are row-local — one ``size(filter(tokens, == term))`` per query
+    term — so the old explode → isin filter → (id, dl, term) hash
+    aggregate SHUFFLE is gone entirely, and the persisted relation
+    shrinks from full token arrays to ``(id, dl, per-term tf)``
+    (identical tf counts: same tokenizer, same string equality).
+    ``persist_tokens=True`` persists that slim relation, whose two
+    consumers are the (N, avgdl) scalar agg and the postings scan —
+    the input plan still evaluates exactly once (persist_sets
+    convention).
     """
     toks = F.split(
         F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")), " "
     )
-    docs = df.select(
-        F.col(id_col),
-        toks.alias("__toks"),
-    ).withColumn("dl", F.size("__toks").cast("double"))
+    # dedupe terms (order-preserving): the old isin + groupBy(term)
+    # path counted a duplicated query term once; the per-term entries
+    # below must do the same
+    query_terms = list(dict.fromkeys(query_terms))
+    if query_terms:
+        tf_entries = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("term"),
+                    F.size(
+                        F.filter(F.col("__toks"), lambda x: x == F.lit(t))
+                    )
+                    .cast("double")
+                    .alias("tf"),
+                )
+                for t in query_terms
+            ]
+        )
+    else:  # no terms: empty entries, schema intact (old: empty isin)
+        tf_entries = F.array().cast(
+            "array<struct<term:string,tf:double>>"
+        )
+    docs = (
+        df.select(F.col(id_col), toks.alias("__toks"))
+        .withColumn("dl", F.size("__toks").cast("double"))
+        .select(F.col(id_col), "dl", tf_entries.alias("__tfs"))
+    )
     if persist_tokens:
         docs = docs.persist()
 
@@ -63,15 +91,14 @@ def bm25_scores(
         F.avg("dl").alias("avgdl"),
     )
 
-    terms = docs.select(
-        id_col, "dl", F.explode("__toks").alias("term")
-    ).filter(F.col("term").isin(list(query_terms)))
-
-    tf = terms.groupBy(id_col, "dl", "term").agg(
-        F.count(F.lit(1)).cast("double").alias("tf")
+    tf = (
+        docs.select(id_col, "dl", F.explode("__tfs").alias("__e"))
+        .select(
+            F.col(id_col), "dl", F.col("__e.term").alias("term"),
+            F.col("__e.tf").alias("tf"),
+        )
+        .filter(F.col("tf") > 0)
     )
-    if persist_tokens:
-        tf = tf.persist()
     dfreq = tf.groupBy("term").agg(
         F.countDistinct(id_col).cast("double").alias("df")
     )
