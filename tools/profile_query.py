@@ -122,11 +122,6 @@ def run(name: str, sf_dir: str) -> None:
                 st["sh_write"] = st.get("sh_write", 0) + swm.get(
                     "Shuffle Bytes Written", 0
                 )
-                pym = [
-                    a
-                    for a in (m.get("Updated Blocks") or [])
-                    if False
-                ]
 
     hot_jobs = [
         j
