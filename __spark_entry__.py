@@ -631,7 +631,23 @@ def q19_neardup_pairs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingle_sets,
     )
 
-    sets = shingle_sets(corpus, "text", "doc_id", k=5).persist()
+    # r10: the 32-perm MinHash signature column rides the SAME persisted
+    # relation — the LSH candidate scope, the historical index build,
+    # and the incremental probe all read it, so the signature HOF pass
+    # runs once per document instead of twice (the index/probe halves
+    # previously re-derived signatures from the shared sets; identical
+    # values by construction — minhash_signature over the same
+    # shingles — and pinned by test_r10_rewrites.py)
+    from lsdm_motogp_data_integration_spark.operators.dedup import (
+        minhash_signature,
+    )
+
+    sets = (
+        shingle_sets(corpus, "text", "doc_id", k=5)
+        .withColumn("__mins", minhash_signature(F.col("shingles"), 32))
+        .persist()
+    )
+    mins = sets.select("doc_id", "__mins")
     # r9: every scope emits CANDIDATE pairs only; the exact
     # verification (two id-joins against the persisted sets + the
     # intersect/union measures) runs ONCE over the tagged union
@@ -642,7 +658,7 @@ def q19_neardup_pairs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oracle re-checked at 3 SFs)
     cand_lsh = minhash_lsh_pairs(
         corpus, "text", "doc_id", threshold=0.8, sets_df=sets,
-        candidates_only=True,
+        candidates_only=True, mins_df=mins,
     ).withColumn("method", F.lit("minhash_lsh"))
     cand_exact = jaccard_pairs(
         corpus, "text", "doc_id", threshold=0.8, sets_df=sets,
@@ -657,11 +673,13 @@ def q19_neardup_pairs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     index = build_minhash_index(
         historical, "text", "doc_id", k=5, num_perm=32, bands=16,
         sets_df=sets.filter(F.col("doc_id") < 100000),
+        mins_df=mins.filter(F.col("doc_id") < 100000),
     )
     hits = incremental_neardup(
         new_batch, index, "text", "doc_id",
         k=5, num_perm=32, bands=16, threshold=0.4,
         sets_df=sets.filter(F.col("doc_id") >= 100000),
+        mins_df=mins.filter(F.col("doc_id") >= 100000),
     )
     cand_incr = hits.select(
         F.col("ref_id").alias("id_a"), F.col("new_id").alias("id_b")
@@ -939,6 +957,76 @@ def _ann_artifact_base(sf_dir: str) -> str:
     )
 
 
+def _ann_shared_ranked(e: DataFrame):
+    """q26's shared exact-scoring pass (r10): ONE corpus × 5-query
+    scoring + ONE window pass yields both the all-pairs rank (feeding
+    the ``exact`` scope and the MMR pool) and the different-label rank
+    (feeding ``hard_neg``) — previously hard_negatives re-scanned and
+    re-scored the whole corpus for the same pair set. Returns
+    ``(q_lbl, queries_df, shared)`` where ``shared`` is the eagerly
+    checkpointed filtered union (≤ 17 rows per query — never the N×5
+    scored relation). The scoring expressions are the operators'
+    verbatim halves (``ann._scored_pairs``); rank-among-negatives is a
+    running count over the same total (cosine desc, id asc) order,
+    which equals row_number over the label-filtered subset because
+    filtering preserves relative order and ids make the order total.
+    Fused == direct operators is pinned by tests/test_r10_rewrites.py."""
+    from lsdm_motogp_data_integration_spark.operators.ann import (
+        _drop_null_vecs,
+        _scored_pairs,
+    )
+    from lsdm_motogp_data_integration_spark.operators.dedup import (
+        norm_expr,
+    )
+
+    q_lbl = (
+        e.filter(F.col("vec_id") < 5)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+            F.col("label").alias("__qlbl"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    queries_df = q_lbl.select("query_id", "query_vec")
+    c_sc = _drop_null_vecs(e, "embedding").withColumn(
+        "__cn", norm_expr(F.col("embedding"))
+    )
+    q_sc = _drop_null_vecs(q_lbl, "query_vec").withColumn(
+        "__qn", norm_expr(F.col("query_vec"))
+    )
+    pair_sc = c_sc.crossJoin(F.broadcast(q_sc)).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = _scored_pairs(
+        pair_sc, "vec_id", "query_id", "embedding", "query_vec",
+        extra_cols=[
+            (~F.col("label").eqNullSafe(F.col("__qlbl"))).alias("__neg")
+        ],
+    )
+    w_sc = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    ranked = scored.select(
+        "query_id",
+        "neighbor_id",
+        "cosine",
+        "__neg",
+        F.row_number().over(w_sc).cast("bigint").alias("__rk_all"),
+        F.sum(F.when(F.col("__neg"), 1).otherwise(0))
+        .over(
+            w_sc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .cast("bigint")
+        .alias("__rk_neg"),
+    )
+    shared = ranked.filter(
+        (F.col("__rk_all") <= 12)
+        | (F.col("__neg") & (F.col("__rk_neg") <= 5))
+    ).localCheckpoint(eager=True)
+    return q_lbl, queries_df, shared
+
+
 def q26_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Similarity-search suite — all three ANN tiers share one
     oracle-checked driver row (identical output schema), tagged by
@@ -997,7 +1085,6 @@ def q26_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _train_centroids,
         build_ivf_index,
         build_pq_index,
-        hard_negatives,
         ivf_topk,
         ivf_topk_from_index,
         pq_topk_from_index,
@@ -1008,18 +1095,20 @@ def q26_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     e = read_table(spark, sf_dir, "embeddings")
-    queries_df = e.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("query_vec"),
-    )
+    # r10: the 5-query relation is checkpointed ONCE (every scope's
+    # broadcast side then builds from the tiny in-memory relation
+    # instead of re-planning its own filtered parquet-scan subtree),
+    # and exact / the MMR pool / hard_neg all derive from ONE shared
+    # scoring + ranking pass — see _ann_shared_ranked (guide §5/§2.4:
+    # q26's measured floor is driver plan/broadcast-job work).
+    _q_lbl, queries_df, shared = _ann_shared_ranked(e)
     cols = ["method", "query_id", "neighbor_id", "cosine", "rank"]
-    # one corpus-wide exact scan feeds BOTH the exact tier (rank<=5)
-    # and the MMR pool (rank<=12) — checkpointed so neither branch
-    # replays the scan
-    pool12 = cosine_topk(
-        e, queries_df, "embedding", "vec_id", "query_id", "query_vec",
-        k=12,
-    ).localCheckpoint(eager=True)
+    pool12 = shared.filter(F.col("__rk_all") <= 12).select(
+        "query_id",
+        "neighbor_id",
+        "cosine",
+        F.col("__rk_all").alias("rank"),
+    )
     exact = pool12.filter(F.col("rank") <= 5).withColumn(
         "method", F.lit("exact")
     )
@@ -1111,10 +1200,18 @@ def q26_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, pq_ix, queries_df, "vec_id", "query_id", "query_vec",
         codebooks=pq_cb, k=5,
     ).withColumn("method", F.lit("pq_index"))
-    hard = hard_negatives(
-        e, "embedding", "vec_id", "label", k=5,
-        anchors=e.filter(F.col("vec_id") < 5),
-    ).withColumn("method", F.lit("hard_neg"))
+    # hard_neg rides the shared scored/ranked pass above (fused ==
+    # hard_negatives(e, anchors=e.filter(vec_id<5)) pinned by test)
+    hard = (
+        shared.filter(F.col("__neg") & (F.col("__rk_neg") <= 5))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cosine",
+            F.col("__rk_neg").alias("rank"),
+        )
+        .withColumn("method", F.lit("hard_neg"))
+    )
     return (
         exact.unionByName(lsh)
         .unionByName(ivf)

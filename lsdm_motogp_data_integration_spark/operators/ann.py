@@ -54,7 +54,34 @@ def _score_and_rank(
     would ERROR the whole job, so the score uses try_divide and the
     resulting NULL cosines are excluded rather than surfacing as
     rank-k garbage."""
-    scored = pairs.select(
+    scored = _scored_pairs(pairs, id_col, query_id_col, vec_col, query_vec_col)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _scored_pairs(
+    pairs: DataFrame,
+    id_col: str,
+    query_id_col: str,
+    vec_col: str,
+    query_vec_col: str,
+    extra_cols: list[Column] | None = None,
+) -> DataFrame:
+    """The scoring half of :func:`_score_and_rank` — the UNRANKED
+    (query_id, neighbor_id, cosine) relation with the engine-wide
+    6dp-rounded cosine and null-cosine exclusion. Split out (r10) so a
+    suite that ranks the SAME scored pairs several ways (q26's exact /
+    mmr-pool / hard-negative scopes all score the identical 5-query ×
+    corpus pair set) can compute the scores once and derive each scope
+    with its own window, instead of re-scanning and re-scoring the
+    corpus per scope. ``extra_cols`` carries per-pair metadata (e.g.
+    both sides' labels) through unchanged."""
+    return pairs.select(
         F.col(query_id_col).alias("query_id"),
         F.col(id_col).alias("neighbor_id"),
         F.round(
@@ -64,14 +91,8 @@ def _score_and_rank(
             ),
             6,
         ).alias("cosine"),
+        *(extra_cols or []),
     ).filter(F.col("cosine").isNotNull())
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= k)
-    )
 
 
 def cosine_topk(

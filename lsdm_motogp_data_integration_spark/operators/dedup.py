@@ -220,6 +220,63 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _estimated_scan_width(df: DataFrame) -> int | None:
+    """Estimate a file-backed relation's scan parallelism from its
+    input files — replicating Spark's split sizing
+    (``maxSplitBytes = min(maxPartitionBytes, max(openCostInBytes,
+    (bytes + files·openCost) / minPartitionNum))``) with pure local
+    ``os.stat`` calls.  Returns ``None`` when the relation has no
+    visible local files (in-memory lineage, remote storage) — callers
+    fall back to the exact ``df.rdd`` probe.  Exists because
+    ``df.rdd.getNumPartitions()`` runs full physical planning (a plan
+    conversion per call, ~50–100 ms measured in r9's profile) while
+    the widen decision only needs a coarse estimate (guide §5: keep
+    plan-time driver work off repeated query paths)."""
+    import os
+    from urllib.parse import unquote, urlparse
+
+    files = df.inputFiles()
+    if not files:
+        return None
+    spark = df.sparkSession
+    conf = spark.conf
+
+    def _size_bytes(v: str) -> int:
+        v = v.strip().lower()
+        for suf, mult in (
+            ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30),
+            ("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+            ("b", 1),
+        ):
+            if v.endswith(suf):
+                return int(float(v[: -len(suf)]) * mult)
+        return int(v)
+
+    max_pb = _size_bytes(
+        conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    open_cost = _size_bytes(
+        conf.get("spark.sql.files.openCostInBytes", "4194304")
+    )
+    min_parts = int(
+        conf.get(
+            "spark.sql.files.minPartitionNum",
+            str(spark.sparkContext.defaultParallelism),
+        )
+    )
+    total = 0
+    for f in files:
+        p = urlparse(f)
+        if p.scheme not in ("", "file"):
+            return None  # remote storage: stat would need a cluster call
+        try:
+            total += os.path.getsize(unquote(p.path)) + open_cost
+        except OSError:
+            return None
+    max_split = min(max_pb, max(open_cost, total // max(min_parts, 1)))
+    return max(1, -(-total // max(max_split, 1)))
+
+
 def _compute_width(df: DataFrame) -> DataFrame:
     """Spread a small relation to the session's shuffle width before
     persist+heavy-per-row work.  A derived corpus often sits in a
@@ -229,11 +286,20 @@ def _compute_width(df: DataFrame) -> DataFrame:
     bytes-vs-compute blindness as the q38 AQE-coalesce incident,
     SCALE.md r3).  Only widens — a relation already at or above the
     shuffle width is returned untouched, so large scans never
-    downscale."""
+    downscale.  The width probe prefers the file-size estimate
+    (:func:`_estimated_scan_width`, zero plan conversions — r10) and
+    falls back to the exact ``df.rdd`` probe for non-file-backed
+    lineage; both sides of the borderline are safe (widening an
+    almost-wide relation costs one extra exchange, skipping it costs
+    some parallelism — the decision only gates performance, never
+    results)."""
     n_shuffle = int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
     )
-    if df.rdd.getNumPartitions() >= n_shuffle:
+    width = _estimated_scan_width(df)
+    if width is None:
+        width = df.rdd.getNumPartitions()
+    if width >= n_shuffle:
         return df
     return df.repartition(n_shuffle)
 
@@ -677,6 +743,7 @@ def minhash_lsh_pairs(
     persist_sets: bool = False,
     sets_df: DataFrame | None = None,
     candidates_only: bool = False,
+    mins_df: DataFrame | None = None,
     _persist_handles: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding + exact verification.
@@ -685,6 +752,14 @@ def minhash_lsh_pairs(
     relation (id_a, id_b) BEFORE exact verification — for suites that
     verify several generators' candidates in one shared join pass
     (r9; see q19).
+
+    ``mins_df`` (r10): a prepared ``(id_col, __mins)`` signature
+    relation computed with the SAME ``num_perm`` (e.g.
+    :func:`minhash_signature` over the suite's shared shingle sets) —
+    the in-operator signature pass is then skipped entirely, so a
+    suite whose index/incremental scopes need the same signatures
+    computes them once for everyone. Requires ``sets_df`` unless
+    ``candidates_only=True`` (verification still reads the sets).
 
     ``sets_df``: a prepared :func:`shingle_sets` relation (same
     ``id_col``/``k``); when given, ``df``/``text_col`` are not scanned
@@ -719,7 +794,20 @@ def minhash_lsh_pairs(
         raise ValueError("num_perm must divide evenly into bands")
     rows_per_band = num_perm // bands
 
-    if sets_df is not None:
+    if mins_df is not None:
+        if sets_df is None and not candidates_only:
+            raise ValueError(
+                "mins_df without sets_df only supports candidates_only"
+            )
+        if sets_df is not None:
+            sets_df = sets_df.select(
+                F.col(id_col).alias("__id"),
+                F.col("shingles").alias("__set"),
+            )
+        mins_df = mins_df.select(
+            F.col(id_col).alias("__id"), "__mins"
+        )
+    elif sets_df is not None:
         # shared prepared relation (shingle_sets contract): signatures
         # and verification both read it; caller owns persistence.
         # MinHash minima over the distinct sorted set equal minima over
@@ -1975,6 +2063,7 @@ def build_minhash_index(
     bands: int = 16,
     unit: str = "word",
     sets_df: DataFrame | None = None,
+    mins_df: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash index of a corpus: one row per (doc, band bucket),
     carrying the full signature — ``(id_col, __bucket, __mins)``.
@@ -1997,11 +2086,18 @@ def build_minhash_index(
     (``minhash_signature``, bit-identical to the fused text path,
     pinned by test), so a suite that already built the sets doesn't
     re-run the shingle HOFs here; ``k``/``unit`` describe how the
-    sets were built and must match."""
+    sets were built and must match.
+
+    ``mins_df`` (r10): a prepared ``(id_col, __mins)`` signature
+    relation (same ``num_perm``) — the signature pass is skipped; the
+    one-signature-pass-per-suite contract of
+    :func:`minhash_lsh_pairs`."""
     if num_perm % bands:
         raise ValueError("num_perm must divide evenly into bands")
     rows_per_band = num_perm // bands
-    if sets_df is not None:
+    if mins_df is not None:
+        mins_df = mins_df.select(F.col(id_col), "__mins")
+    elif sets_df is not None:
         mins_df = sets_df.select(
             F.col(id_col),
             minhash_signature(F.col("shingles"), num_perm).alias("__mins"),
@@ -2031,6 +2127,7 @@ def incremental_neardup(
     threshold: float = 0.8,
     unit: str = "word",
     sets_df: DataFrame | None = None,
+    mins_df: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup hits of a NEW batch against an existing
     ``build_minhash_index`` relation (the incremental path of a
@@ -2058,7 +2155,14 @@ def incremental_neardup(
     if num_perm % bands:
         raise ValueError("num_perm must divide evenly into bands")
     rows_per_band = num_perm // bands
-    if sets_df is not None:
+    if mins_df is not None:
+        # prepared signatures (r10): same one-signature-pass contract
+        # as build_minhash_index's mins_df
+        mins_new = mins_df.select(
+            F.col(id_col).alias("__new_id"),
+            F.col("__mins").alias("__new_mins"),
+        )
+    elif sets_df is not None:
         mins_new = sets_df.select(
             F.col(id_col).alias("__new_id"),
             minhash_signature(F.col("shingles"), num_perm).alias(
