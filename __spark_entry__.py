@@ -1316,12 +1316,31 @@ def q28_event_time_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = read_table(spark, sf_dir, "events")
-    fun = funnel_counts(ev, ["view", "click", "purchase"]).select(
+    # r10 (guide §2.4 — share one exchange): session, funnel and
+    # retention ALL cluster events by the user key (session's window,
+    # funnel's three per-stage user aggregates/joins, retention's
+    # first-event aggregate and (user, week) distinct). ONE
+    # user-partitioned projection is shuffled and persisted; every
+    # user-keyed operator downstream satisfies its clustering from it
+    # (hash(user_id) satisfies ClusteredDistribution(user_id) and any
+    # superset key like (user, week)), so the three scopes stop
+    # re-shuffling the raw events independently. The projection keeps
+    # only the four columns those scopes read — tumbling/hopping/
+    # gapfill key on event_type and keep their direct one-aggregate
+    # scans (routing them through a user shuffle would add a pass).
+    # Results are partitioning-independent (aggregates/joins; the
+    # session window orders by ts within user) — oracle re-checked.
+    ev_user = (
+        ev.select("event_id", "user_id", "ts", "event_type")
+        .repartition("user_id")
+        .persist()
+    )
+    fun = funnel_counts(ev_user, ["view", "click", "purchase"]).select(
         F.col("step").alias("event_type"),
         F.col("step_seq").alias("session_seq"),
         F.col("n_users").alias("n_events"),
     )
-    ret = cohort_retention(ev).select(
+    ret = cohort_retention(ev_user).select(
         F.col("cohort_week").alias("window_start"),
         F.col("week_offset").alias("session_seq"),
         F.col("n_users").alias("n_events"),
@@ -1341,7 +1360,7 @@ def q28_event_time_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("tumbling", tumbling_window_agg(ev, window_size="1 hour")),
         (
             "session",
-            sessionize(ev, gap_minutes=30).select(
+            sessionize(ev_user, gap_minutes=30).select(
                 "event_id", "user_id", "session_seq"
             ),
         ),

@@ -66,7 +66,7 @@ def _scope_values(name: str, tag: str) -> list[str]:
 # configuration, not the engine.
 
 
-def _cpu_ref_sec(n_threads: int = 1) -> float:
+def _cpu_ref_sec(n_threads: int = 1, iters: int = 8000) -> float:
     """Fixed-work CPU reference probe: sha256 over 0.5 GB per thread
     (hashlib releases the GIL on large updates, so threads genuinely
     run in parallel). Recording this alongside the query times turns
@@ -81,7 +81,7 @@ def _cpu_ref_sec(n_threads: int = 1) -> float:
 
     def burn() -> None:
         h = hashlib.sha256()
-        for _ in range(8000):
+        for _ in range(iters):
             h.update(block)
 
     t0 = time.time()
@@ -134,6 +134,7 @@ def main() -> None:
     scope_timings: dict[str, dict[str, float]] = {}
     scope_iterations: dict[str, dict[str, list[float]]] = {}
     scope_loads: dict[str, float] = {}
+    cpu_ref_q: dict[str, float] = {}
     load_samples: list[tuple[float, float, float]] = []
     load_samples.append(os.getloadavg())
     for name in HEADLINE:
@@ -189,6 +190,13 @@ def main() -> None:
             scope_timings[name] = per_scope
             scope_iterations[name] = per_scope_runs
             scope_loads[name] = round(os.getloadavg()[0], 2)
+        # per-query constant-work yardstick (r10, VERDICT r9 #8):
+        # 1/4-work single-thread probe right after each query's
+        # timings, so a co-tenant spike DURING one query is
+        # attributable mechanically (the run-level refs below can't
+        # localize a mid-run spike; the 1-min loadavg lags it).
+        # ~0.08 s/query quiet — additions-only to the JSON line.
+        cpu_ref_q[name] = _cpu_ref_sec(iters=2000)
         # release anything this query persisted (persist_sets/
         # persist_tokens/...) so later queries aren't measured under
         # the accumulated cache pressure of earlier ones — same hygiene
@@ -232,6 +240,10 @@ def main() -> None:
                 # across box epochs
                 "cpu_ref_sec": cpu_ref,
                 "cpu_ref_allcores_sec": cpu_ref_mt,
+                # per-query 1/4-work single-thread yardstick sampled
+                # right after each query (VERDICT r9 #8): localizes a
+                # co-tenant spike to the query it contaminated
+                "cpu_ref_per_query": cpu_ref_q,
                 "loadavg_1m_samples": loads,
                 "loadavg_1m_max": max(loads),
                 "ncpus": os.cpu_count(),

@@ -230,15 +230,33 @@ def _cast_dec12(x: float):
     shortest round-trip decimal representation, which is exactly what
     Python's ``repr(float)`` produces — then ``changePrecision`` rounds
     HALF_UP to scale 12. Bit-parity is pinned by the
-    local-vs-distributed trainer equivalence test."""
+    local-vs-distributed trainer equivalence test.
+
+    Precision bound (ADVICE r9): decimal(28,12) holds 16 integer
+    digits — Spark's cast OVERFLOWS (ANSI error) for |x| >= 1e16,
+    while a plain quantize would happily return a wider Decimal and
+    silently break the claimed local==distributed bit-parity. Raise
+    the same way the distributed path would fail instead."""
     global _DEC12
     import decimal
 
     if _DEC12 is None:
         _DEC12 = decimal.Decimal("1e-12")
-    return decimal.Decimal(repr(float(x))).quantize(
-        _DEC12, rounding=decimal.ROUND_HALF_UP
-    )
+    # quantize under a wide local context: the default context's
+    # 28-digit precision would raise a bare InvalidOperation for wide
+    # values before the explicit bound check below can name the cause
+    with decimal.localcontext() as ctx:
+        ctx.prec = 60
+        d = decimal.Decimal(repr(float(x))).quantize(
+            _DEC12, rounding=decimal.ROUND_HALF_UP
+        )
+    if abs(d) >= decimal.Decimal(10) ** 16:
+        raise ArithmeticError(
+            f"value {x!r} overflows decimal(28,12) — the distributed "
+            "Lloyd round would fail this cast under ANSI mode; "
+            "normalize/scale the vectors (|x| < 1e16) before training"
+        )
+    return d
 
 
 def _lloyd_round_local(
@@ -545,7 +563,15 @@ def _read_index_meta(spark, path: str) -> dict | None:
                 line = f.readline().strip()
             if line:
                 return json.loads(line)
-        return None
+        # present-but-empty sidecar: fail loudly (the documented
+        # contract — the Spark path raises via json.loads('') too);
+        # returning None here would silently disable the codebook-
+        # digest guard (ADVICE r9)
+        raise ValueError(
+            f"index sidecar {meta_dir} exists but holds no metadata "
+            "line — refusing to serve without the codebook-digest "
+            "guard; rebuild the index"
+        )
     if os.path.isdir(path) and not os.path.exists(meta_dir):
         return None  # local index without a sidecar
 

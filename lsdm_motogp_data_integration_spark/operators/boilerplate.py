@@ -33,8 +33,9 @@ def remove_boilerplate_lines(
     text_col: str = "text",
     sep: str = "\n",
     min_docs: int = 3,
-    broadcast_frequent: bool = True,
+    broadcast_frequent: bool | str = True,
     persist_lines: bool = False,
+    max_broadcast_lines: int = 5_000_000,
 ) -> DataFrame:
     """Drop every line appearing in ``>= min_docs`` distinct documents.
 
@@ -56,6 +57,21 @@ def remove_boilerplate_lines(
     anti-join for adversarial corpora where the boilerplate set is
     huge; equivalence of the two paths is pinned by tests.
 
+    Size guard (r10): "small by definition" holds for real
+    boilerplate but nothing in the CONTRACT bounds the frequent set —
+    a pathological corpus (billions of distinct 3+-doc lines) would
+    build a multi-GB single row on the driver. The broadcast path now
+    asserts ``|frequent| <= max_broadcast_lines`` at runtime (a 1-row
+    check before anything is broadcast — fails loudly with the
+    escape hatch named, instead of OOMing the driver), and
+    ``broadcast_frequent="auto"`` counts the frequent set first (one
+    extra aggregate job — the count-then-choose trade) and picks the
+    anti-join path automatically when it exceeds the cap. Both paths
+    are result-identical (pinned by test), so auto never changes
+    output. The assert bounds the broadcast/driver exposure; a corpus
+    adversarial enough to blow the collect_list aggregation buffer
+    itself should run ``broadcast_frequent=False`` outright.
+
     ``persist_lines=True`` persists the tokenized array relation
     (two consumers: frequency aggregate and rebuild).
     """
@@ -67,6 +83,17 @@ def remove_boilerplate_lines(
     )
     if persist_lines:
         base = base.persist()
+    if broadcast_frequent == "auto":
+        n_frequent = (
+            base.select(
+                F.explode(F.array_distinct("__la")).alias("line")
+            )
+            .groupBy("line")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .filter(F.col("n_docs") >= int(min_docs))
+            .count()
+        )
+        broadcast_frequent = n_frequent <= int(max_broadcast_lines)
     if not broadcast_frequent:
         # relational path: shuffle anti-join (unbounded frequent set)
         lines = base.select(
@@ -118,6 +145,20 @@ def remove_boilerplate_lines(
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .filter(F.col("n_docs") >= int(min_docs))
         .agg(F.sort_array(F.collect_list("line")).alias("__freq"))
+        # runtime size guard: one 1-row check BEFORE the broadcast —
+        # a frequent set past the cap fails loudly (with the escape
+        # hatch in the message) instead of OOMing driver + executors
+        .filter(
+            F.assert_true(
+                F.size("__freq") <= int(max_broadcast_lines),
+                F.lit(
+                    "remove_boilerplate_lines: frequent set exceeds "
+                    f"max_broadcast_lines={int(max_broadcast_lines)}; "
+                    "use broadcast_frequent=False (shuffle anti-join) "
+                    "or broadcast_frequent='auto'"
+                ),
+            ).isNull()
+        )
     )
     kept_arr = F.filter(
         F.col("__la"),
@@ -170,7 +211,13 @@ def dedup_lines_keep_first(
     ``persist_lines=True`` persists the tokenized array relation
     (three consumers: keeper aggregate, distinct-line probe, rebuild).
     Returns (id_col, text_col cleaned, n_lines_kept,
-    n_lines_removed)."""
+    n_lines_removed).
+
+    Degenerate duplicate ``id_col`` values (r10): each duplicate row
+    is rebuilt against the id's MERGED line→keeper map and emits its
+    own output row (the pre-r9 relational form instead merged the
+    rows' line multisets into one row) — ids are expected unique;
+    this documents the divergence rather than defining it."""
     split_expr = F.split(F.col(text_col), re.escape(sep))
     # null-text rows produce no output row in the relational form
     base = df.filter(F.col(text_col).isNotNull()).select(
@@ -207,8 +254,17 @@ def dedup_lines_keep_first(
         .join(keepers, "line")
         .groupBy(id_col)
         .agg(
+            # collect_SET, not list: with duplicate id_col values
+            # (degenerate input) the same line reaches this aggregate
+            # once per duplicate row, and map_from_entries would throw
+            # DUPLICATED_MAP_KEY under Spark's default
+            # mapKeyDedupPolicy=EXCEPTION. Every occurrence of a line
+            # carries the SAME global keeper (one keepers row per
+            # line), so the set collapses them and degenerate inputs
+            # degrade to the relational form's merge behavior instead
+            # of erroring (ADVICE r9).
             F.map_from_entries(
-                F.collect_list(
+                F.collect_set(
                     F.struct(
                         F.col("line"),
                         F.struct(

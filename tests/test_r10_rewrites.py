@@ -213,6 +213,163 @@ class TestQ19SharedSignatures:
             )
 
 
+class TestContainmentPrefilter:
+    """containment_pairs' bloom containing-side prefilter is EXACT:
+    bloom path == off path, candidates and verified pairs."""
+
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        base = "alpha bravo charlie delta echo foxtrot golf hotel india"
+        rows = [
+            (1, base),
+            (2, base + " juliet kilo lima mike november oscar papa"),
+            (3, "zulu yankee xray whiskey victor uniform tango sierra"),
+            (4, base + " extra words beyond the contained prefix here"),
+            (5, "totally unrelated content that matches nothing else"),
+            (6, base),  # exact copy: mutual containment
+        ]
+        return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    @pytest.mark.parametrize("cand_only", [True, False])
+    def test_bloom_equals_off(self, spark, corpus, cand_only):
+        from lsdm_motogp_data_integration_spark.operators.dedup import (
+            containment_pairs,
+        )
+
+        kw = dict(k=3, threshold=0.6, candidates_only=cand_only)
+        off = containment_pairs(
+            corpus, "text", "doc_id", containing_prefilter="off", **kw
+        )
+        bloom = containment_pairs(
+            corpus, "text", "doc_id", containing_prefilter="bloom", **kw
+        )
+        cols = (
+            ["id_a", "id_b"]
+            if cand_only
+            else ["id_a", "id_b", "containment"]
+        )
+        assert _rows(bloom, cols) == _rows(off, cols)
+        assert _rows(off, cols)  # non-trivial
+
+    def test_conf_default_is_off_and_invalid_raises(self, spark, corpus):
+        from lsdm_motogp_data_integration_spark.operators.dedup import (
+            containment_pairs,
+        )
+
+        # default (None) resolves from the session conf; unset == off
+        d = containment_pairs(corpus, "text", "doc_id", k=3)
+        o = containment_pairs(
+            corpus, "text", "doc_id", k=3, containing_prefilter="off"
+        )
+        cols = ["id_a", "id_b", "containment"]
+        assert _rows(d, cols) == _rows(o, cols)
+        with pytest.raises(ValueError, match="bloom|off"):
+            containment_pairs(
+                corpus, "text", "doc_id", k=3,
+                containing_prefilter="semi",
+            ).collect()
+
+
+class TestBoilerplateSizeGuard:
+    """remove_boilerplate_lines' broadcast cap: fail-loud assert on
+    the broadcast path, count-then-choose on 'auto' (VERDICT r9 #7)."""
+
+    @pytest.fixture(scope="class")
+    def huge_frequent(self, spark):
+        # 40 distinct lines, each in 3 docs -> frequent set of 40
+        docs = []
+        for d in range(3):
+            text = "\n".join(f"boiler_{i}" for i in range(40))
+            docs.append((d, text + f"\nunique_{d}"))
+        return spark.createDataFrame(docs, "doc_id bigint, text string")
+
+    def test_broadcast_guard_raises(self, spark, huge_frequent):
+        from lsdm_motogp_data_integration_spark.operators.boilerplate import (
+            remove_boilerplate_lines,
+        )
+
+        out = remove_boilerplate_lines(
+            huge_frequent, min_docs=3, max_broadcast_lines=10
+        )
+        with pytest.raises(Exception, match="max_broadcast_lines"):
+            out.collect()
+
+    def test_auto_picks_anti_join_and_matches(self, spark, huge_frequent):
+        from lsdm_motogp_data_integration_spark.operators.boilerplate import (
+            remove_boilerplate_lines,
+        )
+
+        cols = ["doc_id", "text", "n_lines_kept", "n_lines_removed"]
+        auto_small_cap = remove_boilerplate_lines(
+            huge_frequent, min_docs=3, broadcast_frequent="auto",
+            max_broadcast_lines=10,
+        )
+        anti = remove_boilerplate_lines(
+            huge_frequent, min_docs=3, broadcast_frequent=False
+        )
+        bcast = remove_boilerplate_lines(
+            huge_frequent, min_docs=3, broadcast_frequent=True
+        )
+        assert _rows(auto_small_cap, cols) == _rows(anti, cols)
+        assert _rows(bcast, cols) == _rows(anti, cols)
+        auto_big_cap = remove_boilerplate_lines(
+            huge_frequent, min_docs=3, broadcast_frequent="auto",
+            max_broadcast_lines=10_000,
+        )
+        assert _rows(auto_big_cap, cols) == _rows(anti, cols)
+
+
+class TestAdviceR9Fixes:
+    """The three low-severity ADVICE r9 items."""
+
+    def test_dedup_lines_duplicate_ids_no_crash(self, spark):
+        from lsdm_motogp_data_integration_spark.operators.boilerplate import (
+            dedup_lines_keep_first,
+        )
+
+        # duplicate doc_id rows sharing a repeated line: previously
+        # DUPLICATED_MAP_KEY at runtime
+        df = spark.createDataFrame(
+            [
+                (1, "shared line\nalpha"),
+                (1, "shared line\nbeta"),
+                (2, "shared line\ngamma"),
+            ],
+            "doc_id bigint, text string",
+        )
+        out = dedup_lines_keep_first(df, min_line_chars=1).collect()
+        assert len(out) == 3  # one row per input row, no error
+        # the keeper (doc 1, pos 0) retains the line; doc 2 loses it
+        texts = sorted(r["text"] for r in out)
+        assert "gamma" in texts
+
+    def test_cast_dec12_overflow_raises(self):
+        from lsdm_motogp_data_integration_spark.operators.ann import (
+            _cast_dec12,
+        )
+
+        assert float(_cast_dec12(0.1)) == pytest.approx(0.1)
+        _cast_dec12(9.9e15)  # 16 integer digits: still representable
+        with pytest.raises(ArithmeticError, match="decimal\\(28,12\\)"):
+            _cast_dec12(1e16)
+
+    def test_blank_meta_sidecar_raises(self, spark, tmp_path):
+        from lsdm_motogp_data_integration_spark.operators.ann import (
+            _read_index_meta,
+        )
+
+        ix = tmp_path / "ix"
+        meta = ix / "_meta"
+        meta.mkdir(parents=True)
+        (meta / "part-00000").write_text("")
+        with pytest.raises(ValueError, match="sidecar"):
+            _read_index_meta(spark, str(ix))
+        # absent sidecar still returns None (pre-sidecar indexes serve)
+        ix2 = tmp_path / "ix2"
+        ix2.mkdir()
+        assert _read_index_meta(spark, str(ix2)) is None
+
+
 class TestComputeWidthEstimate:
     """_compute_width's file-size estimate replaces the df.rdd plan
     conversion without changing the widen decision's semantics."""

@@ -1,9 +1,11 @@
 """Capture .explain("formatted") output for headline queries into
-plans/<tag>/<query>_<suffix>.txt (round-9 optimization evidence).
+plans/<tag>/<query>_<suffix>.txt (optimization-round evidence).
 
 Usage: python tools/capture_plans.py <suffix> [query ...]
   suffix: "before" / "after" (file name suffix)
   query:  optional subset; defaults to every bench.HEADLINE query.
+  $SPARK_GRAFT_PLANS_DIR overrides the output directory (default
+  plans/r10 — bump per optimization round).
 
 The formatted plan is the pre-execution plan (AdaptiveSparkPlan
 isFinalPlan=false) — exactly what `df.explain("formatted")` prints.
@@ -25,10 +27,10 @@ def main() -> None:
     suffix = sys.argv[1] if len(sys.argv) > 1 else "before"
     names = sys.argv[2:] or HEADLINE
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(
+    out_dir = os.environ.get("SPARK_GRAFT_PLANS_DIR") or os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r09",
+        "r10",
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("capture_plans")
